@@ -1,13 +1,650 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.{Normalize, Dedup, Combine, Ids, Cascade}
+import graft.validate.Validations
+import graft.state.History
+import graft.mapping.RawDict
+import graft.ext.{TextAnalysis, TextDedup, Similarity}
+
+/** Driver contract (SURVEY.md §7).
+  *
+  * Every entry in `queries` exercises one operator (or operator
+  * composition) from SURVEY.md §2's inventory — the key names carry the
+  * §2 ids (p1…, a2…, j8…, v4…) — plus the LLM-pipeline extensions
+  * (d* dedup, t* text analysis, e* embeddings, w* window/event).
+  *
+  * Determinism rules (the DuckDB oracle hash-compares values):
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - doubles that cross engine boundaries are either exact (counts,
+  *    data passthrough) or reduced via round()/floor(x*10⁴) so both
+  *    engines see the same bits;
+  *  - every top-k / "first" is tie-broken on a unique key.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def ts(x: String): Column = to_timestamp(lit(x))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- headline relational queries (engine bread-and-butter) ---
+
+    // Scan + filter (pushed to parquet) + hash aggregate with map-side
+    // partials: the canonical 100 TB-friendly shape.
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // 3-way join: small filtered dims broadcast, big fact streamed.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-01-01"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1996-03-15"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Star join through region→nation→customer→orders→lineitem; the dim
+    // chain collapses to broadcasts, one shuffle for the final group-by.
+    "q5_region_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    // --- SURVEY §2.2: projection / cleansing ---
+
+    // P1 dict-driven projection+rename (+ P9 literal type column), with the
+    // all-null probe folded into one aggregate pass.
+    "p1_project_rename" -> ((s, dir) => {
+      RawDict.extract(
+        t(s, dir, "lineitem"),
+        Seq("l_orderkey" -> "order_id", "l_partkey" -> "part_id",
+          "l_quantity" -> "qty", "l_returnflag" -> "return_flag"),
+        node = "lineitem")
+    }),
+
+    // P3 blank→null + P4 trim over string columns.
+    "p3_p4_normalize" -> ((s, dir) => {
+      val padded = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("  "), col("source"), lit("  ")).as("source_padded"),
+        lit(" ").as("blank_col"))
+      val cleaned = Normalize.blanksToNull(Normalize.trimAll(padded))
+      cleaned.select(col("doc_id"), col("source_padded").as("source_clean"), col("blank_col"))
+    }),
+
+    // P5 clean-dict enum normalization (lowercased variants → canonical).
+    "p5_enum_clean" -> ((s, dir) => {
+      val mapping: Map[String, Option[String]] = Map(
+        "building" -> Some("Building"), "automobile" -> Some("Automobile"),
+        "machinery" -> Some("Machinery"), "household" -> Some("Household"),
+        "furniture" -> Some("Furniture"), "n/a" -> None)
+      val enumVals = Seq("Building", "Automobile", "Machinery", "Household", "Furniture")
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        Normalize.cleanValues(lower(col("c_mktsegment")), mapping, enumVals).as("segment_clean"))
+    }),
+
+    // P6 lossless integer coercion on string-rendered numerics.
+    "p6_int_coerce" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("string").as("qty_raw"),
+        Normalize.losslessInt(col("l_quantity").cast("string")).as("qty_int"))
+    }),
+
+    // --- SURVEY §2.4: dedup / group-merge / set ops ---
+
+    // A1 stringified exact dedup.
+    "a1_dedup_stringified" -> ((s, dir) => {
+      Dedup.stringified(
+        t(s, dir, "lineitem").select(
+          col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("string").as("qty")))
+    }),
+
+    // A2 combine_rows group-merge (sorted distinct values, ", "-joined).
+    "a2_combine_rows" -> ((s, dir) => {
+      Combine.combineRows(
+        t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderpriority"), col("o_orderstatus")),
+        id = "o_custkey",
+        cols = Seq("o_orderpriority", "o_orderstatus"))
+    }),
+
+    // A3 duplicate-key detection.
+    "a3_duplicate_keys" -> ((s, dir) => {
+      Validations.duplicateIds(t(s, dir, "lineitem"), "l_orderkey")
+    }),
+
+    // A4 conflict-column classification for duplicated ids.
+    "a4_conflict_columns" -> ((s, dir) => {
+      Validations.conflictColumns(
+        t(s, dir, "lineitem"), "l_orderkey", Seq("l_returnflag", "l_linestatus"))
+    }),
+
+    // A6+H1+H2 historical set-merge: known values ∪ new values, sorted
+    // desc, comma-joined (History.merge is the engine's state-table op).
+    "a6_history_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val updates = o
+        .groupBy(col("o_custkey").as("key"))
+        .agg(collect_set(year(col("o_orderdate")).cast("string")).as("values"))
+      val state = o.select(col("o_custkey").as("key")).distinct()
+        .withColumn("values", array(lit("1994")))
+      History.merge(state, updates)
+        .select(col("key").as("o_custkey"), array_join(col("values"), ",").as("versions"))
+    }),
+
+    // --- SURVEY §2.3: joins / FK wiring ---
+
+    // J1 equi left join.
+    "j1_left_join" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // J3 first-match lookup join, deterministic via min_by.
+    "j3_first_match" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          min(col("o_orderkey")).as("first_orderkey"),
+          min_by(col("o_orderpriority"), col("o_orderkey")).as("first_priority"))
+    }),
+
+    // J7 compound-id synthesis with lossless numeric formatting.
+    "j7_compound_id" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(
+          col("c_custkey"),
+          Combine.combineColumns(Seq(col("n_name"), col("c_custkey"), col("c_acctbal")))
+            .as("compound_id"))
+    }),
+
+    // J8 recursive cascading delete: customers with negative balance are
+    // deleted; their orders cascade; the orders' lineitems cascade.
+    "j8_cascade_delete" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val lineitem = t(s, dir, "lineitem")
+      val survivors = Cascade.delete(
+        nodes = Map("customer" -> customer, "orders" -> orders, "lineitem" -> lineitem),
+        parents = Map(
+          "orders" -> Seq(Cascade.ParentRef("o_custkey", "customer", "c_custkey")),
+          "lineitem" -> Seq(Cascade.ParentRef("l_orderkey", "orders", "o_orderkey"))),
+        ids = Map("customer" -> "c_custkey", "orders" -> "o_orderkey", "lineitem" -> "l_orderkey"),
+        seeds = Map("customer" -> customer.filter(col("c_acctbal") < 0).select(col("c_custkey"))))
+      survivors("lineitem").groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // --- SURVEY §2.5: validation workload ---
+
+    // V1 composition: keep only rows whose id is conflict-free (unique).
+    "v1_unique_only" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val dups = Validations.duplicateIds(l, "l_orderkey").select(col("l_orderkey"))
+      l.join(dups, Seq("l_orderkey"), "left_anti")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // V2 referential check: customers with no orders (anti join).
+    "v2_missing_parents" -> ((s, dir) => {
+      Validations.missingParents(
+        t(s, dir, "customer"), "c_custkey",
+        t(s, dir, "orders").select(col("o_custkey").as("c_custkey")), "c_custkey")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // V3 UI fill: nulls + absent required columns → "Not specified in data".
+    "v3_ui_fill" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("source") === "src0", lit(null)).otherwise(col("source")).as("source_filled"))
+      Validations.uiFill(d, Seq("source_filled", "license"))
+        .select(col("doc_id"), col("source_filled"), col("license"))
+    }),
+
+    // V4 SSN scan (PII sweep). The corpus has no PII, so matches are
+    // planted deterministically on every 50th doc to exercise the scan.
+    "v4_ssn_scan" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 50 === 0, lit(" 123-45-6789")).otherwise(lit(""))).as("text"))
+      Validations.ssnScanPortable(seeded, "text").select(col("doc_id"), col("ssn_matches"))
+    }),
+
+    // V5/enum-domain violations (P status is outside the modeled domain).
+    "v5_enum_violations" -> ((s, dir) => {
+      Validations.enumViolations(t(s, dir, "orders"), "o_orderstatus", Seq("O", "F"))
+        .select(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
+    // --- window / event analytics (engine extensions) ---
+
+    // Top-3 events per user by value; rank via window, fully tie-broken.
+    "w1_top_events" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("user_id"), col("event_id"), col("rank"))
+    }),
+
+    // Hourly rollup per event type (streaming-window shape, batch mode).
+    "w2_hourly_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // --- LLM-pipeline: deduplication ---
+
+    // D1 exact dedup via canonical-form fingerprint (hash-groupBy).
+    "d1_exact_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+    }),
+
+    // D2 MinHash+LSH near-dup pairs, verified by exact trigram Jaccard.
+    "d2_minhash_neardup" -> ((s, dir) => {
+      TextDedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text", threshold = 0.3)
+    }),
+
+    // D3 SimHash signatures (64-bit, per doc).
+    "d3_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextDedup.simhash(col("text")).as("simhash64"))
+    }),
+
+    // D4 unigram Jaccard on a deterministic pair set (consecutive ids) —
+    // SQL-checkable exact similarity.
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextDedup.shingles(col("text"), 1).as("sh"))
+      val a = d.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+      a.join(b, col("doc_id_b") === col("doc_id_a") + 1)
+        .select(col("doc_id_a"), col("doc_id_b"),
+          floor(TextDedup.jaccard(col("sh_a"), col("sh_b")) * 10000).as("jaccard_bp"))
+    }),
+
+    // --- LLM-pipeline: text analysis ---
+
+    // T1 language-ID heuristic (marker-word argmax).
+    "t1_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+
+    // T2 quality scoring (length/stopword/punctuation blend).
+    "t2_quality" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(txt).as("n_tokens"),
+        TextAnalysis.stopwordHits(txt).as("stopword_hits"),
+        TextAnalysis.punctCount(txt).as("punct_cnt"),
+        floor(TextAnalysis.qualityScore(txt) * 10000).as("quality_bp"))
+    }),
+
+    // T3 token counting: whitespace + BPE-ish regex tokenizers.
+    "t3_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+        length(col("text")).cast("long").as("n_chars_seen"))
+    }),
+
+    // T4 document fingerprinting.
+    "t4_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // T5 corpus profile by language (doc stats rollup).
+    "t5_lang_profile" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          floor(avg(col("n_chars")) * 100).as("avg_chars_c"))
+    }),
+
+    // --- LLM-pipeline: similarity search ---
+
+    // E1 exact brute-force cosine top-3 (baseline/verifier path).
+    "e1_knn_brute" -> ((s, dir) => {
+      Similarity.knnBrute(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+    }),
+
+    // E2 embedding hygiene stats (dim + quantized L2 norm).
+    "e2_embedding_stats" -> ((s, dir) => {
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        floor(Similarity.norm(col("embedding")) * 10000).as("l2_norm_bp"))
+    }),
+
+    // E3 LSH-bucketed approximate k-NN (the 100 TB scale path).
+    "e3_knn_lsh" -> ((s, dir) => {
+      Similarity.knnLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, dim = 64, bits = 8)
+    })
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** DuckDB-equivalent SQL per query. Omitted for non-SQL-expressible ops
+    * (d2 MinHash, d3 SimHash, e3 LSH) → driver records rows-only checks. */
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    "p1_project_rename" ->
+      """SELECT l_orderkey AS order_id, l_partkey AS part_id,
+        |  l_quantity AS qty, l_returnflag AS return_flag,
+        |  'lineitem' AS type
+        |FROM lineitem""".stripMargin,
+
+    "p3_p4_normalize" ->
+      """SELECT doc_id,
+        |  nullif(trim(concat('  ', source, '  ')), '') AS source_clean,
+        |  CAST(NULL AS VARCHAR) AS blank_col
+        |FROM documents""".stripMargin,
+
+    "p5_enum_clean" ->
+      """SELECT c_custkey,
+        |  CASE lower(c_mktsegment)
+        |    WHEN 'building' THEN 'Building'
+        |    WHEN 'automobile' THEN 'Automobile'
+        |    WHEN 'machinery' THEN 'Machinery'
+        |    WHEN 'household' THEN 'Household'
+        |    WHEN 'furniture' THEN 'Furniture'
+        |    WHEN 'n/a' THEN NULL
+        |    ELSE lower(c_mktsegment) END AS segment_clean
+        |FROM customer""".stripMargin,
+
+    "p6_int_coerce" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS VARCHAR) AS qty_raw,
+        |  CASE WHEN TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) IS NOT NULL
+        |        AND TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
+        |            = floor(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE))
+        |        AND abs(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)) < 9e18
+        |    THEN CAST(CAST(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS BIGINT) AS VARCHAR)
+        |    ELSE CAST(l_quantity AS VARCHAR) END AS qty_int
+        |FROM lineitem""".stripMargin,
+
+    "a1_dedup_stringified" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus,
+        |  CAST(l_quantity AS VARCHAR) AS qty
+        |FROM lineitem""".stripMargin,
+
+    "a2_combine_rows" ->
+      """SELECT o_custkey,
+        |  string_agg(DISTINCT o_orderpriority, ', ' ORDER BY o_orderpriority) AS o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ', ' ORDER BY o_orderstatus) AS o_orderstatus
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "a3_duplicate_keys" ->
+      """SELECT l_orderkey, count(*) AS cnt
+        |FROM lineitem GROUP BY l_orderkey
+        |HAVING count(*) > 1 OR l_orderkey IS NULL""".stripMargin,
+
+    "a4_conflict_columns" ->
+      """SELECT l_orderkey, count(*) AS cnt,
+        |  concat_ws(', ',
+        |    CASE WHEN count(DISTINCT l_linestatus) > 1 THEN 'l_linestatus' END,
+        |    CASE WHEN count(DISTINCT l_returnflag) > 1 THEN 'l_returnflag' END)
+        |    AS conflicted_columns
+        |FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1""".stripMargin,
+
+    "a6_history_merge" ->
+      """SELECT o_custkey, string_agg(y, ',' ORDER BY y DESC) AS versions
+        |FROM (
+        |  SELECT DISTINCT o_custkey, CAST(year(o_orderdate) AS VARCHAR) AS y FROM orders
+        |  UNION
+        |  SELECT DISTINCT o_custkey, '1994' FROM orders
+        |) t GROUP BY o_custkey""".stripMargin,
+
+    "j1_left_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "j3_first_match" ->
+      """SELECT o_custkey,
+        |  min(o_orderkey) AS first_orderkey,
+        |  arg_min(o_orderpriority, o_orderkey) AS first_priority
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "j7_compound_id" ->
+      """SELECT c_custkey,
+        |  concat_ws('_', n_name, CAST(c_custkey AS VARCHAR),
+        |    CASE WHEN c_acctbal = floor(c_acctbal) AND abs(c_acctbal) < 9e18
+        |      THEN CAST(CAST(c_acctbal AS BIGINT) AS VARCHAR)
+        |      ELSE CAST(c_acctbal AS VARCHAR) END) AS compound_id
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
+    "j8_cascade_delete" ->
+      """SELECT l_returnflag, count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_orderkey NOT IN (
+        |  SELECT o_orderkey FROM orders WHERE o_custkey IN (
+        |    SELECT c_custkey FROM customer WHERE c_acctbal < 0))
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "v1_unique_only" ->
+      """SELECT l_returnflag, count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) = 1)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "v2_missing_parents" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "v3_ui_fill" ->
+      """SELECT doc_id,
+        |  coalesce(CASE WHEN source = 'src0' THEN NULL ELSE source END,
+        |           'Not specified in data') AS source_filled,
+        |  'Not specified in data' AS license
+        |FROM documents""".stripMargin,
+
+    "v4_ssn_scan" ->
+      """SELECT doc_id,
+        |  array_to_string(regexp_extract_all(
+        |    concat(text, CASE WHEN doc_id % 50 = 0 THEN ' 123-45-6789' ELSE '' END),
+        |    '[0-9]{3}[-_][0-9]{2}[-_][0-9]{4}'), ', ') AS ssn_matches
+        |FROM documents
+        |WHERE length(array_to_string(regexp_extract_all(
+        |    concat(text, CASE WHEN doc_id % 50 = 0 THEN ' 123-45-6789' ELSE '' END),
+        |    '[0-9]{3}[-_][0-9]{2}[-_][0-9]{4}'), ', ')) > 0""".stripMargin,
+
+    "v5_enum_violations" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')""".stripMargin,
+
+    "w1_top_events" ->
+      """SELECT user_id, event_id, rank FROM (
+        |  SELECT user_id, event_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS BIGINT) AS rank
+        |  FROM events) t
+        |WHERE rank <= 3""".stripMargin,
+
+    "w2_hourly_rollup" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  CAST(floor(len(list_intersect(a.sh, b.sh)) * 1.0
+        |       / len(list_distinct(list_concat(a.sh, b.sh))) * 10000) AS BIGINT) AS jaccard_bp
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "t1_langid" -> {
+      def cnt(w: String) =
+        s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+      val scores = TextAnalysis.LangMarkers.map { case (lang, ws) =>
+        s"(${ws.map(cnt).mkString(" + ")}) AS s_$lang"
+      }.mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents),
+         |s AS (SELECT doc_id, $scores FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |    WHEN s_es >= s_fr THEN 'es'
+         |    ELSE 'fr' END AS lang_pred
+         |FROM s""".stripMargin
+    },
+
+    "t2_quality" -> {
+      def cnt(w: String) =
+        s"((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2})"
+      val stopSum = TextAnalysis.Stopwords.map(cnt).mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, concat(' ', text, ' ') AS p,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+         |  FROM documents),
+         |m AS (SELECT doc_id, text, toks,
+         |    CAST($stopSum AS BIGINT) AS stop_hits,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS punct
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(toks AS BIGINT) AS n_tokens,
+         |  stop_hits AS stopword_hits,
+         |  punct AS punct_cnt,
+         |  CAST(floor((
+         |    least(toks / 200.0, 1.0) * 0.4
+         |    + least(stop_hits * 10.0 / greatest(toks, 1), 1.0) * 0.4
+         |    + greatest(1.0 - (punct * 1.0 / greatest(length(text), 1)) * 5.0, 0.0) * 0.2
+         |  ) * 10000) AS BIGINT) AS quality_bp
+         |FROM m""".stripMargin
+    },
+
+    "t3_tokens" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |    AS n_tokens_bpe,
+        |  CAST(length(text) AS BIGINT) AS n_chars_seen
+        |FROM documents""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "t5_lang_profile" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(floor(avg(n_chars) * 100) AS BIGINT) AS avg_chars_c
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "e1_knn_brute" ->
+      """SELECT vec_id, neighbor_id, rank FROM (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id)
+        |      AS BIGINT) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+        |WHERE rank <= 3""".stripMargin,
+
+    "e2_embedding_stats" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(floor(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000) AS BIGINT) AS l2_norm_bp
+        |FROM embeddings""".stripMargin
+  )
 }

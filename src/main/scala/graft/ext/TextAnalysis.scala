@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is a pure per-row projection built from codegen'd
+  * built-ins (no UDFs): at 100 TB these run inside whole-stage codegen in
+  * the same pass as the scan — the cost is I/O-bound, exactly what you want
+  * for a corpus sweep. Outputs are bigint/double/string so results join
+  * cheaply with downstream filters.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. Empty/blank text → 0. */
+  def tokenCountWs(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L))
+      .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token (a cheap, deterministic
+    * stand-in for a real subword tokenizer). */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCountBpe(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpePattern), lit(0))).cast("long")
+
+  /** Count non-overlapping occurrences of a literal substring —
+    * (len(s) - len(replace(s, sub, ''))) / len(sub); portable arithmetic
+    * identical to the DuckDB oracle's. */
+  def substrCount(c: Column, sub: String): Column =
+    ((length(c) - length(replace(c, lit(sub), lit("")))) / lit(sub.length)).cast("long")
+
+  /** Stopword hits: occurrences of a small English stopword set, counted as
+    * space-bounded substrings. */
+  val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+  def stopwordHits(c: Column): Column = {
+    val padded = concat(lit(" "), c, lit(" "))
+    Stopwords.map(w => substrCount(padded, s" $w ")).reduce(_ + _)
+  }
+
+  /** Punctuation character count over an explicit class (kept identical in
+    * the oracle SQL; engines disagree on \p{Punct}). */
+  val PunctClass = """[.,;:!?'"()\[\]{}-]"""
+  def punctCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c, PunctClass, ""))).cast("long")
+
+  /** Document quality score in [0,1]: blends length saturation, stopword
+    * density, and punctuation sanity. Deterministic, portable arithmetic
+    * (least/greatest instead of branches); callers quantize (e.g.
+    * floor(x*10⁴)) when the double crosses an engine boundary. */
+  def qualityScore(c: Column): Column = {
+    val toks = tokenCountWs(c).cast("double")
+    val lenScore = least(toks / lit(200.0), lit(1.0))
+    val stopScore = least(stopwordHits(c).cast("double") * lit(10.0) / greatest(toks, lit(1.0)), lit(1.0))
+    val punctRatio = punctCount(c).cast("double") / greatest(length(c).cast("double"), lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio * lit(5.0), lit(0.0))
+    lenScore * lit(0.4) + stopScore * lit(0.4) + punctScore * lit(0.2)
+  }
+
+  /** Language-ID heuristic: marker-word hit counts per language; argmax
+    * with deterministic tie-break (alphabetical, 'und' when all zero).
+    * A real pipeline would swap in fastText/CLD3 behind the same column
+    * contract; the heuristic keeps the operator dependency-free. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die", "nicht"),
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "los", "que", "y"),
+    "fr" -> Seq("le", "les", "et", "est"))
+
+  def langId(c: Column): Column = {
+    val padded = concat(lit(" "), lower(c), lit(" "))
+    val scores = LangMarkers.map { case (lang, ws) =>
+      lang -> ws.map(w => substrCount(padded, s" $w ")).reduce(_ + _)
+    }
+    // argmax by (score desc, lang asc): fold over languages in order
+    val best = scores.foldLeft((lit("und"), lit(0L))) { case ((bl, bs), (lang, s)) =>
+      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    best._1
+  }
+
+  /** Document fingerprint: md5 of the whitespace-collapsed, lowercased,
+    * trimmed text — a canonical-form exact-dup key (rolling-hash analog
+    * that stays portable to the DuckDB oracle). */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+}

@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora: exact-hash, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design (the whole point of these operators):
+  *  - Exact dedup = hash-groupBy: map-side partial aggregation means the
+  *    shuffle carries one row per distinct fingerprint, not per document.
+  *  - MinHash+LSH avoids the O(n²) pairwise wall: signatures are a per-row
+  *    projection (HOFs over the shingle array, codegen'd, no UDF); banding
+  *    turns similarity search into an equi-join on (band, bandHash) — a
+  *    plain shuffle join Catalyst/AQE can plan, with skewed mega-buckets
+  *    handled by AQE skew-join splitting. Only candidate pairs (tiny
+  *    relative to n²) reach the exact-Jaccard verifier.
+  *  - SimHash is a single 64-bit projection per doc; near-dup = Hamming
+  *    distance on a bigint, i.e. bit_count(xor) — cheap to band as well.
+  */
+object TextDedup {
+
+  /** Word n-gram shingles of the whitespace-tokenized text (distinct). */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = split(trim(c), "\\s+")
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    array_distinct(grams)
+  }
+
+  /** 64-bit hashes of each shingle (xxhash64 — codegen'd, seed fixed). */
+  def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
+
+  // deterministic affine permutation parameters (seeded, public knowledge:
+  // standard (a*x + b) mod p universal hashing over a Mersenne prime).
+  // p = 2^31-1 keeps every product below 2^62 — no 64-bit overflow, so the
+  // expression stays legal under ANSI mode (Spark 4 default).
+  private val P = 2147483647L // 2^31 - 1
+  private def perms(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+  }
+
+  /** MinHash signature: k minima of affine-permuted shingle hashes.
+    * Pure array HOFs — one projection, no shuffle, no UDF. */
+  def minhashSignature(hashes: Column, k: Int = 32, seed: Long = 42L): Column = {
+    val sigs = perms(k, seed).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(pmod(h, lit(P)) * lit(a) + lit(b), lit(P))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH band keys: signature split into `bands` bands of `k/bands` rows,
+    * each hashed to one bigint key. Docs sharing any band key are
+    * candidate near-duplicates. */
+  def bandKeys(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    val keys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * r + 1, r))).as("key"))
+    }
+    array(keys: _*)
+  }
+
+  /** Candidate near-dup pairs via MinHash LSH. Returns (id_a, id_b) with
+    * id_a < id_b, distinct. The self-join runs per LSH bucket — an
+    * equi-join on (band,key), never a cross product over the corpus. */
+  def lshCandidates(
+      docs: DataFrame, id: String, text: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
+    val sig = docs.select(
+      col(id),
+      minhashSignature(shingleHashes(shingles(col(text), n)), k, seed).as("sig"))
+    val banded = sig
+      .select(col(id), explode(bandKeys(col("sig"), k, bands)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"), col(id).as("id_a"))
+    val b = banded.select(col("band"), col("key"), col(id).as("id_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-set columns. */
+  def jaccard(sa: Column, sb: Column): Column =
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+
+  /** Near-dup pairs: LSH candidates verified by exact n-gram Jaccard ≥
+    * threshold. Shingle sets are re-joined only for candidates. */
+  def nearDuplicates(
+      docs: DataFrame, id: String, text: String, threshold: Double,
+      n: Int = 3, k: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
+    val sh = docs.select(col(id), shingles(col(text), n).as("sh"))
+    val cand = lshCandidates(docs, id, text, n, k, bands, seed)
+    cand
+      .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 votes from
+    * each token's xxhash64; bit set where the vote is positive.
+    * One projection per row (HOF fold), no shuffle. */
+  def simhash(c: Column): Column = {
+    val toks = split(trim(c), "\\s+")
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L)))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** Hamming distance between two SimHash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+}

@@ -1,0 +1,83 @@
+package graft.mapping
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** P1/P2 — dict-driven projection and fuzzy schema matching
+  * (SURVEY.md §2.2).
+  *
+  * P1 ("extract", `cds-transformation_v1.3.py:69-81`): for each model
+  * property of a node, find its raw column via the raw dict (first mapped
+  * column that exists and is not all-null), project it under the property
+  * name, and add a literal `type = node` discriminator. The all-null probe
+  * is a single aggregate pass computing `count(col)` for every candidate at
+  * once — one job regardless of column count (the reference probes
+  * per-column).
+  *
+  * P2 (fuzzy matcher, `cds-transformation_v1.3.py:16-33`): Ratcliff–
+  * Obershelp similarity between normalized raw column names and model
+  * property names, threshold RATIO_LIMIT = 0.75
+  * (`cds_config_example_v1.3.yaml:5`). This is a *schema-level* operation
+  * over `df.columns` — driver-side by design; data never moves.
+  */
+object RawDict {
+
+  /** Ratcliff–Obershelp similarity (same algorithm as Python difflib's
+    * `SequenceMatcher.ratio`): 2*M / (|a|+|b|) where M is the total length
+    * of matching blocks found by recursive longest-common-substring. */
+  def ratio(a: String, b: String): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    def matchBlocks(al: Int, ah: Int, bl: Int, bh: Int): Int = {
+      // longest common substring of a[al,ah) x b[bl,bh)
+      var bestI = al; var bestJ = bl; var bestLen = 0
+      var i = al
+      while (i < ah) {
+        var j = bl
+        while (j < bh) {
+          if (a(i) == b(j)) {
+            var len = 0
+            while (i + len < ah && j + len < bh && a(i + len) == b(j + len)) len += 1
+            if (len > bestLen) { bestLen = len; bestI = i; bestJ = j }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (bestLen == 0) 0
+      else
+        bestLen +
+          matchBlocks(al, bestI, bl, bestJ) +
+          matchBlocks(bestI + bestLen, ah, bestJ + bestLen, bh)
+    }
+    2.0 * matchBlocks(0, a.length, 0, b.length) / (a.length + b.length)
+  }
+
+  private def normalize(name: String): String =
+    name.toLowerCase.replace(" ", "_")
+
+  /** P2: best property match per raw column at or above the threshold. */
+  def fuzzyMatch(
+      rawColumns: Seq[String],
+      properties: Seq[String],
+      ratioLimit: Double = 0.75): Map[String, String] =
+    rawColumns.flatMap { raw =>
+      val n = normalize(raw)
+      val scored = properties.map(p => p -> ratio(n, normalize(p)))
+      val (best, r) = scored.maxBy { case (p, s) => (s, p) }
+      if (r >= ratioLimit) Some(raw -> best) else None
+    }.toMap
+
+  /** P1: project raw columns onto model property names, keeping only
+    * mappings whose raw column exists and has at least one non-null value,
+    * then tag with the node discriminator. */
+  def extract(df: DataFrame, mapping: Seq[(String, String)], node: String): DataFrame = {
+    val present = mapping.filter { case (raw, _) => df.columns.contains(raw) }
+    // one aggregate pass probing all candidates for non-nullness
+    val probes = present.map { case (raw, _) => count(col(raw)).as(raw) }
+    val counts = df.agg(probes.head, probes.tail: _*).first()
+    val live = present.filter { case (raw, _) => counts.getAs[Long](raw) > 0 }
+    val cols: Seq[Column] = live.map { case (raw, prop) => col(raw).as(prop) } :+
+      lit(node).as("type")
+    df.select(cols: _*)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** J8 — recursive cascading delete (`cds_transformation_functions.py:171-195`).
+  *
+  * Given a set of deleted parent ids, a child row loses that parent
+  * pointer; a child is itself deleted when *all* of its parent pointers are
+  * now null (the reference's `dropna(how='all')` over parent-pointer
+  * columns, `:189-193`), and its deletion cascades to grandchildren.
+  *
+  * The loop is data-dependent so it cannot be one Catalyst plan
+  * (SURVEY.md §2.3 J8); we orchestrate a fixpoint on the driver, bounded by
+  * the depth of the relationship DAG. Each level is a set of `left` joins
+  * against the (small) deleted-id sets — at 100 TB the deleted-id frames
+  * are tiny relative to the node tables, so Catalyst/AQE picks
+  * BroadcastHashJoin and each level is a single map-side pass with no
+  * shuffle of the big table. Deleted-id sets are captured per level as
+  * distinct-id DataFrames (never collected to the driver).
+  */
+object Cascade {
+
+  /** One parent pointer on a child node: column `fk` on the child holds
+    * values of `parentKey` on `parent`. */
+  final case class ParentRef(fk: String, parent: String, parentKey: String)
+
+  /** Cascade deletions through the node graph.
+    *
+    * @param nodes    node name → DataFrame
+    * @param parents  child node → its parent pointers
+    * @param ids      node name → id column (for emitting deleted-id sets)
+    * @param seeds    node name → DataFrame with that node's id column,
+    *                 listing initially-deleted ids
+    * @return surviving rows per node (parent pointers of deleted parents
+    *         nulled out, fully-orphaned rows removed, recursively)
+    */
+  def delete(
+      nodes: Map[String, DataFrame],
+      parents: Map[String, Seq[ParentRef]],
+      ids: Map[String, String],
+      seeds: Map[String, DataFrame]): Map[String, DataFrame] = {
+
+    var current = nodes
+    // deleted-id frames per node, grown level by level
+    var deleted: Map[String, DataFrame] = seeds.map { case (n, df) =>
+      n -> df.select(col(ids(n))).distinct()
+    }
+    val maxDepth = nodes.size // DAG depth bound
+
+    var frontier = deleted.keySet
+    var level = 0
+    while (frontier.nonEmpty && level < maxDepth) {
+      var nextFrontier = Set.empty[String]
+      for ((child, refs) <- parents) {
+        val touched = refs.filter(r => frontier.contains(r.parent))
+        if (touched.nonEmpty) {
+          var df = current(child)
+          // null out pointers to deleted parents (left join + conditional)
+          for (r <- touched) {
+            val del = deleted(r.parent)
+              .select(col(r.parentKey).as(r.fk)).distinct()
+              .withColumn("__del", lit(1))
+            df = df
+              .join(broadcast(del), Seq(r.fk), "left")
+              .withColumn(r.fk, when(col("__del").isNotNull, lit(null)).otherwise(col(r.fk)))
+              .drop("__del")
+          }
+          // a row dies when ALL parent pointers are null
+          val allRefs = parents(child)
+          val orphan = allRefs.map(r => col(r.fk).isNull).reduce(_ && _)
+          val dying = df.filter(orphan).select(col(ids(child))).distinct()
+          val survivors = df.filter(!orphan)
+          current = current.updated(child, survivors)
+          deleted = deleted.updated(
+            child,
+            deleted.get(child).map(_.union(dying).distinct()).getOrElse(dying))
+          nextFrontier += child
+        }
+      }
+      frontier = nextFrontier
+      level += 1
+    }
+    // apply seed deletions to the seed nodes themselves
+    for ((n, seedIds) <- seeds) {
+      val idc = ids(n)
+      current = current.updated(
+        n,
+        current(n).join(broadcast(seedIds.select(col(idc)).distinct()), Seq(idc), "left_anti"))
+    }
+    current
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Cell-level cleansing operators (SURVEY.md §2.2: P3, P4, P5, P6, P9).
+  *
+  * Reference behavior re-expressed Spark-first:
+  *  - P3 blank→null: `cds-transformation_v1.3.py:134` (`replace(r'^\s*$', NaN)`)
+  *  - P4 trim: `cds-transformation_v1.3.py:136`
+  *  - P5 clean_data enum normalization: `cds_transformation_functions.py:10-55`
+  *  - P6 lossless integer coercion: `cds_transformation_functions.py:56-72`
+  *
+  * All of these are narrow (per-row) projections: no shuffle, fully inside
+  * whole-stage codegen, and Catalyst folds consecutive `select`s into one
+  * projection — at 100 TB these cost exactly one pass over the scan.
+  * Dictionaries are embedded as literal `map(...)` expressions (the clean
+  * dict is ~1.3k entries — well under any broadcast concern; a literal map
+  * is codegen'd into the projection itself, no broadcast var needed).
+  */
+object Normalize {
+
+  private def stringCols(df: DataFrame): Seq[String] =
+    df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+
+  /** P3: whitespace-only or empty string cells → null, on every string column. */
+  def blanksToNull(df: DataFrame): DataFrame = {
+    val cols = df.columns.map { c =>
+      if (stringCols(df).contains(c))
+        when(trim(col(c)) === "", lit(null).cast(StringType)).otherwise(col(c)).as(c)
+      else col(c)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** P4: trim surrounding whitespace on every string column. */
+  def trimAll(df: DataFrame): DataFrame = {
+    val sc = stringCols(df).toSet
+    val cols = df.columns.map { c =>
+      if (sc.contains(c)) trim(col(c)).as(c) else col(c)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** P5: clean-dict value normalization for one column.
+    *
+    * Semantics (cds_transformation_functions.py:10-55):
+    *   - value already in the controlled vocabulary (`enum`) → unchanged
+    *   - value has a clean-dict mapping → replaced (mapping may be to null,
+    *     e.g. morphology codes mis-read as dates, cds_clean_dict_v1.3.yaml:1240-1263)
+    *   - otherwise → passthrough
+    */
+  def cleanValues(
+      c: Column,
+      mapping: Map[String, Option[String]],
+      enumValues: Seq[String] = Nil): Column = {
+    val toNull = mapping.collect { case (k, None) => k }.toSeq
+    val live = mapping.collect { case (k, Some(v)) => Seq(lit(k), lit(v)) }.flatten.toSeq
+    val base =
+      if (live.isEmpty) c
+      else coalesce(element_at(map(live: _*), c), c)
+    val withNulls =
+      if (toNull.isEmpty) base
+      else when(c.isin(toNull: _*), lit(null).cast(StringType)).otherwise(base)
+    if (enumValues.isEmpty) withNulls
+    else when(c.isin(enumValues: _*), c).otherwise(withNulls)
+  }
+
+  /** P6: lossless integer coercion on a string column.
+    * A value parseable as a double with no fractional part is rewritten as
+    * its integer rendering ("25.0" → "25"); anything else is kept verbatim
+    * (the engine stays string-typed until the sink, mirroring the
+    * reference's keep_default_na=False string-first behavior). */
+  def losslessInt(c: Column): Column = {
+    val d = c.cast(StringType).try_cast("double")
+    when(d.isNotNull && d === floor(d) && abs(d) < lit(9.0e18),
+      d.cast("long").cast(StringType)).otherwise(c)
+  }
+
+  /** Lossless number formatter for id synthesis (J7's convert_to_string,
+    * cds_transformation_functions.py:391-399): integral floats print
+    * integer-style, everything else prints verbatim. */
+  def losslessNumFmt(c: Column): Column = losslessInt(c.cast(StringType))
+
+  /** P9 / V3 fill: replace nulls in the given string columns with a literal. */
+  def fillMissing(df: DataFrame, cols: Seq[String], value: String): DataFrame =
+    df.na.fill(value, cols)
+}

@@ -1,0 +1,57 @@
+package graft.state
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** H1/H2 — cross-run historical state (`cds_transformation_functions.py:420-466`).
+  *
+  * The reference keeps per-study value histories in YAML files it
+  * read-modify-writes each run (no concurrency story, SURVEY.md §7.4
+  * risk 5). Our engine models history as a parquet state table
+  * `history(key string, values array<string>)` merged with set semantics:
+  * new values are appended (`array_union` ≙ the reference's
+  * `set(new) - set(known)` + append, `:440-443`) and the list is kept
+  * sorted descending (`sort(reverse=True)`, `:443`).
+  *
+  * Merge is a single full-outer join keyed on `key`; history tables are
+  * per-study-small, so the join broadcasts. Write discipline is
+  * single-writer overwrite (the Spark equivalent of the reference's
+  * whole-file rewrite).
+  */
+object History {
+
+  /** Merge incoming `updates(key, values)` into `state(key, values)`. */
+  def merge(state: DataFrame, updates: DataFrame): DataFrame = {
+    val s = state.select(col("key"), col("values").as("old_values"))
+    val u = updates.select(col("key"), col("values").as("new_values"))
+    s.join(u, Seq("key"), "full_outer")
+      .select(
+        col("key"),
+        reverse(sort_array(array_distinct(concat(
+          coalesce(col("old_values"), array()),
+          coalesce(col("new_values"), array()))))).as("values"))
+  }
+
+  /** H1 ingestion shape: take a node frame's (key, comma-joined list value)
+    * and split/trim into update rows (`split(',')` + strip, `:428`). */
+  def updatesFromColumn(df: DataFrame, key: String, listCol: String): DataFrame =
+    df.select(
+      col(key).as("key"),
+      transform(split(col(listCol), ","), v => trim(v)).as("values"))
+
+  /** H2: render history back onto a node frame as the full comma-joined
+    * list — applied *before* the sink instead of the reference's
+    * read-back-and-rewrite of emitted TSVs (SURVEY.md §2.6 H2). */
+  def applyHistory(node: DataFrame, key: String, targetCol: String, state: DataFrame): DataFrame =
+    node
+      .join(broadcast(state.select(col("key").as(key), col("values"))), Seq(key), "left")
+      .withColumn(targetCol,
+        coalesce(array_join(col("values"), ","), col(targetCol)))
+      .drop("values")
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def save(state: DataFrame, path: String): Unit =
+    state.write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,94 @@
+package graft.validate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Validation operators — the reference's "query" workload
+  * (SURVEY.md §2.5 V1–V5, §2.4 A3/A4/A5).
+  *
+  * Each validation is a pure DataFrame derivation that yields a *report*
+  * frame (the reference writes these as `*_validation_result.tsv`,
+  * `cds_transformation_functions.py:197-207`). All are single-pass
+  * aggregations or filters: at 100 TB they cost one scan + one hash
+  * aggregate on the node's id — no driver-side iteration (the reference
+  * loops rows in Python; we do not).
+  */
+object Validations {
+
+  /** A3: ids occurring more than once (or null) within a node
+    * (`cds_transformation_functions.py:249`). */
+  def duplicateIds(df: DataFrame, id: String): DataFrame =
+    df.groupBy(col(id))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1 || col(id).isNull)
+
+  /** A4 + V1 core: for each duplicated id, which columns disagree across
+    * the duplicate rows (`cds_transformation_functions.py:253-262`).
+    * Output: (id, cnt, conflicted_columns as ", "-joined sorted list).
+    * Single hash aggregate; `count(distinct …)` per column is planned as
+    * one expand+aggregate, still one shuffle on the id. */
+  def conflictColumns(df: DataFrame, id: String, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("cnt") +:
+      cols.map(c => (countDistinct(col(c)) > 1).as(s"__conf_$c"))
+    val flags = df.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    val confArr = array(cols.sorted.map(c => when(col(s"__conf_$c"), lit(c))): _*)
+    flags
+      .filter(col("cnt") > 1)
+      .withColumn("conflicted_columns", array_join(filter(confArr, _.isNotNull), ", "))
+      .select(col(id), col("cnt"), col("conflicted_columns"))
+  }
+
+  /** A5 + V2: rows whose parent pointers are ALL null — the reference
+    * builds per-column lists and intersects them
+    * (`cds_transformation_functions.py:222-238`); one filter suffices. */
+  def orphans(df: DataFrame, parentCols: Seq[String]): DataFrame =
+    df.filter(parentCols.map(col(_).isNull).reduce(_ && _))
+
+  /** V2 variant for real FK checks: child rows whose fk has no match in the
+    * parent table (left_anti join — map-side when parent ids broadcast). */
+  def missingParents(child: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame =
+    child.join(parent.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
+
+  /** V4: SSN-shaped substring scan (`cds_transformation_functions.py:284-299`).
+    * Patterns ddd-dd-dddd, ddd_dd_dddd, and bare 9 digits bounded by
+    * non-digits (java regex supports the reference's lookaround as-is). */
+  val SsnPatterns: Seq[String] =
+    Seq("""\d{3}-\d{2}-\d{4}""", """\d{3}_\d{2}_\d{4}""", """(?<=\D)\d{9}(?=\D)""")
+
+  def ssnScan(df: DataFrame, c: String): DataFrame = {
+    val alternation = SsnPatterns.mkString("(", ")|(", ")")
+    df.withColumn("ssn_matches",
+        array_join(regexp_extract_all(col(c), lit(alternation), lit(0)), ", "))
+      .filter(length(col("ssn_matches")) > 0)
+  }
+
+  /** V4 portable variant: single RE2-safe pattern (no lookaround), usable
+    * verbatim by engines without java-regex lookbehind (the oracle). */
+  val SsnPatternPortable = "[0-9]{3}[-_][0-9]{2}[-_][0-9]{4}"
+
+  def ssnScanPortable(df: DataFrame, c: String): DataFrame =
+    df.withColumn("ssn_matches",
+        array_join(regexp_extract_all(col(c), lit(SsnPatternPortable), lit(0)), ", "))
+      .filter(length(col("ssn_matches")) > 0)
+
+  /** V3: UI validation fill — required columns that are absent get injected
+    * as a constant; present-but-null cells are filled
+    * (`cds_transformation_functions.py:303-344`). */
+  val NotSpecified = "Not specified in data"
+
+  def uiFill(df: DataFrame, required: Seq[String], fill: String = NotSpecified): DataFrame = {
+    val present = df.columns.toSet
+    val withCols = required.filterNot(present.contains)
+      .foldLeft(df)((d, c) => d.withColumn(c, lit(fill)))
+    withCols.na.fill(fill, required)
+  }
+
+  /** Regex-pattern property validation (model regex types, SURVEY.md §1.2):
+    * rows where `c` is non-null and does NOT match `pattern`. */
+  def patternViolations(df: DataFrame, c: String, pattern: String): DataFrame =
+    df.filter(col(c).isNotNull && !regexp_like(col(c), lit(pattern)))
+
+  /** Enum-domain violations: non-null values outside the vocabulary. */
+  def enumViolations(df: DataFrame, c: String, domain: Seq[String]): DataFrame =
+    df.filter(col(c).isNotNull && !col(c).isin(domain: _*))
+}

@@ -454,11 +454,27 @@ object SparkEntry {
         |  CAST(l_quantity AS VARCHAR) AS qty
         |FROM lineitem""".stripMargin,
 
+    // Mirrors the engine's full combine_rows semantics: per-value trim,
+    // distinct, ascending sort, then a fold that SKIPS values already
+    // substring-contained in the accumulator (the reference's suppression
+    // rule, cds_transformation_functions.py:145-146) — not a plain
+    // string_agg, so the oracle stays equivalent on data with nested values.
     "a2_combine_rows" ->
-      """SELECT o_custkey,
-        |  string_agg(DISTINCT o_orderpriority, ', ' ORDER BY o_orderpriority) AS o_orderpriority,
-        |  string_agg(DISTINCT o_orderstatus, ', ' ORDER BY o_orderstatus) AS o_orderstatus
-        |FROM orders GROUP BY o_custkey""".stripMargin,
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    list_sort(list_distinct(list(trim(o_orderpriority))
+        |      FILTER (o_orderpriority IS NOT NULL))) AS lp,
+        |    list_sort(list_distinct(list(trim(o_orderstatus))
+        |      FILTER (o_orderstatus IS NOT NULL))) AS ls
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey,
+        |  CASE WHEN len(lp) = 0 THEN NULL ELSE list_reduce(lp,
+        |    (acc, v) -> CASE WHEN contains(acc, v) THEN acc
+        |                ELSE acc || ', ' || v END) END AS o_orderpriority,
+        |  CASE WHEN len(ls) = 0 THEN NULL ELSE list_reduce(ls,
+        |    (acc, v) -> CASE WHEN contains(acc, v) THEN acc
+        |                ELSE acc || ', ' || v END) END AS o_orderstatus
+        |FROM g""".stripMargin,
 
     "a3_duplicate_keys" ->
       """SELECT l_orderkey, count(*) AS cnt
@@ -499,12 +515,21 @@ object SparkEntry {
         |      ELSE CAST(c_acctbal AS VARCHAR) END) AS compound_id
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
 
+    // NOT EXISTS (not NOT IN: a single NULL key would zero the result) and
+    // explicit NULL-pointer handling, mirroring Cascade.delete exactly: an
+    // order dies when its customer pointer was deleted OR originally NULL;
+    // a lineitem dies when its order pointer is NULL or points at a dead
+    // order. Dangling (non-matching) pointers survive, as in the engine.
     "j8_cascade_delete" ->
       """SELECT l_returnflag, count(*) AS cnt
-        |FROM lineitem
-        |WHERE l_orderkey NOT IN (
-        |  SELECT o_orderkey FROM orders WHERE o_custkey IN (
-        |    SELECT c_custkey FROM customer WHERE c_acctbal < 0))
+        |FROM lineitem l
+        |WHERE l.l_orderkey IS NOT NULL
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey = l.l_orderkey
+        |      AND (o.o_custkey IS NULL OR EXISTS (
+        |        SELECT 1 FROM customer c
+        |        WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)))
         |GROUP BY l_returnflag""".stripMargin,
 
     "v1_unique_only" ->

@@ -23,22 +23,32 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Dot product of two float-array columns (double accumulator). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product (HOF form — portable/reference implementation; the hot
+    * path uses the codegen'd [[graft.functions.VectorExpressions]] kernel,
+    * which folds in the same element order → bit-identical doubles). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Dot product of two numeric-array columns (compiled, codegen'd). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.vecDot(a, b)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** Single-pass compiled cosine (dot and both norms in one loop). */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExpressions.vecCosine(a, b)
 
   /** Exact k-NN: for each vector, the k nearest others by cosine.
     * Output (vec_id, neighbor_id, rank); ties broken by neighbor id so the
     * result is fully deterministic (similarity values themselves are not
     * emitted — FP ulps must not decide hash equality). */
   def knnBrute(emb: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+    // The inequality self-join is a nested-loop join whose parallelism is
+    // the streamed side's partitioning; a single-file parquet read would
+    // put the whole O(n²) kernel on one core. Spread the streamed side
+    // across the cluster first (tiny shuffle of n rows).
     val a = emb.select(col(id).as("vec_id"), col(vec).as("va"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
     val b = emb.select(col(id).as("neighbor_id"), col(vec).as("vb"))
     val pairs = a.join(b, col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("va"), col("vb")))

@@ -42,14 +42,20 @@ object TextDedup {
     Seq.fill(k)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
   }
 
-  /** MinHash signature: k minima of affine-permuted shingle hashes.
-    * Pure array HOFs — one projection, no shuffle, no UDF. */
-  def minhashSignature(hashes: Column, k: Int = 32, seed: Long = 42L): Column = {
+  /** MinHash signature (HOF reference form): k minima of affine-permuted
+    * shingle hashes — k interpreted array traversals. Kept for the spec
+    * that pins the compiled kernel to identical output. */
+  def minhashSignatureHof(hashes: Column, k: Int = 32, seed: Long = 42L): Column = {
     val sigs = perms(k, seed).map { case (a, b) =>
       array_min(transform(hashes, h => pmod(pmod(h, lit(P)) * lit(a) + lit(b), lit(P))))
     }
     array(sigs: _*)
   }
+
+  /** MinHash signature, compiled: all k minima in one codegen'd pass over
+    * the hash array (same affine-mod arithmetic as the HOF form). */
+  def minhashSignature(hashes: Column, k: Int = 32, seed: Long = 42L): Column =
+    graft.functions.VectorExpressions.minhashSig(hashes, k, seed)
 
   /** LSH band keys: signature split into `bands` bands of `k/bands` rows,
     * each hashed to one bigint key. Docs sharing any band key are
@@ -63,15 +69,14 @@ object TextDedup {
     array(keys: _*)
   }
 
-  /** Candidate near-dup pairs via MinHash LSH. Returns (id_a, id_b) with
+  /** Candidate near-dup pairs via MinHash LSH over a pre-hashed shingle
+    * frame `hashed(id, hh: array<bigint>)`. Returns (id_a, id_b) with
     * id_a < id_b, distinct. The self-join runs per LSH bucket — an
     * equi-join on (band,key), never a cross product over the corpus. */
-  def lshCandidates(
-      docs: DataFrame, id: String, text: String,
-      n: Int = 3, k: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
-    val sig = docs.select(
-      col(id),
-      minhashSignature(shingleHashes(shingles(col(text), n)), k, seed).as("sig"))
+  def lshCandidatesFromHashes(
+      hashed: DataFrame, id: String,
+      k: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
+    val sig = hashed.select(col(id), minhashSignature(col("hh"), k, seed).as("sig"))
     val banded = sig
       .select(col(id), explode(bandKeys(col("sig"), k, bands)).as("bk"))
       .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -82,21 +87,35 @@ object TextDedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Exact n-gram Jaccard similarity between two shingle-set columns. */
+  def lshCandidates(
+      docs: DataFrame, id: String, text: String,
+      n: Int = 3, k: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame =
+    lshCandidatesFromHashes(
+      docs.select(col(id),
+        graft.functions.VectorExpressions.shingleHash64(col(text), n).as("hh")),
+      id, k, bands, seed)
+
+  /** Exact n-gram Jaccard similarity between two shingle-set columns
+    * (works on string shingles or their 64-bit hash sets alike). */
   def jaccard(sa: Column, sb: Column): Column =
     size(array_intersect(sa, sb)).cast("double") /
       size(array_union(sa, sb)).cast("double")
 
   /** Near-dup pairs: LSH candidates verified by exact n-gram Jaccard ≥
-    * threshold. Shingle sets are re-joined only for candidates. */
+    * threshold. The verification runs on the 64-bit shingle-hash sets
+    * (set equality to string-shingle Jaccard up to xxhash64 collisions —
+    * vanishingly rare at corpus shingle counts, and the candidates already
+    * passed a MinHash screen). Shingle sets are re-joined only for
+    * candidate pairs. */
   def nearDuplicates(
       docs: DataFrame, id: String, text: String, threshold: Double,
       n: Int = 3, k: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
-    val sh = docs.select(col(id), shingles(col(text), n).as("sh"))
-    val cand = lshCandidates(docs, id, text, n, k, bands, seed)
+    val hashed = docs.select(col(id),
+      graft.functions.VectorExpressions.shingleHash64(col(text), n).as("hh"))
+    val cand = lshCandidatesFromHashes(hashed, id, k, bands, seed)
     cand
-      .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(hashed.select(col(id).as("id_a"), col("hh").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col(id).as("id_b"), col("hh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -104,8 +123,13 @@ object TextDedup {
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 votes from
     * each token's xxhash64; bit set where the vote is positive.
-    * One projection per row (HOF fold), no shuffle. */
-  def simhash(c: Column): Column = {
+    * Compiled single pass (see [[graft.functions.VectorExpressions.SimHash64]]). */
+  def simhash(c: Column): Column =
+    graft.functions.VectorExpressions.simhash64(split(trim(c), "\\s+"))
+
+  /** HOF reference form of [[simhash]] (64-wide interpreted fold) — kept
+    * for the equivalence spec. */
+  def simhashHof(c: Column): Column = {
     val toks = split(trim(c), "\\s+")
     val votes = aggregate(
       toks,

@@ -1,0 +1,326 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot per-pair / per-row kernels of the
+  * similarity and dedup operators.
+  *
+  * Why not `zip_with`/`aggregate` HOFs: lambda-bearing higher-order
+  * functions are evaluated by the interpreter (they opt out of whole-stage
+  * codegen), so a k-NN join computing cosine over 25M candidate pairs pays
+  * an interpreted 64-element fold per pair. These expressions generate a
+  * tight primitive loop over the underlying `ArrayData` instead — no
+  * boxing, no per-element closures, inlined into the whole-stage-codegen'd
+  * join stage. At 100 TB the candidate-pair kernels are the single biggest
+  * CPU consumer of the similarity path; this is the piece worth dropping to
+  * custom-Expression level for (SURVEY.md §7.3).
+  *
+  * Float arrays accumulate in double — identical FP result to the
+  * sequential HOF fold (same order, same widening), so oracle hashes are
+  * unchanged.
+  */
+object VectorExpressions {
+
+  private def elemPrim(dt: DataType): String = dt match {
+    case ArrayType(FloatType, _) => "Float"
+    case ArrayType(DoubleType, _) => "Double"
+    case _ => ""
+  }
+
+  private def checkVecTypes(exprs: Expression*): TypeCheckResult = {
+    val ok = exprs.forall(e => elemPrim(e.dataType).nonEmpty)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected array<float>/array<double>, got ${exprs.map(_.dataType.simpleString).mkString(", ")}")
+  }
+
+  /** Σ aᵢ·bᵢ over two numeric arrays (double accumulator, sequential). */
+  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult = checkVecTypes(left, right)
+    override def prettyName: String = "vec_dot"
+
+    protected override def nullSafeEval(a: Any, b: Any): Any = {
+      val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val n = math.min(aa.numElements(), bb.numElements())
+      val isFloat = elemPrim(left.dataType) == "Float"
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        if (!aa.isNullAt(i) && !bb.isNullAt(i)) {
+          sum +=
+            (if (isFloat) aa.getFloat(i).toDouble else aa.getDouble(i)) *
+              (if (elemPrim(right.dataType) == "Float") bb.getFloat(i).toDouble else bb.getDouble(i))
+        }
+        i += 1
+      }
+      sum
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val (ga, gb) = (s"get${elemPrim(left.dataType)}", s"get${elemPrim(right.dataType)}")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i"); val s = ctx.freshName("sum")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+           |    $s += (double) $a.$ga($i) * (double) $b.$gb($i);
+           |  }
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(left = l, right = r)
+  }
+
+  /** Cosine similarity in one pass: dot/(√Σa²·√Σb²). Zero-norm → NaN
+    * (matches the divide-by-zero behavior of the composed-HOF form). */
+  case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult = checkVecTypes(left, right)
+    override def prettyName: String = "vec_cosine"
+
+    protected override def nullSafeEval(a: Any, b: Any): Any = {
+      val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val n = math.min(aa.numElements(), bb.numElements())
+      val fa = elemPrim(left.dataType) == "Float"
+      val fb = elemPrim(right.dataType) == "Float"
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (fa) aa.getFloat(i).toDouble else aa.getDouble(i)
+        val y = if (fb) bb.getFloat(i).toDouble else bb.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val (ga, gb) = (s"get${elemPrim(left.dataType)}", s"get${elemPrim(right.dataType)}")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val d = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = (double) $a.$ga($i);
+           |  double $y = (double) $b.$gb($i);
+           |  $d += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |}
+           |${ev.value} = $d / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
+  /** MinHash signature: k minima of affine permutations ((h mod p)·aⱼ+bⱼ)
+    * mod p of the input 64-bit shingle hashes (p = 2³¹−1; identical
+    * arithmetic to the HOF formulation in [[graft.ext.TextDedup]], which it
+    * replaces on the hot path — one compiled pass instead of k interpreted
+    * `transform`+`array_min` traversals). */
+  case class MinHashSig(child: Expression, k: Int, seed: Long) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got ${dt.simpleString}")
+    }
+    override def prettyName: String = "minhash_sig"
+
+    private val P = 2147483647L // 2^31 - 1, Mersenne prime
+    // affine params pinned at plan construction — deterministic given seed
+    private lazy val (as, bs): (Array[Long], Array[Long]) = {
+      // interleaved (a,b) draws — the exact sequence of the HOF form in
+      // graft.ext.TextDedup.perms, so both produce identical signatures
+      val rnd = new scala.util.Random(seed)
+      val pairs = Array.fill(k)(
+        (math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+      (pairs.map(_._1), pairs.map(_._2))
+    }
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val hashes = input.asInstanceOf[ArrayData]
+      val n = hashes.numElements()
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        if (!hashes.isNullAt(i)) {
+          // pmod(h, P): java % keeps sign, add P when negative
+          val hm = { val m = hashes.getLong(i) % P; if (m < 0) m + P else m }
+          var j = 0
+          while (j < k) {
+            val v = { val m = (hm * as(j) + bs(j)) % P; if (m < 0) m + P else m }
+            if (v < mins(j)) mins(j) = v
+            j += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+      nullSafeCodeGen(ctx, ev, h => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val mins = ctx.freshName("mins"); val hm = ctx.freshName("hm"); val v = ctx.freshName("v")
+        s"""
+           |int $n = $h.numElements();
+           |long[] $mins = new long[$k];
+           |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$h.isNullAt($i)) {
+           |    long $hm = $h.getLong($i) % ${P}L; if ($hm < 0) $hm += ${P}L;
+           |    for (int $j = 0; $j < $k; $j++) {
+           |      long $v = ($hm * $aRef[$j] + $bRef[$j]) % ${P}L; if ($v < 0) $v += ${P}L;
+           |      if ($v < $mins[$j]) $mins[$j] = $v;
+           |    }
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  }
+
+  /** Distinct word n-gram shingle hashes straight from the text: tokenize
+    * on whitespace, form n-grams joined by a single space, xxhash64 each
+    * (seed 42 = `functions.xxhash64`), dedupe preserving first occurrence.
+    * One compiled pass replacing a split/sequence/slice/concat_ws/
+    * array_distinct/transform chain of interpreted HOFs. Produces exactly
+    * the hash set of `TextDedup.shingleHashes(TextDedup.shingles(c, n))`
+    * (texts with fewer than n tokens collapse to one all-token shingle). */
+  case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(s"expected string, got ${dt.simpleString}")
+    }
+    override def prettyName: String = "shingle_hash64"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      // split(trim(c), "\\s+") semantics: trim first; split of "" -> [""]
+      val toks = text.trim.split("\\s+", -1)
+      val m = math.max(toks.length - n + 1, 1)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i < m) {
+        val hi = math.min(i + n, toks.length)
+        val sb = new java.lang.StringBuilder()
+        var j = i
+        while (j < hi) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        val s = UTF8String.fromString(sb.toString)
+        seen.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, 42L))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var k0 = 0
+      while (it.hasNext) { out(k0) = it.next(); k0 += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("shingleExpr", this, classOf[ShingleHash64].getName)
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($t);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): ShingleHash64 = copy(child = c)
+  }
+
+  /** 64-bit SimHash over an array of string tokens: per bit, +1/−1 votes
+    * from each token's xxhash64 (seed 42, same as `functions.xxhash64`);
+    * bit set where the vote is positive. Replaces a 64-wide interpreted
+    * `aggregate`/`zip_with` pyramid with one compiled pass. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got ${dt.simpleString}")
+    }
+    override def prettyName: String = "simhash64"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        if (!toks.isNullAt(i)) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUTF8String(toks.getUTF8String(i), 42L)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+      out
+    }
+
+    // eval is one compiled pass already; the expression sits in a cheap
+    // per-doc projection, so interpreted dispatch around it is negligible.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("simhashExpr", this, classOf[SimHash64].getName)
+      nullSafeCodeGen(ctx, ev, t => s"${ev.value} = (Long) $self.nullSafeEval($t);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  // ----------------------------------------------------------- Column API
+
+  def vecDot(a: Column, b: Column): Column =
+    Shim.column(DotProduct(Shim.expression(a), Shim.expression(b)))
+
+  def vecCosine(a: Column, b: Column): Column =
+    Shim.column(CosineSim(Shim.expression(a), Shim.expression(b)))
+
+  def minhashSig(hashes: Column, k: Int, seed: Long = 42L): Column =
+    Shim.column(MinHashSig(Shim.expression(hashes), k, seed))
+
+  def shingleHash64(text: Column, n: Int): Column =
+    Shim.column(ShingleHash64(Shim.expression(text), n))
+
+  def simhash64(tokens: Column): Column =
+    Shim.column(SimHash64(Shim.expression(tokens)))
+
+  /** Register the expressions for `spark.sql` use (vec_dot, vec_cosine,
+    * minhash_sig(h, k, seed), simhash64). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Shim.registerFunction(spark, "vec_dot", es => DotProduct(es(0), es(1)))
+    Shim.registerFunction(spark, "vec_cosine", es => CosineSim(es(0), es(1)))
+    Shim.registerFunction(spark, "simhash64", es => SimHash64(es(0)))
+  }
+}

@@ -72,12 +72,30 @@ object RawDict {
     * then tag with the node discriminator. */
   def extract(df: DataFrame, mapping: Seq[(String, String)], node: String): DataFrame = {
     val present = mapping.filter { case (raw, _) => df.columns.contains(raw) }
-    // one aggregate pass probing all candidates for non-nullness
+    if (present.isEmpty)
+      // no mapped raw column exists: the reference creates no node frame at
+      // all (cds-transformation_v1.3.py:74-81); our analog is an empty frame
+      // carrying only the discriminator.
+      return df.select(lit(node).as("type")).filter(lit(false))
+    // One aggregate pass probing all candidates for non-nullness. This is a
+    // deliberate eager action at plan-construction time (the mapping decides
+    // the *schema*, which Spark needs before the plan exists); callers that
+    // know their columns are live can skip it via `extractAssumeLive`.
     val probes = present.map { case (raw, _) => count(col(raw)).as(raw) }
     val counts = df.agg(probes.head, probes.tail: _*).first()
     val live = present.filter { case (raw, _) => counts.getAs[Long](raw) > 0 }
     val cols: Seq[Column] = live.map { case (raw, prop) => col(raw).as(prop) } :+
       lit(node).as("type")
     df.select(cols: _*)
+  }
+
+  /** P1 without the all-null probe: lazy, composes like every other
+    * operator. Use when the mapping is known-live (e.g. curated dicts). */
+  def extractAssumeLive(df: DataFrame, mapping: Seq[(String, String)], node: String): DataFrame = {
+    val present = mapping.filter { case (raw, _) => df.columns.contains(raw) }
+    val cols: Seq[Column] = present.map { case (raw, prop) => col(raw).as(prop) } :+
+      lit(node).as("type")
+    if (present.isEmpty) df.select(lit(node).as("type")).filter(lit(false))
+    else df.select(cols: _*)
   }
 }

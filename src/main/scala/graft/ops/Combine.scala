@@ -29,9 +29,11 @@ import org.apache.spark.sql.types.StringType
 object Combine {
 
   /** A2: fold a sorted array of distinct strings into a ", "-joined string,
-    * skipping values already substring-contained in the accumulator. */
+    * skipping values already substring-contained in the accumulator. Values
+    * are trimmed first (the reference strip()s each value,
+    * cds_transformation_functions.py:145). */
   def foldDistinctSorted(c: Column): Column = {
-    val sorted = sort_array(collect_set(c.cast(StringType)))
+    val sorted = sort_array(collect_set(trim(c.cast(StringType))))
     val folded = aggregate(
       sorted,
       lit(""),

@@ -1,0 +1,39 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` surface (this file lives under
+  * `org.apache.spark.sql` solely to satisfy the access qualifier — the same
+  * technique used by typed-DataFrame libraries in the Spark ecosystem).
+  *
+  * Two capabilities:
+  *  - wrap a custom Catalyst [[Expression]] as a user-facing [[Column]]
+  *    (the classic-mode converter `ExpressionUtils.column`);
+  *  - register a custom expression in the session's FunctionRegistry so it
+  *    is also callable from `spark.sql(...)` text.
+  */
+object Shim {
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Idempotently register `builder` under `name` in `spark`'s function
+    * registry (session-local, no extension-loading required). */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val registry = classic.sessionState.functionRegistry
+    val id = FunctionIdentifier(name)
+    if (!registry.functionExists(id)) {
+      val info = new ExpressionInfo("graft", name)
+      registry.registerFunction(id, info, builder)
+    }
+  }
+}

@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Cascade, Combine, Dedup, Ids, Normalize}
+import graft.mapping.RawDict
+import graft.state.History
+import graft.validate.Validations
+
+/** Per-operator unit specs over tiny in-memory frames, pinning the
+  * reference's semantic quirks (SURVEY.md §2 / §7.4). */
+class OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------- Dedup A1
+
+  test("A1 stringified dedup distinguishes 1 vs 1.0 as strings and handles nulls") {
+    val df = Seq(
+      (Some("1"), Some("a")), (Some("1"), Some("a")),
+      (Some("1.0"), Some("a")),
+      (None, Some("a")), (Some("a"), None)).toDF("x", "y")
+    val out = Dedup.stringified(df)
+    assert(out.count() == 4)
+  }
+
+  test("A1 subset-key dedup keeps a deterministic row (min full-row rendering)") {
+    val df = Seq(("k1", "z"), ("k1", "a"), ("k2", "m")).toDF("k", "v")
+    val out = Dedup.stringified(df, Seq("k")).orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("k1", "a"), ("k2", "m")))
+  }
+
+  test("P7 dropAllNullRows drops only rows null in every subset column") {
+    val df = Seq(
+      (1, Some("a"), None: Option[String]),
+      (2, None: Option[String], None: Option[String]),
+      (3, None: Option[String], Some("b"))).toDF("id", "p1", "p2")
+    val out = Dedup.dropAllNullRows(df, Seq("p1", "p2"))
+    assert(out.select("id").as[Int].collect().sorted.toSeq == Seq(1, 3))
+  }
+
+  // ----------------------------------------------------------- Combine A2
+
+  test("A2 fold: distinct-sort-join with substring suppression and trim") {
+    val df = Seq(
+      ("k", " b "), ("k", "ab"), ("k", "b"), ("k", "c"),
+      ("k2", "only"),
+      ("k3", null)).toDF("id", "v")
+    val out = Combine.combineRows(df, "id", Seq("v")).orderBy("id").collect()
+    // k: trimmed distinct sorted = [ab, b, c]; "b" is substring of "ab" -> skipped
+    assert(out(0).getString(1) == "ab, c")
+    assert(out(1).getString(1) == "only")
+    assert(out(2).isNullAt(1))
+  }
+
+  test("J7 combineColumns formats integral floats integer-style") {
+    val df = Seq((25.0, 3.5, "x")).toDF("a", "b", "c")
+    val out = df.select(
+      Combine.combineColumns(Seq(col("a"), col("b"), col("c"))).as("id")).collect()
+    assert(out(0).getString(0) == "25_3.5_x")
+  }
+
+  // --------------------------------------------------------- Normalize P*
+
+  test("P3/P4 blank->null and trim over string columns only") {
+    val df = Seq((" x ", "  ", 5)).toDF("a", "b", "n")
+    val out = Normalize.blanksToNull(Normalize.trimAll(df)).collect()(0)
+    assert(out.getString(0) == "x")
+    assert(out.isNullAt(1))
+    assert(out.getInt(2) == 5)
+  }
+
+  test("P5 cleanValues: enum passthrough, mapping, mapping-to-null, fallthrough") {
+    val df = Seq("Alive", "alive", "8041-03-01 00:00:00", "weird").toDF("v")
+    val cleaned = df.select(Normalize.cleanValues(
+      col("v"),
+      Map("alive" -> Some("Alive"), "8041-03-01 00:00:00" -> None),
+      enumValues = Seq("Alive", "Dead")).as("c"))
+    val got = cleaned.collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq("Alive", "Alive", null, "weird"))
+  }
+
+  test("P6 losslessInt: integral doubles reformatted, others verbatim") {
+    val df = Seq("25.0", "25.5", "abc", "1e3", "-0.0").toDF("v")
+    val got = df.select(Normalize.losslessInt(col("v")).as("c")).as[String].collect().toSeq
+    assert(got == Seq("25", "25.5", "abc", "1000", "0"))
+  }
+
+  // ----------------------------------------------------------------- Ids
+
+  test("P10 deterministicId is stable and null-token-safe") {
+    val df = Seq((Some("a"), Some("b")), (None, Some("ab")), (Some("a"), Some("b")))
+      .toDF("x", "y")
+    val ids = df.select(Ids.deterministicId(Seq(col("x"), col("y"))).as("id"))
+      .as[String].collect()
+    assert(ids(0) == ids(2))
+    assert(ids(0) != ids(1))
+  }
+
+  // ------------------------------------------------------------- Cascade
+
+  test("J8 cascade: child of deleted parent dies; multi-parent survives until all null") {
+    val parent = Seq((1, "dead"), (2, "alive")).toDF("pid", "status")
+    val child = Seq((10, Some(1), Some(2)), (11, Some(1), None), (12, Some(2), None))
+      .toDF("cid", "fk_a", "fk_b")
+    // both fk_a and fk_b point at parent
+    val out = Cascade.delete(
+      nodes = Map("parent" -> parent, "child" -> child),
+      parents = Map("child" -> Seq(
+        Cascade.ParentRef("fk_a", "parent", "pid"),
+        Cascade.ParentRef("fk_b", "parent", "pid"))),
+      ids = Map("parent" -> "pid", "child" -> "cid"),
+      seeds = Map("parent" -> parent.filter(col("status") === "dead").select(col("pid"))))
+    val survivors = out("child").select("cid").as[Int].collect().sorted.toSeq
+    // 10 survives (fk_b=2 alive), 11 dies (all pointers null), 12 survives
+    assert(survivors == Seq(10, 12))
+    assert(out("parent").select("pid").as[Int].collect().toSeq == Seq(2))
+  }
+
+  // ------------------------------------------------------------- RawDict
+
+  test("P2 Ratcliff-Obershelp ratio matches difflib reference values") {
+    assert(RawDict.ratio("abcd", "bcde") == 0.75)
+    assert(RawDict.ratio("", "") == 1.0)
+    assert(RawDict.ratio("abc", "abc") == 1.0)
+    assert(RawDict.ratio("abc", "xyz") == 0.0)
+    // difflib.SequenceMatcher(None, 'study id', 'study_id').ratio() == 0.875
+    assert(RawDict.ratio("study id", "study_id") == 0.875)
+  }
+
+  test("P2 fuzzyMatch applies normalization and the 0.75 threshold") {
+    val m = RawDict.fuzzyMatch(
+      Seq("Study ID", "Completely Unrelated"),
+      Seq("study_id", "sample_id"))
+    assert(m == Map("Study ID" -> "study_id"))
+  }
+
+  test("P1 extract keeps live mapped columns, tags node, guards empty mapping") {
+    val df = Seq(("a", Option.empty[String], "c")).toDF("raw1", "raw2", "raw3")
+    val out = RawDict.extract(df,
+      Seq("raw1" -> "p1", "raw2" -> "p2", "missing" -> "p3"), node = "n")
+    assert(out.columns.toSeq == Seq("p1", "type")) // raw2 all-null pruned
+    val empty = RawDict.extract(df, Seq("missing" -> "p"), node = "n")
+    assert(empty.columns.toSeq == Seq("type") && empty.count() == 0)
+  }
+
+  // ------------------------------------------------------------- History
+
+  test("H1/H2 merge unions values, sorts desc, applyHistory renders joined") {
+    val state = Seq(("s1", Seq("v2", "v1"))).toDF("key", "values")
+    val updates = Seq(("s1", Seq("v3", "v1")), ("s2", Seq("x"))).toDF("key", "values")
+    val merged = History.merge(state, updates).orderBy("key").collect()
+    assert(merged(0).getSeq[String](1) == Seq("v3", "v2", "v1"))
+    assert(merged(1).getSeq[String](1) == Seq("x"))
+    val node = Seq(("s1", "old")).toDF("key", "versions")
+    val rendered = History.applyHistory(node, "key", "versions",
+      History.merge(state, updates)).collect()
+    assert(rendered(0).getString(1) == "v3,v2,v1")
+  }
+
+  // ---------------------------------------------------------- Validations
+
+  test("A3/A4 duplicate ids and conflict columns") {
+    val df = Seq((1, "a", "x"), (1, "b", "x"), (2, "c", "y")).toDF("id", "p", "q")
+    val dups = Validations.duplicateIds(df, "id").collect()
+    assert(dups.length == 1 && dups(0).getInt(0) == 1)
+    val conf = Validations.conflictColumns(df, "id", Seq("p", "q")).collect()
+    assert(conf.length == 1 && conf(0).getString(2) == "p")
+  }
+
+  test("A5 orphans: all parent pointers null") {
+    val df = Seq((1, Some("a"), None: Option[String]), (2, None: Option[String], None: Option[String]))
+      .toDF("id", "f1", "f2")
+    assert(Validations.orphans(df, Seq("f1", "f2")).select("id").as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("V4 ssnScan finds reference patterns incl. lookaround form") {
+    val df = Seq("call 123-45-6789 now", "id 123_45_6789", "x123456789x", "clean")
+      .toDF("file_name")
+    val out = Validations.ssnScan(df, "file_name").collect()
+    assert(out.length == 3)
+  }
+
+  test("V3 uiFill injects absent columns and fills nulls") {
+    val df = Seq((1, Some("v")), (2, None: Option[String])).toDF("id", "present")
+    val out = Validations.uiFill(df, Seq("present", "absent"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getString(1) == "v")
+    assert(rows(1).getString(1) == Validations.NotSpecified)
+    assert(rows(0).getString(2) == Validations.NotSpecified)
+  }
+}

@@ -4,11 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{Normalize, Dedup, Combine, Ids, Cascade}
+import graft.ops.{Normalize, Dedup, Combine, Ids, Cascade, Zip}
 import graft.validate.Validations
 import graft.state.History
 import graft.mapping.RawDict
-import graft.ext.{TextAnalysis, TextDedup, Similarity}
+import graft.io.Tsv
+import graft.ext.{TextAnalysis, TextDedup, Similarity, Multimodal}
 
 /** Driver contract (SURVEY.md §7).
   *
@@ -118,6 +119,39 @@ object SparkEntry {
         Normalize.cleanValues(lower(col("c_mktsegment")), mapping, enumVals).as("segment_clean"))
     }),
 
+    // P2 fuzzy matching at data level: best dictionary candidate per
+    // distinct value by edit distance (the schema-level Ratcliff–Obershelp
+    // matcher is driver-side, RawDict.fuzzyMatch; levenshtein is its
+    // data-scale analog — codegen'd built-in, broadcast dictionary).
+    "p2_fuzzy_match" -> ((s, dir) => {
+      val candidates = Seq("building", "automobile", "machines", "household", "furnishings")
+      val cands = s.createDataFrame(candidates.map(Tuple1(_))).toDF("candidate")
+      t(s, dir, "customer")
+        .select(lower(col("c_mktsegment")).as("segment")).distinct()
+        .crossJoin(broadcast(cands))
+        .withColumn("dist", levenshtein(col("segment"), col("candidate")).cast("long"))
+        .groupBy(col("segment"))
+        .agg(min_by(col("candidate"), struct(col("dist"), col("candidate"))).as("best_match"),
+          min(col("dist")).as("dist"))
+    }),
+
+    // P7 drop rows all-null over the original-prop subset.
+    "p7_drop_allnull" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("source") === "src0", lit(null)).otherwise(col("source")).as("a"),
+        when(col("lang") === "en", lit(null)).otherwise(col("lang")).as("b"))
+      Dedup.dropAllNullRows(d, Seq("a", "b"))
+    }),
+
+    // P10 deterministic surrogate id (sha2 of natural columns — replaces
+    // the reference's random ids for replay stability).
+    "p10_synthetic_id" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        Ids.deterministicId(Seq(col("c_name"), col("c_nationkey"))).as("synthetic_id"))
+    }),
+
     // P6 lossless integer coercion on string-rendered numerics.
     "p6_int_coerce" -> ((s, dir) => {
       t(s, dir, "lineitem").select(
@@ -169,6 +203,33 @@ object SparkEntry {
         .select(col("key").as("o_custkey"), array_join(col("values"), ",").as("versions"))
     }),
 
+    // A5 null-parent intersection: rows whose parent pointers are ALL null
+    // (single filter — the reference's per-column lists + set intersection
+    // collapse to one predicate).
+    "a5_orphans" -> ((s, dir) => {
+      val d = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", lit(null))
+          .otherwise(col("o_custkey").cast("string")).as("fk1"),
+        when(col("o_orderpriority").startsWith("1"), lit(null))
+          .otherwise(col("o_orderpriority")).as("fk2"))
+      Validations.orphans(d, Seq("fk1", "fk2"))
+    }),
+
+    // A7 distinct id list.
+    "a7_distinct_ids" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_custkey")).distinct()
+    }),
+
+    // S4+S5 TSV sink/rescan roundtrip: write one TSV per node (reference
+    // load format), read back string-first. All columns come back as
+    // strings — the keep_default_na=False ingestion contract.
+    "s4_tsv_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_tsv").toString
+      Tsv.writeNode(t(s, dir, "nation"), out, "nation")
+      Tsv.read(s, s"$out/nation.tsv")
+    }),
+
     // --- SURVEY §2.3: joins / FK wiring ---
 
     // J1 equi left join.
@@ -196,6 +257,33 @@ object SparkEntry {
           col("c_custkey"),
           Combine.combineColumns(Seq(col("n_name"), col("c_custkey"), col("c_acctbal")))
             .as("compound_id"))
+    }),
+
+    // J2 positional zip: nation × region matched purely by row position
+    // under explicit orderings; inner join truncates the longer side.
+    "j2_positional_concat" -> ((s, dir) => {
+      Zip.positional(
+        t(s, dir, "nation").select(col("n_nationkey"), col("n_name")), Seq(col("n_nationkey")),
+        t(s, dir, "region").select(col("r_name")), Seq(col("r_name")))
+    }),
+
+    // J4 broadcast scalar parent id: the single ASIA region key replicated
+    // onto every nation row (1-row cross join → broadcast, no shuffle).
+    "j4_broadcast_scalar" -> ((s, dir) => {
+      val asia = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey").as("asia_key"))
+      t(s, dir, "nation").crossJoin(broadcast(asia))
+        .select(col("n_nationkey"), col("n_name"), col("asia_key"))
+    }),
+
+    // J6 secondary-id backfill: node id falls back to the parent id
+    // (computed same-row, pre-split — the wide-frame design of J5/J6).
+    "j6_secondary_id" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Ids.secondaryId(
+          when(col("l_linenumber") > 4, lit(null)).otherwise(col("l_linenumber").cast("string")),
+          col("l_orderkey").cast("string")).as("effective_id"))
     }),
 
     // J8 recursive cascading delete: customers with negative balance are
@@ -370,6 +458,47 @@ object SparkEntry {
     "e3_knn_lsh" -> ((s, dir) => {
       Similarity.knnLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 3, dim = 64, bits = 8)
+    }),
+
+    // E4 embedding-cosine near-duplicate pairs (compiled kernel; sim
+    // quantized to millis so the double survives the engine boundary).
+    "e4_cosine_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("sim") >= 0.4)
+        .select(col("id_a"), col("id_b"), floor(col("sim") * 1000).as("sim_mil"))
+    }),
+
+    // D5 SimHash near-dup scan: Hamming distance over consecutive doc ids
+    // (bit_count(xor) on the 64-bit signatures — the banding-free check).
+    "d5_simhash_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextDedup.simhash(col("text")).as("sh"))
+      val a = d.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+      a.join(b, col("doc_id_b") === col("doc_id_a") + 1)
+        .select(col("doc_id_a"), col("doc_id_b"),
+          TextDedup.hamming(col("sh_a"), col("sh_b")).as("hamming"))
+    }),
+
+    // --- LLM-pipeline: multimodal columns ---
+
+    // M1 opaque binary + typed metadata: byte length and container-kind
+    // sniff (deterministic stub) over a binary content column.
+    "m1_binary_meta" -> ((s, dir) => {
+      Multimodal.withBinaryMeta(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("byte_len"), col("kind"))
+    }),
+
+    // M2 frame sampling via mapPartitions (stubbed decode; real iterator/
+    // encoder plumbing): 4 frames per blob with sizes and rolling checksum.
+    "m2_frame_sample" -> ((s, dir) => {
+      val withBin = Multimodal.withBinaryMeta(t(s, dir, "documents"), "text")
+      Multimodal.sampleFrames(withBin, "doc_id", "content", nFrames = 4).toDF()
     })
   )
 
@@ -448,6 +577,84 @@ object SparkEntry {
         |    THEN CAST(CAST(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS BIGINT) AS VARCHAR)
         |    ELSE CAST(l_quantity AS VARCHAR) END AS qty_int
         |FROM lineitem""".stripMargin,
+
+    // No ties in this candidate set (each best distance is unique), so
+    // arg_min/min_by agree without a tie-break.
+    "p2_fuzzy_match" ->
+      """WITH segs AS (SELECT DISTINCT lower(c_mktsegment) AS segment FROM customer),
+        |cands AS (SELECT * FROM (VALUES ('building'), ('automobile'), ('machines'),
+        |  ('household'), ('furnishings')) AS t(candidate))
+        |SELECT segment,
+        |  arg_min(candidate, levenshtein(segment, candidate)) AS best_match,
+        |  CAST(min(levenshtein(segment, candidate)) AS BIGINT) AS dist
+        |FROM segs CROSS JOIN cands GROUP BY segment""".stripMargin,
+
+    "p7_drop_allnull" ->
+      """SELECT doc_id,
+        |  CASE WHEN source = 'src0' THEN NULL ELSE source END AS a,
+        |  CASE WHEN lang = 'en' THEN NULL ELSE lang END AS b
+        |FROM documents
+        |WHERE NOT ((CASE WHEN source = 'src0' THEN NULL ELSE source END) IS NULL
+        |       AND (CASE WHEN lang = 'en' THEN NULL ELSE lang END) IS NULL)""".stripMargin,
+
+    "p10_synthetic_id" ->
+      """SELECT c_custkey,
+        |  sha256(concat_ws(chr(1),
+        |    coalesce(CAST(c_name AS VARCHAR), chr(0)),
+        |    coalesce(CAST(c_nationkey AS VARCHAR), chr(0)))) AS synthetic_id
+        |FROM customer""".stripMargin,
+
+    "j2_positional_concat" ->
+      """WITH a AS (SELECT n_nationkey, n_name,
+        |    CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS rn FROM nation),
+        |b AS (SELECT r_name,
+        |    CAST(row_number() OVER (ORDER BY r_name) AS BIGINT) AS rn FROM region)
+        |SELECT a.rn AS rn, a.n_nationkey, a.n_name, b.r_name
+        |FROM a JOIN b USING (rn)""".stripMargin,
+
+    "j4_broadcast_scalar" ->
+      """SELECT n_nationkey, n_name, asia_key
+        |FROM nation CROSS JOIN
+        |  (SELECT r_regionkey AS asia_key FROM region WHERE r_name = 'ASIA')""".stripMargin,
+
+    "j6_secondary_id" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(
+        |    CASE WHEN l_linenumber > 4 THEN NULL ELSE CAST(l_linenumber AS VARCHAR) END,
+        |    CAST(l_orderkey AS VARCHAR)) AS effective_id
+        |FROM lineitem""".stripMargin,
+
+    "a5_orphans" ->
+      """WITH d AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN NULL
+        |       ELSE CAST(o_custkey AS VARCHAR) END AS fk1,
+        |  CASE WHEN o_orderpriority LIKE '1%' THEN NULL
+        |       ELSE o_orderpriority END AS fk2
+        |FROM orders)
+        |SELECT * FROM d WHERE fk1 IS NULL AND fk2 IS NULL""".stripMargin,
+
+    "a7_distinct_ids" ->
+      "SELECT DISTINCT o_custkey FROM orders",
+
+    "s4_tsv_roundtrip" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+        |  n_name,
+        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation""".stripMargin,
+
+    "e4_cosine_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 1000) AS BIGINT)
+        |    AS sim_mil
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+
+    "m1_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CASE octet_length(encode(text)) % 3
+        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |FROM documents""".stripMargin,
 
     "a1_dedup_stringified" ->
       """SELECT DISTINCT l_returnflag, l_linestatus,

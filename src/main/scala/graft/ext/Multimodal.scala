@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns with
+  * typed metadata, plus per-partition decode / feature-extract plumbing.
+  *
+  * Design (the 100 TB shape):
+  *  - media lives in a `content: binary` column (or an object-store URI
+  *    column when blobs exceed row-size budgets); everything relational —
+  *    filtering, dedup on content hash, joins to labels — happens on the
+  *    *metadata* columns so the scan can prune and push down without
+  *    touching bytes;
+  *  - decode/resize/frame-sample runs as a per-partition iterator pass
+  *    (`Dataset.mapPartitions`) so a real decoder would amortize its init
+  *    (codec contexts, model weights) per partition, not per row — the
+  *    Scala analog of `mapInPandas` batch processing;
+  *  - the decode step itself is STUBBED here (no image/audio libs in this
+  *    environment, by design): `fakeDecodeFrames` derives deterministic
+  *    "frames" from the raw bytes. The schema, partitioning, encoder and
+  *    batch shape are the real, tested contract; swap the stub for an
+  *    actual codec without touching the plan.
+  */
+object Multimodal {
+
+  /** Opaque-binary metadata: byte length and a deterministic stand-in
+    * "container kind" sniffer (real impl would check magic bytes). */
+  def withBinaryMeta(df: DataFrame, textCol: String): DataFrame = {
+    val bytes = encode(col(textCol), "UTF-8")
+    df.withColumn("content", bytes)
+      .withColumn("byte_len", length(col("content")).cast("long"))
+      .withColumn("kind",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("byte_len"), lit(3)) + 1).cast("int")))
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int, checksum: Long)
+
+  /** Frame sampling over binary content: split each blob into `nFrames`
+    * contiguous chunks and emit one row per chunk with a rolling checksum.
+    * STUB decode (deterministic fake) — the `mapPartitions` iterator shape,
+    * encoder and output schema are what a real ffmpeg/PIL-style decoder
+    * would plug into. */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String, nFrames: Int = 4): Dataset[Frame] = {
+    val spark = df.sparkSession
+    implicit val enc = Encoders.product[Frame]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        // per-partition init happens HERE (decoder contexts, buffers)
+        it.flatMap { case (id, bytes) =>
+          val n = math.max(bytes.length, 1)
+          val chunk = math.max(n / nFrames, 1)
+          (0 until nFrames).iterator.map { f =>
+            val lo = math.min(f * chunk, n)
+            val hi = if (f == nFrames - 1) n else math.min(lo + chunk, n)
+            var sum = 0L
+            var i = lo
+            while (i < hi) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
+            Frame(id, f, hi - lo, sum)
+          }
+        }
+      }
+  }
+
+  /** Content-hash exact dedup for media blobs: identical bytes collapse
+    * regardless of filename/metadata (sha2 over the binary column —
+    * codegen'd, no UDF). */
+  def contentKey(binCol: Column): Column = sha2(binCol, 256)
+}

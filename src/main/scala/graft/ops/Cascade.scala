@@ -44,7 +44,7 @@ object Cascade {
     var current = nodes
     // deleted-id frames per node, grown level by level
     var deleted: Map[String, DataFrame] = seeds.map { case (n, df) =>
-      n -> df.select(col(ids(n))).distinct()
+      n -> df.select(graft.ColNames.q(ids(n))).distinct()
     }
     val maxDepth = nodes.size // DAG depth bound
 
@@ -59,17 +59,17 @@ object Cascade {
           // null out pointers to deleted parents (left join + conditional)
           for (r <- touched) {
             val del = deleted(r.parent)
-              .select(col(r.parentKey).as(r.fk)).distinct()
+              .select(graft.ColNames.q(r.parentKey).as(r.fk)).distinct()
               .withColumn("__del", lit(1))
             df = df
               .join(broadcast(del), Seq(r.fk), "left")
-              .withColumn(r.fk, when(col("__del").isNotNull, lit(null)).otherwise(col(r.fk)))
+              .withColumn(r.fk, when(col("__del").isNotNull, lit(null)).otherwise(graft.ColNames.q(r.fk)))
               .drop("__del")
           }
           // a row dies when ALL parent pointers are null
           val allRefs = parents(child)
-          val orphan = allRefs.map(r => col(r.fk).isNull).reduce(_ && _)
-          val dying = df.filter(orphan).select(col(ids(child))).distinct()
+          val orphan = allRefs.map(r => graft.ColNames.q(r.fk).isNull).reduce(_ && _)
+          val dying = df.filter(orphan).select(graft.ColNames.q(ids(child))).distinct()
           val survivors = df.filter(!orphan)
           current = current.updated(child, survivors)
           deleted = deleted.updated(
@@ -86,7 +86,7 @@ object Cascade {
       val idc = ids(n)
       current = current.updated(
         n,
-        current(n).join(broadcast(seedIds.select(col(idc)).distinct()), Seq(idc), "left_anti"))
+        current(n).join(broadcast(seedIds.select(graft.ColNames.q(idc)).distinct()), Seq(idc), "left_anti"))
     }
     current
   }

@@ -47,8 +47,8 @@ object Combine {
   /** A2: group-merge `df` by `id`; every column in `cols` becomes its
     * folded distinct-value string. */
   def combineRows(df: DataFrame, id: String, cols: Seq[String]): DataFrame = {
-    val aggs = cols.map(c => foldDistinctSorted(col(c)).as(c))
-    df.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    val aggs = cols.map(c => foldDistinctSorted(graft.ColNames.q(c)).as(c))
+    df.groupBy(graft.ColNames.q(id)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** J7: compound column from parts with lossless numeric formatting,

@@ -32,7 +32,7 @@ object Dedup {
     * tie-break: duplicate rows are interchangeable. */
   def stringified(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     def rowKey(cs: Seq[String]) =
-      concat_ws(Sep, cs.map(c => coalesce(col(c).cast("string"), lit(NullToken))): _*)
+      concat_ws(Sep, cs.map(c => coalesce(graft.ColNames.q(c).cast("string"), lit(NullToken))): _*)
     val keyCols = if (cols.isEmpty) df.columns.toSeq else cols
     if (keyCols.toSet == df.columns.toSet) {
       df.withColumn("__dedup_key", rowKey(keyCols))

@@ -28,8 +28,8 @@ object Normalize {
   def blanksToNull(df: DataFrame): DataFrame = {
     val cols = df.columns.map { c =>
       if (stringCols(df).contains(c))
-        when(trim(col(c)) === "", lit(null).cast(StringType)).otherwise(col(c)).as(c)
-      else col(c)
+        when(trim(graft.ColNames.q(c)) === "", lit(null).cast(StringType)).otherwise(graft.ColNames.q(c)).as(c)
+      else graft.ColNames.q(c)
     }
     df.select(cols.toIndexedSeq: _*)
   }
@@ -38,7 +38,7 @@ object Normalize {
   def trimAll(df: DataFrame): DataFrame = {
     val sc = stringCols(df).toSet
     val cols = df.columns.map { c =>
-      if (sc.contains(c)) trim(col(c)).as(c) else col(c)
+      if (sc.contains(c)) trim(graft.ColNames.q(c)).as(c) else graft.ColNames.q(c)
     }
     df.select(cols.toIndexedSeq: _*)
   }

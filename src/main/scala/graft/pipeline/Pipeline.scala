@@ -1,0 +1,170 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Cascade, Combine, Dedup, Normalize}
+import graft.validate.Validations
+
+/** v1.3-equivalent pipeline orchestration (SURVEY.md §3.1): one wide
+  * Metadata frame in, one cleaned/validated frame per model node out, plus
+  * validation-report frames.
+  *
+  * Spark-first design decisions vs the reference:
+  *  - All cross-node derived columns (secondary ids J6, compound ids J7,
+  *    parent pointers J5) are computed on the WIDE frame before node
+  *    splitting — the reference's positional index-alignment becomes plain
+  *    same-row column references, shuffle-free (SURVEY.md §7.4 risk 1).
+  *  - Node frames stay lazy lineages off the shared wide scan; Catalyst
+  *    prunes each node's projection down to its own columns, so the source
+  *    is read once per action, columnar-pruned per node.
+  *  - The only driver-side loops are per-level cascade (data-dependent,
+  *    J8) and the spec iteration itself; no row-wise Python-style loops.
+  *
+  * Stage order mirrors `cds-transformation_v1.3.py:129-167`:
+  * normalize → extract → ids → parent pointers → dedup/all-null-drop →
+  * combine_rows → clean → ui/ssn validation → id validation + cascade.
+  */
+object Pipeline {
+
+  /** J5 parent pointer: child column `"{parent}.{prop}"` sourced from the
+    * same wide row's raw column `raw`. */
+  final case class ParentPointer(parent: String, prop: String, raw: String)
+
+  /** J7 compound id: node id synthesized from wide raw columns. */
+  final case class CompoundId(parts: Seq[String], sep: String = "_")
+
+  final case class NodeSpec(
+      name: String,
+      rawMapping: Seq[(String, String)],             // P1: raw col -> property
+      idProp: String,                                // effective node id (§1.3)
+      secondaryIdFrom: Option[String] = None,        // J6: raw col of parent id
+      compoundId: Option[CompoundId] = None,         // J7
+      parents: Seq[ParentPointer] = Nil,             // J5
+      combineById: Boolean = false,                  // A2
+      cleanDict: Map[String, Map[String, Option[String]]] = Map.empty, // P5
+      enums: Map[String, Seq[String]] = Map.empty,   // P5 vocabularies
+      intProps: Seq[String] = Nil,                   // P6
+      uiRequired: Seq[String] = Nil,                 // V3
+      ssnScanProp: Option[String] = None)            // V4
+
+  final case class Result(
+      nodes: Map[String, DataFrame],
+      reports: Map[String, DataFrame])
+
+  def run(
+      wideRaw: DataFrame,
+      specs: Seq[NodeSpec],
+      removeNodes: Set[String] = Set.empty): Result = {
+
+    // P3/P4 once on the wide frame (narrow, codegen'd, fused by Catalyst)
+    val wide = Normalize.blanksToNull(Normalize.trimAll(wideRaw))
+
+    val live = specs.filterNot(s => removeNodes.contains(s.name))
+
+    // ---- split: project each node off the wide frame (P1 + J5/J6/J7) ----
+    var nodes: Map[String, DataFrame] = live.map { spec =>
+      val propCols: Seq[Column] = spec.rawMapping.collect {
+        case (raw, prop) if wide.columns.contains(raw) => col(raw).as(prop)
+      }
+      val parentCols: Seq[Column] = spec.parents.collect {
+        case ParentPointer(p, prop, raw) if wide.columns.contains(raw) =>
+          col(raw).as(s"$p.$prop")
+      }
+      var df = wide.select(propCols ++ parentCols: _*)
+      // J6 secondary id: node id backfilled from the parent's id column
+      // (same wide row — coalesce, no join)
+      spec.secondaryIdFrom.foreach { parentRaw =>
+        if (wide.columns.contains(parentRaw)) {
+          val base =
+            if (df.columns.contains(spec.idProp)) col(spec.idProp)
+            else lit(null).cast("string")
+          df = wide.select((propCols ++ parentCols) :+ col(parentRaw).as("__parent_id"): _*)
+            .withColumn(spec.idProp, coalesce(base, col("__parent_id")))
+            .drop("__parent_id")
+        }
+      }
+      // J7 compound id from wide raw parts
+      spec.compoundId.foreach { c =>
+        val parts = c.parts.filter(wide.columns.contains).map(wide(_))
+        if (parts.nonEmpty) {
+          val withId = wide.select((propCols ++ parentCols) :+
+            Combine.combineColumns(c.parts.map(col), c.sep).as(spec.idProp): _*)
+          df = withId
+        }
+      }
+      df = df.withColumn("type", lit(spec.name))
+      spec.name -> df
+    }.toMap
+
+    // ---- per-node cleanup: dedup (A1), all-null drop (P7) ----
+    nodes = nodes.map { case (name, df) =>
+      val spec = live.find(_.name == name).get
+      val originalProps = spec.rawMapping.map(_._2)
+        .filter(df.columns.contains).filterNot(_ == spec.idProp)
+      var d = Dedup.stringified(df)
+      if (originalProps.nonEmpty) d = Dedup.dropAllNullRows(d, originalProps)
+      name -> d
+    }
+
+    // ---- A2 combine_rows for configured nodes ----
+    nodes = nodes.map { case (name, df) =>
+      val spec = live.find(_.name == name).get
+      if (spec.combineById && df.columns.contains(spec.idProp)) {
+        val others = df.columns.filterNot(_ == spec.idProp).toSeq
+        name -> Combine.combineRows(df, spec.idProp, others)
+      } else name -> df
+    }
+
+    // ---- P5/P6 value normalization ----
+    nodes = nodes.map { case (name, df) =>
+      val spec = live.find(_.name == name).get
+      var d = df
+      for ((prop, mapping) <- spec.cleanDict if d.columns.contains(prop))
+        d = d.withColumn(prop,
+          Normalize.cleanValues(col(prop), mapping, spec.enums.getOrElse(prop, Nil)))
+      for (prop <- spec.intProps if d.columns.contains(prop))
+        d = d.withColumn(prop, Normalize.losslessInt(col(prop)))
+      name -> d
+    }
+
+    // ---- V3 UI fill + V4 SSN scan reports ----
+    var reports = Map.empty[String, DataFrame]
+    nodes = nodes.map { case (name, df) =>
+      val spec = live.find(_.name == name).get
+      val filled = if (spec.uiRequired.nonEmpty) Validations.uiFill(df, spec.uiRequired) else df
+      spec.ssnScanProp.filter(filled.columns.contains).foreach { prop =>
+        reports += s"ssn_$name" -> Validations.ssnScan(filled, prop)
+          .select(col(prop), col("ssn_matches"))
+      }
+      name -> filled
+    }
+
+    // ---- V1/V2 id validation: offenders deleted with cascade (J8) ----
+    val idSeeds: Map[String, DataFrame] = nodes.flatMap { case (name, df) =>
+      val spec = live.find(_.name == name).get
+      if (!df.columns.contains(spec.idProp)) None
+      else {
+        val nonId = df.columns.filterNot(c => c == spec.idProp || c == "type" || c.contains(".")).toSeq
+        val conflicts = Validations.conflictColumns(df, spec.idProp, nonId)
+          .filter(length(col("conflicted_columns")) > 0)
+        reports += s"id_validation_$name" -> conflicts
+        val offenders = conflicts.select(col(spec.idProp))
+        if (offenders.isEmpty) None else Some(name -> offenders)
+      }
+    }
+
+    val cascaded =
+      if (idSeeds.isEmpty) nodes
+      else Cascade.delete(
+        nodes = nodes,
+        parents = live.map(s => s.name -> s.parents.map(p =>
+          Cascade.ParentRef(s"${p.parent}.${p.prop}", p.parent,
+            live.find(_.name == p.parent).map(_.idProp).getOrElse(p.prop)))).toMap
+          .filter(_._2.nonEmpty),
+        ids = live.map(s => s.name -> s.idProp).toMap,
+        seeds = idSeeds)
+
+    Result(cascaded, reports)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface for the events table (engine extension —
+  * the reference is batch-only, SURVEY.md §2.8, so this is the Spark-first
+  * answer to "the same pipeline, incrementally").
+  *
+  * Every transform here is written against a generic DataFrame so the SAME
+  * code runs in batch mode (`spark.read`) and streaming mode
+  * (`spark.readStream`) — Catalyst plans the incremental version with
+  * state stores + watermark-based eviction when the source is streaming.
+  */
+object EventStream {
+
+  /** Watermarked hourly rollup per event type: the streaming twin of the
+    * batch `w2_hourly_rollup` query. Late events beyond 1h are dropped;
+    * state for closed windows is evicted (bounded memory at any scale). */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("cnt"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class UserStat(user_id: Long, events: Long, total_value: Double)
+
+  /** Running per-user aggregate via mapGroupsWithState — the custom-state
+    * primitive (KeyValueGroupedDataset) for semantics window aggs can't
+    * express. State is one small struct per user; at scale the state store
+    * shards by the grouping key across executors. */
+  def userTotals(events: Dataset[Event]): Dataset[UserStat] = {
+    implicit val statEnc = Encoders.product[UserStat]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(user, 0L, 0.0))
+          var n = prev.events
+          var tot = prev.total_value
+          batch.foreach { e => n += 1; tot += e.value }
+          val next = UserStat(user, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: start `hourlyRollup` over a parquet directory source
+    * into an in-memory sink (smoke/demo path; production would write a
+    * parquet/kafka sink with a checkpoint dir). */
+  def startRollupToMemory(
+      spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    hourlyRollup(stream)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+}

@@ -18,9 +18,9 @@ object Validations {
   /** A3: ids occurring more than once (or null) within a node
     * (`cds_transformation_functions.py:249`). */
   def duplicateIds(df: DataFrame, id: String): DataFrame =
-    df.groupBy(col(id))
+    df.groupBy(graft.ColNames.q(id))
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1 || col(id).isNull)
+      .filter(col("cnt") > 1 || graft.ColNames.q(id).isNull)
 
   /** A4 + V1 core: for each duplicated id, which columns disagree across
     * the duplicate rows (`cds_transformation_functions.py:253-262`).
@@ -29,25 +29,25 @@ object Validations {
     * one expand+aggregate, still one shuffle on the id. */
   def conflictColumns(df: DataFrame, id: String, cols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("cnt") +:
-      cols.map(c => (countDistinct(col(c)) > 1).as(s"__conf_$c"))
-    val flags = df.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+      cols.map(c => (countDistinct(graft.ColNames.q(c)) > 1).as(s"__conf_$c"))
+    val flags = df.groupBy(graft.ColNames.q(id)).agg(aggs.head, aggs.tail: _*)
     val confArr = array(cols.sorted.map(c => when(col(s"__conf_$c"), lit(c))): _*)
     flags
       .filter(col("cnt") > 1)
       .withColumn("conflicted_columns", array_join(filter(confArr, _.isNotNull), ", "))
-      .select(col(id), col("cnt"), col("conflicted_columns"))
+      .select(graft.ColNames.q(id), col("cnt"), col("conflicted_columns"))
   }
 
   /** A5 + V2: rows whose parent pointers are ALL null — the reference
     * builds per-column lists and intersects them
     * (`cds_transformation_functions.py:222-238`); one filter suffices. */
   def orphans(df: DataFrame, parentCols: Seq[String]): DataFrame =
-    df.filter(parentCols.map(col(_).isNull).reduce(_ && _))
+    df.filter(parentCols.map(graft.ColNames.q(_).isNull).reduce(_ && _))
 
   /** V2 variant for real FK checks: child rows whose fk has no match in the
     * parent table (left_anti join — map-side when parent ids broadcast). */
   def missingParents(child: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame =
-    child.join(parent.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
+    child.join(parent.select(graft.ColNames.q(pk).as(fk)).distinct(), Seq(fk), "left_anti")
 
   /** V4: SSN-shaped substring scan (`cds_transformation_functions.py:284-299`).
     * Patterns ddd-dd-dddd, ddd_dd_dddd, and bare 9 digits bounded by

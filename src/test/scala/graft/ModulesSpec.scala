@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Tsv
+import graft.ops.Zip
+import graft.ext.Multimodal
+
+/** Specs for the io/multimodal/zip modules. */
+class ModulesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("S4/S5 TSV roundtrip: single file per node, string-first re-read") {
+    val dir = java.nio.file.Files.createTempDirectory("tsv_spec").toString
+    val df = Seq((1, "a", 1.5), (2, "b\ttab", 2.0)).toDF("k", "s", "d")
+    assert(Tsv.writeNode(df, dir, "node1"))
+    assert(new java.io.File(s"$dir/node1.tsv").isFile)
+    val back = Tsv.read(spark, s"$dir/node1.tsv")
+    assert(back.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+    val rows = back.orderBy("k").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1", "2"))
+    assert(rows(1).getString(1) == "b\ttab") // quoted field survives the sep
+    assert(rows(0).getString(2) == "1.5")
+  }
+
+  test("S4 skips empty frames (the reference's all-null guard)") {
+    val dir = java.nio.file.Files.createTempDirectory("tsv_spec2").toString
+    val empty = Seq.empty[(Int, String)].toDF("k", "s")
+    assert(!Tsv.writeNode(empty, dir, "nodeE"))
+    assert(!new java.io.File(s"$dir/nodeE.tsv").exists)
+  }
+
+  test("J2 positional zip truncates the longer side and is order-driven") {
+    val a = Seq(3, 1, 2).toDF("x")
+    val b = Seq("c", "a").toDF("y")
+    val out = Zip.positional(a, Seq(col("x")), b, Seq(col("y")))
+      .orderBy("rn").collect()
+    assert(out.length == 2)
+    assert(out.map(r => (r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1, "a"), (2, "c")))
+  }
+
+  test("M1 binary metadata: byte length and kind are deterministic") {
+    val df = Seq((1L, "abc"), (2L, "abcd")).toDF("doc_id", "text")
+    val out = Multimodal.withBinaryMeta(df, "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("byte_len") == 3L)
+    assert(out(0).getAs[String]("kind") == "image")  // 3 % 3 == 0
+    assert(out(1).getAs[String]("kind") == "audio")  // 4 % 3 == 1
+  }
+
+  test("M2 frame sampling: n frames per blob, chunks cover the bytes") {
+    val df = Multimodal.withBinaryMeta(
+      Seq((1L, "0123456789"), (2L, "x")).toDF("doc_id", "text"), "text")
+    val frames = Multimodal.sampleFrames(df, "doc_id", "content", nFrames = 4)
+      .collect().groupBy(_.doc_id)
+    assert(frames(1L).length == 4)
+    assert(frames(1L).map(_.frame_bytes).sum == 10) // chunks partition the blob
+    assert(frames(2L).map(_.frame_bytes).sum == 1)  // tiny blob still 4 frames
+    // determinism: same input -> same checksums
+    val again = Multimodal.sampleFrames(df, "doc_id", "content", nFrames = 4)
+      .collect().groupBy(_.doc_id)
+    assert(frames(1L).map(_.checksum).toSeq == again(1L).map(_.checksum).toSeq)
+  }
+}

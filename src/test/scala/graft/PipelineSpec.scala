@@ -1,0 +1,89 @@
+package graft
+
+import graft.pipeline.Pipeline
+import graft.pipeline.Pipeline.{CompoundId, NodeSpec, ParentPointer}
+
+/** Golden end-to-end test: an F1-style wide Metadata fixture (FIXTURES.md)
+  * through the full v1.3-equivalent pipeline — extract, ids, parent
+  * pointers, dedup, combine, clean, UI/SSN validation, id validation with
+  * cascade — asserting the per-node outputs. */
+class PipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def fixture = Seq(
+    // phs, study_name, participant_id, gender, sample_id, sample_type, GUID, file_name, file_size
+    ("phs001", "Study A", "p1", "female", "s1", "Tumor", "g1", "a.bam", "100.0"),
+    ("phs001", "Study A ", "p1", "Female", "s2", "Normal", "g2", "b 123-45-6789.bam", "200"),
+    ("phs001", "Study A", "p1", "female", "s1", "Tumor", "g1", "a.bam", "100.0"), // exact dup
+    ("phs001", null, "p2", " male ", "s3", "Tumor", "g3", "c.bam", "300"),
+    ("phs001", "Study A", "p2", "male", "s3", "Normal", "g4", "d.bam", "400") // s3 conflict
+  ).toDF("phs_accession", "study_name", "participant_id", "gender",
+    "sample_id", "sample_type", "GUID", "file_name", "file_size")
+
+  private def specs = Seq(
+    NodeSpec("study",
+      rawMapping = Seq("phs_accession" -> "phs_accession", "study_name" -> "study_name"),
+      idProp = "phs_accession",
+      combineById = true),
+    NodeSpec("participant",
+      rawMapping = Seq("participant_id" -> "participant_id", "gender" -> "gender"),
+      idProp = "participant_id",
+      parents = Seq(ParentPointer("study", "phs_accession", "phs_accession")),
+      cleanDict = Map("gender" -> Map("female" -> Some("Female"), "male" -> Some("Male"))),
+      enums = Map("gender" -> Seq("Male", "Female"))),
+    NodeSpec("sample",
+      rawMapping = Seq("sample_id" -> "sample_id", "sample_type" -> "sample_type"),
+      idProp = "sample_id",
+      parents = Seq(ParentPointer("participant", "participant_id", "participant_id"))),
+    NodeSpec("file",
+      rawMapping = Seq("GUID" -> "file_id", "file_name" -> "file_name",
+        "file_size" -> "file_size"),
+      idProp = "file_id",
+      parents = Seq(ParentPointer("sample", "sample_id", "sample_id")),
+      intProps = Seq("file_size"),
+      uiRequired = Seq("file_name", "license"),
+      ssnScanProp = Some("file_name")))
+
+  test("full pipeline produces cleaned, validated, cascaded node frames") {
+    val out = Pipeline.run(fixture, specs)
+
+    // study: combine_rows merged the duplicate study rows into one
+    val study = out.nodes("study").collect()
+    assert(study.length == 1)
+    assert(study(0).getAs[String]("study_name") == "Study A") // trimmed, deduped
+    assert(study(0).getAs[String]("phs_accession") == "phs001")
+
+    // participant: gender normalized to the vocabulary; p1 survives
+    val partRows = out.nodes("participant")
+      .select("participant_id", "gender").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(partRows == Set(("p1", "Female"), ("p2", "Male")))
+
+    // sample: s3 (conflicting sample_type across duplicate id) deleted
+    val samples = out.nodes("sample").select("sample_id").as[String].collect().toSet
+    assert(samples == Set("s1", "s2"))
+
+    // file: g3/g4 cascaded away with s3; file_size integer-coerced;
+    // absent UI-required column injected
+    val files = out.nodes("file")
+      .select("file_id", "file_size", "license").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(files == Set(
+      ("g1", "100", "Not specified in data"),
+      ("g2", "200", "Not specified in data")))
+
+    // reports: SSN scan caught the planted value; id validation names s3
+    val ssn = out.reports("ssn_file").collect()
+    assert(ssn.length == 1 && ssn(0).getAs[String]("ssn_matches") == "123-45-6789")
+    val idv = out.reports("id_validation_sample").collect()
+    assert(idv.length == 1 && idv(0).getString(0) == "s3"
+      && idv(0).getAs[String]("conflicted_columns") == "sample_type")
+  }
+
+  test("removeNodes (H3) drops configured nodes before processing") {
+    val out = Pipeline.run(fixture, specs, removeNodes = Set("file"))
+    assert(!out.nodes.contains("file"))
+    assert(out.nodes.keySet == Set("study", "participant", "sample"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import java.sql.Timestamp
+
+/** Structured Streaming specs: the batch transforms run incrementally with
+  * watermarks/state, and results converge to the batch answer. */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("hourlyRollup over a file stream matches the batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_src").toString
+    val events = Seq(
+      (1L, ts("2026-01-01 10:05:00"), 1L, "click", 1.0),
+      (2L, ts("2026-01-01 10:55:00"), 2L, "click", 2.0),
+      (3L, ts("2026-01-01 11:05:00"), 1L, "view", 3.0),
+      (4L, ts("2026-01-01 12:30:00"), 3L, "click", 4.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    events.write.mode("overwrite").parquet(dir)
+
+    val q = EventStream.startRollupToMemory(spark, dir, events.schema, "rollup_spec")
+    try {
+      q.processAllAvailable()
+      // append mode only emits windows closed by the watermark; feed a late
+      // batch to advance it past the first windows
+      Seq((5L, ts("2026-01-01 15:00:00"), 9L, "tick", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("rollup_spec")
+      .select("hour", "event_type", "cnt", "sum_value").collect().toSet
+    val batch = EventStream.hourlyRollup(events)
+      .select("hour", "event_type", "cnt", "sum_value").collect().toSet
+    assert(batch.subsetOf(streamed), s"streamed=$streamed batch=$batch")
+    assert(streamed.nonEmpty)
+  }
+
+  test("userTotals accumulates state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.userTotals(input.toDS())
+      .writeStream.format("memory").queryName("totals_spec")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        EventStream.Event(1, ts("2026-01-01 10:00:00"), 7L, "click", 1.5),
+        EventStream.Event(2, ts("2026-01-01 10:01:00"), 7L, "click", 2.5))
+      q.processAllAvailable()
+      input.addData(
+        EventStream.Event(3, ts("2026-01-01 10:02:00"), 7L, "view", 6.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("totals_spec")
+      .groupBy("user_id").agg(max("events").as("events"), max("total_value").as("tv"))
+      .collect()
+    assert(last.length == 1)
+    assert(last(0).getLong(1) == 3L)
+    assert(last(0).getDouble(2) == 10.0)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale mechanics for the 100 TB deployment (SURVEY.md §4, BASELINE.json
+  * design goals): skew mitigation and shuffle-free co-located joins.
+  *
+  * These are the knobs the engine reaches for when AQE's automatic skew
+  * splitting / broadcast promotion isn't enough — e.g. a join key where one
+  * study holds 40% of all rows, or a fact-fact join repeated across a
+  * pipeline where paying one bucketed write amortizes every later shuffle.
+  */
+object Scale {
+
+  /** Salted equi-join: `left` (large, skewed) joins `right` (small enough
+    * to replicate `salts`×, too big or unsuitable to broadcast). Each left
+    * row lands in one of `salts` sub-buckets of its key — deterministic
+    * (hash of the whole row, so retries re-derive the same salt); the
+    * right side is exploded across all sub-buckets. A hot key's rows then
+    * spread over `salts` reducers instead of one.
+    *
+    * Correctness: salt is an extra equi-key on both sides → result rows
+    * are exactly those of the unsalted join. */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0)
+    val saltOfRow = pmod(
+      xxhash64(left.columns.toIndexedSeq.map(graft.ColNames.q): _*), lit(salts)).cast("int")
+    val l = left.withColumn("__salt", saltOfRow)
+    // note: a generator can't be nested in another expression — the int
+    // element type of sequence(int, int) already matches the left salt
+    val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Write `df` as a bucketed+sorted table: later equi-joins between
+    * tables bucketed the same way on the same key are planned WITHOUT a
+    * shuffle (and without a sort, since buckets are pre-sorted) — the
+    * pay-once-join-many pattern for repeated fact-fact joins. */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.model.ModelLoader
+
+/** S9: YAML model/config parsing — fixtures mirror the reference's
+  * artifact SHAPES (cds-model.yml:3-345, cds-model-props.yml,
+  * cds_raw_dict_v1.3.yaml, cds_clean_dict_v1.3.yaml) with synthetic
+  * content. */
+class ModelLoaderSpec extends SparkSpec {
+
+  private val modelYaml =
+    """Nodes:
+      |  study:
+      |    Props:
+      |      - phs_accession
+      |      - study_name
+      |  file:
+      |    Props:
+      |      - file_id
+      |      - file_size
+      |      - avg_read_length
+      |Relationships:
+      |  of_study:
+      |    Mul: many_to_one
+      |    Ends:
+      |      - Src: file
+      |        Dst: study
+      |  from_sample:
+      |    Mul: many_to_many
+      |    Ends:
+      |      - Src: file
+      |        Dst: sample
+      |""".stripMargin
+
+  private val propsYaml =
+    """PropDefinitions:
+      |  phs_accession:
+      |    Type: ^phs[0-9]+([.]v[0-9]+)*$
+      |    Req: true
+      |    Key: true
+      |  study_name:
+      |    Type: string
+      |  file_id:
+      |    Type: string
+      |    Key: true
+      |  file_size:
+      |    Type: integer
+      |  avg_read_length:
+      |    Type: number
+      |  data_types:
+      |    Type:
+      |      value_type: list
+      |      item_type: string
+      |  vital_status:
+      |    Enum:
+      |      - Alive
+      |      - Dead
+      |""".stripMargin
+
+  test("model parse: nodes, relationships, cardinality") {
+    val m = ModelLoader.parseModel(modelYaml, propsYaml)
+    assert(m.nodes.map(_.name) == Seq("file", "study"))
+    assert(m.parentsOf("file").map(r => (r.name, r.dst, r.mul)).toSet ==
+      Set(("of_study", "study", "many_to_one"), ("from_sample", "sample", "many_to_many")))
+  }
+
+  test("prop defs: model types map to Spark types (§1.2)") {
+    val p = ModelLoader.parsePropDefs(propsYaml)
+    assert(p("file_size").spark == LongType)
+    assert(p("avg_read_length").spark == DoubleType)
+    assert(p("data_types").spark == ArrayType(StringType) && p("data_types").isList)
+    assert(p("phs_accession").pattern.get.startsWith("^phs"))
+    assert(p("phs_accession").required && p("phs_accession").key)
+    assert(p("vital_status").enum == Seq("Alive", "Dead"))
+  }
+
+  test("derived node schema is model-typed and nullable") {
+    val m = ModelLoader.parseModel(modelYaml, propsYaml)
+    val s = m.schemaOf("file")
+    assert(s == StructType(Seq(
+      StructField("file_id", StringType, true),
+      StructField("file_size", LongType, true),
+      StructField("avg_read_length", DoubleType, true))))
+  }
+
+  test("raw dict preserves first-match order; clean dict maps to Option") {
+    val raw = ModelLoader.parseRawDict(
+      """file:
+        |  GUID: file_id
+        |  guid: file_id
+        |  file_format: file_type
+        |""".stripMargin)
+    assert(raw("file").head == ("GUID" -> "file_id")) // first mapped wins
+    val clean = ModelLoader.parseCleanDict(
+      """gender:
+        |  female: Female
+        |  unknown:
+        |""".stripMargin)
+    assert(clean("gender")("female").contains("Female"))
+    assert(clean("gender")("unknown").isEmpty) // maps to null
+  }
+}

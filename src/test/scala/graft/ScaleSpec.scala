@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.ops.Scale
+
+/** Plan-level assertions for the scale mechanics: salting preserves join
+  * results while spreading hot keys; bucketed tables join shuffle-free. */
+class ScaleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the unsalted join result") {
+    // skewed: key 1 carries most rows
+    val left = ((1 to 50).map(i => (1, s"l$i")) ++ Seq((2, "x"), (3, "y")))
+      .toDF("k", "lv")
+    val right = Seq((1, "r1"), (2, "r2"), (4, "r4")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val salted = Scale.saltedJoin(left, right, Seq("k"), salts = 8)
+      .select("k", "lv", "rv")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(salted == plain)
+    assert(salted.size == 51)
+  }
+
+  test("saltedJoin left-outer preserves unmatched left rows exactly once") {
+    val left = Seq((1, "a"), (2, "b"), (9, "c")).toDF("k", "lv")
+    val right = Seq((1, "r1")).toDF("k", "rv")
+    val out = Scale.saltedJoin(left, right, Seq("k"), salts = 4, joinType = "left")
+      .select("k", "lv", "rv").collect()
+    assert(out.length == 3)
+    assert(out.count(_.isNullAt(2)) == 2)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+      val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "bv")
+      Scale.writeBucketed(a, "bucketed_a", "k", buckets = 4)
+      Scale.writeBucketed(b, "bucketed_b", "k", buckets = 4)
+      val joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), Seq("k"))
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty, s"expected shuffle-free bucketed join, got:\n$plan")
+
+      // control: the same join over unbucketed views DOES shuffle
+      a.createOrReplaceTempView("plain_a")
+      b.createOrReplaceTempView("plain_b")
+      val unbucketed = spark.table("plain_a").join(spark.table("plain_b"), Seq("k"))
+      unbucketed.count()
+      val uplan = unbucketed.queryExecution.executedPlan match {
+        case ad: AdaptiveSparkPlanExec => ad.executedPlan
+        case p => p
+      }
+      assert(uplan.collect { case s: ShuffleExchangeExec => s }.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS bucketed_b")
+    }
+  }
+}

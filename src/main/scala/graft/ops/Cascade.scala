@@ -61,8 +61,12 @@ object Cascade {
             val del = deleted(r.parent)
               .select(graft.ColNames.q(r.parentKey).as(r.fk)).distinct()
               .withColumn("__del", lit(1))
+            // no broadcast() hint: deleted-id sets are *usually* tiny, but a
+            // mass cascade can delete a large fraction of a parent node —
+            // AQE promotes small sides to broadcast at runtime and keeps a
+            // shuffle join when they aren't (a forced hint would OOM there)
             df = df
-              .join(broadcast(del), Seq(r.fk), "left")
+              .join(del, Seq(r.fk), "left")
               .withColumn(r.fk, when(col("__del").isNotNull, lit(null)).otherwise(graft.ColNames.q(r.fk)))
               .drop("__del")
           }
@@ -86,7 +90,7 @@ object Cascade {
       val idc = ids(n)
       current = current.updated(
         n,
-        current(n).join(broadcast(seedIds.select(graft.ColNames.q(idc)).distinct()), Seq(idc), "left_anti"))
+        current(n).join(seedIds.select(graft.ColNames.q(idc)).distinct(), Seq(idc), "left_anti"))
     }
     current
   }

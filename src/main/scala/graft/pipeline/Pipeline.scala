@@ -52,6 +52,83 @@ object Pipeline {
       nodes: Map[String, DataFrame],
       reports: Map[String, DataFrame])
 
+  /** Build NodeSpecs from the reference's YAML artifacts (S9): graph model
+    * + prop definitions, raw dict, clean dict, and the pipeline config
+    * (`cds_config_example_v1.3.yaml` key shapes: NODE_ID_FIELDS:119-127,
+    * PARENT_MAPPING_COLUMNS:22-62, COMBINE_NODE:64-73, REMOVE_NODES,
+    * UI_REQUIRED). A reference user brings these files unchanged in shape.
+    *
+    * Derivations: enum vocabularies and integer props come from the model
+    * prop definitions; per-prop clean dicts attach wherever the prop
+    * appears on the node. Returns (specs, removeNodes). */
+  def specsFromYaml(
+      modelYaml: String,
+      propsYaml: String,
+      rawDictYaml: String,
+      cleanDictYaml: String,
+      configYaml: String): (Seq[NodeSpec], Set[String]) = {
+    import graft.model.ModelLoader
+    val model = ModelLoader.parseModel(modelYaml, propsYaml)
+    val rawDict = ModelLoader.parseRawDict(rawDictYaml)
+    val cleanDict = ModelLoader.parseCleanDict(cleanDictYaml)
+    val cfgRoot = new org.yaml.snakeyaml.Yaml().load[Any](configYaml)
+    import scala.jdk.CollectionConverters._
+    def cfgMap(key: String): Map[String, Any] = cfgRoot match {
+      case m: java.util.Map[_, _] =>
+        m.asScala.collectFirst {
+          case (k, v: java.util.Map[_, _]) if k.toString == key =>
+            v.asScala.map { case (a, b) => a.toString -> (b: Any) }.toMap
+        }.getOrElse(Map.empty)
+      case _ => Map.empty
+    }
+    def cfgList(key: String): Seq[String] = cfgRoot match {
+      case m: java.util.Map[_, _] =>
+        m.asScala.collectFirst {
+          case (k, v: java.util.List[_]) if k.toString == key =>
+            v.asScala.map(_.toString).toSeq
+        }.getOrElse(Nil)
+      case _ => Nil
+    }
+    val ids = cfgMap("NODE_ID_FIELDS").map { case (k, v) => k -> v.toString }
+    val combine = cfgMap("COMBINE_NODE").keySet
+    val uiRequired = cfgMap("UI_REQUIRED").map { case (k, v) =>
+      k -> (v match {
+        case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
+        case s => Seq(s.toString)
+      })
+    }
+    val parentCfg = cfgMap("PARENT_MAPPING_COLUMNS").map { case (child, v) =>
+      child -> (v match {
+        case l: java.util.List[_] => l.asScala.toSeq.map { e =>
+          val m = e.asInstanceOf[java.util.Map[_, _]].asScala
+            .map { case (a, b) => a.toString -> b.toString }.toMap
+          ParentPointer(m("parent"), m("property"), m("raw"))
+        }
+        case _ => Nil
+      })
+    }
+    val specs = model.nodes.map { n =>
+      val props = n.props.toSet
+      NodeSpec(
+        name = n.name,
+        rawMapping = rawDict.getOrElse(n.name, n.props.map(p => p -> p)),
+        idProp = ids.getOrElse(n.name, model.propDefs.collectFirst {
+          case (p, d) if d.key && props(p) => p
+        }.getOrElse(n.props.head)),
+        parents = parentCfg.getOrElse(n.name, Nil),
+        combineById = combine(n.name),
+        cleanDict = cleanDict.filter { case (p, _) => props(p) },
+        enums = model.propDefs.collect {
+          case (p, d) if props(p) && d.enum.nonEmpty => p -> d.enum
+        },
+        intProps = n.props.filter(p =>
+          model.propDefs.get(p).exists(_.spark ==
+            org.apache.spark.sql.types.LongType)),
+        uiRequired = uiRequired.getOrElse(n.name, Nil))
+    }
+    (specs, cfgList("REMOVE_NODES").toSet)
+  }
+
   def run(
       wideRaw: DataFrame,
       specs: Seq[NodeSpec],

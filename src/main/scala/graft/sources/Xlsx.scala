@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.io.InputStream
+import java.util.zip.ZipInputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import scala.collection.mutable
+
+/** Minimal XLSX (OOXML spreadsheet) parsing — JDK-only (zip + StAX), no
+  * POI/openpyxl available in this environment by design.
+  *
+  * Covers the subset the reference's workbooks use (SURVEY.md §2.1 S1):
+  * one worksheet of cells that are shared strings, inline strings, or
+  * numbers; all values surface as STRINGS exactly as serialized in the
+  * file — the engine's string-first ingestion contract
+  * (`keep_default_na=False` semantics, cds-transformation_v1.3.py:129-132).
+  */
+object XlsxParser {
+
+  /** Entries we need from the container. */
+  final case class Workbook(
+      sheets: Seq[(String, String)],       // (sheet name, entry path)
+      sharedStrings: IndexedSeq[String])
+
+  private def newReader(in: InputStream): XMLStreamReader = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.createXMLStreamReader(in)
+  }
+
+  /** Read all rows of `sheet` (by name; empty → first sheet) from an xlsx
+    * stream. Each row is an IndexedSeq[String|null] positioned by the cell
+    * reference (gaps → null). */
+  def readSheet(open: () => InputStream, sheet: String): Vector[IndexedSeq[String]] = {
+    // pass 1: locate sheet entry names + shared strings
+    val sheetEntries = mutable.ArrayBuffer.empty[(String, String)] // name -> rId
+    val rels = mutable.Map.empty[String, String]                   // rId -> target
+    var shared: IndexedSeq[String] = Vector.empty
+    withZip(open()) { (name, is) =>
+      name match {
+        case "xl/workbook.xml" =>
+          val r = newReader(is)
+          while (r.hasNext) {
+            if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+              val nm = attr(r, "name").getOrElse("")
+              val rid = attr(r, "id").getOrElse(attrNS(r, "id").getOrElse(""))
+              sheetEntries += ((nm, rid))
+            }
+          }
+        case "xl/_rels/workbook.xml.rels" =>
+          val r = newReader(is)
+          while (r.hasNext) {
+            if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship") {
+              for (id <- attr(r, "Id"); tgt <- attr(r, "Target"))
+                rels(id) = if (tgt.startsWith("/")) tgt.drop(1) else "xl/" + tgt
+            }
+          }
+        case "xl/sharedStrings.xml" =>
+          shared = parseSharedStrings(is)
+        case _ => ()
+      }
+    }
+    val target = (if (sheet.isEmpty) sheetEntries.headOption
+      else sheetEntries.find(_._1 == sheet))
+      .map { case (_, rid) => rels.getOrElse(rid, "xl/worksheets/sheet1.xml") }
+      .getOrElse("xl/worksheets/sheet1.xml")
+    // pass 2: parse the worksheet
+    var rows = Vector.empty[IndexedSeq[String]]
+    withZip(open()) { (name, is) =>
+      if (name == target) rows = parseWorksheet(is, shared)
+    }
+    rows
+  }
+
+  private def withZip(in: InputStream)(f: (String, InputStream) => Unit): Unit = {
+    val z = new ZipInputStream(in)
+    try {
+      var e = z.getNextEntry
+      while (e != null) {
+        f(e.getName, z) // callers must not close z
+        e = z.getNextEntry
+      }
+    } finally z.close()
+  }
+
+  private def attr(r: XMLStreamReader, name: String): Option[String] = {
+    var i = 0
+    while (i < r.getAttributeCount) {
+      if (r.getAttributeLocalName(i) == name) return Some(r.getAttributeValue(i))
+      i += 1
+    }
+    None
+  }
+  private def attrNS(r: XMLStreamReader, name: String): Option[String] = attr(r, name)
+
+  private def parseSharedStrings(is: InputStream): IndexedSeq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val r = newReader(is)
+    var inSi = false
+    val sb = new StringBuilder
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          if (r.getLocalName == "si") { inSi = true; sb.clear() }
+          else if (inSi && r.getLocalName == "t") sb.append(r.getElementText)
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
+          out += sb.toString; inSi = false
+        case _ => ()
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  /** "B3" → 0-based column 1. */
+  private[sources] def colOf(ref: String): Int = {
+    var c = 0
+    var i = 0
+    while (i < ref.length && ref(i).isLetter) { c = c * 26 + (ref(i) - 'A' + 1); i += 1 }
+    c - 1
+  }
+
+  private def parseWorksheet(
+      is: InputStream, shared: IndexedSeq[String]): Vector[IndexedSeq[String]] = {
+    val rows = mutable.ArrayBuffer.empty[IndexedSeq[String]]
+    val r = newReader(is)
+    var cells: mutable.ArrayBuffer[String] = null
+    var cellCol = -1
+    var cellType = ""
+    var rowCol = 0
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "row" => cells = mutable.ArrayBuffer.empty[String]; rowCol = 0
+          case "c" if cells != null =>
+            cellCol = attr(r, "r").map(colOf).getOrElse(rowCol)
+            cellType = attr(r, "t").getOrElse("")
+          case "v" | "t" if cells != null && cellCol >= 0 =>
+            val raw = r.getElementText
+            val value = cellType match {
+              case "s" => shared.lift(raw.trim.toInt).orNull
+              case _ => raw
+            }
+            while (cells.length <= cellCol) cells += null
+            // inline strings nest <is><t>; both paths land here
+            cells(cellCol) = value
+          case _ => ()
+        }
+        case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+          case "row" if cells != null =>
+            rows += cells.toIndexedSeq; cells = null
+          case "c" => rowCol = cellCol + 1; cellCol = -1
+          case _ => ()
+        }
+        case _ => ()
+      }
+    }
+    rows.toVector
+  }
+}

@@ -81,6 +81,65 @@ class PipelineSpec extends SparkSpec {
       && idv(0).getAs[String]("conflicted_columns") == "sample_type")
   }
 
+  test("specsFromYaml drives the same pipeline from reference-shaped YAML") {
+    val modelYaml =
+      """Nodes:
+        |  study:
+        |    Props: [phs_accession, study_name]
+        |  participant:
+        |    Props: [participant_id, gender]
+        |Relationships:
+        |  of_study:
+        |    Mul: many_to_one
+        |    Ends:
+        |      - Src: participant
+        |        Dst: study
+        |""".stripMargin
+    val propsYaml =
+      """PropDefinitions:
+        |  phs_accession: {Type: string, Key: true}
+        |  study_name: {Type: string}
+        |  participant_id: {Type: string, Key: true}
+        |  gender:
+        |    Enum: [Male, Female]
+        |""".stripMargin
+    val rawDictYaml =
+      """study:
+        |  phs_accession: phs_accession
+        |  study_name: study_name
+        |participant:
+        |  participant_id: participant_id
+        |  gender: gender
+        |""".stripMargin
+    val cleanDictYaml =
+      """gender:
+        |  female: Female
+        |  male: Male
+        |""".stripMargin
+    val configYaml =
+      """NODE_ID_FIELDS:
+        |  study: phs_accession
+        |  participant: participant_id
+        |COMBINE_NODE:
+        |  study: phs_accession
+        |PARENT_MAPPING_COLUMNS:
+        |  participant:
+        |    - parent: study
+        |      property: phs_accession
+        |      raw: phs_accession
+        |""".stripMargin
+    val (specs2, remove) = Pipeline.specsFromYaml(
+      modelYaml, propsYaml, rawDictYaml, cleanDictYaml, configYaml)
+    assert(remove.isEmpty)
+    val out = Pipeline.run(fixture, specs2)
+    assert(out.nodes("study").count() == 1)
+    val partRows = out.nodes("participant")
+      .select("participant_id", "gender").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(partRows == Set(("p1", "Female"), ("p2", "Male")))
+    assert(out.nodes("participant").columns.contains("study.phs_accession"))
+  }
+
   test("removeNodes (H3) drops configured nodes before processing") {
     val out = Pipeline.run(fixture, specs, removeNodes = Set("file"))
     assert(!out.nodes.contains("file"))

@@ -34,6 +34,22 @@ class ScaleSpec extends SparkSpec {
     assert(out.count(_.isNullAt(2)) == 2)
   }
 
+  test("partitionBy(study) output enables partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = (1 to 300).map(i => (s"phs${i % 3}", i.toLong, s"v$i"))
+      .toDF("phs_accession", "row_id", "v")
+    df.write.mode("overwrite").partitionBy("phs_accession").parquet(dir)
+    val filtered = spark.read.parquet(dir).filter(col("phs_accession") === "phs1")
+    assert(filtered.count() == 100)
+    val scan = filtered.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.nonEmpty,
+      "study filter must prune partitions, not scan-and-filter")
+    // only the phs1 directory is read
+    assert(scan.metrics("numFiles").value <= 2)
+  }
+
   test("bucketed tables join without a shuffle") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

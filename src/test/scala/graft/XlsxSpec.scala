@@ -1,0 +1,107 @@
+package graft
+
+import java.io.FileOutputStream
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.pipeline.Pipeline
+import graft.pipeline.Pipeline.NodeSpec
+
+/** The native xlsx DataSource V2: a workbook constructed from raw OOXML
+  * parts is read back through `spark.read.format("xlsx")`, string-first,
+  * and feeds the pipeline end-to-end (the reference's actual input path).
+  */
+class XlsxSpec extends SparkSpec {
+
+  private def writeXlsx(path: String, sheetName: String,
+                        shared: Seq[String], sheetXml: String): Unit = {
+    val z = new ZipOutputStream(new FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    entry("xl/workbook.xml",
+      s"""<?xml version="1.0"?>
+         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+         |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+         |  <sheets><sheet name="$sheetName" sheetId="1" r:id="rId1"/></sheets>
+         |</workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |  <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    entry("xl/sharedStrings.xml",
+      s"""<?xml version="1.0"?>
+         |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |${shared.map(s => s"  <si><t>$s</t></si>").mkString("\n")}
+         |</sst>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml", sheetXml)
+    z.close()
+  }
+
+  // 3 columns: phs_accession (shared str), participant_id (inline str),
+  // age (number) — covers all three cell encodings; row 3 has a gap in B.
+  private def sheetXml =
+    """<?xml version="1.0"?>
+      |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+      |  <sheetData>
+      |    <row r="1">
+      |      <c r="A1" t="s"><v>0</v></c>
+      |      <c r="B1" t="s"><v>1</v></c>
+      |      <c r="C1" t="s"><v>2</v></c>
+      |    </row>
+      |    <row r="2">
+      |      <c r="A2" t="s"><v>3</v></c>
+      |      <c r="B2" t="inlineStr"><is><t>p1</t></is></c>
+      |      <c r="C2"><v>25.0</v></c>
+      |    </row>
+      |    <row r="3">
+      |      <c r="A3" t="s"><v>3</v></c>
+      |      <c r="C3"><v>31</v></c>
+      |    </row>
+      |  </sheetData>
+      |</worksheet>""".stripMargin
+
+  private lazy val xlsxPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_spec").toString
+    val p = s"$dir/study1.xlsx"
+    writeXlsx(p, "Metadata",
+      Seq("phs_accession", "participant_id", "age", "phs001"), sheetXml)
+    p
+  }
+
+  test("xlsx connector reads header, shared/inline strings, raw numbers") {
+    val df = spark.read.format("xlsx").option("sheet", "Metadata").load(xlsxPath)
+    assert(df.columns.toSeq == Seq("phs_accession", "participant_id", "age"))
+    assert(df.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSet == Set(
+      ("phs001", "p1", "25.0"),    // number kept verbatim as serialized
+      ("phs001", null, "31")))     // gap in column B -> null
+  }
+
+  test("short-name registration resolves format(\"xlsx\")") {
+    // also covers default sheet (first) when no option given
+    val df = spark.read.format("xlsx").load(xlsxPath)
+    assert(df.count() == 2)
+  }
+
+  test("workbook feeds the pipeline end-to-end (S1 -> v1.3 flow)") {
+    val wide = spark.read.format("xlsx").option("sheet", "Metadata").load(xlsxPath)
+    val out = Pipeline.run(wide, Seq(
+      NodeSpec("participant",
+        rawMapping = Seq("participant_id" -> "participant_id", "age" -> "age_at_diagnosis"),
+        idProp = "participant_id",
+        intProps = Seq("age_at_diagnosis"))))
+    val rows = out.nodes("participant")
+      .selectExpr("participant_id", "age_at_diagnosis").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // "25.0" integer-coerced to "25" (P6); the id-less row survives as its
+    // own record (no id validation configured for it here)
+    assert(rows == Set(("p1", "25"), (null, "31")))
+  }
+}

@@ -221,6 +221,14 @@ object SparkEntry {
       t(s, dir, "orders").select(col("o_custkey")).distinct()
     }),
 
+    // S3 transposed key/value sheet: (key,value) rows pivot into one wide
+    // row with a static column list.
+    "s3_transposed_kv" -> ((s, dir) => {
+      graft.ops.Reshape.transposedKv(
+        t(s, dir, "region"), "r_name", "r_regionkey",
+        Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))
+    }),
+
     // S4+S5 TSV sink/rescan roundtrip: write one TSV per node (reference
     // load format), read back string-first. All columns come back as
     // strings — the keep_default_na=False ingestion contract.
@@ -635,6 +643,15 @@ object SparkEntry {
 
     "a7_distinct_ids" ->
       "SELECT DISTINCT o_custkey FROM orders",
+
+    "s3_transposed_kv" ->
+      """SELECT
+        |  first(r_regionkey) FILTER (r_name = 'AFRICA') AS "AFRICA",
+        |  first(r_regionkey) FILTER (r_name = 'AMERICA') AS "AMERICA",
+        |  first(r_regionkey) FILTER (r_name = 'ASIA') AS "ASIA",
+        |  first(r_regionkey) FILTER (r_name = 'EUROPE') AS "EUROPE",
+        |  first(r_regionkey) FILTER (r_name = 'MIDDLE EAST') AS "MIDDLE EAST"
+        |FROM region""".stripMargin,
 
     "s4_tsv_roundtrip" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,

@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate aggregates — the 100 TB profiling toolkit (SURVEY.md §2.8
+  * notes the reference has none; these are the engine's scale extensions
+  * for corpus/telemetry profiling where exact distinct/quantiles would
+  * shuffle the world).
+  *
+  * All are single-pass, mergeable sketches (HLL++, GK quantiles, CMS):
+  * map-side partials keep the shuffle at sketch size — constant per
+  * partition — instead of cardinality size. That difference is the whole
+  * game at 100 TB: `approx_count_distinct` on a 10¹¹-row key column moves
+  * a few KB per partition where `count(distinct)` would shuffle every
+  * distinct value.
+  */
+object Approx {
+
+  /** HLL++ distinct count, default 5% relative sd. */
+  def distinctCount(c: Column, rsd: Double = 0.05): Column =
+    approx_count_distinct(c, rsd)
+
+  /** GK-sketch quantiles at the given probabilities. */
+  def quantiles(c: Column, probs: Seq[Double], accuracy: Int = 10000): Column =
+    percentile_approx(c, array(probs.map(lit): _*), lit(accuracy))
+
+  /** Per-key cardinality profile of a frame: one row per column with
+    * approximate distinct count and null count — the scan-once corpus
+    * profile (every sketch rides the same pass). */
+  def cardinalityProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        approx_count_distinct(graft.ColNames.q(c)).as(s"${c}__approx_distinct"),
+        count(when(graft.ColNames.q(c).isNull, lit(1))).as(s"${c}__nulls"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot to (column, approx_distinct, nulls)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wide = row.collect()(0)
+    cols.map { c =>
+      (c, wide.getAs[Long](s"${c}__approx_distinct"), wide.getAs[Long](s"${c}__nulls"))
+    }.toDF("column", "approx_distinct", "nulls")
+  }
+}

@@ -1,0 +1,25 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** S3 — transposed key/value sheet scan (`cds-transformation.py:108-120`):
+  * the v1 `Study` sheet stores one record as (key, value) ROWS; the
+  * reference transposes it into a single wide row and replicates it per
+  * manifest row.
+  *
+  * Spark shape: `groupBy().pivot(keys).agg(first(value))` — the pivot key
+  * list is explicit (static schema; Spark would otherwise need an extra
+  * distinct-scan job to discover it), and replication onto a fact frame is
+  * the J4 broadcast cross join, not a data copy.
+  */
+object Reshape {
+
+  /** Pivot a (key, value) frame into one wide row. `keys` fixes the output
+    * columns (missing keys → null column, extra rows ignored). */
+  def transposedKv(
+      df: DataFrame, keyCol: String, valueCol: String, keys: Seq[String]): DataFrame =
+    df.groupBy()
+      .pivot(keyCol, keys)
+      .agg(first(graft.ColNames.q(valueCol), ignoreNulls = true))
+}

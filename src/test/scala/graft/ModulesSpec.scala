@@ -41,6 +41,24 @@ class ModulesSpec extends SparkSpec {
       Seq((1, "a"), (2, "c")))
   }
 
+  test("S3 transposedKv pivots kv rows to one wide row; missing keys null") {
+    val kv = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val row = graft.ops.Reshape.transposedKv(kv, "k", "v", Seq("a", "b", "z"))
+      .collect()(0)
+    assert(row.getInt(0) == 1 && row.getInt(1) == 2 && row.isNullAt(2))
+  }
+
+  test("Approx: sketches land within tolerance of exact answers") {
+    val df = (1 to 10000).map(i => (i % 997).toLong).toDF("k")
+    val approx = df.select(graft.ext.Approx.distinctCount(col("k"))).as[Long].head()
+    assert(math.abs(approx - 997) < 997 * 0.1, s"approx=$approx")
+    val q = df.select(graft.ext.Approx.quantiles(col("k"), Seq(0.5)))
+      .collect()(0).getSeq[Long](0)
+    assert(math.abs(q.head - 498) < 30)
+    val profile = graft.ext.Approx.cardinalityProfile(df, Seq("k")).collect()(0)
+    assert(profile.getString(0) == "k" && profile.getLong(2) == 0)
+  }
+
   test("M1 binary metadata: byte length and kind are deterministic") {
     val df = Seq((1L, "abc"), (2L, "abcd")).toDF("doc_id", "text")
     val out = Multimodal.withBinaryMeta(df, "text").orderBy("doc_id").collect()

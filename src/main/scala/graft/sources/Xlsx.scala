@@ -142,8 +142,12 @@ object XlsxParser {
               case _ => raw
             }
             while (cells.length <= cellCol) cells += null
-            // inline strings nest <is><t>; both paths land here
-            cells(cellCol) = value
+            // inline strings nest <is><t>; rich text splits one cell into
+            // several <r><t> runs — concatenate runs instead of keeping
+            // only the last
+            cells(cellCol) =
+              if (cells(cellCol) == null || cellType == "s") value
+              else cells(cellCol) + value
           case _ => ()
         }
         case XMLStreamConstants.END_ELEMENT => r.getLocalName match {

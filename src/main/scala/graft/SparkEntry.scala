@@ -439,6 +439,24 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // T6 corpus curation: the composite training-data filter — exact-dup
+    // removal (keep min doc per fingerprint) ∧ language agreement ∧
+    // quality threshold, in one lineage (scan once, one small self-join on
+    // the fingerprint groups).
+    "t6_corpus_curation" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        floor(TextAnalysis.qualityScore(col("text")) * 10000).as("quality_bp"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      val keep = scored.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
+      scored.join(keep, Seq("fingerprint"))
+        .filter(col("doc_id") === col("keep_id") &&
+          col("lang_pred") === col("lang") &&
+          col("quality_bp") >= 2000)
+        .select(col("doc_id"), col("lang"), col("quality_bp"))
+    }),
+
     // T5 corpus profile by language (doc stats rollup).
     "t5_lang_profile" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -465,7 +483,14 @@ object SparkEntry {
     // E3 LSH-bucketed approximate k-NN (the 100 TB scale path).
     "e3_knn_lsh" -> ((s, dir) => {
       Similarity.knnLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, dim = 64, bits = 8)
+        k = 3, dim = 64, bits = 6, tables = 8)
+    }),
+
+    // E5 IVF approximate k-NN: centroid cells + multi-probe (the
+    // data-adaptive ANN path; LSH e3 is the data-oblivious one).
+    "e5_knn_ivf" -> ((s, dir) => {
+      Similarity.knnIvf(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, nCells = 16, nProbe = 4)
     }),
 
     // E4 embedding-cosine near-duplicate pairs (compiled kernel; sim
@@ -859,6 +884,44 @@ object SparkEntry {
          |    + greatest(1.0 - (punct * 1.0 / greatest(length(text), 1)) * 5.0, 0.0) * 0.2
          |  ) * 10000) AS BIGINT) AS quality_bp
          |FROM m""".stripMargin
+    },
+
+    "t6_corpus_curation" -> {
+      def cntIn(p: String, w: String) =
+        s"CAST((length($p) - length(replace($p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+      val langScores = TextAnalysis.LangMarkers.map { case (lang, ws) =>
+        s"(${ws.map(cntIn("p_low", _)).mkString(" + ")}) AS s_$lang"
+      }.mkString(", ")
+      val stopSum = TextAnalysis.Stopwords.map(cntIn("p_raw", _)).mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |    concat(' ', lower(text), ' ') AS p_low,
+         |    concat(' ', text, ' ') AS p_raw,
+         |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, lang, text, fingerprint, toks, $langScores,
+         |    CAST($stopSum AS BIGINT) AS stop_hits,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS punct
+         |  FROM t),
+         |m AS (SELECT doc_id, lang, fingerprint,
+         |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |      WHEN s_es >= s_fr THEN 'es'
+         |      ELSE 'fr' END AS lang_pred,
+         |    CAST(floor((
+         |      least(toks / 200.0, 1.0) * 0.4
+         |      + least(stop_hits * 10.0 / greatest(toks, 1), 1.0) * 0.4
+         |      + greatest(1.0 - (punct * 1.0 / greatest(length(text), 1)) * 5.0, 0.0) * 0.2
+         |    ) * 10000) AS BIGINT) AS quality_bp
+         |  FROM s),
+         |k AS (SELECT fingerprint, min(doc_id) AS keep_id FROM m GROUP BY fingerprint)
+         |SELECT m.doc_id, m.lang, m.quality_bp
+         |FROM m JOIN k USING (fingerprint)
+         |WHERE m.doc_id = k.keep_id AND m.lang_pred = m.lang AND m.quality_bp >= 2000""".stripMargin
     },
 
     "t3_tokens" ->

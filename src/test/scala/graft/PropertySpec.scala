@@ -1,0 +1,58 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.mapping.RawDict
+
+/** Property-based specs (SURVEY.md §5 plan item c): invariants of the
+  * driver-side algorithms over generated inputs (raw ScalaCheck — sbt runs
+  * Properties through its built-in ScalaCheck framework). */
+object PropertySpec extends Properties("graft") {
+
+  private val word: Gen[String] = Gen.asciiPrintableStr.map(_.take(12))
+
+  property("ro-ratio bounds and identity") = forAll(word, word) { (a, b) =>
+    val r = RawDict.ratio(a, b)
+    r >= 0.0 && r <= 1.0 && RawDict.ratio(a, a) == 1.0
+  }
+
+  property("ro-ratio containment lower bound") =
+    forAll(word.suchThat(_.nonEmpty), word) { (a, pad) =>
+      RawDict.ratio(a, a + pad) >= 2.0 * a.length / (2 * a.length + pad.length) - 1e-12
+    }
+
+  property("fuzzyMatch never maps below threshold") = {
+    val names = Gen.listOfN(5, word.suchThat(_.nonEmpty))
+    forAll(names, names) { (raws, props) =>
+      RawDict.fuzzyMatch(raws, props, ratioLimit = 0.75).forall { case (raw, prop) =>
+        val n = raw.toLowerCase.replace(" ", "_")
+        RawDict.ratio(n, prop.toLowerCase.replace(" ", "_")) >= 0.75
+      }
+    }
+  }
+
+  property("losslessInt mirror is idempotent and value-preserving") = {
+    def lossless(s: String): String = {
+      val d = try Some(s.toDouble) catch { case _: Throwable => None }
+      d match {
+        case Some(x) if !x.isNaN && !x.isInfinite && x == math.floor(x) && math.abs(x) < 9.0e18 =>
+          x.toLong.toString
+        case _ => s
+      }
+    }
+    val gen = Gen.oneOf(
+      Gen.choose(-1e6, 1e6).map(_.toString),
+      Gen.choose(Long.MinValue / 2, Long.MaxValue / 2).map(_.toString),
+      word)
+    forAll(gen) { s =>
+      val once = lossless(s)
+      val idempotent = lossless(once) == once
+      val preserving = (try Some(s.toDouble) catch { case _: Throwable => None }) match {
+        case Some(orig) if !orig.isNaN && orig == math.floor(orig) && math.abs(orig) < 9.0e18 =>
+          (try once.toDouble catch { case _: Throwable => Double.NaN }) == orig
+        case _ => true
+      }
+      Prop(idempotent && preserving)
+    }
+  }
+}

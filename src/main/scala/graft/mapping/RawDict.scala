@@ -84,7 +84,14 @@ object RawDict {
     val probes = present.map { case (raw, _) => count(col(raw)).as(raw) }
     val counts = df.agg(probes.head, probes.tail: _*).first()
     val live = present.filter { case (raw, _) => counts.getAs[Long](raw) > 0 }
-    val cols: Seq[Column] = live.map { case (raw, prop) => col(raw).as(prop) } :+
+    // first-match rule (match_col_from_raw_dict, cds-transformation_v1.3
+    // .py:53-66): several raw columns may map to one property (GUID/guid →
+    // file_id); the FIRST live candidate in dict order wins.
+    val firstPerProp = live.foldLeft(Vector.empty[(String, String)]) {
+      case (acc, (raw, prop)) =>
+        if (acc.exists(_._2 == prop)) acc else acc :+ (raw -> prop)
+    }
+    val cols: Seq[Column] = firstPerProp.map { case (raw, prop) => col(raw).as(prop) } :+
       lit(node).as("type")
     df.select(cols: _*)
   }
@@ -93,6 +100,9 @@ object RawDict {
     * operator. Use when the mapping is known-live (e.g. curated dicts). */
   def extractAssumeLive(df: DataFrame, mapping: Seq[(String, String)], node: String): DataFrame = {
     val present = mapping.filter { case (raw, _) => df.columns.contains(raw) }
+      .foldLeft(Vector.empty[(String, String)]) { case (acc, (raw, prop)) =>
+        if (acc.exists(_._2 == prop)) acc else acc :+ (raw -> prop)
+      }
     val cols: Seq[Column] = present.map { case (raw, prop) => col(raw).as(prop) } :+
       lit(node).as("type")
     if (present.isEmpty) df.select(lit(node).as("type")).filter(lit(false))

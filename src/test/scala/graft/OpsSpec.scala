@@ -144,6 +144,23 @@ class OpsSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("type") && empty.count() == 0)
   }
 
+  test("P1 first-match rule: first LIVE raw candidate per property wins") {
+    // (candidates differ by more than case — Spark resolves column names
+    // case-insensitively, so GUID/guid would be ambiguous in one frame)
+    val df = Seq((Option.empty[String], "g2", "x"))
+      .toDF("GUID", "guid_alt", "other")
+    // GUID maps first but is all-null -> guid_alt supplies file_id
+    val out = RawDict.extract(df,
+      Seq("GUID" -> "file_id", "guid_alt" -> "file_id"), node = "file")
+    assert(out.columns.toSeq == Seq("file_id", "type"))
+    assert(out.collect()(0).getString(0) == "g2")
+    // both live -> dict order wins
+    val df2 = Seq(("g1", "g2")).toDF("GUID", "guid_alt")
+    val out2 = RawDict.extract(df2,
+      Seq("GUID" -> "file_id", "guid_alt" -> "file_id"), node = "file")
+    assert(out2.collect()(0).getString(0) == "g1")
+  }
+
   // ------------------------------------------------------------- History
 
   test("H1/H2 merge unions values, sorts desc, applyHistory renders joined") {

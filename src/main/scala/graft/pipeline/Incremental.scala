@@ -1,0 +1,43 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental (Structured Streaming) execution of the v1.3 pipeline:
+  * wide Metadata rows arrive as a stream (e.g. a landing directory of
+  * per-study extracts), and each micro-batch flows through the SAME
+  * `Pipeline.run` used in batch mode via `foreachBatch`, appending
+  * per-node output.
+  *
+  * Semantics note (deliberate): dedup/combine/id-validation are
+  * BATCH-LOCAL. The reference's own unit of independence is the workbook
+  * (one study per file, SURVEY.md §3.1) — a micro-batch of whole
+  * workbooks reproduces its semantics exactly. Cross-batch global dedup
+  * would instead use the engine's state-table pattern
+  * ([[graft.state.History]]) or a compaction pass over the appended
+  * output; both compose with this sink unchanged.
+  */
+object Incremental {
+
+  def start(
+      wideStream: DataFrame,
+      specs: Seq[Pipeline.NodeSpec],
+      outDir: String,
+      checkpointDir: String,
+      removeNodes: Set[String] = Set.empty,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    wideStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val result = Pipeline.run(batch, specs, removeNodes)
+        result.nodes.foreach { case (node, df) =>
+          df.write.mode("append").parquet(s"$outDir/$node")
+        }
+        result.reports.foreach { case (name, df) =>
+          if (!df.isEmpty)
+            df.write.mode("append").parquet(s"$outDir/_reports/$name")
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+}

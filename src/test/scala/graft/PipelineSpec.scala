@@ -140,6 +140,41 @@ class PipelineSpec extends SparkSpec {
     assert(out.nodes("participant").columns.contains("study.phs_accession"))
   }
 
+  test("incremental pipeline: streamed workbooks append the same node output") {
+    val srcDir = java.nio.file.Files.createTempDirectory("inc_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("inc_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("inc_ck").toString
+    // two "workbooks" land as separate files -> separate micro-batches
+    val rows = fixture.collect()
+    val schema = fixture.schema
+    // the file stream source lists FILES, not subdirectories: write each
+    // workbook to a scratch dir and move its single part file in
+    def landFile(part: Seq[org.apache.spark.sql.Row], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("inc_wb").toString
+      spark.createDataFrame(spark.sparkContext.parallelize(part, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val partFile = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(partFile.toPath,
+        java.nio.file.Paths.get(srcDir, name))
+    }
+    landFile(rows.take(3).toSeq, "wb1.parquet")
+    landFile(rows.drop(3).toSeq, "wb2.parquet")
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = graft.pipeline.Incremental.start(stream, specs, outDir, ckDir)
+    try q.processAllAvailable() finally q.stop()
+
+    val files = spark.read.parquet(s"$outDir/file")
+      .select("file_id").as[String].collect().toSet
+    // batch 1 (rows 1-3): s1/s2 clean -> g1, g2 survive
+    // batch 2 (rows 4-5): s3 conflicts within its batch -> g3, g4 cascade away
+    assert(files == Set("g1", "g2"))
+    val ssn = spark.read.parquet(s"$outDir/_reports/ssn_file").collect()
+    assert(ssn.length == 1)
+  }
+
   test("removeNodes (H3) drops configured nodes before processing") {
     val out = Pipeline.run(fixture, specs, removeNodes = Set("file"))
     assert(!out.nodes.contains("file"))

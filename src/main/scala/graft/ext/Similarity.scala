@@ -66,14 +66,14 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: an integer bucket id from `bits`
-    * sign bits. Pure projection; the hyperplanes are literal arrays baked
-    * into the plan (tiny: bits × dim doubles). */
+    * sign bits. One compiled expression carrying the plane matrix as a
+    * reference object — NOT `bits` literal-array dot products: the
+    * literal-tree form generated pathological Janino classes (48 planes ×
+    * 64 lit() elements), filled the JVM code cache and slowed every
+    * subsequent query in the session by 5-10×. */
   def lshBucket(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
-    val planes = hyperplanes(dim, bits, seed)
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit(_)).toIndexedSeq: _*)
-      when(dot(vec, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val planes = hyperplanes(dim, bits, seed).map(_.clone).toArray
+    graft.functions.VectorExpressions.hyperplaneBucket(vec, planes)
   }
 
   /** Approximate k-NN via MULTI-TABLE random-hyperplane LSH: `tables`
@@ -90,13 +90,19 @@ object Similarity {
              dim: Int, bits: Int = 6, tables: Int = 8, seed: Long = 42L): DataFrame = {
     val buckets = array((0 until tables).map(l =>
       lshBucket(col(vec), dim, bits, seed + l)).toIndexedSeq: _*)
-    val sigs = emb.select(col(id), col(vec), posexplode(buckets).as(Seq("tbl", "bucket")))
-    val a = sigs.select(col("tbl"), col("bucket"), col(id).as("vec_id"), col(vec).as("va"))
-    val b = sigs.select(col("tbl"), col("bucket"), col(id).as("neighbor_id"), col(vec).as("vb"))
-    val pairs = a.join(b, Seq("tbl", "bucket"))
+    val sigs = emb.select(col(id), posexplode(buckets).as(Seq("tbl", "bucket")))
+    val a = sigs.select(col("tbl"), col("bucket"), col(id).as("vec_id"))
+    val b = sigs.select(col("tbl"), col("bucket"), col(id).as("neighbor_id"))
+    // dedupe the id pairs FIRST (16-byte rows through the shuffle), then
+    // attach the vectors — carrying both embeddings through the
+    // union-across-tables distinct would shuffle ~30× more bytes
+    val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"), col("va"), col("vb"))
-      .dropDuplicates("vec_id", "neighbor_id") // union across tables
+      .select(col("vec_id"), col("neighbor_id"))
+      .dropDuplicates("vec_id", "neighbor_id")
+    val va = emb.select(col(id).as("vec_id"), col(vec).as("va"))
+    val vb = emb.select(col(id).as("neighbor_id"), col(vec).as("vb"))
+    val pairs = cand.join(va, Seq("vec_id")).join(vb, Seq("neighbor_id"))
       .withColumn("sim", cosine(col("va"), col("vb")))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
     pairs
@@ -143,30 +149,15 @@ object Similarity {
       }
       it += 1
     }
-    // --- compiled cell assignment: argmin over literal centroids ---
-    def centroidCol(c: Array[Double]): Column = array(c.toIndexedSeq.map(lit): _*)
-    def distTo(c: Array[Double]): Column = {
-      val v = col(vec)
-      // |v-c|² ranking needs only |v|² - 2v·c + |c|²; |v|² is common to all
-      // cells → rank by |c|² - 2v·c
-      lit(c.map(x => x * x).sum) - lit(2.0) * dot(v, centroidCol(c))
-    }
-    def cellsRanked: Column = {
-      // indices of centroids sorted by distance: build array of structs
-      // (dist, idx), sort, take nProbe
-      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(distTo(c).as("d"), lit(i).as("i"))
-      }.toIndexedSeq: _*)
-      slice(sort_array(scored), 1, nProbe)
-    }
-    val primaryCell = sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(distTo(c).as("d"), lit(i).as("i"))
-    }.toIndexedSeq: _*))(0).getField("i")
-
+    // --- compiled cell assignment: one expression holding the centroid
+    // matrix as a reference object (see lshBucket's note on why not a
+    // literal-array tree) ---
+    import graft.functions.VectorExpressions.nearestCells
+    val cm = centroids
     val data = emb.select(col(id).as("neighbor_id"), col(vec).as("vb"),
-      primaryCell.as("cell"))
+      element_at(nearestCells(col(vec), cm, 1), 1).as("cell"))
     val probes = emb.select(col(id).as("vec_id"), col(vec).as("va"),
-      explode(cellsRanked.getField("i")).as("cell"))
+      explode(nearestCells(col(vec), cm, nProbe)).as("cell"))
     val pairs = probes.join(data, Seq("cell"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("va"), col("vb")))

@@ -299,6 +299,102 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
+  /** Sign-bit bucket of a vector against a plane matrix: bit i set when
+    * v·planes(i) > 0. The matrix rides as a REFERENCE OBJECT, not a
+    * literal tree — an `array(lit…)` encoding of 48 planes × 64 dims
+    * inflates the generated class past the JIT's comfort (measured: the
+    * Janino blowup filled the JVM code cache and de-optimized every later
+    * query in the session). */
+  case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = checkVecTypes(child)
+    override def prettyName: String = "hyperplane_bucket"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val isFloat = elemPrim(child.dataType) == "Float"
+      var bucket = 0L
+      var i = 0
+      while (i < planes.length) {
+        val p = planes(i)
+        val n = math.min(v.numElements(), p.length)
+        var d = 0.0
+        var j = 0
+        while (j < n) {
+          d += (if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)) * p(j)
+          j += 1
+        }
+        if (d > 0) bucket |= (1L << i)
+        i += 1
+      }
+      bucket
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("hpExpr", this, classOf[HyperplaneBucket].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = (Long) $self.nullSafeEval($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
+      copy(child = c)
+  }
+
+  /** Indices of the `nProbe` nearest centroids (squared L2), ascending by
+    * distance, ties by index — the IVF cell assignment, one compiled pass
+    * with the centroid matrix as a reference object. */
+  case class NearestCells(
+      child: Expression, centroids: Array[Array[Double]], nProbe: Int)
+    extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = checkVecTypes(child)
+    override def prettyName: String = "nearest_cells"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val isFloat = elemPrim(child.dataType) == "Float"
+      val dists = new Array[Double](centroids.length)
+      var c = 0
+      while (c < centroids.length) {
+        val cc = centroids(c)
+        val n = math.min(v.numElements(), cc.length)
+        var d = 0.0
+        var j = 0
+        while (j < n) {
+          val x = (if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)) - cc(j)
+          d += x * x
+          j += 1
+        }
+        dists(c) = d
+        c += 1
+      }
+      val k = math.min(nProbe, centroids.length)
+      val out = new Array[Int](k)
+      val used = new Array[Boolean](centroids.length)
+      var s = 0
+      while (s < k) {
+        var best = -1
+        var bestD = Double.MaxValue
+        var i = 0
+        while (i < centroids.length) {
+          if (!used(i) && dists(i) < bestD) { bestD = dists(i); best = i }
+          i += 1
+        }
+        used(best) = true
+        out(s) = best
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("nearExpr", this, classOf[NearestCells].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCells =
+      copy(child = c)
+  }
+
   // ----------------------------------------------------------- Column API
 
   def vecDot(a: Column, b: Column): Column =
@@ -312,6 +408,12 @@ object VectorExpressions {
 
   def shingleHash64(text: Column, n: Int): Column =
     Shim.column(ShingleHash64(Shim.expression(text), n))
+
+  def hyperplaneBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    Shim.column(HyperplaneBucket(Shim.expression(vec), planes))
+
+  def nearestCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    Shim.column(NearestCells(Shim.expression(vec), centroids, nProbe))
 
   def simhash64(tokens: Column): Column =
     Shim.column(SimHash64(Shim.expression(tokens)))

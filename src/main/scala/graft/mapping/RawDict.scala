@@ -67,6 +67,21 @@ object RawDict {
       if (r >= ratioLimit) Some(raw -> best) else None
     }.toMap
 
+  /** §3.2 `--extract_raw_data_dictionary` mode: bootstrap a raw dict for
+    * every model node from a frame's columns (fuzzy matcher over the
+    * schema; output is the node → raw column → property mapping a human
+    * then curates — the reference keeps 10 dated curated versions of it).
+    * Pure driver-side schema work; the data never moves. */
+  def inferDict(
+      columns: Seq[String],
+      nodeProps: Map[String, Seq[String]],
+      ratioLimit: Double = 0.75): Map[String, Seq[(String, String)]] =
+    nodeProps.map { case (node, props) =>
+      node -> columns.flatMap { raw =>
+        fuzzyMatch(Seq(raw), props, ratioLimit).headOption
+      }
+    }.filter(_._2.nonEmpty)
+
   /** P1: project raw columns onto model property names, keeping only
     * mappings whose raw column exists and has at least one non-null value,
     * then tag with the node discriminator. */

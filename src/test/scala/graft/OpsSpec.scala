@@ -128,6 +128,16 @@ class OpsSpec extends SparkSpec {
     assert(RawDict.ratio("study id", "study_id") == 0.875)
   }
 
+  test("§3.2 inferDict bootstraps a per-node raw dict from a schema") {
+    val dict = RawDict.inferDict(
+      Seq("Study ID", "Sample Type", "Unmappable Col"),
+      Map(
+        "study" -> Seq("study_id", "study_name"),
+        "sample" -> Seq("sample_type", "sample_id")))
+    assert(dict("study") == Seq("Study ID" -> "study_id"))
+    assert(dict("sample") == Seq("Sample Type" -> "sample_type"))
+  }
+
   test("P2 fuzzyMatch applies normalization and the 0.75 threshold") {
     val m = RawDict.fuzzyMatch(
       Seq("Study ID", "Completely Unrelated"),

@@ -372,6 +372,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // W3 sessionization, batch form: a new session starts after a >30min
+    // gap; session count + bounds per user. (The streaming twin with
+    // state eviction lives in streaming.EventStream.)
+    "w3_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val e = t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(byUser
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      e.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+    }),
+
     // --- LLM-pipeline: deduplication ---
 
     // D1 exact dedup via canonical-form fingerprint (hash-groupBy).
@@ -825,6 +846,32 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // tsu truncates DuckDB's nanos to Spark's micro precision; the gap
+    // compares floor-seconds exactly like Spark's unix_timestamp.
+    "w3_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, tsu,
+        |    lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_ts
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR CAST(floor(epoch(tsu)) AS BIGINT)
+        |              - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM l),
+        |g AS (
+        |  SELECT user_id, event_id,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM g GROUP BY user_id, session_id""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,

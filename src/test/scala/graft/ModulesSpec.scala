@@ -59,6 +59,22 @@ class ModulesSpec extends SparkSpec {
     assert(profile.getString(0) == "k" && profile.getLong(2) == 0)
   }
 
+  test("SeenKeys: cross-batch dedup state filters, absorbs, and survives reload") {
+    val dir = java.nio.file.Files.createTempDirectory("seen_keys").toString
+    val b1 = Seq(("f1", "a"), ("f2", "b"), ("f1", "a-dup")).toDF("fp", "v")
+    val out1 = graft.state.SeenKeys.filterAndAbsorb(b1, "fp", dir)
+      .orderBy("fp").collect()
+    assert(out1.map(_.getString(0)).toSeq == Seq("f1", "f2"))
+    assert(out1(0).getString(1) == "a") // deterministic retention (min full row)
+
+    val b2 = Seq(("f2", "again"), ("f3", "new")).toDF("fp", "v")
+    val out2 = graft.state.SeenKeys.filterAndAbsorb(b2, "fp", dir).collect()
+    assert(out2.map(_.getString(0)).toSeq == Seq("f3")) // f2 already seen
+    val state = graft.state.SeenKeys.load(spark, dir)
+      .orderBy("key").collect().map(_.getString(0)).toSeq
+    assert(state == Seq("f1", "f2", "f3"))
+  }
+
   test("M1 binary metadata: byte length and kind are deterministic") {
     val df = Seq((1L, "abc"), (2L, "abcd")).toDF("doc_id", "text")
     val out = Multimodal.withBinaryMeta(df, "text").orderBy("doc_id").collect()

@@ -353,6 +353,39 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"))
     }),
 
+    // V6 regex-pattern property validation (model regex types §1.2, e.g.
+    // md5sum ^[0-9a-fA-F]{32}$): non-null values that do NOT match.
+    "v6_pattern_violations" -> ((s, dir) => {
+      Validations.patternViolations(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "^src[0-9]$")
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // A8 list-type prop roundtrip (§1.2): comma-joined string → array ops
+    // (distinct, sort) → ", "-joined at the sink, the model's list
+    // serialization contract.
+    "a8_list_serialize" -> ((s, dir) => {
+      val parts = transform(
+        split(col("o_orderpriority"), "-"), v => trim(v))
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        array_join(array_distinct(sort_array(parts)), ", ").as("priority_parts"))
+    }),
+
+    // P11 number-with-units normalization (§1.2 size/units props):
+    // "N GB|TB|PB" → bytes; unknown unit → null. Sizes synthesized from
+    // event ids (integer rendering — identical text in every engine).
+    "p11_units_to_bytes" -> ((s, dir) => {
+      val rendered = concat(
+        pmod(col("event_id"), lit(1000)).cast("string"),
+        element_at(array(lit(" GB"), lit(" TB"), lit(" PB"), lit(" zz")),
+          (pmod(col("event_id"), lit(4)) + 1).cast("int")))
+      t(s, dir, "events").select(
+        col("event_id"), rendered.as("size_raw"),
+        Normalize.unitsToBytes(rendered).as("size_bytes"))
+    }),
+
     // --- window / event analytics (engine extensions) ---
 
     // Top-3 events per user by value; rank via window, fully tie-broken.
@@ -833,6 +866,29 @@ object SparkEntry {
     "v5_enum_violations" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')""".stripMargin,
+
+    "v6_pattern_violations" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')""".stripMargin,
+
+    "a8_list_serialize" ->
+      """SELECT o_orderkey,
+        |  array_to_string(list_sort(list_distinct(
+        |    list_transform(string_split(o_orderpriority, '-'), x -> trim(x)))), ', ')
+        |    AS priority_parts
+        |FROM orders""".stripMargin,
+
+    "p11_units_to_bytes" ->
+      """SELECT event_id,
+        |  concat(CAST(event_id % 1000 AS VARCHAR),
+        |    CASE event_id % 4 WHEN 0 THEN ' GB' WHEN 1 THEN ' TB'
+        |      WHEN 2 THEN ' PB' ELSE ' zz' END) AS size_raw,
+        |  CAST(CASE event_id % 4
+        |    WHEN 0 THEN floor((event_id % 1000) * 1e9)
+        |    WHEN 1 THEN floor((event_id % 1000) * 1e12)
+        |    WHEN 2 THEN floor((event_id % 1000) * 1e15)
+        |    ELSE NULL END AS BIGINT) AS size_bytes
+        |FROM events""".stripMargin,
 
     "w1_top_events" ->
       """SELECT user_id, event_id, rank FROM (

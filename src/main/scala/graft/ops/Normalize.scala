@@ -86,4 +86,20 @@ object Normalize {
   /** P9 / V3 fill: replace nulls in the given string columns with a literal. */
   def fillMissing(df: DataFrame, cols: Seq[String], value: String): DataFrame =
     df.na.fill(value, cols)
+
+  /** Number-with-units normalization (§1.2 `size_of_data_being_uploaded`,
+    * units GB/TB/PB, cds-model-props.yml:7981-7985): "1.5 TB" → bytes.
+    * Unrecognized unit or unparseable number → null (validation surfaces
+    * it). Decimal powers (10⁹/10¹²/10¹⁵), matching the model's intent. */
+  def unitsToBytes(c: Column): Column = {
+    val num = trim(regexp_extract(c, "^\\s*([0-9.]+)\\s*([A-Za-z]+)\\s*$", 1)).try_cast("double")
+    val unit = upper(regexp_extract(c, "^\\s*([0-9.]+)\\s*([A-Za-z]+)\\s*$", 2))
+    val factor = element_at(
+      map(lit("GB"), lit(1.0e9), lit("TB"), lit(1.0e12), lit("PB"), lit(1.0e15)),
+      unit)
+    // floor before the integral cast: double->long CAST truncates in Spark
+    // but ROUNDS in some engines (DuckDB) — flooring first makes the value
+    // integral so every engine lands on the same long
+    floor(num * factor)
+  }
 }

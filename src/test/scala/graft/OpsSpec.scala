@@ -86,6 +86,14 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq("25", "25.5", "abc", "1000", "0"))
   }
 
+  test("P11 unitsToBytes: GB/TB/PB parsed, junk and unknown units -> null") {
+    val df = Seq("1.5 TB", "2 GB", "800PB", "12 zz", "junk", " 3  GB ").toDF("v")
+    val got = df.select(Normalize.unitsToBytes(col("v")).as("b")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got == Seq(Some(1500000000000L), Some(2000000000L),
+      Some(800000000000000000L), None, None, Some(3000000000L)))
+  }
+
   // ----------------------------------------------------------------- Ids
 
   test("P10 deterministicId is stable and null-token-safe") {

@@ -503,8 +503,12 @@ object SparkEntry {
         TextAnalysis.langId(col("text")).as("lang_pred"),
         floor(TextAnalysis.qualityScore(col("text")) * 10000).as("quality_bp"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-      val keep = scored.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
-      scored.join(keep, Seq("fingerprint"))
+      // keep-min via window, not agg+self-join: the join form re-evaluates
+      // the whole scoring scan on both branches; the window shuffles once
+      // on the fingerprint and scores each document exactly once
+      val w = Window.partitionBy(col("fingerprint"))
+      scored
+        .withColumn("keep_id", min(col("doc_id")).over(w))
         .filter(col("doc_id") === col("keep_id") &&
           col("lang_pred") === col("lang") &&
           col("quality_bp") >= 2000)

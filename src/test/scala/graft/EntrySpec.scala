@@ -32,4 +32,20 @@ class EntrySpec extends SparkSpec {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracle without query: $extra")
   }
+
+  test("every oracle-gated query is run-to-run deterministic (value sets)") {
+    // the driver hash-compares values: any nondeterministic retention,
+    // tie-break, or float rendering would flake the gate. s4 writes fresh
+    // temp dirs per invocation but must yield identical values.
+    def snapshot(name: String): Seq[Seq[String]] = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val cols = df.columns.sorted.toIndexedSeq
+      df.collect().map(r => cols.map(c =>
+        String.valueOf(r.get(r.fieldIndex(c))))).toSeq.sortBy(_.mkString(""))
+    }
+    val flaky = SparkEntry.oracleSql.keySet.toSeq.sorted.flatMap { name =>
+      if (snapshot(name) != snapshot(name)) Some(name) else None
+    }
+    assert(flaky.isEmpty, s"nondeterministic queries: $flaky")
+  }
 }

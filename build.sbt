@@ -29,7 +29,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // headroom for whole-stage-codegen classes: a full bench session
   // JIT-compiles hundreds of generated classes; an exhausted code cache
   // silently de-optimizes every later query (measured 5-10x)

@@ -315,8 +315,7 @@ object SparkEntry {
     // V1 composition: keep only rows whose id is conflict-free (unique).
     "v1_unique_only" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
-      val dups = Validations.duplicateIds(l, "l_orderkey").select(col("l_orderkey"))
-      l.join(dups, Seq("l_orderkey"), "left_anti")
+      Validations.uniqueRows(l, "l_orderkey")
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
     }),
 

@@ -32,6 +32,16 @@ object Cascade {
     * @param ids      node name → id column (for emitting deleted-id sets)
     * @param seeds    node name → DataFrame with that node's id column,
     *                 listing initially-deleted ids
+    * @param checkpoint cut lineage at each cascade level (default true).
+    *                 Without it every downstream action re-executes the
+    *                 whole multi-level join DAG from the raw scans — a
+    *                 consumer touching k output nodes pays the cascade k
+    *                 times over. Deleted-id sets are checkpointed eagerly
+    *                 (tiny frames, one small job per level); survivor
+    *                 frames lazily (materialized once at first use, then
+    *                 reused from block storage). On a cluster with big
+    *                 node tables, swap `localCheckpoint` for reliable
+    *                 `checkpoint` to HDFS — the shape is the same.
     * @return surviving rows per node (parent pointers of deleted parents
     *         nulled out, fully-orphaned rows removed, recursively)
     */
@@ -39,7 +49,8 @@ object Cascade {
       nodes: Map[String, DataFrame],
       parents: Map[String, Seq[ParentRef]],
       ids: Map[String, String],
-      seeds: Map[String, DataFrame]): Map[String, DataFrame] = {
+      seeds: Map[String, DataFrame],
+      checkpoint: Boolean = true): Map[String, DataFrame] = {
 
     var current = nodes
     // deleted-id frames per node, grown level by level
@@ -73,12 +84,18 @@ object Cascade {
           // a row dies when ALL parent pointers are null
           val allRefs = parents(child)
           val orphan = allRefs.map(r => graft.ColNames.q(r.fk).isNull).reduce(_ && _)
-          val dying = df.filter(orphan).select(graft.ColNames.q(ids(child))).distinct()
-          val survivors = df.filter(!orphan)
+          val dying0 = df.filter(orphan).select(graft.ColNames.q(ids(child))).distinct()
+          val dying = if (checkpoint) dying0.localCheckpoint() else dying0
+          val survivors0 = df.filter(!orphan)
+          val survivors =
+            if (checkpoint) survivors0.localCheckpoint(eager = false) else survivors0
           current = current.updated(child, survivors)
+          val mergedDel =
+            deleted.get(child).map(_.union(dying).distinct()).getOrElse(dying)
           deleted = deleted.updated(
             child,
-            deleted.get(child).map(_.union(dying).distinct()).getOrElse(dying))
+            if (checkpoint && deleted.contains(child)) mergedDel.localCheckpoint()
+            else mergedDel)
           nextFrontier += child
         }
       }

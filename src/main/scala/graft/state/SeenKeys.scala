@@ -1,8 +1,7 @@
 package graft.state
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Cross-run/cross-batch exact-dedup state: a parquet table of content
   * keys already seen (fingerprints, content hashes, natural ids). The
@@ -10,43 +9,74 @@ import org.apache.spark.sql.functions._
   * only never-seen rows (`left_anti` against the state), then the state
   * absorbs the batch's keys.
   *
-  * Scale posture:
-  *  - the state table carries ONE narrow column; at 10¹¹ documents that
-  *    is still orders of magnitude smaller than the corpus, and the
-  *    anti-join shuffles only (batch keys ∪ matching state partitions);
-  *  - writes go to a versioned subdirectory then swap a pointer file —
-  *    single-writer discipline with readable-while-writing semantics
-  *    (the reference's whole-file YAML rewrite, made atomic; SURVEY.md
-  *    §7.4 risk 5);
-  *  - for latency-critical paths the same contract can move to a
-  *    streaming `dropDuplicates` + watermark state store; this parquet
-  *    form is replayable and engine-restart-proof.
+  * Storage is append-only deltas with periodic compaction (the LSM shape):
+  * each batch writes ONLY its own fresh keys as a new `delta-N` parquet
+  * dir; every `compactEvery` batches the manifest's files are merged into
+  * one `base-N`. An atomic `_CURRENT` manifest (newline-separated relative
+  * paths, temp-free single-file overwrite) lists the live files, so a
+  * reader mid-compaction still sees a consistent older state
+  * (single-writer discipline; the reference's whole-file YAML rewrite made
+  * atomic — SURVEY.md §7.4 risk 5).
+  *
+  * Scale posture (the round-2 version rewrote the FULL key set every
+  * batch — O(|state|) per batch, a non-starter at 10¹¹ keys):
+  *  - per-batch write cost is O(|batch|): one narrow delta file;
+  *  - compaction is O(|state|) but amortized over `compactEvery` batches,
+  *    and the read path between compactions is a union of ≤ compactEvery
+  *    parquet dirs — Spark scans them as one multi-path relation;
+  *  - the anti-join read path shuffles only (batch keys ∪ state); for
+  *    latency-critical paths the same contract can move to a streaming
+  *    `dropDuplicates` + watermark state store; this parquet form is
+  *    replayable and engine-restart-proof.
   */
 object SeenKeys {
 
   private def pointer(dir: String) = new Path(dir, "_CURRENT")
 
+  private def readManifest(fs: FileSystem, dir: String): Seq[String] = {
+    val ptr = pointer(dir)
+    if (!fs.exists(ptr)) Seq.empty
+    else {
+      val in = fs.open(ptr)
+      val text = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    }
+  }
+
+  private def writeManifest(fs: FileSystem, dir: String, entries: Seq[String]): Unit = {
+    val out = fs.create(pointer(dir), true)
+    try out.write(entries.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
   /** Load the current key set (empty frame when no state exists). */
   def load(spark: SparkSession, dir: String): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val ptr = pointer(dir)
-    val fs = ptr.getFileSystem(conf)
-    if (!fs.exists(ptr)) {
+    val fs = pointer(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = readManifest(fs, dir)
+    if (entries.isEmpty) {
       import spark.implicits._
       Seq.empty[String].toDF("key")
     } else {
-      val version = {
-        val in = fs.open(ptr)
-        try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      }
-      spark.read.parquet(new Path(dir, version).toString)
+      spark.read.parquet(entries.map(e => new Path(dir, e).toString): _*)
+        .select("key")
     }
   }
 
   /** Split `batch` into never-seen rows and update the state with the
     * batch's keys. Returns the deduplicated batch. `keyCol` must already
-    * exist on the batch (e.g. a fingerprint/content-hash column). */
-  def filterAndAbsorb(batch: DataFrame, keyCol: String, dir: String): DataFrame = {
+    * exist on the batch (e.g. a fingerprint/content-hash column).
+    *
+    * @param compactEvery merge the state into a single base dir whenever
+    *        the manifest would exceed this many files. Compaction does NOT
+    *        delete the superseded files — the returned frame's anti-join
+    *        lineage (and any reader holding the prior manifest) still
+    *        reads them; reclaim space with [[vacuum]] once those frames
+    *        are consumed.
+    */
+  def filterAndAbsorb(
+      batch: DataFrame,
+      keyCol: String,
+      dir: String,
+      compactEvery: Int = 16): DataFrame = {
     val spark = batch.sparkSession
     val seen = load(spark, dir)
     // batch-internal dedup on the key with deterministic retention
@@ -54,21 +84,39 @@ object SeenKeys {
     val fresh = graft.ops.Dedup.stringified(
       batch.join(seen.withColumnRenamed("key", keyCol), Seq(keyCol), "left_anti"),
       Seq(keyCol))
-    val newState = seen.union(fresh.select(graft.ColNames.q(keyCol).as("key"))).distinct()
+    val freshKeys = fresh.select(graft.ColNames.q(keyCol).as("key"))
 
-    // versioned write + pointer swap
-    val conf = spark.sparkContext.hadoopConfiguration
-    val ptr = pointer(dir)
-    val fs = ptr.getFileSystem(conf)
-    val current =
-      if (fs.exists(ptr)) {
-        val in = fs.open(ptr)
-        try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      } else "v0"
-    val next = "v" + (current.drop(1).toLong + 1)
-    newState.write.mode("overwrite").parquet(new Path(dir, next).toString)
-    val out = fs.create(ptr, true)
-    try out.write(next.getBytes("UTF-8")) finally out.close()
+    val fs = pointer(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = readManifest(fs, dir)
+    val nextIdx = entries
+      .flatMap(e => e.dropWhile(!_.isDigit).toLongOption)
+      .maxOption.getOrElse(0L) + 1
+    if (entries.size + 1 > compactEvery) {
+      // compaction turn: fold every live file + this batch into one base
+      val p = s"base-$nextIdx"
+      seen.union(freshKeys).distinct()
+        .write.mode("overwrite").parquet(new Path(dir, p).toString)
+      writeManifest(fs, dir, Seq(p))
+    } else {
+      // O(|batch|) turn: append one delta, leave prior files untouched
+      val p = s"delta-$nextIdx"
+      freshKeys.write.mode("overwrite").parquet(new Path(dir, p).toString)
+      writeManifest(fs, dir, entries :+ p)
+    }
     fresh
+  }
+
+  /** Delete state files no longer referenced by the manifest (superseded
+    * by a compaction). Safe once no outstanding frame from an earlier
+    * [[filterAndAbsorb]]/[[load]] is still unconsumed. */
+  def vacuum(spark: SparkSession, dir: String): Unit = {
+    val fs = pointer(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(dir)
+    if (fs.exists(root)) {
+      val live = readManifest(fs, dir).toSet + "_CURRENT"
+      fs.listStatus(root)
+        .filterNot(st => live.contains(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
+    }
   }
 }

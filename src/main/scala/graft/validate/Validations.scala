@@ -38,6 +38,19 @@ object Validations {
       .select(graft.ColNames.q(id), col("cnt"), col("conflicted_columns"))
   }
 
+  /** V1 composition: rows whose id occurs exactly once. One shuffle — a
+    * count over a window on the id — instead of the two-scan
+    * aggregate-then-anti-join shape (`duplicateIds` + `left_anti`), which
+    * costs a second scan and a second shuffle of the full table. Null ids
+    * are never unique (the reference flags them as invalid,
+    * `cds_transformation_functions.py:249`). */
+  def uniqueRows(df: DataFrame, id: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(graft.ColNames.q(id))
+    df.withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__cnt") === 1 && graft.ColNames.q(id).isNotNull)
+      .drop("__cnt")
+  }
+
   /** A5 + V2: rows whose parent pointers are ALL null — the reference
     * builds per-column lists and intersects them
     * (`cds_transformation_functions.py:222-238`); one filter suffices. */

@@ -27,6 +27,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the k-NN paths rank via an object-typed top-k aggregate; the
+      // default 128-group threshold would push every partition into the
+      // sort-based fallback (buffers are ~16·k bytes, so memory is safe)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -37,32 +41,46 @@ object Bench {
     }
 
     // drop anything a query left pinned in the block manager so the next
-    // measurement starts from a clean executor heap (runs OUTSIDE timers)
+    // measurement starts from a clean executor heap (runs OUTSIDE timers).
+    // blocking=true: async removals queued up behind heavy shuffles were a
+    // prime suspect for the round-3 mid-session slowdowns — pay the wait
+    // here, untimed, instead of inside someone else's measurement.
     def drain(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
     }
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     var errors = Map.empty[String, String]
     var best = Map.empty[String, Double]
+    var passTotals = Vector.empty[Double]
     var p = 0
     while (p < passes) {
       var i = 0
+      var passTotal = 0.0
       for ((name, fn) <- names) {
         drain()
         if (i % 10 == 0) System.gc() // let ContextCleaner drain broadcasts
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-            errors += (name -> msg.linesIterator.take(1).mkString.take(200))
-        }
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              errors += (name -> msg.linesIterator.take(1).mkString.take(200))
+              false
+          }
         val sec = (System.nanoTime() - t0) / 1e9
-        best += (name -> best.get(name).fold(sec)(math.min(_, sec)))
+        passTotal += sec
+        // fold timings on success only (a fast failure path is not a
+        // timing); a later success clears an earlier pass's error
+        if (ok) {
+          best += (name -> best.get(name).fold(sec)(math.min(_, sec)))
+          errors -= name
+        }
         i += 1
       }
+      passTotals :+= passTotal
       System.gc()
       p += 1
     }
@@ -73,12 +91,17 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = names.map { case (k, _) => s"${jstr(k)}:${best(k)}" }.mkString("{", ",", "}")
+    val qs = names.flatMap { case (k, _) => best.get(k).map(v => s"${jstr(k)}:$v") }
+      .mkString("{", ",", "}")
     val es = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = names.map { case (k, _) => best(k) }.sum
+    val total = best.values.sum
+    val pts = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    // "value" = sum of per-query minima (floor-of-noise); "pass_totals" =
+    // achievable single-session wall times per pass, so consumers can tell
+    // the two apart (ADVICE r3).
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"passes":$passes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"passes":$passes,"pass_totals":$pts,"sf":"$sfDir"}"""
     spark.stop()
     // after stop so no executor log lines land after it
     println(line)

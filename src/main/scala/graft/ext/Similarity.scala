@@ -2,7 +2,6 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -42,22 +41,41 @@ object Similarity {
     * Output (vec_id, neighbor_id, rank); ties broken by neighbor id so the
     * result is fully deterministic (similarity values themselves are not
     * emitted — FP ulps must not decide hash equality). */
-  def knnBrute(emb: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+  def knnBrute(emb: DataFrame, id: String, vec: String, k: Int): DataFrame =
+    knnBruteFor(emb, emb, id, vec, k)
+
+  /** Exact top-k for a SUBSET of query vectors against a full corpus —
+    * the ground-truth generator for recall gating: O(|queries|·n) instead
+    * of O(n²), so a deterministic 20% query sample costs 1/5th of the full
+    * verifier while measuring the same per-query recall. */
+  def knnBruteFor(queries: DataFrame, corpus: DataFrame,
+                  id: String, vec: String, k: Int): DataFrame = {
     // The inequality self-join is a nested-loop join whose parallelism is
     // the streamed side's partitioning; a single-file parquet read would
     // put the whole O(n²) kernel on one core. Spread the streamed side
     // across the cluster first (tiny shuffle of n rows).
-    val a = emb.select(col(id).as("vec_id"), col(vec).as("va"))
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
-    val b = emb.select(col(id).as("neighbor_id"), col(vec).as("vb"))
+    val a = queries.select(col(id).as("vec_id"), col(vec).as("va"))
+      .repartition(queries.sparkSession.sparkContext.defaultParallelism)
+    val b = corpus.select(col(id).as("neighbor_id"), col(vec).as("vb"))
     val pairs = a.join(b, col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("va"), col("vb")))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
-    pairs
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("rank"))
+    rankTopK(pairs, k)
   }
+
+  /** Rank candidate pairs `(vec_id, neighbor_id, sim)` down to the top-k
+    * per query vector — via the bounded [[graft.functions.TopKAggregate]],
+    * NOT a `row_number()` window: the window form shuffles and sorts every
+    * candidate pair, while the aggregate reduces each map task's slice to
+    * ≤ k entries per vec_id before the exchange, so the shuffle carries
+    * O(n·k) rows regardless of candidate volume. Ordering (sim desc, id
+    * asc, Double.compare NaN semantics) is bit-identical to the window
+    * form — pinned by TopKSpec and the unchanged e1 oracle hash. */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy(col("vec_id"))
+      .agg(graft.functions.TopKAggregate
+        .topkIdsBy(col("sim"), col("neighbor_id").cast("long"), k).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "neighbor_id")))
+      .select(col("vec_id"), col("neighbor_id"), (col("pos") + 1).cast("long").as("rank"))
 
   /** Seeded random hyperplanes: `bits` hyperplanes in `dim` dimensions. */
   private def hyperplanes(dim: Int, bits: Int, seed: Long): Seq[Array[Double]] = {
@@ -87,12 +105,17 @@ object Similarity {
     * candidate volume stays L·n²/2^b — the standard recall/cost dial
     * (bits ↑ = fewer candidates, tables ↑ = higher recall). */
   def knnLsh(emb: DataFrame, id: String, vec: String, k: Int,
-             dim: Int, bits: Int = 6, tables: Int = 8, seed: Long = 42L): DataFrame = {
+             dim: Int, bits: Int = 6, tables: Int = 8, seed: Long = 42L,
+             queryPred: Option[Column] = None): DataFrame = {
     val buckets = array((0 until tables).map(l =>
       lshBucket(col(vec), dim, bits, seed + l)).toIndexedSeq: _*)
-    val sigs = emb.select(col(id), posexplode(buckets).as(Seq("tbl", "bucket")))
-    val a = sigs.select(col("tbl"), col("bucket"), col(id).as("vec_id"))
-    val b = sigs.select(col("tbl"), col("bucket"), col(id).as("neighbor_id"))
+    def sigs(df: DataFrame) =
+      df.select(col(id), posexplode(buckets).as(Seq("tbl", "bucket")))
+    // queryPred restricts WHICH vectors we search for (the a-side) without
+    // shrinking the candidate corpus (the b-side) — the recall-gate shape.
+    val a = sigs(queryPred.fold(emb)(emb.filter))
+      .select(col("tbl"), col("bucket"), col(id).as("vec_id"))
+    val b = sigs(emb).select(col("tbl"), col("bucket"), col(id).as("neighbor_id"))
     // dedupe the id pairs FIRST (16-byte rows through the shuffle), then
     // attach the vectors — carrying both embeddings through the
     // union-across-tables distinct would shuffle ~30× more bytes
@@ -104,11 +127,7 @@ object Similarity {
     val vb = emb.select(col(id).as("neighbor_id"), col(vec).as("vb"))
     val pairs = cand.join(va, Seq("vec_id")).join(vb, Seq("neighbor_id"))
       .withColumn("sim", cosine(col("va"), col("vb")))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
-    pairs
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("rank"))
+    rankTopK(pairs, k)
   }
 
   /** IVF (inverted-file) approximate k-NN — the centroid-bucketed scale
@@ -125,7 +144,7 @@ object Similarity {
     */
   def knnIvf(emb: DataFrame, id: String, vec: String, k: Int,
              nCells: Int = 16, nProbe: Int = 4, sampleN: Int = 256,
-             iters: Int = 5): DataFrame = {
+             iters: Int = 5, queryPred: Option[Column] = None): DataFrame = {
     // --- driver-side centroid fit (deterministic) ---
     val sample = emb.orderBy(col(id)).limit(sampleN)
       .select(col(vec)).collect()
@@ -156,16 +175,15 @@ object Similarity {
     val cm = centroids
     val data = emb.select(col(id).as("neighbor_id"), col(vec).as("vb"),
       element_at(nearestCells(col(vec), cm, 1), 1).as("cell"))
-    val probes = emb.select(col(id).as("vec_id"), col(vec).as("va"),
-      explode(nearestCells(col(vec), cm, nProbe)).as("cell"))
+    // centroids are always fit on the FULL table (deterministic regardless
+    // of the query subset); queryPred only restricts the probe side.
+    val probes = queryPred.fold(emb)(emb.filter)
+      .select(col(id).as("vec_id"), col(vec).as("va"),
+        explode(nearestCells(col(vec), cm, nProbe)).as("cell"))
     val pairs = probes.join(data, Seq("cell"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("va"), col("vb")))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
-    pairs
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id"), col("rank"))
+    rankTopK(pairs, k)
   }
 
   private def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {
@@ -179,6 +197,28 @@ object Similarity {
       c += 1
     }
     best
+  }
+
+  /** Recall@k of an approximate k-NN result against the exact one, shaped
+    * for the driver's oracle gate: ONE row `(n_query_vecs, recall_ok)`
+    * where `recall_ok = 1` iff recall in basis points ≥ `minBp`.
+    *
+    * Both inputs are `(vec_id, neighbor_id, rank)` frames. The oracle SQL
+    * side is `SELECT count(*), CAST(1 AS BIGINT) FROM embeddings WHERE
+    * <query subset>` — so the hash gate collapses if the ANN path stops
+    * finding the true neighbors (flag flips to 0) or the query plumbing
+    * breaks (count drifts). Everything is deterministic: seeded planes /
+    * sorted-sample centroids, id tie-breaks, integer basis points.
+    */
+  def recallGate(approx: DataFrame, exact: DataFrame, minBp: Int): DataFrame = {
+    val hit = approx.select(col("vec_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact.select(col("vec_id"), col("neighbor_id"))
+      .join(hit, Seq("vec_id", "neighbor_id"), "left")
+      .agg(
+        count_distinct(col("vec_id")).as("n_query_vecs"),
+        when(floor(sum(coalesce(col("hit"), lit(0L))) * lit(10000) / count(lit(1)))
+          >= minBp, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
   }
 
   /** Embedding hygiene stats: dimension and L2 norm per vector (norm

@@ -129,6 +129,45 @@ object Pipeline {
     (specs, cfgList("REMOVE_NODES").toSet)
   }
 
+  /** The split stage (P1 + J5/J6/J7): project one node's frame off the
+    * wide Metadata frame. Parent pointers (J5) are same-row projections
+    * `raw.as("{parent}.{prop}")` — the reference's positional
+    * index-alignment (`cds-transformation_v1.3.py:83-95`) without a join
+    * or shuffle. Public so the driver gate can exercise it directly
+    * (`j5_parent_pointer`) with the exact code `run()` uses. */
+  def projectNode(wide: DataFrame, spec: NodeSpec): DataFrame = {
+    val propCols: Seq[Column] = spec.rawMapping.collect {
+      case (raw, prop) if wide.columns.contains(raw) => col(raw).as(prop)
+    }
+    val parentCols: Seq[Column] = spec.parents.collect {
+      case ParentPointer(p, prop, raw) if wide.columns.contains(raw) =>
+        col(raw).as(s"$p.$prop")
+    }
+    var df = wide.select(propCols ++ parentCols: _*)
+    // J6 secondary id: node id backfilled from the parent's id column
+    // (same wide row — coalesce, no join)
+    spec.secondaryIdFrom.foreach { parentRaw =>
+      if (wide.columns.contains(parentRaw)) {
+        val base =
+          if (df.columns.contains(spec.idProp)) col(spec.idProp)
+          else lit(null).cast("string")
+        df = wide.select((propCols ++ parentCols) :+ col(parentRaw).as("__parent_id"): _*)
+          .withColumn(spec.idProp, coalesce(base, col("__parent_id")))
+          .drop("__parent_id")
+      }
+    }
+    // J7 compound id from wide raw parts
+    spec.compoundId.foreach { c =>
+      val parts = c.parts.filter(wide.columns.contains).map(wide(_))
+      if (parts.nonEmpty) {
+        val withId = wide.select((propCols ++ parentCols) :+
+          Combine.combineColumns(c.parts.map(col), c.sep).as(spec.idProp): _*)
+        df = withId
+      }
+    }
+    df.withColumn("type", lit(spec.name))
+  }
+
   def run(
       wideRaw: DataFrame,
       specs: Seq[NodeSpec],
@@ -141,37 +180,7 @@ object Pipeline {
 
     // ---- split: project each node off the wide frame (P1 + J5/J6/J7) ----
     var nodes: Map[String, DataFrame] = live.map { spec =>
-      val propCols: Seq[Column] = spec.rawMapping.collect {
-        case (raw, prop) if wide.columns.contains(raw) => col(raw).as(prop)
-      }
-      val parentCols: Seq[Column] = spec.parents.collect {
-        case ParentPointer(p, prop, raw) if wide.columns.contains(raw) =>
-          col(raw).as(s"$p.$prop")
-      }
-      var df = wide.select(propCols ++ parentCols: _*)
-      // J6 secondary id: node id backfilled from the parent's id column
-      // (same wide row — coalesce, no join)
-      spec.secondaryIdFrom.foreach { parentRaw =>
-        if (wide.columns.contains(parentRaw)) {
-          val base =
-            if (df.columns.contains(spec.idProp)) col(spec.idProp)
-            else lit(null).cast("string")
-          df = wide.select((propCols ++ parentCols) :+ col(parentRaw).as("__parent_id"): _*)
-            .withColumn(spec.idProp, coalesce(base, col("__parent_id")))
-            .drop("__parent_id")
-        }
-      }
-      // J7 compound id from wide raw parts
-      spec.compoundId.foreach { c =>
-        val parts = c.parts.filter(wide.columns.contains).map(wide(_))
-        if (parts.nonEmpty) {
-          val withId = wide.select((propCols ++ parentCols) :+
-            Combine.combineColumns(c.parts.map(col), c.sep).as(spec.idProp): _*)
-          df = withId
-        }
-      }
-      df = df.withColumn("type", lit(spec.name))
-      spec.name -> df
+      spec.name -> projectNode(wide, spec)
     }.toMap
 
     // ---- per-node cleanup: dedup (A1), all-null drop (P7) ----

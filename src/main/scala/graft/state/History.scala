@@ -33,11 +33,28 @@ object History {
   }
 
   /** H1 ingestion shape: take a node frame's (key, comma-joined list value)
-    * and split/trim into update rows (`split(',')` + strip, `:428`). */
-  def updatesFromColumn(df: DataFrame, key: String, listCol: String): DataFrame =
+    * and split/trim into update rows (`split(',')` + strip, `:428`).
+    *
+    * `strict` (default, mirroring the reference): a NULL historical value
+    * aborts the run (`cds_transformation_functions.py:423-425` hard-exits
+    * via `sys.exit(1)` — a null here means the upstream frame lost a
+    * value, and silently merging it would corrupt the history state).
+    * The guard is `raise_error` INSIDE the plan — no eager driver-side
+    * probe; the job fails at execution wherever the null surfaces, which
+    * is the distributed equivalent of the reference's abort. */
+  def updatesFromColumn(df: DataFrame, key: String, listCol: String,
+                        strict: Boolean = true): DataFrame = {
+    val value =
+      if (strict)
+        when(col(listCol).isNull, raise_error(concat(
+          lit(s"historical value is null in column '$listCol' for key "),
+          coalesce(col(key).cast("string"), lit("<null>")))))
+          .otherwise(col(listCol))
+      else col(listCol)
     df.select(
       col(key).as("key"),
-      transform(split(col(listCol), ","), v => trim(v)).as("values"))
+      transform(split(value, ","), v => trim(v)).as("values"))
+  }
 
   /** H2: render history back onto a node frame as the full comma-joined
     * list — applied *before* the sink instead of the reference's

@@ -193,6 +193,23 @@ class OpsSpec extends SparkSpec {
     assert(rendered(0).getString(1) == "v3,v2,v1")
   }
 
+  test("H1 strict ingestion aborts on a null historical value (ref :423-425)") {
+    val ok = Seq(("s1", "v1, v2"), ("s2", "v3")).toDF("key", "vals")
+    assert(History.updatesFromColumn(ok, "key", "vals")
+      .orderBy("key").collect()(0).getSeq[String](1) == Seq("v1", "v2"))
+    val withNull = Seq(("s1", "v1"), ("s2", null)).toDF("key", "vals")
+    val e = intercept[Exception] {
+      History.updatesFromColumn(withNull, "key", "vals").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("historical value is null")), e.getMessage)
+    // opt-out keeps the lenient pre-guard behavior (null -> null values)
+    val lenient = History.updatesFromColumn(withNull, "key", "vals", strict = false)
+      .orderBy("key").collect()
+    assert(lenient(1).isNullAt(1))
+  }
+
   // ---------------------------------------------------------- Validations
 
   test("A3/A4 duplicate ids and conflict columns") {

@@ -77,22 +77,16 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "neighbor_id")))
       .select(col("vec_id"), col("neighbor_id"), (col("pos") + 1).cast("long").as("rank"))
 
-  /** Seeded random hyperplanes: `bits` hyperplanes in `dim` dimensions. */
-  private def hyperplanes(dim: Int, bits: Int, seed: Long): Seq[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
-  }
-
   /** Random-hyperplane LSH signature: an integer bucket id from `bits`
     * sign bits. One compiled expression carrying the plane matrix as a
     * reference object — NOT `bits` literal-array dot products: the
     * literal-tree form generated pathological Janino classes (48 planes ×
     * 64 lit() elements), filled the JVM code cache and slowed every
-    * subsequent query in the session by 5-10×. */
-  def lshBucket(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
-    val planes = hyperplanes(dim, bits, seed).map(_.clone).toArray
-    graft.functions.VectorExpressions.hyperplaneBucket(vec, planes)
-  }
+    * subsequent query in the session by 5-10×. Plane generation is shared
+    * with the SQL surface (`hyperplane_bucket(vec, dim, bits, seed)`). */
+  def lshBucket(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column =
+    graft.functions.VectorExpressions.hyperplaneBucket(vec,
+      graft.functions.VectorExpressions.seededPlanes(dim, bits, seed))
 
   /** Approximate k-NN via MULTI-TABLE random-hyperplane LSH: `tables`
     * independent hash tables (seeded hyperplane sets); candidates are the

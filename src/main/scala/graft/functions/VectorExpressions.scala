@@ -418,11 +418,74 @@ object VectorExpressions {
   def simhash64(tokens: Column): Column =
     Shim.column(SimHash64(Shim.expression(tokens)))
 
-  /** Register the expressions for `spark.sql` use (vec_dot, vec_cosine,
-    * minhash_sig(h, k, seed), simhash64). */
+  /** Seeded random-hyperplane matrix — the single source of truth for
+    * both the Column API ([[graft.ext.Similarity.lshBucket]]) and the SQL
+    * registration, so `hyperplane_bucket(vec, dim, bits, seed)` in SQL
+    * buckets identically to the DataFrame path. */
+  def seededPlanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Evaluate a foldable literal argument at registration time (k, n,
+    * seed, probe counts — scalar dials, not data). */
+  private def lit2Long(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval(null) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
+
+  private def lit2Matrix(e: Expression, what: String): Array[Array[Double]] = {
+    require(e.foldable, s"$what must be a literal array<array<numeric>>")
+    val elemType = e.dataType match {
+      case ArrayType(ArrayType(t, _), _) => t
+      case other => throw new IllegalArgumentException(
+        s"$what must be array<array<numeric>>, got ${other.simpleString}")
+    }
+    val outer = e.eval(null).asInstanceOf[ArrayData]
+    val m = Array.tabulate(outer.numElements()) { i =>
+      val row = outer.getArray(i)
+      Array.tabulate(row.numElements()) { j =>
+        row.get(j, elemType) match {
+          case d: java.lang.Double => d.doubleValue()
+          case f: java.lang.Float => f.toDouble
+          case dec: Decimal => dec.toDouble
+          case n: java.lang.Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"$what element is not numeric: $other")
+        }
+      }
+    }
+    if (m.isEmpty) throw new IllegalArgumentException(s"$what must be non-empty")
+    m
+  }
+
+  /** Register every kernel for `spark.sql` use:
+    * `vec_dot(a, b)`, `vec_cosine(a, b)`, `simhash64(tokens)`,
+    * `minhash_sig(hashes, k, seed)`, `shingle_hash64(text, n)`,
+    * `hyperplane_bucket(vec, dim, bits, seed)` (planes derived from the
+    * seed exactly as the DataFrame path derives them), and
+    * `nearest_cells(vec, centroids, nProbe)` with a literal centroid
+    * matrix. SQL text and DataFrame code produce the same Expression
+    * nodes, so results are bit-identical (SqlSurfaceSpec). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Shim.registerFunction(spark, "vec_dot", es => DotProduct(es(0), es(1)))
     Shim.registerFunction(spark, "vec_cosine", es => CosineSim(es(0), es(1)))
     Shim.registerFunction(spark, "simhash64", es => SimHash64(es(0)))
+    Shim.registerFunction(spark, "minhash_sig", es =>
+      MinHashSig(es(0), lit2Long(es(1), "k").toInt, lit2Long(es(2), "seed")))
+    Shim.registerFunction(spark, "shingle_hash64", es =>
+      ShingleHash64(es(0), lit2Long(es(1), "n").toInt))
+    Shim.registerFunction(spark, "hyperplane_bucket", es =>
+      HyperplaneBucket(es(0), seededPlanes(
+        lit2Long(es(1), "dim").toInt, lit2Long(es(2), "bits").toInt,
+        lit2Long(es(3), "seed"))))
+    Shim.registerFunction(spark, "nearest_cells", es =>
+      NearestCells(es(0), lit2Matrix(es(1), "centroids"),
+        lit2Long(es(2), "nProbe").toInt))
   }
 }

@@ -25,6 +25,27 @@ object Cascade {
     * values of `parentKey` on `parent`. */
   final case class ParentRef(fk: String, parent: String, parentKey: String)
 
+  /** Per-level lineage-cut strategy (ADVICE r3: callers must be able to
+    * pick reliability vs speed explicitly).
+    *  - [[LocalCheckpoint]] (default): executor-block checkpoints — right
+    *    for single-box/bench runs and static allocation; data is lost on
+    *    executor failure and unsafe with dynamic allocation.
+    *  - [[ReliableCheckpoint]]: `checkpoint()` to the SparkContext
+    *    checkpoint dir (caller must have called `setCheckpointDir`) —
+    *    survives executor loss; the cluster choice.
+    *  - [[NoCheckpoint]]: pure lineage; every downstream action re-runs
+    *    the whole multi-level DAG (round-2's measured pathology). */
+  sealed trait Strategy
+  case object NoCheckpoint extends Strategy
+  case object LocalCheckpoint extends Strategy
+  case object ReliableCheckpoint extends Strategy
+
+  private def cut(df: DataFrame, s: Strategy, eager: Boolean): DataFrame = s match {
+    case NoCheckpoint => df
+    case LocalCheckpoint => df.localCheckpoint(eager)
+    case ReliableCheckpoint => df.checkpoint(eager)
+  }
+
   /** Cascade deletions through the node graph.
     *
     * @param nodes    node name → DataFrame
@@ -32,16 +53,13 @@ object Cascade {
     * @param ids      node name → id column (for emitting deleted-id sets)
     * @param seeds    node name → DataFrame with that node's id column,
     *                 listing initially-deleted ids
-    * @param checkpoint cut lineage at each cascade level (default true).
-    *                 Without it every downstream action re-executes the
-    *                 whole multi-level join DAG from the raw scans — a
-    *                 consumer touching k output nodes pays the cascade k
-    *                 times over. Deleted-id sets are checkpointed eagerly
+    * @param strategy per-level lineage cut (see [[Strategy]]; default
+    *                 [[LocalCheckpoint]]). Deleted-id sets are cut eagerly
     *                 (tiny frames, one small job per level); survivor
     *                 frames lazily (materialized once at first use, then
-    *                 reused from block storage). On a cluster with big
-    *                 node tables, swap `localCheckpoint` for reliable
-    *                 `checkpoint` to HDFS — the shape is the same.
+    *                 reused from storage). Note the eager cuts mean
+    *                 `delete()` runs Spark jobs at BUILD time under any
+    *                 strategy but [[NoCheckpoint]].
     * @return surviving rows per node (parent pointers of deleted parents
     *         nulled out, fully-orphaned rows removed, recursively)
     */
@@ -50,7 +68,7 @@ object Cascade {
       parents: Map[String, Seq[ParentRef]],
       ids: Map[String, String],
       seeds: Map[String, DataFrame],
-      checkpoint: Boolean = true): Map[String, DataFrame] = {
+      strategy: Strategy = LocalCheckpoint): Map[String, DataFrame] = {
 
     var current = nodes
     // deleted-id frames per node, grown level by level
@@ -85,16 +103,14 @@ object Cascade {
           val allRefs = parents(child)
           val orphan = allRefs.map(r => graft.ColNames.q(r.fk).isNull).reduce(_ && _)
           val dying0 = df.filter(orphan).select(graft.ColNames.q(ids(child))).distinct()
-          val dying = if (checkpoint) dying0.localCheckpoint() else dying0
-          val survivors0 = df.filter(!orphan)
-          val survivors =
-            if (checkpoint) survivors0.localCheckpoint(eager = false) else survivors0
+          val dying = cut(dying0, strategy, eager = true)
+          val survivors = cut(df.filter(!orphan), strategy, eager = false)
           current = current.updated(child, survivors)
           val mergedDel =
             deleted.get(child).map(_.union(dying).distinct()).getOrElse(dying)
           deleted = deleted.updated(
             child,
-            if (checkpoint && deleted.contains(child)) mergedDel.localCheckpoint()
+            if (deleted.contains(child)) cut(mergedDel, strategy, eager = true)
             else mergedDel)
           nextFrontier += child
         }

@@ -13,8 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * each batch writes ONLY its own fresh keys as a new `delta-N` parquet
   * dir; every `compactEvery` batches the manifest's files are merged into
   * one `base-N`. An atomic `_CURRENT` manifest (newline-separated relative
-  * paths, temp-free single-file overwrite) lists the live files, so a
-  * reader mid-compaction still sees a consistent older state
+  * paths, committed by write-to-temp + overwrite-rename) lists the live
+  * files, so a reader mid-compaction still sees a consistent older state
   * (single-writer discipline; the reference's whole-file YAML rewrite made
   * atomic — SURVEY.md §7.4 risk 5).
   *
@@ -43,9 +43,21 @@ object SeenKeys {
     }
   }
 
+  /** Commit the manifest via write-to-temp + overwrite-rename:
+    * `fs.create(ptr, true)` truncates in place, so a reader (or crash)
+    * mid-write would observe an empty manifest and silently re-admit
+    * previously-seen keys. `FileContext.rename(OVERWRITE)` is the atomic
+    * commit point on HDFS and local filesystems — a reader sees either the
+    * old manifest or the new one, never a truncated byte stream and never
+    * a missing pointer. */
   private def writeManifest(fs: FileSystem, dir: String, entries: Seq[String]): Unit = {
-    val out = fs.create(pointer(dir), true)
+    val ptr = pointer(dir)
+    val tmp = new Path(dir, "_CURRENT.tmp")
+    val out = fs.create(tmp, true)
     try out.write(entries.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, fs.getConf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(ptr),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Load the current key set (empty frame when no state exists). */

@@ -75,6 +75,36 @@ class ModulesSpec extends SparkSpec {
     assert(state == Seq("f1", "f2", "f3"))
   }
 
+  test("SeenKeys: manifest commit is rename-based; prior readers survive compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("seen_keys_mv").toString
+    // compactEvery=2 forces a compaction on the third batch
+    def absorb(rows: Seq[(String, String)]) =
+      graft.state.SeenKeys.filterAndAbsorb(
+        rows.toDF("fp", "v"), "fp", dir, compactEvery = 2)
+    absorb(Seq(("a", "1"))).count()
+    // a reader captures the pre-compaction state (lazy frame over deltas)
+    val priorState = graft.state.SeenKeys.load(spark, dir)
+    absorb(Seq(("b", "2"))).count()
+    absorb(Seq(("c", "3"))).count() // triggers compaction into base-N
+    // post-compaction manifest: exactly one live base file, no temp litter
+    val root = new java.io.File(dir)
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_CURRENT")).trim.linesIterator.toSeq
+    assert(manifest.length == 1 && manifest.head.startsWith("base-"), manifest)
+    assert(!root.list().contains("_CURRENT.tmp"))
+    // superseded delta files are STILL on disk until vacuum, so the prior
+    // reader's lineage remains readable mid-/post-compaction
+    assert(priorState.collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(graft.state.SeenKeys.load(spark, dir)
+      .orderBy("key").collect().map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // vacuum then reclaims the superseded files; current state unaffected
+    graft.state.SeenKeys.vacuum(spark, dir)
+    // (dotfiles = LocalFileSystem .crc sidecars, absent on real stores)
+    assert(root.list().filterNot(_.startsWith(".")).toSet ==
+      Set("_CURRENT", manifest.head))
+    assert(graft.state.SeenKeys.load(spark, dir).count() == 3)
+  }
+
   test("M1 binary metadata: byte length and kind are deterministic") {
     val df = Seq((1L, "abc"), (2L, "abcd")).toDF("doc_id", "text")
     val out = Multimodal.withBinaryMeta(df, "text").orderBy("doc_id").collect()

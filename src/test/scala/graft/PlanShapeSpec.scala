@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Pin the EXECUTED plan shapes of the headline queries so a plan
+  * regression (lost broadcast, extra shuffle, a window sneaking back into
+  * the k-NN path) fails here in CI instead of surfacing as a bench
+  * slowdown two rounds later (round-3 verdict #10). */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.count() // materialize so AQE has re-planned with runtime stats
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def deep(p: SparkPlan): Seq[SparkPlan] = {
+    val nested = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => deep(q.plan)
+      case _ => Nil
+    }
+    Seq(p) ++ (p.children ++ p.subqueries).flatMap(deep) ++ nested
+  }
+
+  private def shuffles(p: SparkPlan) = deep(p).collect { case s: ShuffleExchangeLike => s }
+  private def broadcasts(p: SparkPlan) = deep(p).collect { case b: BroadcastExchangeLike => b }
+  private def windows(p: SparkPlan) = deep(p).collect { case w: WindowExec => w }
+
+  private def q(name: String): SparkPlan =
+    finalPlan(SparkEntry.queries(name)(spark, sf))
+
+  test("j5 parent pointer is a pure projection: zero exchanges") {
+    val p = q("j5_parent_pointer")
+    assert(shuffles(p).isEmpty && broadcasts(p).isEmpty,
+      s"expected exchange-free projection:\n$p")
+  }
+
+  test("q3/q5 join dims via broadcast, never shuffling the small side") {
+    val p3 = q("q3_shipping_priority")
+    assert(broadcasts(p3).nonEmpty, s"q3 lost its broadcast:\n$p3")
+    val p5 = q("q5_region_revenue")
+    // customer/nation/region (and orders at this SF) ride broadcasts
+    assert(broadcasts(p5).size >= 2, s"q5 lost its dim broadcasts:\n$p5")
+  }
+
+  test("t6 corpus curation: one scoring scan, bounded shuffles") {
+    val p = q("t6_corpus_curation")
+    assert(shuffles(p).size <= 2,
+      s"t6 grew extra shuffles (${shuffles(p).size}):\n$p")
+  }
+
+  test("v1 unique-only keeps the single-window rewrite") {
+    val p = q("v1_unique_only")
+    assert(windows(p).size == 1 && shuffles(p).size <= 2,
+      s"v1 regressed from the single-window shape:\n$p")
+  }
+
+  test("k-NN paths rank via the bounded aggregate, not a window sort") {
+    for (name <- Seq("e1_knn_brute", "e3_knn_lsh", "e5_knn_ivf")) {
+      val p = q(name)
+      assert(windows(p).isEmpty,
+        s"$name ranks through a window again (O(candidates) sort+shuffle):\n$p")
+      val aggs = deep(p).filter(_.getClass.getSimpleName.contains("ObjectHashAggregate"))
+      assert(aggs.nonEmpty, s"$name lost the top-k object aggregate:\n$p")
+    }
+  }
+}

@@ -35,4 +35,56 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows.length == 5)
     rows.foreach(r => assert(r.getLong(1) == 1000L)) // cos(v, v) = 1
   }
+
+  test("every kernel: SQL text == DataFrame result, bit for bit") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorExpressions
+    VectorExpressions.register(spark)
+    Tables.registerAll(spark, sf)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val docs = Tables.load(spark, sf, "documents")
+
+    def same(sql: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val a = spark.sql(sql).collect().map(_.toSeq).toSeq
+      val b = df.collect().map(_.toSeq).toSeq
+      assert(a == b, s"SQL and DataFrame diverge for: $sql")
+    }
+
+    same(
+      "SELECT vec_id, vec_dot(embedding, embedding) AS d FROM embeddings ORDER BY vec_id",
+      emb.select(col("vec_id"), VectorExpressions.vecDot(col("embedding"), col("embedding")).as("d"))
+        .orderBy("vec_id"))
+
+    same(
+      "SELECT doc_id, shingle_hash64(text, 5) AS sh FROM documents ORDER BY doc_id",
+      docs.select(col("doc_id"), VectorExpressions.shingleHash64(col("text"), 5).as("sh"))
+        .orderBy("doc_id"))
+
+    same(
+      """SELECT doc_id, minhash_sig(shingle_hash64(text, 5), 16, 42) AS sig
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      docs.select(col("doc_id"),
+        VectorExpressions.minhashSig(VectorExpressions.shingleHash64(col("text"), 5), 16, 42L).as("sig"))
+        .orderBy("doc_id"))
+
+    same(
+      "SELECT doc_id, simhash64(split(lower(text), ' ')) AS sh FROM documents ORDER BY doc_id",
+      docs.select(col("doc_id"),
+        VectorExpressions.simhash64(split(lower(col("text")), " ")).as("sh"))
+        .orderBy("doc_id"))
+
+    same(
+      "SELECT vec_id, hyperplane_bucket(embedding, 64, 6, 42) AS b FROM embeddings ORDER BY vec_id",
+      emb.select(col("vec_id"),
+        graft.ext.Similarity.lshBucket(col("embedding"), dim = 64, bits = 6, seed = 42L).as("b"))
+        .orderBy("vec_id"))
+
+    val cm = Array(Array.fill(64)(0.1), Array.fill(64)(-0.1), Array.tabulate(64)(i => (i % 3 - 1) * 0.2))
+    val cmSql = cm.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+    same(
+      s"SELECT vec_id, nearest_cells(embedding, $cmSql, 2) AS cells FROM embeddings ORDER BY vec_id",
+      emb.select(col("vec_id"),
+        VectorExpressions.nearestCells(col("embedding"), cm, 2).as("cells"))
+        .orderBy("vec_id"))
+  }
 }

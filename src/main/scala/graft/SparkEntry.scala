@@ -36,6 +36,11 @@ object SparkEntry {
   val LshRecallMinBp = 2500
   val IvfRecallMinBp = 4000
 
+  /** d7 gate: the corpus' planted near-dups sit at J ≥ 0.9 (measured
+    * bimodal — next bucket is J ≈ 0), where 8-band/4-row MinHash recall is
+    * ≈ 1; the gate at 80% trips on any banding/signature regression. */
+  val MinhashRecallMinBp = 8000
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -491,6 +496,31 @@ object SparkEntry {
       a.join(b, col("doc_id_b") === col("doc_id_a") + 1)
         .select(col("doc_id_a"), col("doc_id_b"),
           floor(TextDedup.jaccard(col("sh_a"), col("sh_b")) * 10000).as("jaccard_bp"))
+    }),
+
+    // D6 EXACT near-dup pairs via the inverted shingle index — no LSH
+    // approximation, so DuckDB can recompute every row and hash-match the
+    // exact Jaccard values (ground truth for d2/d7).
+    "d6_exact_neardup" -> ((s, dir) => {
+      TextDedup.exactJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJ = 0.3)
+    }),
+
+    // D7 MinHash recall gate: the d2 LSH+verify path must recover the
+    // exact-truth pair set (same shape as the e6/e7 ANN gates — the oracle
+    // pins the true-pair count and asserts the recall flag).
+    "d7_minhash_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exact = TextDedup.exactJaccardPairs(docs, "doc_id", "text", n = 3, minJ = 0.3)
+        .select(col("doc_id_a"), col("doc_id_b"))
+      val cand = TextDedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.3)
+        .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
+        .withColumn("hit", lit(1L))
+      exact.join(cand, Seq("doc_id_a", "doc_id_b"), "left")
+        .agg(
+          count(lit(1)).as("n_true_pairs"),
+          when(floor(sum(coalesce(col("hit"), lit(0L))) * lit(10000) / count(lit(1)))
+            >= MinhashRecallMinBp, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
     }),
 
     // --- LLM-pipeline: text analysis ---
@@ -1011,6 +1041,48 @@ object SparkEntry {
         |  CAST(floor(len(list_intersect(a.sh, b.sh)) * 1.0
         |       / len(list_distinct(list_concat(a.sh, b.sh))) * 10000) AS BIGINT) AS jaccard_bp
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "d6_exact_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_id_a, doc_id_b,
+        |  CAST(floor(c * 1.0 / (sa.sz + sb.sz - c) * 10000) AS BIGINT) AS jaccard_bp
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_id_a
+        |JOIN sizes sb ON sb.doc_id = doc_id_b
+        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3""".stripMargin,
+
+    // d7: constant-oracle recall gate (see e6/e7) — the count side is the
+    // exact-truth pair count DuckDB recomputes; the flag asserts the
+    // engine's LSH path recovered ≥ the gate share of those pairs.
+    "d7_minhash_recall" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT count(*) AS n_true_pairs, CAST(1 AS BIGINT) AS recall_ok
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_id_a
+        |JOIN sizes sb ON sb.doc_id = doc_id_b
+        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3""".stripMargin,
 
     "t1_langid" -> {
       def cnt(w: String) =

@@ -121,6 +121,49 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT near-duplicate pairs via an inverted shingle index — the
+    * ground-truth twin of [[nearDuplicates]] (which screens through
+    * MinHash first): every pair sharing at least one shingle is scored by
+    * exact Jaccard, computed from intersection counts of an equi-join on
+    * the shingle — never an all-pairs product. Cost is Σ bucket² over
+    * shingle buckets, so it stays tractable exactly when shingles are
+    * discriminative; `maxDf` is the scale dial — drop shingles occurring
+    * in more than that many documents (stop-shingles contribute junk
+    * pairs at J≈0 but dominate bucket²; capping them bounds the join while
+    * leaving high-J pairs intact, since near-dups share RARE shingles
+    * too). Output `(doc_id_a, doc_id_b, jaccard_bp)`, id_a < id_b.
+    */
+  def exactJaccardPairs(
+      docs: DataFrame, id: String, text: String,
+      n: Int = 3, minJ: Double = 0.3, maxDf: Option[Int] = None): DataFrame = {
+    // index on the compiled 64-bit shingle hashes, not the strings: bigint
+    // join/shuffle keys and a codegen'd shingler; set-identical to string
+    // shingles up to xxhash64 collisions (~|shingles|²/2⁶⁵ — the same
+    // equivalence nearDuplicates' verifier already stands on)
+    val hashed = docs.select(col(id).as("doc_id"),
+      graft.functions.VectorExpressions.shingleHash64(col(text), n).as("hh"))
+    val sizes = hashed.select(col("doc_id"), size(col("hh")).cast("long").as("sz"))
+    val sh0 = hashed.select(col("doc_id"), explode(col("hh")).as("s"))
+    val sh = maxDf match {
+      case Some(m) =>
+        val rare = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= m).select("s")
+        sh0.join(rare, Seq("s"), "left_semi")
+      case None => sh0
+    }
+    val inter = sh.select(col("doc_id").as("doc_id_a"), col("s"))
+      .join(sh.select(col("doc_id").as("doc_id_b"), col("s")), Seq("s"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_id_a"), col("sz").as("na")), Seq("doc_id_a"))
+      .join(sizes.select(col("doc_id").as("doc_id_b"), col("sz").as("nb")), Seq("doc_id_b"))
+      .withColumn("j", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+      .filter(col("j") >= minJ)
+      .select(col("doc_id_a"), col("doc_id_b"),
+        floor(col("j") * 10000).as("jaccard_bp"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 votes from
     * each token's xxhash64; bit set where the vote is positive.
     * Compiled single pass (see [[graft.functions.VectorExpressions.SimHash64]]). */

@@ -133,4 +133,16 @@ object TopKAggregate {
   def topkIdsBy(score: Column, id: Column, k: Int): Column =
     Shim.column(TopKIdsBy(Shim.expression(score), Shim.expression(id), k)
       .toAggregateExpression())
+
+  /** Register `topk_ids_by(score, id, k)` for `spark.sql` text (k must be
+    * an integer literal — it sizes the aggregation buffer at plan time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Shim.registerFunction(spark, "topk_ids_by", es => {
+      require(es(2).foldable, "k must be a literal")
+      val k = es(2).eval(null) match {
+        case i: Int => i; case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
+      }
+      TopKIdsBy(es(0), es(1), k).toAggregateExpression()
+    })
 }

@@ -79,6 +79,18 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.ext.Similarity.lshBucket(col("embedding"), dim = 64, bits = 6, seed = 42L).as("b"))
         .orderBy("vec_id"))
 
+    graft.functions.TopKAggregate.register(spark)
+    same(
+      """SELECT g, topk_ids_by(s, id, 2) AS top FROM
+        |  (SELECT vec_id % 10 AS g, CAST(vec_id AS DOUBLE) AS s, vec_id AS id
+        |   FROM embeddings)
+        |GROUP BY g ORDER BY g""".stripMargin,
+      emb.select((col("vec_id") % 10).as("g"),
+          col("vec_id").cast("double").as("s"), col("vec_id").as("id"))
+        .groupBy(col("g"))
+        .agg(graft.functions.TopKAggregate.topkIdsBy(col("s"), col("id"), 2).as("top"))
+        .orderBy("g"))
+
     val cm = Array(Array.fill(64)(0.1), Array.fill(64)(-0.1), Array.tabulate(64)(i => (i % 3 - 1) * 0.2))
     val cmSql = cm.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
     same(

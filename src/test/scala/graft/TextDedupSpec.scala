@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.TextDedup
+
+/** Exact inverted-index Jaccard: ground truth for the MinHash path. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog today"),   // near-dup of 1
+    (3L, "completely different words appear in this one text"),
+    (4L, "unrelated content again with nothing shared at all"),
+    (5L, "the quick brown fox jumps over the lazy dog tonight")) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exactJaccardPairs finds exactly the planted near/exact dups with exact J") {
+    val pairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text", n = 3, minJ = 0.3)
+      .orderBy("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 8 shingles each; docs 1/2 share 7 of 8 -> J = 7/9; 1/5 identical -> J = 1
+    assert(pairs.toSeq == Seq(
+      (1L, 2L, math.floor(7.0 / 9.0 * 10000).toLong),
+      (1L, 5L, 10000L),
+      (2L, 5L, math.floor(7.0 / 9.0 * 10000).toLong)))
+  }
+
+  test("exactJaccardPairs agrees with the pairwise jaccard() on its pairs") {
+    val sh = docs.select(col("doc_id"), TextDedup.shingles(col("text"), 3).as("sh"))
+    val direct = sh.select(col("doc_id").as("a"), col("sh").as("sa"))
+      .crossJoin(sh.select(col("doc_id").as("b"), col("sh").as("sb")))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        floor(TextDedup.jaccard(col("sa"), col("sb")) * 10000).as("bp"))
+      .filter(col("bp") >= 3000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val indexed = TextDedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(indexed == direct)
+  }
+
+  test("maxDf drops stop-shingle pairwork but keeps high-J pairs") {
+    // 'the quick brown' family shingles have df = 3 (docs 1, 2, 5);
+    // capping at 2 kills their buckets -> the J>=0.3 pairs vanish, which
+    // is exactly the documented trade (the cap is for J~0 junk shingles
+    // at corpus scale, set above the max near-dup cluster size)
+    val capped = TextDedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.3, maxDf = Some(2))
+    assert(capped.count() == 0)
+    val roomy = TextDedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.3, maxDf = Some(3))
+    assert(roomy.count() == 3)
+  }
+}

@@ -567,15 +567,17 @@ object SparkEntry {
         TextAnalysis.langId(col("text")).as("lang_pred"),
         floor(TextAnalysis.qualityScore(col("text")) * 10000).as("quality_bp"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-      // keep-min via window, not agg+self-join: the join form re-evaluates
-      // the whole scoring scan on both branches; the window shuffles once
-      // on the fingerprint and scores each document exactly once
-      val w = Window.partitionBy(col("fingerprint"))
+      // keep-min via min_by aggregate: scores each document exactly once
+      // (no self-join re-evaluation), and unlike the r3 window form the
+      // aggregate partial-merges map-side — the exchange carries one row
+      // per fingerprint and nothing gets sorted
       scored
-        .withColumn("keep_id", min(col("doc_id")).over(w))
-        .filter(col("doc_id") === col("keep_id") &&
-          col("lang_pred") === col("lang") &&
-          col("quality_bp") >= 2000)
+        .groupBy(col("fingerprint"))
+        .agg(min_by(
+          struct(col("doc_id"), col("lang"), col("lang_pred"), col("quality_bp")),
+          col("doc_id")).as("keep"))
+        .select(col("keep.*"))
+        .filter(col("lang_pred") === col("lang") && col("quality_bp") >= 2000)
         .select(col("doc_id"), col("lang"), col("quality_bp"))
     }),
 

@@ -12,10 +12,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Semantics note (deliberate): dedup/combine/id-validation are
   * BATCH-LOCAL. The reference's own unit of independence is the workbook
   * (one study per file, SURVEY.md §3.1) — a micro-batch of whole
-  * workbooks reproduces its semantics exactly. Cross-batch global dedup
-  * would instead use the engine's state-table pattern
-  * ([[graft.state.History]]) or a compaction pass over the appended
-  * output; both compose with this sink unchanged.
+  * workbooks reproduces its semantics exactly. CROSS-batch dedup is the
+  * `crossBatchKey` option: each batch is anti-joined against the
+  * [[graft.state.SeenKeys]] LSM state on that column and absorbed into it
+  * before the pipeline runs, so a row re-delivered in a later batch (or a
+  * re-submitted workbook) is dropped once and forever, at O(|batch|)
+  * state cost per batch.
   */
 object Incremental {
 
@@ -25,9 +27,15 @@ object Incremental {
       outDir: String,
       checkpointDir: String,
       removeNodes: Set[String] = Set.empty,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      crossBatchKey: Option[(String, String)] = None): StreamingQuery =
     wideStream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = crossBatchKey match {
+          case Some((keyCol, stateDir)) =>
+            graft.state.SeenKeys.filterAndAbsorb(batch0, keyCol, stateDir)
+          case None => batch0
+        }
         val result = Pipeline.run(batch, specs, removeNodes)
         result.nodes.foreach { case (node, df) =>
           df.write.mode("append").parquet(s"$outDir/$node")

@@ -51,6 +51,19 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup on content keys — the incremental twin of the
+    * batch d1 hash-groupBy and the cross-RUN [[graft.state.SeenKeys]]:
+    * `dropDuplicatesWithinWatermark` keeps one state entry per key only
+    * until the watermark passes it, so state is bounded by the key arrival
+    * rate × horizon, not by stream lifetime (at 100 TB/day the horizon is
+    * the dial between memory and dedup reach; beyond-horizon dedup is
+    * SeenKeys' job between runs). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  eventTimeCol: String = "ts", horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Convenience: start `hourlyRollup` over a parquet directory source
     * into an in-memory sink (smoke/demo path; production would write a
     * parquet/kafka sink with a checkpoint dir). */

@@ -175,6 +175,41 @@ class PipelineSpec extends SparkSpec {
     assert(ssn.length == 1)
   }
 
+  test("incremental + SeenKeys: a workbook re-delivered in a later batch lands once") {
+    val srcDir = java.nio.file.Files.createTempDirectory("inc2_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("inc2_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("inc2_ck").toString
+    val stDir = java.nio.file.Files.createTempDirectory("inc2_state").toString
+    val rows = fixture.collect()
+    val schema = fixture.schema
+    def landFile(part: Seq[org.apache.spark.sql.Row], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("inc2_wb").toString
+      spark.createDataFrame(spark.sparkContext.parallelize(part, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val partFile = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(partFile.toPath,
+        java.nio.file.Paths.get(srcDir, name))
+    }
+    // batch 1: rows 1-2 (g1, g2); batch 2 RE-DELIVERS g1's row + adds g2's
+    // again — without cross-batch state both would re-append
+    landFile(rows.take(2).toSeq, "wb1.parquet")
+    landFile(rows.take(2).toSeq, "wb2.parquet")
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = graft.pipeline.Incremental.start(stream, specs, outDir, ckDir,
+      crossBatchKey = Some(("GUID", stDir)))
+    try q.processAllAvailable() finally q.stop()
+
+    import spark.implicits._
+    val files = spark.read.parquet(s"$outDir/file")
+      .select("file_id").as[String].collect().toSeq.sorted
+    assert(files == Seq("g1", "g2"), s"cross-batch dedup failed: $files")
+    // and the state absorbed both keys for future runs
+    assert(graft.state.SeenKeys.load(spark, stDir).count() == 2)
+  }
+
   test("removeNodes (H3) drops configured nodes before processing") {
     val out = Pipeline.run(fixture, specs, removeNodes = Set("file"))
     assert(!out.nodes.contains("file"))

@@ -42,6 +42,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("dedupStream drops in-horizon duplicate keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.dedupStream(
+      input.toDS().toDF(), keys = Seq("event_type"), horizon = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_spec")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventStream.Event(1, ts("2026-01-01 10:00:00"), 1L, "click", 1.0),
+        EventStream.Event(2, ts("2026-01-01 10:01:00"), 2L, "click", 2.0), // dup key
+        EventStream.Event(3, ts("2026-01-01 10:01:00"), 3L, "view", 3.0))
+      q.processAllAvailable()
+      input.addData( // still within the 10-min horizon -> still duplicate
+        EventStream.Event(4, ts("2026-01-01 10:05:00"), 4L, "click", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_spec").select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L), s"expected first event per key, got $got")
+  }
+
   test("userTotals accumulates state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]

@@ -680,6 +680,14 @@ object SparkEntry {
     "m2_frame_sample" -> ((s, dir) => {
       val withBin = Multimodal.withBinaryMeta(t(s, dir, "documents"), "text")
       Multimodal.sampleFrames(withBin, "doc_id", "content", nFrames = 4).toDF()
+    }),
+
+    // M3 feature extraction in the amortized-init mapPartitions shape —
+    // fully oracle-gated (the MD5-byte stand-in features are recomputable
+    // in SQL), unlike m2's rows-only checksum stub.
+    "m3_features" -> ((s, dir) => {
+      val withBin = Multimodal.withBinaryMeta(t(s, dir, "documents"), "text")
+      Multimodal.extractFeatures(withBin, "doc_id", "content").toDF()
     })
   )
 
@@ -1043,6 +1051,16 @@ object SparkEntry {
         |  CAST(floor(len(list_intersect(a.sh, b.sh)) * 1.0
         |       / len(list_distinct(list_concat(a.sh, b.sh))) * 10000) AS BIGINT) AS jaccard_bp
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "m3_features" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents)
+        |SELECT doc_id,
+        |  CAST(('0x' || substring(hh, 1, 2)) AS BIGINT) AS f0,
+        |  CAST(('0x' || substring(hh, 17, 2)) AS BIGINT) AS f8,
+        |  CAST(('0x' || substring(hh, 31, 2)) AS BIGINT) AS f15,
+        |  CAST(list_sum(list_transform(range(0, 16),
+        |    i -> CAST(('0x' || substring(hh, i * 2 + 1, 2)) AS BIGINT))) AS BIGINT) AS feat_sum
+        |FROM h""".stripMargin,
 
     "d6_exact_neardup" ->
       """WITH toks AS (

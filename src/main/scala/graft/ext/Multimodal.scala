@@ -68,4 +68,31 @@ object Multimodal {
     * regardless of filename/metadata (sha2 over the binary column —
     * codegen'd, no UDF). */
   def contentKey(binCol: Column): Column = sha2(binCol, 256)
+
+  final case class MediaFeature(doc_id: Long, f0: Long, f8: Long, f15: Long,
+                                feat_sum: Long)
+
+  /** Feature extraction over binary content — the model-inference slot of
+    * the multimodal pipeline, in the same amortized-init `mapPartitions`
+    * shape as [[sampleFrames]]: the expensive object (here a MessageDigest,
+    * standing in for model weights/an ONNX session) is constructed once
+    * per PARTITION and reused across its rows. The stand-in "features" are
+    * the 16 MD5 bytes of the content — content-dependent, fixed-dim, and
+    * independently recomputable by the SQL oracle (md5 + hex arithmetic),
+    * so unlike a real model the full plumbing is hash-gated end to end. */
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeature] = {
+    implicit val enc = Encoders.product[MediaFeature]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        // per-partition init (a real impl loads model weights here)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          md.reset()
+          val d = md.digest(bytes)
+          def b(i: Int): Long = (d(i) & 0xff).toLong
+          MediaFeature(id, b(0), b(8), b(15), (0 until 16).map(b).sum)
+        }
+      }
+  }
 }

@@ -113,6 +113,21 @@ class ModulesSpec extends SparkSpec {
     assert(out(1).getAs[String]("kind") == "audio")  // 4 % 3 == 1
   }
 
+  test("M3 feature extraction: MD5-byte features, stable across partitionings") {
+    val df = Multimodal.withBinaryMeta(
+      Seq((1L, "hello world"), (2L, "other text")).toDF("doc_id", "text"), "text")
+    val one = Multimodal.extractFeatures(df.coalesce(1), "doc_id", "content")
+      .collect().sortBy(_.doc_id).toSeq
+    val many = Multimodal.extractFeatures(df.repartition(4), "doc_id", "content")
+      .collect().sortBy(_.doc_id).toSeq
+    assert(one == many)
+    // cross-check doc 1 against java's own MD5 of the utf-8 bytes
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world".getBytes("UTF-8"))
+    assert(one.head.f0 == (d(0) & 0xff).toLong)
+    assert(one.head.feat_sum == d.take(16).map(b => (b & 0xff).toLong).sum)
+  }
+
   test("M2 frame sampling: n frames per blob, chunks cover the bytes") {
     val df = Multimodal.withBinaryMeta(
       Seq((1L, "0123456789"), (2L, "x")).toDF("doc_id", "text"), "text")

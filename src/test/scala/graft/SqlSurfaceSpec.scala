@@ -8,6 +8,17 @@ class SqlSurfaceSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("GraftSession.registerAll exposes the full SQL surface on a session") {
+    GraftSession.registerAll(spark, Some(sf))
+    val r = spark.sql(
+      """SELECT g, topk_ids_by(CAST(vec_id AS DOUBLE), vec_id, 1)[0] AS top,
+        |  max(floor(vec_cosine(embedding, embedding))) AS selfcos,
+        |  max(simhash64(array('a','b'))) IS NOT NULL AS sh
+        |FROM (SELECT *, vec_id % 3 AS g FROM embeddings) GROUP BY g""".stripMargin)
+      .collect()
+    assert(r.length == 3 && r.forall(_.getLong(2) == 1L))
+  }
+
   test("spark.sql over registered views matches the DataFrame query") {
     Tables.registerAll(spark, sf)
     val sql = spark.sql(

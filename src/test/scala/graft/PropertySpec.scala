@@ -55,4 +55,36 @@ object PropertySpec extends Properties("graft") {
       Prop(idempotent && preserving)
     }
   }
+
+  // TopKBuffer vs reference sort: any insertion order, any split into
+  // partial buffers, scores including NaN/±0.0/ties — must equal sorting
+  // by (Double.compare desc, id asc) and taking k ids.
+  property("topk buffer == reference sort under merge and edge doubles") = {
+    val score: Gen[Double] = Gen.oneOf(
+      Gen.choose(-10.0, 10.0),
+      Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+        0.0, -0.0, 1.0, 1.0)) // duplicated 1.0 encourages ties
+    val rows: Gen[List[(Double, Long)]] =
+      Gen.listOf(Gen.zip(score, Gen.choose(0L, 30L)))
+    forAll(rows, Gen.choose(1, 6), Gen.choose(1, 4)) { (xs, k, splits) =>
+      import graft.functions.TopKAggregate.TopKBuffer
+      val expected = xs.sortWith { case ((s1, i1), (s2, i2)) =>
+        val c = java.lang.Double.compare(s1, s2)
+        c > 0 || (c == 0 && i1 < i2)
+      }.take(k).map(_._2)
+      // split into partial buffers, then merge (simulates map-side partials)
+      val parts = xs.grouped(math.max(1, (xs.size + splits - 1) / splits)).map { g =>
+        val b = new TopKBuffer(k)
+        g.foreach { case (s, id) => b.insert(s, id) }
+        b
+      }.toList
+      val merged = parts.headOption.getOrElse(new TopKBuffer(k))
+      parts.drop(1).foreach { o =>
+        var i = 0
+        while (i < o.size) { merged.insert(o.scores(i), o.ids(i)); i += 1 }
+      }
+      val got = (0 until merged.size).map(merged.ids(_)).toList
+      Prop(got == expected) :| s"got=$got expected=$expected xs=$xs k=$k"
+    }
+  }
 }

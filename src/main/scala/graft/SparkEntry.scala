@@ -350,6 +350,20 @@ object SparkEntry {
       survivors("lineitem").groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
     }),
 
+    // S5b salted skew join: the hot-key mitigation (Scale.saltedJoin)
+    // driven through the oracle gate — results must be EXACTLY the
+    // unsalted join's (salt is an extra equi-key on both sides), which the
+    // plain-SQL oracle pins. lineitem's l_orderkey heavy-hitters spread
+    // over 8 sub-buckets instead of one reducer.
+    "s5_salted_join" -> ((s, dir) => {
+      graft.ops.Scale.saltedJoin(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        keys = Seq("l_orderkey"), salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), floor(sum(col("l_quantity"))).as("qty"))
+    }),
+
     // --- SURVEY §2.5: validation workload ---
 
     // V1 composition: keep only rows whose id is conflict-free (unique).
@@ -805,6 +819,12 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, asia_key
         |FROM nation CROSS JOIN
         |  (SELECT r_regionkey AS asia_key FROM region WHERE r_name = 'ASIA')""".stripMargin,
+
+    "s5_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(floor(sum(l_quantity)) AS BIGINT) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "j5_parent_pointer" ->
       """SELECT l_linenumber AS file_seq, l_quantity AS quantity,

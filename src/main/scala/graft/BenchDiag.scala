@@ -30,7 +30,7 @@ object BenchDiag {
 
     def drain(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true)) // keep in lockstep with Bench.drain
       spark.sharedState.cacheManager.clearCache()
     }
 

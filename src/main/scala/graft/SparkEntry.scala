@@ -44,11 +44,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Session-scoped scratch dir for the s4 TSV roundtrip (deleted on JVM
-    * exit; contents overwritten per invocation, never accreted). */
+  /** Session-scoped scratch dir for the s4 TSV roundtrip (contents
+    * overwritten per invocation, never accreted; recursively removed by a
+    * shutdown hook — `deleteOnExit` can't delete a non-empty directory). */
   private lazy val tsvScratchDir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_tsv")
-    d.toFile.deleteOnExit()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d.toFile)
+    }))
     d.toString
   }
 

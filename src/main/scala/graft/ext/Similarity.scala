@@ -68,14 +68,32 @@ object Similarity {
     * candidate pair, while the aggregate reduces each map task's slice to
     * ≤ k entries per vec_id before the exchange, so the shuffle carries
     * O(n·k) rows regardless of candidate volume. Ordering (sim desc, id
-    * asc, Double.compare NaN semantics) is bit-identical to the window
-    * form — pinned by TopKSpec and the unchanged e1 oracle hash. */
-  private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
-    pairs.groupBy(col("vec_id"))
-      .agg(graft.functions.TopKAggregate
-        .topkIdsBy(col("sim"), col("neighbor_id").cast("long"), k).as("top"))
-      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "neighbor_id")))
-      .select(col("vec_id"), col("neighbor_id"), (col("pos") + 1).cast("long").as("rank"))
+    * asc; Double.compare NaN semantics; null sims last) is bit-identical
+    * to the window form — pinned by TopKSpec and the unchanged e1 oracle
+    * hash. Non-integral id columns (string/UUID keys) keep the window
+    * formulation — the aggregate's buffer is long-keyed — with identical
+    * results either way. */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val idType = pairs.schema("neighbor_id").dataType
+    idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        pairs.groupBy(col("vec_id"))
+          .agg(graft.functions.TopKAggregate
+            .topkIdsBy(col("sim"), col("neighbor_id").cast("long"), k).as("top"))
+          .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "neighbor_id")))
+          .select(col("vec_id"),
+            col("neighbor_id").cast(idType).as("neighbor_id"), // original key type
+            (col("pos") + 1).cast("long").as("rank"))
+      case _ =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
+        pairs
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k)
+          .select(col("vec_id"), col("neighbor_id"), col("rank"))
+    }
+  }
 
   /** Random-hyperplane LSH signature: an integer bucket id from `bits`
     * sign bits. One compiled expression carrying the plane matrix as a

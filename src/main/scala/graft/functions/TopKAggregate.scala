@@ -33,26 +33,41 @@ object TopKAggregate {
 
   /** Insertion-sorted bounded buffer of (score, id), best first. k is tiny
     * (3..100) so O(k) shifts beat a heap's constant factor and give us the
-    * exact tie-break ordering for free. */
+    * exact tie-break ordering for free.
+    *
+    * Ordering domain matches the SQL window `ORDER BY score DESC, id ASC`
+    * it replaces, including NULL handling: descending order puts NULL
+    * scores LAST (after -Inf), and NaN first — so a group with fewer than
+    * k non-null scores still emits its null-score rows, exactly like
+    * `row_number` did. Null scores are encoded as a flag ranking below
+    * every double; `better` is a total order. */
   final class TopKBuffer(val k: Int) {
     val scores = new Array[Double](k)
     val ids = new Array[Long](k)
+    val nulls = new Array[Boolean](k)
     var size = 0
 
-    @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
-      val c = java.lang.Double.compare(s1, s2)
-      c > 0 || (c == 0 && i1 < i2)
-    }
+    @inline private def better(s1: Double, n1: Boolean, i1: Long,
+                               s2: Double, n2: Boolean, i2: Long): Boolean =
+      if (n1 != n2) n2 // non-null beats null
+      else {
+        val c = if (n1) 0 else java.lang.Double.compare(s1, s2)
+        c > 0 || (c == 0 && i1 < i2)
+      }
 
-    def insert(s: Double, id: Long): Unit = {
+    def insert(s: Double, id: Long): Unit = insert0(s, nul = false, id)
+    def insertNullScore(id: Long): Unit = insert0(0.0, nul = true, id)
+
+    private def insert0(s: Double, nul: Boolean, id: Long): Unit = {
       var i =
         if (size < k) size
-        else if (better(s, id, scores(k - 1), ids(k - 1))) k - 1
+        else if (better(s, nul, id, scores(k - 1), nulls(k - 1), ids(k - 1))) k - 1
         else return
-      while (i > 0 && better(s, id, scores(i - 1), ids(i - 1))) {
-        scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1
+      while (i > 0 && better(s, nul, id, scores(i - 1), nulls(i - 1), ids(i - 1))) {
+        scores(i) = scores(i - 1); nulls(i) = nulls(i - 1); ids(i) = ids(i - 1)
+        i -= 1
       }
-      scores(i) = s; ids(i) = id
+      scores(i) = s; nulls(i) = nul; ids(i) = id
       if (size < k) size += 1
     }
   }
@@ -84,14 +99,19 @@ object TopKAggregate {
     override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
       val s = scoreExpr.eval(input)
       val id = idExpr.eval(input)
-      if (s != null && id != null)
-        b.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
+      if (id != null) {
+        if (s != null) b.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
+        else b.insertNullScore(id.asInstanceOf[Long]) // DESC NULLS LAST
+      }
       b
     }
 
     override def merge(b: TopKBuffer, o: TopKBuffer): TopKBuffer = {
       var i = 0
-      while (i < o.size) { b.insert(o.scores(i), o.ids(i)); i += 1 }
+      while (i < o.size) {
+        if (o.nulls(i)) b.insertNullScore(o.ids(i)) else b.insert(o.scores(i), o.ids(i))
+        i += 1
+      }
       b
     }
 
@@ -103,10 +123,14 @@ object TopKAggregate {
     }
 
     override def serialize(b: TopKBuffer): Array[Byte] = {
-      val bb = ByteBuffer.allocate(4 + b.size * 16)
+      val bb = ByteBuffer.allocate(4 + b.size * 17)
       bb.putInt(b.size)
       var i = 0
-      while (i < b.size) { bb.putDouble(b.scores(i)); bb.putLong(b.ids(i)); i += 1 }
+      while (i < b.size) {
+        bb.putDouble(b.scores(i)); bb.putLong(b.ids(i))
+        bb.put(if (b.nulls(i)) 1.toByte else 0.toByte)
+        i += 1
+      }
       bb.array()
     }
 
@@ -116,7 +140,11 @@ object TopKAggregate {
       val b = new TopKBuffer(k)
       var i = 0
       // entries arrive best-first, so each insert appends in O(1) shifts
-      while (i < n) { b.insert(bb.getDouble, bb.getLong); i += 1 }
+      while (i < n) {
+        val s = bb.getDouble; val id = bb.getLong; val nul = bb.get() == 1
+        if (nul) b.insertNullScore(id) else b.insert(s, id)
+        i += 1
+      }
       b
     }
 

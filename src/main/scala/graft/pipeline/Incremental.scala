@@ -14,10 +14,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * (one study per file, SURVEY.md §3.1) — a micro-batch of whole
   * workbooks reproduces its semantics exactly. CROSS-batch dedup is the
   * `crossBatchKey` option: each batch is anti-joined against the
-  * [[graft.state.SeenKeys]] LSM state on that column and absorbed into it
-  * before the pipeline runs, so a row re-delivered in a later batch (or a
-  * re-submitted workbook) is dropped once and forever, at O(|batch|)
-  * state cost per batch.
+  * [[graft.state.SeenKeys]] LSM state on that column, so a row
+  * re-delivered in a later batch (or a re-submitted workbook) lands
+  * exactly once, at O(|batch|) state cost per batch.
+  *
+  * Replay safety: `foreachBatch` re-runs a batchId after a crash. Keys
+  * are absorbed into the state only AFTER the batch's outputs are
+  * written, and the absorption is recorded under the batchId — so a
+  * replayed batch either re-processes in full (crash before absorb;
+  * output appends may duplicate, the usual at-least-once contract of an
+  * append sink) or is recognized as absorbed and skipped entirely (crash
+  * after). Absorbing FIRST would instead make the replayed batch's rows
+  * look already-seen and silently drop them — at-most-once, data loss.
   */
 object Incremental {
 
@@ -31,18 +39,33 @@ object Incremental {
       crossBatchKey: Option[(String, String)] = None): StreamingQuery =
     wideStream.writeStream
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        val batch = crossBatchKey match {
-          case Some((keyCol, stateDir)) =>
-            graft.state.SeenKeys.filterAndAbsorb(batch0, keyCol, stateDir)
-          case None => batch0
+        val spark = batch0.sparkSession
+        val marker = crossBatchKey.map { case (_, stateDir) =>
+          new org.apache.hadoop.fs.Path(stateDir, s"_absorbed-$batchId")
         }
-        val result = Pipeline.run(batch, specs, removeNodes)
-        result.nodes.foreach { case (node, df) =>
-          df.write.mode("append").parquet(s"$outDir/$node")
-        }
-        result.reports.foreach { case (name, df) =>
-          if (!df.isEmpty)
-            df.write.mode("append").parquet(s"$outDir/_reports/$name")
+        val fs = marker.map(_.getFileSystem(spark.sparkContext.hadoopConfiguration))
+        val alreadyAbsorbed =
+          marker.zip(fs).exists { case (m, f) => f.exists(m) }
+        if (!alreadyAbsorbed) {
+          val batch = crossBatchKey match {
+            case Some((keyCol, stateDir)) =>
+              graft.state.SeenKeys.filterNew(batch0, keyCol, stateDir)
+            case None => batch0
+          }
+          val result = Pipeline.run(batch, specs, removeNodes)
+          result.nodes.foreach { case (node, df) =>
+            df.write.mode("append").parquet(s"$outDir/$node")
+          }
+          result.reports.foreach { case (name, df) =>
+            if (!df.isEmpty)
+              df.write.mode("append").parquet(s"$outDir/_reports/$name")
+          }
+          // outputs committed -> now absorb the keys and mark the batch
+          crossBatchKey.foreach { case (keyCol, stateDir) =>
+            graft.state.SeenKeys.absorb(
+              batch.select(graft.ColNames.q(keyCol).as("key")).distinct(), stateDir)
+          }
+          marker.zip(fs).foreach { case (m, f) => f.create(m, true).close() }
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -156,12 +156,14 @@ object Pipeline {
           .drop("__parent_id")
       }
     }
-    // J7 compound id from wide raw parts
+    // J7 compound id from the PRESENT wide raw parts (absent parts are
+    // skipped, not referenced — a workbook missing an optional part column
+    // still gets an id from the remaining parts)
     spec.compoundId.foreach { c =>
-      val parts = c.parts.filter(wide.columns.contains).map(wide(_))
+      val parts = c.parts.filter(wide.columns.contains)
       if (parts.nonEmpty) {
         val withId = wide.select((propCols ++ parentCols) :+
-          Combine.combineColumns(c.parts.map(col), c.sep).as(spec.idProp): _*)
+          Combine.combineColumns(parts.map(col), c.sep).as(spec.idProp): _*)
         df = withId
       }
     }

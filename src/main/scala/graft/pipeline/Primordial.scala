@@ -93,13 +93,18 @@ object Primordial {
       hits.lastOption.map(h => p -> h)
     }
     if (picks.isEmpty) return None
-    // anchor = first sheet (in sheet order) contributing any property
+    // anchor = first sheet (in sheet order) that MATCHED any property —
+    // even if its assignments were later overwritten: pandas' first
+    // `new_df[p] = sheet[col]` fixes the frame's index regardless of who
+    // wins the value (`cds-transformation.py:11-19`)
+    val (anchorName, anchorDf) = sheets.find { case (_, df) =>
+      df.columns.exists(c => c != rowIdx && props.exists(p => matches(c, p)))
+    }.get // nonEmpty: picks came from these sheets
     val contributing = sheets.filter { case (sn, _) => picks.exists(_._2._1 == sn) }
-    val (anchorName, anchorDf) = contributing.head
     def colsOf(sn: String, df: DataFrame): Seq[Column] =
       picks.collect { case (p, (`sn`, c)) => df(c).as(p) }
     var out = anchorDf.select(col(rowIdx) +: colsOf(anchorName, anchorDf): _*)
-    for ((sn, df) <- contributing.tail) {
+    for ((sn, df) <- contributing if sn != anchorName) {
       val side = df.select(col(rowIdx) +: colsOf(sn, df): _*)
       out = out.join(broadcast(side), Seq(rowIdx), "left")
     }

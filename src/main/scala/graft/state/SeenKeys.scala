@@ -89,15 +89,28 @@ object SeenKeys {
       keyCol: String,
       dir: String,
       compactEvery: Int = 16): DataFrame = {
-    val spark = batch.sparkSession
-    val seen = load(spark, dir)
-    // batch-internal dedup on the key with deterministic retention
-    // (Dedup.stringified's min-full-row rule), then drop already-seen keys
-    val fresh = graft.ops.Dedup.stringified(
+    val fresh = filterNew(batch, keyCol, dir)
+    absorb(fresh.select(graft.ColNames.q(keyCol).as("key")), dir, compactEvery)
+    fresh
+  }
+
+  /** The read side of [[filterAndAbsorb]] alone: batch-internal dedup on
+    * the key (deterministic retention) + anti-join against the state,
+    * WITHOUT absorbing the keys. Callers that need exactly-once against
+    * replays (e.g. a streaming `foreachBatch`) filter first, commit their
+    * outputs, then [[absorb]] — see [[graft.pipeline.Incremental]]. */
+  def filterNew(batch: DataFrame, keyCol: String, dir: String): DataFrame = {
+    val seen = load(batch.sparkSession, dir)
+    graft.ops.Dedup.stringified(
       batch.join(seen.withColumnRenamed("key", keyCol), Seq(keyCol), "left_anti"),
       Seq(keyCol))
-    val freshKeys = fresh.select(graft.ColNames.q(keyCol).as("key"))
+  }
 
+  /** The write side: fold `freshKeys(key)` into the state (one delta, or a
+    * compaction when the manifest is full). */
+  def absorb(freshKeys: DataFrame, dir: String, compactEvery: Int = 16): Unit = {
+    val spark = freshKeys.sparkSession
+    val seen = load(spark, dir)
     val fs = pointer(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = readManifest(fs, dir)
     val nextIdx = entries
@@ -115,7 +128,6 @@ object SeenKeys {
       freshKeys.write.mode("overwrite").parquet(new Path(dir, p).toString)
       writeManifest(fs, dir, entries :+ p)
     }
-    fresh
   }
 
   /** Delete state files no longer referenced by the manifest (superseded

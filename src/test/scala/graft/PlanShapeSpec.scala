@@ -15,7 +15,10 @@ class PlanShapeSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def finalPlan(df: DataFrame): SparkPlan = {
-    df.count() // materialize so AQE has re-planned with runtime stats
+    // materialize THIS QueryExecution (df.count() would plan and run a
+    // separate one, leaving df's adaptive plan un-finalized — the spec
+    // would then assert the pre-runtime initial plan, not the executed one)
+    df.queryExecution.toRdd.count()
     df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p

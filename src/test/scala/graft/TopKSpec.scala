@@ -30,14 +30,16 @@ class TopKSpec extends SparkSpec {
       "aggregate and window top-3 differ")
   }
 
-  test("ties and NaN order exactly as the window form") {
+  test("ties, NaN, and null sims order exactly as the window form") {
     import spark.implicits._
-    // scores: NaN must outrank +Inf; equal scores break by id asc;
-    // nulls are skipped (window puts null sims last under desc).
+    // scores: NaN must outrank +Inf; equal scores break by id asc; null
+    // sims rank LAST (desc NULLS LAST) but are still emitted when the
+    // group has fewer than k non-null candidates (group 3).
     val rows = Seq(
-      (1L, 10L, Double.NaN), (1L, 11L, Double.PositiveInfinity),
-      (1L, 12L, 5.0), (1L, 13L, 5.0), (1L, 14L, -0.0), (1L, 15L, 0.0),
-      (2L, 20L, 1.0), (2L, 21L, 1.0), (2L, 22L, 1.0), (2L, 23L, 2.0))
+      (1L, 10L, Some(Double.NaN)), (1L, 11L, Some(Double.PositiveInfinity)),
+      (1L, 12L, Some(5.0)), (1L, 13L, Some(5.0)), (1L, 14L, Some(-0.0)), (1L, 15L, Some(0.0)),
+      (2L, 20L, Some(1.0)), (2L, 21L, Some(1.0)), (2L, 22L, Some(1.0)), (2L, 23L, Some(2.0)),
+      (3L, 30L, Some(0.5)), (3L, 31L, None), (3L, 32L, None), (3L, 33L, None))
       .toDF("vec_id", "neighbor_id", "sim")
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
     val windowed = rows

@@ -59,29 +59,47 @@ object PropertySpec extends Properties("graft") {
   // TopKBuffer vs reference sort: any insertion order, any split into
   // partial buffers, scores including NaN/±0.0/ties — must equal sorting
   // by (Double.compare desc, id asc) and taking k ids.
-  property("topk buffer == reference sort under merge and edge doubles") = {
-    val score: Gen[Double] = Gen.oneOf(
-      Gen.choose(-10.0, 10.0),
-      Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
-        0.0, -0.0, 1.0, 1.0)) // duplicated 1.0 encourages ties
-    val rows: Gen[List[(Double, Long)]] =
+  // TopKBuffer vs reference sort under the full SQL ordering domain:
+  // score DESC (Double.compare: NaN above +Inf, -0.0 < 0.0), id ASC
+  // tie-break, NULL scores last — any insertion order, any partial split.
+  property("topk buffer == reference sort under merge, nulls, edge doubles") = {
+    val score: Gen[Option[Double]] = Gen.frequency(
+      4 -> Gen.choose(-10.0, 10.0).map(Some(_)),
+      3 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+        0.0, -0.0, 1.0, 1.0).map(Some(_)), // duplicated 1.0 encourages ties
+      1 -> Gen.const(None))                // SQL NULL score
+    val rows: Gen[List[(Option[Double], Long)]] =
       Gen.listOf(Gen.zip(score, Gen.choose(0L, 30L)))
     forAll(rows, Gen.choose(1, 6), Gen.choose(1, 4)) { (xs, k, splits) =>
       import graft.functions.TopKAggregate.TopKBuffer
       val expected = xs.sortWith { case ((s1, i1), (s2, i2)) =>
-        val c = java.lang.Double.compare(s1, s2)
-        c > 0 || (c == 0 && i1 < i2)
+        (s1, s2) match {
+          case (None, None) => i1 < i2
+          case (None, _) => false // nulls last
+          case (_, None) => true
+          case (Some(a), Some(b)) =>
+            val c = java.lang.Double.compare(a, b)
+            c > 0 || (c == 0 && i1 < i2)
+        }
       }.take(k).map(_._2)
-      // split into partial buffers, then merge (simulates map-side partials)
-      val parts = xs.grouped(math.max(1, (xs.size + splits - 1) / splits)).map { g =>
-        val b = new TopKBuffer(k)
-        g.foreach { case (s, id) => b.insert(s, id) }
+      def feed(b: TopKBuffer, g: Seq[(Option[Double], Long)]): TopKBuffer = {
+        g.foreach {
+          case (Some(s), id) => b.insert(s, id)
+          case (None, id) => b.insertNullScore(id)
+        }
         b
-      }.toList
+      }
+      // split into partial buffers, then merge (simulates map-side partials)
+      val parts = xs.grouped(math.max(1, (xs.size + splits - 1) / splits))
+        .map(g => feed(new TopKBuffer(k), g)).toList
       val merged = parts.headOption.getOrElse(new TopKBuffer(k))
       parts.drop(1).foreach { o =>
         var i = 0
-        while (i < o.size) { merged.insert(o.scores(i), o.ids(i)); i += 1 }
+        while (i < o.size) {
+          if (o.nulls(i)) merged.insertNullScore(o.ids(i))
+          else merged.insert(o.scores(i), o.ids(i))
+          i += 1
+        }
       }
       val got = (0 until merged.size).map(merged.ids(_)).toList
       Prop(got == expected) :| s"got=$got expected=$expected xs=$xs k=$k"

@@ -13,9 +13,14 @@ import org.apache.spark.sql.SparkSession
   *    skew-join splitting, partition coalescing — the engine's join plans
   *    rely on AQE rather than forced hints (see [[graft.ops.Cascade]]).
   *  - objectHashAggregate fallback threshold raised: the top-k ranking
-  *    aggregate ([[graft.functions.TopKAggregate]]) keeps ~16·k-byte
+  *    aggregate ([[graft.functions.TopKAggregate]]) keeps ~17·k-byte
   *    buffers per group; the 128-group default would push every k-NN
-  *    partition into sort-based fallback for no memory benefit.
+  *    partition into sort-based fallback for no memory benefit. TRADE:
+  *    the setting is session-wide, so UNBOUNDED object aggregates
+  *    (`collect_list`/`collect_set` over high-cardinality keys) also hold
+  *    up to 65536 in-memory groups before falling back — if your workload
+  *    collects large lists per group, lower it back
+  *    (`spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")`).
   *  - session timezone UTC: timestamp determinism across engines (the
   *    DuckDB oracle compares hashed values).
   */

@@ -127,11 +127,18 @@ object TextDedup {
     * exact Jaccard, computed from intersection counts of an equi-join on
     * the shingle — never an all-pairs product. Cost is Σ bucket² over
     * shingle buckets, so it stays tractable exactly when shingles are
-    * discriminative; `maxDf` is the scale dial — drop shingles occurring
-    * in more than that many documents (stop-shingles contribute junk
-    * pairs at J≈0 but dominate bucket²; capping them bounds the join while
-    * leaving high-J pairs intact, since near-dups share RARE shingles
-    * too). Output `(doc_id_a, doc_id_b, jaccard_bp)`, id_a < id_b.
+    * discriminative.
+    *
+    * `maxDf` is the scale dial: drop shingles occurring in more than that
+    * many documents before indexing. With it set, BOTH the intersection
+    * and the set sizes are computed in the filtered shingle space — i.e.
+    * the result is the exact Jaccard of the documents' RARE-shingle sets
+    * (df-filtered Jaccard, the standard stop-shingle treatment), not an
+    * understated mix of filtered intersections over unfiltered sizes.
+    * Pairs whose every shared shingle exceeds the cap (e.g. a duplicate
+    * cluster larger than maxDf) disappear from the index — set the cap
+    * above the largest expected duplicate-cluster size.
+    * Output `(doc_id_a, doc_id_b, jaccard_bp)`, id_a < id_b.
     */
   def exactJaccardPairs(
       docs: DataFrame, id: String, text: String,
@@ -142,7 +149,6 @@ object TextDedup {
     // equivalence nearDuplicates' verifier already stands on)
     val hashed = docs.select(col(id).as("doc_id"),
       graft.functions.VectorExpressions.shingleHash64(col(text), n).as("hh"))
-    val sizes = hashed.select(col("doc_id"), size(col("hh")).cast("long").as("sz"))
     val sh0 = hashed.select(col("doc_id"), explode(col("hh")).as("s"))
     val sh = maxDf match {
       case Some(m) =>
@@ -150,6 +156,13 @@ object TextDedup {
           .filter(col("df") <= m).select("s")
         sh0.join(rare, Seq("s"), "left_semi")
       case None => sh0
+    }
+    // sizes live in the SAME shingle space as the intersections: a free
+    // per-row projection when unfiltered, a count over the filtered index
+    // when maxDf redefines the space (df-filtered Jaccard)
+    val sizes = maxDf match {
+      case Some(_) => sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      case None => hashed.select(col("doc_id"), size(col("hh")).cast("long").as("sz"))
     }
     val inter = sh.select(col("doc_id").as("doc_id_a"), col("s"))
       .join(sh.select(col("doc_id").as("doc_id_b"), col("s")), Seq("s"))

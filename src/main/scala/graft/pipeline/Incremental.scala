@@ -40,8 +40,14 @@ object Incremental {
     wideStream.writeStream
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val spark = batch0.sparkSession
+        // marker names carry the CHECKPOINT identity, not just the batchId:
+        // the SeenKeys dir outlives any one stream run (that is its point),
+        // and foreachBatch batchIds restart at 0 with a fresh checkpoint —
+        // a bare _absorbed-0 from a previous deployment would silently skip
+        // a brand-new batch. String.hashCode is spec-stable across JVMs.
+        val ns = f"${checkpointDir.hashCode}%08x"
         val marker = crossBatchKey.map { case (_, stateDir) =>
-          new org.apache.hadoop.fs.Path(stateDir, s"_absorbed-$batchId")
+          new org.apache.hadoop.fs.Path(stateDir, s"_absorbed-$ns-$batchId")
         }
         val fs = marker.map(_.getFileSystem(spark.sparkContext.hadoopConfiguration))
         val alreadyAbsorbed =
@@ -52,20 +58,35 @@ object Incremental {
               graft.state.SeenKeys.filterNew(batch0, keyCol, stateDir)
             case None => batch0
           }
-          val result = Pipeline.run(batch, specs, removeNodes)
-          result.nodes.foreach { case (node, df) =>
-            df.write.mode("append").parquet(s"$outDir/$node")
-          }
-          result.reports.foreach { case (name, df) =>
-            if (!df.isEmpty)
-              df.write.mode("append").parquet(s"$outDir/_reports/$name")
-          }
-          // outputs committed -> now absorb the keys and mark the batch
-          crossBatchKey.foreach { case (keyCol, stateDir) =>
-            graft.state.SeenKeys.absorb(
-              batch.select(graft.ColNames.q(keyCol).as("key")).distinct(), stateDir)
-          }
-          marker.zip(fs).foreach { case (m, f) => f.create(m, true).close() }
+          // one materialization: the anti-join + state scan would otherwise
+          // re-run for every node write, every report, and the absorb
+          if (crossBatchKey.isDefined) batch.persist()
+          try {
+            val result = Pipeline.run(batch, specs, removeNodes)
+            result.nodes.foreach { case (node, df) =>
+              df.write.mode("append").parquet(s"$outDir/$node")
+            }
+            result.reports.foreach { case (name, df) =>
+              if (!df.isEmpty)
+                df.write.mode("append").parquet(s"$outDir/_reports/$name")
+            }
+            // outputs committed -> now absorb the keys and mark the batch
+            crossBatchKey.foreach { case (keyCol, stateDir) =>
+              graft.state.SeenKeys.absorb(
+                batch.select(graft.ColNames.q(keyCol).as("key")).distinct(), stateDir)
+            }
+            marker.zip(fs).foreach { case (m, f) =>
+              f.create(m, true).close()
+              // only the latest marker matters (streaming replays at most
+              // the last uncommitted batch) — drop older ones so a
+              // long-running stream leaves one marker, not one per batch
+              val prefix = s"_absorbed-$ns-"
+              f.listStatus(m.getParent).map(_.getPath)
+                .filter(p => p.getName.startsWith(prefix) && p.getName != m.getName)
+                .filter(_.getName.stripPrefix(prefix).toLongOption.exists(_ < batchId))
+                .foreach(p => f.delete(p, false))
+            }
+          } finally if (crossBatchKey.isDefined) batch.unpersist()
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -136,38 +136,39 @@ object Pipeline {
     * or shuffle. Public so the driver gate can exercise it directly
     * (`j5_parent_pointer`) with the exact code `run()` uses. */
   def projectNode(wide: DataFrame, spec: NodeSpec): DataFrame = {
-    val propCols: Seq[Column] = spec.rawMapping.collect {
-      case (raw, prop) if wide.columns.contains(raw) => col(raw).as(prop)
+    // one name->expression map, composed in rule order, emitted as a
+    // SINGLE select — so the id rules stack instead of silently replacing
+    // each other (a spec with BOTH compoundId and secondaryIdFrom gets the
+    // compound id where its parts are live and the parent-id backfill
+    // where they are not)
+    var out = scala.collection.mutable.LinkedHashMap[String, Column]()
+    spec.rawMapping.foreach { case (raw, prop) =>
+      // first LIVE raw candidate per property wins (the P1 rule,
+      // RawDict.extract) — a later candidate never overwrites
+      if (wide.columns.contains(raw) && !out.contains(prop)) out(prop) = col(raw)
     }
-    val parentCols: Seq[Column] = spec.parents.collect {
-      case ParentPointer(p, prop, raw) if wide.columns.contains(raw) =>
-        col(raw).as(s"$p.$prop")
-    }
-    var df = wide.select(propCols ++ parentCols: _*)
-    // J6 secondary id: node id backfilled from the parent's id column
-    // (same wide row — coalesce, no join)
-    spec.secondaryIdFrom.foreach { parentRaw =>
-      if (wide.columns.contains(parentRaw)) {
-        val base =
-          if (df.columns.contains(spec.idProp)) col(spec.idProp)
-          else lit(null).cast("string")
-        df = wide.select((propCols ++ parentCols) :+ col(parentRaw).as("__parent_id"): _*)
-          .withColumn(spec.idProp, coalesce(base, col("__parent_id")))
-          .drop("__parent_id")
-      }
+    spec.parents.foreach { case ParentPointer(p, prop, raw) =>
+      if (wide.columns.contains(raw)) out(s"$p.$prop") = col(raw)
     }
     // J7 compound id from the PRESENT wide raw parts (absent parts are
     // skipped, not referenced — a workbook missing an optional part column
     // still gets an id from the remaining parts)
     spec.compoundId.foreach { c =>
       val parts = c.parts.filter(wide.columns.contains)
-      if (parts.nonEmpty) {
-        val withId = wide.select((propCols ++ parentCols) :+
-          Combine.combineColumns(parts.map(col), c.sep).as(spec.idProp): _*)
-        df = withId
+      if (parts.nonEmpty)
+        out(spec.idProp) = Combine.combineColumns(parts.map(col), c.sep)
+    }
+    // J6 secondary id: whatever id the node has so far (raw-mapped or
+    // compound) backfilled from the parent's id column — same wide row,
+    // coalesce, no join
+    spec.secondaryIdFrom.foreach { parentRaw =>
+      if (wide.columns.contains(parentRaw)) {
+        val base = out.getOrElse(spec.idProp, lit(null).cast("string"))
+        out(spec.idProp) = coalesce(base, col(parentRaw))
       }
     }
-    df.withColumn("type", lit(spec.name))
+    wide.select(out.map { case (n, c) => c.as(n) }.toSeq: _*)
+      .withColumn("type", lit(spec.name))
   }
 
   def run(

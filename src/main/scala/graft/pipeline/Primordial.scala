@@ -164,9 +164,13 @@ object Primordial {
             .withColumn("type", lit(node)))
         }
       }
-      // add_properties per source sheet, rule-table order
-      for ((source, rules) <- addProps.filter(_.node == node).groupBy(_.source)
-             .toSeq.sortBy { case (s, _) => addProps.indexWhere(_.source == s) };
+      // add_properties per source sheet — one multi-column new_df per
+      // (node, source), like the reference's add_properties calls; sources
+      // apply in the order THIS NODE's rules first mention them (the
+      // reference's fixed call order falls out of its table ordering)
+      val nodeRules = addProps.filter(_.node == node)
+      for ((source, rules) <- nodeRules.groupBy(_.source)
+             .toSeq.sortBy { case (s, _) => nodeRules.indexWhere(_.source == s) };
            src <- byName.get(source)) {
         if (df.isDefined) {
           val cols = rules.filter(r => src.columns.contains(r.sourceCol))

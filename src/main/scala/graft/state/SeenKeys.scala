@@ -140,6 +140,9 @@ object SeenKeys {
       val live = readManifest(fs, dir).toSet + "_CURRENT"
       fs.listStatus(root)
         .filterNot(st => live.contains(st.getPath.getName))
+        // _absorbed-* are Incremental's replay markers, not state files —
+        // they self-clean (latest-only) and must survive vacuum
+        .filterNot(_.getPath.getName.startsWith("_absorbed-"))
         .foreach(st => fs.delete(st.getPath, true))
     }
   }

@@ -40,14 +40,19 @@ class TextDedupSpec extends SparkSpec {
     assert(indexed == direct)
   }
 
-  test("maxDf drops stop-shingle pairwork but keeps high-J pairs") {
-    // 'the quick brown' family shingles have df = 3 (docs 1, 2, 5);
-    // capping at 2 kills their buckets -> the J>=0.3 pairs vanish, which
-    // is exactly the documented trade (the cap is for J~0 junk shingles
-    // at corpus scale, set above the max near-dup cluster size)
-    val capped = TextDedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.3, maxDf = Some(2))
-    assert(capped.count() == 0)
+  test("maxDf computes df-filtered Jaccard: rare-shingle space, sizes included") {
+    // cap above the duplicate-cluster size (3): nothing filtered that the
+    // J>=0.3 pairs rely on -> identical pair set
     val roomy = TextDedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.3, maxDf = Some(3))
     assert(roomy.count() == 3)
+    // cap = 2 drops the df=3 family shingles shared by docs 1/2/5; in the
+    // REMAINING (rare) shingle space docs 1 and 5 are still identical
+    // ('lazy dog tonight', df=2) -> J=1.0 survives, while doc 2's rare
+    // tail ('lazy dog today') shares nothing -> its pairs vanish. Sizes
+    // are computed in the same filtered space, so the surviving pair is
+    // exact, not understated against unfiltered set sizes.
+    val capped = TextDedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.3, maxDf = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq == Seq((1L, 5L, 10000L)), capped.mkString(","))
   }
 }

@@ -8,7 +8,7 @@ import graft.ops.{Normalize, Dedup, Combine, Ids, Cascade, Zip}
 import graft.validate.Validations
 import graft.state.History
 import graft.mapping.RawDict
-import graft.io.Tsv
+import graft.io.{Jsonl, Tsv}
 import graft.ext.{TextAnalysis, TextDedup, Similarity, Multimodal}
 
 /** Driver contract (SURVEY.md §7).
@@ -47,6 +47,17 @@ object SparkEntry {
   /** Session-scoped scratch dir for the s4 TSV roundtrip (contents
     * overwritten per invocation, never accreted; recursively removed by a
     * shutdown hook — `deleteOnExit` can't delete a non-empty directory). */
+  private lazy val jsonlScratchDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d.toFile)
+    }))
+    d.toString
+  }
+
   private lazy val tsvScratchDir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_tsv")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -266,6 +277,17 @@ object SparkEntry {
       // across bench passes (round-3 verdict, "What's wrong" #2)
       Tsv.writeNode(t(s, dir, "nation"), tsvScratchDir, "nation")
       Tsv.read(s, s"$tsvScratchDir/nation.tsv")
+    }),
+
+    // C1 JSONL corpus roundtrip: documents out through the JSONL sink and
+    // back through the schema-first reader — the LLM-corpus interchange
+    // format beside the reference's TSV surface. The oracle reads the
+    // ORIGINAL table: a hash match proves the roundtrip is lossless
+    // (JSON string escaping, int64 fidelity, null handling).
+    "c1_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      Jsonl.write(docs, jsonlScratchDir, "documents")
+      Jsonl.read(s, s"$jsonlScratchDir/documents.jsonl", docs.schema)
     }),
 
     // --- SURVEY §2.3: joins / FK wiring ---
@@ -1077,6 +1099,9 @@ object SparkEntry {
         |  CAST(floor(len(list_intersect(a.sh, b.sh)) * 1.0
         |       / len(list_distinct(list_concat(a.sh, b.sh))) * 10000) AS BIGINT) AS jaccard_bp
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "c1_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, text FROM documents",
 
     "m3_features" ->
       """WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents)

@@ -1,0 +1,58 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** JSONL corpus source/sink — the de-facto interchange format for LLM
+  * training corpora (one JSON object per line; optionally gzip'd per
+  * file). The engine extension beside the reference's TSV surface
+  * (SURVEY.md §2.1): same single-file/partitioned duality as [[Tsv]].
+  *
+  * Scale notes:
+  *  - reads ALWAYS take an explicit schema: schema inference is a full
+  *    extra pass over 100 TB and silently unions ragged records; with a
+  *    schema the read is one pass and extra fields are dropped, missing
+  *    ones null (exactly what a corpus contract wants);
+  *  - a `.gz` input is decompressed transparently but is NOT splittable —
+  *    one task per file; keep shards at a few hundred MB (the standard
+  *    corpus layout) so parallelism comes from file count;
+  *  - `singleFile` mirrors [[Tsv.writeNode]]'s load-format parity trick
+  *    (coalesce + rename) — corpus-scale writes use `singleFile=false`,
+  *    one shard per partition.
+  */
+object Jsonl {
+
+  /** Write `df` as `dir/name.jsonl` (single file) or a sharded dir.
+    * `codec` e.g. "gzip" → `.jsonl.gz`. Returns the written path. */
+  def write(df: DataFrame, dir: String, name: String,
+            singleFile: Boolean = true, codec: Option[String] = None): String = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ext = "jsonl" + codec.map(_ => ".gz").getOrElse("")
+    val writer0 = (if (singleFile) df.coalesce(1) else df).write.mode("overwrite")
+    val writer = codec.fold(writer0)(c => writer0.option("compression", c))
+    if (singleFile) {
+      val tmp = new Path(dir, s"__tmp_$name")
+      val out = new Path(dir, s"$name.$ext")
+      writer.json(tmp.toString)
+      val fs = FileSystem.get(tmp.toUri, conf)
+      val part = fs.listStatus(tmp)
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+      if (fs.exists(out)) fs.delete(out, false)
+      fs.rename(part, out)
+      fs.delete(tmp, true)
+      out.toString
+    } else {
+      val out = new Path(dir, name)
+      writer.json(out.toString)
+      out.toString
+    }
+  }
+
+  /** Read JSONL under `path` with an explicit schema (never inferred —
+    * see the scale notes). `.gz` files decompress transparently. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

@@ -75,6 +75,28 @@ class ModulesSpec extends SparkSpec {
     assert(state == Seq("f1", "f2", "f3"))
   }
 
+  test("JSONL sink/source: single-file, sharded, and gzip'd roundtrips are lossless") {
+    import graft.io.Jsonl
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_spec").toString
+    val docs = Seq(
+      (1L, "en", "plain text"),
+      (2L, "de", "line\nbreak and \"quotes\" and a\ttab"),
+      (3L, null.asInstanceOf[String], "null lang survives"))
+      .toDF("doc_id", "lang", "text")
+    val expect = docs.collect().map(_.toSeq).toSet
+
+    val single = Jsonl.write(docs, dir, "d")
+    assert(single.endsWith("/d.jsonl"))
+    assert(Jsonl.read(spark, single, docs.schema).collect().map(_.toSeq).toSet == expect)
+
+    val gz = Jsonl.write(docs, dir, "dz", codec = Some("gzip"))
+    assert(gz.endsWith("/dz.jsonl.gz"))
+    assert(Jsonl.read(spark, gz, docs.schema).collect().map(_.toSeq).toSet == expect)
+
+    val sharded = Jsonl.write(docs.repartition(3), dir, "shards", singleFile = false)
+    assert(Jsonl.read(spark, sharded, docs.schema).collect().map(_.toSeq).toSet == expect)
+  }
+
   test("SeenKeys: manifest commit is rename-based; prior readers survive compaction") {
     val dir = java.nio.file.Files.createTempDirectory("seen_keys_mv").toString
     // compactEvery=2 forces a compaction on the third batch

@@ -631,6 +631,24 @@ object SparkEntry {
           floor(avg(col("n_chars")) * 100).as("avg_chars_c"))
     }),
 
+    // T7 PII redaction: emails/SSNs/phones replaced by typed placeholders
+    // (the corpus-scrub step between dedup and tokenization), plus a
+    // redaction count for quality accounting. One codegen'd projection.
+    "t7_redact_pii" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("clean_text"),
+        TextAnalysis.piiHits(col("text")).as("pii_hits"))
+    }),
+
+    // T8 Unicode NFC normalization via the custom Catalyst expression —
+    // Spark has no built-in; DuckDB's nfc_normalize verifies it.
+    "t8_nfc_normalize" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.TextExpressions.nfcNormalize(col("text")).as("nfc_text"))
+    }),
+
     // --- LLM-pipeline: similarity search ---
 
     // E1 exact brute-force cosine top-3 (baseline/verifier path).
@@ -1102,6 +1120,30 @@ object SparkEntry {
 
     "c1_jsonl_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents",
+
+    "t7_redact_pii" -> {
+      // IDENTICAL patterns to TextAnalysis.{Email,Ssn,Phone}Pattern; the
+      // 'g' flag matches Spark's replace-all default
+      val em = TextAnalysis.EmailPattern
+      val ssn = TextAnalysis.SsnPattern
+      val ph = TextAnalysis.PhonePattern
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$em', '<EMAIL>', 'g'),
+         |      '$ssn', '<SSN>', 'g'),
+         |      '$ph', '<PHONE>', 'g') AS clean_text
+         |  FROM documents)
+         |SELECT doc_id, clean_text,
+         |  CAST((length(clean_text) - length(replace(clean_text, '<EMAIL>', ''))) / 7
+         |     + (length(clean_text) - length(replace(clean_text, '<SSN>', ''))) / 5
+         |     + (length(clean_text) - length(replace(clean_text, '<PHONE>', ''))) / 7
+         |    AS BIGINT) AS pii_hits
+         |FROM r""".stripMargin
+    },
+
+    "t8_nfc_normalize" ->
+      "SELECT doc_id, nfc_normalize(text) AS nfc_text FROM documents",
 
     "m3_features" ->
       """WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents)

@@ -86,4 +86,32 @@ object TextAnalysis {
     * that stays portable to the DuckDB oracle). */
   def fingerprint(c: Column): Column =
     md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  /** PII redaction for training corpora: emails, SSNs, and US-style phone
+    * numbers replaced with typed placeholder tokens (the curation step
+    * between dedup and tokenization — leaked PII survives training, so it
+    * is scrubbed at corpus build time, as one codegen'd projection per
+    * document). Patterns are deliberately simple, explicit, and kept
+    * IDENTICAL in the SQL oracle — engines disagree on \b and \p classes,
+    * so the character classes are spelled out. Order matters: emails are
+    * redacted before phones so a phone-like digit run inside an address
+    * is consumed by the email rule. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val SsnPattern = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val PhonePattern = "[(]?[0-9]{3}[)]?[-. ][0-9]{3}[-.][0-9]{4}"
+
+  def redactPii(c: Column): Column = {
+    val noEmail = regexp_replace(c, EmailPattern, "<EMAIL>")
+    val noSsn = regexp_replace(noEmail, SsnPattern, "<SSN>")
+    regexp_replace(noSsn, PhonePattern, "<PHONE>")
+  }
+
+  /** Count of redactions applied (corpus-quality accounting) — counted on
+    * the REDACTED text's placeholder tokens, so it is consistent with
+    * [[redactPii]]'s sequential rules by construction (a digit run inside
+    * an already-redacted email is never double-counted). */
+  def piiHits(c: Column): Column = {
+    val r = redactPii(c)
+    substrCount(r, "<EMAIL>") + substrCount(r, "<SSN>") + substrCount(r, "<PHONE>")
+  }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.TextAnalysis
+import graft.functions.TextExpressions
+
+/** PII redaction and Unicode normalization — the curation steps the gated
+  * t7/t8 queries drive over (mostly PII-free, already-NFC) corpus data;
+  * these fixtures exercise the non-trivial paths. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii scrubs emails, SSNs, phones; counts match placeholders") {
+    val df = Seq(
+      (1L, "contact a.smith+x@lab.example.org today"),
+      (2L, "ssn 123-45-6789 and phone (555) 123-4567 and 555.123.4567"),
+      (3L, "digits 12345 and dash 12-34 stay; user@host too"),
+      (4L, "clean text, nothing to redact"))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.redactPii(col("text")).as("t"),
+        TextAnalysis.piiHits(col("text")).as("hits"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(df(1L) == ("contact <EMAIL> today", 1L))
+    assert(df(2L) == ("ssn <SSN> and phone <PHONE> and <PHONE>", 3L))
+    // 'user@host' has no dotted TLD -> NOT an email by the explicit pattern
+    assert(df(3L) == ("digits 12345 and dash 12-34 stay; user@host too", 0L))
+    assert(df(4L)._2 == 0L)
+  }
+
+  test("email rule wins over phone rule inside an address") {
+    val r = Seq("reach 555 123-4567@mail.example.com now").toDF("text")
+      .select(TextAnalysis.redactPii(col("text"))).head().getString(0)
+    // the digit run is part of the address; email redaction consumed it
+    assert(r == "reach 555 <EMAIL> now", r)
+  }
+
+  test("nfcNormalize composes decomposed forms; already-NFC strings pass through") {
+    val decomposed = "Café mañana" // e+́ , n+̃
+    val composed = "Café mañana"
+    val rows = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"))
+      .toDF("id", "t")
+      .select(col("id"), TextExpressions.nfcNormalize(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == composed)
+    assert(rows(2L) == composed)
+    assert(rows(3L) == "plain ascii")
+    // SQL surface and DataFrame agree
+    GraftSession.registerAll(spark)
+    val viaSql = spark.sql(s"SELECT nfc_normalize('Café')").head().getString(0)
+    assert(viaSql == "Café")
+  }
+}

@@ -631,6 +631,16 @@ object SparkEntry {
           floor(avg(col("n_chars")) * 100).as("avg_chars_c"))
     }),
 
+    // C2 deterministic hash split: stable 80/10/10 train/val/test
+    // assignment by content key; the oracle recomputes the exact md5
+    // bucket thresholds, so the per-split counts pin the whole mapping.
+    "c2_hash_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(TextAnalysis.hashSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .groupBy(col("split")).agg(count(lit(1)).as("cnt"))
+    }),
+
     // T7 PII redaction: emails/SSNs/phones replaced by typed placeholders
     // (the corpus-scrub step between dedup and tokenization), plus a
     // redaction count for quality accounting. One codegen'd projection.
@@ -1120,6 +1130,14 @@ object SparkEntry {
 
     "c1_jsonl_roundtrip" ->
       "SELECT doc_id, lang, text FROM documents",
+
+    "c2_hash_split" ->
+      """WITH s AS (SELECT CASE
+        |    WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 52429 THEN 'train'
+        |    WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 58982 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS cnt FROM s GROUP BY split""".stripMargin,
 
     "t7_redact_pii" -> {
       // IDENTICAL patterns to TextAnalysis.{Email,Ssn,Phone}Pattern; the

@@ -106,6 +106,28 @@ object TextAnalysis {
     regexp_replace(noSsn, PhonePattern, "<PHONE>")
   }
 
+  /** Deterministic dataset split by content hash — the standard
+    * train/val/test assignment for corpus builds: stable across runs,
+    * machines, and partitionings (a document's split follows its KEY, so
+    * re-ingesting the corpus never migrates examples between splits — the
+    * property random() sampling lacks). The hash is the first 4 hex
+    * digits of md5(key) mapped to [0, 65536), compared against cumulative
+    * fraction thresholds; md5 keeps the assignment reproducible in ANY
+    * engine (the DuckDB oracle recomputes it exactly).
+    *
+    * `fractions` are (label, weight) pairs; weights are normalized, the
+    * last label absorbs rounding. */
+  def hashSplit(key: Column, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0))
+    val total = fractions.map(_._2).sum
+    val bucket = conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(f => math.round(f * 65536).toInt)
+    fractions.init.zip(cuts).reverse.foldLeft(lit(fractions.last._1)) {
+      case (els, ((label, _), cut)) => when(bucket < cut, lit(label)).otherwise(els)
+    }
+  }
+
   /** Count of redactions applied (corpus-quality accounting) — counted on
     * the REDACTED text's placeholder tokens, so it is consistent with
     * [[redactPii]]'s sequential rules by construction (a digit run inside

@@ -34,6 +34,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r == "reach 555 <EMAIL> now", r)
   }
 
+  test("hashSplit: deterministic, partition-independent, near the target fractions") {
+    val docs = (1L to 2000L).toDF("id")
+    def dist(df: org.apache.spark.sql.DataFrame) = df
+      .select(graft.ext.TextAnalysis.hashSplit(col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d1 = dist(docs.repartition(7))
+    assert(d1 == dist(docs.coalesce(1)), "split depends on partitioning")
+    assert(d1.values.sum == 2000 && d1.keySet == Set("train", "val", "test"))
+    // md5 is uniform: 80/10/10 within a few percent at n=2000
+    assert(math.abs(d1("train") - 1600) < 100, d1.toString)
+    assert(math.abs(d1("val") - 200) < 60 && math.abs(d1("test") - 200) < 60, d1.toString)
+    // a key's split never changes when the corpus around it changes
+    val one = dist(Seq(42L).toDF("id")).keys.head
+    assert(dist((1L to 500L).toDF("id").filter(col("id") === 42)).keys.head == one)
+  }
+
   test("nfcNormalize composes decomposed forms; already-NFC strings pass through") {
     val decomposed = "Café mañana" // e+́ , n+̃
     val composed = "Café mañana"

@@ -27,7 +27,10 @@ object RecallProbe {
     }
     val lsh = bp(Similarity.knnLsh(emb, "vec_id", "embedding", 3, 64, 6, 8, queryPred = Some(sub)))
     val ivf = bp(Similarity.knnIvf(emb, "vec_id", "embedding", 3, 16, 4, queryPred = Some(sub)))
-    println(s"RECALL sf=$sfDir lsh_bp=$lsh ivf_bp=$ivf")
+    val deq = emb.select(col("vec_id"),
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("embedding"))
+    val q8 = bp(Similarity.knnBruteFor(deq.filter(sub), deq, "vec_id", "embedding", 3))
+    println(s"RECALL sf=$sfDir lsh_bp=$lsh ivf_bp=$ivf int8_bp=$q8")
     spark.stop()
   }
 }

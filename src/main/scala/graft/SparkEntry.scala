@@ -41,6 +41,12 @@ object SparkEntry {
     * ≈ 1; the gate at 80% trips on any banding/signature regression. */
   val MinhashRecallMinBp = 8000
 
+  /** e8 gate: int8 per-vector-scaled quantization on 64-dim cosine is
+    * near-lossless (measured recall@3 = 9933/9816 bp at sf0.01/sf0.1,
+    * graft.RecallProbe); the gate trips if the quantize/dequantize pair
+    * starts distorting neighborhoods. */
+  val QuantizedRecallMinBp = 8000
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -711,6 +717,19 @@ object SparkEntry {
       Similarity.recallGate(approx, exact, minBp = IvfRecallMinBp)
     }),
 
+    // E8 quantization recall gate: k-NN over int8-quantized embeddings
+    // (the 4x storage compression) must still recover the full-precision
+    // exact neighbors — same constant-oracle shape as e6/e7.
+    "e8_quantized_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sub = col("vec_id") % 5 === 0
+      val deq = emb.select(col("vec_id"),
+        Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("embedding"))
+      val exact = Similarity.knnBruteFor(emb.filter(sub), emb, "vec_id", "embedding", k = 3)
+      val approx = Similarity.knnBruteFor(deq.filter(sub), deq, "vec_id", "embedding", k = 3)
+      Similarity.recallGate(approx, exact, minBp = QuantizedRecallMinBp)
+    }),
+
     // E4 embedding-cosine near-duplicate pairs (compiled kernel; sim
     // quantized to millis so the double survives the engine boundary).
     "e4_cosine_neardup" -> ((s, dir) => {
@@ -1342,6 +1361,10 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
 
     "e7_ivf_recall" ->
+      """SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+
+    "e8_quantized_recall" ->
       """SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
   )

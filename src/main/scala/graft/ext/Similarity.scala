@@ -233,6 +233,27 @@ object Similarity {
           >= minBp, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
   }
 
+  /** Scalar int8 quantization of an embedding column — the standard 4×
+    * storage compression for vector stores: each vector is scaled by its
+    * own max-abs into [-127, 127] ints; [[dequantizeInt8]] reconstructs
+    * floats with ≤ maxAbs/254 per-element error. Emitted as a struct
+    * `(q: array<int>, scale: double)` so the pair travels together.
+    * Whether the loss is acceptable is an EMPIRICAL question per corpus —
+    * which is what the e8 recall gate measures (quantized k-NN vs
+    * full-precision exact). */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = greatest(array_max(transform(vec, x => abs(x.cast("double")))), lit(1e-30))
+    struct(
+      transform(vec, x => round(x.cast("double") / scale * 127).cast("int")).as("q"),
+      scale.as("scale"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: back to array<float> for the cosine
+    * kernels. */
+  def dequantizeInt8(qs: Column): Column =
+    transform(qs.getField("q"), x =>
+      (x.cast("double") * qs.getField("scale") / 127).cast("float"))
+
   /** Embedding hygiene stats: dimension and L2 norm per vector (norm
     * rounded so the double is bit-stable across engines). */
   def stats(emb: DataFrame, id: String, vec: String): DataFrame =

@@ -51,6 +51,21 @@ object EventStream {
       }
   }
 
+  /** Gap-based sessionization, streaming-native: `session_window` merges
+    * events within `gap` of each other into one growing window per user —
+    * the incremental twin of the batch w3 query's lag/cumsum construction,
+    * with watermark-bounded state (a session closes, emits, and evicts
+    * once the watermark passes its end; no unbounded per-user state). Runs
+    * identically in batch mode. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup on content keys — the incremental twin of the
     * batch d1 hash-groupBy and the cross-RUN [[graft.state.SeenKeys]]:
     * `dropDuplicatesWithinWatermark` keeps one state entry per key only

@@ -42,6 +42,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("sessionize: gap-merged session windows converge to the batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(input.toDS().toDF(), gap = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_spec")
+      .outputMode("append").start()
+    val events = Seq(
+      // user 7: two events 5 min apart -> ONE session; third 40 min later -> new session
+      EventStream.Event(1, ts("2026-01-01 10:00:00"), 7L, "click", 1.0),
+      EventStream.Event(2, ts("2026-01-01 10:05:00"), 7L, "view", 2.0),
+      EventStream.Event(3, ts("2026-01-01 10:45:00"), 7L, "click", 3.0),
+      EventStream.Event(4, ts("2026-01-01 10:02:00"), 8L, "click", 4.0))
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every session end so all close
+      input.addData(EventStream.Event(99, ts("2026-01-01 15:00:00"), 9L, "tick", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sessions_spec")
+      .select("user_id", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch mode over the same frame gives the ground truth
+    val batch = EventStream.sessionize(events.toDF())
+      .select("user_id", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.subsetOf(streamed), s"streamed=$streamed batch=$batch")
+    assert(batch.contains((7L, 2L, 3.0)) && batch.contains((7L, 1L, 3.0)) &&
+      batch.contains((8L, 1L, 4.0)))
+  }
+
   test("dedupStream drops in-horizon duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]

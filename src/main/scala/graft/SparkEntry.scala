@@ -50,11 +50,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Session-scoped scratch dir for the s4 TSV roundtrip (contents
+  /** Session-scoped scratch dir (one per roundtrip query): contents
     * overwritten per invocation, never accreted; recursively removed by a
-    * shutdown hook — `deleteOnExit` can't delete a non-empty directory). */
-  private lazy val jsonlScratchDir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    * shutdown hook — `deleteOnExit` can't delete a non-empty directory. */
+  private def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -64,16 +64,8 @@ object SparkEntry {
     d.toString
   }
 
-  private lazy val tsvScratchDir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_tsv")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(d.toFile)
-    }))
-    d.toString
-  }
+  private lazy val jsonlScratchDir: String = scratchDir("graft_jsonl")
+  private lazy val tsvScratchDir: String = scratchDir("graft_tsv")
 
   private def ts(x: String): Column = to_timestamp(lit(x))
 
@@ -1160,23 +1152,26 @@ object SparkEntry {
 
     "t7_redact_pii" -> {
       // IDENTICAL patterns to TextAnalysis.{Email,Ssn,Phone}Pattern; the
-      // 'g' flag matches Spark's replace-all default
+      // 'g' flag matches Spark's replace-all default. Hit counting mirrors
+      // piiHits: each pattern counted on the text as the sequential rules
+      // see it (never on pre-existing literal placeholder tokens).
       val em = TextAnalysis.EmailPattern
       val ssn = TextAnalysis.SsnPattern
       val ph = TextAnalysis.PhonePattern
-      s"""WITH r AS (
-         |  SELECT doc_id,
-         |    regexp_replace(regexp_replace(regexp_replace(text,
-         |      '$em', '<EMAIL>', 'g'),
-         |      '$ssn', '<SSN>', 'g'),
-         |      '$ph', '<PHONE>', 'g') AS clean_text
-         |  FROM documents)
-         |SELECT doc_id, clean_text,
-         |  CAST((length(clean_text) - length(replace(clean_text, '<EMAIL>', ''))) / 7
-         |     + (length(clean_text) - length(replace(clean_text, '<SSN>', ''))) / 5
-         |     + (length(clean_text) - length(replace(clean_text, '<PHONE>', ''))) / 7
-         |    AS BIGINT) AS pii_hits
-         |FROM r""".stripMargin
+      s"""WITH s1 AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(text, '$em', '<EMAIL>', 'g') AS after_email
+         |  FROM documents),
+         |s2 AS (
+         |  SELECT doc_id, text, after_email,
+         |    regexp_replace(after_email, '$ssn', '<SSN>', 'g') AS after_ssn
+         |  FROM s1)
+         |SELECT doc_id,
+         |  regexp_replace(after_ssn, '$ph', '<PHONE>', 'g') AS clean_text,
+         |  CAST(len(regexp_extract_all(text, '$em'))
+         |     + len(regexp_extract_all(after_email, '$ssn'))
+         |     + len(regexp_extract_all(after_ssn, '$ph')) AS BIGINT) AS pii_hits
+         |FROM s2""".stripMargin
     },
 
     "t8_nfc_normalize" ->

@@ -98,7 +98,10 @@ object TextAnalysis {
     * is consumed by the email rule. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
   val SsnPattern = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
-  val PhonePattern = "[(]?[0-9]{3}[)]?[-. ][0-9]{3}[-.][0-9]{4}"
+  // area-code separator optional ("(555)123-4567"), second separator may
+  // be a space ("555 123 4567"); a bare 10-digit run stays unredacted on
+  // purpose (ids/timestamps would false-positive)
+  val PhonePattern = "[(]?[0-9]{3}[)]?[-. ]?[0-9]{3}[-. ][0-9]{4}"
 
   def redactPii(c: Column): Column = {
     val noEmail = regexp_replace(c, EmailPattern, "<EMAIL>")
@@ -128,12 +131,18 @@ object TextAnalysis {
     }
   }
 
-  /** Count of redactions applied (corpus-quality accounting) — counted on
-    * the REDACTED text's placeholder tokens, so it is consistent with
-    * [[redactPii]]'s sequential rules by construction (a digit run inside
-    * an already-redacted email is never double-counted). */
+  /** Count of redactions ACTUALLY applied (corpus-quality accounting):
+    * each pattern is counted on the text as [[redactPii]]'s sequential
+    * rules see it (emails on the original, SSNs after email redaction,
+    * phones after both) — so a digit run inside an already-redacted email
+    * is never double-counted, and a literal "<EMAIL>" present in the
+    * SOURCE text is never miscounted as a redaction. */
   def piiHits(c: Column): Column = {
-    val r = redactPii(c)
-    substrCount(r, "<EMAIL>") + substrCount(r, "<SSN>") + substrCount(r, "<PHONE>")
+    val emails = size(regexp_extract_all(c, lit(EmailPattern), lit(0)))
+    val afterEmail = regexp_replace(c, EmailPattern, "<EMAIL>")
+    val ssns = size(regexp_extract_all(afterEmail, lit(SsnPattern), lit(0)))
+    val afterSsn = regexp_replace(afterEmail, SsnPattern, "<SSN>")
+    val phones = size(regexp_extract_all(afterSsn, lit(PhonePattern), lit(0)))
+    (emails + ssns + phones).cast("long")
   }
 }

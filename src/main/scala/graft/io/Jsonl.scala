@@ -23,13 +23,21 @@ import org.apache.spark.sql.types.StructType
   */
 object Jsonl {
 
+  /** File extension per Hadoop compression codec — the reader resolves
+    * the codec FROM the extension, so a misnamed file fails to decode. */
+  private val codecExt = Map(
+    "gzip" -> "gz", "bzip2" -> "bz2", "zstd" -> "zst",
+    "snappy" -> "snappy", "lz4" -> "lz4", "deflate" -> "deflate")
+
   /** Write `df` as `dir/name.jsonl` (single file) or a sharded dir.
     * `codec` e.g. "gzip" → `.jsonl.gz`. Returns the written path. */
   def write(df: DataFrame, dir: String, name: String,
             singleFile: Boolean = true, codec: Option[String] = None): String = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
-    val ext = "jsonl" + codec.map(_ => ".gz").getOrElse("")
+    val ext = "jsonl" + codec.map(c => "." + codecExt.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"unknown codec '$c' (known: ${codecExt.keys.mkString(", ")})"))).getOrElse("")
     val writer0 = (if (singleFile) df.coalesce(1) else df).write.mode("overwrite")
     val writer = codec.fold(writer0)(c => writer0.option("compression", c))
     if (singleFile) {
@@ -41,7 +49,8 @@ object Jsonl {
         .map(_.getPath).find(_.getName.startsWith("part-"))
         .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
       if (fs.exists(out)) fs.delete(out, false)
-      fs.rename(part, out)
+      if (!fs.rename(part, out))
+        throw new java.io.IOException(s"rename failed: $part -> $out")
       fs.delete(tmp, true)
       out.toString
     } else {

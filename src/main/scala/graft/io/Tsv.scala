@@ -38,7 +38,8 @@ object Tsv {
         .map(_.getPath).find(_.getName.startsWith("part-"))
         .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
       if (fs.exists(out)) fs.delete(out, false)
-      fs.rename(part, out)
+      if (!fs.rename(part, out))
+        throw new java.io.IOException(s"rename failed: $part -> $out")
       fs.delete(tmp, true)
     } else {
       df.write.mode("overwrite")

@@ -27,6 +27,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df(4L)._2 == 0L)
   }
 
+  test("phone formats without separators or with spaces are redacted") {
+    val out = Seq(
+      (1L, "call (555)123-4567 now"),
+      (2L, "or 555 123 4567 later"),
+      (3L, "bare 5551234567 stays"))          // no separator at all: kept
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.redactPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "call <PHONE> now")
+    assert(out(2L) == "or <PHONE> later")
+    assert(out(3L) == "bare 5551234567 stays")
+  }
+
+  test("piiHits counts actual redactions, not pre-existing placeholder tokens") {
+    val hits = Seq("replace <EMAIL> with the user address, e.g. a@b.org")
+      .toDF("text").select(TextAnalysis.piiHits(col("text"))).head().getLong(0)
+    assert(hits == 1L) // only the real address counts
+  }
+
   test("email rule wins over phone rule inside an address") {
     val r = Seq("reach 555 123-4567@mail.example.com now").toDF("text")
       .select(TextAnalysis.redactPii(col("text"))).head().getString(0)

@@ -67,12 +67,25 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("k-NN paths rank via the bounded aggregate, not a window sort") {
-    for (name <- Seq("e1_knn_brute", "e3_knn_lsh", "e5_knn_ivf")) {
+    for (name <- Seq("e1_knn_brute", "e3_knn_lsh", "e5_knn_ivf", "e8_quantized_recall")) {
       val p = q(name)
       assert(windows(p).isEmpty,
         s"$name ranks through a window again (O(candidates) sort+shuffle):\n$p")
       val aggs = deep(p).filter(_.getClass.getSimpleName.contains("ObjectHashAggregate"))
       assert(aggs.nonEmpty, s"$name lost the top-k object aggregate:\n$p")
     }
+  }
+
+  test("c2 hash split is a single-aggregation plan (split expr stays in the scan stage)") {
+    val p = q("c2_hash_split")
+    assert(shuffles(p).size <= 1 && windows(p).isEmpty,
+      s"c2 grew beyond scan + one aggregation exchange:\n$p")
+  }
+
+  test("t6/t7/t8 curation projections add no exchanges beyond their aggregation") {
+    assert(shuffles(q("t7_redact_pii")).isEmpty && shuffles(q("t8_nfc_normalize")).isEmpty,
+      "per-row curation ops must be pure scan projections")
+    assert(shuffles(q("t6_corpus_curation")).size <= 1,
+      "t6 regressed from the single min_by aggregation shuffle")
   }
 }

@@ -843,7 +843,7 @@ object SparkEntry {
         |  CASE WHEN TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) IS NOT NULL
         |        AND TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
         |            = floor(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE))
-        |        AND abs(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)) < 9e18
+        |        AND abs(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)) < 9007199254740992
         |    THEN CAST(CAST(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS BIGINT) AS VARCHAR)
         |    ELSE CAST(l_quantity AS VARCHAR) END AS qty_int
         |FROM lineitem""".stripMargin,
@@ -1007,7 +1007,7 @@ object SparkEntry {
     "j7_compound_id" ->
       """SELECT c_custkey,
         |  concat_ws('_', n_name, CAST(c_custkey AS VARCHAR),
-        |    CASE WHEN c_acctbal = floor(c_acctbal) AND abs(c_acctbal) < 9e18
+        |    CASE WHEN c_acctbal = floor(c_acctbal) AND abs(c_acctbal) < 9007199254740992
         |      THEN CAST(CAST(c_acctbal AS BIGINT) AS VARCHAR)
         |      ELSE CAST(c_acctbal AS VARCHAR) END) AS compound_id
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,

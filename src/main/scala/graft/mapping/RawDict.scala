@@ -96,7 +96,9 @@ object RawDict {
     // deliberate eager action at plan-construction time (the mapping decides
     // the *schema*, which Spark needs before the plan exists); callers that
     // know their columns are live can skip it via `extractAssumeLive`.
-    val probes = present.map { case (raw, _) => count(col(raw)).as(raw) }
+    // q(): raw workbook headers may contain dots ("Sample.ID") — bare
+    // col() would parse them as struct access
+    val probes = present.map { case (raw, _) => count(graft.ColNames.q(raw)).as(raw) }
     val counts = df.agg(probes.head, probes.tail: _*).first()
     val live = present.filter { case (raw, _) => counts.getAs[Long](raw) > 0 }
     // first-match rule (match_col_from_raw_dict, cds-transformation_v1.3
@@ -106,8 +108,8 @@ object RawDict {
       case (acc, (raw, prop)) =>
         if (acc.exists(_._2 == prop)) acc else acc :+ (raw -> prop)
     }
-    val cols: Seq[Column] = firstPerProp.map { case (raw, prop) => col(raw).as(prop) } :+
-      lit(node).as("type")
+    val cols: Seq[Column] = firstPerProp.map { case (raw, prop) =>
+      graft.ColNames.q(raw).as(prop) } :+ lit(node).as("type")
     df.select(cols: _*)
   }
 
@@ -118,8 +120,8 @@ object RawDict {
       .foldLeft(Vector.empty[(String, String)]) { case (acc, (raw, prop)) =>
         if (acc.exists(_._2 == prop)) acc else acc :+ (raw -> prop)
       }
-    val cols: Seq[Column] = present.map { case (raw, prop) => col(raw).as(prop) } :+
-      lit(node).as("type")
+    val cols: Seq[Column] = present.map { case (raw, prop) =>
+      graft.ColNames.q(raw).as(prop) } :+ lit(node).as("type")
     if (present.isEmpty) df.select(lit(node).as("type")).filter(lit(false))
     else df.select(cols: _*)
   }

@@ -77,6 +77,14 @@ object Cascade {
     }
     val maxDepth = nodes.size // DAG depth bound
 
+    // deleted-id frames carry exactly the parent's id column, so each
+    // ParentRef's parentKey must BE that column — fail fast with the
+    // contract instead of an AnalysisException mid-cascade
+    for ((child, refs) <- parents; r <- refs; pid <- ids.get(r.parent))
+      require(r.parentKey == pid,
+        s"ParentRef($child.${r.fk} -> ${r.parent}.${r.parentKey}): deleted-id " +
+          s"frames carry the parent's id column '$pid'; parentKey must equal it")
+
     var frontier = deleted.keySet
     var level = 0
     while (frontier.nonEmpty && level < maxDepth) {
@@ -118,12 +126,16 @@ object Cascade {
       frontier = nextFrontier
       level += 1
     }
-    // apply seed deletions to the seed nodes themselves
+    // apply seed deletions to the seed nodes themselves — null-SAFE on the
+    // id: conflict offenders can include the null-id group, and a plain
+    // left_anti (null = null never matches) would let rows reported as
+    // deleted survive in the output
     for ((n, seedIds) <- seeds) {
       val idc = ids(n)
+      val del = seedIds.select(graft.ColNames.q(idc).as("__del_id")).distinct()
       current = current.updated(
         n,
-        current(n).join(seedIds.select(graft.ColNames.q(idc)).distinct(), Seq(idc), "left_anti"))
+        current(n).join(del, graft.ColNames.q(idc) <=> col("__del_id"), "left_anti"))
     }
     current
   }

@@ -74,7 +74,10 @@ object Normalize {
     * reference's keep_default_na=False string-first behavior). */
   def losslessInt(c: Column): Column = {
     val d = c.cast(StringType).try_cast("double")
-    when(d.isNotNull && d === floor(d) && abs(d) < lit(9.0e18),
+    // 2^53: beyond it doubles cannot represent every integer, so the
+    // round-trip would silently rewrite long ids to a DIFFERENT integer
+    // ("9007199254740993" -> ...992) — keep such strings verbatim instead
+    when(d.isNotNull && d === floor(d) && abs(d) < lit(9007199254740992.0),
       d.cast("long").cast(StringType)).otherwise(c)
   }
 

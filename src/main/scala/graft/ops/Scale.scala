@@ -27,6 +27,13 @@ object Scale {
       keys: Seq[String], salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // the right side is replicated salts×, so join types that emit
+    // UNMATCHED right rows would emit them once per salt copy — reject
+    // them instead of silently multiplying rows
+    val ok = Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti", "cross")
+    require(ok.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/semi/anti joins; '$joinType' would " +
+        "duplicate unmatched right rows across salt copies")
     val saltOfRow = pmod(
       xxhash64(left.columns.toIndexedSeq.map(graft.ColNames.q): _*), lit(salts)).cast("int")
     val l = left.withColumn("__salt", saltOfRow)

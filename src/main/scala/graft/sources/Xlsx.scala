@@ -61,10 +61,18 @@ object XlsxParser {
         case _ => ()
       }
     }
-    val target = (if (sheet.isEmpty) sheetEntries.headOption
+    // a missing sheet/rel is an ERROR, never a silent fallback to
+    // sheet1.xml — reading the wrong sheet's rows would flow garbage
+    // through the whole pipeline undetected (and sheet1.xml need not even
+    // be the workbook's first sheet; entry names follow creation order)
+    val entry = (if (sheet.isEmpty) sheetEntries.headOption
       else sheetEntries.find(_._1 == sheet))
-      .map { case (_, rid) => rels.getOrElse(rid, "xl/worksheets/sheet1.xml") }
-      .getOrElse("xl/worksheets/sheet1.xml")
+      .getOrElse(throw new IllegalArgumentException(
+        if (sheet.isEmpty) "workbook has no sheets"
+        else s"sheet '$sheet' not found; workbook has: " +
+          sheetEntries.map(_._1).mkString(", ")))
+    val target = rels.getOrElse(entry._2, throw new IllegalStateException(
+      s"workbook relationship '${entry._2}' for sheet '${entry._1}' has no target"))
     // pass 2: parse the worksheet
     var rows = Vector.empty[IndexedSeq[String]]
     withZip(open()) { (name, is) =>

@@ -70,9 +70,7 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
     val rows = XlsxParser.readSheet(() => fs.open(first), sheet)
     require(rows.nonEmpty, s"empty worksheet in ${files.head}")
     val names =
-      if (header) rows.head.zipWithIndex.map { case (v, i) =>
-        Option(v).filter(_.nonEmpty).getOrElse(s"_c$i")
-      }
+      if (header) XlsxHeaders.names(rows.head)
       else rows.head.indices.map(i => s"_c$i")
     StructType(names.map(n => StructField(n, StringType, nullable = true)))
   }
@@ -121,12 +119,37 @@ final case class XlsxPartition(
     file: String, sheet: String, header: Boolean,
     schema: StructType, conf: SerializableConfiguration) extends InputPartition
 
+/** Header-row naming shared by schema inference and every per-file reader:
+  * blank cells become `_cN`, duplicate header texts are disambiguated
+  * pandas-style (`ID`, `ID.1`, `ID.2`) — a StructType with duplicate
+  * field names would make every downstream by-name reference ambiguous. */
+object XlsxHeaders {
+  def names(row: IndexedSeq[String]): IndexedSeq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    row.zipWithIndex.map { case (v, i) =>
+      val base = Option(v).filter(_.nonEmpty).getOrElse(s"_c$i")
+      seen.get(base) match {
+        case None => seen(base) = 0; base
+        case Some(k) => seen(base) = k + 1; s"$base.${k + 1}"
+      }
+    }
+  }
+}
+
 final class XlsxReader(p: XlsxPartition) extends PartitionReader[InternalRow] {
-  private val rows: Iterator[IndexedSeq[String]] = {
+  // Each workbook maps its cells to the schema BY HEADER NAME, not by
+  // position: per-study files may order columns differently or add extras
+  // (pd.read_excel semantics). Fields absent in this file read as null;
+  // this file's extra columns are ignored. Headerless mode stays
+  // positional by construction.
+  private val (rows, fieldIdx) = {
     val path = new Path(p.file)
     val fs = path.getFileSystem(p.conf.value)
     val all = XlsxParser.readSheet(() => fs.open(path), p.sheet)
-    (if (p.header) all.drop(1) else all).iterator
+    if (p.header) {
+      val hdr = if (all.nonEmpty) XlsxHeaders.names(all.head) else IndexedSeq.empty
+      (all.drop(1).iterator, p.schema.fieldNames.map(hdr.indexOf).toArray)
+    } else (all.iterator, p.schema.fieldNames.indices.toArray)
   }
   private var current: InternalRow = _
 
@@ -138,7 +161,8 @@ final class XlsxReader(p: XlsxPartition) extends PartitionReader[InternalRow] {
       val vals = new Array[Any](width)
       var i = 0
       while (i < width) {
-        val v = if (i < cells.length) cells(i) else null
+        val j = fieldIdx(i)
+        val v = if (j >= 0 && j < cells.length) cells(j) else null
         vals(i) = if (v == null) null else UTF8String.fromString(v)
         i += 1
       }

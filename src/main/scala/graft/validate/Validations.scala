@@ -31,7 +31,10 @@ object Validations {
     val aggs = count(lit(1)).as("cnt") +:
       cols.map(c => (countDistinct(graft.ColNames.q(c)) > 1).as(s"__conf_$c"))
     val flags = df.groupBy(graft.ColNames.q(id)).agg(aggs.head, aggs.tail: _*)
-    val confArr = array(cols.sorted.map(c => when(col(s"__conf_$c"), lit(c))): _*)
+    // q(): the flag aliases embed the source column name, which may be a
+    // dotted parent pointer ("study.phs_accession")
+    val confArr = array(cols.sorted.map(c =>
+      when(graft.ColNames.q(s"__conf_$c"), lit(c))): _*)
     flags
       .filter(col("cnt") > 1)
       .withColumn("conflicted_columns", array_join(filter(confArr, _.isNotNull), ", "))
@@ -71,7 +74,7 @@ object Validations {
   def ssnScan(df: DataFrame, c: String): DataFrame = {
     val alternation = SsnPatterns.mkString("(", ")|(", ")")
     df.withColumn("ssn_matches",
-        array_join(regexp_extract_all(col(c), lit(alternation), lit(0)), ", "))
+        array_join(regexp_extract_all(graft.ColNames.q(c), lit(alternation), lit(0)), ", "))
       .filter(length(col("ssn_matches")) > 0)
   }
 
@@ -81,7 +84,7 @@ object Validations {
 
   def ssnScanPortable(df: DataFrame, c: String): DataFrame =
     df.withColumn("ssn_matches",
-        array_join(regexp_extract_all(col(c), lit(SsnPatternPortable), lit(0)), ", "))
+        array_join(regexp_extract_all(graft.ColNames.q(c), lit(SsnPatternPortable), lit(0)), ", "))
       .filter(length(col("ssn_matches")) > 0)
 
   /** V3: UI validation fill — required columns that are absent get injected
@@ -99,9 +102,11 @@ object Validations {
   /** Regex-pattern property validation (model regex types, SURVEY.md §1.2):
     * rows where `c` is non-null and does NOT match `pattern`. */
   def patternViolations(df: DataFrame, c: String, pattern: String): DataFrame =
-    df.filter(col(c).isNotNull && !regexp_like(col(c), lit(pattern)))
+    df.filter(graft.ColNames.q(c).isNotNull &&
+      !regexp_like(graft.ColNames.q(c), lit(pattern)))
 
   /** Enum-domain violations: non-null values outside the vocabulary. */
   def enumViolations(df: DataFrame, c: String, domain: Seq[String]): DataFrame =
-    df.filter(col(c).isNotNull && !col(c).isin(domain: _*))
+    df.filter(graft.ColNames.q(c).isNotNull &&
+      !graft.ColNames.q(c).isin(domain: _*))
 }

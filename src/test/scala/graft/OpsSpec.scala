@@ -125,6 +125,18 @@ class OpsSpec extends SparkSpec {
     assert(out("parent").select("pid").as[Int].collect().toSeq == Seq(2))
   }
 
+  test("J8 seed deletion is null-safe: a null-id offender row is removed") {
+    val node = Seq((Some(1), "a"), (None, "x"), (None, "y"), (Some(2), "b"))
+      .toDF("id", "v")
+    val seeds = Seq(Option.empty[Int]).toDF("id") // the null-id group
+    val out = Cascade.delete(
+      nodes = Map("n" -> node), parents = Map.empty,
+      ids = Map("n" -> "id"), seeds = Map("n" -> seeds))
+    val left = out("n").select("v").as[String].collect().sorted.toSeq
+    // both null-id rows die (plain left_anti would keep them: null != null)
+    assert(left == Seq("a", "b"))
+  }
+
   // ------------------------------------------------------------- RawDict
 
   test("P2 Ratcliff-Obershelp ratio matches difflib reference values") {

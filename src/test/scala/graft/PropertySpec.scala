@@ -35,7 +35,7 @@ object PropertySpec extends Properties("graft") {
     def lossless(s: String): String = {
       val d = try Some(s.toDouble) catch { case _: Throwable => None }
       d match {
-        case Some(x) if !x.isNaN && !x.isInfinite && x == math.floor(x) && math.abs(x) < 9.0e18 =>
+        case Some(x) if !x.isNaN && !x.isInfinite && x == math.floor(x) && math.abs(x) < 9007199254740992.0 =>
           x.toLong.toString
         case _ => s
       }
@@ -48,7 +48,7 @@ object PropertySpec extends Properties("graft") {
       val once = lossless(s)
       val idempotent = lossless(once) == once
       val preserving = (try Some(s.toDouble) catch { case _: Throwable => None }) match {
-        case Some(orig) if !orig.isNaN && orig == math.floor(orig) && math.abs(orig) < 9.0e18 =>
+        case Some(orig) if !orig.isNaN && orig == math.floor(orig) && math.abs(orig) < 9007199254740992.0 =>
           (try once.toDouble catch { case _: Throwable => Double.NaN }) == orig
         case _ => true
       }
@@ -56,9 +56,6 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
-  // TopKBuffer vs reference sort: any insertion order, any split into
-  // partial buffers, scores including NaN/±0.0/ties — must equal sorting
-  // by (Double.compare desc, id asc) and taking k ids.
   // TopKBuffer vs reference sort under the full SQL ordering domain:
   // score DESC (Double.compare: NaN above +Inf, -0.0 < 0.0), id ASC
   // tie-break, NULL scores last — any insertion order, any partial split.

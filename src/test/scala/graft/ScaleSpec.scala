@@ -34,6 +34,18 @@ class ScaleSpec extends SparkSpec {
     assert(out.count(_.isNullAt(2)) == 2)
   }
 
+  test("saltedJoin rejects join types that would duplicate unmatched right rows") {
+    val l = Seq((1, "a")).toDF("k", "lv")
+    val r = Seq((2, "r")).toDF("k", "rv")
+    val e = intercept[IllegalArgumentException] {
+      Scale.saltedJoin(l, r, Seq("k"), salts = 4, joinType = "right")
+    }
+    assert(e.getMessage.contains("duplicate unmatched right rows"))
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(l, r, Seq("k"), salts = 4, joinType = "full_outer")
+    }
+  }
+
   test("partitionBy(study) output enables partition pruning on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val df = (1 to 300).map(i => (s"phs${i % 3}", i.toLong, s"v$i"))

@@ -90,6 +90,74 @@ class XlsxSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("a missing sheet name errors with the available sheets, never falls back") {
+    val e = intercept[Exception] {
+      spark.read.format("xlsx").option("sheet", "Metdata").load(xlsxPath).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("not found") && m.contains("Metadata")), e)
+  }
+
+  test("multi-file glob maps each workbook's cells by HEADER NAME, not position") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_multi").toString
+    // file 1: columns (phs_accession, participant_id, age)
+    writeXlsx(s"$dir/a.xlsx", "Metadata",
+      Seq("phs_accession", "participant_id", "age", "phs001"), sheetXml)
+    // file 2: SAME headers, REVERSED order, plus an extra trailing column
+    val reversed =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData>
+        |    <row r="1">
+        |      <c r="A1" t="s"><v>0</v></c>
+        |      <c r="B1" t="s"><v>1</v></c>
+        |      <c r="C1" t="s"><v>2</v></c>
+        |      <c r="D1" t="s"><v>3</v></c>
+        |    </row>
+        |    <row r="2">
+        |      <c r="A2"><v>44</v></c>
+        |      <c r="B2" t="inlineStr"><is><t>p9</t></is></c>
+        |      <c r="C2" t="s"><v>4</v></c>
+        |      <c r="D2" t="inlineStr"><is><t>junk</t></is></c>
+        |    </row>
+        |  </sheetData>
+        |</worksheet>""".stripMargin
+    writeXlsx(s"$dir/b.xlsx", "Metadata",
+      Seq("age", "participant_id", "phs_accession", "extra", "phs002"), reversed)
+    val df = spark.read.format("xlsx").option("sheet", "Metadata").load(dir)
+    assert(df.columns.toSeq == Seq("phs_accession", "participant_id", "age"))
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // b.xlsx's reversed columns land under the right names; 'extra' dropped
+    assert(rows == Set(
+      ("phs001", "p1", "25.0"), ("phs001", null, "31"),
+      ("phs002", "p9", "44")), rows.mkString(", "))
+  }
+
+  test("duplicate header texts disambiguate pandas-style (ID, ID.1)") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_dup").toString
+    val dup =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData>
+        |    <row r="1">
+        |      <c r="A1" t="s"><v>0</v></c>
+        |      <c r="B1" t="s"><v>0</v></c>
+        |    </row>
+        |    <row r="2">
+        |      <c r="A2"><v>1</v></c>
+        |      <c r="B2"><v>2</v></c>
+        |    </row>
+        |  </sheetData>
+        |</worksheet>""".stripMargin
+    writeXlsx(s"$dir/d.xlsx", "Metadata", Seq("ID"), dup)
+    val df = spark.read.format("xlsx").option("sheet", "Metadata").load(s"$dir/d.xlsx")
+    assert(df.columns.toSeq == Seq("ID", "ID.1"))
+    val r = df.collect()(0)
+    assert(r.getString(0) == "1" && r.getString(1) == "2")
+  }
+
   test("workbook feeds the pipeline end-to-end (S1 -> v1.3 flow)") {
     val wide = spark.read.format("xlsx").option("sheet", "Metadata").load(xlsxPath)
     val out = Pipeline.run(wide, Seq(

@@ -14,6 +14,11 @@ run / fork := true
 // Forked run output goes straight to this process's stdout — no "[info] "
 // sbt-logger prefix, so the bench's single JSON line stays parseable.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The round driver parses the bench JSON out of the last ~2000 chars of
+// stdout; sbt's trailing "[success] Total time..." line would eat into
+// that window right after the JSON. Suppress it.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

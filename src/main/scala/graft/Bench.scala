@@ -85,25 +85,55 @@ object Bench {
       p += 1
     }
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-    val qs = names.flatMap { case (k, _) => best.get(k).map(v => s"${jstr(k)}:$v") }
-      .mkString("{", ",", "}")
-    val es = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = best.values.sum
-    val pts = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-    // "value" = sum of per-query minima (floor-of-noise); "pass_totals" =
-    // achievable single-session wall times per pass, so consumers can tell
-    // the two apart (ADVICE r3).
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"passes":$passes,"pass_totals":$pts,"sf":"$sfDir"}"""
+    val line = render(names.map(_._1), best, errors, passes, passTotals, sfDir)
     spark.stop()
     // after stop so no executor log lines land after it
     println(line)
+  }
+
+  /** Max rendered line length. The round driver keeps only the LAST ~2000
+    * chars of the sbt run's stdout and parses the JSON line out of that
+    * window — round 4's 67-query line at full double precision (~2.2 kB)
+    * overflowed it and the official bench recorded `parsed: null`, losing
+    * the round's numbers entirely. Fixed-point seconds keep the line well
+    * under the window (BenchRenderSpec pins this against the real query
+    * list); build.sbt additionally suppresses sbt's trailing "[success]"
+    * line so nothing competes for the window after the JSON.
+    */
+  val BudgetChars = 1900
+
+  /** One driver-contract JSON line: per-query seconds at 3 decimals,
+    * degrading to 2 if the line would exceed [[BudgetChars]].
+    *
+    * "value" = sum of per-query minima (floor-of-noise); "pass_totals" =
+    * achievable single-session wall times per pass, so consumers can tell
+    * the two apart (ADVICE r3).
+    */
+  def render(
+      names: Seq[String],
+      best: Map[String, Double],
+      errors: Map[String, String],
+      passes: Int,
+      passTotals: Seq[Double],
+      sfDir: String): String = {
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
+    def num(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    def at(dec: Int): String = {
+      val qs = names.flatMap(k => best.get(k).map(v => s"${jstr(k)}:${num(v, dec)}"))
+        .mkString("{", ",", "}")
+      val es = errors.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+      val total = num(best.values.sum, 3)
+      val pts = passTotals.map(num(_, 2)).mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"passes":$passes,"pass_totals":$pts,"sf":"$sfDir"}"""
+    }
+    val full = at(3)
+    if (full.length <= BudgetChars) full else at(2)
   }
 }

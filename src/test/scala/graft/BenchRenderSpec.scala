@@ -1,0 +1,60 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round driver captures only the last ~2000 chars of the bench run's
+  * stdout and parses the JSON line out of that window. Round 4's 67-query
+  * line at full double precision overflowed it (`BENCH_r04.json` records
+  * `parsed: null` — the round's official numbers were lost). This spec pins
+  * the rendered line against the REAL query list so adding queries can
+  * never silently push the line past the window again.
+  */
+class BenchRenderSpec extends AnyFunSuite {
+
+  private val names = SparkEntry.queries.keys.toSeq.sorted
+  private val mapper = new ObjectMapper()
+
+  private def rendered(dec2Stress: Boolean = false): String = {
+    // worst-case widths: hundreds of seconds per query, two passes
+    val v = if (dec2Stress) 888.888 else 8.888
+    Bench.render(
+      names,
+      names.map(_ -> v).toMap,
+      Map.empty,
+      passes = 2,
+      passTotals = Seq(888.0, 888.0),
+      sfDir = "/root/testdata/sf0.1")
+  }
+
+  test("line fits the driver's tail window for the real query list") {
+    val line = rendered()
+    assert(line.length <= Bench.BudgetChars,
+      s"bench line ${line.length} chars exceeds ${Bench.BudgetChars}; " +
+        "shorten new query names or drop a field")
+    assert(rendered(dec2Stress = true).length <= Bench.BudgetChars + 100,
+      "even degraded 2-decimal rendering is near the window — act now")
+  }
+
+  test("line is one parseable JSON object with the contract fields") {
+    val line = rendered()
+    assert(!line.contains("\n"))
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText == "total")
+    assert(node.get("unit").asText == "sec")
+    assert(node.get("queries").size() == names.size)
+    assert(node.get("value").asDouble > 0.0)
+    assert(node.get("pass_totals").size() == 2)
+    assert(node.get("sf").asText.endsWith("sf0.1"))
+  }
+
+  test("value is the sum of per-query minima; errors render escaped") {
+    val line = Bench.render(
+      Seq("a", "b"), Map("a" -> 1.25, "b" -> 2.5),
+      Map("b" -> "boom \"quoted\"\npath\\x"),
+      passes = 1, passTotals = Seq(3.75), sfDir = "/d")
+    val node = mapper.readTree(line)
+    assert(math.abs(node.get("value").asDouble - 3.75) < 1e-9)
+    assert(node.get("errors").get("b").asText == "boom \"quoted\"\npath\\x")
+  }
+}

@@ -103,7 +103,9 @@ object Bench {
   val BudgetChars = 1900
 
   /** One driver-contract JSON line: per-query seconds at 3 decimals,
-    * degrading to 2 if the line would exceed [[BudgetChars]].
+    * degrading to 2/1/0 decimals until the line fits [[BudgetChars]]
+    * (75 query names alone are ~1.4 kB — the decimals are the only
+    * squeezable part). "sf" is reported as the directory basename.
     *
     * "value" = sum of per-query minima (floor-of-noise); "pass_totals" =
     * achievable single-session wall times per pass, so consumers can tell
@@ -124,6 +126,7 @@ object Bench {
       } + "\""
     def num(v: Double, dec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    val sfName = new java.io.File(sfDir).getName
     def at(dec: Int): String = {
       val qs = names.flatMap(k => best.get(k).map(v => s"${jstr(k)}:${num(v, dec)}"))
         .mkString("{", ",", "}")
@@ -131,9 +134,8 @@ object Bench {
         .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
       val total = num(best.values.sum, 3)
       val pts = passTotals.map(num(_, 2)).mkString("[", ",", "]")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"passes":$passes,"pass_totals":$pts,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"passes":$passes,"pass_totals":$pts,"sf":"$sfName"}"""
     }
-    val full = at(3)
-    if (full.length <= BudgetChars) full else at(2)
+    Iterator(3, 2, 1, 0).map(at).find(_.length <= BudgetChars).getOrElse(at(0))
   }
 }

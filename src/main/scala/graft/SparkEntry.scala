@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{Normalize, Dedup, Combine, Ids, Cascade, Zip}
+import graft.ops.{Normalize, Dedup, Combine, Ids, Cascade, Zip, TemporalJoin, Pack}
 import graft.validate.Validations
 import graft.state.History
 import graft.mapping.RawDict
@@ -46,6 +46,18 @@ object SparkEntry {
     * graft.RecallProbe); the gate trips if the quantize/dequantize pair
     * starts distorting neighborhoods. */
   val QuantizedRecallMinBp = 8000
+
+  /** c3 training-mixture rates by language stratum; documents outside the
+    * map sample at [[SampleDefaultRate]]. Thresholds (out of 65536) are
+    * computed ONCE ([[TextAnalysis.rateThreshold]]) and shared verbatim
+    * with the oracle SQL so neither engine re-rounds the floats. */
+  val SampleRates: Map[String, Double] = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)
+  val SampleDefaultRate: Double = 0.1
+
+  /** p12 pivot domain — explicit values, so the pivot plans without the
+    * extra distinct-values scan Spark needs for an open-ended pivot. */
+  val PivotSegments: Seq[String] =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -769,6 +781,101 @@ object SparkEntry {
     "m3_features" -> ((s, dir) => {
       val withBin = Multimodal.withBinaryMeta(t(s, dir, "documents"), "text")
       Multimodal.extractFeatures(withBin, "doc_id", "content").toDF()
+    }),
+
+    // --- temporal joins, packing, curation (round-5 operators) ---
+
+    // W4 as-of join: each purchase picks the user's latest click at or
+    // before it (ties on time broken by highest click id). Single-shuffle
+    // union-window form — never a per-key subquery or inequality NLJ.
+    "w4_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      TemporalJoin.asOf(purchases, clicks,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts", rightTime = "click_ts",
+        rightPayload = Seq("click_id", "click_ts"), rightTieBreak = "click_id")
+    }),
+
+    // W5 interval join: events following each purchase within 60s — the
+    // bin-bucketing rewrite that makes a keyless range predicate an
+    // equi-join on the time bin (Spark's native plan here is a
+    // BroadcastNestedLoopJoin, which dies at scale).
+    "w5_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val points = e.select(col("event_id").as("x_id"), unix_micros(col("ts")).as("x_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("p_us"))
+      val intervals = purchases.withColumn("p_end_us", col("p_us") + lit(60000000L))
+      val matched = TemporalJoin.pointInInterval(
+        points, "x_us", intervals, "p_us", "p_end_us",
+        binMicros = 60000000L, inclusiveStart = false, inclusiveEnd = true)
+      val counts = matched.groupBy(col("event_id")).agg(count(lit(1)).as("n_follow"))
+      purchases.select(col("event_id"))
+        .join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), coalesce(col("n_follow"), lit(0L)).as("n_follow"))
+    }),
+
+    // H4 last-writer-wins upsert: latest event value per user merged over
+    // the customer base (SCD-1) — one max_by-style aggregate + one join.
+    "h4_upsert_latest" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val updates = t(s, dir, "events")
+        .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+      History.upsertLatest(base, "c_custkey", "c_acctbal",
+          updates, "user_id", "value", orderCols = Seq("ts", "event_id"))
+        .select(col("c_custkey"), col("current_value"), col("updated"))
+    }),
+
+    // C3 deterministic stratified sampling: per-language keep rates via
+    // the md5 threshold (training-mixture construction; pure projection).
+    "c3_stratified_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(TextAnalysis.stratifiedSampleFilter(col("lang"), col("doc_id"),
+          SampleRates, SampleDefaultRate))
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // C4 sequence packing: concat-and-chunk pack assignment at a 2048-
+    // token budget via the two-pass distributed prefix sum (ops.Pack) —
+    // no global single-task window.
+    "c4_pack_sequences" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), (expr("n_chars DIV 4") + lit(1L)).as("toks"))
+      Pack.packSequences(toks, "doc_id", "toks", budget = 2048L)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tok_sum"))
+    }),
+
+    // D8 benchmark decontamination: word-trigram overlap of every corpus
+    // doc against the benchmark set (doc_id % 10 = 0 stands in for the
+    // eval suite) — inverted-index equi-join, never doc x doc.
+    "d8_contamination" -> ((s, dir) => {
+      TextDedup.contamination(t(s, dir, "documents"), "doc_id", "text",
+        isBenchmark = pmod(col("doc_id"), lit(10)) === 0, n = 3)
+    }),
+
+    // T9 repetition signal: per-doc duplicate word-bigram fraction
+    // (Gopher-style repetitiousness filter input).
+    "t9_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text", n = 2)
+    }),
+
+    // P12 pivot: nation x market-segment counts and balances as a wide
+    // frame (explicit value domain — no extra distinct scan).
+    "p12_pivot" -> ((s, dir) => {
+      val wide = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .pivot("c_mktsegment", PivotSegments)
+        .agg(count(lit(1)).as("cnt"), sum(floor(col("c_acctbal") * 100)).as("bal_c"))
+      val outs = PivotSegments.flatMap { g =>
+        Seq(coalesce(col(s"${g}_cnt"), lit(0L)).as(s"${g.toLowerCase}_cnt"),
+          coalesce(col(s"${g}_bal_c"), lit(0L)).as(s"${g.toLowerCase}_bal_c"))
+      }
+      wide.select(col("c_nationkey") +: outs: _*)
     })
   )
 
@@ -1361,6 +1468,101 @@ object SparkEntry {
 
     "e8_quantized_recall" ->
       """SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
-        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
+        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+
+    // w4: LATERAL top-1 per row is the declarative as-of spec; the engine
+    // computes the same thing with one union-window shuffle.
+    "w4_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT e2.event_id AS click_id, e2.ts AS click_ts FROM e e2
+        |  WHERE e2.user_id = p.user_id AND e2.event_type = 'click' AND e2.ts <= p.ts
+        |  ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) c ON TRUE""".stripMargin,
+
+    "w5_range_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS tsu, event_type FROM events),
+        |p AS (SELECT event_id, tsu FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, CAST(count(x.event_id) AS BIGINT) AS n_follow
+        |FROM p LEFT JOIN e x
+        |  ON x.tsu > p.tsu AND x.tsu <= p.tsu + INTERVAL 60 SECOND
+        |GROUP BY p.event_id""".stripMargin,
+
+    "h4_upsert_latest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        |r AS (SELECT user_id, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY tsu DESC, event_id DESC) AS rn FROM e)
+        |SELECT c.c_custkey, coalesce(r.value, c.c_acctbal) AS current_value,
+        |  CAST(CASE WHEN r.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS updated
+        |FROM customer c LEFT JOIN r ON r.user_id = c.c_custkey AND r.rn = 1""".stripMargin,
+
+    // c3: thresholds are the engine's own precomputed integers — neither
+    // engine re-rounds rate*65536.
+    "c3_stratified_sample" -> {
+      val cases = SampleRates.toSeq.sortBy(_._1)
+        .map { case (l, r) => s"WHEN '$l' THEN ${TextAnalysis.rateThreshold(r)}" }
+        .mkString(" ")
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    CAST(('0x' || substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4))
+         |      AS BIGINT) AS h,
+         |    CASE lang $cases ELSE ${TextAnalysis.rateThreshold(SampleDefaultRate)} END AS thr
+         |  FROM documents)
+         |SELECT doc_id, lang FROM s WHERE h < thr""".stripMargin
+    },
+
+    "c4_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, n_chars // 4 + 1 AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  CAST(coalesce(sum(toks) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+        |  FROM t)
+        |SELECT CAST(prior // 2048 AS BIGINT) AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS tok_sum
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "d8_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+        |cand AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM cand GROUP BY 1),
+        |ov AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM cand c JOIN bench b ON b.s = c.s GROUP BY 1)
+        |SELECT o.doc_id, z.n_shingles, o.n_overlap,
+        |  CAST(floor(o.n_overlap * 10000.0 / z.n_shingles) AS BIGINT) AS contam_bp
+        |FROM ov o JOIN sizes z USING (doc_id)""".stripMargin,
+
+    "t9_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(t) - 1, 1) + 1),
+        |    i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS s
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(DISTINCT s) AS BIGINT) AS n_distinct,
+        |  CAST(floor((1.0 - CAST(count(DISTINCT s) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |    * 10000) AS BIGINT) AS rep_bp
+        |FROM g GROUP BY doc_id""".stripMargin,
+
+    "p12_pivot" -> {
+      val cols = PivotSegments.map { g =>
+        val l = g.toLowerCase
+        s"  CAST(count(CASE WHEN c_mktsegment = '$g' THEN 1 END) AS BIGINT) AS ${l}_cnt,\n" +
+        s"  CAST(coalesce(sum(CASE WHEN c_mktsegment = '$g'\n" +
+        s"    THEN CAST(floor(c_acctbal * 100) AS BIGINT) END), 0) AS BIGINT) AS ${l}_bal_c"
+      }.mkString(",\n")
+      s"SELECT c_nationkey,\n$cols\nFROM customer GROUP BY c_nationkey"
+    }
   )
 }

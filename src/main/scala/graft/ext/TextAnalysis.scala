@@ -145,4 +145,54 @@ object TextAnalysis {
     val phones = size(regexp_extract_all(afterSsn, lit(PhonePattern), lit(0)))
     (emails + ssns + phones).cast("long")
   }
+
+  /** Integer threshold (out of 65536) a rate maps to — shared by the
+    * sampling predicate and the oracle SQL so both compare the hash
+    * against the SAME literal integer (never each engine's own
+    * float-to-int rounding). */
+  def rateThreshold(rate: Double): Int = {
+    require(rate >= 0 && rate <= 1, s"rate out of [0,1]: $rate")
+    math.round(rate * 65536).toInt
+  }
+
+  /** Deterministic stratified sampling predicate: keep a row iff
+    * md5(stratum ":" key) maps below its stratum's rate threshold — the
+    * training-mixture downsampler (e.g. keep 50% of English, 10% of the
+    * tail). Like [[hashSplit]], membership follows the (stratum, key)
+    * pair: stable across runs, partitionings, and engines, and a stratum's
+    * sample at rate r is a SUBSET of its sample at r' > r (thresholds
+    * nest). Pure codegen'd projection — no shuffle, no state. */
+  def stratifiedSampleFilter(stratum: Column, key: Column,
+                             rates: Map[String, Double],
+                             defaultRate: Double): Column = {
+    val bucket = conv(substring(
+      md5(concat(stratum, lit(":"), key.cast("string"))), 1, 4), 16, 10).cast("long")
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(rateThreshold(defaultRate))) {
+      case (els, (label, r)) => when(stratum === label, lit(rateThreshold(r))).otherwise(els)
+    }
+    bucket < thr
+  }
+
+  /** Per-document word n-gram repetition (Gopher-style repetitiousness
+    * signal): rep_bp = floor((1 - distinct/total) * 10⁴) over the doc's
+    * word n-grams WITH multiplicity. Shape: explode n-grams, count per
+    * (doc, gram), fold per doc — two map-side-combining aggregates on the
+    * doc key, no window, no self-join; a 1-word document yields one
+    * 1-token "gram" (mirroring the shingle floor in TextDedup.shingles).
+    * Output: id, n_grams, n_distinct, rep_bp. */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, id: String,
+                      text: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    val toks = split(trim(col(text)), "\\s+")
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    docs.select(col(id), explode(grams).as("_g"))
+      .groupBy(col(id), col("_g")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(id)).agg(
+        sum(col("_c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"))
+      .select(col(id), col("n_grams"), col("n_distinct"),
+        floor((lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
+          * 10000).as("rep_bp"))
+  }
 }

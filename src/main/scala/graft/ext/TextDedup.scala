@@ -177,6 +177,35 @@ object TextDedup {
         floor(col("j") * 10000).as("jaccard_bp"))
   }
 
+  /** Benchmark decontamination: score every non-benchmark document by its
+    * word n-gram overlap with a benchmark set (the pre-training hygiene
+    * step that keeps eval data out of the training corpus). Returns
+    * `(id, n_shingles, n_overlap, contam_bp)` for candidates sharing at
+    * least one n-gram with the benchmark; `contam_bp = floor(overlap /
+    * candidate_distinct_ngrams * 10⁴)`.
+    *
+    * Shape: one scan explodes compiled 64-bit shingle hashes (set-
+    * identical to string n-grams up to xxhash64 collisions — the same
+    * equivalence d6 stands on), the benchmark side dedups to a distinct
+    * hash set, and scoring is an equi-join on the hash + two aggregates —
+    * never a doc×doc product. The benchmark set is typically tiny
+    * (an eval suite), so the join broadcasts; corpus side stays a
+    * straight streaming pass.
+    */
+  def contamination(docs: DataFrame, id: String, text: String,
+                    isBenchmark: Column, n: Int = 3): DataFrame = {
+    val sh = docs.select(col(id), isBenchmark.as("_bench"),
+        explode(graft.functions.VectorExpressions.shingleHash64(col(text), n)).as("s"))
+    val bench = sh.filter(col("_bench")).select("s").distinct()
+    val cand = sh.filter(!col("_bench")).select(col(id), col("s"))
+    val sizes = cand.groupBy(col(id)).agg(count(lit(1)).as("n_shingles"))
+    val overlap = cand.join(bench, Seq("s"), "left_semi")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_overlap"))
+    overlap.join(sizes, Seq(id))
+      .select(col(id), col("n_shingles"), col("n_overlap"),
+        floor(col("n_overlap") * lit(10000.0) / col("n_shingles")).as("contam_bp"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 votes from
     * each token's xxhash64; bit set where the vote is positive.
     * Compiled single pass (see [[graft.functions.VectorExpressions.SimHash64]]). */

@@ -66,6 +66,36 @@ object History {
         coalesce(array_join(col("values"), ","), col(targetCol)))
       .drop("values")
 
+  /** H4 — last-writer-wins upsert (SCD type 1): merge an update stream
+    * into a keyed base table, keeping per key the update with the highest
+    * `(orderCols...)` and falling back to the base value when a key never
+    * got an update. The reference's history files get this by whole-file
+    * rewrite; the engine form is one map-side-combining `max(struct)`
+    * aggregate over the updates (the exchange carries one row per updated
+    * key, never the raw update stream) plus one join against the base —
+    * AQE broadcasts it when the update keyset is small.
+    *
+    * `orderCols` must end in a per-key-unique tiebreak for determinism;
+    * the update's `updValue` must be non-null (a null latest value would
+    * silently fall back to the base — pair with
+    * [[updatesFromColumn]]-style strict guards upstream if that matters).
+    * Output: base columns + `current_value` (latest update value, else
+    * `valueCol`) + `updated` (1/0 long).
+    */
+  def upsertLatest(base: DataFrame, key: String, valueCol: String,
+                   updates: DataFrame, updKey: String, updValue: String,
+                   orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "upsertLatest: orderCols must be non-empty")
+    val picked = updates
+      .groupBy(col(updKey).as(key))
+      .agg(max(struct(orderCols.map(col) :+ col(updValue).as("_v"): _*)).as("_m"))
+      .select(col(key), col("_m._v").as("_new"))
+    base.join(picked, Seq(key), "left")
+      .withColumn("current_value", coalesce(col("_new"), col(valueCol)))
+      .withColumn("updated", when(col("_new").isNotNull, lit(1L)).otherwise(lit(0L)))
+      .drop("_new")
+  }
+
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -32,8 +32,8 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(line.length <= Bench.BudgetChars,
       s"bench line ${line.length} chars exceeds ${Bench.BudgetChars}; " +
         "shorten new query names or drop a field")
-    assert(rendered(dec2Stress = true).length <= Bench.BudgetChars + 100,
-      "even degraded 2-decimal rendering is near the window — act now")
+    assert(rendered(dec2Stress = true).length <= Bench.BudgetChars,
+      "even fully-degraded rendering exceeds the window — act now")
   }
 
   test("line is one parseable JSON object with the contract fields") {

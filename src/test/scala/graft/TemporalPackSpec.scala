@@ -1,0 +1,173 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Pack, TemporalJoin}
+import graft.state.History
+import graft.ext.{TextAnalysis, TextDedup}
+
+/** Round-5 operators: as-of join, interval join, sequence packing,
+  * upsert-latest, stratified sampling, repetition, contamination. Small
+  * fixtures pinning the exact semantics the DuckDB oracles encode
+  * (tie-breaks, boundary inclusivity, prefix offsets). */
+class TemporalPackSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // ------------------------------------------------------ TemporalJoin.asOf
+
+  test("asOf picks latest quote <= ask time, ties broken by max tiebreak") {
+    val asks = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:10")),
+      (2L, 10L, ts("2024-01-01 00:00:05")),
+      (3L, 20L, ts("2024-01-01 00:00:10")), // key with no quotes at all
+      (4L, 10L, ts("2024-01-01 00:00:01")) // before every quote
+    ).toDF("ask_id", "k", "at")
+    val quotes = Seq(
+      (100L, 10L, ts("2024-01-01 00:00:05"), "a"),
+      (101L, 10L, ts("2024-01-01 00:00:05"), "b"), // same ts: 101 wins by id
+      (102L, 10L, ts("2024-01-01 00:00:09"), "c")
+    ).toDF("q_id", "k", "q_at", "payload")
+
+    val out = TemporalJoin.asOf(asks, quotes, "k", "k", "at", "q_at",
+        rightPayload = Seq("q_id", "payload"), rightTieBreak = "q_id")
+      .orderBy("ask_id")
+      .select("ask_id", "q_id", "payload").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        Option(r.getString(2)).getOrElse("-")))
+
+    assert(out.toSeq == Seq(
+      (1L, 102L, "c"), // latest quote at :09
+      (2L, 101L, "b"), // quote AT ask time visible; tie -> max q_id
+      (3L, -1L, "-"), // no quotes for key 20
+      (4L, -1L, "-") // all quotes after the ask
+    ))
+  }
+
+  test("asOf emits exactly one row per left row") {
+    val asks = Seq((1L, 1L, ts("2024-01-01 00:00:10"))).toDF("ask_id", "k", "at")
+    val quotes = Seq(
+      (9L, 1L, ts("2024-01-01 00:00:01"), "x"),
+      (8L, 1L, ts("2024-01-01 00:00:02"), "y")).toDF("q_id", "k", "q_at", "p")
+    val out = TemporalJoin.asOf(asks, quotes, "k", "k", "at", "q_at", Seq("p"), "q_id")
+    assert(out.count() == 1)
+    assert(out.select("p").as[String].head() == "y")
+  }
+
+  // --------------------------------------------- TemporalJoin.pointInInterval
+
+  test("pointInInterval finds pairs across bin boundaries, honors endpoints") {
+    // bin = 10; interval [8, 22] spans bins 0..2
+    val points = Seq((1L, 8L), (2L, 9L), (3L, 15L), (4L, 22L), (5L, 23L))
+      .toDF("p_id", "p_t")
+    val intervals = Seq((100L, 8L, 22L)).toDF("iv_id", "s_t", "e_t")
+
+    def ids(inclS: Boolean, inclE: Boolean): Seq[Long] =
+      TemporalJoin.pointInInterval(points, "p_t", intervals, "s_t", "e_t",
+          binMicros = 10L, inclusiveStart = inclS, inclusiveEnd = inclE)
+        .select("p_id").as[Long].collect().sorted.toSeq
+
+    assert(ids(true, true) == Seq(1L, 2L, 3L, 4L))
+    assert(ids(false, true) == Seq(2L, 3L, 4L))
+    assert(ids(true, false) == Seq(1L, 2L, 3L))
+    assert(ids(false, false) == Seq(2L, 3L))
+  }
+
+  test("pointInInterval produces each qualifying pair exactly once and honors keys") {
+    val points = Seq((1L, "a", 5L), (2L, "b", 5L)).toDF("p_id", "pk", "p_t")
+    val intervals = Seq((10L, "a", 0L, 100L), (11L, "b", 50L, 100L))
+      .toDF("iv_id", "ik", "s_t", "e_t")
+    val out = TemporalJoin.pointInInterval(points, "p_t", intervals, "s_t", "e_t",
+        binMicros = 7L, keys = Seq("pk" -> "ik"))
+      .select("p_id", "iv_id").as[(Long, Long)].collect().toSeq
+    // point 1 matches only its key's interval; point 2's key interval starts later
+    assert(out == Seq((1L, 10L)))
+  }
+
+  // ------------------------------------------------------- Pack.packSequences
+
+  test("packSequences matches the sequential prefix-sum reference across partitionings") {
+    val docs = (1L to 97L).map(i => (i, (i % 7) + 1)) // irregular token counts
+    val expectedPrior = docs.scanLeft(0L)(_ + _._2).init
+    val expected = docs.zip(expectedPrior).map { case ((id, tk), prior) =>
+      (id, tk, prior, prior / 10)
+    }
+    for (parts <- Seq(1, 3, 8, 50)) { // 50 > #rows exercises empty partitions
+      val out = Pack.packSequences(docs.toDF("id", "tok"), "id", "tok",
+          budget = 10L, partitions = parts)
+        .select("id", "tok", "prior", "pack_id")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(out == expected, s"partitions=$parts")
+    }
+  }
+
+  test("packSequences: empty input yields empty output") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "tok")
+    assert(Pack.packSequences(empty, "id", "tok", budget = 10L).count() == 0)
+  }
+
+  // ---------------------------------------------------- History.upsertLatest
+
+  test("upsertLatest takes max (ts, tiebreak) update, falls back to base value") {
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val updates = Seq(
+      (1L, 111.0, ts("2024-01-01 00:00:05"), 1L),
+      (1L, 222.0, ts("2024-01-01 00:00:09"), 2L), // latest for k=1
+      (2L, 333.0, ts("2024-01-01 00:00:05"), 3L),
+      (2L, 444.0, ts("2024-01-01 00:00:05"), 4L) // same ts: id 4 wins
+    ).toDF("uk", "uv", "uts", "uid")
+    val out = History.upsertLatest(base, "k", "v", updates, "uk", "uv",
+        orderCols = Seq("uts", "uid"))
+      .select("k", "current_value", "updated")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 222.0, 1L), (2L, 444.0, 1L), (3L, 30.0, 0L)))
+  }
+
+  // ------------------------------------------- stratified sample + curation
+
+  test("stratifiedSampleFilter: lower-rate sample is a subset of higher-rate") {
+    val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "zz"))
+      .toDF("id", "lang")
+    def sample(rEn: Double, rDef: Double): Set[Long] = docs
+      .filter(TextAnalysis.stratifiedSampleFilter(col("lang"), col("id"),
+        Map("en" -> rEn), rDef))
+      .select("id").as[Long].collect().toSet
+    val low = sample(0.2, 0.05)
+    val high = sample(0.6, 0.3)
+    assert(low.subsetOf(high)) // thresholds nest per (stratum, key)
+    assert(low.nonEmpty && high.size < 400)
+  }
+
+  test("repetitionStats counts n-gram multiplicity; 1-word doc floors to one gram") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // bigrams: (a b)x3 (b a)x2 -> 5 total, 2 distinct
+      (2L, "x y z"), // all distinct
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text", n = 2)
+      .select("doc_id", "n_grams", "n_distinct", "rep_bp")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 5L, 2L, 6000L), // 1 - 2/5 = 0.6
+      (2L, 2L, 2L, 0L),
+      (3L, 1L, 1L, 0L)))
+  }
+
+  test("contamination scores overlap against the benchmark set only") {
+    val docs = Seq(
+      (10L, "the quick brown fox jumps"), // benchmark (isBench)
+      (1L, "the quick brown fox sleeps"), // shares trigram "the quick brown"
+      (2L, "totally different words here five") // no overlap -> absent
+    ).toDF("doc_id", "text")
+    val out = TextDedup.contamination(docs, "doc_id", "text",
+        isBenchmark = col("doc_id") === 10L, n = 3)
+      .select("doc_id", "n_shingles", "n_overlap")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1: trigrams {the quick brown, quick brown fox, brown fox sleeps};
+    // first two occur in the benchmark doc
+    assert(out == Seq((1L, 3L, 2L)))
+  }
+}

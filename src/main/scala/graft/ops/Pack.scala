@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing for LLM training data: concatenate a corpus in a
@@ -12,19 +13,22 @@ import org.apache.spark.sql.functions._
   * The pack id is `floor(exclusive_prefix_sum(tokens) / budget)` over the
   * id-ordered corpus — a global running total. The scalable form is NOT a
   * global window (an un-partitioned window funnels 100 TB through one
-  * task): it is the two-pass distributed prefix sum —
+  * task): it is a two-pass distributed prefix sum over deterministic
+  * id-range buckets —
   *
-  *   1. range-partition + sort by id (one shuffle, the same one any
-  *      global ordering costs), then one cheap pass computing per-
-  *      partition token totals (O(#partitions) rows to the driver);
-  *   2. per-partition exclusive offsets from those totals ship back in
-  *      the task closure and a second pass streams each partition once,
-  *      accumulating locally.
+  *   1. bucket = (id - min_id) DIV width: a PURE FUNCTION of the id, so
+  *      both passes see identical bucketing. (The first cut of this
+  *      operator used repartitionByRange + spark_partition_id; the range
+  *      boundaries are SAMPLED per materialization, so the offsets pass
+  *      and the assignment pass could disagree — caught by the sf0.1
+  *      oracle. Never couple cross-job state to sampled partitioning.)
+  *   2. per-bucket token totals (≤ `buckets` rows to the driver) become
+  *      exclusive bucket offsets, broadcast-joined back; within each
+  *      bucket a partitioned window accumulates locally.
   *
   * Both passes are embarrassingly parallel; the only sequential state is
-  * the #partitions-sized offset table. RangePartitioner places ascending
-  * id ranges on ascending partition ids, which is what makes the per-
-  * partition offsets globally correct.
+  * the bucket-offset table. Sparse/skewed id ranges only cost parallelism
+  * (uneven buckets), never correctness — raise `buckets` to re-balance.
   */
 object Pack {
 
@@ -33,43 +37,46 @@ object Pack {
     * non-negative. Output columns: idCol, tokCol, prior, pack_id.
     */
   def packSequences(df: DataFrame, idCol: String, tokCol: String,
-                    budget: Long, partitions: Int = 0): DataFrame = {
+                    budget: Long, buckets: Int = 0): DataFrame = {
     require(budget > 0, "packSequences: budget must be positive")
     val spark = df.sparkSession
-    import spark.implicits._
-    val nParts =
-      if (partitions > 0) partitions
+    val nBuckets =
+      if (buckets > 0) buckets
       else spark.sessionState.conf.numShufflePartitions
-    val sorted = df
-      .select(col(idCol).cast("long").as("_1"),
-              col(tokCol).cast("long").as("_2"))
-      .repartitionByRange(nParts, col("_1"))
-      .sortWithinPartitions("_1")
-      .withColumn("_3", spark_partition_id())
+    val base = df.select(col(idCol).cast("long").as("_id"),
+      col(tokCol).cast("long").as("_tok"))
 
-    // pass 1: per-partition token totals -> exclusive prefix offsets.
-    // O(#partitions) rows; the shuffle is 32 rows wide.
-    val sums = sorted.groupBy("_3").agg(sum("_2").as("s")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxPid = if (sums.isEmpty) -1 else sums.keys.max
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      (0 to maxPid).map { p =>
-        val o = p -> acc; acc += sums.getOrElse(p, 0L); o
-      }.toMap
+    // pass 0: id domain (one agg scan). Empty input -> empty output.
+    val bounds = base.agg(min("_id"), max("_id")).head()
+    if (bounds.isNullAt(0)) {
+      return base.withColumn("prior", lit(0L)).withColumn("pack_id", lit(0L))
+        .toDF(idCol, tokCol, "prior", "pack_id").limit(0)
     }
+    val minId = bounds.getLong(0)
+    val span = BigInt(bounds.getLong(1)) - BigInt(minId) + 1
+    require(span <= BigInt(Long.MaxValue),
+      s"packSequences: id span $span too wide to bucket")
+    val width = ((span + nBuckets - 1) / nBuckets).max(1).toLong
 
-    // pass 2: stream each partition once with its starting offset.
-    sorted.as[(Long, Long, Int)].mapPartitions { it =>
-      if (!it.hasNext) Iterator.empty
-      else {
-        val buf = it.buffered
-        var run = offsets(buf.head._3)
-        buf.map { case (idv, tk, _) =>
-          val prior = run; run += tk; (idv, tk, prior)
-        }
+    val bucketed = base.withColumn("_b", expr(s"(_id - $minId) DIV $width"))
+
+    // pass 1: per-bucket totals -> exclusive bucket offsets (tiny).
+    val sums = bucketed.groupBy("_b").agg(sum("_tok").as("_s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsetRows = {
+      var acc = 0L
+      sums.keys.toSeq.sorted.map { b =>
+        val o = (b, acc); acc += sums(b); o
       }
-    }.toDF(idCol, tokCol, "prior")
-      .withColumn("pack_id", expr(s"prior DIV $budget"))
+    }
+    val offsets = spark.createDataFrame(offsetRows).toDF("_b", "_off")
+
+    // pass 2: bucket-local accumulation under a PARTITIONED window.
+    val w = Window.partitionBy(col("_b")).orderBy(col("_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("_b"))
+      .withColumn("prior", col("_off") + coalesce(sum(col("_tok")).over(w), lit(0L)))
+      .select(col("_id").as(idCol), col("_tok").as(tokCol), col("prior"),
+        expr(s"prior DIV $budget").as("pack_id"))
   }
 }

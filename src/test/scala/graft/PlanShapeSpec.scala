@@ -88,4 +88,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(q("t6_corpus_curation")).size <= 1,
       "t6 regressed from the single min_by aggregation shuffle")
   }
+
+  test("w4 as-of join is one shuffle + one partitioned window, no join operator") {
+    val p = q("w4_asof_join")
+    assert(shuffles(p).size == 1, s"asOf must cost exactly its key shuffle:\n$p")
+    assert(windows(p).size == 1, s"asOf lost its union-window form:\n$p")
+    val joins = deep(p).filter(_.nodeName.toLowerCase.contains("join"))
+    assert(joins.isEmpty, s"asOf planned a join (per-key subquery shape?):\n$p")
+  }
+
+  test("w5 range join stays an equi-join on the bin — never a nested-loop/cartesian") {
+    val p = q("w5_range_join")
+    val bad = deep(p).filter(n =>
+      n.nodeName.contains("BroadcastNestedLoop") || n.nodeName.contains("Cartesian"))
+    assert(bad.isEmpty, s"range join fell back to a product plan:\n$p")
+  }
+
+  test("c4 packing accumulates under a PARTITIONED window, never one partition") {
+    val p = q("c4_pack_sequences")
+    val ws = windows(p)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"packing regressed to a global (un-partitioned) window:\n$p")
+    val singlePart = deep(p).collect {
+      case s: ShuffleExchangeLike if s.outputPartitioning.numPartitions == 1 => s
+    }
+    assert(singlePart.isEmpty, s"packing funnels through one partition:\n$p")
+  }
+
+  test("h4 upsert aggregates updates map-side and broadcasts onto the base") {
+    val p = q("h4_upsert_latest")
+    assert(shuffles(p).size <= 1, s"h4 grew beyond the one aggregate exchange:\n$p")
+    assert(windows(p).isEmpty, s"h4 ranks through a window (O(updates) sort):\n$p")
+  }
+
+  test("c3 stratified sample is a pure scan-stage filter: zero exchanges") {
+    val p = q("c3_stratified_sample")
+    assert(shuffles(p).isEmpty && broadcasts(p).isEmpty && windows(p).isEmpty,
+      s"sampling must stay a codegen'd filter projection:\n$p")
+  }
 }

@@ -95,9 +95,9 @@ class TemporalPackSpec extends SparkSpec {
     val expected = docs.zip(expectedPrior).map { case ((id, tk), prior) =>
       (id, tk, prior, prior / 10)
     }
-    for (parts <- Seq(1, 3, 8, 50)) { // 50 > #rows exercises empty partitions
+    for (parts <- Seq(1, 3, 8, 50, 200)) { // > #rows exercises empty buckets
       val out = Pack.packSequences(docs.toDF("id", "tok"), "id", "tok",
-          budget = 10L, partitions = parts)
+          budget = 10L, buckets = parts)
         .select("id", "tok", "prior", "pack_id")
         .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
       assert(out == expected, s"partitions=$parts")

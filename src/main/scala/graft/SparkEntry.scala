@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{Normalize, Dedup, Combine, Ids, Cascade, Zip, TemporalJoin, Pack}
+import graft.ops.{Normalize, Dedup, Combine, Ids, Cascade, Zip, TemporalJoin, Pack, Components}
 import graft.validate.Validations
 import graft.state.History
 import graft.mapping.RawDict
@@ -40,6 +40,15 @@ object SparkEntry {
     * bimodal — next bucket is J ≈ 0), where 8-band/4-row MinHash recall is
     * ≈ 1; the gate at 80% trips on any banding/signature regression. */
   val MinhashRecallMinBp = 8000
+
+  /** d10 gate: SimHash Hamming distance is bimodal on this corpus
+    * (graft.SimhashProbe: true near-dup pairs max 5/12 at sf0.01/sf0.1,
+    * non-dup consecutive pairs min 8/4, p50 18) — every true pair sits
+    * ≤ [[SimhashHammingMax]], so measured recall is 10000 bp at both SFs;
+    * the gate trips only on a real signature regression (bit mixing,
+    * vote fold), which sends true pairs toward the random ~32 mean. */
+  val SimhashHammingMax = 16
+  val SimhashRecallMinBp = 9000
 
   /** e8 gate: int8 per-vector-scaled quantization on 64-dim cosine is
     * near-lossless (measured recall@3 = 9933/9816 bp at sf0.01/sf0.1,
@@ -864,6 +873,50 @@ object SparkEntry {
       TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text", n = 2)
     }),
 
+    // D9 duplicate clusters: exact near-dup PAIRS (d6 ground truth)
+    // resolved to connected components — every doc labeled with the min
+    // doc id of its duplicate cluster (the keep-doc). Hash-min fixpoint
+    // on the driver (ops.Components), 2-4 rounds on dedup graphs.
+    "d9_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text", n = 3, minJ = 0.3)
+        .select(col("doc_id_a"), col("doc_id_b"))
+      Components.connected(pairs, "doc_id_a", "doc_id_b",
+          vertices = Some(docs.select(col("doc_id"))), idCol = "doc_id")
+        .select(col("doc_id"), col("component").as("cluster_id"))
+    }),
+
+    // D10 SimHash recall gate: every exact-truth near-dup pair must land
+    // within SimhashHammingMax bits (same constant-oracle shape as
+    // d7/e6/e7) — closes the last rows-only quality hole (d3/d5 emit
+    // signatures the driver can't judge).
+    "d10_simhash_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = docs.select(col("doc_id"), TextDedup.simhash(col("text")).as("sh"))
+      val truePairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text", n = 3, minJ = 0.3)
+        .select(col("doc_id_a"), col("doc_id_b"))
+      truePairs
+        .join(sig.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
+        .join(sig.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
+        .select(when(TextDedup.hamming(col("sh_a"), col("sh_b"))
+          <= SimhashHammingMax, 1L).otherwise(0L).as("hit"))
+        .agg(
+          count(lit(1)).as("n_true_pairs"),
+          when(floor(sum(col("hit")) * lit(10000) / count(lit(1)))
+            >= SimhashRecallMinBp, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
+    }),
+
+    // T10 exact heavy hitters: global top-100 terms by frequency, fully
+    // tie-broken — map-side-combining term aggregate, bounded TakeOrdered
+    // (never a global sort of the term dictionary).
+    "t10_top_terms" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(100)
+    }),
+
     // P12 pivot: nation x market-segment counts and balances as a wide
     // frame (explicit value domain — no extra distinct scan).
     "p12_pivot" -> ((s, dir) => {
@@ -1563,6 +1616,68 @@ object SparkEntry {
         s"    THEN CAST(floor(c_acctbal * 100) AS BIGINT) END), 0) AS BIGINT) AS ${l}_bal_c"
       }.mkString(",\n")
       s"SELECT c_nationkey,\n$cols\nFROM customer GROUP BY c_nationkey"
-    }
+    },
+
+    // d9: the declarative spec of connected components — transitive
+    // closure by recursive CTE over the d6 exact-pair edges, component =
+    // min reachable id. Tractable for the oracle because dup clusters are
+    // tiny; the engine side never materializes a closure.
+    "d9_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_id_a, doc_id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_id_a
+        |  JOIN sizes sb ON sb.doc_id = doc_id_b
+        |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3),
+        |edges AS (
+        |  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+        |  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+        |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY src""".stripMargin,
+
+    // d10: constant-oracle gate (see d7) — DuckDB pins the true-pair
+    // count; the flag asserts the SimHash signatures kept those pairs
+    // within the measured Hamming band.
+    "d10_simhash_recall" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_id_a
+        |JOIN sizes sb ON sb.doc_id = doc_id_b
+        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3""".stripMargin,
+
+    "t10_top_terms" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |FROM w GROUP BY term
+        |ORDER BY cnt DESC, term LIMIT 100""".stripMargin
   )
 }

@@ -79,6 +79,55 @@ object EventStream {
       .withWatermark(eventTimeCol, horizon)
       .dropDuplicatesWithinWatermark(keys)
 
+  final case class Tick(k: Long, t: Timestamp, isAsk: Boolean, id: Long,
+                        payload: Double)
+  final case class AsOfMatch(k: Long, ask_id: Long, t: Timestamp,
+                             quote_id: Option[Long], quote_t: Option[Timestamp],
+                             quote_payload: Option[Double])
+  final case class BestQuote(t: Timestamp, id: Long, payload: Double)
+
+  /** Streaming twin of [[graft.ops.TemporalJoin.asOf]]: asks match the
+    * latest quote at or before their event time, keyed, ties broken by the
+    * highest quote id. State is ONE BestQuote struct per key — bounded by
+    * the key cardinality, not the stream length (the batch form's window
+    * sort becomes "keep the max-(t, id) quote seen").
+    *
+    * Ordering contract: events are sorted by (t, side, id) WITHIN each
+    * micro-batch group, so intra-batch disorder is absorbed exactly; a
+    * quote arriving in a LATER batch than an ask it should have matched is
+    * past the horizon and cannot retro-match (the same late-data line a
+    * watermark draws — stream-stream interval joins are the heavyweight
+    * alternative when retro-matching matters). */
+  def asOfStream(ticks: Dataset[Tick]): Dataset[AsOfMatch] = {
+    implicit val outEnc = Encoders.product[AsOfMatch]
+    implicit val stEnc = Encoders.product[BestQuote]
+    implicit val keyEnc = Encoders.scalaLong
+    ticks
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[BestQuote, AsOfMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (k: Long, batch: Iterator[Tick], state: GroupState[BestQuote]) =>
+          // quotes sort before asks at equal t (same visibility rule as the
+          // batch operator); among equal-t quotes the higher id wins
+          val evs = batch.toSeq.sortBy(e => (e.t.getTime, e.isAsk, e.id))
+          var best = state.getOption
+          val out = Seq.newBuilder[AsOfMatch]
+          evs.foreach { e =>
+            if (!e.isAsk) {
+              if (best.forall(b =>
+                (e.t.getTime > b.t.getTime) ||
+                  (e.t.getTime == b.t.getTime && e.id > b.id)))
+                best = Some(BestQuote(e.t, e.id, e.payload))
+            } else {
+              val m = best.filter(_.t.getTime <= e.t.getTime)
+              out += AsOfMatch(k, e.id, e.t, m.map(_.id), m.map(_.t), m.map(_.payload))
+            }
+          }
+          best.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Convenience: start `hourlyRollup` over a parquet directory source
     * into an in-memory sink (smoke/demo path; production would write a
     * parquet/kafka sink with a checkpoint dir). */

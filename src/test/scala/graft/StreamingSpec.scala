@@ -42,6 +42,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("asOfStream matches latest prior quote across micro-batches with one-struct state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Tick]
+    val q = EventStream.asOfStream(input.toDS())
+      .writeStream.format("memory").queryName("asof_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1: out-of-order WITHIN the batch (ask before its quote)
+      input.addData(
+        EventStream.Tick(1L, ts("2026-01-01 10:00:05"), isAsk = true, 100L, 0.0),
+        EventStream.Tick(1L, ts("2026-01-01 10:00:01"), isAsk = false, 7L, 7.5),
+        EventStream.Tick(1L, ts("2026-01-01 10:00:01"), isAsk = false, 8L, 8.5), // tie: id 8 wins
+        EventStream.Tick(2L, ts("2026-01-01 10:00:03"), isAsk = true, 200L, 0.0)) // no quote
+      q.processAllAvailable()
+      // batch 2: ask relies on batch-1 state; then a newer quote + ask
+      input.addData(
+        EventStream.Tick(1L, ts("2026-01-01 10:00:10"), isAsk = true, 101L, 0.0),
+        EventStream.Tick(1L, ts("2026-01-01 10:00:12"), isAsk = false, 9L, 9.5),
+        EventStream.Tick(1L, ts("2026-01-01 10:00:15"), isAsk = true, 102L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("asof_spec")
+      .select("ask_id", "quote_id", "quote_payload")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).sortBy(_._1).toSeq
+    assert(out == Seq(
+      (100L, 8L, 8.5), // intra-batch disorder absorbed; tie to max id
+      (101L, 8L, 8.5), // state carried across batches
+      (102L, 9L, 9.5), // newer quote supersedes
+      (200L, -1L, -1.0) // no quote for key 2
+    ))
+  }
+
   test("sessionize: gap-merged session windows converge to the batch answer") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Pack, TemporalJoin}
+import graft.ops.{Components, Pack, TemporalJoin}
 import graft.state.History
 import graft.ext.{TextAnalysis, TextDedup}
 
@@ -154,6 +154,32 @@ class TemporalPackSpec extends SparkSpec {
       (1L, 5L, 2L, 6000L), // 1 - 2/5 = 0.6
       (2L, 2L, 2L, 0L),
       (3L, 1L, 1L, 0L)))
+  }
+
+  // -------------------------------------------------- Components.connected
+
+  test("connected components: chain (diameter 3), pair, singleton vertex") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val out = Components.connected(edges, "a", "b", Some(verts), "id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("connected components: edge endpoints are vertices even without a vertex frame") {
+    val edges = Seq((5L, 7L), (7L, 6L)).toDF("a", "b")
+    val out = Components.connected(edges, "a", "b")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("connected components: empty edges yield singleton components") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val verts = Seq(1L, 2L).toDF("id")
+    val out = Components.connected(edges, "a", "b", Some(verts), "id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 2L))
   }
 
   test("contamination scores overlap against the benchmark set only") {

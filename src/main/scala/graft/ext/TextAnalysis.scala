@@ -175,10 +175,13 @@ object TextAnalysis {
 
   /** Per-document word n-gram repetition (Gopher-style repetitiousness
     * signal): rep_bp = floor((1 - distinct/total) * 10⁴) over the doc's
-    * word n-grams WITH multiplicity. Shape: explode n-grams, count per
-    * (doc, gram), fold per doc — two map-side-combining aggregates on the
-    * doc key, no window, no self-join; a 1-word document yields one
-    * 1-token "gram" (mirroring the shingle floor in TextDedup.shingles).
+    * word n-grams WITH multiplicity. Shape: a ZERO-SHUFFLE scan
+    * projection — the grams stay an in-row array and distinct-counting is
+    * `array_distinct` per document (bounded by document size), instead of
+    * exploding ~400 grams/doc into a corpus-wide two-level aggregation
+    * (measured 4.0s -> 0.2s at sf0.1, and no exchange to grow with the
+    * corpus). A 1-word document yields one 1-token "gram" (mirroring the
+    * shingle floor in TextDedup.shingles).
     * Output: id, n_grams, n_distinct, rep_bp. */
   def repetitionStats(docs: org.apache.spark.sql.DataFrame, id: String,
                       text: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
@@ -186,11 +189,9 @@ object TextAnalysis {
     val grams = transform(
       sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n))))
-    docs.select(col(id), explode(grams).as("_g"))
-      .groupBy(col(id), col("_g")).agg(count(lit(1)).as("_c"))
-      .groupBy(col(id)).agg(
-        sum(col("_c")).as("n_grams"),
-        count(lit(1)).as("n_distinct"))
+    docs
+      .select(col(id), size(grams).cast("long").as("n_grams"),
+        size(array_distinct(grams)).cast("long").as("n_distinct"))
       .select(col(id), col("n_grams"), col("n_distinct"),
         floor((lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
           * 10000).as("rep_bp"))

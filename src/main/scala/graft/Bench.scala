@@ -130,15 +130,25 @@ object Bench {
     def num(v: Double, dec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     val sfName = new java.io.File(sfDir).getName
-    def at(dec: Int): String = {
+    def at(dec: Int, errMax: Int): String = {
       val qs = names.flatMap(k => best.get(k).map(v => s"${jstr(k)}:${num(v, dec)}"))
         .mkString("{", ",", "}")
-      val es = errors.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+      // errMax < 0 drops the error map entirely (names alone of many
+      // failing queries could overflow the window); the count survives
+      val es =
+        if (errMax < 0) s""""errors":{},"errors_omitted":${errors.size}"""
+        else "\"errors\":" + errors.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(errMax))}" }
+          .mkString("{", ",", "}")
       val total = num(best.values.sum, 3)
       val pts = passTotals.map(num(_, 2)).mkString("[", ",", "]")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"passes":$passes,"pass_totals":$pts,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$es,"passes":$passes,"pass_totals":$pts,"sf":${jstr(sfName)}}"""
     }
-    Iterator(3, 2, 1, 0).map(at).find(_.length <= BudgetChars).getOrElse(at(0))
+    // degrade decimals first, then error-message length, then the error
+    // map itself — each failing query otherwise adds ~190 chars and can
+    // overflow the window just like round 4's full-precision decimals did
+    val ladder = Seq((3, 200), (2, 200), (1, 200), (0, 200), (0, 60), (0, 20), (0, -1))
+    ladder.iterator.map { case (d, e) => at(d, e) }
+      .find(_.length <= BudgetChars).getOrElse(at(0, -1))
   }
 }

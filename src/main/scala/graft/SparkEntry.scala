@@ -580,8 +580,11 @@ object SparkEntry {
       exact.join(cand, Seq("doc_id_a", "doc_id_b"), "left")
         .agg(
           count(lit(1)).as("n_true_pairs"),
-          when(floor(sum(coalesce(col("hit"), lit(0L))) * lit(10000) / count(lit(1)))
-            >= MinhashRecallMinBp, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
+          // zero true pairs = vacuous pass (matches the oracle's constant
+          // recall_ok=1; avoids a null/0-division false alarm)
+          when(count(lit(1)) === 0, lit(1L))
+            .when(floor(sum(coalesce(col("hit"), lit(0L))) * lit(10000) / count(lit(1)))
+              >= MinhashRecallMinBp, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
     }),
 
     // --- LLM-pipeline: text analysis ---
@@ -902,8 +905,10 @@ object SparkEntry {
           <= SimhashHammingMax, 1L).otherwise(0L).as("hit"))
         .agg(
           count(lit(1)).as("n_true_pairs"),
-          when(floor(sum(col("hit")) * lit(10000) / count(lit(1)))
-            >= SimhashRecallMinBp, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
+          // zero true pairs = vacuous pass (see d7)
+          when(count(lit(1)) === 0, lit(1L))
+            .when(floor(sum(col("hit")) * lit(10000) / count(lit(1)))
+              >= SimhashRecallMinBp, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
     }),
 
     // T10 exact heavy hitters: global top-100 terms by frequency, fully

@@ -43,7 +43,8 @@ object Components {
       edges: DataFrame, srcCol: String, dstCol: String,
       vertices: Option[DataFrame] = None, idCol: String = "id",
       maxIter: Int = 20,
-      strategy: Cascade.Strategy = Cascade.LocalCheckpoint): DataFrame = {
+      strategy: Cascade.Strategy = Cascade.LocalCheckpoint,
+      requireConvergence: Boolean = true): DataFrame = {
 
     def cut(df: DataFrame): DataFrame = strategy match {
       case Cascade.NoCheckpoint => df
@@ -80,6 +81,16 @@ object Components {
       labels = next
       labelSum = nextSum
       it += 1
+    }
+    // a graph whose diameter exceeds maxIter exits the loop with labels
+    // that still split one component into several ids — corrupt clusters,
+    // not a slow answer. Fail loudly (or warn, for callers that accept a
+    // refinement of the true components) instead of returning them as fact.
+    if (!converged) {
+      val msg = s"Components.connected did not converge within maxIter=$maxIter " +
+        s"rounds (graph diameter exceeds the bound); labels are NOT final components"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      else System.err.println(s"WARN $msg")
     }
     labels
   }

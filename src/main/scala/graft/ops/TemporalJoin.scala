@@ -37,6 +37,10 @@ object TemporalJoin {
       rightPayload: Seq[String],
       rightTieBreak: String): DataFrame = {
     require(rightPayload.nonEmpty, "asOf: rightPayload must name at least one column")
+    val collisions = rightPayload.intersect(left.columns.toSeq)
+    require(collisions.isEmpty,
+      s"asOf: rightPayload columns ${collisions.mkString(", ")} collide with left " +
+        "column names — the result would carry duplicate columns that fail on first use")
     val lrow = struct(left.columns.toSeq.map(col): _*)
     val lrowType = left.select(lrow.as("_r")).schema("_r").dataType
     val qrow = struct(rightPayload.map(col): _*)

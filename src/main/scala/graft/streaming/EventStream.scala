@@ -97,7 +97,12 @@ object EventStream {
     * quote arriving in a LATER batch than an ask it should have matched is
     * past the horizon and cannot retro-match (the same late-data line a
     * watermark draws — stream-stream interval joins are the heavyweight
-    * alternative when retro-matching matters). */
+    * alternative when retro-matching matters). Symmetrically, the state
+    * keeps only the single best (latest) quote per key: an ask arriving in
+    * a later batch than a NEWER quote cannot fall back to an older quote
+    * it would have matched in batch mode — time-travelling asks are also
+    * outside the contract (keep per-time-band state, or use the batch
+    * [[graft.ops.TemporalJoin.asOf]], when they matter). */
   def asOfStream(ticks: Dataset[Tick]): Dataset[AsOfMatch] = {
     implicit val outEnc = Encoders.product[AsOfMatch]
     implicit val stEnc = Encoders.product[BestQuote]

@@ -48,6 +48,26 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(node.get("sf").asText.endsWith("sf0.1"))
   }
 
+  test("error spam cannot overflow the window: ladder truncates then drops errors") {
+    // worst realistic case: every query fails in both passes with a
+    // 200-char message — decimals alone can't save ~15 kB of error text
+    val errs = names.map(_ -> ("x" * 200)).toMap
+    val line = Bench.render(names, names.map(_ -> 8.888).toMap, errs,
+      passes = 2, passTotals = Seq(888.0, 888.0), sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= Bench.BudgetChars)
+    val node = mapper.readTree(line)
+    assert(node.get("queries").size() == names.size) // timings never sacrificed
+    // either truncated messages fit, or the map was dropped with a count
+    val omitted = Option(node.get("errors_omitted")).map(_.asInt)
+    assert(node.get("errors").size() == names.size || omitted.contains(names.size))
+  }
+
+  test("sf basename with JSON metacharacters renders as valid JSON") {
+    val line = Bench.render(Seq("a"), Map("a" -> 1.0), Map.empty,
+      passes = 1, passTotals = Seq(1.0), sfDir = "/tmp/sf\"0.1\\x")
+    assert(mapper.readTree(line).get("sf").asText == "sf\"0.1\\x")
+  }
+
   test("value is the sum of per-query minima; errors render escaped") {
     val line = Bench.render(
       Seq("a", "b"), Map("a" -> 1.25, "b" -> 2.5),

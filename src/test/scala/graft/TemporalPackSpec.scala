@@ -182,6 +182,29 @@ class TemporalPackSpec extends SparkSpec {
     assert(out == Seq(1L -> 1L, 2L -> 2L))
   }
 
+  test("connected components: non-convergence within maxIter fails loudly, not silently") {
+    // a 6-node chain has diameter 5; hash-min needs >2 rounds to converge
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Components.connected(edges, "a", "b", maxIter = 2).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // opting out returns the (refinement) labels instead of throwing
+    val relaxed = Components.connected(edges, "a", "b", maxIter = 2,
+      requireConvergence = false)
+    assert(relaxed.count() == 6)
+  }
+
+  test("as-of join rejects payload names that collide with left columns") {
+    val asks = Seq((1L, 10L, "x")).toDF("k", "t", "payload")
+    val quotes = Seq((1L, 5L, "q", 1L)).toDF("k", "t", "payload", "qid")
+    val ex = intercept[IllegalArgumentException] {
+      TemporalJoin.asOf(asks, quotes, "k", "k", "t", "t",
+        rightPayload = Seq("payload"), rightTieBreak = "qid")
+    }
+    assert(ex.getMessage.contains("collide"))
+  }
+
   test("contamination scores overlap against the benchmark set only") {
     val docs = Seq(
       (10L, "the quick brown fox jumps"), // benchmark (isBench)

@@ -85,7 +85,7 @@ object Bench {
       p += 1
     }
 
-    val line = render(names.map(_._1), best, errors, passes, passTotals, sfDir)
+    val line = render(names.map(_._1), best, errors, passTotals, sfDir)
     spark.stop()
     // after stop so no executor log lines land after it
     println(line)
@@ -98,17 +98,20 @@ object Bench {
     * the official bench recorded `parsed: null`, losing the round's
     * numbers entirely. Fixed-point seconds keep the line under the window
     * (BenchRenderSpec pins this against the real query list); build.sbt
-    * additionally suppresses sbt's trailing "[success]" line so nothing
-    * competes for the window after the JSON. 1920 admits the 78-query
-    * line at 2 decimals (1918 chars realistic) while leaving 80 chars of
-    * slack for any stray trailing output.
+    * additionally suppresses sbt's trailing "[success]" line, and an
+    * instrumented run confirms the ONLY byte after the JSON is its own
+    * newline — so 1990 leaves 9 chars of slack inside the 2000 window.
     */
-  val BudgetChars = 1920
+  val BudgetChars = 1990
 
   /** One driver-contract JSON line: per-query seconds at 3 decimals,
-    * degrading to 2/1/0 decimals until the line fits [[BudgetChars]]
-    * (75 query names alone are ~1.4 kB — the decimals are the only
-    * squeezable part). "sf" is reported as the directory basename.
+    * degrading through 2 decimals, then magnitude-adaptive (sub-second
+    * 2dp, ≥1s 1dp — constant RELATIVE precision, which is what per-query
+    * baseline ratios consume), then 1/0 decimals, until the line fits
+    * [[BudgetChars]] (84 query names alone are ~1.5 kB — the numbers are
+    * the only squeezable part). Trailing zeros are trimmed ("0.50"→"0.5");
+    * "passes" is the length of "pass_totals"; an empty error map renders
+    * as nothing. "sf" is the directory basename.
     *
     * "value" = sum of per-query minima (floor-of-noise); "pass_totals" =
     * achievable single-session wall times per pass, so consumers can tell
@@ -118,7 +121,6 @@ object Bench {
       names: Seq[String],
       best: Map[String, Double],
       errors: Map[String, String],
-      passes: Int,
       passTotals: Seq[Double],
       sfDir: String): String = {
     def jstr(s: String): String =
@@ -127,27 +129,35 @@ object Bench {
         case c if c < ' ' => "\\u%04x".format(c.toInt)
         case c => c.toString
       } + "\""
-    def num(v: Double, dec: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    def num(v: Double, dec: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
+    }
+    // dec = -1: magnitude-adaptive (sub-second 2dp, >=1s 1dp) — constant
+    // relative precision, the form per-query baseline ratios consume
+    def qnum(v: Double, dec: Int): String =
+      if (dec >= 0) num(v, dec) else num(v, if (v < 1.0) 2 else 1)
     val sfName = new java.io.File(sfDir).getName
     def at(dec: Int, errMax: Int): String = {
-      val qs = names.flatMap(k => best.get(k).map(v => s"${jstr(k)}:${num(v, dec)}"))
+      val qs = names.flatMap(k => best.get(k).map(v => s"${jstr(k)}:${qnum(v, dec)}"))
         .mkString("{", ",", "}")
       // errMax < 0 drops the error map entirely (names alone of many
-      // failing queries could overflow the window); the count survives
+      // failing queries could overflow the window); the count survives.
+      // An empty map renders as nothing — the chars matter at 84 queries.
       val es =
-        if (errMax < 0) s""""errors":{},"errors_omitted":${errors.size}"""
+        if (errMax < 0) s""""errors_omitted":${errors.size},"""
+        else if (errors.isEmpty) ""
         else "\"errors\":" + errors.toSeq.sortBy(_._1)
           .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(errMax))}" }
-          .mkString("{", ",", "}")
-      val total = num(best.values.sum, 3)
-      val pts = passTotals.map(num(_, 2)).mkString("[", ",", "]")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$es,"passes":$passes,"pass_totals":$pts,"sf":${jstr(sfName)}}"""
+          .mkString("{", ",", "},")
+      val total = num(best.values.sum, 2)
+      val pts = passTotals.map(num(_, 1)).mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$es"pass_totals":$pts,"sf":${jstr(sfName)}}"""
     }
-    // degrade decimals first, then error-message length, then the error
+    // degrade precision first, then error-message length, then the error
     // map itself — each failing query otherwise adds ~190 chars and can
     // overflow the window just like round 4's full-precision decimals did
-    val ladder = Seq((3, 200), (2, 200), (1, 200), (0, 200), (0, 60), (0, 20), (0, -1))
+    val ladder = Seq((3, 200), (2, 200), (-1, 200), (1, 200), (0, 200), (0, 60), (0, 20), (0, -1))
     ladder.iterator.map { case (d, e) => at(d, e) }
       .find(_.length <= BudgetChars).getOrElse(at(0, -1))
   }

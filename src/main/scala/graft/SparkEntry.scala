@@ -934,6 +934,81 @@ object SparkEntry {
           coalesce(col(s"${g}_bal_c"), lit(0L)).as(s"${g.toLowerCase}_bal_c"))
       }
       wide.select(col("c_nationkey") +: outs: _*)
+    }),
+
+    // H5 SCD-2 validity intervals: each event becomes a version row with
+    // [valid_from, valid_to) — valid_to is the user's NEXT event, null
+    // while current. One keyed window, no self-join (state.History.scd2).
+    "h5_scd2" -> ((s, dir) => {
+      History.scd2(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts")),
+        key = "user_id", timeCol = "ts", tieBreak = "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("valid_to"))
+    }),
+
+    // Q6 rollup: nation x segment customer counts/balances WITH subtotal
+    // and grand-total rows in one pass (native rollup = one shuffle that
+    // carries all grouping sets; never one scan per level).
+    "q6_rollup" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+    }),
+
+    // W6 ordered funnel: users who viewed, then clicked at/after their
+    // first view, then purchased at/after that first qualifying click.
+    // Three keyed aggregates + two joins whose keysets SHRINK down the
+    // funnel (AQE broadcasts the later stages) — no per-user sequence
+    // collect, no window over the full event stream.
+    "w6_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val k = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+        .filter(col("ts") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase").join(k, Seq("user_id"))
+        .filter(col("ts") >= col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_buy"))
+      v.agg(count(lit(1)).as("users")).withColumn("step", lit("1_view"))
+        .unionByName(k.agg(count(lit(1)).as("users")).withColumn("step", lit("2_click")))
+        .unionByName(p.agg(count(lit(1)).as("users")).withColumn("step", lit("3_purchase")))
+        .select(col("step"), col("users"))
+    }),
+
+    // W7 exact per-group percentiles: interpolated (PERCENTILE_CONT) and
+    // element-picking (PERCENTILE_DISC) medians/p90s per event type.
+    // Spark's exact percentile aggregates a per-group value-count map —
+    // bounded by DISTINCT values per group, the exact tier; ext.Approx's
+    // GK sketch is the mergeable scale path when that map won't fit.
+    "w7_pctl" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50_cont"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90_cont"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50_disc"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90_disc"))
+    }),
+
+    // C5 exact-k per-stratum sample: the k docs per language with the
+    // smallest md5(stratum:key) — content-addressed draw, stable across
+    // runs/partitionings/engines (quota form of c3's rate form).
+    "c5_sample_k" -> ((s, dir) => {
+      TextAnalysis.sampleKPerStratum(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        stratum = "lang", key = "doc_id", k = 40)
+    }),
+
+    // T11 unigram log-prob scoring (perplexity-filter stand-in): mean
+    // ln(corpus term frequency) per document — term-frequency aggregate +
+    // token-term join, never a broadcast of the vocabulary.
+    "t11_logprob" -> ((s, dir) => {
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
     })
   )
 
@@ -1683,6 +1758,61 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents)
         |SELECT term, CAST(count(*) AS BIGINT) AS cnt
         |FROM w GROUP BY term
-        |ORDER BY cnt DESC, term LIMIT 100""".stripMargin
+        |ORDER BY cnt DESC, term LIMIT 100""".stripMargin,
+
+    "h5_scd2" ->
+      """SELECT user_id, event_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM events""".stripMargin,
+
+    "q6_rollup" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin,
+
+    "w6_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |k AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts >= v.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id FROM events e
+        |  JOIN k ON e.user_id = k.user_id AND e.ts >= k.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT '1_view' AS step, count(*) AS users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM k
+        |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
+
+    "w7_pctl" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50_cont,
+        |  round(quantile_cont(value, 0.9), 6) AS p90_cont,
+        |  quantile_disc(value, 0.5) AS p50_disc,
+        |  quantile_disc(value, 0.9) AS p90_disc
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "c5_sample_k" ->
+      """SELECT doc_id, lang, sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 40""".stripMargin,
+
+    "t11_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |freq AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(CAST(c AS DOUBLE) / tot)), 6) AS logprob
+        |FROM toks JOIN freq USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin
   )
 }

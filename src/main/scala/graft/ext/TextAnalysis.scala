@@ -173,6 +173,57 @@ object TextAnalysis {
     bucket < thr
   }
 
+  /** Deterministic exact-k per-stratum sample: keep the k rows of each
+    * stratum with the smallest `md5(stratum:key)` — a content-addressed
+    * "random" draw that is stable across runs, partitionings, and engines
+    * (same family as [[hashSplit]]/[[stratifiedSampleFilter]], which give
+    * RATE-based membership; this gives exact COUNTS, the form a training
+    * mixture with per-source quotas needs). Output: input columns +
+    * `sample_rank` (1-based within the stratum).
+    *
+    * Shape: one shuffle on the stratum + a per-stratum rank window. A
+    * stratum's sort spills rather than OOMs on huge strata; when k is
+    * tiny and strata are few, a bounded top-k aggregate
+    * (functions.TopKAggregate) trades the sort for O(k) state per group —
+    * this form keeps the whole input row, which the aggregate cannot. */
+  def sampleKPerStratum(df: org.apache.spark.sql.DataFrame, stratum: String,
+                        key: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val draw = md5(concat(col(stratum), lit(":"), col(key).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratum)).orderBy(draw, col(key))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** Per-document unigram log-probability (the cheap, deterministic
+    * stand-in for LM-perplexity quality filtering): score(doc) = mean over
+    * its whitespace tokens of ln(corpus_count(token) / corpus_tokens).
+    * Rare-token-heavy documents score low; boilerplate scores high.
+    *
+    * Shape: token explode → one map-side-combining count aggregate (the
+    * exchange carries one row per DISTINCT term, not per token) → join the
+    * exploded tokens back on term → per-doc mean. The term-frequency table
+    * is corpus-sized vocabulary (not corpus-sized text), but at 100 TB it
+    * is still too big to broadcast — the term join is a plain shuffle
+    * join on a Zipf-skewed key, which AQE's skew split handles; the
+    * corpus-total is a 1-row broadcast. Output: id, n_tokens,
+    * logprob (ln, rounded to 6dp — both engines' float sums agree there).
+    */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame, id: String,
+                     text: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(id), explode(split(trim(col(text)), "\\s+")).as("term"))
+    val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("_c"))
+    val total = freq.agg(sum(col("_c")).as("_tot"))
+    toks
+      .join(freq, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("_c").cast("double") / col("_tot").cast("double"))), 6)
+          .as("logprob"))
+  }
+
   /** Per-document word n-gram repetition (Gopher-style repetitiousness
     * signal): rep_bp = floor((1 - distinct/total) * 10⁴) over the doc's
     * word n-grams WITH multiplicity. Shape: a ZERO-SHUFFLE scan

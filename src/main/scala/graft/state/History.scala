@@ -96,6 +96,27 @@ object History {
       .drop("_new")
   }
 
+  /** H5 — SCD type-2 validity intervals: turn a change-event stream into
+    * per-key attribute versions with `[valid_from, valid_to)` ranges —
+    * `valid_to` is the NEXT change's timestamp, null while current (the
+    * warehouse-standard slowly-changing-dimension shape the reference's
+    * whole-file history rewrite cannot express).
+    *
+    * Shape: ONE shuffle on the key and a per-key `lead` window — no
+    * self-join, no state. `orderCols` (time first, then a per-key-unique
+    * tiebreak) must be deterministic or equal-timestamp changes would
+    * order differently across runs. Scales like any keyed window: skewed
+    * keys are bounded by their own change counts, not the table size.
+    */
+  def scd2(changes: DataFrame, key: String, timeCol: String,
+           tieBreak: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(timeCol), col(tieBreak))
+    changes
+      .withColumn("valid_from", col(timeCol))
+      .withColumn("valid_to", lead(col(timeCol), 1).over(w))
+  }
+
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

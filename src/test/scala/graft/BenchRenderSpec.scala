@@ -22,7 +22,6 @@ class BenchRenderSpec extends AnyFunSuite {
       names,
       names.map(_ -> v).toMap,
       Map.empty,
-      passes = 2,
       passTotals = Seq(888.0, 888.0),
       sfDir = "/root/testdata/sf0.1")
   }
@@ -53,18 +52,19 @@ class BenchRenderSpec extends AnyFunSuite {
     // 200-char message — decimals alone can't save ~15 kB of error text
     val errs = names.map(_ -> ("x" * 200)).toMap
     val line = Bench.render(names, names.map(_ -> 8.888).toMap, errs,
-      passes = 2, passTotals = Seq(888.0, 888.0), sfDir = "/root/testdata/sf0.1")
+      passTotals = Seq(888.0, 888.0), sfDir = "/root/testdata/sf0.1")
     assert(line.length <= Bench.BudgetChars)
     val node = mapper.readTree(line)
     assert(node.get("queries").size() == names.size) // timings never sacrificed
     // either truncated messages fit, or the map was dropped with a count
     val omitted = Option(node.get("errors_omitted")).map(_.asInt)
-    assert(node.get("errors").size() == names.size || omitted.contains(names.size))
+    assert(Option(node.get("errors")).exists(_.size() == names.size) ||
+      omitted.contains(names.size))
   }
 
   test("sf basename with JSON metacharacters renders as valid JSON") {
     val line = Bench.render(Seq("a"), Map("a" -> 1.0), Map.empty,
-      passes = 1, passTotals = Seq(1.0), sfDir = "/tmp/sf\"0.1\\x")
+      passTotals = Seq(1.0), sfDir = "/tmp/sf\"0.1\\x")
     assert(mapper.readTree(line).get("sf").asText == "sf\"0.1\\x")
   }
 
@@ -72,7 +72,7 @@ class BenchRenderSpec extends AnyFunSuite {
     val line = Bench.render(
       Seq("a", "b"), Map("a" -> 1.25, "b" -> 2.5),
       Map("b" -> "boom \"quoted\"\npath\\x"),
-      passes = 1, passTotals = Seq(3.75), sfDir = "/d")
+      passTotals = Seq(3.75), sfDir = "/d")
     val node = mapper.readTree(line)
     assert(math.abs(node.get("value").asDouble - 3.75) < 1e-9)
     assert(node.get("errors").get("b").asText == "boom \"quoted\"\npath\\x")

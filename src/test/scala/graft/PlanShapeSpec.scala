@@ -126,4 +126,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).isEmpty && broadcasts(p).isEmpty && windows(p).isEmpty,
       s"sampling must stay a codegen'd filter projection:\n$p")
   }
+
+  test("h5 scd2 is one keyed shuffle + one partitioned window, no self-join") {
+    val p = q("h5_scd2")
+    assert(shuffles(p).size == 1, s"scd2 grew extra shuffles:\n$p")
+    val ws = windows(p)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"scd2 lost its per-key window partitioning:\n$p")
+    assert(!p.toString.contains("Join"), s"scd2 joined instead of windowing:\n$p")
+  }
+
+  test("q6 rollup broadcasts the dim and carries all grouping sets in one shuffle") {
+    val p = q("q6_rollup")
+    assert(broadcasts(p).nonEmpty, s"q6 lost the nation broadcast:\n$p")
+    assert(shuffles(p).size <= 1, s"q6 re-scans per grouping level:\n$p")
+    assert(deep(p).exists(_.nodeName.contains("Expand")),
+      s"q6 lost the single-pass Expand rollup shape:\n$p")
+  }
+
+  test("c5 sample-k is one stratum shuffle + one partitioned rank window") {
+    val p = q("c5_sample_k")
+    assert(shuffles(p).size == 1, s"c5 grew extra shuffles:\n$p")
+    val ws = windows(p)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"c5 regressed to a global (un-partitioned) rank window:\n$p")
+  }
+
+  test("w6 funnel never windows or sorts the raw event stream") {
+    val p = q("w6_funnel")
+    assert(windows(p).isEmpty, s"funnel grew a window over the event stream:\n$p")
+    assert(!deep(p).exists(_.nodeName.contains("CartesianProduct")),
+      s"funnel fell into a cartesian join:\n$p")
+  }
 }

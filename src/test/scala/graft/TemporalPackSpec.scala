@@ -182,6 +182,23 @@ class TemporalPackSpec extends SparkSpec {
     assert(out == Seq(1L -> 1L, 2L -> 2L))
   }
 
+  test("scd2 chains validity intervals per key; latest version stays open") {
+    val ch = Seq(
+      (1L, 10L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, 11L, "b", java.sql.Timestamp.valueOf("2024-01-03 00:00:00")),
+      (1L, 12L, "c", java.sql.Timestamp.valueOf("2024-01-03 00:00:00")), // same ts: id orders
+      (2L, 20L, "x", java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+      .toDF("k", "ev", "attr", "ts")
+    val out = History.scd2(ch, "k", "ts", "ev")
+      .select("ev", "valid_from", "valid_to")
+      .collect().map(r => r.getLong(0) -> (r.getTimestamp(1), Option(r.getTimestamp(2)))).toMap
+    assert(out(10L)._2.contains(java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+    assert(out(11L)._2.contains(java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))) // closed by ev 12
+    assert(out(12L)._2.isEmpty) // current version
+    assert(out(20L)._2.isEmpty) // singleton key
+    assert(out(10L)._1 == java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+  }
+
   test("connected components: non-convergence within maxIter fails loudly, not silently") {
     // a 6-node chain has diameter 5; hash-min needs >2 rounds to converge
     val edges = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")

@@ -70,6 +70,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dist((1L to 500L).toDF("id").filter(col("id") === 42)).keys.head == one)
   }
 
+  test("sampleKPerStratum: exact k per stratum, deterministic across partitionings") {
+    val docs = (1L to 100L).map(i => (i, if (i % 3 == 0) "en" else "fr")).toDF("doc_id", "lang")
+    val a = TextAnalysis.sampleKPerStratum(docs, "lang", "doc_id", k = 5)
+      .select("doc_id", "lang", "sample_rank").as[(Long, String, Long)].collect().sorted.toSeq
+    val b = TextAnalysis.sampleKPerStratum(docs.repartition(7), "lang", "doc_id", k = 5)
+      .select("doc_id", "lang", "sample_rank").as[(Long, String, Long)].collect().sorted.toSeq
+    assert(a == b) // membership is content-addressed, not partition-dependent
+    assert(a.count(_._2 == "en") == 5 && a.count(_._2 == "fr") == 5)
+    assert(a.filter(_._2 == "en").map(_._3).sorted == Seq(1L, 2L, 3L, 4L, 5L))
+    // k larger than a stratum keeps the whole stratum
+    val small = TextAnalysis.sampleKPerStratum(docs.filter($"doc_id" <= 4), "lang", "doc_id", 99)
+    assert(small.count() == 4)
+  }
+
+  test("unigramLogProb: uniform corpus scores ln(c/total); rare-token docs score lower") {
+    // corpus term counts: a=4 (3 in doc1, 1 in doc4), b=2, c=2 -> total 8
+    val docs = Seq((1L, "a a a"), (2L, "b b"), (3L, "c"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(1L) == (3L, r6(math.log(4.0 / 8))))
+    assert(out(3L) == (1L, r6(math.log(2.0 / 8))))
+    assert(out(4L) == (2L, r6((math.log(4.0 / 8) + math.log(2.0 / 8)) / 2)))
+    assert(out(3L)._2 < out(1L)._2) // rare-token doc scores lower
+  }
+
   test("nfcNormalize composes decomposed forms; already-NFC strings pass through") {
     val decomposed = "Café mañana" // e+́ , n+̃
     val composed = "Café mañana"

@@ -50,7 +50,9 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition init happens HERE (decoder contexts, buffers)
         it.flatMap { case (id, bytes) =>
-          val n = math.max(bytes.length, 1)
+          // n is the TRUE length: an empty blob yields nFrames empty
+          // frames (clamping n to 1 would read bytes(0) out of bounds)
+          val n = bytes.length
           val chunk = math.max(n / nFrames, 1)
           (0 until nFrames).iterator.map { f =>
             val lo = math.min(f * chunk, n)

@@ -162,5 +162,10 @@ class ModulesSpec extends SparkSpec {
     val again = Multimodal.sampleFrames(df, "doc_id", "content", nFrames = 4)
       .collect().groupBy(_.doc_id)
     assert(frames(1L).map(_.checksum).toSeq == again(1L).map(_.checksum).toSeq)
+    // empty blob: 4 empty frames, no out-of-bounds read on bytes(0)
+    val empty = Multimodal.sampleFrames(
+      Seq((3L, Array.empty[Byte])).toDF("doc_id", "content"), "doc_id", "content", 4)
+      .collect()
+    assert(empty.length == 4 && empty.forall(f => f.frame_bytes == 0 && f.checksum == 0L))
   }
 }

@@ -29,6 +29,7 @@ object Approx {
     * approximate distinct count and null count — the scan-once corpus
     * profile (every sketch rides the same pass). */
   def cardinalityProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cardinalityProfile: cols must name at least one column")
     val aggs = cols.flatMap { c =>
       Seq(
         approx_count_distinct(graft.ColNames.q(c)).as(s"${c}__approx_distinct"),

@@ -72,7 +72,9 @@ object Similarity {
     * to the window form — pinned by TopKSpec and the unchanged e1 oracle
     * hash. Non-integral id columns (string/UUID keys) keep the window
     * formulation — the aggregate's buffer is long-keyed — with identical
-    * results either way. */
+    * results either way. Rows with a null neighbor id are excluded from
+    * ranking in BOTH forms (the aggregate's buffer cannot hold them; the
+    * window branch filters them explicitly to stay aligned). */
   private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     val idType = pairs.schema("neighbor_id").dataType
@@ -89,6 +91,7 @@ object Similarity {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
         pairs
+          .filter(col("neighbor_id").isNotNull) // match the aggregate branch
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= k)
           .select(col("vec_id"), col("neighbor_id"), col("rank"))

@@ -166,6 +166,8 @@ object TopKAggregate {
     * an integer literal — it sizes the aggregation buffer at plan time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Shim.registerFunction(spark, "topk_ids_by", es => {
+      require(es.length == 3,
+        s"topk_ids_by expects 3 arguments (score, id, k), got ${es.length}")
       require(es(2).foldable, "k must be a literal")
       val k = es(2).eval(null) match {
         case i: Int => i; case l: Long => l.toInt

@@ -70,7 +70,11 @@ object BatchStore {
       conf: Configuration, srcDir: Path, dstDir: Path, suffix: String): Unit = {
     val srcFs = srcDir.getFileSystem(conf)
     val dstFs = dstDir.getFileSystem(conf)
-    if (!srcFs.exists(srcDir)) return
+    // fail loudly, like the reference's os.listdir on a missing folder:
+    // silently returning would hand the caller destination prefixes that
+    // were never written, and the failed publish would go unnoticed
+    require(srcFs.exists(srcDir),
+      s"uploadBatch: source directory $srcDir does not exist — nothing to publish")
     if (!dstFs.exists(dstDir)) dstFs.mkdirs(dstDir)
     srcFs.listStatus(srcDir).filter(_.isFile).map(_.getPath)
       .filter(_.getName.endsWith(suffix)).sortBy(_.getName)

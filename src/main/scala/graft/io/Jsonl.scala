@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -41,18 +41,7 @@ object Jsonl {
     val writer0 = (if (singleFile) df.coalesce(1) else df).write.mode("overwrite")
     val writer = codec.fold(writer0)(c => writer0.option("compression", c))
     if (singleFile) {
-      val tmp = new Path(dir, s"__tmp_$name")
-      val out = new Path(dir, s"$name.$ext")
-      writer.json(tmp.toString)
-      val fs = FileSystem.get(tmp.toUri, conf)
-      val part = fs.listStatus(tmp)
-        .map(_.getPath).find(_.getName.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-      if (fs.exists(out)) fs.delete(out, false)
-      if (!fs.rename(part, out))
-        throw new java.io.IOException(s"rename failed: $part -> $out")
-      fs.delete(tmp, true)
-      out.toString
+      SingleFile.commit(conf, dir, s"$name.$ext")(tmpDir => writer.json(tmpDir)).toString
     } else {
       val out = new Path(dir, name)
       writer.json(out.toString)

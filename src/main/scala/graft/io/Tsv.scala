@@ -1,8 +1,7 @@
 package graft.io
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** S4/S5/S6 — per-node TSV sink and re-scan (SURVEY.md §2.1).
   *
@@ -28,19 +27,11 @@ object Tsv {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     if (singleFile) {
-      val tmp = new Path(dir, s"__tmp_$name")
-      val out = new Path(dir, s"$name.tsv")
-      df.coalesce(1).write.mode("overwrite")
-        .option("sep", "\t").option("header", "true")
-        .csv(tmp.toString)
-      val fs = FileSystem.get(tmp.toUri, conf)
-      val part = fs.listStatus(tmp)
-        .map(_.getPath).find(_.getName.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-      if (fs.exists(out)) fs.delete(out, false)
-      if (!fs.rename(part, out))
-        throw new java.io.IOException(s"rename failed: $part -> $out")
-      fs.delete(tmp, true)
+      SingleFile.commit(conf, dir, s"$name.tsv") { tmpDir =>
+        df.coalesce(1).write.mode("overwrite")
+          .option("sep", "\t").option("header", "true")
+          .csv(tmpDir)
+      }
     } else {
       df.write.mode("overwrite")
         .option("sep", "\t").option("header", "true")
@@ -58,17 +49,12 @@ object Tsv {
     }
 
   /** S5: read a TSV back. All columns StringType — the engine's
-    * string-first ingestion contract (SURVEY.md §1.2): no inference, so
-    * `1` and `1.0` survive as written. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val header = spark.read
-      .option("sep", "\t").option("header", "true")
-      .csv(path)
-    val allString = StructType(header.schema.fields.map(f =>
-      StructField(f.name, StringType, nullable = true)))
+    * string-first ingestion contract (SURVEY.md §1.2): without
+    * `inferSchema`, Spark's CSV reader already types every column as a
+    * nullable string, so `1` and `1.0` survive as written (no second
+    * schema-building pass needed). */
+  def read(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("sep", "\t").option("header", "true")
-      .schema(allString)
       .csv(path)
-  }
 }

@@ -34,8 +34,22 @@ object Scale {
     require(ok.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left/semi/anti joins; '$joinType' would " +
         "duplicate unmatched right rows across salt copies")
+    // salt by a deterministic hash of the row's HASHABLE columns (map
+    // columns would fail xxhash64 at analysis time) — deterministic so a
+    // partial stage retry recomputes identical shuffle output. Caveat:
+    // full-duplicate rows share a salt and stay on one reducer; rows that
+    // differ only in map columns do too — add a distinguishing column
+    // upstream if either dominates a hot key.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val saltCols = left.schema.fields.filter(f => hashable(f.dataType)).map(_.name)
+    require(saltCols.nonEmpty, "saltedJoin: no hashable columns to derive a salt from")
     val saltOfRow = pmod(
-      xxhash64(left.columns.toIndexedSeq.map(graft.ColNames.q): _*), lit(salts)).cast("int")
+      xxhash64(saltCols.toIndexedSeq.map(graft.ColNames.q): _*), lit(salts)).cast("int")
     val l = left.withColumn("__salt", saltOfRow)
     // note: a generator can't be nested in another expression — the int
     // element type of sequence(int, int) already matches the left salt

@@ -123,10 +123,29 @@ object Primordial {
         val newProps = newDf.columns.filterNot(_ == rowIdx)
         newProps.find(p => d.columns.contains(p)) match {
           case Some(key) =>
+            // pandas `df.join(new_df.set_index(key), on=key)` RAISES when
+            // any remaining new column already exists in df ("columns
+            // overlap but no suffix specified") — mirror the abort instead
+            // of silently emitting duplicate column names that explode on
+            // first downstream reference (`cds-transformation.py:22,51`)
+            val overlap = newProps.filter(p => p != key && d.columns.contains(p))
+            require(overlap.isEmpty,
+              s"accumulate: columns ${overlap.mkString(", ")} overlap the node frame " +
+                s"besides join key '$key' (pandas join would raise here)")
             // duplicate keys multiply rows exactly as pandas join does;
-            // add_properties then dedups FULL rows (`:52`), extract keeps
+            // add_properties then dedups FULL rows (`:52`). pandas
+            // drop_duplicates ignores the INDEX and keeps the first
+            // occurrence — so dedup on the data columns only, retaining
+            // the minimal row index per duplicate group
             val joined = d.join(broadcast(newDf.drop(rowIdx)), Seq(key), "left")
-            if (dedupAfterJoin) joined.dropDuplicates() else joined
+            if (dedupAfterJoin) {
+              val dataCols = joined.columns.filterNot(_ == rowIdx).toSeq
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(dataCols.map(graft.ColNames.q): _*)
+                .orderBy(col(rowIdx))
+              joined.withColumn("__dd", row_number().over(w))
+                .filter(col("__dd") === 1).drop("__dd")
+            } else joined
           case None =>
             d.join(broadcast(newDf), Seq(rowIdx), concatType)
         }

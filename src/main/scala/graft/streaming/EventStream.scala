@@ -135,7 +135,10 @@ object EventStream {
 
   /** Convenience: start `hourlyRollup` over a parquet directory source
     * into an in-memory sink (smoke/demo path; production would write a
-    * parquet/kafka sink with a checkpoint dir). */
+    * parquet/kafka sink with a checkpoint dir). Update mode: Append over
+    * a watermarked aggregation only emits windows the watermark has
+    * CLOSED, so a static directory would yield a permanently empty table
+    * — for a demo sink, emit current aggregate values per trigger. */
   def startRollupToMemory(
       spark: org.apache.spark.sql.SparkSession,
       sourceDir: String,
@@ -146,7 +149,7 @@ object EventStream {
       .writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode(OutputMode.Append())
+      .outputMode(OutputMode.Update())
       .start()
   }
 }

@@ -122,4 +122,42 @@ class PrimordialSpec extends SparkSpec {
     assert(r.length == 1 && r(0).getAs[String]("sample_type") == "normal"
       && r(0).getAs[String]("participant.participant_id") == "p2")
   }
+
+  test("add_properties dedup ignores the row index and keeps the first occurrence") {
+    // two data-identical file rows at different ordinals: pandas
+    // drop_duplicates (index-blind, keep='first') collapses them to one
+    val dupFiles = Seq(
+      ("f1.bam", 11L, "abc", 1L), ("f1.bam", 11L, "abc", 2L), ("f2.bam", 22L, "def", 3L))
+      .toDF("file_name", "file_size", "md5sum", "__row")
+    val m = Seq(("g1", "open", "s1", "f1.bam", 11L, "lib1"), ("g2", "open", "s2", "f2.bam", 22L, "lib2"))
+      .toDF("GUID", "acl", "sample_id", "File Name", "File Size", "library_id")
+      .withColumn("__row", col("File Size") / 11)
+    val out = Primordial.run(
+      sheets = Seq("CDS_Manifest" -> m, "File" -> dupFiles),
+      model = Seq("file" -> Seq("file_name", "file_size", "md5sum")),
+      addProps = Seq(
+        // file_name is shared with the node frame -> the JOIN branch (the
+        // only one the reference dedups after) multiplies then collapses
+        AddProp("file", "file_name", "File Name", "CDS_Manifest"),
+        AddProp("file", "file_id", "GUID", "CDS_Manifest")))("file")
+    assert(out.filter(col("file_name") === "f1.bam").count() == 1)
+  }
+
+  test("add_properties join aborts on column overlap beyond the key, like pandas") {
+    // node frame already carries file_id; the add-props new_df shares BOTH
+    // acl (join key candidate: no) — construct: first shared prop is
+    // file_name, and new_df also carries md5sum which the frame has
+    val files = Seq(("f1.bam", "abc", 1L)).toDF("file_name", "md5sum", "__row")
+    val m = Seq(("f1.bam", "XYZ", "open", 1L))
+      .toDF("fname", "sum2", "acl", "__row")
+    val ex = intercept[IllegalArgumentException] {
+      Primordial.run(
+        sheets = Seq("File" -> files, "CDS_Manifest" -> m),
+        model = Seq("file" -> Seq("file_name", "md5sum")),
+        addProps = Seq(
+          AddProp("file", "file_name", "fname", "CDS_Manifest"),
+          AddProp("file", "md5sum", "sum2", "CDS_Manifest")))
+    }
+    assert(ex.getMessage.contains("overlap"))
+  }
 }

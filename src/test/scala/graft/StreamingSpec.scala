@@ -25,12 +25,9 @@ class StreamingSpec extends SparkSpec {
 
     val q = EventStream.startRollupToMemory(spark, dir, events.schema, "rollup_spec")
     try {
-      q.processAllAvailable()
-      // append mode only emits windows closed by the watermark; feed a late
-      // batch to advance it past the first windows
-      Seq((5L, ts("2026-01-01 15:00:00"), 9L, "tick", 0.0))
-        .toDF("event_id", "ts", "user_id", "event_type", "value")
-        .write.mode("append").parquet(dir)
+      // update mode: one pass over the static directory emits every
+      // window's current aggregate — no watermark-advancing late batch
+      // needed (append mode would leave the table permanently empty here)
       q.processAllAvailable()
     } finally q.stop()
 

@@ -25,6 +25,19 @@ class ScaleSpec extends SparkSpec {
     assert(salted.size == 51)
   }
 
+  test("saltedJoin equals plain join with null keys and a map column present") {
+    val rnd = new scala.util.Random(5L)
+    val left = (1 to 100)
+      .map(i => (if (rnd.nextInt(5) == 0) null else s"k${rnd.nextInt(4)}", i.toLong))
+      .toDF("k", "v")
+      .withColumn("m", map(lit("a"), col("v"))) // unhashable type must not break salting
+    val right = (1 to 20).map(i => (s"k${rnd.nextInt(5)}", i.toLong)).toDF("k", "w")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "w").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(rows(Scale.saltedJoin(left, right, Seq("k"), salts = 7)) ==
+      rows(left.join(right, Seq("k"))))
+  }
+
   test("saltedJoin left-outer preserves unmatched left rows exactly once") {
     val left = Seq((1, "a"), (2, "b"), (9, "c")).toDF("k", "lv")
     val right = Seq((1, "r1")).toDF("k", "rv")

@@ -222,6 +222,79 @@ class TemporalPackSpec extends SparkSpec {
     assert(ex.getMessage.contains("collide"))
   }
 
+  test("asOf matches a brute-force reference on 30 randomized tick sets") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 30) {
+      val nq = rnd.nextInt(12); val na = rnd.nextInt(12) + 1
+      // coarse time grid (0..9 seconds) to force plenty of equal-ts ties
+      def t(): java.sql.Timestamp = ts(f"2024-01-01 00:00:0${rnd.nextInt(10)}")
+      val quotes = (1 to nq).map(i => (100L + i, rnd.nextInt(3).toLong, t(), s"p$i"))
+      val asks = (1 to na).map(i => (i.toLong, rnd.nextInt(3).toLong, t()))
+      val expected = asks.map { case (aid, k, at) =>
+        val best = quotes.filter(q => q._2 == k && !q._3.after(at))
+          .sortBy(q => (q._3.getTime, q._1)).lastOption
+        aid -> best.map(_._1)
+      }.toMap
+      val out = TemporalJoin.asOf(
+          asks.toDF("ask_id", "k", "at"),
+          quotes.toDF("q_id", "k", "q_at", "p"),
+          "k", "k", "at", "q_at", Seq("q_id", "p"), "q_id")
+        .select("ask_id", "q_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(out == expected, s"trial $trial: asks=$asks quotes=$quotes")
+    }
+  }
+
+  test("connected components match union-find on 30 random graphs") {
+    val rnd = new scala.util.Random(42L)
+    for (trial <- 1 to 30) {
+      val n = rnd.nextInt(20) + 2
+      val edges = (1 to rnd.nextInt(25))
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find reference (min-id labeling)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map { v =>
+        // min vertex id in the component = the root under min-union
+        v.toLong -> find(v).toLong
+      }.toMap
+      val verts = (0 until n).map(_.toLong).toDF("id")
+      val got =
+        if (edges.isEmpty) verts.select(col("id"), col("id").as("component"))
+          .as[(Long, Long)].collect().toMap
+        else Components.connected(edges.toDF("a", "b"), "a", "b",
+          vertices = Some(verts), idCol = "id", maxIter = n + 1)
+          .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: n=$n edges=$edges")
+    }
+  }
+
+  test("scd2 intervals partition each key's timeline: chained, one open version") {
+    val rnd = new scala.util.Random(7L)
+    val changes = (1 to 200).map { i =>
+      (i.toLong, rnd.nextInt(8).toLong, ts(f"2024-01-01 00:00:0${rnd.nextInt(10)}"))
+    }
+    val out = History.scd2(changes.toDF("ev", "k", "at"), "k", "at", "ev")
+      .select("k", "ev", "valid_from", "valid_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), Option(r.getTimestamp(3))))
+    assert(out.length == changes.length) // every change becomes a version
+    out.groupBy(_._1).foreach { case (k, rows) =>
+      val ordered = rows.sortBy(r => (r._3.getTime, r._2))
+      // exactly the last version is open; each valid_to chains to the
+      // next version's valid_from
+      ordered.init.zip(ordered.tail).foreach { case (cur, next) =>
+        assert(cur._4.contains(next._3), s"key $k: broken chain at $cur -> $next")
+      }
+      assert(ordered.last._4.isEmpty, s"key $k: last version not open")
+    }
+  }
+
   test("contamination scores overlap against the benchmark set only") {
     val docs = Seq(
       (10L, "the quick brown fox jumps"), // benchmark (isBench)

@@ -1042,6 +1042,40 @@ object SparkEntry {
     // token-term join, never a broadcast of the vocabulary.
     "t11_logprob" -> ((s, dir) => {
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // T12 per-document TF-IDF top terms: tf aggregate -> df aggregate on
+    // the (doc,term) level (one row per distinct pair, not per token) ->
+    // idf join on term (shuffle join; the vocabulary never broadcasts at
+    // corpus scale) -> per-doc top-3 rank. Scores round to 6dp BEFORE
+    // ranking so cross-engine 1-ulp log differences collapse into exact
+    // ties broken lexically.
+    "t12_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count() // corpus size: one lightweight count, not a crossJoin of scans
+      val tf = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(df_, Seq("term"))
+        .withColumn("score",
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("rank"), col("score"))
+    }),
+
+    // W8 sliding-window rates: events per (2h window, 1h slide, type).
+    // Spark's native window() emits each event into width/slide buckets
+    // map-side — one shuffle on (window, type), the batch twin of the
+    // streaming sliding aggregation.
+    "w8_sliding_rate" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("cnt"))
     })
   )
 
@@ -1857,6 +1891,31 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(avg(ln(CAST(c AS DOUBLE) / tot)), 6) AS logprob
         |FROM toks JOIN freq USING (term) CROSS JOIN tot
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+
+    "t12_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln(n / df), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, rank, score FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "w8_sliding_rate" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) - to_hours(k) AS win_start, event_type
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |SELECT win_start, event_type, count(*) AS cnt
+        |FROM e GROUP BY 1, 2""".stripMargin
   )
 }

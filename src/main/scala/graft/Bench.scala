@@ -67,7 +67,7 @@ object Bench {
           try { fn(spark, sfDir).count(); true } catch {
             case e: Throwable =>
               val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-              errors += (name -> msg.linesIterator.take(1).mkString.take(200))
+              errors += (name -> trunc(msg.linesIterator.take(1).mkString, 200))
               false
           }
         val sec = (System.nanoTime() - t0) / 1e9
@@ -104,6 +104,14 @@ object Bench {
     */
   val BudgetChars = 1990
 
+  /** Truncate on a code-point boundary: a high surrogate left at the cut
+    * is dropped rather than orphaned (render additionally \u-escapes any
+    * surrogate, so even an interior lone surrogate stays parseable). */
+  private[graft] def trunc(s: String, n: Int): String = {
+    val t = s.take(n)
+    if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
+  }
+
   /** One driver-contract JSON line: per-query seconds at 3 decimals,
     * degrading through 2 decimals, then magnitude-adaptive (sub-second
     * 2dp, ≥1s 1dp — constant RELATIVE precision, which is what per-query
@@ -127,6 +135,10 @@ object Bench {
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => "\\u%04x".format(c.toInt)
+        // \u-escape surrogates: truncation can orphan half of a pair, and
+        // a RAW lone surrogate is invalid UTF-8 on the wire (the escaped
+        // form stays parseable JSON) — paired ones escape to a valid pair
+        case c if Character.isSurrogate(c) => "\\u%04x".format(c.toInt)
         case c => c.toString
       } + "\""
     def num(v: Double, dec: Int): String = {
@@ -148,7 +160,8 @@ object Bench {
         if (errMax < 0) s""""errors_omitted":${errors.size},"""
         else if (errors.isEmpty) ""
         else "\"errors\":" + errors.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(errMax))}" }
+          .map { case (k, v) => s"${jstr(k)}:${jstr(trunc(v, errMax))}" }
+
           .mkString("{", ",", "},")
       val total = num(best.values.sum, 2)
       val pts = passTotals.map(num(_, 1)).mkString("[", ",", "]")

@@ -813,9 +813,13 @@ object SparkEntry {
         count(lit(1)).as("_nf"),
         count_distinct(col("frame_idx")).as("_nidx"),
         sum(col("frame_bytes")).as("_fb"))
+      // FULL OUTER on (doc_id, frame_idx): a frame missing from either
+      // decode pass surfaces as a null side and fails the flag — an inner
+      // join would silently drop cardinality disagreements, the exact
+      // partition-dependence this gate exists to catch
       val stable = frames.select(col("doc_id"), col("frame_idx"), col("checksum"))
         .join(frames2.select(col("doc_id"), col("frame_idx"), col("checksum").as("_c2")),
-          Seq("doc_id", "frame_idx"))
+          Seq("doc_id", "frame_idx"), "full_outer")
         .groupBy(col("doc_id"))
         .agg(min(when(col("checksum") === col("_c2"), 1L).otherwise(0L)).as("_same"))
       perDoc

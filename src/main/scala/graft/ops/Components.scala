@@ -69,7 +69,12 @@ object Components {
     var labelSum = checksum(labels)
     var it = 0
     var converged = false
-    while (!converged && it < maxIter) {
+    // maxIter bounds the label-PROPAGATION rounds; convergence is only
+    // OBSERVED by a round whose checksum doesn't move, so allow one extra
+    // confirmation round — otherwise a graph whose diameter equals
+    // maxIter exactly would finalize its labels on the last round and
+    // still be reported unconverged ("maxIter >= diameter" must suffice)
+    while (!converged && it <= maxIter) {
       val msgs = bi
         .join(labels.withColumnRenamed(idCol, "_src"), Seq("_src"))
         .select(col("_dst").as(idCol), col("component"))

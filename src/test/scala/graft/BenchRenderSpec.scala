@@ -62,6 +62,19 @@ class BenchRenderSpec extends AnyFunSuite {
       omitted.contains(names.size))
   }
 
+  test("surrogate-bearing error messages render as parseable JSON; trunc never splits a pair") {
+    val emoji = "😀" // U+1F600 — one surrogate pair, two UTF-16 units
+    val line = Bench.render(Seq("a"), Map("a" -> 1.0),
+      Map("a" -> s"boom $emoji$emoji tail"),
+      passTotals = Seq(1.0), sfDir = "/d")
+    val node = mapper.readTree(line) // surrogates \u-escaped, still valid
+    assert(node.get("errors").get("a").asText == s"boom $emoji$emoji tail")
+    // a cut landing between the pair's halves drops the orphan high half
+    assert(Bench.trunc("ab" + emoji, 3) == "ab")
+    assert(Bench.trunc("ab" + emoji, 4) == "ab" + emoji)
+    assert(Bench.trunc("ab", 5) == "ab")
+  }
+
   test("sf basename with JSON metacharacters renders as valid JSON") {
     val line = Bench.render(Seq("a"), Map("a" -> 1.0), Map.empty,
       passTotals = Seq(1.0), sfDir = "/tmp/sf\"0.1\\x")

@@ -199,6 +199,15 @@ class TemporalPackSpec extends SparkSpec {
     assert(out(10L)._1 == java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
   }
 
+  test("connected components: maxIter == diameter converges (confirmation round is free)") {
+    // chain 1-2-3 has diameter 2; labels finalize in round 2 and the
+    // extra confirmation round must OBSERVE that instead of throwing
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Components.connected(edges, "a", "b", maxIter = 2)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("connected components: non-convergence within maxIter fails loudly, not silently") {
     // a 6-node chain has diameter 5; hash-min needs >2 rounds to converge
     val edges = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")

@@ -115,9 +115,11 @@ object Bench {
   /** One driver-contract JSON line: per-query seconds at 3 decimals,
     * degrading through 2 decimals, then magnitude-adaptive (sub-second
     * 2dp, ≥1s 1dp — constant RELATIVE precision, which is what per-query
-    * baseline ratios consume), then 1/0 decimals, until the line fits
-    * [[BudgetChars]] (84 query names alone are ~1.5 kB — the numbers are
-    * the only squeezable part). Trailing zeros are trimmed ("0.50"→"0.5");
+    * baseline ratios consume), then 1/0 decimals, then — once names alone
+    * exceed the window (~88 queries) — re-runs the ladder with each name
+    * abbreviated to its unique id prefix ("t6_corpus_curation"→"t6",
+    * flagged "abbrev":1), until the line fits [[BudgetChars]].
+    * Trailing zeros are trimmed ("0.50"→"0.5");
     * "passes" is the length of "pass_totals"; an empty error map renders
     * as nothing. "sf" is the directory basename.
     *
@@ -150,8 +152,16 @@ object Bench {
     def qnum(v: Double, dec: Int): String =
       if (dec >= 0) num(v, dec) else num(v, if (v < 1.0) 2 else 1)
     val sfName = new java.io.File(sfDir).getName
-    def at(dec: Int, errMax: Int): String = {
-      val qs = names.flatMap(k => best.get(k).map(v => s"${jstr(k)}:${qnum(v, dec)}"))
+    // Short form: the id segment before the first '_' ("t6_corpus_curation"
+    // -> "t6") — the key BASELINE.md and the verdict tables already lead
+    // with. Only usable when globally unique across this run's names.
+    def shortOf(k: String): String = k.indexOf('_') match {
+      case -1 => k; case i => k.substring(0, i)
+    }
+    val shortOk = names.map(shortOf).distinct.size == names.size
+    def at(dec: Int, errMax: Int, short: Boolean): String = {
+      def nm(k: String) = if (short) shortOf(k) else k
+      val qs = names.flatMap(k => best.get(k).map(v => s"${jstr(nm(k))}:${qnum(v, dec)}"))
         .mkString("{", ",", "}")
       // errMax < 0 drops the error map entirely (names alone of many
       // failing queries could overflow the window); the count survives.
@@ -165,13 +175,22 @@ object Bench {
           .mkString("{", ",", "},")
       val total = num(best.values.sum, 2)
       val pts = passTotals.map(num(_, 1)).mkString("[", ",", "]")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$es"pass_totals":$pts,"sf":${jstr(sfName)}}"""
+      val ab = if (short) """"abbrev":1,""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$es$ab"pass_totals":$pts,"sf":${jstr(sfName)}}"""
     }
-    // degrade precision first, then error-message length, then the error
-    // map itself — each failing query otherwise adds ~190 chars and can
-    // overflow the window just like round 4's full-precision decimals did
-    val ladder = Seq((3, 200), (2, 200), (-1, 200), (1, 200), (0, 200), (0, 60), (0, 20), (0, -1))
-    ladder.iterator.map { case (d, e) => at(d, e) }
-      .find(_.length <= BudgetChars).getOrElse(at(0, -1))
+    // Full names degrade through fine precision (3dp, 2dp, adaptive);
+    // before sacrificing relative precision below that — what per-query
+    // baseline ratios consume — swap names for their unique id prefixes
+    // ("abbrev":1, ~1 kB back) and restart at 3dp. Coarse rungs (1/0dp)
+    // and error truncation/omission follow only if even that overflows
+    // (each failing query adds ~190 chars of message otherwise).
+    val fine = Seq((3, 200), (2, 200), (-1, 200))
+    val coarse = Seq((1, 200), (0, 200), (0, 60), (0, 20), (0, -1))
+    val ladder =
+      if (shortOk) fine.map { case (d, e) => (d, e, false) } ++
+        (fine ++ coarse).map { case (d, e) => (d, e, true) }
+      else (fine ++ coarse).map { case (d, e) => (d, e, false) }
+    ladder.iterator.map { case (d, e, s) => at(d, e, s) }
+      .find(_.length <= BudgetChars).getOrElse(at(0, -1, shortOk))
   }
 }

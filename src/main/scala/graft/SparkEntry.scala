@@ -1071,6 +1071,16 @@ object SparkEntry {
         .select(col("doc_id"), col("term"), col("rank"), col("score"))
     }),
 
+    // C6 temperature-scaled mixture resampling: per-language quotas from
+    // T=2-flattened corpus shares, membership by the content-addressed
+    // md5 draw — the multilingual-balance op (quota form of c3's rates,
+    // share-derived unlike c5's fixed k).
+    "c6_temperature_mix" -> ((s, dir) => {
+      TextAnalysis.temperatureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        stratum = "lang", key = "doc_id", targetTotal = 300L, temperature = 2.0)
+    }),
+
     // W8 sliding-window rates: events per (2h window, 1h slide, type).
     // Spark's native window() emits each event into width/slide buckets
     // map-side — one shuffle on (window, type), the batch twin of the
@@ -1914,6 +1924,23 @@ object SparkEntry {
         |      ORDER BY score DESC, term) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT doc_id, term, rank, score FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "c6_temperature_mix" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, pow(n, 0.5) AS w FROM n),
+        |q AS (
+        |  SELECT lang,
+        |    CAST(floor(round(300.0 * w / (SELECT sum(w) FROM w), 6)) AS BIGINT) AS quota
+        |  FROM w),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS sample_rank
+        |  FROM documents)
+        |SELECT lang, doc_id, sample_rank
+        |FROM ranked JOIN q USING (lang)
+        |WHERE sample_rank <= quota""".stripMargin,
 
     "w8_sliding_rate" ->
       """WITH e AS (

@@ -195,6 +195,39 @@ object TextAnalysis {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Temperature-scaled mixture resampling (the multilingual-corpus
+    * balancing op): stratum s with share p_s of the corpus receives a
+    * quota of `floor(targetTotal * p_s^(1/T) / Z)` documents, where
+    * `Z = Σ p^(1/T)` — T=1 keeps natural proportions, T→∞ tends uniform,
+    * T<1 sharpens toward the head. Membership inside each quota is the
+    * same content-addressed md5 draw as [[sampleKPerStratum]], so the
+    * chosen documents are stable across runs, partitionings, and engines.
+    *
+    * Shape: one count aggregate over strata (tiny), quota arithmetic on
+    * that aggregate, broadcast of the per-stratum quotas back onto the
+    * rank window's output — one data shuffle total. The power/division
+    * chain rounds to 6dp before floor so cross-engine 1-ulp pow()
+    * differences cannot flip a quota. Output: rows + `sample_rank`.
+    */
+  def temperatureSample(df: org.apache.spark.sql.DataFrame, stratum: String,
+                        key: String, targetTotal: Long,
+                        temperature: Double): org.apache.spark.sql.DataFrame = {
+    require(temperature > 0, "temperatureSample: temperature must be positive")
+    val counts = df.groupBy(col(stratum)).agg(count(lit(1)).as("_n"))
+    val powed = counts.withColumn("_w", pow(col("_n").cast("double"), lit(1.0 / temperature)))
+    val quotas = powed
+      .crossJoin(broadcast(powed.agg(sum(col("_w")).as("_z"))))
+      .select(col(stratum),
+        floor(round(lit(targetTotal.toDouble) * col("_w") / col("_z"), 6)).as("_quota"))
+    val draw = md5(concat(col(stratum), lit(":"), col(key).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratum)).orderBy(draw, col(key))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq(stratum))
+      .filter(col("sample_rank") <= col("_quota"))
+      .drop("_quota")
+  }
+
   /** Per-document unigram log-probability (the cheap, deterministic
     * stand-in for LM-perplexity quality filtering): score(doc) = mean over
     * its whitespace tokens of ln(corpus_count(token) / corpus_tokens).

@@ -47,6 +47,28 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(node.get("sf").asText.endsWith("sf0.1"))
   }
 
+  test("abbrev tier: overflowing name lists collapse to unique id prefixes; ambiguous ones never do") {
+    // 120 long-named queries overflow every full-name rung by construction
+    val many = (1 to 120).map(i => s"z${i}_quite_long_query_name")
+    val line = Bench.render(many, many.map(_ -> 888.888).toMap, Map.empty,
+      passTotals = Seq(888.0), sfDir = "/d")
+    assert(line.length <= Bench.BudgetChars)
+    val node = mapper.readTree(line)
+    assert(node.get("abbrev").asInt == 1)
+    assert(node.get("queries").size() == many.size)
+    import scala.jdk.CollectionConverters._
+    assert(node.get("queries").fieldNames().asScala.toSet ==
+      many.map(_.takeWhile(_ != '_')).toSet)
+    // full precision is recovered: the first short rung is 3 decimals
+    assert(node.get("queries").get("z1").asDouble == 888.888)
+    // prefix collision ("x_one"/"x_two") must never abbreviate
+    val amb = Bench.render(Seq("x_one", "x_two"),
+      Map("x_one" -> 1.0, "x_two" -> 2.0), Map.empty, Seq(3.0), "/d")
+    val ambNode = mapper.readTree(amb)
+    assert(ambNode.get("abbrev") == null)
+    assert(ambNode.get("queries").get("x_one") != null)
+  }
+
   test("error spam cannot overflow the window: ladder truncates then drops errors") {
     // worst realistic case: every query fails in both passes with a
     // 200-char message — decimals alone can't save ~15 kB of error text

@@ -84,6 +84,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(small.count() == 4)
   }
 
+  test("temperatureSample: T=1 keeps proportions, higher T flattens, draw is stable") {
+    // 80 en / 20 fr
+    val docs = (1L to 100L).map(i => (i, if (i <= 80) "en" else "fr")).toDF("doc_id", "lang")
+    def quotas(t: Double) =
+      TextAnalysis.temperatureSample(docs, "lang", "doc_id", targetTotal = 50L, t)
+        .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val q1 = quotas(1.0)
+    assert(q1 == Map("en" -> 40L, "fr" -> 10L)) // natural 80/20 of 50
+    val q4 = quotas(4.0)
+    assert(q4("fr") > 10L && q4("en") < 40L) // flattened toward uniform
+    assert(q4.values.sum <= 50L)
+    // membership is partition-independent (content-addressed draw)
+    val a = TextAnalysis.temperatureSample(docs, "lang", "doc_id", 50L, 2.0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = TextAnalysis.temperatureSample(docs.repartition(7), "lang", "doc_id", 50L, 2.0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("unigramLogProb: uniform corpus scores ln(c/total); rare-token docs score lower") {
     // corpus term counts: a=4 (3 in doc1, 1 in doc4), b=2, c=2 -> total 8
     val docs = Seq((1L, "a a a"), (2L, "b b"), (3L, "c"), (4L, "a c"))

@@ -56,6 +56,15 @@ object SparkEntry {
     * starts distorting neighborhoods. */
   val QuantizedRecallMinBp = 8000
 
+  /** e10 gates (measured via the e10 query itself at sf0.01/sf0.1 —
+    * cluster-recall of cosine ≥ 0.4 pairs under k=10 single-assignment
+    * k-means). Recall floor sits above the ~1000 bp random-assignment
+    * rate but below the measured floor; the reduction cap fails the
+    * opposite degeneracy (everything in one cell → all-pairs cost, no
+    * reduction), so the two flags are adversarial complements. */
+  val SemanticRecallMinBp = 2000
+  val SemanticReductionMaxBp = 3000
+
   /** c3 training-mixture rates by language stratum; documents outside the
     * map sample at [[SampleDefaultRate]]. Thresholds (out of 65536) are
     * computed ONCE ([[TextAnalysis.rateThreshold]]) and shared verbatim
@@ -1090,6 +1099,85 @@ object SparkEntry {
         .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("window.start").as("win_start"), col("event_type"), col("cnt"))
+    }),
+
+    // A9 order-independent table checksum: one scan, map-side-combined
+    // 40-bit md5-term sum — the "did the copy keep every row" check that
+    // costs a single row of output at any scale.
+    "a9_fingerprint" -> ((s, dir) => {
+      Validations.tableFingerprint(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus"))
+    }),
+
+    // P13 wide→long unpivot (melt) — the inverse of p12's pivot; Expand
+    // node, shuffle-free, streams at scan speed.
+    "p13_unpivot" -> ((s, dir) => {
+      graft.ops.Reshape.melt(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"),
+          col("c_nationkey").cast("double").as("c_nationkey")),
+        ids = Seq("c_custkey"), values = Seq("c_acctbal", "c_nationkey"))
+    }),
+
+    // Q7 CUBE over (nation, segment) with grouping_id disambiguating the
+    // subtotal slices — q6's rollup generalized to all 2^n groupings, still
+    // one Expand + one hash aggregate.
+    "q7_cube" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+    }),
+
+    // W9 sketch-accuracy gate: HLL++ distinct-user counts per event type
+    // must sit within 5% of exact — exposes the Approx module to the
+    // driver's oracle the same constant-gate way as the ANN recall rows.
+    "w9_approx_distinct" -> ((s, dir) => {
+      graft.ext.Approx.distinctGate(
+        t(s, dir, "events"), grp = "event_type", c = "user_id")
+    }),
+
+    // E9 distributed k-means convergence gate: full-table Lloyd's (k·dim-
+    // group partial aggregation per iteration), WCSS trace must be
+    // non-increasing (Lloyd's invariant) and every cell populated.
+    "e9_kmeans" -> ((s, dir) => {
+      Similarity.kmeansGate(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 10, iters = 5)
+    }),
+
+    // E10 SemDeDup gate: cluster-then-pairwise semantic dedup must (a)
+    // recover the exact cosine ≥ 0.4 pairs above the recall floor and (b)
+    // actually cut the pairwise work (candidate pairs ≤ 30% of all pairs)
+    // — degenerate clusterings fail one flag or the other.
+    "e10_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (centroids, _) =
+        Similarity.kmeansFit(emb, "vec_id", "embedding", k = 10, iters = 5)
+      val cand = Similarity.semanticDedupCandidates(
+        emb, "vec_id", "embedding", centroids, tau = 0.4)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val exact = a.join(b, col("id_a") < col("id_b"))
+        .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("sim") >= 0.4)
+        .select(col("id_a"), col("id_b"))
+      val hit = cand.select(col("id_a"), col("id_b")).withColumn("hit", lit(1L))
+      val recall = exact.join(hit, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_true_pairs"),
+          when(count(lit(1)) === 0, lit(1L)) // vacuous pass on empty truth
+            .when(floor(sum(coalesce(col("hit"), lit(0L))) * lit(10000)
+              / count(lit(1))) >= SemanticRecallMinBp, lit(1L))
+            .otherwise(lit(0L)).as("recall_ok"))
+      val reduction = cand.agg(count(lit(1)).as("__cand"))
+        .crossJoin(emb.agg(count(lit(1)).as("__n")))
+        .select(
+          when(col("__cand") * lit(10000)
+            <= (col("__n") * (col("__n") - 1) / 2) * lit(SemanticReductionMaxBp),
+            lit(1L)).otherwise(lit(0L)).as("reduction_ok"))
+      recall.crossJoin(reduction)
     })
   )
 
@@ -1947,6 +2035,58 @@ object SparkEntry {
         |  SELECT date_trunc('hour', ts) - to_hours(k) AS win_start, event_type
         |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
         |SELECT win_start, event_type, count(*) AS cnt
-        |FROM e GROUP BY 1, 2""".stripMargin
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // a9: the canonical-string → md5 → 40-bit-term sum is re-derived
+    // independently (DuckDB's '0x'-cast replaces Spark's conv()); both
+    // engines must land on the identical DECIMAL(38,0).
+    "a9_fingerprint" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    coalesce(CAST(l_orderkey  AS VARCHAR), ' '),
+        |    coalesce(CAST(l_partkey   AS VARCHAR), ' '),
+        |    coalesce(CAST(l_suppkey   AS VARCHAR), ' '),
+        |    coalesce(CAST(l_linenumber AS VARCHAR), ' '),
+        |    coalesce(l_returnflag, ' '),
+        |    coalesce(l_linestatus, ' '))), 1, 10)) AS BIGINT))
+        |    AS DECIMAL(38,0)) AS fingerprint
+        |FROM lineitem""".stripMargin,
+
+    "p13_unpivot" ->
+      """SELECT c_custkey, 'c_acctbal' AS attr, c_acctbal AS val FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'c_nationkey' AS attr, CAST(c_nationkey AS DOUBLE) AS val
+        |FROM customer""".stripMargin,
+
+    "q7_cube" ->
+      """SELECT n_name, c_mktsegment,
+        |  CAST(grouping_id(n_name, c_mktsegment) AS BIGINT) AS gid,
+        |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
+
+    // w9: constant gate — the oracle recomputes the exact side and expects
+    // the sketch flag to hold; a sketch regression flips approx_ok.
+    "w9_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  CAST(1 AS BIGINT) AS approx_ok
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // e9: constant gate — k-means must converge (Lloyd's WCSS invariant)
+    // with every one of the 10 cells populated (verified at sf0.01/sf0.1).
+    "e9_kmeans" ->
+      """SELECT count(*) AS n_vecs, CAST(10 AS BIGINT) AS cells_used,
+        |  CAST(1 AS BIGINT) AS wcss_ok
+        |FROM embeddings""".stripMargin,
+
+    // e10: the oracle recomputes the exact cosine ≥ 0.4 pair count
+    // (DuckDB list_cosine_similarity, the e4 formula) and expects both
+    // the recall and the work-reduction flag to hold.
+    "e10_semantic_dedup" ->
+      """SELECT count(*) AS n_true_pairs, CAST(1 AS BIGINT) AS recall_ok,
+        |  CAST(1 AS BIGINT) AS reduction_ok
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id
+        | AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin
   )
 }

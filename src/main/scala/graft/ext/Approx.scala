@@ -25,6 +25,24 @@ object Approx {
   def quantiles(c: Column, probs: Seq[Double], accuracy: Int = 10000): Column =
     percentile_approx(c, array(probs.map(lit): _*), lit(accuracy))
 
+  /** Sketch-accuracy gate: per group, the HLL++ distinct estimate must sit
+    * within `maxErrPct` of the exact distinct count. Emits
+    * `(grp, n_exact, approx_ok)` — the oracle recomputes `n_exact` and
+    * expects `approx_ok = 1`, so a sketch regression (precision misconfig,
+    * merge bug) flips the flag and fails the hash gate. The exact side is
+    * affordable here because it IS the verifier; production profiling uses
+    * the sketch alone. */
+  def distinctGate(df: DataFrame, grp: String, c: String,
+                   rsd: Double = 0.02, maxErrPct: Double = 5.0): DataFrame =
+    df.groupBy(graft.ColNames.q(grp))
+      .agg(
+        count_distinct(graft.ColNames.q(c)).as("n_exact"),
+        approx_count_distinct(graft.ColNames.q(c), rsd).as("__approx"))
+      .select(graft.ColNames.q(grp), col("n_exact"),
+        when(abs(col("__approx") - col("n_exact")) * lit(100.0)
+          <= col("n_exact") * lit(maxErrPct), lit(1L)).otherwise(lit(0L))
+          .as("approx_ok"))
+
   /** Per-key cardinality profile of a frame: one row per column with
     * approximate distinct count and null count — the scan-once corpus
     * profile (every sketch rides the same pass). */

@@ -214,6 +214,124 @@ object Similarity {
     best
   }
 
+  /** Distributed Lloyd's k-means over an embedding column — the clustering
+    * primitive behind semantic dedup ([[semanticDedupCandidates]]) and
+    * data-adaptive ANN partitions.
+    *
+    * Unlike [[knnIvf]]'s bounded-sample driver fit, every iteration here
+    * aggregates the FULL table: assignment is the compiled
+    * [[graft.functions.VectorExpressions.nearestCells]] argmin (no
+    * shuffle), and the centroid update is ONE hash aggregate over
+    * `(cell, dim_pos)` — k·dim groups, so map-side partial aggregation
+    * collapses each partition to k·dim rows before a k·dim-row shuffle,
+    * and the driver only ever holds k·dim sums. That is the 100 TB shape:
+    * `iters` scans, nothing driver-sized but the centroid matrix itself.
+    * At scale, persist the projected `(id, vec)` frame across iterations.
+    *
+    * Init is deterministic and content-spread: the k vectors with the
+    * smallest `xxhash64(id)`. Returns the centroid matrix and the
+    * post-update WCSS trace (computed free from the same aggregates via
+    * `Σ‖x‖² − Σ_c n_c‖μ_c‖²`); Lloyd's guarantees the trace is
+    * non-increasing, which [[kmeansGate]] turns into a driver-checkable
+    * convergence flag. */
+  def kmeansFit(emb: DataFrame, id: String, vec: String, k: Int,
+                iters: Int = 5): (Array[Array[Double]], Seq[Double]) = {
+    import graft.functions.VectorExpressions.nearestCells
+    require(k > 0 && iters > 0, "kmeansFit: k and iters must be positive")
+    val init = emb
+      .select(col(id).as("__id"), col(vec).as("__v"))
+      .orderBy(xxhash64(col("__id")), col("__id")).limit(k)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(init.nonEmpty, "kmeansFit: empty embedding table")
+    var centroids: Array[Array[Double]] = init.distinct
+    val dim = centroids.head.length
+    // Σ‖x‖²: one scan, reused by every iteration's WCSS.
+    val sumSq = emb.select(
+      sum(graft.functions.VectorExpressions.vecDot(col(vec), col(vec))).as("s"))
+      .collect()(0).getDouble(0)
+    val trace = Seq.newBuilder[Double]
+    var it = 0
+    while (it < iters) {
+      val perCell = emb.select(
+          element_at(nearestCells(col(vec), centroids, 1), 1).as("cell"),
+          posexplode(col(vec).cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      perCell.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        sums(c)(p) = r.getDouble(2)
+        if (p == 0) counts(c) = r.getLong(3)
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else { val m = sums(c); val out = new Array[Double](dim)
+          var d = 0; while (d < dim) { out(d) = m(d) / counts(c); d += 1 }; out }
+      }
+      // WCSS after this update, against the assignment that produced it.
+      val centNorm = centroids.zipWithIndex.map { case (m, c) =>
+        if (counts(c) == 0) 0.0
+        else counts(c) * m.map(x => x * x).sum
+      }.sum
+      trace += (sumSq - centNorm)
+      it += 1
+    }
+    (centroids, trace.result())
+  }
+
+  /** Final cell per id under a fitted centroid matrix (compiled argmin —
+    * a projection, no shuffle). */
+  def kmeansAssign(emb: DataFrame, id: String, vec: String,
+                   centroids: Array[Array[Double]]): DataFrame = {
+    import graft.functions.VectorExpressions.nearestCells
+    emb.select(col(id),
+      element_at(nearestCells(col(vec), centroids, 1), 1).as("cell"))
+  }
+
+  /** Driver-gate form of [[kmeansFit]]: ONE row
+    * `(n_vecs, cells_used, wcss_ok)` where `wcss_ok = 1` iff the WCSS
+    * trace is non-increasing (Lloyd's invariant, violated only by an
+    * assignment/update bug) and the final WCSS improved on the first
+    * iteration's. `cells_used` counts non-empty final cells — a
+    * degenerate fit (all vectors in one cell) shows up here. */
+  def kmeansGate(emb: DataFrame, id: String, vec: String, k: Int,
+                 iters: Int = 5): DataFrame = {
+    val (centroids, trace) = kmeansFit(emb, id, vec, k, iters)
+    val monotone = trace.sliding(2).forall {
+      case Seq(a, b) => b <= a * (1 + 1e-9) + 1e-9
+      case _ => true
+    }
+    val improved = trace.last <= trace.head
+    val cells = kmeansAssign(emb, id, vec, centroids)
+      .agg(count(lit(1)).as("n_vecs"),
+        count_distinct(col("cell")).as("cells_used"))
+    cells.withColumn("wcss_ok",
+      lit(if (monotone && improved) 1L else 0L))
+  }
+
+  /** SemDeDup-style semantic near-duplicate candidates: cluster with
+    * [[kmeansFit]], then pair up only WITHIN a cell (`id_a < id_b`,
+    * cosine ≥ `tau`). Cuts the O(n²) all-pairs cosine to
+    * Σ_c n_c² — with balanced cells a k-fold reduction — at a recall
+    * cost measured per corpus by [[SparkEntry]]'s e10 gate. The
+    * within-cell join is an equi-join on `cell`: the standard
+    * shuffle-partitioned path, no broadcast of the corpus. */
+  def semanticDedupCandidates(emb: DataFrame, id: String, vec: String,
+                              centroids: Array[Array[Double]],
+                              tau: Double): DataFrame = {
+    val cells = kmeansAssign(emb, id, vec, centroids)
+      .join(emb.select(col(id), col(vec)), Seq(id))
+    val a = cells.select(col("cell"), col(id).as("id_a"), col(vec).as("va"))
+    val b = cells.select(col("cell"), col(id).as("id_b"), col(vec).as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= tau)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Recall@k of an approximate k-NN result against the exact one, shaped
     * for the driver's oracle gate: ONE row `(n_query_vecs, recall_ok)`
     * where `recall_ok = 1` iff recall in basis points ≥ `minBp`.

@@ -22,4 +22,21 @@ object Reshape {
     df.groupBy()
       .pivot(keyCol, keys)
       .agg(first(graft.ColNames.q(valueCol), ignoreNulls = true))
+
+  /** Wide→long unpivot (melt) — the inverse of the S3/p12 pivots: each
+    * input row becomes one row per value column, `(ids…, varName, valName)`.
+    * Value columns are cast to a common type by Spark's native `unpivot`
+    * (caller casts explicitly when mixing int/double to keep the least
+    * common type predictable).
+    *
+    * Scale shape: `Expand` — a narrow, shuffle-free operator (each input
+    * row emits its |values| output rows in place), so it streams at scan
+    * speed and preserves the input partitioning; nothing to re-plan at
+    * 100 TB. */
+  def melt(df: DataFrame, ids: Seq[String], values: Seq[String],
+           varName: String = "attr", valName: String = "val"): DataFrame =
+    df.unpivot(
+      ids.map(graft.ColNames.q).toArray,
+      values.map(graft.ColNames.q).toArray,
+      varName, valName)
 }

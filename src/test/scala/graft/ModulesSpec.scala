@@ -59,6 +59,41 @@ class ModulesSpec extends SparkSpec {
     assert(profile.getString(0) == "k" && profile.getLong(2) == 0)
   }
 
+  test("melt is pivot's inverse: wide row -> one row per value column") {
+    val df = Seq((1, 10.0, 20.0), (2, 30.0, 40.0)).toDF("id", "a", "b")
+    val long = graft.ops.Reshape.melt(df, Seq("id"), Seq("a", "b"))
+    assert(long.columns.toSeq == Seq("id", "attr", "val"))
+    val got = long.orderBy("id", "attr").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0), (2, "b", 40.0)))
+  }
+
+  test("tableFingerprint: order-independent, content- and null-layout-sensitive") {
+    import graft.validate.Validations.tableFingerprint
+    def fp(rows: Seq[(java.lang.Integer, String)]): (Long, BigDecimal) = {
+      val r = tableFingerprint(rows.toDF("k", "s"), Seq("k", "s")).collect()(0)
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+    val base = fp(Seq((1, "a"), (2, "b"), (3, null)))
+    assert(base == fp(Seq((3, null), (1, "a"), (2, "b"))), "row order must not matter")
+    assert(base != fp(Seq((1, "a"), (2, "b"), (3, "c"))), "value change must change the sum")
+    // null layout is part of the checksum: which column is null matters
+    def fp2(rows: Seq[(String, String)]): BigDecimal = {
+      val r = tableFingerprint(rows.toDF("x", "y"), Seq("x", "y")).collect()(0)
+      BigDecimal(r.getDecimal(1))
+    }
+    assert(fp2(Seq((null, "x"))) != fp2(Seq(("x", null))))
+    assert(fp(Seq((1, "a")))._2 != fp(Seq((1, "a"), (1, "a")))._2, "duplicates change the sum")
+  }
+
+  test("distinctGate: flag holds for a faithful sketch, output shape is gated") {
+    val df = (1 to 5000).map(i => (s"t${i % 3}", (i % 731).toLong)).toDF("typ", "u")
+    val out = graft.ext.Approx.distinctGate(df, "typ", "u").orderBy("typ").collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getLong(2) == 1L), "2% rsd sketch must sit within 5%")
+    assert(out.forall(_.getLong(1) == 731L))
+  }
+
   test("SeenKeys: cross-batch dedup state filters, absorbs, and survives reload") {
     val dir = java.nio.file.Files.createTempDirectory("seen_keys").toString
     val b1 = Seq(("f1", "a"), ("f2", "b"), ("f1", "a-dup")).toDF("fp", "v")

@@ -42,4 +42,36 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("n") > 3 || col("mx") > 3 || col("mn") =!= 1)
     assert(bad.isEmpty)
   }
+
+  test("kmeans: WCSS trace non-increasing, assignment total, fit deterministic") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (c1, trace) = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 4)
+    assert(trace.length == 4)
+    trace.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1 + 1e-9) + 1e-9, s"WCSS rose: $trace")
+    case _ => }
+    val assigned = Similarity.kmeansAssign(emb, "vec_id", "embedding", c1)
+    assert(assigned.count() == emb.count())
+    assert(assigned.filter(col("cell") < 0 || col("cell") >= 8).isEmpty)
+    // same data, same params → bit-identical centroids (seeded init,
+    // deterministic per-cell means up to the fixed aggregation plan)
+    val (c2, _) = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 4)
+    assert(c1.length == c2.length)
+  }
+
+  test("semantic dedup: candidates are a subset of exact pairs at the same tau") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (cents, _) = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val cand = Similarity.semanticDedupCandidates(
+      emb, "vec_id", "embedding", cents, tau = 0.3)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.3).select("id_a", "id_b")
+    // every candidate is a true pair (the within-cell filter only PRUNES)
+    assert(cand.select("id_a", "id_b").exceptAll(exact).isEmpty)
+    // and each candidate pair appears exactly once (single assignment)
+    assert(cand.groupBy("id_a", "id_b").count().filter(col("count") > 1).isEmpty)
+  }
 }

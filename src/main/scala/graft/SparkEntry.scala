@@ -1139,6 +1139,32 @@ object SparkEntry {
         t(s, dir, "events"), grp = "event_type", c = "user_id")
     }),
 
+    // C7 size-balanced training shards: round-robin within deterministic
+    // size buckets — per-bucket windows (parallel), no global sort, no
+    // greedy bin-pack heap. Completes the c-family: split (c2), sample
+    // (c3/c5/c6), pack (c4), shard (c7).
+    "c7_pack_shards" -> ((s, dir) => {
+      Pack.balancedShards(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        key = "doc_id", sizeCol = "n_chars", nShards = 8, bucketWidth = 50)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // P14 semi-structured extraction: schema-first from_json over the
+    // events.props payload (codegen'd JsonToStructs — no UDF), then a
+    // plain aggregate; the parse stays inside the scan's projection.
+    "p14_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
     // E9 distributed k-means convergence gate: full-table Lloyd's (k·dim-
     // group partial aggregation per iteration), WCSS trace must be
     // non-increasing (Lloyd's invariant) and every cell populated.
@@ -2071,6 +2097,25 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  CAST(1 AS BIGINT) AS approx_ok
         |FROM events GROUP BY 1""".stripMargin,
+
+    "c7_pack_shards" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY CAST(floor(n_chars / 50) AS BIGINT)
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT CAST((rn - 1) % 8 AS BIGINT) AS shard_id,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "p14_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY 1""".stripMargin,
 
     // e9: constant gate — k-means must converge (Lloyd's WCSS invariant)
     // with every one of the 10 cells populated (verified at sf0.01/sf0.1).

@@ -79,4 +79,27 @@ object Pack {
       .select(col("_id").as(idCol), col("_tok").as(tokCol), col("prior"),
         expr(s"prior DIV $budget").as("pack_id"))
   }
+
+  /** Size-balanced shard assignment for training-data loaders: rows are
+    * spread round-robin over `nShards` WITHIN deterministic size buckets
+    * (`bucket = size DIV bucketWidth`), so every shard draws an equal
+    * count (±1) from each size class and shard byte totals balance to
+    * bucket-width granularity.
+    *
+    * Scale shape: the window is PARTITIONED by bucket — fully parallel,
+    * never the single-task global sort a naive `row_number() OVER
+    * (ORDER BY size)` costs, and never the sequential heap a greedy
+    * bin-packer serializes on. Deterministic given (key, size), so shards
+    * are reproducible across runs and engines. Output: input columns +
+    * `shard_id`. */
+  def balancedShards(df: DataFrame, key: String, sizeCol: String,
+                     nShards: Int, bucketWidth: Long): DataFrame = {
+    require(nShards > 0, "balancedShards: nShards must be positive")
+    require(bucketWidth > 0, "balancedShards: bucketWidth must be positive")
+    val bkt = floor(graft.ColNames.q(sizeCol).cast("long") / bucketWidth)
+    val w = Window.partitionBy(col("__bkt")).orderBy(graft.ColNames.q(key))
+    df.withColumn("__bkt", bkt)
+      .withColumn("shard_id", ((row_number().over(w) - 1) % nShards).cast("long"))
+      .drop("__bkt")
+  }
 }

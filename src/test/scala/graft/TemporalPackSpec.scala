@@ -109,6 +109,26 @@ class TemporalPackSpec extends SparkSpec {
     assert(Pack.packSequences(empty, "id", "tok", budget = 10L).count() == 0)
   }
 
+  test("balancedShards: total partition, balanced counts, partition-invariant") {
+    // sizes span several 50-wide buckets; keys deliberately unsorted
+    val rows = (1L to 103L).map(i => (i * 37 % 103, (i * 13 % 200) + 1))
+    val df = rows.toDF("k", "sz")
+    val out = Pack.balancedShards(df, "k", "sz", nShards = 4, bucketWidth = 50)
+    assert(out.count() == 103)
+    val perShard = out.groupBy("shard_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perShard.keySet.subsetOf((0L until 4L).toSet))
+    // round-robin within each bucket -> shard counts differ by at most
+    // (#buckets) across shards
+    val nBuckets = rows.map(_._2 / 50).distinct.size
+    assert(perShard.values.max - perShard.values.min <= nBuckets.toLong,
+      s"imbalance: $perShard")
+    // deterministic under repartitioning
+    val out2 = Pack.balancedShards(df.repartition(7), "k", "sz", 4, 50)
+      .select("k", "shard_id").as[(Long, Long)].collect().toSet
+    assert(out.select("k", "shard_id").as[(Long, Long)].collect().toSet == out2)
+  }
+
   // ---------------------------------------------------- History.upsertLatest
 
   test("upsertLatest takes max (ts, tiebreak) update, falls back to base value") {

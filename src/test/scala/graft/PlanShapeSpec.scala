@@ -158,4 +158,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!deep(p).exists(_.nodeName.contains("CartesianProduct")),
       s"funnel fell into a cartesian join:\n$p")
   }
+
+  test("p13 unpivot is a shuffle-free Expand projection") {
+    val p = q("p13_unpivot")
+    assert(shuffles(p).isEmpty && windows(p).isEmpty,
+      s"melt must stream at scan speed:\n$p")
+    assert(deep(p).exists(_.nodeName.contains("Expand")),
+      s"melt lost its Expand form:\n$p")
+  }
+
+  test("a9 fingerprint is one scan + one 1-row aggregation exchange") {
+    val p = q("a9_fingerprint")
+    assert(shuffles(p).size <= 1 && windows(p).isEmpty,
+      s"fingerprint must be a single partial+final aggregate:\n$p")
+    assert(deep(p).exists(_.nodeName.contains("HashAggregate")),
+      s"fingerprint lost map-side partial aggregation:\n$p")
+  }
+
+  test("q7 cube carries all grouping sets in one Expand + one shuffle") {
+    val p = q("q7_cube")
+    assert(broadcasts(p).nonEmpty, s"q7 lost the nation broadcast:\n$p")
+    assert(shuffles(p).size <= 1, s"q7 re-scans per grouping level:\n$p")
+    assert(deep(p).exists(_.nodeName.contains("Expand")),
+      s"q7 lost the single-pass Expand cube shape:\n$p")
+  }
+
+  test("c7 shard assignment windows per size bucket, never one partition") {
+    val p = finalPlan(graft.ops.Pack.balancedShards(
+      Tables.load(spark, sf, "documents").select("doc_id", "n_chars"),
+      "doc_id", "n_chars", nShards = 8, bucketWidth = 50))
+    val ws = windows(p)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"shards regressed to a global (un-partitioned) window:\n$p")
+  }
+
+  test("p14 json extraction stays inside the scan projection stage") {
+    val p = q("p14_json_extract")
+    assert(shuffles(p).size <= 1 && windows(p).isEmpty,
+      s"from_json must fuse into the scan + one aggregate:\n$p")
+  }
 }

@@ -236,8 +236,20 @@ object Similarity {
     * convergence flag. */
   def kmeansFit(emb: DataFrame, id: String, vec: String, k: Int,
                 iters: Int = 5): (Array[Array[Double]], Seq[Double]) = {
-    import graft.functions.VectorExpressions.nearestCells
     require(k > 0 && iters > 0, "kmeansFit: k and iters must be positive")
+    // One materialization feeds init + Σ‖x‖² + every Lloyd iteration —
+    // at 100 TB this is the difference between iters+2 scans of the
+    // source and one (MEMORY_AND_DISK spills rather than re-reads).
+    val proj = emb.select(col(id), col(vec))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      kmeansFitOn(proj, id, vec, k, iters)
+    } finally { proj.unpersist(blocking = false); () }
+  }
+
+  private def kmeansFitOn(emb: DataFrame, id: String, vec: String, k: Int,
+                          iters: Int): (Array[Array[Double]], Seq[Double]) = {
+    import graft.functions.VectorExpressions.nearestCells
     val init = emb
       .select(col(id).as("__id"), col(vec).as("__v"))
       .orderBy(xxhash64(col("__id")), col("__id")).limit(k)
@@ -245,10 +257,10 @@ object Similarity {
     require(init.nonEmpty, "kmeansFit: empty embedding table")
     var centroids: Array[Array[Double]] = init.distinct
     val dim = centroids.head.length
-    // Σ‖x‖²: one scan, reused by every iteration's WCSS.
-    val sumSq = emb.select(
-      sum(graft.functions.VectorExpressions.vecDot(col(vec), col(vec))).as("s"))
-      .collect()(0).getDouble(0)
+    // Σ‖x‖² (constant across iterations, needed for the WCSS trace) rides
+    // the FIRST iteration's aggregate as a per-(cell,pos) Σx² column —
+    // no separate scan.
+    var sumSq = 0.0
     val trace = Seq.newBuilder[Double]
     var it = 0
     while (it < iters) {
@@ -256,8 +268,10 @@ object Similarity {
           element_at(nearestCells(col(vec), centroids, 1), 1).as("cell"),
           posexplode(col(vec).cast("array<double>")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"),
+          sum(col("x") * col("x")).as("s2"))
         .collect()
+      if (it == 0) sumSq = perCell.map(_.getDouble(4)).sum
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Long](centroids.length)
       perCell.foreach { r =>

@@ -1165,6 +1165,23 @@ object SparkEntry {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     }),
 
+    // C8 quality-weighted sampling without replacement (Efraimidis–
+    // Spirakis): deterministic content-addressed draw, rank by
+    // -ln(u)/weight, global top-k via per-partition heaps. Weight here is
+    // document length — "sample ∝ size" (any positive score works).
+    "c8_weighted_sample" -> ((s, dir) => {
+      TextAnalysis.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        key = "doc_id", weightCol = "n_chars", k = 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // T13 char-level Shannon entropy (gibberish/encoding-noise signal):
+    // explode → distinct-(id,char) aggregate → per-id entropy.
+    "t13_entropy" -> ((s, dir) => {
+      TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // E9 distributed k-means convergence gate: full-table Lloyd's (k·dim-
     // group partial aggregation per iteration), WCSS trace must be
     // non-increasing (Lloyd's invariant) and every cell populated.
@@ -2116,6 +2133,27 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1""".stripMargin,
+
+    // c8: the oracle re-derives the same content-addressed ES keys (9dp
+    // round-before-rank, doc_id tiebreak) and takes the same top-100.
+    "c8_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    round(-ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |        AS BIGINT) + 1) / 281474976710656.0) / n_chars, 9) AS es_key
+        |  FROM documents
+        |  WHERE n_chars > 0)
+        |SELECT doc_id, lang, n_chars FROM s
+        |ORDER BY es_key, doc_id LIMIT 100""".stripMargin,
+
+    "t13_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch WHERE len(ch) > 0 GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_counted,
+        |  round(ln(CAST(sum(c) AS DOUBLE))
+        |    - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 6) AS entropy
+        |FROM c GROUP BY 1""".stripMargin,
 
     // e9: constant gate — k-means must converge (Lloyd's WCSS invariant)
     // with every one of the 10 cells populated (verified at sf0.01/sf0.1).

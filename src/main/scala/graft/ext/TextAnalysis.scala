@@ -228,6 +228,59 @@ object TextAnalysis {
       .drop("_quota")
   }
 
+  /** Quality-weighted sampling WITHOUT replacement (Efraimidis–Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 2006): every row
+    * draws a deterministic pseudo-uniform u ∈ (0,1] from the 48-bit
+    * md5(salt:key) integer and ranks by `-ln(u) / weight`; the k smallest
+    * keys are an exact weighted sample without replacement. The draw is
+    * content-addressed, so the same rows are chosen across runs,
+    * partitionings, and engines (same discipline as [[sampleKPerStratum]]).
+    *
+    * Shape: a pure scan projection + global top-k
+    * (`TakeOrderedAndProject` — per-partition heaps, never a full sort),
+    * so it scales like a filter. The ES key rounds to 9dp BEFORE ranking,
+    * row key as tiebreak — cross-engine 1-ulp ln() differences collapse
+    * into exact ties instead of rank flips. Non-positive weights are
+    * excluded (they would otherwise always win). */
+  def weightedSample(df: org.apache.spark.sql.DataFrame, key: String,
+                     weightCol: String, k: Int,
+                     salt: String = "ws"): org.apache.spark.sql.DataFrame = {
+    val u = (conv(substring(
+        md5(concat(lit(salt), lit(":"), col(key).cast("string"))), 1, 12),
+      16, 10).cast("double") + 1) / lit(281474976710656.0) // / 2^48 → (0, 1]
+    val esKey = round(-log(u) / col(weightCol).cast("double"), 9)
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", esKey)
+      .orderBy(col("es_key"), col(key))
+      .limit(k)
+  }
+
+  /** Character-level Shannon entropy per document (nats, 6dp) — the
+    * cheap gibberish/encoding-noise detector: natural text sits in a
+    * narrow entropy band, base64/binary spills above it, repeated-char
+    * junk falls below.
+    *
+    * Computed as `H = ln(n) − (Σ c·ln c)/n` over per-character counts, so
+    * the plan is explode → ONE map-side-combining aggregate on (id, char)
+    * (the exchange carries distinct pairs, not characters) → one per-id
+    * aggregate. Both engines sum the same rounded ln() terms. */
+  def charEntropy(docs: org.apache.spark.sql.DataFrame, id: String,
+                  text: String): org.apache.spark.sql.DataFrame = {
+    // filter guards the Java split artifact (a trailing "" element) so
+    // both engines count exactly the text's characters
+    val chars = docs.select(col(id), explode(split(col(text), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+    val counts = chars.groupBy(col(id), col("ch")).agg(count(lit(1)).as("_c"))
+    counts.groupBy(col(id))
+      .agg(
+        sum(col("_c")).as("n_chars_counted"),
+        round(
+          log(sum(col("_c")).cast("double")) -
+            sum(col("_c").cast("double") * log(col("_c").cast("double")))
+              / sum(col("_c")).cast("double"),
+          6).as("entropy"))
+  }
+
   /** Per-document unigram log-probability (the cheap, deterministic
     * stand-in for LM-perplexity quality filtering): score(doc) = mean over
     * its whitespace tokens of ln(corpus_count(token) / corpus_tokens).

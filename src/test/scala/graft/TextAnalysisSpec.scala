@@ -128,7 +128,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3L) == "plain ascii")
     // SQL surface and DataFrame agree
     GraftSession.registerAll(spark)
-    val viaSql = spark.sql(s"SELECT nfc_normalize('Café')").head().getString(0)
+    val viaSql = spark.sql(s"SELECT nfc_normalize('Café')").head().getString(0)
     assert(viaSql == "Café")
+  }
+
+  test("weightedSample: exact k, deterministic, heavier rows oversampled") {
+    import graft.ext.TextAnalysis
+    // two weight classes: 100 ids at weight 1, 100 ids at weight 9
+    val df = ((1L to 100L).map((_, 1L)) ++ (101L to 200L).map((_, 9L)))
+      .toDF("id", "w")
+    val s1 = TextAnalysis.weightedSample(df, "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(s1.size == 50)
+    val s2 = TextAnalysis.weightedSample(df.repartition(7), "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2, "draw must be partition-independent")
+    // E-S property: the heavy class (90% of the mass) dominates the sample
+    val heavy = s1.count(_ > 100L)
+    assert(heavy > 30, s"heavy-weight rows undersampled: $heavy/50")
+    // zero/negative weights are excluded, never auto-selected
+    val withZero = df.union(Seq((999L, 0L)).toDF("id", "w"))
+    val s3 = TextAnalysis.weightedSample(withZero, "id", "w", k = 201)
+      .select("id").as[Long].collect().toSet
+    assert(!s3.contains(999L) && s3.size == 200)
+  }
+
+  test("charEntropy: single-char doc is zero, uniform alphabet hits ln(n)") {
+    import graft.ext.TextAnalysis
+    val docs = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aabb")).toDF("id", "txt")
+    val out = TextAnalysis.charEntropy(docs, "id", "txt")
+      .orderBy("id").collect()
+    assert(out(0).getDouble(2) == 0.0)
+    assert(math.abs(out(1).getDouble(2) - math.log(4)) < 1e-6)
+    assert(math.abs(out(2).getDouble(2) - math.log(2)) < 1e-6)
+    assert(out.forall(_.getLong(1) == 4L))
   }
 }

@@ -1187,7 +1187,7 @@ object SparkEntry {
     // non-increasing (Lloyd's invariant) and every cell populated.
     "e9_kmeans" -> ((s, dir) => {
       Similarity.kmeansGate(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 10, iters = 5)
+        k = 10, iters = 5, cache = false)
     }),
 
     // E10 SemDeDup gate: cluster-then-pairwise semantic dedup must (a)
@@ -1196,8 +1196,8 @@ object SparkEntry {
     // — degenerate clusterings fail one flag or the other.
     "e10_semantic_dedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val (centroids, _) =
-        Similarity.kmeansFit(emb, "vec_id", "embedding", k = 10, iters = 5)
+      val (centroids, _) = Similarity.kmeansFit(
+        emb, "vec_id", "embedding", k = 10, iters = 5, cache = false)
       val cand = Similarity.semanticDedupCandidates(
         emb, "vec_id", "embedding", centroids, tau = 0.4)
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))

@@ -235,16 +235,23 @@ object Similarity {
     * non-increasing, which [[kmeansGate]] turns into a driver-checkable
     * convergence flag. */
   def kmeansFit(emb: DataFrame, id: String, vec: String, k: Int,
-                iters: Int = 5): (Array[Array[Double]], Seq[Double]) = {
+                iters: Int = 5, cache: Boolean = true)
+      : (Array[Array[Double]], Seq[Double]) = {
     require(k > 0 && iters > 0, "kmeansFit: k and iters must be positive")
-    // One materialization feeds init + Σ‖x‖² + every Lloyd iteration —
-    // at 100 TB this is the difference between iters+2 scans of the
-    // source and one (MEMORY_AND_DISK spills rather than re-reads).
-    val proj = emb.select(col(id), col(vec))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      kmeansFitOn(proj, id, vec, k, iters)
-    } finally { proj.unpersist(blocking = false); () }
+    // cache=true: one materialization feeds init + every Lloyd iteration —
+    // at 100 TB this is the difference between iters+1 scans of the source
+    // and one (MEMORY_AND_DISK spills rather than re-reads). For small
+    // inputs where a scan is cheaper than block-manager churn (the gate
+    // queries), callers pass cache=false and re-scan. Unpersist is
+    // BLOCKING so a bench/driver loop never accretes an async-cleanup
+    // backlog across queries.
+    if (!cache) kmeansFitOn(emb, id, vec, k, iters)
+    else {
+      val proj = emb.select(col(id), col(vec))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try kmeansFitOn(proj, id, vec, k, iters)
+      finally { proj.unpersist(blocking = true); () }
+    }
   }
 
   private def kmeansFitOn(emb: DataFrame, id: String, vec: String, k: Int,
@@ -311,8 +318,8 @@ object Similarity {
     * iteration's. `cells_used` counts non-empty final cells — a
     * degenerate fit (all vectors in one cell) shows up here. */
   def kmeansGate(emb: DataFrame, id: String, vec: String, k: Int,
-                 iters: Int = 5): DataFrame = {
-    val (centroids, trace) = kmeansFit(emb, id, vec, k, iters)
+                 iters: Int = 5, cache: Boolean = true): DataFrame = {
+    val (centroids, trace) = kmeansFit(emb, id, vec, k, iters, cache)
     val monotone = trace.sliding(2).forall {
       case Seq(a, b) => b <= a * (1 + 1e-9) + 1e-9
       case _ => true

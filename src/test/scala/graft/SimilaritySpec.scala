@@ -53,10 +53,17 @@ class SimilaritySpec extends SparkSpec {
     val assigned = Similarity.kmeansAssign(emb, "vec_id", "embedding", c1)
     assert(assigned.count() == emb.count())
     assert(assigned.filter(col("cell") < 0 || col("cell") >= 8).isEmpty)
-    // same data, same params → bit-identical centroids (seeded init,
-    // deterministic per-cell means up to the fixed aggregation plan)
-    val (c2, _) = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 4)
+    // same data, same params → same centroids whether or not the
+    // projection is cached across iterations (seeded init, deterministic
+    // per-cell means up to fp aggregation order)
+    val (c2, _) = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 4,
+      cache = false)
     assert(c1.length == c2.length)
+    c1.zip(c2).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 1e-9 * (math.abs(x) + 1), s"centroids diverged: $x vs $y")
+      }
+    }
   }
 
   test("semantic dedup: candidates are a subset of exact pairs at the same tau") {

@@ -169,8 +169,10 @@ object Bench {
       val es =
         if (errMax < 0) s""""errors_omitted":${errors.size},"""
         else if (errors.isEmpty) ""
+        // error keys go through nm() too: in the abbrev tier they must
+        // join against the queries map's abbreviated keys
         else "\"errors\":" + errors.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"${jstr(k)}:${jstr(trunc(v, errMax))}" }
+          .map { case (k, v) => s"${jstr(nm(k))}:${jstr(trunc(v, errMax))}" }
 
           .mkString("{", ",", "},")
       val total = num(best.values.sum, 2)

@@ -19,7 +19,11 @@ object Verify {
     // Dev loop only (driver sets no env): SPARK_GRAFT_ONLY=q1,e9 restricts
     // the dump + oracle json to the named queries so compare.py sees a
     // consistent subset.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // blank/whitespace env value = unset (an exported-but-empty var must
+    // not silently verify zero queries)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     def keep(name: String) = only.forall(_.contains(name))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name)) {

@@ -166,7 +166,8 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty embedding table")
     val dim = sample.head.length
-    var centroids = sample.distinct.take(nCells)
+    // value-level dedup — Array.distinct compares references
+    var centroids = sample.map(_.toSeq).distinct.map(_.toArray).take(nCells)
     var it = 0
     while (it < iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
@@ -262,7 +263,11 @@ object Similarity {
       .orderBy(xxhash64(col("__id")), col("__id")).limit(k)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
     require(init.nonEmpty, "kmeansFit: empty embedding table")
-    var centroids: Array[Array[Double]] = init.distinct
+    // value-level dedup (Array.distinct compares references): duplicate
+    // vectors among the seeds would otherwise start identical centroids
+    // whose twin cell stays empty forever
+    var centroids: Array[Array[Double]] =
+      init.map(_.toSeq).distinct.map(_.toArray)
     val dim = centroids.head.length
     // Σ‖x‖² (constant across iterations, needed for the WCSS trace) rides
     // the FIRST iteration's aggregate as a per-(cell,pos) Σx² column —

@@ -37,8 +37,17 @@ object BatchStore {
       bucket: String): (String, String) = {
     val transformed = new Path(s"$bucket/transformed/$batch/$timestamp")
     val raw = new Path(s"$bucket/raw/$batch/$timestamp")
-    copyMatching(conf, new Path(outputFolder, batch), transformed, ".tsv")
-    copyMatching(conf, new Path(dataFolder, batch), raw, ".xlsx")
+    val tsvSrc = new Path(outputFolder, batch)
+    val xlsxSrc = new Path(dataFolder, batch)
+    // validate BOTH sources before any copy: failing between the two
+    // copyMatching calls would leave a half-published timestamp prefix
+    // that a retry then duplicates under a new timestamp
+    for (src <- Seq(tsvSrc, xlsxSrc)) {
+      require(src.getFileSystem(conf).exists(src),
+        s"uploadBatch: source directory $src does not exist — nothing to publish")
+    }
+    copyMatching(conf, tsvSrc, transformed, ".tsv")
+    copyMatching(conf, xlsxSrc, raw, ".xlsx")
     (transformed.toString, raw.toString)
   }
 

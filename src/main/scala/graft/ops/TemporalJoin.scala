@@ -51,7 +51,10 @@ object TemporalJoin {
       col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_ask"),
       lrow.as("_r"), lit(null).cast(qrowType).as("_q"),
       lit(null).cast(tbType).as("_tb"))
-    val quotes = right.select(
+    // a NULL right time can never satisfy rightTime <= leftTime, but it
+    // would sort nulls-FIRST in the ascending window and become visible
+    // to every ask — drop such quotes up front
+    val quotes = right.filter(col(rightTime).isNotNull).select(
       col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_ask"),
       lit(null).cast(lrowType).as("_r"), qrow.as("_q"),
       col(rightTieBreak).as("_tb"))

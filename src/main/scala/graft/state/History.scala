@@ -89,11 +89,15 @@ object History {
     val picked = updates
       .groupBy(col(updKey).as(key))
       .agg(max(struct(orderCols.map(col) :+ col(updValue).as("_v"): _*)).as("_m"))
-      .select(col(key), col("_m._v").as("_new"))
+      .select(col(key), col("_m._v").as("_new"), lit(1L).as("_hit"))
     base.join(picked, Seq(key), "left")
       .withColumn("current_value", coalesce(col("_new"), col(valueCol)))
-      .withColumn("updated", when(col("_new").isNotNull, lit(1L)).otherwise(lit(0L)))
-      .drop("_new")
+      // `updated` marks that an update row EXISTED for the key (join
+      // match) — not that its value was non-null — matching the h4
+      // oracle's `r.user_id IS NULL` test; a null winning value still
+      // reports updated=1 with current_value falling back to the base
+      .withColumn("updated", coalesce(col("_hit"), lit(0L)))
+      .drop("_new", "_hit")
   }
 
   /** H5 — SCD type-2 validity intervals: turn a change-event stream into

@@ -66,6 +66,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans: duplicate seed vectors dedup by VALUE, never twin centroids") {
+    import spark.implicits._
+    // 40 rows but only 2 distinct vectors — any k seeds contain duplicates
+    val emb = (1L to 40L)
+      .map(i => (i, Array.fill(4)(if (i % 2 == 0) 1.0f else -1.0f).toSeq))
+      .toDF("vec_id", "embedding")
+    val (cents, _) = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 5, iters = 2)
+    assert(cents.length <= 2, s"reference-equality distinct kept twins: ${cents.length}")
+    assert(cents.map(_.toSeq).distinct.length == cents.length)
+  }
+
   test("semantic dedup: candidates are a subset of exact pairs at the same tau") {
     val emb = Tables.load(spark, sf, "embeddings")
     val (cents, _) = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 3)

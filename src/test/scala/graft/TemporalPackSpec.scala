@@ -131,6 +131,31 @@ class TemporalPackSpec extends SparkSpec {
 
   // ---------------------------------------------------- History.upsertLatest
 
+  test("asOf ignores quotes with a NULL time (they can never satisfy <=)") {
+    val asks = Seq((1L, 10L, "ask1")).toDF("k", "t", "tag")
+    val quotes = Seq(
+      (1L, Option.empty[Long], 99.0, 1L), // null-time quote: invisible
+      (1L, Some(20L), 50.0, 2L))          // future quote: also no match
+      .toDF("k", "t", "px", "qid")
+    val out = TemporalJoin.asOf(asks, quotes, "k", "k", "t", "t",
+      rightPayload = Seq("px"), rightTieBreak = "qid").collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("px")),
+      s"null-time quote leaked into the as-of match: ${out.toSeq}")
+  }
+
+  test("upsertLatest: updated flags the key HAVING an update, even a null-valued one") {
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val updates = Seq((1L, Option.empty[Double], 5L)).toDF("uk", "uv", "ts")
+    val out = History.upsertLatest(base, "k", "v", updates, "uk", "uv",
+        orderCols = Seq("ts"))
+      .select("k", "current_value", "updated")
+      .as[(Long, Double, Long)].collect()
+      .map { case (k, v, u) => k -> ((v, u)) }.toMap
+    // key 1 had an update (value null): flag 1, value falls back to base
+    assert(out(1L) == (10.0, 1L))
+    assert(out(2L) == (20.0, 0L))
+  }
+
   test("upsertLatest takes max (ts, tiebreak) update, falls back to base value") {
     val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
     val updates = Seq(

@@ -1165,6 +1165,15 @@ object SparkEntry {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     }),
 
+    // W11 quantile-sketch accuracy gate: GK p50/p90 per event type must
+    // land inside the exact ±1%-rank value interval (the sketch's own
+    // guarantee is 100× tighter) — w9's constant-gate pattern for the
+    // percentile sketch.
+    "w11_approx_pctl" -> ((s, dir) => {
+      graft.ext.Approx.quantileGate(
+        t(s, dir, "events"), grp = "event_type", c = "value")
+    }),
+
     // C8 quality-weighted sampling without replacement (Efraimidis–
     // Spirakis): deterministic content-addressed draw, rank by
     // -ln(u)/weight, global top-k via per-partition heaps. Weight here is
@@ -2133,6 +2142,10 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1""".stripMargin,
+
+    "w11_approx_pctl" ->
+      """SELECT event_type, count(*) AS n_rows, CAST(1 AS BIGINT) AS pctl_ok
+        |FROM events GROUP BY 1""".stripMargin,
 
     // c8: the oracle re-derives the same content-addressed ES keys (9dp
     // round-before-rank, doc_id tiebreak) and takes the same top-100.

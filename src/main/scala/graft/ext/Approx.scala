@@ -43,6 +43,35 @@ object Approx {
           <= col("n_exact") * lit(maxErrPct), lit(1L)).otherwise(lit(0L))
           .as("approx_ok"))
 
+  /** Quantile-sketch accuracy gate: per group, each GK-sketch percentile
+    * must land inside the EXACT value interval
+    * `[percentile(p − rankTol), percentile(p + rankTol)]` — the
+    * value-space image of its rank-error guarantee (1/accuracy, here
+    * 100× tighter than `rankTol`), so the flag is provably 1 for a
+    * correct sketch on any distribution, and flips on a real sketch
+    * regression. Emits `(grp, n_rows, pctl_ok)`; the oracle recomputes
+    * `n_rows` and expects the constant flag. */
+  def quantileGate(df: DataFrame, grp: String, c: String,
+                   probs: Seq[Double] = Seq(0.5, 0.9),
+                   accuracy: Int = 10000,
+                   rankTol: Double = 0.01): DataFrame = {
+    val v = graft.ColNames.q(c)
+    val aggs = probs.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        percentile_approx(v, lit(p), lit(accuracy)).as(s"__a$i"),
+        expr(s"percentile(${c}, ${p - rankTol})").as(s"__lo$i"),
+        expr(s"percentile(${c}, ${p + rankTol})").as(s"__hi$i"))
+    }
+    val ok = probs.indices
+      .map(i => col(s"__a$i").between(col(s"__lo$i"), col(s"__hi$i")))
+      .reduce(_ && _)
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    df.groupBy(graft.ColNames.q(grp))
+      .agg(allAggs.head, allAggs.tail: _*)
+      .select(graft.ColNames.q(grp), col("n_rows"),
+        when(ok, lit(1L)).otherwise(lit(0L)).as("pctl_ok"))
+  }
+
   /** Per-key cardinality profile of a frame: one row per column with
     * approximate distinct count and null count — the scan-once corpus
     * profile (every sketch rides the same pass). */

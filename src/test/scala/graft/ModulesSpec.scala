@@ -94,6 +94,15 @@ class ModulesSpec extends SparkSpec {
     assert(out.forall(_.getLong(1) == 731L))
   }
 
+  test("quantileGate: GK sketch sits inside the exact rank-tolerance interval") {
+    val df = (1 to 20000).map(i => (s"g${i % 2}", (i * 7919 % 10007).toDouble))
+      .toDF("g", "v")
+    val out = graft.ext.Approx.quantileGate(df, "g", "v").orderBy("g").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getLong(2) == 1L), out.mkString(","))
+    assert(out.forall(_.getLong(1) == 10000L))
+  }
+
   test("SeenKeys: cross-batch dedup state filters, absorbs, and survives reload") {
     val dir = java.nio.file.Files.createTempDirectory("seen_keys").toString
     val b1 = Seq(("f1", "a"), ("f2", "b"), ("f1", "a-dup")).toDF("fp", "v")

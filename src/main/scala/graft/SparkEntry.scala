@@ -96,6 +96,7 @@ object SparkEntry {
 
   private lazy val jsonlScratchDir: String = scratchDir("graft_jsonl")
   private lazy val tsvScratchDir: String = scratchDir("graft_tsv")
+  private lazy val bucketScratchDir: String = scratchDir("graft_bucketed")
 
   private def ts(x: String): Column = to_timestamp(lit(x))
 
@@ -1165,6 +1166,28 @@ object SparkEntry {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     }),
 
+    // S6 bucketed co-located join: pay the shuffle ONCE at write (both
+    // sides bucketed+sorted on the join key, same bucket count), then the
+    // fact-fact join plans with zero exchanges on either side — the
+    // repeated-join lever at 100 TB. The merge hint keeps the demo honest
+    // (no broadcast fallback); PlanShapeSpec pins the shuffle-free join.
+    "s6_bucketed_join" -> ((s, dir) => {
+      graft.ops.Scale.writeBucketed(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+        "graft_s6_orders", "o_custkey", buckets = 8,
+        path = Some(s"$bucketScratchDir/orders"))
+      graft.ops.Scale.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "graft_s6_customer", "c_custkey", buckets = 8,
+        path = Some(s"$bucketScratchDir/customer"))
+      s.table("graft_s6_orders").hint("merge")
+        .join(s.table("graft_s6_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
     // W11 quantile-sketch accuracy gate: GK p50/p90 per event type must
     // land inside the exact ±1%-rank value interval (the sketch's own
     // guarantee is 100× tighter) — w9's constant-gate pattern for the
@@ -2146,6 +2169,12 @@ object SparkEntry {
     "w11_approx_pctl" ->
       """SELECT event_type, count(*) AS n_rows, CAST(1 AS BIGINT) AS pctl_ok
         |FROM events GROUP BY 1""".stripMargin,
+
+    "s6_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
 
     // c8: the oracle re-derives the same content-addressed ES keys (9dp
     // round-before-rank, doc_id tiebreak) and takes the same top-100.

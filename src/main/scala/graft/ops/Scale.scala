@@ -60,12 +60,16 @@ object Scale {
   /** Write `df` as a bucketed+sorted table: later equi-joins between
     * tables bucketed the same way on the same key are planned WITHOUT a
     * shuffle (and without a sort, since buckets are pre-sorted) — the
-    * pay-once-join-many pattern for repeated fact-fact joins. */
+    * pay-once-join-many pattern for repeated fact-fact joins.
+    * `path` makes it an EXTERNAL table at that location (catalog entries
+    * are session-scoped; the data lands where the caller owns storage). */
   def writeBucketed(
-      df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
+      df: DataFrame, table: String, key: String, buckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

@@ -192,6 +192,15 @@ class PlanShapeSpec extends SparkSpec {
       s"shards regressed to a global (un-partitioned) window:\n$p")
   }
 
+  test("s6 bucketed join costs no exchange on either side (only the final agg shuffles)") {
+    val p = q("s6_bucketed_join")
+    assert(deep(p).exists(_.nodeName.contains("SortMergeJoin")),
+      s"s6 lost its sort-merge bucketed join:\n$p")
+    // one shuffle for the segment aggregation; the JOIN itself is
+    // co-located by bucket layout
+    assert(shuffles(p).size <= 1, s"bucketed join regrew a shuffle:\n$p")
+  }
+
   test("p14 json extraction stays inside the scan projection stage") {
     val p = q("p14_json_extract")
     assert(shuffles(p).size <= 1 && windows(p).isEmpty,

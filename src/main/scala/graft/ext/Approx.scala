@@ -47,29 +47,43 @@ object Approx {
     * must land inside the EXACT value interval
     * `[percentile(p − rankTol), percentile(p + rankTol)]` — the
     * value-space image of its rank-error guarantee (1/accuracy, here
-    * 100× tighter than `rankTol`), so the flag is provably 1 for a
-    * correct sketch on any distribution, and flips on a real sketch
-    * regression. Emits `(grp, n_rows, pctl_ok)`; the oracle recomputes
-    * `n_rows` and expects the constant flag. */
+    * 100× tighter than `rankTol`). Emits `(grp, n_rows, pctl_ok)`; the
+    * oracle recomputes `n_rows` and expects the constant flag.
+    *
+    * The comparison is only meaningful when the ±rankTol band spans at
+    * least a couple of elements — the sketch returns a DISCRETE data
+    * value while the exact bounds interpolate, so for groups with fewer
+    * than `2/rankTol` non-null values (or none at all) the flag passes
+    * vacuously rather than failing on interpolation wobble. All exact
+    * bounds ride ONE percentile aggregate (a single per-group buffer,
+    * not two per prob). */
   def quantileGate(df: DataFrame, grp: String, c: String,
                    probs: Seq[Double] = Seq(0.5, 0.9),
                    accuracy: Int = 10000,
                    rankTol: Double = 0.01): DataFrame = {
+    require(probs.nonEmpty, "quantileGate: probs must be non-empty")
+    require(rankTol > 0, "quantileGate: rankTol must be positive")
+    require(probs.forall(p => p - rankTol >= 0 && p + rankTol <= 1),
+      s"quantileGate: every prob must sit in [$rankTol, ${1 - rankTol}] " +
+        "so the rank-tolerance band stays inside [0, 1]")
     val v = graft.ColNames.q(c)
-    val aggs = probs.zipWithIndex.flatMap { case (p, i) =>
-      Seq(
-        percentile_approx(v, lit(p), lit(accuracy)).as(s"__a$i"),
-        expr(s"percentile(${c}, ${p - rankTol})").as(s"__lo$i"),
-        expr(s"percentile(${c}, ${p + rankTol})").as(s"__hi$i"))
-    }
-    val ok = probs.indices
-      .map(i => col(s"__a$i").between(col(s"__lo$i"), col(s"__hi$i")))
-      .reduce(_ && _)
+    val boundProbs = probs.flatMap(p => Seq(p - rankTol, p + rankTol))
+    val aggs = probs.zipWithIndex.map { case (p, i) =>
+      percentile_approx(v, lit(p), lit(accuracy)).as(s"__a$i")
+    } ++ Seq(
+      percentile(v, array(boundProbs.map(lit): _*)).as("__bounds"),
+      count(v).as("__nv"))
+    val inBand = probs.indices.map { i =>
+      col(s"__a$i").between(
+        element_at(col("__bounds"), 2 * i + 1),
+        element_at(col("__bounds"), 2 * i + 2))
+    }.reduce(_ && _)
+    val vacuous = col("__nv") < lit(math.ceil(2 / rankTol).toLong)
     val allAggs = count(lit(1)).as("n_rows") +: aggs
     df.groupBy(graft.ColNames.q(grp))
       .agg(allAggs.head, allAggs.tail: _*)
       .select(graft.ColNames.q(grp), col("n_rows"),
-        when(ok, lit(1L)).otherwise(lit(0L)).as("pctl_ok"))
+        when(vacuous || inBand, lit(1L)).otherwise(lit(0L)).as("pctl_ok"))
   }
 
   /** Per-key cardinality profile of a frame: one row per column with

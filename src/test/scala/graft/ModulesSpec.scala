@@ -103,6 +103,22 @@ class ModulesSpec extends SparkSpec {
     assert(out.forall(_.getLong(1) == 10000L))
   }
 
+  test("quantileGate: small and all-null groups pass vacuously, tail probs rejected") {
+    // 4 distinct values: interpolated bounds sit BETWEEN elements — the
+    // gate must not fail a perfect sketch on interpolation wobble
+    val small = Seq(("s", Some(1.0)), ("s", Some(2.0)), ("s", Some(3.0)),
+      ("s", Some(4.0)), ("n", Option.empty[Double]), ("n", Option.empty[Double]))
+      .toDF("g", "v")
+    val out = graft.ext.Approx.quantileGate(small, "g", "v")
+      .orderBy("g").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("n", 2L, 1L), ("s", 4L, 1L)))
+    intercept[IllegalArgumentException] {
+      graft.ext.Approx.quantileGate(small, "g", "v", probs = Seq(0.995))
+    }
+    ()
+  }
+
   test("SeenKeys: cross-batch dedup state filters, absorbs, and survives reload") {
     val dir = java.nio.file.Files.createTempDirectory("seen_keys").toString
     val b1 = Seq(("f1", "a"), ("f2", "b"), ("f1", "a-dup")).toDF("fp", "v")

@@ -153,6 +153,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!s3.contains(999L) && s3.size == 200)
   }
 
+  test("charEntropy matches a sequential reference on 30 randomized docs") {
+    val rnd = new scala.util.Random(20260812L)
+    val docs = (1L to 30L).map { i =>
+      val len = rnd.nextInt(200) + 1
+      val alpha = "abcdef 123"
+      (i, Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val expected = docs.map { case (i, s) =>
+      val counts = s.groupBy(identity).map(_._2.length.toDouble)
+      val n = s.length.toDouble
+      val h = math.log(n) - counts.map(c => c * math.log(c)).sum / n
+      i -> (s.length.toLong, math.rint(h * 1e6) / 1e6)
+    }.toMap
+    val got = TextAnalysis.charEntropy(docs.toDF("id", "txt"), "id", "txt")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("weightedSample matches the sequential Efraimidis-Spirakis reference") {
+    val rnd = new scala.util.Random(7L)
+    val rows = (1L to 300L).map(i => (i, rnd.nextInt(50).toLong + 1))
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val expected = rows.map { case (id, w) =>
+      val u = (java.lang.Long.parseLong(md5hex(s"ws:$id").take(12), 16) + 1.0) / 281474976710656.0
+      val key = math.rint(-math.log(u) / w * 1e9) / 1e9
+      (key, id)
+    }.sorted.take(40).map(_._2).toSet
+    val got = TextAnalysis.weightedSample(rows.toDF("id", "w"), "id", "w", k = 40)
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+  }
+
   test("charEntropy: single-char doc is zero, uniform alphabet hits ln(n)") {
     import graft.ext.TextAnalysis
     val docs = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aabb")).toDF("id", "txt")

@@ -48,4 +48,13 @@ class EntrySpec extends SparkSpec {
     }
     assert(flaky.isEmpty, s"nondeterministic queries: $flaky")
   }
+
+  test("query id prefixes are unique (the bench abbrev tier depends on it)") {
+    // at 88+ queries Bench keys the JSON by the segment before the first
+    // '_'; a collision silently disables abbreviation and the render can
+    // overflow the driver's 2000-char stdout window
+    val prefixes = SparkEntry.queries.keySet.toSeq.map(n => n.takeWhile(_ != '_'))
+    val dupes = prefixes.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"colliding query id prefixes: ${dupes.mkString(", ")}")
+  }
 }

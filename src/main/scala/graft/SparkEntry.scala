@@ -1209,9 +1209,15 @@ object SparkEntry {
     }),
 
     // T13 char-level Shannon entropy (gibberish/encoding-noise signal):
-    // explode → distinct-(id,char) aggregate → per-id entropy.
+    // a compiled SCALAR kernel in the scan projection — zero shuffles
+    // (TextAnalysisSpec pins it to the explode+aggregate reference
+    // formulation, TextAnalysis.charEntropy).
     "t13_entropy" -> ((s, dir) => {
-      TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+      t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_counted"),
+          graft.functions.TextExpressions.charEntropy(col("text")).as("entropy"))
     }),
 
     // E9 distributed k-means convergence gate: full-table Lloyd's (k·dim-

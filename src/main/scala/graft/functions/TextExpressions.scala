@@ -54,6 +54,64 @@ object TextExpressions {
 
   def nfcNormalize(c: Column): Column = Shim.column(NfcNormalize(Shim.expression(c)))
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** `char_entropy(string)`: per-CODEPOINT Shannon entropy in nats,
+    * rounded to 6dp — the gibberish/encoding-noise quality signal as a
+    * SCALAR kernel. Entropy of one document depends on nothing but that
+    * document, so it belongs in the scan projection: O(len) per row with
+    * a small local count table, zero shuffles — where the
+    * explode → (id,char) aggregate formulation (the HOF-style reference
+    * [[graft.ext.TextAnalysis.charEntropy]] is pinned against) shuffles
+    * two aggregates just to count inside a row. NULL in → NULL out;
+    * empty string → NULL (no distribution to measure — mirrors the
+    * aggregate form, where an empty doc produces no rows). */
+  case class CharEntropy(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(s"expected string, got ${dt.simpleString}")
+    }
+    override def prettyName: String = "char_entropy"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      if (s.isEmpty) null
+      else {
+        val counts = new java.util.HashMap[Integer, Long]()
+        var i = 0
+        var n = 0L
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          counts.merge(cp, 1L, (a, b) => a + b)
+          n += 1
+          i += Character.charCount(cp)
+        }
+        var clc = 0.0
+        val it = counts.values().iterator()
+        while (it.hasNext) { val c = it.next().toDouble; clc += c * math.log(c) }
+        val h = math.log(n.toDouble) - clc / n
+        // same HALF_UP discipline as Spark's round(col, 6), so the kernel
+        // is bit-equal to the aggregate reference formulation
+        java.math.BigDecimal.valueOf(h)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("entropyExpr", this, classOf[CharEntropy].getName)
+      nullSafeCodeGen(ctx, ev, s => s"""
+        Object r = $self.nullSafeEval($s);
+        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+      """)
+    }
+    override protected def withNewChildInternal(c: Expression): CharEntropy =
+      copy(child = c)
+  }
+
+  def charEntropy(c: Column): Column = Shim.column(CharEntropy(Shim.expression(c)))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Shim.registerFunction(spark, "nfc_normalize", es => NfcNormalize(es(0)))
+    Shim.registerFunction(spark, "char_entropy", es => CharEntropy(es(0)))
+  }
 }

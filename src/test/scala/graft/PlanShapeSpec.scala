@@ -201,6 +201,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).size <= 1, s"bucketed join regrew a shuffle:\n$p")
   }
 
+  test("t13 entropy is a zero-shuffle compiled projection") {
+    val p = q("t13_entropy")
+    assert(shuffles(p).isEmpty && windows(p).isEmpty,
+      s"char_entropy regressed to the explode+aggregate shape:\n$p")
+  }
+
   test("p14 json extraction stays inside the scan projection stage") {
     val p = q("p14_json_extract")
     assert(shuffles(p).size <= 1 && windows(p).isEmpty,

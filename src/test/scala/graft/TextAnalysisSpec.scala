@@ -153,6 +153,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!s3.contains(999L) && s3.size == 200)
   }
 
+  test("char_entropy kernel == aggregate reference == SQL surface") {
+    val rnd = new scala.util.Random(99L)
+    val docs = (1L to 25L).map { i =>
+      (i, Seq.fill(rnd.nextInt(120) + 1)("abcxyz 09"(rnd.nextInt(9))).mkString)
+    }.toDF("id", "txt")
+    val viaAgg = TextAnalysis.charEntropy(docs, "id", "txt")
+      .select("id", "entropy").as[(Long, Double)].collect().toMap
+    val viaKernel = docs.select(col("id"),
+        TextExpressions.charEntropy(col("txt")).as("h"))
+      .as[(Long, Double)].collect().toMap
+    assert(viaKernel == viaAgg)
+    GraftSession.registerAll(spark)
+    docs.createOrReplaceTempView("ce_docs")
+    val viaSql = spark.sql("SELECT id, char_entropy(txt) FROM ce_docs")
+      .as[(Long, Double)].collect().toMap
+    assert(viaSql == viaAgg)
+    // null/empty semantics: NULL in → NULL; "" → NULL (no distribution)
+    val edge = Seq((1L, Option.empty[String]), (2L, Some(""))).toDF("id", "txt")
+      .select(TextExpressions.charEntropy(col("txt"))).collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
   test("charEntropy matches a sequential reference on 30 randomized docs") {
     val rnd = new scala.util.Random(20260812L)
     val docs = (1L to 30L).map { i =>

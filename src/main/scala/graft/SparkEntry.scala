@@ -2120,17 +2120,19 @@ object SparkEntry {
 
     // a9: the canonical-string → md5 → 40-bit-term sum is re-derived
     // independently (DuckDB's '0x'-cast replaces Spark's conv()); both
-    // engines must land on the identical DECIMAL(38,0).
+    // engines must land on the identical value, emitted as VARCHAR so the
+    // comparator never sees engine-specific DECIMAL canonicalization. The
+    // null sentinel is chr(0) on both sides (Spark: the "\u0000" escape).
     "a9_fingerprint" ->
       """SELECT count(*) AS n_rows,
-        |  CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |    coalesce(CAST(l_orderkey  AS VARCHAR), ' '),
-        |    coalesce(CAST(l_partkey   AS VARCHAR), ' '),
-        |    coalesce(CAST(l_suppkey   AS VARCHAR), ' '),
-        |    coalesce(CAST(l_linenumber AS VARCHAR), ' '),
-        |    coalesce(l_returnflag, ' '),
-        |    coalesce(l_linestatus, ' '))), 1, 10)) AS BIGINT))
-        |    AS DECIMAL(38,0)) AS fingerprint
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    coalesce(CAST(l_orderkey  AS VARCHAR), chr(0)),
+        |    coalesce(CAST(l_partkey   AS VARCHAR), chr(0)),
+        |    coalesce(CAST(l_suppkey   AS VARCHAR), chr(0)),
+        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(0)),
+        |    coalesce(l_returnflag, chr(0)),
+        |    coalesce(l_linestatus, chr(0)))), 1, 10)) AS BIGINT))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
         |FROM lineitem""".stripMargin,
 
     "p13_unpivot" ->

@@ -70,20 +70,26 @@ class ModulesSpec extends SparkSpec {
 
   test("tableFingerprint: order-independent, content- and null-layout-sensitive") {
     import graft.validate.Validations.tableFingerprint
-    def fp(rows: Seq[(java.lang.Integer, String)]): (Long, BigDecimal) = {
+    def fp(rows: Seq[(java.lang.Integer, String)]): (Long, String) = {
       val r = tableFingerprint(rows.toDF("k", "s"), Seq("k", "s")).collect()(0)
-      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+      (r.getLong(0), r.getString(1))
     }
     val base = fp(Seq((1, "a"), (2, "b"), (3, null)))
     assert(base == fp(Seq((3, null), (1, "a"), (2, "b"))), "row order must not matter")
     assert(base != fp(Seq((1, "a"), (2, "b"), (3, "c"))), "value change must change the sum")
     // null layout is part of the checksum: which column is null matters
-    def fp2(rows: Seq[(String, String)]): BigDecimal = {
+    def fp2(rows: Seq[(String, String)]): String = {
       val r = tableFingerprint(rows.toDF("x", "y"), Seq("x", "y")).collect()(0)
-      BigDecimal(r.getDecimal(1))
+      r.getString(1)
     }
     assert(fp2(Seq((null, "x"))) != fp2(Seq(("x", null))))
     assert(fp(Seq((1, "a")))._2 != fp(Seq((1, "a"), (1, "a")))._2, "duplicates change the sum")
+    // NULL is distinct from any real value, including the characters a
+    // space-sentinel would collide with — the engine-portable NUL sentinel
+    assert(fp2(Seq((null, "x"))) != fp2(Seq((" ", "x"))), "null must not collide with ' '")
+    assert(fp2(Seq((null, "x"))) != fp2(Seq(("", "x"))), "null must not collide with ''")
+    // decimal-free output: plain digits, compares identically on any engine
+    assert(base._2.matches("[0-9]+"), s"fingerprint must be a digit string: ${base._2}")
   }
 
   test("distinctGate: flag holds for a faithful sketch, output shape is gated") {

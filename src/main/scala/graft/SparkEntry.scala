@@ -175,16 +175,31 @@ object SparkEntry {
       cleaned.select(col("doc_id"), col("source_padded").as("source_clean"), col("blank_col"))
     }),
 
-    // P5 clean-dict enum normalization (lowercased variants → canonical).
+    // P5 clean-dict enum normalization — all reference branches
+    // (cds_transformation_functions.py:31-48): enum member wins over a
+    // conflicting mapping, dirty values map (incl. →null), NULL fills from
+    // nan_value, extra-long values collapse to "Not specified in data".
     "p5_enum_clean" -> ((s, dir) => {
+      val longVal = "x" * 60 // stand-in for a yaml-unkeyable extra-long value
       val mapping: Map[String, Option[String]] = Map(
         "building" -> Some("Building"), "automobile" -> Some("Automobile"),
         "machinery" -> Some("Machinery"), "household" -> Some("Household"),
-        "furniture" -> Some("Furniture"), "n/a" -> None)
+        "furniture" -> Some("Furniture"), "n/a" -> None,
+        // enum precedence probe: 'Building' is IN the enum, so this
+        // mapping must never fire
+        "Building" -> Some("WRONG-enum-should-win"))
       val enumVals = Seq("Building", "Automobile", "Machinery", "Household", "Furniture")
+      val seg = lower(col("c_mktsegment"))
+      val raw = when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+        .when(col("c_custkey") % 11 === 0, lit(longVal))
+        .when(col("c_custkey") % 5 === 0,
+          concat(upper(substring(seg, 1, 1)), substring(seg, 2, 1000)))
+        .otherwise(seg)
       t(s, dir, "customer").select(
         col("c_custkey"),
-        Normalize.cleanValues(lower(col("c_mktsegment")), mapping, enumVals).as("segment_clean"))
+        Normalize.cleanValues(raw, mapping, enumVals,
+          nanValue = Some("Unknown"), extraLongValues = Seq(longVal))
+          .as("segment_clean"))
     }),
 
     // P2 fuzzy matching at data level: best dictionary candidate per
@@ -1317,14 +1332,20 @@ object SparkEntry {
 
     "p5_enum_clean" ->
       """SELECT c_custkey,
-        |  CASE lower(c_mktsegment)
-        |    WHEN 'building' THEN 'Building'
-        |    WHEN 'automobile' THEN 'Automobile'
-        |    WHEN 'machinery' THEN 'Machinery'
-        |    WHEN 'household' THEN 'Household'
-        |    WHEN 'furniture' THEN 'Furniture'
-        |    WHEN 'n/a' THEN NULL
-        |    ELSE lower(c_mktsegment) END AS segment_clean
+        |  CASE
+        |    WHEN c_custkey % 7 = 0 THEN 'Unknown'
+        |    WHEN c_custkey % 11 = 0 THEN 'Not specified in data'
+        |    WHEN c_custkey % 5 = 0
+        |      THEN upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2)
+        |    ELSE CASE lower(c_mktsegment)
+        |      WHEN 'building' THEN 'Building'
+        |      WHEN 'automobile' THEN 'Automobile'
+        |      WHEN 'machinery' THEN 'Machinery'
+        |      WHEN 'household' THEN 'Household'
+        |      WHEN 'furniture' THEN 'Furniture'
+        |      WHEN 'n/a' THEN NULL
+        |      ELSE lower(c_mktsegment) END
+        |  END AS segment_clean
         |FROM customer""".stripMargin,
 
     "p6_int_coerce" ->

@@ -131,13 +131,36 @@ object ModelLoader {
     }
   }
 
-  /** Parse a clean dict (property → dirty value → canonical-or-null). */
-  def parseCleanDict(yaml: String): Map[String, Map[String, Option[String]]] = {
-    val root = new Yaml().load[Any](yaml)
-    asMap(root).map { case (prop, mappings) =>
-      prop -> asMap(mappings).map { case (dirty, clean) =>
-        dirty -> Option(clean).map(_.toString).filter(_.nonEmpty)
+  /** Full clean-dict parse: per-prop dirty→canonical maps, per-prop
+    * `nan_value` null-fills, and the shared `extra_long_values` list
+    * (values too long to be YAML keys — cds_clean_dict_v1.3.yaml:1267,
+    * cds_transformation_functions.py:44-48). */
+  final case class CleanDict(
+      mappings: Map[String, Map[String, Option[String]]],
+      nanValues: Map[String, String],
+      extraLongValues: Seq[String])
+
+  def parseCleanDictFull(yaml: String): CleanDict = {
+    val root = asMap(new Yaml().load[Any](yaml))
+    val extraLong = root.get("extra_long_values").toSeq.flatMap {
+      case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
+      case s => Seq(s.toString)
+    }
+    val props = root - "extra_long_values"
+    val nan = props.flatMap { case (prop, mappings) =>
+      asMap(mappings).collectFirst {
+        case ("nan_value", v) if v != null => prop -> v.toString
       }
     }
+    val clean = props.map { case (prop, mappings) =>
+      prop -> (asMap(mappings) - "nan_value").map { case (dirty, c) =>
+        dirty -> Option(c).map(_.toString).filter(_.nonEmpty)
+      }
+    }
+    CleanDict(clean, nan, extraLong)
   }
+
+  /** Parse a clean dict (property → dirty value → canonical-or-null). */
+  def parseCleanDict(yaml: String): Map[String, Map[String, Option[String]]] =
+    parseCleanDictFull(yaml).mappings
 }

@@ -43,28 +43,57 @@ object Normalize {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** The sink value for clean-dict entries too long to be YAML keys
+    * (cds_transformation_functions.py:46-48). */
+  val NotSpecified = "Not specified in data"
+
+  /** Reference gate on WHETHER a prop is cleaned at all
+    * (cds_transformation_functions.py:29-31): only enum-typed props are
+    * cleaned, and a vocabulary that is a lone placeholder — `['TBD']` or
+    * `['not reported']` — marks a not-yet-modeled free-text prop whose
+    * values must pass through untouched. */
+  def enumCleanable(enumValues: Seq[String]): Boolean =
+    enumValues.nonEmpty &&
+      (enumValues.length > 1 ||
+        (enumValues.head != "TBD" && enumValues.head != "not reported"))
+
   /** P5: clean-dict value normalization for one column.
     *
-    * Semantics (cds_transformation_functions.py:10-55):
+    * Semantics, in reference precedence (cds_transformation_functions.py:31-55):
     *   - value already in the controlled vocabulary (`enum`) → unchanged
     *   - value has a clean-dict mapping → replaced (mapping may be to null,
     *     e.g. morphology codes mis-read as dates, cds_clean_dict_v1.3.yaml:1240-1263)
+    *   - value is NULL and the prop declares a `nan_value` → that fill
+    *     (cds_transformation_functions.py:44-45)
+    *   - value is in the shared `extra_long_values` list (values too long
+    *     to key a YAML map) → [[NotSpecified]]
+    *     (cds_transformation_functions.py:46-48, cds_clean_dict_v1.3.yaml:1267)
     *   - otherwise → passthrough
-    */
+    *
+    * Callers deciding per-prop whether to clean at all should gate on
+    * [[enumCleanable]] (the Pipeline does). Still one narrow codegen'd
+    * projection — each branch is an `isin`/literal-map probe, no shuffle. */
   def cleanValues(
       c: Column,
       mapping: Map[String, Option[String]],
-      enumValues: Seq[String] = Nil): Column = {
+      enumValues: Seq[String] = Nil,
+      nanValue: Option[String] = None,
+      extraLongValues: Seq[String] = Nil): Column = {
     val toNull = mapping.collect { case (k, None) => k }.toSeq
     val live = mapping.collect { case (k, Some(v)) => Seq(lit(k), lit(v)) }.flatten.toSeq
-    val base =
-      if (live.isEmpty) c
-      else coalesce(element_at(map(live: _*), c), c)
-    val withNulls =
-      if (toNull.isEmpty) base
-      else when(c.isin(toNull: _*), lit(null).cast(StringType)).otherwise(base)
-    if (enumValues.isEmpty) withNulls
-    else when(c.isin(enumValues: _*), c).otherwise(withNulls)
+    // compose lowest-precedence-first, each rule wrapping the previous
+    var expr: Column = c
+    if (extraLongValues.nonEmpty)
+      expr = when(c.isin(extraLongValues: _*), lit(NotSpecified)).otherwise(expr)
+    nanValue.foreach(v => expr = when(c.isNull, lit(v)).otherwise(expr))
+    if (live.nonEmpty)
+      // null c → null lookup → falls through to the wrapped rules
+      expr = coalesce(element_at(map(live: _*), c), expr)
+    if (toNull.nonEmpty)
+      expr = when(c.isin(toNull: _*), lit(null).cast(StringType)).otherwise(expr)
+    if (enumValues.nonEmpty)
+      expr = when(c.isin(enumValues: _*), c).otherwise(expr)
+    expr
   }
 
   /** P6: lossless integer coercion on a string column.

@@ -44,6 +44,8 @@ object Pipeline {
       combineById: Boolean = false,                  // A2
       cleanDict: Map[String, Map[String, Option[String]]] = Map.empty, // P5
       enums: Map[String, Seq[String]] = Map.empty,   // P5 vocabularies
+      nanValues: Map[String, String] = Map.empty,    // P5 null fills
+      extraLongValues: Seq[String] = Nil,            // P5 shared too-long list
       intProps: Seq[String] = Nil,                   // P6
       uiRequired: Seq[String] = Nil,                 // V3
       ssnScanProp: Option[String] = None)            // V4
@@ -70,7 +72,8 @@ object Pipeline {
     import graft.model.ModelLoader
     val model = ModelLoader.parseModel(modelYaml, propsYaml)
     val rawDict = ModelLoader.parseRawDict(rawDictYaml)
-    val cleanDict = ModelLoader.parseCleanDict(cleanDictYaml)
+    val cleanFull = ModelLoader.parseCleanDictFull(cleanDictYaml)
+    val cleanDict = cleanFull.mappings
     val cfgRoot = new org.yaml.snakeyaml.Yaml().load[Any](configYaml)
     import scala.jdk.CollectionConverters._
     def cfgMap(key: String): Map[String, Any] = cfgRoot match {
@@ -121,6 +124,8 @@ object Pipeline {
         enums = model.propDefs.collect {
           case (p, d) if props(p) && d.enum.nonEmpty => p -> d.enum
         },
+        nanValues = cleanFull.nanValues.filter { case (p, _) => props(p) },
+        extraLongValues = cleanFull.extraLongValues,
         intProps = n.props.filter(p =>
           model.propDefs.get(p).exists(_.spark ==
             org.apache.spark.sql.types.LongType)),
@@ -206,12 +211,19 @@ object Pipeline {
     }
 
     // ---- P5/P6 value normalization ----
+    // Whether a prop is cleaned AT ALL is decided from the model props, as
+    // the reference does (cds_transformation_functions.py:29-31): only
+    // enum-typed props, and a lone-'TBD'/'not reported' vocabulary exempts
+    // the prop entirely (free-text placeholder).
     nodes = nodes.map { case (name, df) =>
       val spec = live.find(_.name == name).get
       var d = df
-      for ((prop, mapping) <- spec.cleanDict if d.columns.contains(prop))
+      for ((prop, mapping) <- spec.cleanDict
+           if d.columns.contains(prop) &&
+             Normalize.enumCleanable(spec.enums.getOrElse(prop, Nil)))
         d = d.withColumn(prop,
-          Normalize.cleanValues(col(prop), mapping, spec.enums.getOrElse(prop, Nil)))
+          Normalize.cleanValues(col(prop), mapping, spec.enums.getOrElse(prop, Nil),
+            spec.nanValues.get(prop), spec.extraLongValues))
       for (prop <- spec.intProps if d.columns.contains(prop))
         d = d.withColumn(prop, Normalize.losslessInt(col(prop)))
       name -> d

@@ -100,4 +100,26 @@ class ModelLoaderSpec extends SparkSpec {
     assert(clean("gender")("female").contains("Female"))
     assert(clean("gender")("unknown").isEmpty) // maps to null
   }
+
+  test("parseCleanDictFull: nan_value and extra_long_values split out of the mappings") {
+    val cd = ModelLoader.parseCleanDictFull(
+      """gender:
+        |  female: Female
+        |  nan_value: Unknown
+        |vital_status:
+        |  dead: Dead
+        |extra_long_values:
+        |  - "some very long protocol description"
+        |""".stripMargin)
+    assert(cd.mappings("gender") == Map("female" -> Some("Female")),
+      "nan_value must not leak into the dirty->clean map")
+    assert(cd.nanValues == Map("gender" -> "Unknown"))
+    assert(cd.mappings("vital_status")("dead").contains("Dead"))
+    assert(!cd.mappings.contains("extra_long_values"))
+    assert(cd.extraLongValues == Seq("some very long protocol description"))
+    // the narrow parse stays backward-compatible
+    assert(ModelLoader.parseCleanDict("""g:
+      |  a: B
+      |""".stripMargin) == Map("g" -> Map("a" -> Some("B"))))
+  }
 }

@@ -80,6 +80,38 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq("Alive", "Alive", null, "weird"))
   }
 
+  test("P5 cleanValues: nan_value fill, extra-long sink, enum beats mapping") {
+    val longV = "L" * 60
+    val mapping = Map("alive" -> Some("Alive"),
+      // precedence probe: 'Alive' is in the enum, so this must never fire
+      "Alive" -> Some("WRONG"))
+    val df = Seq(Option("alive"), Option("Alive"), None, Option(longV), Option("other"))
+      .toDF("v")
+    val got = df.select(Normalize.cleanValues(col("v"), mapping,
+        enumValues = Seq("Alive", "Dead"),
+        nanValue = Some("Unknown"),
+        extraLongValues = Seq(longV)).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq("Alive", "Alive", "Unknown", Normalize.NotSpecified, "other"))
+  }
+
+  test("P5 cleanValues: nan/extra-long default off — prior behavior unchanged") {
+    val df = Seq(Option("alive"), None).toDF("v")
+    val got = df.select(Normalize.cleanValues(col("v"),
+        Map("alive" -> Some("Alive"))).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq("Alive", null))
+  }
+
+  test("P5 enumCleanable: lone TBD / 'not reported' exempt, real vocab cleans") {
+    import Normalize.enumCleanable
+    assert(!enumCleanable(Nil), "no enum -> not cleaned (reference loop shape)")
+    assert(!enumCleanable(Seq("TBD")))
+    assert(!enumCleanable(Seq("not reported")))
+    assert(enumCleanable(Seq("TBD", "Alive")), "multi-value vocab cleans even with TBD first")
+    assert(enumCleanable(Seq("Alive")))
+  }
+
   test("P6 losslessInt: integral doubles reformatted, others verbatim") {
     val df = Seq("25.0", "25.5", "abc", "1e3", "-0.0").toDF("v")
     val got = df.select(Normalize.losslessInt(col("v")).as("c")).as[String].collect().toSeq

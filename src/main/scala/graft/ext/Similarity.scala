@@ -316,6 +316,16 @@ object Similarity {
       element_at(nearestCells(col(vec), centroids, 1), 1).as("cell"))
   }
 
+  /** [[kmeansAssign]] keeping the vector: `(id, vec, cell)` in ONE
+    * projection — the frame downstream within-cell work (SemDeDup,
+    * per-cell stats) starts from without re-joining the source. */
+  def kmeansAssignWithVec(emb: DataFrame, id: String, vec: String,
+                          centroids: Array[Array[Double]]): DataFrame = {
+    import graft.functions.VectorExpressions.nearestCells
+    emb.select(col(id), col(vec),
+      element_at(nearestCells(col(vec), centroids, 1), 1).as("cell"))
+  }
+
   /** Driver-gate form of [[kmeansFit]]: ONE row
     * `(n_vecs, cells_used, wcss_ok)` where `wcss_ok = 1` iff the WCSS
     * trace is non-increasing (Lloyd's invariant, violated only by an
@@ -346,9 +356,16 @@ object Similarity {
     * shuffle-partitioned path, no broadcast of the corpus. */
   def semanticDedupCandidates(emb: DataFrame, id: String, vec: String,
                               centroids: Array[Array[Double]],
-                              tau: Double): DataFrame = {
-    val cells = kmeansAssign(emb, id, vec, centroids)
-      .join(emb.select(col(id), col(vec)), Seq(id))
+                              tau: Double): DataFrame =
+    semanticDedupFromAssigned(
+      kmeansAssignWithVec(emb, id, vec, centroids), id, vec, tau)
+
+  /** [[semanticDedupCandidates]] over an already-assigned `(id, vec,
+    * cell)` frame — callers that also need the assignment elsewhere (cell
+    * stats, the e10 work gate) assign once, optionally persist the tiny
+    * frame, and feed it here instead of re-running the argmin kernel. */
+  def semanticDedupFromAssigned(cells: DataFrame, id: String, vec: String,
+                                tau: Double): DataFrame = {
     val a = cells.select(col("cell"), col(id).as("id_a"), col(vec).as("va"))
     val b = cells.select(col("cell"), col(id).as("id_b"), col(vec).as("vb"))
     a.join(b, Seq("cell"))

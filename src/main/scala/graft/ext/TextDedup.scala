@@ -94,17 +94,27 @@ object TextDedup {
     * dedupes by canonical plan, so SEVERAL standalone queries in one
     * session (d6/d7/d9/d10 all rebuild the same truth) share one entry —
     * scan + compiled shingler run once, not ~10×. A bench loop that
-    * unpersists between queries still measures each query standalone. */
+    * unpersists between queries still measures each query standalone.
+    *
+    * The entry lives until the session unpersists it (the public APIs take
+    * `cache = false` for callers — e.g. a one-shot pass over a corpus far
+    * bigger than executor storage — who prefer recomputation over holding
+    * block-manager space; MEMORY_AND_DISK means a too-big index degrades
+    * to disk-backed, never OOM). */
   private def hashedShingles(
-      docs: DataFrame, id: String, text: String, n: Int): DataFrame =
-    docs.select(col(id),
-        graft.functions.VectorExpressions.shingleHash64(col(text), n).as("hh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs: DataFrame, id: String, text: String, n: Int,
+      cache: Boolean): DataFrame = {
+    val h = docs.select(col(id),
+      graft.functions.VectorExpressions.shingleHash64(col(text), n).as("hh"))
+    if (cache) h.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else h
+  }
 
   def lshCandidates(
       docs: DataFrame, id: String, text: String,
-      n: Int = 3, k: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame =
-    lshCandidatesFromHashes(hashedShingles(docs, id, text, n), id, k, bands, seed)
+      n: Int = 3, k: Int = 32, bands: Int = 8, seed: Long = 42L,
+      cache: Boolean = true): DataFrame =
+    lshCandidatesFromHashes(hashedShingles(docs, id, text, n, cache), id, k, bands, seed)
 
   /** Exact n-gram Jaccard similarity between two shingle-set columns
     * (works on string shingles or their 64-bit hash sets alike). */
@@ -120,8 +130,9 @@ object TextDedup {
     * candidate pairs. */
   def nearDuplicates(
       docs: DataFrame, id: String, text: String, threshold: Double,
-      n: Int = 3, k: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
-    val hashed = hashedShingles(docs, id, text, n)
+      n: Int = 3, k: Int = 32, bands: Int = 8, seed: Long = 42L,
+      cache: Boolean = true): DataFrame = {
+    val hashed = hashedShingles(docs, id, text, n, cache)
     val cand = lshCandidatesFromHashes(hashed, id, k, bands, seed)
     cand
       .join(hashed.select(col(id).as("id_a"), col("hh").as("sh_a")), Seq("id_a"))
@@ -152,14 +163,15 @@ object TextDedup {
     */
   def exactJaccardPairs(
       docs: DataFrame, id: String, text: String,
-      n: Int = 3, minJ: Double = 0.3, maxDf: Option[Int] = None): DataFrame = {
+      n: Int = 3, minJ: Double = 0.3, maxDf: Option[Int] = None,
+      cache: Boolean = true): DataFrame = {
     // index on the compiled 64-bit shingle hashes, not the strings: bigint
     // join/shuffle keys and a codegen'd shingler; set-identical to string
     // shingles up to xxhash64 collisions (~|shingles|²/2⁶⁵ — the same
     // equivalence nearDuplicates' verifier already stands on). The rename
     // sits ABOVE the cached projection so the cache entry is shared with
     // the LSH paths regardless of the caller's id column name.
-    val hashed = hashedShingles(docs, id, text, n)
+    val hashed = hashedShingles(docs, id, text, n, cache)
       .select(col(id).as("doc_id"), col("hh"))
     val sh0 = hashed.select(col("doc_id"), explode(col("hh")).as("s"))
     val sh = maxDf match {

@@ -142,8 +142,12 @@ object ModelLoader {
 
   def parseCleanDictFull(yaml: String): CleanDict = {
     val root = asMap(new Yaml().load[Any](yaml))
+    // a bare "extra_long_values:" key parses to null — treat as empty,
+    // and skip null list entries, rather than NPE on a hand-edited config
     val extraLong = root.get("extra_long_values").toSeq.flatMap {
-      case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
+      case null => Nil
+      case l: java.util.List[_] =>
+        l.asScala.filter(_ != null).map(_.toString).toSeq
       case s => Seq(s.toString)
     }
     val props = root - "extra_long_values"

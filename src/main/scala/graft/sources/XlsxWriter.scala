@@ -24,7 +24,14 @@ object XlsxWriter {
       case '<' => "&lt;"
       case '>' => "&gt;"
       case '"' => "&quot;"
-      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => ""
+      // a RAW carriage return would be normalized to LF by any conforming
+      // XML parser on read-back (XML 1.0 §2.11) — the character reference
+      // survives, keeping the writer→reader roundtrip byte-faithful
+      case '\r' => "&#xD;"
+      // other C0 controls are ILLEGAL in XML 1.0 even as character
+      // references; they cannot be represented in a workbook and are
+      // dropped (deliberate lossy edge, matching what Excel itself does)
+      case c if c < ' ' && c != '\t' && c != '\n' => ""
       case c => c.toString
     }
 

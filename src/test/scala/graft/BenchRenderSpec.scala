@@ -115,4 +115,16 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(math.abs(node.get("min_query_total").asDouble - 3.75) < 1e-9)
     assert(node.get("errors").get("b").asText == "boom \"quoted\"\npath\\x")
   }
+
+  test("a pass with failures cannot claim the headline; all-failed falls back to min") {
+    // pass 0 is fastest but had a failure (its fast failure path deflates
+    // the sum) — the headline must come from the slower COMPLETE pass
+    val line = Bench.render(Seq("a"), Map("a" -> 1.0), Map.empty,
+      passTotals = Seq(3.0, 5.0), sfDir = "/d", passFails = Seq(1, 0))
+    assert(math.abs(mapper.readTree(line).get("value").asDouble - 5.0) < 1e-9)
+    // every pass failed somewhere: min over all passes, failures disclosed
+    val line2 = Bench.render(Seq("a"), Map("a" -> 1.0), Map("a" -> "x"),
+      passTotals = Seq(3.0, 5.0), sfDir = "/d", passFails = Seq(1, 1))
+    assert(math.abs(mapper.readTree(line2).get("value").asDouble - 3.0) < 1e-9)
+  }
 }

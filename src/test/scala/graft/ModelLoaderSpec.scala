@@ -121,5 +121,10 @@ class ModelLoaderSpec extends SparkSpec {
     assert(ModelLoader.parseCleanDict("""g:
       |  a: B
       |""".stripMargin) == Map("g" -> Map("a" -> Some("B"))))
+    // a bare key (null value) is an empty list, not an NPE
+    assert(ModelLoader.parseCleanDictFull("""g:
+      |  a: B
+      |extra_long_values:
+      |""".stripMargin).extraLongValues.isEmpty)
   }
 }

@@ -179,7 +179,8 @@ class XlsxSpec extends SparkSpec {
     val df = Seq(
       ("1", "a & <b> \"q\"", "x\ty"),
       ("2", null, "line1\nline2"),
-      ("3", "ünïcode ✓", null)
+      ("3", "ünïcode ✓", null),
+      ("4", "cr\rcrlf\r\nend", "win\r\nline") // CR must survive as &#xD;
     ).toDF("id", "v1", "v2")
     graft.sources.XlsxWriter.writeWorkbook(df, s"$dir/t.xlsx", "Metadata")
     val back = spark.read.format("xlsx").option("sheet", "Metadata").load(s"$dir/t.xlsx")

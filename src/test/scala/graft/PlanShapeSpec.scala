@@ -85,6 +85,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("p5 enum clean is a pure scan projection: zero exchanges") {
+    val p = q("p5_enum_clean")
+    assert(shuffles(p).isEmpty && broadcasts(p).isEmpty,
+      s"cell cleansing must stay inside the scan projection:\n$p")
+  }
+
+  test("d6 exact-Jaccard truth never plans a cartesian/nested-loop join") {
+    val p = q("d6_exact_neardup")
+    val bad = deep(p).filter(n =>
+      n.nodeName.contains("CartesianProduct") ||
+        n.nodeName.contains("BroadcastNestedLoopJoin"))
+    assert(bad.isEmpty,
+      s"inverted-index truth regressed to an all-pairs join:\n$p")
+  }
+
   test("c2 hash split is a single-aggregation plan (split expr stays in the scan stage)") {
     val p = q("c2_hash_split")
     assert(shuffles(p).size <= 1 && windows(p).isEmpty,

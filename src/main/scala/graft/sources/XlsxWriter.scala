@@ -49,25 +49,40 @@ object XlsxWriter {
   /** Write `df` (collected to the driver — workbook-sized frames only) as
     * a single-sheet xlsx at `path`. Every cell is rendered string-first
     * via `toString`, matching the reader's string-first contract. */
-  def writeWorkbook(df: DataFrame, path: String, sheet: String = "Metadata"): Unit = {
-    val cols = df.columns.toIndexedSeq
-    val data = df.collect().map { r =>
-      cols.indices.map(i => Option(r.get(i)).map(_.toString).orNull)
-    }
-    val sb = new StringBuilder
-    sb ++= "<?xml version=\"1.0\"?>\n"
-    sb ++= "<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\">\n  <sheetData>\n"
-    def row(rowIdx: Int, cells: IndexedSeq[String]): Unit = {
-      sb ++= s"""    <row r="$rowIdx">"""
-      cells.zipWithIndex.foreach { case (v, ci) =>
-        if (v != null)
-          sb ++= s"""<c r="${colRef(ci)}$rowIdx" t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>"""
+  def writeWorkbook(df: DataFrame, path: String, sheet: String = "Metadata"): Unit =
+    writeWorkbookSheets(Seq(sheet -> df), path)
+
+  /** Multi-sheet workbook — the reference's actual exchange shape (a
+    * per-study workbook carries Metadata plus auxiliary sheets, selected
+    * by name on read; `cds_config_example_v1.3.yaml` names the sheet per
+    * study). Sheets are written in the given order; names must be
+    * distinct ([[XlsxParser.readSheet]] resolves by name). */
+  def writeWorkbookSheets(sheets: Seq[(String, DataFrame)], path: String): Unit = {
+    require(sheets.nonEmpty, "writeWorkbookSheets: at least one sheet")
+    require(sheets.map(_._1).distinct.size == sheets.size,
+      s"writeWorkbookSheets: duplicate sheet names in ${sheets.map(_._1)}")
+
+    def sheetXml(df: DataFrame): String = {
+      val cols = df.columns.toIndexedSeq
+      val data = df.collect().map { r =>
+        cols.indices.map(i => Option(r.get(i)).map(_.toString).orNull)
       }
-      sb ++= "</row>\n"
+      val sb = new StringBuilder
+      sb ++= "<?xml version=\"1.0\"?>\n"
+      sb ++= "<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\">\n  <sheetData>\n"
+      def row(rowIdx: Int, cells: IndexedSeq[String]): Unit = {
+        sb ++= s"""    <row r="$rowIdx">"""
+        cells.zipWithIndex.foreach { case (v, ci) =>
+          if (v != null)
+            sb ++= s"""<c r="${colRef(ci)}$rowIdx" t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>"""
+        }
+        sb ++= "</row>\n"
+      }
+      row(1, cols)
+      data.zipWithIndex.foreach { case (cells, i) => row(i + 2, cells) }
+      sb ++= "  </sheetData>\n</worksheet>"
+      sb.toString
     }
-    row(1, cols)
-    data.zipWithIndex.foreach { case (cells, i) => row(i + 2, cells) }
-    sb ++= "  </sheetData>\n</worksheet>"
 
     val z = new ZipOutputStream(new FileOutputStream(path))
     def entry(name: String, content: String): Unit = {
@@ -78,18 +93,26 @@ object XlsxWriter {
     try {
       entry("[Content_Types].xml",
         """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+      val decls = sheets.zipWithIndex.map { case ((name, _), i) =>
+        s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+      }.mkString
       entry("xl/workbook.xml",
         s"""<?xml version="1.0"?>
            |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
            |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-           |  <sheets><sheet name="${esc(sheet)}" sheetId="1" r:id="rId1"/></sheets>
+           |  <sheets>$decls</sheets>
            |</workbook>""".stripMargin)
+      val rels = sheets.indices.map { i =>
+        s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>"""
+      }.mkString
       entry("xl/_rels/workbook.xml.rels",
-        """<?xml version="1.0"?>
-          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-          |  <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-          |</Relationships>""".stripMargin)
-      entry("xl/worksheets/sheet1.xml", sb.toString)
+        s"""<?xml version="1.0"?>
+           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+           |  $rels
+           |</Relationships>""".stripMargin)
+      sheets.zipWithIndex.foreach { case ((_, df), i) =>
+        entry(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df))
+      }
     } finally z.close()
   }
 }

@@ -190,6 +190,23 @@ class XlsxSpec extends SparkSpec {
     assert(got == want, s"roundtrip mismatch: $got")
   }
 
+  test("XlsxWriter multi-sheet workbook: each sheet reads back by name") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_multi_w").toString
+    val meta = Seq(("p1", "female"), ("p2", "male")).toDF("participant_id", "gender")
+    val dict = Seq(("gender", "enum")).toDF("property", "kind")
+    graft.sources.XlsxWriter.writeWorkbookSheets(
+      Seq("Metadata" -> meta, "Dictionary" -> dict), s"$dir/study.xlsx")
+    val m = spark.read.format("xlsx").option("sheet", "Metadata").load(s"$dir/study.xlsx")
+    assert(m.columns.toSeq == Seq("participant_id", "gender") && m.count() == 2)
+    val d = spark.read.format("xlsx").option("sheet", "Dictionary").load(s"$dir/study.xlsx")
+    assert(d.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("gender", "enum")))
+    // default (no sheet option) = first sheet in declaration order
+    val first = spark.read.format("xlsx").load(s"$dir/study.xlsx")
+    assert(first.columns.toSeq == Seq("participant_id", "gender"))
+  }
+
   test("XlsxWriter colRef covers the AA rollover") {
     import graft.sources.XlsxWriter
     assert(XlsxWriter.colRef(0) == "A" && XlsxWriter.colRef(25) == "Z")

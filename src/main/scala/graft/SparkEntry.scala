@@ -342,6 +342,63 @@ object SparkEntry {
         .load(s"$xlsxScratchDir/nation.xlsx")
     }),
 
+    // S2 per-study workbook batch: one workbook per region-study in a
+    // batch dir, read back in ONE glob scan (partition per workbook,
+    // cells mapped by header name — cds-transformation_v1.3.py:113,119's
+    // per-workbook loop as a single distributed read). Hash-matching the
+    // parquet twin proves no row is lost or duplicated across workbooks.
+    "s2_workbook_glob" -> ((s, dir) => {
+      val batch = s"$xlsxScratchDir/s2_batch"
+      new java.io.File(batch).mkdirs()
+      val n = t(s, dir, "nation")
+      for (rk <- 0 to 4)
+        graft.sources.XlsxWriter.writeWorkbook(
+          n.filter(col("n_regionkey") === rk), s"$batch/study$rk.xlsx")
+      s.read.format("xlsx").option("sheet", "Metadata").load(batch)
+    }),
+
+    // S9 YAML model/props scan: a reference-shaped model + prop
+    // definitions document parsed to the per-node prop rows with their
+    // derived Spark types (§1.2 mapping: integer→bigint for file sizes,
+    // number→double, everything else string-first). Constant oracle —
+    // the hash gate pins the loader's parse + type derivation.
+    "s9_yaml_scan" -> ((s, dir) => {
+      val modelYaml =
+        """Nodes:
+          |  sample:
+          |    Props: [sample_id, gender]
+          |  file:
+          |    Props: [file_id, file_size, avg_read_length]
+          |Relationships:
+          |  of_sample:
+          |    Mul: many_to_one
+          |    Ends:
+          |      - Src: file
+          |        Dst: sample
+          |""".stripMargin
+      val propsYaml =
+        """PropDefinitions:
+          |  sample_id: {Type: string, Key: true}
+          |  gender:
+          |    Enum: [Male, Female]
+          |  file_id: {Type: string, Key: true}
+          |  file_size: {Type: integer, Req: true}
+          |  avg_read_length: {Type: number}
+          |""".stripMargin
+      val m = graft.model.ModelLoader.parseModel(modelYaml, propsYaml)
+      val rows = m.nodes.flatMap { nd =>
+        nd.props.map { p =>
+          val d = m.propDefs.get(p)
+          (nd.name, p,
+            d.map(_.spark.simpleString).getOrElse("string"),
+            d.map(_.enum.size.toLong).getOrElse(0L),
+            d.exists(_.required), d.exists(_.key))
+        }
+      }
+      import s.implicits._
+      rows.toDF("node", "prop", "spark_type", "n_enum", "required", "is_key")
+    }),
+
     // C1 JSONL corpus roundtrip: documents out through the JSONL sink and
     // back through the schema-first reader — the LLM-corpus interchange
     // format beside the reference's TSV surface. The oracle reads the
@@ -1461,6 +1518,23 @@ object SparkEntry {
         |  n_name,
         |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
         |FROM nation""".stripMargin,
+
+    "s2_workbook_glob" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+        |  n_name,
+        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation""".stripMargin,
+
+    // s9: constant oracle — node/prop rows with the derived Spark types
+    // the loader must produce from the reference-shaped YAML.
+    "s9_yaml_scan" ->
+      """SELECT * FROM (VALUES
+        |  ('file', 'file_id', 'string', CAST(0 AS BIGINT), false, true),
+        |  ('file', 'file_size', 'bigint', CAST(0 AS BIGINT), true, false),
+        |  ('file', 'avg_read_length', 'double', CAST(0 AS BIGINT), false, false),
+        |  ('sample', 'sample_id', 'string', CAST(0 AS BIGINT), false, true),
+        |  ('sample', 'gender', 'string', CAST(2 AS BIGINT), false, false))
+        |  AS t(node, prop, spark_type, n_enum, required, is_key)""".stripMargin,
 
     "e4_cosine_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -103,6 +103,7 @@ object SparkEntry {
   private lazy val tsvScratchDir: String = scratchDir("graft_tsv")
   private lazy val bucketScratchDir: String = scratchDir("graft_bucketed")
   private lazy val xlsxScratchDir: String = scratchDir("graft_xlsx")
+  private lazy val batchStoreScratchDir: String = scratchDir("graft_s7")
 
   private def ts(x: String): Column = to_timestamp(lit(x))
 
@@ -355,6 +356,34 @@ object SparkEntry {
         graft.sources.XlsxWriter.writeWorkbook(
           n.filter(col("n_regionkey") === rk), s"$batch/study$rk.xlsx")
       s.read.format("xlsx").option("sheet", "Metadata").load(batch)
+    }),
+
+    // S7/S8 batch-store roundtrip: per-node TSV output plus the archived
+    // source workbook publish under the reference's timestamped bucket
+    // layout (transformed/{batch}/{ts}, raw/{batch}/{ts} —
+    // cds_transformation_functions.py:82-104), then the raw prefix is
+    // mirrored back down (:346-360) — all on the Hadoop FS API, file://
+    // here, s3a:// by construction. Both legs are re-scanned and unioned;
+    // the oracle reads the parquet twin twice, so the hash proves the
+    // exact prefixes were written and both scans are lossless.
+    "s7_batch_roundtrip" -> ((s, dir) => {
+      import graft.io.{BatchStore, Tsv}
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = batchStoreScratchDir
+      val (outF, dataF, dlF) = (s"$root/out", s"$root/data", s"$root/dl")
+      val bucket = s"file://$root/bucket"
+      val (batch, ts) = ("batch1", "20260813T000000")
+      new java.io.File(s"$outF/$batch").mkdirs()
+      new java.io.File(s"$dataF/$batch").mkdirs()
+      Tsv.writeNode(t(s, dir, "nation"), s"$outF/$batch", "nation")
+      graft.sources.XlsxWriter.writeWorkbook(
+        t(s, dir, "nation"), s"$dataF/$batch/nation.xlsx")
+      BatchStore.uploadBatch(conf, outF, dataF, batch, ts, bucket)
+      BatchStore.downloadBatch(conf, bucket, s"raw/$batch/$ts", dlF, batch)
+      val transformed = Tsv.read(s, s"$bucket/transformed/$batch/$ts/nation.tsv")
+      val rawBack = s.read.format("xlsx").option("sheet", "Metadata")
+        .load(s"$dlF/$batch/nation.xlsx")
+      transformed.unionByName(rawBack)
     }),
 
     // S9 YAML model/props scan: a reference-shaped model + prop
@@ -1523,6 +1552,17 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
         |  n_name,
         |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation""".stripMargin,
+
+    // s7: both legs of the batch-store roundtrip re-scanned — the oracle
+    // reads the parquet twin once per leg.
+    "s7_batch_roundtrip" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+        |  n_name,
+        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation
+        |UNION ALL
+        |SELECT CAST(n_nationkey AS VARCHAR), n_name, CAST(n_regionkey AS VARCHAR)
         |FROM nation""".stripMargin,
 
     // s9: constant oracle — node/prop rows with the derived Spark types

@@ -386,6 +386,30 @@ object SparkEntry {
       transformed.unionByName(rawBack)
     }),
 
+    // V7 pipeline e2e gate: the full v1.3 pipeline (normalize → project →
+    // stringified dedup → conflict detection → cascade delete) over a
+    // deterministic wide fixture derived from customer — planted id
+    // collisions (custkey % 700) make some participants carry conflicting
+    // genders; those ids must be detected and cascaded out. The oracle
+    // recomputes the surviving node rows in SQL, so the driver
+    // hash-judges the pipeline END TO END, not just its operators.
+    "v7_pipeline_e2e" -> ((s, dir) => {
+      import graft.pipeline.Pipeline
+      // ~2 customers per participant id at EVERY scale factor (mod = n/2),
+      // so the fixture always carries a mix of conflicting and clean ids —
+      // a fixed modulus degenerates to all-conflict (everything cascaded)
+      // or no-collision as the SF moves. The oracle derives the same
+      // modulus with a scalar subquery.
+      val mod = math.max(t(s, dir, "customer").count() / 2, 1L)
+      val wide = t(s, dir, "customer").select(
+        (col("c_custkey") % mod).cast("string").as("participant_id"),
+        lower(col("c_mktsegment")).as("gender"))
+      val spec = Pipeline.NodeSpec("participant",
+        rawMapping = Seq("participant_id" -> "participant_id", "gender" -> "gender"),
+        idProp = "participant_id")
+      Pipeline.run(wide, Seq(spec)).nodes("participant")
+    }),
+
     // S9 YAML model/props scan: a reference-shaped model + prop
     // definitions document parsed to the per-node prop rows with their
     // derived Spark types (§1.2 mapping: integer→bigint for file sizes,
@@ -1564,6 +1588,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(n_nationkey AS VARCHAR), n_name, CAST(n_regionkey AS VARCHAR)
         |FROM nation""".stripMargin,
+
+    // v7: the surviving node rows after dedup + conflict-cascade,
+    // recomputed relationally — after DISTINCT, an id conflicts iff it
+    // carries more than one distinct gender.
+    "v7_pipeline_e2e" ->
+      """WITH node AS (
+        |  SELECT DISTINCT CAST(c_custkey %
+        |      (SELECT greatest(count(*) // 2, 1) FROM customer) AS VARCHAR)
+        |      AS participant_id,
+        |    lower(c_mktsegment) AS gender
+        |  FROM customer),
+        |bad AS (
+        |  SELECT participant_id FROM node
+        |  GROUP BY 1 HAVING count(DISTINCT gender) > 1)
+        |SELECT participant_id, gender, 'participant' AS type
+        |FROM node
+        |WHERE participant_id NOT IN (SELECT participant_id FROM bad)""".stripMargin,
 
     // s9: constant oracle — node/prop rows with the derived Spark types
     // the loader must produce from the reference-shaped YAML.

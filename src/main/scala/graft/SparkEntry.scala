@@ -104,6 +104,7 @@ object SparkEntry {
   private lazy val bucketScratchDir: String = scratchDir("graft_bucketed")
   private lazy val xlsxScratchDir: String = scratchDir("graft_xlsx")
   private lazy val batchStoreScratchDir: String = scratchDir("graft_s7")
+  private lazy val streamScratchDir: String = scratchDir("graft_stream")
 
   private def ts(x: String): Column = to_timestamp(lit(x))
 
@@ -384,6 +385,38 @@ object SparkEntry {
       val rawBack = s.read.format("xlsx").option("sheet", "Metadata")
         .load(s"$dlF/$batch/nation.xlsx")
       transformed.unionByName(rawBack)
+    }),
+
+    // W12 STREAMING rollup, driver-judged: the events parquet is consumed
+    // through the file-based STREAMING source (the 100 TB shape — new
+    // files arriving in a bucket become micro-batches), run through the
+    // same watermarked EventStream.hourlyRollup the incremental pipeline
+    // uses, in complete mode so every window emits, and the memory sink
+    // is returned for the oracle to hash against the BATCH w2 SQL. The
+    // streaming path stops being spec-only: a streaming/batch divergence
+    // fails the driver's gate.
+    "w12_stream_rollup" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      // Tables.load first: sets the nanosAsLong conf the schema read needs
+      Tables.load(s, dir, "events")
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      // the file source streams a DIRECTORY (files arriving = micro-
+      // batches); stage the events file into a per-sf scratch dir
+      val sdir = s"$streamScratchDir/${math.abs(dir.hashCode)}"
+      new java.io.File(sdir).mkdirs()
+      val link = java.nio.file.Paths.get(s"$sdir/events.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val sink = "w12_stream_sink"
+      s.catalog.dropTempView(sink)
+      val stream = s.readStream.schema(raw).parquet(sdir)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val q = EventStream.hourlyRollup(stream)
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
     }),
 
     // V7 pipeline e2e gate: the full v1.3 pipeline (normalize → project →
@@ -1778,6 +1811,12 @@ object SparkEntry {
         |WHERE rank <= 3""".stripMargin,
 
     "w2_hourly_rollup" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // w12: the STREAMING rollup must land on exactly the batch answer.
+    "w12_stream_rollup" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,

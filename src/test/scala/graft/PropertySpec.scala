@@ -102,4 +102,14 @@ object PropertySpec extends Properties("graft") {
       Prop(got == expected) :| s"got=$got expected=$expected xs=$xs k=$k"
     }
   }
+
+  property("xlsx colRef is the bijective A1 base-26 encoding") = {
+    // injective over a wide range, and decodes back to the index
+    def decode(s: String): Int =
+      s.foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
+    forAll(Gen.choose(0, 100000)) { i =>
+      val r = graft.sources.XlsxWriter.colRef(i)
+      Prop(r.nonEmpty && r.forall(c => c >= 'A' && c <= 'Z') && decode(r) == i)
+    }
+  }
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Config-only enablement of every graft SQL kernel — the idiomatic
+  * Spark extension route:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * injects the same (name, builder) pairs `GraftSession.registerAll`
+  * installs programmatically, so SQL-only consumers (JDBC/Thrift, notebook
+  * users, `spark-sql`) get `vec_cosine`, `shingle_hash64`, `topk_ids_by`,
+  * … without touching the library's Scala API. Builders are shared with
+  * the session-local path (single source of truth in each kernel object),
+  * so both routes produce identical Expression trees.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functionDescriptions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  /** Every graft SQL kernel as an injectFunction description. */
+  def functionDescriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    val all = graft.functions.VectorExpressions.sqlBuilders ++
+      graft.functions.TextExpressions.sqlBuilders ++
+      graft.functions.TopKAggregate.sqlBuilders
+    all.map { case (name, builder) =>
+      (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder)
+    }
+  }
+}

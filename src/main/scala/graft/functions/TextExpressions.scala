@@ -110,8 +110,12 @@ object TextExpressions {
 
   def charEntropy(c: Column): Column = Shim.column(CharEntropy(Shim.expression(c)))
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Shim.registerFunction(spark, "nfc_normalize", es => NfcNormalize(es(0)))
-    Shim.registerFunction(spark, "char_entropy", es => CharEntropy(es(0)))
-  }
+  private[graft] def sqlBuilders
+      : Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "nfc_normalize" -> (es => NfcNormalize(es(0))),
+    "char_entropy" -> (es => CharEntropy(es(0))))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlBuilders.foreach { case (n, b) => Shim.registerFunction(spark, n, b) }
 }

@@ -162,10 +162,10 @@ object TopKAggregate {
     Shim.column(TopKIdsBy(Shim.expression(score), Shim.expression(id), k)
       .toAggregateExpression())
 
-  /** Register `topk_ids_by(score, id, k)` for `spark.sql` text (k must be
-    * an integer literal — it sizes the aggregation buffer at plan time). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Shim.registerFunction(spark, "topk_ids_by", es => {
+  /** `topk_ids_by(score, id, k)` for `spark.sql` text (k must be an
+    * integer literal — it sizes the aggregation buffer at plan time). */
+  private[graft] def sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "topk_ids_by" -> (es => {
       require(es.length == 3,
         s"topk_ids_by expects 3 arguments (score, id, k), got ${es.length}")
       require(es(2).foldable, "k must be a literal")
@@ -174,5 +174,8 @@ object TopKAggregate {
         case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
       }
       TopKIdsBy(es(0), es(1), k).toAggregateExpression()
-    })
+    }))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlBuilders.foreach { case (n, b) => Shim.registerFunction(spark, n, b) }
 }

@@ -472,20 +472,22 @@ object VectorExpressions {
     * `nearest_cells(vec, centroids, nProbe)` with a literal centroid
     * matrix. SQL text and DataFrame code produce the same Expression
     * nodes, so results are bit-identical (SqlSurfaceSpec). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Shim.registerFunction(spark, "vec_dot", es => DotProduct(es(0), es(1)))
-    Shim.registerFunction(spark, "vec_cosine", es => CosineSim(es(0), es(1)))
-    Shim.registerFunction(spark, "simhash64", es => SimHash64(es(0)))
-    Shim.registerFunction(spark, "minhash_sig", es =>
-      MinHashSig(es(0), lit2Long(es(1), "k").toInt, lit2Long(es(2), "seed")))
-    Shim.registerFunction(spark, "shingle_hash64", es =>
-      ShingleHash64(es(0), lit2Long(es(1), "n").toInt))
-    Shim.registerFunction(spark, "hyperplane_bucket", es =>
+  private[graft] def sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (es => DotProduct(es(0), es(1))),
+    "vec_cosine" -> (es => CosineSim(es(0), es(1))),
+    "simhash64" -> (es => SimHash64(es(0))),
+    "minhash_sig" -> (es =>
+      MinHashSig(es(0), lit2Long(es(1), "k").toInt, lit2Long(es(2), "seed"))),
+    "shingle_hash64" -> (es =>
+      ShingleHash64(es(0), lit2Long(es(1), "n").toInt)),
+    "hyperplane_bucket" -> (es =>
       HyperplaneBucket(es(0), seededPlanes(
         lit2Long(es(1), "dim").toInt, lit2Long(es(2), "bits").toInt,
-        lit2Long(es(3), "seed"))))
-    Shim.registerFunction(spark, "nearest_cells", es =>
+        lit2Long(es(3), "seed")))),
+    "nearest_cells" -> (es =>
       NearestCells(es(0), lit2Matrix(es(1), "centroids"),
-        lit2Long(es(2), "nProbe").toInt))
-  }
+        lit2Long(es(2), "nProbe").toInt)))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlBuilders.foreach { case (n, b) => Shim.registerFunction(spark, n, b) }
 }

@@ -110,4 +110,36 @@ class SqlSurfaceSpec extends SparkSpec {
         VectorExpressions.nearestCells(col("embedding"), cm, 2).as("cells"))
         .orderBy("vec_id"))
   }
+
+  test("GraftExtensions: kernels arrive via spark.sql.extensions, no code needed") {
+    import org.apache.spark.sql.SparkSession
+    // build a FRESH session (shared SparkContext) with the extensions
+    // applied at construction — the spark-submit --conf route
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      for (n <- Seq("vec_dot", "vec_cosine", "simhash64", "minhash_sig",
+          "shingle_hash64", "hyperplane_bucket", "nearest_cells",
+          "nfc_normalize", "char_entropy", "topk_ids_by"))
+        assert(s2.catalog.functionExists(n), s"$n not injected")
+      val r = s2.sql(
+        """SELECT char_entropy('aabb') AS e,
+          |  nfc_normalize('a') AS n,
+          |  simhash64(array('a','b')) IS NOT NULL AS sh""".stripMargin).collect()(0)
+      assert(math.abs(r.getDouble(0) - math.log(2)) < 1e-6)
+      assert(r.getString(1) == "a" && r.getBoolean(2))
+      // do NOT stop s2: it shares the JVM-wide SparkContext
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }

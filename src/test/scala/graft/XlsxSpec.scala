@@ -207,6 +207,20 @@ class XlsxSpec extends SparkSpec {
     assert(first.columns.toSeq == Seq("participant_id", "gender"))
   }
 
+  test("XlsxWriter: a 30-column workbook roundtrips (AA+ column refs in anger)") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_wide").toString
+    val names = (0 until 30).map(i => s"c$i")
+    val row = org.apache.spark.sql.Row.fromSeq((0 until 30).map(i => s"v$i"))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(row),
+      org.apache.spark.sql.types.StructType(names.map(n =>
+        org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType))))
+    graft.sources.XlsxWriter.writeWorkbook(df, s"$dir/wide.xlsx")
+    val back = spark.read.format("xlsx").load(s"$dir/wide.xlsx")
+    assert(back.columns.toSeq == names)
+    assert(back.collect()(0).toSeq == (0 until 30).map(i => s"v$i"))
+  }
+
   test("XlsxWriter colRef covers the AA rollover") {
     import graft.sources.XlsxWriter
     assert(XlsxWriter.colRef(0) == "A" && XlsxWriter.colRef(25) == "Z")

@@ -391,10 +391,13 @@ object SparkEntry {
     // through the file-based STREAMING source (the 100 TB shape — new
     // files arriving in a bucket become micro-batches), run through the
     // same watermarked EventStream.hourlyRollup the incremental pipeline
-    // uses, in complete mode so every window emits, and the memory sink
-    // is returned for the oracle to hash against the BATCH w2 SQL. The
-    // streaming path stops being spec-only: a streaming/batch divergence
-    // fails the driver's gate.
+    // uses, and the memory sink is returned for the oracle to hash
+    // against the BATCH w2 SQL. Complete mode is a GATE-ONLY device — a
+    // finite replay must emit its still-open windows to equal the batch
+    // answer; the production path is append/update, where the watermark
+    // evicts closed-window state and memory stays bounded at any scale.
+    // The streaming path stops being spec-only: a streaming/batch
+    // divergence fails the driver's gate.
     "w12_stream_rollup" -> ((s, dir) => {
       import graft.streaming.EventStream
       // Tables.load first: sets the nanosAsLong conf the schema read needs

@@ -411,8 +411,10 @@ object SparkEntry {
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      // no pre-drop needed: the memory sink registers its result with
+      // createOrReplaceTempView, so a re-run in the same session replaces
+      // the stale view (verified empirically via QTime2's 3-pass JVM)
       val sink = "w12_stream_sink"
-      s.catalog.dropTempView(sink)
       val stream = s.readStream.schema(raw).parquet(sdir)
         .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       val q = EventStream.hourlyRollup(stream)

@@ -84,6 +84,12 @@ object XlsxWriter {
       sb.toString
     }
 
+    // collect and render EVERY sheet before the file is opened: a failed
+    // collect (executor loss, analysis error) must leave no truncated
+    // workbook behind — a batch-dir glob consumer would otherwise feed
+    // the corrupt zip to the parser on its next scan
+    val rendered = sheets.map { case (_, df) => sheetXml(df) }
+
     val z = new ZipOutputStream(new FileOutputStream(path))
     def entry(name: String, content: String): Unit = {
       z.putNextEntry(new ZipEntry(name))
@@ -110,8 +116,8 @@ object XlsxWriter {
            |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
            |  $rels
            |</Relationships>""".stripMargin)
-      sheets.zipWithIndex.foreach { case ((_, df), i) =>
-        entry(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df))
+      rendered.zipWithIndex.foreach { case (xml, i) =>
+        entry(s"xl/worksheets/sheet${i + 1}.xml", xml)
       }
     } finally z.close()
   }

@@ -39,6 +39,14 @@ object Bench {
       try Tables.load(spark, sfDir, t).limit(1).count()
       catch { case _: Throwable => () }
     }
+    // discarded warm-up pass(es) over the FULL query list (round-6 verdict,
+    // "What's wrong" #2): the first pass of a cold JVM pays JIT compilation,
+    // codegen-cache population, and shuffle-service spin-up that no later
+    // pass pays — r6's pass_totals spread [79.7, 66.4] was exactly this.
+    // Warming untimed makes the timed passes compare like-for-like, so the
+    // headline (min COMPLETE pass) stops depending on which pass the host
+    // was quiet for. SPARK_GRAFT_BENCH_WARMUP=0 restores cold-start timing.
+    val warmupPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
 
     // drop anything a query left pinned in the block manager so the next
     // measurement starts from a clean executor heap (runs OUTSIDE timers).
@@ -52,6 +60,15 @@ object Bench {
     }
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    for (_ <- 0 until warmupPasses) {
+      for ((_, fn) <- names) {
+        drain()
+        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      }
+      System.gc()
+    }
+
     var errors = Map.empty[String, String]
     var best = Map.empty[String, Double]
     var passTotals = Vector.empty[Double]
@@ -145,6 +162,11 @@ object Bench {
       passTotals: Seq[Double],
       sfDir: String,
       passFails: Seq[Int] = Nil): String = {
+    // a length mismatch would silently discard the failure info and let a
+    // failure-deflated pass claim the headline — fail loudly instead
+    require(passFails.isEmpty || passFails.size == passTotals.size,
+      s"render: passFails (${passFails.size}) must be empty or match " +
+        s"passTotals (${passTotals.size})")
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"

@@ -404,13 +404,23 @@ object SparkEntry {
       Tables.load(s, dir, "events")
       val raw = s.read.parquet(s"$dir/events.parquet").schema
       // the file source streams a DIRECTORY (files arriving = micro-
-      // batches); stage the events file into a per-sf scratch dir
-      val sdir = s"$streamScratchDir/${math.abs(dir.hashCode)}"
+      // batches); stage the events file into a per-sf scratch dir, keyed
+      // by a strong hash of the full path (hashCode could collide two
+      // distinct data dirs → silently streaming the wrong sf's events)
+      val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val sdir = s"$streamScratchDir/$dirKey"
       new java.io.File(sdir).mkdirs()
       val link = java.nio.file.Paths.get(s"$sdir/events.parquet")
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
       java.nio.file.Files.deleteIfExists(link)
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      try java.nio.file.Files.createSymbolicLink(link, src)
+      catch {
+        // filesystems/principals without symlink permission: copy instead
+        // (bench/verify data-plane only — a few MB at the judged SFs)
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(src, link)
+      }
       // no pre-drop needed: the memory sink registers its result with
       // createOrReplaceTempView, so a re-run in the same session replaces
       // the stale view (verified empirically via QTime2's 3-pass JVM)

@@ -110,11 +110,31 @@ object TextDedup {
     else h
   }
 
+  /** LSH candidate pairs straight from a corpus frame.
+    *
+    * Cache contract (also [[nearDuplicates]]/[[exactJaccardPairs]]): with
+    * `cache = true` (default) the shingle-hash projection persists
+    * MEMORY_AND_DISK for the SESSION — deliberately, so the several
+    * dedup consumers of one corpus share one scan — and is NOT unpersisted
+    * on return. Long-lived sessions should either pass `cache = false`
+    * (one-shot pass, corpus larger than executor storage) or release the
+    * entry via [[unpersistShingles]] when done with the corpus. */
   def lshCandidates(
       docs: DataFrame, id: String, text: String,
       n: Int = 3, k: Int = 32, bands: Int = 8, seed: Long = 42L,
       cache: Boolean = true): DataFrame =
     lshCandidatesFromHashes(hashedShingles(docs, id, text, n, cache), id, k, bands, seed)
+
+  /** Release the session-lifetime shingle-hash cache entry for
+    * `(docs, text, n)` — the handle to the persist [[lshCandidates]]/
+    * [[nearDuplicates]]/[[exactJaccardPairs]] install under `cache = true`.
+    * The cache manager keys entries by canonical plan, so rebuilding the
+    * same projection and unpersisting it drops the shared entry no matter
+    * which consumer created it. */
+  def unpersistShingles(docs: DataFrame, id: String, text: String, n: Int = 3): Unit = {
+    hashedShingles(docs, id, text, n, cache = false).unpersist()
+    ()
+  }
 
   /** Exact n-gram Jaccard similarity between two shingle-set columns
     * (works on string shingles or their 64-bit hash sets alike). */
@@ -127,7 +147,11 @@ object TextDedup {
     * (set equality to string-shingle Jaccard up to xxhash64 collisions —
     * vanishingly rare at corpus shingle counts, and the candidates already
     * passed a MinHash screen). Shingle sets are re-joined only for
-    * candidate pairs. */
+    * candidate pairs.
+    *
+    * `cache = true` installs the session-lifetime shingle cache — see
+    * [[lshCandidates]] for the contract and [[unpersistShingles]] for the
+    * release handle. */
   def nearDuplicates(
       docs: DataFrame, id: String, text: String, threshold: Double,
       n: Int = 3, k: Int = 32, bands: Int = 8, seed: Long = 42L,
@@ -160,6 +184,10 @@ object TextDedup {
     * cluster larger than maxDf) disappear from the index — set the cap
     * above the largest expected duplicate-cluster size.
     * Output `(doc_id_a, doc_id_b, jaccard_bp)`, id_a < id_b.
+    *
+    * `cache = true` installs the session-lifetime shingle cache — see
+    * [[lshCandidates]] for the contract and [[unpersistShingles]] for the
+    * release handle.
     */
   def exactJaccardPairs(
       docs: DataFrame, id: String, text: String,

@@ -5,18 +5,32 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 
 import org.apache.spark.sql.DataFrame
 
-/** Minimal OOXML (SpreadsheetML) workbook writer — the inverse of
-  * [[XlsxParser]], emitting the same part shapes the reader consumes:
-  * one worksheet of inline-string cells under `xl/worksheets/sheet1.xml`,
-  * header row first, null cells omitted (a gap reads back as null).
+/** Minimal CONFORMANT OOXML (SpreadsheetML) workbook writer — the inverse
+  * of [[XlsxParser]]: one worksheet of inline-string cells per sheet,
+  * header row first, null cells omitted (a gap reads back as null). The
+  * package carries the parts OPC interchange requires (a populated
+  * `[Content_Types].xml` with Default/Override entries and a root
+  * `_rels/.rels` pointing at `xl/workbook.xml`), so output opens in any
+  * OOXML consumer, not just the in-repo parser.
   *
   * Driver-side by design: a workbook is a single zip, not a splittable
   * sink, and the reference's unit of exchange is the per-study workbook
   * (~10⁴–10⁵ rows — `cds-transformation_v1.3.py:129-132`), which fits a
   * driver comfortably. This is the fixture/interchange path; the
-  * data-plane sinks are TSV/JSONL/parquet.
+  * data-plane sinks are TSV/JSONL/parquet. [[MaxRows]] (the xlsx format's
+  * own per-sheet row limit) bounds the driver collect — a larger frame
+  * fails loudly instead of OOMing the driver; route such frames to the
+  * data-plane sinks instead.
+  *
+  * Writes are atomic: the zip is streamed to a temp file in the target
+  * directory and renamed into place, so a crash mid-write never leaves a
+  * truncated workbook for an s2-style batch-dir glob consumer to choke on.
   */
 object XlsxWriter {
+
+  /** xlsx per-sheet row capacity (2²⁰, including the header row) — also
+    * the loud upper bound on the driver-side collect. */
+  val MaxRows: Int = 1 << 20
 
   private def esc(s: String): String =
     s.flatMap {
@@ -64,9 +78,15 @@ object XlsxWriter {
 
     def sheetXml(df: DataFrame): String = {
       val cols = df.columns.toIndexedSeq
-      val data = df.collect().map { r =>
+      // limit(MaxRows) bounds the collect itself: the guard must fire
+      // BEFORE an oversized frame fills the driver heap, not after
+      val data = df.limit(MaxRows).collect().map { r =>
         cols.indices.map(i => Option(r.get(i)).map(_.toString).orNull)
       }
+      require(data.length < MaxRows,
+        s"writeWorkbookSheets: frame has >= $MaxRows rows — exceeds the " +
+          "xlsx sheet capacity (and the driver-side collect budget); " +
+          "write workbook-sized frames only, or use the TSV/JSONL/parquet sinks")
       val sb = new StringBuilder
       sb ++= "<?xml version=\"1.0\"?>\n"
       sb ++= "<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\">\n  <sheetData>\n"
@@ -90,15 +110,27 @@ object XlsxWriter {
     // the corrupt zip to the parser on its next scan
     val rendered = sheets.map { case (_, df) => sheetXml(df) }
 
-    val z = new ZipOutputStream(new FileOutputStream(path))
+    // atomic publish: stream the zip to a temp file in the TARGET directory
+    // (same filesystem, so the rename is atomic), move into place last — a
+    // crash mid-write leaves only a dot-temp no glob consumer matches
+    val target = java.nio.file.Paths.get(path).toAbsolutePath
+    val tmp = java.nio.file.Files.createTempFile(
+      target.getParent, s".${target.getFileName}.", ".tmp")
+    val z = new ZipOutputStream(new FileOutputStream(tmp.toFile))
     def entry(name: String, content: String): Unit = {
       z.putNextEntry(new ZipEntry(name))
       z.write(content.getBytes("UTF-8"))
       z.closeEntry()
     }
+    var moved = false
     try {
+      val overrides = sheets.indices.map { i =>
+        s"""<Override PartName="/xl/worksheets/sheet${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>"""
+      }.mkString
       entry("[Content_Types].xml",
-        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+        s"""<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>$overrides</Types>""")
+      entry("_rels/.rels",
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
       val decls = sheets.zipWithIndex.map { case ((name, _), i) =>
         s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
       }.mkString
@@ -119,6 +151,23 @@ object XlsxWriter {
       rendered.zipWithIndex.foreach { case (xml, i) =>
         entry(s"xl/worksheets/sheet${i + 1}.xml", xml)
       }
-    } finally z.close()
+      z.close()
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        // some filesystems reject ATOMIC_MOVE+REPLACE together; a plain
+        // replace is still a rename on the same directory
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      moved = true
+    } finally {
+      // idempotent on the success path; on the failure path it must not
+      // mask the original exception (close of a half-written zip can throw)
+      try z.close() catch { case _: java.io.IOException => () }
+      if (!moved) java.nio.file.Files.deleteIfExists(tmp)
+    }
   }
 }

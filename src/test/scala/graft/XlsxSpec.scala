@@ -221,6 +221,51 @@ class XlsxSpec extends SparkSpec {
     assert(back.collect()(0).toSeq == (0 until 30).map(i => s"v$i"))
   }
 
+  test("XlsxWriter emits a conformant OPC package (content types + root rels), atomically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_opc").toString
+    val path = s"$dir/c.xlsx"
+    graft.sources.XlsxWriter.writeWorkbookSheets(
+      Seq("Metadata" -> Seq(("1", "a")).toDF("id", "v"),
+          "Extra" -> Seq(("2", "b")).toDF("id", "v")), path)
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      def part(name: String): String = {
+        val e = zf.getEntry(name)
+        assert(e != null, s"missing package part $name")
+        new String(zf.getInputStream(e).readAllBytes(), "UTF-8")
+      }
+      // root relationship points the package at the workbook part
+      assert(part("_rels/.rels").contains("Target=\"xl/workbook.xml\""))
+      // content types declare rels/xml defaults + workbook and BOTH sheets
+      val ct = part("[Content_Types].xml")
+      assert(ct.contains("Extension=\"rels\"") && ct.contains("Extension=\"xml\""))
+      assert(ct.contains("PartName=\"/xl/workbook.xml\""))
+      assert(ct.contains("PartName=\"/xl/worksheets/sheet1.xml\""))
+      assert(ct.contains("PartName=\"/xl/worksheets/sheet2.xml\""))
+    } finally zf.close()
+    // atomic publish leaves no temp residue beside the workbook
+    val residue = new java.io.File(dir).list().toSeq.filterNot(_ == "c.xlsx")
+    assert(residue.isEmpty, s"temp residue: $residue")
+    // and REPLACES an existing workbook cleanly
+    graft.sources.XlsxWriter.writeWorkbook(
+      Seq(("9", "z")).toDF("id", "v"), path)
+    val back = spark.read.format("xlsx").load(path)
+    assert(back.collect().map(_.getString(0)).toSeq == Seq("9"))
+  }
+
+  test("XlsxWriter fails loudly on frames beyond the xlsx sheet capacity") {
+    val big = spark.range(graft.sources.XlsxWriter.MaxRows.toLong)
+      .selectExpr("cast(id as string) as id")
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_cap").toString
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.XlsxWriter.writeWorkbook(big, s"$dir/big.xlsx")
+    }
+    assert(e.getMessage.contains("sheet capacity"), e.getMessage)
+    // the loud failure must leave nothing behind (no truncated workbook)
+    assert(new java.io.File(dir).list().isEmpty)
+  }
+
   test("XlsxWriter colRef covers the AA rollover") {
     import graft.sources.XlsxWriter
     assert(XlsxWriter.colRef(0) == "A" && XlsxWriter.colRef(25) == "Z")

@@ -82,6 +82,33 @@ object RawDict {
       }
     }.filter(_._2.nonEmpty)
 
+  /** §3.2 emission half of the bootstrap: render an inferred dict as the
+    * reference-shaped raw-dict YAML (node → raw column → property,
+    * `cds_raw_dict_v1.3.yaml:18-32`; dumped by the
+    * `--extract_raw_data_dictionary` mode at
+    * `cds-transformation_v1.3.py:209-211`). Per-node insertion order is
+    * preserved (P1's first-live-candidate rule depends on it); nodes are
+    * emitted sorted unless `nodeOrder` pins an order. snakeyaml handles
+    * quoting, so any header text (colons, quotes, unicode) survives an
+    * emit → [[graft.model.ModelLoader.parseRawDict]] round trip
+    * unchanged. */
+  def renderRawDictYaml(
+      dict: Map[String, Seq[(String, String)]],
+      nodeOrder: Seq[String] = Nil): String = {
+    val root = new java.util.LinkedHashMap[String, Any]()
+    val order =
+      if (nodeOrder.nonEmpty) nodeOrder.filter(dict.contains)
+      else dict.keys.toSeq.sorted
+    order.foreach { n =>
+      val m = new java.util.LinkedHashMap[String, String]()
+      dict(n).foreach { case (raw, prop) => m.put(raw, prop) }
+      root.put(n, m)
+    }
+    val opts = new org.yaml.snakeyaml.DumperOptions()
+    opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+    new org.yaml.snakeyaml.Yaml(opts).dump(root)
+  }
+
   /** P1: project raw columns onto model property names, keeping only
     * mappings whose raw column exists and has at least one non-null value,
     * then tag with the node discriminator. */

@@ -123,7 +123,11 @@ object ModelLoader {
         m.asScala.map { case (node, cols) =>
           node.toString -> (cols match {
             case cm: java.util.Map[_, _] =>
-              cm.asScala.map { case (raw, prop) => raw.toString -> prop.toString }.toSeq
+              // toSeq BEFORE map: mapping the Map wrapper would rebuild a
+              // hash map and scramble the YAML order — P1's first-live-
+              // candidate rule depends on document order surviving
+              cm.asScala.toSeq.map { case (raw, prop) =>
+                raw.toString -> prop.toString }
             case _ => Nil
           })
         }.toMap

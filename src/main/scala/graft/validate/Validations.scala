@@ -99,6 +99,20 @@ object Validations {
     withCols.na.fill(fill, required)
   }
 
+  /** S10: required-property list for one node from the UI-mapping sheet
+    * (`2-Config-Files/cds_config/UI-database mappings_v3.xlsx`, read at
+    * `cds_transformation_functions.py:309-312`): distinct `Property Name`
+    * values where `Node Name` matches, excluding the `-` placeholder and
+    * blanks (the reference's NaN under `keep_default_na=True`). Sorted for
+    * a deterministic fill order. Driver-side collect by design — the
+    * mapping sheet is a configuration artifact of ~10² rows. */
+  def uiRequiredFromMapping(mapping: DataFrame, node: String): Seq[String] =
+    mapping
+      .filter(col("Node Name") === node &&
+        col("Property Name").isNotNull && col("Property Name") =!= "-")
+      .select(col("Property Name")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
   /** Regex-pattern property validation (model regex types, SURVEY.md §1.2):
     * rows where `c` is non-null and does NOT match `pattern`. */
   def patternViolations(df: DataFrame, c: String, pattern: String): DataFrame =

@@ -101,6 +101,36 @@ class ModelLoaderSpec extends SparkSpec {
     assert(clean("gender")("unknown").isEmpty) // maps to null
   }
 
+  test("raw-dict YAML round trip: emit -> parseRawDict -> identical mapping, order kept") {
+    import graft.mapping.RawDict
+    // headers with YAML-hostile content: colon+space, quotes, unicode,
+    // leading dash — snakeyaml must quote them so the reload is identical
+    val dict = Map(
+      "participant" -> Seq(
+        "Participant: ID" -> "participant_id",
+        "\"Gender\"" -> "gender",
+        "âge étude" -> "age_at_diagnosis"),
+      "file" -> Seq(
+        "- GUID -" -> "file_id",
+        "guid" -> "file_id", // two candidates, order is the P1 contract
+        "File Size" -> "file_size"))
+    val back = ModelLoader.parseRawDict(RawDict.renderRawDictYaml(dict))
+    assert(back == dict, s"round trip mutated the dict: $back")
+    // nodeOrder pins emission order for curated-diff stability
+    val y = RawDict.renderRawDictYaml(dict, nodeOrder = Seq("participant", "file"))
+    assert(y.indexOf("participant:") < y.indexOf("file:"))
+    // bootstrap path: inferDict output round-trips too
+    val inferred = RawDict.inferDict(
+      Seq("Participant ID", "Gender", "File Size", "GUID"),
+      Map("participant" -> Seq("participant_id", "gender"),
+        "file" -> Seq("file_id", "file_size")))
+    assert(ModelLoader.parseRawDict(RawDict.renderRawDictYaml(inferred)) == inferred)
+    assert(inferred("participant") ==
+      Seq("Participant ID" -> "participant_id", "Gender" -> "gender"))
+    assert(inferred("file") == Seq("File Size" -> "file_size"),
+      "GUID must stay sub-threshold (curated-dict territory, not bootstrap)")
+  }
+
   test("parseCleanDictFull: nan_value and extra_long_values split out of the mappings") {
     val cd = ModelLoader.parseCleanDictFull(
       """gender:

@@ -108,6 +108,20 @@ object SparkEntry {
 
   private def ts(x: String): Column = to_timestamp(lit(x))
 
+  /** Collision-safe scratch key for a data dir (hashCode could collide two
+    * dirs → silently reading the wrong sf's data). */
+  private def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
+  /** Recursive local delete (scratch hygiene for re-runnable queries). */
+  private def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -407,9 +421,7 @@ object SparkEntry {
       // batches); stage the events file into a per-sf scratch dir, keyed
       // by a strong hash of the full path (hashCode could collide two
       // distinct data dirs → silently streaming the wrong sf's events)
-      val dirKey = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-      val sdir = s"$streamScratchDir/$dirKey"
+      val sdir = s"$streamScratchDir/${dirKey(dir)}"
       new java.io.File(sdir).mkdirs()
       val link = java.nio.file.Paths.get(s"$sdir/events.parquet")
       val src = java.nio.file.Paths.get(s"$dir/events.parquet")
@@ -492,6 +504,52 @@ object SparkEntry {
         lit("ssn_participant").as("report"), col("notes").as("key"),
         lit(null).cast("long").as("cnt"), col("ssn_matches").as("detail"))
       idv.unionByName(ssn)
+    }),
+
+    // V9 INCREMENTAL pipeline, driver-judged: the v7 fixture lands as
+    // parquet files in a landing directory and flows through the real
+    // Structured Streaming path — foreachBatch → SeenKeys cross-batch
+    // dedup → the same Pipeline.run as batch → per-node parquet appends
+    // with replay markers. Two AvailableNow runs against one checkpoint:
+    // run 1 processes the fixture; run 2 sees the SAME rows re-delivered
+    // as new files (the re-submitted-workbook case) and must drop every
+    // one of them via SeenKeys. The appended node output is hash-judged
+    // against the BATCH v7 oracle — so a divergence between incremental
+    // and batch execution, a broken replay marker, or a SeenKeys
+    // regression (re-admitted rows double the appends) fails the gate.
+    "v9_incremental" -> ((s, dir) => {
+      import graft.pipeline.{Incremental, Pipeline}
+      val root = s"$streamScratchDir/inc_${dirKey(dir)}"
+      rmTree(root) // clean slate: appends/checkpoint/state are per-invocation
+      val (in, out, ckpt, state) = (s"$root/in", s"$root/out", s"$root/ckpt", s"$root/state")
+      val mod = math.max(t(s, dir, "customer").count() / 2, 1L)
+      val wide = t(s, dir, "customer").select(
+        // row_key: the cross-batch content key (unique pre-dedup), carried
+        // on the wide frame only — projectNode keeps it off the node
+        col("c_custkey").cast("string").as("row_key"),
+        (col("c_custkey") % mod).cast("string").as("participant_id"),
+        lower(col("c_mktsegment")).as("gender"))
+      wide.write.mode("overwrite").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val spec = Pipeline.NodeSpec("participant",
+        rawMapping = Seq("participant_id" -> "participant_id", "gender" -> "gender"),
+        idProp = "participant_id")
+      def runOnce(): Unit =
+        Incremental.start(
+          s.readStream.schema(schema).parquet(in), Seq(spec), out, ckpt,
+          crossBatchKey = Some(("row_key", state)))
+          .awaitTermination()
+      runOnce()
+      // re-deliver every row under new file names; SeenKeys must drop all
+      new java.io.File(in).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(in, s"redeliver_${f.getName}").toPath)
+        }
+      runOnce()
+      s.read.parquet(s"$out/participant")
+        .select(col("participant_id"), col("gender"), col("type"))
     }),
 
     // S9 YAML model/props scan: a reference-shaped model + prop
@@ -1730,6 +1788,22 @@ object SparkEntry {
     // recomputed relationally — after DISTINCT, an id conflicts iff it
     // carries more than one distinct gender.
     "v7_pipeline_e2e" ->
+      """WITH node AS (
+        |  SELECT DISTINCT CAST(c_custkey %
+        |      (SELECT greatest(count(*) // 2, 1) FROM customer) AS VARCHAR)
+        |      AS participant_id,
+        |    lower(c_mktsegment) AS gender
+        |  FROM customer),
+        |bad AS (
+        |  SELECT participant_id FROM node
+        |  GROUP BY 1 HAVING count(DISTINCT gender) > 1)
+        |SELECT participant_id, gender, 'participant' AS type
+        |FROM node
+        |WHERE participant_id NOT IN (SELECT participant_id FROM bad)""".stripMargin,
+
+    // v9: the incremental (streaming) pipeline must land exactly the batch
+    // answer — same oracle as v7.
+    "v9_incremental" ->
       """WITH node AS (
         |  SELECT DISTINCT CAST(c_custkey %
         |      (SELECT greatest(count(*) // 2, 1) FROM customer) AS VARCHAR)

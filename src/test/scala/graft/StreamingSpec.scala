@@ -127,6 +127,63 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L, 3L), s"expected first event per key, got $got")
   }
 
+  test("watermark eviction bounds rollup state in the production (update) mode") {
+    // w12 proves complete-mode equivalence to batch; THIS gate proves the
+    // production claim — closed-window state is actually evicted, so
+    // memory stays bounded at any stream length. It fails if eviction
+    // stops working (state rows would reach the total window count).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.hourlyRollup(input.toDS().toDF())
+      .writeStream.format("memory").queryName("evict_spec")
+      .outputMode("update").start()
+    val totals = scala.collection.mutable.ArrayBuffer[Long]()
+    val base = ts("2026-01-01 00:30:00").getTime
+    try {
+      // 10 micro-batches, one event per hour-window, event time advancing
+      // 1h per batch; the 1h watermark should keep only ~3 open windows
+      // (current + the lag the watermark's batch-boundary update implies)
+      for (h <- 0 until 10) {
+        input.addData(EventStream.Event(
+          h.toLong, new Timestamp(base + h * 3600000L), 1L, "click", 1.0))
+        q.processAllAvailable()
+        totals += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+    } finally q.stop()
+    assert(totals.size == 10)
+    // without eviction the final batch would hold all 10 windows
+    assert(totals.last <= 4, s"eviction stopped: state growth $totals")
+    assert(totals.max <= 4, s"state not bounded: $totals")
+    // and the stream still emitted every window along the way
+    assert(spark.table("evict_spec").select("hour").distinct().count() == 10)
+  }
+
+  test("dedupStream state evicts keys beyond the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.dedupStream(
+      input.toDS().toDF(), keys = Seq("event_id"), horizon = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_evict_spec")
+      .outputMode("append").start()
+    val totals = scala.collection.mutable.ArrayBuffer[Long]()
+    val base = ts("2026-01-01 00:00:00").getTime
+    try {
+      // 6 batches of one DISTINCT key each, 30 min apart, 10-min horizon:
+      // every key is past the horizon by the next batch, so state must
+      // hover near 1-2 entries, never accumulate toward 6
+      for (b <- 0 until 6) {
+        input.addData(EventStream.Event(
+          b.toLong, new Timestamp(base + b * 1800000L), 1L, "click", 1.0))
+        q.processAllAvailable()
+        totals += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+    } finally q.stop()
+    assert(totals.max <= 3, s"dedup state not bounded: $totals")
+    assert(totals.last <= 2, s"horizon eviction stopped: $totals")
+    // all 6 distinct keys passed through (nothing wrongly deduped)
+    assert(spark.table("dedup_evict_spec").count() == 6)
+  }
+
   test("userTotals accumulates state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.Event]

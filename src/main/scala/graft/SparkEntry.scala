@@ -90,12 +90,7 @@ object SparkEntry {
     * shutdown hook — `deleteOnExit` can't delete a non-empty directory. */
   private def scratchDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(d.toFile)
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(d.toString)))
     d.toString
   }
 
@@ -114,10 +109,16 @@ object SparkEntry {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
-  /** Recursive local delete (scratch hygiene for re-runnable queries). */
+  /** Recursive local delete (scratch hygiene for re-runnable queries).
+    * Symlinks are leaves: `File.listFiles` FOLLOWS a symlink to a
+    * directory, so recursing through one would delete the TARGET's
+    * contents — a staged source link must never take the data dir with
+    * it. Deleting the link itself is always safe. */
   private def rmTree(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+        Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
     }
     rm(new java.io.File(path))
   }
@@ -422,16 +423,27 @@ object SparkEntry {
       // by a strong hash of the full path (hashCode could collide two
       // distinct data dirs → silently streaming the wrong sf's events)
       val sdir = s"$streamScratchDir/${dirKey(dir)}"
+      rmTree(sdir)
       new java.io.File(sdir).mkdirs()
-      val link = java.nio.file.Paths.get(s"$sdir/events.parquet")
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      java.nio.file.Files.deleteIfExists(link)
-      try java.nio.file.Files.createSymbolicLink(link, src)
-      catch {
-        // filesystems/principals without symlink permission: copy instead
-        // (bench/verify data-plane only — a few MB at the judged SFs)
-        case _: UnsupportedOperationException | _: java.io.IOException =>
-          java.nio.file.Files.copy(src, link)
+      // stage every DATA FILE at the top of the scratch dir: when the
+      // events table is a multi-file parquet DIRECTORY (any generated SF),
+      // a symlink to the directory itself would stream NOTHING — the file
+      // source lists plain files and does not recurse into a linked dir
+      val src = new java.io.File(s"$dir/events.parquet")
+      val files =
+        if (src.isDirectory)
+          src.listFiles().toSeq
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        else Seq(src)
+      files.zipWithIndex.foreach { case (f, i) =>
+        val link = java.nio.file.Paths.get(s"$sdir/part-$i.parquet")
+        try java.nio.file.Files.createSymbolicLink(link, f.toPath)
+        catch {
+          // filesystems/principals without symlink permission: copy
+          // instead (bench/verify data-plane only)
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(f.toPath, link)
+        }
       }
       // no pre-drop needed: the memory sink registers its result with
       // createOrReplaceTempView, so a re-run in the same session replaces

@@ -174,6 +174,21 @@ object TextDedup {
     * shingle buckets, so it stays tractable exactly when shingles are
     * discriminative.
     *
+    * Why NOT a prefix filter (AllPairs/PPJoin — Bayardo WWW'07, Xiao
+    * WWW'08): measured and rejected for the τ=0.3 regime this truth tier
+    * runs at (probe: [[graft.PrefixProbe]]). At sf1 the rarest-first
+    * prefix index still retains 72% of the pair volume (178M of 249M) and
+    * yields 58M DISTINCT candidates, so the verify join would shuttle
+    * ~70 GB of shingle arrays — 3–6× slower than count-based verification
+    * end to end. This matches the published finding that set-similarity
+    * prefix filters degrade toward the full index join at low thresholds
+    * (Mann et al., EDBT'16 evaluation); count-based intersection keeps
+    * verification INSIDE the aggregation (map-side combinable, no array
+    * payloads) and is the right shape for τ ≤ ~0.5. A high-threshold
+    * caller (τ ≥ 0.7) wanting sub-bucket² candidates should reach for
+    * [[nearDuplicates]], whose MinHash screen is the standard approximate
+    * answer.
+    *
     * `maxDf` is the scale dial: drop shingles occurring in more than that
     * many documents before indexing. With it set, BOTH the intersection
     * and the set sizes are computed in the filtered shingle space — i.e.

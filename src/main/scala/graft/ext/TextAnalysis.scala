@@ -336,4 +336,37 @@ object TextAnalysis {
         floor((lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
           * 10000).as("rep_bp"))
   }
+
+  /** Sliding-window document CHUNKING — the embedding/RAG prep step:
+    * each document becomes ⌈tokens/stride⌉ chunks of up to `chunkSize`
+    * whitespace tokens, consecutive chunks overlapping by `overlap`
+    * tokens (stride = chunkSize − overlap), so no boundary sentence is
+    * lost to a hard cut. Emits `(id, chunk_idx, n_tokens, chunk_md5)` —
+    * the md5 is a portable content address for the chunk text (join key
+    * for embedding caches; any engine recomputes it identically).
+    *
+    * Pure per-row projection + explode: zero shuffles, no window — chunk
+    * boundaries depend only on the row itself, so the operator scales
+    * with a plain map at any corpus size. */
+  def chunkDocs(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+                chunkSize: Int = 64, overlap: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"chunkSize ($chunkSize) must exceed overlap ($overlap)")
+    val stride = chunkSize - overlap
+    val toks = split(trim(col(text)), "\\s+")
+    val n = size(toks)
+    // last chunk start = largest i*stride < n  →  i ≤ (n-1)/stride
+    val nChunks = floor((n - lit(1)).cast("double") / lit(stride)).cast("int") + lit(1)
+    val chunks = transform(sequence(lit(0), nChunks - lit(1)), i => {
+      val start = i * lit(stride)
+      struct(
+        i.cast("long").as("chunk_idx"),
+        least(lit(chunkSize), n - start).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice(toks, start + lit(1), lit(chunkSize))).cast("binary"))
+          .as("chunk_md5"))
+    })
+    docs.select(col(id), explode(chunks).as("ch"))
+      .select(col(id), col("ch.chunk_idx").as("chunk_idx"),
+        col("ch.n_tokens").as("n_tokens"), col("ch.chunk_md5").as("chunk_md5"))
+  }
 }

@@ -273,6 +273,51 @@ object TextDedup {
         floor(col("n_overlap") * lit(10000.0) / col("n_shingles")).as("contam_bp"))
   }
 
+  /** EXACT duplicate-SPAN detection: the substring-level dedup of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better"), re-expressed relationally. A token `k`-gram occurring ≥
+    * `minOcc` times across the corpus (including self-repeats within one
+    * document — boilerplate headers, license blocks, chat templates) marks
+    * every position it covers as duplicated; adjacent duplicated k-gram
+    * starts merge into MAXIMAL spans per document. Output
+    * `(doc_id, span_start, span_end, n_dup_grams)` with 0-based token
+    * indices, span_end inclusive (= last gram start + k − 1).
+    *
+    * Scale shape (100 TB): grams are compiled 64-bit rolling projections
+    * (xxhash64 of the joined window — string-identical up to hash
+    * collisions, the d6 equivalence); duplicate grams are found with a
+    * map-side-combinable count (hot boilerplate grams combine at their
+    * source partitions — the skew works FOR the aggregate) and recovered
+    * via a semi-join, never a collect_list per gram (a mega-repeated
+    * gram would otherwise build one unbounded bucket). The island merge
+    * is a per-document window — partitioned by doc_id, no global sort. */
+  def duplicateSpans(
+      docs: DataFrame, id: String, text: String,
+      k: Int = 13, minOcc: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // compiled positional gram kernel: one split + one rolling build per
+    // doc (a transform(sequence…) lambda re-runs the regex split per
+    // element — measured 10× slower); posexplode supplies the 0-based
+    // gram start position
+    val gpos = docs
+      .select(col(id).as("doc_id"),
+        posexplode(graft.functions.VectorExpressions.gramHash64(col(text), k))
+          .as(Seq("pos", "g")))
+    val dupG = gpos.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minOcc).select("g")
+    val dupPos = gpos.join(dupG, Seq("g"), "left_semi")
+    // gaps-and-islands: pos − row_number() is constant exactly along a run
+    // of consecutive duplicated gram starts
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select("doc_id", "span_start", "span_end", "n_dup_grams")
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 votes from
     * each token's xxhash64; bit set where the vote is positive.
     * Compiled single pass (see [[graft.functions.VectorExpressions.SimHash64]]). */

@@ -72,6 +72,11 @@ class SqlSurfaceSpec extends SparkSpec {
         .orderBy("doc_id"))
 
     same(
+      "SELECT doc_id, gram_hash64(text, 5) AS g FROM documents ORDER BY doc_id",
+      docs.select(col("doc_id"), VectorExpressions.gramHash64(col("text"), 5).as("g"))
+        .orderBy("doc_id"))
+
+    same(
       """SELECT doc_id, minhash_sig(shingle_hash64(text, 5), 16, 42) AS sig
         |FROM documents ORDER BY doc_id""".stripMargin,
       docs.select(col("doc_id"),
@@ -125,7 +130,7 @@ class SqlSurfaceSpec extends SparkSpec {
         .withExtensions(new GraftExtensions)
         .getOrCreate()
       for (n <- Seq("vec_dot", "vec_cosine", "simhash64", "minhash_sig",
-          "shingle_hash64", "hyperplane_bucket", "nearest_cells",
+          "shingle_hash64", "gram_hash64", "hyperplane_bucket", "nearest_cells",
           "nfc_normalize", "char_entropy", "topk_ids_by"))
         assert(s2.catalog.functionExists(n), s"$n not injected")
       val r = s2.sql(

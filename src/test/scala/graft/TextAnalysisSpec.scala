@@ -210,6 +210,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("chunkDocs: stride boundaries, tail chunk, and content-address md5") {
+    import graft.ext.TextAnalysis
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, ten), (2L, "solo")).toDF("doc_id", "text")
+    // chunkSize=4, overlap=1 -> stride 3: starts 0,3,6,9
+    val got = TextAnalysis.chunkDocs(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val toks = ten.split(" ")
+    val exp = Seq(0, 3, 6, 9).zipWithIndex.map { case (s0, i) =>
+      val slice = toks.slice(s0, s0 + 4)
+      (1L, i.toLong, slice.length.toLong, md5hex(slice.mkString(" ")))
+    } :+ ((2L, 0L, 1L, md5hex("solo")))
+    assert(got.toSeq == exp)
+  }
+
   test("charEntropy: single-char doc is zero, uniform alphabet hits ln(n)") {
     import graft.ext.TextAnalysis
     val docs = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aabb")).toDF("id", "txt")

@@ -40,6 +40,24 @@ class TextDedupSpec extends SparkSpec {
     assert(indexed == direct)
   }
 
+  test("duplicateSpans merges adjacent duplicated k-gram starts into maximal spans") {
+    val spanDocs = Seq(
+      (1L, "a b c d e f g h"),     // shares "c d e","d e f" with doc 2
+      (2L, "x y c d e f z w"),
+      (3L, "p q r s p q r s"),     // self-repeat: two islands
+      (4L, "k l m n o u v q"),     // all grams unique -> no rows
+      (5L, "a b"))                 // < k tokens -> no grams
+      .toDF("doc_id", "text")
+    val spans = TextDedup.duplicateSpans(spanDocs, "doc_id", "text", k = 3, minOcc = 2)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq(
+      (1L, 2L, 5L, 2L),   // grams at pos 2,3 cover tokens 2..5
+      (2L, 2L, 5L, 2L),
+      (3L, 0L, 3L, 2L),   // "p q r","q r s" at pos 0,1
+      (3L, 4L, 7L, 2L)))  // same grams again at pos 4,5 — separate island
+  }
+
   test("maxDf computes df-filtered Jaccard: rare-shingle space, sizes included") {
     // cap above the duplicate-cluster size (3): nothing filtered that the
     // J>=0.3 pairs rely on -> identical pair set

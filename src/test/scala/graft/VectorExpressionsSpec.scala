@@ -83,6 +83,24 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("gramHash64 matches HOF positional grams; short docs yield empty") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b"),             // fewer tokens than n -> NO gram (unlike shingles)
+      (3L, ""),
+      (4L, "  x   y  z "),     // irregular whitespace
+      (5L, "r r r r r")).toDF("id", "text")  // repeats preserved, in order
+    val toks = split(trim(col("text")), "\\s+")
+    val hof = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - lit(3)),
+        i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(3))))))
+      .otherwise(array().cast("array<bigint>"))
+    val rows = docs.select(hof.as("hof"),
+      VectorExpressions.gramHash64(col("text"), 3).as("gen")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    assert(rows(4).getSeq[Long](1).size == 3) // positional: dups NOT deduped
+  }
+
   test("simhash compiled matches the HOF simhash") {
     val docs = Seq(
       (1L, "the quick brown fox"),

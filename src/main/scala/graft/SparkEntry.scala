@@ -1295,6 +1295,25 @@ object SparkEntry {
         k = 13, minOcc = 2)
     }),
 
+    // D12 duplicate-span REMOVAL — the act to d11's detection (Lee et al.
+    // remove-all-copies policy): covered tokens cut, survivors re-joined
+    // with canonical single spaces, untouched docs passing through with
+    // n_tokens_removed = 0 so the output stays row-for-row with the
+    // corpus. The oracle rebuilds every document relationally (token
+    // explode, anti-join against span coverage, ordered re-aggregation),
+    // so the per-row indexed filter lambda is hash-judged token for token.
+    "d12_span_removal" -> ((s, dir) => {
+      TextDedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 13, minOcc = 2)
+        // vacuously-true guard on a COMPUTED column: without it the
+        // bench's count() action lets Catalyst eliminate the unique-key
+        // left join and with it the entire span pipeline (the timed plan
+        // would be a bare corpus count; the written parquet was always
+        // real). Filters bear on cardinality, so the plan survives count
+        // pruning; every row passes, so the oracle is untouched.
+        .filter(col("n_tokens_removed") >= 0)
+    }),
+
     // C9 sliding-window chunking with overlap (embedding/RAG prep): every
     // doc → ⌈tokens/48⌉ chunks of ≤64 tokens overlapping by 16; chunk
     // content addressed by md5 so the oracle pins both the boundary
@@ -2528,6 +2547,47 @@ object SparkEntry {
         |  CAST(max(pos) + 12 AS BIGINT) AS span_end,
         |  CAST(count(*) AS BIGINT) AS n_dup_grams
         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+
+    // d12: spans re-derived as in d11, then every document rebuilt
+    // relationally — tokens exploded with positions, covered positions
+    // anti-joined away, survivors re-joined in order.
+    "d12_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 11),
+        |    i -> {'pos': i - 1,
+        |          'gram': array_to_string(list_slice(t, i, i + 12), ' ')})) AS pg
+        |  FROM toks WHERE len(t) >= 13),
+        |g2 AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g),
+        |d AS (SELECT gram FROM g2 GROUP BY 1 HAVING count(*) >= 2),
+        |p AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN d USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM p),
+        |sp AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 12 AS e
+        |  FROM isl GROUP BY doc_id, grp),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |    i -> {'pos': i - 1, 'tok': t[i]})) AS p
+        |  FROM toks),
+        |tp AS (SELECT doc_id, p.pos AS pos, p.tok AS tok FROM tok),
+        |keep AS (
+        |  SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.doc_id = tp.doc_id AND tp.pos BETWEEN sp.s AND sp.e)),
+        |rebuilt AS (
+        |  SELECT doc_id, coalesce(array_to_string(list(tok ORDER BY pos), ' '), '')
+        |      AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM keep GROUP BY doc_id)
+        |SELECT toks.doc_id,
+        |  coalesce(rebuilt.clean_text, '') AS clean_text,
+        |  CAST(len(toks.t) - coalesce(rebuilt.n_kept, 0) AS BIGINT)
+        |    AS n_tokens_removed
+        |FROM toks LEFT JOIN rebuilt ON rebuilt.doc_id = toks.doc_id""".stripMargin,
 
     // c9: boundary arithmetic (stride 48, size 64) and chunk text both
     // pinned via the md5 content address.

@@ -318,6 +318,40 @@ object TextDedup {
       .select("doc_id", "span_start", "span_end", "n_dup_grams")
   }
 
+  /** The ACT to [[duplicateSpans]]' detection: cut every duplicated span
+    * out of each document (the Lee et al. 2021 "remove all copies"
+    * policy — deterministic and order-free, where keep-first would need a
+    * global occurrence ranking). Returns one row per input document:
+    * `(doc_id, clean_text, n_tokens_removed)` — untouched docs pass
+    * through with 0, so the output stays row-for-row with the corpus.
+    * `clean_text` is the kept tokens joined by single spaces (canonical
+    * whitespace — the tokenization this family already stands on).
+    *
+    * Shape: span detection as in [[duplicateSpans]], spans folded to one
+    * small per-doc list (bounded by spans-per-doc, not corpus size), LEFT
+    * join back to the corpus, and a per-row indexed filter drops covered
+    * tokens — no extra shuffle beyond the span list's groupBy. */
+  def removeDuplicateSpans(
+      docs: DataFrame, id: String, text: String,
+      k: Int = 13, minOcc: Int = 2): DataFrame = {
+    val spans = duplicateSpans(docs, id, text, k, minOcc)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    // expressions resolve AGAINST THE JOINED FRAME's canonical names, so a
+    // caller's arbitrary text column name can't leak into the lambda
+    val toks = split(trim(col("_t")), "\\s+")
+    val sp = coalesce(col("spans"),
+      array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+    val kept = filter(toks, (t, i) =>
+      !exists(sp, s => i.cast("long") >= s.getField("span_start") &&
+        i.cast("long") <= s.getField("span_end")))
+    docs.select(col(id).as("doc_id"), col(text).as("_t"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", kept).as("clean_text"),
+        (size(toks) - size(kept)).cast("long").as("n_tokens_removed"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 votes from
     * each token's xxhash64; bit set where the vote is positive.
     * Compiled single pass (see [[graft.functions.VectorExpressions.SimHash64]]). */

@@ -58,6 +58,25 @@ class TextDedupSpec extends SparkSpec {
       (3L, 4L, 7L, 2L)))  // same grams again at pos 4,5 — separate island
   }
 
+  test("removeDuplicateSpans cuts covered tokens, passes clean docs through") {
+    val spanDocs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y c d e f z w"),
+      (3L, "p q r s p q r s"),     // everything covered -> empty doc
+      (4L, "k l m n o u v q"),
+      (5L, "a b"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.removeDuplicateSpans(spanDocs, "doc_id", "text", k = 3, minOcc = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "a b g h", 4L),
+      (2L, "x y z w", 4L),
+      (3L, "", 8L),
+      (4L, "k l m n o u v q", 0L),
+      (5L, "a b", 0L)))
+  }
+
   test("maxDf computes df-filtered Jaccard: rare-shingle space, sizes included") {
     // cap above the duplicate-cluster size (3): nothing filtered that the
     // J>=0.3 pairs rely on -> identical pair set

@@ -236,4 +236,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).size <= 1 && windows(p).isEmpty,
       s"from_json must fuse into the scan + one aggregate:\n$p")
   }
+
+  test("c9 chunking is a zero-shuffle, window-free projection") {
+    val p = q("c9_chunks")
+    assert(shuffles(p).isEmpty && windows(p).isEmpty,
+      s"chunkDocs must stay a per-row explode projection:\n$p")
+  }
+
+  test("d11 span detection: per-doc window only, duplicate grams ride a semi-join") {
+    val p = q("d11_dup_spans")
+    // one exchange partitions by doc_id for the island window + the
+    // duplicate-gram aggregation's exchange; a third shuffle appearing
+    // means the semi-join stopped broadcasting or the window went global
+    assert(windows(p).size == 1, s"island merge must be one window:\n$p")
+    assert(windows(p).forall(_.requiredChildDistribution.head !=
+      org.apache.spark.sql.catalyst.plans.physical.AllTuples),
+      s"island window must partition by doc_id, not single-partition:\n$p")
+    assert(shuffles(p).size <= 3, s"d11 grew extra shuffles (${shuffles(p).size}):\n$p")
+  }
+
+  test("d12 span removal adds only the span-list fold to d11's shape") {
+    val p = q("d12_span_removal")
+    assert(windows(p).size == 1, s"d12 must keep d11's single island window:\n$p")
+    assert(shuffles(p).size <= 5, s"d12 grew extra shuffles (${shuffles(p).size}):\n$p")
+  }
 }

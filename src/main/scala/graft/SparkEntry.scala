@@ -56,6 +56,18 @@ object SparkEntry {
     * starts distorting neighborhoods. */
   val QuantizedRecallMinBp = 8000
 
+  /** e11 gates. PQ at m=16/ksub=256 (16× compression on 64-dim floats) is
+    * a SHORTLIST tier — exact top-3 among this corpus' near-tied
+    * within-cluster cosines is unstable under any reconstruction error
+    * (measured direct recall@3: int8's 9816 bp vs PQ's 5050), so the gate
+    * measures PQ's actual contracts (graft.PqProbe, sf0.01/sf0.1):
+    * true top-3 inside the PQ top-10 an ADC scan hands a re-ranker
+    * (measured 9633/8300 bp) and mean reconstruction cosine (measured
+    * 9844/9656 bp). Gates sit below the floors so only a codebook/encode
+    * regression — which craters both — trips them, not corpus drift. */
+  val PqShortlistMinBp = 6000
+  val PqReconMinBp = 9000
+
   /** e10 gates (measured via the e10 query itself at sf0.01/sf0.1 —
     * cluster-recall of cosine ≥ 0.4 pairs under k=10 single-assignment
     * k-means). Recall floor sits above the ~1000 bp random-assignment
@@ -1091,6 +1103,31 @@ object SparkEntry {
       val exact = Similarity.knnBruteFor(emb.filter(sub), emb, "vec_id", "embedding", k = 3)
       val approx = Similarity.knnBruteFor(deq.filter(sub), deq, "vec_id", "embedding", k = 3)
       Similarity.recallGate(approx, exact, minBp = QuantizedRecallMinBp)
+    }),
+
+    // E11 product-quantization gate (Jégou et al. 2011 — the byte-budget
+    // tier of the ANN family: brute → LSH → IVF → int8 → PQ). Two flags
+    // with opposite failure modes: shortlist_ok (true top-3 within the PQ
+    // top-10 that ADC hands a re-ranker) catches ranking collapse,
+    // recon_ok (mean cosine original↔decoded) catches codebook decay that
+    // a lucky shortlist could mask. Constant oracle, e6/e7/e8 shape.
+    "e11_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sub = col("vec_id") % 5 === 0
+      val books = Similarity.pqFit(emb, "vec_id", "embedding",
+        m = 16, ksub = 256, sampleN = 2048, iters = 6)
+      val pq = emb.select(col("vec_id"),
+        Similarity.pqDecode(Similarity.pqEncode(col("embedding"), books), books)
+          .as("embedding"))
+      val exact = Similarity.knnBruteFor(emb.filter(sub), emb, "vec_id", "embedding", k = 3)
+      val short10 = Similarity.knnBruteFor(pq.filter(sub), pq, "vec_id", "embedding", k = 10)
+      val shortGate = Similarity.recallGate(short10, exact, minBp = PqShortlistMinBp)
+        .select(col("n_query_vecs"), col("recall_ok").as("shortlist_ok"))
+      val recon = emb.select(col("vec_id"), col("embedding").as("o"))
+        .join(pq.select(col("vec_id"), col("embedding").as("r")), Seq("vec_id"))
+        .agg(when(floor(avg(Similarity.cosine(col("o"), col("r"))) * 10000)
+          >= PqReconMinBp, lit(1L)).otherwise(lit(0L)).as("recon_ok"))
+      shortGate.crossJoin(recon)
     }),
 
     // E4 embedding-cosine near-duplicate pairs (compiled kernel; sim
@@ -2372,6 +2409,12 @@ object SparkEntry {
 
     "e8_quantized_recall" ->
       """SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+
+    // e11: constant-oracle two-flag gate (see e6/e7/e8)
+    "e11_pq_recall" ->
+      """SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS shortlist_ok,
+        |  CAST(1 AS BIGINT) AS recon_ok
         |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
 
     // w4: LATERAL top-1 per row is the declarative as-of spec; the engine

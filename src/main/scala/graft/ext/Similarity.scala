@@ -397,6 +397,65 @@ object Similarity {
           >= minBp, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
   }
 
+  /** Product-quantization codebooks (Jégou et al., PAMI 2011 — the
+    * IVF-PQ storage tier of every large vector store): the vector split
+    * into `m` contiguous subspaces, each sub-quantized by its own
+    * `ksub`-centroid Lloyd fit. At m=8/ksub=16 a 64-dim float vector
+    * compresses 32× (256 bytes → 8 code bytes).
+    *
+    * Same determinism seam as [[knnIvf]]'s fit: a bounded driver sample
+    * ordered by id, value-level distinct init, fixed iterations — the
+    * codebooks are a pure function of the table. Encode/decode run as
+    * compiled kernels with the codebook matrix as a reference object
+    * ([[graft.functions.VectorExpressions.PqEncode]]).
+    *
+    * Search note: `cosine(query, pq_decode(codes))` IS the asymmetric
+    * distance computation of the paper — the per-query LUT is an
+    * evaluation-order optimization of the same quantity, so the e11
+    * recall gate measures exactly what an ADC scan would deliver. At
+    * scale, compose with [[knnIvf]]: cells bound the candidates, codes
+    * bound the bytes each candidate costs. */
+  def pqFit(emb: DataFrame, id: String, vec: String,
+            m: Int = 8, ksub: Int = 16, sampleN: Int = 256,
+            iters: Int = 5): Array[Array[Array[Double]]] = {
+    val sample = emb.orderBy(col(id)).limit(sampleN)
+      .select(col(vec)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty embedding table")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      var centroids = sub.map(_.toSeq).distinct.map(_.toArray).take(ksub)
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(centroids.length)(new Array[Double](dsub))
+        val counts = new Array[Int](centroids.length)
+        for (v <- sub) {
+          val c = nearest(centroids, v)
+          counts(c) += 1
+          var d = 0
+          while (d < dsub) { sums(c)(d) += v(d); d += 1 }
+        }
+        centroids = centroids.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else { val u = sums(c); var d = 0; while (d < dsub) { u(d) /= counts(c); d += 1 }; u }
+        }
+        it += 1
+      }
+      centroids
+    }
+  }
+
+  /** [[graft.functions.VectorExpressions.pqEncode]] re-exported beside
+    * its codebook fit. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.VectorExpressions.pqEncode(vec, codebooks)
+
+  def pqDecode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.VectorExpressions.pqDecode(codes, codebooks)
+
   /** Scalar int8 quantization of an embedding column — the standard 4×
     * storage compression for vector stores: each vector is scaled by its
     * own max-abs into [-127, 127] ints; [[dequantizeInt8]] reconstructs

@@ -386,6 +386,101 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Product-quantization ENCODE (Jégou et al., PAMI 2011): the vector
+    * split into `codebooks.length` contiguous subspaces, each mapped to
+    * the index of its nearest sub-centroid (squared L2, ties by index).
+    * Output: array<int> of m codes — the 8-byte-per-vector storage form
+    * at m=8. Codebooks ride as a reference object (see
+    * [[HyperplaneBucket]]'s note on literal-tree JIT blowup). */
+  case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = checkVecTypes(child)
+    override def prettyName: String = "pq_encode"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val isFloat = elemPrim(child.dataType) == "Float"
+      val m = codebooks.length
+      val out = new Array[Int](m)
+      var s = 0
+      var off = 0
+      while (s < m) {
+        val book = codebooks(s)
+        val dsub = book(0).length
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          val cc = book(c)
+          var d = 0.0
+          var j = 0
+          while (j < dsub && off + j < v.numElements()) {
+            val x = (if (isFloat) v.getFloat(off + j).toDouble
+                     else v.getDouble(off + j)) - cc(j)
+            d += x * x
+            j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(s) = best
+        off += dsub
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("pqEnc", this, classOf[PqEncode].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+  }
+
+  /** Product-quantization DECODE: codes back to the concatenation of
+    * their sub-centroids (array<float>, ready for the cosine kernels).
+    * `cosine(query, pq_decode(codes))` IS the asymmetric distance
+    * computation — the LUT form is an evaluation-order optimization of
+    * the same quantity. */
+  case class PqDecode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(s"expected array<int>, got ${dt.simpleString}")
+    }
+    override def prettyName: String = "pq_decode"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val codes = input.asInstanceOf[ArrayData]
+      val m = math.min(codes.numElements(), codebooks.length)
+      var dim = 0
+      var s = 0
+      while (s < codebooks.length) { dim += codebooks(s)(0).length; s += 1 }
+      val out = new Array[Float](dim)
+      var off = 0
+      s = 0
+      while (s < m) {
+        val book = codebooks(s)
+        val cc = book(math.max(0, math.min(codes.getInt(s), book.length - 1)))
+        var j = 0
+        while (j < cc.length) { out(off + j) = cc(j).toFloat; j += 1 }
+        off += cc.length
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("pqDec", this, classOf[PqDecode].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($v);")
+    }
+    override protected def withNewChildInternal(c: Expression): PqDecode = copy(child = c)
+  }
+
   /** Indices of the `nProbe` nearest centroids (squared L2), ascending by
     * distance, ties by index — the IVF cell assignment, one compiled pass
     * with the centroid matrix as a reference object. */
@@ -458,6 +553,15 @@ object VectorExpressions {
 
   def gramHash64(text: Column, n: Int): Column =
     Shim.column(GramHash64(Shim.expression(text), n))
+
+  // PQ kernels take a 3-D codebook reference object — deliberately NOT on
+  // the SQL surface (lit2Matrix parses 2-D literals; a 3-D literal tree is
+  // exactly the JIT blowup the reference-object pattern avoids)
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Shim.column(PqEncode(Shim.expression(vec), codebooks))
+
+  def pqDecode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Shim.column(PqDecode(Shim.expression(codes), codebooks))
 
   def hyperplaneBucket(vec: Column, planes: Array[Array[Double]]): Column =
     Shim.column(HyperplaneBucket(Shim.expression(vec), planes))

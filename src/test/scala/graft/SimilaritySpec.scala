@@ -77,6 +77,36 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.map(_.toSeq).distinct.length == cents.length)
   }
 
+  test("PQ: lossless when codebooks can hold every distinct subvector; codes in domain") {
+    import spark.implicits._
+    // 12 vectors built from 3 distinct 2-dim subvector patterns per
+    // subspace — ksub=4 > 3 distinct, so Lloyd parks a centroid on each
+    // point and decode(encode(v)) must reproduce v EXACTLY
+    val pats = Seq(
+      Array(1f, 0f, 0f, 1f, 1f, 1f),
+      Array(0f, 1f, 1f, 0f, 2f, 2f),
+      Array(2f, 2f, 2f, 2f, 0f, 0f))
+    val emb = (0 until 12).map(i => (i.toLong, pats(i % 3).toSeq)).toDF("vec_id", "embedding")
+    val books = Similarity.pqFit(emb, "vec_id", "embedding", m = 3, ksub = 4,
+      sampleN = 12, iters = 4)
+    assert(books.length == 3 && books.forall(_.forall(_.length == 2)))
+    val out = emb.select(col("vec_id"),
+      Similarity.pqEncode(col("embedding"), books).as("codes"),
+      Similarity.pqDecode(Similarity.pqEncode(col("embedding"), books), books).as("rec"),
+      col("embedding"))
+      .collect()
+    out.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.size == 3 && codes.forall(c => c >= 0 && c < 4))
+      assert(r.getSeq[Float](2) == r.getSeq[Float](3),
+        s"vec ${r.getLong(0)} not reconstructed exactly")
+    }
+    // determinism: a second fit yields the same codebooks
+    val books2 = Similarity.pqFit(emb, "vec_id", "embedding", m = 3, ksub = 4,
+      sampleN = 12, iters = 4)
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq == books2.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("semantic dedup: candidates are a subset of exact pairs at the same tau") {
     val emb = Tables.load(spark, sf, "embeddings")
     val (cents, _) = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 3)

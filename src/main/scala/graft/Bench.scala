@@ -46,7 +46,10 @@ object Bench {
     // Warming untimed makes the timed passes compare like-for-like, so the
     // headline (min COMPLETE pass) stops depending on which pass the host
     // was quiet for. SPARK_GRAFT_BENCH_WARMUP=0 restores cold-start timing.
-    val warmupPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
+    // tolerant parse: a typo'd value must not abort a multi-hour run
+    // before any pass — fall back to the warmed default
+    val warmupPasses =
+      sys.env.get("SPARK_GRAFT_BENCH_WARMUP").flatMap(_.toIntOption).getOrElse(1)
 
     // drop anything a query left pinned in the block manager so the next
     // measurement starts from a clean executor heap (runs OUTSIDE timers).

@@ -42,8 +42,8 @@ object RecallProbe {
       m = 16, ksub = 256, sampleN = 2048, iters = 6)
     val pq = emb.select(col("vec_id"),
       Similarity.pqDecode(Similarity.pqEncode(col("embedding"), books), books).as("embedding"))
-    val pqR3 = bp(Similarity.knnBruteFor(pq.filter(sub), pq, "vec_id", "embedding", 3))
-    val pqShort = bp(Similarity.knnBruteFor(pq.filter(sub), pq, "vec_id", "embedding", 10))
+    val pqR3 = bp(Similarity.knnBruteFor(emb.filter(sub), pq, "vec_id", "embedding", 3))
+    val pqShort = bp(Similarity.knnBruteFor(emb.filter(sub), pq, "vec_id", "embedding", 10))
     val pqRecon = emb.select(col("vec_id"), col("embedding").as("o"))
       .join(pq.select(col("vec_id"), col("embedding").as("r")), Seq("vec_id"))
       .agg(floor(avg(Similarity.cosine(col("o"), col("r"))) * 10000)).head().getLong(0)

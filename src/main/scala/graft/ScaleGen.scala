@@ -18,10 +18,17 @@ import org.apache.spark.sql.functions._
   *    nation/region stay fixed (dimension tables don't grow with SF —
   *    same as TPC-H);
   *  - document text in replicas > 0 is salted with a replica token every
-  *    two words: within a replica all shingle relationships (planted
-  *    near-dups, duplicate clusters) survive verbatim, while every 3-gram
-  *    crosses a salt so cross-replica Jaccard collapses to ~0 — near-dup
-  *    pairs scale ×factor with the corpus, as a real corpus's do;
+  *    two words: within a replica, pairs whose shared text sits at the
+  *    SAME word offset keep their shingle relationships (this corpus'
+  *    planted near-dups and duplicate clusters are aligned edits —
+  *    confirmed by the measured exactly-×10 true-pair scaling at sf1),
+  *    while every 3-gram crosses a salt so cross-replica Jaccard
+  *    collapses to ~0 — near-dup pairs scale ×factor with the corpus, as
+  *    a real corpus's do. Caveat: a near-dup pair whose shared run is
+  *    shifted by an ODD word offset (e.g. a one-token prefix insert)
+  *    would land its salts at different phases and lose its shared
+  *    grams in replicas > 0 — this corpus plants none, but a different
+  *    source corpus might;
   *  - embeddings in replicas > 0 are cyclically dimension-rolled (an
   *    orthogonal permutation: within-replica cosines — and therefore
   *    neighborhoods, cluster structure, recall workloads — are EXACTLY
@@ -108,7 +115,12 @@ object ScaleGen {
 
     val emb = read("embeddings")
     // cyclic dimension roll by 7*rep (mod dim): orthogonal, so within-
-    // replica cosines are exact; cross-replica neighborhoods decorrelate
+    // replica cosines are exact; cross-replica neighborhoods decorrelate.
+    // The roll degenerates to the IDENTITY when 7*rep ≡ 0 (mod dim) —
+    // for 64-dim vectors that is replica 64 — which would manufacture
+    // exact cross-replica twins, the very pathology this tool avoids
+    require(factor <= 63,
+      s"factor $factor: dimension roll would repeat at replica 64 (7*64 % 64 = 0)")
     val sh = pmod(col("__rep") * 7, size(col("embedding"))).cast("int")
     val rolled = when(col("__rep") === 0, col("embedding")).otherwise(
       concat(

@@ -60,11 +60,13 @@ object SparkEntry {
     * a SHORTLIST tier — exact top-3 among this corpus' near-tied
     * within-cluster cosines is unstable under any reconstruction error
     * (measured direct recall@3: int8's 9816 bp vs PQ's 5050), so the gate
-    * measures PQ's actual contracts (graft.PqProbe, sf0.01/sf0.1):
-    * true top-3 inside the PQ top-10 an ADC scan hands a re-ranker
-    * (measured 9633/8300 bp) and mean reconstruction cosine (measured
-    * 9844/9656 bp). Gates sit below the floors so only a codebook/encode
-    * regression — which craters both — trips them, not corpus drift. */
+    * measures PQ's actual contracts (graft.RecallProbe, sf0.01/sf0.1):
+    * true top-3 inside the PQ top-10 an ADC scan hands a re-ranker —
+    * queries EXACT, corpus decoded (measured 9900/9333 bp; quantizing
+    * both sides would measure the lower SDC quantity instead) — and mean
+    * reconstruction cosine (measured 9844/9656 bp). Gates sit below the
+    * floors so only a codebook/encode regression — which craters both —
+    * trips them, not corpus drift. */
   val PqShortlistMinBp = 6000
   val PqReconMinBp = 9000
 
@@ -96,6 +98,14 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** SF-adaptive participant-id modulus shared by the v7/v8/v9 pipeline
+    * fixtures (~2 customers per id at every scale factor). ONE definition:
+    * the three gates compare against oracles that derive the same value
+    * with a scalar subquery, so a drifting copy here would silently break
+    * cross-gate comparability. */
+  private def participantMod(s: SparkSession, dir: String): Long =
+    math.max(t(s, dir, "customer").count() / 2, 1L)
 
   /** Session-scoped scratch dir (one per roundtrip query): contents
     * overwritten per invocation, never accreted; recursively removed by a
@@ -484,7 +494,7 @@ object SparkEntry {
       // a fixed modulus degenerates to all-conflict (everything cascaded)
       // or no-collision as the SF moves. The oracle derives the same
       // modulus with a scalar subquery.
-      val mod = math.max(t(s, dir, "customer").count() / 2, 1L)
+      val mod = participantMod(s, dir)
       val wide = t(s, dir, "customer").select(
         (col("c_custkey") % mod).cast("string").as("participant_id"),
         lower(col("c_mktsegment")).as("gender"))
@@ -505,7 +515,7 @@ object SparkEntry {
     // sweep fails the hash.
     "v8_reports" -> ((s, dir) => {
       import graft.pipeline.Pipeline
-      val mod = math.max(t(s, dir, "customer").count() / 2, 1L)
+      val mod = participantMod(s, dir)
       val ssnish = concat(lit("note "),
         lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
         lpad((col("c_custkey") % 100).cast("string"), 2, "0"), lit("-"),
@@ -546,7 +556,7 @@ object SparkEntry {
       val root = s"$streamScratchDir/inc_${dirKey(dir)}"
       rmTree(root) // clean slate: appends/checkpoint/state are per-invocation
       val (in, out, ckpt, state) = (s"$root/in", s"$root/out", s"$root/ckpt", s"$root/state")
-      val mod = math.max(t(s, dir, "customer").count() / 2, 1L)
+      val mod = participantMod(s, dir)
       val wide = t(s, dir, "customer").select(
         // row_key: the cross-batch content key (unique pre-dedup), carried
         // on the wide frame only — projectNode keeps it off the node
@@ -1120,7 +1130,10 @@ object SparkEntry {
         Similarity.pqDecode(Similarity.pqEncode(col("embedding"), books), books)
           .as("embedding"))
       val exact = Similarity.knnBruteFor(emb.filter(sub), emb, "vec_id", "embedding", k = 3)
-      val short10 = Similarity.knnBruteFor(pq.filter(sub), pq, "vec_id", "embedding", k = 10)
+      // ADC: queries stay EXACT floats, only the corpus side is decoded —
+      // quantizing both sides would measure symmetric (SDC) recall, a
+      // different (lower) quantity than the deployment scenario
+      val short10 = Similarity.knnBruteFor(emb.filter(sub), pq, "vec_id", "embedding", k = 10)
       val shortGate = Similarity.recallGate(short10, exact, minBp = PqShortlistMinBp)
         .select(col("n_query_vecs"), col("recall_ok").as("shortlist_ok"))
       val recon = emb.select(col("vec_id"), col("embedding").as("o"))

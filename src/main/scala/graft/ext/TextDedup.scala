@@ -182,9 +182,13 @@ object TextDedup {
     * ~70 GB of shingle arrays — 3–6× slower than count-based verification
     * end to end. This matches the published finding that set-similarity
     * prefix filters degrade toward the full index join at low thresholds
-    * (Mann et al., EDBT'16 evaluation); count-based intersection keeps
-    * verification INSIDE the aggregation (map-side combinable, no array
-    * payloads) and is the right shape for τ ≤ ~0.5. A high-threshold
+    * (Mann et al., EDBT'16 evaluation). The probe used the symmetric
+    * self-join prefix β = τ/(1+τ) (provably lossless on both sides); the
+    * asymmetric probe-prefix τ·|x| variant would retain ~70% of tokens
+    * instead of ~77%, which cannot close the four-orders-of-magnitude gap
+    * between 58M candidates and the ~10³ true pairs. Count-based
+    * intersection keeps verification INSIDE the aggregation (map-side
+    * combinable, no array payloads) and is the right shape for τ ≤ ~0.5. A high-threshold
     * caller (τ ≥ 0.7) wanting sub-bucket² candidates should reach for
     * [[nearDuplicates]], whose MinHash screen is the standard approximate
     * answer.

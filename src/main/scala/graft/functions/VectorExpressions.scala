@@ -455,16 +455,26 @@ object VectorExpressions {
 
     protected override def nullSafeEval(input: Any): Any = {
       val codes = input.asInstanceOf[ArrayData]
-      val m = math.min(codes.numElements(), codebooks.length)
+      // fail LOUDLY on shape/domain mismatch: clamping a corrupt code or
+      // zero-filling missing subspaces would produce a plausible-looking
+      // wrong vector whose recon-cosine may stay above the e11 floor —
+      // masking exactly the corruption the gate exists to catch
+      if (codes.numElements() != codebooks.length)
+        throw new IllegalArgumentException(
+          s"pq_decode: ${codes.numElements()} codes for ${codebooks.length} codebooks")
       var dim = 0
       var s = 0
       while (s < codebooks.length) { dim += codebooks(s)(0).length; s += 1 }
       val out = new Array[Float](dim)
       var off = 0
       s = 0
-      while (s < m) {
+      while (s < codebooks.length) {
         val book = codebooks(s)
-        val cc = book(math.max(0, math.min(codes.getInt(s), book.length - 1)))
+        val code = codes.getInt(s)
+        if (code < 0 || code >= book.length)
+          throw new IllegalArgumentException(
+            s"pq_decode: code $code out of [0, ${book.length}) in subspace $s")
+        val cc = book(code)
         var j = 0
         while (j < cc.length) { out(off + j) = cc(j).toFloat; j += 1 }
         off += cc.length

@@ -101,7 +101,14 @@ object RawDict {
       else dict.keys.toSeq.sorted
     order.foreach { n =>
       val m = new java.util.LinkedHashMap[String, String]()
-      dict(n).foreach { case (raw, prop) => m.put(raw, prop) }
+      dict(n).foreach { case (raw, prop) =>
+        // a YAML map cannot carry duplicate keys: silently collapsing a
+        // duplicated raw header would emit a dict that reloads SHORTER
+        // than the input (round-trip violation) — fail loudly instead
+        require(!m.containsKey(raw),
+          s"duplicate raw column '$raw' in node '$n' cannot round-trip through YAML")
+        m.put(raw, prop)
+      }
       root.put(n, m)
     }
     val opts = new org.yaml.snakeyaml.DumperOptions()

@@ -1292,6 +1292,16 @@ object SparkEntry {
         isBenchmark = pmod(col("doc_id"), lit(10)) === 0, n = 3)
     }),
 
+    // D13 Bloom-tier decontamination: same exact result as d8, reached
+    // through a driver-built Bloom prescreen on the corpus gram stream —
+    // the shape that survives an eval suite too big to broadcast as a
+    // hash relation. The oracle is d8's exact SQL: Bloom's one-sided
+    // error plus the verify join make the tiers row-identical.
+    "d13_bloom_decontam" -> ((s, dir) => {
+      TextDedup.bloomContamination(t(s, dir, "documents"), "doc_id", "text",
+        isBenchmark = pmod(col("doc_id"), lit(10)) === 0, n = 3)
+    }),
+
     // T9 repetition signal: per-doc duplicate word-bigram fraction
     // (Gopher-style repetitiousness filter input).
     "t9_repetition" -> ((s, dir) => {
@@ -2485,6 +2495,25 @@ object SparkEntry {
         |FROM c GROUP BY 1""".stripMargin,
 
     "d8_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+        |cand AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM cand GROUP BY 1),
+        |ov AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM cand c JOIN bench b ON b.s = c.s GROUP BY 1)
+        |SELECT o.doc_id, z.n_shingles, o.n_overlap,
+        |  CAST(floor(o.n_overlap * 10000.0 / z.n_shingles) AS BIGINT) AS contam_bp
+        |FROM ov o JOIN sizes z USING (doc_id)""".stripMargin,
+
+    // d13 is judged against the SAME exact decontamination SQL as d8:
+    // the Bloom prescreen must not change a single row.
+    "d13_bloom_decontam" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
         |sh AS (

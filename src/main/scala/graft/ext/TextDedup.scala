@@ -277,6 +277,44 @@ object TextDedup {
         floor(col("n_overlap") * lit(10000.0) / col("n_shingles")).as("contam_bp"))
   }
 
+  /** The 100 TB tier of [[contamination]]: Bloom-prescreen the corpus side
+    * before the exact verify. The benchmark n-gram hash set is folded into
+    * a driver-built Bloom filter (`fpp` sized; ~10 bits/element at 1% —
+    * a 10⁸-gram eval suite is ~125 MB, fitting every executor where the
+    * equivalent broadcast hash relation would not), the corpus-side gram
+    * stream is filtered by a compiled `mightContainLong` kernel inside the
+    * scan's codegen stage — NO shuffle, no broadcast-join build side — and
+    * only the surviving sliver (benchmark-overlapping grams + Bloom false
+    * positives) enters the exact semi-join. Bloom filters have one-sided
+    * error, and the verify join removes every false positive, so the
+    * result is row-for-row IDENTICAL to [[contamination]] — the oracle
+    * judges this tier against the same exact SQL.
+    *
+    * `n_shingles` still needs each candidate doc's total distinct-gram
+    * count, which no prescreen can skip; that aggregate is map-side
+    * combinable and carries only `(id, count)` through the shuffle. */
+  def bloomContamination(docs: DataFrame, id: String, text: String,
+                         isBenchmark: Column, n: Int = 3,
+                         fpp: Double = 0.01): DataFrame = {
+    val sh = docs.select(col(id), isBenchmark.as("_bench"),
+        explode(graft.functions.VectorExpressions.shingleHash64(col(text), n)).as("s"))
+    val bench = sh.filter(col("_bench")).select("s").distinct()
+    // the benchmark side is an eval suite — small by the operator's
+    // premise; one count job sizes the filter, one aggregate job builds it
+    // (both scan only benchmark rows: the _bench predicate pushes below
+    // the explode to the source scan)
+    val bf = bench.stat.bloomFilter("s", math.max(bench.count(), 1L), fpp)
+    val cand = sh.filter(!col("_bench")).select(col(id), col("s"))
+    val sizes = cand.groupBy(col(id)).agg(count(lit(1)).as("n_shingles"))
+    val pre = cand.filter(
+      graft.functions.VectorExpressions.bloomMightContainLong(col("s"), bf))
+    val overlap = pre.join(bench, Seq("s"), "left_semi")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_overlap"))
+    overlap.join(sizes, Seq(id))
+      .select(col(id), col("n_shingles"), col("n_overlap"),
+        floor(col("n_overlap") * lit(10000.0) / col("n_shingles")).as("contam_bp"))
+  }
+
   /** EXACT duplicate-SPAN detection: the substring-level dedup of
     * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
     * Better"), re-expressed relationally. A token `k`-gram occurring ≥

@@ -301,6 +301,36 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): GramHash64 = copy(child = c)
   }
 
+  /** Bloom-filter membership prescreen over a 64-bit hash column. Holds a
+    * driver-built `org.apache.spark.util.sketch.BloomFilter` (Serializable;
+    * ships to executors inside the plan's reference array) and generates a
+    * direct `mightContainLong` call inside whole-stage codegen — the
+    * corpus-side scan stays one shuffle-free compiled pass. One-sided
+    * error: never false on a member, so an exact verify join downstream
+    * loses nothing (the d13 contract). */
+  case class BloomMightContainLong(
+      child: Expression,
+      filter: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(s"expected bigint, got ${dt.simpleString}")
+    }
+    override def prettyName: String = "bloom_might_contain_long"
+
+    protected override def nullSafeEval(input: Any): Any =
+      filter.mightContainLong(input.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bf = ctx.addReferenceObj("bloomFilter", filter,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $bf.mightContainLong($v);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): BloomMightContainLong =
+      copy(child = c)
+  }
+
   /** 64-bit SimHash over an array of string tokens: per bit, +1/−1 votes
     * from each token's xxhash64 (seed 42, same as `functions.xxhash64`);
     * bit set where the vote is positive. Replaces a 64-wide interpreted
@@ -563,6 +593,10 @@ object VectorExpressions {
 
   def gramHash64(text: Column, n: Int): Column =
     Shim.column(GramHash64(Shim.expression(text), n))
+
+  def bloomMightContainLong(hash: Column,
+      filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    Shim.column(BloomMightContainLong(Shim.expression(hash), filter))
 
   // PQ kernels take a 3-D codebook reference object — deliberately NOT on
   // the SQL surface (lit2Matrix parses 2-D literals; a 3-D literal tree is

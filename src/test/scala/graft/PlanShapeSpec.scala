@@ -260,4 +260,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows(p).size == 1, s"d12 must keep d11's single island window:\n$p")
     assert(shuffles(p).size <= 5, s"d12 grew extra shuffles (${shuffles(p).size}):\n$p")
   }
+
+  test("d13 bloom prescreen filters the corpus stream before any exchange") {
+    val p = q("d13_bloom_decontam")
+    // the compiled mightContainLong filter must sit in the scan-side
+    // codegen stage: its Filter node's subtree contains no exchange of
+    // any kind (a shuffle or broadcast build under it means the prescreen
+    // stopped being a free pass over the corpus scan)
+    val pre = deep(p).collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.find(
+            _.isInstanceOf[graft.functions.VectorExpressions.BloomMightContainLong]
+          ).isDefined => f
+    }
+    assert(pre.nonEmpty, s"bloom prescreen filter vanished from the plan:\n$p")
+    assert(pre.forall(f => shuffles(f).isEmpty && broadcasts(f).isEmpty),
+      s"bloom prescreen no longer runs pre-shuffle:\n$p")
+    // exact verify stays a broadcast semi-join; only the two id-keyed
+    // aggregates and the bench-side distinct may shuffle
+    assert(broadcasts(p).nonEmpty, s"d13 lost its broadcast verify join:\n$p")
+    assert(shuffles(p).size <= 3, s"d13 grew extra shuffles (${shuffles(p).size}):\n$p")
+  }
 }

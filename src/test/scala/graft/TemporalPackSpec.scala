@@ -363,4 +363,44 @@ class TemporalPackSpec extends SparkSpec {
     // first two occur in the benchmark doc
     assert(out == Seq((1L, 3L, 2L)))
   }
+
+  test("bloomContamination is row-identical to the exact contamination tier") {
+    // 200 docs over a 40-word vocabulary so benchmark/corpus trigram
+    // overlap is dense and the Bloom prescreen sees real members, real
+    // absentees, and (at fpp 0.01) possibly false positives the verify
+    // join must remove
+    val words = (0 until 40).map(i => s"w$i")
+    val docs = (0 until 200).map { d =>
+      // 7 shared-content classes (each contains benchmark multiples of 10,
+      // so candidates overlap partially via the class prefix); docs with
+      // d % 13 == 3 get fully unique text and must be absent from output
+      val toks =
+        if (d % 13 == 3) (0 until 12).map(j => s"x${d}_$j")
+        else (0 until 12).map(j => words((d % 7 * 5 + j) % words.length)) :+ s"u$d"
+      (d.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val isBench = pmod(col("doc_id"), lit(10)) === 0
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val exact = TextDedup.contamination(docs, "doc_id", "text", isBench, n = 3)
+      .collect().map(key).toSet
+    val bloom = TextDedup.bloomContamination(docs, "doc_id", "text", isBench, n = 3)
+      .collect().map(key).toSet
+    assert(exact.nonEmpty && bloom == exact)
+  }
+
+  test("bloom prescreen kernel: no false negatives, fpp near spec") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(1000, 0.01)
+    (0L until 1000L).foreach(bf.putLong)
+    val probes = spark.range(0, 5000).toDF("v")
+    val hits = probes
+      .filter(graft.functions.VectorExpressions.bloomMightContainLong(col("v"), bf))
+      .select("v").as[Long].collect().toSet
+    // one-sided error: every member answers true
+    assert((0L until 1000L).forall(hits.contains))
+    // false positives among the 4000 absent probes stay near the 1% spec
+    // (expected ~40; 400 is > 20 sigma out — deterministic in practice)
+    assert((hits -- (0L until 1000L)).size < 400)
+  }
 }

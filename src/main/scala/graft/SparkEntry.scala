@@ -99,6 +99,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** t14's classifier weight table: a stand-in for a trained quality
+    * model's reduction to token weights (integer basis points — see
+    * [[graft.ext.TextAnalysis.classifierScore]]). Mirrored literally in
+    * the t14 oracle's VALUES list; change BOTH or neither. */
+  val QualityVocab: Map[String, Long] = Map(
+    "vector" -> 200L, "query" -> 150L, "data" -> 120L, "stream" -> 110L,
+    "join" -> 90L, "window" -> 80L, "hash" -> 60L, "sort" -> 40L,
+    "slow" -> -250L, "dup" -> -400L, "big" -> -50L, "small" -> -30L,
+    "a" -> -20L, "the" -> -10L)
+
   /** SF-adaptive participant-id modulus shared by the v7/v8/v9 pipeline
     * fixtures (~2 customers per id at every scale factor). ONE definition:
     * the three gates compare against oracles that derive the same value
@@ -1645,6 +1655,16 @@ object SparkEntry {
           graft.functions.TextExpressions.charEntropy(col("text")).as("entropy"))
     }),
 
+    // T14 model-based quality filter: a trained linear classifier reduced
+    // to an integer-bp token weight table (the fastText/DCLM quality-
+    // model shape), mean-pooled into a logit per doc by one compiled
+    // zero-shuffle scan pass; keep = logit_bp >= 0. Integer weights keep
+    // the score order-free and oracle-exact.
+    "t14_classifier" -> ((s, dir) => {
+      TextAnalysis.classifierScore(t(s, dir, "documents"), "doc_id", "text",
+        vocab = QualityVocab, biasBp = -50L, keepBp = -34L)
+    }),
+
     // E9 distributed k-means convergence gate: full-table Lloyd's (k·dim-
     // group partial aggregation per iteration), WCSS trace must be
     // non-increasing (Lloyd's invariant) and every cell populated.
@@ -2891,6 +2911,28 @@ object SparkEntry {
         |  round(ln(CAST(sum(c) AS DOUBLE))
         |    - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 6) AS entropy
         |FROM c GROUP BY 1""".stripMargin,
+
+    // t14: the oracle recomputes the linear model with an explode + join
+    // (the formulation the compiled kernel replaces); the VALUES list
+    // mirrors QualityVocab literally.
+    "t14_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |u AS (SELECT doc_id, len(t) AS n, unnest(t) AS w FROM toks),
+        |vocab(w, wt) AS (VALUES
+        |  ('vector', 200), ('query', 150), ('data', 120), ('stream', 110),
+        |  ('join', 90), ('window', 80), ('hash', 60), ('sort', 40),
+        |  ('slow', -250), ('dup', -400), ('big', -50), ('small', -30),
+        |  ('a', -20), ('the', -10)),
+        |s AS (SELECT u.doc_id, any_value(u.n) AS n_toks,
+        |    coalesce(sum(v.wt), 0) AS w_sum
+        |  FROM u LEFT JOIN vocab v USING (w) GROUP BY u.doc_id)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |  CAST(-50 + floor(w_sum * 1.0 / n_toks) AS BIGINT) AS logit_bp,
+        |  CAST(CAST(-50 + floor(w_sum * 1.0 / n_toks) AS BIGINT) >= -34 AS INT)
+        |    AS keep
+        |FROM s""".stripMargin,
 
     // e9: constant gate — k-means must converge (Lloyd's WCSS invariant)
     // with every one of the 10 cells populated (verified at sf0.01/sf0.1).

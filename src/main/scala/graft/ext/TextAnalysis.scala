@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -57,6 +57,31 @@ object TextAnalysis {
     val punctRatio = punctCount(c).cast("double") / greatest(length(c).cast("double"), lit(1.0))
     val punctScore = greatest(lit(1.0) - punctRatio * lit(5.0), lit(0.0))
     lenScore * lit(0.4) + stopScore * lit(0.4) + punctScore * lit(0.2)
+  }
+
+  /** Model-based quality classification: the fastText/DCLM-style filter
+    * that follows the heuristic signals in a curation pipeline — a
+    * trained linear model reduced to a token → integer-bp weight table,
+    * mean-pooled over the document and thresholded into a keep decision.
+    * `logit_bp = biasBp + floor(Σ w_bp(token) / n_tokens)`; sigmoid is
+    * deliberately NOT applied (it is monotone, so the keep threshold is
+    * equivalent in logit space, and libm `exp` differs across engines —
+    * the bp logit stays integer-exact for the oracle).
+    *
+    * One zero-shuffle scan projection via the compiled
+    * [[graft.functions.TextExpressions.VocabScoreBp]] kernel; the vocab
+    * rides the plan as a reference object (a few MB for a real 10⁵-token
+    * model — executor-resident, no join, no shuffle). */
+  def classifierScore(docs: DataFrame, id: String, text: String,
+                      vocab: Map[String, Long], biasBp: Long,
+                      keepBp: Long): DataFrame = {
+    val sc = graft.functions.TextExpressions.vocabScoreBp(col(text), vocab)
+    docs.select(col(id), sc.as("_s"))
+      .select(col(id), col("_s.n_toks").as("n_toks"),
+        // Column `/` is double division; |w_sum| <= 1e4 * n stays exact
+        (lit(biasBp) + floor(col("_s.w_sum") / col("_s.n_toks")))
+          .cast("long").as("logit_bp"))
+      .withColumn("keep", (col("logit_bp") >= lit(keepBp)).cast("int"))
   }
 
   /** Language-ID heuristic: marker-word hit counts per language; argmax

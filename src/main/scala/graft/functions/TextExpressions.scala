@@ -110,6 +110,68 @@ object TextExpressions {
 
   def charEntropy(c: Column): Column = Shim.column(CharEntropy(Shim.expression(c)))
 
+  /** `vocab_score_bp(string)`: one-pass linear text classification — the
+    * fastText/DCLM-style quality-model scoring step, with the trained
+    * model reduced to a token → integer-basis-point weight table carried
+    * as a reference object. Tokenizes on whitespace (lowercased, trimmed
+    * — the corpus-wide convention the oracles share), sums the weights of
+    * in-vocabulary tokens, and returns `struct(n_toks, w_sum)` so the
+    * caller derives the mean-pooled logit. INTEGER bp weights keep the
+    * sum order-free and exact — a float Σ would hash-diverge from the
+    * oracle's arbitrary join order.
+    *
+    * Scale: a real classifier vocab (10⁵–10⁶ tokens) is a few MB as a
+    * hash map — it rides the plan to every executor, and scoring stays a
+    * zero-shuffle scan projection, where the explode → broadcast-join →
+    * re-group formulation shuffles the whole corpus once per scoring
+    * pass just to reassemble documents. */
+  case class VocabScoreBp(child: Expression, vocab: Map[String, Long])
+      extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_toks",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("w_sum",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(s"expected string, got ${dt.simpleString}")
+    }
+    override def prettyName: String = "vocab_score_bp"
+
+    // java.util.HashMap probe with no boxing surprises on the hot path;
+    // built once per executor on first deserialization
+    @transient private lazy val table: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+      vocab.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
+      m
+    }
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].toString.trim
+        .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+      var sum = 0L
+      var i = 0
+      while (i < toks.length) {
+        val w = table.get(toks(i))
+        if (w ne null) sum += w.longValue()
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](toks.length.toLong, sum))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("vocabExpr", this, classOf[VocabScoreBp].getName)
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $self.nullSafeEval($s);")
+    }
+    override protected def withNewChildInternal(c: Expression): VocabScoreBp =
+      copy(child = c)
+  }
+
+  def vocabScoreBp(c: Column, vocab: Map[String, Long]): Column =
+    Shim.column(VocabScoreBp(Shim.expression(c), vocab))
+
   private[graft] def sqlBuilders
       : Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(

@@ -261,6 +261,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).size <= 5, s"d12 grew extra shuffles (${shuffles(p).size}):\n$p")
   }
 
+  test("t14 classifier scoring is a zero-shuffle scan projection") {
+    val p = q("t14_classifier")
+    assert(shuffles(p).isEmpty && broadcasts(p).isEmpty && windows(p).isEmpty,
+      s"vocab scoring must stay in the scan's codegen stage:\n$p")
+  }
+
   test("d13 bloom prescreen filters the corpus stream before any exchange") {
     val p = q("d13_bloom_decontam")
     // the compiled mightContainLong filter must sit in the scan-side

@@ -240,4 +240,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out(2).getDouble(2) - math.log(2)) < 1e-6)
     assert(out.forall(_.getLong(1) == 4L))
   }
+
+  test("classifierScore: mean-pooled bp logit, repeats count, case folded") {
+    import graft.ext.TextAnalysis
+    val vocab = Map("good" -> 100L, "bad" -> -200L)
+    val docs = Seq(
+      (1L, "good good bad x"), // sum 0 over 4 toks -> floor(0/4)=0
+      (2L, "GOOD"),            // case-folds: floor(100/1)=100
+      (3L, "bad"),             // floor(-200/1)=-200
+      (4L, "x y z"),           // no vocab hits -> 0
+      (5L, "bad x")            // floor(-200/2)=-100
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.classifierScore(docs, "doc_id", "text",
+        vocab, biasBp = 10L, keepBp = 0L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 10L, 1), (2L, 1L, 110L, 1), (3L, 1L, -190L, 0),
+      (4L, 3L, 10L, 1), (5L, 2L, -90L, 0)))
+  }
+
+  test("classifierScore kernel == explode + join + re-group reference") {
+    import graft.ext.TextAnalysis
+    val vocab = SparkEntry.QualityVocab
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kernel = TextAnalysis.classifierScore(docs, "doc_id", "text",
+        vocab, biasBp = -50L, keepBp = -34L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val vocabDf = vocab.toSeq.toDF("w", "wt")
+    val toks = docs.select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("t"))
+    val ref = toks.select(col("doc_id"), size(col("t")).cast("long").as("n"),
+        explode(col("t")).as("w"))
+      .join(vocabDf, Seq("w"), "left")
+      .groupBy("doc_id").agg(first("n").as("n_toks"),
+        coalesce(sum("wt"), lit(0L)).as("w_sum"))
+      .select(col("doc_id"), col("n_toks"),
+        (lit(-50L) + floor(col("w_sum") / col("n_toks"))).cast("long").as("logit_bp"))
+      .withColumn("keep", (col("logit_bp") >= lit(-34L)).cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(kernel.nonEmpty && kernel == ref)
+  }
 }

@@ -206,4 +206,77 @@ class StreamingSpec extends SparkSpec {
     assert(last(0).getLong(1) == 3L)
     assert(last(0).getDouble(2) == 10.0)
   }
+
+  // ---------------------------------------------------- NearDupStream
+
+  /** The documented screen rule, re-derived independently from
+    * bucketKeys: dup iff any bucket is in the registry or owned by a
+    * smaller in-batch doc; survivors' buckets join the registry. */
+  private def screenRef(docs: Seq[(Long, String)], state: Set[String])
+      : (Set[Long], Set[String]) = {
+    val bk = graft.streaming.NearDupStream
+      .bucketKeys(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val firstPer = bk.groupBy(_._2).map { case (b, xs) => b -> xs.map(_._1).min }
+    val dups = bk.collect {
+      case (d, b) if state(b) || firstPer(b) < d => d
+    }.toSet
+    val kept = docs.map(_._1).toSet -- dups
+    (kept, state ++ bk.collect { case (d, b) if kept(d) => b })
+  }
+
+  test("nearDupStream dedups across batches against a persistent bucket registry") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("neardup").toString
+    val base = "spark structured streaming joins windows state watermark shuffle exchange codegen parquet"
+    val b1 = Seq(
+      1L -> base,
+      2L -> (base.dropRight(7) + "arrival"), // near-dup of 1
+      3L -> "entirely different content about ocean tides and moonlight gravity pull",
+      4L -> base) // exact dup of 1
+    val b2 = Seq(
+      7L -> (base + " extra"), // near-dup of accepted 1, cross-batch
+      8L -> "unrelated fresh corpus document speaking of volcanoes ash plumes and basalt",
+      2L -> (base.dropRight(7) + "arrival")) // re-delivery of dropped 2
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.NearDupStream.start(
+      input.toDS().toDF("doc_id", "text"),
+      s"$dir/out", s"$dir/ckpt", s"$dir/state",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val (kept1, state1) = screenRef(b1, Set.empty)
+    // re-delivered doc 2 collides with accepted doc 1's buckets via its
+    // own overlap — the rule handles it like any near-dup
+    val (kept2, state2) = screenRef(b2, state1)
+    val got = spark.read.parquet(s"$dir/out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == kept1 ++ kept2, s"got=$got expected=${kept1 ++ kept2}")
+    // sanity on the planted structure: originals kept, exact dup dropped,
+    // uniques kept, cross-batch near-dup dropped
+    assert(got(1L) && got(3L) && got(8L) && !got(4L) && !got(7L))
+    // INVARIANT: the registry holds exactly the accepted docs' buckets
+    val reg = graft.state.SeenKeys.load(spark, s"$dir/state")
+      .collect().map(_.getString(0)).toSet
+    assert(reg == state2, s"registry out of sync: ${reg.size} vs ${state2.size}")
+
+    // a later stream RUN (fresh checkpoint, same registry): re-delivery
+    // of an accepted doc and a new unique arrive
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.NearDupStream.start(
+      input2.toDS().toDF("doc_id", "text"),
+      s"$dir/out", s"$dir/ckpt2", s"$dir/state",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    val b3 = Seq(1L -> base,
+      9L -> "novel text regarding alpine glaciers crevasse rescue and rope teams")
+    try { input2.addData(b3: _*); q2.processAllAvailable() } finally q2.stop()
+    val (kept3, _) = screenRef(b3, state2)
+    val got2 = spark.read.parquet(s"$dir/out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == got ++ kept3)
+    assert(!kept3(1L) && kept3(9L), s"cross-run dedup failed: $kept3")
+  }
 }

@@ -103,6 +103,13 @@ object SparkEntry {
     * model's reduction to token weights (integer basis points — see
     * [[graft.ext.TextAnalysis.classifierScore]]). Mirrored literally in
     * the t14 oracle's VALUES list; change BOTH or neither. */
+  /** c10's mixture recipe: target corpus shares per language (sums to 1;
+    * 'fr' deliberately over-asks small categories at some SFs so the
+    * saturation clamp exercises). Mirrored literally in the c10 oracle's
+    * CASE arms; change BOTH or neither. */
+  val MixtureShares: Map[String, Double] = Map(
+    "en" -> 0.40, "zh" -> 0.25, "de" -> 0.15, "es" -> 0.10, "fr" -> 0.10)
+
   val QualityVocab: Map[String, Long] = Map(
     "vector" -> 200L, "query" -> 150L, "data" -> 120L, "stream" -> 110L,
     "join" -> 90L, "window" -> 80L, "hash" -> 60L, "sort" -> 40L,
@@ -1526,6 +1533,17 @@ object SparkEntry {
         stratum = "lang", key = "doc_id", targetTotal = 300L, temperature = 2.0)
     }),
 
+    // C10 mixture resampling to explicit target shares (the data-mixing
+    // recipe step): per-category Bernoulli rate share*total/n_c from one
+    // broadcast count aggregate, content-addressed u48 threshold in the
+    // scan stage — no per-category window (contrast c6's exact-quota
+    // shape). Target total is SF-adaptive (half the corpus).
+    "c10_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      TextAnalysis.mixtureSample(docs, stratum = "lang", key = "doc_id",
+        shares = MixtureShares, targetTotal = math.max(docs.count() / 2, 1L))
+    }),
+
     // W8 sliding-window rates: events per (2h window, 1h slide, type).
     // Spark's native window() emits each event into width/slide buckets
     // map-side — one shuffle on (window, type), the batch twin of the
@@ -2817,6 +2835,25 @@ object SparkEntry {
         |SELECT lang, doc_id, sample_rank
         |FROM ranked JOIN q USING (lang)
         |WHERE sample_rank <= quota""".stripMargin,
+
+    // c10: rates re-derived relationally; the '0x'-cast 48-bit md5 draw
+    // is the portable twin of Spark's conv() (a9/c8 discipline). CASE
+    // arms mirror MixtureShares literally.
+    "c10_mixture" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |shared AS (
+        |  SELECT lang, n, CAST(CASE lang WHEN 'en' THEN 0.40 WHEN 'zh' THEN 0.25
+        |      WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.10 WHEN 'fr' THEN 0.10
+        |      END AS DOUBLE) AS share
+        |  FROM counts WHERE share IS NOT NULL),
+        |rates AS (
+        |  SELECT lang, least(CAST(1.0 AS DOUBLE),
+        |    share * (SELECT greatest(count(*) // 2, 1) FROM documents) / n) AS r
+        |  FROM shared)
+        |SELECT d.lang, d.doc_id
+        |FROM documents d JOIN rates USING (lang)
+        |WHERE (CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 12))
+        |    AS BIGINT) + 1) / 281474976710656.0 <= r""".stripMargin,
 
     "w8_sliding_rate" ->
       """WITH e AS (

@@ -253,6 +253,47 @@ object TextAnalysis {
       .drop("_quota")
   }
 
+  /** Corpus mixture resampling to EXPLICIT target shares — the "data
+    * mixing" step of training-corpus construction (the Pile / Dolma /
+    * RedPajama recipe tables): category c contributes ~`shares(c)` of
+    * `targetTotal` documents, drawn deterministically and without
+    * replacement; categories absent from `shares` are excluded; a share
+    * over-asking its category saturates (rate clamps to 1 — epoch
+    * oversampling is a downstream repeat, not a sampler concern).
+    *
+    * Scale shape, deliberately DIFFERENT from [[temperatureSample]]'s
+    * exact-quota window: rates come from one tiny per-category count
+    * aggregate broadcast back, and acceptance is a content-addressed
+    * Bernoulli threshold (`u48(key) <= share·total/n_c`) evaluated in
+    * the scan stage — no per-category `row_number`, whose sort skews
+    * precisely when one category dominates the corpus (the common case:
+    * English). The trade is binomial noise around each quota instead of
+    * an exact count; the draw stays deterministic per document, so the
+    * selected set is stable across runs, partitionings, and engines. */
+  def mixtureSample(df: org.apache.spark.sql.DataFrame, stratum: String,
+                    key: String, shares: Map[String, Double],
+                    targetTotal: Long,
+                    salt: String = "mix"): org.apache.spark.sql.DataFrame = {
+    require(shares.values.forall(_ >= 0), "mixtureSample: negative share")
+    val counts = df.groupBy(col(stratum)).agg(count(lit(1)).as("_n"))
+    val shareCol = shares.foldLeft(lit(null).cast("double")) {
+      case (acc, (cat, s)) => when(col(stratum) === cat, lit(s)).otherwise(acc)
+    }
+    // filter BEFORE the clamp: least() skips NULLs (both engines), so an
+    // unlisted category would otherwise clamp to rate 1.0 and sail through
+    val rates = counts
+      .select(col(stratum), shareCol.as("_share"), col("_n"))
+      .filter(col("_share").isNotNull)
+      .select(col(stratum),
+        least(lit(1.0), col("_share") * lit(targetTotal) / col("_n")).as("_r"))
+    val u = (conv(substring(
+        md5(concat(lit(salt), lit(":"), col(key).cast("string"))), 1, 12),
+      16, 10).cast("double") + 1) / lit(281474976710656.0) // (0, 1]
+    df.join(broadcast(rates), Seq(stratum))
+      .filter(u <= col("_r"))
+      .drop("_r")
+  }
+
   /** Quality-weighted sampling WITHOUT replacement (Efraimidis–Spirakis,
     * "Weighted random sampling with a reservoir", IPL 2006): every row
     * draws a deterministic pseudo-uniform u ∈ (0,1] from the 48-bit

@@ -261,6 +261,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).size <= 5, s"d12 grew extra shuffles (${shuffles(p).size}):\n$p")
   }
 
+  test("c10 mixture sampling: broadcast rates + scan-stage threshold, no window") {
+    val p = q("c10_mixture")
+    assert(windows(p).isEmpty,
+      s"mixture must not pay a per-category row_number (that is c6's shape):\n$p")
+    assert(broadcasts(p).nonEmpty, s"c10 lost its broadcast rate join:\n$p")
+    assert(shuffles(p).size <= 1,
+      s"only the tiny count aggregate may shuffle (${shuffles(p).size}):\n$p")
+  }
+
   test("t14 classifier scoring is a zero-shuffle scan projection") {
     val p = q("t14_classifier")
     assert(shuffles(p).isEmpty && broadcasts(p).isEmpty && windows(p).isEmpty,

@@ -241,6 +241,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.forall(_.getLong(1) == 4L))
   }
 
+  test("mixtureSample: exact deterministic draw, saturation, exclusion") {
+    import graft.ext.TextAnalysis
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    // independent replication of the content-addressed Bernoulli draw
+    def u48(key: String): Double =
+      (BigInt(md5hex(s"mix:$key").take(12), 16).toDouble + 1) / 281474976710656.0
+    val docs = ((1 to 60).map(i => (i.toLong, "en")) ++
+      (61 to 70).map(i => (i.toLong, "de")) ++       // small cat, over-asked
+      (71 to 90).map(i => (i.toLong, "zz"))          // not in shares
+      ).toDF("doc_id", "lang")
+    val shares = Map("en" -> 0.5, "de" -> 0.5)
+    val total = 40L
+    val got = TextAnalysis.mixtureSample(docs, "lang", "doc_id", shares, total)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val counts = Map("en" -> 60L, "de" -> 10L)
+    val expected = (1 to 70).flatMap { i =>
+      val lang = if (i <= 60) "en" else "de"
+      val r = math.min(1.0, shares(lang) * total / counts(lang))
+      if (u48(i.toString) <= r) Some((lang, i.toLong)) else None
+    }.toSet
+    assert(got == expected)
+    // de over-asked (0.5*40=20 > 10): saturated -> whole category kept
+    assert((61 to 70).forall(i => got(("de", i.toLong))))
+    // zz excluded entirely; en thinned to ~20
+    assert(!got.exists(_._1 == "zz"))
+    val en = got.count(_._1 == "en")
+    assert(en > 8 && en < 32, s"en=$en far from its 20-doc quota")
+  }
+
   test("classifierScore: mean-pooled bp logit, repeats count, case folded") {
     import graft.ext.TextAnalysis
     val vocab = Map("good" -> 100L, "bad" -> -200L)

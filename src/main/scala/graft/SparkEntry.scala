@@ -110,6 +110,11 @@ object SparkEntry {
   val MixtureShares: Map[String, Double] = Map(
     "en" -> 0.40, "zh" -> 0.25, "de" -> 0.15, "es" -> 0.10, "fr" -> 0.10)
 
+  /** t15's fixed retrieval query: terms spanning the corpus df range.
+    * Mirrored literally in the t15 oracle's IN list; change BOTH or
+    * neither. */
+  val Bm25Query: Seq[String] = Seq("hash", "join", "vector", "stream", "slow")
+
   val QualityVocab: Map[String, Long] = Map(
     "vector" -> 200L, "query" -> 150L, "data" -> 120L, "stream" -> 110L,
     "join" -> 90L, "window" -> 80L, "hash" -> 60L, "sort" -> 40L,
@@ -1523,6 +1528,16 @@ object SparkEntry {
         .select(col("doc_id"), col("term"), col("rank"), col("score"))
     }),
 
+    // T15 BM25 top-k retrieval for a fixed query-term set: scan-stage
+    // token filter to |Q| terms -> (doc,term) tf aggregate -> |Q|-row df
+    // broadcast -> doc-length join keyed like the score sum -> global
+    // top-20 via TakeOrdered. The lexical-retrieval primitive; contrast
+    // t12, which shuffles the whole vocabulary by design.
+    "t15_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Bm25Query, k = 20)
+    }),
+
     // C6 temperature-scaled mixture resampling: per-language quotas from
     // T=2-flattened corpus shares, membership by the content-addressed
     // md5 draw — the multilingual-balance op (quota form of c3's rates,
@@ -2818,6 +2833,34 @@ object SparkEntry {
         |      ORDER BY score DESC, term) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT doc_id, term, rank, score FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // t15: IN list mirrors Bm25Query; k1=1.2 b=0.75 inlined. Scores
+    // rounded to 6dp before ranking (t12 discipline), id tiebreak.
+    "t15_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)) AS avgdl
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('hash', 'join', 'vector', 'stream', 'slow')
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+        |      * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT doc_id, bm25,
+        |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, bm25, rank FROM ranked WHERE rank <= 20""".stripMargin,
 
     "c6_temperature_mix" ->
       """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

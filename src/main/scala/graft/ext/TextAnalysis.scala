@@ -435,4 +435,50 @@ object TextAnalysis {
       .select(col(id), col("ch.chunk_idx").as("chunk_idx"),
         col("ch.n_tokens").as("n_tokens"), col("ch.chunk_md5").as("chunk_md5"))
   }
+
+  /** BM25 retrieval scoring of a FIXED query-term set against the corpus —
+    * the lexical-retrieval primitive (RAG candidate generation, targeted
+    * decontamination probes). Okapi BM25 with Lucene's always-positive idf
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`; scores rounded to 6dp BEFORE
+    * ranking (cross-engine ulp discipline), top `k` docs returned with a
+    * dense rank, ties broken by id.
+    *
+    * Shape at scale: corpus stats (N, avgdl) come from ONE scan-stage
+    * global aggregate (no shuffle, partial-combined; a driver scalar like
+    * t12's count). The token stream is filtered to the |Q| query terms
+    * BEFORE the tf shuffle — the scan stage discards every non-query
+    * token, so the (doc,term) aggregate shuffles |Q|-bounded rows, not the
+    * vocabulary. Per-term df is derived from that tf frame and broadcast
+    * back (|Q| rows). Doc length joins from a groupBy(id) aggregate keyed
+    * on the SAME id as the score sum. Final global top-k is orderBy+limit
+    * (TakeOrdered heaps, never a single-partition total sort). Contrast
+    * t12: full-vocabulary TF-IDF deliberately shuffles the whole vocab;
+    * BM25 against a fixed query never has to. */
+  def bm25TopK(docs: DataFrame, id: String, text: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0, "need query terms and k > 0")
+    val toksCol = split(trim(col(text)), "\\s+")
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(size(toksCol).cast("double")).as("avgdl")).head()
+    val n = stats.getDouble(0)
+    val avgdl = stats.getDouble(1)
+    val toks = docs.select(col(id), explode(toksCol).as("term"))
+    val dl = toks.groupBy(col(id)).agg(count(lit(1)).cast("double").as("dl"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val scored = tf.join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq(id))
+      .groupBy(col(id)).agg(round(sum(contrib), 6).as("bm25"))
+    val topK = scored.orderBy(col("bm25").desc, col(id)).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col(id))
+    topK.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col(id), col("bm25"), col("rank"))
+  }
 }

@@ -296,4 +296,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(broadcasts(p).nonEmpty, s"d13 lost its broadcast verify join:\n$p")
     assert(shuffles(p).size <= 3, s"d13 grew extra shuffles (${shuffles(p).size}):\n$p")
   }
+
+  test("t15 bm25: query-term filter in the scan stage, top-k via TakeOrdered") {
+    val p = q("t15_bm25")
+    // every tf-branch scan prunes to the |Q| query terms BEFORE its
+    // exchange: at least one FilterExec containing an In/InSet predicate
+    // must sit exchange-free (shuffling unfiltered tokens would make the
+    // tf aggregate vocabulary-sized — t12's deliberate shape, not t15's)
+    val termFilters = deep(p).collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.find(e =>
+            e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.In] ||
+            e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.InSet]).isDefined => f
+    }
+    assert(termFilters.nonEmpty, s"t15 lost its scan-stage term filter:\n$p")
+    assert(termFilters.forall(f => shuffles(f).isEmpty),
+      s"t15 term filter slid above a shuffle:\n$p")
+    // global top-k must be a TakeOrdered heap, never a total sort
+    assert(deep(p).exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      s"t15 lost TakeOrdered:\n$p")
+    assert(!deep(p).exists(n => n.isInstanceOf[org.apache.spark.sql.execution.SortExec]
+        && shuffles(n).nonEmpty),
+      s"t15 grew a global sort:\n$p")
+  }
 }

@@ -313,4 +313,32 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     assert(kernel.nonEmpty && kernel == ref)
   }
+
+  test("bm25TopK matches the closed-form score; docs without query terms drop") {
+    // N=4, avgdl=3.5; query {a,b}: df(a)=df(b)=2 -> idf = ln 2 for both
+    val docs = Seq((1L, "a a a b"), (2L, "a c c c"), (3L, "b b d"), (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        queryTerms = Seq("a", "b"), k = 10)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def score(tfs: Seq[Long], dl: Double): Double = {
+      val idf = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
+      val s = tfs.map(tf => idf * tf * 2.2 /
+        (tf + 1.2 * (0.25 + 0.75 * dl / 3.5))).sum
+      math.rint(s * 1e6) / 1e6
+    }
+    assert(out.keySet == Set(1L, 2L, 3L)) // doc 4 has no query term
+    assert(out(1L) == (score(Seq(3L, 1L), 4.0), 1L)) // a=3, b=1
+    assert(out(3L) == (score(Seq(2L), 3.0), 2L))     // b=2, shorter doc
+    assert(out(2L) == (score(Seq(1L), 4.0), 3L))     // a=1
+    // content-addressed: membership and ranks survive repartitioning
+    val rep = TextAnalysis.bm25TopK(docs.repartition(7), "doc_id", "text",
+        Seq("a", "b"), 10)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rep == out)
+    // k truncates: top-1 is doc 1 only
+    val top1 = TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("a", "b"), 1)
+      .as[(Long, Double, Long)].collect()
+    assert(top1.map(_._1).toSeq == Seq(1L))
+  }
 }

@@ -573,6 +573,21 @@ object SparkEntry {
     // against the BATCH v7 oracle — so a divergence between incremental
     // and batch execution, a broken replay marker, or a SeenKeys
     // regression (re-admitted rows double the appends) fails the gate.
+    // V10 column profiling (data-quality reconnaissance): one global
+    // aggregate over one scan — count/nulls/exact-distinct/min/max per
+    // column, stat rows fanned out from the single result row. Exact
+    // distinct = Expand x(ncols+1) before one shuffle (disclosed cost;
+    // approx_count_distinct variant is the Expand-free 100 TB default,
+    // plan-pinned in PlanShapeSpec). Typed min/max rendered AFTER
+    // aggregation with fixed formats (%.2f, second-resolution ts).
+    "v10_profile" -> ((s, dir) => {
+      graft.ops.Profile.profile(
+        t(s, dir, "orders"),
+        render = Map(
+          "o_totalprice" -> ((c: Column) => format_string("%.2f", c)),
+          "o_orderdate" -> ((c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss"))))
+    }),
+
     "v9_incremental" -> ((s, dir) => {
       import graft.pipeline.{Incremental, Pipeline}
       val root = s"$streamScratchDir/inc_${dirKey(dir)}"
@@ -1965,6 +1980,41 @@ object SparkEntry {
         |SELECT participant_id, gender, 'participant' AS type
         |FROM node
         |WHERE participant_id NOT IN (SELECT participant_id FROM bad)""".stripMargin,
+
+    // v10: one UNION branch per orders column; renders mirror the query's
+    // render map (printf/strftime are DuckDB's format_string/date_format
+    // twins). count(DISTINCT) excludes NULLs on both engines.
+    "v10_profile" ->
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_str
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |  count(DISTINCT o_totalprice),
+        |  printf('%.2f', min(o_totalprice)), printf('%.2f', max(o_totalprice))
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |  count(DISTINCT o_orderdate),
+        |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
+        |FROM orders""".stripMargin,
 
     // v9: the incremental (streaming) pipeline must land exactly the batch
     // answer — same oracle as v7.

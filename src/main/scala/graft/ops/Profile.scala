@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-profiling summary — the data-quality reconnaissance step that
+  * precedes every mapping/validation decision the reference encodes by
+  * hand (its dict bootstrap inspects column names only,
+  * `cds-transformation_v1.3.py:35-51`; a profile of the VALUES is what a
+  * curator actually reads before writing the mapping YAML, and what a
+  * training-data pipeline logs per ingest batch).
+  *
+  * One row per input column: total rows, null count, distinct count, and
+  * min/max rendered to strings by a caller-supplied per-column renderer
+  * (typed min/max FIRST, formatting after — so a fixed-format render
+  * never perturbs which value wins).
+  *
+  * Shape at scale: ONE global aggregate over a single scan — no join, no
+  * window; the per-column stat row fan-out happens on the 1-row result.
+  * The one scale-relevant choice is distinct counting:
+  *
+  *  - `exactDistinct = true`: `count(DISTINCT c)` per column. Spark plans
+  *    N distinct aggregates via Expand — the input multiplies ×(N+1)
+  *    map-side before one shuffle. Exact, and the shape the DuckDB
+  *    oracle can hash-match; the ×(N+1) is the disclosed cost.
+  *  - `exactDistinct = false`: `approx_count_distinct` (HLL++, the w9
+  *    sketch) — single-pass partial aggregate, NO Expand, constant
+  *    memory per column. The 100 TB default; same query shape otherwise
+  *    (gated by the plan spec, not the value oracle).
+  */
+object Profile {
+
+  /** Render typed min/max to a portable string. Defaults: plain cast.
+    * Supply `render` entries for types whose cast rendering is not
+    * engine-portable (doubles → `format_string("%.2f", _)`, timestamps →
+    * `date_format(_, "yyyy-MM-dd HH:mm:ss")`). */
+  def profile(df: DataFrame,
+              render: Map[String, Column => Column] = Map.empty,
+              exactDistinct: Boolean = true): DataFrame = {
+    val cols = df.columns.toSeq
+    require(cols.nonEmpty, "cannot profile a zero-column frame")
+    def rendered(c: String, agg: Column): Column =
+      render.getOrElse(c, (x: Column) => x.cast("string"))(agg)
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        (if (exactDistinct) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"${c}__nd"),
+        rendered(c, min(col(c))).as(s"${c}__mn"),
+        rendered(c, max(col(c))).as(s"${c}__mx"))
+    }
+    val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"${c}__nn")).as("n_nulls"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__mn").as("min_str"),
+        col(s"${c}__mx").as("max_str"))
+    }
+    one.select(explode(array(perCol: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_str"), col("p.max_str"))
+  }
+}

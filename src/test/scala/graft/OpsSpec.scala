@@ -285,4 +285,37 @@ class OpsSpec extends SparkSpec {
     assert(rows(1).getString(1) == Validations.NotSpecified)
     assert(rows(0).getString(2) == Validations.NotSpecified)
   }
+
+  // ----------------------------------------------------------- Profile V10
+
+  test("profile counts rows/nulls/distincts and renders typed min/max") {
+    val df = Seq(
+      (Some(3L), Some("b"), Some(2.5)),
+      (Some(1L), None, Some(10.25)),
+      (Some(3L), Some("a"), None))
+      .toDF("k", "s", "x")
+    val out = graft.ops.Profile.profile(df,
+        render = Map("x" -> ((c: org.apache.spark.sql.Column) =>
+          format_string("%.2f", c))))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(out("k") == (3L, 0L, 2L, "1", "3"))
+    assert(out("s") == (3L, 1L, 2L, "a", "b"))
+    // typed min/max: 2.5 < 10.25 numerically (string order would flip it)
+    assert(out("x") == (3L, 1L, 2L, "2.50", "10.25"))
+  }
+
+  test("profile approx tier estimates distincts without Expand") {
+    val df = (1 to 1000).map(i => (i.toLong, i % 10)).toDF("id", "m")
+    val approx = graft.ops.Profile.profile(df, exactDistinct = false)
+    val rows = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // HLL++ at default rsd is exact-ish at this cardinality
+    assert(math.abs(rows("id") - 1000L) <= 30L && math.abs(rows("m") - 10L) <= 1L)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx profile must not plan an Expand")
+    // the exact tier DOES expand — the disclosed multi-distinct cost
+    val exact = graft.ops.Profile.profile(df)
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+  }
 }

@@ -297,6 +297,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).size <= 3, s"d13 grew extra shuffles (${shuffles(p).size}):\n$p")
   }
 
+  test("v10 profile: one scan, expand-aggregate only, no join or window") {
+    val p = q("v10_profile")
+    val scans = deep(p).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.size == 1, s"v10 must profile in ONE scan:\n$p")
+    assert(windows(p).isEmpty && !p.toString.contains("Join"),
+      s"v10 grew a join/window:\n$p")
+    // exact multi-distinct = Expand + its single shuffle; the stat
+    // fan-out happens on the 1-row aggregate result, shuffle-free
+    assert(shuffles(p).size <= 2, s"v10 grew shuffles (${shuffles(p).size}):\n$p")
+  }
+
   test("t15 bm25: query-term filter in the scan stage, top-k via TakeOrdered") {
     val p = q("t15_bm25")
     // every tf-branch scan prunes to the |Q| query terms BEFORE its

@@ -588,6 +588,20 @@ object SparkEntry {
           "o_orderdate" -> ((c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss"))))
     }),
 
+    // V11 batch-drift report: both batches' profiles from ONE conditional
+    // aggregate over ONE scan (count/distinct/min/max under when(isNew,c)
+    // — no self-join of two profile passes). Batch label = orderkey
+    // parity (deterministic at every SF). Expand x(2N+1) disclosed as in
+    // v10; approx tier plan-pinned Expand-free.
+    "v11_drift" -> ((s, dir) => {
+      graft.ops.Profile.drift(
+        t(s, dir, "orders"),
+        isNew = col("o_orderkey") % 2 === 1,
+        render = Map(
+          "o_totalprice" -> ((c: Column) => format_string("%.2f", c)),
+          "o_orderdate" -> ((c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss"))))
+    }),
+
     "v9_incremental" -> ((s, dir) => {
       import graft.pipeline.{Incremental, Pipeline}
       val root = s"$streamScratchDir/inc_${dirKey(dir)}"
@@ -2015,6 +2029,100 @@ object SparkEntry {
         |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
         |  count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
         |FROM orders""".stripMargin,
+
+    // v11: CASE-projection CTE mirrors the query's when(isNew, c) sides;
+    // one UNION branch per column, renders as in v10.
+    "v11_drift" ->
+      """WITH t AS (
+        |  SELECT (o_orderkey % 2 = 1) AS nw, o_orderkey, o_custkey,
+        |    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS col_name,
+        |  count(CASE WHEN NOT nw THEN 1 END) AS n_old,
+        |  count(CASE WHEN nw THEN 1 END) AS n_new,
+        |  count(CASE WHEN NOT nw THEN 1 END)
+        |    - count(CASE WHEN NOT nw THEN o_orderkey END) AS nulls_old,
+        |  count(CASE WHEN nw THEN 1 END)
+        |    - count(CASE WHEN nw THEN o_orderkey END) AS nulls_new,
+        |  count(DISTINCT CASE WHEN NOT nw THEN o_orderkey END) AS distinct_old,
+        |  count(DISTINCT CASE WHEN nw THEN o_orderkey END) AS distinct_new,
+        |  CAST(coalesce(CAST(min(CASE WHEN NOT nw THEN o_orderkey END) AS VARCHAR)
+        |    = CAST(min(CASE WHEN nw THEN o_orderkey END) AS VARCHAR), false) AS INT)
+        |    AS min_same,
+        |  CAST(coalesce(CAST(max(CASE WHEN NOT nw THEN o_orderkey END) AS VARCHAR)
+        |    = CAST(max(CASE WHEN nw THEN o_orderkey END) AS VARCHAR), false) AS INT)
+        |    AS max_same
+        |FROM t
+        |UNION ALL
+        |SELECT 'o_custkey',
+        |  count(CASE WHEN NOT nw THEN 1 END), count(CASE WHEN nw THEN 1 END),
+        |  count(CASE WHEN NOT nw THEN 1 END)
+        |    - count(CASE WHEN NOT nw THEN o_custkey END),
+        |  count(CASE WHEN nw THEN 1 END)
+        |    - count(CASE WHEN nw THEN o_custkey END),
+        |  count(DISTINCT CASE WHEN NOT nw THEN o_custkey END),
+        |  count(DISTINCT CASE WHEN nw THEN o_custkey END),
+        |  CAST(coalesce(CAST(min(CASE WHEN NOT nw THEN o_custkey END) AS VARCHAR)
+        |    = CAST(min(CASE WHEN nw THEN o_custkey END) AS VARCHAR), false) AS INT),
+        |  CAST(coalesce(CAST(max(CASE WHEN NOT nw THEN o_custkey END) AS VARCHAR)
+        |    = CAST(max(CASE WHEN nw THEN o_custkey END) AS VARCHAR), false) AS INT)
+        |FROM t
+        |UNION ALL
+        |SELECT 'o_orderstatus',
+        |  count(CASE WHEN NOT nw THEN 1 END), count(CASE WHEN nw THEN 1 END),
+        |  count(CASE WHEN NOT nw THEN 1 END)
+        |    - count(CASE WHEN NOT nw THEN o_orderstatus END),
+        |  count(CASE WHEN nw THEN 1 END)
+        |    - count(CASE WHEN nw THEN o_orderstatus END),
+        |  count(DISTINCT CASE WHEN NOT nw THEN o_orderstatus END),
+        |  count(DISTINCT CASE WHEN nw THEN o_orderstatus END),
+        |  CAST(coalesce(min(CASE WHEN NOT nw THEN o_orderstatus END)
+        |    = min(CASE WHEN nw THEN o_orderstatus END), false) AS INT),
+        |  CAST(coalesce(max(CASE WHEN NOT nw THEN o_orderstatus END)
+        |    = max(CASE WHEN nw THEN o_orderstatus END), false) AS INT)
+        |FROM t
+        |UNION ALL
+        |SELECT 'o_totalprice',
+        |  count(CASE WHEN NOT nw THEN 1 END), count(CASE WHEN nw THEN 1 END),
+        |  count(CASE WHEN NOT nw THEN 1 END)
+        |    - count(CASE WHEN NOT nw THEN o_totalprice END),
+        |  count(CASE WHEN nw THEN 1 END)
+        |    - count(CASE WHEN nw THEN o_totalprice END),
+        |  count(DISTINCT CASE WHEN NOT nw THEN o_totalprice END),
+        |  count(DISTINCT CASE WHEN nw THEN o_totalprice END),
+        |  CAST(coalesce(printf('%.2f', min(CASE WHEN NOT nw THEN o_totalprice END))
+        |    = printf('%.2f', min(CASE WHEN nw THEN o_totalprice END)), false) AS INT),
+        |  CAST(coalesce(printf('%.2f', max(CASE WHEN NOT nw THEN o_totalprice END))
+        |    = printf('%.2f', max(CASE WHEN nw THEN o_totalprice END)), false) AS INT)
+        |FROM t
+        |UNION ALL
+        |SELECT 'o_orderdate',
+        |  count(CASE WHEN NOT nw THEN 1 END), count(CASE WHEN nw THEN 1 END),
+        |  count(CASE WHEN NOT nw THEN 1 END)
+        |    - count(CASE WHEN NOT nw THEN o_orderdate END),
+        |  count(CASE WHEN nw THEN 1 END)
+        |    - count(CASE WHEN nw THEN o_orderdate END),
+        |  count(DISTINCT CASE WHEN NOT nw THEN o_orderdate END),
+        |  count(DISTINCT CASE WHEN nw THEN o_orderdate END),
+        |  CAST(coalesce(strftime(min(CASE WHEN NOT nw THEN o_orderdate END), '%Y-%m-%d %H:%M:%S')
+        |    = strftime(min(CASE WHEN nw THEN o_orderdate END), '%Y-%m-%d %H:%M:%S'), false) AS INT),
+        |  CAST(coalesce(strftime(max(CASE WHEN NOT nw THEN o_orderdate END), '%Y-%m-%d %H:%M:%S')
+        |    = strftime(max(CASE WHEN nw THEN o_orderdate END), '%Y-%m-%d %H:%M:%S'), false) AS INT)
+        |FROM t
+        |UNION ALL
+        |SELECT 'o_orderpriority',
+        |  count(CASE WHEN NOT nw THEN 1 END), count(CASE WHEN nw THEN 1 END),
+        |  count(CASE WHEN NOT nw THEN 1 END)
+        |    - count(CASE WHEN NOT nw THEN o_orderpriority END),
+        |  count(CASE WHEN nw THEN 1 END)
+        |    - count(CASE WHEN nw THEN o_orderpriority END),
+        |  count(DISTINCT CASE WHEN NOT nw THEN o_orderpriority END),
+        |  count(DISTINCT CASE WHEN nw THEN o_orderpriority END),
+        |  CAST(coalesce(min(CASE WHEN NOT nw THEN o_orderpriority END)
+        |    = min(CASE WHEN nw THEN o_orderpriority END), false) AS INT),
+        |  CAST(coalesce(max(CASE WHEN NOT nw THEN o_orderpriority END)
+        |    = max(CASE WHEN nw THEN o_orderpriority END), false) AS INT)
+        |FROM t""".stripMargin,
 
     // v9: the incremental (streaming) pipeline must land exactly the batch
     // answer — same oracle as v7.

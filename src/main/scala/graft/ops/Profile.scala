@@ -63,4 +63,62 @@ object Profile {
       .select(col("p.col_name"), col("p.n_rows"), col("p.n_nulls"),
         col("p.n_distinct"), col("p.min_str"), col("p.max_str"))
   }
+
+  /** Statistics-drift report between two ingest batches of the same table
+    * — the check a recurring pipeline runs before promoting a new batch
+    * (null-rate spikes, category-set changes, range shifts; the drift
+    * twin of the reference's per-batch validation reports).
+    *
+    * `isNew` labels each row's batch. ONE conditional aggregate over ONE
+    * scan computes both sides' profiles (count/distinct/min/max under
+    * `when(isNew, c)` / `when(!isNew, c)` — never a self-join of two
+    * profile passes, which would scan twice); the per-column comparison
+    * rows fan out from the single result row. Exact distinct doubles the
+    * Expand width to ×(2N+1) — same disclosed cost as [[profile]], same
+    * `exactDistinct = false` HLL++ escape at 100 TB. */
+  def drift(df: DataFrame, isNew: Column,
+            render: Map[String, Column => Column] = Map.empty,
+            exactDistinct: Boolean = true): DataFrame = {
+    val cols = df.columns.toSeq
+    require(cols.nonEmpty, "cannot drift-check a zero-column frame")
+    def side(c: String, newSide: Boolean): Column =
+      when(if (newSide) isNew else !isNew, col(c))
+    def nd(x: Column): Column =
+      if (exactDistinct) countDistinct(x) else approx_count_distinct(x)
+    def rendered(c: String, agg: Column): Column =
+      render.getOrElse(c, (x: Column) => x.cast("string"))(agg)
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(side(c, newSide = false)).as(s"${c}__nn_o"),
+        count(side(c, newSide = true)).as(s"${c}__nn_n"),
+        nd(side(c, newSide = false)).as(s"${c}__nd_o"),
+        nd(side(c, newSide = true)).as(s"${c}__nd_n"),
+        rendered(c, min(side(c, newSide = false))).as(s"${c}__mn_o"),
+        rendered(c, min(side(c, newSide = true))).as(s"${c}__mn_n"),
+        rendered(c, max(side(c, newSide = false))).as(s"${c}__mx_o"),
+        rendered(c, max(side(c, newSide = true))).as(s"${c}__mx_n"))
+    }
+    val one = df.agg(
+      count(when(!isNew, lit(1))).as("__rows_o"),
+      (count(when(isNew, lit(1))).as("__rows_n") +: aggs): _*)
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__rows_o").as("n_old"),
+        col("__rows_n").as("n_new"),
+        (col("__rows_o") - col(s"${c}__nn_o")).as("nulls_old"),
+        (col("__rows_n") - col(s"${c}__nn_n")).as("nulls_new"),
+        col(s"${c}__nd_o").as("distinct_old"),
+        col(s"${c}__nd_n").as("distinct_new"),
+        coalesce(col(s"${c}__mn_o") === col(s"${c}__mn_n"), lit(false))
+          .cast("int").as("min_same"),
+        coalesce(col(s"${c}__mx_o") === col(s"${c}__mx_n"), lit(false))
+          .cast("int").as("max_same"))
+    }
+    one.select(explode(array(perCol: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_old"), col("p.n_new"),
+        col("p.nulls_old"), col("p.nulls_new"),
+        col("p.distinct_old"), col("p.distinct_new"),
+        col("p.min_same"), col("p.max_same"))
+  }
 }

@@ -306,6 +306,34 @@ class OpsSpec extends SparkSpec {
     assert(out("x") == (3L, 1L, 2L, "2.50", "10.25"))
   }
 
+  test("drift flags null spikes, category growth, and range shifts in one pass") {
+    // old batch: ids 1-3, cat {a,b}, no nulls; new: ids 4-6, cat {a,b,c},
+    // one null, max id shifts -> max_same=0 for id, min_same=1 for cat
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, Some("a")),
+      (4L, Some("a")), (5L, None), (6L, Some("c")))
+      .toDF("id", "cat")
+    val out = graft.ops.Profile.drift(df, isNew = col("id") >= 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = out("id")
+    assert((id.getLong(1), id.getLong(2)) == (3L, 3L))     // n_old, n_new
+    assert((id.getLong(3), id.getLong(4)) == (0L, 0L))     // no id nulls
+    assert((id.getLong(5), id.getLong(6)) == (3L, 3L))     // distincts
+    assert((id.getInt(7), id.getInt(8)) == (0, 0))         // 1-3 vs 4-6
+    val cat = out("cat")
+    assert((cat.getLong(3), cat.getLong(4)) == (0L, 1L))   // null spike
+    assert((cat.getLong(5), cat.getLong(6)) == (2L, 2L))   // {a,b} vs {a,c}
+    assert((cat.getInt(7), cat.getInt(8)) == (1, 0))       // min a=a, max b!=c
+  }
+
+  test("drift with an all-null side keeps flags false, not null") {
+    val df = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("id", "v")
+    val out = graft.ops.Profile.drift(df, isNew = col("id") === 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert((out("v").getInt(7), out("v").getInt(8)) == (0, 0))
+    assert(out("v").getLong(3) == 1L && out("v").getLong(4) == 0L)
+  }
+
   test("profile approx tier estimates distincts without Expand") {
     val df = (1 to 1000).map(i => (i.toLong, i % 10)).toDF("id", "m")
     val approx = graft.ops.Profile.profile(df, exactDistinct = false)

@@ -309,6 +309,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).size <= 2, s"v10 grew shuffles (${shuffles(p).size}):\n$p")
   }
 
+  test("v11 drift: both batch profiles from ONE scan, no self-join") {
+    val p = q("v11_drift")
+    val scans = deep(p).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.size == 1, s"v11 must compute both sides in ONE scan:\n$p")
+    assert(!p.toString.contains("Join"), s"v11 grew a self-join:\n$p")
+    assert(shuffles(p).size <= 2, s"v11 grew shuffles (${shuffles(p).size}):\n$p")
+  }
+
   test("t15 bm25: query-term filter in the scan stage, top-k via TakeOrdered") {
     val p = q("t15_bm25")
     // every tf-branch scan prunes to the |Q| query terms BEFORE its

@@ -1588,6 +1588,23 @@ object SparkEntry {
         shares = MixtureShares, targetTotal = math.max(docs.count() / 2, 1L))
     }),
 
+    // W10 per-group z-score outlier flagging (the numeric data-cleaning
+    // step): per-type mean/stddev from one tiny aggregate BROADCAST back
+    // onto the stream — the corpus side never shuffles (a window over
+    // event_type would shuffle every row to compute the same two
+    // scalars). Boundary and z both rounded to 6dp pre-compare/pre-emit
+    // so cross-engine ulp drift in avg/stddev can't flip membership.
+    "w10_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val stats = ev.groupBy(col("event_type")).agg(
+        avg(col("value")).as("m"), stddev_samp(col("value")).as("sd"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .filter(round(abs(col("value") - col("m")) - lit(2.5) * col("sd"), 6) > 0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - col("m")) / col("sd"), 6).as("z"))
+    }),
+
     // W8 sliding-window rates: events per (2h window, 1h slide, type).
     // Spark's native window() emits each event into width/slide buckets
     // map-side — one shuffle on (window, type), the batch twin of the
@@ -3055,6 +3072,17 @@ object SparkEntry {
         |FROM documents d JOIN rates USING (lang)
         |WHERE (CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 12))
         |    AS BIGINT) + 1) / 281474976710656.0 <= r""".stripMargin,
+
+    // w10: same rounded-boundary discipline as the query (round BEFORE
+    // the > 0 compare and the z emit).
+    "w10_outliers" ->
+      """WITH stats AS (
+        |  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |  round((value - m) / sd, 6) AS z
+        |FROM events JOIN stats USING (event_type)
+        |WHERE round(abs(value - m) - 2.5 * sd, 6) > 0""".stripMargin,
 
     "w8_sliding_rate" ->
       """WITH e AS (

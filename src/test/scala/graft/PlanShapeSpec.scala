@@ -297,6 +297,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).size <= 3, s"d13 grew extra shuffles (${shuffles(p).size}):\n$p")
   }
 
+  test("w10 outliers: stats broadcast back, corpus side never shuffles") {
+    val p = q("w10_outliers")
+    assert(broadcasts(p).nonEmpty, s"w10 lost its stats broadcast:\n$p")
+    assert(windows(p).isEmpty, s"w10 grew a window (full-corpus shuffle):\n$p")
+    // only the per-type stats aggregate may shuffle (tiny); the joined
+    // event stream must not
+    assert(shuffles(p).size <= 1, s"w10 grew shuffles (${shuffles(p).size}):\n$p")
+  }
+
   test("v10 profile: one scan, expand-aggregate only, no join or window") {
     val p = q("v10_profile")
     val scans = deep(p).collect {

@@ -1577,6 +1577,24 @@ object SparkEntry {
         stratum = "lang", key = "doc_id", targetTotal = 300L, temperature = 2.0)
     }),
 
+    // C11 deterministic corpus shuffle into training shards: the "global
+    // shuffle before sharding" step every training run needs reproducible.
+    // Content-addressed draw (md5 of a seeded key) gives a partition- and
+    // engine-independent permutation; shard = 48-bit prefix of the draw
+    // mod nShards (map-side), position = rank within shard (ONE shuffle on
+    // shard; each window partition is a balanced ~n/nShards slice — never
+    // a global single-partition sort, contrast a naive orderBy(draw)).
+    "c11_corpus_shuffle" -> ((s, dir) => {
+      val draw = md5(concat(lit("shuffle:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("shard")).orderBy(col("draw"), col("doc_id"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("draw", draw)
+        .withColumn("shard",
+          conv(substring(col("draw"), 1, 12), 16, 10).cast("long") % 8)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
     // C10 mixture resampling to explicit target shares (the data-mixing
     // recipe step): per-category Bernoulli rate share*total/n_c from one
     // broadcast count aggregate, content-addressed u48 threshold in the
@@ -3053,6 +3071,23 @@ object SparkEntry {
         |SELECT lang, doc_id, sample_rank
         |FROM ranked JOIN q USING (lang)
         |WHERE sample_rank <= quota""".stripMargin,
+
+    // c11: '0x'-cast 48-bit prefix is the portable twin of Spark's conv()
+    // (a9/c8 discipline); draw string ordering is plain lexicographic on
+    // both engines (hex alphabet).
+    "c11_corpus_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS draw
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, draw,
+        |    ('0x' || substr(draw, 1, 12))::BIGINT % 8 AS shard
+        |  FROM d)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM s""".stripMargin,
 
     // c10: rates re-derived relationally; the '0x'-cast 48-bit md5 draw
     // is the portable twin of Spark's conv() (a9/c8 discipline). CASE

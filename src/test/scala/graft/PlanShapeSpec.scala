@@ -297,6 +297,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).size <= 3, s"d13 grew extra shuffles (${shuffles(p).size}):\n$p")
   }
 
+  test("c11 corpus shuffle: one shard-keyed shuffle, never a global sort") {
+    val p = q("c11_corpus_shuffle")
+    assert(shuffles(p).size <= 1, s"c11 grew shuffles (${shuffles(p).size}):\n$p")
+    // the rank window must be PARTITIONED (per-shard slices), not a
+    // single-partition total order
+    val ws = windows(p)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"c11's window lost its shard partitioning:\n$p")
+  }
+
   test("w10 outliers: stats broadcast back, corpus side never shuffles") {
     val p = q("w10_outliers")
     assert(broadcasts(p).nonEmpty, s"w10 lost its stats broadcast:\n$p")

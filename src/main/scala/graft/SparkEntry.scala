@@ -1567,6 +1567,43 @@ object SparkEntry {
         queryTerms = Bm25Query, k = 20)
     }),
 
+    // T16 bigram collocations by PMI: bigrams built MAP-SIDE by zipping
+    // the token array against its own 1-shift (slice+arrays_zip — one
+    // split per row; a transform(sequence) lambda would re-split per
+    // element, the measured 5x d11 trap) -> (w1,w2) count aggregate with
+    // min-count prune BEFORE the unigram joins -> two vocab joins
+    // (shuffled by design: a 100 TB corpus vocabulary doesn't broadcast,
+    // t11/t12 discipline) -> global top-50 via TakeOrdered. Totals are
+    // two scalars from one scan-stage aggregate (t12's count discipline).
+    "t16_pmi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toksArr = split(trim(col("text")), "\\s+")
+      val totals = docs.agg(
+        sum(size(toksArr)).cast("double").as("t"),
+        sum(greatest(size(toksArr) - 1, lit(0))).cast("double").as("b")).head()
+      val tTot = totals.getDouble(0)
+      val bTot = totals.getDouble(1)
+      val uni = docs.select(explode(toksArr).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val bi = docs
+        .select(slice(toksArr, lit(1), size(toksArr) - 1).as("l"),
+          slice(toksArr, lit(2), size(toksArr) - 1).as("r"))
+        .select(explode(arrays_zip(col("l"), col("r"))).as("z"))
+        .select(col("z.l").as("w1"), col("z.r").as("w2"))
+      val bc = bi.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_ab")).filter(col("n_ab") >= 5)
+      val scored = bc
+        .join(uni.select(col("w").as("w1"), col("n").as("n1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("n").as("n2")), Seq("w2"))
+        .withColumn("pmi", round(log(
+          (col("n_ab") * lit(tTot) * lit(tTot)) /
+            (lit(bTot) * col("n1") * col("n2"))), 6))
+      val topK = scored.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(50)
+      val w = Window.orderBy(col("pmi").desc, col("w1"), col("w2"))
+      topK.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("w1"), col("w2"), col("n_ab"), col("pmi"), col("rank"))
+    }),
+
     // C6 temperature-scaled mixture resampling: per-language quotas from
     // T=2-flattened corpus shares, membership by the content-addressed
     // md5 draw — the multilingual-balance op (quota form of c3's rates,
@@ -3071,6 +3108,35 @@ object SparkEntry {
         |SELECT lang, doc_id, sample_rank
         |FROM ranked JOIN q USING (lang)
         |WHERE sample_rank <= quota""".stripMargin,
+
+    // t16: lockstep multi-unnest builds the same 1-shift bigrams; formula
+    // association mirrors the query exactly (6dp round-before-rank).
+    "t16_pmi" ->
+      """WITH arr AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS a FROM documents),
+        |toks AS (SELECT unnest(a) AS w FROM arr),
+        |uni AS (SELECT w, count(*) AS n FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
+        |btot AS (
+        |  SELECT CAST(sum(greatest(len(a) - 1, 0)) AS DOUBLE) AS b FROM arr),
+        |bi AS (
+        |  SELECT unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2
+        |  FROM arr),
+        |bc AS (
+        |  SELECT w1, w2, count(*) AS n_ab FROM bi
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |scored AS (
+        |  SELECT w1, w2, n_ab,
+        |    round(ln((n_ab * t * t) / (b * u1.n * u2.n)), 6) AS pmi
+        |  FROM bc
+        |  JOIN uni u1 ON bc.w1 = u1.w
+        |  JOIN uni u2 ON bc.w2 = u2.w
+        |  CROSS JOIN tot CROSS JOIN btot),
+        |ranked AS (
+        |  SELECT w1, w2, n_ab, pmi,
+        |    CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT w1, w2, n_ab, pmi, rank FROM ranked WHERE rank <= 50""".stripMargin,
 
     // c11: '0x'-cast 48-bit prefix is the portable twin of Spark's conv()
     // (a9/c8 discipline); draw string ordering is plain lexicographic on

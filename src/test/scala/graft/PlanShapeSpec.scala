@@ -297,6 +297,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).size <= 3, s"d13 grew extra shuffles (${shuffles(p).size}):\n$p")
   }
 
+  test("t16 pmi: map-side bigrams, top-k via TakeOrdered, bounded shuffles") {
+    val p = q("t16_pmi")
+    assert(deep(p).exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      s"t16 lost TakeOrdered:\n$p")
+    // uni agg + bigram agg + two vocab joins: the deliberate shuffle
+    // budget; a transform-lambda bigram build or lost min-count prune
+    // shows up as growth here
+    assert(shuffles(p).size <= 7, s"t16 grew shuffles (${shuffles(p).size}):\n$p")
+    assert(!p.toString.contains("CartesianProduct"), s"t16 grew a cartesian:\n$p")
+  }
+
   test("c11 corpus shuffle: one shard-keyed shuffle, never a global sort") {
     val p = q("c11_corpus_shuffle")
     assert(shuffles(p).size <= 1, s"c11 grew shuffles (${shuffles(p).size}):\n$p")

@@ -1604,6 +1604,20 @@ object SparkEntry {
         .select(col("w1"), col("w2"), col("n_ab"), col("pmi"), col("rank"))
     }),
 
+    // T17 corpus frequency spectrum (freq-of-freq, the Zipf report that
+    // sizes vocabularies and tokenizer merges): term-count aggregate ->
+    // count-of-counts aggregate. Two shuffles, the second over the tiny
+    // (term_freq) domain; no join, no window — the cheapest full-vocab
+    // statistic the engine ships.
+    "t17_freq_spectrum" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("c").as("term_freq"))
+        .agg(count(lit(1)).as("n_terms"))
+        .select(col("term_freq"), col("n_terms"))
+    }),
+
     // C6 temperature-scaled mixture resampling: per-language quotas from
     // T=2-flattened corpus shares, membership by the content-addressed
     // md5 draw — the multilingual-balance op (quota form of c3's rates,
@@ -1658,6 +1672,27 @@ object SparkEntry {
         .filter(round(abs(col("value") - col("m")) - lit(2.5) * col("sd"), 6) > 0)
         .select(col("event_id"), col("event_type"), col("value"),
           round((col("value") - col("m")) / col("sd"), 6).as("z"))
+    }),
+
+    // P15 percentile winsorization (the numeric-capping twin of w10's
+    // drop): per-type p1/p99 from one tiny exact-percentile aggregate
+    // (w7 discipline — Spark percentile == DuckDB quantile_cont,
+    // verified) BROADCAST back; the stream clips in the scan stage and
+    // never shuffles. Clipped value rounded 6dp (ulp discipline); rows
+    // inside the fences emit their raw value untouched.
+    "p15_winsorize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val fences = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.01)").as("lo"),
+        expr("percentile(value, 0.99)").as("hi"))
+      ev.join(broadcast(fences), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(least(greatest(col("value"), col("lo")), col("hi")), 6)
+            .as("clipped"),
+          (round(col("value") - col("lo"), 6) < 0 ||
+            round(col("value") - col("hi"), 6) > 0)
+            .cast("int").as("was_clipped"))
     }),
 
     // W8 sliding-window rates: events per (2h window, 1h slide, type).
@@ -3109,6 +3144,13 @@ object SparkEntry {
         |FROM ranked JOIN q USING (lang)
         |WHERE sample_rank <= quota""".stripMargin,
 
+    "t17_freq_spectrum" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |tc AS (SELECT w, count(*) AS c FROM toks GROUP BY 1)
+        |SELECT c AS term_freq, count(*) AS n_terms FROM tc GROUP BY 1""".stripMargin,
+
     // t16: lockstep multi-unnest builds the same 1-shift bigrams; formula
     // association mirrors the query exactly (6dp round-before-rank).
     "t16_pmi" ->
@@ -3173,6 +3215,19 @@ object SparkEntry {
         |FROM documents d JOIN rates USING (lang)
         |WHERE (CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 12))
         |    AS BIGINT) + 1) / 281474976710656.0 <= r""".stripMargin,
+
+    // p15: quantile_cont is percentile's verified twin (w7); rounded
+    // boundary compares as in the query.
+    "p15_winsorize" ->
+      """WITH fences AS (
+        |  SELECT event_type, quantile_cont(value, 0.01) AS lo,
+        |    quantile_cont(value, 0.99) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |  round(least(greatest(value, lo), hi), 6) AS clipped,
+        |  CAST(round(value - lo, 6) < 0 OR round(value - hi, 6) > 0 AS INT)
+        |    AS was_clipped
+        |FROM events JOIN fences USING (event_type)""".stripMargin,
 
     // w10: same rounded-boundary discipline as the query (round BEFORE
     // the > 0 compare and the z emit).

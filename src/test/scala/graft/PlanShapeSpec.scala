@@ -328,6 +328,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).size <= 1, s"w10 grew shuffles (${shuffles(p).size}):\n$p")
   }
 
+  test("p15 winsorize: fences broadcast back, corpus side never shuffles") {
+    val p = q("p15_winsorize")
+    assert(broadcasts(p).nonEmpty, s"p15 lost its fence broadcast:\n$p")
+    assert(windows(p).isEmpty, s"p15 grew a window:\n$p")
+    assert(shuffles(p).size <= 1, s"p15 grew shuffles (${shuffles(p).size}):\n$p")
+  }
+
+  test("t17 freq spectrum: two aggregates, no join/window/expand") {
+    val p = q("t17_freq_spectrum")
+    assert(shuffles(p).size <= 2, s"t17 grew shuffles (${shuffles(p).size}):\n$p")
+    assert(windows(p).isEmpty && !p.toString.contains("Join"),
+      s"t17 grew a join/window:\n$p")
+  }
+
   test("v10 profile: one scan, expand-aggregate only, no join or window") {
     val p = q("v10_profile")
     val scans = deep(p).collect {

@@ -457,6 +457,71 @@ object SparkEntry {
     // evicts closed-window state and memory stays bounded at any scale.
     // The streaming path stops being spec-only: a streaming/batch
     // divergence fails the driver's gate.
+    // D15 streaming near-dup dedup, driver-judged (w12/v9 discipline for
+    // order-dependent semantics that no SQL oracle can replay): three
+    // path-ordered single-file micro-batches stream through
+    // NearDupStream TWICE from clean state; the gate emits constants —
+    // run-to-run determinism (checkpointed replay must land the
+    // identical accepted set), the LSM registry invariant (state holds
+    // exactly the accepted docs' band buckets), and accepted ⊆ input.
+    // The screen rule itself is spec-verified against an independent
+    // re-derivation (StreamingSpec); this gate judges the INVARIANTS on
+    // driver data at every SF.
+    "d15_stream_neardup" -> ((s, dir) => {
+      import graft.streaming.NearDupStream
+      val root = s"$streamScratchDir/nd_${dirKey(dir)}"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // single-file batches named so listing order == intended order
+      // (the file source breaks mtime ties by path)
+      for (b <- 0 until 3) {
+        val tmp = s"$root/tmp$b"
+        docs.filter(col("doc_id") % 3 === b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$in/b$b.parquet"))
+        rmTree(tmp)
+      }
+      val schema = s.read.parquet(in).schema
+      def runOnce(tag: String): DataFrame = {
+        NearDupStream.start(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in),
+          s"$root/out$tag", s"$root/ckpt$tag", s"$root/state$tag")
+          .awaitTermination()
+        s.read.parquet(s"$root/out$tag")
+      }
+      val a = runOnce("A")
+      val b = runOnce("B")
+      val nDocs = docs.count()
+      val nA = a.count()
+      val rerunMiss = a.select(col("doc_id")).withColumn("x", lit(1))
+        .join(b.select(col("doc_id")).withColumn("y", lit(1)),
+          Seq("doc_id"), "full_outer")
+        .filter(col("x").isNull || col("y").isNull).count()
+      val stateKeys = graft.state.SeenKeys.load(s, s"$root/stateA")
+        .select(col("key").as("bkey"))
+      val acceptedKeys = NearDupStream.bucketKeys(a, "doc_id", "text")
+        .select(col("bkey")).distinct()
+      val syncMiss = stateKeys.withColumn("x", lit(1))
+        .join(acceptedKeys.withColumn("y", lit(1)), Seq("bkey"), "full_outer")
+        .filter(col("x").isNull || col("y").isNull).count()
+      val subsetViol = a.select(col("doc_id"))
+        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
+      import s.implicits._
+      Seq((nDocs,
+        if (nA >= 1 && nA <= nDocs) 1 else 0,
+        if (rerunMiss == 0) 1 else 0,
+        if (syncMiss == 0) 1 else 0,
+        if (subsetViol == 0) 1 else 0))
+        .toDF("n_docs", "n_accepted_ok", "rerun_equal", "registry_sync",
+          "accepted_subset")
+    }),
+
     "w12_stream_rollup" -> ((s, dir) => {
       import graft.streaming.EventStream
       // Tables.load first: sets the nanosAsLong conf the schema read needs
@@ -2479,6 +2544,14 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // d15: constant-oracle gate (d7/m4 discipline) — the engine emits
+    // invariant flags for the order-dependent streaming dedup; the
+    // oracle pins them true and pins the processed-doc count.
+    "d15_stream_neardup" ->
+      """SELECT count(*) AS n_docs, 1 AS n_accepted_ok, 1 AS rerun_equal,
+        |  1 AS registry_sync, 1 AS accepted_subset
+        |FROM documents""".stripMargin,
 
     // w12: the STREAMING rollup must land on exactly the batch answer.
     "w12_stream_rollup" ->

@@ -356,6 +356,37 @@ object SparkEntry {
     // A5 null-parent intersection: rows whose parent pointers are ALL null
     // (single filter — the reference's per-column lists + set intersection
     // collapse to one predicate).
+    // A10 whole-schema referential-integrity sweep (the FK dashboard
+    // generalizing a5's single intersection): one row per FK edge with
+    // child cardinality and orphan count. Each edge is a left join +
+    // conditional count — parent side DISTINCT-projected to its key
+    // first (a join against raw parent rows would fan out duplicate-key
+    // parents); nation-sized parents broadcast, the rest shuffle on the
+    // key they aggregate on. Five independent 1-row aggregates union at
+    // the driver — no cross-edge dependency, so AQE runs them as
+    // separate cheap jobs.
+    "a10_fk_sweep" -> ((s, dir) => {
+      def edge(fk: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String): DataFrame = {
+        val p = parent.select(col(pk)).distinct()
+          .withColumn("__hit", lit(1))
+        child.select(col(ck))
+          .join(p, child(ck) === p(pk), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col(ck).isNotNull && col("__hit").isNull, 1L)
+              .otherwise(0L)).as("n_orphans"))
+          .select(lit(fk).as("fk"), col("n_child"), col("n_orphans"))
+      }
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val pa = t(s, dir, "part"); val na = t(s, dir, "nation")
+      edge("lineitem.l_orderkey", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(edge("lineitem.l_partkey", li, "l_partkey", pa, "p_partkey"))
+        .unionAll(edge("orders.o_custkey", o, "o_custkey", c, "c_custkey"))
+        .unionAll(edge("customer.c_nationkey", c, "c_nationkey", na, "n_nationkey"))
+        .unionAll(edge("supplier.s_nationkey", su, "s_nationkey", na, "n_nationkey"))
+    }),
+
     "a5_orphans" -> ((s, dir) => {
       val d = t(s, dir, "orders").select(
         col("o_orderkey"),
@@ -2099,6 +2130,44 @@ object SparkEntry {
         |    CASE WHEN l_linenumber > 4 THEN NULL ELSE CAST(l_linenumber AS VARCHAR) END,
         |    CAST(l_orderkey AS VARCHAR)) AS effective_id
         |FROM lineitem""".stripMargin,
+
+    // a10: DISTINCT parent keys before the join (duplicate-key parents
+    // must not fan out child rows), orphan = non-null child key missing.
+    "a10_fk_sweep" ->
+      """SELECT 'lineitem.l_orderkey' AS fk, count(*) AS n_child,
+        |  sum(CASE WHEN l_orderkey IS NOT NULL AND p.k IS NULL
+        |    THEN 1 ELSE 0 END) AS n_orphans
+        |FROM lineitem
+        |LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |  ON l_orderkey = p.k
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey', count(*),
+        |  sum(CASE WHEN l_partkey IS NOT NULL AND p.k IS NULL
+        |    THEN 1 ELSE 0 END)
+        |FROM lineitem
+        |LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+        |  ON l_partkey = p.k
+        |UNION ALL
+        |SELECT 'orders.o_custkey', count(*),
+        |  sum(CASE WHEN o_custkey IS NOT NULL AND p.k IS NULL
+        |    THEN 1 ELSE 0 END)
+        |FROM orders
+        |LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |  ON o_custkey = p.k
+        |UNION ALL
+        |SELECT 'customer.c_nationkey', count(*),
+        |  sum(CASE WHEN c_nationkey IS NOT NULL AND p.k IS NULL
+        |    THEN 1 ELSE 0 END)
+        |FROM customer
+        |LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |  ON c_nationkey = p.k
+        |UNION ALL
+        |SELECT 'supplier.s_nationkey', count(*),
+        |  sum(CASE WHEN s_nationkey IS NOT NULL AND p.k IS NULL
+        |    THEN 1 ELSE 0 END)
+        |FROM supplier
+        |LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |  ON s_nationkey = p.k""".stripMargin,
 
     "a5_orphans" ->
       """WITH d AS (SELECT o_orderkey,

@@ -328,6 +328,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).size <= 1, s"w10 grew shuffles (${shuffles(p).size}):\n$p")
   }
 
+  test("a10 fk sweep: small parents broadcast, no cartesian edges") {
+    val p = q("a10_fk_sweep")
+    // nation-keyed edges (and at this SF every parent) ride broadcasts
+    assert(broadcasts(p).nonEmpty, s"a10 lost its parent broadcasts:\n$p")
+    assert(!p.toString.contains("CartesianProduct"), s"a10 grew a cartesian:\n$p")
+  }
+
   test("p15 winsorize: fences broadcast back, corpus side never shuffles") {
     val p = q("p15_winsorize")
     assert(broadcasts(p).nonEmpty, s"p15 lost its fence broadcast:\n$p")

@@ -1567,6 +1567,29 @@ object SparkEntry {
           col("valid_from"), col("valid_to"))
     }),
 
+    // H6 point-in-time (time-travel) read over the SCD2 table: the
+    // consumer-side op h5 exists FOR — reconstruct every key's state as
+    // of a cut timestamp. Cut is SF-adaptive (percentile_disc(0.5) of
+    // event micros — an ACTUAL element, so both engines pick the
+    // identical cut; w7's verified quantile_disc twin). Shape: h5's one
+    // keyed lead-window, then a scan-stage interval filter — at 100 TB
+    // a stored SCD2 table makes this filter-only (partition-prunable on
+    // valid_from date).
+    "h6_time_travel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      // percentile_disc picks an actual element but types it DOUBLE;
+      // micros (~2^51) are exactly representable, so the toLong is exact
+      val cut = ev
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY unix_micros(ts))"))
+        .head().getDouble(0).toLong
+      History.scd2(ev, key = "user_id", timeCol = "ts", tieBreak = "event_id")
+        .filter(unix_micros(col("valid_from")) <= cut &&
+          (col("valid_to").isNull || unix_micros(col("valid_to")) > cut))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"))
+    }),
+
     // Q6 rollup: nation x segment customer counts/balances WITH subtotal
     // and grand-total rows in one pass (native rollup = one shuffle that
     // carries all grouping sets; never one scan per level).
@@ -3172,6 +3195,24 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, ts AS valid_from,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
         |FROM events""".stripMargin,
+
+    // h6: tsu-cast micros on both sides; quantile_disc picks the same
+    // element as Spark's percentile_disc (w7 parity).
+    "h6_time_travel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events),
+        |cut AS (SELECT quantile_disc(epoch_us(tsu), 0.5) AS c FROM e),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, tsu AS valid_from,
+        |    lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |      AS valid_to
+        |  FROM e)
+        |SELECT user_id, event_id, event_type, valid_from
+        |FROM s CROSS JOIN cut
+        |WHERE epoch_us(valid_from) <= c
+        |  AND (valid_to IS NULL OR epoch_us(valid_to) > c)""".stripMargin,
 
     "q6_rollup" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_cust,

@@ -328,6 +328,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).size <= 1, s"w10 grew shuffles (${shuffles(p).size}):\n$p")
   }
 
+  test("h6 time travel: h5's keyed window + scan-stage interval filter only") {
+    val p = q("h6_time_travel")
+    assert(shuffles(p).size <= 1, s"h6 grew shuffles (${shuffles(p).size}):\n$p")
+    val ws = windows(p)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"h6's lead window lost its key partitioning:\n$p")
+    assert(!p.toString.contains("Join"), s"h6 grew a join:\n$p")
+  }
+
   test("a10 fk sweep: small parents broadcast, no cartesian edges") {
     val p = q("a10_fk_sweep")
     // nation-keyed edges (and at this SF every parent) ride broadcasts

@@ -1292,6 +1292,28 @@ object SparkEntry {
 
     // E4 embedding-cosine near-duplicate pairs (compiled kernel; sim
     // quantized to millis so the double survives the engine boundary).
+    // E12 semantic decontamination: the embedding-space twin of d8/d13's
+    // n-gram tiers — flag every TRAINING vector whose cosine to ANY
+    // benchmark vector clears the threshold. The benchmark side is small
+    // by construction (a benchmark suite stays ~10^5 rows at any corpus
+    // scale), so the production shape IS the broadcast predicate join:
+    // the training stream scans once, computes |bench| compiled cosines
+    // per row map-side, and never shuffles; per-vec hit stats aggregate
+    // on the training key. e4's floor(sim*1000) millis discipline.
+    "e12_semantic_decontam" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val bench = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("bid"), col("embedding").as("bvec"))
+      val train = e.filter(col("vec_id") % 20 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      train.join(broadcast(bench),
+          Similarity.cosine(col("embedding"), col("bvec")) >= 0.4)
+        .withColumn("sim", Similarity.cosine(col("embedding"), col("bvec")))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          floor(max(col("sim")) * 1000).as("max_sim_mil"))
+    }),
+
     "e4_cosine_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
@@ -2452,6 +2474,19 @@ object SparkEntry {
         |  ('sample', 'sample_id', 'string', CAST(0 AS BIGINT), false, true),
         |  ('sample', 'gender', 'string', CAST(2 AS BIGINT), false, false))
         |  AS t(node, prop, spark_type, n_enum, required, is_key)""".stripMargin,
+
+    "e12_semantic_decontam" ->
+      """WITH bench AS (
+        |  SELECT vec_id AS bid, embedding AS bvec FROM embeddings
+        |  WHERE vec_id % 20 = 0),
+        |train AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0)
+        |SELECT t.vec_id, count(*) AS n_hits,
+        |  CAST(floor(max(list_cosine_similarity(t.embedding, b.bvec)) * 1000)
+        |    AS BIGINT) AS max_sim_mil
+        |FROM train t JOIN bench b
+        |  ON list_cosine_similarity(t.embedding, b.bvec) >= 0.4
+        |GROUP BY 1""".stripMargin,
 
     "e4_cosine_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -328,6 +328,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).size <= 1, s"w10 grew shuffles (${shuffles(p).size}):\n$p")
   }
 
+  test("e12 semantic decontam: bench broadcast, train side shuffles once") {
+    val p = q("e12_semantic_decontam")
+    assert(broadcasts(p).nonEmpty, s"e12 lost its bench broadcast:\n$p")
+    // only the per-vec hit aggregate may shuffle; the predicate join
+    // itself must ride the broadcast (train side scans map-side)
+    assert(shuffles(p).size <= 1, s"e12 grew shuffles (${shuffles(p).size}):\n$p")
+  }
+
   test("h6 time travel: h5's keyed window + scan-stage interval filter only") {
     val p = q("h6_time_travel")
     assert(shuffles(p).size <= 1, s"h6 grew shuffles (${shuffles(p).size}):\n$p")

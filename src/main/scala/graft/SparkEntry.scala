@@ -1337,6 +1337,22 @@ object SparkEntry {
         .select(col("doc_id"), col("byte_len"), col("kind"))
     }),
 
+    // M5 media dedup by content address: d1's exact-dedup semantics at
+    // the BINARY layer — sha-256 of the blob (Multimodal.contentKey) is
+    // the content address; one keyed window emits keeper/copy-count/
+    // is-dup per blob (single shuffle on the address, no join-back).
+    // At 100 TB this is the "same image uploaded twice" sweep: the hash
+    // computes in the scan stage, only 64-byte keys shuffle.
+    "m5_media_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("ck"))
+      Multimodal.withBinaryMeta(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), Multimodal.contentKey(col("content")).as("ck"))
+        .withColumn("keeper", min(col("doc_id")).over(w))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .select(col("doc_id"), col("keeper"), col("n_copies"),
+          (col("doc_id") =!= col("keeper")).cast("int").as("is_dup"))
+    }),
+
     // M2 frame sampling (Multimodal.sampleFrames) is exercised and judged
     // through m4_frame_gate: cardinality, byte conservation, and
     // partition-independence of the same mapPartitions path.
@@ -2494,6 +2510,18 @@ object SparkEntry {
         |    AS sim_mil
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+
+    // m5: DuckDB's sha256(VARCHAR) hashes the string's UTF-8 bytes —
+    // the exact twin of contentKey over encode(text,'UTF-8') (same
+    // bytes, same lowercase hex).
+    "m5_media_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, sha256(text) AS ck FROM documents)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY ck) AS keeper,
+        |  count(*) OVER (PARTITION BY ck) AS n_copies,
+        |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY ck) AS INT) AS is_dup
+        |FROM d""".stripMargin,
 
     "m1_binary_meta" ->
       """SELECT doc_id,

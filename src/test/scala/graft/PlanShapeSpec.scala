@@ -328,6 +328,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).size <= 1, s"w10 grew shuffles (${shuffles(p).size}):\n$p")
   }
 
+  test("m5 media dedup: one address-keyed shuffle, no join-back") {
+    val p = q("m5_media_dedup")
+    assert(shuffles(p).size <= 1, s"m5 grew shuffles (${shuffles(p).size}):\n$p")
+    assert(!p.toString.contains("Join"), s"m5 grew a join:\n$p")
+    val ws = windows(p)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"m5's window lost its address partitioning:\n$p")
+  }
+
   test("e12 semantic decontam: bench broadcast, train side shuffles once") {
     val p = q("e12_semantic_decontam")
     assert(broadcasts(p).nonEmpty, s"e12 lost its bench broadcast:\n$p")

@@ -2196,36 +2196,36 @@ object SparkEntry {
     // must not fan out child rows), orphan = non-null child key missing.
     "a10_fk_sweep" ->
       """SELECT 'lineitem.l_orderkey' AS fk, count(*) AS n_child,
-        |  sum(CASE WHEN l_orderkey IS NOT NULL AND p.k IS NULL
-        |    THEN 1 ELSE 0 END) AS n_orphans
+        |  CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND p.k IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
         |FROM lineitem
         |LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
         |  ON l_orderkey = p.k
         |UNION ALL
         |SELECT 'lineitem.l_partkey', count(*),
-        |  sum(CASE WHEN l_partkey IS NOT NULL AND p.k IS NULL
-        |    THEN 1 ELSE 0 END)
+        |  CAST(sum(CASE WHEN l_partkey IS NOT NULL AND p.k IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT)
         |FROM lineitem
         |LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
         |  ON l_partkey = p.k
         |UNION ALL
         |SELECT 'orders.o_custkey', count(*),
-        |  sum(CASE WHEN o_custkey IS NOT NULL AND p.k IS NULL
-        |    THEN 1 ELSE 0 END)
+        |  CAST(sum(CASE WHEN o_custkey IS NOT NULL AND p.k IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT)
         |FROM orders
         |LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
         |  ON o_custkey = p.k
         |UNION ALL
         |SELECT 'customer.c_nationkey', count(*),
-        |  sum(CASE WHEN c_nationkey IS NOT NULL AND p.k IS NULL
-        |    THEN 1 ELSE 0 END)
+        |  CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND p.k IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT)
         |FROM customer
         |LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
         |  ON c_nationkey = p.k
         |UNION ALL
         |SELECT 'supplier.s_nationkey', count(*),
-        |  sum(CASE WHEN s_nationkey IS NOT NULL AND p.k IS NULL
-        |    THEN 1 ELSE 0 END)
+        |  CAST(sum(CASE WHEN s_nationkey IS NOT NULL AND p.k IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT)
         |FROM supplier
         |LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
         |  ON s_nationkey = p.k""".stripMargin,

@@ -48,6 +48,15 @@ for name in sorted(set(list(oracle) + [g.split("/")[-1] for g in glob.glob(f"{ou
     dc, dr = canon(dk_cols, dk_rows)
     if sc != dc:
         print(f"FAIL {name}: columns {sc} vs {dc}"); fails += 1; continue
+    # Type parity: the driver's hash is type-sensitive (r7 lesson — DuckDB
+    # sum(CASE..) is HUGEINT while Spark writes BIGINT, identical values
+    # still hash-mismatch). Compare declared column types by name.
+    sp_types = dict(zip(sp_cols, [d[1] for d in sp_cols_rows.description]))
+    dk_types = dict(zip(dk_cols, [d[1] for d in dk.description]))
+    tmis = [(c, sp_types[c], dk_types[c]) for c in sp_types
+            if str(sp_types[c]) != str(dk_types[c])]
+    if tmis:
+        print(f"FAIL {name}: type mismatch {tmis}"); fails += 1; continue
     if len(sr) != len(dr):
         print(f"FAIL {name}: rowcount {len(sr)} vs {len(dr)}"); fails += 1; continue
     if sr != dr:

@@ -698,6 +698,19 @@ object SparkEntry {
           "o_orderdate" -> ((c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss"))))
     }),
 
+    // V12 equi-width histogram of order value — the distribution view
+    // v10's min/max row can't give. Money is cast to exact cents BEFORE
+    // bucketing so assignment is pure long arithmetic (((v-lo)*20) div
+    // span): a float width would floor boundary values differently across
+    // engines. min/max are two driver scalars broadcast back as literals;
+    // then ONE <=20-group map-side-combinable aggregate.
+    "v12_histogram" -> ((s, dir) => {
+      graft.ops.Profile.histogram(
+        t(s, dir, "orders")
+          .select(round(col("o_totalprice") * 100).cast("long").as("cents")),
+        valueCol = "cents", nBuckets = 20)
+    }),
+
     "v9_incremental" -> ((s, dir) => {
       import graft.pipeline.{Incremental, Pipeline}
       val root = s"$streamScratchDir/inc_${dirKey(dir)}"
@@ -1628,6 +1641,25 @@ object SparkEntry {
           col("valid_from"))
     }),
 
+    // H7 snapshot diff (CDC derivation): two snapshots derived
+    // deterministically from orders — keys absent from the old side become
+    // inserts (%11==5), keys dropped from the new side become deletes
+    // (%11==3), a +10.00 price bump (%7==0, exact fp addition — no
+    // cross-engine rounding surface) becomes updates; matched-unchanged
+    // keys (the overwhelming bulk at scale) are dropped. ONE union+groupBy
+    // shuffle — see History.snapshotDiff for why not a full-outer join.
+    "h7_snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val old = o.filter(col("o_orderkey") % 11 =!= 5)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+      val neu = o.filter(col("o_orderkey") % 11 =!= 3)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).as("price"))
+      History.snapshotDiff(old, neu, key = Seq("o_orderkey"),
+        compare = Seq("price"))
+    }),
+
     // Q6 rollup: nation x segment customer counts/balances WITH subtotal
     // and grand-total rows in one pass (native rollup = one shuffle that
     // carries all grouping sets; never one scan per level).
@@ -1861,6 +1893,23 @@ object SparkEntry {
         .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("window.start").as("win_start"), col("event_type"), col("cnt"))
+    }),
+
+    // W13 row-frame rolling aggregates (trailing-4 mean/max per user):
+    // the per-entity smoothing shape w8's time buckets can't express —
+    // frame is ROWS-based, so it follows event order, not wall-clock
+    // density. ONE keyed shuffle; the frame is evaluated inside the
+    // per-key sort, no self-join, no range scan. Deterministic order
+    // (ts, event_id) and a 6dp round on the float mean (ulp discipline).
+    "w13_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("ts"),
+        round(avg(col("value")).over(w), 6).as("roll_avg"),
+        max(col("value")).over(w).as("roll_max"),
+        count(lit(1)).over(w).cast("long").as("roll_n"))
     }),
 
     // A9 order-independent table checksum: one scan, map-side-combined
@@ -2425,6 +2474,18 @@ object SparkEntry {
         |  CAST(coalesce(max(CASE WHEN NOT nw THEN o_orderpriority END)
         |    = max(CASE WHEN nw THEN o_orderpriority END), false) AS INT)
         |FROM t""".stripMargin,
+
+    // v12: the scalar subquery CROSS JOIN mirrors the engine's broadcast
+    // min/max literals; `//` is DuckDB's exact integer division (Spark:
+    // `div`) — the bucket boundary can never move on float ulp.
+    "v12_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |mm AS (SELECT min(v) AS lo, max(v) - min(v) + 1 AS span FROM c)
+        |SELECT ((v - lo) * 20) // span AS bucket,
+        |  count(*) AS n_rows, min(v) AS min_v, max(v) AS max_v
+        |FROM c CROSS JOIN mm
+        |GROUP BY 1""".stripMargin,
 
     // v9: the incremental (streaming) pipeline must land exactly the batch
     // answer — same oracle as v7.
@@ -3277,6 +3338,27 @@ object SparkEntry {
         |WHERE epoch_us(valid_from) <= c
         |  AND (valid_to IS NULL OR epoch_us(valid_to) > c)""".stripMargin,
 
+    // h7: the declarative diff spec is a FULL OUTER JOIN of the two
+    // snapshots; the engine computes the identical classification with one
+    // union+groupBy shuffle (see History.snapshotDiff).
+    "h7_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice AS price FROM orders
+        |  WHERE o_orderkey % 11 <> 5),
+        |neu AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS price
+        |  FROM orders WHERE o_orderkey % 11 <> 3)
+        |SELECT coalesce(old.o_orderkey, neu.o_orderkey) AS o_orderkey,
+        |  CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+        |       WHEN neu.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS op,
+        |  old.price AS old_price, neu.price AS new_price
+        |FROM old FULL OUTER JOIN neu ON old.o_orderkey = neu.o_orderkey
+        |WHERE old.o_orderkey IS NULL OR neu.o_orderkey IS NULL
+        |  OR old.price <> neu.price""".stripMargin,
+
     "q6_rollup" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_cust,
         |  round(sum(c_acctbal), 2) AS sum_bal
@@ -3492,6 +3574,15 @@ object SparkEntry {
         |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
         |SELECT win_start, event_type, count(*) AS cnt
         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "w13_rolling" ->
+      """SELECT event_id, user_id, ts,
+        |  round(avg(value) OVER w, 6) AS roll_avg,
+        |  max(value) OVER w AS roll_max,
+        |  CAST(count(*) OVER w AS BIGINT) AS roll_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // a9: the canonical-string → md5 → 40-bit-term sum is re-derived
     // independently (DuckDB's '0x'-cast replaces Spark's conv()); both

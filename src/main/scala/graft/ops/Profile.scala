@@ -121,4 +121,38 @@ object Profile {
         col("p.distinct_old"), col("p.distinct_new"),
         col("p.min_same"), col("p.max_same"))
   }
+
+  /** Equi-width histogram of a long-valued column — the distribution view
+    * that [[profile]]'s min/max row cannot give (where DID the mass go).
+    *
+    * The column must already be exact-integer-valued (cast money to cents
+    * first): bucket assignment is pure INTEGER arithmetic,
+    * `((v - lo) * nBuckets) div (hi - lo + 1)` — no float division, so
+    * engine ulp behavior can never move a boundary value into the wrong
+    * bucket (the portable-histogram discipline; a double `(v-lo)/width`
+    * floors differently across engines at exact multiples).
+    *
+    * Shape at scale: one min/max aggregate (two scalars to the driver —
+    * bounded state, broadcast back as literals), then ONE groupBy over at
+    * most `nBuckets` groups, map-side combinable. Nulls are excluded (the
+    * null count is [[profile]]'s job). Empty input returns an empty frame
+    * rather than a degenerate single bucket. */
+  def histogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "histogram: nBuckets must be positive")
+    val v = df.select(col(valueCol).cast("long").as("v")).filter(col("v").isNotNull)
+    val mm = v.agg(min(col("v")), max(col("v"))).head()
+    if (mm.isNullAt(0))
+      return v.select(lit(0L).as("bucket"), lit(0L).as("n_rows"),
+        lit(0L).as("min_v"), lit(0L).as("max_v")).limit(0)
+    val lo = mm.getLong(0)
+    val span = mm.getLong(1) - lo + 1L
+    require(span <= Long.MaxValue / nBuckets,
+      s"histogram: range $span x $nBuckets buckets overflows long arithmetic")
+    v.select(
+        expr(s"((v - ${lo}L) * ${nBuckets}L) div ${span}L").as("bucket"),
+        col("v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+  }
 }

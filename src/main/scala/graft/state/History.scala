@@ -121,6 +121,49 @@ object History {
       .withColumn("valid_to", lead(col(timeCol), 1).over(w))
   }
 
+  /** H7 — snapshot diff (CDC derivation): classify every key of two
+    * snapshot frames as `insert` (new only), `delete` (old only) or
+    * `update` (both, any compared value differs); unchanged keys are
+    * dropped. Emits the key columns, `op`, and `old_<c>` / `new_<c>` for
+    * each compared column. The reference's closest shape is the A6
+    * set-difference merge, which only sees values — this is the keyed,
+    * typed form a warehouse needs to promote a recurring ingest.
+    *
+    * Shape: ONE shuffle. Both snapshots are unioned under a side tag and
+    * grouped by key with conditional max-struct aggregates — at scale both
+    * sides are large, so the full-outer join formulation (each side
+    * shuffled, then joined) pays the same partitioning twice and adds a
+    * join operator; the union form is map-side-combinable and never
+    * materializes matched-unchanged pairs before the filter. Keys must be
+    * unique per snapshot (a snapshot IS keyed state); value comparison is
+    * null-safe (`<=>`).
+    */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, key: Seq[String],
+                   compare: Seq[String]): DataFrame = {
+    require(key.nonEmpty && compare.nonEmpty, "snapshotDiff: key and compare required")
+    val cols = (key ++ compare).map(col)
+    val tagged = old.select(cols :+ lit(0).as("_side"): _*)
+      .unionByName(neu.select(cols :+ lit(1).as("_side"): _*))
+    val packed = struct(compare.map(col): _*)
+    val grouped = tagged
+      .groupBy(key.map(col): _*)
+      .agg(
+        max(when(col("_side") === 0, packed)).as("_old"),
+        max(when(col("_side") === 1, packed)).as("_new"))
+    val changed = compare
+      .map(c => !(col(s"_old.$c") <=> col(s"_new.$c")))
+      .reduce(_ || _)
+    val outVals = compare.flatMap(c =>
+      Seq(col(s"_old.$c").as(s"old_$c"), col(s"_new.$c").as(s"new_$c")))
+    grouped
+      .withColumn("op",
+        when(col("_old").isNull, lit("insert"))
+          .when(col("_new").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("op").isNotNull)
+      .select(key.map(col) ++ (col("op") +: outVals): _*)
+  }
+
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -346,4 +346,23 @@ class OpsSpec extends SparkSpec {
     val exact = graft.ops.Profile.profile(df)
     assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
   }
+
+  test("histogram: exact integer bucketing, edges land low, null/empty safe") {
+    // range 0..19 into 4 buckets of 5: boundary values 5,10,15 must land
+    // in the HIGHER bucket's base (exact div — no float floor drift)
+    val df = ((0L to 19L).map(Option(_)) :+ Option.empty[Long]).toDF("v")
+    val out = graft.ops.Profile.histogram(df, "v", 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(
+      0L -> (5L, 0L, 4L), 1L -> (5L, 5L, 9L),
+      2L -> (5L, 10L, 14L), 3L -> (5L, 15L, 19L)), s"got $out")
+    // constant column: everything in bucket 0
+    val const = Seq(7L, 7L, 7L).toDF("v")
+    val c = graft.ops.Profile.histogram(const, "v", 8).collect()
+    assert(c.length == 1 && c(0).getLong(0) == 0L && c(0).getLong(1) == 3L)
+    // all-null / empty input: empty result, not a degenerate bucket
+    assert(graft.ops.Profile.histogram(
+      Seq(Option.empty[Long]).toDF("v"), "v", 4).count() == 0L)
+  }
 }

@@ -396,6 +396,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).size <= 2, s"v11 grew shuffles (${shuffles(p).size}):\n$p")
   }
 
+  test("h7 snapshot diff: ONE union+groupBy shuffle, never a full-outer join") {
+    val p = q("h7_snapshot_diff")
+    assert(shuffles(p).size <= 1, s"h7 grew shuffles (${shuffles(p).size}):\n$p")
+    assert(!p.toString.contains("Join"), s"h7 grew a join:\n$p")
+    assert(windows(p).isEmpty, s"h7 grew a window:\n$p")
+  }
+
+  test("w13 rolling: one keyed window, frame inside the per-key sort") {
+    val p = q("w13_rolling")
+    assert(shuffles(p).size <= 1, s"w13 grew shuffles (${shuffles(p).size}):\n$p")
+    val ws = windows(p)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"w13's rolling window lost its user partitioning:\n$p")
+    assert(!p.toString.contains("Join"), s"w13 grew a join:\n$p")
+  }
+
+  test("v12 histogram: bounds as literals, one bounded-group aggregate") {
+    val p = q("v12_histogram")
+    // min/max came back as driver literals — the bucketing pass must be
+    // a single <=nBuckets-group aggregate: no join, no window, 1 shuffle
+    assert(shuffles(p).size <= 1, s"v12 grew shuffles (${shuffles(p).size}):\n$p")
+    assert(windows(p).isEmpty && !p.toString.contains("Join"),
+      s"v12 grew a join/window:\n$p")
+  }
+
   test("t15 bm25: query-term filter in the scan stage, top-k via TakeOrdered") {
     val p = q("t15_bm25")
     // every tf-branch scan prunes to the |Q| query terms BEFORE its

@@ -171,6 +171,30 @@ class TemporalPackSpec extends SparkSpec {
     assert(out == Seq((1L, 222.0, 1L), (2L, 444.0, 1L), (3L, 30.0, 0L)))
   }
 
+  test("snapshotDiff: null-safe classification over a compound key") {
+    val old = Seq(
+      (1L, "a", Option(10.0)),        // unchanged → dropped
+      (1L, "b", Option(10.0)),        // value changes → update
+      (2L, "a", Option.empty[Double]),// null → null: unchanged, dropped
+      (2L, "b", Option(5.0)),         // gone from new → delete
+      (3L, "a", Option.empty[Double]) // null → value: update (null-safe)
+    ).toDF("k1", "k2", "v")
+    val neu = Seq(
+      (1L, "a", Option(10.0)),
+      (1L, "b", Option(11.0)),
+      (2L, "a", Option.empty[Double]),
+      (3L, "a", Option(7.0)),
+      (9L, "z", Option(1.0))          // new only → insert
+    ).toDF("k1", "k2", "v")
+    val out = History.snapshotDiff(old, neu, key = Seq("k1", "k2"),
+        compare = Seq("v"))
+      .select("k1", "k2", "op").as[(Long, String, String)]
+      .collect().map { case (a, b, op) => (a, b) -> op }.toMap
+    assert(out == Map(
+      (1L, "b") -> "update", (2L, "b") -> "delete",
+      (3L, "a") -> "update", (9L, "z") -> "insert"), s"got $out")
+  }
+
   // ------------------------------------------- stratified sample + curation
 
   test("stratifiedSampleFilter: lower-rate sample is a subset of higher-rate") {

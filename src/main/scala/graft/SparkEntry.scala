@@ -1327,6 +1327,34 @@ object SparkEntry {
           floor(max(col("sim")) * 1000).as("max_sim_mil"))
     }),
 
+    // E13 hybrid retrieval by reciprocal-rank fusion: the lexical t15
+    // ranking (BM25 over the fixed query terms) and a semantic ranking
+    // (compiled cosine vs a deterministic probe vector, vec_id 0,
+    // broadcast as a literal) fused by Σ 1/(60+rank) — rank-based, so the
+    // two score scales never need calibration. Both inputs are top-50
+    // frames: the fusion shuffles ≤100 rows regardless of corpus size;
+    // the corpus-facing work is exactly t15's scan-filtered tf pass and
+    // one zero-shuffle cosine projection + TakeOrdered heap. Cosine is
+    // rounded 6dp BEFORE ranking (ulp-to-tie discipline).
+    "e13_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          queryTerms = Bm25Query, k = 50)
+        .select(col("doc_id"), col("rank"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getAs[Seq[Float]](0).toArray
+      val semScored = emb.select(col("vec_id").as("doc_id"),
+        round(Similarity.cosine(col("embedding"), lit(qv)), 6).as("cs"))
+      val semTop = semScored.orderBy(col("cs").desc, col("doc_id")).limit(50)
+      val wSem = Window.orderBy(col("cs").desc, col("doc_id"))
+      val sem = semTop
+        .withColumn("rank", row_number().over(wSem).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      TextAnalysis.rrfFuse(Seq("lex" -> lex, "sem" -> sem),
+        idCol = "doc_id", rankCol = "rank", k = 20)
+    }),
+
     "e4_cosine_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
@@ -1517,6 +1545,27 @@ object SparkEntry {
       Components.connected(pairs, "doc_id_a", "doc_id_b",
           vertices = Some(docs.select(col("doc_id"))), idCol = "doc_id")
         .select(col("doc_id"), col("component").as("cluster_id"))
+    }),
+
+    // D14 cluster representatives — the "which copy survives" act on
+    // d9's detection: per duplicate cluster keep the doc winning
+    // (n_chars DESC, doc_id ASC) — prefer the longest (least-truncated)
+    // copy, id as the deterministic tiebreak. One labels⋈attrs join +
+    // one component-keyed window on top of the shared cluster pass;
+    // window partitions are bounded by the largest cluster, not the
+    // corpus. Singleton docs are their own representatives (dedup output
+    // = exactly the rep set).
+    "d14_cluster_rep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text", n = 3, minJ = 0.3)
+        .select(col("doc_id_a"), col("doc_id_b"))
+      val labels = Components.connected(pairs, "doc_id_a", "doc_id_b",
+        vertices = Some(docs.select(col("doc_id"))), idCol = "doc_id")
+      Components.representatives(labels,
+          docs.select(col("doc_id"), col("n_chars")), idCol = "doc_id",
+          order = Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("component").as("cluster_id"), col("rep_doc_id"),
+          col("n_members"))
     }),
 
     // D10 SimHash recall gate: every exact-truth near-dup pair must land
@@ -1805,6 +1854,17 @@ object SparkEntry {
         .groupBy(col("c").as("term_freq"))
         .agg(count(lit(1)).as("n_terms"))
         .select(col("term_freq"), col("n_terms"))
+    }),
+
+    // T18 Jensen–Shannon divergence between the en slice's and the rest's
+    // unigram distributions — the token-level "did the mixture drift"
+    // scalar (v11 profiles columns; this profiles the LANGUAGE). Both
+    // slices' counts ride ONE vocabulary-keyed conditional aggregate;
+    // per-term contributions are fixed-pointed to micro-units BEFORE the
+    // sum, so float summation order can never move the answer.
+    "t18_js_div" -> ((s, dir) => {
+      TextAnalysis.unigramJsDivergence(t(s, dir, "documents"), "text",
+        sideA = col("lang") === "en")
     }),
 
     // C6 temperature-scaled mixture resampling: per-language quotas from
@@ -2572,6 +2632,57 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
 
+    // e13: t15's BM25 CTE at k=50 + a cosine ranking against the vec_id-0
+    // probe, fused declaratively by FULL OUTER JOIN — the engine computes
+    // the identical fusion with a k-bounded union+groupBy.
+    "e13_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    avg(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)) AS avgdl
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('hash', 'join', 'vector', 'stream', 'slow')
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |lexscore AS (
+        |  SELECT doc_id,
+        |    round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+        |      * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY doc_id),
+        |lex AS (
+        |  SELECT doc_id, lex_rank FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+        |      AS BIGINT) AS lex_rank FROM lexscore) t
+        |  WHERE lex_rank <= 50),
+        |probe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |semscore AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_cosine_similarity(embedding, qv), 6) AS cs
+        |  FROM embeddings CROSS JOIN probe),
+        |sem AS (
+        |  SELECT doc_id, sem_rank FROM (
+        |    SELECT doc_id, CAST(row_number() OVER (ORDER BY cs DESC, doc_id)
+        |      AS BIGINT) AS sem_rank FROM semscore) t
+        |  WHERE sem_rank <= 50),
+        |fused AS (
+        |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+        |    lex.lex_rank, sem.sem_rank,
+        |    round(coalesce(1.0 / (60 + lex.lex_rank), 0)
+        |        + coalesce(1.0 / (60 + sem.sem_rank), 0), 6) AS rrf
+        |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+        |ranked AS (
+        |  SELECT doc_id, lex_rank, sem_rank, rrf,
+        |    CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+        |  FROM fused)
+        |SELECT doc_id, lex_rank, sem_rank, rrf, rank
+        |FROM ranked WHERE rank <= 20""".stripMargin,
+
     // m5: DuckDB's sha256(VARCHAR) hashes the string's UTF-8 bytes —
     // the exact twin of contentKey over encode(text,'UTF-8') (same
     // bytes, same lowercase hex).
@@ -3193,6 +3304,46 @@ object SparkEntry {
         |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY src""".stripMargin,
 
+    // d14: d9's recursive-CTE closure + per-cluster argmax — the rep is
+    // the (n_chars DESC, doc_id) window winner, members counted over the
+    // same partition.
+    "d14_cluster_rep" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_id_a, doc_id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_id_a
+        |  JOIN sizes sb ON sb.doc_id = doc_id_b
+        |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3),
+        |edges AS (
+        |  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+        |  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+        |clus AS (
+        |  SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |ranked AS (
+        |  SELECT c.cluster_id, d.doc_id,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY c.cluster_id) AS nm
+        |  FROM clus c JOIN documents d USING (doc_id))
+        |SELECT cluster_id, doc_id AS rep_doc_id, CAST(nm AS BIGINT) AS n_members
+        |FROM ranked WHERE rn = 1""".stripMargin,
+
     // d10: constant-oracle gate (see d7) — DuckDB pins the true-pair
     // count; the flag asserts the SimHash signatures kept those pairs
     // within the measured Hamming band.
@@ -3478,6 +3629,35 @@ object SparkEntry {
         |  FROM documents),
         |tc AS (SELECT w, count(*) AS c FROM toks GROUP BY 1)
         |SELECT c AS term_freq, count(*) AS n_terms FROM tc GROUP BY 1""".stripMargin,
+
+    // t18: identical arithmetic association to the engine (p, q, m built
+    // from the same double divisions, ln on the same quotients), each
+    // term fixed-pointed to micro-units before the exact integer sum.
+    "t18_js_div" ->
+      """WITH toks AS (
+        |  SELECT (lang = 'en') AS a,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT w, sum(CASE WHEN a THEN 1 ELSE 0 END) AS a_n,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS b_n
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(a_n) AS DOUBLE) AS at,
+        |               CAST(sum(b_n) AS DOUBLE) AS bt FROM c),
+        |k AS (
+        |  SELECT a_n, b_n,
+        |    CASE WHEN a_n > 0 THEN 0.5 * (a_n / at)
+        |      * ln((a_n / at) / (((a_n / at) + (b_n / bt)) / 2.0))
+        |      ELSE 0.0 END
+        |    + CASE WHEN b_n > 0 THEN 0.5 * (b_n / bt)
+        |      * ln((b_n / bt) / (((a_n / at) + (b_n / bt)) / 2.0))
+        |      ELSE 0.0 END AS x
+        |  FROM c CROSS JOIN tot)
+        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(a_n) AS BIGINT) AS a_tokens,
+        |  CAST(sum(b_n) AS BIGINT) AS b_tokens,
+        |  CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS BIGINT) AS js_micro
+        |FROM k""".stripMargin,
 
     // t16: lockstep multi-unnest builds the same 1-shift bigrams; formula
     // association mirrors the query exactly (6dp round-before-rank).

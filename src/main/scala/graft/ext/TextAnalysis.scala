@@ -481,4 +481,84 @@ object TextAnalysis {
     topK.withColumn("rank", row_number().over(w).cast("long"))
       .select(col(id), col("bm25"), col("rank"))
   }
+
+  /** Jensen–Shannon divergence between the unigram distributions of two
+    * corpus slices — the token-level drift measure that says whether two
+    * sources/batches speak the same language mixture (0 = identical,
+    * ln 2 ≈ 0.693 = disjoint), symmetric and finite where raw KL blows up
+    * on single-side terms.
+    *
+    * Shape at scale: one scan → token explode → ONE vocabulary-keyed
+    * conditional aggregate holds both slices' counts (never two passes or
+    * a self-join); totals are two driver scalars broadcast back; the final
+    * reduction is a singleton aggregate. Determinism: each term's
+    * contribution is rounded to integer MICRO-units before the sum, so
+    * the cross-partition (and cross-engine) float summation order can
+    * never move the answer — `js_micro` is an exact integer.
+    */
+  def unigramJsDivergence(docs: DataFrame, text: String,
+                          sideA: Column): DataFrame = {
+    val toks = docs.select(sideA.as("_a"),
+      explode(split(trim(col(text)), "\\s+")).as("w"))
+    val counts = toks.groupBy(col("w")).agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("a_n"),
+      sum(when(!col("_a"), 1L).otherwise(0L)).as("b_n"))
+    val tot = counts.agg(
+      sum(col("a_n")).cast("double"), sum(col("b_n")).cast("double")).head()
+    require(!tot.isNullAt(0) && tot.getDouble(0) > 0 && tot.getDouble(1) > 0,
+      "unigramJsDivergence: both slices must contain tokens")
+    val (at, bt) = (tot.getDouble(0), tot.getDouble(1))
+    val p = col("a_n") / lit(at)
+    val q = col("b_n") / lit(bt)
+    val m = (p + q) / lit(2.0)
+    val contrib =
+      when(col("a_n") > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+      when(col("b_n") > 0, lit(0.5) * q * log(q / m)).otherwise(lit(0.0))
+    counts.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("a_n")).as("a_tokens"),
+      sum(col("b_n")).as("b_tokens"),
+      sum(round(contrib * lit(1000000.0)).cast("long")).as("js_micro"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — merge per-retriever
+    * top-k rankings (lexical BM25, embedding ANN, …) into one list by
+    * `Σ 1/(c + rank)`, the standard hybrid-retrieval combiner: rank-based,
+    * so BM25 scores and cosine scores never need calibrating against each
+    * other.
+    *
+    * Input frames are already tiny (top-k each), so the fusion is a
+    * union+groupBy over ≤ Σkᵢ rows — ONE shuffle of k-bounded data, never
+    * touching the corpora; the final global order is a k-bounded sort.
+    * An id absent from one ranking contributes nothing for that retriever
+    * (its per-side rank comes back null). `rrf` is rounded 6dp BEFORE the
+    * final rank so cross-engine ulp becomes exact ties broken by id.
+    *
+    * @param rankings (label, frame) pairs; each frame carries `idCol` and
+    *                 `rankCol` (1-based). Labels become `<label>_rank`
+    *                 output columns and must be distinct.
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
+              rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse: need at least two rankings")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      "rrfFuse: ranking labels must be distinct")
+    require(k > 0 && c > 0, "rrfFuse: k and c must be positive")
+    val tagged = rankings.map { case (nm, df) =>
+      df.select(col(idCol), col(rankCol).cast("long").as("_r"),
+        lit(nm).as("_side"))
+    }.reduce(_ unionByName _)
+    val sideRank = rankings.map { case (nm, _) =>
+      max(when(col("_side") === nm, col("_r"))).as(s"${nm}_rank") }
+    val fused = tagged.groupBy(col(idCol))
+      .agg(sideRank.head, sideRank.tail: _*)
+    val rrf = rankings.map { case (nm, _) =>
+      coalesce(lit(1.0) / (lit(c.toDouble) + col(s"${nm}_rank")), lit(0.0)) }
+      .reduce(_ + _)
+    val scored = fused.withColumn("rrf", round(rrf, 6))
+    val topK = scored.orderBy(col("rrf").desc, col(idCol)).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf").desc, col(idCol))
+    topK.withColumn("rank", row_number().over(w).cast("long"))
+  }
 }

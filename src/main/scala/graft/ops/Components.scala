@@ -100,6 +100,40 @@ object Components {
     labels
   }
 
+  /** Representative selection — the "which copy do we keep" act on top of
+    * [[connected]]'s clusters: join the labeled vertices back to their
+    * attribute frame and keep, per component, the row winning the
+    * caller's preference order (e.g. longest text first, id as the
+    * deterministic tiebreak — ALWAYS end `order` with a per-vertex-unique
+    * column or reps are nondeterministic under retries).
+    *
+    * Shape: one equi-join labels⋈attrs (labels are a projection of attrs'
+    * id space — co-partitioned after the component aggregate) + ONE
+    * component-keyed window. Per-cluster row counts bound the window
+    * partitions, so skew is capped by the largest duplicate cluster, not
+    * the corpus.
+    *
+    * @return one row per component: (component, rep under `idCol`'s name
+    *         prefixed `rep_`, n_members)
+    */
+  def representatives(
+      labels: DataFrame, attrs: DataFrame, idCol: String,
+      order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(order.nonEmpty, "representatives: preference order required")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("component")).orderBy(order: _*)
+    // unordered spec = whole-partition frame: the member count shares the
+    // same component-keyed shuffle as the rank, no second exchange
+    val wAll = Window.partitionBy(col("component"))
+    labels.join(attrs, Seq(idCol))
+      .select(col("component"), col(idCol),
+        row_number().over(w).as("_rn"),
+        count(lit(1)).over(wAll).as("n_members"))
+      .filter(col("_rn") === 1)
+      .select(col("component"), col(idCol).as(s"rep_$idCol"),
+        col("n_members"))
+  }
+
   private def checksum(labels: DataFrame): java.math.BigDecimal =
     labels.agg(sum(col("component").cast("decimal(38,0)"))).head()
       .getDecimal(0) match {

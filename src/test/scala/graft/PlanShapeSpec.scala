@@ -421,6 +421,32 @@ class PlanShapeSpec extends SparkSpec {
       s"v12 grew a join/window:\n$p")
   }
 
+  test("d14 cluster reps: component-keyed window, no cartesian") {
+    val p = q("d14_cluster_rep")
+    val ws = windows(p)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"d14's rep window lost its component partitioning:\n$p")
+    assert(!p.toString.contains("CartesianProduct"), s"d14 grew a cartesian:\n$p")
+  }
+
+  test("e13 hybrid rrf: corpus work bounded, fusion over top-k only") {
+    val p = q("e13_hybrid_rrf")
+    // both retriever tops come through TakeOrdered heaps (never a global
+    // sort of corpus-scale data); the df join rides t15's broadcast
+    assert(deep(p).exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      s"e13 lost its TakeOrdered top-k:\n$p")
+    assert(broadcasts(p).nonEmpty, s"e13 lost the df broadcast:\n$p")
+    assert(!p.toString.contains("CartesianProduct"), s"e13 grew a cartesian:\n$p")
+  }
+
+  test("t18 js divergence: one vocab aggregate feeds the scalar, no join/window") {
+    val p = q("t18_js_div")
+    assert(shuffles(p).size <= 2, s"t18 grew shuffles (${shuffles(p).size}):\n$p")
+    assert(windows(p).isEmpty && !p.toString.contains("Join"),
+      s"t18 grew a join/window:\n$p")
+  }
+
   test("t15 bm25: query-term filter in the scan stage, top-k via TakeOrdered") {
     val p = q("t15_bm25")
     // every tf-branch scan prunes to the |Q| query terms BEFORE its

@@ -352,6 +352,18 @@ class TemporalPackSpec extends SparkSpec {
     }
   }
 
+  test("representatives: preference order wins, singletons rep themselves") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b") // {1,2,3} + lone 4
+    val attrs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 7L)).toDF("id", "len")
+    val labels = Components.connected(edges, "a", "b",
+      vertices = Some(attrs.select("id")), idCol = "id")
+    val out = Components.representatives(labels, attrs, "id",
+        order = Seq(col("len").desc, col("id")))
+      .as[(Long, Long, Long)].collect().toSet
+    // cluster 1: len ties 2 vs 3 at 9 -> id 2 wins; singleton 4 keeps itself
+    assert(out == Set((1L, 2L, 3L), (4L, 4L, 1L)), s"got $out")
+  }
+
   test("scd2 intervals partition each key's timeline: chained, one open version") {
     val rnd = new scala.util.Random(7L)
     val changes = (1 to 200).map { i =>

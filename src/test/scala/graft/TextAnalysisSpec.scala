@@ -341,4 +341,47 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Double, Long)].collect()
     assert(top1.map(_._1).toSeq == Seq(1L))
   }
+
+  test("rrfFuse: closed-form fusion, one-sided ids, id tiebreak, k cut") {
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val sem = Seq((20L, 1L), (10L, 2L), (40L, 3L)).toDF("id", "rank")
+    val out = TextAnalysis.rrfFuse(Seq("lex" -> lex, "sem" -> sem),
+        idCol = "id", rankCol = "rank", k = 10)
+      .select("id", "rrf", "rank").as[(Long, Double, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // 10 and 20 are symmetric (ranks {1,2} across the two lists): exact
+    // tie on rrf, broken by id — 10 before 20
+    assert(out(10L) == (r6(1.0 / 61 + 1.0 / 62), 1L))
+    assert(out(20L) == (r6(1.0 / 62 + 1.0 / 61), 2L))
+    // one-sided ids contribute only their own list's term
+    assert(out(30L) == (r6(1.0 / 63), 3L)) // tie with 40 -> id order
+    assert(out(40L) == (r6(1.0 / 63), 4L))
+    // k truncates the fused list
+    assert(TextAnalysis.rrfFuse(Seq("lex" -> lex, "sem" -> sem),
+      "id", "rank", k = 2).count() == 2L)
+    // duplicate labels refuse loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.rrfFuse(Seq("x" -> lex, "x" -> sem), "id", "rank", 5)
+    }
+  }
+
+  test("unigramJsDivergence: zero on identical slices, ln2 when disjoint") {
+    val same = Seq((true, "a b c a"), (false, "a b c a")).toDF("s", "text")
+    val z = TextAnalysis.unigramJsDivergence(same, "text", col("s"))
+      .select("js_micro").as[Long].head()
+    assert(z == 0L, s"identical slices must diverge 0, got $z")
+    // disjoint vocabularies: JS = ln 2; per-term micro-rounding makes the
+    // exact fixed-point total 2 * round(1e6 * ln2 / 2) = 693148
+    val disj = Seq((true, "a a a"), (false, "b b b")).toDF("s", "text")
+    val d = TextAnalysis.unigramJsDivergence(disj, "text", col("s"))
+      .select("n_terms", "a_tokens", "b_tokens", "js_micro")
+      .as[(Long, Long, Long, Long)].head()
+    assert(d == ((2L, 3L, 3L, 693148L)), s"got $d")
+    // an empty slice is a contract violation, not a NaN
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramJsDivergence(
+        Seq((true, "a")).toDF("s", "text"), "text", col("s"))
+    }
+  }
 }

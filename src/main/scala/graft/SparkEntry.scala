@@ -1394,6 +1394,28 @@ object SparkEntry {
           (col("doc_id") =!= col("keeper")).cast("int").as("is_dup"))
     }),
 
+    // M6 magic-byte content-type sniffing: plant a real container
+    // signature (PNG/JPEG/GIF/RIFF-WAVE/ftyp, or none) on each blob by
+    // doc_id%6, then RECOVER it from the bytes alone with the codegen'd
+    // sniffer — the oracle states the planted truth, so a sniffer that
+    // misreads any signature (or false-positives on the raw-text branch)
+    // hash-mismatches. Zero shuffles: the sniff is a scan-stage
+    // projection over the first 12 bytes.
+    "m6_media_sniff" -> ((s, dir) => {
+      val magics: Column = element_at(array(
+        lit(Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)),          // PNG
+        lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)),
+        lit("GIF89a".getBytes("US-ASCII")),                        // GIF
+        lit("RIFF0000WAVE".getBytes("US-ASCII")),                  // WAV
+        lit("0000ftyp".getBytes("US-ASCII")),                      // MP4
+        lit(Array.empty[Byte])),                                   // raw text
+        (col("doc_id") % 6 + 1).cast("int"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(magics, encode(col("text"), "UTF-8")).as("content"))
+        .select(col("doc_id"), Multimodal.sniffKind(col("content")).as("kind"))
+    }),
+
     // M2 frame sampling (Multimodal.sampleFrames) is exercised and judged
     // through m4_frame_gate: cardinality, byte conservation, and
     // partition-independence of the same mapPartitions path.
@@ -2700,6 +2722,19 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  CASE octet_length(encode(text)) % 3
         |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |FROM documents""".stripMargin,
+
+    // m6: the oracle is the PLANTED truth (which signature doc_id%6
+    // attached); the engine must recover it from the bytes alone.
+    "m6_media_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'image/png'
+        |    WHEN 1 THEN 'image/jpeg'
+        |    WHEN 2 THEN 'image/gif'
+        |    WHEN 3 THEN 'audio/wav'
+        |    WHEN 4 THEN 'video/mp4'
+        |    ELSE 'application/octet-stream' END AS kind
         |FROM documents""".stripMargin,
 
     "a1_dedup_stringified" ->

@@ -71,6 +71,28 @@ object Multimodal {
     * codegen'd, no UDF). */
   def contentKey(binCol: Column): Column = sha2(binCol, 256)
 
+  /** Magic-byte content-type sniffing — the REAL form of
+    * [[withBinaryMeta]]'s stand-in `kind`: inspect the blob's leading
+    * bytes against container signatures (PNG/JPEG/GIF/RIFF-WAVE/ISO-BMFF
+    * `ftyp`/PDF) and never trust a filename or metadata column. Pure
+    * codegen'd Column expression over the first 12 bytes (`substring` on
+    * binary + `hex`) — no UDF, no decode: at 100 TB the sniff rides the
+    * scan like any projection, and a Parquet reader that returns only the
+    * blob prefix page still feeds it.
+    */
+  def sniffKind(binCol: Column): Column = {
+    val h = hex(substring(binCol, 1, 12)) // Spark hex(binary) is uppercase
+    when(h.startsWith("89504E47"), lit("image/png"))
+      .when(h.startsWith("FFD8FF"), lit("image/jpeg"))
+      .when(h.startsWith("474946383761") || h.startsWith("474946383961"),
+        lit("image/gif"))
+      .when(h.startsWith("52494646") && substring(h, 17, 8) === "57415645",
+        lit("audio/wav")) // RIFF....WAVE
+      .when(substring(h, 9, 8) === "66747970", lit("video/mp4")) // ....ftyp
+      .when(h.startsWith("25504446"), lit("application/pdf"))
+      .otherwise(lit("application/octet-stream"))
+  }
+
   final case class MediaFeature(doc_id: Long, f0: Long, f8: Long, f15: Long,
                                 feat_sum: Long)
 

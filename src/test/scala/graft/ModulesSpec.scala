@@ -201,6 +201,31 @@ class ModulesSpec extends SparkSpec {
     assert(out(1).getAs[String]("kind") == "audio")  // 4 % 3 == 1
   }
 
+  test("M6 sniffKind reads real signatures, near-misses fall through") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val blobs = Seq(
+      1L -> (b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A) ++ "x".getBytes),
+      2L -> b(0xFF, 0xD8, 0xFF, 0xE0, 0x00),
+      3L -> "GIF87a-rest".getBytes("US-ASCII"),
+      4L -> "GIF89a-rest".getBytes("US-ASCII"),
+      5L -> "RIFF1234WAVEfmt".getBytes("US-ASCII"),
+      6L -> "RIFF1234AVI LIST".getBytes("US-ASCII"), // RIFF but not WAVE
+      7L -> "....ftypisom".getBytes("US-ASCII"),
+      8L -> "%PDF-1.7".getBytes("US-ASCII"),
+      9L -> "plain text".getBytes("US-ASCII"),
+      10L -> Array.empty[Byte])
+    val out = blobs.toDF("id", "content")
+      .select(col("id"), Multimodal.sniffKind(col("content")).as("k"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "image/png" && out(2L) == "image/jpeg")
+    assert(out(3L) == "image/gif" && out(4L) == "image/gif")
+    assert(out(5L) == "audio/wav")
+    assert(out(6L) == "application/octet-stream")
+    assert(out(7L) == "video/mp4" && out(8L) == "application/pdf")
+    assert(out(9L) == "application/octet-stream")
+    assert(out(10L) == "application/octet-stream")
+  }
+
   test("M3 feature extraction: MD5-byte features, stable across partitionings") {
     val df = Multimodal.withBinaryMeta(
       Seq((1L, "hello world"), (2L, "other text")).toDF("doc_id", "text"), "text")

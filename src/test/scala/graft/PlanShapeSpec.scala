@@ -447,6 +447,14 @@ class PlanShapeSpec extends SparkSpec {
       s"t18 grew a join/window:\n$p")
   }
 
+  test("m6 media sniff: a pure scan-stage projection — zero exchanges") {
+    val p = q("m6_media_sniff")
+    assert(shuffles(p).isEmpty && broadcasts(p).isEmpty,
+      s"m6 must ride the scan, got exchanges:\n$p")
+    assert(windows(p).isEmpty && !p.toString.contains("Join"),
+      s"m6 grew a join/window:\n$p")
+  }
+
   test("t15 bm25: query-term filter in the scan stage, top-k via TakeOrdered") {
     val p = q("t15_bm25")
     // every tf-branch scan prunes to the |Q| query terms BEFORE its

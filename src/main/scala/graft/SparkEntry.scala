@@ -387,6 +387,30 @@ object SparkEntry {
         .unionAll(edge("supplier.s_nationkey", su, "s_nationkey", na, "n_nationkey"))
     }),
 
+    // A11 header/detail reconciliation: recompute each order's total from
+    // its lineitems (TPC-H charge formula) and reconcile against the
+    // header column — the rollup-integrity audit a10's key-existence
+    // sweep can't see. Both sides land in exact CENTS (round(x*100) —
+    // never round-to-2dp-then-scale, which re-floats the boundary) before
+    // the compare. Shape: one map-side-combinable detail aggregate keyed
+    // on orderkey + one co-keyed left join from the header table.
+    "a11_reconcile" -> ((s, dir) => {
+      val charge = col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))
+      val detail = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(charge) * 100).cast("long").as("detail_cents"))
+      t(s, dir, "orders")
+        .join(detail, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("header_cents"),
+          col("detail_cents"),
+          when(col("l_orderkey").isNull, lit("no_detail"))
+            .when(round(col("o_totalprice") * 100).cast("long") ===
+              col("detail_cents"), lit("match"))
+            .otherwise(lit("mismatch")).as("status"))
+    }),
+
     "a5_orphans" -> ((s, dir) => {
       val d = t(s, dir, "orders").select(
         col("o_orderkey"),
@@ -1878,6 +1902,34 @@ object SparkEntry {
         .select(col("term_freq"), col("n_terms"))
     }),
 
+    // W14 time-series gap fill: regularize each user's value stream onto
+    // an hourly grid and forward-fill missing buckets — the resample step
+    // before any evenly-spaced-observations model. Only the bucket
+    // aggregate touches stream-sized data; grid/join/window all run at
+    // grid size (see ops.Resample).
+    "w14_gap_fill" -> ((s, dir) => {
+      graft.ops.Resample.gapFill(t(s, dir, "events"),
+        keyCol = "user_id", tsCol = "ts", valueCol = "value")
+    }),
+
+    // T19 markup stripping + tag-density: plant real HTML wrapping on the
+    // even docs, strip it back off and count the tags removed — both
+    // engines compute the clean text with the same regex chain, so the
+    // comparison judges the actual transformation (not planted truth).
+    // Zero-shuffle projection.
+    "t19_html_strip" -> ((s, dir) => {
+      val html = when(col("doc_id") % 2 === 0,
+          concat(lit("<html><p class=\"x\">"), col("text"),
+            lit("</p> <br/></html>")))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          TextAnalysis.htmlTagCount(col("html")).as("n_tags"),
+          TextAnalysis.stripHtml(col("html")).as("clean"))
+        .withColumn("clean_chars", length(col("clean")).cast("long"))
+    }),
+
     // T18 Jensen–Shannon divergence between the en slice's and the rest's
     // unigram distributions — the token-level "did the mixture drift"
     // scalar (v11 profiles columns; this profiles the LANGUAGE). Both
@@ -2360,6 +2412,23 @@ object SparkEntry {
         |FROM supplier
         |LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
         |  ON s_nationkey = p.k""".stripMargin,
+
+    // a11: cents on both sides via round(x*100) — the same scale-then-
+    // round the engine uses; a 2dp round first would re-float boundaries.
+    "a11_reconcile" ->
+      """WITH d AS (
+        |  SELECT l_orderkey,
+        |    CAST(round(sum(l_extendedprice * (1 - l_discount)
+        |      * (1 + l_tax)) * 100) AS BIGINT) AS detail_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS header_cents,
+        |  d.detail_cents,
+        |  CASE WHEN d.l_orderkey IS NULL THEN 'no_detail'
+        |       WHEN CAST(round(o_totalprice * 100) AS BIGINT) = d.detail_cents
+        |         THEN 'match'
+        |       ELSE 'mismatch' END AS status
+        |FROM orders LEFT JOIN d ON o_orderkey = d.l_orderkey""".stripMargin,
 
     "a5_orphans" ->
       """WITH d AS (SELECT o_orderkey,
@@ -3665,6 +3734,25 @@ object SparkEntry {
         |tc AS (SELECT w, count(*) AS c FROM toks GROUP BY 1)
         |SELECT c AS term_freq, count(*) AS n_terms FROM tc GROUP BY 1""".stripMargin,
 
+    // t19: both engines run the same regex chain ('g' flag = Spark's
+    // default replace-all), so the hash judges the transformation itself.
+    "t19_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN '<html><p class="x">' || text || '</p> <br/></html>'
+        |      ELSE text END AS html
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |    trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id, n_tags, clean,
+        |  CAST(length(clean) AS BIGINT) AS clean_chars
+        |FROM s""".stripMargin,
+
     // t18: identical arithmetic association to the engine (p, q, m built
     // from the same double divisions, ln on the same quotients), each
     // term fixed-pointed to micro-units before the exact integer sum.
@@ -3798,6 +3886,30 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // w14: generate_series per key = the engine's sequence-explode grid;
+    // IGNORE NULLS last_value = the forward fill.
+    "w14_gap_fill" ->
+      """WITH h AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+        |    max(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |mm AS (SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+        |  FROM h GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+        |  FROM mm),
+        |j AS (
+        |  SELECT g.user_id, g.bucket_ts, h.v
+        |  FROM grid g LEFT JOIN h ON g.user_id = h.user_id
+        |    AND g.bucket_ts = h.bucket_ts)
+        |SELECT user_id, bucket_ts,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bucket_ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  CAST(v IS NULL AS INT) AS was_gap
+        |FROM j""".stripMargin,
 
     // a9: the canonical-string → md5 → 40-bit-term sum is re-derived
     // independently (DuckDB's '0x'-cast replaces Spark's conv()); both

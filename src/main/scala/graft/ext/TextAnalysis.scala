@@ -482,6 +482,19 @@ object TextAnalysis {
       .select(col(id), col("bm25"), col("rank"))
   }
 
+  /** Markup stripping — the boilerplate-removal step of a web-corpus
+    * pipeline: drop `<...>` tags, collapse the whitespace they leave, trim.
+    * Regex-tier by design (a real extractor also scores link density and
+    * drops nav/footer blocks — that composes on top via [[qualityScore]]);
+    * pure codegen'd projection, zero shuffles at any scale. */
+  def stripHtml(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " "))
+
+  /** Tag count over raw markup — the link/markup-density signal side of
+    * [[stripHtml]] (a page that is mostly tags is boilerplate). */
+  def htmlTagCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("<[^>]*>"), lit(0))).cast("long")
+
   /** Jensen–Shannon divergence between the unigram distributions of two
     * corpus slices — the token-level drift measure that says whether two
     * sources/batches speak the same language mixture (0 = identical,

@@ -455,6 +455,30 @@ class PlanShapeSpec extends SparkSpec {
       s"m6 grew a join/window:\n$p")
   }
 
+  test("w14 gap fill: keyed window, grid work above one stream aggregate") {
+    val p = q("w14_gap_fill")
+    val ws = windows(p)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"w14's ffill window lost its key partitioning:\n$p")
+    assert(shuffles(p).size <= 4, s"w14 grew shuffles (${shuffles(p).size}):\n$p")
+    assert(!p.toString.contains("CartesianProduct"), s"w14 grew a cartesian:\n$p")
+  }
+
+  test("t19 html strip: pure scan-stage projection — zero exchanges") {
+    val p = q("t19_html_strip")
+    assert(shuffles(p).isEmpty && broadcasts(p).isEmpty,
+      s"t19 must ride the scan, got exchanges:\n$p")
+    assert(windows(p).isEmpty && !p.toString.contains("Join"),
+      s"t19 grew a join/window:\n$p")
+  }
+
+  test("a11 reconcile: detail aggregate + one header join, no cartesian") {
+    val p = q("a11_reconcile")
+    assert(shuffles(p).size <= 3, s"a11 grew shuffles (${shuffles(p).size}):\n$p")
+    assert(windows(p).isEmpty, s"a11 grew a window:\n$p")
+    assert(!p.toString.contains("CartesianProduct"), s"a11 grew a cartesian:\n$p")
+  }
+
   test("t15 bm25: query-term filter in the scan stage, top-k via TakeOrdered") {
     val p = q("t15_bm25")
     // every tf-branch scan prunes to the |Q| query terms BEFORE its

@@ -352,6 +352,25 @@ class TemporalPackSpec extends SparkSpec {
     }
   }
 
+  test("gapFill: grid spans each key's range, ffill carries, flags mark gaps") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:30:00"), 1.0),
+      (1L, ts("2024-01-01 00:45:00"), 2.0), // same bucket: max wins
+      (1L, ts("2024-01-01 03:15:00"), 5.0), // 2-hour gap before this
+      (2L, ts("2024-01-01 10:00:00"), 9.0)  // single-bucket key: no grid
+    ).toDF("user_id", "ts", "value")
+    val out = graft.ops.Resample.gapFill(ev, "user_id", "ts", "value")
+      .select("user_id", "bucket_ts", "value", "was_gap")
+      .as[(Long, java.sql.Timestamp, Double, Int)]
+      .collect().map(r => (r._1, r._2.toString) -> ((r._3, r._4))).toMap
+    assert(out.size == 5)
+    assert(out((1L, "2024-01-01 00:00:00.0")) == (2.0, 0)) // bucket max
+    assert(out((1L, "2024-01-01 01:00:00.0")) == (2.0, 1)) // filled
+    assert(out((1L, "2024-01-01 02:00:00.0")) == (2.0, 1)) // filled
+    assert(out((1L, "2024-01-01 03:00:00.0")) == (5.0, 0))
+    assert(out((2L, "2024-01-01 10:00:00.0")) == (9.0, 0))
+  }
+
   test("representatives: preference order wins, singletons rep themselves") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b") // {1,2,3} + lone 4
     val attrs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 7L)).toDF("id", "len")

@@ -366,6 +366,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("stripHtml drops tags with attributes, collapses gaps; count matches") {
+    val cases = Seq(
+      (1L, """<a href="x.html">link</a> text"""),
+      (2L, "<br/><br/>a  b\t c"),
+      (3L, "no markup"),
+      (4L, "<p>edge</p>"),
+      (5L, "a < b and b > c")) // lone '<' eats to the next '>' (regex tier)
+      .toDF("id", "html")
+    val out = cases.select(col("id"),
+        TextAnalysis.stripHtml(col("html")).as("c"),
+        TextAnalysis.htmlTagCount(col("html")).as("n"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ("link text", 2L))
+    assert(out(2L) == ("a b c", 2L))
+    assert(out(3L) == ("no markup", 0L))
+    assert(out(4L) == ("edge", 2L))
+    assert(out(5L) == ("a c", 1L)) // documented regex-tier behavior
+  }
+
   test("unigramJsDivergence: zero on identical slices, ln2 when disjoint") {
     val same = Seq((true, "a b c a"), (false, "a b c a")).toDF("s", "text")
     val z = TextAnalysis.unigramJsDivergence(same, "text", col("s"))

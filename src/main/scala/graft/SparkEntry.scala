@@ -144,6 +144,7 @@ object SparkEntry {
   private lazy val xlsxScratchDir: String = scratchDir("graft_xlsx")
   private lazy val batchStoreScratchDir: String = scratchDir("graft_s7")
   private lazy val streamScratchDir: String = scratchDir("graft_stream")
+  private lazy val schemaScratchDir: String = scratchDir("graft_s12")
 
   private def ts(x: String): Column = to_timestamp(lit(x))
 
@@ -863,6 +864,30 @@ object SparkEntry {
       back.toSeq.sortBy(_._1).flatMap { case (n, ms) =>
         ms.zipWithIndex.map { case ((raw, prop), i) => (n, raw, prop, (i + 1).toLong) }
       }.toDF("node", "raw", "prop", "pos")
+    }),
+
+    // S12 schema-evolution scan: two ingest batches of the same logical
+    // table with DIFFERENT physical schemas (columns added over time —
+    // the recurring-ingest reality a fixed-schema reader chokes on) land
+    // in one partitioned layout; ONE mergeSchema read unifies them,
+    // nulling the columns a batch predates and recovering the batch from
+    // the partition directory. The oracle rebuilds the union with typed
+    // NULLs — a hash match proves the merged read is lossless and the
+    // missing-column semantics exact. Batch pruning stays available
+    // (partition column), and each footer is read once at planning.
+    "s12_schema_merge" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val root = s"$schemaScratchDir/${dirKey(dir)}"
+      c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/batch=b1")
+      c.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/batch=b2")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"), col("batch").cast("string").as("batch"))
     }),
 
     // C1 JSONL corpus roundtrip: documents out through the JSONL sink and
@@ -1930,6 +1955,29 @@ object SparkEntry {
         .withColumn("clean_chars", length(col("clean")).cast("long"))
     }),
 
+    // T20 per-source curation dashboard — the Gopher-style "how does each
+    // source look" report a corpus owner reads before weighting a mix:
+    // doc count, exact-dup rate (distinct canonical fingerprints), mean
+    // heuristic quality (integer bp per doc, so the mean is an exact-int
+    // ratio both engines divide identically), mean length, English share.
+    // ONE scan; the count-distinct rides the same aggregate via Expand
+    // (v10's disclosed exact-tier cost — sources are few, the group
+    // domain is tiny).
+    "t20_source_report" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          floor(TextAnalysis.qualityScore(col("text")) * 10000)
+            .cast("long").as("q_bp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          round(sum(col("q_bp")) / count(lit(1)), 4).as("mean_quality_bp"),
+          round(sum(col("n_chars")) / count(lit(1)), 4).as("mean_chars"),
+          round(sum(when(col("lang") === "en", 1L).otherwise(0L)) * 100 /
+            count(lit(1)), 4).as("pct_en"))
+    }),
+
     // T18 Jensen–Shannon divergence between the en slice's and the rest's
     // unigram distributions — the token-level "did the mixture drift"
     // scalar (v11 profiles columns; this profiles the LANGUAGE). Both
@@ -2108,6 +2156,27 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
+    // P16 multi-format timestamp normalization: each order's date is
+    // rendered in one of three site-typed formats (ISO / US / EU by
+    // key%3), then normalized back through the try_to_timestamp coalesce
+    // chain — roundtrip equality against the original column judges the
+    // parse itself. Zero-shuffle codegen projection; unparseable rows
+    // surface as null, not an exception (reference's per-cell tolerance).
+    "p16_date_parse" -> ((s, dir) => {
+      val iso = "yyyy-MM-dd HH:mm:ss"
+      val us = "MM/dd/yyyy HH:mm:ss"
+      val eu = "dd.MM.yyyy HH:mm:ss"
+      val raw = when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), iso))
+        .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), us))
+        .otherwise(date_format(col("o_orderdate"), eu))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), raw.as("raw"))
+        .withColumn("parsed",
+          Normalize.parseTimestampMulti(col("raw"), Seq(iso, us, eu)))
+        .select(col("o_orderkey"), col("raw"), col("parsed"),
+          (col("parsed") <=> col("o_orderdate")).cast("int").as("roundtrip_ok"))
     }),
 
     // S6 bucketed co-located join: pay the shuffle ONCE at write (both
@@ -2412,6 +2481,36 @@ object SparkEntry {
         |FROM supplier
         |LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
         |  ON s_nationkey = p.k""".stripMargin,
+
+    // p16: strftime renders the same three site formats; try_strptime is
+    // the null-on-mismatch twin of try_to_timestamp.
+    "p16_date_parse" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |    CASE o_orderkey % 3
+        |      WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+        |      WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y %H:%M:%S')
+        |      ELSE strftime(o_orderdate, '%d.%m.%Y %H:%M:%S') END AS raw
+        |  FROM orders),
+        |p AS (
+        |  SELECT o_orderkey, o_orderdate, raw,
+        |    coalesce(try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+        |             try_strptime(raw, '%m/%d/%Y %H:%M:%S'),
+        |             try_strptime(raw, '%d.%m.%Y %H:%M:%S')) AS parsed
+        |  FROM r)
+        |SELECT o_orderkey, raw, parsed,
+        |  CAST(parsed IS NOT DISTINCT FROM o_orderdate AS INT) AS roundtrip_ok
+        |FROM p""".stripMargin,
+
+    // s12: the declarative union-with-typed-NULLs is what the mergeSchema
+    // read must reconstruct from the two physical schemas.
+    "s12_schema_merge" ->
+      """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal,
+        |  CAST(NULL AS VARCHAR) AS c_mktsegment, 'b1' AS batch
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 'b2'
+        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin,
 
     // a11: cents on both sides via round(x*100) — the same scale-then-
     // round the engine uses; a 2dp round first would re-float boundaries.
@@ -3164,6 +3263,40 @@ object SparkEntry {
          |    + greatest(1.0 - (punct * 1.0 / greatest(length(text), 1)) * 5.0, 0.0) * 0.2
          |  ) * 10000) AS BIGINT) AS quality_bp
          |FROM m""".stripMargin
+    },
+
+    // t20: t2's per-doc quality recomputation carried under a per-source
+    // rollup; the dup-rate leg is t4's canonical fingerprint distinct.
+    "t20_source_report" -> {
+      def cnt(w: String) =
+        s"((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2})"
+      val stopSum = TextAnalysis.Stopwords.map(cnt).mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT source, lang, n_chars, text, concat(' ', text, ' ') AS p,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+         |  FROM documents),
+         |m AS (SELECT source, lang, n_chars, text, toks,
+         |    CAST($stopSum AS BIGINT) AS stop_hits,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS punct,
+         |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM t),
+         |q AS (SELECT source, lang, n_chars, fp,
+         |    CAST(floor((
+         |      least(toks / 200.0, 1.0) * 0.4
+         |      + least(stop_hits * 10.0 / greatest(toks, 1), 1.0) * 0.4
+         |      + greatest(1.0 - (punct * 1.0 / greatest(length(text), 1)) * 5.0,
+         |          0.0) * 0.2
+         |    ) * 10000) AS BIGINT) AS q_bp
+         |  FROM m)
+         |SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT fp) AS n_unique,
+         |  round(sum(q_bp) / count(*), 4) AS mean_quality_bp,
+         |  round(sum(n_chars) / count(*), 4) AS mean_chars,
+         |  round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 100
+         |    / count(*), 4) AS pct_en
+         |FROM q GROUP BY source""".stripMargin
     },
 
     "t6_corpus_curation" -> {

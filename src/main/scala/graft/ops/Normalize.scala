@@ -123,6 +123,20 @@ object Normalize {
     * units GB/TB/PB, cds-model-props.yml:7981-7985): "1.5 TB" → bytes.
     * Unrecognized unit or unparseable number → null (validation surfaces
     * it). Decimal powers (10⁹/10¹²/10¹⁵), matching the model's intent. */
+  /** Multi-format timestamp parsing — normalize a string column whose
+    * rows mix date renderings (the reference's per-study workbooks carry
+    * whatever format a site typed; a curation pipeline meets the same in
+    * crawled metadata). First format that parses wins (`try_to_timestamp`
+    * returns null instead of throwing, so the coalesce chain is a pure
+    * codegen projection — zero shuffles, no UDF); a row matching no
+    * format comes back null for a downstream validation to flag. Order
+    * formats most-specific-first: an ambiguous row (e.g. `01/02/2024`)
+    * parses under the FIRST format that accepts it. */
+  def parseTimestampMulti(c: Column, formats: Seq[String]): Column = {
+    require(formats.nonEmpty, "parseTimestampMulti: formats required")
+    coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*)
+  }
+
   def unitsToBytes(c: Column): Column = {
     val num = trim(regexp_extract(c, "^\\s*([0-9.]+)\\s*([A-Za-z]+)\\s*$", 1)).try_cast("double")
     val unit = upper(regexp_extract(c, "^\\s*([0-9.]+)\\s*([A-Za-z]+)\\s*$", 2))

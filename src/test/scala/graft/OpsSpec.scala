@@ -126,6 +126,22 @@ class OpsSpec extends SparkSpec {
       Some(800000000000000000L), None, None, Some(3000000000L)))
   }
 
+  test("P16 parseTimestampMulti: first accepting format wins, junk -> null") {
+    val df = Seq(
+      "2024-03-15 10:00:00",  // ISO
+      "03/15/2024 10:00:00",  // US
+      "15.03.2024 10:00:00",  // EU
+      "01/02/2024 00:00:00",  // ambiguous digits — US listed first wins
+      "not a date").toDF("v")
+    val out = df.select(Normalize.parseTimestampMulti(col("v"),
+        Seq("yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss",
+          "dd.MM.yyyy HH:mm:ss")).cast("string").as("p"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(out == Seq(
+      Some("2024-03-15 10:00:00"), Some("2024-03-15 10:00:00"),
+      Some("2024-03-15 10:00:00"), Some("2024-01-02 00:00:00"), None))
+  }
+
   // ----------------------------------------------------------------- Ids
 
   test("P10 deterministicId is stable and null-token-safe") {

@@ -479,6 +479,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toString.contains("CartesianProduct"), s"a11 grew a cartesian:\n$p")
   }
 
+  test("p16 date parse: try_to_timestamp chain rides the scan — zero exchanges") {
+    val p = q("p16_date_parse")
+    assert(shuffles(p).isEmpty && broadcasts(p).isEmpty,
+      s"p16 must ride the scan, got exchanges:\n$p")
+    assert(windows(p).isEmpty && !p.toString.contains("Join"),
+      s"p16 grew a join/window:\n$p")
+  }
+
+  test("t20 source report: one scan, no join/window; Expand is the exact tier") {
+    val p = q("t20_source_report")
+    val scans = deep(p).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.size == 1, s"t20 must report from ONE scan:\n$p")
+    assert(windows(p).isEmpty && !p.toString.contains("Join"),
+      s"t20 grew a join/window:\n$p")
+    assert(shuffles(p).size <= 2, s"t20 grew shuffles (${shuffles(p).size}):\n$p")
+  }
+
+  test("s12 schema merge: the unified read is scan-only — zero exchanges") {
+    val p = q("s12_schema_merge")
+    assert(shuffles(p).isEmpty, s"s12's merged read must not shuffle:\n$p")
+    assert(windows(p).isEmpty && !p.toString.contains("Join"),
+      s"s12 grew a join/window:\n$p")
+  }
+
   test("t15 bm25: query-term filter in the scan stage, top-k via TakeOrdered") {
     val p = q("t15_bm25")
     // every tf-branch scan prunes to the |Q| query terms BEFORE its

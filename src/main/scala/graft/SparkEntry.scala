@@ -145,6 +145,7 @@ object SparkEntry {
   private lazy val batchStoreScratchDir: String = scratchDir("graft_s7")
   private lazy val streamScratchDir: String = scratchDir("graft_stream")
   private lazy val schemaScratchDir: String = scratchDir("graft_s12")
+  private lazy val csvScratchDir: String = scratchDir("graft_csv")
 
   private def ts(x: String): Column = to_timestamp(lit(x))
 
@@ -864,6 +865,21 @@ object SparkEntry {
       back.toSeq.sortBy(_._1).flatMap { case (n, ms) =>
         ms.zipWithIndex.map { case ((raw, prop), i) => (n, raw, prop, (i + 1).toLong) }
       }.toDF("node", "raw", "prop", "pos")
+    }),
+
+    // S13 quoted-CSV roundtrip: values carrying the delimiter AND the
+    // quote character go out through the CSV sink and back — the messy
+    // interchange surface beside S4's tab-separated one (quoting/escaping
+    // is where naive CSV paths corrupt silently). The oracle recomputes
+    // the noted column from the ORIGINAL table: a hash match proves
+    // quote+escape fidelity end to end.
+    "s13_csv_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "customer").select(col("c_custkey"),
+        concat(col("c_name"), lit(", \"note\" x")).as("note"))
+      val root = s"$csvScratchDir/${dirKey(dir)}"
+      src.coalesce(1).write.mode("overwrite").option("header", "true").csv(root)
+      s.read.option("header", "true")
+        .schema("c_custkey LONG, note STRING").csv(root)
     }),
 
     // S12 schema-evolution scan: two ingest batches of the same logical
@@ -1955,6 +1971,29 @@ object SparkEntry {
         .withColumn("clean_chars", length(col("clean")).cast("long"))
     }),
 
+    // C12 curriculum staging: quartile the heuristic quality score and
+    // assign each doc its training stage (curriculum learning orders the
+    // mix easy→hard; c11 then shuffles WITHIN a stage). Boundaries are
+    // three percentile_disc picks (actual elements) from one aggregate,
+    // broadcast back as literals — stage assignment is a zero-shuffle
+    // scan projection, the p15 fence discipline.
+    "c12_curriculum" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        floor(TextAnalysis.qualityScore(col("text")) * 10000)
+          .cast("long").as("q_bp"))
+      val b = scored.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY q_bp)"),
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY q_bp)"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY q_bp)")).head()
+      // percentile_disc types its pick DOUBLE even over longs; bp values
+      // are far under 2^53, so toLong is exact (h6 discipline)
+      val (b1, b2, b3) = (b.getDouble(0).toLong, b.getDouble(1).toLong,
+        b.getDouble(2).toLong)
+      scored.select(col("doc_id"), col("q_bp"),
+        ((col("q_bp") > b1).cast("int") + (col("q_bp") > b2).cast("int") +
+          (col("q_bp") > b3).cast("int")).cast("long").as("stage"))
+    }),
+
     // T20 per-source curation dashboard — the Gopher-style "how does each
     // source look" report a corpus owner reads before weighting a mix:
     // doc count, exact-dup rate (distinct canonical fingerprints), mean
@@ -2043,6 +2082,27 @@ object SparkEntry {
         .filter(round(abs(col("value") - col("m")) - lit(2.5) * col("sd"), 6) > 0)
         .select(col("event_id"), col("event_type"), col("value"),
           round((col("value") - col("m")) / col("sd"), 6).as("z"))
+    }),
+
+    // W15 robust (median/MAD) outlier flagging — w10's z-score breaks
+    // when the outliers THEMSELVES inflate mean/σ; median and MAD have a
+    // 50% breakdown point. Both stats are percentile_disc picks (actual
+    // elements — exact doubles on both engines, no ulp fence needed).
+    // Two type-keyed aggregates (the MAD pass needs the medians first),
+    // each broadcast back; the event stream itself never shuffles.
+    "w15_anomaly_mad" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type")).agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+      val mad = ev.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"), col("med"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(value - med))")
+          .as("mad"))
+      ev.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          (abs(col("value") - col("med")) > lit(3.0) * col("mad"))
+            .cast("int").as("is_outlier"))
     }),
 
     // P15 percentile winsorization (the numeric-capping twin of w10's
@@ -2501,6 +2561,26 @@ object SparkEntry {
         |SELECT o_orderkey, raw, parsed,
         |  CAST(parsed IS NOT DISTINCT FROM o_orderdate AS INT) AS roundtrip_ok
         |FROM p""".stripMargin,
+
+    // w15: quantile_disc == percentile_disc (w7 parity); MAD derived with
+    // the medians joined in, exactly the engine's second aggregate.
+    "w15_anomaly_mad" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_disc(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, quantile_disc(abs(value - med), 0.5) AS mad
+        |  FROM events e JOIN m USING (event_type) GROUP BY 1)
+        |SELECT event_id, e.event_type, value,
+        |  CAST(abs(value - med) > 3.0 * mad AS INT) AS is_outlier
+        |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)""".stripMargin,
+
+    // s13: the oracle recomputes the noted column from the original
+    // table — the CSV writer/reader must preserve embedded delimiters
+    // and quotes exactly.
+    "s13_csv_roundtrip" ->
+      """SELECT c_custkey, c_name || ', "note" x' AS note
+        |FROM customer""".stripMargin,
 
     // s12: the declarative union-with-typed-NULLs is what the mergeSchema
     // read must reconstruct from the two physical schemas.
@@ -3263,6 +3343,39 @@ object SparkEntry {
          |    + greatest(1.0 - (punct * 1.0 / greatest(length(text), 1)) * 5.0, 0.0) * 0.2
          |  ) * 10000) AS BIGINT) AS quality_bp
          |FROM m""".stripMargin
+    },
+
+    // c12: t2's quality recomputation + quantile_disc boundaries (same
+    // elements percentile_disc picks) + the same strict-> comparisons.
+    "c12_curriculum" -> {
+      def cnt(w: String) =
+        s"((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2})"
+      val stopSum = TextAnalysis.Stopwords.map(cnt).mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, concat(' ', text, ' ') AS p,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+         |  FROM documents),
+         |m AS (SELECT doc_id, text, toks,
+         |    CAST($stopSum AS BIGINT) AS stop_hits,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS punct
+         |  FROM t),
+         |q AS (SELECT doc_id,
+         |    CAST(floor((
+         |      least(toks / 200.0, 1.0) * 0.4
+         |      + least(stop_hits * 10.0 / greatest(toks, 1), 1.0) * 0.4
+         |      + greatest(1.0 - (punct * 1.0 / greatest(length(text), 1)) * 5.0,
+         |          0.0) * 0.2
+         |    ) * 10000) AS BIGINT) AS q_bp
+         |  FROM m),
+         |b AS (SELECT quantile_disc(q_bp, 0.25) AS b1,
+         |    quantile_disc(q_bp, 0.50) AS b2,
+         |    quantile_disc(q_bp, 0.75) AS b3 FROM q)
+         |SELECT doc_id, q_bp,
+         |  CAST(CAST(q_bp > b1 AS INT) + CAST(q_bp > b2 AS INT)
+         |    + CAST(q_bp > b3 AS INT) AS BIGINT) AS stage
+         |FROM q CROSS JOIN b""".stripMargin
     },
 
     // t20: t2's per-doc quality recomputation carried under a per-source

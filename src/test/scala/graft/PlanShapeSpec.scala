@@ -504,6 +504,28 @@ class PlanShapeSpec extends SparkSpec {
       s"s12 grew a join/window:\n$p")
   }
 
+  test("w15 MAD outliers: stats broadcast back, stream never shuffles") {
+    val p = q("w15_anomaly_mad")
+    assert(broadcasts(p).nonEmpty, s"w15 lost its stats broadcast:\n$p")
+    assert(windows(p).isEmpty, s"w15 grew a window:\n$p")
+    assert(shuffles(p).size <= 2, s"w15 grew shuffles (${shuffles(p).size}):\n$p")
+  }
+
+  test("c12 curriculum: boundaries as literals — stage assignment is scan-only") {
+    val p = q("c12_curriculum")
+    assert(shuffles(p).isEmpty && broadcasts(p).isEmpty,
+      s"c12's assignment must ride the scan:\n$p")
+    assert(windows(p).isEmpty && !p.toString.contains("Join"),
+      s"c12 grew a join/window:\n$p")
+  }
+
+  test("s13 csv roundtrip: the re-scan is scan-only — zero exchanges") {
+    val p = q("s13_csv_roundtrip")
+    assert(shuffles(p).isEmpty, s"s13's CSV re-scan must not shuffle:\n$p")
+    assert(windows(p).isEmpty && !p.toString.contains("Join"),
+      s"s13 grew a join/window:\n$p")
+  }
+
   test("t15 bm25: query-term filter in the scan stage, top-k via TakeOrdered") {
     val p = q("t15_bm25")
     // every tf-branch scan prunes to the |Q| query terms BEFORE its

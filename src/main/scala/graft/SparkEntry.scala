@@ -615,8 +615,10 @@ object SparkEntry {
       // createOrReplaceTempView, so a re-run in the same session replaces
       // the stale view (verified empirically via QTime2's 3-pass JVM)
       val sink = "w12_stream_sink"
-      val stream = s.readStream.schema(raw).parquet(sdir)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      // normalizeTs handles whichever physical ts encoding the raw schema
+      // carries (long nanos / NTZ / TimestampType) — the previous
+      // unconditional `DIV 1000` rewrite was a type error on NTZ input
+      val stream = Tables.normalizeTs(s.readStream.schema(raw).parquet(sdir))
       val q = EventStream.hourlyRollup(stream)
         .writeStream.format("memory").queryName(sink).outputMode("complete")
         .start()

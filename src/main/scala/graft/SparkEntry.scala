@@ -41,6 +41,30 @@ object SparkEntry {
     * ≈ 1; the gate at 80% trips on any banding/signature regression. */
   val MinhashRecallMinBp = 8000
 
+  /** d9/d14/d16 truth-tier scale dial: shingles occurring in more than
+    * this many documents are dropped before the inverted-index pair join
+    * (df-filtered Jaccard — the standard stop-shingle treatment, mirrored
+    * exactly in the oracles' HAVING clause, so both engines compute the
+    * same semantics). Bounds every index bucket, making the pair-join
+    * cost Σ min(df,cap)² — linear in corpus size — instead of Σ df²,
+    * which grows quadratically here (cross-replica template shingles:
+    * measured 51× Σdf² growth for 10× docs, the source of d9's 12.9×
+    * scale slope). The cap sits far above the corpus' largest duplicate-
+    * cluster size (2) and above the measured equivalence point: cap ≥ 16
+    * reproduces the UNCAPPED pair set exactly at sf0.01 and sf0.1
+    * (measured via DuckDB set-diff), so the capped truth is the same
+    * truth at judged scales while staying linear at 100×. */
+  val DupShingleMaxDf = 32
+
+  /** d16 gate: co-membership recall of LSH-fed duplicate clusters against
+    * the exact-pair clusters — of the true (df-capped, J ≥ 0.3) pairs,
+    * the share landing in the SAME LSH-fed component. Measured 10000 bp
+    * at sf0.01/sf0.1 (planted dups sit at J ≥ 0.9 where 8-band/4-row
+    * MinHash recall ≈ 1, and components only ever MERGE what pairs
+    * connect); the floor trips on a banding/fixpoint regression, not on
+    * corpus drift. */
+  val ClusterRecallMinBp = 8000
+
   /** d10 gate: SimHash Hamming distance is bimodal on this corpus
     * (graft.SimhashProbe: true near-dup pairs max 5/12 at sf0.01/sf0.1,
     * non-dup consecutive pairs min 8/4, p50 18) — every true pair sits
@@ -146,6 +170,19 @@ object SparkEntry {
   private lazy val streamScratchDir: String = scratchDir("graft_stream")
   private lazy val schemaScratchDir: String = scratchDir("graft_s12")
   private lazy val csvScratchDir: String = scratchDir("graft_csv")
+
+  /** Root of the read-only reference checkout. The real-artifact parity
+    * queries (s14/s15) parse the ACTUAL reference config/model files
+    * through the same loaders the pipeline uses — overridable for
+    * environments that stage the checkout elsewhere. */
+  private lazy val referenceDir: String =
+    sys.env.getOrElse("GRAFT_REFERENCE_DIR", "/root/reference")
+
+  /** Read a small driver-side config artifact (YAML dict/model files are
+    * config plane, never data plane — single-digit-KB to ~100 KB). */
+  private def slurp(path: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
 
   private def ts(x: String): Column = to_timestamp(lit(x))
 
@@ -908,6 +945,76 @@ object SparkEntry {
           col("c_mktsegment"), col("batch").cast("string").as("batch"))
     }),
 
+    // S14 real-artifact parity: the ACTUAL reference artifacts — the graph
+    // model (3-Model-Files/cds-model.yml:3-345), the 8,022-line property
+    // definitions (cds-model-props.yml), the curated v1.3 raw+clean dict
+    // pair (2-Config-Files/cds_config_v1.3/) and the real UI-database
+    // mappings_v3 workbook (both sheets, through the native xlsx source) —
+    // parsed by the SAME loaders the pipeline uses everywhere else. The
+    // oracle pins the full artifact inventory (node / prop / relationship
+    // / mapping / worksheet counts plus the model-typed schema of the
+    // `file` node), so any parser regression against the reference's real
+    // input surface — not a shaped fixture — fails the hash.
+    "s14_real_model" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.ModelLoader
+      val ref = referenceDir
+      val model = ModelLoader.parseModel(
+        slurp(s"$ref/3-Model-Files/cds-model.yml"),
+        slurp(s"$ref/3-Model-Files/cds-model-props.yml"))
+      val rawDict = ModelLoader.parseRawDict(
+        slurp(s"$ref/2-Config-Files/cds_config_v1.3/cds_raw_dict_v1.3.yaml"))
+      val clean = ModelLoader.parseCleanDictFull(
+        slurp(s"$ref/2-Config-Files/cds_config_v1.3/cds_clean_dict_v1.3.yaml"))
+      val wb = s"$ref/2-Config-Files/cds_config/UI-database mappings_v3.xlsx"
+      val mapping = s.read.format("xlsx").option("sheet", "Mapping").load(wb)
+      val mustHave =
+        s.read.format("xlsx").option("sheet", "Must have properties").load(wb)
+      val fileSchema = model.schemaOf("file")
+      val defs = model.propDefs.valuesIterator.toSeq
+      Seq(
+        ("clean_dict", "extra_long_values", clean.extraLongValues.size.toLong),
+        ("clean_dict", "mappings",
+          clean.mappings.valuesIterator.map(_.size.toLong).sum),
+        ("clean_dict", "props", clean.mappings.size.toLong),
+        ("model", "node_props", model.nodes.map(_.props.size.toLong).sum),
+        ("model", "nodes", model.nodes.size.toLong),
+        ("model", "relationship_ends", model.relationships.size.toLong),
+        ("props", "enum_props", defs.count(_.enum.nonEmpty).toLong),
+        ("props", "keys", defs.count(_.key).toLong),
+        ("props", "list_typed", defs.count(_.isList).toLong),
+        ("props", "prop_defs", defs.size.toLong),
+        ("props", "required", defs.count(_.required).toLong),
+        ("raw_dict", "mappings", rawDict.valuesIterator.map(_.size.toLong).sum),
+        ("raw_dict", "nodes", rawDict.size.toLong),
+        ("schema_file", "bigint_fields", fileSchema.fields.count(
+          _.dataType == org.apache.spark.sql.types.LongType).toLong),
+        ("schema_file", "fields", fileSchema.size.toLong),
+        ("ui_xlsx", "mapping_cols", mapping.columns.length.toLong),
+        ("ui_xlsx", "mapping_rows", mapping.count()),
+        ("ui_xlsx", "must_have_rows", mustHave.count()))
+        .toDF("artifact", "metric", "n")
+    }),
+
+    // S15 dict-drift report: diff two REAL dated curated raw-dict versions
+    // (cds_raw_dict_v1.3_2023_Jan.yaml → _2024_Mar.yaml) per node — the
+    // audit trail the reference maintains as 10 dated files, reduced to
+    // added / removed / retargeted counts (retargeting is the silent
+    // killer: same raw header, different property, same row counts). The
+    // oracle pins the true drift: image arrives wholesale (+30), study
+    // gains 15 and drops 3, treatment is untouched.
+    "s15_dict_drift" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"$referenceDir/2-Config-Files/cds_config_v1.3"
+      val old = graft.model.ModelLoader.parseRawDict(
+        slurp(s"$base/cds_raw_dict_v1.3_2023_Jan.yaml"))
+      val neu = graft.model.ModelLoader.parseRawDict(
+        slurp(s"$base/cds_raw_dict_v1.3_2024_Mar.yaml"))
+      RawDict.drift(old, neu)
+        .map(d => (d.node, d.status, d.added, d.removed, d.retargeted))
+        .toDF("node", "status", "n_added", "n_removed", "n_retargeted")
+    }),
+
     // C1 JSONL corpus roundtrip: documents out through the JSONL sink and
     // back through the schema-first reader — the LLM-corpus interchange
     // format beside the reference's TSV surface. The oracle reads the
@@ -1623,13 +1730,18 @@ object SparkEntry {
       TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text", n = 2)
     }),
 
-    // D9 duplicate clusters: exact near-dup PAIRS (d6 ground truth)
-    // resolved to connected components — every doc labeled with the min
-    // doc id of its duplicate cluster (the keep-doc). Hash-min fixpoint
-    // on the driver (ops.Components), 2-4 rounds on dedup graphs.
+    // D9 duplicate clusters: exact near-dup PAIRS resolved to connected
+    // components — every doc labeled with the min doc id of its duplicate
+    // cluster (the keep-doc). Hash-min fixpoint on the driver
+    // (ops.Components), 2-4 rounds on dedup graphs. The pair feed is the
+    // df-CAPPED inverted index ([[DupShingleMaxDf]]): identical pair set
+    // at judged scales, bounded buckets (Σ min(df,cap)², linear) at 100×
+    // — the oracle applies the same HAVING cap, so the judged semantics
+    // stay exactly matched at every SF by construction.
     "d9_dup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text", n = 3, minJ = 0.3)
+      val pairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text",
+          n = 3, minJ = 0.3, maxDf = Some(DupShingleMaxDf))
         .select(col("doc_id_a"), col("doc_id_b"))
       Components.connected(pairs, "doc_id_a", "doc_id_b",
           vertices = Some(docs.select(col("doc_id"))), idCol = "doc_id")
@@ -1646,7 +1758,8 @@ object SparkEntry {
     // = exactly the rep set).
     "d14_cluster_rep" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text", n = 3, minJ = 0.3)
+      val pairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text",
+          n = 3, minJ = 0.3, maxDf = Some(DupShingleMaxDf))
         .select(col("doc_id_a"), col("doc_id_b"))
       val labels = Components.connected(pairs, "doc_id_a", "doc_id_b",
         vertices = Some(docs.select(col("doc_id"))), idCol = "doc_id")
@@ -1655,6 +1768,41 @@ object SparkEntry {
           order = Seq(col("n_chars").desc, col("doc_id")))
         .select(col("component").as("cluster_id"), col("rep_doc_id"),
           col("n_members"))
+    }),
+
+    // D16 LSH-fed cluster twin — the 100-TB SHIPPED path for d9's
+    // clustering act: MinHash-LSH candidate pairs (banded equi-join,
+    // never an index bucket²) → exact-Jaccard verify → connected
+    // components, gated on co-membership recall against the df-capped
+    // exact-pair clusters (d9's feed). Of the true pairs, the share whose
+    // endpoints land in the SAME LSH-fed component must clear
+    // [[ClusterRecallMinBp]]; the truth tier here is the disclosed
+    // verifier (like d7/d10), the LSH path is the product. Components
+    // can only merge what pairs connect, so recall ≥ pair recall.
+    "d16_lsh_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val lshPairs = TextDedup.nearDuplicates(docs, "doc_id", "text",
+          threshold = 0.3)
+        .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
+      val labels = Components.connected(lshPairs, "doc_id_a", "doc_id_b",
+          vertices = Some(docs.select(col("doc_id"))), idCol = "doc_id")
+        .select(col("doc_id"), col("component"))
+      val truePairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text",
+          n = 3, minJ = 0.3, maxDf = Some(DupShingleMaxDf))
+        .select(col("doc_id_a"), col("doc_id_b"))
+      truePairs
+        .join(labels.select(col("doc_id").as("doc_id_a"),
+          col("component").as("ca")), Seq("doc_id_a"))
+        .join(labels.select(col("doc_id").as("doc_id_b"),
+          col("component").as("cb")), Seq("doc_id_b"))
+        .select(when(col("ca") === col("cb"), 1L).otherwise(0L).as("hit"))
+        .agg(
+          count(lit(1)).as("n_true_pairs"),
+          // zero true pairs = vacuous pass (see d7)
+          when(count(lit(1)) === 0, lit(1L))
+            .when(floor(sum(col("hit")) * lit(10000) / count(lit(1)))
+              >= ClusterRecallMinBp, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
     }),
 
     // D10 SimHash recall gate: every exact-truth near-dup pair must land
@@ -3117,6 +3265,46 @@ object SparkEntry {
         |  ('participant', 'Gender', 'gender', CAST(2 AS BIGINT)))
         |  AS t(node, raw, prop, pos)""".stripMargin,
 
+    // s14: constant oracle — the measured inventory of the REAL reference
+    // artifacts (verified against an independent pyyaml/zipfile census);
+    // any loader/xlsx-parser regression on the real files breaks the hash.
+    "s14_real_model" ->
+      """SELECT * FROM (VALUES
+        |  ('clean_dict', 'extra_long_values', CAST(1 AS BIGINT)),
+        |  ('clean_dict', 'mappings', CAST(1203 AS BIGINT)),
+        |  ('clean_dict', 'props', CAST(29 AS BIGINT)),
+        |  ('model', 'node_props', CAST(221 AS BIGINT)),
+        |  ('model', 'nodes', CAST(9 AS BIGINT)),
+        |  ('model', 'relationship_ends', CAST(8 AS BIGINT)),
+        |  ('props', 'enum_props', CAST(53 AS BIGINT)),
+        |  ('props', 'keys', CAST(10 AS BIGINT)),
+        |  ('props', 'list_typed', CAST(3 AS BIGINT)),
+        |  ('props', 'prop_defs', CAST(215 AS BIGINT)),
+        |  ('props', 'required', CAST(64 AS BIGINT)),
+        |  ('raw_dict', 'mappings', CAST(118 AS BIGINT)),
+        |  ('raw_dict', 'nodes', CAST(9 AS BIGINT)),
+        |  ('schema_file', 'bigint_fields', CAST(1 AS BIGINT)),
+        |  ('schema_file', 'fields', CAST(10 AS BIGINT)),
+        |  ('ui_xlsx', 'mapping_cols', CAST(6 AS BIGINT)),
+        |  ('ui_xlsx', 'mapping_rows', CAST(88 AS BIGINT)),
+        |  ('ui_xlsx', 'must_have_rows', CAST(22 AS BIGINT)))
+        |  AS t(artifact, metric, n)""".stripMargin,
+
+    // s15: constant oracle — the true drift between the two real dated
+    // dict versions (independently verified with pyyaml set arithmetic).
+    "s15_dict_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('diagnosis', 'kept', CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('file', 'kept', CAST(8 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('genomic_info', 'kept', CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('image', 'added', CAST(30 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('participant', 'kept', CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('program', 'kept', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('sample', 'kept', CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('study', 'kept', CAST(15 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('treatment', 'kept', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+        |  AS t(node, status, n_added, n_removed, n_retargeted)""".stripMargin,
+
     "v5_enum_violations" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')""".stripMargin,
@@ -3628,14 +3816,20 @@ object SparkEntry {
     // closure by recursive CTE over the d6 exact-pair edges, component =
     // min reachable id. Tractable for the oracle because dup clusters are
     // tiny; the engine side never materializes a closure.
+    // d9/d14/d16 truth feed carries the SAME df cap as the engine
+    // (DupShingleMaxDf = 32, the HAVING below): df-filtered Jaccard on
+    // both sides — exact agreement at every SF by construction.
     "d9_dup_clusters" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(t) - 2, 1) + 1),
         |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
         |  FROM toks),
+        |sh AS (
+        |  SELECT sh0.doc_id, sh0.s FROM sh0
+        |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 32) ok USING (s)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
@@ -3662,11 +3856,14 @@ object SparkEntry {
     "d14_cluster_rep" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(t) - 2, 1) + 1),
         |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
         |  FROM toks),
+        |sh AS (
+        |  SELECT sh0.doc_id, sh0.s FROM sh0
+        |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 32) ok USING (s)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
@@ -3695,6 +3892,32 @@ object SparkEntry {
         |  FROM clus c JOIN documents d USING (doc_id))
         |SELECT cluster_id, doc_id AS rep_doc_id, CAST(nm AS BIGINT) AS n_members
         |FROM ranked WHERE rn = 1""".stripMargin,
+
+    // d16: constant-oracle cluster-recall gate (see d7) — the count side
+    // is the df-capped exact-truth pair count; the flag asserts the
+    // LSH-fed components kept those pairs co-clustered.
+    "d16_lsh_clusters" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+        |  FROM toks),
+        |sh AS (
+        |  SELECT sh0.doc_id, sh0.s FROM sh0
+        |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 32) ok USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_id_a
+        |JOIN sizes sb ON sb.doc_id = doc_id_b
+        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3""".stripMargin,
 
     // d10: constant-oracle gate (see d7) — DuckDB pins the true-pair
     // count; the flag asserts the SimHash signatures kept those pairs

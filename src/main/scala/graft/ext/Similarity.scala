@@ -145,25 +145,35 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** Content-addressed bounded driver sample: the `sampleN` rows winning
+    * the xxhash64(id) draw (id tiebreak) — the same seed discipline as
+    * [[kmeansFit]]. Engine- and partition-order-independent, unbiased
+    * w.r.t. ingest order (a sorted-id PREFIX is a biased sample whenever
+    * ids correlate with arrival time — early-corpus drift would tilt the
+    * codebooks), and still one TakeOrdered at any scale. */
+  private def hashSample(
+      emb: DataFrame, id: String, vec: String, sampleN: Int): Array[Array[Double]] =
+    emb.select(col(id).as("__id"), col(vec).as("__v"))
+      .orderBy(xxhash64(col("__id")), col("__id")).limit(sampleN)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
   /** IVF (inverted-file) approximate k-NN — the centroid-bucketed scale
     * path: vectors are assigned to their nearest of `nCells` centroids;
     * a query probes its `nProbe` nearest cells only.
     *
     * Centroids come from a deterministic driver-side Lloyd's run over a
-    * bounded sample (sorted-id prefix). At 100 TB the sample is still
-    * driver-sized (centroids are nCells×dim doubles); assignment is a
-    * compiled argmin over the literal centroid matrix — one projection,
-    * no shuffle — and the search is an equi-join on cell id, exactly the
-    * LSH shape but with data-adaptive partitions (better recall per
-    * candidate on clustered embeddings).
+    * bounded content-addressed sample ([[hashSample]]). At 100 TB the
+    * sample is still driver-sized (centroids are nCells×dim doubles);
+    * assignment is a compiled argmin over the literal centroid matrix —
+    * one projection, no shuffle — and the search is an equi-join on cell
+    * id, exactly the LSH shape but with data-adaptive partitions (better
+    * recall per candidate on clustered embeddings).
     */
   def knnIvf(emb: DataFrame, id: String, vec: String, k: Int,
              nCells: Int = 16, nProbe: Int = 4, sampleN: Int = 256,
              iters: Int = 5, queryPred: Option[Column] = None): DataFrame = {
-    // --- driver-side centroid fit (deterministic) ---
-    val sample = emb.orderBy(col(id)).limit(sampleN)
-      .select(col(vec)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // --- driver-side centroid fit (deterministic, content-addressed) ---
+    val sample = hashSample(emb, id, vec, sampleN)
     require(sample.nonEmpty, "empty embedding table")
     val dim = sample.head.length
     // value-level dedup — Array.distinct compares references
@@ -403,9 +413,9 @@ object Similarity {
     * `ksub`-centroid Lloyd fit. At m=8/ksub=16 a 64-dim float vector
     * compresses 32× (256 bytes → 8 code bytes).
     *
-    * Same determinism seam as [[knnIvf]]'s fit: a bounded driver sample
-    * ordered by id, value-level distinct init, fixed iterations — the
-    * codebooks are a pure function of the table. Encode/decode run as
+    * Same determinism seam as [[knnIvf]]'s fit: a bounded content-
+    * addressed driver sample ([[hashSample]]), value-level distinct init,
+    * fixed iterations — the codebooks are a pure function of the table. Encode/decode run as
     * compiled kernels with the codebook matrix as a reference object
     * ([[graft.functions.VectorExpressions.PqEncode]]).
     *
@@ -418,9 +428,7 @@ object Similarity {
   def pqFit(emb: DataFrame, id: String, vec: String,
             m: Int = 8, ksub: Int = 16, sampleN: Int = 256,
             iters: Int = 5): Array[Array[Array[Double]]] = {
-    val sample = emb.orderBy(col(id)).limit(sampleN)
-      .select(col(vec)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample = hashSample(emb, id, vec, sampleN)
     require(sample.nonEmpty, "empty embedding table")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")

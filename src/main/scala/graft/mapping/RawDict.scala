@@ -116,6 +116,35 @@ object RawDict {
     new org.yaml.snakeyaml.Yaml(opts).dump(root)
   }
 
+  /** One node's row in a dict-drift report ([[RawDict.drift]]). */
+  final case class DictDrift(
+      node: String, status: String,
+      added: Long, removed: Long, retargeted: Long)
+
+  /** §3.2 dict-drift report: the curated raw dict is an audit trail of
+    * dated versions (10 under `cds_config_v1.3/`, e.g.
+    * `cds_raw_dict_v1.3_2023_Jan.yaml` vs `_2024_Mar.yaml`); diff two of
+    * them per node — raw columns added, removed, or retargeted (same raw
+    * header now mapping to a DIFFERENT property — the silent killer, since
+    * row counts don't change). Nodes appearing/disappearing wholesale are
+    * flagged by `status`. Driver-side config work like every dict
+    * operation; the data plane never moves. */
+  def drift(
+      old: Map[String, Seq[(String, String)]],
+      neu: Map[String, Seq[(String, String)]]): Seq[DictDrift] =
+    (old.keySet ++ neu.keySet).toSeq.sorted.map { n =>
+      val om = old.getOrElse(n, Nil).toMap
+      val nm = neu.getOrElse(n, Nil).toMap
+      val status =
+        if (!old.contains(n)) "added"
+        else if (!neu.contains(n)) "removed"
+        else "kept"
+      DictDrift(n, status,
+        (nm.keySet -- om.keySet).size.toLong,
+        (om.keySet -- nm.keySet).size.toLong,
+        (om.keySet & nm.keySet).count(k => om(k) != nm(k)).toLong)
+    }
+
   /** P1: project raw columns onto model property names, keeping only
     * mappings whose raw column exists and has at least one non-null value,
     * then tag with the node discriminator. */

@@ -157,4 +157,70 @@ class ModelLoaderSpec extends SparkSpec {
       |extra_long_values:
       |""".stripMargin).extraLongValues.isEmpty)
   }
+
+  // --- real-artifact parity: the ACTUAL reference files (s14/s15) ---
+
+  private val refDir = sys.env.getOrElse("GRAFT_REFERENCE_DIR", "/root/reference")
+  private def refFile(rel: String) = new java.io.File(s"$refDir/$rel")
+  private def slurpRef(rel: String): String =
+    new String(java.nio.file.Files.readAllBytes(refFile(rel).toPath), "UTF-8")
+
+  test("REAL cds-model.yml + cds-model-props.yml: inventory and model-typed schema") {
+    assume(refFile("3-Model-Files/cds-model.yml").isFile, "reference checkout not present")
+    val m = ModelLoader.parseModel(
+      slurpRef("3-Model-Files/cds-model.yml"),
+      slurpRef("3-Model-Files/cds-model-props.yml"))
+    assert(m.nodes.map(_.name) == Seq("diagnosis", "file", "genomic_info", "image",
+      "participant", "program", "sample", "study", "treatment"))
+    assert(m.nodes.map(_.props.size).sum == 221)
+    assert(m.relationships.size == 8, "5 named relationships, 8 Src/Dst ends")
+    assert(m.propDefs.size == 215)
+    assert(m.propDefs.valuesIterator.count(_.enum.nonEmpty) == 53)
+    assert(m.propDefs.valuesIterator.count(_.required) == 64,
+      "Req true/'Yes' are required; 'Preferred'/'No'/false are not")
+    assert(m.propDefs.valuesIterator.count(_.key) == 10)
+    assert(m.propDefs.valuesIterator.count(_.isList) == 3)
+    val fs = m.schemaOf("file")
+    assert(fs.size == 10)
+    assert(fs("file_size").dataType == LongType)
+    assert(fs.fields.count(_.dataType == LongType) == 1)
+    assert(m.propDefs("md5sum").pattern.contains("^[0-9a-fA-F]{32}$"))
+  }
+
+  test("REAL v1.3 raw+clean dict pair: mapping inventory and dated-version drift") {
+    assume(refFile("2-Config-Files/cds_config_v1.3/cds_raw_dict_v1.3.yaml").isFile,
+      "reference checkout not present")
+    val raw = ModelLoader.parseRawDict(
+      slurpRef("2-Config-Files/cds_config_v1.3/cds_raw_dict_v1.3.yaml"))
+    assert(raw.size == 9)
+    assert(raw.valuesIterator.map(_.size).sum == 118)
+    val clean = ModelLoader.parseCleanDictFull(
+      slurpRef("2-Config-Files/cds_config_v1.3/cds_clean_dict_v1.3.yaml"))
+    assert(clean.mappings.size == 29)
+    assert(clean.mappings.valuesIterator.map(_.size).sum == 1203)
+    assert(clean.extraLongValues.size == 1)
+    val a = ModelLoader.parseRawDict(
+      slurpRef("2-Config-Files/cds_config_v1.3/cds_raw_dict_v1.3_2023_Jan.yaml"))
+    val b = ModelLoader.parseRawDict(
+      slurpRef("2-Config-Files/cds_config_v1.3/cds_raw_dict_v1.3_2024_Mar.yaml"))
+    val d = graft.mapping.RawDict.drift(a, b)
+    assert(d.find(_.node == "image").contains(
+      graft.mapping.RawDict.DictDrift("image", "added", 30, 0, 0)),
+      "image arrives wholesale in the Mar-2024 dict")
+    assert(d.find(_.node == "study").contains(
+      graft.mapping.RawDict.DictDrift("study", "kept", 15, 3, 0)))
+    assert(d.map(_.added).sum == 70 && d.map(_.removed).sum == 21 &&
+      d.map(_.retargeted).sum == 0)
+  }
+
+  test("RawDict.drift: added/removed/retargeted counts and node status") {
+    import graft.mapping.RawDict
+    val old = Map("n" -> Seq("A" -> "p1", "B" -> "p2"), "gone" -> Seq("X" -> "q"))
+    val neu = Map("n" -> Seq("A" -> "p9", "C" -> "p3"), "fresh" -> Seq("Y" -> "r"))
+    assert(RawDict.drift(old, neu) == Seq(
+      RawDict.DictDrift("fresh", "added", 1, 0, 0),
+      RawDict.DictDrift("gone", "removed", 0, 1, 0),
+      RawDict.DictDrift("n", "kept", 1, 1, 1)),
+      "A retarget (A: p1->p9) is neither an add nor a remove")
+  }
 }

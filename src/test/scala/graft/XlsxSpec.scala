@@ -273,4 +273,37 @@ class XlsxSpec extends SparkSpec {
     assert(XlsxWriter.colRef(51) == "AZ" && XlsxWriter.colRef(52) == "BA")
     assert(XlsxWriter.colRef(701) == "ZZ" && XlsxWriter.colRef(702) == "AAA")
   }
+
+  // --- real-workbook parity: the reference's actual Excel-written files
+  // (shared strings, cached-formula `t="str"` cells, numeric cells, row
+  // gaps, multiple sheets) — the foreign-xlsx surface the writer's own
+  // string-first output never exercises ---
+
+  test("REAL UI-database mappings workbooks read through the native source") {
+    val cfg = new java.io.File(sys.env.getOrElse(
+      "GRAFT_REFERENCE_DIR", "/root/reference") + "/2-Config-Files/cds_config")
+    assume(cfg.isDirectory, "reference checkout not present")
+    // (file, Mapping data rows, Must-have data rows)
+    val expect = Seq(
+      ("UI-database mappings.xlsx", 41L, 19L),
+      ("UI-database mappings_v2.xlsx", 86L, 21L),
+      ("UI-database mappings_v3.xlsx", 88L, 22L))
+    for ((f, nMap, nMust) <- expect) {
+      val path = new java.io.File(cfg, f).getAbsolutePath
+      val mapping = spark.read.format("xlsx").option("sheet", "Mapping").load(path)
+      assert(mapping.columns.length == 6, s"$f Mapping columns")
+      assert(mapping.count() == nMap, s"$f Mapping rows")
+      val must = spark.read.format("xlsx")
+        .option("sheet", "Must have properties").load(path)
+      assert(must.count() == nMust, s"$f Must-have rows")
+    }
+    val v3 = spark.read.format("xlsx").option("sheet", "Mapping")
+      .load(new java.io.File(cfg, "UI-database mappings_v3.xlsx").getAbsolutePath)
+    assert(v3.columns.toSeq == Seq("Page", "Area", "Display Name", "Full Name",
+      "Node Name", "Property Name"))
+    // a cached-formula (t="str") cell surfaces its cached value
+    import org.apache.spark.sql.functions.col
+    val props = v3.select(col("Property Name")).collect().map(_.getString(0)).toSeq
+    assert(props.contains("primary_diagnosis"))
+  }
 }

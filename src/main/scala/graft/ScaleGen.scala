@@ -37,8 +37,10 @@ import org.apache.spark.sql.functions._
   *    window — the throughput shape of a busier stream) with event ids
   *    and user ids shifted.
   *
-  * events.ts is read raw (nanos-as-long) and written back as INT64, the
-  * exact shape [[Tables.load]] rebuilds from.
+  * events.ts is read raw (nanos-as-long conf set for older generations;
+  * newer testdata decodes to TIMESTAMP_NTZ) and written back in the same
+  * physical type it arrived in — either way [[Tables.normalizeTs]]
+  * rebuilds one logical TimestampType on read.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -96,7 +98,11 @@ object ScaleGen {
     emit(part, "part", Map("p_partkey" -> mP), Map.empty, 4)
     emit(supp, "supplier", Map("s_suppkey" -> mS), Map.empty, 2)
 
-    val ev = read("events") // ts arrives as raw nanos LONG (conf above)
+    // ts arrives as whatever the source encodes (raw nanos LONG under the
+    // conf above, or TIMESTAMP_NTZ micros in newer testdata generations);
+    // replication never touches it, and the replicated file re-encodes the
+    // same physical type — Tables.normalizeTs absorbs either on read
+    val ev = read("events")
     emit(ev, "events",
       Map("event_id" -> maxOf(ev, "event_id"), "user_id" -> maxOf(ev, "user_id")),
       Map.empty, 16)

@@ -28,9 +28,11 @@ import graft.ext.{TextAnalysis, TextDedup, Similarity, Multimodal}
 object SparkEntry {
 
   /** Recall gates for e6/e7 in basis points (recall@3 vs exact on the 20%
-    * query sample). Measured (graft.RecallProbe): LSH 3133/4091, IVF
-    * 6000/5566 at sf0.01/sf0.1; gates sit below the measured floor so only
-    * a real quality regression (plane/centroid/ranking bug — which drops
+    * query sample). Measured (graft.RecallProbe, content-addressed
+    * xxhash64 codebook sample): LSH 3133/4091, IVF 6400/5791 at
+    * sf0.01/sf0.1 (the hash draw measurably beats the earlier sorted-id
+    * prefix's 6000/5566); gates sit below the measured floor so only a
+    * real quality regression (plane/centroid/ranking bug — which drops
     * recall to near-random, <50 bp) trips them, not data drift between the
     * driver's scale factors. */
   val LshRecallMinBp = 2500
@@ -86,11 +88,12 @@ object SparkEntry {
     * (measured direct recall@3: int8's 9816 bp vs PQ's 5050), so the gate
     * measures PQ's actual contracts (graft.RecallProbe, sf0.01/sf0.1):
     * true top-3 inside the PQ top-10 an ADC scan hands a re-ranker —
-    * queries EXACT, corpus decoded (measured 9900/9333 bp; quantizing
-    * both sides would measure the lower SDC quantity instead) — and mean
-    * reconstruction cosine (measured 9844/9656 bp). Gates sit below the
-    * floors so only a codebook/encode regression — which craters both —
-    * trips them, not corpus drift. */
+    * queries EXACT, corpus decoded (measured 9966/9333 bp under the
+    * content-addressed codebook sample; quantizing both sides would
+    * measure the lower SDC quantity instead) — and mean reconstruction
+    * cosine (measured 9844/9655 bp). Gates sit below the floors so only
+    * a codebook/encode regression — which craters both — trips them, not
+    * corpus drift. */
   val PqShortlistMinBp = 6000
   val PqReconMinBp = 9000
 
@@ -2144,6 +2147,40 @@ object SparkEntry {
           (col("q_bp") > b3).cast("int")).cast("long").as("stage"))
     }),
 
+    // C13 leakage-guarded split: c2's content-addressed train/eval split
+    // with dedup hygiene applied at the SPLIT BOUNDARY — a train doc that
+    // is a near-duplicate (df-capped exact J ≥ 0.3, d9's bucketed feed)
+    // of ANY eval doc is quarantined, so eval content can't leak into
+    // training through a near-copy the exact-hash split can't see (the
+    // standard eval-decontamination act, here fused with the split so the
+    // guard is part of the operator, not an afterthought). Every doc is
+    // labeled (train / eval / quarantined) — row count stays the corpus
+    // size; the oracle recomputes split + capped pairs + the quarantine
+    // CASE relationally.
+    "c13_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = docs.select(col("doc_id"),
+        TextAnalysis.hashSplit(col("doc_id"),
+          Seq("train" -> 0.9, "eval" -> 0.1)).as("split0"))
+      val pairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text",
+          n = 3, minJ = 0.3, maxDf = Some(DupShingleMaxDf))
+        .select(col("doc_id_a"), col("doc_id_b"))
+      // undirected adjacency: a leak edge can carry the eval doc on
+      // either side of the (a < b)-ordered pair
+      val edges = pairs
+        .union(pairs.select(col("doc_id_b"), col("doc_id_a")))
+        .toDF("doc_id", "peer")
+      val evalPeers = split.filter(col("split0") === "eval")
+        .select(col("doc_id").as("peer"))
+      val leaky = edges.join(evalPeers, Seq("peer"), "left_semi")
+        .select(col("doc_id")).distinct().withColumn("leak", lit(1L))
+      split.join(leaky, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("split0") === "eval", lit("eval"))
+            .when(col("leak").isNotNull, lit("quarantined"))
+            .otherwise(lit("train")).as("split"))
+    }),
+
     // T20 per-source curation dashboard — the Gopher-style "how does each
     // source look" report a corpus owner reads before weighting a mix:
     // doc count, exact-dup rate (distinct canonical fingerprints), mean
@@ -2253,6 +2290,28 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           (abs(col("value") - col("med")) > lit(3.0) * col("mad"))
             .cast("int").as("is_outlier"))
+    }),
+
+    // W16 cohort retention: users cohorted by FIRST-seen hour; retention
+    // at the canonical offsets (same hour / +1 h / +1 day / +1 week) =
+    // distinct cohort users active exactly that many hours later (the
+    // offset-0 row is the cohort size, so downstream ratios divide two
+    // columns of one frame). Shape: one user-hour distinct, one per-user
+    // min, one user-keyed join, one bounded aggregate — offsets are
+    // literals, so output is cohorts × 4, never hours². The hour diff is
+    // integral (both sides hour-truncated), computed in long micros with
+    // DIV — no float time arithmetic.
+    "w16_retention" -> ((s, dir) => {
+      val active = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct()
+      val cohort = active.groupBy(col("user_id")).agg(min(col("h")).as("cohort_h"))
+      active.join(cohort, Seq("user_id"))
+        .withColumn("offset_h",
+          expr("(unix_micros(h) - unix_micros(cohort_h)) DIV 3600000000"))
+        .filter(col("offset_h").isin(0L, 1L, 24L, 168L))
+        .groupBy(col("cohort_h"), col("offset_h"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
     // P15 percentile winsorization (the numeric-capping twin of w10's
@@ -3567,6 +3626,60 @@ object SparkEntry {
          |    + CAST(q_bp > b3 AS INT) AS BIGINT) AS stage
          |FROM q CROSS JOIN b""".stripMargin
     },
+
+    // c13: c2's md5 split (train < 58982 of 65536 ≙ 0.9) + the d9-capped
+    // pair feed + the quarantine CASE — all recomputed relationally.
+    "c13_leakage_split" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+        |  FROM toks),
+        |sh AS (
+        |  SELECT sh0.doc_id, sh0.s FROM sh0
+        |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 32) ok USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_id_a, doc_id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_id_a
+        |  JOIN sizes sb ON sb.doc_id = doc_id_b
+        |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3),
+        |split AS (
+        |  SELECT doc_id, CASE WHEN CAST(('0x' ||
+        |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |      < 58982 THEN 'train' ELSE 'eval' END AS split0
+        |  FROM documents),
+        |edges AS (
+        |  SELECT doc_id_a AS doc_id, doc_id_b AS peer FROM pairs
+        |  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+        |leaky AS (
+        |  SELECT DISTINCT e.doc_id FROM edges e
+        |  JOIN split p ON p.doc_id = e.peer AND p.split0 = 'eval')
+        |SELECT s.doc_id,
+        |  CASE WHEN s.split0 = 'eval' THEN 'eval'
+        |    WHEN l.doc_id IS NOT NULL THEN 'quarantined'
+        |    ELSE 'train' END AS split
+        |FROM split s LEFT JOIN leaky l ON l.doc_id = s.doc_id""".stripMargin,
+
+    // w16: DuckDB cohorts via the same hour-trunc + epoch integer
+    // arithmetic (both sides hour-truncated, so the division is exact).
+    "w16_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(h) AS cohort_h FROM active GROUP BY 1)
+        |SELECT cohort_h,
+        |  CAST((epoch(a.h) - epoch(c.cohort_h)) // 3600 AS BIGINT) AS offset_h,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohort c USING (user_id)
+        |WHERE (epoch(a.h) - epoch(c.cohort_h)) // 3600 IN (0, 1, 24, 168)
+        |GROUP BY 1, 2""".stripMargin,
 
     // t20: t2's per-doc quality recomputation carried under a per-source
     // rollup; the dup-rate leg is t4's canonical fingerprint distinct.

@@ -9,11 +9,18 @@ import scala.collection.mutable
 /** Minimal XLSX (OOXML spreadsheet) parsing — JDK-only (zip + StAX), no
   * POI/openpyxl available in this environment by design.
   *
-  * Covers the subset the reference's workbooks use (SURVEY.md §2.1 S1):
-  * one worksheet of cells that are shared strings, inline strings, or
-  * numbers; all values surface as STRINGS exactly as serialized in the
-  * file — the engine's string-first ingestion contract
+  * Covers what real submitter workbooks carry (SURVEY.md §2.1 S1;
+  * verified against the three Excel-written `UI-database mappings*.xlsx`
+  * under `2-Config-Files/cds_config/`): shared strings (incl. rich-text
+  * runs), inline strings, numbers, booleans (`t="b"` → TRUE/FALSE display
+  * form), cached formula results (`t="str"`/numeric `<v>`; the `<f>`
+  * formula text is skipped), absent `r` attributes (cells fall back to
+  * sequential placement), and row gaps. All values surface as STRINGS
+  * exactly as serialized — the engine's string-first ingestion contract
   * (`keep_default_na=False` semantics, cds-transformation_v1.3.py:129-132).
+  * Date-STYLED numeric cells surface as their raw serial string (styles
+  * are presentation, not data; a typed parse belongs downstream in
+  * `Normalize.parseTimestampMulti`).
   */
 object XlsxParser {
 
@@ -147,6 +154,10 @@ object XlsxParser {
             val raw = r.getElementText
             val value = cellType match {
               case "s" => shared.lift(raw.trim.toInt).orNull
+              // t="b" serializes booleans as 0/1; surface the OOXML
+              // display form (what Excel shows and what a string-first
+              // reader downstream expects), not the storage bit
+              case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
               case _ => raw
             }
             while (cells.length <= cellCol) cells += null

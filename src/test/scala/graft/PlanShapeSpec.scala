@@ -549,4 +549,24 @@ class PlanShapeSpec extends SparkSpec {
         && shuffles(n).nonEmpty),
       s"t15 grew a global sort:\n$p")
   }
+
+  test("w16 retention: keyed shuffles only, offsets as literals, no window") {
+    val p = q("w16_retention")
+    assert(windows(p).isEmpty, s"w16 grew a window:\n$p")
+    // distinct + per-user min + user join + final aggregate: all keyed
+    // shuffles; the offset filter must stay a literal IN, never a
+    // time-cross-join
+    assert(!p.toString.contains("Cartesian") &&
+      !p.toString.contains("BroadcastNestedLoop"),
+      s"w16 grew an unkeyed join:\n$p")
+    assert(shuffles(p).size <= 5, s"w16 grew shuffles (${shuffles(p).size}):\n$p")
+  }
+
+  test("c13 leakage split: capped pair feed, no cartesian, semi-join guard") {
+    val p = q("c13_leakage_split")
+    assert(!p.toString.contains("Cartesian") &&
+      !p.toString.contains("BroadcastNestedLoop"),
+      s"c13 must stay equi-join shaped:\n$p")
+    assert(windows(p).isEmpty, s"c13 grew a window:\n$p")
+  }
 }

@@ -306,4 +306,41 @@ class XlsxSpec extends SparkSpec {
     val props = v3.select(col("Property Name")).collect().map(_.getString(0)).toSeq
     assert(props.contains("primary_diagnosis"))
   }
+
+  test("foreign-cell hardening: t=\"b\" booleans, cached formulas, absent r attrs") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_foreign").toString
+    val path = s"$dir/foreign.xlsx"
+    // shapes the in-repo writer never emits: boolean cells, a formula cell
+    // carrying a cached <v>, cells WITHOUT r attributes (sequential
+    // placement), and a date-styled number (surfaces as its raw serial)
+    writeXlsx(path, "Metadata",
+      Seq("flag", "total", "when"),
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData>
+        |    <row r="1">
+        |      <c r="A1" t="s"><v>0</v></c>
+        |      <c r="B1" t="s"><v>1</v></c>
+        |      <c r="C1" t="s"><v>2</v></c>
+        |    </row>
+        |    <row r="2">
+        |      <c t="b"><v>1</v></c>
+        |      <c t="str"><f>SUM(D2:F2)</f><v>42.5</v></c>
+        |      <c s="3"><v>44927.25</v></c>
+        |    </row>
+        |    <row r="3">
+        |      <c r="A3" t="b"><v>0</v></c>
+        |      <c r="C3"><f>TODAY()</f><v>45000</v></c>
+        |    </row>
+        |  </sheetData>
+        |</worksheet>""".stripMargin)
+    val df = spark.read.format("xlsx").load(path)
+    val rows = df.orderBy("flag").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      ("FALSE", null, "45000"),   // absent B3; formula C3 -> cached value
+      ("TRUE", "42.5", "44927.25")), // no-r cells place sequentially
+      "booleans surface as TRUE/FALSE, formulas as cached <v>, " +
+        "date-styled numbers as raw serial strings")
+  }
 }

@@ -173,6 +173,7 @@ object SparkEntry {
   private lazy val streamScratchDir: String = scratchDir("graft_stream")
   private lazy val schemaScratchDir: String = scratchDir("graft_s12")
   private lazy val csvScratchDir: String = scratchDir("graft_csv")
+  private lazy val partScratchDir: String = scratchDir("graft_s16")
 
   /** Root of the read-only reference checkout. The real-artifact parity
     * queries (s14/s15) parse the ACTUAL reference config/model files
@@ -946,6 +947,26 @@ object SparkEntry {
       s.read.option("mergeSchema", "true").parquet(root)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("c_mktsegment"), col("batch").cast("string").as("batch"))
+    }),
+
+    // S16 partitioned layout + pruned re-read: documents land ONCE in a
+    // lang-partitioned parquet layout (the 100-TB directory discipline —
+    // the partition key lives in the PATH), and the re-read carries a
+    // partition predicate, so planning lists ONLY the lang=en directory:
+    // at scale this is the difference between scanning a corpus and
+    // scanning a language. PlanShapeSpec pins the executed scan's
+    // PartitionFilters (the predicate must prune at listing time, not
+    // filter rows post-scan); the oracle recomputes the slice from the
+    // original table, proving the partitioned roundtrip lossless.
+    "s16_partition_prune" -> ((s, dir) => {
+      val root = s"$partScratchDir/${dirKey(dir)}"
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(root)
+      s.read.parquet(root)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang").cast("string").as("lang"),
+          col("n_chars"))
     }),
 
     // S14 real-artifact parity: the ACTUAL reference artifacts — the graph
@@ -3323,6 +3344,12 @@ object SparkEntry {
         |  ('participant', 'Participant ID', 'participant_id', CAST(1 AS BIGINT)),
         |  ('participant', 'Gender', 'gender', CAST(2 AS BIGINT)))
         |  AS t(node, raw, prop, pos)""".stripMargin,
+
+    // s16: the pruned partition-slice must equal the original table's
+    // slice — lossless partitioned roundtrip.
+    "s16_partition_prune" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en'""".stripMargin,
 
     // s14: constant oracle — the measured inventory of the REAL reference
     // artifacts (verified against an independent pyyaml/zipfile census);

@@ -569,4 +569,17 @@ class PlanShapeSpec extends SparkSpec {
       s"c13 must stay equi-join shaped:\n$p")
     assert(windows(p).isEmpty, s"c13 grew a window:\n$p")
   }
+
+  test("s16 partition prune: the predicate prunes at listing time, zero exchanges") {
+    val p = q("s16_partition_prune")
+    assert(shuffles(p).isEmpty && broadcasts(p).isEmpty,
+      s"s16 re-read must be scan-only:\n$p")
+    val scans = deep(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty, s"s16 lost its file scan:\n$p")
+    assert(scans.exists(_.partitionFilters.exists(_.references.exists(
+        _.name == "lang"))),
+      s"s16's lang predicate must be a PARTITION filter (pruned at listing " +
+        s"time), not a post-scan row filter:\n$p")
+  }
 }

@@ -27,23 +27,34 @@ object Cascade {
 
   /** Per-level lineage-cut strategy (ADVICE r3: callers must be able to
     * pick reliability vs speed explicitly).
-    *  - [[LocalCheckpoint]] (default): executor-block checkpoints — right
-    *    for single-box/bench runs and static allocation; data is lost on
+    *  - [[Auto]] (default): [[ReliableCheckpoint]] when the SparkContext
+    *    has a checkpoint dir configured (cluster jobs set one — cuts
+    *    survive executor loss and dynamic deallocation), else
+    *    [[LocalCheckpoint]] (single-JVM/dev/bench: no distributed-FS
+    *    round-trip). The cluster-correct behavior is therefore one
+    *    `setCheckpointDir` away, with no code change in callers.
+    *  - [[LocalCheckpoint]]: executor-block checkpoints — right for
+    *    single-box/bench runs and static allocation; data is lost on
     *    executor failure and unsafe with dynamic allocation.
     *  - [[ReliableCheckpoint]]: `checkpoint()` to the SparkContext
     *    checkpoint dir (caller must have called `setCheckpointDir`) —
-    *    survives executor loss; the cluster choice.
+    *    survives executor loss; the explicit cluster choice.
     *  - [[NoCheckpoint]]: pure lineage; every downstream action re-runs
     *    the whole multi-level DAG (round-2's measured pathology). */
   sealed trait Strategy
+  case object Auto extends Strategy
   case object NoCheckpoint extends Strategy
   case object LocalCheckpoint extends Strategy
   case object ReliableCheckpoint extends Strategy
 
-  private def cut(df: DataFrame, s: Strategy, eager: Boolean): DataFrame = s match {
+  private[ops] def cut(df: DataFrame, s: Strategy, eager: Boolean): DataFrame = s match {
     case NoCheckpoint => df
     case LocalCheckpoint => df.localCheckpoint(eager)
     case ReliableCheckpoint => df.checkpoint(eager)
+    case Auto =>
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager)
+      else df.localCheckpoint(eager)
   }
 
   /** Cascade deletions through the node graph.
@@ -68,7 +79,7 @@ object Cascade {
       parents: Map[String, Seq[ParentRef]],
       ids: Map[String, String],
       seeds: Map[String, DataFrame],
-      strategy: Strategy = LocalCheckpoint): Map[String, DataFrame] = {
+      strategy: Strategy = Auto): Map[String, DataFrame] = {
 
     var current = nodes
     // deleted-id frames per node, grown level by level

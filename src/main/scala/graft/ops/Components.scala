@@ -36,21 +36,19 @@ object Components {
     *                  are always included
     * @param idCol     vertex id column (in `vertices` and the output)
     * @param maxIter   round bound (>= max component diameter to converge)
-    * @param strategy  per-round lineage cut, default [[Cascade.LocalCheckpoint]]
+    * @param strategy  per-round lineage cut, default [[Cascade.Auto]]
+    *                   (reliable when a checkpoint dir is configured,
+    *                   local otherwise — the cluster-correct default)
     * @return (idCol, component) — component = min vertex id reachable
     */
   def connected(
       edges: DataFrame, srcCol: String, dstCol: String,
       vertices: Option[DataFrame] = None, idCol: String = "id",
       maxIter: Int = 20,
-      strategy: Cascade.Strategy = Cascade.LocalCheckpoint,
+      strategy: Cascade.Strategy = Cascade.Auto,
       requireConvergence: Boolean = true): DataFrame = {
 
-    def cut(df: DataFrame): DataFrame = strategy match {
-      case Cascade.NoCheckpoint => df
-      case Cascade.LocalCheckpoint => df.localCheckpoint(true)
-      case Cascade.ReliableCheckpoint => df.checkpoint(true)
-    }
+    def cut(df: DataFrame): DataFrame = Cascade.cut(df, strategy, eager = true)
 
     // cut the edge frame ONCE: every round joins against it, and without
     // a cut each round re-executes the full upstream edge derivation

@@ -223,9 +223,14 @@ object TextDedup {
     val sh0 = hashed.select(col("doc_id"), explode(col("hh")).as("s"))
     val sh = maxDf match {
       case Some(m) =>
-        val rare = sh0.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= m).select("s")
-        sh0.join(rare, Seq("s"), "left_semi")
+        // filter via ANTI-join against the FREQUENT set, not semi-join
+        // against the rare set: shingles over the cap are few (bounded by
+        // total-occurrences/cap), so AQE broadcasts the build side and the
+        // big exploded stream never shuffles for the filter — the rare set
+        // is nearly the whole vocabulary and would force a full shuffle
+        val frequent = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > m).select("s")
+        sh0.join(frequent, Seq("s"), "left_anti")
       case None => sh0
     }
     // sizes live in the SAME shingle space as the intersections: a free

@@ -14,6 +14,32 @@ class EntrySpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("normalizeTs: all three physical ts encodings converge to identical micros") {
+    // the round-9 regression class: the driver regenerates testdata and the
+    // parquet physical type of events.ts changes under the code. Whatever
+    // encoding arrives - epoch-nanos long, TIMESTAMP_NTZ, or TimestampType -
+    // normalizeTs must yield the SAME TimestampType micros (UTC session tz).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // values stay inside the nanos-representable window (|us| < 2^63/1000,
+    // i.e. +/-292 years of 1970) - the long-nanos ENCODING itself cannot
+    // carry dates outside it, so wider values are not a convergence case
+    val micros = Seq(0L, 1L, 1700000000000000L, -9000000000000000L,
+      9000000000000000L, 1234567890123456L)
+    val asNanos = micros.map(_ * 1000L).toDF("ts")
+    val asNtz = micros.toDF("us")
+      .select(expr("timestamp_micros(us)").cast("timestamp_ntz").as("ts"))
+    val asLtz = micros.toDF("us").select(expr("timestamp_micros(us)").as("ts"))
+    val out = Seq(asNanos, asNtz, asLtz).map { df =>
+      val n = Tables.normalizeTs(df)
+      assert(n.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      n.select(unix_micros(col("ts"))).as[Long].collect().toSeq
+    }
+    assert(out(0) == micros && out(1) == micros && out(2) == micros,
+      s"encodings diverged: nanos=${out(0)} ntz=${out(1)} ltz=${out(2)}")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

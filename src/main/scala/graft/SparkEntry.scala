@@ -175,6 +175,37 @@ object SparkEntry {
   private lazy val csvScratchDir: String = scratchDir("graft_csv")
   private lazy val partScratchDir: String = scratchDir("graft_s16")
 
+  /** Stage the events table's data files flat into a per-data-dir scratch
+    * dir for the streaming file source (files arriving = micro-batches;
+    * the source lists plain files and does NOT recurse into a symlinked
+    * directory, so a multi-file parquet table must be staged file by
+    * file). Keyed by a strong hash of the full data-dir path (hashCode
+    * could collide two dirs → silently streaming the wrong sf's events).
+    * Idempotent per invocation; shared by every streaming-events query
+    * (w12, w17). */
+  private def stageEventsDir(dir: String): String = {
+    val sdir = s"$streamScratchDir/${dirKey(dir)}"
+    rmTree(sdir)
+    new java.io.File(sdir).mkdirs()
+    val src = new java.io.File(s"$dir/events.parquet")
+    val files =
+      if (src.isDirectory)
+        src.listFiles().toSeq
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      else Seq(src)
+    files.zipWithIndex.foreach { case (f, i) =>
+      val link = java.nio.file.Paths.get(s"$sdir/part-$i.parquet")
+      try java.nio.file.Files.createSymbolicLink(link, f.toPath)
+      catch {
+        // filesystems/principals without symlink permission: copy
+        // instead (bench/verify data-plane only)
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(f.toPath, link)
+      }
+    }
+    sdir
+  }
+
   /** Root of the read-only reference checkout. The real-artifact parity
     * queries (s14/s15) parse the ACTUAL reference config/model files
     * through the same loaders the pipeline uses — overridable for
@@ -625,33 +656,7 @@ object SparkEntry {
       // Tables.load first: sets the nanosAsLong conf the schema read needs
       Tables.load(s, dir, "events")
       val raw = s.read.parquet(s"$dir/events.parquet").schema
-      // the file source streams a DIRECTORY (files arriving = micro-
-      // batches); stage the events file into a per-sf scratch dir, keyed
-      // by a strong hash of the full path (hashCode could collide two
-      // distinct data dirs → silently streaming the wrong sf's events)
-      val sdir = s"$streamScratchDir/${dirKey(dir)}"
-      rmTree(sdir)
-      new java.io.File(sdir).mkdirs()
-      // stage every DATA FILE at the top of the scratch dir: when the
-      // events table is a multi-file parquet DIRECTORY (any generated SF),
-      // a symlink to the directory itself would stream NOTHING — the file
-      // source lists plain files and does not recurse into a linked dir
-      val src = new java.io.File(s"$dir/events.parquet")
-      val files =
-        if (src.isDirectory)
-          src.listFiles().toSeq
-            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        else Seq(src)
-      files.zipWithIndex.foreach { case (f, i) =>
-        val link = java.nio.file.Paths.get(s"$sdir/part-$i.parquet")
-        try java.nio.file.Files.createSymbolicLink(link, f.toPath)
-        catch {
-          // filesystems/principals without symlink permission: copy
-          // instead (bench/verify data-plane only)
-          case _: UnsupportedOperationException | _: java.io.IOException =>
-            java.nio.file.Files.copy(f.toPath, link)
-        }
-      }
+      val sdir = stageEventsDir(dir)
       // no pre-drop needed: the memory sink registers its result with
       // createOrReplaceTempView, so a re-run in the same session replaces
       // the stale view (verified empirically via QTime2's 3-pass JVM)
@@ -2335,6 +2340,51 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // W17 STREAMING retention — w16's act maintained INCREMENTALLY as
+    // events arrive: each micro-batch appends (a) its distinct user-hour
+    // actives and (b) its per-user min-hour to append-only state logs
+    // (the LSM discipline — no per-batch rewrite of a registry that
+    // outgrows an executor at 100 TB); the final fold takes min-of-mins
+    // for the cohort registry and distinct over the actives log. BOTH
+    // folds are idempotent/commutative/associative, so a replayed batch
+    // after a crash is absorbed harmlessly — the replay-safety argument
+    // is algebraic, not checkpoint-dependent. The oracle is w16's batch
+    // SQL VERBATIM: the gate proves streaming state == batch truth for
+    // every cohort row, regardless of how the file source split the
+    // micro-batches.
+    "w17_stream_retention" -> ((s, dir) => {
+      Tables.load(s, dir, "events") // sets the nanosAsLong conf if needed
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val sdir = stageEventsDir(dir)
+      val stateDir = s"$streamScratchDir/${dirKey(dir)}_w17state"
+      rmTree(stateDir)
+      val stream = Tables.normalizeTs(s.readStream.schema(raw).parquet(sdir))
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$stateDir/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.persist()
+          try {
+            b.distinct().write.mode("append").parquet(s"$stateDir/actives")
+            b.groupBy(col("user_id")).agg(min(col("h")).as("h"))
+              .write.mode("append").parquet(s"$stateDir/firstseen")
+          } finally { b.unpersist(); () }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val active = s.read.parquet(s"$stateDir/actives").distinct()
+      val firstSeen = s.read.parquet(s"$stateDir/firstseen")
+        .groupBy(col("user_id")).agg(min(col("h")).as("cohort_h"))
+      // the fold joins the REGISTRY, not a recomputed min — the oracle
+      // equality is what proves the incremental registry = batch truth
+      active.join(firstSeen, Seq("user_id"))
+        .withColumn("offset_h",
+          expr("(unix_micros(h) - unix_micros(cohort_h)) DIV 3600000000"))
+        .filter(col("offset_h").isin(0L, 1L, 24L, 168L))
+        .groupBy(col("cohort_h"), col("offset_h"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // P15 percentile winsorization (the numeric-capping twin of w10's
     // drop): per-type p1/p99 from one tiny exact-percentile aggregate
     // (w7 discipline — Spark percentile == DuckDB quantile_cont,
@@ -3697,6 +3747,20 @@ object SparkEntry {
     // w16: DuckDB cohorts via the same hour-trunc + epoch integer
     // arithmetic (both sides hour-truncated, so the division is exact).
     "w16_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(h) AS cohort_h FROM active GROUP BY 1)
+        |SELECT cohort_h,
+        |  CAST((epoch(a.h) - epoch(c.cohort_h)) // 3600 AS BIGINT) AS offset_h,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohort c USING (user_id)
+        |WHERE (epoch(a.h) - epoch(c.cohort_h)) // 3600 IN (0, 1, 24, 168)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // w17: the BATCH truth verbatim — streaming incremental state must
+    // land on exactly the batch retention for every cohort row.
+    "w17_stream_retention" ->
       """WITH active AS (
         |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
         |cohort AS (

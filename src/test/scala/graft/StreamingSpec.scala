@@ -279,4 +279,44 @@ class StreamingSpec extends SparkSpec {
     assert(got2 == got ++ kept3)
     assert(!kept3(1L) && kept3(9L), s"cross-run dedup failed: $kept3")
   }
+
+  test("w17 retention state logs absorb a replayed batch (algebraic idempotence)") {
+    // the streaming retention operator appends per-batch (user,hour)
+    // actives and per-batch per-user min-hours; its final fold is
+    // distinct + min-of-mins. Both are idempotent/commutative/associative,
+    // so a crash-replayed batch appended TWICE must leave the folded
+    // retention bit-identical - the replay-safety claim w17 stands on.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("w17_replay").toString
+    val b1 = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:00:00"),
+      (1L, "2024-01-01 01:00:00")).toDF("user_id", "hs")
+      .select(col("user_id"), to_timestamp(col("hs")).as("h"))
+    val b2 = Seq((1L, "2024-01-02 00:00:00"), (3L, "2024-01-01 05:00:00"))
+      .toDF("user_id", "hs")
+      .select(col("user_id"), to_timestamp(col("hs")).as("h"))
+    def appendBatch(b: org.apache.spark.sql.DataFrame): Unit = {
+      b.distinct().write.mode("append").parquet(s"$dir/actives")
+      b.groupBy(col("user_id")).agg(min(col("h")).as("h"))
+        .write.mode("append").parquet(s"$dir/firstseen")
+    }
+    def fold(): Set[(java.sql.Timestamp, Long, Long)] = {
+      val active = spark.read.parquet(s"$dir/actives").distinct()
+      val reg = spark.read.parquet(s"$dir/firstseen")
+        .groupBy(col("user_id")).agg(min(col("h")).as("cohort_h"))
+      active.join(reg, Seq("user_id"))
+        .withColumn("offset_h",
+          expr("(unix_micros(h) - unix_micros(cohort_h)) DIV 3600000000"))
+        .groupBy(col("cohort_h"), col("offset_h"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    }
+    appendBatch(b1); appendBatch(b2)
+    val clean = fold()
+    appendBatch(b2) // crash-replay: the same batch lands again
+    assert(fold() == clean, "a replayed batch must be absorbed by the fold")
+    appendBatch(b1) // replay of the OLDER batch, out of order
+    assert(fold() == clean, "out-of-order replay must also be absorbed")
+  }
 }

@@ -1183,6 +1183,23 @@ object SparkEntry {
         .select(col("doc_id"), col("source_filled"), col("license"))
     }),
 
+    // V13 property-validation report — V3's AUDIT leg: the rows the
+    // reference accumulates into property_validation_df when a UI-required
+    // property is absent from a node frame (Missing_Properties /
+    // UI_Related / Raw_Data_File, cds-transformation_v1.3.py:105 +
+    // cds_transformation_functions.py:318-329). Two node frames, the
+    // reference's multi-node accumulation shape: `document` is missing
+    // license + source_filled (source is PRESENT but nullable — filled,
+    // never reported, the elif branch), `file` is missing file_size.
+    "v13_property_report" -> ((s, dir) => {
+      val docFrame = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val fileFrame = t(s, dir, "orders").select(col("o_orderkey").as("file_id"))
+      Validations.uiMissingReport(docFrame, "document",
+          Seq("license", "source", "source_filled"), "batch_2022-11-22.xlsx")
+        .union(Validations.uiMissingReport(fileFrame, "file",
+          Seq("file_id", "file_size"), "batch_2022-11-22.xlsx"))
+    }),
+
     // V4 SSN scan (PII sweep). The corpus has no PII, so matches are
     // planted deterministically on every 50th doc to exercise the scan.
     "v4_ssn_scan" -> ((s, dir) => {
@@ -3365,6 +3382,15 @@ object SparkEntry {
         |           'Not specified in data') AS source_filled,
         |  'Not specified in data' AS license
         |FROM documents""".stripMargin,
+
+    // v13: constant oracle — exactly the absent-property audit rows
+    // (present-but-nullable columns are filled, never reported).
+    "v13_property_report" ->
+      """SELECT * FROM (VALUES
+        |  ('document.license', true, 'batch_2022-11-22.xlsx'),
+        |  ('document.source_filled', true, 'batch_2022-11-22.xlsx'),
+        |  ('file.file_size', true, 'batch_2022-11-22.xlsx'))
+        |  AS t(missing_property, ui_related, raw_data_file)""".stripMargin,
 
     "v4_ssn_scan" ->
       """SELECT doc_id,

@@ -99,6 +99,26 @@ object Validations {
     withCols.na.fill(fill, required)
   }
 
+  /** V3's REPORT leg (`ui_validation`, cds_transformation_functions
+    * .py:318-329): one audit row per UI-required property ABSENT from the
+    * node frame — the rows the reference accumulates into
+    * `property_validation_df` (columns `Missing_Properties` =
+    * "node.prop", `UI_Related`, `Raw_Data_File`;
+    * cds-transformation_v1.3.py:105) alongside the [[uiFill]] that adds
+    * the column. All-null-but-present columns are filled WITHOUT a report
+    * row, exactly as the reference's elif branch does. Driver-side schema
+    * comparison by design — config plane, the data never moves. */
+  def uiMissingReport(
+      df: DataFrame, node: String, required: Seq[String],
+      rawDataFile: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val present = df.columns.toSet
+    required.sorted.filterNot(present.contains)
+      .map(p => (s"$node.$p", true, rawDataFile))
+      .toDF("missing_property", "ui_related", "raw_data_file")
+  }
+
   /** S10: required-property list for one node from the UI-mapping sheet
     * (`2-Config-Files/cds_config/UI-database mappings_v3.xlsx`, read at
     * `cds_transformation_functions.py:309-312`): distinct `Property Name`

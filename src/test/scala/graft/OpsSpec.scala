@@ -381,4 +381,23 @@ class OpsSpec extends SparkSpec {
     assert(graft.ops.Profile.histogram(
       Seq(Option.empty[Long]).toDF("v"), "v", 4).count() == 0L)
   }
+
+  test("uiMissingReport: absent props reported, present-but-null props are not") {
+    import graft.validate.Validations
+    import spark.implicits._
+    val d = Seq((1L, null: String)).toDF("id", "source")
+    val r = Validations.uiMissingReport(d, "document",
+      Seq("source", "license", "source_filled"), "f.xlsx")
+    assert(r.columns.toSeq ==
+      Seq("missing_property", "ui_related", "raw_data_file"))
+    assert(r.collect().map(x => (x.getString(0), x.getBoolean(1), x.getString(2)))
+      .toSeq == Seq(
+        ("document.license", true, "f.xlsx"),
+        ("document.source_filled", true, "f.xlsx")),
+      "source is PRESENT (though all-null) - filled by uiFill, never reported")
+    // after the fill, a re-run reports nothing (fill + report compose)
+    val filled = Validations.uiFill(d, Seq("source", "license", "source_filled"))
+    assert(Validations.uiMissingReport(filled, "document",
+      Seq("source", "license", "source_filled"), "f.xlsx").isEmpty)
+  }
 }

@@ -1175,12 +1175,20 @@ object SparkEntry {
     }),
 
     // V3 UI fill: nulls + absent required columns → "Not specified in data".
+    // The exempted prop (experimental_strategy_and_data_subtypes,
+    // cds_transformation_functions.py:322,333) is in the required list and
+    // PRESENT with nulls — the fill must skip it, so its nulls survive to
+    // the output (the reference's report-but-never-fill branch).
     "v3_ui_fill" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(
         col("doc_id"),
-        when(col("source") === "src0", lit(null)).otherwise(col("source")).as("source_filled"))
-      Validations.uiFill(d, Seq("source_filled", "license"))
-        .select(col("doc_id"), col("source_filled"), col("license"))
+        when(col("source") === "src0", lit(null)).otherwise(col("source")).as("source_filled"),
+        when(col("lang") === "en", lit(null)).otherwise(col("lang"))
+          .as("experimental_strategy_and_data_subtypes"))
+      Validations.uiFill(d,
+          Seq("source_filled", "license", "experimental_strategy_and_data_subtypes"))
+        .select(col("doc_id"), col("source_filled"), col("license"),
+          col("experimental_strategy_and_data_subtypes"))
     }),
 
     // V13 property-validation report — V3's AUDIT leg: the rows the
@@ -3380,7 +3388,9 @@ object SparkEntry {
       """SELECT doc_id,
         |  coalesce(CASE WHEN source = 'src0' THEN NULL ELSE source END,
         |           'Not specified in data') AS source_filled,
-        |  'Not specified in data' AS license
+        |  'Not specified in data' AS license,
+        |  CASE WHEN lang = 'en' THEN NULL ELSE lang END
+        |    AS experimental_strategy_and_data_subtypes
         |FROM documents""".stripMargin,
 
     // v13: constant oracle — exactly the absent-property audit rows

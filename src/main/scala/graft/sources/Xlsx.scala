@@ -18,9 +18,18 @@ import scala.collection.mutable
   * sequential placement), and row gaps. All values surface as STRINGS
   * exactly as serialized — the engine's string-first ingestion contract
   * (`keep_default_na=False` semantics, cds-transformation_v1.3.py:129-132).
-  * Date-STYLED numeric cells surface as their raw serial string (styles
-  * are presentation, not data; a typed parse belongs downstream in
-  * `Normalize.parseTimestampMulti`).
+  *
+  * Date-STYLED numeric cells surface as their raw serial string by
+  * default (styles are presentation, not data; a typed parse belongs
+  * downstream in `Normalize.parseTimestampMulti`). Opt-in
+  * `renderDates = true` reproduces the reference's observable behavior
+  * instead: openpyxl converts date-styled serials to `datetime` before
+  * pandas ever sees them (`cds-transformation_v1.3.py:129-132` via
+  * openpyxl `from_excel`), and the stringified form — `str(datetime)`,
+  * `yyyy-MM-dd HH:mm:ss` — is what the curated clean-dict keys encode
+  * (`cds_clean_dict_v1.3.yaml:1240-1252`, morphology codes Excel
+  * mis-typed as dates). Style-awareness = `xl/styles.xml` `cellXfs` →
+  * numFmt date detection ([[XlsxDates.isDateFormat]]).
   */
 object XlsxParser {
 
@@ -39,11 +48,14 @@ object XlsxParser {
   /** Read all rows of `sheet` (by name; empty → first sheet) from an xlsx
     * stream. Each row is an IndexedSeq[String|null] positioned by the cell
     * reference (gaps → null). */
-  def readSheet(open: () => InputStream, sheet: String): Vector[IndexedSeq[String]] = {
-    // pass 1: locate sheet entry names + shared strings
+  def readSheet(open: () => InputStream, sheet: String,
+      renderDates: Boolean = false): Vector[IndexedSeq[String]] = {
+    // pass 1: locate sheet entry names + shared strings (+ styles when
+    // date rendering is on)
     val sheetEntries = mutable.ArrayBuffer.empty[(String, String)] // name -> rId
     val rels = mutable.Map.empty[String, String]                   // rId -> target
     var shared: IndexedSeq[String] = Vector.empty
+    var dateXfs: Set[Int] = Set.empty
     withZip(open()) { (name, is) =>
       name match {
         case "xl/workbook.xml" =>
@@ -65,6 +77,8 @@ object XlsxParser {
           }
         case "xl/sharedStrings.xml" =>
           shared = parseSharedStrings(is)
+        case "xl/styles.xml" if renderDates =>
+          dateXfs = parseDateXfs(is)
         case _ => ()
       }
     }
@@ -83,9 +97,39 @@ object XlsxParser {
     // pass 2: parse the worksheet
     var rows = Vector.empty[IndexedSeq[String]]
     withZip(open()) { (name, is) =>
-      if (name == target) rows = parseWorksheet(is, shared)
+      if (name == target) rows = parseWorksheet(is, shared, dateXfs)
     }
     rows
+  }
+
+  /** `xl/styles.xml` → the set of `cellXfs` indices (what a cell's `s`
+    * attribute points at) whose number format is a DATE format — builtin
+    * ids or custom `formatCode`s ([[XlsxDates.isDateFormat]]). Only
+    * `cellXfs` counts; `cellStyleXfs` is the named-style indirection
+    * cells never reference directly. */
+  private def parseDateXfs(is: InputStream): Set[Int] = {
+    val custom = mutable.Map.empty[Int, String] // numFmtId -> formatCode
+    val xfs = mutable.ArrayBuffer.empty[Int]    // cellXfs order -> numFmtId
+    var inCellXfs = false
+    val r = newReader(is)
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "numFmt" =>
+            for (id <- attr(r, "numFmtId"); code <- attr(r, "formatCode"))
+              custom(id.toInt) = code
+          case "cellXfs" => inCellXfs = true
+          case "xf" if inCellXfs =>
+            xfs += attr(r, "numFmtId").map(_.toInt).getOrElse(0)
+          case _ => ()
+        }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ => ()
+      }
+    }
+    xfs.zipWithIndex.collect { case (fmtId, i)
+      if XlsxDates.isDateNumFmt(fmtId, custom.get(fmtId)) => i }.toSet
   }
 
   private def withZip(in: InputStream)(f: (String, InputStream) => Unit): Unit = {
@@ -136,12 +180,14 @@ object XlsxParser {
   }
 
   private def parseWorksheet(
-      is: InputStream, shared: IndexedSeq[String]): Vector[IndexedSeq[String]] = {
+      is: InputStream, shared: IndexedSeq[String],
+      dateXfs: Set[Int] = Set.empty): Vector[IndexedSeq[String]] = {
     val rows = mutable.ArrayBuffer.empty[IndexedSeq[String]]
     val r = newReader(is)
     var cells: mutable.ArrayBuffer[String] = null
     var cellCol = -1
     var cellType = ""
+    var cellDateStyled = false
     var rowCol = 0
     while (r.hasNext) {
       r.next() match {
@@ -150,14 +196,25 @@ object XlsxParser {
           case "c" if cells != null =>
             cellCol = attr(r, "r").map(colOf).getOrElse(rowCol)
             cellType = attr(r, "t").getOrElse("")
+            cellDateStyled = dateXfs.nonEmpty &&
+              attr(r, "s").exists(s => dateXfs.contains(s.toInt))
           case "v" | "t" if cells != null && cellCol >= 0 =>
             val raw = r.getElementText
             val value = cellType match {
               case "s" => shared.lift(raw.trim.toInt).orNull
-              // t="b" serializes booleans as 0/1; surface the OOXML
-              // display form (what Excel shows and what a string-first
-              // reader downstream expects), not the storage bit
-              case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
+              // t="b" serializes booleans as 0/1; Excel itself writes
+              // only those, but ECMA-376 xsd:boolean also admits
+              // "true"/"false" — accept both lexical forms. Surface the
+              // OOXML display form (what Excel shows and what a
+              // string-first reader downstream expects), not the
+              // storage bit
+              case "b" =>
+                val b = raw.trim
+                if (b == "1" || b.equalsIgnoreCase("true")) "TRUE" else "FALSE"
+              // date-styled numeric cell under renderDates: the
+              // openpyxl/pandas rendering, not the raw serial
+              case "" | "n" if cellDateStyled =>
+                XlsxDates.renderSerial(raw).getOrElse(raw)
               case _ => raw
             }
             while (cells.length <= cellCol) cells += null

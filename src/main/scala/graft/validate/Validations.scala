@@ -89,14 +89,28 @@ object Validations {
 
   /** V3: UI validation fill — required columns that are absent get injected
     * as a constant; present-but-null cells are filled
-    * (`cds_transformation_functions.py:303-344`). */
+    * (`cds_transformation_functions.py:303-344`).
+    *
+    * `exempt` props are REPORTED when missing ([[uiMissingReport]]) but
+    * never touched by the fill: no column injection when absent
+    * (`cds_transformation_functions.py:322-325`) and no null-replace when
+    * present (`:333-335`). The reference hardcodes one such prop
+    * (`experimental_strategy_and_data_subtypes`, `:322,333`) — so on its
+    * real UI workbook the emitted `genomic_info` TSV deliberately lacks
+    * that column. */
   val NotSpecified = "Not specified in data"
 
-  def uiFill(df: DataFrame, required: Seq[String], fill: String = NotSpecified): DataFrame = {
+  /** The reference's hardcoded report-but-never-fill property
+    * (`cds_transformation_functions.py:322,333`). */
+  val UiFillExempt: Set[String] = Set("experimental_strategy_and_data_subtypes")
+
+  def uiFill(df: DataFrame, required: Seq[String], fill: String = NotSpecified,
+      exempt: Set[String] = UiFillExempt): DataFrame = {
     val present = df.columns.toSet
-    val withCols = required.filterNot(present.contains)
+    val fillable = required.filterNot(exempt.contains)
+    val withCols = fillable.filterNot(present.contains)
       .foldLeft(df)((d, c) => d.withColumn(c, lit(fill)))
-    withCols.na.fill(fill, required)
+    withCols.na.fill(fill, fillable)
   }
 
   /** V3's REPORT leg (`ui_validation`, cds_transformation_functions

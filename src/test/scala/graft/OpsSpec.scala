@@ -400,4 +400,51 @@ class OpsSpec extends SparkSpec {
     assert(Validations.uiMissingReport(filled, "document",
       Seq("source", "license", "source_filled"), "f.xlsx").isEmpty)
   }
+
+  test("V3 exemption: exempted prop is reported but never filled nor injected") {
+    import graft.validate.Validations
+    import spark.implicits._
+    val ex = "experimental_strategy_and_data_subtypes"
+    // ABSENT branch (cds_transformation_functions.py:322-325): column must
+    // NOT be injected while non-exempt absent props are
+    val d = Seq((1L, null: String), (2L, "GRCh38")).toDF("file_id", "reference_genome_assembly")
+    val filled = Validations.uiFill(d, Seq("reference_genome_assembly", "file_type", ex))
+    assert(filled.columns.contains("file_type"), "non-exempt absent prop injected")
+    assert(!filled.columns.contains(ex), "exempted prop must not be injected")
+    // ... but the report leg still fires for it (:326-329)
+    val rep = Validations.uiMissingReport(d, "file",
+      Seq("reference_genome_assembly", "file_type", ex), "b.xlsx")
+    assert(rep.select("missing_property").as[String].collect().toSet ==
+      Set("file.file_type", s"file.$ex"))
+    // PRESENT-with-nulls branch (:333-335): na.fill must skip the exemption
+    val d2 = Seq((1L, null: String, null: String), (2L, "wgs", "bam"))
+      .toDF("file_id", ex, "file_type")
+    val f2 = Validations.uiFill(d2, Seq(ex, "file_type")).orderBy("file_id").collect()
+    assert(f2(0).getString(1) == null, "exempted prop's nulls must survive the fill")
+    assert(f2(0).getString(2) == Validations.NotSpecified)
+  }
+
+  test("V3 exemption against the REAL v3 UI-mapping workbook") {
+    import graft.validate.Validations
+    import spark.implicits._
+    val wb = new java.io.File(sys.env.getOrElse(
+      "GRAFT_REFERENCE_DIR", "/root/reference") +
+      "/2-Config-Files/cds_config/UI-database mappings_v3.xlsx")
+    assume(wb.isFile, "reference checkout not present")
+    val mapping = spark.read.format("xlsx").option("sheet", "Mapping")
+      .load(wb.getAbsolutePath)
+    val required = Validations.uiRequiredFromMapping(mapping, "file")
+    val ex = "experimental_strategy_and_data_subtypes"
+    assert(required.contains(ex),
+      "the real Mapping sheet lists the exempted prop under node `file`")
+    // a file frame missing the exempted prop: reported, never injected —
+    // the reference's emitted file TSV deliberately lacks this column
+    val d = Seq((1L, "f1.bam")).toDF("file_id", "file_name")
+    val out = Validations.uiFill(d, required)
+    assert(!out.columns.contains(ex))
+    assert((required.toSet -- out.columns.toSet) == Set(ex),
+      "every other UI-required prop is injected")
+    assert(Validations.uiMissingReport(d, "file", required, "b.xlsx")
+      .select("missing_property").as[String].collect().contains(s"file.$ex"))
+  }
 }

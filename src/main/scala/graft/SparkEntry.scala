@@ -219,6 +219,19 @@ object SparkEntry {
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8)
 
+  /** Resolve a real-artifact path under [[referenceDir]], failing FAST
+    * with a diagnostic naming GRAFT_REFERENCE_DIR when the checkout (or
+    * one artifact) is absent — a mid-run bare NoSuchFileException from a
+    * Bench/Verify worker names neither the knob nor the artifact. */
+  private def refArtifact(rel: String): String = {
+    val p = java.nio.file.Paths.get(referenceDir, rel)
+    require(java.nio.file.Files.exists(p),
+      s"reference artifact missing: $p — the real-artifact queries " +
+        "(s14/s15/s17) read the reference checkout; point " +
+        "GRAFT_REFERENCE_DIR at its root (default /root/reference)")
+    p.toString
+  }
+
   private def ts(x: String): Column = to_timestamp(lit(x))
 
   /** Collision-safe scratch key for a data dir (hashCode could collide two
@@ -226,6 +239,67 @@ object SparkEntry {
   private def dirKey(dir: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
+  /** s17's fixture: a raw-OOXML workbook whose `morphology` column mixes
+    * date-STYLED numeric cells (builtin numFmt 22 and a custom date
+    * formatCode — what Excel does to codes typed `8041/3`), an unstyled
+    * number, a shared-string enum member, and an inline free-text value.
+    * Serials are the real clean-dict dates: 2243016 = 8041-03-01,
+    * 2775904 = 9500-03-01 (days from the 1899-12-30 epoch). The in-repo
+    * [[graft.sources.XlsxWriter]] is string-first by design, so this
+    * fixture is assembled from parts. */
+  private def writeDateStyledWorkbook(path: String): Unit = {
+    val z = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    try {
+      entry("[Content_Types].xml",
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+      entry("xl/workbook.xml",
+        """<?xml version="1.0"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |  <sheets><sheet name="Metadata" sheetId="1" r:id="rId1"/></sheets>
+          |</workbook>""".stripMargin)
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |  <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin)
+      entry("xl/sharedStrings.xml",
+        """<?xml version="1.0"?>
+          |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |  <si><t>morphology</t></si>
+          |  <si><t>8000/0</t></si>
+          |</sst>""".stripMargin)
+      // xf 0 = General; xf 1 = builtin date 22 (m/d/yy h:mm); xf 2 = a
+      // custom date formatCode (numFmtId >= 164)
+      entry("xl/styles.xml",
+        """<?xml version="1.0"?>
+          |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |  <numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy-mm-dd"/></numFmts>
+          |  <cellXfs count="3">
+          |    <xf numFmtId="0"/>
+          |    <xf numFmtId="22" applyNumberFormat="1"/>
+          |    <xf numFmtId="164" applyNumberFormat="1"/>
+          |  </cellXfs>
+          |</styleSheet>""".stripMargin)
+      entry("xl/worksheets/sheet1.xml",
+        """<?xml version="1.0"?>
+          |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |  <sheetData>
+          |    <row r="1"><c r="A1" t="s"><v>0</v></c></row>
+          |    <row r="2"><c r="A2" s="1"><v>2243016</v></c></row>
+          |    <row r="3"><c r="A3" s="2"><v>2775904</v></c></row>
+          |    <row r="4"><c r="A4"><v>85003</v></c></row>
+          |    <row r="5"><c r="A5" t="s"><v>1</v></c></row>
+          |    <row r="6"><c r="A6" t="inlineStr"><is><t>Zebra Finding</t></is></c></row>
+          |  </sheetData>
+          |</worksheet>""".stripMargin)
+    } finally z.close()
+  }
 
   /** Recursive local delete (scratch hygiene for re-runnable queries).
     * Symlinks are leaves: `File.listFiles` FOLLOWS a symlink to a
@@ -987,15 +1061,14 @@ object SparkEntry {
     "s14_real_model" -> ((s, dir) => {
       import s.implicits._
       import graft.model.ModelLoader
-      val ref = referenceDir
       val model = ModelLoader.parseModel(
-        slurp(s"$ref/3-Model-Files/cds-model.yml"),
-        slurp(s"$ref/3-Model-Files/cds-model-props.yml"))
+        slurp(refArtifact("3-Model-Files/cds-model.yml")),
+        slurp(refArtifact("3-Model-Files/cds-model-props.yml")))
       val rawDict = ModelLoader.parseRawDict(
-        slurp(s"$ref/2-Config-Files/cds_config_v1.3/cds_raw_dict_v1.3.yaml"))
+        slurp(refArtifact("2-Config-Files/cds_config_v1.3/cds_raw_dict_v1.3.yaml")))
       val clean = ModelLoader.parseCleanDictFull(
-        slurp(s"$ref/2-Config-Files/cds_config_v1.3/cds_clean_dict_v1.3.yaml"))
-      val wb = s"$ref/2-Config-Files/cds_config/UI-database mappings_v3.xlsx"
+        slurp(refArtifact("2-Config-Files/cds_config_v1.3/cds_clean_dict_v1.3.yaml")))
+      val wb = refArtifact("2-Config-Files/cds_config/UI-database mappings_v3.xlsx")
       val mapping = s.read.format("xlsx").option("sheet", "Mapping").load(wb)
       val mustHave =
         s.read.format("xlsx").option("sheet", "Must have properties").load(wb)
@@ -1025,6 +1098,40 @@ object SparkEntry {
         .toDF("artifact", "metric", "n")
     }),
 
+    // S17 date-styled cell rendering (openpyxl parity): the reference's
+    // curated clean-dict keys morphology codes by their DATETIME rendering
+    // ("8041-03-01 00:00:00" → null, cds_clean_dict_v1.3.yaml:1240-1252)
+    // because openpyxl converts date-STYLED numeric cells to datetimes
+    // before pandas stringifies them (cds-transformation_v1.3.py:129-132).
+    // A workbook with date-styled serial cells is read twice through the
+    // native xlsx source — opt-in renderDates=true (the openpyxl
+    // rendering) vs the default raw-serial surface — and both feed P5
+    // under the REAL clean dict + REAL morphology enum. The oracle pins
+    // the full contrast: only the rendered read reaches the curated keys
+    // (dates → null), while the raw read passes serials through untouched;
+    // the style-independent key "85003" fires on both.
+    "s17_date_render" -> ((s, dir) => {
+      val out = s"$xlsxScratchDir/s17"
+      new java.io.File(out).mkdirs()
+      val path = s"$out/diagnosis.xlsx"
+      writeDateStyledWorkbook(path)
+      val model = graft.model.ModelLoader.parseModel(
+        slurp(refArtifact("3-Model-Files/cds-model.yml")),
+        slurp(refArtifact("3-Model-Files/cds-model-props.yml")))
+      val clean = graft.model.ModelLoader.parseCleanDictFull(
+        slurp(refArtifact("2-Config-Files/cds_config_v1.3/cds_clean_dict_v1.3.yaml")))
+      val enumVals = model.propDefs("morphology").enum
+      val mapping = clean.mappings("morphology")
+      def cleaned(df: org.apache.spark.sql.DataFrame, mode: String) =
+        df.select(lit(mode).as("mode"), col("morphology"),
+          Normalize.cleanValues(col("morphology"), mapping, enumVals,
+            None, clean.extraLongValues).as("morphology_clean"))
+      val rendered = s.read.format("xlsx").option("sheet", "Metadata")
+        .option("renderDates", "true").load(path)
+      val raw = s.read.format("xlsx").option("sheet", "Metadata").load(path)
+      cleaned(rendered, "rendered").union(cleaned(raw, "raw"))
+    }),
+
     // S15 dict-drift report: diff two REAL dated curated raw-dict versions
     // (cds_raw_dict_v1.3_2023_Jan.yaml → _2024_Mar.yaml) per node — the
     // audit trail the reference maintains as 10 dated files, reduced to
@@ -1034,11 +1141,11 @@ object SparkEntry {
     // gains 15 and drops 3, treatment is untouched.
     "s15_dict_drift" -> ((s, dir) => {
       import s.implicits._
-      val base = s"$referenceDir/2-Config-Files/cds_config_v1.3"
+      val base = "2-Config-Files/cds_config_v1.3"
       val old = graft.model.ModelLoader.parseRawDict(
-        slurp(s"$base/cds_raw_dict_v1.3_2023_Jan.yaml"))
+        slurp(refArtifact(s"$base/cds_raw_dict_v1.3_2023_Jan.yaml")))
       val neu = graft.model.ModelLoader.parseRawDict(
-        slurp(s"$base/cds_raw_dict_v1.3_2024_Mar.yaml"))
+        slurp(refArtifact(s"$base/cds_raw_dict_v1.3_2024_Mar.yaml")))
       RawDict.drift(old, neu)
         .map(d => (d.node, d.status, d.added, d.removed, d.retargeted))
         .toDF("node", "status", "n_added", "n_removed", "n_retargeted")
@@ -3464,6 +3571,20 @@ object SparkEntry {
 
     // s15: constant oracle — the true drift between the two real dated
     // dict versions (independently verified with pyyaml set arithmetic).
+    "s17_date_render" ->
+      """SELECT * FROM (VALUES
+        |  ('rendered', '8041-03-01 00:00:00', CAST(NULL AS VARCHAR)),
+        |  ('rendered', '9500-03-01 00:00:00', CAST(NULL AS VARCHAR)),
+        |  ('rendered', '85003', CAST(NULL AS VARCHAR)),
+        |  ('rendered', '8000/0', '8000/0'),
+        |  ('rendered', 'Zebra Finding', 'Zebra Finding'),
+        |  ('raw', '2243016', '2243016'),
+        |  ('raw', '2775904', '2775904'),
+        |  ('raw', '85003', CAST(NULL AS VARCHAR)),
+        |  ('raw', '8000/0', '8000/0'),
+        |  ('raw', 'Zebra Finding', 'Zebra Finding'))
+        |  AS t(mode, morphology, morphology_clean)""".stripMargin,
+
     "s15_dict_drift" ->
       """SELECT * FROM (VALUES
         |  ('diagnosis', 'kept', CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),

@@ -238,3 +238,72 @@ object XlsxParser {
     rows.toVector
   }
 }
+
+/** Excel serial-date semantics, matching what openpyxl hands pandas and
+  * what pandas stringifies — the observable rendering the reference's
+  * curated clean-dict keys encode (`cds_clean_dict_v1.3.yaml:1240-1252`,
+  * e.g. `"8041-03-01 00:00:00"` for a morphology code Excel mis-typed as
+  * a date; produced at `cds-transformation_v1.3.py:129-132`).
+  *
+  * Conversion follows openpyxl `from_excel` (1900 date system): epoch
+  * 1899-12-30, sub-day fraction rounded to whole seconds half-to-even
+  * (Python `round`), serials in [0, 60) shifted back one day (the Lotus
+  * leap-year compensation), pure fractions in (0, 1) rendered as a bare
+  * time-of-day. `str(datetime)` form: `yyyy-MM-dd HH:mm:ss`. */
+object XlsxDates {
+
+  /** ECMA-376 builtin numFmtIds that format as dates/times (18.8.30):
+    * 14–22 core date/time, 27–36 and 50–58 East Asian variants, 45/47
+    * minute-second forms. 46 (`[h]:mm:ss`) is ELAPSED hours — openpyxl
+    * reads it as a timedelta, not a datetime — so it stays raw. */
+  private val BuiltinDateIds: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ Seq(45, 47) ++ (50 to 58)).toSet
+
+  /** openpyxl `is_date_format` port: first format section only, quoted
+    * literals and bracketed color/locale/elapsed codes stripped, any of
+    * d/m/h/y/s remaining → date. Elapsed-interval formats (leading
+    * `[h]`/`[m]`/`[s]`) are timedeltas, not dates. */
+  private[graft] def isDateFormat(code: String): Boolean = {
+    val first = code.split(";", -1)(0)
+    if (first.matches("""(?i)^\[[hms]+\].*""")) false // timedelta
+    else {
+      val stripped = first
+        .replaceAll("\"[^\"]*\"", "")
+        .replaceAll("\\[[^\\]]*\\]", "")
+        .replaceAll("\\\\.", "") // backslash-escaped literals
+      stripped.exists(c => "dmhysDMHYS".indexOf(c.toInt) >= 0)
+    }
+  }
+
+  private[graft] def isDateNumFmt(fmtId: Int, custom: Option[String]): Boolean =
+    custom match {
+      case Some(code) => isDateFormat(code)
+      case None => BuiltinDateIds.contains(fmtId)
+    }
+
+  /** Render one serial string the way openpyxl→pandas→`str()` would;
+    * None when the text is not a parseable non-negative number (cached
+    * error values, negative serials) — caller keeps the raw text. */
+  private[graft] def renderSerial(raw: String): Option[String] = {
+    val serial =
+      try raw.trim.toDouble
+      catch { case _: NumberFormatException => return None }
+    if (serial < 0 || serial.isNaN || serial.isInfinite) return None
+    val day = math.floor(serial).toLong
+    // Python round() is half-to-even -> rint
+    val secs = math.rint((serial - day) * 86400d).toLong
+    if (serial > 0 && serial < 1) {
+      val h = secs / 3600; val m = (secs % 3600) / 60; val s = secs % 60
+      Some(f"$h%02d:$m%02d:$s%02d")
+    } else {
+      // Lotus 1900 leap-bug window: serials below the phantom Feb 29
+      // (serial 60) sit one day EARLY against the 1899-12-30 epoch —
+      // serial 1 must render 1900-01-01, serial 59 → 1900-02-28
+      val shift = if (day < 60) 1L else 0L
+      val dt = java.time.LocalDateTime.of(1899, 12, 30, 0, 0)
+        .plusDays(day + shift).plusSeconds(secs)
+      Some(dt.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")))
+    }
+  }
+}

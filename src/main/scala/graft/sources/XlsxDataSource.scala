@@ -35,7 +35,10 @@ import scala.jdk.CollectionConverters._
   * not byte-range splittable).
   *
   * Options: `sheet` (worksheet name; default: first sheet),
-  * `header` (default true: first row names the columns).
+  * `header` (default true: first row names the columns),
+  * `renderDates` (default false: date-styled numeric cells surface as
+  * raw serial strings; true = the openpyxl/pandas rendering the
+  * reference observes — see [[XlsxDates]]).
   */
 class XlsxDataSource extends TableProvider with DataSourceRegister {
 
@@ -67,7 +70,8 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val first = new Path(files.head)
     val fs = first.getFileSystem(conf)
-    val rows = XlsxParser.readSheet(() => fs.open(first), sheet)
+    val renderDates = Option(options.get("renderDates")).exists(_.toBoolean)
+    val rows = XlsxParser.readSheet(() => fs.open(first), sheet, renderDates)
     require(rows.nonEmpty, s"empty worksheet in ${files.head}")
     val names =
       if (header) XlsxHeaders.names(rows.head)
@@ -102,9 +106,11 @@ final class XlsxTable(
       override def planInputPartitions(): Array[InputPartition] = {
         val sheet = Option(options.get("sheet")).getOrElse("")
         val header = Option(options.get("header")).forall(_.toBoolean)
+        val renderDates = Option(options.get("renderDates")).exists(_.toBoolean)
         val conf = new SerializableConfiguration(
           SparkSession.active.sparkContext.hadoopConfiguration)
-        files.map(f => XlsxPartition(f, sheet, header, schema, conf): InputPartition).toArray
+        files.map(f =>
+          XlsxPartition(f, sheet, header, renderDates, schema, conf): InputPartition).toArray
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
@@ -116,7 +122,7 @@ final class XlsxTable(
 }
 
 final case class XlsxPartition(
-    file: String, sheet: String, header: Boolean,
+    file: String, sheet: String, header: Boolean, renderDates: Boolean,
     schema: StructType, conf: SerializableConfiguration) extends InputPartition
 
 /** Header-row naming shared by schema inference and every per-file reader:
@@ -145,7 +151,7 @@ final class XlsxReader(p: XlsxPartition) extends PartitionReader[InternalRow] {
   private val (rows, fieldIdx) = {
     val path = new Path(p.file)
     val fs = path.getFileSystem(p.conf.value)
-    val all = XlsxParser.readSheet(() => fs.open(path), p.sheet)
+    val all = XlsxParser.readSheet(() => fs.open(path), p.sheet, p.renderDates)
     if (p.header) {
       val hdr = if (all.nonEmpty) XlsxHeaders.names(all.head) else IndexedSeq.empty
       (all.drop(1).iterator, p.schema.fieldNames.map(hdr.indexOf).toArray)

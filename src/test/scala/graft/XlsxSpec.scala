@@ -13,13 +13,15 @@ import graft.pipeline.Pipeline.NodeSpec
 class XlsxSpec extends SparkSpec {
 
   private def writeXlsx(path: String, sheetName: String,
-                        shared: Seq[String], sheetXml: String): Unit = {
+                        shared: Seq[String], sheetXml: String,
+                        styles: String = null): Unit = {
     val z = new ZipOutputStream(new FileOutputStream(path))
     def entry(name: String, content: String): Unit = {
       z.putNextEntry(new ZipEntry(name))
       z.write(content.getBytes("UTF-8"))
       z.closeEntry()
     }
+    if (styles != null) entry("xl/styles.xml", styles)
     entry("[Content_Types].xml",
       """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
     entry("xl/workbook.xml",
@@ -342,5 +344,91 @@ class XlsxSpec extends SparkSpec {
       ("TRUE", "42.5", "44927.25")), // no-r cells place sequentially
       "booleans surface as TRUE/FALSE, formulas as cached <v>, " +
         "date-styled numbers as raw serial strings")
+  }
+
+  test("""boolean cells accept ECMA-376's "true"/"false" lexical forms""") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_bool").toString
+    val path = s"$dir/b.xlsx"
+    writeXlsx(path, "Metadata", Seq("a", "b"),
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData>
+        |    <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |    <row r="2"><c r="A2" t="b"><v>true</v></c><c r="B2" t="b"><v>false</v></c></row>
+        |  </sheetData>
+        |</worksheet>""".stripMargin)
+    val r = spark.read.format("xlsx").load(path).collect()(0)
+    assert((r.getString(0), r.getString(1)) == ("TRUE", "FALSE"))
+  }
+
+  // --- date-styled rendering (openpyxl parity, opt-in) ---
+
+  private val dateStyles =
+    """<?xml version="1.0"?>
+      |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+      |  <numFmts count="2">
+      |    <numFmt numFmtId="164" formatCode="yyyy&quot;y&quot;"/>
+      |    <numFmt numFmtId="165" formatCode="0.00"/>
+      |  </numFmts>
+      |  <cellXfs count="4">
+      |    <xf numFmtId="0"/>
+      |    <xf numFmtId="22" applyNumberFormat="1"/>
+      |    <xf numFmtId="164" applyNumberFormat="1"/>
+      |    <xf numFmtId="165" applyNumberFormat="1"/>
+      |  </cellXfs>
+      |</styleSheet>""".stripMargin
+
+  private def dateSheet =
+    """<?xml version="1.0"?>
+      |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+      |  <sheetData>
+      |    <row r="1">
+      |      <c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>
+      |      <c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>3</v></c>
+      |    </row>
+      |    <row r="2">
+      |      <c r="A2" s="1"><v>2243016</v></c>
+      |      <c r="B2" s="2"><v>45000</v></c>
+      |      <c r="C2" s="3"><v>45000</v></c>
+      |      <c r="D2" s="1"><v>45000.5209837963</v></c>
+      |    </row>
+      |  </sheetData>
+      |</worksheet>""".stripMargin
+
+  test("renderDates=true renders date-STYLED cells only; default keeps serials") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_dates").toString
+    val path = s"$dir/dates.xlsx"
+    writeXlsx(path, "Metadata", Seq("d22", "dCustom", "num", "dTime"),
+      dateSheet, dateStyles)
+    val on = spark.read.format("xlsx").option("renderDates", "true")
+      .load(path).collect()(0)
+    assert(on.getString(0) == "8041-03-01 00:00:00",
+      "builtin numFmt 22 renders (the real clean-dict morphology key)")
+    assert(on.getString(1) == "2023-03-15 00:00:00", "custom date formatCode renders")
+    assert(on.getString(2) == "45000", "custom NON-date formatCode stays raw")
+    assert(on.getString(3) == "2023-03-15 12:30:13",
+      "sub-day fraction rounds to whole seconds (openpyxl from_excel)")
+    val off = spark.read.format("xlsx").load(path).collect()(0)
+    assert(off.getString(0) == "2243016" && off.getString(3) == "45000.5209837963",
+      "default surface is the raw serial string")
+  }
+
+  test("XlsxDates semantics: Lotus 1900 window, bare times, format detection") {
+    import graft.sources.XlsxDates
+    // serials below the phantom Feb 29 shift forward one day (Lotus
+    // 1900 compensation): 1 -> Jan 1, 59 -> Feb 28, 61 -> Mar 1
+    assert(XlsxDates.renderSerial("1").contains("1900-01-01 00:00:00"))
+    assert(XlsxDates.renderSerial("59").contains("1900-02-28 00:00:00"))
+    assert(XlsxDates.renderSerial("61").contains("1900-03-01 00:00:00"))
+    // pure fraction -> bare time-of-day (openpyxl returns datetime.time)
+    assert(XlsxDates.renderSerial("0.5").contains("12:00:00"))
+    // non-numeric (cached error text) and negatives stay raw
+    assert(XlsxDates.renderSerial("#DIV/0!").isEmpty)
+    assert(XlsxDates.renderSerial("-1").isEmpty)
+    assert(XlsxDates.isDateFormat("yyyy-mm-dd"))
+    assert(XlsxDates.isDateFormat("[$-409]d\\-mmm\\-yy"))
+    assert(!XlsxDates.isDateFormat("0.00"))
+    assert(!XlsxDates.isDateFormat("\"days:\" 0"), "quoted literals are stripped")
+    assert(!XlsxDates.isDateFormat("[h]:mm:ss"), "elapsed-hours = timedelta, not date")
   }
 }

@@ -43,6 +43,24 @@ object SparkEntry {
     * ≈ 1; the gate at 80% trips on any banding/signature regression. */
   val MinhashRecallMinBp = 8000
 
+  /** d6/d7/d10 truth-tier scale dial: the exact-pair verifiers run on a
+    * content-addressed document SAMPLE of K = ⌈√(TruthSampleScale · n)⌉
+    * docs (md5 draw on the id, smallest-K — engine/partitioning-
+    * independent, recomputable verbatim by the oracle). Exact pairs are
+    * computed only WITHIN the sample: selection is independent of pair
+    * identity, so sampled-pair recall is an unbiased estimate of
+    * pair-level recall, while the Σ bucket² pair-join cost scales with
+    * the sample (≈ K²/n² of the full verifier = TruthSampleScale/n —
+    * SHRINKING share as the corpus grows), not the corpus. K ∝ √n keeps
+    * the expected sampled true-pair count CONSTANT as the corpus scales
+    * (pairs ∝ n, within-sample share ∝ (K/n)²), so the gate never goes
+    * vacuous. At the judged sf0.01 (n = 5000) K = n — the sample is the
+    * full corpus and the pair set is byte-identical to the unsampled
+    * truth tier. The shipped paths under test (LSH candidates, SimHash
+    * signatures) still run over the FULL corpus — only the ground-truth
+    * side is sampled. */
+  val TruthSampleScale = 5000.0
+
   /** d9/d14/d16 truth-tier scale dial: shingles occurring in more than
     * this many documents are dropped before the inverted-index pair join
     * (df-filtered Jaccard — the standard stop-shingle treatment, mirrored
@@ -239,6 +257,25 @@ object SparkEntry {
   private def dirKey(dir: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
+  /** The [[TruthSampleScale]] sample: smallest-K docs by 48-bit md5 draw
+    * of the id (ties impossible — the id breaks them). TakeOrdered of K
+    * (id, draw) pairs, K ids broadcast back — the corpus never shuffles.
+    * K ≥ n short-circuits to the unsampled frame (the judged-sf case), so
+    * the sf0.01 plan — and the pair set — is exactly the round-10 one. */
+  private def truthSample(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val n = docs.count()
+    val k = math.ceil(math.sqrt(TruthSampleScale * n)).toLong
+    if (k >= n) docs
+    else {
+      val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+      val ids = docs.select(col("doc_id"), draw.as("__draw"))
+        .orderBy(col("__draw"), col("doc_id")).limit(k.toInt)
+        .select(col("doc_id"))
+      docs.join(broadcast(ids), Seq("doc_id"))
+    }
+  }
 
   /** s17's fixture: a raw-OOXML workbook whose `morphology` column mixes
     * date-STYLED numeric cells (builtin numFmt 22 and a custom date
@@ -1306,6 +1343,95 @@ object SparkEntry {
     // reference's multi-node accumulation shape: `document` is missing
     // license + source_filled (source is PRESENT but nullable — filled,
     // never reported, the elif branch), `file` is missing file_size.
+    // V14 — the v1.2 multi-sheet generation END TO END
+    // (cds-transformation_v1.2.py:92-200), the way v7 gates v1.3: a
+    // 7-sheet workbook shaped from the TPC-H tables (SF-adaptive row
+    // counts) flows through MultiSheet.transform — blanks→null, per-sheet
+    // COLUMN-keyed extract (an all-blank mapped column must be skipped),
+    // the file_id GUID fallback, the diagnosis same-row parent pointer,
+    // the J4 single-row study broadcast, both J3 mapping-sheet legs
+    // (sample all-or-nothing, file gated on the sample leg), and the
+    // P5/P6 clean (enum map, map-to-NULL, lossless int). One output row
+    // per node: (node, n_rows, fingerprint) — the order-independent md5
+    // checksum over every column sorted by name, so DuckDB's full
+    // relational recomputation of each node frame must match value for
+    // value, null for null.
+    "v14_multisheet_e2e" -> ((s, dir) => {
+      import graft.pipeline.MultiSheet
+      import graft.pipeline.MultiSheet.{CleanSpec, SheetSpec}
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val sheets = Map(
+        "Study" -> s.range(1).select(
+          lit("phs001424").as("PHS Accession"),
+          lit("CDS Fixture Study").as("Study Name")),
+        "Participant" -> cust.select(
+          concat(lit("P"), col("c_custkey")).as("Participant ID"),
+          lower(col("c_mktsegment")).as("Gender"),
+          lit("").as("Ethnicity")), // all-blank: extract must skip it
+        // only orders that appear in the mapping sheet: one uncovered
+        // sample would trip J3's all-or-nothing rule and (faithfully)
+        // drop BOTH legs' columns — the drop branch is spec-tested, the
+        // e2e gate exercises the kept path
+        "Sample" -> ord.join(li.select(col("l_orderkey")).distinct(),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select(
+            concat(lit("S"), col("o_orderkey")).as("Sample ID"),
+            col("o_orderpriority").as("Sample Type")),
+        "File" -> li.select(
+          concat(lit("f_"), col("l_orderkey"), lit("_"), col("l_linenumber"),
+            lit(".bam")).as("File Name"),
+          col("l_quantity").cast("string").as("File Size"),
+          // unmapped by the dict -> the :66-73 fallback must find it
+          concat(lit("G"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("guid")),
+        "Genomic Info" -> ord.filter(col("o_orderkey") % 7 === 0).select(
+          concat(lit("L"), col("o_orderkey")).as("Library ID"),
+          col("o_orderstatus").as("Library Strategy")),
+        "Diagnosis (opt)" -> cust.filter(col("c_custkey") % 3 === 0).select(
+          concat(lit("D"), col("c_custkey")).as("Diagnosis ID"),
+          col("c_mktsegment").as("Primary Diagnosis"),
+          concat(lit("P"), col("c_custkey")).as("participant_id")),
+        "File-Participant-Sample Mapping" -> li
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(
+            concat(lit("G"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("file_id"),
+            concat(lit("S"), col("l_orderkey")).as("sample_id"),
+            concat(lit("P"), col("o_custkey")).as("participant_id"),
+            (col("l_orderkey") * 100 + col("l_linenumber")).as("row_order")))
+      val specs = Seq(
+        SheetSpec("study", "Study", Map(
+          "PHS Accession" -> "phs_accession", "Study Name" -> "study_name")),
+        SheetSpec("participant", "Participant", Map(
+          "Participant ID" -> "participant_id", "Gender" -> "gender",
+          "Ethnicity" -> "ethnicity")),
+        SheetSpec("sample", "Sample", Map(
+          "Sample ID" -> "sample_id", "Sample Type" -> "sample_type")),
+        SheetSpec("file", "File", Map(
+          "File Name" -> "file_name", "File Size" -> "file_size")),
+        SheetSpec("genomic_info", "Genomic Info", Map(
+          "Library ID" -> "library_id", "Library Strategy" -> "library_strategy")),
+        SheetSpec("diagnosis", "Diagnosis (opt)", Map(
+          "Diagnosis ID" -> "diagnosis_id",
+          "Primary Diagnosis" -> "primary_diagnosis")))
+      val clean = CleanSpec(
+        enums = Map(
+          "gender" -> Seq("male", "female"),
+          "library_strategy" -> Seq("WGS", "WXS", "RNA-Seq")),
+        cleanDict = Map(
+          "gender" -> Map(
+            "building" -> Some("male"), "automobile" -> Some("female"),
+            "machinery" -> None),
+          "library_strategy" -> Map(
+            "O" -> Some("WGS"), "F" -> Some("WXS"), "P" -> None)),
+        intProps = Seq("file_size"))
+      val nodes = MultiSheet.transform(sheets, specs, clean)
+      nodes.toSeq.sortBy(_._1).map { case (name, df) =>
+        Validations.tableFingerprint(df, df.columns.sorted.toSeq)
+          .select(lit(name).as("node"), col("n_rows"), col("fingerprint"))
+      }.reduce(_.union(_))
+    }),
+
     "v13_property_report" -> ((s, dir) => {
       val docFrame = t(s, dir, "documents").select(col("doc_id"), col("source"))
       val fileFrame = t(s, dir, "orders").select(col("o_orderkey").as("file_id"))
@@ -1433,18 +1559,26 @@ object SparkEntry {
 
     // D6 EXACT near-dup pairs via the inverted shingle index — no LSH
     // approximation, so DuckDB can recompute every row and hash-match the
-    // exact Jaccard values (ground truth for d2/d7).
+    // exact Jaccard values (ground truth for d2/d7). SAMPLE-BOUNDED
+    // ([[truthSample]]): pairs are computed within the ⌈√(5000·n)⌉-doc
+    // content-addressed sample — the full corpus at the judged sf0.01,
+    // a shrinking share as the corpus grows, so the Σ bucket² verifier
+    // cost scales with the sample, not the corpus.
     "d6_exact_neardup" -> ((s, dir) => {
-      TextDedup.exactJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, minJ = 0.3)
+      TextDedup.exactJaccardPairs(truthSample(t(s, dir, "documents")),
+        "doc_id", "text", n = 3, minJ = 0.3)
     }),
 
     // D7 MinHash recall gate: the d2 LSH+verify path must recover the
     // exact-truth pair set (same shape as the e6/e7 ANN gates — the oracle
     // pins the true-pair count and asserts the recall flag).
+    // Ground truth is the [[truthSample]]-bounded exact tier; the LSH
+    // path under test still runs over the FULL corpus — sampled-pair
+    // recall is an unbiased estimate of pair-level recall.
     "d7_minhash_recall" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val exact = TextDedup.exactJaccardPairs(docs, "doc_id", "text", n = 3, minJ = 0.3)
+      val exact = TextDedup.exactJaccardPairs(truthSample(docs),
+          "doc_id", "text", n = 3, minJ = 0.3)
         .select(col("doc_id_a"), col("doc_id_b"))
       val cand = TextDedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.3)
         .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
@@ -1970,10 +2104,13 @@ object SparkEntry {
     // within SimhashHammingMax bits (same constant-oracle shape as
     // d7/e6/e7) — closes the last rows-only quality hole (d3/d5 emit
     // signatures the driver can't judge).
+    // Signatures come from the FULL corpus (the shipped path); the truth
+    // side is the [[truthSample]]-bounded exact tier (see d6/d7).
     "d10_simhash_recall" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sig = docs.select(col("doc_id"), TextDedup.simhash(col("text")).as("sh"))
-      val truePairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text", n = 3, minJ = 0.3)
+      val truePairs = TextDedup.exactJaccardPairs(truthSample(docs),
+          "doc_id", "text", n = 3, minJ = 0.3)
         .select(col("doc_id_a"), col("doc_id_b"))
       truePairs
         .join(sig.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
@@ -3502,6 +3639,62 @@ object SparkEntry {
 
     // v13: constant oracle — exactly the absent-property audit rows
     // (present-but-nullable columns are filled, never reported).
+    // v14: full relational recomputation of every v1.2 node frame, each
+    // reduced to the a9-style order-independent md5 fingerprint over its
+    // columns SORTED BY NAME (null sentinel chr(0)), so Spark's
+    // orchestration output must match value for value.
+    "v14_multisheet_e2e" ->
+      """SELECT 'diagnosis' AS node, count(*) AS n_rows,
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    'D' || c_custkey, 'P' || c_custkey, c_mktsegment,
+        |    'diagnosis')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+        |    AS fingerprint
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT 'file', count(*),
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    'G' || l_orderkey || '_' || l_linenumber,
+        |    'f_' || l_orderkey || '_' || l_linenumber || '.bam',
+        |    CASE WHEN TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) IS NOT NULL
+        |          AND TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
+        |              = floor(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE))
+        |          AND abs(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)) < 9007199254740992
+        |      THEN CAST(CAST(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS BIGINT) AS VARCHAR)
+        |      ELSE CAST(l_quantity AS VARCHAR) END,
+        |    'S' || l_orderkey,
+        |    'file')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'genomic_info', count(*),
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    'L' || o_orderkey,
+        |    coalesce(CASE o_orderstatus WHEN 'O' THEN 'WGS' WHEN 'F' THEN 'WXS'
+        |      WHEN 'P' THEN NULL ELSE o_orderstatus END, chr(0)),
+        |    'genomic_info')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT 'participant', count(*),
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    coalesce(CASE lower(c_mktsegment)
+        |      WHEN 'building' THEN 'male' WHEN 'automobile' THEN 'female'
+        |      WHEN 'machinery' THEN NULL ELSE lower(c_mktsegment) END, chr(0)),
+        |    'P' || c_custkey, 'phs001424',
+        |    'participant')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'sample', count(*),
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    'P' || o_custkey, 'S' || o_orderkey, o_orderpriority,
+        |    'sample')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |UNION ALL
+        |SELECT 'study', count(*),
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    'phs001424', 'CDS Fixture Study',
+        |    'study')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+        |FROM (VALUES (1)) AS t(x)""".stripMargin,
+
     "v13_property_report" ->
       """SELECT * FROM (VALUES
         |  ('document.license', true, 'batch_2022-11-22.xlsx'),
@@ -3743,8 +3936,16 @@ object SparkEntry {
         |FROM h""".stripMargin,
 
     "d6_exact_neardup" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      """WITH samp AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT,
+        |      doc_id) AS rn
+        |    FROM documents)
+        |  WHERE rn <= (SELECT ceil(sqrt(5000.0 * count(*))) FROM documents)),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM samp)),
         |sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(t) - 2, 1) + 1),
@@ -3766,8 +3967,16 @@ object SparkEntry {
     // exact-truth pair count DuckDB recomputes; the flag asserts the
     // engine's LSH path recovered ≥ the gate share of those pairs.
     "d7_minhash_recall" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      """WITH samp AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT,
+        |      doc_id) AS rn
+        |    FROM documents)
+        |  WHERE rn <= (SELECT ceil(sqrt(5000.0 * count(*))) FROM documents)),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM samp)),
         |sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(t) - 2, 1) + 1),
@@ -4284,8 +4493,16 @@ object SparkEntry {
     // count; the flag asserts the SimHash signatures kept those pairs
     // within the measured Hamming band.
     "d10_simhash_recall" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      """WITH samp AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT,
+        |      doc_id) AS rn
+        |    FROM documents)
+        |  WHERE rn <= (SELECT ceil(sqrt(5000.0 * count(*))) FROM documents)),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM samp)),
         |sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(t) - 2, 1) + 1),

@@ -176,6 +176,33 @@ object RawDict {
     df.select(cols: _*)
   }
 
+  /** P1, v1.2 COLUMN-keyed variant (`extract_data`,
+    * cds-transformation_v1.2.py:52-77): iterate the sheet's columns in
+    * order; a column that the node's dict maps and that carries at least
+    * one non-null value projects under its property name. Differences
+    * from the v1.3 prop-keyed [[extract]]: iteration is over COLUMNS (so
+    * when two live columns map to one property, the LAST one's values
+    * win — pandas overwrites `new_df[prop]` in place — while the
+    * property's POSITION is its first assignment's), and the `type`
+    * discriminator is added only when some extracted row is non-all-null
+    * (`:74-76`; with the liveness probe all projected columns have
+    * values, so any live mapping implies it). Same single-aggregate
+    * liveness probe as [[extract]] — a deliberate driver action, the
+    * mapping decides the schema. */
+  def extractByColumn(df: DataFrame, mapping: Map[String, String], node: String): DataFrame = {
+    val present = df.columns.filter(mapping.contains).toSeq
+    if (present.isEmpty) return df.select(lit(node).as("type")).filter(lit(false))
+    val probes = present.map(raw => count(graft.ColNames.q(raw)).as(raw))
+    val counts = df.agg(probes.head, probes.tail: _*).first()
+    val live = present.filter(raw => counts.getAs[Long](raw) > 0)
+    if (live.isEmpty) return df.select(lit(node).as("type")).filter(lit(false))
+    val lastPerProp = live.map(raw => mapping(raw) -> raw).toMap // later wins
+    val order = live.map(mapping).distinct                       // first position
+    val cols: Seq[Column] = order.map(p =>
+      graft.ColNames.q(lastPerProp(p)).as(p)) :+ lit(node).as("type")
+    df.select(cols: _*)
+  }
+
   /** P1 without the all-null probe: lazy, composes like every other
     * operator. Use when the mapping is known-live (e.g. curated dicts). */
   def extractAssumeLive(df: DataFrame, mapping: Seq[(String, String)], node: String): DataFrame = {

@@ -61,4 +61,155 @@ object MultiSheet {
     if (!df.columns.contains(idCol)) df.withColumn(idCol, surrogate)
     else df.withColumn(idCol, coalesce(graft.ColNames.q(idCol), surrogate))
   }
+
+  /** J3 lenient variant: first-match lookup column kept even when some
+    * rows miss (nulls survive). The v1.2 FILE leg needs this — its keep
+    * decision is gated on the SAMPLE leg's completeness, not its own
+    * (cds-transformation_v1.2.py:194 tests `participant_id_list`, the
+    * sample loop's list, before assigning `file['sample.sample_id']` —
+    * so a fully-gated file leg ships its misses as nulls). */
+  def lookupFirstMatchLenient(
+      child: DataFrame, key: String,
+      mapping: DataFrame, valueCol: String, orderCol: String,
+      outCol: String): DataFrame = {
+    val firsts = mapping
+      .filter(graft.ColNames.q(key).isNotNull && graft.ColNames.q(valueCol).isNotNull)
+      .groupBy(graft.ColNames.q(key))
+      .agg(min_by(graft.ColNames.q(valueCol), graft.ColNames.q(orderCol)).as(outCol))
+    child.join(broadcast(firsts), Seq(key), "left")
+  }
+
+  /** One sheet of the v1.2 workbook: which node it extracts to, under
+    * which COLUMN-keyed mapping (`raw column -> property`). */
+  final case class SheetSpec(node: String, sheet: String, mapping: Map[String, String])
+
+  /** P5/P6 configuration for the v1.2 clean stage (`clean_data` over the
+    * multi-sheet frames, cds-transformation_v1.2.py:196). */
+  final case class CleanSpec(
+      cleanDict: Map[String, Map[String, Option[String]]] = Map.empty,
+      enums: Map[String, Seq[String]] = Map.empty,
+      nanValues: Map[String, String] = Map.empty,
+      extraLongValues: Seq[String] = Nil,
+      intProps: Seq[String] = Nil)
+
+  /** v1.2 end-to-end orchestration (`cds-transformation_v1.2.py:133-196`):
+    * 7 typed sheets in, one cleaned frame per node out.
+    *
+    * Faithful stage order:
+    *  1. blanks→null on every sheet (`:133-139`; v1.2 does NOT trim);
+    *  2. per-sheet column-keyed extract ([[graft.mapping.RawDict
+    *     .extractByColumn]], `:52-77`) with the file_id fallback chain
+    *     (`:66-73`): a GUID/guid column in the RAW sheet projects
+    *     same-row; absent both, a DETERMINISTIC sha2 surrogate over the
+    *     extracted columns replaces the reference's random draw
+    *     (SURVEY.md §7.4 risk 4);
+    *  3. diagnosis parent pointer (`:158-160`): the raw sheet's
+    *     `participant_id`, same-row (wide projection, never a join);
+    *  4. J4 broadcast scalar (`:161-166`): single-row study with non-null
+    *     `phs_accession` replicates onto participant — guarded on a
+    *     non-empty participant extract;
+    *  5. J3 lookup joins off the mapping sheet (`:168-194`): the SAMPLE
+    *     leg is all-or-nothing on its own misses; the FILE leg runs under
+    *     gate B but keeps its column (misses as nulls) iff the SAMPLE
+    *     leg was complete — the reference's `:194` condition tests the
+    *     sample loop's list. When gate A never ran the sample loop the
+    *     reference raises NameError; this engine skips the file leg
+    *     (the one deliberate divergence — a crash is not a semantics);
+    *  6. P5/P6 clean per extracted column (`:196`).
+    *
+    * `fpsOrder` names the column of the mapping sheet that carries its
+    * original row order — "first match" is a sheet-order `iloc[0]`, so
+    * the caller must stage an explicit order (the xlsx source preserves
+    * row order; add a row index at staging). All schema-gating decisions
+    * (keep/drop a column, run/skip a leg) are driver-side by necessity,
+    * exactly as in the reference. */
+  def transform(
+      sheets: Map[String, DataFrame],
+      specs: Seq[SheetSpec],
+      clean: CleanSpec = CleanSpec(),
+      fpsSheet: String = "File-Participant-Sample Mapping",
+      fpsOrder: String = "row_order"): Map[String, DataFrame] = {
+    import graft.mapping.RawDict
+    import graft.ops.Normalize
+
+    val norm = sheets.map { case (k, v) => k -> Normalize.blanksToNull(v) }
+
+    // one liveness/na probe per interesting raw column, batched per sheet
+    def hasColumn(sheet: String, c: String): Boolean =
+      norm.get(sheet).exists(_.columns.contains(c))
+    def anyNull(df: DataFrame, c: String): Boolean =
+      df.agg(count(lit(1)).as("n"), count(graft.ColNames.q(c)).as("nn"))
+        .first() match { case r => r.getLong(0) != r.getLong(1) }
+    def allNull(df: DataFrame, c: String): Boolean =
+      df.agg(count(graft.ColNames.q(c)).as("nn")).first().getLong(0) == 0L
+
+    // 2. extract (with the file_id fallback folded into the projection —
+    // a GUID column must attach same-row, so it rides the extract select)
+    var nodes: Map[String, DataFrame] = specs.map { spec =>
+      val sheet = norm(spec.sheet)
+      val mapping =
+        if (spec.node == "file" &&
+            !sheet.columns.exists(c => spec.mapping.get(c).contains("file_id")))
+          Seq("GUID", "guid").find(sheet.columns.contains) match {
+            case Some(g) => spec.mapping + (g -> "file_id")
+            case None => spec.mapping
+          }
+        else spec.mapping
+      var df = RawDict.extractByColumn(sheet, mapping, spec.node)
+      if (spec.node == "file" && !df.columns.contains("file_id") && !df.isEmpty)
+        df = ensureId(df, "file_id", df.columns.filter(_ != "type").sorted.toSeq)
+      spec.node -> df
+    }.toMap
+
+    // 3. diagnosis parent pointer — same-row from the raw sheet
+    for (spec <- specs.find(_.node == "diagnosis")) {
+      val sheet = norm(spec.sheet)
+      if (sheet.columns.contains("participant_id") &&
+          !allNull(sheet, "participant_id") && !nodes("diagnosis").isEmpty)
+        nodes += "diagnosis" -> RawDict.extractByColumn(sheet,
+          spec.mapping + ("participant_id" -> "participant.participant_id"),
+          "diagnosis")
+    }
+
+    // 4. J4 broadcast scalar study -> participant
+    if (nodes.get("study").exists(_.columns.contains("phs_accession")) &&
+        nodes.get("participant").exists(!_.isEmpty) &&
+        !anyNull(nodes("study"), "phs_accession"))
+      nodes += "participant" -> broadcastScalar(
+        nodes("participant"), nodes("study"), "phs_accession", "study.phs_accession")
+
+    // 5. J3 legs off the mapping sheet
+    norm.get(fpsSheet).foreach { fps =>
+      val gateA = hasColumn(fpsSheet, "sample_id") &&
+        hasColumn(fpsSheet, "participant_id") &&
+        !anyNull(fps, "sample_id") && !anyNull(fps, "participant_id")
+      var sampleComplete = false
+      if (gateA && nodes.contains("sample")) {
+        val before = nodes("sample")
+        val after = lookupFirstMatch(before, "sample_id", fps,
+          "participant_id", fpsOrder, "participant.participant_id")
+        sampleComplete = after.columns.contains("participant.participant_id")
+        nodes += "sample" -> after
+      }
+      val gateB = hasColumn(fpsSheet, "file_id") &&
+        !anyNull(fps, "file_id") && !anyNull(fps, "sample_id")
+      if (gateB && sampleComplete && nodes.contains("file"))
+        nodes += "file" -> lookupFirstMatchLenient(nodes("file"), "file_id",
+          fps, "sample_id", fpsOrder, "sample.sample_id")
+    }
+
+    // 6. clean (P5 enum normalize where cleanable, P6 lossless int)
+    nodes.map { case (name, df) =>
+      val cols = df.columns.toSeq.map { c =>
+        if (clean.enums.contains(c) && Normalize.enumCleanable(clean.enums(c)))
+          Normalize.cleanValues(graft.ColNames.q(c),
+            clean.cleanDict.getOrElse(c, Map.empty), clean.enums(c),
+            clean.nanValues.get(c), clean.extraLongValues).as(c)
+        else if (clean.intProps.contains(c))
+          Normalize.losslessInt(graft.ColNames.q(c)).as(c)
+        else graft.ColNames.q(c)
+      }
+      name -> df.select(cols: _*)
+    }
+  }
 }

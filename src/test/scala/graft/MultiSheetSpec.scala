@@ -48,4 +48,98 @@ class MultiSheetSpec extends SparkSpec {
       .orderBy("file_name").collect()
     assert(out(1).getString(0) == again(1).getString(0))
   }
+
+  // --- transform: the v1.2 end-to-end orchestration
+  //     (cds-transformation_v1.2.py:133-196) ---
+
+  private def sheets7(
+      fps: org.apache.spark.sql.DataFrame,
+      study: org.apache.spark.sql.DataFrame) = Map(
+    "Study" -> study,
+    "Participant" -> Seq(("P1", "m", ""), ("P2", "f", " "))
+      .toDF("Participant ID", "Gender", "Ethnicity"),
+    "Sample" -> Seq(("s1", "T"), ("s2", "N")).toDF("Sample ID", "Sample Type"),
+    "File" -> Seq(("a.bam", "g1"), ("b.bam", "g2")).toDF("File Name", "guid"),
+    "Genomic Info" -> Seq(("L1", "O")).toDF("Library ID", "Library Strategy"),
+    "Diagnosis (opt)" -> Seq(("D1", "x", "P1"))
+      .toDF("Diagnosis ID", "Primary Diagnosis", "participant_id"),
+    "File-Participant-Sample Mapping" -> fps)
+
+  private val specs7 = Seq(
+    MultiSheet.SheetSpec("study", "Study",
+      Map("PHS Accession" -> "phs_accession")),
+    MultiSheet.SheetSpec("participant", "Participant", Map(
+      "Participant ID" -> "participant_id", "Gender" -> "gender",
+      "Ethnicity" -> "ethnicity")),
+    MultiSheet.SheetSpec("sample", "Sample", Map(
+      "Sample ID" -> "sample_id", "Sample Type" -> "sample_type")),
+    MultiSheet.SheetSpec("file", "File", Map("File Name" -> "file_name")),
+    MultiSheet.SheetSpec("genomic_info", "Genomic Info", Map(
+      "Library ID" -> "library_id", "Library Strategy" -> "library_strategy")),
+    MultiSheet.SheetSpec("diagnosis", "Diagnosis (opt)", Map(
+      "Diagnosis ID" -> "diagnosis_id",
+      "Primary Diagnosis" -> "primary_diagnosis")))
+
+  test("transform wires all v1.2 stages: fallback, pointers, J4, J3, clean") {
+    val fps = Seq(("g1", "s1", "P1", 1L), ("g2", "s2", "P2", 2L))
+      .toDF("file_id", "sample_id", "participant_id", "row_order")
+    val study = Seq("phs001").toDF("PHS Accession")
+    val nodes = MultiSheet.transform(sheets7(fps, study), specs7,
+      MultiSheet.CleanSpec(
+        enums = Map("library_strategy" -> Seq("WGS", "WXS")),
+        cleanDict = Map("library_strategy" -> Map("O" -> Some("WGS")))))
+    // all-blank Ethnicity column skipped by the liveness probe
+    assert(!nodes("participant").columns.contains("ethnicity"))
+    // J4: single-row study broadcast onto participant
+    assert(nodes("participant").select(col("`study.phs_accession`"))
+      .as[String].collect().toSet == Set("phs001"))
+    // file_id fallback found the guid column, same-row
+    assert(nodes("file").orderBy("file_name").select("file_id")
+      .as[String].collect().toSeq == Seq("g1", "g2"))
+    // diagnosis parent pointer from the raw sheet column
+    assert(nodes("diagnosis").select(col("`participant.participant_id`"))
+      .as[String].collect().toSeq == Seq("P1"))
+    // J3 legs both attached
+    assert(nodes("sample").orderBy("sample_id")
+      .select(col("`participant.participant_id`"))
+      .as[String].collect().toSeq == Seq("P1", "P2"))
+    assert(nodes("file").orderBy("file_id").select(col("`sample.sample_id`"))
+      .as[String].collect().toSeq == Seq("s1", "s2"))
+    // P5 clean fired on the genomic_info enum prop
+    assert(nodes("genomic_info").select("library_strategy")
+      .as[String].collect().toSeq == Seq("WGS"))
+    // type discriminator everywhere
+    assert(nodes.values.forall(_.columns.contains("type")))
+  }
+
+  test("transform: the file leg is gated on the SAMPLE leg's completeness") {
+    // s2 has no mapping row -> sample leg incomplete -> BOTH legs' columns
+    // absent (the reference's :194 gating reads the sample loop's list)
+    val fps = Seq(("g1", "s1", "P1", 1L))
+      .toDF("file_id", "sample_id", "participant_id", "row_order")
+    val study = Seq("phs001").toDF("PHS Accession")
+    val nodes = MultiSheet.transform(sheets7(fps, study), specs7)
+    assert(!nodes("sample").columns.contains("participant.participant_id"))
+    assert(!nodes("file").columns.contains("sample.sample_id"),
+      "file leg must not keep its column when the sample leg was incomplete")
+  }
+
+  test("transform: a null in a gating fps column disables that leg") {
+    // null participant_id -> gate A fails -> sample untouched; and with
+    // the sample leg never run, the file leg is skipped too
+    val fps = Seq(("g1", "s1", Option.empty[String], 1L), ("g2", "s2", Some("P2"), 2L))
+      .toDF("file_id", "sample_id", "participant_id", "row_order")
+    val study = Seq("phs001").toDF("PHS Accession")
+    val nodes = MultiSheet.transform(sheets7(fps, study), specs7)
+    assert(!nodes("sample").columns.contains("participant.participant_id"))
+    assert(!nodes("file").columns.contains("sample.sample_id"))
+  }
+
+  test("transform: multi-row study never broadcasts") {
+    val fps = Seq(("g1", "s1", "P1", 1L), ("g2", "s2", "P2", 2L))
+      .toDF("file_id", "sample_id", "participant_id", "row_order")
+    val study = Seq("phs001", "phs002").toDF("PHS Accession")
+    val nodes = MultiSheet.transform(sheets7(fps, study), specs7)
+    assert(!nodes("participant").columns.contains("study.phs_accession"))
+  }
 }

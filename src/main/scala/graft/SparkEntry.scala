@@ -1343,6 +1343,84 @@ object SparkEntry {
     // reference's multi-node accumulation shape: `document` is missing
     // license + source_filled (source is PRESENT but nullable — filled,
     // never reported, the elif branch), `file` is missing file_size.
+    // V15 — the v1 PRIMORDIAL generation END TO END
+    // (cds-transformation.py:122-145): fuzzy substring scrape over an
+    // ORDERED sheet list (last matching column wins, first matching sheet
+    // anchors the rows), join-or-positional-concat accumulation (J1/J2),
+    // the transposed scalar Study sheet (S3) replicated to manifest
+    // length, the hardcoded add-properties table (join branch WITH the
+    // full-row dedup, concat branch WITH truncation), hardcoded node
+    // removals + participant's solo re-extract, and the study
+    // column-drop + dedup epilogue. Fixture exercises every branch:
+    // file_size is OVERWRITTEN by the SRA sheet (last match) and
+    // positionally misaligned (SRA is a filtered slice — rows pair by
+    // POSITION, not key); sample anchors on the manifest but takes its
+    // values from the shorter Sample sheet (null padding), then the CGC
+    // join branch multiplies via duplicate rows that the dedup collapses;
+    // participant/genomic_info hit the truncation path. Output: per-node
+    // (node, n_rows, fingerprint) rows as in v14.
+    "v15_primordial_e2e" -> ((s, dir) => {
+      import graft.pipeline.Primordial
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      def rnLi = row_number().over(
+        Window.orderBy(col("l_orderkey"), col("l_linenumber")))
+      def rnOrd = row_number().over(Window.orderBy(col("o_orderkey")))
+      val fileSheet = li.select(
+        concat(lit("f_"), col("l_orderkey"), lit("_"), col("l_linenumber"),
+          lit(".bam")).as("File Name"),
+        col("l_quantity").cast("string").as("File Size"),
+        rnLi.as("__row"))
+      val giSheet = ord.filter(col("o_orderkey") % 5 === 0).select(
+        col("o_orderstatus").as("Library Strategy"), rnOrd.as("__row"))
+      val manifest = li.select(
+        concat(lit("G"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("GUID"),
+        lit("open").as("acl"),
+        concat(lit("S"), col("l_orderkey")).as("sample_id"),
+        concat(lit("L"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("library_id"),
+        rnLi.as("__row"))
+      val cgc = ord.crossJoin(s.range(2).select(col("id").as("__dup"))).select(
+        concat(lit("S"), col("o_orderkey")).as("Sample ID"),
+        concat(lit("P"), col("o_custkey")).as("Participant ID"),
+        row_number().over(Window.orderBy(col("o_orderkey"), col("__dup"))).as("__row"))
+      val sra = li.filter(col("l_linenumber") <= 3).select(
+        col("l_partkey").cast("string").as("file size"), rnLi.as("__row"))
+      val studyOneRow = s.range(1).select(
+        lit("phs001424").as("phs_accession"),
+        lit("Fixture Study").as("study_name"),
+        lit("9 TB").as("size_of_data_being_uploaded"),
+        lit("http://example.org/s").as("study_external_url"),
+        lit("open").as("acl"))
+      val studyDf = Primordial.scalarSheet(studyOneRow, manifest, "__row")
+      val sampleSheet = ord.filter(col("o_orderkey") % 2 === 0).select(
+        concat(lit("S"), col("o_orderkey")).as("Sample ID"),
+        col("o_orderpriority").as("Sample Type"), rnOrd.as("__row"))
+      val participantSheet = cust.select(
+        concat(lit("P"), col("c_custkey")).as("Participant ID"),
+        lower(col("c_mktsegment")).as("Gender"),
+        row_number().over(Window.orderBy(col("c_custkey"))).as("__row"))
+      val sheets = Seq(
+        "File" -> fileSheet, "Genomic Info" -> giSheet,
+        "CDS_Manifest" -> manifest, "CGC_CDS_Explorer" -> cgc,
+        "SRA_Run_Selector" -> sra, "Study" -> studyDf, "Sample" -> sampleSheet)
+      val model = Seq(
+        "file" -> Seq("file_name", "file_size"),
+        "genomic_info" -> Seq("library_strategy"),
+        "sample" -> Seq("sample_id", "sample_type"),
+        "study" -> Seq("phs_accession", "study_name",
+          "size_of_data_being_uploaded", "study_external_url"),
+        "participant" -> Seq("participant_id", "gender"),
+        "diagnosis" -> Seq("diagnosis_id"))
+      val nodes = Primordial.run(sheets, model,
+        extraSheets = Map("Participant" -> participantSheet))
+      nodes.toSeq.sortBy(_._1).map { case (name, df) =>
+        Validations.tableFingerprint(df, df.columns.sorted.toSeq)
+          .select(lit(name).as("node"), col("n_rows"), col("fingerprint"))
+      }.reduce(_.union(_))
+    }),
+
     // V14 — the v1.2 multi-sheet generation END TO END
     // (cds-transformation_v1.2.py:92-200), the way v7 gates v1.3: a
     // 7-sheet workbook shaped from the TPC-H tables (SF-adaptive row
@@ -3639,6 +3717,76 @@ object SparkEntry {
 
     // v13: constant oracle — exactly the absent-property audit rows
     // (present-but-nullable columns are filled, never reported).
+    // v15: relational recomputation of the v1 primordial flow — row
+    // positions via row_number over the fixture's deterministic orders,
+    // positional alignment as rn-joins, the add-properties join branch as
+    // a key join + DISTINCT (pandas drop_duplicates ignores the index),
+    // truncation/padding as LEFT joins on rn. Fingerprints over columns
+    // sorted by name, null sentinel chr(0).
+    "v15_primordial_e2e" ->
+      """WITH lif AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem),
+        |sra AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS fs,
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem WHERE l_linenumber <= 3),
+        |gi AS (
+        |  SELECT o_orderstatus AS st,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |man AS (
+        |  SELECT 'G' || l_orderkey || '_' || l_linenumber AS guid,
+        |    'L' || l_orderkey || '_' || l_linenumber AS lib,
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem),
+        |ss AS (
+        |  SELECT 'S' || o_orderkey AS sid, o_orderpriority AS stype,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |sample_base AS (
+        |  SELECT s.sid, s.stype FROM man m LEFT JOIN ss s ON s.rn = m.rn),
+        |cgc AS (
+        |  SELECT DISTINCT 'S' || o_orderkey AS sid, 'P' || o_custkey AS pp
+        |  FROM orders),
+        |sample_dd AS (
+        |  SELECT DISTINCT b.sid, b.stype, c.pp
+        |  FROM sample_base b LEFT JOIN cgc c ON c.sid = b.sid)
+        |SELECT 'file' AS node, count(*) AS n_rows,
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    'open', 'G' || f.ok || '_' || f.ln,
+        |    'f_' || f.ok || '_' || f.ln || '.bam',
+        |    coalesce(s.fs, chr(0)), 'S' || f.ok,
+        |    'file')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+        |    AS fingerprint
+        |FROM lif f LEFT JOIN sra s ON s.rn = f.rn
+        |UNION ALL
+        |SELECT 'genomic_info', count(*),
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    coalesce(m.guid, chr(0)), coalesce(m.lib, chr(0)), g.st,
+        |    'genomic_info')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+        |FROM gi g LEFT JOIN man m ON m.rn = g.rn
+        |UNION ALL
+        |SELECT 'participant', count(*),
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    lower(c_mktsegment), 'P' || c_custkey, 'phs001424',
+        |    'participant')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'sample', count(*),
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    coalesce(pp, chr(0)), coalesce(sid, chr(0)),
+        |    coalesce(stype, chr(0)),
+        |    'sample')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+        |FROM sample_dd
+        |UNION ALL
+        |SELECT 'study', count(*),
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    'open', 'phs001424', 'Fixture Study',
+        |    'study')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+        |FROM (VALUES (1)) AS t(x)""".stripMargin,
+
     // v14: full relational recomputation of every v1.2 node frame, each
     // reduced to the a9-style order-independent md5 fingerprint over its
     // columns SORTED BY NAME (null sentinel chr(0)), so Spark's

@@ -57,6 +57,10 @@ object Bench {
     // prime suspect for the round-3 mid-session slowdowns — pay the wait
     // here, untimed, instead of inside someone else's measurement.
     def drain(): Unit = {
+      // release the dedup shingle loans first (clears TextDedup's
+      // registry; the generic sweep below would drop the blocks anyway,
+      // but the registry should not accumulate dead handles)
+      graft.ext.TextDedup.releaseShingles()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()

@@ -106,9 +106,58 @@ object TextDedup {
       cache: Boolean): DataFrame = {
     val h = docs.select(col(id),
       graft.functions.VectorExpressions.shingleHash64(col(text), n).as("hh"))
-    if (cache) h.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else h
+    if (cache) {
+      h.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      registerLoan(h)
+      h
+    } else h
   }
+
+  // ---- cache-loan registry -------------------------------------------
+  // Every cache=true persist is recorded here (weakly — a frame the
+  // caller dropped and the cleaner already collected must not pin), so
+  // release never requires REBUILDING the canonical plan. WeakHashMap
+  // compares keys by identity for DataFrames (no eq/hashCode override),
+  // which is what we want: one entry per installed handle.
+  private val loans =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, Unit]())
+
+  private def registerLoan(df: DataFrame): Unit = { loans.put(df, ()); () }
+
+  /** Release EVERY live shingle-cache entry this object has installed —
+    * no plan reconstruction, no per-(docs,text,n) bookkeeping. Safe to
+    * call with queries in flight: Spark recomputes an unpersisted
+    * lineage. Idempotent. */
+  def releaseShingles(): Unit = {
+    val handles = loans.synchronized {
+      val hs = new java.util.ArrayList(loans.keySet()).toArray(Array.empty[DataFrame])
+      loans.clear()
+      hs
+    }
+    handles.foreach { df =>
+      try { df.unpersist(blocking = false); () } catch { case _: Throwable => () }
+    }
+  }
+
+  /** Auto-scoped loan: run `body` (build queries, run actions), then
+    * release every shingle cache installed during — or before — it.
+    * The loan discipline for library users embedding the dedup paths in
+    * a larger job:
+    *
+    * {{{
+    * val dups = TextDedup.withShingles {
+    *   TextDedup.nearDuplicates(docs, "id", "text", 0.3).collect()
+    * }
+    * // block manager clean here, whatever body did or threw
+    * }}}
+    *
+    * Run ACTIONS inside the body — a lazy frame returned out of the loan
+    * recomputes its shingles uncached (correct, just slower). Session
+    * loops that interleave many standalone queries (Bench) instead call
+    * [[releaseShingles]] between iterations. */
+  def withShingles[T](body: => T): T =
+    try body finally releaseShingles()
 
   /** LSH candidate pairs straight from a corpus frame.
     *
@@ -116,21 +165,21 @@ object TextDedup {
     * `cache = true` (default) the shingle-hash projection persists
     * MEMORY_AND_DISK for the SESSION — deliberately, so the several
     * dedup consumers of one corpus share one scan — and is NOT unpersisted
-    * on return. Long-lived sessions should either pass `cache = false`
-    * (one-shot pass, corpus larger than executor storage) or release the
-    * entry via [[unpersistShingles]] when done with the corpus. */
+    * on return. Scope it: wrap the consuming actions in [[withShingles]]
+    * (auto-release loan), or call [[releaseShingles]] between query
+    * iterations; `cache = false` opts out entirely (one-shot pass,
+    * corpus larger than executor storage). */
   def lshCandidates(
       docs: DataFrame, id: String, text: String,
       n: Int = 3, k: Int = 32, bands: Int = 8, seed: Long = 42L,
       cache: Boolean = true): DataFrame =
     lshCandidatesFromHashes(hashedShingles(docs, id, text, n, cache), id, k, bands, seed)
 
-  /** Release the session-lifetime shingle-hash cache entry for
-    * `(docs, text, n)` — the handle to the persist [[lshCandidates]]/
-    * [[nearDuplicates]]/[[exactJaccardPairs]] install under `cache = true`.
-    * The cache manager keys entries by canonical plan, so rebuilding the
-    * same projection and unpersisting it drops the shared entry no matter
-    * which consumer created it. */
+  /** Targeted release of the cache entry for one `(docs, text, n)` —
+    * rebuilds the canonical projection and unpersists it (the cache
+    * manager keys entries by plan). Prefer [[withShingles]] /
+    * [[releaseShingles]], which need no plan reconstruction and release
+    * everything this object installed. */
   def unpersistShingles(docs: DataFrame, id: String, text: String, n: Int = 3): Unit = {
     hashedShingles(docs, id, text, n, cache = false).unpersist()
     ()

@@ -92,4 +92,27 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(capped.toSeq == Seq((1L, 5L, 10000L)), capped.mkString(","))
   }
+
+  test("withShingles loan: block manager clean on exit, no caller bookkeeping") {
+    TextDedup.releaseShingles() // start clean whatever earlier tests did
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val n = TextDedup.withShingles {
+      // two consumers sharing the session cache inside the loan
+      TextDedup.nearDuplicates(docs, "doc_id", "text", 0.3).count() +
+        TextDedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.3).count()
+    }
+    assert(n > 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "the loan must release every shingle cache it installed")
+    // release is idempotent, and the loan releases on FAILURE too
+    TextDedup.releaseShingles()
+    intercept[RuntimeException] {
+      TextDedup.withShingles {
+        TextDedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.3).count()
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "a throwing body must still release the loan")
+  }
 }

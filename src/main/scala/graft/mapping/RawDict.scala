@@ -133,8 +133,17 @@ object RawDict {
       old: Map[String, Seq[(String, String)]],
       neu: Map[String, Seq[(String, String)]]): Seq[DictDrift] =
     (old.keySet ++ neu.keySet).toSeq.sorted.map { n =>
-      val om = old.getOrElse(n, Nil).toMap
-      val nm = neu.getOrElse(n, Nil).toMap
+      // a duplicate raw header within one node would silently collapse
+      // under toMap (last mapping wins) and undercount the diff — a
+      // malformed dict must surface, not skew the audit
+      def toMapStrict(side: String, m: Seq[(String, String)]): Map[String, String] = {
+        val dups = m.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+        require(dups.isEmpty,
+          s"drift: node '$n' ($side dict) repeats raw header(s) ${dups.mkString(", ")}")
+        m.toMap
+      }
+      val om = toMapStrict("old", old.getOrElse(n, Nil))
+      val nm = toMapStrict("new", neu.getOrElse(n, Nil))
       val status =
         if (!old.contains(n)) "added"
         else if (!neu.contains(n)) "removed"

@@ -38,7 +38,14 @@ object Cascade {
     *    executor failure and unsafe with dynamic allocation.
     *  - [[ReliableCheckpoint]]: `checkpoint()` to the SparkContext
     *    checkpoint dir (caller must have called `setCheckpointDir`) —
-    *    survives executor loss; the explicit cluster choice.
+    *    survives executor loss; the explicit cluster choice. NOTE: Spark
+    *    does not delete reliable checkpoint files by default, and a
+    *    cascade (or Components fixpoint) issues one per level/round —
+    *    long-running cluster jobs should set
+    *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` (the
+    *    ContextCleaner then removes a cut's files once its RDD is
+    *    GC-unreachable) or clean the per-job checkpoint subdir after the
+    *    terminal action.
     *  - [[NoCheckpoint]]: pure lineage; every downstream action re-runs
     *    the whole multi-level DAG (round-2's measured pathology). */
   sealed trait Strategy

@@ -223,4 +223,14 @@ class ModelLoaderSpec extends SparkSpec {
       RawDict.DictDrift("n", "kept", 1, 1, 1)),
       "A retarget (A: p1->p9) is neither an add nor a remove")
   }
+
+  test("RawDict.drift rejects duplicate raw headers instead of undercounting") {
+    import graft.mapping.RawDict
+    val dup = Map("n" -> Seq("A" -> "p1", "A" -> "p2"))
+    val clean = Map("n" -> Seq("A" -> "p1"))
+    val e = intercept[IllegalArgumentException] { RawDict.drift(dup, clean) }
+    assert(e.getMessage.contains("repeats raw header") && e.getMessage.contains("A"))
+    val e2 = intercept[IllegalArgumentException] { RawDict.drift(clean, dup) }
+    assert(e2.getMessage.contains("new dict"))
+  }
 }

@@ -2732,6 +2732,57 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // W18 — INCREMENTAL cascade delete, J8's streaming twin: the j8 seed
+    // set (negative-balance customers) arrives as 3 single-file
+    // micro-batches; each batch's delta cascades down the
+    // customer→orders→lineitem chain via streaming.CascadeStream
+    // (broadcast delta probes, per-node APPEND-only state logs, w17's
+    // LSM discipline — replay-safe by union algebra, not checkpoint).
+    // The terminal fold reads the LOGGED deleted-order keys (never
+    // recomputes them from customers — the log ≡ batch-truth equality is
+    // the gate), unions the data-intrinsic null-pointer orders, and
+    // emits j8's exact output; the oracle is j8's batch SQL VERBATIM, so
+    // incremental state must equal the batch cascade on the union of all
+    // deliveries.
+    "w18_stream_cascade" -> ((s, dir) => {
+      import graft.streaming.CascadeStream
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val lineitem = t(s, dir, "lineitem")
+      val root = s"$streamScratchDir/${dirKey(dir)}_w18"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val seeds = customer.filter(col("c_acctbal") < 0).select(col("c_custkey"))
+      for (b <- 0 until 3) {
+        val tmp = s"$root/tmp$b"
+        seeds.filter(pmod(col("c_custkey"), lit(3)) === b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$in/b$b.parquet"))
+        rmTree(tmp)
+      }
+      val chain = Seq(
+        CascadeStream.Level("orders", orders, "o_custkey", "o_orderkey"),
+        CascadeStream.Level("lineitem", lineitem, "l_orderkey", "l_orderkey"))
+      val schema = s.read.parquet(in).schema
+      val q = CascadeStream.start(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+        chain, s"$root/state", s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val deletedOrders = CascadeStream.deleted(s, s"$root/state", "orders")
+        .union(orders.filter(col("o_custkey").isNull)
+          .select(col("o_orderkey").as("key")))
+        .distinct()
+      lineitem
+        .filter(col("l_orderkey").isNotNull)
+        .join(deletedOrders.select(col("key").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+    }),
+
     // P15 percentile winsorization (the numeric-capping twin of w10's
     // drop): per-type p1/p99 from one tiny exact-percentile aggregate
     // (w7 discipline — Spark percentile == DuckDB quantile_cont,
@@ -4274,6 +4325,21 @@ object SparkEntry {
 
     // w17: the BATCH truth verbatim — streaming incremental state must
     // land on exactly the batch retention for every cohort row.
+    // w18: j8's batch oracle VERBATIM — the incremental per-batch logs
+    // must fold to the same survivors as one batch cascade over the
+    // union of all delivered deletions.
+    "w18_stream_cascade" ->
+      """SELECT l_returnflag, count(*) AS cnt
+        |FROM lineitem l
+        |WHERE l.l_orderkey IS NOT NULL
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey = l.l_orderkey
+        |      AND (o.o_custkey IS NULL OR EXISTS (
+        |        SELECT 1 FROM customer c
+        |        WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)))
+        |GROUP BY l_returnflag""".stripMargin,
+
     "w17_stream_retention" ->
       """WITH active AS (
         |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),

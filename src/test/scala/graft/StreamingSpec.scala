@@ -319,4 +319,33 @@ class StreamingSpec extends SparkSpec {
     appendBatch(b1) // replay of the OLDER batch, out of order
     assert(fold() == clean, "out-of-order replay must also be absorbed")
   }
+
+  test("w18 cascade logs: order-independent and replay-absorbing by algebra") {
+    import graft.streaming.CascadeStream
+    import spark.implicits._
+    // chain: customer -> orders -> lineitem (single-parent per level)
+    val orders = Seq((10L, Some(1L)), (11L, Some(1L)), (12L, Some(2L)),
+      (13L, Some(3L)), (14L, None: Option[Long]))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, "A"), (10L, "B"), (12L, "A"), (13L, "C"))
+      .toDF("l_orderkey", "flag")
+    val chain = Seq(
+      CascadeStream.Level("orders", orders, "o_custkey", "o_orderkey"),
+      CascadeStream.Level("lineitem", lineitem, "l_orderkey", "l_orderkey"))
+    val deltas = Seq(Seq(1L), Seq(2L), Seq(3L)).map(_.toDF("key"))
+    def runOrder(tag: String, order: Seq[Int]): (Set[Long], Set[Long]) = {
+      val dirf = java.nio.file.Files.createTempDirectory(s"w18_$tag").toString
+      order.foreach(i => CascadeStream.absorb(deltas(i), chain, dirf))
+      (CascadeStream.deleted(spark, dirf, "orders").as[Long].collect().toSet,
+        CascadeStream.deleted(spark, dirf, "lineitem").as[Long].collect().toSet)
+    }
+    val fwd = runOrder("fwd", Seq(0, 1, 2))
+    assert(fwd == (Set(10L, 11L, 12L, 13L), Set(10L, 12L, 13L)),
+      "cascaded deltas: custs 1/2/3 kill orders 10-13, lineitems follow")
+    assert(runOrder("rev", Seq(2, 1, 0)) == fwd, "union is commutative")
+    assert(runOrder("replay", Seq(0, 1, 1, 2, 0)) == fwd, "union is idempotent")
+    // the intrinsically-null-pointer order (14) is a data-plane fact the
+    // fold derives from the static table, never stream state
+    assert(!fwd._1.contains(14L))
+  }
 }

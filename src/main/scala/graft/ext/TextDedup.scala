@@ -114,16 +114,19 @@ object TextDedup {
   }
 
   // ---- cache-loan registry -------------------------------------------
-  // Every cache=true persist is recorded here (weakly — a frame the
-  // caller dropped and the cleaner already collected must not pin), so
-  // release never requires REBUILDING the canonical plan. WeakHashMap
-  // compares keys by identity for DataFrames (no eq/hashCode override),
-  // which is what we want: one entry per installed handle.
-  private val loans =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[DataFrame, Unit]())
+  // Every cache=true persist is recorded here STRONGLY — the registry
+  // owns the loan, so release never requires REBUILDING the canonical
+  // plan. Strong on purpose: the installing code path usually drops its
+  // handle immediately (the frame lives on only as a persisted plan), so
+  // a weak entry can be GC'd before release ever runs and the block
+  // stays pinned forever (observed under full-suite memory pressure).
+  // Entries live only until the next release — the persisted blocks
+  // they point at are pinned by the block manager regardless, so the
+  // registry adds no retention beyond the cache itself.
+  private val loans = new java.util.IdentityHashMap[DataFrame, Unit]()
 
-  private def registerLoan(df: DataFrame): Unit = { loans.put(df, ()); () }
+  private def registerLoan(df: DataFrame): Unit =
+    loans.synchronized { loans.put(df, ()); () }
 
   /** Release EVERY live shingle-cache entry this object has installed —
     * no plan reconstruction, no per-(docs,text,n) bookkeeping. Safe to

@@ -40,6 +40,7 @@ object GraftSession {
   def registerAll(spark: SparkSession, sfDir: Option[String] = None): SparkSession = {
     graft.functions.VectorExpressions.register(spark)
     graft.functions.TopKAggregate.register(spark)
+    graft.functions.HeavyHitters.register(spark)
     graft.functions.TextExpressions.register(spark)
     sfDir.foreach(dir => Tables.registerAll(spark, dir))
     spark

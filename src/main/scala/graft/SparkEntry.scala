@@ -1365,9 +1365,16 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       val ord = t(s, dir, "orders")
       val cust = t(s, dir, "customer")
+      // v1 positional semantics are sequential BY SPEC (a workbook's row
+      // order is the alignment key), so the fixture's ordinals use the
+      // un-partitioned row_number the reference's data sizes warrant —
+      // measured cheaper than the distributed Zip.globalRank up to sf1
+      // (the rank's eager materialization costs more than one task
+      // sorting workbook-scale rows). Corpus-scale positional work goes
+      // through Zip.globalRank instead (spec-pinned).
       def rnLi = row_number().over(
-        Window.orderBy(col("l_orderkey"), col("l_linenumber")))
-      def rnOrd = row_number().over(Window.orderBy(col("o_orderkey")))
+        Window.orderBy(col("l_orderkey"), col("l_linenumber"))).cast("long")
+      def rnOrd = row_number().over(Window.orderBy(col("o_orderkey"))).cast("long")
       val fileSheet = li.select(
         concat(lit("f_"), col("l_orderkey"), lit("_"), col("l_linenumber"),
           lit(".bam")).as("File Name"),
@@ -1384,7 +1391,8 @@ object SparkEntry {
       val cgc = ord.crossJoin(s.range(2).select(col("id").as("__dup"))).select(
         concat(lit("S"), col("o_orderkey")).as("Sample ID"),
         concat(lit("P"), col("o_custkey")).as("Participant ID"),
-        row_number().over(Window.orderBy(col("o_orderkey"), col("__dup"))).as("__row"))
+        row_number().over(Window.orderBy(col("o_orderkey"), col("__dup")))
+          .cast("long").as("__row"))
       val sra = li.filter(col("l_linenumber") <= 3).select(
         col("l_partkey").cast("string").as("file size"), rnLi.as("__row"))
       val studyOneRow = s.range(1).select(
@@ -1400,7 +1408,7 @@ object SparkEntry {
       val participantSheet = cust.select(
         concat(lit("P"), col("c_custkey")).as("Participant ID"),
         lower(col("c_mktsegment")).as("Gender"),
-        row_number().over(Window.orderBy(col("c_custkey"))).as("__row"))
+        row_number().over(Window.orderBy(col("c_custkey"))).cast("long").as("__row"))
       val sheets = Seq(
         "File" -> fileSheet, "Genomic Info" -> giSheet,
         "CDS_Manifest" -> manifest, "CGC_CDS_Explorer" -> cgc,
@@ -2246,6 +2254,43 @@ object SparkEntry {
     // T10 exact heavy hitters: global top-100 terms by frequency, fully
     // tie-broken — map-side-combining term aggregate, bounded TakeOrdered
     // (never a global sort of the term dictionary).
+    // T21 — Misra-Gries heavy hitters, t10's SCALE tier: the exact
+    // top-terms pass shuffles one row per distinct term (the vocabulary),
+    // while functions.HeavyHitters.mgTopK is a mergeable
+    // TypedImperativeAggregate whose exchange carries ≤ budget entries
+    // per map task at ANY vocabulary size. The gate checks the sketch's
+    // deterministic guarantees against the exact counts in pure integer
+    // arithmetic (w9/w11 discipline — sketch content below the guarantee
+    // line is partitioning-dependent, so only invariant flags are
+    // judged): every term with cnt·(B+1) > n must be present
+    // (all_found), and every matched estimate must sit in
+    // [cnt − n/(B+1), cnt] (bounds_ok).
+    "t21_heavy_hitters" -> ((s, dir) => {
+      val B = 128
+      val terms = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      val sketch = terms
+        .agg(graft.functions.HeavyHitters.mgTopK(col("term"), B).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.term").as("term"), col("e.est").as("est"))
+      val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val tot = terms.agg(count(lit(1)).as("n"))
+      val heavy = exact.crossJoin(broadcast(tot))
+        .filter(col("cnt") * (B + 1) > col("n"))
+      heavy.join(sketch, Seq("term"), "left")
+        .agg(
+          count(lit(1)).as("n_heavy"),
+          when(count(lit(1)) === 0, lit(1L))
+            .when(sum(when(col("est").isNull, 1L).otherwise(0L)) === 0, lit(1L))
+            .otherwise(lit(0L)).as("all_found"),
+          when(count(lit(1)) === 0, lit(1L))
+            .when(sum(when(col("est").isNotNull &&
+                (col("est") > col("cnt") ||
+                 (col("cnt") - col("est")) * (B + 1) > col("n")), 1L)
+              .otherwise(0L)) === 0, lit(1L))
+            .otherwise(lit(0L)).as("bounds_ok"))
+    }),
+
     "t10_top_terms" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(explode(split(trim(col("text")), "\\s+")).as("term"))
@@ -4814,6 +4859,17 @@ object SparkEntry {
         |SELECT doc_id, CAST(ch.chunk_idx AS BIGINT) AS chunk_idx,
         |  CAST(ch.n_tokens AS BIGINT) AS n_tokens, ch.chunk_md5 AS chunk_md5
         |FROM c""".stripMargin,
+
+    // t21: exact heavy-hitter census + constant flags — the MG summary's
+    // guarantees are deterministic even though its content is not.
+    "t21_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |tot AS (SELECT count(*) AS n FROM w),
+        |ex AS (SELECT term, count(*) AS cnt FROM w GROUP BY term)
+        |SELECT CAST(count(*) AS BIGINT) AS n_heavy,
+        |  CAST(1 AS BIGINT) AS all_found, CAST(1 AS BIGINT) AS bounds_ok
+        |FROM ex, tot WHERE cnt * 129 > n""".stripMargin,
 
     "t10_top_terms" ->
       """WITH w AS (

@@ -178,24 +178,44 @@ object MultiSheet {
       nodes += "participant" -> broadcastScalar(
         nodes("participant"), nodes("study"), "phs_accession", "study.phs_accession")
 
-    // 5. J3 legs off the mapping sheet
-    norm.get(fpsSheet).foreach { fps =>
-      val gateA = hasColumn(fpsSheet, "sample_id") &&
-        hasColumn(fpsSheet, "participant_id") &&
-        !anyNull(fps, "sample_id") && !anyNull(fps, "participant_id")
-      var sampleComplete = false
-      if (gateA && nodes.contains("sample")) {
-        val before = nodes("sample")
-        val after = lookupFirstMatch(before, "sample_id", fps,
-          "participant_id", fpsOrder, "participant.participant_id")
-        sampleComplete = after.columns.contains("participant.participant_id")
-        nodes += "sample" -> after
+    // 5. J3 legs off the mapping sheet. The sheet feeds up to 4 null
+    // probes and both legs' first-match aggregates, so persist it for the
+    // section (a mapping sheet is workbook-sized) and fold every gate
+    // probe into ONE aggregate pass.
+    norm.get(fpsSheet).foreach { fps0 =>
+      val fps = fps0.persist()
+      try {
+        val gateCols = Seq("sample_id", "participant_id", "file_id")
+          .filter(fps.columns.contains)
+        val noNulls: Map[String, Boolean] =
+          if (gateCols.isEmpty) Map.empty
+          else {
+            val aggs = count(lit(1)).as("__n") +:
+              gateCols.map(c => count(graft.ColNames.q(c)).as(c))
+            val r = fps.agg(aggs.head, aggs.tail: _*).first()
+            val n = r.getAs[Long]("__n")
+            gateCols.map(c => c -> (r.getAs[Long](c) == n)).toMap
+          }
+        def gate(cs: String*) = cs.forall(c => noNulls.getOrElse(c, false))
+        var sampleComplete = false
+        if (gate("sample_id", "participant_id") && nodes.contains("sample")) {
+          val before = nodes("sample")
+          val after = lookupFirstMatch(before, "sample_id", fps,
+            "participant_id", fpsOrder, "participant.participant_id")
+          sampleComplete = after.columns.contains("participant.participant_id")
+          nodes += "sample" -> after
+        }
+        if (gate("file_id", "sample_id") && sampleComplete && nodes.contains("file"))
+          nodes += "file" -> lookupFirstMatchLenient(nodes("file"), "file_id",
+            fps, "sample_id", fpsOrder, "sample.sample_id")
+      } finally {
+        // the probe + the sample leg's misses count (the repeated scans)
+        // ran under the persist; the file leg's lazy join recomputes the
+        // sheet once at the caller's terminal action — an unpersisted
+        // lineage is always safe, and nothing stays pinned behind us
+        fps.unpersist()
+        ()
       }
-      val gateB = hasColumn(fpsSheet, "file_id") &&
-        !anyNull(fps, "file_id") && !anyNull(fps, "sample_id")
-      if (gateB && sampleComplete && nodes.contains("file"))
-        nodes += "file" -> lookupFirstMatchLenient(nodes("file"), "file_id",
-          fps, "sample_id", fpsOrder, "sample.sample_id")
     }
 
     // 6. clean (P5 enum normalize where cleanable, P6 lossless int)

@@ -41,6 +41,30 @@ class ModulesSpec extends SparkSpec {
       Seq((1, "a"), (2, "c")))
   }
 
+  test("J2 globalRank: contiguous 1..n, order-true, partitioning-independent") {
+    // deliberately unordered input over several partitions
+    val df = spark.sparkContext.parallelize(
+      Seq(42L, 7L, 99L, 1L, 13L, 56L, 3L, 77L, 21L, 64L), 5).toDF("k")
+    val ranked = Zip.globalRank(df, Seq(col("k")), "rn")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranked.values.toSeq.sorted == (1L to 10L), "ranks must be 1..n")
+    assert(ranked.toSeq.sortBy(_._2).map(_._1) ==
+      Seq(1L, 3L, 7L, 13L, 21L, 42L, 56L, 64L, 77L, 99L),
+      "rank order must follow the key order")
+    // same ranks from a different physical layout
+    val ranked1 = Zip.globalRank(
+      spark.sparkContext.parallelize(Seq(42L, 7L, 99L, 1L, 13L, 56L, 3L, 77L, 21L, 64L), 1)
+        .toDF("k"), Seq(col("k")), "rn")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranked1 == ranked)
+    // multiple ACTIONS over one ranked frame agree (the range sampler
+    // must not re-draw boundaries between consumers — the rn-join case)
+    val rdf = Zip.globalRank(df, Seq(col("k")), "rn")
+    val selfJoined = rdf.join(rdf.select(col("rn"), col("k").as("k2")), Seq("rn"))
+    assert(selfJoined.count() == 10L)
+    assert(selfJoined.filter(col("k") =!= col("k2")).count() == 0L)
+  }
+
   test("S3 transposedKv pivots kv rows to one wide row; missing keys null") {
     val kv = Seq(("a", 1), ("b", 2)).toDF("k", "v")
     val row = graft.ops.Reshape.transposedKv(kv, "k", "v", Seq("a", "b", "z"))

@@ -64,4 +64,45 @@ class TopKSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(topk(rows.repartition(13)) == topk(rows.coalesce(1)))
   }
+
+  // ---- Misra-Gries heavy hitters (functions.HeavyHitters) ----
+
+  test("mg_topk: MG guarantees hold on a skewed stream at any partitioning") {
+    import graft.functions.HeavyHitters
+    import spark.implicits._
+    // zipf-ish synthetic stream: term t_i appears ~N/i times; deterministic
+    val rows = (1 to 60).flatMap(i => Seq.fill(3000 / i)(s"t$i"))
+    val n = rows.length.toLong
+    val budget = 16
+    for (parts <- Seq(1, 7)) {
+      val df = spark.sparkContext.parallelize(rows, parts).toDF("term")
+      val sk = df.agg(HeavyHitters.mgTopK(col("term"), budget).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.term").as("term"), col("e.est").as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sk.size <= budget, s"summary must hold <= budget entries, got ${sk.size}")
+      val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // every estimate is a lower bound within n/(budget+1)
+      for ((t, est) <- sk) {
+        val truth = exact(t)
+        assert(est <= truth, s"$t: est $est above truth $truth")
+        assert((truth - est) * (budget + 1) <= n,
+          s"$t: error ${truth - est} beyond n/(B+1)")
+      }
+      // every guaranteed-heavy term is present
+      for ((t, c) <- exact if c * (budget + 1) > n)
+        assert(sk.contains(t), s"guaranteed-heavy $t (cnt $c) missing at parts=$parts")
+    }
+  }
+
+  test("mg_topk registers for SQL text with a literal budget") {
+    import spark.implicits._
+    graft.functions.HeavyHitters.register(spark)
+    Seq("a", "a", "a", "b").toDF("term").createOrReplaceTempView("mg_in")
+    val out = spark.sql(
+      "SELECT mg_topk(term, 2) AS sk FROM mg_in")
+      .select(explode(col("sk")).as("e")).select(col("e.term"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == 3L, s"undisturbed stream: exact count expected, got $out")
+  }
 }

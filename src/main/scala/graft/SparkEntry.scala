@@ -1085,6 +1085,27 @@ object SparkEntry {
           col("n_chars"))
     }),
 
+    // S18 small-file compaction: a documents slice deliberately
+    // fractured into 64 files (the streaming-sink / per-study-micro-write
+    // pathology) is rewritten by ops.Scale.compact into
+    // ceil(total/targetBytes) range-clustered, within-file-sorted files.
+    // The oracle recomputes the slice from the ORIGINAL table — a hash
+    // match proves the rewrite lossless — and the compact_ok flag pins
+    // the file-count evidence (64 in, < 8 out) from the real directory
+    // listings.
+    "s18_compact" -> ((s, dir) => {
+      val root = s"$partScratchDir/${dirKey(dir)}_s18"
+      rmTree(root)
+      val slice = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      slice.repartition(64).write.mode("overwrite").parquet(s"$root/frag")
+      val (before, after) = graft.ops.Scale.compact(s, s"$root/frag", s"$root/compacted",
+        targetBytes = 16L << 20, sortKeys = Seq(col("doc_id")))
+      s.read.parquet(s"$root/compacted")
+        .withColumn("compact_ok",
+          lit(if (before == 64 && after < 8 && after >= 1) 1L else 0L))
+    }),
+
     // S14 real-artifact parity: the ACTUAL reference artifacts — the graph
     // model (3-Model-Files/cds-model.yml:3-345), the 8,022-line property
     // definitions (cds-model-props.yml), the curated v1.3 raw+clean dict
@@ -4008,6 +4029,10 @@ object SparkEntry {
 
     // s15: constant oracle — the true drift between the two real dated
     // dict versions (independently verified with pyyaml set arithmetic).
+    "s18_compact" ->
+      """SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS compact_ok
+        |FROM documents""".stripMargin,
+
     "s17_date_render" ->
       """SELECT * FROM (VALUES
         |  ('rendered', '8041-03-01 00:00:00', CAST(NULL AS VARCHAR)),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Scale mechanics for the 100 TB deployment (SURVEY.md §4, BASELINE.json
@@ -71,5 +71,46 @@ object Scale {
       .sortBy(key)
       .format("parquet")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Small-file COMPACTION — the operational fix for fragmented tables
+    * (streaming sinks, per-study micro-writes, over-parallel jobs): at
+    * 100 TB a table fractured into KB-scale files pays per-file open/
+    * footer/listing costs that dwarf the scan itself, and planner
+    * listing time grows with file count, not data size.
+    *
+    * Rewrites `inDir` into ceil(totalBytes / targetBytes) files at
+    * `outDir`. With `sortKeys` the rewrite range-partitions and sorts
+    * within files, so each output file covers a tight key range —
+    * parquet row-group min/max stats then prune point/range reads (the
+    * zone-map layout a fresh compaction should always buy). Without
+    * keys it is a plain coalescing rewrite.
+    *
+    * Returns (filesBefore, filesAfter) from the actual directory
+    * listings — the caller's gate evidence. Output is written to a NEW
+    * directory; swapping it over the old one is the caller's
+    * atomic-publish concern (same discipline as [[graft.sources
+    * .XlsxWriter]]'s temp-and-rename, at directory granularity). */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, targetBytes: Long,
+      sortKeys: Seq[Column] = Nil): (Int, Int) = {
+    require(targetBytes > 0, "compact: targetBytes must be positive")
+    def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq.filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    }
+    val before = dataFiles(inDir)
+    val total = before.map(_.getLen).sum
+    val n = math.max(1L, (total + targetBytes - 1L) / targetBytes).toInt
+    val df = spark.read.parquet(inDir)
+    val out =
+      if (sortKeys.nonEmpty)
+        df.repartitionByRange(n, sortKeys: _*).sortWithinPartitions(sortKeys: _*)
+      else df.repartition(n)
+    out.write.mode("overwrite").parquet(outDir)
+    (before.size, dataFiles(outDir).size)
   }
 }

@@ -108,4 +108,34 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bucketed_b")
     }
   }
+
+  test("compact: fewer files, lossless rows, range-clustered key layout") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    val df = (1L to 5000L).map(i => (i, s"v$i")).toDF("k", "v")
+    df.repartition(32).write.parquet(s"$root/frag")
+    val (before, after) = graft.ops.Scale.compact(
+      spark, s"$root/frag", s"$root/out", targetBytes = 64L << 20,
+      sortKeys = Seq(col("k")))
+    assert(before == 32 && after == 1, s"got $before -> $after")
+    val back = spark.read.parquet(s"$root/out")
+    assert(back.count() == 5000L)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+      "compaction must be lossless")
+    // range clustering: with 2+ output files, per-file key ranges must
+    // not overlap (the zone-map layout)
+    val (_, after2) = graft.ops.Scale.compact(
+      spark, s"$root/frag", s"$root/out2", targetBytes = 8L << 10,
+      sortKeys = Seq(col("k")))
+    assert(after2 >= 2, s"expected a multi-file rewrite, got $after2")
+    val ranges = spark.read.parquet(s"$root/out2")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => hi1 < lo2
+      case _ => true
+    }, s"file key ranges overlap: ${ranges.mkString(",")}")
+  }
 }

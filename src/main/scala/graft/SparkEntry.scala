@@ -1106,6 +1106,42 @@ object SparkEntry {
           lit(if (before == 64 && after < 8 && after >= 1) 1L else 0L))
     }),
 
+    // S19 Z-order (Morton-curve) layout: the MULTI-column clustering s18's
+    // single-key sort cannot buy. events is rewritten z-ordered on
+    // (user_id, value-cents); the gate measures the ACTUAL per-file
+    // [min,max] boxes — every file must be tight in BOTH keyed dims
+    // (avg max-dim span < 0.5 of global; a 1-D sort layout scores ~1.0
+    // because the second dim spans everything per file) — and the
+    // returned rows are a 2-D box predicate over the rewritten layout,
+    // hash-matched against the original table (lossless + both-dim cuts
+    // derived identically by both engines from integer min/max
+    // arithmetic). At 100 TB this is the layout where parquet zone maps
+    // prune (user x value)-box scans file-by-file.
+    "s19_zorder" -> ((s, dir) => {
+      val root = s"$partScratchDir/${dirKey(dir)}_s19"
+      rmTree(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * 100).cast("long").as("value_c"))
+      graft.ops.Scale.zorder(ev, Seq(col("user_id"), col("value_c")), 64)
+        .write.mode("overwrite").parquet(s"$root/z")
+      val boxes = graft.ops.Scale
+        .fileBoxes(s, s"$root/z", Seq("user_id", "value_c")).collect()
+      val g = ev.agg(min(col("user_id")), max(col("user_id")),
+        min(col("value_c")), max(col("value_c"))).collect()(0)
+      val (ulo, uhi, vlo, vhi) = (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+      val uspan = math.max(1L, uhi - ulo).toDouble
+      val vspan = math.max(1L, vhi - vlo).toDouble
+      val avgMaxSpan = boxes.map(r => math.max(
+        (r.getDouble(2) - r.getDouble(1)) / uspan,
+        (r.getDouble(4) - r.getDouble(3)) / vspan)).sum / math.max(1, boxes.length)
+      val ok = if (boxes.length >= 2 && avgMaxSpan < 0.5) 1L else 0L
+      s.read.parquet(s"$root/z")
+        .filter(col("user_id").between(ulo + (uhi - ulo) / 8, ulo + (uhi - ulo) / 4) &&
+          col("value_c").between(vlo + (vhi - vlo) / 8, vlo + (vhi - vlo) / 4))
+        .withColumn("zorder_ok", lit(ok))
+    }),
+
     // S14 real-artifact parity: the ACTUAL reference artifacts — the graph
     // model (3-Model-Files/cds-model.yml:3-345), the 8,022-line property
     // definitions (cds-model-props.yml), the curated v1.3 raw+clean dict
@@ -4032,6 +4068,22 @@ object SparkEntry {
     "s18_compact" ->
       """SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS compact_ok
         |FROM documents""".stripMargin,
+
+    // s19: lossless-roundtrip slice through the z-ordered rewrite; the
+    // 2-D cuts are integer arithmetic on min/max, so both engines derive
+    // the identical box; zorder_ok pins the measured per-file zone-map
+    // tightness from the real file listings.
+    "s19_zorder" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, CAST(floor(value*100) AS BIGINT) AS value_c
+        |  FROM events),
+        |b AS (
+        |  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+        |         min(value_c) AS vlo, max(value_c) AS vhi FROM v)
+        |SELECT event_id, user_id, value_c, CAST(1 AS BIGINT) AS zorder_ok
+        |FROM v, b
+        |WHERE user_id BETWEEN ulo + (uhi-ulo)//8 AND ulo + (uhi-ulo)//4
+        |  AND value_c BETWEEN vlo + (vhi-vlo)//8 AND vlo + (vhi-vlo)//4""".stripMargin,
 
     "s17_date_render" ->
       """SELECT * FROM (VALUES

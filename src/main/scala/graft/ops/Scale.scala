@@ -57,6 +57,68 @@ object Scale {
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Z-ORDER (Morton space-filling-curve) clustering — the multi-column
+    * layout compact/`sortKeys` cannot buy: a single-key sort gives each
+    * output file a tight range in ONE dimension and the full span in
+    * every other, so predicates on the second column prune nothing. The
+    * Morton curve interleaves the bits of every key's 16-bit rank
+    * bucket, so a contiguous z-range is a compact-ish hyper-box — each
+    * file covers a small span in EVERY keyed dimension and parquet
+    * row-group min/max stats prune multi-dimensional box predicates
+    * (the Delta/Iceberg OPTIMIZE ZORDER BY layout, here as a plain
+    * DataFrame transform).
+    *
+    * Mechanics: per-key [min,max] bounds come from ONE tiny aggregate
+    * (collected — a single row, driver-bounded); each key maps to a
+    * 16-bit bucket by linear scaling; buckets interleave bit-by-bit into
+    * a long z-value (pure `shiftleft`/`bitwiseAnd`/`bitwiseOr` builtins —
+    * whole-stage codegen, no UDF); the frame is range-partitioned and
+    * within-partition sorted by z. One shuffle, sampling-based balanced
+    * ranges, never a global single-partition sort. */
+  def zorder(df: DataFrame, keys: Seq[Column], partitions: Int): DataFrame = {
+    require(keys.nonEmpty, "zorder: at least one key")
+    require(partitions > 0)
+    val aggExprs = keys.zipWithIndex.flatMap { case (k, i) =>
+      Seq(min(k.cast("double")).as(s"lo$i"), max(k.cast("double")).as(s"hi$i"))
+    }
+    val bounds = df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+    val bucketed = keys.zipWithIndex.map { case (k, i) =>
+      val (lo, hi) =
+        (Option(bounds.get(bounds.fieldIndex(s"lo$i"))).fold(0.0)(_.asInstanceOf[Double]),
+         Option(bounds.get(bounds.fieldIndex(s"hi$i"))).fold(0.0)(_.asInstanceOf[Double]))
+      if (hi <= lo) lit(0L)
+      else least(greatest(
+        floor((k.cast("double") - lit(lo)) * 65535.0 / (hi - lo)).cast("long"),
+        lit(0L)), lit(65535L))
+    }
+    val n = bucketed.size
+    val z = (for {
+      bit <- 0 until 16
+      (b, k) <- bucketed.zipWithIndex
+    } yield shiftleft(shiftright(b, bit).bitwiseAND(lit(1L)), bit * n + k))
+      .reduce(_ bitwiseOR _)
+    df.withColumn("__z", z)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
+  /** Per-file [min,max] box of `cols` for every data file under `dir` —
+    * the zone-map evidence a z-ordered (or range-compacted) layout is
+    * judged on. One scan, one file-keyed aggregate; the result is
+    * file-count-sized (bounded), safe to collect. */
+  def fileBoxes(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, cols: Seq[String]): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(boxExprs(cols).head, boxExprs(cols).tail: _*)
+
+  private def boxExprs(cols: Seq[String]): Seq[Column] =
+    cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"${c}_lo"),
+      max(col(c).cast("double")).as(s"${c}_hi")))
+
   /** Write `df` as a bucketed+sorted table: later equi-joins between
     * tables bucketed the same way on the same key are planned WITHOUT a
     * shuffle (and without a sort, since buckets are pre-sorted) — the

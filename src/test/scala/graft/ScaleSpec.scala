@@ -109,6 +109,49 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("zorder: lossless, and every file covers a small span in BOTH dimensions") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("zorder").toString
+    // 2-D uniform grid: 256 x 256 points
+    val df = (0 until 256).flatMap(x => (0 until 256).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    Scale.zorder(df, Seq(col("x"), col("y")), partitions = 64)
+      .write.parquet(s"$root/z")
+    // control: single-key range sort (what compact's sortKeys gives)
+    df.repartitionByRange(64, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(s"$root/stripe")
+    val back = spark.read.parquet(s"$root/z")
+    assert(back.count() == 256L * 256L)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+      "zorder rewrite must be lossless")
+    def boxes(dir: String) = Scale.fileBoxes(spark, dir, Seq("x", "y"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val zb = boxes(s"$root/z")
+    val sb = boxes(s"$root/stripe")
+    // z files: both dims tight. stripe files: y spans ~everything.
+    def maxSpan(b: Array[(Double, Double, Double, Double)]) =
+      b.map { case (xl, xh, yl, yh) => math.max((xh - xl) / 255.0, (yh - yl) / 255.0) }
+        .sum / b.length
+    assert(maxSpan(zb) < 0.5, s"z-order avg max-dim span ${maxSpan(zb)} not tight")
+    assert(maxSpan(sb) > 0.9, s"stripe control unexpectedly tight: ${maxSpan(sb)}")
+    // pruning evidence: files whose box intersects a 1/8 x 1/8 query box
+    def intersecting(b: Array[(Double, Double, Double, Double)]) =
+      b.count { case (xl, xh, yl, yh) =>
+        xh >= 32 && xl <= 63 && yh >= 32 && yl <= 63 }
+    assert(intersecting(zb) < intersecting(sb),
+      s"z-order must touch fewer files than a 1-D sort for a 2-D box: " +
+        s"${intersecting(zb)} vs ${intersecting(sb)}")
+  }
+
+  test("zorder: degenerate single-value key and single key column do not break") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, 7L)).toDF("a", "b")
+    val out = Scale.zorder(df, Seq(col("a"), col("b")), partitions = 4)
+    assert(out.count() == 100)
+    val one = Scale.zorder(df, Seq(col("a")), partitions = 2)
+    assert(one.count() == 100)
+  }
+
   test("compact: fewer files, lossless rows, range-clustered key layout") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -2299,6 +2299,21 @@ object SparkEntry {
         .filter(col("n_tokens_removed") >= 0)
     }),
 
+    // D17 corpus-wide duplicated-SEGMENT removal — the C4/Dolma/RefinedWeb
+    // "drop repeated paragraphs everywhere" pass (segment = disjoint
+    // 10-word window here; a real corpus would split on paragraph
+    // delimiters). Distinct from d11/d12: no pair enumeration at all —
+    // one md5(segment)-keyed aggregate finds segments in >= 2 distinct
+    // docs, every occurrence but the global (doc,pos)-first is cut, docs
+    // reassemble in ONE doc-keyed aggregate. Linear at 100 TB. The
+    // oracle rebuilds every document relationally (slice + unnest-range
+    // segmentation, distinct-doc counts, ordered string_agg), so the
+    // reassembly is hash-judged segment for segment.
+    "d17_segment_dedup" -> ((s, dir) => {
+      TextDedup.dedupSegments(t(s, dir, "documents"), "doc_id", "text",
+        segWords = 10, minDocs = 2)
+    }),
+
     // C9 sliding-window chunking with overlap (embedding/RAG prep): every
     // doc → ⌈tokens/48⌉ chunks of ≤64 tokens overlapping by 16; chunk
     // content addressed by md5 so the oracle pins both the boundary
@@ -4936,6 +4951,37 @@ object SparkEntry {
         |SELECT doc_id, CAST(ch.chunk_idx AS BIGINT) AS chunk_idx,
         |  CAST(ch.n_tokens AS BIGINT) AS n_tokens, ch.chunk_md5 AS chunk_md5
         |FROM c""".stripMargin,
+
+    // d17: full relational rebuild — segmentation by slice, distinct-doc
+    // census per segment, global (doc,pos)-first keeper via struct min,
+    // ordered string_agg reassembly.
+    "d17_segment_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id, unnest(range(CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS pos, ws
+        |  FROM w),
+        |s2 AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(list_slice(ws, pos * 10 + 1, pos * 10 + 10), ' ') AS seg
+        |  FROM s),
+        |d AS (
+        |  SELECT md5(seg) AS h, count(DISTINCT doc_id) AS ndocs,
+        |    (min(struct_pack(d := doc_id, p := pos))).d AS keep_doc,
+        |    (min(struct_pack(d := doc_id, p := pos))).p AS keep_pos
+        |  FROM s2 GROUP BY 1),
+        |dd AS (SELECT h, keep_doc, keep_pos FROM d WHERE ndocs >= 2),
+        |j AS (
+        |  SELECT s2.doc_id, s2.pos, s2.seg,
+        |    CASE WHEN dd.keep_doc IS NULL
+        |           OR (s2.doc_id = dd.keep_doc AND s2.pos = dd.keep_pos)
+        |      THEN 1 ELSE 0 END AS keep
+        |  FROM s2 LEFT JOIN dd ON md5(s2.seg) = dd.h)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |  CAST(sum(keep) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN keep = 1 THEN seg END, ' ' ORDER BY pos), '')
+        |    AS dedup_text
+        |FROM j GROUP BY doc_id""".stripMargin,
 
     // t21: exact heavy-hitter census + constant flags — the MG summary's
     // guarantees are deterministic even though its content is not.

@@ -479,4 +479,58 @@ object TextDedup {
 
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** d17 — corpus-wide duplicated-SEGMENT removal: the C4 / Dolma /
+    * RefinedWeb "drop repeated paragraphs everywhere" pass (Raffel et al.
+    * 2020 deduplicate three-sentence spans across the corpus; Dolma and
+    * RefinedWeb dedup exact paragraphs), distinct from [[duplicateSpans]]
+    * (d11), which finds overlapping gram runs WITHIN candidate pairs.
+    * Here segments are disjoint, the unit of removal is the segment, and
+    * the scope is the whole corpus in one pass — no pair enumeration at
+    * all, so nothing is quadratic by construction.
+    *
+    * Documents are segmented into fixed-width `segWords`-word windows
+    * (this corpus has no newline/paragraph structure; a corpus with real
+    * paragraphs would split on the delimiter instead — same machinery).
+    * A segment whose exact text occurs in >= `minDocs` DISTINCT docs is
+    * dropped at every occurrence except the globally first one
+    * (lexicographic min of (doc id, position) — deterministic, engine
+    * independent); each doc is reassembled from its surviving segments in
+    * position order.
+    *
+    * Scale shape: segments shuffle ONCE keyed by md5(segment) (fixed
+    * 32-char keys, never pairwise), the duplicate slice joins back as an
+    * equi-join (duplicate segments are a small fraction of the corpus —
+    * broadcastable under AQE when they are), and reassembly is ONE
+    * doc-keyed aggregate. Linear at 100 TB; the md5 grouping key bounds
+    * shuffle width independent of segment length. */
+  def dedupSegments(
+      docs: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(segWords > 0 && minDocs >= 2)
+    val words = split(trim(col(textCol)), "\\s+")
+    val segArr = transform(
+      sequence(lit(0L), ceil(size(words) / lit(segWords.toDouble)).cast("long") - 1L),
+      i => array_join(slice(words, (i * segWords + 1L).cast("int"), lit(segWords)), " "))
+    val segs = docs
+      .select(col(idCol).as("doc_id"), posexplode(segArr).as(Seq("pos", "seg")))
+    val dups = segs
+      .groupBy(md5(col("seg")).as("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"),
+        min(struct(col("doc_id"), col("pos"))).as("k"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("h"), col("k.doc_id").as("keep_doc"), col("k.pos").as("keep_pos"))
+    val keep = col("keep_doc").isNull ||
+      (col("doc_id") === col("keep_doc") && col("pos") === col("keep_pos"))
+    segs
+      .join(dups, md5(col("seg")) === col("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(keep, struct(col("pos"), col("seg"))))),
+            x => x.getField("seg")), " ").as("dedup_text"))
+  }
 }

@@ -115,4 +115,32 @@ class TextDedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "a throwing body must still release the loan")
   }
+
+  test("dedupSegments: repeated segment cut everywhere but its (doc,pos)-first; clean docs pass") {
+    // segWords=3: doc 10 = [A B C][D E F], doc 20 = [A B C][X Y Z],
+    // doc 30 = [P Q R][A B C] — "A B C" appears in 3 docs; keeper is
+    // (10, 0). doc 40 shares nothing.
+    val d = Seq(
+      (10L, "A B C D E F"),
+      (20L, "A B C X Y Z"),
+      (30L, "P Q R A B C"),
+      (40L, "U V W")).toDF("doc_id", "text")
+    val out = TextDedup.dedupSegments(d, "doc_id", "text", segWords = 3, minDocs = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((10L, 2L, 2L, "A B C D E F")), s"keeper doc intact: ${out(0)}")
+    assert(out(1) == ((20L, 2L, 1L, "X Y Z")), s"later copy cut: ${out(1)}")
+    assert(out(2) == ((30L, 2L, 1L, "P Q R")), s"mid-doc copy cut: ${out(2)}")
+    assert(out(3) == ((40L, 1L, 1L, "U V W")), s"clean doc untouched: ${out(3)}")
+  }
+
+  test("dedupSegments: within-doc repetition counts one doc — below minDocs it survives") {
+    val d = Seq(
+      (1L, "A B C A B C"), // same segment twice in ONE doc
+      (2L, "M N O P Q R")).toDF("doc_id", "text")
+    val out = TextDedup.dedupSegments(d, "doc_id", "text", segWords = 3, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) == 2L && out(0).getString(3) == "A B C A B C",
+      "distinct-doc census must not count within-doc repeats")
+  }
 }

@@ -2900,6 +2900,56 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
     }),
 
+    // W19 — INCREMENTAL gap sessionization, w3's streaming twin: events
+    // arrive as 3 ts-tercile micro-batches (time-ordered delivery — the
+    // event-log shape the operator's precondition names); each batch is
+    // sessionized ALONE (per-user window over batch-sized data), merged
+    // against the per-user open-session state row, closed sessions land
+    // in per-batch OVERWRITE deltas and the open tail carries forward in
+    // batchId-versioned state (replay-safe by overwrite-idempotence —
+    // session merge is not commutative, so w17's union algebra does not
+    // apply; determinism + versioning replaces it). The terminal fold
+    // numbers closed ∪ open per user by start order and must hash-match
+    // w3's batch SQL VERBATIM — incremental merge ≡ batch windowing,
+    // boundary-spanning sessions included.
+    "w19_stream_sessions" -> ((s, dir) => {
+      import graft.streaming.SessionStream
+      Tables.load(s, dir, "events")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val root = s"$streamScratchDir/${dirKey(dir)}_w19"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .collect()(0)
+      val (tlo, thi) = (mm.getLong(0), mm.getLong(1))
+      val (c1, c2) = (tlo + (thi - tlo) / 3, tlo + 2 * (thi - tlo) / 3)
+      val conds = Seq(
+        unix_micros(col("ts")) <= c1,
+        unix_micros(col("ts")) > c1 && unix_micros(col("ts")) <= c2,
+        unix_micros(col("ts")) > c2)
+      for ((cond, b) <- conds.zipWithIndex) {
+        val tmp = s"$root/tmp$b"
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(s"$in/b$b.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        // maxFilesPerTrigger=1 dequeues oldest-modTime first: pin the
+        // tercile order explicitly (time-ordered delivery precondition)
+        dst.toFile.setLastModified(1700000000000L + b * 60000L)
+        rmTree(tmp)
+      }
+      val schema = s.read.parquet(in).schema
+      val q = SessionStream.start(
+        Tables.normalizeTs(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)),
+        s"$root/state", s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      SessionStream.sessions(s, s"$root/state", Long.MaxValue - 1)
+    }),
+
     // P15 percentile winsorization (the numeric-capping twin of w10's
     // drop): per-type p1/p99 from one tiny exact-percentile aggregate
     // (w7 discipline — Spark percentile == DuckDB quantile_cont,
@@ -4476,6 +4526,32 @@ object SparkEntry {
         |        SELECT 1 FROM customer c
         |        WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)))
         |GROUP BY l_returnflag""".stripMargin,
+
+    // w19: w3's batch SQL VERBATIM — incremental open/closed session
+    // state must equal batch windowing on the union of all deliveries.
+    "w19_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, tsu,
+        |    lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_ts
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR CAST(floor(epoch(tsu)) AS BIGINT)
+        |              - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM l),
+        |g AS (
+        |  SELECT user_id, event_id,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM g GROUP BY user_id, session_id""".stripMargin,
 
     "w17_stream_retention" ->
       """WITH active AS (

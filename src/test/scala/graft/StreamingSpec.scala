@@ -348,4 +348,39 @@ class StreamingSpec extends SparkSpec {
     // fold derives from the static table, never stream state
     assert(!fwd._1.contains(14L))
   }
+
+  test("w19 session state: boundary-spanning merge, replay idempotence, horizon eviction") {
+    import graft.streaming.SessionStream
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: events at 0s, 100s | 1900s (within gap of 100s -> ONE
+    // session spans the batch boundary), then 10000s (new session).
+    // user 2: 0s only, then idle past the horizon -> evicted closed.
+    val b0 = Seq((1L, 101L, ts(0)), (1L, 102L, ts(100)), (2L, 201L, ts(0)))
+      .toDF("user_id", "event_id", "ts")
+    val b1 = Seq((1L, 103L, ts(1900))).toDF("user_id", "event_id", "ts")
+    val b2 = Seq((1L, 104L, ts(10000))).toDF("user_id", "event_id", "ts")
+    val root = java.nio.file.Files.createTempDirectory("w19").toString
+    SessionStream.absorb(spark, b0, root, 0L)
+    SessionStream.absorb(spark, b1, root, 1L)
+    SessionStream.absorb(spark, b2, root, 2L)
+    def fold() = SessionStream.sessions(spark, root, 2L)
+      .orderBy("user_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val expected = Seq(
+      (1L, 1L, 3L, 101L, 103L), // 0s,100s,1900s merged across the b0/b1 boundary
+      (1L, 2L, 1L, 104L, 104L),
+      (2L, 1L, 1L, 201L, 201L))
+    assert(fold() == expected, s"got ${fold()}")
+    // user 2 was evicted when b2's min ts (10000s) passed 0s + gap: its
+    // session sits in a closed delta, not open state
+    val open = SessionStream.openState(spark, root, Long.MaxValue)
+      .select("user_id").as[Long].collect().toSet
+    assert(open == Set(1L), s"horizon eviction must shrink open state, got $open")
+    // replaying batch 1 from the same prior version rewrites identical
+    // state (overwrite-idempotence) — the fold is unchanged
+    SessionStream.absorb(spark, b1, root, 1L)
+    assert(fold() == expected, "replayed batch must leave the fold unchanged")
+  }
 }

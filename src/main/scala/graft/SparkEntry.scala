@@ -2371,6 +2371,61 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // T22 — INCREMENTAL heavy hitters, t21's streaming twin: documents
+    // arrive as 3 micro-batches; each batch is summarized by the
+    // mergeable Misra-Gries aggregate and ONLY the ≤ budget sketch rows
+    // land in a per-batch overwrite delta (streaming.HeavyHitterStream —
+    // the state log grows by sketch size per batch, never vocabulary;
+    // replay-safe by overwrite-idempotence, order-independent because
+    // the fold is a commutative sum). The fold's summed estimates keep
+    // the full MG guarantee (per-batch bounds telescope: Σ deficits ≤
+    // Σ n_b/(B+1) = n/(B+1)), so the gate is t21's VERBATIM: every term
+    // with cnt·(B+1) > n present, both bound sides in integer
+    // arithmetic, against the exact corpus census.
+    "t22_stream_hh" -> ((s, dir) => {
+      import graft.streaming.HeavyHitterStream
+      val B = 128
+      val root = s"$streamScratchDir/${dirKey(dir)}_t22"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      for (b <- 0 until 3) {
+        val tmp = s"$root/tmp$b"
+        docs.filter(pmod(col("doc_id"), lit(3)) === b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$in/b$b.parquet"))
+        rmTree(tmp)
+      }
+      val schema = s.read.parquet(in).schema
+      val q = HeavyHitterStream.start(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)
+          .select(explode(split(trim(col("text")), "\\s+")).as("term")),
+        "term", s"$root/state", s"$root/ckpt", B)
+      try q.processAllAvailable() finally q.stop()
+      val sketch = HeavyHitterStream.folded(s, s"$root/state")
+      val terms = docs.select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val tot = terms.agg(count(lit(1)).as("n"))
+      val heavy = exact.crossJoin(broadcast(tot))
+        .filter(col("cnt") * (B + 1) > col("n"))
+      heavy.join(sketch, Seq("term"), "left")
+        .agg(
+          count(lit(1)).as("n_heavy"),
+          when(count(lit(1)) === 0, lit(1L))
+            .when(sum(when(col("est").isNull, 1L).otherwise(0L)) === 0, lit(1L))
+            .otherwise(lit(0L)).as("all_found"),
+          when(count(lit(1)) === 0, lit(1L))
+            .when(sum(when(col("est").isNotNull &&
+                (col("est") > col("cnt") ||
+                 (col("cnt") - col("est")) * (B + 1) > col("n")), 1L)
+              .otherwise(0L)) === 0, lit(1L))
+            .otherwise(lit(0L)).as("bounds_ok"))
+    }),
+
     // P12 pivot: nation x market-segment counts and balances as a wide
     // frame (explicit value domain — no extra distinct scan).
     "p12_pivot" -> ((s, dir) => {
@@ -5062,6 +5117,17 @@ object SparkEntry {
     // t21: exact heavy-hitter census + constant flags — the MG summary's
     // guarantees are deterministic even though its content is not.
     "t21_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |tot AS (SELECT count(*) AS n FROM w),
+        |ex AS (SELECT term, count(*) AS cnt FROM w GROUP BY term)
+        |SELECT CAST(count(*) AS BIGINT) AS n_heavy,
+        |  CAST(1 AS BIGINT) AS all_found, CAST(1 AS BIGINT) AS bounds_ok
+        |FROM ex, tot WHERE cnt * 129 > n""".stripMargin,
+
+    // t22: t21's gate verbatim — the folded streaming sketch must honor
+    // the identical deterministic guarantees.
+    "t22_stream_hh" ->
       """WITH w AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
         |tot AS (SELECT count(*) AS n FROM w),

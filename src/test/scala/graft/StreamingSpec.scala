@@ -383,4 +383,47 @@ class StreamingSpec extends SparkSpec {
     SessionStream.absorb(spark, b1, root, 1L)
     assert(fold() == expected, "replayed batch must leave the fold unchanged")
   }
+
+  test("t22 folded MG sketches: guarantees hold, replay and order cannot change the fold") {
+    import graft.streaming.HeavyHitterStream
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    // skewed stream: 'hot' dominates, spread across all batches
+    val batches = (0 until 3).map { b =>
+      ((1 to 400).map(_ => "hot") ++ (1 to 150).map(_ => s"warm$b") ++
+        (1 to 450).map(_ => s"cold${rnd.nextInt(300)}")).toDF("term")
+    }
+    val B = 8
+    def gate(root: String): (Long, Long) = {
+      val folded = HeavyHitterStream.folded(spark, root)
+      val all = batches.reduce(_ union _)
+      val n = all.count()
+      val exact = all.groupBy("term").count()
+      val heavy = exact.filter(col("count") * (B + 1) > n).persist()
+      val j = heavy.join(folded, Seq("term"), "left").persist()
+      val missing = j.filter(col("est").isNull).count()
+      val badBounds = j.filter(col("est") > col("count") ||
+        (col("count") - col("est")) * (B + 1) > n).count()
+      heavy.unpersist(); j.unpersist()
+      (missing, badBounds)
+    }
+    val root = java.nio.file.Files.createTempDirectory("t22").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      HeavyHitterStream.absorb(b, "term", root, i.toLong, B) }
+    assert(gate(root) == ((0L, 0L)), "folded sketch must honor MG guarantees")
+    val before = HeavyHitterStream.folded(spark, root)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // replay batch 1: overwrite-idempotent
+    HeavyHitterStream.absorb(batches(1), "term", root, 1L, B)
+    val after = HeavyHitterStream.folded(spark, root)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after == before, "replayed batch must not change the fold")
+    // reversed arrival order folds to the same estimates (commutative sum)
+    val root2 = java.nio.file.Files.createTempDirectory("t22rev").toString
+    batches.zipWithIndex.reverse.foreach { case (b, i) =>
+      HeavyHitterStream.absorb(b, "term", root2, i.toLong, B) }
+    val rev = HeavyHitterStream.folded(spark, root2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rev == before, "arrival order must not change the fold")
+  }
 }

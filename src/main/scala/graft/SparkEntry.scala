@@ -9,7 +9,7 @@ import graft.validate.Validations
 import graft.state.History
 import graft.mapping.RawDict
 import graft.io.{Jsonl, Tsv}
-import graft.ext.{TextAnalysis, TextDedup, Similarity, Multimodal}
+import graft.ext.{TextAnalysis, TextDedup, Similarity, Multimodal, EntityResolution}
 
 /** Driver contract (SURVEY.md §7).
   *
@@ -43,23 +43,30 @@ object SparkEntry {
     * ≈ 1; the gate at 80% trips on any banding/signature regression. */
   val MinhashRecallMinBp = 8000
 
-  /** d6/d7/d10 truth-tier scale dial: the exact-pair verifiers run on a
-    * content-addressed document SAMPLE of K = ⌈√(TruthSampleScale · n)⌉
-    * docs (md5 draw on the id, smallest-K — engine/partitioning-
-    * independent, recomputable verbatim by the oracle). Exact pairs are
-    * computed only WITHIN the sample: selection is independent of pair
-    * identity, so sampled-pair recall is an unbiased estimate of
-    * pair-level recall, while the Σ bucket² pair-join cost scales with
-    * the sample (≈ K²/n² of the full verifier = TruthSampleScale/n —
-    * SHRINKING share as the corpus grows), not the corpus. K ∝ √n keeps
-    * the expected sampled true-pair count CONSTANT as the corpus scales
-    * (pairs ∝ n, within-sample share ∝ (K/n)²), so the gate never goes
-    * vacuous. At the judged sf0.01 (n = 5000) K = n — the sample is the
-    * full corpus and the pair set is byte-identical to the unsampled
-    * truth tier. The shipped paths under test (LSH candidates, SimHash
-    * signatures) still run over the FULL corpus — only the ground-truth
-    * side is sampled. */
-  val TruthSampleScale = 5000.0
+  /** d6/d7/d10 truth-tier scale dial: the exact-pair verifiers ANCHOR on
+    * a content-addressed set of K = TruthAnchorK docs (md5 draw on the
+    * id, smallest-K — engine/partitioning-independent, recomputable
+    * verbatim by the oracle) and compute exact (df-capped) Jaccard pairs
+    * between the anchors and the FULL corpus
+    * ([[graft.ext.TextDedup.anchoredJaccardPairs]]). Anchor selection is
+    * independent of pair identity and every pair's inclusion probability
+    * is ≈ 2K/n — equal across pairs — so anchored-pair recall is an
+    * unbiased estimate of pair-level recall, while the pair-join cost is
+    * Σ df_anchor·min(df, cap) ≤ cap · (anchor shingle instances) —
+    * CONSTANT in the corpus size (the corpus contributes one scan + one
+    * df aggregate, both linear and shared with the LSH path under test
+    * via the shingle cache). A CONSTANT K also keeps the expected
+    * anchored true-pair count constant (≈ 2K · pairs/n, and pairs ∝ n
+    * for bounded duplicate clusters), so the gate never goes vacuous.
+    * This supersedes the round-10 within-sample design (K = ⌈√(5000·n)⌉
+    * docs, pairs inside the sample), whose pair-join work still grew
+    * ∝ n — measured 5.1× for 10× data on d6 vs ≤ ~2× anchored. At the
+    * judged sf0.01 and sf0.1 (n ≤ 5000 = K) the anchor set is the whole
+    * corpus, so the judged pair set is the FULL df-capped verifier's.
+    * The shipped paths under test (LSH candidates, SimHash signatures)
+    * always run over the FULL corpus — only the ground-truth side
+    * anchors. */
+  val TruthAnchorK = 5000
 
   /** d9/d14/d16 truth-tier scale dial: shingles occurring in more than
     * this many documents are dropped before the inverted-index pair join
@@ -258,23 +265,57 @@ object SparkEntry {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
-  /** The [[TruthSampleScale]] sample: smallest-K docs by 48-bit md5 draw
+  /** er1/er2/er3 match threshold: normalized-Levenshtein similarity in
+    * basis points. 8500 admits a single-character edit on the shortest
+    * fixture name (7 chars → 8571 bp) — the planted dirt — while the
+    * floor-to-bp integer boundary stays engine-portable. */
+  val ErMinSimBp = 8500
+
+  /** er1/er2/er3 blocking-skew dial: blocks larger than this are dropped
+    * before the in-block self-join (an over-merged key — think a blank
+    * name — would otherwise square). Far above the judged-scale maximum
+    * (measured 4 at sf0.01, 14 at sf0.1 — the cap never binds at judged
+    * scales, mirrored in the oracle's HAVING), so it only guards the
+    * 100× tail. */
+  val ErMaxBlock = 64
+
+  /** Entity-resolution fixture: every part as a "clean" record plus, for
+    * a deterministic 25% md5 draw of part keys, a "dirty" twin whose name
+    * lost its last character — planted linkage dirt both engines rebuild
+    * verbatim (the draw is the first md5 byte < 64, the mangle a
+    * substring). rec_id = 2·partkey (+1 for the twin) keeps ids disjoint
+    * and the clean record the smaller id (so it wins min-id entity
+    * labeling). */
+  private def erRecords(parts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = parts.select((col("p_partkey") * 2).as("rec_id"),
+      col("p_name").as("name"), col("p_brand").as("brand"), col("p_size").as("size"))
+    val dirty = parts
+      .filter(conv(substring(md5(col("p_partkey").cast("string")), 1, 2), 16, 10)
+        .cast("long") < 64)
+      .select((col("p_partkey") * 2 + 1).as("rec_id"),
+        expr("substring(p_name, 1, length(p_name) - 1)").as("name"),
+        col("p_brand").as("brand"), col("p_size").as("size"))
+    base.unionByName(dirty)
+  }
+
+  /** er blocking key: (brand, size, 2-char name prefix) — the dirt
+    * preserves all three (only the LAST name char is dropped), so a twin
+    * always meets its source; the brand×size×prefix domain keeps blocks
+    * small. */
+  private def erBlock: org.apache.spark.sql.Column =
+    concat_ws("|", col("brand"), col("size"), substring(col("name"), 1, 2))
+
+  /** The [[TruthAnchorK]] anchor ids: smallest-K docs by 48-bit md5 draw
     * of the id (ties impossible — the id breaks them). TakeOrdered of K
-    * (id, draw) pairs, K ids broadcast back — the corpus never shuffles.
-    * K ≥ n short-circuits to the unsampled frame (the judged-sf case), so
-    * the sf0.01 plan — and the pair set — is exactly the round-10 one. */
-  private def truthSample(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val n = docs.count()
-    val k = math.ceil(math.sqrt(TruthSampleScale * n)).toLong
-    if (k >= n) docs
-    else {
-      val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
-        .cast("long")
-      val ids = docs.select(col("doc_id"), draw.as("__draw"))
-        .orderBy(col("__draw"), col("doc_id")).limit(k.toInt)
-        .select(col("doc_id"))
-      docs.join(broadcast(ids), Seq("doc_id"))
-    }
+    * (id, draw) pairs — the corpus never shuffles, and the result is K
+    * rows, always broadcastable. At n ≤ K this is every id (the
+    * judged-sf case). */
+  private def truthAnchors(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    docs.select(col("doc_id"), draw.as("__draw"))
+      .orderBy(col("__draw"), col("doc_id")).limit(TruthAnchorK)
+      .select(col("doc_id"))
   }
 
   /** s17's fixture: a raw-OOXML workbook whose `morphology` column mixes
@@ -1702,26 +1743,29 @@ object SparkEntry {
 
     // D6 EXACT near-dup pairs via the inverted shingle index — no LSH
     // approximation, so DuckDB can recompute every row and hash-match the
-    // exact Jaccard values (ground truth for d2/d7). SAMPLE-BOUNDED
-    // ([[truthSample]]): pairs are computed within the ⌈√(5000·n)⌉-doc
-    // content-addressed sample — the full corpus at the judged sf0.01,
-    // a shrinking share as the corpus grows, so the Σ bucket² verifier
-    // cost scales with the sample, not the corpus.
+    // exact Jaccard values (ground truth for d2/d7). ANCHORED
+    // ([[truthAnchors]]): df-capped exact pairs between the K-anchor
+    // content-addressed set and the FULL corpus — the whole corpus at the
+    // judged sf0.01/sf0.1 (K ≥ n), constant pair-join cost beyond it
+    // (Σ df_anchor·min(df,cap) is bounded by the anchors); the df cap
+    // (DupShingleMaxDf, d9's dial) reproduces the uncapped pair set at
+    // judged scales while bounding every index bucket.
     "d6_exact_neardup" -> ((s, dir) => {
-      TextDedup.exactJaccardPairs(truthSample(t(s, dir, "documents")),
-        "doc_id", "text", n = 3, minJ = 0.3)
+      val docs = t(s, dir, "documents")
+      TextDedup.anchoredJaccardPairs(docs, truthAnchors(docs),
+        "doc_id", "text", n = 3, minJ = 0.3, maxDf = Some(DupShingleMaxDf))
     }),
 
     // D7 MinHash recall gate: the d2 LSH+verify path must recover the
     // exact-truth pair set (same shape as the e6/e7 ANN gates — the oracle
     // pins the true-pair count and asserts the recall flag).
-    // Ground truth is the [[truthSample]]-bounded exact tier; the LSH
-    // path under test still runs over the FULL corpus — sampled-pair
+    // Ground truth is the [[truthAnchors]]-anchored exact tier; the LSH
+    // path under test still runs over the FULL corpus — anchored-pair
     // recall is an unbiased estimate of pair-level recall.
     "d7_minhash_recall" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val exact = TextDedup.exactJaccardPairs(truthSample(docs),
-          "doc_id", "text", n = 3, minJ = 0.3)
+      val exact = TextDedup.anchoredJaccardPairs(docs, truthAnchors(docs),
+          "doc_id", "text", n = 3, minJ = 0.3, maxDf = Some(DupShingleMaxDf))
         .select(col("doc_id_a"), col("doc_id_b"))
       val cand = TextDedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.3)
         .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
@@ -2248,12 +2292,12 @@ object SparkEntry {
     // d7/e6/e7) — closes the last rows-only quality hole (d3/d5 emit
     // signatures the driver can't judge).
     // Signatures come from the FULL corpus (the shipped path); the truth
-    // side is the [[truthSample]]-bounded exact tier (see d6/d7).
+    // side is the [[truthAnchors]]-anchored exact tier (see d6/d7).
     "d10_simhash_recall" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sig = docs.select(col("doc_id"), TextDedup.simhash(col("text")).as("sh"))
-      val truePairs = TextDedup.exactJaccardPairs(truthSample(docs),
-          "doc_id", "text", n = 3, minJ = 0.3)
+      val truePairs = TextDedup.anchoredJaccardPairs(docs, truthAnchors(docs),
+          "doc_id", "text", n = 3, minJ = 0.3, maxDf = Some(DupShingleMaxDf))
         .select(col("doc_id_a"), col("doc_id_b"))
       truePairs
         .join(sig.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
@@ -3262,6 +3306,43 @@ object SparkEntry {
             <= shiftright(col("__n") * (col("__n") - 1), 1) * lit(SemanticReductionMaxBp),
             lit(1L)).otherwise(lit(0L)).as("reduction_ok"))
       recall.crossJoin(reduction)
+    }),
+
+    // --- master data: entity resolution (record linkage) ---
+    // ER1 matched pairs: blocking (brand|size|name-prefix key, skew-capped)
+    // + normalized-Levenshtein scoring over the planted-dirt fixture. The
+    // oracle rebuilds fixture, blocks, cap, and scores relationally, so
+    // the blocking join and the codegen levenshtein are hash-judged pair
+    // for pair, value for value.
+    "er1_match_pairs" -> ((s, dir) => {
+      EntityResolution.matchPairs(erRecords(t(s, dir, "part")), "rec_id",
+        "name", erBlock, ErMinSimBp, maxBlock = Some(ErMaxBlock))
+    }),
+
+    // ER2 entity assignment: matched pairs close transitively
+    // (hash-min fixpoint) into entities over ALL records — singletons
+    // resolve to themselves. Oracle: recursive-CTE closure (d9's shape).
+    "er2_entities" -> ((s, dir) => {
+      val recs = erRecords(t(s, dir, "part"))
+      val pairs = EntityResolution.matchPairs(recs, "rec_id",
+        "name", erBlock, ErMinSimBp, maxBlock = Some(ErMaxBlock))
+      EntityResolution.resolve(recs, "rec_id", pairs)
+    }),
+
+    // ER3 golden records: one survivor per entity under the preference
+    // order (longest — least-damaged — name first, id tiebreak) + member
+    // count, via the d14 representatives window.
+    "er3_golden" -> ((s, dir) => {
+      val recs = erRecords(t(s, dir, "part"))
+      val pairs = EntityResolution.matchPairs(recs, "rec_id",
+        "name", erBlock, ErMinSimBp, maxBlock = Some(ErMaxBlock))
+      val labels = graft.ops.Components.connected(
+        pairs, "id_a", "id_b",
+        vertices = Some(recs.select(col("rec_id"))), idCol = "rec_id")
+      graft.ops.Components.representatives(labels, recs, "rec_id",
+          Seq(length(col("name")).desc, col("rec_id").asc))
+        .select(col("component").as("entity_id"), col("rep_rec_id"),
+          col("n_members"))
     })
   )
 
@@ -4377,25 +4458,30 @@ object SparkEntry {
         |FROM h""".stripMargin,
 
     "d6_exact_neardup" ->
-      """WITH samp AS (
+      """WITH anch AS (
         |  SELECT doc_id FROM (
         |    SELECT doc_id, row_number() OVER (ORDER BY
         |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT,
         |      doc_id) AS rn
         |    FROM documents)
-        |  WHERE rn <= (SELECT ceil(sqrt(5000.0 * count(*))) FROM documents)),
+        |  WHERE rn <= 5000),
         |toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM samp)),
-        |sh AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh0 AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(t) - 2, 1) + 1),
         |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
         |  FROM toks),
+        |sh AS (
+        |  SELECT sh0.doc_id, sh0.s FROM sh0
+        |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 32) ok USING (s)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         |inter AS (
-        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  SELECT least(a.doc_id, b.doc_id) AS doc_id_a,
+        |    greatest(a.doc_id, b.doc_id) AS doc_id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id IN (SELECT doc_id FROM anch)
+        |    AND (a.doc_id < b.doc_id OR b.doc_id NOT IN (SELECT doc_id FROM anch))
         |  GROUP BY 1, 2)
         |SELECT doc_id_a, doc_id_b,
         |  CAST(floor(c * 1.0 / (sa.sz + sb.sz - c) * 10000) AS BIGINT) AS jaccard_bp
@@ -4408,25 +4494,30 @@ object SparkEntry {
     // exact-truth pair count DuckDB recomputes; the flag asserts the
     // engine's LSH path recovered ≥ the gate share of those pairs.
     "d7_minhash_recall" ->
-      """WITH samp AS (
+      """WITH anch AS (
         |  SELECT doc_id FROM (
         |    SELECT doc_id, row_number() OVER (ORDER BY
         |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT,
         |      doc_id) AS rn
         |    FROM documents)
-        |  WHERE rn <= (SELECT ceil(sqrt(5000.0 * count(*))) FROM documents)),
+        |  WHERE rn <= 5000),
         |toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM samp)),
-        |sh AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh0 AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(t) - 2, 1) + 1),
         |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
         |  FROM toks),
+        |sh AS (
+        |  SELECT sh0.doc_id, sh0.s FROM sh0
+        |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 32) ok USING (s)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         |inter AS (
-        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  SELECT least(a.doc_id, b.doc_id) AS doc_id_a,
+        |    greatest(a.doc_id, b.doc_id) AS doc_id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id IN (SELECT doc_id FROM anch)
+        |    AND (a.doc_id < b.doc_id OR b.doc_id NOT IN (SELECT doc_id FROM anch))
         |  GROUP BY 1, 2)
         |SELECT count(*) AS n_true_pairs, CAST(1 AS BIGINT) AS recall_ok
         |FROM inter
@@ -4975,25 +5066,30 @@ object SparkEntry {
     // count; the flag asserts the SimHash signatures kept those pairs
     // within the measured Hamming band.
     "d10_simhash_recall" ->
-      """WITH samp AS (
+      """WITH anch AS (
         |  SELECT doc_id FROM (
         |    SELECT doc_id, row_number() OVER (ORDER BY
         |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT,
         |      doc_id) AS rn
         |    FROM documents)
-        |  WHERE rn <= (SELECT ceil(sqrt(5000.0 * count(*))) FROM documents)),
+        |  WHERE rn <= 5000),
         |toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM samp)),
-        |sh AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh0 AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(t) - 2, 1) + 1),
         |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
         |  FROM toks),
+        |sh AS (
+        |  SELECT sh0.doc_id, sh0.s FROM sh0
+        |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 32) ok USING (s)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         |inter AS (
-        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  SELECT least(a.doc_id, b.doc_id) AS doc_id_a,
+        |    greatest(a.doc_id, b.doc_id) AS doc_id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id IN (SELECT doc_id FROM anch)
+        |    AND (a.doc_id < b.doc_id OR b.doc_id NOT IN (SELECT doc_id FROM anch))
         |  GROUP BY 1, 2)
         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
         |  CAST(1 AS BIGINT) AS recall_ok
@@ -5621,6 +5717,97 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b
         |  ON a.vec_id < b.vec_id
         | AND a.vec_id % 5 = 0
-        | AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin
+        | AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+
+    // er1: fixture (clean ∪ md5-drawn dirty twins), blocking key, skew
+    // cap, and normalized-Levenshtein scores all recomputed relationally —
+    // the planted-dirt ER pair set, value for value.
+    "er1_match_pairs" ->
+      """WITH recs AS (
+        |  SELECT p_partkey * 2 AS rec_id, p_name AS name,
+        |    p_brand AS brand, p_size AS size FROM part
+        |  UNION ALL
+        |  SELECT p_partkey * 2 + 1, substr(p_name, 1, length(p_name) - 1),
+        |    p_brand, p_size FROM part
+        |  WHERE ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2))::BIGINT < 64),
+        |keyed AS (
+        |  SELECT rec_id, name,
+        |    brand || '|' || size || '|' || substr(name, 1, 2) AS bk FROM recs),
+        |ok AS (SELECT bk FROM keyed GROUP BY bk HAVING count(*) <= 64),
+        |k2 AS (SELECT keyed.* FROM keyed JOIN ok USING (bk))
+        |SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+        |  CAST(floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
+        |    greatest(length(a.name), length(b.name)))) AS BIGINT) AS sim_bp
+        |FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.rec_id < b.rec_id
+        |WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
+        |    greatest(length(a.name), length(b.name)))) >= 8500""".stripMargin,
+
+    // er2: er1's pairs closed transitively (recursive CTE, d9's shape)
+    // over every record — singletons label themselves.
+    "er2_entities" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT p_partkey * 2 AS rec_id, p_name AS name,
+        |    p_brand AS brand, p_size AS size FROM part
+        |  UNION ALL
+        |  SELECT p_partkey * 2 + 1, substr(p_name, 1, length(p_name) - 1),
+        |    p_brand, p_size FROM part
+        |  WHERE ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2))::BIGINT < 64),
+        |keyed AS (
+        |  SELECT rec_id, name,
+        |    brand || '|' || size || '|' || substr(name, 1, 2) AS bk FROM recs),
+        |ok AS (SELECT bk FROM keyed GROUP BY bk HAVING count(*) <= 64),
+        |k2 AS (SELECT keyed.* FROM keyed JOIN ok USING (bk)),
+        |pairs AS (
+        |  SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        |  FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.rec_id < b.rec_id
+        |  WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
+        |      greatest(length(a.name), length(b.name)))) >= 8500),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT rec_id AS src, rec_id AS dst FROM recs
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+        |SELECT src AS rec_id, CAST(min(dst) AS BIGINT) AS entity_id
+        |FROM reach GROUP BY src""".stripMargin,
+
+    // er3: er2's labels + the (length DESC, rec_id) survivorship window.
+    "er3_golden" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT p_partkey * 2 AS rec_id, p_name AS name,
+        |    p_brand AS brand, p_size AS size FROM part
+        |  UNION ALL
+        |  SELECT p_partkey * 2 + 1, substr(p_name, 1, length(p_name) - 1),
+        |    p_brand, p_size FROM part
+        |  WHERE ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2))::BIGINT < 64),
+        |keyed AS (
+        |  SELECT rec_id, name,
+        |    brand || '|' || size || '|' || substr(name, 1, 2) AS bk FROM recs),
+        |ok AS (SELECT bk FROM keyed GROUP BY bk HAVING count(*) <= 64),
+        |k2 AS (SELECT keyed.* FROM keyed JOIN ok USING (bk)),
+        |pairs AS (
+        |  SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        |  FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.rec_id < b.rec_id
+        |  WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
+        |      greatest(length(a.name), length(b.name)))) >= 8500),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT rec_id AS src, rec_id AS dst FROM recs
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+        |labels AS (
+        |  SELECT src AS rec_id, min(dst) AS entity_id FROM reach GROUP BY src),
+        |rk AS (
+        |  SELECT l.entity_id, l.rec_id,
+        |    row_number() OVER (PARTITION BY l.entity_id
+        |      ORDER BY length(r.name) DESC, l.rec_id) AS rn,
+        |    count(*) OVER (PARTITION BY l.entity_id) AS n_members
+        |  FROM labels l JOIN recs r USING (rec_id))
+        |SELECT CAST(entity_id AS BIGINT) AS entity_id, rec_id AS rep_rec_id,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM rk WHERE rn = 1""".stripMargin
   )
 }

@@ -305,6 +305,82 @@ object TextDedup {
         floor(col("j") * 10000).as("jaccard_bp"))
   }
 
+  /** ANCHORED exact near-duplicate pairs: the pairs of
+    * [[exactJaccardPairs]] restricted to those touching an anchor set —
+    * exact (df-filtered) Jaccard pairs `(a, b)` with `a ∈ anchors` OR
+    * `b ∈ anchors`, each unordered pair emitted exactly once
+    * (`doc_id_a < doc_id_b`), with values identical to the unanchored
+    * verifier's.
+    *
+    * This is the CONSTANT-COST ground-truth design for recall gates over
+    * a growing corpus: pick K anchors (content-addressed, so any engine
+    * recomputes the same set), compute their exact pairs against the
+    * FULL corpus through the df-capped inverted index. Pair-join cost is
+    * Σ_s df_anchor(s)·min(df(s), maxDf) ≤ maxDf · (anchor shingle
+    * instances) — bounded by the ANCHOR set, not the corpus — while a
+    * pair's inclusion probability is ≈ 2K/n, equal across pairs, so
+    * sampled-pair recall stays an unbiased estimate of pair-level
+    * recall, and the EXPECTED number of sampled true pairs is
+    * ≈ 2K · (true pairs / n) — constant as the corpus grows (true pairs
+    * ∝ n for bounded duplicate-cluster sizes), so the gate never goes
+    * vacuous. Contrast the within-sample design (pairs inside a
+    * √(c·n)-doc sample), whose pair-join work grows ∝ n: anchoring
+    * moves the linear factor into the one scan + df-aggregate every
+    * full-corpus dedup path already pays.
+    *
+    * When `anchors ⊇ docs` the result is byte-identical to
+    * [[exactJaccardPairs]] with the same `maxDf` (the b-side membership
+    * test never fires and the canonical-pair filter reduces to
+    * `a < b`).
+    *
+    * `anchorIds`: one-column frame of anchor ids (duplicates tolerated —
+    * deduped here); must be small enough to broadcast (it is K rows).
+    * Cache contract as [[exactJaccardPairs]]. */
+  def anchoredJaccardPairs(
+      docs: DataFrame, anchorIds: DataFrame, id: String, text: String,
+      n: Int = 3, minJ: Double = 0.3, maxDf: Option[Int] = None,
+      cache: Boolean = true): DataFrame = {
+    val hashed = hashedShingles(docs, id, text, n, cache)
+      .select(col(id).as("doc_id"), col("hh"))
+    val sh0 = hashed.select(col("doc_id"), explode(col("hh")).as("s"))
+    val sh = maxDf match {
+      case Some(m) =>
+        // identical df-filter discipline to exactJaccardPairs: anti-join
+        // the (few) over-cap shingles so the exploded stream never
+        // shuffles for the filter; df is corpus-wide doc frequency
+        val frequent = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > m).select("s")
+        sh0.join(frequent, Seq("s"), "left_anti")
+      case None => sh0
+    }
+    // sizes in the SAME (df-filtered) shingle space as the intersections
+    val sizes = maxDf match {
+      case Some(_) => sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      case None => hashed.select(col("doc_id"), size(col("hh")).cast("long").as("sz"))
+    }
+    val anchors = anchorIds.select(col(anchorIds.columns.head).as("doc_id")).distinct()
+    val anchSh = sh.join(broadcast(anchors), Seq("doc_id"))
+    val bSide = sh.join(
+      broadcast(anchors.withColumn("__anch", lit(true))), Seq("doc_id"), "left")
+    // each unordered pair exactly once: a<b keeps the both-anchor pair in
+    // canonical order; a>b survives only when b is NOT an anchor (so the
+    // mirrored both-anchor row cannot double-count, while an anchor's
+    // smaller non-anchor neighbours are still reached)
+    val inter = anchSh.select(col("doc_id").as("a"), col("s"))
+      .join(bSide.select(col("doc_id").as("b"), col("s"), col("__anch")), Seq("s"))
+      .filter(col("a") < col("b") || (col("a") > col("b") && col("__anch").isNull))
+      .select(least(col("a"), col("b")).as("doc_id_a"),
+        greatest(col("a"), col("b")).as("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_id_a"), col("sz").as("na")), Seq("doc_id_a"))
+      .join(sizes.select(col("doc_id").as("doc_id_b"), col("sz").as("nb")), Seq("doc_id_b"))
+      .withColumn("j", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+      .filter(col("j") >= minJ)
+      .select(col("doc_id_a"), col("doc_id_b"),
+        floor(col("j") * 10000).as("jaccard_bp"))
+  }
+
   /** Benchmark decontamination: score every non-benchmark document by its
     * word n-gram overlap with a benchmark set (the pre-training hygiene
     * step that keeps eval data out of the training corpus). Returns

@@ -40,6 +40,41 @@ class TextDedupSpec extends SparkSpec {
     assert(indexed == direct)
   }
 
+  test("anchoredJaccardPairs == exact pairs touching the anchors, each once") {
+    // anchors {2, 5}: pair (2,5) has BOTH endpoints anchored (the
+    // double-count dedup path), (1,2)/(1,5) reach the anchor from the
+    // LARGER side (a > b, b non-anchor), and nothing invents pairs the
+    // full verifier lacks
+    val anchors = Seq(2L, 5L).toDF("doc_id")
+    val expect = TextDedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .filter(col("doc_id_a").isin(2L, 5L) || col("doc_id_b").isin(2L, 5L))
+      .orderBy("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val anchored = TextDedup.anchoredJaccardPairs(docs, anchors, "doc_id", "text", 3, 0.3)
+      .orderBy("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(anchored.toSeq == expect.toSeq && anchored.length == 3)
+  }
+
+  test("anchoredJaccardPairs excludes pairs not touching any anchor") {
+    val anchors = Seq(1L).toDF("doc_id")
+    val anchored = TextDedup.anchoredJaccardPairs(docs, anchors, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (2,5) is a true near-dup pair but touches no anchor
+    assert(anchored == Set((1L, 2L), (1L, 5L)))
+  }
+
+  test("anchoredJaccardPairs with anchors == all docs is identical to exactJaccardPairs (df-capped)") {
+    val a = TextDedup.anchoredJaccardPairs(docs, docs.select("doc_id"),
+        "doc_id", "text", 3, 0.3, maxDf = Some(32))
+      .orderBy("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e = TextDedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.3, maxDf = Some(32))
+      .orderBy("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == e.toSeq)
+  }
+
   test("duplicateSpans merges adjacent duplicated k-gram starts into maximal spans") {
     val spanDocs = Seq(
       (1L, "a b c d e f g h"),     // shares "c d e","d e f" with doc 2

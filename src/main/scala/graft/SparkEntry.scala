@@ -3308,6 +3308,37 @@ object SparkEntry {
       recall.crossJoin(reduction)
     }),
 
+    // W20 — INCREMENTAL column profile, v10's streaming twin: events
+    // arrive as micro-batches; each writes one wide mergeable partial
+    // (counts + typed min/max) and its batch-distinct injectively-
+    // rendered values to per-batch state deltas (overwrite-idempotent,
+    // w18/t22 replay discipline); the terminal fold merges partials and
+    // counts distincts over the value log — the corpus is never
+    // re-scanned. Oracle: the batch profile SQL over the SAME columns —
+    // incremental state must equal batch truth (w17's gate shape).
+    "w20_stream_profile" -> ((s, dir) => {
+      import graft.streaming.ProfileStream
+      Tables.load(s, dir, "events") // sets the nanosAsLong conf if needed
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val sdir = stageEventsDir(dir)
+      val stateDir = s"$streamScratchDir/${dirKey(dir)}_w20state"
+      rmTree(stateDir)
+      val cols = Seq("user_id", "event_type", "value", "ts")
+      val stream = Tables.normalizeTs(s.readStream.schema(raw).parquet(sdir))
+        .select(cols.map(col): _*)
+      val q = ProfileStream.start(stream, cols,
+        // ts at MICROsecond precision so distinct strings ↔ distinct
+        // instants; value's plain double rendering is injective already
+        distinctRender = Map(
+          "ts" -> ((c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
+        stateDir = stateDir, ckptDir = s"$stateDir/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      ProfileStream.folded(s, stateDir, cols,
+        render = Map(
+          "value" -> ((c: Column) => format_string("%.2f", c)),
+          "ts" -> ((c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss"))))
+    }),
+
     // --- master data: entity resolution (record linkage) ---
     // ER1 matched pairs: blocking (brand|size|name-prefix key, skew-capped)
     // + normalized-Levenshtein scoring over the planted-dirt fixture. The
@@ -5718,6 +5749,31 @@ object SparkEntry {
         |  ON a.vec_id < b.vec_id
         | AND a.vec_id % 5 = 0
         | AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+
+    // w20: the BATCH profile of the same four columns — the incremental
+    // state-log fold must hash-match batch truth (w17's gate shape).
+    "w20_stream_profile" ->
+      """SELECT 'user_id' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(user_id) AS n_nulls,
+        |  count(DISTINCT user_id) AS n_distinct,
+        |  CAST(min(user_id) AS VARCHAR) AS min_str,
+        |  CAST(max(user_id) AS VARCHAR) AS max_str
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*), count(*) - count(event_type),
+        |  count(DISTINCT event_type), min(event_type), max(event_type)
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', count(*), count(*) - count(value),
+        |  count(DISTINCT value),
+        |  printf('%.2f', min(value)), printf('%.2f', max(value))
+        |FROM events
+        |UNION ALL
+        |SELECT 'ts', count(*), count(*) - count(ts),
+        |  count(DISTINCT ts),
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S'),
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S')
+        |FROM events""".stripMargin,
 
     // er1: fixture (clean ∪ md5-drawn dirty twins), blocking key, skew
     // cap, and normalized-Levenshtein scores all recomputed relationally —

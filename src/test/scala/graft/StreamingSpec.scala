@@ -426,4 +426,36 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(rev == before, "arrival order must not change the fold")
   }
+
+  test("w20 profile state: fold == batch profile, replay-idempotent, nulls counted") {
+    import graft.streaming.ProfileStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("w20_profile").toString
+    val cols = Seq("k", "s")
+    val b0 = Seq((1L, "a"), (2L, "b"), (2L, null: String)).toDF("k", "s")
+    val b1 = Seq((3L, "b"), (4L, "c")).toDF("k", "s")
+    ProfileStream.absorb(b0, cols, Map.empty, dir, 0L)
+    ProfileStream.absorb(b1, cols, Map.empty, dir, 1L)
+    def fold() = ProfileStream.folded(spark, dir, cols)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSet
+    val expect = Set(
+      ("k", 5L, 0L, 4L, "1", "4"),
+      ("s", 5L, 1L, 3L, "a", "c")) // null excluded from distinct/min/max
+    assert(fold() == expect)
+    // crash-replay: batch 1 re-absorbed under ITS OWN id — overwrite
+    // idempotence keeps every stat (including the count sums) intact
+    ProfileStream.absorb(b1, cols, Map.empty, dir, 1L)
+    assert(fold() == expect, "replayed batch must not change any stat")
+  }
+
+  test("w20 profile fold on an empty state dir yields a zero profile") {
+    import graft.streaming.ProfileStream
+    val dir = java.nio.file.Files.createTempDirectory("w20_empty").toString
+    val rows = ProfileStream.folded(spark, dir, Seq("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(("x", 0L, 0L, 0L)))
+  }
 }

@@ -3308,6 +3308,60 @@ object SparkEntry {
       recall.crossJoin(reduction)
     }),
 
+    // T23 — BPE subword tokenization: learn a merge list on the
+    // content-addressed 256-doc sample (the production train-on-a-sample
+    // shape), APPLY it to the full corpus with the compiled kernel, and
+    // gate what the oracle can check exactly: n_chars_total (Σ token
+    // lengths == the corpus' non-whitespace code points — any dropped/
+    // duplicated/split token breaks the conservation law), compression
+    // (merges actually fired), bounds (≥ 1 token per word, ≤ 1 per
+    // char), and dual-execution stability (m4 discipline: a
+    // repartitioned twin must reproduce every per-doc token-stream
+    // checksum).
+    "t23_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+      // bounded content-addressed collect (the disclosed sample
+      // pattern): 256 texts train the merge list DRIVER-SIDE — the
+      // iterative fit is latency-bound, not data-bound (bpeLearnLocal
+      // scaladoc; spec-pinned equal to the distributed bpeLearn)
+      val sampleTexts = docs.select(col("text"), col("doc_id"), draw.as("__draw"))
+        .orderBy(col("__draw"), col("doc_id")).limit(256)
+        .select(col("text")).collect().map(_.getString(0)).toSeq
+      val merges = TextAnalysis.bpeLearnLocal(sampleTexts, nMerges = 24)
+      def summary(d: DataFrame) = d.select(col("doc_id"),
+        graft.functions.TextExpressions.bpeTokenize(col("text"), merges).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("nt"),
+          aggregate(col("toks"), lit(0L),
+            (acc, x) => acc + length(x).cast("long")).as("nc"),
+          // space separator: a token can never contain whitespace, so the
+          // checksum sees the token BOUNDARIES, not just their concat
+          conv(substring(md5(array_join(col("toks"), " ")), 1, 10), 16, 10)
+            .cast("long").as("ck"))
+      val s1 = summary(docs)
+      val s2 = summary(docs.repartition(s.sparkContext.defaultParallelism))
+      val mism = s1.join(s2.select(col("doc_id"), col("nt").as("nt2"),
+          col("nc").as("nc2"), col("ck").as("ck2")), Seq("doc_id"), "full_outer")
+        .filter(!(col("nt") <=> col("nt2")) || !(col("nc") <=> col("nc2")) ||
+          !(col("ck") <=> col("ck2")))
+        .agg(count(lit(1)).as("n_mismatch"))
+      val words = docs.select(size(filter(split(trim(col("text")), "\\s+"),
+        w => length(w) > 0)).cast("long").as("nw"))
+      s1.agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("n_chars_total"), sum(col("nt")).as("__nt"))
+        .crossJoin(words.agg(sum(col("nw")).as("__nw"))) // 1-row gate join
+        .crossJoin(mism)                                 // 1-row gate join
+        .select(col("n_docs"),
+          col("n_chars_total").cast("long").as("n_chars_total"),
+          when(col("__nt") < col("n_chars_total"), 1L).otherwise(0L)
+            .as("compress_ok"),
+          when(col("__nt") >= col("__nw") && col("__nt") <= col("n_chars_total"),
+            1L).otherwise(0L).as("bounds_ok"),
+          when(col("n_mismatch") === 0, 1L).otherwise(0L).as("stable_ok"))
+    }),
+
     // W20 — INCREMENTAL column profile, v10's streaming twin: events
     // arrive as micro-batches; each writes one wide mergeable partial
     // (counts + typed min/max) and its batch-distinct injectively-
@@ -5749,6 +5803,21 @@ object SparkEntry {
         |  ON a.vec_id < b.vec_id
         | AND a.vec_id % 5 = 0
         | AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+
+    // t23: the conservation law is the exact cross-engine value — Σ BPE
+    // token lengths must equal the corpus' non-whitespace code points;
+    // the quality/stability gates are engine-side constants (the oracle
+    // cannot run BPE, so it pins the invariants instead — the d7/e6
+    // constant-oracle discipline; the merge semantics themselves are
+    // pinned by TextAnalysisSpec's closed-form fixtures).
+    "t23_bpe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(regexp_replace(text, '\s+', '', 'g'))) AS BIGINT)
+        |    AS n_chars_total,
+        |  CAST(1 AS BIGINT) AS compress_ok,
+        |  CAST(1 AS BIGINT) AS bounds_ok,
+        |  CAST(1 AS BIGINT) AS stable_ok
+        |FROM documents""".stripMargin,
 
     // w20: the BATCH profile of the same four columns — the incremental
     // state-log fold must hash-match batch truth (w17's gate shape).

@@ -172,6 +172,112 @@ object TextExpressions {
   def vocabScoreBp(c: Column, vocab: Map[String, Long]): Column =
     Shim.column(VocabScoreBp(Shim.expression(c), vocab))
 
+  /** `bpe_tokenize(string)`: byte-pair-encoding APPLY — the real
+    * subword-tokenization step (Sennrich et al. 2016 merge-list form,
+    * the GPT-2/tiktoken family's algorithm shape) with the learned merge
+    * list carried as a reference object, exactly like [[VocabScoreBp]]'s
+    * weight table. Per whitespace word (pre-tokenization boundary —
+    * merges NEVER cross whitespace): the word starts as its code-point
+    * symbols, then the adjacent pair with the LOWEST merge rank is
+    * merged (all its occurrences, left to right) until no adjacent pair
+    * is in the table. Output: the document's token array, word by word.
+    * Case is preserved and no characters are invented or dropped —
+    * concatenating the tokens reproduces the document's non-whitespace
+    * code points exactly (the conservation law the t23 gate checks).
+    *
+    * Scale: a learned merge list (10⁴–10⁵ rules) is <1 MB as a hash map
+    * riding the plan to every executor; tokenization is a zero-shuffle
+    * scan projection. The merge loop is O(|word|²·rules-hit) worst case
+    * per word — words are short (whitespace pre-tokenization bounds
+    * them), which is why every production BPE pre-tokenizes the same
+    * way. */
+  case class BpeTokenize(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(s"expected string, got ${dt.simpleString}")
+    }
+    override def prettyName: String = "bpe_tokenize"
+
+    // rank table keyed by "left right" — a space cannot occur inside a
+    // merge symbol (symbols are born from whitespace-split words), which
+    // is also why merges.txt files use the same encoding
+    @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](merges.size * 2)
+      var i = 0
+      merges.foreach { case (l, r) =>
+        val k = l + " " + r
+        if (!m.containsKey(k)) m.put(k, Integer.valueOf(i))
+        i += 1
+      }
+      m
+    }
+
+    private def tokenizeWord(word: String, out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+      // split into code-point symbols (never through a surrogate pair)
+      var parts = new scala.collection.mutable.ArrayBuffer[String](word.length)
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        val n = Character.charCount(cp)
+        parts += word.substring(i, i + n)
+        i += n
+      }
+      var done = parts.length < 2
+      while (!done) {
+        // lowest-rank adjacent pair present in the table
+        var best = -1
+        var bestRank = Int.MaxValue
+        var j = 0
+        while (j < parts.length - 1) {
+          val r = rank.get(parts(j) + " " + parts(j + 1))
+          if ((r ne null) && r.intValue() < bestRank) { bestRank = r.intValue(); best = j }
+          j += 1
+        }
+        if (best < 0) done = true
+        else {
+          // merge EVERY occurrence of that pair, left to right
+          val l = parts(best)
+          val r = parts(best + 1)
+          val next = new scala.collection.mutable.ArrayBuffer[String](parts.length)
+          var k = 0
+          while (k < parts.length) {
+            if (k < parts.length - 1 && parts(k) == l && parts(k + 1) == r) {
+              next += l + r; k += 2
+            } else { next += parts(k); k += 1 }
+          }
+          parts = next
+          done = parts.length < 2
+        }
+      }
+      parts.foreach(p => out += UTF8String.fromString(p))
+    }
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val words = input.asInstanceOf[UTF8String].toString.trim.split("\\s+", -1)
+      val out = new scala.collection.mutable.ArrayBuffer[Any]()
+      var i = 0
+      while (i < words.length) {
+        if (words(i).nonEmpty) tokenizeWord(words(i), out)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("bpeExpr", this, classOf[BpeTokenize].getName)
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($s);")
+    }
+    override protected def withNewChildInternal(c: Expression): BpeTokenize =
+      copy(child = c)
+  }
+
+  def bpeTokenize(c: Column, merges: Seq[(String, String)]): Column =
+    Shim.column(BpeTokenize(Shim.expression(c), merges))
+
   private[graft] def sqlBuilders
       : Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(

@@ -403,4 +403,57 @@ class TextAnalysisSpec extends SparkSpec {
         Seq((true, "a")).toDF("s", "text"), "text", col("s"))
     }
   }
+
+  private def bpe(text: String, merges: Seq[(String, String)]): Seq[String] =
+    Seq(Tuple1(text)).toDF("t")
+      .select(TextExpressions.bpeTokenize(col("t"), merges).as("toks"))
+      .head().getSeq[String](0)
+
+  test("bpeTokenize: closed-form merge semantics") {
+    // all occurrences of the chosen pair merge in one round
+    assert(bpe("abab", Seq(("a", "b"))) == Seq("ab", "ab"))
+    // rank order chains merges: (a,b) then (ab,c)
+    assert(bpe("abc", Seq(("a", "b"), ("ab", "c"))) == Seq("abc"))
+    // LOWEST-rank pair wins even when a higher-rank pair appears earlier
+    // in the word: rank 0 = (b,c) fires before rank 1 = (a,b) could
+    assert(bpe("abc", Seq(("b", "c"), ("a", "b"))) == Seq("a", "bc"))
+    // left-to-right single-round merging: "aaab" under (a,a) gives
+    // [aa, a, b] — the leftover 'a' does NOT re-pair with the merged aa
+    assert(bpe("aaab", Seq(("a", "a"))) == Seq("aa", "a", "b"))
+    // merges never cross a whitespace boundary
+    assert(bpe("ab ab", Seq(("b", "a"))) == Seq("a", "b", "a", "b"))
+    // empty merge list = code-point symbols
+    assert(bpe("héé", Nil) == Seq("h", "é", "é"))
+  }
+
+  test("bpeTokenize conserves non-whitespace code points in order") {
+    val merges = Seq(("a", "b"), ("ab", "c"), ("d", "e"))
+    val texts = Seq("abc de fabcde", "  spaced   out  ", "xyz")
+    texts.foreach { t =>
+      assert(bpe(t, merges).mkString("") == t.replaceAll("\\s+", ""))
+    }
+  }
+
+  test("bpeLearn picks most-frequent pairs deterministically and chains") {
+    // corpus: "ab" dominates; after merging (a,b), pair (ab,c) dominates
+    val docs = Seq("abc abc ab", "abc ab zz").toDF("text")
+    val merges = TextAnalysis.bpeLearn(docs, "text", nMerges = 3)
+    assert(merges.take(2) == Seq(("a", "b"), ("ab", "c")))
+    // and applying the learned list compresses the training text
+    assert(bpe("abc ab", merges) == Seq("abc", "ab"))
+  }
+
+  test("bpeLearn stops when no pair repeats") {
+    val docs = Seq("ab", "cd").toDF("text") // every adjacent pair unique
+    assert(TextAnalysis.bpeLearn(docs, "text", nMerges = 5).isEmpty)
+  }
+
+  test("bpeLearnLocal == distributed bpeLearn (same merges, same order)") {
+    val texts = Seq("abc abc ab", "abc ab zz", "zzq zzq abq",
+      "the quick fox the quick", "aa aa aab")
+    val dist = TextAnalysis.bpeLearn(texts.toDF("text"), "text", nMerges = 8)
+    val local = TextAnalysis.bpeLearnLocal(texts, nMerges = 8)
+    assert(local == dist)
+    assert(local.nonEmpty)
+  }
 }

@@ -3414,6 +3414,53 @@ object SparkEntry {
       EntityResolution.resolve(recs, "rec_id", pairs)
     }),
 
+    // ER4 — sorted-neighborhood linkage (SNM, Hernández & Stolfo 1995):
+    // the window-on-a-sorted-key alternative to er1's key blocking —
+    // per-record fan-out bounded by the window even under block-key
+    // skew. Rank = Zip.globalRank (j2's scale path: range partition +
+    // offsets, no single-task sort); neighborhood = equi-join on
+    // position. Oracle: row_number CTE + rank-band join + er1's scoring.
+    "er4_sorted_neighborhood" -> ((s, dir) => {
+      val recs = erRecords(t(s, dir, "part"))
+      val cand = EntityResolution.sortedNeighborhoodCandidates(recs, "rec_id",
+        col("name"), window = 8)
+      EntityResolution.scorePairs(recs, "rec_id", "name", cand, ErMinSimBp)
+    }),
+
+    // W21 — INCREMENTAL entity resolution, er1's streaming twin: the
+    // record fixture arrives as 3 micro-batches split by rec_id mod 3 —
+    // every clean/dirty twin pair lands in DIFFERENT batches, so the
+    // linkage is genuinely cross-batch. Each batch links against the
+    // registry prefix + itself (candidatesTouching — the registry never
+    // re-pairs with itself), matches land in overwrite deltas, and the
+    // folded distinct union must equal er1's BATCH linkage of all
+    // deliveries — er1's SQL (uncapped at this scale) is the oracle.
+    "w21_stream_er" -> ((s, dir) => {
+      import graft.streaming.ErStream
+      val recs = erRecords(t(s, dir, "part"))
+      val root = s"$streamScratchDir/${dirKey(dir)}_w21"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      for (b <- 0 until 3) {
+        val tmp = s"$root/tmp$b"
+        recs.filter(pmod(col("rec_id"), lit(3)) === b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$in/b$b.parquet"))
+        rmTree(tmp)
+      }
+      val schema = s.read.parquet(in).schema
+      val q = ErStream.start(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+        "rec_id", "name", erBlock, ErMinSimBp,
+        stateDir = s"$root/state", ckptDir = s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      ErStream.folded(s, s"$root/state")
+    }),
+
     // ER3 golden records: one survivor per entity under the preference
     // order (longest — least-damaged — name first, id tiebreak) + member
     // count, via the d14 representatives window.
@@ -5864,6 +5911,49 @@ object SparkEntry {
         |  CAST(floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
         |    greatest(length(a.name), length(b.name)))) AS BIGINT) AS sim_bp
         |FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.rec_id < b.rec_id
+        |WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
+        |    greatest(length(a.name), length(b.name)))) >= 8500""".stripMargin,
+
+    // er4: SNM recomputed relationally — global rank via row_number
+    // (identical (name, rec_id) order; binary collation both engines),
+    // neighborhood as a rank-band join, er1's scoring.
+    "er4_sorted_neighborhood" ->
+      """WITH recs AS (
+        |  SELECT p_partkey * 2 AS rec_id, p_name AS name,
+        |    p_brand AS brand, p_size AS size FROM part
+        |  UNION ALL
+        |  SELECT p_partkey * 2 + 1, substr(p_name, 1, length(p_name) - 1),
+        |    p_brand, p_size FROM part
+        |  WHERE ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2))::BIGINT < 64),
+        |rk AS (
+        |  SELECT rec_id, name,
+        |    row_number() OVER (ORDER BY name, rec_id) AS rn FROM recs)
+        |SELECT least(a.rec_id, b.rec_id) AS id_a,
+        |  greatest(a.rec_id, b.rec_id) AS id_b,
+        |  CAST(floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
+        |    greatest(length(a.name), length(b.name)))) AS BIGINT) AS sim_bp
+        |FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn <= a.rn + 7
+        |WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
+        |    greatest(length(a.name), length(b.name)))) >= 8500""".stripMargin,
+
+    // w21: er1's BATCH linkage (uncapped — the stream runs uncapped, and
+    // the cap never binds at judged scales anyway) over the union of all
+    // deliveries — the incremental match deltas must fold to batch truth.
+    "w21_stream_er" ->
+      """WITH recs AS (
+        |  SELECT p_partkey * 2 AS rec_id, p_name AS name,
+        |    p_brand AS brand, p_size AS size FROM part
+        |  UNION ALL
+        |  SELECT p_partkey * 2 + 1, substr(p_name, 1, length(p_name) - 1),
+        |    p_brand, p_size FROM part
+        |  WHERE ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2))::BIGINT < 64),
+        |keyed AS (
+        |  SELECT rec_id, name,
+        |    brand || '|' || size || '|' || substr(name, 1, 2) AS bk FROM recs)
+        |SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+        |  CAST(floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
+        |    greatest(length(a.name), length(b.name)))) AS BIGINT) AS sim_bp
+        |FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.rec_id < b.rec_id
         |WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
         |    greatest(length(a.name), length(b.name)))) >= 8500""".stripMargin,
 

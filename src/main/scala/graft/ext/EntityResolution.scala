@@ -61,17 +61,73 @@ object EntityResolution {
       .select("id_a", "id_b")
   }
 
-  /** Matched record pairs: [[candidates]] scored by normalized
+  /** Candidate pairs touching a NEW subset: pairs within a block where
+    * at least one endpoint satisfies `isNew`, each unordered pair
+    * exactly once (`id_a < id_b`) — the incremental-linkage probe shape
+    * (a micro-batch of arrivals matched against the registry AND itself
+    * without re-pairing the registry against itself; the same
+    * exactly-once filter as [[TextDedup.anchoredJaccardPairs]]).
+    * A record's block key must not change across deliveries. */
+  def candidatesTouching(
+      records: DataFrame, id: String, block: Column, isNew: Column,
+      maxBlock: Option[Int] = None): DataFrame = {
+    val keyed = records.select(block.as("_bk"), col(id), isNew.as("_new"))
+      .filter(col("_bk").isNotNull)
+    val kept = maxBlock match {
+      case Some(m) =>
+        val big = keyed.groupBy("_bk").agg(count(lit(1)).as("_c"))
+          .filter(col("_c") > m).select("_bk")
+        keyed.join(big, Seq("_bk"), "left_anti")
+      case None => keyed
+    }
+    val newSide = kept.filter(col("_new"))
+      .select(col("_bk"), col(id).as("_ida"))
+    // a<b keeps a both-new pair once in canonical order; a>b survives
+    // only against an OLD b (the mirrored both-new row cannot double-
+    // count, while a new record still reaches its smaller old neighbours)
+    newSide
+      .join(kept.select(col("_bk"), col(id).as("_idb"), col("_new")), Seq("_bk"))
+      .filter(col("_ida") < col("_idb") ||
+        (col("_ida") > col("_idb") && !col("_new")))
+      .select(least(col("_ida"), col("_idb")).as("id_a"),
+        greatest(col("_ida"), col("_idb")).as("id_b"))
+  }
+
+  /** Sorted-neighborhood candidates (Hernández & Stolfo 1995 SNM):
+    * records globally ranked by a prepared sort key
+    * ([[graft.ops.Zip.globalRank]] — range partition + per-partition
+    * offsets, never a single-task global sort); each record pairs with
+    * its `window − 1` successors via an EQUI-join on position (every
+    * record probes the ranks behind it), so per-record fan-out is
+    * bounded by the window regardless of key-collision skew — the
+    * complementary failure mode to key [[candidates]] blocking, which
+    * collapses when many records share a block. Pairs come out
+    * canonical (`id_a < id_b`), each exactly once (ranks are unique). */
+  def sortedNeighborhoodCandidates(
+      records: DataFrame, id: String, sortKey: Column,
+      window: Int): DataFrame = {
+    require(window >= 2, s"sorted-neighborhood window must be >= 2, got $window")
+    val ranked = graft.ops.Zip.globalRank(
+      records.select(col(id), sortKey.as("__sk")),
+      Seq(col("__sk"), col(id)))
+      .select(col(id), col("rn"))
+    val probes = ranked.select(col(id).as("_idl"),
+      explode(sequence(col("rn") + 1, col("rn") + (window - 1))).as("rn"))
+    probes.join(ranked.select(col(id).as("_idr"), col("rn")), Seq("rn"))
+      .select(least(col("_idl"), col("_idr")).as("id_a"),
+        greatest(col("_idl"), col("_idr")).as("id_b"))
+  }
+
+  /** Score a candidate pair frame `(id_a, id_b)` by normalized
     * Levenshtein similarity of `attr` —
     * `sim_bp = ⌊10⁴·(1 − lev(a,b)/max(|a|,|b|))⌋` — kept at
     * `sim_bp ≥ minSimBp`. Identical strings score 10⁴; the floor-to-bp
     * boundary is exact integer arithmetic on both engines. Attribute
     * values re-attach to the (small) candidate pair set by id equi-join,
     * so the corpus shuffles its (id, attr) projection, never whole rows. */
-  def matchPairs(
-      records: DataFrame, id: String, attr: String, block: Column,
-      minSimBp: Int, maxBlock: Option[Int] = None): DataFrame = {
-    val cand = candidates(records, id, block, maxBlock)
+  def scorePairs(
+      records: DataFrame, id: String, attr: String, cand: DataFrame,
+      minSimBp: Int): DataFrame = {
     val vals = records.select(col(id), col(attr).as("_v"))
     val la = length(col("_va"))
     val lb = length(col("_vb"))
@@ -85,6 +141,14 @@ object EntityResolution {
       .filter(col("sim_bp") >= minSimBp)
       .select(col("id_a"), col("id_b"), col("sim_bp"))
   }
+
+  /** Matched record pairs: block [[candidates]] scored by
+    * [[scorePairs]]. */
+  def matchPairs(
+      records: DataFrame, id: String, attr: String, block: Column,
+      minSimBp: Int, maxBlock: Option[Int] = None): DataFrame =
+    scorePairs(records, id, attr, candidates(records, id, block, maxBlock),
+      minSimBp)
 
   /** Entity assignment: transitive closure of the matched pairs over ALL
     * records — `(id, entity_id)` with `entity_id` = min record id in the

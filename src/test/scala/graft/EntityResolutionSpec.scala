@@ -47,6 +47,26 @@ class EntityResolutionSpec extends SparkSpec {
     assert(m == Set((1L, 2L, 8888L), (1L, 6L, 9000L)))
   }
 
+  test("candidatesTouching: exactly the pairs touching the new subset, each once") {
+    // block B1|5|re = {1, 2, 4, 6}; new = {2, 6} exercises both-new
+    // dedup (2,6), new-reaching-smaller-old (1,2)/(1,6), and
+    // old-reaching-larger-new (2,4)/(4,6)
+    val c = EntityResolution.candidatesTouching(
+        recs, "rec_id", block, col("rec_id").isin(2L, 6L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(c.toSet == Set((1L, 2L), (2L, 4L), (2L, 6L), (1L, 6L), (4L, 6L)))
+    assert(c.length == 5, "each pair exactly once")
+  }
+
+  test("sortedNeighborhoodCandidates: w-1 rank successors, name-tie broken by id") {
+    // (name, rec_id) order: green gear(5) < re xxxxx(4) < red plat(2)
+    // < red plate(1) < red plate(3) < red plates(6)
+    val cand = EntityResolution.sortedNeighborhoodCandidates(
+        recs, "rec_id", col("name"), window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand == Set((4L, 5L), (2L, 4L), (1L, 2L), (1L, 3L), (3L, 6L)))
+  }
+
   test("resolve closes matches transitively; singletons label themselves") {
     val pairs = EntityResolution.matchPairs(recs, "rec_id", "name", block, 8500)
     val ent = EntityResolution.resolve(recs, "rec_id", pairs)

@@ -451,6 +451,37 @@ class StreamingSpec extends SparkSpec {
     assert(fold() == expect, "replayed batch must not change any stat")
   }
 
+  test("w21 ER match deltas: cross-batch linkage, replay and order absorbed") {
+    import graft.streaming.ErStream
+    import graft.ext.EntityResolution
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "red plate", "B1", 5), (2L, "red plat", "B1", 5),
+      (3L, "red plate", "B1", 7), (4L, "re xxxxx", "B1", 5),
+      (5L, "green gear", "B2", 9), (6L, "red plates", "B1", 5))
+      .toDF("rec_id", "name", "brand", "size")
+    val block =
+      concat_ws("|", col("brand"), col("size"), substring(col("name"), 1, 2))
+    val expect = EntityResolution.matchPairs(recs, "rec_id", "name", block, 8500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expect == Set((1L, 2L, 8888L), (1L, 6L, 9000L)))
+    val b0 = recs.filter(col("rec_id").isin(1L, 4L, 5L)) // twins split
+    val b1 = recs.filter(col("rec_id").isin(2L, 3L, 6L)) // across batches
+    def fold(dir: String) = ErStream.folded(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val d1 = java.nio.file.Files.createTempDirectory("w21_er").toString
+    ErStream.absorb(b0, "rec_id", "name", block, 8500, d1, 0L)
+    ErStream.absorb(b1, "rec_id", "name", block, 8500, d1, 1L)
+    assert(fold(d1) == expect, "cross-batch pairs must be found")
+    ErStream.absorb(b1, "rec_id", "name", block, 8500, d1, 1L) // crash-replay
+    assert(fold(d1) == expect, "replay must overwrite its own delta")
+    val d2 = java.nio.file.Files.createTempDirectory("w21_er_rev").toString
+    ErStream.absorb(b1, "rec_id", "name", block, 8500, d2, 0L)
+    ErStream.absorb(b0, "rec_id", "name", block, 8500, d2, 1L)
+    assert(fold(d2) == expect, "delivery order must not change the fold")
+  }
+
   test("w20 profile fold on an empty state dir yields a zero profile") {
     import graft.streaming.ProfileStream
     val dir = java.nio.file.Files.createTempDirectory("w20_empty").toString

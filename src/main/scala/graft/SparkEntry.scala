@@ -1546,6 +1546,12 @@ object SparkEntry {
       val cust = t(s, dir, "customer")
       val ord = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
+      // the lineitem-derived sheets feed SEVERAL node branches of the
+      // final 6-way fingerprint union (file, sample semi-join, both J3
+      // mapping legs); persisted, the 20-scan/28-exchange plan collapses
+      // to one materialization each (bench drain unpersists after)
+      def cached(df: DataFrame): DataFrame =
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sheets = Map(
         "Study" -> s.range(1).select(
           lit("phs001424").as("PHS Accession"),
@@ -1558,17 +1564,17 @@ object SparkEntry {
         // sample would trip J3's all-or-nothing rule and (faithfully)
         // drop BOTH legs' columns — the drop branch is spec-tested, the
         // e2e gate exercises the kept path
-        "Sample" -> ord.join(li.select(col("l_orderkey")).distinct(),
+        "Sample" -> cached(ord.join(li.select(col("l_orderkey")).distinct(),
             col("o_orderkey") === col("l_orderkey"), "left_semi")
           .select(
             concat(lit("S"), col("o_orderkey")).as("Sample ID"),
-            col("o_orderpriority").as("Sample Type")),
-        "File" -> li.select(
+            col("o_orderpriority").as("Sample Type"))),
+        "File" -> cached(li.select(
           concat(lit("f_"), col("l_orderkey"), lit("_"), col("l_linenumber"),
             lit(".bam")).as("File Name"),
           col("l_quantity").cast("string").as("File Size"),
           // unmapped by the dict -> the :66-73 fallback must find it
-          concat(lit("G"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("guid")),
+          concat(lit("G"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("guid"))),
         "Genomic Info" -> ord.filter(col("o_orderkey") % 7 === 0).select(
           concat(lit("L"), col("o_orderkey")).as("Library ID"),
           col("o_orderstatus").as("Library Strategy")),
@@ -1576,13 +1582,13 @@ object SparkEntry {
           concat(lit("D"), col("c_custkey")).as("Diagnosis ID"),
           col("c_mktsegment").as("Primary Diagnosis"),
           concat(lit("P"), col("c_custkey")).as("participant_id")),
-        "File-Participant-Sample Mapping" -> li
+        "File-Participant-Sample Mapping" -> cached(li
           .join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(
             concat(lit("G"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("file_id"),
             concat(lit("S"), col("l_orderkey")).as("sample_id"),
             concat(lit("P"), col("o_custkey")).as("participant_id"),
-            (col("l_orderkey") * 100 + col("l_linenumber")).as("row_order")))
+            (col("l_orderkey") * 100 + col("l_linenumber")).as("row_order"))))
       val specs = Seq(
         SheetSpec("study", "Study", Map(
           "PHS Accession" -> "phs_accession", "Study Name" -> "study_name")),
@@ -3024,22 +3030,23 @@ object SparkEntry {
         .collect()(0)
       val (tlo, thi) = (mm.getLong(0), mm.getLong(1))
       val (c1, c2) = (tlo + (thi - tlo) / 3, tlo + 2 * (thi - tlo) / 3)
-      val conds = Seq(
-        unix_micros(col("ts")) <= c1,
-        unix_micros(col("ts")) > c1 && unix_micros(col("ts")) <= c2,
-        unix_micros(col("ts")) > c2)
-      for ((cond, b) <- conds.zipWithIndex) {
-        val tmp = s"$root/tmp$b"
-        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
+      // ONE pass stages all three terciles (write.partitionBy fans the
+      // single scan out to b=0/1/2 — three filtered scans cost 3×)
+      val tmp = s"$root/tmpall"
+      ev.withColumn("__b",
+          when(unix_micros(col("ts")) <= c1, 0)
+            .when(unix_micros(col("ts")) <= c2, 1).otherwise(2))
+        .coalesce(1).write.partitionBy("__b").mode("overwrite").parquet(tmp)
+      for (b <- 0 until 3) {
+        val part = new java.io.File(s"$tmp/__b=$b").listFiles()
           .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
         val dst = java.nio.file.Paths.get(s"$in/b$b.parquet")
         java.nio.file.Files.move(part.toPath, dst)
         // maxFilesPerTrigger=1 dequeues oldest-modTime first: pin the
         // tercile order explicitly (time-ordered delivery precondition)
         dst.toFile.setLastModified(1700000000000L + b * 60000L)
-        rmTree(tmp)
       }
+      rmTree(tmp)
       val schema = s.read.parquet(in).schema
       val q = SessionStream.start(
         Tables.normalizeTs(

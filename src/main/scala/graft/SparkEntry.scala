@@ -1466,33 +1466,57 @@ object SparkEntry {
       // v1 positional semantics are sequential BY SPEC (a workbook's row
       // order is the alignment key), so the fixture's ordinals use the
       // un-partitioned row_number the reference's data sizes warrant —
-      // measured cheaper than the distributed Zip.globalRank up to sf1
-      // (the rank's eager materialization costs more than one task
-      // sorting workbook-scale rows). Corpus-scale positional work goes
-      // through Zip.globalRank instead (spec-pinned).
-      def rnLi = row_number().over(
-        Window.orderBy(col("l_orderkey"), col("l_linenumber"))).cast("long")
-      def rnOrd = row_number().over(Window.orderBy(col("o_orderkey"))).cast("long")
-      val fileSheet = li.select(
+      // measured cheaper than the distributed Zip.globalRank at BOTH
+      // sf0.1 and sf1 (globalRank's per-call eager checkpoint + count
+      // action costs more than one task sorting workbook-scale rows:
+      // 7.2s vs 1.4s at sf0.1). Corpus-scale positional work goes
+      // through Zip.globalRank instead (spec-pinned). The two
+      // base-table ordinal assignments are CACHED (v14's discipline):
+      // every lineitem/orders-derived sheet projects off one
+      // materialized indexed frame, so each global sort runs once, not
+      // once per sheet per consuming node branch (bench drain
+      // unpersists after). Filtered sheets re-rank within their slice
+      // off the precomputed __row — monotone in the original sort keys,
+      // so one long sorts instead of the key tuple.
+      def cached(df: DataFrame): DataFrame =
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val liIdx = cached(li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_partkey"),
+        row_number().over(
+          Window.orderBy(col("l_orderkey"), col("l_linenumber")))
+          .cast("long").as("__row")))
+      val ordIdx = cached(ord.select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        row_number().over(Window.orderBy(col("o_orderkey")))
+          .cast("long").as("__row")))
+      def rerank(df: DataFrame): DataFrame = {
+        val keep = df.columns.filterNot(_ == "__row").map(col)
+        df.select(keep :+ row_number().over(Window.orderBy(col("__row")))
+          .cast("long").as("__row"): _*)
+      }
+      val fileSheet = liIdx.select(
         concat(lit("f_"), col("l_orderkey"), lit("_"), col("l_linenumber"),
           lit(".bam")).as("File Name"),
         col("l_quantity").cast("string").as("File Size"),
-        rnLi.as("__row"))
-      val giSheet = ord.filter(col("o_orderkey") % 5 === 0).select(
-        col("o_orderstatus").as("Library Strategy"), rnOrd.as("__row"))
-      val manifest = li.select(
+        col("__row"))
+      val giSheet = rerank(ordIdx.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderstatus").as("Library Strategy"), col("__row")))
+      val manifest = liIdx.select(
         concat(lit("G"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("GUID"),
         lit("open").as("acl"),
         concat(lit("S"), col("l_orderkey")).as("sample_id"),
         concat(lit("L"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("library_id"),
-        rnLi.as("__row"))
-      val cgc = ord.crossJoin(s.range(2).select(col("id").as("__dup"))).select(
-        concat(lit("S"), col("o_orderkey")).as("Sample ID"),
-        concat(lit("P"), col("o_custkey")).as("Participant ID"),
-        row_number().over(Window.orderBy(col("o_orderkey"), col("__dup")))
-          .cast("long").as("__row"))
-      val sra = li.filter(col("l_linenumber") <= 3).select(
-        col("l_partkey").cast("string").as("file size"), rnLi.as("__row"))
+        col("__row"))
+      val cgc = rerank(ordIdx
+        .crossJoin(s.range(2).select(col("id").as("__dup")))
+        .select(
+          concat(lit("S"), col("o_orderkey")).as("Sample ID"),
+          concat(lit("P"), col("o_custkey")).as("Participant ID"),
+          (col("__row") * 2 + col("__dup")).as("__row")))
+      val sra = rerank(liIdx.filter(col("l_linenumber") <= 3)
+        .select(col("l_partkey").cast("string").as("file size"), col("__row")))
       val studyOneRow = s.range(1).select(
         lit("phs001424").as("phs_accession"),
         lit("Fixture Study").as("study_name"),
@@ -1500,9 +1524,9 @@ object SparkEntry {
         lit("http://example.org/s").as("study_external_url"),
         lit("open").as("acl"))
       val studyDf = Primordial.scalarSheet(studyOneRow, manifest, "__row")
-      val sampleSheet = ord.filter(col("o_orderkey") % 2 === 0).select(
+      val sampleSheet = rerank(ordIdx.filter(col("o_orderkey") % 2 === 0).select(
         concat(lit("S"), col("o_orderkey")).as("Sample ID"),
-        col("o_orderpriority").as("Sample Type"), rnOrd.as("__row"))
+        col("o_orderpriority").as("Sample Type"), col("__row")))
       val participantSheet = cust.select(
         concat(lit("P"), col("c_custkey")).as("Participant ID"),
         lower(col("c_mktsegment")).as("Gender"),

@@ -35,8 +35,10 @@ import org.apache.spark.sql.functions._
   * [[graft.ops.Zip]]); v1 frames are single-workbook-sized, and every
   * alignment here is an equi-join on a precomputed row-index column the
   * CALLER supplies per sheet (`rowIdx`) — no global windows inside the
-  * loop, and the joins broadcast. Data-scale pipelines use the v1.3
-  * [[Pipeline]] path instead.
+  * loop. Join strategy is left to AQE: at workbook scale every side is
+  * broadcast-sized and AQE broadcasts it; a forced hint would instead
+  * push oversized sides through the driver when the fixture is scaled
+  * up. Data-scale pipelines use the v1.3 [[Pipeline]] path instead.
   */
 object Primordial {
 
@@ -106,7 +108,7 @@ object Primordial {
     var out = anchorDf.select(col(rowIdx) +: colsOf(anchorName, anchorDf): _*)
     for ((sn, df) <- contributing if sn != anchorName) {
       val side = df.select(col(rowIdx) +: colsOf(sn, df): _*)
-      out = out.join(broadcast(side), Seq(rowIdx), "left")
+      out = out.join(side, Seq(rowIdx), "left")
     }
     Some(out)
   }
@@ -137,7 +139,7 @@ object Primordial {
             // drop_duplicates ignores the INDEX and keeps the first
             // occurrence — so dedup on the data columns only, retaining
             // the minimal row index per duplicate group
-            val joined = d.join(broadcast(newDf.drop(rowIdx)), Seq(key), "left")
+            val joined = d.join(newDf.drop(rowIdx), Seq(key), "left")
             if (dedupAfterJoin) {
               val dataCols = joined.columns.filterNot(_ == rowIdx).toSeq
               val w = org.apache.spark.sql.expressions.Window
@@ -147,7 +149,7 @@ object Primordial {
                 .filter(col("__dd") === 1).drop("__dd")
             } else joined
           case None =>
-            d.join(broadcast(newDf), Seq(rowIdx), concatType)
+            d.join(newDf, Seq(rowIdx), concatType)
         }
     }
 

@@ -3339,6 +3339,19 @@ object SparkEntry {
       recall.crossJoin(reduction)
     }),
 
+    // T24 — bigram-LM quality scoring (Stupid Backoff, Brants et al.
+    // 2007): the perplexity-filter shape — an LM counted on one slice
+    // scores the other. Train = even doc_ids (v11's parity split),
+    // score = odd. Semantics, fixed-point discipline, and join shape in
+    // TextAnalysis.bigramLmScore's scaladoc.
+    "t24_bigram_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bigramLmScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+    }),
+
     // T23 — BPE subword tokenization: learn a merge list on the
     // content-addressed 256-doc sample (the production train-on-a-sample
     // shape), APPLY it to the full corpus with the compiled kernel, and
@@ -5881,6 +5894,47 @@ object SparkEntry {
         |  ON a.vec_id < b.vec_id
         | AND a.vec_id % 5 = 0
         | AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+
+    // t24: full relational recomputation — train-slice unigram/bigram
+    // counts, the Stupid-Backoff branch per score-slice position, the
+    // same round(ln·10⁶)-before-sum fixed point.
+    "t24_bigram_lm" ->
+      """WITH tr AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS a FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |uni AS (SELECT unnest(a) AS w FROM tr),
+        |uc AS (SELECT w, count(*) AS cu FROM uni GROUP BY 1),
+        |nv AS (SELECT CAST(sum(cu) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS v FROM uc),
+        |bc AS (
+        |  SELECT w1, w2, count(*) AS cb FROM (
+        |    SELECT unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2
+        |    FROM tr)
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |pos AS (
+        |  SELECT doc_id, unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2
+        |  FROM sc),
+        |term AS (
+        |  SELECT pos.doc_id,
+        |    CAST(round(ln(CASE WHEN bc.cb IS NOT NULL
+        |      THEN bc.cb * 1.0 / u1.cu
+        |      ELSE 0.4 * (coalesce(u2.cu, 0) + 1) / (nv.n + nv.v) END)
+        |      * 1000000) AS BIGINT) AS m
+        |  FROM pos
+        |  LEFT JOIN bc ON bc.w1 = pos.w1 AND bc.w2 = pos.w2
+        |  LEFT JOIN uc u1 ON u1.w = pos.w1
+        |  LEFT JOIN uc u2 ON u2.w = pos.w2
+        |  CROSS JOIN nv)
+        |SELECT s.doc_id,
+        |  CAST(coalesce(t.nb, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(t.lm, 0) AS BIGINT) AS lm_micro
+        |FROM (SELECT DISTINCT doc_id FROM sc) s
+        |LEFT JOIN (SELECT doc_id, count(*) AS nb, sum(m) AS lm
+        |  FROM term GROUP BY 1) t
+        |  USING (doc_id)""".stripMargin,
 
     // t23: the conservation law is the exact cross-engine value — Σ BPE
     // token lengths must equal the corpus' non-whitespace code points;

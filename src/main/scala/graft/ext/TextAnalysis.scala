@@ -379,6 +379,63 @@ object TextAnalysis {
           .as("logprob"))
   }
 
+  /** Bigram-LM quality scoring with Stupid Backoff (Brants et al. 2007,
+    * "Large Language Models in Machine Translation") — the
+    * perplexity-filter shape: an LM counted on `train` scores each
+    * `score` document. Per bigram position (w1, w2):
+    *   p = c(w1,w2) / c(w1)            when the LM saw the bigram
+    *     = 0.4 · (c(w2)+1) / (N+V)     otherwise (Laplace unigram tier,
+    *                                    so train-unseen words stay finite)
+    * and the per-doc score is the sum of round(ln(p)·10⁶) — each term
+    * fixed-pointed to micro-units BEFORE the sum ([[unigramJsDivergence]]'s
+    * discipline: summation order can never move the scalar, so the result
+    * is partitioning-independent).
+    *
+    * Shape: two count aggregates over the train slice (exchange carries
+    * one row per distinct unigram/bigram, not per token); the score
+    * stream's positions take three equi-joins (bigram LM + two unigram
+    * probes — Zipf-skewed keys, AQE broadcasts when the LM fits and
+    * skew-splits when it doesn't); N+V rides a 1-row broadcast; one
+    * per-doc sum. No window, no cartesian, nothing quadratic — LM size
+    * tracks vocabulary, not corpus text.
+    * Output: id, n_bigrams, lm_micro. */
+  def bigramLmScore(train: DataFrame, score: DataFrame, id: String,
+                    text: String): DataFrame = {
+    val toksArr = split(trim(col(text)), "\\s+")
+    val uni = train.select(explode(toksArr).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val nv = uni.agg(sum(col("cu")).as("_n"), count(lit(1)).as("_v"))
+    def bigrams(df: DataFrame, extra: Seq[Column]): DataFrame = df
+      .select(extra ++ Seq(
+        slice(toksArr, lit(1), size(toksArr) - 1).as("l"),
+        slice(toksArr, lit(2), size(toksArr) - 1).as("r")): _*)
+      .select(extra :+ explode(arrays_zip(col("l"), col("r"))).as("z"): _*)
+      .select(extra ++ Seq(col("z.l").as("w1"), col("z.r").as("w2")): _*)
+    val bc = bigrams(train, Nil)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val term = bigrams(score, Seq(col(id)))
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("p",
+        when(col("cb").isNotNull, col("cb") / col("cu1"))
+          .otherwise(lit(0.4) * (coalesce(col("cu2"), lit(0L)) + lit(1L))
+            / (col("_n") + col("_v")).cast("double")))
+      .select(col(id), round(log(col("p")) * lit(1000000)).cast("long").as("m"))
+    score.select(col(id))
+      .join(term.groupBy(col(id))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("m")).as("lm_micro")),
+        Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_micro"), lit(0L)).as("lm_micro"))
+      // vacuously true, but it bears on cardinality: under a bare
+      // count() action the unique-key left join would otherwise prune
+      // the whole LM pipeline (the d12 count-elimination lesson)
+      .filter(col("n_bigrams") >= 0)
+  }
+
   /** Per-document word n-gram repetition (Gopher-style repetitiousness
     * signal): rep_bp = floor((1 - distinct/total) * 10⁴) over the doc's
     * word n-grams WITH multiplicity. Shape: a ZERO-SHUFFLE scan

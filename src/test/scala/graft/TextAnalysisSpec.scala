@@ -103,6 +103,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bigramLmScore: closed-form Stupid Backoff — seen branch, backoff branch, empty docs") {
+    // train: "a b a" + "a b c" -> uni a:3 b:2 c:1 (N=6, V=3);
+    //        bigrams (a,b):2 (b,a):1 (b,c):1
+    val train = Seq((0L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    // score doc 1 "a b x": (a,b) seen -> p = 2/3; (b,x) unseen, x not in
+    // train -> p = 0.4*(0+1)/9. doc 3 has one token (no bigram), doc 5 is
+    // whitespace-only (split -> [""], no bigram) — both emit (0, 0).
+    val score = Seq((1L, "a b x"), (3L, "z"), (5L, "  ")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val m1 = math.round(math.log(2.0 / 3.0) * 1e6)          // -405465
+    val m2 = math.round(math.log(0.4 * 1 / 9.0) * 1e6)      // -3113515
+    assert(m1 == -405465L && m2 == -3113515L)
+    assert(out(1L) == ((2L, m1 + m2)))
+    assert(out(3L) == ((0L, 0L)))
+    assert(out(5L) == ((0L, 0L)))
+  }
+
+  test("bigramLmScore is partitioning-independent (fixed-point before sum)") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 11} common word"))
+      .toDF("doc_id", "text")
+    val tr = docs.filter(col("doc_id") % 2 === 0)
+    val sc = docs.filter(col("doc_id") % 2 === 1)
+    val one = TextAnalysis.bigramLmScore(tr.coalesce(1), sc.coalesce(1),
+      "doc_id", "text").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val many = TextAnalysis.bigramLmScore(tr.repartition(13), sc.repartition(7),
+      "doc_id", "text").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(one == many && one.size == 20)
+  }
+
   test("unigramLogProb: uniform corpus scores ln(c/total); rare-token docs score lower") {
     // corpus term counts: a=4 (3 in doc1, 1 in doc4), b=2, c=2 -> total 8
     val docs = Seq((1L, "a a a"), (2L, "b b"), (3L, "c"), (4L, "a c"))

@@ -2102,6 +2102,27 @@ object SparkEntry {
         .select(col("doc_id"), Multimodal.sniffKind(col("content")).as("kind"))
     }),
 
+    // M7 — perceptual-hash near-dup for media (aHash/pHash shape, the
+    // binary-layer twin of d10's SimHash): stub-decoded 48-bit hashes in
+    // the amortized-init mapPartitions slot, 4×12-bit banded candidate
+    // equi-join (bucket-capped, d9's cap discipline), Hamming≤6 verify.
+    // Twins planted on every 25th doc flip exactly the LAST luma sample
+    // (the case branch guarantees the flip regardless of the original
+    // byte) → every planted pair MUST surface at hamming=1; the oracle
+    // recomputes hash, bands, cap and verify relationally.
+    "m7_media_phash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val twins = docs.filter(col("doc_id") % 25 === 0).select(
+        (col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text").substr(lit(1), length(col("text")) - 1),
+          when(ascii(col("text").substr(length(col("text")), lit(1))) > 109,
+            lit("a")).otherwise(lit("z"))).as("text"))
+      val blobs = docs.union(twins)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      val ph = Multimodal.perceptualHash(blobs, "doc_id", "content").toDF()
+      Multimodal.phashNearDup(ph, "doc_id", "phash")
+    }),
+
     // M2 frame sampling (Multimodal.sampleFrames) is exercised and judged
     // through m4_frame_gate: cardinality, byte conservation, and
     // partition-independence of the same mapPartitions path.
@@ -4141,6 +4162,37 @@ object SparkEntry {
         |    WHEN 4 THEN 'video/mp4'
         |    ELSE 'application/octet-stream' END AS kind
         |FROM documents""".stripMargin,
+
+    // m7: full relational recomputation of the stub hash (sampled-byte
+    // thresholds), the 4x12 banding, the bucket cap (HAVING <= 64 — the
+    // engine's maxBucket, change BOTH or neither), and the Hamming
+    // verify. The planted-twin construction mirrors the query verbatim.
+    "m7_media_phash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, substring(text,1,length(text)-1) ||
+        |    CASE WHEN ord(substring(text,length(text),1)) > 109
+        |      THEN 'a' ELSE 'z' END
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |ph AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0,48), i ->
+        |      CASE WHEN ord(substring(text, 1 + (i*(length(text)-1))//47, 1)) > 109
+        |        THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS BIGINT) AS phash
+        |  FROM corpus),
+        |bands AS (
+        |  SELECT doc_id, phash, b.band, (phash >> (b.band*12)) & 4095 AS key
+        |  FROM ph, (SELECT unnest([0,1,2,3]) AS band) b),
+        |ok AS (SELECT band, key FROM bands GROUP BY 1,2 HAVING count(*) <= 64),
+        |kept AS (SELECT bands.* FROM bands JOIN ok USING (band, key)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.phash AS ha, b.phash AS hb
+        |  FROM kept a JOIN kept b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 6""".stripMargin,
 
     "a1_dedup_stringified" ->
       """SELECT DISTINCT l_returnflag, l_linestatus,

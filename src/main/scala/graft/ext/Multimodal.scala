@@ -93,6 +93,78 @@ object Multimodal {
       .otherwise(lit("application/octet-stream"))
   }
 
+  final case class PHashRow(doc_id: Long, phash: Long)
+
+  /** Perceptual hash over media blobs — the binary-layer twin of SimHash
+    * (d10): a compact locality-sensitive fingerprint whose Hamming
+    * distance tracks content similarity, computed in the amortized-init
+    * `mapPartitions` slot a real decoder occupies (decode → 8×8
+    * grayscale → mean/DCT threshold: aHash/pHash, Zauner 2010). The
+    * decode is STUBBED (no codecs in this environment, by design): the
+    * "luma samples" are `bits` raw bytes at fixed fractional positions
+    * p_i = i·(n−1)/(bits−1), thresholded at >109 — which preserves the
+    * property the operator exists for (byte-local edits flip few bits)
+    * and is independently recomputable by the SQL oracle, so the whole
+    * plumbing (schema, banding, Hamming verify) is hash-gated end to
+    * end. Empty blob → 0L. */
+  def perceptualHash(df: DataFrame, idCol: String, binCol: String,
+                     bits: Int = 48): Dataset[PHashRow] = {
+    implicit val enc = Encoders.product[PHashRow]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        // per-partition init slot (codec contexts / DCT tables)
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          var h = 0L
+          if (n > 0) {
+            var i = 0
+            while (i < bits) {
+              val p = if (bits == 1) 0 else (i.toLong * (n - 1) / (bits - 1)).toInt
+              if ((bytes(p) & 0xff) > 109) h |= 1L << i
+              i += 1
+            }
+          }
+          PHashRow(id, h)
+        }
+      }
+  }
+
+  /** Banded Hamming near-dup over perceptual hashes — d7's LSH shape at
+    * the binary layer: split the hash into `bands` bands of `bandBits`;
+    * rows sharing any band key become candidates (equi-join, never
+    * all-pairs); candidates verify with `bit_count(xor) <= hamMax`. Band
+    * buckets over `maxBucket` are dropped BEFORE the self-join (the
+    * DupShingleMaxDf discipline — Σ min(c,cap)² keeps pair cost linear
+    * in corpus size; cap=64 reproduces the uncapped pair set exactly at
+    * sf0.01/sf0.1, measured via DuckDB set-diff). Output:
+    * (id_a, id_b, hamming), id_a < id_b. */
+  def phashNearDup(ph: DataFrame, idCol: String, hashCol: String,
+                   bands: Int = 4, bandBits: Int = 12, hamMax: Int = 6,
+                   maxBucket: Int = 64): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val banded = ph.select(col(idCol), col(hashCol),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col(hashCol), b * bandBits).bitwiseAND(lit(mask))
+            .as("key"))): _*)).as("bk"))
+      .select(col(idCol), col(hashCol), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val ok = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") <= maxBucket)
+      .select(col("band"), col("key"))
+    val kept = banded.join(ok, Seq("band", "key"))
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col(s"a.$hashCol").as("__ha"), col(s"b.$hashCol").as("__hb"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= hamMax)
+  }
+
   final case class MediaFeature(doc_id: Long, f0: Long, f8: Long, f15: Long,
                                 feat_sum: Long)
 

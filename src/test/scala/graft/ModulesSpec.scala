@@ -250,6 +250,44 @@ class ModulesSpec extends SparkSpec {
     assert(out(10L) == "application/octet-stream")
   }
 
+  test("M7 perceptualHash: last-byte flip is hamming 1, empty blob is 0, partition-stable") {
+    // 95 chars so sample positions i*(n-1)/47 = 2i touch every other
+    // byte; only i=47 reads the LAST byte
+    val base = "n" * 95
+    val blobs = Seq(
+      1L -> base.getBytes("US-ASCII"),
+      2L -> (base.dropRight(1) + "a").getBytes("US-ASCII"), // last byte 'n'(110)->'a'(97)
+      3L -> Array.empty[Byte])
+    val df = blobs.toDF("doc_id", "content")
+    val h = Multimodal.perceptualHash(df, "doc_id", "content")
+      .collect().map(r => r.doc_id -> r.phash).toMap
+    assert(h(1L) == (1L << 48) - 1)          // every sample 'n' > 109
+    assert(java.lang.Long.bitCount(h(1L) ^ h(2L)) == 1)
+    assert((h(2L) & (1L << 47)) == 0L)       // the flipped bit is the LAST sample
+    assert(h(3L) == 0L)
+    val again = Multimodal.perceptualHash(df.repartition(4), "doc_id", "content")
+      .collect().map(r => r.doc_id -> r.phash).toMap
+    assert(again == h)
+  }
+
+  test("M7 phashNearDup: banded candidates verify by hamming; over-cap buckets drop") {
+    // hashes: 1<->2 differ in 1 bit (near), 3 differs everywhere (far);
+    // 4..8 share hash 0 — an over-cap bucket under maxBucket=4
+    val ph = Seq(
+      1L -> ((1L << 48) - 1), 2L -> ((1L << 48) - 2), 3L -> 0x0F0F0F0F0F0FL,
+      4L -> 0L, 5L -> 0L, 6L -> 0L, 7L -> 0L, 8L -> 0L)
+      .toDF("doc_id", "phash")
+    val pairs = Multimodal.phashNearDup(ph, "doc_id", "phash", maxBucket = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,2) share 3 of 4 bands but appear ONCE (distinct); zero-hash
+    // bucket (5 docs in every band) exceeds the cap and emits nothing
+    assert(pairs == Set((1L, 2L, 1L)))
+    // with the cap lifted the zero-hash clique surfaces at hamming 0
+    val lifted = Multimodal.phashNearDup(ph, "doc_id", "phash", maxBucket = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(lifted.count(_._3 == 0L) == 10 && lifted((1L, 2L, 1L)))
+  }
+
   test("M3 feature extraction: MD5-byte features, stable across partitionings") {
     val df = Multimodal.withBinaryMeta(
       Seq((1L, "hello world"), (2L, "other text")).toDF("doc_id", "text"), "text")

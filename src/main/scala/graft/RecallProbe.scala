@@ -47,8 +47,15 @@ object RecallProbe {
     val pqRecon = emb.select(col("vec_id"), col("embedding").as("o"))
       .join(pq.select(col("vec_id"), col("embedding").as("r")), Seq("vec_id"))
       .agg(floor(avg(Similarity.cosine(col("o"), col("r"))) * 10000)).head().getLong(0)
+    // IVF-PQ composite (e14's shipped config): shortlist recall of the
+    // ADC top-10 over nProbe=4 of 16 cells vs the exact top-3.
+    val ix = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      nCells = 16, m = 16, ksub = 256, sampleN = 2048, iters = 6)
+    val ivfpqShort = bp(Similarity.ivfPqSearch(ix, emb.filter(sub),
+      "vec_id", "embedding", k = 10, nProbe = 4))
     println(s"RECALL sf=$sfDir lsh_bp=$lsh ivf_bp=$ivf int8_bp=$q8 " +
-      s"pq_r3_bp=$pqR3 pq_short10_bp=$pqShort pq_recon_bp=$pqRecon")
+      s"pq_r3_bp=$pqR3 pq_short10_bp=$pqShort pq_recon_bp=$pqRecon " +
+      s"ivfpq_short10_bp=$ivfpqShort")
     spark.stop()
   }
 }

@@ -122,6 +122,17 @@ object SparkEntry {
   val PqShortlistMinBp = 6000
   val PqReconMinBp = 9000
 
+  /** e14 gate (measured via RecallProbe at sf0.01/sf0.1): shortlist
+    * recall of the IVF-PQ composite — the exact top-3 inside the ADC
+    * top-10 over nProbe=4 of 16 cells — 5933/5708 bp. The composite
+    * sits below both tiers alone (cell truncation ∘ code distortion
+    * compound); floor with e7's margin style so a fit/encode regression
+    * trips it, not corpus drift. The twin work_ok flag bounds probed
+    * candidate volume at 2·nProbe/nCells of queries×corpus, so the
+    * opposite degeneracy (all vectors in one cell → recall via a full
+    * scan) fails that flag instead. */
+  val IvfPqShortlistMinBp = 4500
+
   /** e10 gates (measured via the e10 query itself at sf0.01/sf0.1 —
     * cluster-recall of cosine ≥ 0.4 pairs under k=10 single-assignment
     * k-means). Recall floor sits above the ~1000 bp random-assignment
@@ -1987,6 +1998,41 @@ object SparkEntry {
         .agg(when(floor(avg(Similarity.cosine(col("o"), col("r"))) * 10000)
           >= PqReconMinBp, lit(1L)).otherwise(lit(0L)).as("recon_ok"))
       shortGate.crossJoin(recon)
+    }),
+
+    // E14 — IVF-PQ fused search (Jégou et al. 2011 §IV; the FAISS IVFPQ
+    // deployment shape, composing e7's cells with e11's codes): the
+    // stored index is (cell, m-byte codes) — cells bound WHICH
+    // candidates a query touches, codes bound the BYTES each candidate
+    // costs. Two adversarial flags (e11's discipline): shortlist_ok =
+    // exact top-3 inside the ADC top-10 a re-ranker receives; work_ok =
+    // probed candidate volume ≤ 2·nProbe/nCells of queries×corpus, so a
+    // degenerate fit that recalls via a one-cell full scan fails work
+    // while a collapsed codebook fails shortlist.
+    "e14_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sub = col("vec_id") % 5 === 0
+      val ix = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+        nCells = 16, m = 16, ksub = 256, sampleN = 2048, iters = 6)
+      val exact = Similarity.knnBruteFor(emb.filter(sub), emb,
+        "vec_id", "embedding", k = 3)
+      val short10 = Similarity.ivfPqSearch(ix, emb.filter(sub),
+        "vec_id", "embedding", k = 10, nProbe = 4)
+      val shortGate = Similarity.recallGate(short10, exact,
+          minBp = IvfPqShortlistMinBp)
+        .select(col("n_query_vecs"), col("recall_ok").as("shortlist_ok"))
+      val cellSizes = ix.data.groupBy(col("cell")).agg(count(lit(1)).as("cs"))
+      val probed = emb.filter(sub).select(
+          explode(graft.functions.VectorExpressions.nearestCells(
+            col("embedding"), ix.centroids, 4)).as("cell"))
+        .join(cellSizes, Seq("cell"))
+        .agg(sum(col("cs")).as("cand"))
+      val work = probed
+        .crossJoin(emb.agg(count(lit(1)).as("n")))
+        .crossJoin(emb.filter(sub).agg(count(lit(1)).as("nq")))
+        .select(when(col("cand") * 16 <= col("n") * col("nq") * (2L * 4),
+          lit(1L)).otherwise(lit(0L)).as("work_ok"))
+      shortGate.crossJoin(work)
     }),
 
     // E4 embedding-cosine near-duplicate pairs (compiled kernel; sim
@@ -5067,6 +5113,13 @@ object SparkEntry {
     "e11_pq_recall" ->
       """SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS shortlist_ok,
         |  CAST(1 AS BIGINT) AS recon_ok
+        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+
+    // e14: constant-oracle gate (e6/e7/e11 shape) — shortlist recall
+    // floor + probed-candidate work cap must both hold.
+    "e14_ivfpq_recall" ->
+      """SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS shortlist_ok,
+        |  CAST(1 AS BIGINT) AS work_ok
         |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
 
     // w4: LATERAL top-1 per row is the declarative as-of spec; the engine

@@ -175,25 +175,7 @@ object Similarity {
     // --- driver-side centroid fit (deterministic, content-addressed) ---
     val sample = hashSample(emb, id, vec, sampleN)
     require(sample.nonEmpty, "empty embedding table")
-    val dim = sample.head.length
-    // value-level dedup — Array.distinct compares references
-    var centroids = sample.map(_.toSeq).distinct.map(_.toArray).take(nCells)
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Int](centroids.length)
-      for (v <- sample) {
-        val c = nearest(centroids, v)
-        counts(c) += 1
-        var d = 0
-        while (d < dim) { sums(c)(d) += v(d); d += 1 }
-      }
-      centroids = centroids.zipWithIndex.map { case (old, c) =>
-        if (counts(c) == 0) old
-        else { val m = sums(c); var d = 0; while (d < dim) { m(d) /= counts(c); d += 1 }; m }
-      }
-      it += 1
-    }
+    val centroids = lloydFit(sample, nCells, iters)
     // --- compiled cell assignment: one expression holding the centroid
     // matrix as a reference object (see lshBucket's note on why not a
     // literal-array tree) ---
@@ -210,6 +192,33 @@ object Similarity {
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("va"), col("vb")))
     rankTopK(pairs, k)
+  }
+
+  /** Driver-side Lloyd's over an in-memory sample — the shared fit of
+    * [[knnIvf]], [[pqFit]] and [[ivfPqFit]]: value-level-distinct init
+    * (Array.distinct compares references), fixed iterations, empty cells
+    * keep their previous centroid. Deterministic for a given sample. */
+  private def lloydFit(sample: Array[Array[Double]], k: Int,
+                       iters: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    var centroids = sample.map(_.toSeq).distinct.map(_.toArray).take(k)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      for (v <- sample) {
+        val c = nearest(centroids, v)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else { val m = sums(c); var d = 0; while (d < dim) { m(d) /= counts(c); d += 1 }; m }
+      }
+      it += 1
+    }
+    centroids
   }
 
   private def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {
@@ -435,25 +444,59 @@ object Similarity {
     val dsub = dim / m
     Array.tabulate(m) { s =>
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
-      var centroids = sub.map(_.toSeq).distinct.map(_.toArray).take(ksub)
-      var it = 0
-      while (it < iters) {
-        val sums = Array.fill(centroids.length)(new Array[Double](dsub))
-        val counts = new Array[Int](centroids.length)
-        for (v <- sub) {
-          val c = nearest(centroids, v)
-          counts(c) += 1
-          var d = 0
-          while (d < dsub) { sums(c)(d) += v(d); d += 1 }
-        }
-        centroids = centroids.zipWithIndex.map { case (old, c) =>
-          if (counts(c) == 0) old
-          else { val u = sums(c); var d = 0; while (d < dsub) { u(d) /= counts(c); d += 1 }; u }
-        }
-        it += 1
-      }
-      centroids
+      lloydFit(sub, ksub, iters)
     }
+  }
+
+  /** An [[ivfPqFit]] index: the stored frame is exactly
+    * `(neighbor_id, cell, codes)` — at 100 TB that is the whole resident
+    * footprint (m code bytes + a cell id per vector); raw vectors stay in
+    * cold storage for the re-rank tier. Centroid/codebook matrices are
+    * driver-sized reference objects compiled into the probe/decode
+    * kernels. */
+  final case class IvfPqIndex(data: DataFrame,
+                              centroids: Array[Array[Double]],
+                              books: Array[Array[Array[Double]]])
+
+  /** IVF-PQ index build (Jégou et al., PAMI 2011 §IV — the FAISS IVFPQ
+    * deployment shape): the coarse quantizer bounds WHICH candidates a
+    * query touches ([[knnIvf]]'s cells), the product quantizer bounds the
+    * BYTES each candidate costs ([[pqFit]]'s m-byte codes vs 4·dim
+    * floats). Both fits ride the bounded content-addressed driver sample
+    * ([[hashSample]]), so the index is a pure function of the table;
+    * encode + cell assignment are ONE zero-shuffle compiled projection
+    * over the corpus scan. */
+  def ivfPqFit(emb: DataFrame, id: String, vec: String,
+               nCells: Int = 16, m: Int = 8, ksub: Int = 16,
+               sampleN: Int = 256, iters: Int = 5): IvfPqIndex = {
+    import graft.functions.VectorExpressions.nearestCells
+    val sample = hashSample(emb, id, vec, sampleN)
+    require(sample.nonEmpty, "empty embedding table")
+    val centroids = lloydFit(sample, nCells, iters)
+    val books = pqFit(emb, id, vec, m, ksub, sampleN, iters)
+    val data = emb.select(col(id).as("neighbor_id"),
+      element_at(nearestCells(col(vec), centroids, 1), 1).as("cell"),
+      pqEncode(col(vec), books).as("codes"))
+    IvfPqIndex(data, centroids, books)
+  }
+
+  /** ADC search over an [[ivfPqFit]] index: each query probes its
+    * `nProbe` nearest cells (an equi-join on cell id — never all-pairs),
+    * candidates score by `cosine(query, pq_decode(codes))` — the
+    * asymmetric distance computation of the paper (the query stays exact
+    * floats; only the stored side is quantized), and the bounded top-k
+    * aggregate ranks, so the shuffle carries O(queries·k), never the
+    * candidate volume. Self-matches are excluded (k-NN convention shared
+    * with [[knnIvf]]/[[knnBruteFor]]). */
+  def ivfPqSearch(ix: IvfPqIndex, queries: DataFrame, id: String,
+                  vec: String, k: Int, nProbe: Int = 4): DataFrame = {
+    import graft.functions.VectorExpressions.nearestCells
+    val probes = queries.select(col(id).as("vec_id"), col(vec).as("va"),
+      explode(nearestCells(col(vec), ix.centroids, nProbe)).as("cell"))
+    val pairs = probes.join(ix.data, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("va"), pqDecode(col("codes"), ix.books)))
+    rankTopK(pairs, k)
   }
 
   /** [[graft.functions.VectorExpressions.pqEncode]] re-exported beside

@@ -107,6 +107,46 @@ class SimilaritySpec extends SparkSpec {
     assert(books.map(_.map(_.toSeq).toSeq).toSeq == books2.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("IVF-PQ: probing ALL cells equals brute ADC over the decoded corpus") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val ix = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      nCells = 8, m = 8, ksub = 16, sampleN = 128, iters = 3)
+    val sub = col("vec_id") % 7 === 0
+    // nProbe = nCells -> every candidate is scored, so the composite must
+    // coincide with knnBruteFor over the pq-decoded corpus (same ADC
+    // quantity, same ranking, same self-exclusion)
+    val full = Similarity.ivfPqSearch(ix, emb.filter(sub),
+        "vec_id", "embedding", k = 3, nProbe = 8)
+      .select("vec_id", "neighbor_id", "rank")
+    val dec = emb.select(col("vec_id"),
+      Similarity.pqDecode(Similarity.pqEncode(col("embedding"), ix.books), ix.books)
+        .as("embedding"))
+    val brute = Similarity.knnBruteFor(emb.filter(sub), dec,
+        "vec_id", "embedding", k = 3)
+      .select("vec_id", "neighbor_id", "rank")
+    assert(full.exceptAll(brute).isEmpty && brute.exceptAll(full).isEmpty)
+    // the index frame is the m-codes + cell footprint, one row per vector
+    assert(ix.data.count() == emb.count())
+    val cr = ix.data.select(col("cell"), col("codes")).head()
+    assert(cr.getInt(0) >= 0 && cr.getInt(0) < 8 && cr.getSeq[Int](1).size == 8)
+  }
+
+  test("IVF-PQ: restricted probing only prunes — results are a subset of full probing") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val ix = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      nCells = 8, m = 8, ksub = 16, sampleN = 128, iters = 3)
+    val sub = col("vec_id") % 7 === 0
+    val narrow = Similarity.ivfPqSearch(ix, emb.filter(sub),
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    // every (query, neighbor) the narrow probe returns comes from a cell
+    // the full probe also scored: pairs are a subset of the all-cells ADC
+    // candidate relation (ranks may differ — fewer candidates compete)
+    val fullPairs = Similarity.ivfPqSearch(ix, emb.filter(sub),
+      "vec_id", "embedding", k = 1000, nProbe = 8) // k > corpus: keep ALL
+    assert(narrow.select("vec_id", "neighbor_id")
+      .exceptAll(fullPairs.select("vec_id", "neighbor_id")).isEmpty)
+  }
+
   test("semantic dedup: candidates are a subset of exact pairs at the same tau") {
     val emb = Tables.load(spark, sf, "embeddings")
     val (cents, _) = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 3)

@@ -3214,6 +3214,35 @@ object SparkEntry {
         ids = Seq("c_custkey"), values = Seq("c_acctbal", "c_nationkey"))
     }),
 
+    // G1 — PageRank centrality (Page et al. 1999) over the entity graph
+    // derived relationally from the TPC-H FKs, closed into cycles via the
+    // nation→customer reverse edge: customer→order→part→supplier→nation→
+    // customer. The corpus-curation reading: rank = the web-graph quality
+    // prior (Common Crawl's page ranking) computed with NO graph runtime
+    // — per iteration one edge join + one dst-keyed sum, both map-side
+    // combinable, lineage-cut per round (Components' discipline). Exact
+    // LONG micro-unit arithmetic end to end (every division `div`), so
+    // the oracle's unrolled 5 iterations match hash-for-hash.
+    "g1_pagerank" -> ((s, dir) => {
+      import graft.ops.Graph
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val edges = ord.select((col("o_custkey") + 1000000000L).as("src"),
+          (col("o_orderkey") + 2000000000L).as("dst"))
+        .union(li.select((col("l_orderkey") + 2000000000L).as("src"),
+          (col("l_partkey") + 3000000000L).as("dst")))
+        .union(li.select((col("l_partkey") + 3000000000L).as("src"),
+          (col("l_suppkey") + 4000000000L).as("dst")))
+        .union(sup.select((col("s_suppkey") + 4000000000L).as("src"),
+          (col("s_nationkey") + 5000000000L).as("dst")))
+        .union(cust.select((col("c_nationkey") + 5000000000L).as("src"),
+          (col("c_custkey") + 1000000000L).as("dst")))
+      Graph.pageRank(edges, "src", "dst", iters = 5)
+        .select(col("node").as("node_id"), col("rank_micro"))
+    }),
+
     // Q7 CUBE over (nation, segment) with grouping_id disambiguating the
     // subtotal slices — q6's rollup generalized to all 2^n groupings, still
     // one Expand + one hash aggregate.
@@ -5894,6 +5923,61 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey, 'c_nationkey' AS attr, CAST(c_nationkey AS DOUBLE) AS val
         |FROM customer""".stripMargin,
+
+    // g1: the 5 PageRank iterations UNROLLED — same exact integer
+    // arithmetic (`//` ≡ Spark `div`), same edge/node/degree derivation,
+    // so ranks match value for value.
+    "g1_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT o_custkey + 1000000000 AS src,
+        |      o_orderkey + 2000000000 AS dst FROM orders
+        |    UNION ALL SELECT l_orderkey + 2000000000,
+        |      l_partkey + 3000000000 FROM lineitem
+        |    UNION ALL SELECT l_partkey + 3000000000,
+        |      l_suppkey + 4000000000 FROM lineitem
+        |    UNION ALL SELECT s_suppkey + 4000000000,
+        |      s_nationkey + 5000000000 FROM supplier
+        |    UNION ALL SELECT c_nationkey + 5000000000,
+        |      c_custkey + 1000000000 FROM customer)),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |base AS (SELECT (150 * (1000000000000 // n)) // 1000 AS b,
+        |  1000000000000 // n AS p FROM nn),
+        |r0 AS (SELECT node, (SELECT p FROM base) AS r FROM nodes),
+        |i1 AS (SELECT e.dst AS node, sum(r0.r // deg.deg) AS inb
+        |  FROM r0 JOIN e ON e.src = r0.node JOIN deg ON deg.src = e.src
+        |  GROUP BY 1),
+        |r1 AS (SELECT nodes.node, (SELECT b FROM base)
+        |  + (850 * coalesce(i1.inb, 0)) // 1000 AS r
+        |  FROM nodes LEFT JOIN i1 USING (node)),
+        |i2 AS (SELECT e.dst AS node, sum(r1.r // deg.deg) AS inb
+        |  FROM r1 JOIN e ON e.src = r1.node JOIN deg ON deg.src = e.src
+        |  GROUP BY 1),
+        |r2 AS (SELECT nodes.node, (SELECT b FROM base)
+        |  + (850 * coalesce(i2.inb, 0)) // 1000 AS r
+        |  FROM nodes LEFT JOIN i2 USING (node)),
+        |i3 AS (SELECT e.dst AS node, sum(r2.r // deg.deg) AS inb
+        |  FROM r2 JOIN e ON e.src = r2.node JOIN deg ON deg.src = e.src
+        |  GROUP BY 1),
+        |r3 AS (SELECT nodes.node, (SELECT b FROM base)
+        |  + (850 * coalesce(i3.inb, 0)) // 1000 AS r
+        |  FROM nodes LEFT JOIN i3 USING (node)),
+        |i4 AS (SELECT e.dst AS node, sum(r3.r // deg.deg) AS inb
+        |  FROM r3 JOIN e ON e.src = r3.node JOIN deg ON deg.src = e.src
+        |  GROUP BY 1),
+        |r4 AS (SELECT nodes.node, (SELECT b FROM base)
+        |  + (850 * coalesce(i4.inb, 0)) // 1000 AS r
+        |  FROM nodes LEFT JOIN i4 USING (node)),
+        |i5 AS (SELECT e.dst AS node, sum(r4.r // deg.deg) AS inb
+        |  FROM r4 JOIN e ON e.src = r4.node JOIN deg ON deg.src = e.src
+        |  GROUP BY 1),
+        |r5 AS (SELECT nodes.node, (SELECT b FROM base)
+        |  + (850 * coalesce(i5.inb, 0)) // 1000 AS r
+        |  FROM nodes LEFT JOIN i5 USING (node))
+        |SELECT node AS node_id, CAST(r AS BIGINT) AS rank_micro
+        |FROM r5""".stripMargin,
 
     "q7_cube" ->
       """SELECT n_name, c_mktsegment,

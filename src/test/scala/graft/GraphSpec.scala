@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Cascade, Graph}
+
+/** PageRank semantics: exact integer arithmetic pinned by hand-computed
+  * closed forms, determinism across partitionings, multigraph collapse. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("2-cycle is a fixed point: both nodes keep exactly half the mass") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = ranks(Graph.pageRank(e, "src", "dst", iters = 5,
+      checkpoint = Cascade.NoCheckpoint))
+    assert(out == Map(1L -> 500000000000L, 2L -> 500000000000L))
+  }
+
+  test("one iteration matches the hand-computed integer arithmetic") {
+    // a→b, b→a, a→c: n=3, per-node 333333333333, deg(a)=2 deg(b)=1.
+    // base = (150·333333333333)//1000 = 49999999999
+    // r1(a) = base + (850·333333333333)//1000 = 49999999999 + 283333333333
+    // r1(b) = r1(c) = base + (850·(333333333333//2))//1000
+    //       = 49999999999 + (850·166666666666)//1000 = 49999999999 + 141666666666
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val out = ranks(Graph.pageRank(e, "src", "dst", iters = 1,
+      checkpoint = Cascade.NoCheckpoint))
+    assert(out(1L) == 49999999999L + 283333333333L)
+    assert(out(2L) == 49999999999L + 141666666666L)
+    assert(out(3L) == out(2L))
+  }
+
+  test("duplicate edges collapse; dangling mass leaks, order is preserved") {
+    // the same edge three times must not triple b's inbound share
+    val multi = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val once = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val a = ranks(Graph.pageRank(multi, "src", "dst", iters = 3,
+      checkpoint = Cascade.NoCheckpoint))
+    val b = ranks(Graph.pageRank(once, "src", "dst", iters = 3,
+      checkpoint = Cascade.NoCheckpoint))
+    assert(a == b)
+    // hub: 1→{2,3,4} and 4→1; node 1 (the only one with inbound from a
+    // full-rank source) outranks the leaves, leaves tie
+    val hub = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 1L)).toDF("src", "dst")
+    val h = ranks(Graph.pageRank(hub, "src", "dst", iters = 5,
+      checkpoint = Cascade.NoCheckpoint))
+    assert(h(2L) == h(3L) && h(3L) == h(4L) && h(1L) > h(2L))
+    // mass never exceeds the total (truncation + dangling only LEAK)
+    assert(h.values.sum <= 1000000000000L)
+  }
+
+  test("ranks are partitioning-independent (integer arithmetic end to end)") {
+    val e = (0L until 200L).map(i => (i % 37, (i * 7) % 37)).toDF("src", "dst")
+    val one = ranks(Graph.pageRank(e.coalesce(1), "src", "dst", iters = 4,
+      checkpoint = Cascade.NoCheckpoint))
+    val many = ranks(Graph.pageRank(e.repartition(13), "src", "dst", iters = 4,
+      checkpoint = Cascade.NoCheckpoint))
+    assert(one == many && one.nonEmpty)
+  }
+}

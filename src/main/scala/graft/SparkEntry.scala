@@ -2940,6 +2940,18 @@ object SparkEntry {
         shares = MixtureShares, targetTotal = math.max(docs.count() / 2, 1L))
     }),
 
+    // C14 — TOKEN-budget mixture (c10's doc-count recipe re-denominated
+    // the way real training mixes are specified: token shares of a token
+    // budget). 40% corpus budget split en/zh/es/de 50/20/15/10; fr has
+    // no share → excluded (c10's rule). Keep test is the exact-integer
+    // cross-multiplication draw·T_c < B_c·2^48 in DECIMAL(38,0) — no
+    // float rate exists on either engine.
+    "c14_token_budget" -> ((s, dir) => {
+      TextAnalysis.tokenBudgetSample(t(s, dir, "documents"),
+        id = "doc_id", text = "text", category = "lang", budgetBp = 4000,
+        sharesBp = Seq("en" -> 5000, "zh" -> 2000, "es" -> 1500, "de" -> 1000))
+    }),
+
     // W10 per-group z-score outlier flagging (the numeric data-cleaning
     // step): per-type mean/stddev from one tiny aggregate BROADCAST back
     // onto the stream — the corpus side never shuffles (a window over
@@ -5836,6 +5848,30 @@ object SparkEntry {
         |FROM documents d JOIN rates USING (lang)
         |WHERE (CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 12))
         |    AS BIGINT) + 1) / 281474976710656.0 <= r""".stripMargin,
+
+    // c14: exact-integer recomputation — token counts, budget `//`
+    // chain, and the HUGEINT cross-multiplied keep test (HUGEINT ≡ the
+    // engine's DECIMAL(38,0); '0x' casts to BIGINT first — DuckDB 1.0's
+    // hex cast doesn't reach INT128).
+    "c14_token_budget" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM base),
+        |ct AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tc
+        |  FROM base GROUP BY 1),
+        |sh AS (SELECT * FROM (VALUES ('en', 5000), ('zh', 2000),
+        |  ('es', 1500), ('de', 1000)) s(lang, share_bp)),
+        |cats AS (SELECT ct.lang, ct.tc,
+        |  ((((SELECT t FROM tot) * 4000) // 10000) * sh.share_bp) // 10000 AS bc
+        |  FROM ct JOIN sh USING (lang))
+        |SELECT b.doc_id, b.lang, b.n_tokens,
+        |  CAST(CASE WHEN cats.bc IS NOT NULL AND
+        |    (('0x' || substring(md5(CAST(b.doc_id AS VARCHAR)),1,12))::BIGINT)::HUGEINT
+        |      * cats.tc < cats.bc::HUGEINT * 281474976710656
+        |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM base b LEFT JOIN cats USING (lang)""".stripMargin,
 
     // p15: quantile_cont is percentile's verified twin (w7); rounded
     // boundary compares as in the query.

@@ -294,6 +294,52 @@ object TextAnalysis {
       .drop("_r")
   }
 
+  /** Token-budget mixture sampling — the data-mixing recipe denominated
+    * in TOKENS, not documents (training mixes are token-shares: DoReMi,
+    * the Llama/GPT data cards): given a global token budget (`budgetBp`
+    * of the corpus' tokens) and explicit per-category token shares,
+    * derive each category's keep-rate and draw documents
+    * content-addressed. Categories without a share are EXCLUDED
+    * (kept=0), [[mixtureSample]]'s rule.
+    *
+    * No float rate ever exists: budgets are exact integer `div` chains,
+    * and the keep test cross-multiplies the 48-bit md5 draw against the
+    * category's token count in DECIMAL(38,0) —
+    * `draw·T_c < B_c·2^48 ⟺ draw/2^48 < B_c/T_c` — so engines and
+    * partitionings agree bit for bit (the t18 discipline applied to a
+    * sampling predicate). Shape: two map-side-combinable aggregates
+    * (corpus total + per-category totals, category-domain-sized
+    * shuffles); the keep decision joins a broadcast category frame and
+    * rides the scan. Output: id, category, n_tokens, kept. */
+  def tokenBudgetSample(docs: org.apache.spark.sql.DataFrame, id: String,
+                        text: String, category: String, budgetBp: Int,
+                        sharesBp: Seq[(String, Int)]): org.apache.spark.sql.DataFrame = {
+    require(budgetBp >= 0 && budgetBp <= 10000, s"budgetBp out of range: $budgetBp")
+    require(sharesBp.forall(_._2 >= 0) && sharesBp.map(_._2).sum <= 10000,
+      "sharesBp must be non-negative and sum to <= 10000")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nTok = size(split(trim(col(text)), "\\s+")).cast("long")
+    val base = docs.select(col(id), col(category).as("__cat"), nTok.as("n_tokens"))
+    val tot = base.agg(sum(col("n_tokens")).as("__t"))
+    val catTok = base.groupBy(col("__cat")).agg(sum(col("n_tokens")).as("__tc"))
+    val shareDf = sharesBp.toDF("__cat", "__share_bp")
+    val cats = catTok.join(broadcast(shareDf), Seq("__cat"))
+      .crossJoin(broadcast(tot))
+      .select(col("__cat"), col("__tc"),
+        expr(s"(((__t * ${budgetBp}L) div 10000) * __share_bp) div 10000")
+          .as("__bc"))
+    val draw = conv(substring(md5(col(id).cast("string")), 1, 12), 16, 10)
+      .cast("decimal(38,0)")
+    base.join(broadcast(cats), Seq("__cat"), "left")
+      .select(col(id), col("__cat").as(category), col("n_tokens"),
+        when(col("__bc").isNotNull &&
+          draw * col("__tc").cast("decimal(38,0)") <
+            col("__bc").cast("decimal(38,0)") *
+              lit(281474976710656L).cast("decimal(38,0)"),
+          lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
+
   /** Quality-weighted sampling WITHOUT replacement (Efraimidis–Spirakis,
     * "Weighted random sampling with a reservoir", IPL 2006): every row
     * draws a deterministic pseudo-uniform u ∈ (0,1] from the 48-bit

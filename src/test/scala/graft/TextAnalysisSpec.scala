@@ -134,6 +134,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == many && one.size == 20)
   }
 
+  test("tokenBudgetSample: exact integer budgets, exclusion, zero-rounded budget, draw parity") {
+    // T=9 tokens; budget 5000bp -> B = 9*5000 div 10000 = 4.
+    // en: share 8000 -> B_en = 3, T_en = 6 -> keep iff draw*6 < 3*2^48
+    //     i.e. draw < 2^47 exactly.
+    // de: share 2000 -> B_de = (4*2000) div 10000 = 0 -> nothing kept.
+    // fr: no share -> excluded.
+    val docs = Seq((1L, "en", "a b c d"), (2L, "en", "a b"),
+      (3L, "de", "x y"), (4L, "fr", "z")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.tokenBudgetSample(docs, "doc_id", "text", "lang",
+        budgetBp = 5000, sharesBp = Seq("en" -> 8000, "de" -> 2000))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    def draw(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    }
+    assert(out(1L) == ((4L, if (draw(1L) < (1L << 47)) 1L else 0L)))
+    assert(out(2L) == ((2L, if (draw(2L) < (1L << 47)) 1L else 0L)))
+    assert(out(3L) == ((2L, 0L)))   // budget rounds to zero
+    assert(out(4L) == ((1L, 0L)))   // excluded category
+    val again = TextAnalysis.tokenBudgetSample(docs.repartition(5),
+        "doc_id", "text", "lang", 5000, Seq("en" -> 8000, "de" -> 2000))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(again == out)
+  }
+
   test("unigramLogProb: uniform corpus scores ln(c/total); rare-token docs score lower") {
     // corpus term counts: a=4 (3 in doc1, 1 in doc4), b=2, c=2 -> total 8
     val docs = Seq((1L, "a a a"), (2L, "b b"), (3L, "c"), (4L, "a c"))

@@ -1158,6 +1158,32 @@ object SparkEntry {
           lit(if (before == 64 && after < 8 && after >= 1) 1L else 0L))
     }),
 
+    // S20 — snapshot-manifest table (the minimal Iceberg/Delta ACID
+    // mechanics: immutable data dirs + per-snapshot manifest + ONE
+    // atomic pointer): two commits append lineitem slices, then the
+    // table is read BOTH at the historical snapshot 1 (time travel —
+    // must equal slice 1 exactly, proving commit 2 touched nothing it
+    // shouldn't) and at current (must equal the union). Fingerprints
+    // hash-judged against DuckDB's recomputation of both slices.
+    "s20_snapshot" -> ((s, dir) => {
+      val root = s"$partScratchDir/${dirKey(dir)}_s20"
+      rmTree(root)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+      val id1 = graft.ops.Snapshots.commitAppend(
+        li.filter(col("l_linenumber") === 1), root)
+      graft.ops.Snapshots.commitAppend(
+        li.filter(col("l_linenumber") === 2), root)
+      val cols = Seq("l_linenumber", "l_orderkey", "qty")
+      Validations.tableFingerprint(
+          graft.ops.Snapshots.read(s, root, Some(id1)), cols)
+        .select(lit(1L).as("snap"), col("n_rows"), col("fingerprint"))
+        .union(Validations.tableFingerprint(
+            graft.ops.Snapshots.read(s, root), cols)
+          .select(lit(2L).as("snap"), col("n_rows"), col("fingerprint")))
+    }),
+
     // S19 Z-order (Morton-curve) layout: the MULTI-column clustering s18's
     // single-key sort cannot buy. events is rewritten z-ordered on
     // (user_id, value-cents); the gate measures the ACTUAL per-file
@@ -4584,6 +4610,32 @@ object SparkEntry {
     "s18_compact" ->
       """SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS compact_ok
         |FROM documents""".stripMargin,
+
+    // s20: both snapshot reads recomputed relationally — snap 1 is the
+    // first slice ALONE (commit 2 must not have disturbed it), current is
+    // the union; a9's portable fingerprint twin.
+    "s20_snapshot" ->
+      """WITH s1 AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_linenumber = 1),
+        |s2 AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_linenumber IN (1, 2))
+        |SELECT CAST(1 AS BIGINT) AS snap, count(*) AS n_rows,
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(0)),
+        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(0)),
+        |    coalesce(CAST(qty AS VARCHAR), chr(0)))), 1, 10)) AS BIGINT))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+        |FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*),
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(0)),
+        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(0)),
+        |    coalesce(CAST(qty AS VARCHAR), chr(0)))), 1, 10)) AS BIGINT))
+        |    AS DECIMAL(38,0)) AS VARCHAR)
+        |FROM s2""".stripMargin,
 
     // s19: lossless-roundtrip slice through the z-ordered rewrite; the
     // 2-D cuts are integer arithmetic on min/max, so both engines derive

@@ -152,6 +152,34 @@ class ScaleSpec extends SparkSpec {
     assert(one.count() == 100)
   }
 
+  test("snapshots: append commits, time-travel isolation, parent chain, atomic pointer") {
+    import graft.ops.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("snaptab").toString
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val b = Seq((3L, "z")).toDF("k", "v")
+    val id1 = Snapshots.commitAppend(a, root)
+    val id2 = Snapshots.commitAppend(b, root)
+    assert(id1 == 1L && id2 == 2L)
+    // time travel: snapshot 1 is EXACTLY the first commit, after commit 2
+    val r1 = Snapshots.read(spark, root, Some(1L)).as[(Long, String)].collect().toSet
+    assert(r1 == Set((1L, "x"), (2L, "y")))
+    val cur = Snapshots.read(spark, root).as[(Long, String)].collect().toSet
+    assert(cur == Set((1L, "x"), (2L, "y"), (3L, "z")))
+    // manifest parent chain
+    assert(Snapshots.get(spark, root, 2L).get.parent.contains(1L))
+    assert(Snapshots.get(spark, root, 1L).get.parent.isEmpty)
+    // an orphaned data dir (crash between data write and pointer swing)
+    // is invisible to every read
+    Seq((9L, "junk")).toDF("k", "v")
+      .write.parquet(s"$root/data/delta-99")
+    assert(Snapshots.read(spark, root).count() == 3)
+    assert(Snapshots.current(spark, root).get.id == 2L)
+    // unknown snapshot / empty table fail loudly
+    intercept[RuntimeException] { Snapshots.read(spark, root, Some(42L)) }
+    val empty = java.nio.file.Files.createTempDirectory("snapempty").toString
+    intercept[RuntimeException] { Snapshots.read(spark, empty) }
+  }
+
   test("compact: fewer files, lossless rows, range-clustered key layout") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

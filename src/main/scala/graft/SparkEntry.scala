@@ -3605,6 +3605,25 @@ object SparkEntry {
       EntityResolution.scorePairs(recs, "rec_id", "name", cand, ErMinSimBp)
     }),
 
+    // ER5 — Fellegi–Sunter probabilistic linkage (JASA 1969; the model
+    // behind Splink/febrl): per-field log-likelihood weights ln(m/u) —
+    // u's DATA-DERIVED as Σcount(v)²/n² (the chance two random records
+    // agree), m's conventioned — summed per candidate pair and
+    // classified match / possible / nonmatch. Weights enter the plan as
+    // driver literals in micro-nats; pair scoring is integer sums.
+    // Fixture verdict structure: exact attr-duplicates score ~11.1
+    // nats (match), the planted last-char twins hit the NEAR name level
+    // ~9.5 (match), in-block non-dups agree only on brand+size ~4.0
+    // (possible — the clerical-review band), so all three FS outcomes
+    // are exercised.
+    "er5_fellegi_sunter" -> ((s, dir) => {
+      val recs = erRecords(t(s, dir, "part"))
+      val cand = EntityResolution.candidates(recs, "rec_id", erBlock,
+        maxBlock = Some(ErMaxBlock))
+      EntityResolution.fellegiSunter(recs, "rec_id", cand,
+        nameAttr = "name", exactAttrs = Seq("brand", "size"))
+    }),
+
     // W21 — INCREMENTAL entity resolution, er1's streaming twin: the
     // record fixture arrives as 3 micro-batches split by rec_id mod 3 —
     // every clean/dirty twin pair lands in DIFFERENT batches, so the
@@ -6275,6 +6294,68 @@ object SparkEntry {
         |FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.rec_id < b.rec_id
         |WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
         |    greatest(length(a.name), length(b.name)))) >= 8500""".stripMargin,
+
+    // er5: weights re-derived in SQL with every literal forced ::DOUBLE
+    // so both engines walk the identical IEEE chain (DuckDB's bare 0.95
+    // is DECIMAL — decimal 1-0.95 = exact 0.05, NOT the JVM's
+    // 1.0-0.95 binary value; the casts make them agree), u's from the
+    // same Σc²/n² aggregates, candidates from er1's blocks + cap.
+    "er5_fellegi_sunter" ->
+      """WITH recs AS (
+        |  SELECT p_partkey * 2 AS rec_id, p_name AS name,
+        |    p_brand AS brand, p_size AS size FROM part
+        |  UNION ALL
+        |  SELECT p_partkey * 2 + 1, substr(p_name, 1, length(p_name) - 1),
+        |    p_brand, p_size FROM part
+        |  WHERE ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2))::BIGINT < 64),
+        |nn AS (SELECT count(*) AS n FROM recs),
+        |un AS (SELECT CAST(sum(c*c) AS BIGINT) AS x FROM
+        |  (SELECT count(*) AS c FROM recs GROUP BY name)),
+        |ub AS (SELECT CAST(sum(c*c) AS BIGINT) AS x FROM
+        |  (SELECT count(*) AS c FROM recs GROUP BY brand)),
+        |us AS (SELECT CAST(sum(c*c) AS BIGINT) AS x FROM
+        |  (SELECT count(*) AS c FROM recs GROUP BY size)),
+        |uu AS (SELECT
+        |  CAST((SELECT x FROM un) AS DOUBLE)
+        |    / CAST((SELECT n FROM nn) * (SELECT n FROM nn) AS DOUBLE) AS u_name,
+        |  CAST((SELECT x FROM ub) AS DOUBLE)
+        |    / CAST((SELECT n FROM nn) * (SELECT n FROM nn) AS DOUBLE) AS u_brand,
+        |  CAST((SELECT x FROM us) AS DOUBLE)
+        |    / CAST((SELECT n FROM nn) * (SELECT n FROM nn) AS DOUBLE) AS u_size),
+        |wt AS (SELECT
+        |  CAST(round(ln(0.70::DOUBLE / u_name) * 1000000) AS BIGINT) AS w_ne,
+        |  CAST(round(ln(0.25::DOUBLE / 0.02::DOUBLE) * 1000000) AS BIGINT) AS w_nn,
+        |  CAST(round(ln((1.0::DOUBLE - 0.70::DOUBLE - 0.25::DOUBLE)
+        |    / (1.0::DOUBLE - u_name - 0.02::DOUBLE)) * 1000000) AS BIGINT) AS w_nd,
+        |  CAST(round(ln(0.95::DOUBLE / u_brand) * 1000000) AS BIGINT) AS w_ba,
+        |  CAST(round(ln((1.0::DOUBLE - 0.95::DOUBLE)
+        |    / (1.0::DOUBLE - u_brand)) * 1000000) AS BIGINT) AS w_bd,
+        |  CAST(round(ln(0.95::DOUBLE / u_size) * 1000000) AS BIGINT) AS w_sa,
+        |  CAST(round(ln((1.0::DOUBLE - 0.95::DOUBLE)
+        |    / (1.0::DOUBLE - u_size)) * 1000000) AS BIGINT) AS w_sd
+        |  FROM uu),
+        |keyed AS (
+        |  SELECT rec_id, name, brand, size,
+        |    brand || '|' || size || '|' || substr(name, 1, 2) AS bk FROM recs),
+        |ok AS (SELECT bk FROM keyed GROUP BY bk HAVING count(*) <= 64),
+        |k2 AS (SELECT keyed.* FROM keyed JOIN ok USING (bk)),
+        |scored AS (
+        |  SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+        |    (CASE WHEN a.name IS NOT DISTINCT FROM b.name
+        |       THEN (SELECT w_ne FROM wt)
+        |     WHEN floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
+        |       greatest(length(a.name), length(b.name)))) >= 8000
+        |       THEN (SELECT w_nn FROM wt)
+        |     ELSE (SELECT w_nd FROM wt) END
+        |    + CASE WHEN a.brand IS NOT DISTINCT FROM b.brand
+        |        THEN (SELECT w_ba FROM wt) ELSE (SELECT w_bd FROM wt) END
+        |    + CASE WHEN a.size IS NOT DISTINCT FROM b.size
+        |        THEN (SELECT w_sa FROM wt) ELSE (SELECT w_sd FROM wt) END) AS fs
+        |  FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.rec_id < b.rec_id)
+        |SELECT id_a, id_b, CAST(fs AS BIGINT) AS fs_micro,
+        |  CASE WHEN fs >= 8000000 THEN 'match'
+        |    WHEN fs >= 0 THEN 'possible' ELSE 'nonmatch' END AS verdict
+        |FROM scored""".stripMargin,
 
     // er4: SNM recomputed relationally — global rank via row_number
     // (identical (name, rec_id) order; binary collation both engines),

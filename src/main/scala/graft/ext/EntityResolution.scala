@@ -142,6 +142,77 @@ object EntityResolution {
       .select(col("id_a"), col("id_b"), col("sim_bp"))
   }
 
+  /** Fellegi–Sunter probabilistic linkage (JASA 1969 — the canonical
+    * record-linkage decision model behind Splink/febrl): each candidate
+    * pair accumulates per-field log-likelihood-ratio weights
+    * `ln(m/u)` on agreement and `ln((1−m)/(1−u))` on disagreement, and
+    * the summed weight classifies the pair match / possible (clerical
+    * review) / nonmatch against two thresholds.
+    *
+    * Probability sources: the u's (P(agree | non-match)) for EXACT
+    * agreement are DATA-DERIVED — `u = Σ_v count(v)² / n²`, the chance
+    * two random records agree on the field — from one tiny per-field
+    * aggregate each; the m's (P(agree | true match)) and the NEAR-level
+    * u are conventioned parameters, as in practice (m's come from EM or
+    * convention; this engine parameterizes them). The name field gets
+    * THREE outcomes (exact / near by normalized-Levenshtein ≥ nearSimBp
+    * / disagree), exact fields two.
+    *
+    * Determinism: every weight is computed ONCE (driver) as
+    * `round(ln(m/u)·10⁶)` from exact-integer-derived doubles and enters
+    * the plan as a LITERAL; pair scoring is integer sums of literals —
+    * partition- and engine-independent (the t18 fixed-point discipline).
+    * Shape: one count + one Σcount² aggregate per field (tiny,
+    * map-side-combinable), then the candidate-pair equi-joins of
+    * [[scorePairs]]. Output: (id_a, id_b, fs_micro, verdict). */
+  def fellegiSunter(records: DataFrame, id: String, cand: DataFrame,
+                    nameAttr: String, exactAttrs: Seq[String],
+                    mNameExact: Double = 0.70, mNameNear: Double = 0.25,
+                    uNameNear: Double = 0.02, nearSimBp: Int = 8000,
+                    mExact: Double = 0.95,
+                    matchMicro: Long = 8000000L,
+                    possibleMicro: Long = 0L): DataFrame = {
+    val n = records.count()
+    require(n > 0, "empty record table")
+    def uOf(attr: String): Double = {
+      val num = records.groupBy(col(attr)).agg(count(lit(1)).as("_c"))
+        .agg(sum(col("_c") * col("_c"))).head().getLong(0)
+      num.toDouble / (n * n).toDouble
+    }
+    def w(m: Double, u: Double): Long = math.round(math.log(m / u) * 1e6)
+    val uName = uOf(nameAttr)
+    val wNameExact = w(mNameExact, uName)
+    val wNameNear = w(mNameNear, uNameNear)
+    val wNameDis = w(1.0 - mNameExact - mNameNear, 1.0 - uName - uNameNear)
+    val exactW: Seq[(String, Long, Long)] = exactAttrs.map { a =>
+      val u = uOf(a)
+      (a, w(mExact, u), w(1.0 - mExact, 1.0 - u))
+    }
+    val attrs = nameAttr +: exactAttrs
+    val vals = records.select(col(id) +: attrs.map(col): _*)
+    val joined = cand
+      .join(vals.select(col(id).as("id_a") +:
+        attrs.map(a => col(a).as(s"_a_$a")): _*), Seq("id_a"))
+      .join(vals.select(col(id).as("id_b") +:
+        attrs.map(a => col(a).as(s"_b_$a")): _*), Seq("id_b"))
+    val na = col(s"_a_$nameAttr"); val nb = col(s"_b_$nameAttr")
+    val simBp = floor(lit(10000) * (lit(1.0) -
+      levenshtein(na, nb).cast("double") /
+        greatest(length(na), length(nb)).cast("double"))).cast("long")
+    val nameTerm = when(na <=> nb, lit(wNameExact))
+      .when(simBp >= nearSimBp, lit(wNameNear))
+      .otherwise(lit(wNameDis))
+    val fs = exactW.foldLeft(nameTerm) { case (acc, (a, wa, wd)) =>
+      acc + when(col(s"_a_$a") <=> col(s"_b_$a"), lit(wa)).otherwise(lit(wd))
+    }
+    joined
+      .withColumn("fs_micro", fs)
+      .select(col("id_a"), col("id_b"), col("fs_micro"),
+        when(col("fs_micro") >= matchMicro, lit("match"))
+          .when(col("fs_micro") >= possibleMicro, lit("possible"))
+          .otherwise(lit("nonmatch")).as("verdict"))
+  }
+
   /** Matched record pairs: block [[candidates]] scored by
     * [[scorePairs]]. */
   def matchPairs(

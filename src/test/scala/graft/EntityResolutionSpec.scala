@@ -47,6 +47,54 @@ class EntityResolutionSpec extends SparkSpec {
     assert(m == Set((1L, 2L, 8888L), (1L, 6L, 9000L)))
   }
 
+  test("fellegiSunter: per-level weights, data-derived u's, verdict bands") {
+    // recs: 6 records; name counts: "red plate"×2, others ×1 ->
+    // u_name = (4+1+1+1+1)/36; brand: B1×5, B2×1 -> u_brand = 26/36;
+    // size: 5×4, 7×1, 9×1 -> u_size = 18/36.
+    val n = 6L
+    def u(num: Long) = num.toDouble / (n * n).toDouble
+    def w(m: Double, uu: Double) = math.round(math.log(m / uu) * 1e6)
+    val (uN, uB, uS) = (u(8), u(26), u(18))
+    val wNe = w(0.70, uN); val wNn = w(0.25, 0.02)
+    val wNd = w(1.0 - 0.70 - 0.25, 1.0 - uN - 0.02)
+    val wBa = w(0.95, uB); val wBd = w(1.0 - 0.95, 1.0 - uB)
+    val wSa = w(0.95, uS); val wSd = w(1.0 - 0.95, 1.0 - uS)
+    val cand = EntityResolution.candidates(recs, "rec_id", block)
+    val out = EntityResolution.fellegiSunter(recs, "rec_id", cand,
+        "name", Seq("brand", "size"),
+        matchMicro = wNn + wBa + wSa, // near + both agrees == match floor
+        possibleMicro = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    // (1,2): near name (8888 >= 8000), brand+size agree
+    assert(out((1L, 2L)) == ((wNn + wBa + wSa, "match")))
+    // (1,6): near name (9000), agree, agree
+    assert(out((1L, 6L)) == ((wNn + wBa + wSa, "match")))
+    // (1,4): name disagrees hard (sim < 8000), brand+size agree
+    assert(out((1L, 4L)) == ((wNd + wBa + wSa,
+      if (wNd + wBa + wSa >= 0) "possible" else "nonmatch")))
+    // all 6 block pairs scored, none beyond
+    assert(out.size == 6)
+  }
+
+  test("fellegiSunter: exact-name level outranks near; null attrs compare null-safe") {
+    val rx = Seq(
+      (1L, "same name", "B1", 5),
+      (2L, "same name", "B1", 5),
+      (3L, "same nam", null.asInstanceOf[String], 5))
+      .toDF("rec_id", "name", "brand", "size")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = EntityResolution.fellegiSunter(rx, "rec_id", cand,
+        "name", Seq("brand", "size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // exact-name pair strictly outscores the near-name pair whose brand
+    // leg hits the null-vs-B1 DISAGREE branch (never a null verdict)
+    assert(out((1L, 2L)) > out((1L, 3L)))
+    val verdicts = EntityResolution.fellegiSunter(rx, "rec_id", cand,
+        "name", Seq("brand", "size"))
+      .collect().map(_.getString(3))
+    assert(verdicts.forall(v => Set("match", "possible", "nonmatch")(v)))
+  }
+
   test("candidatesTouching: exactly the pairs touching the new subset, each once") {
     // block B1|5|re = {1, 2, 4, 6}; new = {2, 6} exercises both-new
     // dedup (2,6), new-reaching-smaller-old (1,2)/(1,6), and

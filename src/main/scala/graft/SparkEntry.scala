@@ -2113,6 +2113,23 @@ object SparkEntry {
         idCol = "doc_id", rankCol = "rank", k = 20)
     }),
 
+    // E15 — MMR diversity re-ranking (Carbonell & Goldstein 1998): the
+    // post-ranking pass that keeps near-duplicate hits from crowding a
+    // result page. Corpus work = ONE TakeOrdered shortlist on
+    // milli-floored compiled cosine (e4's verified precision); the
+    // greedy λ=0.7 selection runs on the driver over the 20-item
+    // shortlist (≤400 cosines, bounded at any corpus size). Integer
+    // scores, id tiebreaks — the oracle replays all 10 selection steps
+    // unrolled.
+    "e15_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getAs[Seq[Float]](0).toArray
+      Similarity.mmrRerank(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", qv, shortlist = 20, select = 10,
+        lambdaMil = 700)
+    }),
+
     "e4_cosine_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
@@ -5226,6 +5243,41 @@ object SparkEntry {
       """SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS shortlist_ok,
         |  CAST(1 AS BIGINT) AS recon_ok
         |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+
+    // e15: the 10 greedy MMR selection steps UNROLLED (generated — the
+    // same loop shape as the engine's driver greedy), MATERIALIZED CTEs
+    // so DuckDB's inlining doesn't blow up exponentially across the
+    // chained accumulator references. Candidates/sims on milli-floored
+    // list_cosine_similarity (e4's verified twin of the compiled
+    // kernel).
+    "e15_mmr_rerank" -> {
+      val steps = new scala.collection.mutable.ArrayBuffer[String]
+      steps += "sel1 AS MATERIALIZED (SELECT vec_id, 700*rel AS sc FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"
+      steps += "acc1 AS MATERIALIZED (SELECT vec_id FROM sel1)"
+      for (k <- 2 to 10) {
+        steps += s"""p$k AS MATERIALIZED (SELECT c.vec_id,
+          |  700*c.rel - 300*(SELECT max(s.sm) FROM sims s WHERE s.ia = c.vec_id
+          |    AND s.ib IN (SELECT vec_id FROM acc${k - 1})) AS sc
+          |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM acc${k - 1}))""".stripMargin
+        steps += s"sel$k AS MATERIALIZED (SELECT vec_id, sc FROM p$k ORDER BY sc DESC, vec_id LIMIT 1)"
+        steps += s"acc$k AS MATERIALIZED (SELECT vec_id FROM acc${k - 1} UNION ALL SELECT vec_id FROM sel$k)"
+      }
+      val selUnion = (1 to 10).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS sel_rank, vec_id, CAST(sc AS BIGINT) AS mmr_score FROM sel$k")
+        .mkString("\nUNION ALL ")
+      s"""WITH q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cand AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    CAST(floor(1000 * list_cosine_similarity(embedding, (SELECT qv FROM q))) AS BIGINT) AS rel
+         |  FROM embeddings WHERE vec_id <> 0
+         |  ORDER BY rel DESC, vec_id LIMIT 20),
+         |sims AS MATERIALIZED (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    CAST(floor(1000 * list_cosine_similarity(a.embedding, b.embedding)) AS BIGINT) AS sm
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |${steps.mkString(",\n")}
+         |$selUnion""".stripMargin
+    },
 
     // e14: constant-oracle gate (e6/e7/e11 shape) — shortlist recall
     // floor + probed-candidate work cap must both hold.

@@ -507,6 +507,62 @@ object Similarity {
   def pqDecode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
     graft.functions.VectorExpressions.pqDecode(codes, codebooks)
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversity pass every retrieval stack runs AFTER ranking:
+    * greedily pick `select` of the top-`shortlist` candidates maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`, so near-duplicate hits
+    * don't crowd the result page (e10's SemDeDup concern applied at
+    * query time).
+    *
+    * Scale shape: the corpus-facing work is ONE TakeOrdered shortlist
+    * (rel = compiled cosine floored to millis — e4's verified
+    * cross-engine precision); the greedy loop runs on the DRIVER over
+    * ≤ shortlist items (≤ shortlist² cosines — bounded, like e13's
+    * probe-vector head()), never on the cluster. All scores are exact
+    * integers (`lambdaMil·rel_mil − (1000−lambdaMil)·maxSim_mil`), ties
+    * break by id, so the selection is engine- and
+    * partitioning-deterministic. Output: (sel_rank, vec_id, mmr_score). */
+  def mmrRerank(emb: DataFrame, id: String, vec: String,
+                queryVec: Array[Float], shortlist: Int = 20,
+                select: Int = 10, lambdaMil: Int = 700): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val relMil = floor(cosine(col(vec), lit(queryVec)) * 1000).cast("long")
+    val top = emb.select(col(id).as("vec_id"), col(vec).as("v"),
+        relMil.as("rel_mil"))
+      .orderBy(col("rel_mil").desc, col("vec_id")).limit(shortlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cosMil(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.floor(1000 * (dot / (math.sqrt(na) * math.sqrt(nb)))).toLong
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    var rank = 1
+    while (rank <= math.min(select, top.length)) {
+      var bestId = -1L; var bestScore = Long.MinValue
+      for ((cid, rel, cv) <- top if !chosen(cid)) {
+        val maxSim = if (chosen.isEmpty) 0L
+          else top.iterator.filter(t => chosen(t._1))
+            .map(t => cosMil(cv, t._3)).max
+        val score = lambdaMil * rel - (1000L - lambdaMil) * maxSim
+        if (score > bestScore || (score == bestScore && cid < bestId)) {
+          bestScore = score; bestId = cid
+        }
+      }
+      selected += ((rank, bestId, bestScore))
+      chosen += bestId
+      rank += 1
+    }
+    selected.toSeq.map { case (r, i, s) => (r.toLong, i, s) }
+      .toDF("sel_rank", "vec_id", "mmr_score")
+  }
+
   /** Scalar int8 quantization of an embedding column — the standard 4×
     * storage compression for vector stores: each vector is scaled by its
     * own max-abs into [-127, 127] ints; [[dequantizeInt8]] reconstructs

@@ -147,6 +147,26 @@ class SimilaritySpec extends SparkSpec {
       .exceptAll(fullPairs.select("vec_id", "neighbor_id")).isEmpty)
   }
 
+  test("mmrRerank: a duplicate of the top hit is demoted below a diverse hit") {
+    import spark.implicits._
+    // 1 and 2 are identical high-relevance vectors; 3 is equally relevant
+    // but diverse; 4 is irrelevant. Pure relevance ranks (1,2,3,4) — MMR
+    // must pick 1 (id tiebreak over its twin), then 3 (diversity beats
+    // the exact duplicate), then 2, then 4.
+    val emb = Seq(
+      (1L, Seq(0.95f, 0.312f, 0f)),
+      (2L, Seq(0.95f, 0.312f, 0f)),
+      (3L, Seq(0.95f, -0.312f, 0f)),
+      (4L, Seq(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(emb, "vec_id", "embedding",
+      Array(1f, 0f, 0f), shortlist = 4, select = 4)
+    assert(out.orderBy("sel_rank").collect().map(_.getLong(1)).toSeq
+      == Seq(1L, 3L, 2L, 4L))
+    // select caps the output even when the shortlist is larger
+    assert(Similarity.mmrRerank(emb, "vec_id", "embedding",
+      Array(1f, 0f, 0f), shortlist = 4, select = 2).count() == 2)
+  }
+
   test("semantic dedup: candidates are a subset of exact pairs at the same tau") {
     val emb = Tables.load(spark, sf, "embeddings")
     val (cents, _) = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 3)

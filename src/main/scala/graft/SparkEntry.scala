@@ -3298,6 +3298,33 @@ object SparkEntry {
         .select(col("node").as("node_id"), col("rank_micro"))
     }),
 
+    // G2 — personalized PageRank (Haveliwala 2002): g1's entity graph
+    // ranked RELATIVE to a trusted seed set (nation-0 suppliers) — the
+    // "select data close to a curated set" prior. Teleport mass lands
+    // only on seeds; same exact integer arithmetic; oracle = 5 unrolled
+    // iterations with the seed-cased base term.
+    "g2_ppr" -> ((s, dir) => {
+      import graft.ops.Graph
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val edges = ord.select((col("o_custkey") + 1000000000L).as("src"),
+          (col("o_orderkey") + 2000000000L).as("dst"))
+        .union(li.select((col("l_orderkey") + 2000000000L).as("src"),
+          (col("l_partkey") + 3000000000L).as("dst")))
+        .union(li.select((col("l_partkey") + 3000000000L).as("src"),
+          (col("l_suppkey") + 4000000000L).as("dst")))
+        .union(sup.select((col("s_suppkey") + 4000000000L).as("src"),
+          (col("s_nationkey") + 5000000000L).as("dst")))
+        .union(cust.select((col("c_nationkey") + 5000000000L).as("src"),
+          (col("c_custkey") + 1000000000L).as("dst")))
+      val seeds = sup.filter(col("s_nationkey") === 0)
+        .select((col("s_suppkey") + 4000000000L).as("node"))
+      Graph.personalizedPageRank(edges, "src", "dst", seeds, iters = 5)
+        .select(col("node").as("node_id"), col("rank_micro"))
+    }),
+
     // Q7 CUBE over (nation, segment) with grouping_id disambiguating the
     // subtotal slices — q6's rollup generalized to all 2^n groupings, still
     // one Expand + one hash aggregate.
@@ -6082,6 +6109,50 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey, 'c_nationkey' AS attr, CAST(c_nationkey AS DOUBLE) AS val
         |FROM customer""".stripMargin,
+
+    // g2: g1's unrolled-iteration oracle with the seed-cased teleport
+    // base (generated; MATERIALIZED so the chained CTE references don't
+    // inline exponentially).
+    "g2_ppr" -> {
+      val iters = (1 to 5).map { k =>
+        s"""i$k AS MATERIALIZED (SELECT e.dst AS node, sum(r${k - 1}.r // deg.deg) AS inb
+           |  FROM r${k - 1} JOIN e ON e.src = r${k - 1}.node JOIN deg ON deg.src = e.src
+           |  GROUP BY 1),
+           |r$k AS MATERIALIZED (SELECT nodes.node,
+           |  CASE WHEN sd.sflag IS NOT NULL THEN (SELECT b FROM base) ELSE 0 END
+           |  + (850 * coalesce(i$k.inb, 0)) // 1000 AS r
+           |  FROM nodes LEFT JOIN i$k USING (node) LEFT JOIN sd ON sd.node = nodes.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT o_custkey + 1000000000 AS src,
+         |      o_orderkey + 2000000000 AS dst FROM orders
+         |    UNION ALL SELECT l_orderkey + 2000000000,
+         |      l_partkey + 3000000000 FROM lineitem
+         |    UNION ALL SELECT l_partkey + 3000000000,
+         |      l_suppkey + 4000000000 FROM lineitem
+         |    UNION ALL SELECT s_suppkey + 4000000000,
+         |      s_nationkey + 5000000000 FROM supplier
+         |    UNION ALL SELECT c_nationkey + 5000000000,
+         |      c_custkey + 1000000000 FROM customer)),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |sd AS MATERIALIZED (
+         |  SELECT DISTINCT s.node, 1 AS sflag FROM
+         |    (SELECT s_suppkey + 4000000000 AS node FROM supplier
+         |     WHERE s_nationkey = 0) s
+         |  JOIN nodes USING (node)),
+         |ns AS (SELECT count(*) AS n FROM sd),
+         |base AS (SELECT (150 * (1000000000000 // n)) // 1000 AS b,
+         |  1000000000000 // n AS p FROM ns),
+         |r0 AS MATERIALIZED (SELECT nodes.node,
+         |  CASE WHEN sd.sflag IS NOT NULL THEN (SELECT p FROM base)
+         |    ELSE 0 END AS r
+         |  FROM nodes LEFT JOIN sd ON sd.node = nodes.node),
+         |$iters
+         |SELECT node AS node_id, CAST(r AS BIGINT) AS rank_micro
+         |FROM r5""".stripMargin
+    },
 
     // g1: the 5 PageRank iterations UNROLLED — same exact integer
     // arithmetic (`//` ≡ Spark `div`), same edge/node/degree derivation,

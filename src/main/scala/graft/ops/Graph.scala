@@ -79,4 +79,68 @@ object Graph {
     }
     ranks
   }
+
+  /** Personalized PageRank (Haveliwala 2002 — "rank relative to a
+    * trusted seed set"): the teleport mass lands ONLY on `seeds`, so the
+    * stationary ranks measure proximity to the seeds through the link
+    * structure — the data-selection prior "keep documents close to a
+    * curated set". Same exact integer arithmetic, per-iteration shape,
+    * and lineage discipline as [[pageRank]]; the seed flag rides a
+    * broadcast join (seed sets are small by use-case). `seeds` is any
+    * frame whose FIRST column holds node ids; ids absent from the graph
+    * are ignored (semi-join). */
+  def personalizedPageRank(edges: DataFrame, src: String, dst: String,
+                           seeds: DataFrame, iters: Int = 5,
+                           dampingMil: Int = 850,
+                           total: Long = 1000000000000L,
+                           checkpoint: Cascade.Strategy = Cascade.Auto,
+                           cutEvery: Int = 8): DataFrame = {
+    require(iters >= 0 && dampingMil >= 0 && dampingMil <= 1000)
+    val e = Cascade.cut(
+      edges.select(col(src).as("__s"), col(dst).as("__d")).distinct(),
+      checkpoint, eager = false)
+    val eDeg = Cascade.cut(
+      e.join(e.groupBy(col("__s")).agg(count(lit(1)).as("__deg")), Seq("__s")),
+      checkpoint, eager = false)
+    val nodes = Cascade.cut(
+      e.select(col("__s").as("node"))
+        .union(e.select(col("__d").as("node"))).distinct(),
+      checkpoint, eager = false)
+    val seedSet = Cascade.cut(
+      seeds.select(col(seeds.columns.head).as("node")).distinct()
+        .join(nodes, Seq("node"), "left_semi"),
+      checkpoint, eager = false)
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "no seed is a graph node")
+    val perSeed = total / nSeeds
+    val baseSeed = ((1000L - dampingMil) * perSeed) / 1000L
+    // the seed flag rides the cut nodes frame, so each iteration's base
+    // term needs NO extra join — same one-join-per-round shape as
+    // pageRank (measured: the per-iteration broadcast probe was the
+    // only g2-over-g1 overhead at 10x data)
+    val nodesFlag = Cascade.cut(
+      nodes.join(broadcast(seedSet.withColumn("__sflag", lit(1))),
+          Seq("node"), "left")
+        .select(col("node"), col("__sflag").isNotNull.as("__seed")),
+      checkpoint, eager = false)
+    var ranks = nodesFlag.select(col("node"),
+      when(col("__seed"), lit(perSeed)).otherwise(lit(0L)).as("rank_micro"))
+    var i = 0
+    while (i < iters) {
+      val contrib = ranks
+        .join(eDeg, ranks("node") === eDeg("__s"))
+        .select(col("__d").as("node"),
+          expr("rank_micro div __deg").as("__c"))
+      val inbound = contrib.groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      val next = nodesFlag.join(inbound, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__seed"), lit(baseSeed)).otherwise(lit(0L)) +
+            expr(s"(($dampingMil * coalesce(__in, 0L)) div 1000)"))
+            .as("rank_micro"))
+      ranks = if ((i + 1) % cutEvery == 0 && i + 1 < iters)
+        Cascade.cut(next, checkpoint, eager = false) else next
+      i += 1
+    }
+    ranks
+  }
 }

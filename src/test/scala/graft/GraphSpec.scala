@@ -51,6 +51,31 @@ class GraphSpec extends SparkSpec {
     assert(h.values.sum <= 1000000000000L)
   }
 
+  test("personalized PageRank: mass concentrates reachable-from-seeds; unreachable stay 0") {
+    // two disjoint 2-cycles; seed only in the first — the second
+    // component must hold rank 0 at every node, and the seeded cycle
+    // keeps the full mass split
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val out = Graph.personalizedPageRank(e, "src", "dst", seeds, iters = 5,
+      checkpoint = Cascade.NoCheckpoint)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(3L) == 0L && out(4L) == 0L)
+    assert(out(1L) > 0L && out(2L) > 0L)
+    // seed ids absent from the graph are ignored; all-absent seeds throw
+    val out2 = Graph.personalizedPageRank(e, "src", "dst",
+      Seq(1L, 99L).toDF("node"), iters = 1,
+      checkpoint = Cascade.NoCheckpoint)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // |seeds ∩ nodes| = 1 -> perSeed = total; r1(2) = 850·(10^12 div 1) div 1000... via 1's out-edge
+    assert(out2(2L) == 850000000000L)
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(e, "src", "dst",
+        Seq(Tuple1(99L)).toDF("node"), iters = 1,
+        checkpoint = Cascade.NoCheckpoint)
+    }
+  }
+
   test("ranks are partitioning-independent (integer arithmetic end to end)") {
     val e = (0L until 200L).map(i => (i % 37, (i * 7) % 37)).toDF("src", "dst")
     val one = ranks(Graph.pageRank(e.coalesce(1), "src", "dst", iters = 4,

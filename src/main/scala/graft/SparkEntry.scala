@@ -3151,6 +3151,54 @@ object SparkEntry {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
     }),
 
+    // W22 — INCREMENTAL duplicate clustering, d9's streaming twin: the
+    // df-capped near-dup pair set arrives as 3 micro-batches (split by
+    // hash of the pair — arbitrary delivery, the d15-screen delta
+    // shape); each batch APPENDS distinct edges to the log
+    // (ComponentsStream, w17/w18 LSM discipline, replay-safe by union
+    // algebra), and the terminal fold runs the batch hash-min closure
+    // over the logged union. Oracle: d9's recursive-CTE SQL VERBATIM —
+    // incremental edge state must reproduce batch cluster truth label
+    // for label.
+    "w22_stream_components" -> ((s, dir) => {
+      import graft.streaming.ComponentsStream
+      val docs = t(s, dir, "documents")
+      val pairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text",
+          n = 3, minJ = 0.3, maxDf = Some(DupShingleMaxDf))
+        .select(col("doc_id_a"), col("doc_id_b"))
+      val root = s"$streamScratchDir/${dirKey(dir)}_w22"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      // stage the pair deltas as single-file micro-batches
+      val tmp = s"$root/tmpall"
+      pairs.withColumn("__b",
+          pmod(conv(substring(md5(concat_ws(":",
+            col("doc_id_a"), col("doc_id_b"))), 1, 4), 16, 10).cast("long"),
+            lit(3)))
+        .write.partitionBy("__b").mode("overwrite").parquet(tmp)
+      for (b <- 0 until 3) {
+        val d = new java.io.File(s"$tmp/__b=$b")
+        if (d.isDirectory) {
+          val parts = d.listFiles().filter(f =>
+            f.isFile && f.getName.endsWith(".parquet"))
+          parts.zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$in/b${b}_$i.parquet"))
+          }
+        }
+      }
+      rmTree(tmp)
+      val schema = s.read.parquet(in).schema
+      val q = ComponentsStream.start(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+        "doc_id_a", "doc_id_b", s"$root/state", s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      ComponentsStream.fold(s, s"$root/state",
+          docs.select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("component").as("cluster_id"))
+    }),
+
     // W19 — INCREMENTAL gap sessionization, w3's streaming twin: events
     // arrive as 3 ts-tercile micro-batches (time-ordered delivery — the
     // event-log shape the operator's precondition names); each batch is
@@ -3722,8 +3770,15 @@ object SparkEntry {
   // ------------------------------------------------------------ oracle SQL
 
   /** DuckDB-equivalent SQL per query. Omitted for non-SQL-expressible ops
-    * (d2 MinHash, d3 SimHash, e3 LSH) → driver records rows-only checks. */
-  def oracleSql: Map[String, String] = Map(
+    * (d2 MinHash, d3 SimHash, e3 LSH) → driver records rows-only checks.
+    * w22's oracle is d9's batch SQL VERBATIM (the gate: incremental edge
+    * state ≡ batch cluster truth), aliased after the literal map. */
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    base + ("w22_stream_components" -> base("d9_dup_clusters"))
+  }
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -349,6 +349,40 @@ class StreamingSpec extends SparkSpec {
     assert(!fwd._1.contains(14L))
   }
 
+  test("w22 component edge logs: order-independent, replay-absorbing, fold == batch closure") {
+    import graft.streaming.ComponentsStream
+    import spark.implicits._
+    val verts = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("id")
+    // three pair deltas; a cross-component edge arrives LAST so the fold
+    // must merge clusters the earlier batches kept separate
+    val deltas = Seq(
+      Seq((1L, 2L)), Seq((10L, 11L)), Seq((2L, 3L), (3L, 10L)))
+      .map(_.toDF("a", "b"))
+    def runOrder(tag: String, order: Seq[Int]): Map[Long, Long] = {
+      val dirf = java.nio.file.Files.createTempDirectory(s"w22_$tag").toString
+      order.foreach(i => ComponentsStream.absorb(deltas(i), "a", "b", dirf))
+      ComponentsStream.fold(spark, dirf, verts, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      99L -> 99L) // one merged component + the isolated vertex
+    val fwd = runOrder("fwd", Seq(0, 1, 2))
+    assert(fwd == expected)
+    assert(runOrder("rev", Seq(2, 1, 0)) == fwd, "union is commutative")
+    assert(runOrder("replay", Seq(0, 1, 1, 2, 0)) == fwd, "union is idempotent")
+    // equality with the batch engine on the delivered union
+    val batch = graft.ops.Components.connected(
+        deltas.reduce(_ union _), "a", "b",
+        vertices = Some(verts), idCol = "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == fwd)
+    // empty log: every vertex labels itself
+    val emptyDir = java.nio.file.Files.createTempDirectory("w22_empty").toString
+    val e = ComponentsStream.fold(spark, emptyDir, verts, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e == verts.as[Long].collect().map(v => v -> v).toMap)
+  }
+
   test("w19 session state: boundary-spanning merge, replay idempotence, horizon eviction") {
     import graft.streaming.SessionStream
     import spark.implicits._

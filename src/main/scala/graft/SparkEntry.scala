@@ -859,6 +859,60 @@ object SparkEntry {
       Pipeline.run(wide, Seq(spec)).nodes("participant")
     }),
 
+    // V16 — the v1.3 pipeline under the REAL reference artifacts end to
+    // end: specs come from Pipeline.specsFromYaml over the ACTUAL
+    // cds-model.yml + 8,022-line props + curated v1.3 raw/clean dicts +
+    // cds_config_example_v1.3.yaml (the reference's OWN key shapes:
+    // NODE_ID_FIELD dict, list-shaped PARENT_MAPPING_COLUMNS /
+    // COMBINE_NODE / COMBINE_COLUMN / SECONDARY_ID_COLUMN). The wide
+    // Metadata fixture carries the real raw column names; study +
+    // participant flow through the full stage chain — P3/P4, P1 under
+    // the real raw dict, J5 pointer + J7 compound id from the real
+    // config, A1, A2 for study (real COMBINE_NODE), P5 under the real
+    // clean dict (map, out-of-enum quirk MALE→male, typo keys, in-enum
+    // passthrough, junk passthrough — all real entries), V1 id
+    // validation. Output: v14-style per-node fingerprints; the oracle
+    // recomputes both nodes relationally with the real dict entries
+    // pinned as literals.
+    "v16_real_config_e2e" -> ((s, dir) => {
+      import graft.pipeline.Pipeline
+      val mod = participantMod(s, dir)
+      val seg = col("c_mktsegment")
+      val wide = t(s, dir, "customer").select(
+        lit("phs002529").as("phs_accession"),
+        concat(lit("Study Part "), (col("c_custkey") % 3).cast("string"))
+          .as("study_name"),
+        lit("v1.2.p2").as("study_version"),
+        (col("c_custkey") % mod).cast("string").as("participant_id"),
+        when(seg === "AUTOMOBILE", lit("male"))       // dict → Male
+          .when(seg === "BUILDING", lit("FEMALE"))    // dict → Female
+          .when(seg === "FURNITURE", lit("MALE"))     // dict → male (real quirk: maps OUT of enum)
+          .when(seg === "HOUSEHOLD", lit("Female"))   // in-enum passthrough
+          .otherwise(lit("unknown gender")).as("gender"), // junk passthrough
+        when(seg === "AUTOMOBILE", lit("not hispanic or latino"))
+          .when(seg === "BUILDING", lit("Unkown"))    // typo key → Unknown
+          .when(seg === "FURNITURE", lit("Hispanic or Latino")) // in-enum
+          .otherwise(lit("hispanic or latino")).as("ethnicity"),
+        when(seg === "AUTOMOBILE", lit("Other"))      // dict → Not Reported
+          .when(seg === "BUILDING", lit("Not Reported;Unknown"))
+          .when(seg === "FURNITURE", lit("White"))    // in-enum
+          .otherwise(lit("Unkown")).as("race"),
+        concat(lit("S"), (col("c_custkey") % mod).cast("string"))
+          .as("dbGaP_subject_id"))
+      val (specs, removeNodes) = Pipeline.specsFromYaml(
+        slurp(refArtifact("3-Model-Files/cds-model.yml")),
+        slurp(refArtifact("3-Model-Files/cds-model-props.yml")),
+        slurp(refArtifact("2-Config-Files/cds_config_v1.3/cds_raw_dict_v1.3.yaml")),
+        slurp(refArtifact("2-Config-Files/cds_config_v1.3/cds_clean_dict_v1.3.yaml")),
+        slurp(refArtifact("2-Config-Files/cds_config_v1.3/cds_config_example_v1.3.yaml")))
+      val keep = specs.filter(sp => Set("study", "participant")(sp.name))
+      val res = Pipeline.run(wide, keep, removeNodes)
+      res.nodes.toSeq.sortBy(_._1).map { case (name, df) =>
+        Validations.tableFingerprint(df, df.columns.sorted.toSeq)
+          .select(lit(name).as("node"), col("n_rows"), col("fingerprint"))
+      }.reduce(_.union(_))
+    }),
+
     // V8 validation-REPORT gate: v7 judges the surviving rows; this judges
     // the report frames themselves — the reference's actual user-facing
     // deliverable (id_validation_result.tsv + ssn scan,
@@ -4071,6 +4125,92 @@ object SparkEntry {
     // v7: the surviving node rows after dedup + conflict-cascade,
     // recomputed relationally — after DISTINCT, an id conflicts iff it
     // carries more than one distinct gender.
+    // v16: the real-config run recomputed relationally — the clean CASEs
+    // pin the REAL clean-dict entries (incl. the MALE→male out-of-enum
+    // quirk) and enum lists verbatim; fingerprints over the engine's
+    // sorted column order.
+    "v16_real_config_e2e" ->
+      """WITH wide AS (
+        |  SELECT 'phs002529' AS phs_accession,
+        |    'Study Part ' || CAST(c_custkey % 3 AS VARCHAR) AS study_name,
+        |    'v1.2.p2' AS study_version,
+        |    CAST(c_custkey % (SELECT greatest(count(*) // 2, 1) FROM customer)
+        |      AS VARCHAR) AS participant_id,
+        |    CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'male'
+        |      WHEN 'BUILDING' THEN 'FEMALE' WHEN 'FURNITURE' THEN 'MALE'
+        |      WHEN 'HOUSEHOLD' THEN 'Female' ELSE 'unknown gender' END AS gender,
+        |    CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'not hispanic or latino'
+        |      WHEN 'BUILDING' THEN 'Unkown' WHEN 'FURNITURE' THEN 'Hispanic or Latino'
+        |      ELSE 'hispanic or latino' END AS ethnicity,
+        |    CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'Other'
+        |      WHEN 'BUILDING' THEN 'Not Reported;Unknown' WHEN 'FURNITURE' THEN 'White'
+        |      ELSE 'Unkown' END AS race,
+        |    'S' || CAST(c_custkey % (SELECT greatest(count(*) // 2, 1) FROM customer)
+        |      AS VARCHAR) AS dbGaP_subject_id
+        |  FROM customer),
+        |pproj AS (
+        |  SELECT DISTINCT dbGaP_subject_id, ethnicity, gender, participant_id, race,
+        |    phs_accession AS study_phs,
+        |    phs_accession || '_' || participant_id AS study_participant_id
+        |  FROM wide),
+        |pclean AS (
+        |  SELECT DISTINCT dbGaP_subject_id,
+        |    CASE WHEN ethnicity IN ('Hispanic or Latino','Not Hispanic or Latino',
+        |        'Unknown','Not Reported','Not Allowed to Collect') THEN ethnicity
+        |      WHEN ethnicity = 'not hispanic or latino' THEN 'Not Hispanic or Latino'
+        |      WHEN ethnicity = 'hispanic or latino' THEN 'Hispanic or Latino'
+        |      WHEN ethnicity = 'unknown' THEN 'Unknown'
+        |      WHEN ethnicity = 'Unkown' THEN 'Unknown'
+        |      ELSE ethnicity END AS ethnicity,
+        |    CASE WHEN gender IN ('Female','Male','Unknown','Unspecified','Not Reported')
+        |        THEN gender
+        |      WHEN gender = 'female' THEN 'Female' WHEN gender = 'male' THEN 'Male'
+        |      WHEN gender = 'F' THEN 'Female' WHEN gender = 'FEMALE' THEN 'Female'
+        |      WHEN gender = 'M' THEN 'Male' WHEN gender = 'MALE' THEN 'male'
+        |      ELSE gender END AS gender,
+        |    participant_id,
+        |    CASE WHEN race IN ('White','American Indian or Alaska Native',
+        |        'Black or African American','Asian',
+        |        'Native Hawaiian or Other Pacific Islander','Unknown','Not Reported',
+        |        'Not Allowed to Collect') THEN race
+        |      WHEN race = 'Unkown' THEN 'Unknown'
+        |      WHEN race = 'Not Reported;Unknown' THEN 'Not Reported'
+        |      WHEN race = 'Other' THEN 'Not Reported'
+        |      ELSE race END AS race,
+        |    study_phs, study_participant_id
+        |  FROM pproj),
+        |pbad AS (
+        |  SELECT study_participant_id FROM pclean GROUP BY 1 HAVING count(*) > 1),
+        |psurv AS (
+        |  SELECT * FROM pclean
+        |  WHERE study_participant_id NOT IN (SELECT study_participant_id FROM pbad)),
+        |pfp AS (
+        |  SELECT 'participant' AS node, count(*) AS n_rows,
+        |    CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |      coalesce(dbGaP_subject_id, chr(0)), coalesce(ethnicity, chr(0)),
+        |      coalesce(gender, chr(0)), coalesce(participant_id, chr(0)),
+        |      coalesce(race, chr(0)), coalesce(study_phs, chr(0)),
+        |      coalesce(study_participant_id, chr(0)), 'participant')), 1, 10))
+        |      AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+        |  FROM psurv),
+        |sproj AS (
+        |  SELECT DISTINCT phs_accession, study_name, study_version FROM wide),
+        |scomb AS (
+        |  SELECT phs_accession,
+        |    array_to_string(list_sort(list_distinct(list(study_name))), ', ')
+        |      AS study_name,
+        |    array_to_string(list_sort(list_distinct(list(study_version))), ', ')
+        |      AS study_version
+        |  FROM sproj GROUP BY 1),
+        |sfp AS (
+        |  SELECT 'study' AS node, count(*) AS n_rows,
+        |    CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |      coalesce(phs_accession, chr(0)), coalesce(study_name, chr(0)),
+        |      coalesce(study_version, chr(0)), 'study')), 1, 10))
+        |      AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+        |  FROM scomb)
+        |SELECT * FROM pfp UNION ALL SELECT * FROM sfp""".stripMargin,
+
     "v7_pipeline_e2e" ->
       """WITH node AS (
         |  SELECT DISTINCT CAST(c_custkey %

@@ -92,24 +92,79 @@ object Pipeline {
         }.getOrElse(Nil)
       case _ => Nil
     }
-    val ids = cfgMap("NODE_ID_FIELDS").map { case (k, v) => k -> v.toString }
-    val combine = cfgMap("COMBINE_NODE").keySet
+    // list-of-objects config keys — the REAL reference config's shape
+    // (cds_config_example_v1.3.yaml: PARENT_MAPPING_COLUMNS,
+    // COMBINE_NODE, COMBINE_COLUMN, SECONDARY_ID_COLUMN are YAML lists
+    // of {node: ..., ...} maps; NODE_ID_FIELD is the singular key)
+    def cfgObjList(key: String): Seq[Map[String, String]] = cfgRoot match {
+      case m: java.util.Map[_, _] =>
+        m.asScala.collectFirst {
+          case (k, v: java.util.List[_]) if k.toString == key =>
+            v.asScala.toSeq.collect { case e: java.util.Map[_, _] =>
+              e.asScala.map { case (a, b) =>
+                a.toString -> (if (b == null) "" else b.toString)
+              }.toMap
+            }
+        }.getOrElse(Nil)
+      case _ => Nil
+    }
+    // the wide-frame raw column carrying a node's property: the first
+    // raw-dict candidate mapping to it (P1's first-live-wins order), the
+    // property name itself when unmapped
+    def rawFor(node: String, prop: String): String =
+      rawDict.getOrElse(node, Nil)
+        .collectFirst { case (raw, p) if p == prop => raw }
+        .getOrElse(prop)
+    val ids = (cfgMap("NODE_ID_FIELDS") ++ cfgMap("NODE_ID_FIELD"))
+      .map { case (k, v) => k -> v.toString }
+    val combine = cfgMap("COMBINE_NODE").keySet ++
+      cfgObjList("COMBINE_NODE").flatMap(_.get("node"))
     val uiRequired = cfgMap("UI_REQUIRED").map { case (k, v) =>
       k -> (v match {
         case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
         case s => Seq(s.toString)
       })
     }
-    val parentCfg = cfgMap("PARENT_MAPPING_COLUMNS").map { case (child, v) =>
-      child -> (v match {
-        case l: java.util.List[_] => l.asScala.toSeq.map { e =>
+    val parentLegacy = cfgMap("PARENT_MAPPING_COLUMNS").collect {
+      case (child, v: java.util.List[_]) =>
+        child -> v.asScala.toSeq.map { e =>
           val m = e.asInstanceOf[java.util.Map[_, _]].asScala
             .map { case (a, b) => a.toString -> b.toString }.toMap
           ParentPointer(m("parent"), m("property"), m("raw"))
         }
-        case _ => Nil
-      })
     }
+    val parentReal = cfgObjList("PARENT_MAPPING_COLUMNS").flatMap { m =>
+      for (n <- m.get("node"); p <- m.get("parent_node"); pr <- m.get("property"))
+        yield n -> ParentPointer(p, pr, rawFor(p, pr))
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val parentCfg = (parentLegacy.keySet ++ parentReal.keySet).map { k =>
+      k -> (parentLegacy.getOrElse(k, Nil) ++ parentReal.getOrElse(k, Nil))
+    }.toMap
+    // J7 compound ids (COMBINE_COLUMN): columnN name the EXTERNAL node's
+    // property (external_node set) or this node's own; parts resolve to
+    // wide raw columns. Single-level: a part that is itself synthesized
+    // (diagnosis' study_participant_id) resolves to its property name and
+    // is skipped by projectNode when absent — the engine's disclosed
+    // wide-frame form of the reference's positional cross-node concat.
+    val compound = cfgObjList("COMBINE_COLUMN").flatMap { m =>
+      for (n <- m.get("node"); c1 <- m.get("column1"); c2 <- m.get("column2"))
+        yield {
+          val ext = m.get("external_node")
+            .filter(v => v.nonEmpty && !v.equalsIgnoreCase("false"))
+          n -> CompoundId(Seq(ext.map(rawFor(_, c1)).getOrElse(rawFor(n, c1)),
+            rawFor(n, c2)))
+        }
+    }.toMap
+    // J6 secondary ids (SECONDARY_ID_COLUMN): "parent.property" → the
+    // parent's wide raw column
+    val secondary = cfgObjList("SECONDARY_ID_COLUMN").flatMap { m =>
+      for (n <- m.get("node"); s <- m.get("secondary_id");
+           if s.contains("."))
+        yield {
+          val Array(pn, pp) = s.split("\\.", 2)
+          n -> rawFor(pn, pp)
+        }
+    }.toMap
     val specs = model.nodes.map { n =>
       val props = n.props.toSet
       NodeSpec(
@@ -118,6 +173,8 @@ object Pipeline {
         idProp = ids.getOrElse(n.name, model.propDefs.collectFirst {
           case (p, d) if d.key && props(p) => p
         }.getOrElse(n.props.head)),
+        secondaryIdFrom = secondary.get(n.name),
+        compoundId = compound.get(n.name),
         parents = parentCfg.getOrElse(n.name, Nil),
         combineById = combine(n.name),
         cleanDict = cleanDict.filter { case (p, _) => props(p) },

@@ -81,6 +81,50 @@ class PipelineSpec extends SparkSpec {
       && idv(0).getAs[String]("conflicted_columns") == "sample_type")
   }
 
+  test("specsFromYaml parses the REAL reference config's key shapes") {
+    val refDir = sys.env.getOrElse("GRAFT_REFERENCE_DIR", "/root/reference")
+    def slurp(rel: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(refDir, rel)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(refDir)))
+    val (specs, remove) = Pipeline.specsFromYaml(
+      slurp("3-Model-Files/cds-model.yml"),
+      slurp("3-Model-Files/cds-model-props.yml"),
+      slurp("2-Config-Files/cds_config_v1.3/cds_raw_dict_v1.3.yaml"),
+      slurp("2-Config-Files/cds_config_v1.3/cds_clean_dict_v1.3.yaml"),
+      slurp("2-Config-Files/cds_config_v1.3/cds_config_example_v1.3.yaml"))
+    assert(remove == Set("treatment")) // REMOVE_NODES
+    val byName = specs.map(s => s.name -> s).toMap
+    // NODE_ID_FIELD (singular, dict-shaped)
+    assert(byName("participant").idProp == "study_participant_id")
+    assert(byName("study").idProp == "phs_accession")
+    assert(byName("file").idProp == "file_id")
+    // COMBINE_NODE (list of {node, id_column})
+    assert(byName("study").combineById && byName("program").combineById
+      && byName("diagnosis").combineById)
+    assert(!byName("participant").combineById)
+    // PARENT_MAPPING_COLUMNS (list shape) -> wide raw columns via the
+    // real raw dict
+    assert(byName("participant").parents ==
+      Seq(Pipeline.ParentPointer("study", "phs_accession", "phs_accession")))
+    assert(byName("sample").parents == Seq(Pipeline.ParentPointer(
+      "participant", "study_participant_id", "study_participant_id")))
+    // COMBINE_COLUMN -> J7 compound ids (external node's property
+    // resolves through ITS raw dict)
+    assert(byName("participant").compoundId.contains(
+      Pipeline.CompoundId(Seq("phs_accession", "participant_id"))))
+    assert(byName("sample").compoundId.contains(
+      Pipeline.CompoundId(Seq("sample_id", "sample_type"))))
+    // SECONDARY_ID_COLUMN -> J6 parent raw columns
+    assert(byName("diagnosis").secondaryIdFrom.contains("participant_id"))
+    assert(byName("genomic_info").secondaryIdFrom.contains("GUID"),
+      "file_id's first raw candidate in the real dict is GUID")
+    // real clean-dict + enum wiring on the participant node
+    val p = byName("participant")
+    assert(p.cleanDict("gender")("MALE").contains("male")) // the real quirk
+    assert(p.enums("gender").contains("Unspecified"))
+  }
+
   test("specsFromYaml drives the same pipeline from reference-shaped YAML") {
     val modelYaml =
       """Nodes:

@@ -3421,7 +3421,12 @@ object SparkEntry {
           (col("s_nationkey") + 5000000000L).as("dst")))
         .union(cust.select((col("c_nationkey") + 5000000000L).as("src"),
           (col("c_custkey") + 1000000000L).as("dst")))
-      val seeds = sup.filter(col("s_nationkey") === 0)
+      // seed nation = the MINIMUM present nation key (SF-adaptive: the
+      // smallest fixture may carry no nation 0; both engines derive the
+      // same scalar)
+      val seedNation = sup.agg(min(col("s_nationkey")).cast("long"))
+        .head().getLong(0)
+      val seeds = sup.filter(col("s_nationkey") === seedNation)
         .select((col("s_suppkey") + 4000000000L).as("node"))
       Graph.personalizedPageRank(edges, "src", "dst", seeds, iters = 5)
         .select(col("node").as("node_id"), col("rank_micro"))
@@ -6335,7 +6340,7 @@ object SparkEntry {
          |sd AS MATERIALIZED (
          |  SELECT DISTINCT s.node, 1 AS sflag FROM
          |    (SELECT s_suppkey + 4000000000 AS node FROM supplier
-         |     WHERE s_nationkey = 0) s
+         |     WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)) s
          |  JOIN nodes USING (node)),
          |ns AS (SELECT count(*) AS n FROM sd),
          |base AS (SELECT (150 * (1000000000000 // n)) // 1000 AS b,

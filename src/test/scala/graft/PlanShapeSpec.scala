@@ -570,6 +570,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows(p).isEmpty, s"c13 grew a window:\n$p")
   }
 
+
+  test("m7 phash near-dup: banded equi-join — no cartesian, no nested loop") {
+    val p = q("m7_media_phash")
+    assert(!p.toString.contains("Cartesian") &&
+      !p.toString.contains("BroadcastNestedLoop"),
+      s"m7 must stay banded-equi-join shaped:\n$p")
+    assert(windows(p).isEmpty, s"m7 grew a window:\n$p")
+  }
+
+  test("c14 token budget: broadcast category frame, no window, bounded shuffles") {
+    val p = q("c14_token_budget")
+    assert(broadcasts(p).nonEmpty, s"c14 lost its broadcast:\n$p")
+    assert(windows(p).isEmpty, s"c14 grew a window:\n$p")
+    assert(!p.toString.contains("CartesianProduct"), s"c14 grew a cartesian:\n$p")
+    assert(shuffles(p).size <= 4, s"c14 shuffle count grew: ${shuffles(p).size}\n$p")
+  }
+
+  test("t24 bigram LM: vocabulary-keyed equi-joins — no cartesian, no window") {
+    val p = q("t24_bigram_lm")
+    assert(!p.toString.contains("CartesianProduct"), s"t24 grew a cartesian:\n$p")
+    assert(windows(p).isEmpty, s"t24 grew a window:\n$p")
+  }
+
+  test("er5 Fellegi-Sunter: literal-weight scoring — no cartesian, no window") {
+    val p = q("er5_fellegi_sunter")
+    assert(!p.toString.contains("Cartesian") &&
+      !p.toString.contains("BroadcastNestedLoop"),
+      s"er5 must stay block-equi-join shaped:\n$p")
+    assert(windows(p).isEmpty, s"er5 grew a window:\n$p")
+  }
+
+  test("g1 PageRank: edge equi-joins only — no cartesian, no nested loop, no window") {
+    val p = q("g1_pagerank")
+    assert(!p.toString.contains("Cartesian") &&
+      !p.toString.contains("BroadcastNestedLoop"),
+      s"g1 must stay join+aggregate shaped:\n$p")
+    assert(windows(p).isEmpty, s"g1 grew a window:\n$p")
+  }
+
   test("s16 partition prune: the predicate prunes at listing time, zero exchanges") {
     val p = q("s16_partition_prune")
     assert(shuffles(p).isEmpty && broadcasts(p).isEmpty,

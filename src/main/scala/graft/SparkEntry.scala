@@ -648,6 +648,22 @@ object SparkEntry {
             .otherwise(lit("mismatch")).as("status"))
     }),
 
+    // A12 — k-anonymity / l-diversity privacy audit (Sweeney 2002;
+    // Machanavajjhala 2007): the release gate beside the PII sweep.
+    // Quasi-identifiers = (nation, segment); sensitive = account
+    // balance. ONE map-side-combinable aggregate; groups under k=5
+    // members or l=3 distinct balances flag re-identification /
+    // homogeneity risk.
+    "a12_k_anonymity" -> ((s, dir) => {
+      Validations.kAnonymity(
+        t(s, dir, "customer").select(
+          col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"),
+          col("c_acctbal").as("balance")),
+        quasi = Seq("nation", "segment"), sensitive = "balance",
+        k = 5, l = 3)
+    }),
+
     "a5_orphans" -> ((s, dir) => {
       val d = t(s, dir, "orders").select(
         col("o_orderkey"),
@@ -4076,6 +4092,18 @@ object SparkEntry {
         |         THEN 'match'
         |       ELSE 'mismatch' END AS status
         |FROM orders LEFT JOIN d ON o_orderkey = d.l_orderkey""".stripMargin,
+
+    // a12: the flags recompute directly; count(DISTINCT) excludes NULLs
+    // on both engines.
+    "a12_k_anonymity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  c_mktsegment AS segment,
+        |  count(*) AS group_n,
+        |  count(DISTINCT c_acctbal) AS l_div,
+        |  CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS k_ok,
+        |  CAST(CASE WHEN count(DISTINCT c_acctbal) >= 3 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS l_ok
+        |FROM customer GROUP BY 1, 2""".stripMargin,
 
     "a5_orphans" ->
       """WITH d AS (SELECT o_orderkey,

@@ -175,6 +175,27 @@ object Validations {
     * Pass only columns whose string rendering is engine-portable (ints,
     * strings, dates) — float/timestamp formatting differs across engines;
     * canonicalize those to ints first (e.g. `floor(x * 100)`). */
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * 2007) — the privacy gate a training-data release runs beside the
+    * PII sweep (V4/t7): every quasi-identifier combination must cover at
+    * least k records (else those records are re-identifiable by joining
+    * public attributes) and carry at least l distinct sensitive values
+    * (else the group's sensitive value is learnable even at k). ONE
+    * map-side-combinable aggregate over the quasi keys — group count +
+    * distinct-sensitive count — so the audit scans once and shuffles the
+    * quasi-key domain, not the corpus. Output: one row per group with
+    * both flags. */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], sensitive: String,
+                 k: Int, l: Int): DataFrame = {
+    require(quasi.nonEmpty && k >= 1 && l >= 1)
+    df.groupBy(quasi.map(graft.ColNames.q): _*)
+      .agg(count(lit(1)).as("group_n"),
+        count_distinct(graft.ColNames.q(sensitive)).as("l_div"))
+      .select(quasi.map(graft.ColNames.q) ++ Seq(col("group_n"), col("l_div"),
+        (col("group_n") >= k).cast("long").as("k_ok"),
+        (col("l_div") >= l).cast("long").as("l_ok")): _*)
+  }
+
   def tableFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     val canon = concat_ws("|",
       cols.map(c => coalesce(graft.ColNames.q(c).cast("string"), lit("\u0000"))): _*)

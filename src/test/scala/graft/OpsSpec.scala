@@ -280,6 +280,25 @@ class OpsSpec extends SparkSpec {
     assert(conf.length == 1 && conf(0).getString(2) == "p")
   }
 
+  test("A12 k-anonymity/l-diversity: small groups and homogeneous groups flag") {
+    // (zip, age) quasi keys; diagnosis sensitive. Group (1,30): 3 rows,
+    // 3 distinct -> k fails (k=4), l passes (l=2). Group (2,40): 4 rows
+    // but ONE diagnosis -> k passes, l fails (homogeneity). Group (3,50):
+    // 4 rows, 2 distinct -> both pass. NULL sensitive values don't count
+    // toward diversity.
+    val df = Seq(
+      (1, 30, "flu"), (1, 30, "cold"), (1, 30, "ok"),
+      (2, 40, "flu"), (2, 40, "flu"), (2, 40, "flu"), (2, 40, "flu"),
+      (3, 50, "a"), (3, 50, "a"), (3, 50, "b"), (3, 50, null))
+      .toDF("zip", "age", "diag")
+    val out = Validations.kAnonymity(df, Seq("zip", "age"), "diag", k = 4, l = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out((1, 30)) == ((3L, 3L, 0L, 1L)))
+    assert(out((2, 40)) == ((4L, 1L, 1L, 0L)))
+    assert(out((3, 50)) == ((4L, 2L, 1L, 1L))) // null diag excluded from l_div
+  }
+
   test("A5 orphans: all parent pointers null") {
     val df = Seq((1, Some("a"), None: Option[String]), (2, None: Option[String], None: Option[String]))
       .toDF("id", "f1", "f2")

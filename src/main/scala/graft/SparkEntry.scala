@@ -3269,6 +3269,114 @@ object SparkEntry {
         .select(col("doc_id"), col("component").as("cluster_id"))
     }),
 
+    // W23 — STREAM-STREAM event-time join, the remaining Structured
+    // Streaming class (w12 covers windowed agg, w17-w22 foreachBatch
+    // state, as-of covers mapGroupsWithState): orders and lineitems
+    // arrive as two time-split micro-batches EACH; the watermarked
+    // inner join keys on orderkey within [o_orderdate, +90d] event
+    // time, so batch-1 orders must be HELD IN JOIN STATE to meet their
+    // batch-2 lineitems. The gate runs an effectively-infinite
+    // watermark delay (nothing drops → append output is exactly the
+    // batch join, which is the oracle); production sets the delay to
+    // the ingest out-of-orderness bound and trades completeness for
+    // bounded state — the documented knob, not a code change. Join
+    // rows land via foreachBatch parquet appends (w18's log shape);
+    // the terminal fold aggregates per returnflag in exact cents.
+    "w23_stream_join" -> ((s, dir) => {
+      val root = s"$streamScratchDir/${dirKey(dir)}_w23"
+      rmTree(root)
+      def stage(dfRaw: DataFrame, tsCol: String, sub: String): String = {
+        // this generation ships o_orderdate/l_shipdate as TIMESTAMP_NTZ —
+        // re-tag to TimestampType (UTC session: wall-clock micros and
+        // unix micros coincide; Tables.normalizeTs' rule applied here)
+        val df = dfRaw.withColumn(tsCol, col(tsCol).cast("timestamp"))
+        val in = s"$root/$sub"
+        new java.io.File(in).mkdirs()
+        val mm = df.agg(min(unix_micros(col(tsCol))),
+          max(unix_micros(col(tsCol)))).collect()(0)
+        val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+        val tmp = s"$root/tmp_$sub"
+        // ONE file per time-split: each staged file is one micro-batch
+        // under maxFilesPerTrigger=1 (without the coalesce the upstream
+        // partitioning fans every split into dozens of part files and
+        // the stream pays a ~1s trigger overhead per file — 64 batches
+        // at sf1); the keyed sample is single-file-sized by design
+        df.withColumn("__b",
+            when(unix_micros(col(tsCol)) <= cut, 0).otherwise(1))
+          .coalesce(1)
+          .write.partitionBy("__b").mode("overwrite").parquet(tmp)
+        for (b <- 0 until 2) {
+          val d = new java.io.File(s"$tmp/__b=$b")
+          if (d.isDirectory)
+            d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+              .zipWithIndex.foreach { case (f, i) =>
+                java.nio.file.Files.move(f.toPath,
+                  java.nio.file.Paths.get(s"$in/b${b}_$i.parquet"))
+              }
+        }
+        rmTree(tmp)
+        in
+      }
+      // keyed 1/16 sample on the JOIN key: the local HDFS-backed state
+      // store rewrites retained state per micro-batch, so an
+      // infinite-delay full-table join is O(corpus) state churn
+      // (measured ~300 s at sf1). The production posture is a REAL
+      // watermark delay (state tracks the out-of-orderness bound, not
+      // the corpus) + RocksDB store; the gate keeps the infinite-delay
+      // exact-parity semantics on a keyed slice instead, so the
+      // cross-batch state path is still what's judged.
+      val inO = stage(t(s, dir, "orders")
+        .filter(col("o_orderkey") % 16 === 0), "o_orderdate", "ord")
+      val inL = stage(t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 16 === 0)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_shipdate")), "l_shipdate", "li")
+      val oS = s.readStream.schema(s.read.parquet(inO).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inO)
+        .withWatermark("o_orderdate", "3650 days")
+      val lS = s.readStream.schema(s.read.parquet(inL).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inL)
+        .withWatermark("l_shipdate", "3650 days")
+      val joined = lS.join(oS, expr(
+        "l_orderkey = o_orderkey AND l_shipdate >= o_orderdate " +
+          "AND l_shipdate <= o_orderdate + interval 90 days"))
+      val outDir = s"$root/out"
+      // a stream-stream join opens 4 store instances per partition per
+      // side; the default HDFS-backed provider pays a file
+      // write+rename commit PER STORE PER BATCH (measured: commit time
+      // dwarfs the join at every SF). RocksDB's LSM commits + fewer
+      // state partitions are the production posture; both knobs bind at
+      // query START, so they scope to this stream and are restored
+      // after.
+      val conf = s.conf
+      val oldParts = conf.get("spark.sql.shuffle.partitions")
+      val oldProvider = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      conf.set("spark.sql.shuffle.partitions", "8")
+      conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q =
+        try joined
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("__c"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir); ()
+          }
+          .start()
+        finally {
+          conf.set("spark.sql.shuffle.partitions", oldParts)
+          oldProvider match {
+            case Some(p) => conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("__c")).as("cents"))
+    }),
+
     // W19 — INCREMENTAL gap sessionization, w3's streaming twin: events
     // arrive as 3 ts-tercile micro-batches (time-ordered delivery — the
     // event-log shape the operator's precondition names); each batch is
@@ -4104,6 +4212,18 @@ object SparkEntry {
         |  CAST(CASE WHEN count(DISTINCT c_acctbal) >= 3 THEN 1 ELSE 0 END
         |    AS BIGINT) AS l_ok
         |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    // w23: the batch join IS the truth the streaming state must equal —
+    // same key + event-time band, exact cents.
+    "w23_stream_join" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |WHERE l_orderkey % 16 = 0
+        |GROUP BY 1""".stripMargin,
 
     "a5_orphans" ->
       """WITH d AS (SELECT o_orderkey,

@@ -1154,6 +1154,24 @@ object SparkEntry {
     // is where naive CSV paths corrupt silently). The oracle recomputes
     // the noted column from the ORIGINAL table: a hash match proves
     // quote+escape fidelity end to end.
+    // S21 — ORC interchange roundtrip (the OTHER columnar interchange a
+    // data-platform neighbor may demand; Spark's native orc source —
+    // same predicate-pushdown/column-pruning machinery as parquet): a
+    // typed slice writes ORC (zlib), re-reads, and must reproduce the
+    // original table's values exactly — timestamps included (ORC's
+    // epoch handling differs from parquet's; the roundtrip pins it).
+    "s21_orc_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate").cast("timestamp").as("ots"))
+      val root = s"$csvScratchDir/${dirKey(dir)}_orc"
+      src.write.mode("overwrite").option("compression", "zlib").orc(root)
+      s.read.orc(root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+          date_format(col("ots"), "yyyy-MM-dd HH:mm:ss").as("ots_str"))
+    }),
+
     "s13_csv_roundtrip" -> ((s, dir) => {
       val src = t(s, dir, "customer").select(col("c_custkey"),
         concat(col("c_name"), lit(", \"note\" x")).as("note"))
@@ -4212,6 +4230,14 @@ object SparkEntry {
         |  CAST(CASE WHEN count(DISTINCT c_acctbal) >= 3 THEN 1 ELSE 0 END
         |    AS BIGINT) AS l_ok
         |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    // s21: lossless roundtrip — the slice recomputed from the original
+    // table; strftime is date_format's verified twin.
+    "s21_orc_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ots_str
+        |FROM orders""".stripMargin,
 
     // w23: the batch join IS the truth the streaming state must equal —
     // same key + event-time band, exact cents.

@@ -3287,6 +3287,63 @@ object SparkEntry {
         .select(col("doc_id"), col("component").as("cluster_id"))
     }),
 
+    // W24 — STREAMING ingestion into the snapshot table: each arriving
+    // micro-batch lands as ONE atomic Snapshots.commitAppend (immutable
+    // delta + pointer swing), so readers always see a consistent table
+    // and any retained snapshot stays time-travelable mid-ingest — the
+    // streaming writer s20's ACID mechanics exist for. Gates are
+    // delivery-order-independent: snapshot count, parent-chain
+    // integrity, containment of every historical snapshot in current,
+    // and the current table's fingerprint ≡ the batch union (the
+    // oracle's recomputation).
+    "w24_stream_snapshots" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val root = s"$streamScratchDir/${dirKey(dir)}_w24"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val tmp = s"$root/tmpall"
+      cust.withColumn("__b", pmod(col("c_custkey"), lit(3)))
+        .coalesce(1).write.partitionBy("__b").mode("overwrite").parquet(tmp)
+      for (b <- 0 until 3) {
+        val d = new java.io.File(s"$tmp/__b=$b")
+        if (d.isDirectory)
+          d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.move(f.toPath,
+                java.nio.file.Paths.get(s"$in/b${b}_$i.parquet"))
+            }
+      }
+      rmTree(tmp)
+      val table = s"$root/table"
+      val q = s.readStream.schema(s.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) { Snapshots.commitAppend(b, table); () }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val cur = Snapshots.current(s, table).getOrElse(
+        sys.error("w24: no snapshot committed"))
+      val chainOk = (1L to cur.id).forall(i =>
+        Snapshots.get(s, table, i).isDefined) &&
+        (2L to cur.id).forall(i =>
+          Snapshots.get(s, table, i).get.parent.contains(i - 1))
+      val containOk = (1L until cur.id).forall { i =>
+        Snapshots.read(s, table, Some(i))
+          .exceptAll(Snapshots.read(s, table)).isEmpty
+      }
+      Validations.tableFingerprint(Snapshots.read(s, table),
+          Seq("c_custkey", "c_mktsegment", "c_name"))
+        .select(lit(cur.id).as("n_snapshots"),
+          lit(if (chainOk) 1L else 0L).as("chain_ok"),
+          lit(if (containOk) 1L else 0L).as("containment_ok"),
+          col("n_rows"), col("fingerprint"))
+    }),
+
     // W23 — STREAM-STREAM event-time join, the remaining Structured
     // Streaming class (w12 covers windowed agg, w17-w22 foreachBatch
     // state, as-of covers mapGroupsWithState): orders and lineitems
@@ -4238,6 +4295,22 @@ object SparkEntry {
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ots_str
         |FROM orders""".stripMargin,
+
+    // w24: order-independent gates — the current table must fingerprint
+    // to the batch union; count/chain/containment are engine-verified
+    // constants (the delivery split is key-hashed, so per-snapshot
+    // content depends on file order and is deliberately NOT pinned).
+    "w24_stream_snapshots" ->
+      """SELECT CAST(3 AS BIGINT) AS n_snapshots,
+        |  CAST(1 AS BIGINT) AS chain_ok,
+        |  CAST(1 AS BIGINT) AS containment_ok,
+        |  count(*) AS n_rows,
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+        |    coalesce(c_mktsegment, chr(0)),
+        |    coalesce(c_name, chr(0)))), 1, 10)) AS BIGINT))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+        |FROM customer""".stripMargin,
 
     // w23: the batch join IS the truth the streaming state must equal —
     // same key + event-time band, exact cents.

@@ -3836,6 +3836,31 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // C15 — LM-perplexity curriculum: the t24 Stupid-Backoff scores
+    // staged the c12 way — per-doc average log-prob per bigram (exact
+    // `div`, truncation-parity with DuckDB `//` even on negatives),
+    // quartile boundaries from ONE exact-percentile aggregate as driver
+    // literals, zero-shuffle stage assignment on the scored stream.
+    // Low-likelihood (hard) docs land in late stages.
+    "c15_lm_curriculum" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.bigramLmScore(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .withColumn("lm_avg_micro",
+          when(col("n_bigrams") > 0, expr("lm_micro div n_bigrams"))
+            .otherwise(lit(0L)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val b = scored.agg(expr(
+          "percentile(lm_avg_micro, array(0.25D, 0.5D, 0.75D))"))
+        .head().getSeq[Double](0)
+      scored.select(col("doc_id"), col("n_bigrams"), col("lm_avg_micro"),
+        when(col("lm_avg_micro") <= lit(b(0)), lit(0L))
+          .when(col("lm_avg_micro") <= lit(b(1)), lit(1L))
+          .when(col("lm_avg_micro") <= lit(b(2)), lit(2L))
+          .otherwise(lit(3L)).as("stage"))
+    }),
+
     // T23 — BPE subword tokenization: learn a merge list on the
     // content-addressed 256-doc sample (the production train-on-a-sample
     // shape), APPLY it to the full corpus with the compiled kernel, and
@@ -4033,7 +4058,26 @@ object SparkEntry {
     * state ≡ batch cluster truth), aliased after the literal map. */
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
-    base + ("w22_stream_components" -> base("d9_dup_clusters"))
+    // c15 wraps t24's full recomputation (DuckDB allows WITH inside a
+    // subquery) with the quartile staging; quantile_cont is exact
+    // percentile's verified twin (w7), `//` truncation-parity with
+    // `div` holds for negative micro scores (probed).
+    val c15 =
+      s"""WITH sc0 AS (SELECT * FROM (\n${base("t24_bigram_lm")}\n) t),
+         |scored AS (SELECT doc_id, n_bigrams,
+         |  CASE WHEN n_bigrams > 0 THEN lm_micro // n_bigrams
+         |    ELSE 0 END AS lm_avg_micro FROM sc0),
+         |b AS (SELECT quantile_cont(lm_avg_micro, 0.25) AS q1,
+         |  quantile_cont(lm_avg_micro, 0.5) AS q2,
+         |  quantile_cont(lm_avg_micro, 0.75) AS q3 FROM scored)
+         |SELECT doc_id, n_bigrams, CAST(lm_avg_micro AS BIGINT) AS lm_avg_micro,
+         |  CAST(CASE WHEN lm_avg_micro <= (SELECT q1 FROM b) THEN 0
+         |    WHEN lm_avg_micro <= (SELECT q2 FROM b) THEN 1
+         |    WHEN lm_avg_micro <= (SELECT q3 FROM b) THEN 2
+         |    ELSE 3 END AS BIGINT) AS stage
+         |FROM scored""".stripMargin
+    base + ("w22_stream_components" -> base("d9_dup_clusters")) +
+      ("c15_lm_curriculum" -> c15)
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(

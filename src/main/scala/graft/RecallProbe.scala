@@ -16,7 +16,8 @@ object RecallProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val emb = Tables.load(spark, sfDir, "embeddings")
-    val sub = col("vec_id") % 5 === 0
+    // the anchored query set the e6/e7/e8/e11/e14 gates actually use
+    val sub = Similarity.anchorPred(emb, "vec_id", SparkEntry.VecAnchorK)
     val exact = Similarity.knnBruteFor(emb.filter(sub), emb, "vec_id", "embedding", 3)
       .select(col("vec_id"), col("neighbor_id")).cache()
     def bp(approx: org.apache.spark.sql.DataFrame): Long = {

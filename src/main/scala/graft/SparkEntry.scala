@@ -27,14 +27,15 @@ import graft.ext.{TextAnalysis, TextDedup, Similarity, Multimodal, EntityResolut
   */
 object SparkEntry {
 
-  /** Recall gates for e6/e7 in basis points (recall@3 vs exact on the 20%
-    * query sample). Measured (graft.RecallProbe, content-addressed
-    * xxhash64 codebook sample): LSH 3133/4091, IVF 6400/5791 at
-    * sf0.01/sf0.1 (the hash draw measurably beats the earlier sorted-id
-    * prefix's 6000/5566); gates sit below the measured floor so only a
-    * real quality regression (plane/centroid/ranking bug — which drops
-    * recall to near-random, <50 bp) trips them, not data drift between the
-    * driver's scale factors. */
+  /** Recall gates for e6/e7 in basis points (recall@3 vs exact on the
+    * [[VecAnchorK]]-anchored query set). Measured (graft.RecallProbe,
+    * anchored queries): LSH 3300/3946, IVF 6146/5400 at sf0.01/sf0.1
+    * (under the former 20% sample: LSH 3133/4091, IVF 6400/5791 — the
+    * anchored numbers sit within sampling noise of those, as the
+    * unbiasedness argument predicts); gates sit below the measured floor
+    * so only a real quality regression (plane/centroid/ranking bug —
+    * which drops recall to near-random, <50 bp) trips them, not data
+    * drift between the driver's scale factors. */
   val LshRecallMinBp = 2500
   val IvfRecallMinBp = 4000
 
@@ -67,6 +68,27 @@ object SparkEntry {
     * always run over the FULL corpus — only the ground-truth side
     * anchors. */
   val TruthAnchorK = 5000
+
+  /** e-family truth-tier scale dial — the [[TruthAnchorK]] design applied
+    * to the embedding corpus: every exact/brute ground-truth side (e1's
+    * judged brute tier, e4's all-pairs cosine tier, and the exact legs of
+    * the e6/e7/e8/e11/e14 recall gates) restricts its QUERY set to a
+    * content-addressed set of K = VecAnchorK vectors (48-bit md5 draw on
+    * vec_id, smallest-K — engine/partitioning-independent, recomputable
+    * verbatim by the oracle's `anch` CTE). The brute side is then
+    * O(K·n) — LINEAR in the corpus — instead of the former 20%-sample's
+    * O(n²/5), which was the last judged verifier class that grew
+    * superlinearly. Anchor selection is independent of neighborhood
+    * structure and uniform over vectors, so anchored recall is an
+    * unbiased estimate of population recall (same argument as the d6/d7
+    * anchoring). The ANN paths under test (LSH tables, IVF cells, PQ
+    * codes) always index/search the FULL corpus — only the queries and
+    * the ground-truth side anchor. K = 500 keeps the anchored brute tier
+    * within the measured e1 budget at the bench scales while pinning the
+    * constant; at the judged sf0.001/sf0.01 (n ≤ 500 = K) the anchor set
+    * is the whole corpus, so the judged result/query sets are the FULL
+    * verifier's. */
+  val VecAnchorK = 500
 
   /** d9/d14/d16 truth-tier scale dial: shingles occurring in more than
     * this many documents are dropped before the inverted-index pair join
@@ -102,19 +124,19 @@ object SparkEntry {
   val SimhashRecallMinBp = 9000
 
   /** e8 gate: int8 per-vector-scaled quantization on 64-dim cosine is
-    * near-lossless (measured recall@3 = 9933/9816 bp at sf0.01/sf0.1,
-    * graft.RecallProbe); the gate trips if the quantize/dequantize pair
-    * starts distorting neighborhoods. */
+    * near-lossless (measured recall@3 = 9840/9820 bp at sf0.01/sf0.1
+    * under the anchored query set, graft.RecallProbe); the gate trips if
+    * the quantize/dequantize pair starts distorting neighborhoods. */
   val QuantizedRecallMinBp = 8000
 
   /** e11 gates. PQ at m=16/ksub=256 (16× compression on 64-dim floats) is
     * a SHORTLIST tier — exact top-3 among this corpus' near-tied
     * within-cluster cosines is unstable under any reconstruction error
     * (measured direct recall@3: int8's 9816 bp vs PQ's 5050), so the gate
-    * measures PQ's actual contracts (graft.RecallProbe, sf0.01/sf0.1):
-    * true top-3 inside the PQ top-10 an ADC scan hands a re-ranker —
-    * queries EXACT, corpus decoded (measured 9966/9333 bp under the
-    * content-addressed codebook sample; quantizing both sides would
+    * measures PQ's actual contracts (graft.RecallProbe, sf0.01/sf0.1,
+    * anchored query set): true top-3 inside the PQ top-10 an ADC scan
+    * hands a re-ranker — queries EXACT, corpus decoded (measured
+    * 9866/9306 bp; quantizing both sides would
     * measure the lower SDC quantity instead) — and mean reconstruction
     * cosine (measured 9844/9655 bp). Gates sit below the floors so only
     * a codebook/encode regression — which craters both — trips them, not
@@ -122,9 +144,9 @@ object SparkEntry {
   val PqShortlistMinBp = 6000
   val PqReconMinBp = 9000
 
-  /** e14 gate (measured via RecallProbe at sf0.01/sf0.1): shortlist
-    * recall of the IVF-PQ composite — the exact top-3 inside the ADC
-    * top-10 over nProbe=4 of 16 cells — 5933/5708 bp. The composite
+  /** e14 gate (measured via RecallProbe at sf0.01/sf0.1, anchored query
+    * set): shortlist recall of the IVF-PQ composite — the exact top-3
+    * inside the ADC top-10 over nProbe=4 of 16 cells — 6040/5820 bp. The composite
     * sits below both tiers alone (cell truncation ∘ code distortion
     * compound); floor with e7's margin style so a fit/encode regression
     * trips it, not corpus drift. The twin work_ok flag bounds probed
@@ -290,6 +312,18 @@ object SparkEntry {
     * 100× tail. */
   val ErMaxBlock = 64
 
+  /** w21 streaming block cap — DELIBERATELY small so the replay-safe
+    * cap ([[graft.streaming.ErStream.absorb]]'s `maxStreamBlock`)
+    * genuinely BINDS mid-stream at the judged scales (max cumulative
+    * block size is 4 at sf0.01 with records spread across the 3
+    * batches): blocks whose registry-prefix count crosses 2 stop
+    * pairing from the next batch and land in the quarantine delta, and
+    * the w21 oracle recomputes the SAME capped truth (prefix-count
+    * predicate on the pair's finding batch) — a cap that never binds
+    * would leave the replay-safety path unexercised by the hash gate.
+    * Production streams would set this near [[ErMaxBlock]]. */
+  val ErStreamMaxBlock = 2
+
   /** Entity-resolution fixture: every part as a "clean" record plus, for
     * a deterministic 25% md5 draw of part keys, a "dirty" twin whose name
     * lost its last character — planted linkage dirt both engines rebuild
@@ -328,6 +362,26 @@ object SparkEntry {
       .orderBy(col("__draw"), col("doc_id")).limit(TruthAnchorK)
       .select(col("doc_id"))
   }
+
+  /** The [[VecAnchorK]] anchor vec_ids as a driver-side set — bounded
+    * (K = 500 longs) at any corpus scale: the draw is a TakeOrdered of K
+    * (id, draw) pairs, the corpus never shuffles. Returned as a literal
+    * IN-set predicate so anchored query legs stay zero-join projections
+    * (Catalyst folds the 500-element list to an `InSet` hash probe in the
+    * scan stage). */
+  private def vecAnchorPred(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Column =
+    Similarity.anchorPred(emb, "vec_id", VecAnchorK)
+
+  /** The DuckDB twin of [[vecAnchorPred]] — the `anch` CTE every anchored
+    * e-family oracle opens with. */
+  private val VecAnchCte: String =
+    """anch AS (
+      |  SELECT vec_id FROM (
+      |    SELECT vec_id, row_number() OVER (ORDER BY
+      |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+      |      vec_id) AS rn
+      |    FROM embeddings)
+      |  WHERE rn <= 500)""".stripMargin
 
   /** s17's fixture: a raw-OOXML workbook whose `morphology` column mixes
     * date-STYLED numeric cells (builtin numFmt 22 and a custom date
@@ -2031,9 +2085,16 @@ object SparkEntry {
 
     // --- LLM-pipeline: similarity search ---
 
-    // E1 exact brute-force cosine top-3 (baseline/verifier path).
+    // E1 exact brute-force cosine top-3 (baseline/verifier path) —
+    // ANCHORED ([[vecAnchorPred]]): queries are the K-anchor
+    // content-addressed set, corpus stays full, so the brute tier costs
+    // O(K·n) — linear — instead of O(n²). At the judged sf0.001/sf0.01
+    // (n ≤ K) the anchor set is every vector and the result is the full
+    // brute k-NN verbatim.
     "e1_knn_brute" -> ((s, dir) => {
-      Similarity.knnBrute(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnBruteFor(emb.filter(vecAnchorPred(emb)), emb,
+        "vec_id", "embedding", k = 3)
     }),
 
     // E2 embedding hygiene stats (dim + quantized L2 norm).
@@ -2054,19 +2115,23 @@ object SparkEntry {
     // (count, pass-flag) row the DuckDB oracle can pin. Closes the round-3
     // gap where e3 passed the driver on a bare row count that would also
     // pass for random neighbors.
+    // Query set + exact leg are ANCHORED ([[vecAnchorPred]], constant K)
+    // so the ground-truth side stays O(K·n); the LSH/IVF index under test
+    // still covers the FULL corpus — anchored recall is an unbiased
+    // estimate of population recall (the d7 argument).
     "e6_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val sub = col("vec_id") % 5 === 0
+      val sub = vecAnchorPred(emb)
       val exact = Similarity.knnBruteFor(emb.filter(sub), emb, "vec_id", "embedding", k = 3)
       val approx = Similarity.knnLsh(emb, "vec_id", "embedding",
         k = 3, dim = 64, bits = 6, tables = 8, queryPred = Some(sub))
       Similarity.recallGate(approx, exact, minBp = LshRecallMinBp)
     }),
 
-    // E7 IVF recall gate: same shape for the e5 path.
+    // E7 IVF recall gate: same shape for the e5 path (anchored queries).
     "e7_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val sub = col("vec_id") % 5 === 0
+      val sub = vecAnchorPred(emb)
       val exact = Similarity.knnBruteFor(emb.filter(sub), emb, "vec_id", "embedding", k = 3)
       val approx = Similarity.knnIvf(emb, "vec_id", "embedding",
         k = 3, nCells = 16, nProbe = 4, queryPred = Some(sub))
@@ -2078,7 +2143,7 @@ object SparkEntry {
     // exact neighbors — same constant-oracle shape as e6/e7.
     "e8_quantized_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val sub = col("vec_id") % 5 === 0
+      val sub = vecAnchorPred(emb)
       val deq = emb.select(col("vec_id"),
         Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("embedding"))
       val exact = Similarity.knnBruteFor(emb.filter(sub), emb, "vec_id", "embedding", k = 3)
@@ -2094,7 +2159,7 @@ object SparkEntry {
     // a lucky shortlist could mask. Constant oracle, e6/e7/e8 shape.
     "e11_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val sub = col("vec_id") % 5 === 0
+      val sub = vecAnchorPred(emb)
       val books = Similarity.pqFit(emb, "vec_id", "embedding",
         m = 16, ksub = 256, sampleN = 2048, iters = 6)
       val pq = emb.select(col("vec_id"),
@@ -2125,7 +2190,7 @@ object SparkEntry {
     // while a collapsed codebook fails shortlist.
     "e14_ivfpq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val sub = col("vec_id") % 5 === 0
+      val sub = vecAnchorPred(emb)
       val ix = Similarity.ivfPqFit(emb, "vec_id", "embedding",
         nCells = 16, m = 16, ksub = 256, sampleN = 2048, iters = 6)
       val exact = Similarity.knnBruteFor(emb.filter(sub), emb,
@@ -2218,15 +2283,26 @@ object SparkEntry {
         lambdaMil = 700)
     }),
 
+    // ANCHORED ([[vecAnchorPred]]): pairs between the K-anchor set and the
+    // FULL corpus — O(K·n), linear — with d6's canonicalization (emit
+    // (least, greatest); when BOTH ends are anchors keep only id_a < id_b
+    // so anchor-anchor pairs aren't double-counted). At the judged
+    // sf0.001/sf0.01 (n ≤ K) this is exactly the full all-pairs tier.
     "e4_cosine_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val anch = vecAnchorPred(e)
+      val a = e.filter(anch)
+        .select(col("vec_id").as("ia"), col("embedding").as("va"))
         .repartition(s.sparkContext.defaultParallelism)
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      a.join(b, col("id_a") < col("id_b"))
+      val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"),
+        anch.as("b_anch"))
+      a.join(b, col("ia") =!= col("ib"))
+        .filter(col("ia") < col("ib") || !col("b_anch"))
         .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
         .filter(col("sim") >= 0.4)
-        .select(col("id_a"), col("id_b"), floor(col("sim") * 1000).as("sim_mil"))
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"),
+          floor(col("sim") * 1000).as("sim_mil"))
     }),
 
     // D5 SimHash Hamming-pair scan is judged through d10_simhash_recall
@@ -4005,8 +4081,13 @@ object SparkEntry {
     // linkage is genuinely cross-batch. Each batch links against the
     // registry prefix + itself (candidatesTouching — the registry never
     // re-pairs with itself), matches land in overwrite deltas, and the
-    // folded distinct union must equal er1's BATCH linkage of all
-    // deliveries — er1's SQL (uncapped at this scale) is the oracle.
+    // folded distinct union must equal the CAPPED batch truth: the
+    // stream runs under the replay-safe [[ErStreamMaxBlock]] cap (which
+    // BINDS mid-stream here — see the constant's scaladoc), so the
+    // oracle restates er1's linkage with the prefix-count predicate: a
+    // pair found at batch f = max of its endpoints' delivery batches
+    // counts iff its block's delivered-record count in batches < f is
+    // ≤ the cap.
     "w21_stream_er" -> ((s, dir) => {
       import graft.streaming.ErStream
       val recs = erRecords(t(s, dir, "part"))
@@ -4022,13 +4103,18 @@ object SparkEntry {
           .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
         java.nio.file.Files.move(part.toPath,
           java.nio.file.Paths.get(s"$in/b$b.parquet"))
+        // capped semantics is delivery-ORDER-dependent (the prefix-count
+        // rule), unlike the uncapped fold: pin the file-source order via
+        // strictly increasing mtimes so batch b is always file b
+        new java.io.File(s"$in/b$b.parquet").setLastModified(60000L * (b + 1))
         rmTree(tmp)
       }
       val schema = s.read.parquet(in).schema
       val q = ErStream.start(
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
         "rec_id", "name", erBlock, ErMinSimBp,
-        stateDir = s"$root/state", ckptDir = s"$root/ckpt")
+        stateDir = s"$root/state", ckptDir = s"$root/ckpt",
+        maxStreamBlock = Some(ErStreamMaxBlock))
       try q.processAllAvailable() finally q.stop()
       ErStream.folded(s, s"$root/state")
     }),
@@ -4740,12 +4826,18 @@ object SparkEntry {
         |  ON list_cosine_similarity(t.embedding, b.bvec) >= 0.4
         |GROUP BY 1""".stripMargin,
 
+    // e4: anchored pair tier — anchor×corpus with d6's canonicalization
+    // (both-anchor pairs kept once via a < b).
     "e4_cosine_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      s"""WITH $VecAnchCte
+        |SELECT least(a.vec_id, b.vec_id) AS id_a,
+        |  greatest(a.vec_id, b.vec_id) AS id_b,
         |  CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 1000) AS BIGINT)
         |    AS sim_mil
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |WHERE a.vec_id IN (SELECT vec_id FROM anch)
+        |  AND (a.vec_id < b.vec_id OR b.vec_id NOT IN (SELECT vec_id FROM anch))
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
 
     // e13: t15's BM25 CTE at k=50 + a cosine ranking against the vec_id-0
     // probe, fused declaratively by FULL OUTER JOIN — the engine computes
@@ -5723,13 +5815,17 @@ object SparkEntry {
         |  CAST(floor(avg(n_chars) * 100) AS BIGINT) AS avg_chars_c
         |FROM documents GROUP BY lang""".stripMargin,
 
+    // e1: anchored brute tier — queries restricted to the anch CTE
+    // (the [[vecAnchorPred]] twin); the whole corpus at the judged SFs.
     "e1_knn_brute" ->
-      """SELECT vec_id, neighbor_id, rank FROM (
+      s"""WITH $VecAnchCte
+        |SELECT vec_id, neighbor_id, rank FROM (
         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
         |    CAST(row_number() OVER (PARTITION BY a.vec_id
         |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id)
         |      AS BIGINT) AS rank
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id IN (SELECT vec_id FROM anch)) t
         |WHERE rank <= 3""".stripMargin,
 
     "e2_embedding_stats" ->
@@ -5745,22 +5841,26 @@ object SparkEntry {
     // quality regression breaks the hash match even though DuckDB cannot
     // itself run LSH/IVF.
     "e6_lsh_recall" ->
-      """SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
-        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+      s"""WITH $VecAnchCte
+        |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
+        |FROM anch""".stripMargin,
 
     "e7_ivf_recall" ->
-      """SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
-        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+      s"""WITH $VecAnchCte
+        |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
+        |FROM anch""".stripMargin,
 
     "e8_quantized_recall" ->
-      """SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
-        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+      s"""WITH $VecAnchCte
+        |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
+        |FROM anch""".stripMargin,
 
     // e11: constant-oracle two-flag gate (see e6/e7/e8)
     "e11_pq_recall" ->
-      """SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS shortlist_ok,
+      s"""WITH $VecAnchCte
+        |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS shortlist_ok,
         |  CAST(1 AS BIGINT) AS recon_ok
-        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+        |FROM anch""".stripMargin,
 
     // e15: the 10 greedy MMR selection steps UNROLLED (generated — the
     // same loop shape as the engine's driver greedy), MATERIALIZED CTEs
@@ -5800,9 +5900,10 @@ object SparkEntry {
     // e14: constant-oracle gate (e6/e7/e11 shape) — shortlist recall
     // floor + probed-candidate work cap must both hold.
     "e14_ivfpq_recall" ->
-      """SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS shortlist_ok,
+      s"""WITH $VecAnchCte
+        |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS shortlist_ok,
         |  CAST(1 AS BIGINT) AS work_ok
-        |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin,
+        |FROM anch""".stripMargin,
 
     // w4: LATERAL top-1 per row is the declarative as-of spec; the engine
     // computes the same thing with one union-window shuffle.
@@ -6993,9 +7094,13 @@ object SparkEntry {
         |WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
         |    greatest(length(a.name), length(b.name)))) >= 8500""".stripMargin,
 
-    // w21: er1's BATCH linkage (uncapped — the stream runs uncapped, and
-    // the cap never binds at judged scales anyway) over the union of all
-    // deliveries — the incremental match deltas must fold to batch truth.
+    // w21: er1's BATCH linkage restated over the CAPPED stream semantics
+    // (ErStreamMaxBlock = 2, which BINDS mid-stream here): a pair is
+    // found at batch f = max of its endpoints' delivery batches
+    // (rec_id % 3), and survives iff its block's delivered-record count
+    // in batches BEFORE f is ≤ the cap — the replay-stable prefix rule
+    // the engine's quarantine path enforces. The incremental match
+    // deltas must fold to exactly this capped truth.
     "w21_stream_er" ->
       """WITH recs AS (
         |  SELECT p_partkey * 2 AS rec_id, p_name AS name,
@@ -7006,13 +7111,17 @@ object SparkEntry {
         |  WHERE ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2))::BIGINT < 64),
         |keyed AS (
         |  SELECT rec_id, name,
-        |    brand || '|' || size || '|' || substr(name, 1, 2) AS bk FROM recs)
+        |    brand || '|' || size || '|' || substr(name, 1, 2) AS bk,
+        |    rec_id % 3 AS bt FROM recs),
+        |cnt AS (SELECT bk, bt, count(*) AS c FROM keyed GROUP BY 1, 2)
         |SELECT a.rec_id AS id_a, b.rec_id AS id_b,
         |  CAST(floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
         |    greatest(length(a.name), length(b.name)))) AS BIGINT) AS sim_bp
         |FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.rec_id < b.rec_id
         |WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
-        |    greatest(length(a.name), length(b.name)))) >= 8500""".stripMargin,
+        |    greatest(length(a.name), length(b.name)))) >= 8500
+        |  AND (SELECT coalesce(sum(c.c), 0) FROM cnt c
+        |       WHERE c.bk = a.bk AND c.bt < greatest(a.bt, b.bt)) <= 2""".stripMargin,
 
     // er2: er1's pairs closed transitively (recursive CTE, d9's shape)
     // over every record — singletons label themselves.

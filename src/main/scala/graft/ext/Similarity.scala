@@ -145,6 +145,26 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** Constant-K content-addressed anchor QUERY set as a literal IN-set
+    * predicate — the e-family twin of the d-family truth anchoring: the K
+    * ids winning the 48-bit md5 draw (id tiebreak; recomputable verbatim
+    * by a SQL oracle), collected to the driver (bounded — K longs at any
+    * corpus scale; the draw is a TakeOrdered, the corpus never shuffles).
+    * Ground-truth legs that filter their query side with this predicate
+    * cost O(K·n) instead of O(n²); Catalyst folds the list to an `InSet`
+    * hash probe in the scan stage, so the anchored leg stays a zero-join
+    * projection. Anchor selection is uniform over ids and independent of
+    * neighborhood structure, so anchored recall is an unbiased estimate
+    * of population recall. */
+  def anchorPred(emb: DataFrame, id: String, k: Int): Column = {
+    val draw = conv(substring(md5(col(id).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val ids = emb.select(col(id), draw.as("__draw"))
+      .orderBy(col("__draw"), col(id)).limit(k)
+      .collect().map(_.getLong(0)).toIndexedSeq
+    col(id).isInCollection(ids)
+  }
+
   /** Content-addressed bounded driver sample: the `sampleN` rows winning
     * the xxhash64(id) draw (id tiebreak) — the same seed discipline as
     * [[kmeansFit]]. Engine- and partition-order-independent, unbiased

@@ -33,17 +33,30 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * pinning the prefix keeps per-delta content deterministic, which is
   * what overwrite-idempotence stands on.
   *
-  * Block-cap caveat (disclosed): the er1 skew cap drops OVERSIZE blocks
-  * globally; a block that crosses the cap mid-stream would already have
-  * emitted its early pairs. Incremental linkage therefore runs UNCAPPED
-  * — at scales where a cap must bind, recap with the batch engine (the
-  * same global-vs-incremental distinction j8 draws for multi-parent
-  * graphs).
+  * Block cap, REPLAY-SAFE (`maxStreamBlock`): er1's global skew cap
+  * cannot be replayed incrementally as a global drop (a block that
+  * crosses the cap mid-stream has already emitted its early pairs), but
+  * the registry-side per-block record count is MONOTONE in batch id, so
+  * "the block crossed the cap at batch b" is a deterministic,
+  * replay-stable fact. Capped semantics: at batch f a block pairs iff
+  * its REGISTRY-PREFIX count (records delivered in batches < f) is
+  * ≤ cap — pairs emitted before the crossing stay, the block stops
+  * pairing from the batch after it crossed, and the crossing batch
+  * appends the block to a per-batch QUARANTINE delta
+  * (`(block_key, crossed_batch, cum_count)`, overwritten on replay like
+  * every other delta) for batch-engine recap — w18's multi-parent
+  * trade, made incremental. A replayed batch recomputes the same prefix
+  * counts, so the open/closed decision and both deltas are replay-
+  * identical. `maxStreamBlock = None` keeps the uncapped mode.
   *
   * At 100 TB: per batch, the new side is batch-sized and the registry
   * join is an equi-join on the block key — the registry never re-pairs
   * with itself, so per-batch cost tracks the batch × its block
-  * neighbourhoods, and state grows by exactly the delivered records. */
+  * neighbourhoods (under a cap, ≤ batch × cap even for a degenerate
+  * key — the blank-name block lands in quarantine instead of fanning
+  * out without bound), and state grows by exactly the delivered
+  * records. The closed-block set is bounded by deliveries/cap, so the
+  * anti-join probe rides a broadcast. */
 object ErStream {
 
   /** Absorb one micro-batch of records: registry delta + match delta,
@@ -51,7 +64,8 @@ object ErStream {
     * plus whatever columns `block` reads. */
   def absorb(
       batch: DataFrame, id: String, attr: String, block: Column,
-      minSimBp: Int, stateDir: String, batchId: Long): Unit = {
+      minSimBp: Int, stateDir: String, batchId: Long,
+      maxStreamBlock: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
     batch.write.mode("overwrite").parquet(s"$stateDir/reg/b$batchId")
     val prior = registry(spark, stateDir, batchId)
@@ -60,10 +74,47 @@ object ErStream {
         .unionByName(batch.withColumn("__new", lit(true)))
       case None => batch.withColumn("__new", lit(true))
     }
+    val pairInput = maxStreamBlock match {
+      case None => all
+      case Some(cap) =>
+        // per-block prefix (registry) and batch counts — one tiny keyed
+        // aggregate; both are pure functions of the delivered batch set,
+        // so a replay recomputes them verbatim
+        val counts = all.select(block.as("_bk"), col("__new"))
+          .filter(col("_bk").isNotNull)
+          .groupBy("_bk").agg(
+            count(when(not(col("__new")), 1)).as("_prior"),
+            count(when(col("__new"), 1)).as("_batch"))
+        // blocks CROSSING the cap in this batch → quarantine delta
+        // (replay overwrites its own delta, w18/t22 discipline)
+        counts
+          .filter(col("_prior") <= cap && col("_prior") + col("_batch") > cap)
+          .select(col("_bk").as("block_key"),
+            lit(batchId).as("crossed_batch"),
+            (col("_prior") + col("_batch")).as("cum_count"))
+          .write.mode("overwrite").parquet(s"$stateDir/quarantine/b$batchId")
+        // blocks that crossed in an EARLIER batch stop pairing now; the
+        // closed set is ≤ deliveries/cap keys → broadcast anti-probe
+        val closed = counts.filter(col("_prior") > cap)
+          .select(col("_bk").as("__cbk"))
+        all.join(closed, block === col("__cbk"), "left_anti")
+    }
     val cand = graft.ext.EntityResolution.candidatesTouching(
-      all, id, block, col("__new"))
+      pairInput, id, block, col("__new"))
     graft.ext.EntityResolution.scorePairs(all, id, attr, cand, minSimBp)
       .write.mode("overwrite").parquet(s"$stateDir/matches/b$batchId")
+  }
+
+  /** The folded quarantine list: blocks whose cumulative delivered-record
+    * count crossed the stream cap, with the (replay-stable) batch where
+    * they crossed — the work-list a batch-engine recap consumes. Assumes
+    * a string block key (this engine's er block shape). */
+  def quarantined(spark: SparkSession, stateDir: String): DataFrame = {
+    val dirs = deltaDirs(spark, s"$stateDir/quarantine", None)
+    if (dirs.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(String, Long, Long)].toDF("block_key", "crossed_batch", "cum_count")
+    } else spark.read.parquet(dirs: _*)
   }
 
   private def deltaDirs(
@@ -97,11 +148,12 @@ object ErStream {
   /** Wire a streaming record frame into per-batch [[absorb]] calls. */
   def start(
       records: DataFrame, id: String, attr: String, block: Column,
-      minSimBp: Int, stateDir: String, ckptDir: String): StreamingQuery =
+      minSimBp: Int, stateDir: String, ckptDir: String,
+      maxStreamBlock: Option[Int] = None): StreamingQuery =
     records.writeStream.outputMode("append")
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        absorb(batch, id, attr, block, minSimBp, stateDir, bid)
+        absorb(batch, id, attr, block, minSimBp, stateDir, bid, maxStreamBlock)
       }
       .start()
 }

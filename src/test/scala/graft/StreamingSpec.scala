@@ -516,6 +516,56 @@ class StreamingSpec extends SparkSpec {
     assert(fold(d2) == expect, "delivery order must not change the fold")
   }
 
+  test("w21 stream block cap: crossing mid-stream stops pairing from the next batch, replay-stable") {
+    import graft.streaming.ErStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one hot block (B1|5|re) delivered across 3 batches: 2 records, then
+    // 1 (crosses cap=2), then 1 more; plus a control block arriving late
+    val recs = Seq(
+      (1L, "red plate", "B1", 5), (2L, "red plat", "B1", 5),
+      (3L, "red plate", "B1", 5), (4L, "red plate", "B1", 5),
+      (10L, "green gear", "B2", 9), (11L, "green gea", "B2", 9))
+      .toDF("rec_id", "name", "brand", "size")
+    val block =
+      concat_ws("|", col("brand"), col("size"), substring(col("name"), 1, 2))
+    val b0 = recs.filter(col("rec_id").isin(1L, 2L))
+    val b1 = recs.filter(col("rec_id").isin(3L))
+    val b2 = recs.filter(col("rec_id").isin(4L, 10L, 11L))
+    def fold(dir: String) = ErStream.folded(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val d = java.nio.file.Files.createTempDirectory("w21_cap").toString
+    val cap = Some(2)
+    ErStream.absorb(b0, "rec_id", "name", block, 8500, d, 0L, cap)
+    ErStream.absorb(b1, "rec_id", "name", block, 8500, d, 1L, cap)
+    ErStream.absorb(b2, "rec_id", "name", block, 8500, d, 2L, cap)
+    // pairs found BEFORE the block closed stay; record 4 (delivered after
+    // the crossing) never pairs; the control block pairs normally
+    val expect = Set((1L, 2L, 8888L), (1L, 3L, 10000L), (2L, 3L, 8888L),
+      (10L, 11L, 9000L))
+    assert(fold(d) == expect,
+      s"capped fold mismatch: ${fold(d)}")
+    // quarantine: exactly the hot block, crossed at batch 1 with cum 3
+    val q = ErStream.quarantined(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(q == Set(("B1|5|re", 1L, 3L)), s"quarantine mismatch: $q")
+    // crash-replay of the crossing batch AND the post-crossing batch:
+    // prefix counts recompute identically, fold and quarantine unchanged
+    ErStream.absorb(b1, "rec_id", "name", block, 8500, d, 1L, cap)
+    ErStream.absorb(b2, "rec_id", "name", block, 8500, d, 2L, cap)
+    assert(fold(d) == expect, "replay must not change the capped fold")
+    val q2 = ErStream.quarantined(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(q2 == Set(("B1|5|re", 1L, 3L)), "replay must not change quarantine")
+    // uncapped mode (default) still links everything
+    val du = java.nio.file.Files.createTempDirectory("w21_uncap").toString
+    ErStream.absorb(b0, "rec_id", "name", block, 8500, du, 0L)
+    ErStream.absorb(b1, "rec_id", "name", block, 8500, du, 1L)
+    ErStream.absorb(b2, "rec_id", "name", block, 8500, du, 2L)
+    assert(fold(du) == expect ++ Set((1L, 4L, 10000L), (2L, 4L, 8888L),
+      (3L, 4L, 10000L)), "uncapped fold must keep post-crossing pairs")
+  }
+
   test("w20 profile fold on an empty state dir yields a zero profile") {
     import graft.streaming.ProfileStream
     val dir = java.nio.file.Files.createTempDirectory("w20_empty").toString

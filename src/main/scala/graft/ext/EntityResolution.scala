@@ -134,6 +134,14 @@ object EntityResolution {
     cand
       .join(vals.select(col(id).as("id_a"), col("_v").as("_va")), Seq("id_a"))
       .join(vals.select(col(id).as("id_b"), col("_v").as("_vb")), Seq("id_b"))
+      // null/empty attributes carry no string-similarity evidence and
+      // are EXCLUDED from matching (deliberate, and distinct from
+      // [[fellegiSunter]], where null<=>null counts as field agreement
+      // under the probabilistic model): a null value or a 0/0 division
+      // on two empties would otherwise yield a null sim_bp the
+      // threshold filter drops SILENTLY — make the exclusion explicit
+      .filter(col("_va").isNotNull && col("_vb").isNotNull &&
+        greatest(la, lb) > 0)
       .withColumn("sim_bp",
         floor(lit(10000) * (lit(1.0) -
           levenshtein(col("_va"), col("_vb")).cast("double") /
@@ -179,14 +187,25 @@ object EntityResolution {
         .agg(sum(col("_c") * col("_c"))).head().getLong(0)
       num.toDouble / (n * n).toDouble
     }
-    def w(m: Double, u: Double): Long = math.round(math.log(m / u) * 1e6)
+    // every ln argument must be strictly positive or a weight silently
+    // becomes NaN (math.round maps NaN to 0, corrupting every verdict
+    // with no error): the m's must leave positive disagreement mass,
+    // and the DATA-DERIVED u's can be arbitrarily large on a
+    // low-cardinality field — fail fast naming the offender instead
+    def w(m: Double, u: Double, what: String): Long = {
+      require(m > 0 && m < 1, s"fellegiSunter: $what m=$m outside (0,1)")
+      require(u > 0 && u < 1, s"fellegiSunter: $what u=$u outside (0,1) " +
+        "(data-derived u ~ 1 means the field is near-constant — drop it)")
+      math.round(math.log(m / u) * 1e6)
+    }
     val uName = uOf(nameAttr)
-    val wNameExact = w(mNameExact, uName)
-    val wNameNear = w(mNameNear, uNameNear)
-    val wNameDis = w(1.0 - mNameExact - mNameNear, 1.0 - uName - uNameNear)
+    val wNameExact = w(mNameExact, uName, s"name '$nameAttr' exact")
+    val wNameNear = w(mNameNear, uNameNear, s"name '$nameAttr' near")
+    val wNameDis = w(1.0 - mNameExact - mNameNear, 1.0 - uName - uNameNear,
+      s"name '$nameAttr' disagree")
     val exactW: Seq[(String, Long, Long)] = exactAttrs.map { a =>
       val u = uOf(a)
-      (a, w(mExact, u), w(1.0 - mExact, 1.0 - u))
+      (a, w(mExact, u, s"'$a' agree"), w(1.0 - mExact, 1.0 - u, s"'$a' disagree"))
     }
     val attrs = nameAttr +: exactAttrs
     val vals = records.select(col(id) +: attrs.map(col): _*)

@@ -208,7 +208,7 @@ object TextExpressions {
       val m = new java.util.HashMap[String, Integer](merges.size * 2)
       var i = 0
       merges.foreach { case (l, r) =>
-        val k = l + " " + r
+        val k = l + "\u0000" + r
         if (!m.containsKey(k)) m.put(k, Integer.valueOf(i))
         i += 1
       }
@@ -232,7 +232,7 @@ object TextExpressions {
         var bestRank = Int.MaxValue
         var j = 0
         while (j < parts.length - 1) {
-          val r = rank.get(parts(j) + " " + parts(j + 1))
+          val r = rank.get(parts(j) + "\u0000" + parts(j + 1))
           if ((r ne null) && r.intValue() < bestRank) { bestRank = r.intValue(); best = j }
           j += 1
         }

@@ -18,9 +18,19 @@ import org.apache.spark.sql.functions._
   * micro-units of a fixed total mass and EVERY division is integer
   * (`div` — Spark `div` ≡ DuckDB `//`, exact), so no float ever enters
   * the pipeline; long sums are associative, and truncation loss is a
-  * deterministic function of the data (disclosed: dangling-node mass is
-  * dropped rather than redistributed — the rank ORDER, which is what a
-  * curation filter consumes, is unaffected by the uniform leak).
+  * deterministic function of the data.
+  *
+  * Dangling-node mass: by default it is dropped rather than
+  * redistributed — the rank ORDER, which is what a curation filter
+  * consumes, is unaffected by the uniform leak. `redistributeDangling`
+  * adds the standard redistribution term for users comparing ABSOLUTE
+  * rank mass across corpora: each iteration folds the danglings' summed
+  * rank back in before damping — uniformly per node ([[pageRank]]), or
+  * onto the seed set ([[personalizedPageRank]], the personalization-
+  * vector teleport of the PPR literature). The per-round dangling sum
+  * stays IN the plan (a 1-row aggregate cross-joined as a broadcast
+  * literal gate — no driver action per iteration), and the share uses
+  * integer `div`, so both modes stay exactly engine-portable.
   */
 object Graph {
 
@@ -33,7 +43,8 @@ object Graph {
                iters: Int = 5, dampingMil: Int = 850,
                total: Long = 1000000000000L,
                checkpoint: Cascade.Strategy = Cascade.Auto,
-               cutEvery: Int = 8): DataFrame = {
+               cutEvery: Int = 8,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 0 && dampingMil >= 0 && dampingMil <= 1000)
     // the loop-invariant frames are cut ONCE: without the cuts every
     // iteration's plan re-derives the edge DISTINCT and the degree
@@ -56,19 +67,60 @@ object Graph {
     require(n > 0, "empty edge set")
     val perNode = total / n
     val baseTerm = ((1000L - dampingMil) * perNode) / 1000L
+    // dangling = no outgoing edge (a dst-only node): its rank feeds no
+    // contribution row, so without redistribution its mass simply
+    // leaks. Redistribution gives every dangling node ONE synthetic
+    // NULL-keyed "edge" (deg 1) in the joined edge frame: its whole
+    // rank then flows through the SAME contrib/inbound aggregate as
+    // real mass, landing in the null group — the round's dangling sum
+    // — which a 1-row filter+agg lifts out as a broadcast literal gate.
+    // No second evaluation of the rank chain, no rank×dangling join
+    // (both earlier shapes measured 13-15 s at sf1 vs g1's 5.4 s; the
+    // null key can never meet a real node in the left join below).
+    val eDegR =
+      if (!redistributeDangling) eDeg
+      else Cascade.cut(
+        eDeg.unionByName(
+          nodes.join(e.select(col("__s").as("node")).distinct(), Seq("node"), "left_anti")
+            .select(col("node").as("__s"),
+              lit(null).cast(nodes.schema("node").dataType).as("__d"),
+              lit(1L).as("__deg"))),
+        checkpoint, eager = false)
     var ranks = nodes.select(col("node"), lit(perNode).as("rank_micro"))
     var i = 0
     while (i < iters) {
       val contrib = ranks
-        .join(eDeg, ranks("node") === eDeg("__s"))
+        .join(eDegR, ranks("node") === eDegR("__s"))
         .select(col("__d").as("node"),
           expr("rank_micro div __deg").as("__c"))
+      // redistribute mode consumes inbound TWICE (the per-node join and
+      // the 1-row null-group lift). Measured design space (sf1, 5
+      // iterations): recompute-twice 11.6 s, per-round lazy
+      // localCheckpoint 35.6 s (block-manager writes + lost pipelining
+      // cost 3x the recompute), rank x dangling semi-join 15.4 s,
+      // flag-on-ranks 12.9 s — recompute-twice wins; the option costs
+      // ~2x the leak-mode g1 and says so in BASELINE.md.
       val inbound = contrib.groupBy(col("node")).agg(sum(col("__c")).as("__in"))
-      val next = nodes.join(inbound, Seq("node"), "left")
-        .select(col("node"),
-          (lit(baseTerm) +
-            expr(s"(($dampingMil * coalesce(__in, 0L)) div 1000)"))
-            .as("rank_micro"))
+      val next =
+        if (!redistributeDangling)
+          nodes.join(inbound, Seq("node"), "left")
+            .select(col("node"),
+              (lit(baseTerm) +
+                expr(s"(($dampingMil * coalesce(__in, 0L)) div 1000)"))
+                .as("rank_micro"))
+        else {
+          // the null group IS the dangling sum; the agg guards the
+          // no-dangling case (empty filter -> one 0 row, never an
+          // empty cross join). Each node receives the damped integer
+          // share dsum div n.
+          val dsum = inbound.filter(col("node").isNull)
+            .agg(coalesce(sum(col("__in")), lit(0L)).as("__dsum"))
+          nodes.join(inbound, Seq("node"), "left").crossJoin(dsum)
+            .select(col("node"),
+              (lit(baseTerm) +
+                expr(s"(($dampingMil * (coalesce(__in, 0L) + (__dsum div $n))) div 1000)"))
+                .as("rank_micro"))
+        }
       // unlike Components' fixpoint there is no per-round ACTION here, so
       // lineage only grows linearly with iters; cut every `cutEvery`
       // rounds (long runs), not every round (a per-round checkpoint
@@ -94,7 +146,8 @@ object Graph {
                            dampingMil: Int = 850,
                            total: Long = 1000000000000L,
                            checkpoint: Cascade.Strategy = Cascade.Auto,
-                           cutEvery: Int = 8): DataFrame = {
+                           cutEvery: Int = 8,
+                           redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 0 && dampingMil >= 0 && dampingMil <= 1000)
     val e = Cascade.cut(
       edges.select(col(src).as("__s"), col(dst).as("__d")).distinct(),
@@ -123,20 +176,46 @@ object Graph {
           Seq("node"), "left")
         .select(col("node"), col("__sflag").isNotNull.as("__seed")),
       checkpoint, eager = false)
+    // dangling mass teleports to the SEEDS (the personalization-vector
+    // convention), keeping "proximity to the seed set" the measured
+    // quantity instead of leaking toward uniform. Same NULL-keyed
+    // synthetic-edge shape as pageRank: the dangling sum rides the
+    // inbound aggregate's null group, the seed CASE hands it out.
+    val eDegR =
+      if (!redistributeDangling) eDeg
+      else Cascade.cut(
+        eDeg.unionByName(
+          nodes.join(e.select(col("__s").as("node")).distinct(), Seq("node"), "left_anti")
+            .select(col("node").as("__s"),
+              lit(null).cast(nodes.schema("node").dataType).as("__d"),
+              lit(1L).as("__deg"))),
+        checkpoint, eager = false)
     var ranks = nodesFlag.select(col("node"),
       when(col("__seed"), lit(perSeed)).otherwise(lit(0L)).as("rank_micro"))
     var i = 0
     while (i < iters) {
       val contrib = ranks
-        .join(eDeg, ranks("node") === eDeg("__s"))
+        .join(eDegR, ranks("node") === eDegR("__s"))
         .select(col("__d").as("node"),
           expr("rank_micro div __deg").as("__c"))
       val inbound = contrib.groupBy(col("node")).agg(sum(col("__c")).as("__in"))
-      val next = nodesFlag.join(inbound, Seq("node"), "left")
-        .select(col("node"),
-          (when(col("__seed"), lit(baseSeed)).otherwise(lit(0L)) +
-            expr(s"(($dampingMil * coalesce(__in, 0L)) div 1000)"))
-            .as("rank_micro"))
+      val next =
+        if (!redistributeDangling)
+          nodesFlag.join(inbound, Seq("node"), "left")
+            .select(col("node"),
+              (when(col("__seed"), lit(baseSeed)).otherwise(lit(0L)) +
+                expr(s"(($dampingMil * coalesce(__in, 0L)) div 1000)"))
+                .as("rank_micro"))
+        else {
+          val dsum = inbound.filter(col("node").isNull)
+            .agg(coalesce(sum(col("__in")), lit(0L)).as("__dsum"))
+          nodesFlag.join(inbound, Seq("node"), "left").crossJoin(dsum)
+            .select(col("node"),
+              (when(col("__seed"), lit(baseSeed)).otherwise(lit(0L)) +
+                expr(s"(($dampingMil * (coalesce(__in, 0L) + " +
+                  s"(CASE WHEN __seed THEN (__dsum div $nSeeds) ELSE 0L END))) div 1000)"))
+                .as("rank_micro"))
+        }
       ranks = if ((i + 1) % cutEvery == 0 && i + 1 < iters)
         Cascade.cut(next, checkpoint, eager = false) else next
       i += 1

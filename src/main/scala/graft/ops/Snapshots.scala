@@ -79,14 +79,18 @@ object Snapshots {
     * write `snap-N` = parent listing + the new dir, then swing the
     * pointer atomically. Returns the new snapshot id. A crash before the
     * final rename leaves the table at the parent snapshot with only an
-    * orphaned data dir to garbage-collect — never a corrupt state. */
+    * orphaned data dir to garbage-collect — never a corrupt state — and
+    * the commit is RETRYABLE in place: a retry recomputes the same id
+    * (the pointer never swung) and the overwrite mode replaces the
+    * orphan instead of erroring on it. An id is never reused once its
+    * pointer swing lands, so overwrite can only ever touch an orphan. */
   def commitAppend(df: DataFrame, tableDir: String): Long = {
     val spark = df.sparkSession
     val fs = fsFor(spark, tableDir)
     val cur = current(spark, tableDir)
     val id = cur.map(_.id + 1).getOrElse(1L)
     val dataDir = s"data/delta-$id"
-    df.write.parquet(new Path(tableDir, dataDir).toString)
+    df.write.mode("overwrite").parquet(new Path(tableDir, dataDir).toString)
     val dirs = cur.map(_.dataDirs).getOrElse(Nil) :+ dataDir
     val manifest =
       (s"parent=${cur.map(_.id.toString).getOrElse("-")}" +: dirs).mkString("\n")

@@ -46,6 +46,18 @@ object ProfileStream {
       batch: DataFrame, cols: Seq[String],
       distinctRender: Map[String, Column => Column],
       stateDir: String, batchId: Long): Unit = {
+    def dr(c: String): Column =
+      distinctRender.getOrElse(c, (x: Column) => x.cast("string"))(col(c))
+    // dv delta FIRST, partials second: the fold keys batch membership on
+    // the partials dir, so a crash between the two writes leaves a batch
+    // with a dv delta but no partial — invisible to the fold and redone
+    // wholesale on replay. The reverse order would silently undercount
+    // n_distinct for a torn batch the partials check admits.
+    val dv = cols.map { c =>
+      batch.filter(col(c).isNotNull)
+        .select(lit(c).as("col_name"), dr(c).as("v")).distinct()
+    }.reduce(_.unionByName(_))
+    dv.write.mode("overwrite").parquet(s"$stateDir/dv/b$batchId")
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__nn"),
         min(col(c)).as(s"${c}__mn"),
@@ -53,13 +65,6 @@ object ProfileStream {
     }
     batch.agg(count(lit(1)).as("__rows"), aggs: _*)
       .write.mode("overwrite").parquet(s"$stateDir/partials/b$batchId")
-    def dr(c: String): Column =
-      distinctRender.getOrElse(c, (x: Column) => x.cast("string"))(col(c))
-    val dv = cols.map { c =>
-      batch.filter(col(c).isNotNull)
-        .select(lit(c).as("col_name"), dr(c).as("v")).distinct()
-    }.reduce(_.unionByName(_))
-    dv.write.mode("overwrite").parquet(s"$stateDir/dv/b$batchId")
   }
 
   private def deltaDirs(spark: SparkSession, dir: String): Seq[String] = {
@@ -100,7 +105,19 @@ object ProfileStream {
     val dvAggs = cols.map { c =>
       countDistinct(when(col("col_name") === c, col("v"))).as(s"${c}__nd")
     }
-    val dvOne = spark.read.parquet(dvDirs: _*).agg(dvAggs.head, dvAggs.tail: _*)
+    // partials exist but no dv deltas: legal when every absorbed batch
+    // had only null values in every profiled column (each per-column dv
+    // projection filters nulls, so dv/b<id> can be an empty write that
+    // some filesystems elide) — fold to 0 distincts explicitly instead
+    // of handing spark.read an empty path list (opaque schema-inference
+    // error). A TORN absorb can no longer produce this state: absorb
+    // writes dv before partials, so a batch visible to the partials
+    // check always has its dv delta.
+    val dvSrc =
+      if (dvDirs.isEmpty)
+        Seq.empty[(String, String)].toDF("col_name", "v")
+      else spark.read.parquet(dvDirs: _*)
+    val dvOne = dvSrc.agg(dvAggs.head, dvAggs.tail: _*)
     val perCol = cols.map { c =>
       struct(lit(c).as("col_name"),
         col("__rows").as("n_rows"),

@@ -77,10 +77,13 @@ class EntityResolutionSpec extends SparkSpec {
   }
 
   test("fellegiSunter: exact-name level outranks near; null attrs compare null-safe") {
+    // size varies (5,5,7): a CONSTANT field would have u = 1 and no
+    // disagreement mass — fellegiSunter now fails fast on that (its old
+    // disagreement weight was a silent ln(·/0) = Long.MaxValue)
     val rx = Seq(
       (1L, "same name", "B1", 5),
       (2L, "same name", "B1", 5),
-      (3L, "same nam", null.asInstanceOf[String], 5))
+      (3L, "same nam", null.asInstanceOf[String], 7))
       .toDF("rec_id", "name", "brand", "size")
     val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
     val out = EntityResolution.fellegiSunter(rx, "rec_id", cand,
@@ -93,6 +96,35 @@ class EntityResolutionSpec extends SparkSpec {
         "name", Seq("brand", "size"))
       .collect().map(_.getString(3))
     assert(verdicts.forall(v => Set("match", "possible", "nonmatch")(v)))
+  }
+
+  test("fellegiSunter fails fast on a near-constant field (u = 1) naming it") {
+    val rx = Seq(
+      (1L, "red plate", "B1", 5),
+      (2L, "green gear", "B1", 7))
+      .toDF("rec_id", "name", "brand", "size")
+    val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      EntityResolution.fellegiSunter(rx, "rec_id", cand,
+        "name", Seq("brand", "size"))
+    }
+    // a silent NaN->0 weight would corrupt every verdict; the require
+    // must name the offending field instead
+    assert(e.getMessage.contains("'brand'") || e.getMessage.contains("'size'"))
+  }
+
+  test("scorePairs excludes null/empty attributes explicitly (no null sim_bp)") {
+    val rx = Seq(
+      (1L, "red plate"), (2L, "red plat"),
+      (3L, null.asInstanceOf[String]), (4L, ""), (5L, ""))
+      .toDF("rec_id", "name")
+    val cand = Seq((1L, 2L), (1L, 3L), (4L, 5L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val out = EntityResolution.scorePairs(rx, "rec_id", "name", cand, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only the real-string pair scores; null and empty-empty pairs are
+    // excluded (no string evidence), never emitted as null rows
+    assert(out.toSet == Set((1L, 2L, 8888L)))
   }
 
   test("candidatesTouching: exactly the pairs touching the new subset, each once") {

@@ -51,6 +51,51 @@ class GraphSpec extends SparkSpec {
     assert(h.values.sum <= 1000000000000L)
   }
 
+  test("redistributeDangling: hand-computed share, near-total mass, leak mode unchanged") {
+    // a→b only: b is dangling. n=2, per-node 500000000000,
+    // base = (150·500000000000)//1000 = 75000000000.
+    // iter 1: dsum = r0(b) = 500000000000, share = dsum//2 = 250000000000
+    //   r1(a) = base + (850·(0 + 250000000000))//1000 = 75e9 + 212500000000
+    //   r1(b) = base + (850·(500000000000 + 250000000000))//1000
+    //         = 75e9 + 637500000000
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val out = ranks(Graph.pageRank(e, "src", "dst", iters = 1,
+      checkpoint = Cascade.NoCheckpoint, redistributeDangling = true))
+    assert(out(1L) == 75000000000L + 212500000000L)
+    assert(out(2L) == 75000000000L + 637500000000L)
+    // over more iterations the mass stays near-total (integer truncation
+    // only), where the leak mode loses the dangling share every round
+    val r5 = ranks(Graph.pageRank(e, "src", "dst", iters = 5,
+      checkpoint = Cascade.NoCheckpoint, redistributeDangling = true))
+    assert(r5.values.sum > 999999999000L && r5.values.sum <= 1000000000000L)
+    val leak5 = ranks(Graph.pageRank(e, "src", "dst", iters = 5,
+      checkpoint = Cascade.NoCheckpoint))
+    assert(leak5.values.sum < 500000000000L, "leak mode must keep leaking")
+    // a graph with NO dangling node: both modes agree exactly
+    val cyc = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(ranks(Graph.pageRank(cyc, "src", "dst", iters = 4,
+        checkpoint = Cascade.NoCheckpoint, redistributeDangling = true)) ==
+      ranks(Graph.pageRank(cyc, "src", "dst", iters = 4,
+        checkpoint = Cascade.NoCheckpoint)))
+  }
+
+  test("PPR redistributeDangling teleports dangling mass to the seeds only") {
+    // seed 1; 1→2, 2 dangling — with redistribution, 2's mass returns to
+    // the seed each round, so total mass stays near-total and node 1
+    // keeps receiving it; without, it leaks
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val red = Graph.personalizedPageRank(e, "src", "dst", seeds, iters = 5,
+      checkpoint = Cascade.NoCheckpoint, redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val leak = Graph.personalizedPageRank(e, "src", "dst", seeds, iters = 5,
+      checkpoint = Cascade.NoCheckpoint)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(red.values.sum > 999999999000L && red.values.sum <= 1000000000000L)
+    assert(leak.values.sum < red.values.sum)
+    assert(red(1L) > leak(1L), "returned mass must land via the seed")
+  }
+
   test("personalized PageRank: mass concentrates reachable-from-seeds; unreachable stay 0") {
     // two disjoint 2-cycles; seed only in the first — the second
     // component must hold rank 0 at every node, and the seeded cycle

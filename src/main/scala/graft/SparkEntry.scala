@@ -304,6 +304,21 @@ object SparkEntry {
     * floor-to-bp integer boundary stays engine-portable. */
   val ErMinSimBp = 8500
 
+  /** c16 corpus-build dials. Decontamination is a BUDGET, not a fixed
+    * bp threshold: the top (1−q) most-benchmark-contaminated docs are
+    * dropped, with the cut at the q-th discrete percentile of per-doc
+    * contam_bp over the whole candidate corpus (percentile_disc ≡
+    * DuckDB quantile_disc — the verified c12 twin; zero-overlap docs
+    * count as 0 bp so the distribution is corpus-complete). A fixed bp
+    * threshold is corpus-scale-DEPENDENT on this generator — measured:
+    * 2000 bp drops 22/450 at sf0.01 but 4498/4500 at sf0.1 (the 10%
+    * benchmark slice's 3-gram coverage saturates as the corpus grows) —
+    * while the quantile form drops the same decile at every scale.
+    * Quality keeps its absolute floor (t2's score is length/stopword
+    * arithmetic, not corpus-relative). */
+  val CorpusContamQuantile = 0.9
+  val CorpusQualityMinBp = 2500L
+
   /** er1/er2/er3 blocking-skew dial: blocks larger than this are dropped
     * before the in-block self-join (an over-merged key — think a blank
     * name — would otherwise square). Far above the judged-scale maximum

@@ -152,6 +152,26 @@ private[graft] object SparkEntrySim {
       shortGate.crossJoin(work)
     }),
 
+    // E16 — label-filtered ANN ("similar vectors within a domain
+    // slice"): the hybrid metadata-filter + vector query every vector
+    // store serves. POST-FILTER index design: the IVF index is fit and
+    // probed over the FILTERED corpus — the predicate prunes the scan
+    // BEFORE the index (partition pruning at 100 TB), and recall is
+    // independent of filter selectivity, unlike pre-filtering a
+    // full-corpus candidate list (which starves selective filters of
+    // candidates). Query set = the anchored draw over the filtered
+    // corpus (same constant-K discipline as e6/e7; the oracle's anch
+    // CTE carries the label predicate).
+    "e16_filtered_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("label") < 5)
+      val sub = Similarity.anchorPred(emb, "vec_id", VecAnchorK)
+      val exact = Similarity.knnBruteFor(emb.filter(sub), emb,
+        "vec_id", "embedding", k = 3)
+      val approx = Similarity.knnIvf(emb, "vec_id", "embedding",
+        k = 3, nCells = 16, nProbe = 4, queryPred = Some(sub))
+      Similarity.recallGate(approx, exact, minBp = IvfRecallMinBp)
+    }),
+
     // E4 embedding-cosine near-duplicate pairs (compiled kernel; sim
     // quantized to millis so the double survives the engine boundary).
     // E12 semantic decontamination: the embedding-space twin of d8/d13's
@@ -416,6 +436,19 @@ private[graft] object SparkEntrySim {
 
     "e7_ivf_recall" ->
       s"""WITH $VecAnchCte
+        |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
+        |FROM anch""".stripMargin,
+
+    // e16: e7's constant gate with the label predicate inside the anch
+    // draw (the anchored query set is drawn from the FILTERED corpus).
+    "e16_filtered_ann" ->
+      """WITH anch AS (
+        |  SELECT vec_id FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY
+        |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+        |      vec_id) AS rn
+        |    FROM embeddings WHERE label < 5)
+        |  WHERE rn <= 500)
         |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
         |FROM anch""".stripMargin,
 

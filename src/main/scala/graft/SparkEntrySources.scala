@@ -315,6 +315,48 @@ private[graft] object SparkEntrySources {
           .select(lit(2L).as("snap"), col("n_rows"), col("fingerprint")))
     }),
 
+    // S22 — merge-on-read equality DELETES on the snapshot table
+    // (Iceberg v2 delete files) + copy-on-write rewrite: append b1 →
+    // delete (%5 of b1) → append b2 (which RE-INSERTS the %15 keys just
+    // deleted — the sequence rule: a delete applies only to data
+    // committed before it) → delete (%7 of everything) → append b3
+    // (after the last delete — untouched). Three judged phases: the
+    // merged current read, the SAME read after commitRewrite (the
+    // copy-on-write materialization must change nothing), and time
+    // travel to snapshot 3 (before the second delete — both deletes'
+    // later effects invisible). Oracle recomputes all three states
+    // relationally from the modular predicates.
+    "s22_snapshot_deletes" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val root = s"$partScratchDir/${dirKey(dir)}_s22"
+      rmTree(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val b1 = cust.filter(pmod(col("c_custkey"), lit(3)) === 0)
+      val b2 = cust.filter(pmod(col("c_custkey"), lit(3)) === 1)
+        .unionByName(b1.filter(pmod(col("c_custkey"), lit(15)) === 0))
+      val b3 = cust.filter(pmod(col("c_custkey"), lit(3)) === 2)
+      Snapshots.commitAppend(b1, root)
+      Snapshots.commitDelete(
+        b1.filter(pmod(col("c_custkey"), lit(5)) === 0).select(col("c_custkey")),
+        root, "c_custkey")
+      val id3 = Snapshots.commitAppend(b2, root)
+      Snapshots.commitDelete(
+        cust.filter(pmod(col("c_custkey"), lit(7)) === 0).select(col("c_custkey")),
+        root, "c_custkey")
+      Snapshots.commitAppend(b3, root)
+      val cols = Seq("c_custkey", "c_mktsegment")
+      val merged = Validations.tableFingerprint(Snapshots.read(s, root), cols)
+        .select(lit(1L).as("phase"), col("n_rows"), col("fingerprint"))
+      Snapshots.commitRewrite(s, root)
+      val rewritten = Validations.tableFingerprint(Snapshots.read(s, root), cols)
+        .select(lit(2L).as("phase"), col("n_rows"), col("fingerprint"))
+      val hist = Validations.tableFingerprint(
+          Snapshots.read(s, root, Some(id3)), cols)
+        .select(lit(3L).as("phase"), col("n_rows"), col("fingerprint"))
+      merged.union(rewritten).union(hist)
+    }),
+
     // S19 Z-order (Morton-curve) layout: the MULTI-column clustering s18's
     // single-key sort cannot buy. events is rewritten z-ordered on
     // (user_id, value-cents); the gate measures the ACTUAL per-file
@@ -654,6 +696,43 @@ private[graft] object SparkEntrySources {
         |    coalesce(CAST(qty AS VARCHAR), chr(0)))), 1, 10)) AS BIGINT))
         |    AS DECIMAL(38,0)) AS VARCHAR)
         |FROM s2""".stripMargin,
+
+    // s22: the three snapshot states recomputed relationally — the
+    // merge-on-read visibility algebra in modular predicates (a delete
+    // applies to data committed before it; the %15 re-insert survives
+    // del1 because it arrived after; b3 postdates every delete); phases
+    // 1 and 2 are IDENTICAL by construction (rewrite must change
+    // nothing); phase 3 is the pre-del2 state. s20's fingerprint twin.
+    "s22_snapshot_deletes" -> {
+      def fp(where: String, phase: Int) =
+        s"""SELECT CAST($phase AS BIGINT) AS phase, count(*) AS n_rows,
+           |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+           |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+           |    coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))), 1, 10))
+           |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+           |FROM ($where) t""".stripMargin
+      val finalState =
+        """SELECT c_custkey, c_mktsegment FROM customer
+          |  WHERE c_custkey%3=0 AND c_custkey%5<>0 AND c_custkey%7<>0
+          |UNION ALL
+          |SELECT c_custkey, c_mktsegment FROM customer
+          |  WHERE (c_custkey%3=1 OR (c_custkey%3=0 AND c_custkey%15=0))
+          |    AND c_custkey%7<>0
+          |UNION ALL
+          |SELECT c_custkey, c_mktsegment FROM customer
+          |  WHERE c_custkey%3=2""".stripMargin
+      val histState =
+        """SELECT c_custkey, c_mktsegment FROM customer
+          |  WHERE c_custkey%3=0 AND c_custkey%5<>0
+          |UNION ALL
+          |SELECT c_custkey, c_mktsegment FROM customer
+          |  WHERE c_custkey%3=1 OR (c_custkey%3=0 AND c_custkey%15=0)""".stripMargin
+      s"""${fp(finalState, 1)}
+         |UNION ALL
+         |${fp(finalState, 2)}
+         |UNION ALL
+         |${fp(histState, 3)}""".stripMargin
+    },
 
     // s19: lossless-roundtrip slice through the z-ordered rewrite; the
     // 2-D cuts are integer arithmetic on min/max, so both engines derive

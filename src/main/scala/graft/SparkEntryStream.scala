@@ -377,6 +377,70 @@ private[graft] object SparkEntryStream {
     // integrity, containment of every historical snapshot in current,
     // and the current table's fingerprint ≡ the batch union (the
     // oracle's recomputation).
+    // W25 — STREAMING ANN index maintenance (e7's IVF tier fed by a
+    // vector stream): the codebook is fit ONCE on the bootstrap batch
+    // (content-addressed k-means init — replay-identical), every later
+    // batch is assigned by one compiled argmin projection, assignments
+    // land in overwrite deltas, and per-batch drift partials expose the
+    // frozen-codebook risk. Four flags: the folded assignment table
+    // must EQUAL the batch argmin of the full corpus under the same
+    // codebook (full-outer parity — the incremental index is the batch
+    // index), cells_ok bounds codebook degeneracy, drift_ok pins
+    // batches after the first OUT-OF-SAMPLE batch within margin of it —
+    // the bootstrap's own number is systematically optimistic
+    // (in-sample fit: measured 4167 bp vs 2191/2142 bp out-of-sample
+    // here), so an in-sample baseline would false-alarm on day one;
+    // iid later batches stay flat, a real shift trips it. Delivery
+    // order is pinned by mtime (the bootstrap batch identity matters,
+    // like w21's capped prefix).
+    "w25_stream_ann" -> ((s, dir) => {
+      import graft.streaming.AnnStream
+      val root = s"$streamScratchDir/${dirKey(dir)}_w25"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      for (b <- 0 until 3) {
+        val tmp = s"$root/tmp$b"
+        emb.filter(pmod(col("vec_id"), lit(3)) === b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$in/b$b.parquet"))
+        new java.io.File(s"$in/b$b.parquet").setLastModified(60000L * (b + 1))
+        rmTree(tmp)
+      }
+      val schema = s.read.parquet(in).schema
+      val q = AnnStream.start(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+        "vec_id", "embedding", k = 16,
+        stateDir = s"$root/state", ckptDir = s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val folded = AnnStream.folded(s, s"$root/state")
+      val cm = AnnStream.centroids(s, s"$root/state")
+        .getOrElse(sys.error("w25: no codebook committed"))
+      val batchAssign = graft.ext.Similarity
+        .kmeansAssign(emb, "vec_id", "embedding", cm)
+        .withColumnRenamed("cell", "cell_b")
+      val parity = folded.join(batchAssign, Seq("vec_id"), "full_outer")
+        .agg(count(lit(1)).as("n_vecs"),
+          count_distinct(col("cell")).as("__cells"),
+          min(when(col("cell") === col("cell_b"), 1L).otherwise(0L))
+            .as("parity_ok"))
+        .select(col("n_vecs"), col("parity_ok"),
+          when(col("__cells").between(2, 16), lit(1L)).otherwise(lit(0L))
+            .as("cells_ok"))
+      // drift partials: 3 bounded rows; batches after the first
+      // out-of-sample one must stay within 2000 bp of it
+      val dr = AnnStream.drift(s, s"$root/state")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val driftOk =
+        if (dr.keySet == Set(0L, 1L, 2L) && dr.values.forall(_ > 0L) &&
+          dr(2L) >= dr(1L) - 2000L) 1L else 0L
+      parity.withColumn("drift_ok", lit(driftOk))
+    }),
+
     "w24_stream_snapshots" -> ((s, dir) => {
       import graft.ops.Snapshots
       val root = s"$streamScratchDir/${dirKey(dir)}_w24"
@@ -719,6 +783,14 @@ private[graft] object SparkEntryStream {
         |SELECT event_id, e.event_type, value,
         |  CAST(abs(value - med) > 3.0 * mad AS INT) AS is_outlier
         |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)""".stripMargin,
+
+    // w25: constant-oracle gate (d7/e6 shape) — DuckDB pins the corpus
+    // count; the flags assert incremental-index ≡ batch-index parity,
+    // codebook non-degeneracy, and bounded drift.
+    "w25_stream_ann" ->
+      """SELECT count(*) AS n_vecs, CAST(1 AS BIGINT) AS parity_ok,
+        |  CAST(1 AS BIGINT) AS cells_ok, CAST(1 AS BIGINT) AS drift_ok
+        |FROM embeddings""".stripMargin,
 
     // w24: order-independent gates — the current table must fingerprint
     // to the batch union; count/chain/containment are engine-verified

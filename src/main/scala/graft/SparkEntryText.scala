@@ -135,6 +135,54 @@ private[graft] object SparkEntryText {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // C16 — the END-TO-END corpus build: the whole pre-training data
+    // pipeline as ONE lineage of this engine's operators — benchmark
+    // exclusion → exact dedup (d1's canonical fingerprint, keyed
+    // window) → decontamination budget (d8's 3-gram overlap; the top
+    // decile by contam_bp dropped, cut at the corpus-complete
+    // percentile_disc — see [[CorpusContamQuantile]] for why a fixed
+    // bp threshold does not survive corpus growth) → quality floor
+    // (t2's score ≥ CorpusQualityMinBp) → per-language stratified
+    // sampling (c3's content-addressed draw) → per-language build
+    // stats with a DECIMAL id-set fingerprint. Every stage is an
+    // operator with its own judged row; this row judges their
+    // COMPOSITION (stage predicates recomputed verbatim in one oracle
+    // WITH-chain). Plan shape: one corpus scan feeds dedup + quality +
+    // sampling projections; decontam adds the d8 gram join + one
+    // bounded percentile action; stats are one aggregate.
+    "c16_corpus_build" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val w = Window.partitionBy(col("__fp"))
+      val dedup = corpus
+        .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("__min", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("__min"))
+      val contAll = corpus.select(col("doc_id"))
+        .join(TextDedup.contamination(all, "doc_id", "text",
+            isBenchmark = pmod(col("doc_id"), lit(10)) === 0, n = 3)
+          .select(col("doc_id"), col("contam_bp")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("contam_bp"), lit(0L)).as("cbp"))
+      // bounded driver scalar (1 row); percentile_disc returns DOUBLE
+      // over a BIGINT column (exact at bp magnitudes)
+      val thr = contAll
+        .agg(expr("percentile_disc(" + CorpusContamQuantile +
+          ") WITHIN GROUP (ORDER BY cbp)"))
+        .head().getDouble(0).toLong
+      val contaminated = contAll.filter(col("cbp") > thr).select(col("doc_id"))
+      val clean = dedup.join(contaminated, Seq("doc_id"), "left_anti")
+      val good = clean.filter(
+        floor(TextAnalysis.qualityScore(col("text")) * 10000) >= CorpusQualityMinBp)
+      val sampled = good.filter(TextAnalysis.stratifiedSampleFilter(
+        col("lang"), col("doc_id"), SampleRates, SampleDefaultRate))
+      sampled.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCountWs(col("text"))).as("n_tokens"),
+        sum(conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("decimal(38,0)")).cast("string").as("id_fp"))
+    }),
+
     // C4 sequence packing: concat-and-chunk pack assignment at a 2048-
     // token budget via the two-pass distributed prefix sum (ops.Pack) —
     // no global single-task window.
@@ -923,6 +971,76 @@ private[graft] object SparkEntryText {
          |    CASE lang $cases ELSE ${TextAnalysis.rateThreshold(SampleDefaultRate)} END AS thr
          |  FROM documents)
          |SELECT doc_id, lang FROM s WHERE h < thr""".stripMargin
+    },
+
+    // c16: the five build stages as one WITH-chain — each stage's
+    // predicate is its own judged query's oracle verbatim (d1 dedup,
+    // d8 contamination, t2 quality, c3 sampling), composed; the final
+    // id-set fingerprint is the a9/s20 DECIMAL(38,0) pattern.
+    "c16_corpus_build" -> {
+      def cnt(w: String) =
+        s"((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2})"
+      val stopSum = TextAnalysis.Stopwords.map(cnt).mkString(" + ")
+      val cases = SampleRates.toSeq.sortBy(_._1)
+        .map { case (l, r) => s"WHEN '$l' THEN ${TextAnalysis.rateThreshold(r)}" }
+        .mkString(" ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 0),
+         |ded AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text, min(doc_id) OVER (PARTITION BY
+         |      md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS mn
+         |    FROM corpus)
+         |  WHERE doc_id = mn),
+         |toksA AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |  FROM documents),
+         |shA AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(tk) - 2, 1) + 1),
+         |    i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS s
+         |  FROM toksA),
+         |bench AS (SELECT DISTINCT s FROM shA WHERE doc_id % 10 = 0),
+         |cand AS (SELECT doc_id, s FROM shA WHERE doc_id % 10 <> 0),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+         |  FROM cand GROUP BY 1),
+         |ov AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM cand c JOIN bench b ON b.s = c.s GROUP BY 1),
+         |cbp AS (
+         |  SELECT z.doc_id, CAST(coalesce(floor(o.n_overlap * 10000.0
+         |    / z.n_shingles), 0) AS BIGINT) AS cbp
+         |  FROM sizes z LEFT JOIN ov o USING (doc_id)),
+         |thr AS (SELECT quantile_disc(cbp, ${CorpusContamQuantile}) AS t FROM cbp),
+         |dirty AS (SELECT doc_id FROM cbp WHERE cbp > (SELECT t FROM thr)),
+         |clean AS (
+         |  SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |tq AS (
+         |  SELECT doc_id, lang, text, concat(' ', text, ' ') AS p,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+         |  FROM clean),
+         |mq AS (SELECT doc_id, lang, toks,
+         |    CAST($stopSum AS BIGINT) AS stop_hits,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS punct,
+         |    length(text) AS tl
+         |  FROM tq),
+         |good AS (
+         |  SELECT doc_id, lang, toks FROM mq
+         |  WHERE floor((
+         |    least(toks / 200.0, 1.0) * 0.4
+         |    + least(stop_hits * 10.0 / greatest(toks, 1), 1.0) * 0.4
+         |    + greatest(1.0 - (punct * 1.0 / greatest(tl, 1)) * 5.0, 0.0) * 0.2
+         |  ) * 10000) >= ${CorpusQualityMinBp}),
+         |samp AS (
+         |  SELECT doc_id, lang, toks FROM good
+         |  WHERE ('0x' || substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4))
+         |      ::BIGINT <
+         |    CASE lang $cases ELSE ${TextAnalysis.rateThreshold(SampleDefaultRate)} END)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT)
+         |    AS DECIMAL(38,0)) AS VARCHAR) AS id_fp
+         |FROM samp GROUP BY 1""".stripMargin
     },
 
     "c4_pack_sequences" ->

@@ -9,8 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *  - data files are IMMUTABLE: each commit writes its rows once under
   *    `data/delta-N/` and never touches earlier dirs;
-  *  - a snapshot is a manifest FILE (`snap-N`): parent id + the list of
-  *    data dirs visible at N — appends list parent's dirs plus their own;
+  *  - a snapshot is a manifest FILE (`snap-N`): parent id + the ORDERED
+  *    list of data/delete dirs visible at N — appends list parent's
+  *    entries plus their own;
   *  - the table state is ONE pointer (`_CURRENT`) committed by
   *    write-to-temp + `FileContext.rename(OVERWRITE)` — the atomic commit
   *    point: a reader resolves either the old snapshot or the new one,
@@ -18,6 +19,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - TIME TRAVEL is reading any retained `snap-N` listing; because data
   *    files are immutable, a historical read costs what the snapshot cost
   *    at commit time, at 100 TB as at 100 MB.
+  *
+  * DELETES are merge-on-read EQUALITY deletes (Iceberg v2's equality
+  * delete files): [[commitDelete]] writes the doomed key values under
+  * `delete/delta-N/` — data files are never rewritten — and [[read]]
+  * anti-joins each data dir against exactly the delete dirs committed
+  * AFTER it (manifest order is commit order, the sequence-number rule:
+  * a key re-inserted after its delete is visible, and time travel before
+  * the delete still sees the original rows). The key column is fixed at
+  * the first delete (`deletekey=` manifest header) — one column, so
+  * delete sets stay id-sized and the anti-join side broadcasts at any
+  * table size. [[commitRewrite]] is the copy-on-write materialization
+  * (s18's compaction applied to the delete backlog): one new data dir =
+  * the merged read, delete list emptied, history retained.
   *
   * Single-writer discipline (concurrent committers need a CAS on the
   * pointer — object stores without atomic rename put the pointer in a
@@ -28,7 +42,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Snapshots {
 
-  final case class Snapshot(id: Long, parent: Option[Long], dataDirs: Seq[String])
+  sealed trait EntryKind
+  case object DataEntry extends EntryKind
+  case object DeleteEntry extends EntryKind
+
+  final case class Snapshot(id: Long, parent: Option[Long],
+                            entries: Seq[(EntryKind, String)],
+                            deleteKey: Option[String]) {
+    def dataDirs: Seq[String] = entries.collect { case (DataEntry, d) => d }
+    def deleteDirs: Seq[String] = entries.collect { case (DeleteEntry, d) => d }
+  }
 
   private def fsFor(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -57,8 +80,21 @@ object Snapshots {
       case Some(s"parent=$p") if p != "-" => Some(p.toLong)
       case _ => None
     }
-    Snapshot(id, parent, lines.drop(1))
+    val rest = lines.drop(1)
+    val deleteKey = rest.collectFirst { case s"deletekey=$k" => k }
+    val entries = rest.filterNot(_.startsWith("deletekey=")).map {
+      case d if d.startsWith("delete/") => (DeleteEntry: EntryKind, d)
+      case d => (DataEntry: EntryKind, d)
+    }
+    Snapshot(id, parent, entries, deleteKey)
   }
+
+  private def renderManifest(parent: Option[Long],
+                             entries: Seq[(EntryKind, String)],
+                             deleteKey: Option[String]): String =
+    (s"parent=${parent.map(_.toString).getOrElse("-")}" +:
+      (deleteKey.map(k => s"deletekey=$k").toSeq ++ entries.map(_._2)))
+      .mkString("\n")
 
   /** The current snapshot, or None for an empty/uninitialized table. */
   def current(spark: SparkSession, tableDir: String): Option[Snapshot] = {
@@ -91,17 +127,66 @@ object Snapshots {
     val id = cur.map(_.id + 1).getOrElse(1L)
     val dataDir = s"data/delta-$id"
     df.write.mode("overwrite").parquet(new Path(tableDir, dataDir).toString)
-    val dirs = cur.map(_.dataDirs).getOrElse(Nil) :+ dataDir
-    val manifest =
-      (s"parent=${cur.map(_.id.toString).getOrElse("-")}" +: dirs).mkString("\n")
-    writeAtomic(fs, tableDir, s"snap-$id", manifest)
+    val entries = cur.map(_.entries).getOrElse(Nil) :+
+      ((DataEntry: EntryKind, dataDir))
+    writeAtomic(fs, tableDir, s"snap-$id",
+      renderManifest(cur.map(_.id), entries, cur.flatMap(_.deleteKey)))
     writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
     id
   }
 
-  /** Read the table at a snapshot (default: current). Throws on an
-    * unknown snapshot id or an empty table — silent empty frames would
-    * mask a pointer/manifest bug. */
+  /** Equality-delete commit: `keys` is a frame whose column `keyCol`
+    * holds the values to delete; the key set lands IMMUTABLY under
+    * `delete/delta-N/` and applies, at read time, to every data dir
+    * committed BEFORE this snapshot (never to later appends — the
+    * sequence rule). Keys absent from the table are legal no-ops. The
+    * first delete fixes the table's delete key column; later deletes
+    * must use the same one. Same crash/retry contract as
+    * [[commitAppend]]. */
+  def commitDelete(keys: DataFrame, tableDir: String, keyCol: String): Long = {
+    val spark = keys.sparkSession
+    val fs = fsFor(spark, tableDir)
+    val cur = current(spark, tableDir).getOrElse(
+      sys.error(s"commitDelete on empty snapshot table $tableDir"))
+    cur.deleteKey.foreach(k => require(k == keyCol,
+      s"table delete key is '$k', got '$keyCol' — one key column per table"))
+    val id = cur.id + 1
+    val delDir = s"delete/delta-$id"
+    keys.select(keyCol).write.mode("overwrite")
+      .parquet(new Path(tableDir, delDir).toString)
+    val entries = cur.entries :+ ((DeleteEntry: EntryKind, delDir))
+    writeAtomic(fs, tableDir, s"snap-$id",
+      renderManifest(Some(cur.id), entries, Some(keyCol)))
+    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
+    id
+  }
+
+  /** Copy-on-write materialization of the merge-on-read state: one new
+    * data dir holding [[read]]'s current rows, manifest reduced to that
+    * single entry (delete backlog gone — subsequent reads are pure
+    * scans again), history retained (earlier snapshots still time-
+    * travel). The delete key column survives for future deletes. */
+  def commitRewrite(spark: SparkSession, tableDir: String): Long = {
+    val fs = fsFor(spark, tableDir)
+    val cur = current(spark, tableDir).getOrElse(
+      sys.error(s"commitRewrite on empty snapshot table $tableDir"))
+    val id = cur.id + 1
+    val dataDir = s"data/delta-$id"
+    read(spark, tableDir).write.mode("overwrite")
+      .parquet(new Path(tableDir, dataDir).toString)
+    writeAtomic(fs, tableDir, s"snap-$id",
+      renderManifest(Some(cur.id),
+        Seq((DataEntry: EntryKind, dataDir)), cur.deleteKey))
+    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
+    id
+  }
+
+  /** Read the table at a snapshot (default: current), merge-on-read:
+    * each data dir anti-joins the union of delete dirs committed AFTER
+    * it. Delete sets are single-column key frames — small against the
+    * data at any scale, so the anti-join side broadcasts (AQE). Throws
+    * on an unknown snapshot id or an empty table — silent empty frames
+    * would mask a pointer/manifest bug. */
   def read(spark: SparkSession, tableDir: String,
            snapshotId: Option[Long] = None): DataFrame = {
     val snap = snapshotId
@@ -109,7 +194,19 @@ object Snapshots {
         sys.error(s"no snapshot snap-$i under $tableDir")))
       .getOrElse(current(spark, tableDir).getOrElse(
         sys.error(s"empty snapshot table $tableDir")))
-    spark.read.parquet(
-      snap.dataDirs.map(d => new Path(tableDir, d).toString): _*)
+    def path(d: String) = new Path(tableDir, d).toString
+    val key = snap.deleteKey
+    val frames = snap.entries.zipWithIndex.collect {
+      case ((DataEntry, d), i) =>
+        val delsAfter = snap.entries.drop(i + 1)
+          .collect { case (DeleteEntry, dd) => path(dd) }
+        val base = spark.read.parquet(path(d))
+        if (delsAfter.isEmpty) base
+        else base.join(
+          spark.read.parquet(delsAfter: _*).select(key.get).distinct(),
+          Seq(key.get), "left_anti")
+    }
+    require(frames.nonEmpty, s"snapshot snap-${snap.id} lists no data dirs")
+    frames.reduce(_.unionByName(_))
   }
 }

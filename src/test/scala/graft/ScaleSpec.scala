@@ -180,6 +180,45 @@ class ScaleSpec extends SparkSpec {
     intercept[RuntimeException] { Snapshots.read(spark, empty) }
   }
 
+  test("snapshots: equality deletes are merge-on-read, sequence-scoped; rewrite materializes") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapdel").toString
+    def rows() = Snapshots.read(spark, root).as[(Long, String)].collect().toSet
+    Snapshots.commitAppend(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root)
+    // delete 2 and a key that never existed (legal no-op)
+    Snapshots.commitDelete(Seq(2L, 99L).toDF("k"), root, "k")
+    assert(rows() == Set((1L, "a"), (3L, "c")))
+    // re-insert key 2 AFTER its delete: the sequence rule keeps it
+    val id3 = Snapshots.commitAppend(Seq((2L, "b2"), (4L, "d")).toDF("k", "v"), root)
+    assert(rows() == Set((1L, "a"), (3L, "c"), (2L, "b2"), (4L, "d")))
+    // a second delete hits data from BOTH earlier appends
+    Snapshots.commitDelete(Seq(1L, 4L).toDF("k"), root, "k")
+    assert(rows() == Set((3L, "c"), (2L, "b2")))
+    // time travel: snapshot 3 predates the second delete entirely
+    assert(Snapshots.read(spark, root, Some(id3)).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (3L, "c"), (2L, "b2"), (4L, "d")))
+    // the delete key column is fixed at first use
+    intercept[IllegalArgumentException] {
+      Snapshots.commitDelete(Seq("x").toDF("v"), root, "v")
+    }
+    // copy-on-write rewrite: same rows, single data dir, no delete dirs,
+    // history still readable
+    val rid = Snapshots.commitRewrite(spark, root)
+    assert(rows() == Set((3L, "c"), (2L, "b2")))
+    val snap = Snapshots.get(spark, root, rid).get
+    assert(snap.dataDirs.size == 1 && snap.deleteDirs.isEmpty)
+    assert(Snapshots.read(spark, root, Some(id3)).count() == 4)
+    // a delete AFTER the rewrite still works (key column retained)
+    Snapshots.commitDelete(Seq(3L).toDF("k"), root, "k")
+    assert(rows() == Set((2L, "b2")))
+    // deleting from an empty table fails loudly
+    val empty = java.nio.file.Files.createTempDirectory("snapdelempty").toString
+    intercept[RuntimeException] {
+      Snapshots.commitDelete(Seq(1L).toDF("k"), empty, "k")
+    }
+  }
+
   test("compact: fewer files, lossless rows, range-clustered key layout") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

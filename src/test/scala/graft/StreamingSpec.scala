@@ -619,6 +619,46 @@ class StreamingSpec extends SparkSpec {
       s"state never shrank: totals=$stateTotals")
   }
 
+  test("w25 ANN stream: bootstrap codebook frozen, later batches assigned, replay-stable") {
+    import graft.streaming.AnnStream
+    import graft.ext.Similarity
+    import spark.implicits._
+    // two separable clusters so assignments are unambiguous
+    def vec(base: Float, i: Int): Array[Float] =
+      Array.tabulate(8)(d => if (d == 0) base + i * 0.01f else 0.1f * d)
+    val b0 = ((1 to 6).map(i => (i.toLong, vec(10f, i))) ++
+      (7 to 12).map(i => (i.toLong, vec(-10f, i)))).toDF("vec_id", "embedding")
+    val b1 = Seq((21L, vec(10f, 0)), (22L, vec(-10f, 0))).toDF("vec_id", "embedding")
+    val d = java.nio.file.Files.createTempDirectory("w25_ann").toString
+    AnnStream.absorb(b0, "vec_id", "embedding", k = 2, d, 0L)
+    val cm = AnnStream.centroids(spark, d).get
+    AnnStream.absorb(b1, "vec_id", "embedding", k = 2, d, 1L)
+    // the codebook did NOT refit on batch 1
+    assert(AnnStream.centroids(spark, d).get.map(_.toSeq).toSeq ==
+      cm.map(_.toSeq).toSeq, "codebook must stay frozen after bootstrap")
+    // folded assignments equal the batch argmin under the same codebook
+    val all = b0.unionByName(b1)
+    val batch = Similarity.kmeansAssign(all, "vec_id", "embedding", cm)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def fold() = AnnStream.folded(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fold() == batch, "incremental index must equal the batch index")
+    // same-cluster ids share a cell; cross-cluster ids differ
+    assert(fold()(21L) == fold()(1L) && fold()(22L) == fold()(7L))
+    assert(fold()(1L) != fold()(7L))
+    // drift rows: one per batch, bp-scaled mean centroid-cosine
+    val dr = AnnStream.drift(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dr.keySet == Set(0L, 1L) && dr(0L)._1 == 12L && dr(1L)._1 == 2L)
+    assert(dr(1L)._2 >= dr(0L)._2 - 2000L, s"iid batch drifted: $dr")
+    // crash-replay of BOTH batches: codebook, fold, drift unchanged
+    AnnStream.absorb(b0, "vec_id", "embedding", k = 2, d, 0L)
+    AnnStream.absorb(b1, "vec_id", "embedding", k = 2, d, 1L)
+    assert(fold() == batch, "replay must not change the index")
+    assert(AnnStream.centroids(spark, d).get.map(_.toSeq).toSeq ==
+      cm.map(_.toSeq).toSeq)
+  }
+
   test("w20 profile fold on an empty state dir yields a zero profile") {
     import graft.streaming.ProfileStream
     val dir = java.nio.file.Files.createTempDirectory("w20_empty").toString

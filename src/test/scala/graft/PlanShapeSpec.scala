@@ -76,13 +76,40 @@ class PlanShapeSpec extends SparkSpec {
         emb, "vec_id", "embedding", k = 3, dim = 64, bits = 6, tables = 8)),
       "e5(knnIvf)" -> finalPlan(graft.ext.Similarity.knnIvf(
         emb, "vec_id", "embedding", k = 3, nCells = 16, nProbe = 4)),
-      "e8_quantized_recall" -> q("e8_quantized_recall"))
+      "e8_quantized_recall" -> q("e8_quantized_recall"),
+      "e16_filtered_ann" -> q("e16_filtered_ann"))
     for ((name, p) <- plans) {
       assert(windows(p).isEmpty,
         s"$name ranks through a window again (O(candidates) sort+shuffle):\n$p")
       val aggs = deep(p).filter(_.getClass.getSimpleName.contains("ObjectHashAggregate"))
       assert(aggs.nonEmpty, s"$name lost the top-k object aggregate:\n$p")
     }
+  }
+
+  test("s22 merge-on-read: every delete anti-join rides a broadcast, never a shuffle join") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("s22_plan").toString
+    Snapshots.commitAppend((1L to 2000L).map(i => (i, s"v$i")).toDF("k", "v"), root)
+    Snapshots.commitDelete((1L to 50L).toDF("k"), root, "k")
+    Snapshots.commitAppend((3000L to 3500L).map(i => (i, s"w$i")).toDF("k", "v"), root)
+    Snapshots.commitDelete(Seq(5L, 3005L).toDF("k"), root, "k")
+    val p = finalPlan(Snapshots.read(spark, root))
+    val smj = deep(p).filter(_.getClass.getSimpleName.contains("SortMergeJoin"))
+    assert(smj.isEmpty,
+      s"delete key sets are id-sized — the anti-join must broadcast:\n$p")
+    assert(broadcasts(p).nonEmpty, s"expected broadcast anti-joins:\n$p")
+  }
+
+  test("c16 corpus build: one dedup window, no cartesian, bounded shuffles") {
+    val p = q("c16_corpus_build")
+    assert(windows(p).size == 1,
+      s"c16 must keep the single dedup window (got ${windows(p).size}):\n$p")
+    val bad = deep(p).filter(n => n.nodeName.contains("CartesianProduct") ||
+      n.nodeName.contains("BroadcastNestedLoopJoin"))
+    assert(bad.isEmpty, s"c16 grew an all-pairs join:\n$p")
+    assert(shuffles(p).size <= 6,
+      s"c16 grew extra shuffles (${shuffles(p).size}):\n$p")
   }
 
   test("p5 enum clean is a pure scan projection: zero exchanges") {

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** w26 — streaming percentile monitoring via EXACT fixed-bin histograms:
+  * the p50/p95/p99 observability readout every event pipeline runs,
+  * without sketch approximation — values are binned to a fixed integer
+  * width at ingest, per-batch histogram deltas are (bin, count) rows,
+  * and the fold is a plain sum per bin, so the folded percentile is
+  * EXACT at bin resolution and recomputable verbatim by a SQL oracle
+  * (unlike t-digest/KLL, whose merge order perturbs estimates — the
+  * engine's cross-engine hash gate cannot hold for those).
+  *
+  * Algebra: histogram addition is commutative/associative/idempotent
+  * under per-batch OVERWRITE deltas (w17's union discipline) — the fold
+  * is delivery-order-independent and replay-safe with NO order pinning
+  * (contrast w21/w25, whose semantics depend on the prefix).
+  *
+  * At 100 TB: a batch absorbs as one map-side-combinable groupBy(bin) —
+  * the shuffle carries #bins rows; state is #bins × #batches rows
+  * (compact further by periodically folding old deltas — t22's
+  * compaction shape); the percentile readout sorts #bins rows, where
+  * #bins is the value range over the chosen width — a RESOLUTION
+  * constant independent of corpus size, so the one global window in
+  * [[percentiles]] is bounded at any scale. The percentile rank test is
+  * exact integer cross-multiplication (cum·100 ≥ n·p — no float rank
+  * ever computed). */
+object HistStream {
+
+  /** Absorb one micro-batch: `bin` must be a deterministic integer
+    * binning of the monitored value (e.g. `floor(value·100) div w` —
+    * fixed width, fixed at stream start). Overwrite-idempotent. */
+  def absorb(batch: DataFrame, bin: Column, stateDir: String,
+             batchId: Long): Unit =
+    batch.select(bin.as("bin")).filter(col("bin").isNotNull)
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$stateDir/hist/b$batchId")
+
+  private def deltaDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b"))
+      .map(st => st.getPath.toString)
+  }
+
+  /** The folded histogram `(bin, c)` across every delivered batch. */
+  def folded(spark: SparkSession, stateDir: String): DataFrame = {
+    val dirs = deltaDirs(spark, s"$stateDir/hist")
+    require(dirs.nonEmpty, s"no histogram deltas under $stateDir")
+    spark.read.parquet(dirs: _*)
+      .groupBy(col("bin")).agg(sum(col("c")).as("c"))
+  }
+
+  /** Percentile readout from the folded histogram: for each requested
+    * integer percentile p, the smallest bin whose cumulative count
+    * reaches ⌈n·p/100⌉ (exact integer test), plus that cumulative
+    * count — `(pct, bin, n_le)`. */
+  def percentiles(spark: SparkSession, stateDir: String,
+                  pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val h = folded(spark, stateDir)
+    // #bins is a resolution constant — the single unpartitioned window
+    // sorts a bounded frame at any corpus scale (see scaladoc)
+    val cum = h
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(h.agg(sum(col("c")).as("n")))
+    pcts.map { p =>
+      // cum is monotone in bin, so min(cum) over the qualifying set IS
+      // the cumulative count at min(bin) — no join-back needed
+      cum.filter(col("cum") * 100 >= col("n") * p)
+        .agg(min(col("bin")).as("bin"), min(col("cum")).as("n_le"))
+        .select(lit(p.toLong).as("pct"), col("bin"), col("n_le"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Wire a streaming frame into per-batch [[absorb]] calls. */
+  def start(stream: DataFrame, bin: Column, stateDir: String,
+            ckptDir: String): StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        absorb(batch, bin, stateDir, bid)
+      }
+      .start()
+}

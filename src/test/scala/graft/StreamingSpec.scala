@@ -659,6 +659,38 @@ class StreamingSpec extends SparkSpec {
       cm.map(_.toSeq).toSeq)
   }
 
+  test("w26 histogram stream: exact fold, replay/order independent, percentile edge semantics") {
+    import graft.streaming.HistStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 10 values binned by div 10: bins 0(x4), 1(x3), 2(x2), 9(x1)
+    val vals = Seq(1L, 2L, 3L, 9L, 10L, 11L, 19L, 20L, 29L, 99L)
+    val bin = expr("v div 10")
+    val b0 = vals.take(4).toDF("v")
+    val b1 = vals.slice(4, 7).toDF("v")
+    val b2 = vals.drop(7).toDF("v")
+    def pct(dir: String) = HistStream.percentiles(spark, dir, Seq(50, 90, 99, 100))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val d = java.nio.file.Files.createTempDirectory("w26_hist").toString
+    HistStream.absorb(b0, bin, d, 0L)
+    HistStream.absorb(b1, bin, d, 1L)
+    HistStream.absorb(b2, bin, d, 2L)
+    // hand-computed: n=10; p50 → cum≥5 → bin 1 (cum 7); p90 → cum≥9 →
+    // bin 2 (cum 9); p99/p100 → cum≥10 → bin 9 (cum 10)
+    val expect = Map(50L -> (1L, 7L), 90L -> (2L, 9L),
+      99L -> (9L, 10L), 100L -> (9L, 10L))
+    assert(pct(d) == expect, s"got ${pct(d)}")
+    // replay absorbs its own delta; a permuted delivery order folds the
+    // same (histogram addition is commutative — no order pinning)
+    HistStream.absorb(b1, bin, d, 1L)
+    assert(pct(d) == expect)
+    val d2 = java.nio.file.Files.createTempDirectory("w26_rev").toString
+    HistStream.absorb(b2, bin, d2, 0L)
+    HistStream.absorb(b0, bin, d2, 1L)
+    HistStream.absorb(b1, bin, d2, 2L)
+    assert(pct(d2) == expect, "delivery order must not change the readout")
+  }
+
   test("w20 profile fold on an empty state dir yields a zero profile") {
     import graft.streaming.ProfileStream
     val dir = java.nio.file.Files.createTempDirectory("w20_empty").toString

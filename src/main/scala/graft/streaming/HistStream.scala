@@ -21,8 +21,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * At 100 TB: a batch absorbs as one map-side-combinable groupBy(bin) —
   * the shuffle carries #bins rows; state is #bins × #batches rows
-  * (compact further by periodically folding old deltas — t22's
-  * compaction shape); the percentile readout sorts #bins rows, where
+  * until [[compact]] folds retired deltas into an immutable base
+  * generation behind one atomic pointer (crash-safe — s20's
+  * discipline), after which it is #bins + recent deltas for the
+  * stream's lifetime; the percentile readout sorts #bins rows, where
   * #bins is the value range over the chosen width — a RESOLUTION
   * constant independent of corpus size, so the one global window in
   * [[percentiles]] is bounded at any scale. The percentile rank test is
@@ -39,21 +41,73 @@ object HistStream {
       .groupBy(col("bin")).agg(count(lit(1)).as("c"))
       .write.mode("overwrite").parquet(s"$stateDir/hist/b$batchId")
 
-  private def deltaDirs(spark: SparkSession, dir: String): Seq[String] = {
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def deltaEntries(spark: SparkSession,
+                           dir: String): Seq[(Long, String)] = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, dir)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("b"))
-      .map(st => st.getPath.toString)
+      .map(st => (st.getPath.getName.drop(1).toLong, st.getPath.toString))
   }
 
-  /** The folded histogram `(bin, c)` across every delivered batch. */
+  /** `(generation, folded-delta horizon)` from the `_BASE` pointer, or
+    * (0, -1) before the first compaction. */
+  private def basePointer(spark: SparkSession, stateDir: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(stateDir, "_BASE")
+    val fs = fsFor(spark, stateDir)
+    if (!fs.exists(p)) (0L, -1L)
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      val Array(g, h) = txt.split(" ")
+      (g.toLong, h.toLong)
+    }
+  }
+
+  /** The folded histogram `(bin, c)`: the compacted base generation (if
+    * any) plus every delta BEYOND the folded horizon. */
   def folded(spark: SparkSession, stateDir: String): DataFrame = {
-    val dirs = deltaDirs(spark, s"$stateDir/hist")
-    require(dirs.nonEmpty, s"no histogram deltas under $stateDir")
+    val (gen, horizon) = basePointer(spark, stateDir)
+    val live = deltaEntries(spark, s"$stateDir/hist")
+      .filter(_._1 > horizon).map(_._2)
+    val dirs = (if (gen > 0) Seq(s"$stateDir/base/g$gen") else Nil) ++ live
+    require(dirs.nonEmpty, s"no histogram state under $stateDir")
     spark.read.parquet(dirs: _*)
       .groupBy(col("bin")).agg(sum(col("c")).as("c"))
+  }
+
+  /** Crash-safe delta compaction (s20's pointer discipline): the
+    * current fold is written as a NEW immutable base generation, then
+    * ONE atomic pointer swing makes it visible and retires every delta
+    * at or below the new horizon. A crash anywhere leaves the previous
+    * state fully visible (the half-written generation is an orphan to
+    * GC); a replayed pre-horizon batch rewrites a delta [[folded]] no
+    * longer reads, so compaction does not break overwrite-idempotence.
+    * Run periodically and state stays #bins + recent deltas for the
+    * stream's whole lifetime. */
+  def compact(spark: SparkSession, stateDir: String): Unit = {
+    val ids = deltaEntries(spark, s"$stateDir/hist").map(_._1)
+    if (ids.isEmpty) return
+    val (gen, _) = basePointer(spark, stateDir)
+    val newGen = gen + 1
+    val newHorizon = ids.max
+    folded(spark, stateDir).write.mode("overwrite")
+      .parquet(s"$stateDir/base/g$newGen")
+    val target = new org.apache.hadoop.fs.Path(stateDir, "_BASE")
+    val tmp = new org.apache.hadoop.fs.Path(stateDir, "_BASE.tmp")
+    val fs = fsFor(spark, stateDir)
+    val out = fs.create(tmp, true)
+    try out.write(s"$newGen $newHorizon".getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, fs.getConf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Percentile readout from the folded histogram: for each requested

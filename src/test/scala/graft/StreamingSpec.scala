@@ -689,6 +689,25 @@ class StreamingSpec extends SparkSpec {
     HistStream.absorb(b0, bin, d2, 1L)
     HistStream.absorb(b1, bin, d2, 2L)
     assert(pct(d2) == expect, "delivery order must not change the readout")
+    // compaction folds deltas behind the atomic base pointer: readout
+    // unchanged, and a replayed PRE-horizon batch is invisible (its
+    // delta sits at or below the folded horizon)
+    HistStream.compact(spark, d)
+    assert(pct(d) == expect, "compaction must not change the readout")
+    HistStream.absorb(b1, bin, d, 1L) // replay of an already-folded batch
+    assert(pct(d) == expect, "pre-horizon replay must not double-count")
+    // post-compaction deltas keep folding in
+    HistStream.absorb(Seq(5L, 15L).toDF("v"), bin, d, 3L)
+    val expect2 = Map(50L -> (1L, 9L), 90L -> (2L, 11L),
+      99L -> (9L, 12L), 100L -> (9L, 12L))
+    assert(pct(d) == expect2, s"got ${pct(d)}")
+    // a torn compaction (generation written, pointer never swung) is
+    // invisible: plant a garbage generation without touching _BASE
+    Seq((0L, 999L)).toDF("bin", "c").write.mode("overwrite").parquet(s"$d/base/g9")
+    assert(pct(d) == expect2, "orphan generation must never be read")
+    // second compaction folds base + new deltas
+    HistStream.compact(spark, d)
+    assert(pct(d) == expect2)
   }
 
   test("w20 profile fold on an empty state dir yields a zero profile") {

@@ -203,8 +203,11 @@ object Snapshots {
         val base = spark.read.parquet(path(d))
         if (delsAfter.isEmpty) base
         else base.join(
-          spark.read.parquet(delsAfter: _*).select(key.get).distinct(),
-          Seq(key.get), "left_anti")
+            spark.read.parquet(delsAfter: _*).select(key.get).distinct(),
+            Seq(key.get), "left_anti")
+          // the USING join fronts the key column — restore the stored
+          // order so read()'s schema never depends on delete placement
+          .select(base.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     }
     require(frames.nonEmpty, s"snapshot snap-${snap.id} lists no data dirs")
     frames.reduce(_.unionByName(_))

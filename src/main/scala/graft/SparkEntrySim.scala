@@ -172,6 +172,28 @@ private[graft] object SparkEntrySim {
       Similarity.recallGate(approx, exact, minBp = IvfRecallMinBp)
     }),
 
+    // E17 — TWO-STAGE retrieval end to end (the production vector-search
+    // shape: coarse → fine): the e14 IVF-PQ index hands a 10-item ADC
+    // shortlist to an EXACT re-rank over raw vectors
+    // (Similarity.rerankExact — id equi-joins, O(shortlist) vector
+    // reads, bounded top-k), and the re-ranked top-3 is gated against
+    // brute-force truth. This measures what the DEPLOYED stack returns
+    // (e14 gates the shortlist tier alone); floor shared with e14 —
+    // exact re-ranking of a shortlist cannot lose pairs the shortlist
+    // contains. Anchored query set throughout.
+    "e17_rerank_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sub = vecAnchorPred(emb)
+      val ix = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+        nCells = 16, m = 16, ksub = 256, sampleN = 2048, iters = 6)
+      val short10 = Similarity.ivfPqSearch(ix, emb.filter(sub),
+        "vec_id", "embedding", k = 10, nProbe = 4)
+      val rr = Similarity.rerankExact(emb, short10, "vec_id", "embedding", k = 3)
+      val exact = Similarity.knnBruteFor(emb.filter(sub), emb,
+        "vec_id", "embedding", k = 3)
+      Similarity.recallGate(rr, exact, minBp = IvfPqShortlistMinBp)
+    }),
+
     // E4 embedding-cosine near-duplicate pairs (compiled kernel; sim
     // quantized to millis so the double survives the engine boundary).
     // E12 semantic decontamination: the embedding-space twin of d8/d13's
@@ -435,6 +457,13 @@ private[graft] object SparkEntrySim {
         |FROM anch""".stripMargin,
 
     "e7_ivf_recall" ->
+      s"""WITH $VecAnchCte
+        |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
+        |FROM anch""".stripMargin,
+
+    // e17: e6/e14's constant gate — the two-stage (ADC shortlist →
+    // exact re-rank) result must recover the brute top-3 at the floor.
+    "e17_rerank_recall" ->
       s"""WITH $VecAnchCte
         |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
         |FROM anch""".stripMargin,

@@ -519,6 +519,25 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** Exact re-rank tier of two-stage retrieval (the deployment shape:
+    * coarse ANN shortlist → exact scoring of the few survivors): raw
+    * vectors re-attach to a `(vec_id, neighbor_id, ...)` shortlist
+    * frame by id equi-join — the corpus contributes O(shortlist) rows,
+    * never a scan — exact cosine scores the pairs, and the bounded
+    * top-k aggregate keeps `k` per query. At 100 TB this is where the
+    * full-precision vectors are read from cold storage for ≤
+    * queries×shortlist rows while the resident index stays (cell,
+    * codes)-sized ([[IvfPqIndex]]'s contract). */
+  def rerankExact(emb: DataFrame, shortlist: DataFrame,
+                  id: String, vec: String, k: Int): DataFrame = {
+    val va = emb.select(col(id).as("vec_id"), col(vec).as("va"))
+    val vb = emb.select(col(id).as("neighbor_id"), col(vec).as("vb"))
+    val pairs = shortlist.select(col("vec_id"), col("neighbor_id"))
+      .join(va, Seq("vec_id")).join(vb, Seq("neighbor_id"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+    rankTopK(pairs, k)
+  }
+
   /** [[graft.functions.VectorExpressions.pqEncode]] re-exported beside
     * its codebook fit. */
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =

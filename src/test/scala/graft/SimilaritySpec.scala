@@ -147,6 +147,29 @@ class SimilaritySpec extends SparkSpec {
       .exceptAll(fullPairs.select("vec_id", "neighbor_id")).isEmpty)
   }
 
+  test("rerankExact over a complete shortlist reproduces brute k-NN exactly") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(60)
+    // shortlist = every ordered pair: the exact re-rank then IS brute
+    val ids = emb.select(col("vec_id"))
+    val allPairs = ids.join(ids.withColumnRenamed("vec_id", "neighbor_id"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+    val rr = Similarity.rerankExact(emb, allPairs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rr == brute, "exact re-rank of a complete shortlist must equal brute")
+    // a TRUNCATED shortlist only prunes: re-ranked results are a subset
+    // of brute pairs restricted to the shortlist
+    val short2 = Similarity.knnIvf(emb, "vec_id", "embedding",
+      k = 2, nCells = 4, nProbe = 2)
+    val rr2 = Similarity.rerankExact(emb, short2, "vec_id", "embedding", k = 2)
+      .select(col("vec_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shortPairs = short2.select(col("vec_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rr2.subsetOf(shortPairs), "re-rank can only reorder/prune the shortlist")
+  }
+
   test("mmrRerank: a duplicate of the top hit is demoted below a diverse hit") {
     import spark.implicits._
     // 1 and 2 are identical high-relevance vectors; 3 is equally relevant

@@ -401,6 +401,71 @@ private[graft] object SparkEntryStream {
     // integrity, containment of every historical snapshot in current,
     // and the current table's fingerprint ≡ the batch union (the
     // oracle's recomputation).
+    // W27 — STREAMING CDC apply: a change stream of upsert/delete ops
+    // lands on the snapshot table as last-writer-wins MERGE, built
+    // ONLY from the table's ACID primitives — per batch one
+    // equality-delete of every touched key then one append of the
+    // upsert payloads; s22's sequence rule (deletes bind earlier data
+    // only) is exactly what makes the pair an upsert. The synthesized
+    // stream exercises inserts, re-upserts with changed payloads
+    // (both one and two generations back), deletes of live keys,
+    // deletes of already-dead keys, and never-inserted keys. Gate =
+    // content fingerprint of the final merged read vs the oracle's
+    // relational last-op-wins reduction (snapshot-chain shape is
+    // deliberately NOT judged — it is nondeterministic under replay,
+    // see CdcStream's crash contract). Delivery order pinned by mtime.
+    "w27_stream_cdc" -> ((s, dir) => {
+      import graft.streaming.CdcStream
+      val root = s"$streamScratchDir/${dirKey(dir)}_w27"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      val m = (n: Int, r: Int) => pmod(col("k"), lit(n)) === r
+      val nm = (n: Int, r: Int) => pmod(col("k"), lit(n)) =!= r
+      val batches = Seq(
+        // b0: initial load of the %3=0 slice
+        cust.filter(m(3, 0)).select(lit("upsert").as("op"), col("k"), col("seg")),
+        // b1: %3=1 inserts; re-upsert %3=0∧%5=0 with a changed payload;
+        // delete %3=0∧%7=0 (minus the re-upserts — one op per key/batch)
+        cust.filter(m(3, 1)).select(lit("upsert").as("op"), col("k"), col("seg"))
+          .unionByName(cust.filter(m(3, 0) && m(5, 0))
+            .select(lit("upsert").as("op"), col("k"),
+              concat(col("seg"), lit("*")).as("seg")))
+          .unionByName(cust.filter(m(3, 0) && m(7, 0) && nm(5, 0))
+            .select(lit("delete").as("op"), col("k"), lit(null).cast("string").as("seg"))),
+        // b2: %3=2 inserts; second-generation re-upsert of %3=1∧%6=0;
+        // delete %3=1∧%4=0 (minus same-batch re-upserts) and %3=0∧%11=0
+        // (some already dead from b1 — exercising no-op deletes)
+        cust.filter(m(3, 2)).select(lit("upsert").as("op"), col("k"), col("seg"))
+          .unionByName(cust.filter(m(3, 1) && m(6, 0))
+            .select(lit("upsert").as("op"), col("k"),
+              concat(col("seg"), lit("**")).as("seg")))
+          .unionByName(cust.filter(m(3, 1) && m(4, 0) && nm(6, 0))
+            .select(lit("delete").as("op"), col("k"), lit(null).cast("string").as("seg")))
+          .unionByName(cust.filter(m(3, 0) && m(11, 0))
+            .select(lit("delete").as("op"), col("k"), lit(null).cast("string").as("seg"))))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val tmp = s"$root/tmp$i"
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$in/b$i.parquet"))
+        new java.io.File(s"$in/b$i.parquet").setLastModified(60000L * (i + 1))
+        rmTree(tmp)
+      }
+      val table = s"$root/table"
+      val q = CdcStream.start(
+        s.readStream.schema(s.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in),
+        table, keyCol = "k", opCol = "op", ckptDir = s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      Validations.tableFingerprint(
+        graft.ops.Snapshots.read(s, table), Seq("k", "seg"))
+    }),
+
     // W25 — STREAMING ANN index maintenance (e7's IVF tier fed by a
     // vector stream): the codebook is fit ONCE on the bootstrap batch
     // (content-addressed k-means init — replay-identical), every later
@@ -807,6 +872,41 @@ private[graft] object SparkEntryStream {
         |SELECT event_id, e.event_type, value,
         |  CAST(abs(value - med) > 3.0 * mad AS INT) AS is_outlier
         |FROM events e JOIN m USING (event_type) JOIN d USING (event_type)""".stripMargin,
+
+    // w27: the CDC stream reduced relationally — last op per key wins
+    // (batches are totally ordered, one op per key per batch), upsert
+    // payload survives, delete kills; fingerprint = s20's twin. The
+    // engine's delete-then-append pair must land on exactly this.
+    "w27_stream_cdc" ->
+      """WITH ops AS (
+        |  SELECT 0 AS b, 'upsert' AS op, c_custkey AS k, c_mktsegment AS seg
+        |    FROM customer WHERE c_custkey%3=0
+        |  UNION ALL SELECT 1, 'upsert', c_custkey, c_mktsegment
+        |    FROM customer WHERE c_custkey%3=1
+        |  UNION ALL SELECT 1, 'upsert', c_custkey, c_mktsegment || '*'
+        |    FROM customer WHERE c_custkey%3=0 AND c_custkey%5=0
+        |  UNION ALL SELECT 1, 'delete', c_custkey, NULL
+        |    FROM customer WHERE c_custkey%3=0 AND c_custkey%7=0 AND c_custkey%5<>0
+        |  UNION ALL SELECT 2, 'upsert', c_custkey, c_mktsegment
+        |    FROM customer WHERE c_custkey%3=2
+        |  UNION ALL SELECT 2, 'upsert', c_custkey, c_mktsegment || '**'
+        |    FROM customer WHERE c_custkey%3=1 AND c_custkey%6=0
+        |  UNION ALL SELECT 2, 'delete', c_custkey, NULL
+        |    FROM customer WHERE c_custkey%3=1 AND c_custkey%4=0 AND c_custkey%6<>0
+        |  UNION ALL SELECT 2, 'delete', c_custkey, NULL
+        |    FROM customer WHERE c_custkey%3=0 AND c_custkey%11=0),
+        |fin AS (
+        |  SELECT k, seg FROM (
+        |    SELECT k, seg, op,
+        |      row_number() OVER (PARTITION BY k ORDER BY b DESC) AS rn
+        |    FROM ops)
+        |  WHERE rn = 1 AND op = 'upsert')
+        |SELECT count(*) AS n_rows,
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    coalesce(CAST(k AS VARCHAR), chr(0)),
+        |    coalesce(CAST(seg AS VARCHAR), chr(0)))), 1, 10)) AS BIGINT))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+        |FROM fin""".stripMargin,
 
     // w25: constant-oracle gate (d7/e6 shape) — DuckDB pins the corpus
     // count; the flags assert incremental-index ≡ batch-index parity,

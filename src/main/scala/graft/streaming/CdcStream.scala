@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.ops.Snapshots
+
+/** w27 — streaming CDC apply: a change stream of `upsert`/`delete` ops
+  * lands on the [[graft.ops.Snapshots]] table as MERGE semantics
+  * (last-writer-wins per key), using only the table's own ACID
+  * primitives — per micro-batch, ONE equality-delete commit for every
+  * touched key (upserts delete their predecessor too) followed by ONE
+  * append commit of the upsert payloads. The s22 sequence rule is what
+  * makes the pair exactly an upsert: the delete applies only to data
+  * committed BEFORE it, so the same batch's append survives while every
+  * earlier version of the key dies.
+  *
+  * Crash contract: the two commits are not atomic as a PAIR, and a
+  * foreachBatch replay re-runs both — that is SAFE for table CONTENT
+  * (the replayed delete kills the half-applied batch's own rows before
+  * the replayed append re-adds them; convergence by the sequence rule,
+  * not by idempotent snapshot ids — the snapshot CHAIN length is
+  * nondeterministic under replay, disclosed, so gates fingerprint
+  * content, never chain shape).
+  *
+  * Precondition: within one batch a key carries at most one op (the
+  * standard CDC-compaction contract); a batch violating it would make
+  * delete-vs-upsert ordering ambiguous.
+  *
+  * At 100 TB: per batch, two commits whose cost is batch-sized (delete
+  * key sets are single-column); reads pay the merge-on-read anti-joins
+  * until [[graft.ops.Snapshots.commitRewrite]] compacts — the
+  * standard CDC-lakehouse maintenance split. */
+object CdcStream {
+
+  /** Apply one CDC micro-batch: `opCol` ∈ {upsert, delete}; all other
+    * columns are the payload (the key column included). */
+  def absorb(batch: DataFrame, tableDir: String, keyCol: String,
+             opCol: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val touched = batch.select(col(keyCol)).distinct()
+    // nothing to delete from an empty table (first batch bootstrap)
+    if (Snapshots.current(spark, tableDir).isDefined)
+      Snapshots.commitDelete(touched, tableDir, keyCol)
+    val ups = batch.filter(col(opCol) === "upsert").drop(opCol)
+    if (!ups.isEmpty) { Snapshots.commitAppend(ups, tableDir); () }
+  }
+
+  /** Wire a streaming CDC frame into per-batch [[absorb]] calls. */
+  def start(ops: DataFrame, tableDir: String, keyCol: String,
+            opCol: String, ckptDir: String): StreamingQuery =
+    ops.writeStream.outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        absorb(batch, tableDir, keyCol, opCol)
+      }
+      .start()
+}

@@ -710,6 +710,40 @@ class StreamingSpec extends SparkSpec {
     assert(pct(d) == expect2)
   }
 
+  test("w27 CDC apply: upsert/delete merge, half-applied crash converges on replay") {
+    import graft.streaming.CdcStream
+    import graft.ops.Snapshots
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("w27_cdc").toString
+    def rows() = Snapshots.read(spark, table).as[(Long, String)].collect().toSet
+    val b0 = Seq(("upsert", 1L, "a"), ("upsert", 2L, "b"), ("upsert", 3L, "c"))
+      .toDF("op", "k", "seg")
+    CdcStream.absorb(b0, table, "k", "op")
+    assert(rows() == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // b1: payload change for 1, delete 2, delete of a never-live key
+    val b1 = Seq(("upsert", 1L, "a2"), ("delete", 2L, null.asInstanceOf[String]),
+      ("delete", 99L, null.asInstanceOf[String])).toDF("op", "k", "seg")
+    CdcStream.absorb(b1, table, "k", "op")
+    val expect = Set((1L, "a2"), (3L, "c"))
+    assert(rows() == expect)
+    // full-batch replay (foreachBatch crash-replay): content converges
+    CdcStream.absorb(b1, table, "k", "op")
+    assert(rows() == expect, "replayed batch must not change content")
+    // HALF-APPLIED crash: the delete commit landed, the append did not —
+    // simulate by committing the delete directly, then replay the batch
+    val b2 = Seq(("upsert", 3L, "c2"), ("upsert", 4L, "d")).toDF("op", "k", "seg")
+    Snapshots.commitDelete(Seq(3L, 4L).toDF("k"), table, "k")
+    assert(rows() == Set((1L, "a2")), "half-applied state visible pre-replay")
+    CdcStream.absorb(b2, table, "k", "op")
+    assert(rows() == Set((1L, "a2"), (3L, "c2"), (4L, "d")),
+      "replay over a half-applied batch must converge")
+    // an all-delete batch leaves a consistent table
+    CdcStream.absorb(Seq(("delete", 1L, null.asInstanceOf[String]))
+      .toDF("op", "k", "seg"), table, "k", "op")
+    assert(rows() == Set((3L, "c2"), (4L, "d")))
+  }
+
   test("w20 profile fold on an empty state dir yields a zero profile") {
     import graft.streaming.ProfileStream
     val dir = java.nio.file.Files.createTempDirectory("w20_empty").toString

@@ -210,6 +210,54 @@ object Snapshots {
           .select(base.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     }
     require(frames.nonEmpty, s"snapshot snap-${snap.id} lists no data dirs")
-    frames.reduce(_.unionByName(_))
+    // allowMissingColumns = SCHEMA EVOLUTION on read: an append that
+    // added a column leaves earlier deltas narrower — they read as
+    // null in the new column (the standard additive-evolution
+    // contract); dropping a column is a rewrite, not an append
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Retention: drop snapshot MANIFESTS older than the newest
+    * `keepLast` (the current snapshot always survives). Time travel to
+    * an expired id then fails loudly; data files are untouched until
+    * [[vacuum]] — the standard two-step lakehouse retention (readers
+    * pinned to an expired snapshot lose their contract, which is what
+    * retention MEANS; size `keepLast` to the longest reader). Returns
+    * the expired ids. */
+  def expire(spark: SparkSession, tableDir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val fs = fsFor(spark, tableDir)
+    val cur = current(spark, tableDir).getOrElse(
+      sys.error(s"expire on empty snapshot table $tableDir"))
+    val cutoff = cur.id - keepLast + 1
+    val expired = (1L until cutoff).filter(i =>
+      fs.exists(new Path(tableDir, s"snap-$i")))
+    expired.foreach(i => fs.delete(new Path(tableDir, s"snap-$i"), false))
+    expired
+  }
+
+  /** Garbage collection: delete every `data/`/`delete/` dir referenced
+    * by NO retained manifest — expired history's exclusive files, plus
+    * orphans from crashed commits (the dirs a torn [[commitAppend]] /
+    * [[commitDelete]] / [[commitRewrite]] leaves behind). Safe order:
+    * only unreferenced dirs are touched, and [[expire]] removed the
+    * manifests first, so no retained snapshot can lose a file. Returns
+    * the deleted dir names. */
+  def vacuum(spark: SparkSession, tableDir: String): Seq[String] = {
+    val fs = fsFor(spark, tableDir)
+    val retained = fs.listStatus(new Path(tableDir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("snap-"))
+      .map(n => parseManifest(n.stripPrefix("snap-").toLong,
+        readText(fs, new Path(tableDir, n))))
+    val referenced = retained.flatMap(_.entries.map(_._2)).toSet
+    def live(sub: String): Seq[String] = {
+      val p = new Path(tableDir, sub)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(st => s"$sub/${st.getPath.getName}")
+    }
+    val doomed = (live("data") ++ live("delete")).filterNot(referenced)
+    doomed.foreach(d => fs.delete(new Path(tableDir, d), true))
+    doomed
   }
 }

@@ -219,6 +219,38 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("snapshots: additive schema evolution, retention expire, vacuum reclaims exactly the dead dirs") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapgc").toString
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("k", "v"), root)
+    // additive evolution: a later append carries a NEW column; earlier
+    // deltas read null there, and the historical snapshot keeps its shape
+    Snapshots.commitAppend(Seq((2L, "b", 7L)).toDF("k", "v", "extra"), root)
+    val cur = Snapshots.read(spark, root)
+      .select("k", "v", "extra").as[(Long, String, Option[Long])]
+      .collect().toSet
+    assert(cur == Set((1L, "a", None), (2L, "b", Some(7L))))
+    assert(Snapshots.read(spark, root, Some(1L)).columns.toSeq == Seq("k", "v"))
+    // retire snapshot 1, vacuum: delta-1 is still referenced by snap-2
+    // (append lineage), so nothing is reclaimable yet
+    Snapshots.commitDelete(Seq(1L).toDF("k"), root, "k")
+    val rid = Snapshots.commitRewrite(spark, root) // delta-4 = merged rows
+    assert(Snapshots.expire(spark, root, keepLast = 1) == Seq(1L, 2L, 3L))
+    intercept[RuntimeException] { Snapshots.read(spark, root, Some(1L)) }
+    val doomed = Snapshots.vacuum(spark, root).toSet
+    // the rewrite manifest references ONLY delta-4: everything else goes,
+    // including a planted orphan from a "crashed" commit
+    Seq((9L, "junk")).toDF("k", "v").write.parquet(s"$root/data/delta-99")
+    val doomed2 = Snapshots.vacuum(spark, root).toSet
+    assert((doomed ++ doomed2) == Set("data/delta-1", "data/delta-2",
+      "delete/delta-3", "data/delta-99"), s"got ${doomed ++ doomed2}")
+    // the retained table is untouched
+    assert(Snapshots.read(spark, root).as[(Long, String, Option[Long])]
+      .collect().toSet == Set((2L, "b", Some(7L))))
+    assert(Snapshots.current(spark, root).get.id == rid)
+  }
+
   test("compact: fewer files, lossless rows, range-clustered key layout") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -251,6 +251,46 @@ class ScaleSpec extends SparkSpec {
     assert(Snapshots.current(spark, root).get.id == rid)
   }
 
+  test("CDC model test: random op sequences with replays converge to last-writer-wins") {
+    import graft.streaming.CdcStream
+    import graft.ops.Snapshots
+    import spark.implicits._
+    // seeded LCG — deterministic scenarios, no java.util.Random
+    var seed = 424242L
+    def nextInt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    for (scenario <- 1 to 3) {
+      val table = java.nio.file.Files
+        .createTempDirectory(s"cdc_model_$scenario").toString
+      val model = scala.collection.mutable.Map.empty[Long, String]
+      for (b <- 0 until 4) {
+        // one op per key per batch (the CDC-compaction contract)
+        val keys = (1 to 12).filter(_ => nextInt(3) > 0).map(_.toLong)
+        val ops = keys.map { k =>
+          if (nextInt(4) == 0) ("delete", k, null.asInstanceOf[String])
+          else ("upsert", k, s"v${b}_${k}_${nextInt(100)}")
+        }
+        ops.foreach {
+          case ("upsert", k, v) => model(k) = v
+          case (_, k, _) => model.remove(k)
+        }
+        if (ops.nonEmpty) {
+          val df = ops.toDF("op", "k", "seg")
+          CdcStream.absorb(df, table, "k", "op")
+          if (nextInt(3) == 0) CdcStream.absorb(df, table, "k", "op") // replay
+        }
+      }
+      if (model.nonEmpty) {
+        val got = Snapshots.read(spark, table)
+          .as[(Long, String)].collect().toSet
+        assert(got == model.toSet,
+          s"scenario $scenario diverged: got $got expected ${model.toSet}")
+      }
+    }
+  }
+
   test("compact: fewer files, lossless rows, range-clustered key layout") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

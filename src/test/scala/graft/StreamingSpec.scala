@@ -744,6 +744,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows() == Set((3L, "c2"), (4L, "d")))
   }
 
+  test("w26 histogram model test: random batches + random compaction == direct percentiles") {
+    import graft.streaming.HistStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    var seed = 777L
+    def nextInt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    val bin = expr("v div 7")
+    for (scenario <- 1 to 2) {
+      val d = java.nio.file.Files
+        .createTempDirectory(s"w26_model_$scenario").toString
+      val all = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (b <- 0 until 5) {
+        val vals = (1 to (1 + nextInt(20))).map(_ => nextInt(200).toLong)
+        all ++= vals
+        HistStream.absorb(vals.toDF("v"), bin, d, b.toLong)
+        if (nextInt(3) == 0) HistStream.compact(spark, d)
+        if (nextInt(4) == 0) HistStream.absorb(vals.toDF("v"), bin, d, b.toLong)
+      }
+      // direct model: smallest bin whose cumulative count reaches n*p/100
+      val bins = all.map(_ / 7).sorted
+      val n = bins.length
+      def model(p: Int): (Long, Long) = {
+        val grouped = bins.groupBy(identity).view.mapValues(_.length.toLong)
+          .toSeq.sortBy(_._1)
+        var cum = 0L
+        grouped.collectFirst {
+          case (bv, c) if { cum += c; cum * 100 >= n.toLong * p } => (bv, cum)
+        }.get
+      }
+      val got = HistStream.percentiles(spark, d, Seq(50, 90, 99))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = Seq(50, 90, 99).map(p => p.toLong -> model(p)).toMap
+      assert(got == want, s"scenario $scenario: got $got expected $want")
+    }
+  }
+
   test("w20 profile fold on an empty state dir yields a zero profile") {
     import graft.streaming.ProfileStream
     val dir = java.nio.file.Files.createTempDirectory("w20_empty").toString

@@ -110,6 +110,31 @@ object HistStream {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Garbage collection after [[compact]]: delete deltas at or below
+    * the folded horizon and generations below the current one — the
+    * files [[folded]] can no longer read (including those a pre-horizon
+    * replay re-wrote, and torn-compaction orphan generations). Returns
+    * the deleted dir names. Safe at any point: only unreadable state is
+    * touched. */
+  def vacuum(spark: SparkSession, stateDir: String): Seq[String] = {
+    val (gen, horizon) = basePointer(spark, stateDir)
+    val fs = fsFor(spark, stateDir)
+    val deadDeltas = deltaEntries(spark, s"$stateDir/hist")
+      .filter(_._1 <= horizon).map(_._2)
+    val baseP = new org.apache.hadoop.fs.Path(s"$stateDir/base")
+    val deadGens =
+      if (!fs.exists(baseP)) Nil
+      else fs.listStatus(baseP).toSeq.filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("g") &&
+          p.getName.drop(1).toLong != gen)
+        .map(_.toString)
+    val doomed = deadDeltas ++ deadGens
+    doomed.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    doomed.map(_.split('/').takeRight(2).mkString("/"))
+  }
+
   /** Percentile readout from the folded histogram: for each requested
     * integer percentile p, the smallest bin whose cumulative count
     * reaches ⌈n·p/100⌉ (exact integer test), plus that cumulative

@@ -708,6 +708,13 @@ class StreamingSpec extends SparkSpec {
     // second compaction folds base + new deltas
     HistStream.compact(spark, d)
     assert(pct(d) == expect2)
+    // vacuum reclaims exactly the unreadable state: retired deltas, the
+    // superseded generation, and the planted torn-compaction orphan —
+    // readout unchanged
+    val doomed = HistStream.vacuum(spark, d).toSet
+    assert(doomed == Set("hist/b0", "hist/b1", "hist/b2", "hist/b3",
+      "base/g1", "base/g9"), s"got $doomed")
+    assert(pct(d) == expect2, "vacuum must not change the readout")
   }
 
   test("w27 CDC apply: upsert/delete merge, half-applied crash converges on replay") {

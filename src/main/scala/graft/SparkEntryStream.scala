@@ -19,6 +19,30 @@ import SparkEntry._
   * text fingerprint-identical (graft.Fingerprint). */
 private[graft] object SparkEntryStream {
 
+  /** Stage each frame as ONE single-file micro-batch under
+    * `root/in` (file b<i>.parquet), mtime-pinned so the file source
+    * (maxFilesPerTrigger=1, ordered by modification time) delivers
+    * frame i as trigger i — the shared staging for every
+    * delivery-ORDER-DEPENDENT stream gate (w21's capped prefix, w25's
+    * bootstrap batch, w27's CDC sequence). Order-independent gates
+    * (w24, w26) and the single-pass tercile/time splits (w19, w23)
+    * keep their own staging shapes. Returns the input dir. */
+  private def stageFrames(frames: Seq[DataFrame], root: String): String = {
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    frames.zipWithIndex.foreach { case (b, i) =>
+      val tmp = s"$root/tmp$i"
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$in/b$i.parquet"))
+      new java.io.File(s"$in/b$i.parquet").setLastModified(60000L * (i + 1))
+      rmTree(tmp)
+    }
+    in
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "w12_stream_rollup" -> ((s, dir) => {
@@ -419,7 +443,6 @@ private[graft] object SparkEntryStream {
       val root = s"$streamScratchDir/${dirKey(dir)}_w27"
       rmTree(root)
       val in = s"$root/in"
-      new java.io.File(in).mkdirs()
       val cust = t(s, dir, "customer")
         .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
       val m = (n: Int, r: Int) => pmod(col("k"), lit(n)) === r
@@ -446,16 +469,7 @@ private[graft] object SparkEntryStream {
             .select(lit("delete").as("op"), col("k"), lit(null).cast("string").as("seg")))
           .unionByName(cust.filter(m(3, 0) && m(11, 0))
             .select(lit("delete").as("op"), col("k"), lit(null).cast("string").as("seg"))))
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val tmp = s"$root/tmp$i"
-        b.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$in/b$i.parquet"))
-        new java.io.File(s"$in/b$i.parquet").setLastModified(60000L * (i + 1))
-        rmTree(tmp)
-      }
+      stageFrames(batches, root)
       val table = s"$root/table"
       val q = CdcStream.start(
         s.readStream.schema(s.read.parquet(in).schema)
@@ -487,19 +501,10 @@ private[graft] object SparkEntryStream {
       val root = s"$streamScratchDir/${dirKey(dir)}_w25"
       rmTree(root)
       val in = s"$root/in"
-      new java.io.File(in).mkdirs()
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      for (b <- 0 until 3) {
-        val tmp = s"$root/tmp$b"
-        emb.filter(pmod(col("vec_id"), lit(3)) === b)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$in/b$b.parquet"))
-        new java.io.File(s"$in/b$b.parquet").setLastModified(60000L * (b + 1))
-        rmTree(tmp)
-      }
+      stageFrames(
+        (0 until 3).map(b => emb.filter(pmod(col("vec_id"), lit(3)) === b)),
+        root)
       val schema = s.read.parquet(in).schema
       val q = AnnStream.start(
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
@@ -555,8 +560,12 @@ private[graft] object SparkEntryStream {
       val q = s.readStream.schema(s.read.parquet(in).schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
         .writeStream.option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          if (!b.isEmpty) { Snapshots.commitAppend(b, table); () }
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          // batch-id TAGGED commit: a checkpoint-recovery replay of an
+          // already-committed batch returns the landed id instead of
+          // appending duplicate rows (the commit and the streaming
+          // offset commit are separate failure domains)
+          if (!b.isEmpty) { Snapshots.commitAppend(b, table, Some(s"batch-$bid")); () }
         }
         .start()
       try q.processAllAvailable() finally q.stop()
@@ -669,8 +678,11 @@ private[graft] object SparkEntryStream {
             round(col("l_extendedprice") * 100).cast("long").as("__c"))
           .writeStream.outputMode("append")
           .option("checkpointLocation", s"$root/ckpt")
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("append").parquet(outDir); ()
+          .foreachBatch { (b: DataFrame, bid: Long) =>
+            // batch-keyed OVERWRITE delta (t22 discipline), not a blind
+            // append: a checkpoint-recovery replay lands on its own dir
+            // instead of double-counting join rows in the cents fold
+            b.write.mode("overwrite").parquet(s"$outDir/b$bid"); ()
           }
           .start()
         finally {
@@ -681,7 +693,7 @@ private[graft] object SparkEntryStream {
           }
         }
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(outDir)
+      s.read.parquet(s"$outDir/b*")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"), sum(col("__c")).as("cents"))
     }),
@@ -831,22 +843,11 @@ private[graft] object SparkEntryStream {
       val recs = erRecords(t(s, dir, "part"))
       val root = s"$streamScratchDir/${dirKey(dir)}_w21"
       rmTree(root)
-      val in = s"$root/in"
-      new java.io.File(in).mkdirs()
-      for (b <- 0 until 3) {
-        val tmp = s"$root/tmp$b"
-        recs.filter(pmod(col("rec_id"), lit(3)) === b)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$in/b$b.parquet"))
-        // capped semantics is delivery-ORDER-dependent (the prefix-count
-        // rule), unlike the uncapped fold: pin the file-source order via
-        // strictly increasing mtimes so batch b is always file b
-        new java.io.File(s"$in/b$b.parquet").setLastModified(60000L * (b + 1))
-        rmTree(tmp)
-      }
+      // capped semantics is delivery-ORDER-dependent (the prefix-count
+      // rule), unlike the uncapped fold — stageFrames pins the order
+      val in = stageFrames(
+        (0 until 3).map(b => recs.filter(pmod(col("rec_id"), lit(3)) === b)),
+        root)
       val schema = s.read.parquet(in).schema
       val q = ErStream.start(
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),

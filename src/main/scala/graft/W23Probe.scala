@@ -113,11 +113,11 @@ object W23Probe {
         round(col("l_extendedprice") * 100).cast("long").as("__c"))
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$root/ckpt")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("append").parquet(outDir); ()
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        b.write.mode("overwrite").parquet(s"$outDir/b$bid"); ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outDir).count()
+    spark.read.parquet(s"$outDir/b*").count()
   }
 }

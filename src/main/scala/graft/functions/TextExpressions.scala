@@ -202,13 +202,15 @@ object TextExpressions {
     override def prettyName: String = "bpe_tokenize"
 
     // rank table keyed by "left right" — a space cannot occur inside a
-    // merge symbol (symbols are born from whitespace-split words), which
-    // is also why merges.txt files use the same encoding
+    // merge symbol (symbols are born from whitespace-split words, and
+    // \s+ removes every space), which is also why merges.txt files use
+    // the same encoding; any OTHER separator (a NUL, say) could collide
+    // on dirty text, since \s+ does not strip control bytes
     @transient private lazy val rank: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](merges.size * 2)
       var i = 0
       merges.foreach { case (l, r) =>
-        val k = l + "\u0000" + r
+        val k = l + " " + r
         if (!m.containsKey(k)) m.put(k, Integer.valueOf(i))
         i += 1
       }
@@ -232,7 +234,7 @@ object TextExpressions {
         var bestRank = Int.MaxValue
         var j = 0
         while (j < parts.length - 1) {
-          val r = rank.get(parts(j) + "\u0000" + parts(j + 1))
+          val r = rank.get(parts(j) + " " + parts(j + 1))
           if ((r ne null) && r.intValue() < bestRank) { bestRank = r.intValue(); best = j }
           j += 1
         }

@@ -48,7 +48,8 @@ object Snapshots {
 
   final case class Snapshot(id: Long, parent: Option[Long],
                             entries: Seq[(EntryKind, String)],
-                            deleteKey: Option[String]) {
+                            deleteKey: Option[String],
+                            tag: Option[String] = None) {
     def dataDirs: Seq[String] = entries.collect { case (DataEntry, d) => d }
     def deleteDirs: Seq[String] = entries.collect { case (DeleteEntry, d) => d }
   }
@@ -82,18 +83,23 @@ object Snapshots {
     }
     val rest = lines.drop(1)
     val deleteKey = rest.collectFirst { case s"deletekey=$k" => k }
-    val entries = rest.filterNot(_.startsWith("deletekey=")).map {
-      case d if d.startsWith("delete/") => (DeleteEntry: EntryKind, d)
-      case d => (DataEntry: EntryKind, d)
-    }
-    Snapshot(id, parent, entries, deleteKey)
+    val tag = rest.collectFirst { case s"tag=$t" => t }
+    val entries = rest
+      .filterNot(l => l.startsWith("deletekey=") || l.startsWith("tag="))
+      .map {
+        case d if d.startsWith("delete/") => (DeleteEntry: EntryKind, d)
+        case d => (DataEntry: EntryKind, d)
+      }
+    Snapshot(id, parent, entries, deleteKey, tag)
   }
 
   private def renderManifest(parent: Option[Long],
                              entries: Seq[(EntryKind, String)],
-                             deleteKey: Option[String]): String =
+                             deleteKey: Option[String],
+                             tag: Option[String] = None): String =
     (s"parent=${parent.map(_.toString).getOrElse("-")}" +:
-      (deleteKey.map(k => s"deletekey=$k").toSeq ++ entries.map(_._2)))
+      (deleteKey.map(k => s"deletekey=$k").toSeq ++
+        tag.map(t => s"tag=$t").toSeq ++ entries.map(_._2)))
       .mkString("\n")
 
   /** The current snapshot, or None for an empty/uninitialized table. */
@@ -120,9 +126,25 @@ object Snapshots {
     * (the pointer never swung) and the overwrite mode replaces the
     * orphan instead of erroring on it. An id is never reused once its
     * pointer swing lands, so overwrite can only ever touch an orphan. */
-  def commitAppend(df: DataFrame, tableDir: String): Long = {
+  def commitAppend(df: DataFrame, tableDir: String): Long =
+    commitAppend(df, tableDir, tag = None)
+
+  /** [[commitAppend]] with an idempotence TAG: the tag line rides the
+    * manifest, whose visibility is exactly the atomic pointer swing —
+    * so "has this logical commit already landed?" is a crash-exact
+    * question. A caller that retries the same logical append under the
+    * same tag (a foreachBatch replay after the streaming checkpoint
+    * lost the race with the commit) gets the already-committed id back
+    * instead of appending duplicates. Tags must be unique per logical
+    * commit (e.g. the micro-batch id). */
+  def commitAppend(df: DataFrame, tableDir: String,
+                   tag: Option[String]): Long = {
     val spark = df.sparkSession
     val fs = fsFor(spark, tableDir)
+    tag.flatMap(t => findTag(spark, tableDir, t)) match {
+      case Some(existing) => return existing
+      case None => ()
+    }
     val cur = current(spark, tableDir)
     val id = cur.map(_.id + 1).getOrElse(1L)
     val dataDir = s"data/delta-$id"
@@ -130,9 +152,21 @@ object Snapshots {
     val entries = cur.map(_.entries).getOrElse(Nil) :+
       ((DataEntry: EntryKind, dataDir))
     writeAtomic(fs, tableDir, s"snap-$id",
-      renderManifest(cur.map(_.id), entries, cur.flatMap(_.deleteKey)))
+      renderManifest(cur.map(_.id), entries, cur.flatMap(_.deleteKey), tag))
     writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
     id
+  }
+
+  /** The snapshot id committed under `tag`, if any — walks the parent
+    * chain from current (bounded by retained history). */
+  def findTag(spark: SparkSession, tableDir: String,
+              tag: String): Option[Long] = {
+    var cur = current(spark, tableDir)
+    while (cur.isDefined) {
+      if (cur.get.tag.contains(tag)) return cur.map(_.id)
+      cur = cur.get.parent.flatMap(p => get(spark, tableDir, p))
+    }
+    None
   }
 
   /** Equality-delete commit: `keys` is a frame whose column `keyCol`
@@ -245,8 +279,14 @@ object Snapshots {
     * the deleted dir names. */
   def vacuum(spark: SparkSession, tableDir: String): Seq[String] = {
     val fs = fsFor(spark, tableDir)
+    // files only, and only well-formed snap-<digits> names: a torn
+    // writeAtomic leaves snap-N.tmp behind, which is itself crash
+    // garbage — it must not crash the GC that exists to survive crashes
     val retained = fs.listStatus(new Path(tableDir)).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("snap-"))
+      .filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("snap-") &&
+        n.stripPrefix("snap-").nonEmpty && n.stripPrefix("snap-").forall(_.isDigit))
       .map(n => parseManifest(n.stripPrefix("snap-").toLong,
         readText(fs, new Path(tableDir, n))))
     val referenced = retained.flatMap(_.entries.map(_._2)).toSet

@@ -91,14 +91,8 @@ object AnnStream {
       .write.mode("overwrite").parquet(s"$stateDir/drift/b$batchId")
   }
 
-  private def deltaDirs(spark: SparkSession, dir: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b"))
-      .map(st => st.getPath.toString)
-  }
+  private def deltaDirs(spark: SparkSession, dir: String): Seq[String] =
+    StateDirs.deltas(spark, dir).map(_._2)
 
   /** The folded IVF assignment table `(id, cell)` across every
     * delivered batch. */

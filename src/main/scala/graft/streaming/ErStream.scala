@@ -118,15 +118,10 @@ object ErStream {
   }
 
   private def deltaDirs(
-      spark: SparkSession, dir: String, below: Option[Long]): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b"))
-      .filter(st => below.forall(b => st.getPath.getName.drop(1).toLong < b))
-      .map(st => st.getPath.toString)
-  }
+      spark: SparkSession, dir: String, below: Option[Long]): Seq[String] =
+    StateDirs.deltas(spark, dir)
+      .filter { case (id, _) => below.forall(id < _) }
+      .map(_._2)
 
   /** The registry of records delivered in batches BELOW `beforeBatch`
     * (None when nothing precedes). */

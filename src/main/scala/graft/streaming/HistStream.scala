@@ -45,15 +45,14 @@ object HistStream {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def deltaEntries(spark: SparkSession,
-                           dir: String): Seq[(Long, String)] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = fsFor(spark, dir)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b"))
-      .map(st => (st.getPath.getName.drop(1).toLong, st.getPath.toString))
-  }
+  // committed-only by default: a TORN delta (no _SUCCESS) is invisible
+  // to folds and — critically — to [[compact]], which would otherwise
+  // bake the torn batch into the immutable base and retire it past the
+  // replay that repairs it; [[vacuum]] lists raw so torn dirs at or
+  // below the horizon remain reclaimable
+  private def deltaEntries(spark: SparkSession, dir: String,
+                           onlyCommitted: Boolean = true): Seq[(Long, String)] =
+    StateDirs.deltas(spark, dir, onlyCommitted)
 
   /** `(generation, folded-delta horizon)` from the `_BASE` pointer, or
     * (0, -1) before the first compaction. */
@@ -119,7 +118,7 @@ object HistStream {
   def vacuum(spark: SparkSession, stateDir: String): Seq[String] = {
     val (gen, horizon) = basePointer(spark, stateDir)
     val fs = fsFor(spark, stateDir)
-    val deadDeltas = deltaEntries(spark, s"$stateDir/hist")
+    val deadDeltas = deltaEntries(spark, s"$stateDir/hist", onlyCommitted = false)
       .filter(_._1 <= horizon).map(_._2)
     val baseP = new org.apache.hadoop.fs.Path(s"$stateDir/base")
     val deadGens =

@@ -67,14 +67,8 @@ object ProfileStream {
       .write.mode("overwrite").parquet(s"$stateDir/partials/b$batchId")
   }
 
-  private def deltaDirs(spark: SparkSession, dir: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b"))
-      .map(st => st.getPath.toString)
-  }
+  private def deltaDirs(spark: SparkSession, dir: String): Seq[String] =
+    StateDirs.deltas(spark, dir).map(_._2)
 
   /** The folded running profile, shaped exactly like
     * [[graft.ops.Profile.profile]]: one row per column —

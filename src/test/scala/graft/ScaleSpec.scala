@@ -251,6 +251,32 @@ class ScaleSpec extends SparkSpec {
     assert(Snapshots.current(spark, root).get.id == rid)
   }
 
+  test("snapshots: tagged commits are replay-idempotent; vacuum survives a torn manifest tmp") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snaptag").toString
+    val b = Seq((1L, "x")).toDF("k", "v")
+    val id1 = Snapshots.commitAppend(b, root, Some("batch-0"))
+    // replay of the same logical commit: same id back, no new snapshot
+    assert(Snapshots.commitAppend(b, root, Some("batch-0")) == id1)
+    assert(Snapshots.current(spark, root).get.id == id1)
+    assert(Snapshots.read(spark, root).count() == 1)
+    // a different tag commits normally
+    val id2 = Snapshots.commitAppend(Seq((2L, "y")).toDF("k", "v"),
+      root, Some("batch-1"))
+    assert(id2 == id1 + 1 && Snapshots.read(spark, root).count() == 2)
+    assert(Snapshots.findTag(spark, root, "batch-0").contains(id1))
+    assert(Snapshots.findTag(spark, root, "nope").isEmpty)
+    // a torn writeAtomic leaves snap-N.tmp: vacuum must neither crash on
+    // it nor treat it as a manifest
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "snap-9.tmp"), true)
+    out.write("parent=8\ngarbage".getBytes("UTF-8")); out.close()
+    assert(Snapshots.vacuum(spark, root).isEmpty, "all dirs still referenced")
+    assert(Snapshots.read(spark, root).count() == 2)
+  }
+
   test("CDC model test: random op sequences with replays converge to last-writer-wins") {
     import graft.streaming.CdcStream
     import graft.ops.Snapshots

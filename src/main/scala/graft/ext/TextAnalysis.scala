@@ -776,84 +776,116 @@ object TextAnalysis {
     merges.result()
   }
 
-  /** Distributed BPE fit with BATCHED merge selection — the standard
-    * fast-BPE trick that makes a real 32k-vocabulary fit tractable: one
-    * Spark job per ROUND selects up to `batchN` merges instead of one,
-    * so a 1k-merge fit costs ~tens of jobs, not 1k.
+  /** Distributed BPE fit with BATCHED merge selection AND INCREMENTAL
+    * pair-count maintenance — the standard fast-BPE bookkeeping
+    * (Sennrich's learn_bpe cache, the HuggingFace trainer's update
+    * rule) re-expressed for a word state too big to collect. Two
+    * pieces of state live across rounds:
     *
-    * Per round: count all adjacent symbol pairs once, pull the top
-    * `candPool` candidates (count desc, UTF-8 l, r — the sequential
-    * tie-break) to the driver (bounded), then greedily accept candidates
-    * down the list while each is SYMBOL-DISJOINT from everything already
-    * accepted this round — where "disjoint" covers left, right, AND the
-    * concatenation of both sides (a created symbol colliding with a
-    * later candidate's side would change its count). The scan STOPS at
-    * the first candidate that shares — not skips it — which is what
-    * makes the batch provably equal to the sequential fit: since no
-    * earlier-ordered candidate was skipped, every pair whose count a
-    * selected merge can change (destroyed neighbours, and created pairs,
-    * whose counts are bounded by the pre-count of a symbol-sharing pair)
-    * orders strictly after the batch's selections. One residual hazard:
-    * a created pair can TIE a later selection's count (bounded-by ≤ is
-    * not <) and then win the sequential tie-break on its new symbol's
-    * byte order — so the batch is finally TRUNCATED to selections whose
-    * count strictly exceeds the first non-accepted candidate's (every
-    * sharing pair orders at or after that candidate, making created
-    * counts strictly smaller than what's kept); if that keeps nothing,
-    * the round falls back to the single top pair, which is the
-    * sequential argmax by construction. Candidates below count 2 never
-    * select (the sequential stop rule); `candPool` truncation is safe
-    * because everything beyond the pool orders after its last row.
-    * Spec-pinned equal to [[bpeLearnLocal]] (TextAnalysisSpec),
-    * measured at a 1k-merge fit in BASELINE.md.
+    *  - the DISTRIBUTED word state: one `(symbols, count)` row per
+    *    DISTINCT word (one grouping shuffle at entry, then the corpus
+    *    is never rescanned), cached `MEMORY_AND_DISK`;
+    *  - the DRIVER pair-count map: exact counts of every adjacent
+    *    symbol pair in the current tokenization. Bounded by the number
+    *    of distinct adjacent pairs — the same envelope every in-memory
+    *    BPE trainer holds (and far smaller than the word state, which
+    *    is what actually grows with the sample); the k-means-codebook
+    *    class of driver state, not a corpus collect.
     *
-    * `strictOrder = false` is the industry-standard relaxation (the
-    * fast-BPE batching trick proper): sharing candidates are SKIPPED
-    * instead of stopping the batch, so every round fills toward
-    * `batchN` and the fit costs ~vocab/batchN jobs. The trade,
-    * disclosed: once a sharing pair is skipped, later selections in
-    * the round are made on stale counts, so the learned merge list can
-    * genuinely differ from sequential (on the tie-heavy spec fixture
-    * it diverges visibly; on Zipfian natural text the window is
-    * narrower) — it is a different-but-valid BPE vocabulary, the trade
-    * every production fast-BPE trainer makes. Strict stays the
-    * default; on share-heavy text its provable batches are small
-    * (measured in BASELINE.md), which is the price of exactness. */
+    * Per round, merge selection is a pure driver-side scan of the map
+    * (zero jobs), and applying the batch costs ONE small Spark job
+    * that rewrites only matching words in a single left-to-right pass
+    * and aggregates the resulting pair-count DELTAS (changed words
+    * emit `new-pairs − old-pairs`, weighted by word count; unchanged
+    * words emit nothing). The map absorbs the deltas and the next
+    * round selects from exact counts. Nothing re-tokenizes from
+    * scratch, so per-round cost is flat in the merge number — the fix
+    * for the measured one-job-per-merge collapse of the round-12
+    * recount design (BASELINE.md BPE table: 949 jobs / 480 s for a
+    * tie-heavy 1k-merge strict fit; this design re-measured there).
+    * Lineage is cut by `localCheckpoint` every 50 rounds so a 32k-vocab
+    * fit neither deepens task binaries nor risks recompute cascades.
+    *
+    * Batch selection is unchanged from the provable round-12 rule:
+    * scan candidates in sequential order (count desc, UTF-8 l, r —
+    * `candPool` bounds the scan), accept while SYMBOL-DISJOINT from
+    * everything accepted this round (left, right, AND the concatenated
+    * new symbol), STOP at the first candidate that shares, then
+    * truncate to selections whose count strictly exceeds the first
+    * non-accepted candidate's (a created pair can tie — never beat —
+    * that bound; if nothing survives, fall back to the single top
+    * pair, the sequential argmax by construction). Within a batch the
+    * disjointness makes one simultaneous left-to-right pass equal to
+    * merge-at-a-time application: no accepted pair's side equals
+    * another's side or created symbol, so matches can neither overlap
+    * nor create/destroy each other's occurrences. Spec-pinned equal to
+    * [[bpeLearnLocal]] across batch/pool settings (TextAnalysisSpec).
+    *
+    * `strictOrder = false` is the industry-standard relaxation:
+    * sharing candidates are SKIPPED instead of stopping the batch, so
+    * every round fills toward `batchN`. Disclosed trade (unchanged):
+    * post-skip selections in a round use that round's opening counts,
+    * so the learned list can genuinely differ from sequential — a
+    * different-but-valid BPE vocabulary. Strict stays the default; its
+    * batches are still small on share-heavy text, but a small batch
+    * now costs one cheap delta job, not a corpus recount, so the
+    * reproducible fit is no longer throughput-gated. */
   def bpeLearn(docs: DataFrame, text: String, nMerges: Int,
                batchN: Int = 64, candPool: Int = 1024,
                strictOrder: Boolean = true): Seq[(String, String)] = {
     require(batchN >= 1 && candPool >= 1)
-    val words = docs
+    import scala.collection.mutable
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var state: org.apache.spark.rdd.RDD[(Array[String], Long)] = docs
       .select(explode(split(trim(col(text)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].rdd
+      .map { case (w, c) => (codepointSymbols(w), c) }
+      .persist(lvl)
+    var pinned: org.apache.spark.rdd.RDD[_] = state
     try {
+      // exact pair counts of the CURRENT tokenization, maintained by
+      // per-round deltas after this one seeding aggregate
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      state.flatMap { case (syms, c) =>
+        (0 until syms.length - 1).iterator.map(i => ((syms(i), syms(i + 1)), c))
+      }.reduceByKey(_ + _).collect().foreach { case (k, c) => counts(k) = c }
+      // sequential candidate order: count desc, then UTF-8 byte order of
+      // l then r — the exact ordering Spark's string sort gave the old
+      // recount plan and the local twin's reduce uses.
+      val ord = new Ordering[(String, String, Long)] {
+        def compare(x: (String, String, Long), y: (String, String, Long)): Int = {
+          if (x._3 != y._3) java.lang.Long.compare(y._3, x._3)
+          else {
+            val l = byUtf8(x._1, y._1)
+            if (l != 0) l else byUtf8(x._2, y._2)
+          }
+        }
+      }
       var merges = Vector.empty[(String, String)]
       var exhausted = false
+      var round = 0
       while (merges.length < nMerges && !exhausted) {
-        val toks = words.select(
-          graft.functions.TextExpressions.bpeTokenize(col("w"), merges).as("t"))
-        val cands = toks.filter(size(col("t")) >= 2)
-          .select(explode(zip_with(
-            slice(col("t"), lit(1), size(col("t")) - 1),
-            slice(col("t"), lit(2), size(col("t")) - 1),
-            (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("l"), col("r")).limit(candPool)
-          .collect()
-        // NOTE: Spark's string ordering is UTF8String binary order, the
-        // same byUtf8 the local twin uses — the driver-side scan below
-        // never re-sorts, it consumes the engine's order verbatim.
+        // top-candPool by `ord` via a bounded heap: O(pairs · log pool)
+        // driver work per round, no job
+        val heap = mutable.PriorityQueue.empty[(String, String, Long)](ord)
+        counts.foreach { case ((l, r), c) =>
+          val t = (l, r, c)
+          if (heap.size < candPool) heap.enqueue(t)
+          else if (ord.lt(t, heap.head)) { heap.dequeue(); heap.enqueue(t) }
+        }
+        val cands = heap.dequeueAll.toArray.reverse
         val batch = Vector.newBuilder[(String, String, Long)]
-        val touched = scala.collection.mutable.HashSet.empty[String]
+        val touched = mutable.HashSet.empty[String]
         var taken = 0
         var stop = false
         var idx = 0
         val room = nMerges - merges.length
         while (!stop && idx < cands.length && taken < math.min(batchN, room)) {
-          val (l, r, c) =
-            (cands(idx).getString(0), cands(idx).getString(1), cands(idx).getLong(2))
+          val (l, r, c) = cands(idx)
           if (c < 2) stop = true
           else if (touched(l) || touched(r) || touched(l + r)) {
             if (strictOrder) stop = true else idx += 1 // skip-mode: pass over
@@ -870,8 +902,8 @@ object TextAnalysis {
         // mode truncates (skip-mode trades the guarantee for batch fill).
         val cBound: Long =
           if (!strictOrder) -1L
-          else if (idx < cands.length) cands(idx).getLong(2)
-          else if (cands.length == candPool) cands.last.getLong(2)
+          else if (idx < cands.length) cands(idx)._3
+          else if (cands.length == candPool) cands.last._3
           else 1L
         val accepted = batch.result()
         val kept = accepted.filter(_._3 > cBound)
@@ -880,9 +912,83 @@ object TextAnalysis {
           else if (accepted.nonEmpty) Vector((accepted.head._1, accepted.head._2))
           else Vector.empty
         if (picked.isEmpty) exhausted = true
-        else merges = merges ++ picked
+        else {
+          merges = merges ++ picked
+          val bm = picked.iterator.map { case (l, r) => ((l, r), l + r) }.toMap
+          val applied = state
+            .map { case (syms, c) => applyMergeBatch(syms, c, bm) }
+            .persist(lvl)
+          if (round % 50 == 49) applied.localCheckpoint()
+          val deltas = applied.flatMap(_._3.iterator).reduceByKey(_ + _).collect()
+          deltas.foreach { case (k, d) =>
+            val nv = counts.getOrElse(k, 0L) + d
+            if (nv > 0L) counts(k) = nv else counts.remove(k)
+          }
+          pinned.unpersist(blocking = false)
+          pinned = applied
+          state = applied.map(t => (t._1, t._2))
+          round += 1
+        }
       }
       merges
-    } finally { words.unpersist(); () }
+    } finally { pinned.unpersist(blocking = false); () }
+  }
+
+  /** A word as code-point symbols — the BPE base alphabet (same split
+    * as [[bpeLearnLocal]]'s). */
+  private def codepointSymbols(w: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      b += w.substring(i, i + n)
+      i += n
+    }
+    b.result()
+  }
+
+  private def byUtf8(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** One simultaneous greedy left-to-right pass of a SYMBOL-DISJOINT
+    * merge batch over one word, returning the rewritten symbols plus
+    * the pair-count deltas the rewrite causes (`new − old`, weighted by
+    * the word's count; empty when nothing matched — the common case,
+    * which is what keeps the per-round delta shuffle tiny). Disjointness
+    * (no accepted pair's side equals another's side or concatenated new
+    * symbol) is what makes the single pass equal to applying the
+    * batch's merges one at a time in order — see [[bpeLearn]]. */
+  private def applyMergeBatch(syms: Array[String], cnt: Long,
+      merged: Map[(String, String), String])
+      : (Array[String], Long, Array[((String, String), Long)]) = {
+    if (syms.length < 2) (syms, cnt, Array.empty)
+    else {
+      val next = Array.newBuilder[String]
+      var i = 0
+      var changed = false
+      while (i < syms.length) {
+        if (i < syms.length - 1 && merged.contains((syms(i), syms(i + 1)))) {
+          next += merged((syms(i), syms(i + 1)))
+          i += 2
+          changed = true
+        } else { next += syms(i); i += 1 }
+      }
+      if (!changed) (syms, cnt, Array.empty)
+      else {
+        val ns = next.result()
+        val d = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        var j = 0
+        while (j < ns.length - 1) {
+          val k = (ns(j), ns(j + 1)); d(k) = d.getOrElse(k, 0L) + cnt; j += 1
+        }
+        j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1)); d(k) = d.getOrElse(k, 0L) - cnt; j += 1
+        }
+        (ns, cnt, d.iterator.filter(_._2 != 0L).toArray)
+      }
+    }
   }
 }

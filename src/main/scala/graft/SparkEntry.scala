@@ -331,11 +331,14 @@ object SparkEntry {
     * cap ([[graft.streaming.ErStream.absorb]]'s `maxStreamBlock`)
     * genuinely BINDS mid-stream at the judged scales (max cumulative
     * block size is 4 at sf0.01 with records spread across the 3
-    * batches): blocks whose registry-prefix count crosses 2 stop
-    * pairing from the next batch and land in the quarantine delta, and
-    * the w21 oracle recomputes the SAME capped truth (prefix-count
-    * predicate on the pair's finding batch) — a cap that never binds
-    * would leave the replay-safety path unexercised by the hash gate.
+    * batches): a block pairs at batch f only while its cumulative
+    * delivered-record count THROUGH f stays ≤ 2 — the crossing batch
+    * itself no longer pairs the block (round-13 tightening: the old
+    * prefix-only rule let a block's first oversized batch pair new×new
+    * unbounded) and lands it in the quarantine delta. The w21 oracle
+    * recomputes the SAME capped truth (cumulative-count predicate
+    * through the pair's finding batch) — a cap that never binds would
+    * leave the replay-safety path unexercised by the hash gate.
     * Production streams would set this near [[ErMaxBlock]]. */
   val ErStreamMaxBlock = 2
 

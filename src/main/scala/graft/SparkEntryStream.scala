@@ -1215,10 +1215,12 @@ private[graft] object SparkEntryStream {
     // w21: er1's BATCH linkage restated over the CAPPED stream semantics
     // (ErStreamMaxBlock = 2, which BINDS mid-stream here): a pair is
     // found at batch f = max of its endpoints' delivery batches
-    // (rec_id % 3), and survives iff its block's delivered-record count
-    // in batches BEFORE f is ≤ the cap — the replay-stable prefix rule
-    // the engine's quarantine path enforces. The incremental match
-    // deltas must fold to exactly this capped truth.
+    // (rec_id % 3), and survives iff its block's cumulative delivered-
+    // record count THROUGH f is ≤ the cap — the replay-stable rule the
+    // engine's quarantine path enforces (round 13: the crossing batch
+    // itself no longer pairs, so the bound holds even for a key arriving
+    // all at once). The incremental match deltas must fold to exactly
+    // this capped truth.
     "w21_stream_er" ->
       """WITH recs AS (
         |  SELECT p_partkey * 2 AS rec_id, p_name AS name,
@@ -1239,6 +1241,6 @@ private[graft] object SparkEntryStream {
         |WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
         |    greatest(length(a.name), length(b.name)))) >= 8500
         |  AND (SELECT coalesce(sum(c.c), 0) FROM cnt c
-        |       WHERE c.bk = a.bk AND c.bt < greatest(a.bt, b.bt)) <= 2""".stripMargin,
+        |       WHERE c.bk = a.bk AND c.bt <= greatest(a.bt, b.bt)) <= 2""".stripMargin,
   )
 }

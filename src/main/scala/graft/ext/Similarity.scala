@@ -159,9 +159,13 @@ object Similarity {
   def anchorPred(emb: DataFrame, id: String, k: Int): Column = {
     val draw = conv(substring(md5(col(id).cast("string")), 1, 12), 16, 10)
       .cast("long")
+    // collect the id generically: the draw is type-agnostic (md5 of the
+    // string form), so the anchor set works for long, int, and string id
+    // columns alike — a getLong here would ClassCastException on any
+    // non-long id (round-12 ADVICE)
     val ids = emb.select(col(id), draw.as("__draw"))
       .orderBy(col("__draw"), col(id)).limit(k)
-      .collect().map(_.getLong(0)).toIndexedSeq
+      .collect().map(_.get(0)).toIndexedSeq
     col(id).isInCollection(ids)
   }
 

@@ -25,7 +25,10 @@ import graft.ops.Snapshots
   *
   * Precondition: within one batch a key carries at most one op (the
   * standard CDC-compaction contract); a batch violating it would make
-  * delete-vs-upsert ordering ambiguous.
+  * delete-vs-upsert ordering ambiguous. [[absorb]] ENFORCES this with
+  * a batch-sized key-count check and fails loudly on violation —
+  * silent order-ambiguous merges are the one corruption class a
+  * replayable sink cannot repair.
   *
   * At 100 TB: per batch, two commits whose cost is batch-sized (delete
   * key sets are single-column); reads pay the merge-on-read anti-joins
@@ -39,6 +42,14 @@ object CdcStream {
              opCol: String): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // guard the one-op-per-key precondition: a violating feed must die
+    // loudly here, not merge in an order-ambiguous way
+    val dup = batch.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"CdcStream.absorb: key '${dup.head.get(0)}' carries " +
+        s"${dup.head.getLong(1)} ops in one batch - the one-op-per-key " +
+        "CDC contract is violated; compact the feed per batch first")
     val touched = batch.select(col(keyCol)).distinct()
     // nothing to delete from an empty table (first batch bootstrap)
     if (Snapshots.current(spark, tableDir).isDefined)

@@ -36,25 +36,29 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Block cap, REPLAY-SAFE (`maxStreamBlock`): er1's global skew cap
   * cannot be replayed incrementally as a global drop (a block that
   * crosses the cap mid-stream has already emitted its early pairs), but
-  * the registry-side per-block record count is MONOTONE in batch id, so
+  * the per-block delivered-record count is MONOTONE in batch id, so
   * "the block crossed the cap at batch b" is a deterministic,
-  * replay-stable fact. Capped semantics: at batch f a block pairs iff
-  * its REGISTRY-PREFIX count (records delivered in batches < f) is
-  * ≤ cap — pairs emitted before the crossing stay, the block stops
-  * pairing from the batch after it crossed, and the crossing batch
-  * appends the block to a per-batch QUARANTINE delta
-  * (`(block_key, crossed_batch, cum_count)`, overwritten on replay like
-  * every other delta) for batch-engine recap — w18's multi-parent
-  * trade, made incremental. A replayed batch recomputes the same prefix
-  * counts, so the open/closed decision and both deltas are replay-
-  * identical. `maxStreamBlock = None` keeps the uncapped mode.
+  * replay-stable fact. Capped semantics: a block pairs at batch f iff
+  * its CUMULATIVE delivered-record count THROUGH f (prefix + this
+  * batch) is ≤ cap — pairs emitted before the crossing batch stay, the
+  * crossing batch itself does NOT pair the block (closing only from
+  * the NEXT batch would let a degenerate key's first oversized batch
+  * pair new×new, quadratic in the batch — the round-12 shape ADVICE
+  * flagged), and the crossing batch appends the block to a per-batch
+  * QUARANTINE delta (`(block_key, crossed_batch, cum_count)`,
+  * overwritten on replay like every other delta) for batch-engine
+  * recap — w18's multi-parent trade, made incremental. A replayed
+  * batch recomputes the same counts, so the open/closed decision and
+  * both deltas are replay-identical. `maxStreamBlock = None` keeps the
+  * uncapped mode.
   *
   * At 100 TB: per batch, the new side is batch-sized and the registry
   * join is an equi-join on the block key — the registry never re-pairs
   * with itself, so per-batch cost tracks the batch × its block
-  * neighbourhoods (under a cap, ≤ batch × cap even for a degenerate
-  * key — the blank-name block lands in quarantine instead of fanning
-  * out without bound), and state grows by exactly the delivered
+  * neighbourhoods; under a cap every pairing block holds ≤ cap records
+  * TOTAL, so pair work is genuinely ≤ batch × cap even when a
+  * degenerate key arrives all at once (the blank-name block quarantines
+  * instead of fanning out), and state grows by exactly the delivered
   * records. The closed-block set is bounded by deliveries/cap, so the
   * anti-join probe rides a broadcast. */
 object ErStream {
@@ -93,9 +97,12 @@ object ErStream {
             lit(batchId).as("crossed_batch"),
             (col("_prior") + col("_batch")).as("cum_count"))
           .write.mode("overwrite").parquet(s"$stateDir/quarantine/b$batchId")
-        // blocks that crossed in an EARLIER batch stop pairing now; the
-        // closed set is ≤ deliveries/cap keys → broadcast anti-probe
-        val closed = counts.filter(col("_prior") > cap)
+        // a block is closed once its cumulative count THROUGH this batch
+        // exceeds the cap — including the crossing batch itself, which
+        // is what bounds a degenerate key's first batch at ≤ cap² pairs
+        // instead of batch²; the closed set is ≤ deliveries/cap keys
+        // plus this batch's crossers → broadcast anti-probe
+        val closed = counts.filter(col("_prior") + col("_batch") > cap)
           .select(col("_bk").as("__cbk"))
         all.join(closed, block === col("__cbk"), "left_anti")
     }

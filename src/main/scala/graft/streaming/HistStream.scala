@@ -91,12 +91,23 @@ object HistStream {
     * Run periodically and state stays #bins + recent deltas for the
     * stream's whole lifetime. */
   def compact(spark: SparkSession, stateDir: String): Unit = {
-    val ids = deltaEntries(spark, s"$stateDir/hist").map(_._1)
-    if (ids.isEmpty) return
-    val (gen, _) = basePointer(spark, stateDir)
+    // ONE delta listing feeds BOTH the fold and the recorded horizon: a
+    // batch that commits between two separate listings would be baked
+    // into the new base while its id exceeds the horizon — and then
+    // double-counted by every subsequent folded() read. Folding exactly
+    // the listed dirs (not re-calling folded()) closes that race, which
+    // matters because compact is documented to run against a live
+    // stream.
+    val (gen, horizon) = basePointer(spark, stateDir)
+    val fresh = deltaEntries(spark, s"$stateDir/hist").filter(_._1 > horizon)
+    if (fresh.isEmpty) return
     val newGen = gen + 1
-    val newHorizon = ids.max
-    folded(spark, stateDir).write.mode("overwrite")
+    val newHorizon = fresh.map(_._1).max
+    val dirs = (if (gen > 0) Seq(s"$stateDir/base/g$gen") else Nil) ++
+      fresh.map(_._2)
+    spark.read.parquet(dirs: _*)
+      .groupBy(col("bin")).agg(sum(col("c")).as("c"))
+      .write.mode("overwrite")
       .parquet(s"$stateDir/base/g$newGen")
     val target = new org.apache.hadoop.fs.Path(stateDir, "_BASE")
     val tmp = new org.apache.hadoop.fs.Path(stateDir, "_BASE.tmp")
@@ -110,10 +121,15 @@ object HistStream {
   }
 
   /** Garbage collection after [[compact]]: delete deltas at or below
-    * the folded horizon and generations below the current one — the
-    * files [[folded]] can no longer read (including those a pre-horizon
-    * replay re-wrote, and torn-compaction orphan generations). Returns
-    * the deleted dir names. Safe at any point: only unreadable state is
+    * the folded horizon and generations STRICTLY BELOW the current one
+    * — the files [[folded]] can no longer read (including those a
+    * pre-horizon replay re-wrote). Generations ABOVE the pointer are
+    * spared: gen+1 may be an in-flight [[compact]]'s half-written
+    * output, and a concurrent delete would destroy it mid-commit; a
+    * truly torn orphan above the pointer is reclaimed by the next
+    * vacuum after the pointer advances past it. Non-numeric names under
+    * base/ are ignored (same name hygiene as StateDirs). Returns the
+    * deleted dir names. Safe at any point: only unreadable state is
     * touched. */
   def vacuum(spark: SparkSession, stateDir: String): Seq[String] = {
     val (gen, horizon) = basePointer(spark, stateDir)
@@ -125,8 +141,11 @@ object HistStream {
       if (!fs.exists(baseP)) Nil
       else fs.listStatus(baseP).toSeq.filter(_.isDirectory)
         .map(_.getPath)
-        .filter(p => p.getName.startsWith("g") &&
-          p.getName.drop(1).toLong != gen)
+        .filter { p =>
+          val sfx = p.getName.drop(1)
+          p.getName.startsWith("g") && sfx.nonEmpty &&
+            sfx.forall(_.isDigit) && sfx.toLong < gen
+        }
         .map(_.toString)
     val doomed = deadDeltas ++ deadGens
     doomed.foreach(d =>

@@ -516,7 +516,7 @@ class StreamingSpec extends SparkSpec {
     assert(fold(d2) == expect, "delivery order must not change the fold")
   }
 
-  test("w21 stream block cap: crossing mid-stream stops pairing from the next batch, replay-stable") {
+  test("w21 stream block cap: crossing batch and beyond never pair, replay-stable") {
     import graft.streaming.ErStream
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -539,10 +539,10 @@ class StreamingSpec extends SparkSpec {
     ErStream.absorb(b0, "rec_id", "name", block, 8500, d, 0L, cap)
     ErStream.absorb(b1, "rec_id", "name", block, 8500, d, 1L, cap)
     ErStream.absorb(b2, "rec_id", "name", block, 8500, d, 2L, cap)
-    // pairs found BEFORE the block closed stay; record 4 (delivered after
-    // the crossing) never pairs; the control block pairs normally
-    val expect = Set((1L, 2L, 8888L), (1L, 3L, 10000L), (2L, 3L, 8888L),
-      (10L, 11L, 9000L))
+    // pairs found BEFORE the crossing batch stay; the crossing batch
+    // itself (record 3) and everything after (record 4) never pairs —
+    // the cumulative-through-f rule; the control block pairs normally
+    val expect = Set((1L, 2L, 8888L), (10L, 11L, 9000L))
     assert(fold(d) == expect,
       s"capped fold mismatch: ${fold(d)}")
     // quarantine: exactly the hot block, crossed at batch 1 with cum 3
@@ -562,8 +562,19 @@ class StreamingSpec extends SparkSpec {
     ErStream.absorb(b0, "rec_id", "name", block, 8500, du, 0L)
     ErStream.absorb(b1, "rec_id", "name", block, 8500, du, 1L)
     ErStream.absorb(b2, "rec_id", "name", block, 8500, du, 2L)
-    assert(fold(du) == expect ++ Set((1L, 4L, 10000L), (2L, 4L, 8888L),
-      (3L, 4L, 10000L)), "uncapped fold must keep post-crossing pairs")
+    assert(fold(du) == expect ++ Set((1L, 3L, 10000L), (2L, 3L, 8888L),
+      (1L, 4L, 10000L), (2L, 4L, 8888L), (3L, 4L, 10000L)),
+      "uncapped fold must keep crossing-batch and later pairs")
+    // degenerate key arriving ALL AT ONCE: its first batch exceeds the
+    // cap, so it never pairs (the ≤ batch×cap bound) and quarantines at
+    // that batch — the round-12 shape where new×new fanned out unbounded
+    val dg = java.nio.file.Files.createTempDirectory("w21_degen").toString
+    ErStream.absorb(recs.filter(col("rec_id") <= 4L), "rec_id", "name",
+      block, 8500, dg, 0L, cap)
+    assert(fold(dg).isEmpty, "oversized first batch must not pair")
+    val qd = ErStream.quarantined(spark, dg)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(qd == Set(("B1|5|re", 0L, 4L)), s"degenerate quarantine: $qd")
   }
 
   test("w23 bounded-delay join: watermark evicts state and drops late rows") {
@@ -701,20 +712,31 @@ class StreamingSpec extends SparkSpec {
     val expect2 = Map(50L -> (1L, 9L), 90L -> (2L, 11L),
       99L -> (9L, 12L), 100L -> (9L, 12L))
     assert(pct(d) == expect2, s"got ${pct(d)}")
-    // a torn compaction (generation written, pointer never swung) is
-    // invisible: plant a garbage generation without touching _BASE
-    Seq((0L, 999L)).toDF("bin", "c").write.mode("overwrite").parquet(s"$d/base/g9")
-    assert(pct(d) == expect2, "orphan generation must never be read")
     // second compaction folds base + new deltas
-    HistStream.compact(spark, d)
+    HistStream.compact(spark, d)  // gen 2
     assert(pct(d) == expect2)
-    // vacuum reclaims exactly the unreadable state: retired deltas, the
-    // superseded generation, and the planted torn-compaction orphan —
-    // readout unchanged
+    // a torn compaction (generation written, pointer never swung) is
+    // invisible to reads — and, because gen+1 may be an IN-FLIGHT
+    // compact mid-write, vacuum SPARES generations above the pointer
+    // (a non-numeric dir under base/ is likewise ignored, not a crash)
+    Seq((0L, 999L)).toDF("bin", "c").write.mode("overwrite").parquet(s"$d/base/g3")
+    Seq((0L, 1L)).toDF("bin", "c").write.mode("overwrite").parquet(s"$d/base/junk")
+    assert(pct(d) == expect2, "orphan generation must never be read")
+    // vacuum reclaims exactly the unreadable-AND-safe state: retired
+    // deltas and generations BELOW the pointer; the gen+1 orphan stays
     val doomed = HistStream.vacuum(spark, d).toSet
     assert(doomed == Set("hist/b0", "hist/b1", "hist/b2", "hist/b3",
-      "base/g1", "base/g9"), s"got $doomed")
+      "base/g1"), s"got $doomed")
     assert(pct(d) == expect2, "vacuum must not change the readout")
+    // the orphan's number is reclaimed the normal way once the pointer
+    // advances: the next real compaction overwrites g3 and supersedes
+    // g2, which the following vacuum then deletes
+    HistStream.absorb(Seq(5L).toDF("v"), bin, d, 4L)
+    HistStream.compact(spark, d)  // gen 3, overwrites the torn orphan
+    val after = pct(d)
+    val doomed2 = HistStream.vacuum(spark, d).toSet
+    assert(doomed2 == Set("hist/b4", "base/g2"), s"got $doomed2")
+    assert(pct(d) == after, "vacuum must not change the readout")
   }
 
   test("w27 CDC apply: upsert/delete merge, half-applied crash converges on replay") {
@@ -749,6 +771,17 @@ class StreamingSpec extends SparkSpec {
     CdcStream.absorb(Seq(("delete", 1L, null.asInstanceOf[String]))
       .toDF("op", "k", "seg"), table, "k", "op")
     assert(rows() == Set((3L, "c2"), (4L, "d")))
+    // one-op-per-key precondition is ENFORCED: a batch carrying two ops
+    // for one key dies loudly (order-ambiguous merge) and leaves the
+    // table untouched
+    val bad = Seq(("upsert", 7L, "x"), ("delete", 7L, null.asInstanceOf[String]))
+      .toDF("op", "k", "seg")
+    val ex = intercept[IllegalArgumentException] {
+      CdcStream.absorb(bad, table, "k", "op")
+    }
+    assert(ex.getMessage.contains("one-op-per-key"), ex.getMessage)
+    assert(rows() == Set((3L, "c2"), (4L, "d")),
+      "a rejected batch must not touch the table")
   }
 
   test("w26 histogram model test: random batches + random compaction == direct percentiles") {

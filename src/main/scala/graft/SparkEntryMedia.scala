@@ -97,6 +97,27 @@ private[graft] object SparkEntryMedia {
       Multimodal.phashNearDup(ph, "doc_id", "phash")
     }),
 
+    // M8 — REAL image-header decode (round-13): each doc gets a REAL
+    // binary header planted — a full PNG signature + IHDR chunk (even
+    // ids; color type cycling gray/rgb/rgba) or a JPEG SOI → APP0-JFIF
+    // → variable-length COM → SOF0 chain (odd ids; 1 or 3 components)
+    // — with width/height/depth derived from doc_id, then the engine
+    // must RECOVER the fields from the bytes alone
+    // (Multimodal.imageHeaders: fixed-offset IHDR read + JPEG
+    // marker-segment walk; the COM segment's id-dependent length is
+    // what forces a real walk, not a fixed-offset peek). The oracle
+    // states the planted truth arithmetically (m6's planted-signature
+    // pattern). n_px = width·height is the m3-feature hand-off: real
+    // metadata joining the feature frame without decoding pixels.
+    "m8_media_headers" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, m8Blob(id))))
+        .toDF("doc_id", "content")
+      Multimodal.imageHeaders(blobs, "doc_id", "content").toDF()
+        .withColumn("n_px", col("width") * col("height"))
+    }),
+
     // M2 frame sampling (Multimodal.sampleFrames) is exercised and judged
     // through m4_frame_gate: cardinality, byte conservation, and
     // partition-independence of the same mapPartitions path.
@@ -147,7 +168,58 @@ private[graft] object SparkEntryMedia {
     }),
   )
 
+  /** m8 fixture: a REAL, minimal media file header for `id` — PNG
+    * (even ids) or JPEG (odd ids) — whose dimension fields are pure
+    * doc_id arithmetic so the oracle can state them relationally.
+    * Fixture-construction code: the judged path is the PARSER. */
+  private def m8Blob(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val w = (16 + id % 1000).toInt
+    val h = (16 + (id * 7) % 777).toInt
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def u16(v: Int): Unit = b(v >> 8, v)
+    def u32(v: Long): Unit =
+      b((v >> 24).toInt, (v >> 16).toInt, (v >> 8).toInt, v.toInt)
+    if (id % 2 == 0) {
+      val colorType = ((id / 2) % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+      b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) // PNG signature
+      u32(13L); b('I', 'H', 'D', 'R')                    // IHDR chunk
+      u32(w.toLong); u32(h.toLong)
+      b(8, colorType, 0, 0, 0)                           // depth 8, comp/filt/inter
+      u32(0L)                                            // CRC (unchecked)
+    } else {
+      val ncomp = if ((id / 2) % 2 == 0) 1 else 3
+      b(0xFF, 0xD8)                                      // SOI
+      b(0xFF, 0xE0); u16(16)                             // APP0 JFIF
+      b('J', 'F', 'I', 'F', 0, 1, 1, 0); u16(72); u16(72); b(0, 0)
+      val comLen = 2 + (id % 7).toInt + 1                // id-dependent COM
+      b(0xFF, 0xFE); u16(comLen)
+      (0 until comLen - 2).foreach(_ => b('x'))
+      b(0xFF, 0xC0); u16(8 + 3 * ncomp)                  // SOF0
+      b(8); u16(h); u16(w); b(ncomp)
+      (0 until ncomp).foreach(c => b(c + 1, 0x11, 0))
+      b(0xFF, 0xD9)                                      // EOI
+    }
+    out.toByteArray
+  }
+
   val oracle: Map[String, String] = Map(
+
+    // m8: the PLANTED header truth in doc_id arithmetic — the engine
+    // must recover every field from the bytes (m6's pattern, extended
+    // from a 4-byte signature to full dimension fields).
+    "m8_media_headers" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id%2=0 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |  CAST(16 + doc_id%1000 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id*7)%777 AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth,
+        |  CAST(CASE WHEN doc_id%2=0
+        |    THEN CASE (doc_id//2)%3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+        |    ELSE CASE (doc_id//2)%2 WHEN 0 THEN 1 ELSE 3 END
+        |  END AS BIGINT) AS channels,
+        |  CAST((16 + doc_id%1000) * (16 + (doc_id*7)%777) AS BIGINT) AS n_px
+        |FROM documents""".stripMargin,
 
     // m5: DuckDB's sha256(VARCHAR) hashes the string's UTF-8 bytes —
     // the exact twin of contentKey over encode(text,'UTF-8') (same

@@ -165,6 +165,80 @@ object Multimodal {
       .filter(col("hamming") <= hamMax)
   }
 
+  final case class ImageHeader(doc_id: Long, fmt: String, width: Long,
+                               height: Long, bit_depth: Long, channels: Long)
+
+  /** REAL media header decode (round-13) — JDK-only byte parsing, no
+    * codec library needed for HEADERS: PNG IHDR fixed-offset fields
+    * (width/height u32 big-endian at 16/20, bit depth at 24, color
+    * type at 25 → channel count), and JPEG SOF dimensions found by
+    * WALKING the marker-segment chain (skipping APPn/COM/DQT/DHT by
+    * their declared lengths until an SOFn frame header — real JPEG
+    * headers are variable-length, so a fixed-offset read would
+    * mis-parse any file with EXIF or comments). Unrecognized or
+    * malformed blobs yield fmt='unknown' with zeroed dims — loud in
+    * any downstream aggregate, never a silently wrong dimension.
+    *
+    * Runs in the amortized-init mapPartitions slot ([[extractFeatures]]'
+    * shape): one narrow pass in the scan stage, nothing shuffles, and
+    * only the first few hundred bytes of each blob are touched — at
+    * 100 TB the pass is I/O-bound on blob prefixes, which a
+    * prefix-page read serves. */
+  def imageHeaders(df: DataFrame, idCol: String, binCol: String): Dataset[ImageHeader] = {
+    implicit val enc = Encoders.product[ImageHeader]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => parseImageHeader(id, bytes) }
+      }
+  }
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def u16be(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def u32be(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
+      (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
+
+  private def parseImageHeader(id: Long, b: Array[Byte]): ImageHeader = {
+    val unknown = ImageHeader(id, "unknown", 0L, 0L, 0L, 0L)
+    if (b.length >= 33 &&
+        u8(b, 0) == 0x89 && u8(b, 1) == 0x50 && u8(b, 2) == 0x4E &&
+        u8(b, 3) == 0x47 && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' &&
+        b(15) == 'R') {
+      val colorType = u8(b, 25)
+      // PNG spec channel counts: gray 1, rgb 3, palette 1, gray+a 2, rgba 4
+      val ch = colorType match {
+        case 0 => 1L; case 2 => 3L; case 3 => 1L; case 4 => 2L; case 6 => 4L
+        case _ => 0L
+      }
+      if (ch == 0L) unknown
+      else ImageHeader(id, "png", u32be(b, 16), u32be(b, 20), u8(b, 24).toLong, ch)
+    } else if (b.length >= 4 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8) {
+      var i = 2
+      while (i + 1 < b.length) {
+        if (u8(b, i) != 0xFF) return unknown
+        val m = u8(b, i + 1)
+        if (m == 0xFF) i += 1 // fill byte padding before a marker
+        else if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) i += 2 // standalone
+        else if (m == 0xD9 || m == 0xDA) return unknown // EOI/SOS before any SOF
+        else {
+          if (i + 3 >= b.length) return unknown
+          val len = u16be(b, i + 2)
+          if (len < 2) return unknown
+          // SOFn frame markers: C0-CF minus DHT(C4)/JPG(C8)/DAC(CC)
+          val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+          if (isSof) {
+            if (i + 9 >= b.length) return unknown
+            return ImageHeader(id, "jpeg", u16be(b, i + 7).toLong,
+              u16be(b, i + 5).toLong, u8(b, i + 4).toLong, u8(b, i + 9).toLong)
+          }
+          i += 2 + len
+        }
+      }
+      unknown
+    } else unknown
+  }
+
   final case class MediaFeature(doc_id: Long, f0: Long, f8: Long, f15: Long,
                                 feat_sum: Long)
 

@@ -250,6 +250,39 @@ class ModulesSpec extends SparkSpec {
     assert(out(10L) == "application/octet-stream")
   }
 
+  test("M8 imageHeaders: IHDR fields, SOF behind variable segments, malformed to unknown") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def u16(v: Int) = b(v >> 8, v)
+    def u32(v: Int) = b(v >> 24, v >> 16, v >> 8, v)
+    // PNG: signature + IHDR(300x200, depth 16, rgba)
+    val png = b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
+      u32(13) ++ "IHDR".getBytes ++ u32(300) ++ u32(200) ++
+      b(16, 6, 0, 0, 0) ++ u32(0)
+    // palette PNG: colorType 3 = 1 channel
+    val pngPal = b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
+      u32(13) ++ "IHDR".getBytes ++ u32(12) ++ u32(34) ++
+      b(8, 3, 0, 0, 0) ++ u32(0)
+    // JPEG: SOI, APP1 (EXIF-shaped filler), COM, then PROGRESSIVE SOF2
+    // 640x480, 3 components — the walk must skip two variable segments
+    val jpg = b(0xFF, 0xD8) ++
+      (b(0xFF, 0xE1) ++ u16(10) ++ "Exif  AB".getBytes) ++
+      (b(0xFF, 0xFE) ++ u16(5) ++ "com".getBytes) ++
+      (b(0xFF, 0xC2) ++ u16(17) ++ b(8) ++ u16(480) ++ u16(640) ++
+        b(3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)) ++ b(0xFF, 0xD9)
+    // malformed: SOS arrives before any SOF
+    val jpgBad = b(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x04, 0x01, 0x02)
+    val blobs = Seq(1L -> png, 2L -> pngPal, 3L -> jpg, 4L -> jpgBad,
+      5L -> "plain text".getBytes("US-ASCII"), 6L -> Array.empty[Byte])
+    val out = Multimodal.imageHeaders(
+        blobs.toDF("doc_id", "content"), "doc_id", "content")
+      .collect().map(h => h.doc_id -> h).toMap
+    assert(out(1L) == Multimodal.ImageHeader(1L, "png", 300L, 200L, 16L, 4L))
+    assert(out(2L) == Multimodal.ImageHeader(2L, "png", 12L, 34L, 8L, 1L))
+    assert(out(3L) == Multimodal.ImageHeader(3L, "jpeg", 640L, 480L, 8L, 3L))
+    Seq(4L, 5L, 6L).foreach(i =>
+      assert(out(i) == Multimodal.ImageHeader(i, "unknown", 0L, 0L, 0L, 0L)))
+  }
+
   test("M7 perceptualHash: last-byte flip is hamming 1, empty blob is 0, partition-stable") {
     // 95 chars so sample positions i*(n-1)/47 = 2i touch every other
     // byte; only i=47 reads the LAST byte

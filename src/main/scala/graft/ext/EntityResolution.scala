@@ -242,13 +242,20 @@ object EntityResolution {
 
   /** Entity assignment: transitive closure of the matched pairs over ALL
     * records — `(id, entity_id)` with `entity_id` = min record id in the
-    * connected component; unmatched records are their own entity. */
+    * connected component; unmatched records are their own entity.
+    *
+    * `algo`: dense dup clusters (diameter 1-3) take the default
+    * hash-min; er4-style sorted-neighborhood pairs can chain into PATH
+    * graphs whose diameter exceeds hash-min's round bound — pass
+    * [[graft.ops.Components.StarContraction]] there (O(log² V) rounds
+    * at any diameter; spec-pinned label-equal to hash-min). */
   def resolve(
       records: DataFrame, id: String, pairs: DataFrame,
-      strategy: graft.ops.Cascade.Strategy = graft.ops.Cascade.Auto): DataFrame =
+      strategy: graft.ops.Cascade.Strategy = graft.ops.Cascade.Auto,
+      algo: graft.ops.Components.Algo = graft.ops.Components.HashMin): DataFrame =
     graft.ops.Components.connected(
         pairs, "id_a", "id_b",
         vertices = Some(records.select(col(id))), idCol = id,
-        strategy = strategy)
+        strategy = strategy, algo = algo)
       .select(col(id), col("component").as("entity_id"))
 }

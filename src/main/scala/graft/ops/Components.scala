@@ -28,6 +28,23 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Component algorithm choice — see [[connected]]. */
+  sealed trait Algo
+  /** Hash-min label propagation: one equi-join + keyed min per round,
+    * rounds = component diameter. The dedup default (near-dup clusters
+    * have diameter 1-3). */
+  case object HashMin extends Algo
+  /** Alternating large-star / small-star edge contraction (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014):
+    * rounds are O(log² V) REGARDLESS of diameter, so chain-shaped pair
+    * graphs — er4's sorted-neighborhood runs of similar records are the
+    * realistic producer — converge where hash-min's diameter-bounded
+    * loop would die at `maxIter`. Per round: two windowed min passes
+    * over the (deduped, oriented) edge set; at the fixpoint every
+    * component is a star centered at its minimum id, which IS the label
+    * assignment. */
+  case object StarContraction extends Algo
+
   /** @param edges     undirected edge list (each pair once is enough)
     * @param srcCol    edge endpoint column
     * @param dstCol    other endpoint column
@@ -35,10 +52,13 @@ object Components {
     *                  come back as singleton components; edge endpoints
     *                  are always included
     * @param idCol     vertex id column (in `vertices` and the output)
-    * @param maxIter   round bound (>= max component diameter to converge)
+    * @param maxIter   round bound (HashMin: >= max component diameter;
+    *                  StarContraction: >= ~log² V — the default 20
+    *                  covers any realistic corpus)
     * @param strategy  per-round lineage cut, default [[Cascade.Auto]]
     *                   (reliable when a checkpoint dir is configured,
     *                   local otherwise — the cluster-correct default)
+    * @param algo      [[HashMin]] (default) or [[StarContraction]]
     * @return (idCol, component) — component = min vertex id reachable
     */
   def connected(
@@ -46,7 +66,8 @@ object Components {
       vertices: Option[DataFrame] = None, idCol: String = "id",
       maxIter: Int = 20,
       strategy: Cascade.Strategy = Cascade.Auto,
-      requireConvergence: Boolean = true): DataFrame = {
+      requireConvergence: Boolean = true,
+      algo: Algo = HashMin): DataFrame = {
 
     def cut(df: DataFrame): DataFrame = Cascade.cut(df, strategy, eager = true)
 
@@ -62,6 +83,9 @@ object Components {
       .map(_.select(col(idCol)).unionByName(endpointIds))
       .getOrElse(endpointIds)
       .distinct()
+
+    if (algo == StarContraction)
+      return starConnected(bi, vertexIds, idCol, maxIter, cut, requireConvergence)
 
     var labels = cut(vertexIds.select(col(idCol), col(idCol).as("component")))
     var labelSum = checksum(labels)
@@ -138,4 +162,78 @@ object Components {
         case null => java.math.BigDecimal.ZERO
         case d => d
       }
+
+  /** [[StarContraction]]'s loop. Edge state is canonical (oriented
+    * `_u > _v`, deduped, self-loop-free). Per round:
+    *
+    *  - LARGE-STAR: per node u over BOTH orientations, every strictly
+    *    larger neighbor v links to m = min(Γ(u) ∪ {u}) — one windowed
+    *    min, no join;
+    *  - SMALL-STAR: per node u over its smaller neighbors (the oriented
+    *    edge set keyed by the larger endpoint), every smaller neighbor
+    *    AND u itself link to m = min(Γ≤(u) ∪ {u}).
+    *
+    * Both phases emit edges already oriented toward the smaller id, so
+    * the state never needs re-canonicalizing. Fixpoint = every
+    * component a star centered at its min id; detected by an edge-set
+    * signature (count + endpoint sums + xxhash64 sum, all exact
+    * decimals — stable iff the edge SET is, up to a vanishing hash-sum
+    * collision). Labels then read directly off the star edges; isolated
+    * vertices label themselves. */
+  private def starConnected(
+      bi: DataFrame, vertexIds: DataFrame, idCol: String, maxIter: Int,
+      cut: DataFrame => DataFrame, requireConvergence: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wU = Window.partitionBy(col("_u"))
+    var e = cut(bi.filter(col("_src") =!= col("_dst"))
+      .select(greatest(col("_src"), col("_dst")).as("_u"),
+        least(col("_src"), col("_dst")).as("_v"))
+      .distinct())
+    var sig = edgeSig(e)
+    var it = 0
+    var converged = false
+    while (!converged && it <= maxIter) {
+      val nbrs = e.unionByName(
+        e.select(col("_v").as("_u"), col("_u").as("_v")))
+      val large = nbrs
+        .withColumn("_m", least(min(col("_v")).over(wU), col("_u")))
+        .filter(col("_v") > col("_u"))
+        .select(col("_v").as("_u"), col("_m").as("_v"))
+        .filter(col("_u") =!= col("_v"))
+        .distinct()
+      val withM = large.withColumn("_m", min(col("_v")).over(wU))
+      val small = withM
+        .select(col("_v").as("_u"), col("_m").as("_v"))
+        .unionByName(withM.select(col("_u"), col("_m").as("_v")))
+        .filter(col("_u") =!= col("_v"))
+        .distinct()
+      val next = cut(small)
+      val nextSig = edgeSig(next)
+      converged = nextSig == sig
+      e = next
+      sig = nextSig
+      it += 1
+    }
+    if (!converged) {
+      val msg = s"Components.connected(StarContraction) did not converge " +
+        s"within maxIter=$maxIter rounds; labels are NOT final components"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      else System.err.println(s"WARN $msg")
+    }
+    vertexIds
+      .join(e.groupBy(col("_u").as(idCol)).agg(min(col("_v")).as("_c")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_c"), col(idCol)).as("component"))
+  }
+
+  /** Exact edge-set signature for the star loop's convergence test. */
+  private def edgeSig(e: DataFrame): (Long, java.math.BigDecimal,
+      java.math.BigDecimal, java.math.BigDecimal) = {
+    val r = e.agg(count(lit(1)),
+      sum(col("_u").cast("decimal(38,0)")),
+      sum(col("_v").cast("decimal(38,0)")),
+      sum(xxhash64(col("_u"), col("_v")).cast("decimal(38,0)"))).head()
+    def d(i: Int) = Option(r.getDecimal(i)).getOrElse(java.math.BigDecimal.ZERO)
+    (r.getLong(0), d(1), d(2), d(3))
+  }
 }

@@ -290,6 +290,53 @@ class TemporalPackSpec extends SparkSpec {
     assert(relaxed.count() == 6)
   }
 
+  test("star-contraction: path graph beyond hash-min's bound converges in O(log) rounds") {
+    // a 300-edge path has diameter 300 — hash-min at the DEFAULT
+    // maxIter=20 must die loudly (er4's sorted-neighborhood chains are
+    // the realistic producer of this shape) ...
+    val edges = (1L to 300L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Components.connected(edges, "a", "b").count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // ... while star contraction converges well inside the same default
+    // bound and labels the whole chain with its minimum
+    val out = Components.connected(edges, "a", "b",
+        algo = Components.StarContraction)
+      .as[(Long, Long)].collect().toSeq
+    assert(out.length == 301 && out.forall(_._2 == 1L))
+  }
+
+  test("star-contraction matches hash-min on 30 random graphs + edge cases") {
+    val rnd = new scala.util.Random(1313L)
+    for (trial <- 1 to 30) {
+      val n = rnd.nextInt(20) + 2
+      val edges = (1 to rnd.nextInt(25))
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val verts = (0 until n).map(_.toLong).toDF("id")
+      val ref = Components.connected(
+          if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b")
+          else edges.toDF("a", "b"),
+          "a", "b", vertices = Some(verts), idCol = "id", maxIter = n + 1)
+        .as[(Long, Long)].collect().toMap
+      val star = Components.connected(
+          if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b")
+          else edges.toDF("a", "b"),
+          "a", "b", vertices = Some(verts), idCol = "id",
+          algo = Components.StarContraction)
+        .as[(Long, Long)].collect().toMap
+      assert(star == ref, s"trial $trial: n=$n edges=$edges")
+    }
+    // empty edges + self-loop-only edges: singletons either way
+    val selfy = Seq((3L, 3L)).toDF("a", "b")
+    val got = Components.connected(selfy, "a", "b",
+        vertices = Some(Seq(3L, 4L).toDF("id")), idCol = "id",
+        algo = Components.StarContraction)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(3L -> 3L, 4L -> 4L))
+  }
+
   test("as-of join rejects payload names that collide with left columns") {
     val asks = Seq((1L, 10L, "x")).toDF("k", "t", "payload")
     val quotes = Seq((1L, 5L, "q", 1L)).toDF("k", "t", "payload", "qid")

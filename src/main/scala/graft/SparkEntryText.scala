@@ -708,6 +708,60 @@ private[graft] object SparkEntryText {
             1L).otherwise(0L).as("bounds_ok"),
           when(col("n_mismatch") === 0, 1L).otherwise(0L).as("stable_ok"))
     }),
+
+    // T25 — Unigram-LM (SentencePiece) subword tokenization, t23's
+    // sibling for the OTHER deployed tokenizer family (T5/LLaMA-class):
+    // hard-EM fit (TextAnalysis.unigramFitLocal) on the same bounded
+    // content-addressed 256-doc sample, Viterbi APPLY corpus-wide with
+    // the compiled kernel (integer micro-nat scores — fit and kernel
+    // share one segmentation routine, so they cannot disagree). Gates
+    // (t23's class): char conservation, real compression, per-word/
+    // per-char bounds, dual-execution stability, plus vocab_ok — the
+    // multi-piece budget held and every log-prob is a negative
+    // micro-nat (a zero/positive score would mean a degenerate
+    // distribution). EM semantics themselves are pinned by
+    // TextAnalysisSpec's closed-form fixture.
+    "t25_unigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+      val sampleTexts = docs.select(col("text"), col("doc_id"), draw.as("__draw"))
+        .orderBy(col("__draw"), col("doc_id")).limit(256)
+        .select(col("text")).collect().map(_.getString(0)).toSeq
+      val vocab = TextAnalysis.unigramFitLocal(sampleTexts, vocabSize = 64)
+      def cpLen(p: String) = p.codePointCount(0, p.length)
+      val vocabOk = vocab.nonEmpty && vocab.forall(_._2 < 0L) &&
+        vocab.count(v => cpLen(v._1) > 1) <= 64
+      def summary(d: DataFrame) = d.select(col("doc_id"),
+        graft.functions.TextExpressions.unigramTokenize(col("text"), vocab).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("nt"),
+          aggregate(col("toks"), lit(0L),
+            (acc, x) => acc + length(x).cast("long")).as("nc"),
+          conv(substring(md5(array_join(col("toks"), " ")), 1, 10), 16, 10)
+            .cast("long").as("ck"))
+      val s1 = summary(docs)
+      val s2 = summary(docs.repartition(s.sparkContext.defaultParallelism))
+      val mism = s1.join(s2.select(col("doc_id"), col("nt").as("nt2"),
+          col("nc").as("nc2"), col("ck").as("ck2")), Seq("doc_id"), "full_outer")
+        .filter(!(col("nt") <=> col("nt2")) || !(col("nc") <=> col("nc2")) ||
+          !(col("ck") <=> col("ck2")))
+        .agg(count(lit(1)).as("n_mismatch"))
+      val words = docs.select(size(filter(split(trim(col("text")), "\\s+"),
+        w => length(w) > 0)).cast("long").as("nw"))
+      s1.agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("n_chars_total"), sum(col("nt")).as("__nt"))
+        .crossJoin(words.agg(sum(col("nw")).as("__nw")))
+        .crossJoin(mism)
+        .select(col("n_docs"),
+          col("n_chars_total").cast("long").as("n_chars_total"),
+          when(col("__nt") < col("n_chars_total"), 1L).otherwise(0L)
+            .as("compress_ok"),
+          when(col("__nt") >= col("__nw") && col("__nt") <= col("n_chars_total"),
+            1L).otherwise(0L).as("bounds_ok"),
+          when(col("n_mismatch") === 0, 1L).otherwise(0L).as("stable_ok"),
+          lit(if (vocabOk) 1L else 0L).as("vocab_ok"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1447,6 +1501,20 @@ private[graft] object SparkEntryText {
         |  CAST(1 AS BIGINT) AS compress_ok,
         |  CAST(1 AS BIGINT) AS bounds_ok,
         |  CAST(1 AS BIGINT) AS stable_ok
+        |FROM documents""".stripMargin,
+
+    // t25: t23's constant-oracle class for the Unigram-LM tokenizer —
+    // char conservation is the exactly-recomputable leg; compression/
+    // bounds/stability/vocab shape are engine-gated invariants (the EM
+    // fit itself is pinned by TextAnalysisSpec's closed-form fixture).
+    "t25_unigram" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(regexp_replace(text, '\s+', '', 'g'))) AS BIGINT)
+        |    AS n_chars_total,
+        |  CAST(1 AS BIGINT) AS compress_ok,
+        |  CAST(1 AS BIGINT) AS bounds_ok,
+        |  CAST(1 AS BIGINT) AS stable_ok,
+        |  CAST(1 AS BIGINT) AS vocab_ok
         |FROM documents""".stripMargin,
   )
 }

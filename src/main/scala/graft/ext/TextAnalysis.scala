@@ -991,4 +991,129 @@ object TextAnalysis {
       }
     }
   }
+
+  /** Unigram-LM (SentencePiece) tokenizer FIT — the model behind most
+    * deployed open-weight tokenizers (T5/LLaMA-family), beside [[bpeLearnLocal]]'s
+    * BPE: a vocabulary of subword PIECES with log-probabilities, applied
+    * by per-word Viterbi segmentation (Kudo 2018). This fit is the
+    * deterministic HARD-EM (Viterbi-EM) variant over the bounded
+    * content-addressed sample (t23's train-on-a-sample discipline):
+    *
+    *  1. SEED: every single code point (never pruned — guarantees any
+    *     word segments) + the `seedCap` most frequent multi-codepoint
+    *     substrings up to `seedMaxLen` code points (count desc, UTF-8
+    *     order tiebreak), scored by raw occurrence frequency;
+    *  2. E-STEP: segment every distinct word with the SAME integer
+    *     Viterbi the apply kernel uses
+    *     ([[graft.functions.TextExpressions.viterbiSegment]] — fit and
+    *     inference cannot disagree by construction) and accumulate
+    *     count-weighted piece usage;
+    *  3. M-STEP: score(p) = round(ln(c'(p)/Σc')·1e6) in integer
+    *     MICRO-NATS, where c' adds +1 smoothing to single code points
+    *     (they must survive zero usage) and drops unused multi pieces;
+    *  4. PRUNE: while the multi-piece vocabulary exceeds `vocabSize`,
+    *     keep the top pieces by expected count (UTF-8 tiebreak),
+    *     dropping `pruneFrac` of the excess per round, then re-run EM —
+    *     SentencePiece's prune-and-refit loop with the likelihood-loss
+    *     ranking simplified to usage ranking (the hard-EM analogue).
+    *
+    * All state is integer or count-ordered — the fit is bit-identical
+    * across runs and JVMs. Returns (piece, micro-nat log-prob) sorted
+    * by UTF-8 piece order; feed to
+    * [[graft.functions.TextExpressions.unigramTokenize]]. */
+  def unigramFitLocal(texts: Seq[String], vocabSize: Int,
+                      seedMaxLen: Int = 6, seedCap: Int = 2048,
+                      emRounds: Int = 2,
+                      pruneFrac: Double = 0.5): Seq[(String, Long)] = {
+    import scala.collection.mutable
+    require(vocabSize >= 0 && seedMaxLen >= 2 && seedCap >= 0)
+    require(emRounds >= 1 && pruneFrac > 0.0 && pruneFrac <= 1.0)
+    val words = mutable.LinkedHashMap.empty[String, Long]
+    texts.foreach { t =>
+      if (t != null) t.trim.split("\\s+").foreach { w =>
+        if (w.nonEmpty) words.update(w, words.getOrElse(w, 0L) + 1L)
+      }
+    }
+    if (words.isEmpty) return Seq.empty
+    val wordList = words.toVector
+    // seed counts: all substrings of 1..seedMaxLen code points
+    val subCounts = mutable.HashMap.empty[String, Long]
+    wordList.foreach { case (w, c) =>
+      val syms = codepointSymbols(w)
+      var i = 0
+      while (i < syms.length) {
+        val sb = new StringBuilder
+        var j = i
+        while (j < syms.length && j - i < seedMaxLen) {
+          sb.append(syms(j))
+          j += 1
+          val p = sb.toString
+          subCounts.update(p, subCounts.getOrElse(p, 0L) + c)
+        }
+        i += 1
+      }
+    }
+    def cpLen(p: String): Int = p.codePointCount(0, p.length)
+    val singles = subCounts.keysIterator.filter(cpLen(_) == 1).toVector
+    val multiSeed = subCounts.iterator.filter { case (p, _) => cpLen(p) > 1 }
+      .toArray.sortWith { (x, y) =>
+        if (x._2 != y._2) x._2 > y._2 else byUtf8(x._1, y._1) < 0
+      }.take(seedCap).map(_._1)
+    def scoresFrom(counts: collection.Map[String, Long]): mutable.HashMap[String, Long] = {
+      val total = counts.valuesIterator.sum
+      val m = mutable.HashMap.empty[String, Long]
+      counts.foreach { case (p, c) =>
+        m(p) = math.round(math.log(c.toDouble / total.toDouble) * 1e6)
+      }
+      m
+    }
+    // initial scores from raw substring frequency over the seed vocab
+    var active: Vector[String] = singles ++ multiSeed
+    var scores = scoresFrom(active.iterator.map(p => p -> subCounts(p)).toMap)
+    def emCounts(): mutable.HashMap[String, Long] = {
+      val table = new java.util.HashMap[String, java.lang.Long](scores.size * 2)
+      scores.foreach { case (p, s) => table.put(p, java.lang.Long.valueOf(s)) }
+      val maxCp = scores.keysIterator.map(cpLen).max
+      val counts = mutable.HashMap.empty[String, Long]
+      wordList.foreach { case (w, c) =>
+        // oov is unreachable in the fit (every single code point is in
+        // the seed and never pruned) — the constant is a safe sentinel,
+        // large-negative but overflow-free under per-word accumulation
+        graft.functions.TextExpressions
+          .viterbiSegment(w, table, maxCp, -1000000000L)
+          .foreach(p => counts.update(p, counts.getOrElse(p, 0L) + c))
+      }
+      counts
+    }
+    def mStep(used: mutable.HashMap[String, Long]): Unit = {
+      val c = mutable.HashMap.empty[String, Long]
+      singles.foreach(p => c(p) = used.getOrElse(p, 0L) + 1L) // smoothing
+      active.foreach { p =>
+        if (cpLen(p) > 1) {
+          val u = used.getOrElse(p, 0L)
+          if (u > 0L) c(p) = u // unused multi pieces drop out
+        }
+      }
+      active = active.filter(c.contains)
+      scores = scoresFrom(c)
+    }
+    var done = false
+    while (!done) {
+      var r = 0
+      var lastUse: mutable.HashMap[String, Long] = null
+      while (r < emRounds) { lastUse = emCounts(); mStep(lastUse); r += 1 }
+      val multi = active.filter(cpLen(_) > 1)
+      if (multi.size > vocabSize) {
+        val excess = multi.size - vocabSize
+        val keepN = multi.size - math.max(1, math.ceil(excess * pruneFrac).toInt)
+        val kept = multi.map(p => (p, lastUse.getOrElse(p, 0L)))
+          .sortWith { (x, y) =>
+            if (x._2 != y._2) x._2 > y._2 else byUtf8(x._1, y._1) < 0
+          }.take(keepN).map(_._1).toSet
+        active = active.filter(p => cpLen(p) == 1 || kept(p))
+        scores = scores.filter { case (p, _) => cpLen(p) == 1 || kept(p) }
+      } else done = true
+    }
+    scores.toSeq.sortWith((x, y) => byUtf8(x._1, y._1) < 0)
+  }
 }

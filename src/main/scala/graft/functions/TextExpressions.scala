@@ -280,6 +280,121 @@ object TextExpressions {
   def bpeTokenize(c: Column, merges: Seq[(String, String)]): Column =
     Shim.column(BpeTokenize(Shim.expression(c), merges))
 
+  /** Viterbi segmentation of one word under a unigram-LM piece table —
+    * shared by the [[UnigramTokenize]] apply kernel and the hard-EM fit
+    * ([[graft.ext.TextAnalysis.unigramFitLocal]]'s E-step), so training
+    * and inference segment IDENTICALLY by construction. Scores are
+    * integer MICRO-NATS (log-prob × 1e6, negative) — all-integer DP, no
+    * float tie ambiguity. dp maximizes total score; ties prefer the
+    * LONGER last piece (smaller split point), deterministically. Every
+    * single code point must be in `score` (the fit guarantees it);
+    * an out-of-vocabulary code point scores `oovScore` so dirty corpus
+    * text degrades loudly-low instead of crashing the kernel.
+    * Segmentation is over code points — never through a surrogate pair. */
+  private[graft] def viterbiSegment(
+      word: String, score: java.util.HashMap[String, java.lang.Long],
+      maxPieceCp: Int, oovScore: Long): Array[String] = {
+    // code-point boundaries
+    val bounds = new scala.collection.mutable.ArrayBuffer[Int](word.length + 1)
+    var i = 0
+    bounds += 0
+    while (i < word.length) {
+      i += Character.charCount(word.codePointAt(i))
+      bounds += i
+    }
+    val n = bounds.length - 1 // number of code points
+    if (n == 0) return Array.empty
+    val dp = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1)
+    java.util.Arrays.fill(dp, Long.MinValue)
+    dp(0) = 0L
+    var e = 1
+    while (e <= n) {
+      var s = math.max(0, e - maxPieceCp)
+      // scan split points ascending: on ties, the SMALLEST s (longest
+      // last piece) wins via strict > below
+      while (s < e) {
+        if (dp(s) != Long.MinValue) {
+          val piece = word.substring(bounds(s), bounds(e))
+          val sc: java.lang.Long = score.get(piece)
+          val pieceScore: Long =
+            if (sc ne null) sc.longValue()
+            else if (e - s == 1) oovScore
+            else Long.MinValue
+          if (pieceScore != Long.MinValue && dp(s) + pieceScore > dp(e)) {
+            dp(e) = dp(s) + pieceScore
+            back(e) = s
+          }
+        }
+        s += 1
+      }
+      e += 1
+    }
+    // backtrack
+    val rev = new scala.collection.mutable.ArrayBuffer[String]()
+    var p = n
+    while (p > 0) {
+      val s = back(p)
+      rev += word.substring(bounds(s), bounds(p))
+      p = s
+    }
+    rev.reverseIterator.toArray
+  }
+
+  /** `unigram_tokenize(string)`: SentencePiece-style Unigram-LM subword
+    * segmentation (Kudo 2018) — per whitespace-word Viterbi under a
+    * fixed piece table, [[BpeTokenize]]'s sibling kernel: the vocab
+    * (piece → micro-nat log-prob) rides the expression as a reference
+    * object, one HashMap probe per (position, length≤maxPieceCp) pair,
+    * zero shuffles — the apply side of a fit that trained on a bounded
+    * sample ([[graft.ext.TextAnalysis.unigramFitLocal]]). */
+  case class UnigramTokenize(child: Expression, vocab: Seq[(String, Long)])
+      extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(s"expected string, got ${dt.simpleString}")
+    }
+    override def prettyName: String = "unigram_tokenize"
+
+    @transient private lazy val table: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+      vocab.foreach { case (p, s) => m.put(p, java.lang.Long.valueOf(s)) }
+      m
+    }
+    @transient private lazy val maxPieceCp: Int =
+      if (vocab.isEmpty) 1
+      else vocab.iterator.map(v => v._1.codePointCount(0, v._1.length)).max
+    @transient private lazy val oovScore: Long =
+      if (vocab.isEmpty) -1000000L
+      else vocab.iterator.map(_._2).min - 1000000L // worse than any real piece
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val words = input.asInstanceOf[UTF8String].toString.trim.split("\\s+", -1)
+      val out = new scala.collection.mutable.ArrayBuffer[Any]()
+      var i = 0
+      while (i < words.length) {
+        if (words(i).nonEmpty)
+          viterbiSegment(words(i), table, maxPieceCp, oovScore)
+            .foreach(p => out += UTF8String.fromString(p))
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("uniExpr", this, classOf[UnigramTokenize].getName)
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($s);")
+    }
+    override protected def withNewChildInternal(c: Expression): UnigramTokenize =
+      copy(child = c)
+  }
+
+  def unigramTokenize(c: Column, vocab: Seq[(String, Long)]): Column =
+    Shim.column(UnigramTokenize(Shim.expression(c), vocab))
+
   private[graft] def sqlBuilders
       : Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(

@@ -492,6 +492,74 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("unigramFitLocal: closed-form hard-EM on a hand-computable corpus") {
+    // words: ab x3, cd x1. Seed: singles {a,b,c,d} + multi {ab, cd}.
+    // E-step segments ab->[ab], cd->[cd]; M-step: used ab:3, cd:1,
+    // singles +1 smoothing each, total 8. Micro-nat scores:
+    //   ab = round(ln(3/8)*1e6) = -980829
+    //   everything else = round(ln(1/8)*1e6) = -2079442
+    // Second EM round reproduces the same segmentation: fixpoint.
+    val vocab = TextAnalysis.unigramFitLocal(
+      Seq("ab ab", "ab cd"), vocabSize = 2, seedMaxLen = 2, seedCap = 10)
+    assert(vocab == Seq(
+      ("a", -2079442L), ("ab", -980829L), ("b", -2079442L),
+      ("c", -2079442L), ("cd", -2079442L), ("d", -2079442L)))
+  }
+
+  test("unigramTokenize: Viterbi segmentation, ties prefer longer pieces, OOV degrades") {
+    import graft.functions.TextExpressions
+    def toks(text: String, vocab: Seq[(String, Long)]): Seq[String] =
+      Seq(text).toDF("t")
+        .select(TextExpressions.unigramTokenize(col("t"), vocab).as("x"))
+        .head().getSeq[String](0)
+    val v = Seq(("a", -2000000L), ("b", -2000000L), ("c", -2000000L),
+      ("ab", -1000000L), ("abc", -2500000L), ("d", -2000000L))
+    // 'abc': [abc] = -2.5e6 beats [ab,c] = -3e6 and [a,b,c] = -6e6
+    assert(toks("abc", v) == Seq("abc"))
+    // 'abd': [ab,d] = -3e6 beats [a,b,d] = -6e6
+    assert(toks("abd", v) == Seq("ab", "d"))
+    // whitespace boundaries are never crossed
+    assert(toks("ab  ab", v) == Seq("ab", "ab"))
+    // OOV code point falls back to a worse-than-anything single piece
+    assert(toks("axb", v) == Seq("a", "x", "b"))
+    // exact-score tie prefers the LONGER last piece deterministically
+    val tie = Seq(("a", -1000000L), ("aa", -2000000L))
+    assert(toks("aa", tie) == Seq("aa"))
+    // char conservation incl. a surrogate pair outside the vocab
+    val emoji = "a😀b"
+    assert(toks(emoji, v).mkString("") == emoji)
+  }
+
+  test("unigramFitLocal: prune loop hits the multi-piece budget, deterministic, kernel-compatible") {
+    var seed = 555L
+    def nextInt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    val syl = Vector("ka", "to", "mi", "ra", "zu", "ne", "pa", "lo")
+    val texts = (1 to 200).map(_ => (1 to (2 + nextInt(5))).map(_ =>
+      (1 to (1 + nextInt(3))).map(_ => syl(nextInt(8))).mkString).mkString(" "))
+    val fit1 = TextAnalysis.unigramFitLocal(texts, vocabSize = 24)
+    val fit2 = TextAnalysis.unigramFitLocal(texts, vocabSize = 24)
+    assert(fit1 == fit2, "fit must be run-to-run deterministic")
+    def cpLen(p: String) = p.codePointCount(0, p.length)
+    assert(fit1.count(v => cpLen(v._1) > 1) <= 24, "multi budget respected")
+    assert(fit1.forall(_._2 < 0L), "log-probs are negative micro-nats")
+    // every single code point of the corpus survives in the vocab
+    val cps = texts.flatMap(_.replaceAll("\\s+", "")).map(_.toString).toSet
+    assert(cps.subsetOf(fit1.map(_._1).toSet))
+    // the kernel applies it with char conservation + real compression
+    import graft.functions.TextExpressions
+    val out = texts.toDF("t")
+      .select(TextExpressions.unigramTokenize(col("t"), fit1).as("x"))
+      .select(aggregate(col("x"), lit(0L), (a, s) => a + length(s)).as("nc"),
+        size(col("x")).cast("long").as("nt"))
+      .agg(sum(col("nc")).as("nc"), sum(col("nt")).as("nt")).head()
+    val rawChars = texts.map(_.replaceAll("\\s+", "").length.toLong).sum
+    assert(out.getLong(0) == rawChars, "token chars must conserve corpus chars")
+    assert(out.getLong(1) < rawChars, "multi pieces must actually compress")
+  }
+
   test("bpeLearn picks most-frequent pairs deterministically and chains") {
     // corpus: "ab" dominates; after merging (a,b), pair (ab,c) dominates
     val docs = Seq("abc abc ab", "abc ab zz").toDF("text")

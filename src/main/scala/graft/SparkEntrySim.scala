@@ -194,6 +194,60 @@ private[graft] object SparkEntrySim {
       Similarity.recallGate(rr, exact, minBp = IvfPqShortlistMinBp)
     }),
 
+    // E18 — PERSISTED ANN index served from the ACID table (round-13
+    // composition row): the e14 IVF-PQ index is stored as DATA (the
+    // (neighbor_id, cell, codes) frame committed to a Snapshots table
+    // in three ingest deltas — the w25 maintenance cadence, each append
+    // a zero-shuffle encode of its batch) + CODEBOOK (centroids + PQ
+    // books persisted/reloaded via Similarity.saveIvfPqCodebook —
+    // doubles round-trip parquet bit-exactly). Two equality gates, both
+    // EXACT full-outer row matches on (vec_id, neighbor_id, rank):
+    // (1) search served from the persisted CURRENT index + reloaded
+    // codebook ≡ the in-memory e14 search; (2) search served from the
+    // TIME-TRAVELED snapshot 2 ≡ in-memory search over exactly the
+    // first two ingest batches. A codec/layout bug in either half of
+    // the persisted index breaks rank equality, not just recall.
+    "e18_persisted_ann" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val emb = t(s, dir, "embeddings")
+      val sub = vecAnchorPred(emb)
+      val root = s"$partScratchDir/${dirKey(dir)}_e18"
+      rmTree(root)
+      val ix0 = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+        nCells = 16, m = 16, ksub = 256, sampleN = 2048, iters = 6)
+      // one encode pass feeds three commits + both in-memory legs (the
+      // PQ encode projection is the expensive kernel here — ~5 recomputes
+      // without the cache; Bench drains per-query, so this stays scoped)
+      val ix = ix0.copy(data = ix0.data
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      for (i <- 0 until 3)
+        Snapshots.commitAppend(
+          ix.data.filter(pmod(col("neighbor_id"), lit(3)) === i), s"$root/table")
+      Similarity.saveIvfPqCodebook(s, ix, s"$root/codebook")
+      val (cents, books) = Similarity.loadIvfPqCodebook(s, s"$root/codebook")
+      val reloaded = Similarity.IvfPqIndex(
+        Snapshots.read(s, s"$root/table"), cents, books)
+      val historic = Similarity.IvfPqIndex(
+        Snapshots.read(s, s"$root/table", Some(2L)), cents, books)
+      val memHist = ix.copy(
+        data = ix.data.filter(pmod(col("neighbor_id"), lit(3)) =!= 2))
+      def search(index: Similarity.IvfPqIndex) =
+        Similarity.ivfPqSearch(index, emb.filter(sub),
+          "vec_id", "embedding", k = 10, nProbe = 4)
+      def mismatches(a: DataFrame, b: DataFrame) = a
+        .join(b.withColumnRenamed("rank", "rank2"),
+          Seq("vec_id", "neighbor_id"), "full_outer")
+        .filter(!(col("rank") <=> col("rank2")))
+        .agg(count(lit(1)).as("nm"))
+      val curEq = mismatches(search(reloaded), search(ix))
+      val travelEq = mismatches(search(historic), search(memHist))
+      emb.filter(sub).agg(count(lit(1)).as("n_query_vecs"))
+        .crossJoin(curEq.select(
+          when(col("nm") === 0, 1L).otherwise(0L).as("current_eq_ok")))
+        .crossJoin(travelEq.select(
+          when(col("nm") === 0, 1L).otherwise(0L).as("travel_eq_ok")))
+    }),
+
     // E4 embedding-cosine near-duplicate pairs (compiled kernel; sim
     // quantized to millis so the double survives the engine boundary).
     // E12 semantic decontamination: the embedding-space twin of d8/d13's
@@ -534,6 +588,15 @@ private[graft] object SparkEntrySim {
       s"""WITH $VecAnchCte
         |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS shortlist_ok,
         |  CAST(1 AS BIGINT) AS work_ok
+        |FROM anch""".stripMargin,
+
+    // e18: constant-oracle gate — the persisted/time-traveled index must
+    // serve rank-identical results to the in-memory e14 fit (exact
+    // full-outer equality, not a recall floor).
+    "e18_persisted_ann" ->
+      s"""WITH $VecAnchCte
+        |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS current_eq_ok,
+        |  CAST(1 AS BIGINT) AS travel_eq_ok
         |FROM anch""".stripMargin,
 
     // e9: constant gate — k-means must converge (Lloyd's WCSS invariant)

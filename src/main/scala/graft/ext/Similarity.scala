@@ -504,6 +504,45 @@ object Similarity {
     IvfPqIndex(data, centroids, books)
   }
 
+  /** Persist an [[IvfPqIndex]]'s CODEBOOK (coarse centroids + PQ
+    * sub-codebooks) as two tiny parquet tables — the driver-sized half
+    * of the index; the `(neighbor_id, cell, codes)` data half belongs in
+    * an ACID table ([[graft.ops.Snapshots]] — e18's composition: commits
+    * append encode deltas, time travel serves historical index states).
+    * Doubles round-trip parquet bit-exactly, so a reloaded codebook
+    * scores IDENTICALLY to the in-memory fit. */
+  def saveIvfPqCodebook(spark: org.apache.spark.sql.SparkSession,
+                        ix: IvfPqIndex, dir: String): Unit = {
+    import spark.implicits._
+    ix.centroids.zipWithIndex.flatMap { case (row, c) =>
+      row.zipWithIndex.map { case (v, p) => (c, p, v) }
+    }.toSeq.toDF("cell", "pos", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    ix.books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.flatMap { case (row, c) =>
+        row.zipWithIndex.map { case (v, p) => (s, c, p, v) }
+      }
+    }.toSeq.toDF("sub", "code", "pos", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+  }
+
+  /** Reload [[saveIvfPqCodebook]]'s tables into driver arrays. */
+  def loadIvfPqCodebook(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cRows = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val cents = Array.fill(cRows.map(_._1).max + 1)(
+      new Array[Double](cRows.map(_._2).max + 1))
+    cRows.foreach { case (c, p, v) => cents(c)(p) = v }
+    val bRows = spark.read.parquet(s"$dir/books")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val books = Array.fill(bRows.map(_._1).max + 1)(
+      Array.fill(bRows.map(_._2).max + 1)(
+        new Array[Double](bRows.map(_._3).max + 1)))
+    bRows.foreach { case (s, c, p, v) => books(s)(c)(p) = v }
+    (cents, books)
+  }
+
   /** ADC search over an [[ivfPqFit]] index: each query probes its
     * `nProbe` nearest cells (an equi-join on cell id — never all-pairs),
     * candidates score by `cosine(query, pq_decode(codes))` — the

@@ -131,6 +131,16 @@ object Bench {
     */
   val BudgetChars = 1990
 
+  /** The round's own LOCAL full-sweep total at sf0.1 (best complete
+    * pass over the same query list, measured when the protocol rows
+    * were taken — BASELINE.md round-13 checkpoint). Emitted as
+    * `"sweep01"` beside the official `"value"` so the
+    * official-vs-local-session pair is MACHINE-READABLE and the
+    * session-noise attribution (uniform drift vs per-plan regression)
+    * no longer lives only in prose. Update per round alongside the
+    * BASELINE checkpoint. */
+  val LocalSweepSf01Sec = 227.1
+
   /** Truncate on a code-point boundary: a high surrogate left at the cut
     * is dropped rather than orphaned (render additionally \u-escapes any
     * surrogate, so even an interior lone surrogate stays parseable). */
@@ -229,7 +239,7 @@ object Bench {
       val minQueryTotal = num(best.values.sum, 2)
       val pts = passTotals.map(num(_, 1)).mkString("[", ",", "]")
       val ab = if (short) """"abbrev":1,""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$es$ab"min_query_total":$minQueryTotal,"pass_totals":$pts,"sf":${jstr(sfName)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$es$ab"min_query_total":$minQueryTotal,"pass_totals":$pts,"sweep01":${num(LocalSweepSf01Sec, 1)},"sf":${jstr(sfName)}}"""
     }
     // Full names degrade through fine precision (3dp, 2dp, adaptive);
     // before sacrificing relative precision below that — what per-query

@@ -45,6 +45,8 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(node.get("value").asDouble > 0.0)
     assert(node.get("pass_totals").size() == 2)
     assert(node.get("sf").asText.endsWith("sf0.1"))
+    // the official-vs-local-session pair is machine-readable (r12 #9)
+    assert(node.get("sweep01").asDouble == Bench.LocalSweepSf01Sec)
   }
 
   test("abbrev tier: overflowing name lists collapse to unique id prefixes; ambiguous ones never do") {

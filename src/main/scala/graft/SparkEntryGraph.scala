@@ -90,6 +90,21 @@ private[graft] object SparkEntryGraph {
       EntityResolution.resolve(recs, "rec_id", pairs)
     }),
 
+    // ER6 — er2's entities computed by STAR CONTRACTION (round 13:
+    // Components.StarContraction — alternating large-star/small-star,
+    // O(log² V) rounds at ANY graph diameter, the er4-chain-safe
+    // algorithm). The oracle is er2's recursive-CTE closure VERBATIM:
+    // hash equality proves the contraction fixpoint labels the real
+    // fixture identically to hash-min's diameter-bounded propagation —
+    // the algorithm swap is judged, not just spec-pinned.
+    "er6_entities_star" -> ((s, dir) => {
+      val recs = erRecords(t(s, dir, "part"))
+      val pairs = EntityResolution.matchPairs(recs, "rec_id",
+        "name", erBlock, ErMinSimBp, maxBlock = Some(ErMaxBlock))
+      EntityResolution.resolve(recs, "rec_id", pairs,
+        algo = graft.ops.Components.StarContraction)
+    }),
+
     // ER4 — sorted-neighborhood linkage (SNM, Hernández & Stolfo 1995):
     // the window-on-a-sorted-key alternative to er1's key blocking —
     // per-record fan-out bounded by the window even under block-key
@@ -138,6 +153,37 @@ private[graft] object SparkEntryGraph {
           col("n_members"))
     }),
   )
+
+  /** The er-fixture transitive-closure truth (recursive CTE, d9's
+    * shape) — shared verbatim by er2 (hash-min) and er6
+    * (star-contraction): one truth, two judged algorithms. */
+  private val ErClosureSql: String =
+    """WITH RECURSIVE recs AS (
+      |  SELECT p_partkey * 2 AS rec_id, p_name AS name,
+      |    p_brand AS brand, p_size AS size FROM part
+      |  UNION ALL
+      |  SELECT p_partkey * 2 + 1, substr(p_name, 1, length(p_name) - 1),
+      |    p_brand, p_size FROM part
+      |  WHERE ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2))::BIGINT < 64),
+      |keyed AS (
+      |  SELECT rec_id, name,
+      |    brand || '|' || size || '|' || substr(name, 1, 2) AS bk FROM recs),
+      |ok AS (SELECT bk FROM keyed GROUP BY bk HAVING count(*) <= 64),
+      |k2 AS (SELECT keyed.* FROM keyed JOIN ok USING (bk)),
+      |pairs AS (
+      |  SELECT a.rec_id AS id_a, b.rec_id AS id_b
+      |  FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.rec_id < b.rec_id
+      |  WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
+      |      greatest(length(a.name), length(b.name)))) >= 8500),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT rec_id AS src, rec_id AS dst FROM recs
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+      |SELECT src AS rec_id, CAST(min(dst) AS BIGINT) AS entity_id
+      |FROM reach GROUP BY src""".stripMargin
 
   val oracle: Map[String, String] = Map(
 
@@ -438,33 +484,12 @@ private[graft] object SparkEntryGraph {
 
     // er2: er1's pairs closed transitively (recursive CTE, d9's shape)
     // over every record — singletons label themselves.
-    "er2_entities" ->
-      """WITH RECURSIVE recs AS (
-        |  SELECT p_partkey * 2 AS rec_id, p_name AS name,
-        |    p_brand AS brand, p_size AS size FROM part
-        |  UNION ALL
-        |  SELECT p_partkey * 2 + 1, substr(p_name, 1, length(p_name) - 1),
-        |    p_brand, p_size FROM part
-        |  WHERE ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 2))::BIGINT < 64),
-        |keyed AS (
-        |  SELECT rec_id, name,
-        |    brand || '|' || size || '|' || substr(name, 1, 2) AS bk FROM recs),
-        |ok AS (SELECT bk FROM keyed GROUP BY bk HAVING count(*) <= 64),
-        |k2 AS (SELECT keyed.* FROM keyed JOIN ok USING (bk)),
-        |pairs AS (
-        |  SELECT a.rec_id AS id_a, b.rec_id AS id_b
-        |  FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.rec_id < b.rec_id
-        |  WHERE floor(10000 * (1.0 - levenshtein(a.name, b.name) * 1.0 /
-        |      greatest(length(a.name), length(b.name)))) >= 8500),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT rec_id AS src, rec_id AS dst FROM recs
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
-        |SELECT src AS rec_id, CAST(min(dst) AS BIGINT) AS entity_id
-        |FROM reach GROUP BY src""".stripMargin,
+    "er2_entities" -> ErClosureSql,
+
+    // er6: THE SAME truth as er2, verbatim — the judged property is that
+    // the star-contraction fixpoint labels identically to hash-min's
+    // closure on the real fixture.
+    "er6_entities_star" -> ErClosureSql,
 
     // er3: er2's labels + the (length DESC, rec_id) survivorship window.
     "er3_golden" ->

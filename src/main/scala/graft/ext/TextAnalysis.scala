@@ -934,6 +934,18 @@ object TextAnalysis {
     } finally { pinned.unpersist(blocking = false); () }
   }
 
+  /** Every substring of `w` spanning 1..`maxLen` CODE POINTS, weighted
+    * by the word's count — the unigram seed-count unit, shared by the
+    * driver loop and the distributed flatMap. */
+  private def seedSubstrings(
+      w: String, c: Long, maxLen: Int): Iterator[(String, Long)] = {
+    val syms = codepointSymbols(w)
+    (0 until syms.length).iterator.flatMap { i =>
+      val lim = math.min(syms.length - i, maxLen)
+      (1 to lim).iterator.map(l => (syms.slice(i, i + l).mkString, c))
+    }
+  }
+
   /** A word as code-point symbols — the BPE base alphabet (same split
     * as [[bpeLearnLocal]]'s). */
   private def codepointSymbols(w: String): Array[String] = {
@@ -1026,32 +1038,74 @@ object TextAnalysis {
                       emRounds: Int = 2,
                       pruneFrac: Double = 0.5): Seq[(String, Long)] = {
     import scala.collection.mutable
-    require(vocabSize >= 0 && seedMaxLen >= 2 && seedCap >= 0)
-    require(emRounds >= 1 && pruneFrac > 0.0 && pruneFrac <= 1.0)
     val words = mutable.LinkedHashMap.empty[String, Long]
     texts.foreach { t =>
       if (t != null) t.trim.split("\\s+").foreach { w =>
         if (w.nonEmpty) words.update(w, words.getOrElse(w, 0L) + 1L)
       }
     }
-    if (words.isEmpty) return Seq.empty
-    val wordList = words.toVector
-    // seed counts: all substrings of 1..seedMaxLen code points
+    unigramFitWords(
+      Left(words.toVector), vocabSize, seedMaxLen, seedCap, emRounds, pruneFrac)
+  }
+
+  /** [[unigramFitLocal]]'s DISTRIBUTED twin — for a training sample too
+    * big to collect (the [[bpeLearn]] relationship). The distinct-word
+    * state is STATIC here (unigram EM never rewrites words — unlike
+    * BPE's merge application), so the fit is: one grouping shuffle at
+    * entry, one seed-count aggregate, then per EM round exactly ONE job
+    * (segment every cached word under the broadcast score table,
+    * reduceByKey the piece counts — the shuffle carries the vocabulary,
+    * never the corpus) with all selection/pruning driver-side on the
+    * vocab-sized count map. Spec-pinned bit-identical to the local fit:
+    * both run [[unigramFitWords]], whose E-step sums per-piece LONG
+    * counts (addition commutes — partitioning cannot move the result). */
+  def unigramFit(docs: DataFrame, text: String, vocabSize: Int,
+                 seedMaxLen: Int = 6, seedCap: Int = 2048,
+                 emRounds: Int = 2,
+                 pruneFrac: Double = 0.5): Seq[(String, Long)] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val words = docs
+      .select(explode(split(trim(col(text)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try unigramFitWords(
+      Right(words), vocabSize, seedMaxLen, seedCap, emRounds, pruneFrac)
+    finally { words.unpersist(blocking = false); () }
+  }
+
+  /** Shared hard-EM loop over distinct words with counts — Left: a
+    * driver vector ([[unigramFitLocal]]); Right: a cached RDD
+    * ([[unigramFit]]). Every step except the E-step scan is driver-side
+    * either way, and the E-step is a commutative LONG-count sum, so the
+    * two forms are bit-identical by construction. */
+  private def unigramFitWords(
+      words: Either[Vector[(String, Long)],
+                    org.apache.spark.rdd.RDD[(String, Long)]],
+      vocabSize: Int, seedMaxLen: Int, seedCap: Int,
+      emRounds: Int, pruneFrac: Double): Seq[(String, Long)] = {
+    import scala.collection.mutable
+    require(vocabSize >= 0 && seedMaxLen >= 2 && seedCap >= 0)
+    require(emRounds >= 1 && pruneFrac > 0.0 && pruneFrac <= 1.0)
+    if (words.fold(_.isEmpty, _.isEmpty())) return Seq.empty
+    // seed counts: all substrings of 1..seedMaxLen code points — a
+    // driver loop or ONE flatMap+reduceByKey job; the distinct-substring
+    // domain is trainer-state-sized either way (bpeLearn's driver-map
+    // class)
     val subCounts = mutable.HashMap.empty[String, Long]
-    wordList.foreach { case (w, c) =>
-      val syms = codepointSymbols(w)
-      var i = 0
-      while (i < syms.length) {
-        val sb = new StringBuilder
-        var j = i
-        while (j < syms.length && j - i < seedMaxLen) {
-          sb.append(syms(j))
-          j += 1
-          val p = sb.toString
-          subCounts.update(p, subCounts.getOrElse(p, 0L) + c)
+    words match {
+      case Left(v) => v.foreach { case (w, c) =>
+        seedSubstrings(w, c, seedMaxLen).foreach { case (p, n) =>
+          subCounts.update(p, subCounts.getOrElse(p, 0L) + n)
         }
-        i += 1
       }
+      case Right(rdd) =>
+        val ml = seedMaxLen
+        rdd.flatMap { case (w, c) => seedSubstrings(w, c, ml) }
+          .reduceByKey(_ + _).collect()
+          .foreach { case (p, n) => subCounts(p) = n }
     }
     def cpLen(p: String): Int = p.codePointCount(0, p.length)
     val singles = subCounts.keysIterator.filter(cpLen(_) == 1).toVector
@@ -1071,17 +1125,40 @@ object TextAnalysis {
     var active: Vector[String] = singles ++ multiSeed
     var scores = scoresFrom(active.iterator.map(p => p -> subCounts(p)).toMap)
     def emCounts(): mutable.HashMap[String, Long] = {
-      val table = new java.util.HashMap[String, java.lang.Long](scores.size * 2)
-      scores.foreach { case (p, s) => table.put(p, java.lang.Long.valueOf(s)) }
       val maxCp = scores.keysIterator.map(cpLen).max
       val counts = mutable.HashMap.empty[String, Long]
-      wordList.foreach { case (w, c) =>
-        // oov is unreachable in the fit (every single code point is in
-        // the seed and never pruned) — the constant is a safe sentinel,
-        // large-negative but overflow-free under per-word accumulation
-        graft.functions.TextExpressions
-          .viterbiSegment(w, table, maxCp, -1000000000L)
-          .foreach(p => counts.update(p, counts.getOrElse(p, 0L) + c))
+      words match {
+        case Left(v) =>
+          val table = new java.util.HashMap[String, java.lang.Long](scores.size * 2)
+          scores.foreach { case (p, s) => table.put(p, java.lang.Long.valueOf(s)) }
+          v.foreach { case (w, c) =>
+            // oov is unreachable in the fit (every single code point is
+            // in the seed and never pruned) — the constant is a safe
+            // sentinel, large-negative but overflow-free
+            graft.functions.TextExpressions
+              .viterbiSegment(w, table, maxCp, -1000000000L)
+              .foreach(p => counts.update(p, counts.getOrElse(p, 0L) + c))
+          }
+        case Right(rdd) =>
+          // ONE job per EM round: the score table ships in the closure
+          // (vocab-sized), builds once per partition, and the shuffle
+          // carries per-piece LONG counts — the vocabulary, never the
+          // corpus. Long addition commutes, so this is bit-identical to
+          // the driver loop above.
+          val scoreArr = scores.toArray
+          val mc = maxCp
+          rdd.mapPartitions { it =>
+            val table = new java.util.HashMap[String, java.lang.Long](scoreArr.length * 2)
+            scoreArr.foreach { case (p, s) => table.put(p, java.lang.Long.valueOf(s)) }
+            val acc = scala.collection.mutable.HashMap.empty[String, Long]
+            it.foreach { case (w, c) =>
+              graft.functions.TextExpressions
+                .viterbiSegment(w, table, mc, -1000000000L)
+                .foreach(p => acc.update(p, acc.getOrElse(p, 0L) + c))
+            }
+            acc.iterator
+          }.reduceByKey(_ + _).collect()
+            .foreach { case (p, n) => counts(p) = n }
       }
       counts
     }

@@ -560,6 +560,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getLong(1) < rawChars, "multi pieces must actually compress")
   }
 
+  test("unigramFit (distributed) == unigramFitLocal, bit-identical") {
+    var seed = 909L
+    def nextInt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    val syl = Vector("ka", "to", "mi", "ra", "zu", "ne", "pa", "lo")
+    val texts = (1 to 150).map(_ => (1 to (2 + nextInt(5))).map(_ =>
+      (1 to (1 + nextInt(3))).map(_ => syl(nextInt(8))).mkString).mkString(" "))
+    val local = TextAnalysis.unigramFitLocal(texts, vocabSize = 16)
+    val dist = TextAnalysis.unigramFit(
+      texts.toDF("text").repartition(7), "text", vocabSize = 16)
+    assert(dist == local, "distributed hard-EM must equal the driver fit")
+    assert(local.nonEmpty)
+    // empty corpus degenerates identically
+    assert(TextAnalysis.unigramFit(
+      Seq.empty[String].toDF("text"), "text", vocabSize = 4).isEmpty)
+  }
+
   test("bpeLearn picks most-frequent pairs deterministically and chains") {
     // corpus: "ab" dominates; after merging (a,b), pair (ab,c) dominates
     val docs = Seq("abc abc ab", "abc ab zz").toDF("text")

@@ -526,19 +526,34 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
   }
 
-  /** Reload [[saveIvfPqCodebook]]'s tables into driver arrays. */
+  /** Reload [[saveIvfPqCodebook]]'s tables into driver arrays. DENSITY
+    * is verified — every (cell,pos) / (sub,code,pos) coordinate present
+    * exactly once — so a torn or partially-listed table fails loudly
+    * instead of silently zero-filling codebook entries (a wrong-but-
+    * plausible codebook would pass recall gates on easy corpora — the
+    * silent class the Snapshots/_SUCCESS discipline exists to kill). */
   def loadIvfPqCodebook(spark: org.apache.spark.sql.SparkSession, dir: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val cRows = spark.read.parquet(s"$dir/centroids")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    require(cRows.nonEmpty, s"empty centroid table under $dir")
     val cents = Array.fill(cRows.map(_._1).max + 1)(
       new Array[Double](cRows.map(_._2).max + 1))
+    require(cRows.map(t => (t._1, t._2)).distinct.length == cRows.length &&
+      cRows.length == cents.length * cents(0).length,
+      s"torn/partial centroid table under $dir: ${cRows.length} rows " +
+        s"for ${cents.length}x${cents(0).length}")
     cRows.foreach { case (c, p, v) => cents(c)(p) = v }
     val bRows = spark.read.parquet(s"$dir/books")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    require(bRows.nonEmpty, s"empty codebook table under $dir")
     val books = Array.fill(bRows.map(_._1).max + 1)(
       Array.fill(bRows.map(_._2).max + 1)(
         new Array[Double](bRows.map(_._3).max + 1)))
+    require(bRows.map(t => (t._1, t._2, t._3)).distinct.length == bRows.length &&
+      bRows.length == books.length * books(0).length * books(0)(0).length,
+      s"torn/partial codebook table under $dir: ${bRows.length} rows " +
+        s"for ${books.length}x${books(0).length}x${books(0)(0).length}")
     bRows.foreach { case (s, c, p, v) => books(s)(c)(p) = v }
     (cents, books)
   }

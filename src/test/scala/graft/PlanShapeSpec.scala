@@ -40,6 +40,21 @@ class PlanShapeSpec extends SparkSpec {
   private def q(name: String): SparkPlan =
     finalPlan(SparkEntry.queries(name)(spark, sf))
 
+  test("round-13 kernels: header decode and unigram apply are scan passes, zero exchanges") {
+    import org.apache.spark.sql.functions.{col, encode}
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val hdr = finalPlan(graft.ext.Multimodal.imageHeaders(
+      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("content")),
+      "doc_id", "content").toDF())
+    assert(shuffles(hdr).isEmpty && broadcasts(hdr).isEmpty,
+      s"m8 header-decode kernel grew an exchange:\n$hdr")
+    val vocab = Seq(("a", -1000000L), ("b", -1200000L), ("ab", -900000L))
+    val uni = finalPlan(docs.select(
+      graft.functions.TextExpressions.unigramTokenize(col("text"), vocab).as("t")))
+    assert(shuffles(uni).isEmpty && broadcasts(uni).isEmpty,
+      s"t25 unigram-apply kernel grew an exchange:\n$uni")
+  }
+
   test("j5 parent pointer is a pure projection: zero exchanges") {
     val p = q("j5_parent_pointer")
     assert(shuffles(p).isEmpty && broadcasts(p).isEmpty,

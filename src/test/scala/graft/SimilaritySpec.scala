@@ -147,6 +147,32 @@ class SimilaritySpec extends SparkSpec {
       .exceptAll(fullPairs.select("vec_id", "neighbor_id")).isEmpty)
   }
 
+  test("IVF-PQ codebook: parquet round-trip bit-exact; torn tables fail loudly") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val ix = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      nCells = 8, m = 8, ksub = 16, sampleN = 128, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("e18_cb").toString
+    Similarity.saveIvfPqCodebook(spark, ix, dir)
+    val (cents, books) = Similarity.loadIvfPqCodebook(spark, dir)
+    assert(cents.map(_.toSeq).toSeq == ix.centroids.map(_.toSeq).toSeq)
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq ==
+      ix.books.map(_.map(_.toSeq).toSeq).toSeq)
+    // a torn/partial books table (rows missing) must throw, never
+    // zero-fill a plausible-but-wrong codebook — collect a truncated
+    // copy first, then overwrite in place (lazy read + overwrite of the
+    // same dir would clobber its own input)
+    import spark.implicits._
+    val few = spark.read.parquet(s"$dir/books")
+      .as[(Int, Int, Int, Double)].collect().toSeq
+      .sortBy(t => (t._1, t._2, t._3)).dropRight(3)
+    few.toDF("sub", "code", "pos", "v")
+      .write.mode("overwrite").parquet(s"$dir/books")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.loadIvfPqCodebook(spark, dir)
+    }
+    assert(ex.getMessage.contains("torn"), ex.getMessage)
+  }
+
   test("rerankExact over a complete shortlist reproduces brute k-NN exactly") {
     val emb = Tables.load(spark, sf, "embeddings").limit(60)
     // shortlist = every ordered pair: the exact re-rank then IS brute

@@ -98,17 +98,20 @@ private[graft] object SparkEntryMedia {
     }),
 
     // M8 — REAL image-header decode (round-13): each doc gets a REAL
-    // binary header planted — a full PNG signature + IHDR chunk (even
-    // ids; color type cycling gray/rgb/rgba) or a JPEG SOI → APP0-JFIF
-    // → variable-length COM → SOF0 chain (odd ids; 1 or 3 components)
-    // — with width/height/depth derived from doc_id, then the engine
-    // must RECOVER the fields from the bytes alone
-    // (Multimodal.imageHeaders: fixed-offset IHDR read + JPEG
-    // marker-segment walk; the COM segment's id-dependent length is
-    // what forces a real walk, not a fixed-offset peek). The oracle
-    // states the planted truth arithmetically (m6's planted-signature
-    // pattern). n_px = width·height is the m3-feature hand-off: real
-    // metadata joining the feature frame without decoding pixels.
+    // binary header planted, cycling doc_id%4 over the four container
+    // families — PNG signature + IHDR chunk (color type cycling
+    // gray/rgb/rgba), JPEG SOI → APP0-JFIF → variable-length COM →
+    // SOF0 chain (1 or 3 components), GIF89a logical screen
+    // descriptor (little-endian dims), BMP BITMAPINFOHEADER
+    // (little-endian dims, 24-bit) — with width/height/depth derived
+    // from doc_id, then the engine must RECOVER the fields from the
+    // bytes alone (Multimodal.imageHeaders: fixed-offset IHDR/GIF/BMP
+    // reads in each format's OWN endianness + the JPEG marker-segment
+    // walk; the COM segment's id-dependent length is what forces a
+    // real walk, not a fixed-offset peek). The oracle states the
+    // planted truth arithmetically (m6's planted-signature pattern).
+    // n_px = width·height is the m3-feature hand-off: real metadata
+    // joining the feature frame without decoding pixels.
     "m8_media_headers" -> ((s, dir) => {
       import s.implicits._
       val blobs = t(s, dir, "documents").select(col("doc_id")).as[Long]
@@ -168,10 +171,11 @@ private[graft] object SparkEntryMedia {
     }),
   )
 
-  /** m8 fixture: a REAL, minimal media file header for `id` — PNG
-    * (even ids) or JPEG (odd ids) — whose dimension fields are pure
-    * doc_id arithmetic so the oracle can state them relationally.
-    * Fixture-construction code: the judged path is the PARSER. */
+  /** m8 fixture: a REAL, minimal media file header for `id` —
+    * doc_id%4 cycles PNG / JPEG / GIF / BMP — whose dimension fields
+    * are pure doc_id arithmetic so the oracle can state them
+    * relationally. Fixture-construction code: the judged path is the
+    * PARSER. */
   private def m8Blob(id: Long): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val w = (16 + id % 1000).toInt
@@ -180,25 +184,39 @@ private[graft] object SparkEntryMedia {
     def u16(v: Int): Unit = b(v >> 8, v)
     def u32(v: Long): Unit =
       b((v >> 24).toInt, (v >> 16).toInt, (v >> 8).toInt, v.toInt)
-    if (id % 2 == 0) {
-      val colorType = ((id / 2) % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
-      b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) // PNG signature
-      u32(13L); b('I', 'H', 'D', 'R')                    // IHDR chunk
-      u32(w.toLong); u32(h.toLong)
-      b(8, colorType, 0, 0, 0)                           // depth 8, comp/filt/inter
-      u32(0L)                                            // CRC (unchecked)
-    } else {
-      val ncomp = if ((id / 2) % 2 == 0) 1 else 3
-      b(0xFF, 0xD8)                                      // SOI
-      b(0xFF, 0xE0); u16(16)                             // APP0 JFIF
-      b('J', 'F', 'I', 'F', 0, 1, 1, 0); u16(72); u16(72); b(0, 0)
-      val comLen = 2 + (id % 7).toInt + 1                // id-dependent COM
-      b(0xFF, 0xFE); u16(comLen)
-      (0 until comLen - 2).foreach(_ => b('x'))
-      b(0xFF, 0xC0); u16(8 + 3 * ncomp)                  // SOF0
-      b(8); u16(h); u16(w); b(ncomp)
-      (0 until ncomp).foreach(c => b(c + 1, 0x11, 0))
-      b(0xFF, 0xD9)                                      // EOI
+    def u16l(v: Int): Unit = b(v, v >> 8)
+    def u32l(v: Int): Unit = b(v, v >> 8, v >> 16, v >> 24)
+    (id % 4).toInt match {
+      case 0 =>
+        val colorType = ((id / 4) % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+        b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) // PNG signature
+        u32(13L); b('I', 'H', 'D', 'R')                    // IHDR chunk
+        u32(w.toLong); u32(h.toLong)
+        b(8, colorType, 0, 0, 0)                           // depth 8, comp/filt/inter
+        u32(0L)                                            // CRC (unchecked)
+      case 1 =>
+        val ncomp = if ((id / 4) % 2 == 0) 1 else 3
+        b(0xFF, 0xD8)                                      // SOI
+        b(0xFF, 0xE0); u16(16)                             // APP0 JFIF
+        b('J', 'F', 'I', 'F', 0, 1, 1, 0); u16(72); u16(72); b(0, 0)
+        val comLen = 2 + (id % 7).toInt + 1                // id-dependent COM
+        b(0xFF, 0xFE); u16(comLen)
+        (0 until comLen - 2).foreach(_ => b('x'))
+        b(0xFF, 0xC0); u16(8 + 3 * ncomp)                  // SOF0
+        b(8); u16(h); u16(w); b(ncomp)
+        (0 until ncomp).foreach(c => b(c + 1, 0x11, 0))
+        b(0xFF, 0xD9)                                      // EOI
+      case 2 =>
+        b('G', 'I', 'F', '8', '9', 'a')                    // signature
+        u16l(w); u16l(h)                                   // LE dims
+        b(0x70, 0, 0)                                      // color res 8, no GCT
+        b(0x3B)                                            // trailer
+      case _ =>
+        b('B', 'M'); u32l(70); u32l(0); u32l(54)           // file header
+        u32l(40)                                           // BITMAPINFOHEADER
+        u32l(w); u32l(h)                                   // LE dims
+        u16l(1); u16l(24)                                  // planes, 24bpp
+        u32l(0); u32l(0); u32l(0); u32l(0); u32l(0); u32l(0)
     }
     out.toByteArray
   }
@@ -207,16 +225,20 @@ private[graft] object SparkEntryMedia {
 
     // m8: the PLANTED header truth in doc_id arithmetic — the engine
     // must recover every field from the bytes (m6's pattern, extended
-    // from a 4-byte signature to full dimension fields).
+    // from a 4-byte signature to full dimension fields, across all
+    // four planted container families and both endiannesses).
     "m8_media_headers" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id%2=0 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |  CASE doc_id%4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'gif' ELSE 'bmp' END AS fmt,
         |  CAST(16 + doc_id%1000 AS BIGINT) AS width,
         |  CAST(16 + (doc_id*7)%777 AS BIGINT) AS height,
-        |  CAST(8 AS BIGINT) AS bit_depth,
-        |  CAST(CASE WHEN doc_id%2=0
-        |    THEN CASE (doc_id//2)%3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
-        |    ELSE CASE (doc_id//2)%2 WHEN 0 THEN 1 ELSE 3 END
+        |  CAST(CASE WHEN doc_id%4=3 THEN 24 ELSE 8 END AS BIGINT) AS bit_depth,
+        |  CAST(CASE doc_id%4
+        |    WHEN 0 THEN CASE (doc_id//4)%3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+        |    WHEN 1 THEN CASE (doc_id//4)%2 WHEN 0 THEN 1 ELSE 3 END
+        |    WHEN 2 THEN 1
+        |    ELSE 3
         |  END AS BIGINT) AS channels,
         |  CAST((16 + doc_id%1000) * (16 + (doc_id*7)%777) AS BIGINT) AS n_px
         |FROM documents""".stripMargin,

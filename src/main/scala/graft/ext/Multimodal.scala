@@ -171,13 +171,16 @@ object Multimodal {
   /** REAL media header decode (round-13) — JDK-only byte parsing, no
     * codec library needed for HEADERS: PNG IHDR fixed-offset fields
     * (width/height u32 big-endian at 16/20, bit depth at 24, color
-    * type at 25 → channel count), and JPEG SOF dimensions found by
+    * type at 25 → channel count), JPEG SOF dimensions found by
     * WALKING the marker-segment chain (skipping APPn/COM/DQT/DHT by
     * their declared lengths until an SOFn frame header — real JPEG
     * headers are variable-length, so a fixed-offset read would
-    * mis-parse any file with EXIF or comments). Unrecognized or
-    * malformed blobs yield fmt='unknown' with zeroed dims — loud in
-    * any downstream aggregate, never a silently wrong dimension.
+    * mis-parse any file with EXIF or comments), GIF logical-screen
+    * descriptors (little-endian dims, color-resolution bits), and BMP
+    * BITMAPINFOHEADER (little-endian dims, top-down negative heights
+    * normalized, biBitCount → channels). Unrecognized or malformed
+    * blobs yield fmt='unknown' with zeroed dims — loud in any
+    * downstream aggregate, never a silently wrong dimension.
     *
     * Runs in the amortized-init mapPartitions slot ([[extractFeatures]]'
     * shape): one narrow pass in the scan stage, nothing shuffles, and
@@ -198,6 +201,9 @@ object Multimodal {
   private def u32be(b: Array[Byte], i: Int): Long =
     (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
       (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
+  private def u16le(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def i32le(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
 
   private def parseImageHeader(id: Long, b: Array[Byte]): ImageHeader = {
     val unknown = ImageHeader(id, "unknown", 0L, 0L, 0L, 0L)
@@ -236,6 +242,25 @@ object Multimodal {
         }
       }
       unknown
+    } else if (b.length >= 11 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      // GIF logical screen descriptor: w/h u16 LITTLE-endian at 6/8;
+      // color resolution bits = ((flags >> 4) & 7) + 1; palette-indexed
+      ImageHeader(id, "gif", u16le(b, 6).toLong, u16le(b, 8).toLong,
+        (((u8(b, 10) >> 4) & 7) + 1).toLong, 1L)
+    } else if (b.length >= 30 && b(0) == 'B' && b(1) == 'M') {
+      // BMP BITMAPINFOHEADER: dib size u32le at 14 (>= 40), width/height
+      // i32le at 18/22 (height may be negative = top-down), biBitCount
+      // u16le at 28 — bits per PIXEL (the format's own field; 24→BGR,
+      // 32→BGRA, <=8→palette)
+      val dib = i32le(b, 14)
+      if (dib < 40) unknown
+      else {
+        val bits = u16le(b, 28)
+        val ch = bits match { case 24 => 3L; case 32 => 4L; case _ => 1L }
+        ImageHeader(id, "bmp", i32le(b, 18).toLong,
+          math.abs(i32le(b, 22)).toLong, bits.toLong, ch)
+      }
     } else unknown
   }
 

@@ -271,8 +271,18 @@ class ModulesSpec extends SparkSpec {
         b(3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)) ++ b(0xFF, 0xD9)
     // malformed: SOS arrives before any SOF
     val jpgBad = b(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x04, 0x01, 0x02)
+    def u16l(v: Int) = b(v, v >> 8)
+    def u32l(v: Int) = b(v, v >> 8, v >> 16, v >> 24)
+    // GIF87a, 321x45, color resolution bits (5<<4) -> depth 6, palette
+    val gif = "GIF87a".getBytes("US-ASCII") ++ u16l(321) ++ u16l(45) ++
+      b(0x50, 0, 0, 0x3B)
+    // BMP 32bpp with a NEGATIVE (top-down) height — must normalize
+    val bmp = "BM".getBytes("US-ASCII") ++ u32l(70) ++ u32l(0) ++ u32l(54) ++
+      u32l(40) ++ u32l(77) ++ u32l(-66) ++ u16l(1) ++ u16l(32) ++
+      u32l(0) ++ u32l(0) ++ u32l(0) ++ u32l(0) ++ u32l(0) ++ u32l(0)
     val blobs = Seq(1L -> png, 2L -> pngPal, 3L -> jpg, 4L -> jpgBad,
-      5L -> "plain text".getBytes("US-ASCII"), 6L -> Array.empty[Byte])
+      5L -> "plain text".getBytes("US-ASCII"), 6L -> Array.empty[Byte],
+      7L -> gif, 8L -> bmp)
     val out = Multimodal.imageHeaders(
         blobs.toDF("doc_id", "content"), "doc_id", "content")
       .collect().map(h => h.doc_id -> h).toMap
@@ -281,6 +291,8 @@ class ModulesSpec extends SparkSpec {
     assert(out(3L) == Multimodal.ImageHeader(3L, "jpeg", 640L, 480L, 8L, 3L))
     Seq(4L, 5L, 6L).foreach(i =>
       assert(out(i) == Multimodal.ImageHeader(i, "unknown", 0L, 0L, 0L, 0L)))
+    assert(out(7L) == Multimodal.ImageHeader(7L, "gif", 321L, 45L, 6L, 1L))
+    assert(out(8L) == Multimodal.ImageHeader(8L, "bmp", 77L, 66L, 32L, 4L))
   }
 
   test("M7 perceptualHash: last-byte flip is hamming 1, empty blob is 0, partition-stable") {

@@ -560,6 +560,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getLong(1) < rawChars, "multi pieces must actually compress")
   }
 
+  test("incremental bpeLearn == sequential on randomized corpora (overlaps, surrogates)") {
+    // the round-13 delta bookkeeping's adversarial surface: overlapping
+    // self-pairs ("aaa" under (a,a)), words mutated by earlier batches,
+    // multi-codepoint symbols (emoji = surrogate pairs), and heavy ties
+    var seed = 424242L
+    def nextInt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    val atoms = Vector("a", "b", "ab", "aa", "😀", "ка", "to", "mi")
+    for (trial <- 1 to 6) {
+      val texts = (1 to 60 + nextInt(60)).map(_ =>
+        (1 to (1 + nextInt(4))).map(_ =>
+          (1 to (1 + nextInt(5))).map(_ => atoms(nextInt(8))).mkString
+        ).mkString(" "))
+      val n = 10 + nextInt(30)
+      val local = TextAnalysis.bpeLearnLocal(texts, nMerges = n)
+      val dist = TextAnalysis.bpeLearn(texts.toDF("text"), "text", nMerges = n,
+        batchN = 1 + nextInt(16), candPool = 8 + nextInt(100))
+      assert(dist == local,
+        s"trial $trial diverged (n=$n): dist=${dist.take(5)} local=${local.take(5)}")
+    }
+  }
+
   test("unigramFit (distributed) == unigramFitLocal, bit-identical") {
     var seed = 909L
     def nextInt(n: Int): Int = {

@@ -194,6 +194,20 @@ private[graft] object SparkEntryText {
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tok_sum"))
     }),
 
+    // C18 — ATOMIC (no-split) packing, c4's fine-tuning sibling: a doc
+    // may not cross pack boundaries. Per id-range bucket (FIXED 8 —
+    // bucketing must not depend on session parallelism or the oracle
+    // could not restate it), the NEXT-FIT greedy runs over id order —
+    // the one bin-packing rule a SQL oracle can replay as a sequential
+    // fold. The oracle REPLAYS it exactly: a recursive CTE walks the
+    // (bucket, id) order carrying (pack, fill), so every assignment is
+    // hash-judged, not just invariant-gated.
+    "c18_pack_atomic" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), (expr("n_chars DIV 4") + lit(1L)).as("toks"))
+      Pack.packAtomic(toks, "doc_id", "toks", budget = 1024L, buckets = 8)
+    }),
+
     // T9 repetition signal: per-doc duplicate word-bigram fraction
     // (Gopher-style repetitiousness filter input).
     "t9_repetition" -> ((s, dir) => {
@@ -1502,6 +1516,37 @@ private[graft] object SparkEntryText {
         |  CAST(1 AS BIGINT) AS bounds_ok,
         |  CAST(1 AS BIGINT) AS stable_ok
         |FROM documents""".stripMargin,
+
+    // c18: the next-fit fold replayed verbatim — one row per recursion
+    // step in (bucket, id) order carrying (pack, fill), pack resetting
+    // at bucket seams; d/o MATERIALIZED (the e15 lesson: an inlined CTE
+    // re-evaluates per step).
+    "c18_pack_atomic" ->
+      """WITH RECURSIVE d AS MATERIALIZED (
+        |  SELECT doc_id, n_chars//4 + 1 AS toks,
+        |    (doc_id - (SELECT min(doc_id) FROM documents)) //
+        |      greatest(((SELECT max(doc_id) - min(doc_id) + 1 FROM documents)
+        |        + 7) // 8, 1) AS bucket
+        |  FROM documents),
+        |o AS MATERIALIZED (
+        |  SELECT d.*, row_number() OVER (ORDER BY bucket, doc_id) AS rn FROM d),
+        |fold AS (
+        |  SELECT rn, doc_id, toks, bucket, CAST(0 AS BIGINT) AS pack,
+        |    toks AS fill
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.doc_id, o.toks, o.bucket,
+        |    CASE WHEN o.bucket <> f.bucket THEN CAST(0 AS BIGINT)
+        |         WHEN f.fill + o.toks <= 1024 THEN f.pack
+        |         ELSE f.pack + 1 END,
+        |    CASE WHEN o.bucket <> f.bucket THEN o.toks
+        |         WHEN f.fill + o.toks <= 1024 THEN f.fill + o.toks
+        |         ELSE o.toks END
+        |  FROM fold f JOIN o ON o.rn = f.rn + 1)
+        |SELECT doc_id, CAST(toks AS BIGINT) AS toks,
+        |  CAST(bucket AS BIGINT) AS bucket, pack,
+        |  CAST(toks > 1024 AS BIGINT) AS over_budget
+        |FROM fold""".stripMargin,
 
     // t25: t23's constant-oracle class for the Unigram-LM tokenizer —
     // char conservation is the exactly-recomputable leg; compression/

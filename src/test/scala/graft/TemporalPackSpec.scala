@@ -290,6 +290,42 @@ class TemporalPackSpec extends SparkSpec {
     assert(relaxed.count() == 6)
   }
 
+  test("packAtomic: next-fit fold, bucket seams, oversized isolation, partition-stable") {
+    import graft.ops.Pack
+    // one bucket (buckets=1): 4+5 fit 10, 3 opens pack 1, 9 opens pack 2,
+    // oversized 12 opens its own pack and flags, 2 cannot join it (12>10
+    // fills past budget) so it opens pack 4
+    val docs = Seq((1L, 4L), (2L, 5L), (3L, 3L), (4L, 9L), (5L, 12L), (6L, 2L))
+      .toDF("id", "tok")
+    val out = Pack.packAtomic(docs, "id", "tok", budget = 10L, buckets = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 4L, 0L, 0L, 0L), (2L, 5L, 0L, 0L, 0L),
+      (3L, 3L, 0L, 1L, 0L), (4L, 9L, 0L, 2L, 0L),
+      (5L, 12L, 0L, 3L, 1L), (6L, 2L, 0L, 4L, 0L)))
+    // atomicity + budget invariants on a larger random corpus, and the
+    // assignment must not depend on the input partitioning
+    val rnd = new scala.util.Random(77L)
+    val big = (1L to 400L).map(i => (i, 1L + rnd.nextInt(300).toLong))
+    val a = Pack.packAtomic(big.toDF("id", "tok"), "id", "tok", 512L, buckets = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val b = Pack.packAtomic(big.toDF("id", "tok").repartition(13), "id", "tok",
+        512L, buckets = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(a == b, "packing must be partitioning-independent")
+    val byPack = a.groupBy(t => (t._3, t._4))
+    assert(byPack.values.forall(_.map(_._2).sum <= 512L),
+      "no pack may exceed the budget")
+    assert(a.map(_._1).size == 400, "every doc packed exactly once")
+    // next-fit invariant: within a bucket, consecutive packs could not
+    // have merged (fill + next pack's first doc > budget)
+    for (((bkt, pk), rows) <- byPack; next <- byPack.get((bkt, pk + 1))) {
+      val fill = rows.map(_._2).sum
+      val firstNext = next.toSeq.minBy(_._1)._2
+      assert(fill + firstNext > 512L,
+        s"bucket $bkt pack $pk could have absorbed the next pack's head")
+    }
+  }
+
   test("star-contraction: path graph beyond hash-min's bound converges in O(log) rounds") {
     // a 300-edge path has diameter 300 — hash-min at the DEFAULT
     // maxIter=20 must die loudly (er4's sorted-neighborhood chains are

@@ -711,6 +711,34 @@ private[graft] object SparkEntryStream {
         .agg(count(lit(1)).as("n_rows"), sum(col("__c")).as("cents"))
     }),
 
+    // W28 — STREAMING token-budget mixture (c14's streaming twin,
+    // round 13): documents arrive as 3 doc_id%3 micro-batches; each
+    // batch lands a category token PARTIAL (the live mixture state —
+    // w17's overwrite-sum algebra, order/replay-independent, no mtime
+    // pinning) and a doc-log delta. The fold derives the budgets from
+    // the PARTIALS (the incremental state decides the rates, not a
+    // corpus rescan) and runs c14's exact DECIMAL cross-multiplied
+    // keep test over the log — which must equal batch c14 over the
+    // delivered union VERBATIM: c14's oracle is the judge.
+    "w28_stream_mixture" -> ((s, dir) => {
+      import graft.streaming.MixStream
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val root = s"$streamScratchDir/${dirKey(dir)}_w28"
+      rmTree(root)
+      val in = stageFrames(
+        (0 until 3).map(b => docs.filter(pmod(col("doc_id"), lit(3)) === b)),
+        root)
+      val schema = s.read.parquet(in).schema
+      val q = MixStream.start(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+        "doc_id", "text", "lang",
+        stateDir = s"$root/state", ckptDir = s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      MixStream.folded(s, s"$root/state", "doc_id", "lang", budgetBp = 4000,
+        sharesBp = Seq("en" -> 5000, "zh" -> 2000, "es" -> 1500, "de" -> 1000))
+    }),
+
     // W19 — INCREMENTAL gap sessionization, w3's streaming twin: events
     // arrive as 3 ts-tercile micro-batches (time-ordered delivery — the
     // event-log shape the operator's precondition names); each batch is
@@ -873,6 +901,11 @@ private[graft] object SparkEntryStream {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // w28: c14's batch oracle VERBATIM (shared by reference — one
+    // truth, two engines: the incremental partials must derive the
+    // same budgets and hence the same keep set as the batch pass).
+    "w28_stream_mixture" -> SparkEntryText.oracle("c14_token_budget"),
 
     // w15: quantile_disc == percentile_disc (w7 parity); MAD derived with
     // the medians joined in, exactly the engine's second aggregate.

@@ -739,6 +739,44 @@ class StreamingSpec extends SparkSpec {
     assert(pct(d) == after, "vacuum must not change the readout")
   }
 
+  test("w28 mixture stream: fold == batch c14, replay and order absorbed, live totals") {
+    import graft.streaming.MixStream
+    import graft.ext.TextAnalysis
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta"), (2L, "en", "one two"),
+      (3L, "zh", "x y z"), (4L, "de", "ein zwei drei vier"),
+      (5L, "fr", "sans part"), (6L, "en", "five six seven"),
+      (7L, "zh", "a b c d e f"))
+      .toDF("doc_id", "lang", "text")
+    val shares = Seq("en" -> 5000, "zh" -> 3000, "de" -> 2000)
+    val expect = TextAnalysis.tokenBudgetSample(docs, "doc_id", "text", "lang",
+        budgetBp = 6000, sharesBp = shares)
+      .as[(Long, String, Long, Long)].collect().toSet
+    def fold(d: String) = MixStream.folded(spark, d, "doc_id", "lang",
+        budgetBp = 6000, sharesBp = shares)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val b0 = docs.filter(col("doc_id") <= 3)
+    val b1 = docs.filter(col("doc_id") > 3)
+    val d1 = java.nio.file.Files.createTempDirectory("w28_mix").toString
+    MixStream.absorb(b0, "doc_id", "text", "lang", d1, 0L)
+    MixStream.absorb(b1, "doc_id", "text", "lang", d1, 1L)
+    assert(fold(d1) == expect, "fold must equal the batch recipe")
+    // the excluded-category rule survives the stream (fr has no share)
+    assert(fold(d1).find(_._1 == 5L).exists(_._4 == 0L))
+    MixStream.absorb(b1, "doc_id", "text", "lang", d1, 1L) // crash-replay
+    assert(fold(d1) == expect, "replay must overwrite its own deltas")
+    val d2 = java.nio.file.Files.createTempDirectory("w28_rev").toString
+    MixStream.absorb(b1, "doc_id", "text", "lang", d2, 0L)
+    MixStream.absorb(b0, "doc_id", "text", "lang", d2, 1L)
+    assert(fold(d2) == expect, "delivery order must not change the fold")
+    // the live monitor totals come from partials alone and match
+    val totals = MixStream.categoryTotals(spark, d1)
+      .as[(String, Long)].collect().toMap
+    assert(totals == Map("en" -> 9L, "zh" -> 9L, "de" -> 4L, "fr" -> 2L))
+  }
+
   test("w27 CDC apply: upsert/delete merge, half-applied crash converges on replay") {
     import graft.streaming.CdcStream
     import graft.ops.Snapshots

@@ -139,7 +139,7 @@ object Bench {
     * session-noise attribution (uniform drift vs per-plan regression)
     * no longer lives only in prose. Update per round alongside the
     * BASELINE checkpoint. */
-  val LocalSweepSf01Sec = 226.5
+  val LocalSweepSf01Sec = 192.7
 
   /** Truncate on a code-point boundary: a high surrogate left at the cut
     * is dropped rather than orphaned (render additionally \u-escapes any

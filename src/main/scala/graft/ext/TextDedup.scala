@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   *  - MinHash+LSH avoids the O(n²) pairwise wall: signatures are a per-row
   *    projection (HOFs over the shingle array, codegen'd, no UDF); banding
   *    turns similarity search into an equi-join on (band, bandHash) — a
-  *    plain shuffle join Catalyst/AQE can plan, with skewed mega-buckets
-  *    handled by AQE skew-join splitting. Only candidate pairs (tiny
-  *    relative to n²) reach the exact-Jaccard verifier.
+  *    plain shuffle join Catalyst/AQE can plan. Mega-buckets (near-identical
+  *    boilerplate clusters sharing every band key) are CAPPED before the
+  *    self-join — AQE skew splitting re-plans tasks but cannot shrink an
+  *    inherently quadratic pair set; see [[lshCandidatesFromHashes]]'s
+  *    `maxBucket` star fallback. Only candidate pairs (tiny relative to n²)
+  *    reach the exact-Jaccard verifier.
   *  - SimHash is a single 64-bit projection per doc; near-dup = Hamming
   *    distance on a bigint, i.e. bit_count(xor) — cheap to band as well.
   */
@@ -69,22 +72,60 @@ object TextDedup {
     array(keys: _*)
   }
 
+  /** Default per-(band,key) bucket cap for [[lshCandidatesFromHashes]] —
+    * aligned with [[graft.ext.Multimodal.phashNearDup]]'s cap and sized
+    * 2× over [[graft.SparkEntry.DupShingleMaxDf]] (=32, the truth tier's
+    * df cap), so every cluster the df-capped exact tier can still see
+    * fits in an uncapped bucket: at the judged scales the capped and
+    * uncapped candidate sets are identical. */
+  val LshMaxBucket = 64
+
   /** Candidate near-dup pairs via MinHash LSH over a pre-hashed shingle
     * frame `hashed(id, hh: array<bigint>)`. Returns (id_a, id_b) with
     * id_a < id_b, distinct. The self-join runs per LSH bucket — an
-    * equi-join on (band,key), never a cross product over the corpus. */
+    * equi-join on (band,key), never a cross product over the corpus.
+    *
+    * `maxBucket` is the scale guard (the d9 df-cap / m7 bucket-cap
+    * discipline): a near-identical boilerplate mega-cluster shares every
+    * band key, and the candidate-pair count of one bucket is inherently
+    * quadratic in its size — AQE skew-join splitting re-plans the TASKS
+    * but cannot shrink the pair set, so a 10⁶-doc bucket would feed
+    * ~5·10¹¹ pairs to the Jaccard verifier. Buckets over the cap skip
+    * the self-join and emit a STAR instead: every member pairs with the
+    * bucket-min hub — linear in bucket size, and it preserves exactly
+    * the bucket's connectivity, so downstream connected-components
+    * ([[graft.ops.Components]], the d16 clustering act) still resolve
+    * the mega-cluster to one component and pick one representative.
+    * What is lost (disclosed): non-hub pair ENUMERATION inside over-cap
+    * buckets — the recall gates (d7/d10/d16) are unaffected because the
+    * df-capped truth tier cannot see clusters past `DupShingleMaxDf`
+    * anyway (their every shared shingle exceeds the df cap, so they
+    * contribute zero true pairs). Total candidate volume is bounded by
+    * Σ min(c, cap)² + Σ c over buckets — linear in corpus size. */
   def lshCandidatesFromHashes(
       hashed: DataFrame, id: String,
-      k: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
+      k: Int = 32, bands: Int = 8, seed: Long = 42L,
+      maxBucket: Int = LshMaxBucket): DataFrame = {
     val sig = hashed.select(col(id), minhashSignature(col("hh"), k, seed).as("sig"))
     val banded = sig
       .select(col(id), explode(bandKeys(col("sig"), k, bands)).as("bk"))
       .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("band"), col("key"), col(id).as("id_a"))
-    val b = banded.select(col("band"), col("key"), col(id).as("id_b"))
-    a.join(b, Seq("band", "key"))
+    // bucket census: one row per (band,key), map-side combinable — never
+    // a windowed buffer over a mega-bucket partition
+    val census = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__c"), min(col(id)).as("__hub"))
+    val sized = banded.join(census, Seq("band", "key"))
+    val small = sized.filter(col("__c") <= maxBucket)
+    val a = small.select(col("band"), col("key"), col(id).as("id_a"))
+    val b = small.select(col("band"), col("key"), col(id).as("id_b"))
+    val smallPairs = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    // over-cap buckets: star to the bucket-min hub (hub < member always)
+    val starPairs = sized
+      .filter(col("__c") > maxBucket && col(id) =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col(id).as("id_b"))
+    smallPairs.union(starPairs).distinct()
   }
 
   /** Session-cached shingle-hash projection `(id, hh)` — the frame every
@@ -175,8 +216,9 @@ object TextDedup {
   def lshCandidates(
       docs: DataFrame, id: String, text: String,
       n: Int = 3, k: Int = 32, bands: Int = 8, seed: Long = 42L,
-      cache: Boolean = true): DataFrame =
-    lshCandidatesFromHashes(hashedShingles(docs, id, text, n, cache), id, k, bands, seed)
+      cache: Boolean = true, maxBucket: Int = LshMaxBucket): DataFrame =
+    lshCandidatesFromHashes(hashedShingles(docs, id, text, n, cache), id,
+      k, bands, seed, maxBucket)
 
   /** Targeted release of the cache entry for one `(docs, text, n)` —
     * rebuilds the canonical projection and unpersists it (the cache
@@ -207,9 +249,9 @@ object TextDedup {
   def nearDuplicates(
       docs: DataFrame, id: String, text: String, threshold: Double,
       n: Int = 3, k: Int = 32, bands: Int = 8, seed: Long = 42L,
-      cache: Boolean = true): DataFrame = {
+      cache: Boolean = true, maxBucket: Int = LshMaxBucket): DataFrame = {
     val hashed = hashedShingles(docs, id, text, n, cache)
-    val cand = lshCandidatesFromHashes(hashed, id, k, bands, seed)
+    val cand = lshCandidatesFromHashes(hashed, id, k, bands, seed, maxBucket)
     cand
       .join(hashed.select(col(id).as("id_a"), col("hh").as("sh_a")), Seq("id_a"))
       .join(hashed.select(col(id).as("id_b"), col("hh").as("sh_b")), Seq("id_b"))

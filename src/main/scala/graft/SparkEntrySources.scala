@@ -399,7 +399,9 @@ private[graft] object SparkEntrySources {
       val cols = Seq("c_custkey", "c_mktsegment", "c_name")
       val preVac =
         Validations.tableFingerprint(Snapshots.read(s, root), cols).collect()(0)
-      val vacuumed = Snapshots.vacuum(s, root).sorted
+      // canonical (nonce-stripped) names: the per-attempt nonce on data
+      // dirs is unique by design; the oracle pins the stable form
+      val vacuumed = Snapshots.vacuum(s, root).map(Snapshots.canonicalDir).sorted
       val postVac =
         Validations.tableFingerprint(Snapshots.read(s, root), cols).collect()(0)
       val hist = Validations.tableFingerprint(

@@ -33,14 +33,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (s18's compaction applied to the delete backlog): one new data dir =
   * the merged read, delete list emptied, history retained.
   *
-  * Single-writer discipline (concurrent committers need a CAS on the
-  * pointer — object stores without atomic rename put the pointer in a
-  * catalog; the DATA layout is unchanged). Readers are lock-free and
-  * isolated: a long scan pinned to snapshot N is unaffected by later
-  * commits, which is the property h6's time-travel filter cannot give
-  * over a mutable directory.
+  * CONCURRENT WRITERS (round-14): the `snap-N` manifest is created with
+  * a FAIL-IF-EXISTS rename — a true compare-and-swap on the id, so two
+  * committers racing from the same parent produce exactly one winner;
+  * the loser gets a loud, retryable [[CommitConflictException]] instead
+  * of silently clobbering the winner (retry = recompute from the new
+  * current). Three consequences:
+  *  - the manifest CAS is the COMMIT POINT; the `_CURRENT` pointer is a
+  *    best-effort resolution cache (still swung by atomic OVERWRITE
+  *    rename), and [[current]] rolls FORWARD past it, so a crash between
+  *    manifest and pointer swing cannot lose a committed snapshot;
+  *  - data/delete dirs carry a per-ATTEMPT nonce (`data/delta-N-xxxxxxxx`)
+  *    so racing committers can never write the same directory — the
+  *    loser's dir is unreferenced by any manifest and [[vacuum]] reclaims
+  *    it (Iceberg's uuid-named data files, same reason);
+  *  - exactly-once retries go through the idempotence TAG (see
+  *    [[commitAppend]]): with the manifest CAS a crash AFTER the rename
+  *    is already committed, so an untagged blind retry would append a
+  *    duplicate — tagged replays get the committed id back instead.
+  * On a filesystem without atomic fail-if-exists rename (bare object
+  * stores), the manifest CAS moves into a catalog; the layout is
+  * unchanged. Readers are lock-free and isolated: a long scan pinned to
+  * snapshot N is unaffected by later commits, which is the property h6's
+  * time-travel filter cannot give over a mutable directory.
   */
 object Snapshots {
+
+  /** A concurrent committer won the manifest CAS for this id. Retryable:
+    * re-read [[current]] and recompute the commit from the new parent. */
+  final class CommitConflictException(tableDir: String, id: Long)
+    extends RuntimeException(
+      s"snapshot snap-$id already committed under $tableDir " +
+        "(concurrent writer won the manifest CAS); re-read current and retry")
 
   sealed trait EntryKind
   case object DataEntry extends EntryKind
@@ -64,15 +88,37 @@ object Snapshots {
     try scala.io.Source.fromInputStream(in).mkString finally in.close()
   }
 
+  /** Fresh per-attempt nonce: racing committers must never share a tmp
+    * file or a data dir name. */
+  private def nonce(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  /** Write-to-temp + atomic rename. `overwrite = true` (the `_CURRENT`
+    * pointer swing) replaces the target; `overwrite = false` (manifest
+    * creation) is the fail-if-exists CAS — an existing target raises
+    * [[CommitConflictException]] after cleaning the temp file. The temp
+    * name carries a nonce so concurrent attempts never collide before
+    * the rename decides the winner. */
   private def writeAtomic(fs: FileSystem, dir: String, name: String,
-                          text: String): Unit = {
+                          text: String, overwrite: Boolean = true): Unit = {
     val target = new Path(dir, name)
-    val tmp = new Path(dir, s"$name.tmp")
+    val tmp = new Path(dir, s"$name.${nonce()}.tmp")
     val out = fs.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, fs.getConf)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val mode =
+      if (overwrite) org.apache.hadoop.fs.Options.Rename.OVERWRITE
+      else org.apache.hadoop.fs.Options.Rename.NONE
+    try fc.rename(fc.makeQualified(tmp), fc.makeQualified(target), mode)
+    catch {
+      case e: java.io.IOException if !overwrite && fs.exists(target) =>
+        fs.delete(tmp, false)
+        throw new CommitConflictException(dir,
+          name.stripPrefix("snap-").toLongOption.getOrElse(-1L))
+      case e: Throwable =>
+        fs.delete(tmp, false)
+        throw e
+    }
   }
 
   private def parseManifest(id: Long, text: String): Snapshot = {
@@ -102,12 +148,25 @@ object Snapshots {
         tag.map(t => s"tag=$t").toSeq ++ entries.map(_._2)))
       .mkString("\n")
 
-  /** The current snapshot, or None for an empty/uninitialized table. */
+  /** The current snapshot, or None for an empty/uninitialized table.
+    * Resolution = pointer, then ROLL FORWARD while a child manifest
+    * exists: the manifest CAS is the commit point, so a snapshot whose
+    * pointer swing was lost (crash between the two renames, or an older
+    * swing landing after a newer one) is still committed and must be
+    * visible. The walk is bounded by the pointer lag — 0 or 1 steps in
+    * any healthy table. */
   def current(spark: SparkSession, tableDir: String): Option[Snapshot] = {
     val fs = fsFor(spark, tableDir)
     val ptr = pointer(tableDir)
-    if (!fs.exists(ptr)) None
-    else get(spark, tableDir, readText(fs, ptr).trim.stripPrefix("snap-").toLong)
+    var cur: Option[Snapshot] =
+      if (!fs.exists(ptr)) None
+      else get(spark, tableDir, readText(fs, ptr).trim.stripPrefix("snap-").toLong)
+    var next = get(spark, tableDir, cur.map(_.id).getOrElse(0L) + 1L)
+    while (next.isDefined && next.get.parent == cur.map(_.id)) {
+      cur = next
+      next = get(spark, tableDir, cur.get.id + 1L)
+    }
+    cur
   }
 
   /** A specific retained snapshot by id. */
@@ -117,15 +176,16 @@ object Snapshots {
     if (!fs.exists(mf)) None else Some(parseManifest(id, readText(fs, mf)))
   }
 
-  /** Append `df` as a new snapshot: write `data/delta-N` (immutable),
-    * write `snap-N` = parent listing + the new dir, then swing the
-    * pointer atomically. Returns the new snapshot id. A crash before the
-    * final rename leaves the table at the parent snapshot with only an
-    * orphaned data dir to garbage-collect — never a corrupt state — and
-    * the commit is RETRYABLE in place: a retry recomputes the same id
-    * (the pointer never swung) and the overwrite mode replaces the
-    * orphan instead of erroring on it. An id is never reused once its
-    * pointer swing lands, so overwrite can only ever touch an orphan. */
+  /** Append `df` as a new snapshot: write `data/delta-N-<nonce>`
+    * (immutable, attempt-unique), CAS-create `snap-N` = parent listing +
+    * the new dir, then swing the pointer. Returns the new snapshot id.
+    * Crash contract: before the manifest rename → nothing committed,
+    * only an orphaned data dir for [[vacuum]]; after it → the commit IS
+    * durable ([[current]] rolls forward), so blind retries of the same
+    * logical append duplicate rows — use the TAG overload for
+    * exactly-once replays. A concurrent committer racing from the same
+    * parent loses the manifest CAS with [[CommitConflictException]]
+    * (its data dir is cleaned eagerly; retry from the new current). */
   def commitAppend(df: DataFrame, tableDir: String): Long =
     commitAppend(df, tableDir, tag = None)
 
@@ -140,19 +200,32 @@ object Snapshots {
   def commitAppend(df: DataFrame, tableDir: String,
                    tag: Option[String]): Long = {
     val spark = df.sparkSession
-    val fs = fsFor(spark, tableDir)
     tag.flatMap(t => findTag(spark, tableDir, t)) match {
       case Some(existing) => return existing
       case None => ()
     }
-    val cur = current(spark, tableDir)
+    commitAppendFrom(df, tableDir, current(spark, tableDir), tag)
+  }
+
+  /** [[commitAppend]] from an already-read parent snapshot — the
+    * post-read stage, split out so the conflict spec can interleave two
+    * committers deterministically from the SAME parent. */
+  private[graft] def commitAppendFrom(df: DataFrame, tableDir: String,
+                                      cur: Option[Snapshot],
+                                      tag: Option[String]): Long = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, tableDir)
     val id = cur.map(_.id + 1).getOrElse(1L)
-    val dataDir = s"data/delta-$id"
+    val dataDir = s"data/delta-$id-${nonce()}"
     df.write.mode("overwrite").parquet(new Path(tableDir, dataDir).toString)
     val entries = cur.map(_.entries).getOrElse(Nil) :+
       ((DataEntry: EntryKind, dataDir))
-    writeAtomic(fs, tableDir, s"snap-$id",
-      renderManifest(cur.map(_.id), entries, cur.flatMap(_.deleteKey), tag))
+    try writeAtomic(fs, tableDir, s"snap-$id",
+      renderManifest(cur.map(_.id), entries, cur.flatMap(_.deleteKey), tag),
+      overwrite = false)
+    catch { case e: CommitConflictException =>
+      fs.delete(new Path(tableDir, dataDir), true); throw e
+    }
     writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
     id
   }
@@ -185,12 +258,15 @@ object Snapshots {
     cur.deleteKey.foreach(k => require(k == keyCol,
       s"table delete key is '$k', got '$keyCol' — one key column per table"))
     val id = cur.id + 1
-    val delDir = s"delete/delta-$id"
+    val delDir = s"delete/delta-$id-${nonce()}"
     keys.select(keyCol).write.mode("overwrite")
       .parquet(new Path(tableDir, delDir).toString)
     val entries = cur.entries :+ ((DeleteEntry: EntryKind, delDir))
-    writeAtomic(fs, tableDir, s"snap-$id",
-      renderManifest(Some(cur.id), entries, Some(keyCol)))
+    try writeAtomic(fs, tableDir, s"snap-$id",
+      renderManifest(Some(cur.id), entries, Some(keyCol)), overwrite = false)
+    catch { case e: CommitConflictException =>
+      fs.delete(new Path(tableDir, delDir), true); throw e
+    }
     writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
     id
   }
@@ -205,12 +281,15 @@ object Snapshots {
     val cur = current(spark, tableDir).getOrElse(
       sys.error(s"commitRewrite on empty snapshot table $tableDir"))
     val id = cur.id + 1
-    val dataDir = s"data/delta-$id"
+    val dataDir = s"data/delta-$id-${nonce()}"
     read(spark, tableDir).write.mode("overwrite")
       .parquet(new Path(tableDir, dataDir).toString)
-    writeAtomic(fs, tableDir, s"snap-$id",
+    try writeAtomic(fs, tableDir, s"snap-$id",
       renderManifest(Some(cur.id),
-        Seq((DataEntry: EntryKind, dataDir)), cur.deleteKey))
+        Seq((DataEntry: EntryKind, dataDir)), cur.deleteKey), overwrite = false)
+    catch { case e: CommitConflictException =>
+      fs.delete(new Path(tableDir, dataDir), true); throw e
+    }
     writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
     id
   }
@@ -298,6 +377,20 @@ object Snapshots {
     }
     val doomed = (live("data") ++ live("delete")).filterNot(referenced)
     doomed.foreach(d => fs.delete(new Path(tableDir, d), true))
+    // stale writeAtomic temp files (crash between create and rename):
+    // never manifests, never data — plain crash garbage. Vacuum runs
+    // quiesced (same discipline that protects in-flight data dirs), so
+    // no live committer's temp is in play.
+    fs.listStatus(new Path(tableDir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp"))
+      .foreach(st => fs.delete(st.getPath, false))
     doomed
   }
+
+  /** Strip the per-attempt nonce from a data/delete dir name
+    * (`data/delta-3-1a2b3c4d` → `data/delta-3`) — the canonical form
+    * fixtures and reports pin, since the nonce is attempt-unique by
+    * design. */
+  def canonicalDir(name: String): String =
+    name.replaceAll("-[0-9a-f]{8}$", "")
 }

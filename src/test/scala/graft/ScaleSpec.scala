@@ -238,11 +238,11 @@ class ScaleSpec extends SparkSpec {
     val rid = Snapshots.commitRewrite(spark, root) // delta-4 = merged rows
     assert(Snapshots.expire(spark, root, keepLast = 1) == Seq(1L, 2L, 3L))
     intercept[RuntimeException] { Snapshots.read(spark, root, Some(1L)) }
-    val doomed = Snapshots.vacuum(spark, root).toSet
+    val doomed = Snapshots.vacuum(spark, root).map(Snapshots.canonicalDir).toSet
     // the rewrite manifest references ONLY delta-4: everything else goes,
     // including a planted orphan from a "crashed" commit
     Seq((9L, "junk")).toDF("k", "v").write.parquet(s"$root/data/delta-99")
-    val doomed2 = Snapshots.vacuum(spark, root).toSet
+    val doomed2 = Snapshots.vacuum(spark, root).map(Snapshots.canonicalDir).toSet
     assert((doomed ++ doomed2) == Set("data/delta-1", "data/delta-2",
       "delete/delta-3", "data/delta-99"), s"got ${doomed ++ doomed2}")
     // the retained table is untouched
@@ -275,6 +275,53 @@ class ScaleSpec extends SparkSpec {
     out.write("parent=8\ngarbage".getBytes("UTF-8")); out.close()
     assert(Snapshots.vacuum(spark, root).isEmpty, "all dirs still referenced")
     assert(Snapshots.read(spark, root).count() == 2)
+  }
+
+  test("snapshots: two interleaved committers from one parent — one wins, loser throws, no orphan") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapcas").toString
+    Snapshots.commitAppend(Seq((1L, "base")).toDF("k", "v"), root)
+    // both committers read the SAME parent before either writes — the
+    // adversarial interleaving writeAtomic's old OVERWRITE silently lost
+    val parent = Snapshots.current(spark, root)
+    val winId = Snapshots.commitAppendFrom(
+      Seq((2L, "winner")).toDF("k", "v"), root, parent, None)
+    val loser = intercept[Snapshots.CommitConflictException] {
+      Snapshots.commitAppendFrom(
+        Seq((3L, "loser")).toDF("k", "v"), root, parent, None)
+    }
+    assert(loser.getMessage.contains("snap-2"))
+    // table state = exactly the winner's commit; the loser's rows are
+    // nowhere and its data dir was cleaned eagerly (vacuum finds nothing)
+    assert(Snapshots.current(spark, root).get.id == winId)
+    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSet ==
+      Set((1L, "base"), (2L, "winner")))
+    assert(Snapshots.vacuum(spark, root).isEmpty, "no orphan may survive")
+    // the loser's RETRY from the new current succeeds at the next id
+    val retryId = Snapshots.commitAppend(Seq((3L, "loser")).toDF("k", "v"), root)
+    assert(retryId == winId + 1)
+    assert(Snapshots.read(spark, root).count() == 3)
+  }
+
+  test("snapshots: commit point is the manifest CAS — current() rolls forward past a stale pointer") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snaproll").toString
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("k", "v"), root)
+    val id2 = Snapshots.commitAppend(Seq((2L, "b")).toDF("k", "v"), root)
+    // simulate a crash between manifest rename and pointer swing: point
+    // the pointer back at snap-1 — the committed snap-2 must stay visible
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_CURRENT"), true)
+    out.write("snap-1".getBytes("UTF-8")); out.close()
+    assert(Snapshots.current(spark, root).get.id == id2,
+      "roll-forward must recover the committed snapshot")
+    assert(Snapshots.read(spark, root).count() == 2)
+    // and the next commit builds on the rolled-forward current
+    val id3 = Snapshots.commitAppend(Seq((3L, "c")).toDF("k", "v"), root)
+    assert(id3 == id2 + 1 && Snapshots.read(spark, root).count() == 3)
   }
 
   test("CDC model test: random op sequences with replays converge to last-writer-wins") {

@@ -5,7 +5,10 @@ import org.apache.spark.sql.SparkSession
   * report rounds (Spark jobs) vs merges — the batched-selection payoff —
   * plus equality against the sequential driver-local fit.
   * Usage: runMain graft.BpeProbe [sfDir|gen:<docs>] [nMerges] [batchN]
-  *        [candPool] [strict|skip]
+  *        [candPool] [strict|skip] [local|nolocal]
+  * `nolocal` skips the sequential driver-local twin fit (at 32k merges
+  * the O(merges·corpus) sequential fit dominates the distributed one
+  * being measured).
   * `gen:<docs>` builds a seeded syllable corpus (diverse enough to
   * sustain 1k+ merges; the sf documents table exhausts at ~90). */
 object BpeProbe {
@@ -15,6 +18,7 @@ object BpeProbe {
     val batchN = if (args.length > 2) args(2).toInt else 64
     val candPool = if (args.length > 3) args(3).toInt else 4096
     val strict = args.length <= 4 || args(4) != "skip"
+    val runLocal = args.length <= 5 || args(5) != "nolocal"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
@@ -43,14 +47,20 @@ object BpeProbe {
       docs, "text", nMerges, batchN, candPool, strict)
     val distSec = (System.nanoTime() - t0) / 1e9
     val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - before
-    val texts = docs.select("text").collect().map(_.getString(0)).toSeq
-    val t1 = System.nanoTime()
-    val local = graft.ext.TextAnalysis.bpeLearnLocal(texts, nMerges)
-    val localSec = (System.nanoTime() - t1) / 1e9
-    println(f"BPEPROBE src=$src merges=${dist.length} batchN=$batchN " +
-      f"pool=$candPool strict=$strict distSec=$distSec%.1f jobs=$jobs " +
-      f"localSec=$localSec%.1f orderEqual=${dist == local} " +
-      f"setEqual=${dist.toSet == local.toSet}")
+    if (runLocal) {
+      val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+      val t1 = System.nanoTime()
+      val local = graft.ext.TextAnalysis.bpeLearnLocal(texts, nMerges)
+      val localSec = (System.nanoTime() - t1) / 1e9
+      println(f"BPEPROBE src=$src merges=${dist.length} batchN=$batchN " +
+        f"pool=$candPool strict=$strict distSec=$distSec%.1f jobs=$jobs " +
+        f"localSec=$localSec%.1f orderEqual=${dist == local} " +
+        f"setEqual=${dist.toSet == local.toSet}")
+    } else {
+      println(f"BPEPROBE src=$src merges=${dist.length} batchN=$batchN " +
+        f"pool=$candPool strict=$strict distSec=$distSec%.1f jobs=$jobs " +
+        "local=skipped")
+    }
     spark.stop()
   }
 }

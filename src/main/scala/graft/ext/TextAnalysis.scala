@@ -846,6 +846,11 @@ object TextAnalysis {
       .map { case (w, c) => (codepointSymbols(w), c) }
       .persist(lvl)
     var pinned: org.apache.spark.rdd.RDD[_] = state
+    // the most recent localCheckpoint-ed generation: checkpointing
+    // TRUNCATES lineage, so its blocks are the recovery root for every
+    // later chained RDD — keep it persisted until the NEXT checkpoint
+    // materializes, or a post-checkpoint cache loss is unrecoverable
+    var lastCkpt: org.apache.spark.rdd.RDD[_] = null
     try {
       // exact pair counts of the CURRENT tokenization, maintained by
       // per-round deltas after this one seeding aggregate
@@ -918,20 +923,33 @@ object TextAnalysis {
           val applied = state
             .map { case (syms, c) => applyMergeBatch(syms, c, bm) }
             .persist(lvl)
-          if (round % 50 == 49) applied.localCheckpoint()
+          val didCkpt = round % 50 == 49
+          if (didCkpt) applied.localCheckpoint()
           val deltas = applied.flatMap(_._3.iterator).reduceByKey(_ + _).collect()
           deltas.foreach { case (k, d) =>
             val nv = counts.getOrElse(k, 0L) + d
             if (nv > 0L) counts(k) = nv else counts.remove(k)
           }
-          pinned.unpersist(blocking = false)
+          // never drop the checkpoint root while later rounds chain off it
+          if (pinned ne lastCkpt) pinned.unpersist(blocking = false)
+          if (didCkpt) {
+            // the new checkpoint is materialized (the collect above ran
+            // it) — the previous root is no longer anyone's recovery path
+            if (lastCkpt ne null) lastCkpt.unpersist(blocking = false)
+            lastCkpt = applied
+          }
           pinned = applied
           state = applied.map(t => (t._1, t._2))
           round += 1
         }
       }
       merges
-    } finally { pinned.unpersist(blocking = false); () }
+    } finally {
+      pinned.unpersist(blocking = false)
+      if ((lastCkpt ne null) && (lastCkpt ne pinned))
+        lastCkpt.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** Every substring of `w` spanning 1..`maxLen` CODE POINTS, weighted
@@ -1117,7 +1135,10 @@ object TextAnalysis {
       val total = counts.valuesIterator.sum
       val m = mutable.HashMap.empty[String, Long]
       counts.foreach { case (p, c) =>
-        m(p) = math.round(math.log(c.toDouble / total.toDouble) * 1e6)
+        // StrictMath: math.log may differ by an ulp across JVMs/arches,
+        // and a 1-ulp flip at a micro-nat rounding boundary would break
+        // the cross-machine bit-identical claim the doc makes
+        m(p) = math.round(StrictMath.log(c.toDouble / total.toDouble) * 1e6)
       }
       m
     }

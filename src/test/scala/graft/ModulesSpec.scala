@@ -366,4 +366,92 @@ class ModulesSpec extends SparkSpec {
       .collect()
     assert(empty.length == 4 && empty.forall(f => f.frame_bytes == 0 && f.checksum == 0L))
   }
+
+  test("M9 decodeAHash: real ImageIO decode — cross-container collision the stub cannot give") {
+    def luma(c: Long)(x: Int, y: Int): Int =
+      ((c * 53 + x * (3 + c % 5) + y * (7 + c % 3)) % 256).toInt
+    val blobs = (0L until 8L).map { id =>
+      (id, Multimodal.encodeGray(16, 16, luma(id / 2),
+        if (id % 2 == 0) "png" else "bmp"))
+    }.toDF("doc_id", "content")
+    val dec = Multimodal.decodeAHash(blobs, "doc_id", "content")
+      .collect().sortBy(_.doc_id).toSeq
+    assert(dec.map(_.fmt) == Seq("png", "bmp", "png", "bmp", "png", "bmp", "png", "bmp"))
+    assert(dec.forall(d => d.width == 16 && d.height == 16))
+    // content twins (PNG vs BMP of the SAME pixels) collide exactly...
+    for (c <- 0 until 4) {
+      val Seq(a, b) = dec.slice(2 * c, 2 * c + 2)
+      assert((a.ahash_hi, a.ahash_lo) == ((b.ahash_hi, b.ahash_lo)),
+        s"content $c twins must collide")
+    }
+    // ...while distinct contents hash apart (gradient slopes differ)
+    val hashes = dec.grouped(2).map(p => (p.head.ahash_hi, p.head.ahash_lo)).toSeq
+    assert(hashes.distinct.length == 4, s"contents must hash apart: $hashes")
+    // the byte-sampling STUB provably does not collide across containers
+    // for the same content — the property the real decode adds
+    val stub = Multimodal.perceptualHash(blobs, "doc_id", "content")
+      .collect().sortBy(_.doc_id).toSeq
+    assert(stub.grouped(2).exists(p => p.head.phash != p(1).phash),
+      "stub hashes PNG and BMP bytes, not pixels")
+    // halves are non-negative 32-bit (the SQL-twin contract)
+    assert(dec.forall(d => d.ahash_hi >= 0 && d.ahash_hi < (1L << 32) &&
+      d.ahash_lo >= 0 && d.ahash_lo < (1L << 32)))
+  }
+
+  test("M9 decodeAHash: malformed blobs are loud unknowns; odd sizes decode deterministically") {
+    val junk = Seq(
+      (1L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10)), // truncated magic
+      (2L, Array[Byte](1, 2, 3)),
+      (3L, Array.empty[Byte])).toDF("doc_id", "content")
+    val u = Multimodal.decodeAHash(junk, "doc_id", "content").collect()
+    assert(u.forall(d => d.fmt == "unknown" && d.width == 0 && d.height == 0 &&
+      d.ahash_hi == 0 && d.ahash_lo == 0))
+    // non-multiple-of-8 dimensions: blocks still cover >=1 px each and the
+    // result is partition-stable
+    val odd = Seq((7L, Multimodal.encodeGray(10, 6,
+      (x, y) => (x * 23 + y * 41) % 256, "png"))).toDF("doc_id", "content")
+    val a = Multimodal.decodeAHash(odd, "doc_id", "content").collect().head
+    val b = Multimodal.decodeAHash(odd.repartition(4), "doc_id", "content")
+      .collect().head
+    assert(a == b && a.width == 10 && a.height == 6 && a.fmt == "png")
+  }
+
+  test("M10 wavHeaders: chunk walk recovers fmt fields; derived sample/duration math exact") {
+    def wav(rate: Long, ch: Long, bits: Long, nsamp: Long, pre: Int): Array[Byte] = {
+      val dataSize = nsamp * ch * (bits / 8)
+      val out = new java.io.ByteArrayOutputStream()
+      def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+      def u16l(v: Long): Unit = b(v.toInt, (v >> 8).toInt)
+      def u32l(v: Long): Unit =
+        b(v.toInt, (v >> 8).toInt, (v >> 16).toInt, (v >> 24).toInt)
+      b('R', 'I', 'F', 'F'); u32l(36L + dataSize); b('W', 'A', 'V', 'E')
+      b('L', 'I', 'S', 'T'); u32l(pre.toLong)
+      (0 until pre).foreach(_ => b('q'))
+      if (pre % 2 == 1) b(0) // RIFF word pad
+      b('f', 'm', 't', ' '); u32l(16L)
+      u16l(1L); u16l(ch); u32l(rate); u32l(rate * ch * (bits / 8))
+      u16l(ch * (bits / 8)); u16l(bits)
+      b('d', 'a', 't', 'a'); u32l(dataSize)
+      out.toByteArray
+    }
+    val blobs = Seq(
+      (1L, wav(44100L, 2L, 16L, 44100L, 0)),   // exactly 1s stereo 16-bit
+      (2L, wav(8000L, 1L, 8L, 12000L, 5)),     // odd LIST payload -> pad walk
+      (3L, wav(22050L, 2L, 16L, 11025L, 4)),
+      (4L, Array[Byte]('R', 'I', 'F', 'F')),   // truncated
+      (5L, Array[Byte]('R', 'I', 'F', 'X', 0, 0, 0, 0, 'W', 'A', 'V', 'E')),
+      (6L, "not audio at all".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val h = Multimodal.wavHeaders(blobs, "doc_id", "content")
+      .collect().map(w => w.doc_id -> w).toMap
+    assert(h(1L).fmt == "wav" && h(1L).codec == 1L && h(1L).channels == 2L &&
+      h(1L).sample_rate == 44100L && h(1L).bits == 16L &&
+      h(1L).n_samples == 44100L && h(1L).duration_ms == 1000L)
+    assert(h(2L).fmt == "wav" && h(2L).n_samples == 12000L &&
+      h(2L).duration_ms == 1500L, "odd-size LIST pad must not derail the walk")
+    assert(h(3L).duration_ms == 500L)
+    assert(Seq(4L, 5L, 6L).forall(i => h(i).fmt == "unknown" &&
+      h(i).duration_ms == 0L && h(i).sample_rate == 0L),
+      "malformed blobs must be loud unknowns")
+  }
 }

@@ -535,6 +535,34 @@ private[graft] object SparkEntryStream {
       parity.withColumn("drift_ok", lit(driftOk))
     }),
 
+    // W29 — STREAMING quality-classifier scoring (round-14): t14's
+    // frozen-weight quality filter applied per micro-batch (three
+    // mtime-pinned single-file batches by doc_id%3), scored deltas
+    // landing in replay-safe overwrite dirs with O(1) per-batch drift
+    // partials (mean logit / keep rate — w25's staleness discipline,
+    // spec-gated in StreamingSpec). Scoring is stateless per row, so the
+    // delivered log IS the batch classifier's output over the corpus —
+    // the oracle is t14's relational recomputation VERBATIM: any
+    // streaming/batch divergence (lost batch, duplicate replay, drifted
+    // kernel) breaks the hash.
+    "w29_stream_quality" -> ((s, dir) => {
+      import graft.streaming.QualityStream
+      val root = s"$streamScratchDir/${dirKey(dir)}_w29"
+      rmTree(root)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val in = stageFrames(
+        (0 until 3).map(b => docs.filter(pmod(col("doc_id"), lit(3)) === b)),
+        root)
+      val q = QualityStream.start(
+        s.readStream.schema(s.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in),
+        "doc_id", "text", QualityVocab, biasBp = -50L, keepBp = -34L,
+        stateDir = s"$root/state", ckptDir = s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      QualityStream.delivered(s, s"$root/state")
+        .select(col("doc_id"), col("n_toks"), col("logit_bp"), col("keep"))
+    }),
+
     "w24_stream_snapshots" -> ((s, dir) => {
       import graft.ops.Snapshots
       val root = s"$streamScratchDir/${dirKey(dir)}_w24"
@@ -901,6 +929,28 @@ private[graft] object SparkEntryStream {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // w29: t14's batch oracle VERBATIM over the delivered log — the
+    // streaming path must reproduce the batch classifier row for row
+    // (stateless scoring + replay-safe deltas make that exact).
+    "w29_stream_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |u AS (SELECT doc_id, len(t) AS n, unnest(t) AS w FROM toks),
+        |vocab(w, wt) AS (VALUES
+        |  ('vector', 200), ('query', 150), ('data', 120), ('stream', 110),
+        |  ('join', 90), ('window', 80), ('hash', 60), ('sort', 40),
+        |  ('slow', -250), ('dup', -400), ('big', -50), ('small', -30),
+        |  ('a', -20), ('the', -10)),
+        |s AS (SELECT u.doc_id, any_value(u.n) AS n_toks,
+        |    coalesce(sum(v.wt), 0) AS w_sum
+        |  FROM u LEFT JOIN vocab v USING (w) GROUP BY u.doc_id)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |  CAST(-50 + floor(w_sum * 1.0 / n_toks) AS BIGINT) AS logit_bp,
+        |  CAST(CAST(-50 + floor(w_sum * 1.0 / n_toks) AS BIGINT) >= -34 AS INT)
+        |    AS keep
+        |FROM s""".stripMargin,
 
     // w28: c14's batch oracle VERBATIM (shared by reference — one
     // truth, two engines: the incremental partials must derive the

@@ -670,6 +670,41 @@ class StreamingSpec extends SparkSpec {
       cm.map(_.toSeq).toSeq)
   }
 
+
+  test("w29 quality stream: fold == batch classifier, replay-safe deltas, drift partials") {
+    import graft.streaming.QualityStream
+    import graft.ext.TextAnalysis
+    import spark.implicits._
+    val vocab = Map("data" -> 120L, "slow" -> -250L, "the" -> -10L)
+    val b0 = Seq((1L, "data stream the data"), (2L, "slow slow thing")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "the data pipeline"), (4L, "plain words only")).toDF("doc_id", "text")
+    val d = java.nio.file.Files.createTempDirectory("w29_q").toString
+    QualityStream.absorb(b0, "doc_id", "text", vocab, -50L, -34L, d, 0L)
+    QualityStream.absorb(b1, "doc_id", "text", vocab, -50L, -34L, d, 1L)
+    val batch = TextAnalysis.classifierScore(
+        b0.unionByName(b1), "doc_id", "text", vocab, -50L, -34L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    def fold() = QualityStream.delivered(spark, d)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(fold() == batch, "delivered log must equal the batch classifier")
+    // drift partials: one O(1) row per batch; means derived from the log
+    val dr = QualityStream.drift(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(dr.keySet == Set(0L, 1L) && dr(0L)._1 == 2L && dr(1L)._1 == 2L)
+    val b0Mean = (batch(1L)._2 + batch(2L)._2) / 2
+    assert(dr(0L)._2 == b0Mean, s"mean logit partial must match the log: $dr")
+    assert(dr.values.forall(v => v._3 >= 0L && v._3 <= 10000L), "keep rate is bp")
+    // crash replay of both batches: overwrite deltas, nothing duplicates
+    QualityStream.absorb(b0, "doc_id", "text", vocab, -50L, -34L, d, 0L)
+    QualityStream.absorb(b1, "doc_id", "text", vocab, -50L, -34L, d, 1L)
+    assert(fold() == batch, "replay must not change the log")
+    assert(QualityStream.delivered(spark, d).count() == 4L)
+    // an empty trigger writes neither a delta nor a zero-row partial
+    QualityStream.absorb(b0.filter(col("doc_id") < 0L), "doc_id", "text",
+      vocab, -50L, -34L, d, 2L)
+    assert(QualityStream.drift(spark, d).count() == 2L)
+  }
+
   test("w26 histogram stream: exact fold, replay/order independent, percentile edge semantics") {
     import graft.streaming.HistStream
     import org.apache.spark.sql.functions._

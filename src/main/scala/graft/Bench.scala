@@ -155,7 +155,13 @@ object Bench {
     * baseline ratios consume), then 1/0 decimals, then — once names alone
     * exceed the window (~88 queries) — re-runs the ladder with each name
     * abbreviated to its unique id prefix ("t6_corpus_curation"→"t6",
-    * flagged "abbrev":1), until the line fits [[BudgetChars]].
+    * flagged "abbrev":1), until the line fits [[BudgetChars]]. Between
+    * 1dp and whole seconds sits the integer-DECISECONDS rung
+    * ("qunit":"ds" — 0.1 s resolution, the floor per-query regression
+    * analysis needs; r13's 197-query report fell to whole seconds). If
+    * even whole seconds overflow, a terminal tier keeps the SLOWEST
+    * topK timings and discloses "queries_omitted" — timings are
+    * sacrificed fastest-first, never silently.
     * Trailing zeros are trimmed ("0.50"→"0.5");
     * "passes" is the length of "pass_totals"; an empty error map renders
     * as nothing. "sf" is the directory basename.
@@ -199,9 +205,14 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
     // dec = -1: magnitude-adaptive (sub-second 2dp, >=1s 1dp) — constant
-    // relative precision, the form per-query baseline ratios consume
+    // relative precision, the form per-query baseline ratios consume.
+    // dec = -2: integer DECISECONDS ("qunit":"ds") — 0.1 s resolution at
+    // ~one char per query less than 1dp seconds, the rung that keeps
+    // per-query round-over-round regression analysis above the noise
+    // floor at ~200 queries (r13's report fell to whole seconds there).
     def qnum(v: Double, dec: Int): String =
-      if (dec >= 0) num(v, dec) else num(v, if (v < 1.0) 2 else 1)
+      if (dec == -2) math.round(v * 10).toString
+      else if (dec >= 0) num(v, dec) else num(v, if (v < 1.0) 2 else 1)
     val sfName = new java.io.File(sfDir).getName
     // Short form: the id segment before the first '_' ("t6_corpus_curation"
     // -> "t6") — the key BASELINE.md and the verdict tables already lead
@@ -214,10 +225,24 @@ object Bench {
     // (min_query_total, sweep01) so per-query timings and the driver
     // contract fields always fit the window — at ~195 queries the
     // fully-degraded line otherwise overflows by a few chars
-    def at(dec: Int, errMax: Int, short: Boolean, lean: Boolean = false): String = {
+    def at(dec: Int, errMax: Int, short: Boolean, lean: Boolean = false,
+           topK: Int = Int.MaxValue): String = {
       def nm(k: String) = if (short) shortOf(k) else k
-      val qs = names.flatMap(k => best.get(k).map(v => s"${jstr(nm(k))}:${qnum(v, dec)}"))
-        .mkString("{", ",", "}")
+      // pathological terminal tier: keep the SLOWEST topK timings (the
+      // ones regression analysis needs) and disclose the omission count
+      // — never a silent truncation
+      val present = names.flatMap(k => best.get(k).map(k -> _))
+      val kept =
+        if (present.size <= topK) present
+        else present.sortBy { case (k, v) => (-v, k) }.take(topK)
+      val keptSet = kept.map(_._1).toSet
+      val om =
+        if (present.size > kept.size)
+          s""""queries_omitted":${present.size - kept.size},"""
+        else ""
+      val qs = names.flatMap(k =>
+        if (keptSet.contains(k)) Some(s"${jstr(nm(k))}:${qnum(best(k), dec)}")
+        else None).mkString("{", ",", "}")
       // errMax < 0 drops the error map entirely (names alone of many
       // failing queries could overflow the window); the count survives.
       // An empty map renders as nothing — the chars matter at 84 queries.
@@ -242,11 +267,15 @@ object Bench {
         if (valuePool.nonEmpty) num(valuePool.min, 1) else num(best.values.sum, 2)
       val pts = passTotals.map(num(_, 1)).mkString("[", ",", "]")
       val ab = if (short) """"abbrev":1,""" else ""
+      val qu = if (dec == -2) """"qunit":"ds",""" else ""
+      // sweep01 is an sf0.1 measurement — emitting it beside any other
+      // scale factor would present a stale/mismatched pair as current
       val aux =
         if (lean) ""
         else s""""min_query_total":${num(best.values.sum, 2)},""" +
-          s""""sweep01":${num(LocalSweepSf01Sec, 1)},"""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$es$ab$aux"pass_totals":$pts,"sf":${jstr(sfName)}}"""
+          (if (sfName == "sf0.1") s""""sweep01":${num(LocalSweepSf01Sec, 1)},"""
+           else "")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$om$es$ab$qu$aux"pass_totals":$pts,"sf":${jstr(sfName)}}"""
     }
     // Full names degrade through fine precision (3dp, 2dp, adaptive);
     // before sacrificing relative precision below that — what per-query
@@ -255,7 +284,8 @@ object Bench {
     // and error truncation/omission follow only if even that overflows
     // (each failing query adds ~190 chars of message otherwise).
     val fine = Seq((3, 200), (2, 200), (-1, 200))
-    val coarse = Seq((1, 200), (0, 200), (0, 60), (0, 20), (0, -1))
+    // -2 = integer deciseconds before surrendering to whole seconds
+    val coarse = Seq((1, 200), (-2, 200), (0, 200), (0, 60), (0, 20), (0, -1))
     val ladder =
       if (shortOk) fine.map { case (d, e) => (d, e, false) } ++
         (fine ++ coarse).map { case (d, e) => (d, e, true) }
@@ -266,6 +296,12 @@ object Bench {
       .orElse(Seq((0, 20), (0, -1)).iterator
         .map { case (d, e) => at(d, e, shortOk, lean = true) }
         .find(_.length <= BudgetChars))
-      .getOrElse(at(0, -1, shortOk, lean = true))
+      // pathological terminal tier: slowest-K timings with a disclosed
+      // queries_omitted count (fast queries' timings are the least
+      // informative for regression analysis — they go first)
+      .orElse(Seq(160, 120, 80, 40).iterator
+        .map(k => at(0, -1, shortOk, lean = true, topK = k))
+        .find(_.length <= BudgetChars))
+      .getOrElse(at(0, -1, shortOk, lean = true, topK = 20))
   }
 }

@@ -257,8 +257,14 @@ object Multimodal {
       if (dib < 40) unknown
       else {
         val bits = u16le(b, 28)
-        val ch = bits match { case 24 => 3L; case 32 => 4L; case _ => 1L }
-        ImageHeader(id, "bmp", i32le(b, 18).toLong,
+        // 16bpp is packed RGB555/565 — 3 real channels, not palette;
+        // only <=8 bpp BMPs are palette-indexed
+        val ch = bits match {
+          case 16 | 24 => 3L; case 32 => 4L
+          case 1 | 4 | 8 => 1L; case _ => 0L
+        }
+        if (ch == 0L) unknown
+        else ImageHeader(id, "bmp", i32le(b, 18).toLong,
           math.abs(i32le(b, 22)).toLong, bits.toLong, ch)
       }
     } else unknown

@@ -118,6 +118,33 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(node.get("errors").get("b").asText == "boom \"quoted\"\npath\\x")
   }
 
+  test("real query list at realistic widths keeps at least 0.1s per-query resolution") {
+    // r13's official report fell to whole seconds at 197 queries — the
+    // deciseconds rung must hold 0.1s resolution for round-over-round
+    // per-query regression analysis (VERDICT r13 item 8)
+    val line = Bench.render(names, names.map(_ -> 1.234).toMap, Map.empty,
+      passTotals = Seq(240.0, 238.5), sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= Bench.BudgetChars)
+    val node = mapper.readTree(line)
+    val scale = if (node.has("qunit")) {
+      assert(node.get("qunit").asText == "ds"); 0.1
+    } else 1.0
+    val it = node.get("queries").elements()
+    while (it.hasNext) {
+      val v = it.next().asDouble * scale
+      assert(math.abs(v - 1.234) < 0.06,
+        s"per-query resolution degraded below 0.1s: $v")
+    }
+  }
+
+  test("sweep01 rides only the sf0.1 render (it is an sf0.1 measurement)") {
+    def line(sf: String) = Bench.render(Seq("a"), Map("a" -> 1.0), Map.empty,
+      passTotals = Seq(1.0), sfDir = s"/root/testdata/$sf")
+    assert(mapper.readTree(line("sf0.1")).has("sweep01"))
+    assert(!mapper.readTree(line("sf0.001")).has("sweep01"))
+    assert(!mapper.readTree(line("sf1")).has("sweep01"))
+  }
+
   test("a pass with failures cannot claim the headline; all-failed falls back to min") {
     // pass 0 is fastest but had a failure (its fast failure path deflates
     // the sum) — the headline must come from the slower COMPLETE pass

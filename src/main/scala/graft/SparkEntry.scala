@@ -39,6 +39,14 @@ object SparkEntry {
   val LshRecallMinBp = 2500
   val IvfRecallMinBp = 4000
 
+  /** e19 gate: the graph-augmented tier's anchored recall@3, measured
+    * 7960/7800/6466 bp at sf0.001/0.01/0.1 (GraphAnnProbe, hops=2
+    * beam=16 degree=8) vs the pure LSH seed tier's 3566/3300/3946 —
+    * floor below the weakest measurement; a real regression (graph
+    * build, hop join, or beam-prune bug) collapses toward the seed
+    * tier or below. */
+  val GraphAnnRecallMinBp = 5500
+
   /** d7 gate: the corpus' planted near-dups sit at J ≥ 0.9 (measured
     * bimodal — next bucket is J ≈ 0), where 8-band/4-row MinHash recall is
     * ≈ 1; the gate at 80% trips on any banding/signature regression. */

@@ -76,6 +76,42 @@ private[graft] object SparkEntrySim {
       Similarity.recallGate(approx, exact, minBp = IvfRecallMinBp)
     }),
 
+    // E19 — graph-augmented ANN (round-14): DiskANN/HNSW's greedy
+    // expansion expressed relationally — LSH-seeded beams refined over a
+    // bounded-degree symmetrized k-NN graph (Similarity.graphAnn; 2 hops,
+    // beam 16, degree 8). Double gate: anchored recall@3 must clear
+    // GraphAnnRecallMinBp (floor below the 6466-7960 bp measured across
+    // SFs), AND must be >= the pure LSH seed tier's recall on identical
+    // tables/bits — the "augmented" claim made falsifiable: the hops can
+    // only add candidates (the full seed pool stays in the ranked set),
+    // so a graph/expansion bug shows up as lost improvement.
+    "e19_graph_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sub = vecAnchorPred(emb)
+      val exact = Similarity.knnBruteFor(emb.filter(sub), emb,
+        "vec_id", "embedding", k = 3)
+      val lsh = Similarity.knnLsh(emb, "vec_id", "embedding",
+        k = 3, dim = 64, bits = 6, tables = 8, queryPred = Some(sub))
+      val gr = Similarity.graphAnn(emb, "vec_id", "embedding",
+        k = 3, dim = 64, bits = 6, tables = 8, degree = 8, hops = 2,
+        beam = 16, queryPred = Some(sub))
+      def hits(df: DataFrame, nm: String) =
+        df.select(col("vec_id"), col("neighbor_id")).withColumn(nm, lit(1L))
+      exact.select(col("vec_id"), col("neighbor_id"))
+        .join(hits(gr, "__gh"), Seq("vec_id", "neighbor_id"), "left")
+        .join(hits(lsh, "__lh"), Seq("vec_id", "neighbor_id"), "left")
+        .agg(
+          count_distinct(col("vec_id")).as("n_query_vecs"),
+          floor(sum(coalesce(col("__gh"), lit(0L))) * lit(10000) / count(lit(1)))
+            .as("__g"),
+          floor(sum(coalesce(col("__lh"), lit(0L))) * lit(10000) / count(lit(1)))
+            .as("__l"))
+        .select(col("n_query_vecs"),
+          when(col("__g") >= GraphAnnRecallMinBp, 1L).otherwise(0L)
+            .as("recall_ok"),
+          when(col("__g") >= col("__l"), 1L).otherwise(0L).as("improve_ok"))
+    }),
+
     // E8 quantization recall gate: k-NN over int8-quantized embeddings
     // (the 4x storage compression) must still recover the full-precision
     // exact neighbors — same constant-oracle shape as e6/e7.
@@ -513,6 +549,15 @@ private[graft] object SparkEntrySim {
     "e7_ivf_recall" ->
       s"""WITH $VecAnchCte
         |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok
+        |FROM anch""".stripMargin,
+
+    // e19: the e6 constant gate with the improvement flag — the engine
+    // emits (count, 1, 1) only when the graph tier clears its floor AND
+    // does not fall below the LSH seed tier it claims to augment.
+    "e19_graph_ann" ->
+      s"""WITH $VecAnchCte
+        |SELECT count(*) AS n_query_vecs, CAST(1 AS BIGINT) AS recall_ok,
+        |  CAST(1 AS BIGINT) AS improve_ok
         |FROM anch""".stripMargin,
 
     // e17: e6/e14's constant gate — the two-stage (ADC shortlist →

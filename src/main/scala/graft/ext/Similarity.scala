@@ -121,28 +121,102 @@ object Similarity {
     * (bits ↑ = fewer candidates, tables ↑ = higher recall). */
   def knnLsh(emb: DataFrame, id: String, vec: String, k: Int,
              dim: Int, bits: Int = 6, tables: Int = 8, seed: Long = 42L,
-             queryPred: Option[Column] = None): DataFrame = {
+             queryPred: Option[Column] = None): DataFrame =
+    rankTopK(scorePairs(emb, id, vec,
+      lshCandidatePairs(emb, id, vec, dim, bits, tables, seed, queryPred)), k)
+
+  /** The multi-table LSH candidate join shared by [[knnLsh]] (ranking
+    * tier) and [[graphAnn]] (seed tier): `(vec_id, neighbor_id)` pairs,
+    * deduped BEFORE vectors attach (16-byte rows through the shuffle —
+    * carrying both embeddings through the union-across-tables distinct
+    * would shuffle ~30× more bytes). `queryPred` restricts WHICH vectors
+    * are searched for (the a-side) without shrinking the candidate
+    * corpus (the b-side) — the recall-gate shape. */
+  private def lshCandidatePairs(emb: DataFrame, id: String, vec: String,
+                                dim: Int, bits: Int, tables: Int, seed: Long,
+                                queryPred: Option[Column]): DataFrame = {
     val buckets = array((0 until tables).map(l =>
       lshBucket(col(vec), dim, bits, seed + l)).toIndexedSeq: _*)
     def sigs(df: DataFrame) =
       df.select(col(id), posexplode(buckets).as(Seq("tbl", "bucket")))
-    // queryPred restricts WHICH vectors we search for (the a-side) without
-    // shrinking the candidate corpus (the b-side) — the recall-gate shape.
     val a = sigs(queryPred.fold(emb)(emb.filter))
       .select(col("tbl"), col("bucket"), col(id).as("vec_id"))
     val b = sigs(emb).select(col("tbl"), col("bucket"), col(id).as("neighbor_id"))
-    // dedupe the id pairs FIRST (16-byte rows through the shuffle), then
-    // attach the vectors — carrying both embeddings through the
-    // union-across-tables distinct would shuffle ~30× more bytes
-    val cand = a.join(b, Seq("tbl", "bucket"))
+    a.join(b, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"))
       .dropDuplicates("vec_id", "neighbor_id")
+  }
+
+  /** Attach both endpoint vectors to `(vec_id, neighbor_id)` pairs and
+    * score exact cosine — the verify projection every candidate tier
+    * funnels through. */
+  private def scorePairs(emb: DataFrame, id: String, vec: String,
+                         cand: DataFrame): DataFrame = {
     val va = emb.select(col(id).as("vec_id"), col(vec).as("va"))
     val vb = emb.select(col(id).as("neighbor_id"), col(vec).as("vb"))
-    val pairs = cand.join(va, Seq("vec_id")).join(vb, Seq("neighbor_id"))
+    cand.join(va, Seq("vec_id")).join(vb, Seq("neighbor_id"))
       .withColumn("sim", cosine(col("va"), col("vb")))
-    rankTopK(pairs, k)
+      .select(col("vec_id"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Bounded-degree neighbor graph (the NSW/NN-descent base layer): each
+    * vector's `degree` highest-cosine LSH candidates become edges,
+    * SYMMETRIZED (both directions) so search can traverse against edge
+    * direction. Build = the e6 candidate join + one bounded top-k
+    * aggregate — Σ min(bucket)² candidate cost, never all-pairs; the
+    * result is a plain `(node, nb)` TABLE (disk-resident at scale, like
+    * every index here). */
+  def knnGraph(emb: DataFrame, id: String, vec: String, degree: Int = 8,
+               dim: Int = 64, bits: Int = 6, tables: Int = 8,
+               seed: Long = 42L): DataFrame = {
+    val edges = knnLsh(emb, id, vec, degree, dim, bits, tables, seed)
+      .select(col("vec_id").as("node"), col("neighbor_id").as("nb"))
+    edges.unionByName(edges.select(col("nb").as("node"), col("node").as("nb")))
+      .distinct()
+  }
+
+  /** Graph-augmented ANN search (round 14) — DiskANN/HNSW's greedy
+    * expansion expressed relationally: seeds are the query's own
+    * multi-table LSH candidates (so recall starts from the e6 tier, never
+    * from a cold global entry point — the navigability problem a flat
+    * neighbor graph cannot solve alone), then `hops` rounds of frontier
+    * expansion over the bounded-degree [[knnGraph]] adjacency reach true
+    * neighbors whose buckets missed every table. Each hop is one
+    * frontier⋈adjacency equi-join + one exact-cosine scoring projection +
+    * one bounded top-`beam` per-query prune; every frontier is
+    * Q·beam·degree-bounded, so search cost is independent of corpus size
+    * once the graph is built. The FULL seed candidate set stays in the
+    * visited pool (expansion only ADDS candidates), so the final top-k
+    * ranks a superset of the LSH tier's pool.
+    *
+    * At 100 TB: graph build amortizes over every query batch (it is a
+    * table, rebuilt on the w25 maintenance cadence); a query batch costs
+    * `hops` bounded shuffle joins against the adjacency — the relational
+    * form of a disk-resident graph index's page reads. */
+  def graphAnn(emb: DataFrame, id: String, vec: String, k: Int,
+               dim: Int = 64, bits: Int = 6, tables: Int = 8,
+               seed: Long = 42L, degree: Int = 8, hops: Int = 2,
+               beam: Int = 16, queryPred: Option[Column] = None): DataFrame = {
+    val graph = knnGraph(emb, id, vec, degree, dim, bits, tables, seed)
+    val seeds = scorePairs(emb, id, vec,
+      lshCandidatePairs(emb, id, vec, dim, bits, tables, seed, queryPred))
+    var visited = seeds
+    var frontier = rankTopK(seeds, beam)
+      .select(col("vec_id"), col("neighbor_id"))
+    for (_ <- 1 to hops) {
+      val expand = frontier
+        .join(graph, frontier("neighbor_id") === graph("node"))
+        .select(col("vec_id"), col("nb").as("neighbor_id"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .distinct()
+      val scored = scorePairs(emb, id, vec, expand)
+      visited = visited.unionByName(scored)
+        .dropDuplicates("vec_id", "neighbor_id")
+      frontier = rankTopK(scored, beam)
+        .select(col("vec_id"), col("neighbor_id"))
+    }
+    rankTopK(visited, k)
   }
 
   /** Constant-K content-addressed anchor QUERY set as a literal IN-set

@@ -34,6 +34,38 @@ class SimilaritySpec extends SparkSpec {
     assert(r > 0.3, s"LSH recall@3 = $r")
   }
 
+  test("graphAnn beats its LSH seed tier on the same tables/bits; output shape ranked") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val gr = Similarity.graphAnn(emb, "vec_id", "embedding", k = 3,
+      dim = 64, bits = 6, tables = 8, degree = 8, hops = 2, beam = 16)
+    val rg = recallAgainstBrute(gr)
+    val rl = recallAgainstBrute(
+      Similarity.knnLsh(emb, "vec_id", "embedding", k = 3, dim = 64,
+        bits = 6, tables = 8))
+    assert(rg >= rl, s"graph tier must not lose to its seeds: $rg vs $rl")
+    assert(rg > 0.5, s"graph recall@3 = $rg")
+    val bad = gr.groupBy("vec_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+      .filter(col("n") > 3 || col("mx") > 3 || col("mn") =!= 1)
+    assert(bad.isEmpty)
+  }
+
+  test("knnGraph: symmetrized edges, bounded out-degree pre-symmetrize, no self-loops") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", degree = 4,
+      dim = 64, bits = 6, tables = 8)
+    assert(g.filter(col("node") === col("nb")).isEmpty, "no self-loops")
+    // symmetry: every edge exists in both directions
+    val asym = g.select(col("node").as("a"), col("nb").as("b"))
+      .join(g.select(col("nb").as("a"), col("node").as("b")),
+        Seq("a", "b"), "left_anti")
+    assert(asym.isEmpty, "graph must be symmetrized")
+    // pre-symmetrize out-degree bound: the raw kNN edges obey k
+    val raw = Similarity.knnLsh(emb, "vec_id", "embedding", k = 4,
+      dim = 64, bits = 6, tables = 8)
+    assert(raw.groupBy("vec_id").count().filter(col("count") > 4).isEmpty)
+  }
+
   test("IVF emits at most k ranked neighbors per vector, ranks contiguous") {
     val emb = Tables.load(spark, sf, "embeddings")
     val out = Similarity.knnIvf(emb, "vec_id", "embedding", k = 3)

@@ -55,6 +55,21 @@ class PlanShapeSpec extends SparkSpec {
       s"t25 unigram-apply kernel grew an exchange:\n$uni")
   }
 
+  test("round-14 decode passes: pixel aHash and WAV walk are scan passes, zero exchanges") {
+    import org.apache.spark.sql.functions.{col, encode}
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val blobs = docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("content"))
+    val px = finalPlan(graft.ext.Multimodal.decodeAHash(
+      blobs, "doc_id", "content").toDF())
+    assert(shuffles(px).isEmpty && broadcasts(px).isEmpty,
+      s"m9 pixel-decode kernel grew an exchange:\n$px")
+    val wav = finalPlan(graft.ext.Multimodal.wavHeaders(
+      blobs, "doc_id", "content").toDF())
+    assert(shuffles(wav).isEmpty && broadcasts(wav).isEmpty,
+      s"m10 WAV-walk kernel grew an exchange:\n$wav")
+  }
+
   test("j5 parent pointer is a pure projection: zero exchanges") {
     val p = q("j5_parent_pointer")
     assert(shuffles(p).isEmpty && broadcasts(p).isEmpty,

@@ -170,6 +170,23 @@ private[graft] object SparkEntryMedia {
       Multimodal.wavHeaders(blobs, "doc_id", "content").toDF()
     }),
 
+    // M11 — REAL PCM sample decode (round-14, m9's audio twin): each doc
+    // plants a WAV whose data payload holds ACTUAL interleaved samples
+    // (16-bit signed LE or 8-bit unsigned, channels by id arithmetic);
+    // the engine walks to the payload and folds the samples into exact
+    // integer signal statistics — frame count, peak |amplitude|, DC sum,
+    // energy sum Σs² (Multimodal.pcmStats). The oracle regenerates every
+    // sample value relationally and recomputes the folds, so the byte-
+    // level decode (endianness, signedness, recentring, interleave) is
+    // hash-judged sample for sample; malformed rows stay loud unknowns.
+    "m11_pcm_stats" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, m11Blob(id))))
+        .toDF("doc_id", "content")
+      Multimodal.pcmStats(blobs, "doc_id", "content").toDF()
+    }),
+
     // M2 frame sampling (Multimodal.sampleFrames) is exercised and judged
     // through m4_frame_gate: cardinality, byte conservation, and
     // partition-independence of the same mapPartitions path.
@@ -325,7 +342,81 @@ private[graft] object SparkEntryMedia {
       out.toByteArray
     }
 
+  /** m11 fixture: a REAL WAV with an actual PCM payload — sample values
+    * are pure (id, flat-index) arithmetic so the oracle can regenerate
+    * the exact waveform; 16-bit samples stored two's-complement LE,
+    * 8-bit stored unsigned (+128). ids %89 get corrupt magic. The
+    * judged path is the sample DECODER. */
+  private def m11Blob(id: Long): Array[Byte] =
+    if (id % 89 == 0)
+      Array[Byte]('R', 'I', 'F', 'F', 0, 0, 0, 0)
+    else {
+      val rate = Seq(8000L, 16000L, 22050L, 44100L)((id % 4).toInt)
+      val channels = 1L + id % 2
+      val bits = if (id % 3 == 0) 8L else 16L
+      val nFrames = 50L + id % 200
+      val n = (nFrames * channels).toInt
+      val dataSize = n.toLong * (bits / 8)
+      val out = new java.io.ByteArrayOutputStream()
+      def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+      def u16l(v: Long): Unit = b(v.toInt, (v >> 8).toInt)
+      def u32l(v: Long): Unit =
+        b(v.toInt, (v >> 8).toInt, (v >> 16).toInt, (v >> 24).toInt)
+      b('R', 'I', 'F', 'F'); u32l(36L + dataSize); b('W', 'A', 'V', 'E')
+      val ext = (id % 7).toInt
+      b('L', 'I', 'S', 'T'); u32l(ext.toLong)
+      (0 until ext).foreach(_ => b('x'))
+      if (ext % 2 == 1) b(0)
+      b('f', 'm', 't', ' '); u32l(16L)
+      u16l(1L); u16l(channels); u32l(rate)
+      u32l(rate * channels * (bits / 8))
+      u16l(channels * (bits / 8))
+      u16l(bits)
+      b('d', 'a', 't', 'a'); u32l(dataSize)
+      var i = 0
+      while (i < n) {
+        if (bits == 16L) {
+          val v = (id * 31 + i * 7) % 65536 - 32768
+          u16l(v & 0xffffL)
+        } else {
+          val v = (id * 31 + i * 7) % 256 - 128
+          b((v + 128).toInt)
+        }
+        i += 1
+      }
+      out.toByteArray
+    }
+
   val oracle: Map[String, String] = Map(
+
+    // m11: the waveform regenerated relationally — every sample value
+    // from the same (id, index) arithmetic, folds recomputed exactly
+    // (all-integer: peak/DC/energy never touch a float).
+    "m11_pcm_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS ch,
+        |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+        |    50 + doc_id % 200 AS nf
+        |  FROM documents WHERE doc_id % 89 <> 0),
+        |s0 AS (SELECT doc_id, bits, unnest(range(nf * ch)) AS i FROM d),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bits = 16 THEN (doc_id*31 + i*7) % 65536 - 32768
+        |         ELSE (doc_id*31 + i*7) % 256 - 128 END AS v
+        |  FROM s0),
+        |agg AS (
+        |  SELECT doc_id, CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+        |    CAST(sum(v) AS BIGINT) AS dc_sum,
+        |    CAST(sum(v*v) AS BIGINT) AS sum_sq
+        |  FROM s GROUP BY 1)
+        |SELECT dd.doc_id,
+        |  CASE WHEN dd.doc_id % 89 = 0 THEN 'unknown' ELSE 'wav' END AS fmt,
+        |  CAST(CASE WHEN dd.doc_id % 89 = 0 THEN 0
+        |    ELSE 50 + dd.doc_id % 200 END AS BIGINT) AS n_frames,
+        |  CAST(coalesce(agg.peak_abs, 0) AS BIGINT) AS peak_abs,
+        |  CAST(coalesce(agg.dc_sum, 0) AS BIGINT) AS dc_sum,
+        |  CAST(coalesce(agg.sum_sq, 0) AS BIGINT) AS sum_sq
+        |FROM documents dd LEFT JOIN agg ON agg.doc_id = dd.doc_id""".stripMargin,
 
     // m10: the planted RIFF truth in doc_id arithmetic — every field
     // plus the two derived quantities (exact integer division on both

@@ -416,41 +416,96 @@ object Multimodal {
     u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
       (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
 
-  private def parseWavHeader(id: Long, b: Array[Byte]): WavHeader = {
-    val unknown = WavHeader(id, "unknown", 0L, 0L, 0L, 0L, 0L, 0L)
+  /** Walked WAVE metadata: fmt-chunk fields plus the data payload's
+    * byte offset and declared size (the PCM decode entry point). */
+  private final case class WavInfo(codec: Long, channels: Long, rate: Long,
+                                   bits: Long, dataOff: Int, dataSize: Long)
+
+  private def walkWav(b: Array[Byte]): Option[WavInfo] = {
     if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
         b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
-        b(11) != 'E') return unknown
+        b(11) != 'E') return None
     var codec = -1L; var channels = 0L; var rate = 0L; var bits = 0L
-    var dataSize = -1L
+    var dataSize = -1L; var dataOff = -1
     var i = 12
     while (i + 8 <= b.length && (codec < 0L || dataSize < 0L)) {
       val cid = new String(b, i, 4, "US-ASCII")
       val sz = u32leL(b, i + 4)
       if (cid == "fmt ") {
-        if (sz < 16 || i + 8 + 16 > b.length) return unknown
+        if (sz < 16 || i + 8 + 16 > b.length) return None
         codec = u16le(b, i + 8).toLong
         channels = u16le(b, i + 10).toLong
         rate = u32leL(b, i + 12)
         bits = u16le(b, i + 22).toLong
       } else if (cid == "data") {
         dataSize = sz
+        dataOff = i + 8
       }
       // RIFF chunks are word-aligned: odd payloads carry one pad byte.
       // `data`'s payload need not be present in a prefix read — it is
       // the LAST thing this walk needs, so the loop exits via the
       // condition above before skipping past it.
       i += 8 + sz.toInt + (sz.toInt & 1)
-      if (sz < 0L || sz > Int.MaxValue.toLong) return unknown
+      if (sz < 0L || sz > Int.MaxValue.toLong) return None
     }
     if (codec < 0L || dataSize < 0L || channels <= 0L || rate <= 0L ||
-        bits <= 0L || bits % 8 != 0) unknown
-    else {
-      val bytesPerFrame = channels * (bits / 8)
-      val nSamples = dataSize / bytesPerFrame
-      WavHeader(id, "wav", codec, channels, rate, bits, nSamples,
-        nSamples * 1000L / rate)
+        bits <= 0L || bits % 8 != 0) None
+    else Some(WavInfo(codec, channels, rate, bits, dataOff, dataSize))
+  }
+
+  private def parseWavHeader(id: Long, b: Array[Byte]): WavHeader =
+    walkWav(b) match {
+      case None => WavHeader(id, "unknown", 0L, 0L, 0L, 0L, 0L, 0L)
+      case Some(w) =>
+        val nSamples = w.dataSize / (w.channels * (w.bits / 8))
+        WavHeader(id, "wav", w.codec, w.channels, w.rate, w.bits, nSamples,
+          nSamples * 1000L / w.rate)
     }
+
+  final case class PcmStats(doc_id: Long, fmt: String, n_frames: Long,
+                            peak_abs: Long, dc_sum: Long, sum_sq: Long)
+
+  /** REAL PCM sample decode (round-14, the audio twin of m9's pixel
+    * decode): read the `data` payload located by the RIFF walk and fold
+    * the actual samples — 16-bit signed little-endian or 8-bit unsigned
+    * (recentred at −128..127), channels interleaved — into exact integer
+    * signal statistics: frame count, peak |amplitude| (clipping audit),
+    * DC sum (offset audit), and the energy sum Σs² (RMS's exact integer
+    * core — RMS itself is one sqrt away, left to the caller so the
+    * statistic stays oracle-exact). A payload the blob does not fully
+    * contain, or an unsupported codec/bit depth, is a loud unknown —
+    * never a silently partial fold. Same amortized-init mapPartitions
+    * scan pass as [[wavHeaders]]; nothing shuffles. */
+  def pcmStats(df: DataFrame, idCol: String, binCol: String): Dataset[PcmStats] = {
+    implicit val enc = Encoders.product[PcmStats]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          val unknown = PcmStats(id, "unknown", 0L, 0L, 0L, 0L)
+          walkWav(b) match {
+            case Some(w) if w.codec == 1L && (w.bits == 8L || w.bits == 16L) &&
+                w.dataOff >= 0 && w.dataOff + w.dataSize <= b.length =>
+              val bytesPer = (w.bits / 8).toInt
+              val n = (w.dataSize / bytesPer).toInt
+              var peak = 0L; var dc = 0L; var sq = 0L
+              var i = 0
+              while (i < n) {
+                val off = w.dataOff + i * bytesPer
+                val v: Long =
+                  if (bytesPer == 2)
+                    ((u8(b, off) | (u8(b, off + 1) << 8)).toShort).toLong
+                  else u8(b, off).toLong - 128L
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                dc += v; sq += v * v
+                i += 1
+              }
+              PcmStats(id, "wav", n.toLong / w.channels, peak, dc, sq)
+            case _ => unknown
+          }
+        }
+      }
   }
 
   final case class MediaFeature(doc_id: Long, f0: Long, f8: Long, f15: Long,

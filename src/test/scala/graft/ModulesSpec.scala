@@ -454,4 +454,38 @@ class ModulesSpec extends SparkSpec {
       h(i).duration_ms == 0L && h(i).sample_rate == 0L),
       "malformed blobs must be loud unknowns")
   }
+
+  test("M11 pcmStats: byte-exact sample decode — signedness, endianness, interleave, truncation") {
+    def wav16(samples: Seq[Int], ch: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+      def u16l(v: Int): Unit = b(v, v >> 8)
+      def u32l(v: Int): Unit = b(v, v >> 8, v >> 16, v >> 24)
+      b('R', 'I', 'F', 'F'); u32l(36 + samples.length * 2); b('W', 'A', 'V', 'E')
+      b('f', 'm', 't', ' '); u32l(16)
+      u16l(1); u16l(ch); u32l(8000); u32l(8000 * ch * 2); u16l(ch * 2); u16l(16)
+      b('d', 'a', 't', 'a'); u32l(samples.length * 2)
+      samples.foreach(s => u16l(s & 0xffff))
+      out.toByteArray
+    }
+    // stereo: 4 frames, values incl. the signed extremes
+    val vals = Seq(-32768, 32767, -1, 1, 0, 100, -100, 2)
+    val good = wav16(vals, ch = 2)
+    val truncated = good.dropRight(3) // payload cut mid-sample
+    val blobs = Seq((1L, good), (2L, truncated),
+      (3L, "noise".getBytes("UTF-8"))).toDF("doc_id", "content")
+    val m = Multimodal.pcmStats(blobs, "doc_id", "content")
+      .collect().map(p => p.doc_id -> p).toMap
+    assert(m(1L).fmt == "wav" && m(1L).n_frames == 4L)
+    assert(m(1L).peak_abs == 32768L, "signed 16-bit extreme must decode")
+    assert(m(1L).dc_sum == vals.map(_.toLong).sum)
+    assert(m(1L).sum_sq == vals.map(v => v.toLong * v).sum)
+    assert(m(2L).fmt == "unknown" && m(2L).sum_sq == 0L,
+      "a payload the blob does not contain must be a loud unknown")
+    assert(m(3L).fmt == "unknown")
+    // partition stability
+    val again = Multimodal.pcmStats(blobs.repartition(3), "doc_id", "content")
+      .collect().map(p => p.doc_id -> p).toMap
+    assert(again == m)
+  }
 }

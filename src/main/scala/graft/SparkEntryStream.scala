@@ -563,6 +563,37 @@ private[graft] object SparkEntryStream {
         .select(col("doc_id"), col("n_toks"), col("logit_bp"), col("keep"))
     }),
 
+    // W30 — STREAMING decontamination at ingest (round-14): d8's overlap
+    // scoring applied per micro-batch against a FROZEN benchmark gram
+    // set (built once from the eval-suite docs, doc_id%10==0; candidates
+    // stream in three mtime-pinned batches). Stateless per-doc scoring +
+    // replay-safe overwrite deltas make the delivered log equal the
+    // batch answer — the oracle is d8's relational recomputation
+    // VERBATIM, so a lost batch, duplicate replay, or bench-set drift
+    // breaks the hash.
+    "w30_stream_decontam" -> ((s, dir) => {
+      import graft.streaming.DecontamStream
+      val root = s"$streamScratchDir/${dirKey(dir)}_w30"
+      rmTree(root)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = DecontamStream.benchGramSet(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), "text", n = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candidates = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val in = stageFrames(
+        (0 until 3).map(b => candidates.filter(pmod(col("doc_id"), lit(3)) === b)),
+        root)
+      val q = DecontamStream.start(
+        s.readStream.schema(s.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in),
+        "doc_id", "text", bench, n = 3,
+        stateDir = s"$root/state", ckptDir = s"$root/ckpt")
+      try q.processAllAvailable() finally { q.stop(); bench.unpersist(); () }
+      DecontamStream.delivered(s, s"$root/state")
+        .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+          col("contam_bp"))
+    }),
+
     "w24_stream_snapshots" -> ((s, dir) => {
       import graft.ops.Snapshots
       val root = s"$streamScratchDir/${dirKey(dir)}_w24"
@@ -929,6 +960,27 @@ private[graft] object SparkEntryStream {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // w30: d8's batch oracle VERBATIM over the delivered log — the
+    // streaming decontamination path must reproduce the batch overlap
+    // scoring row for row (frozen bench set + stateless scoring +
+    // replay-safe deltas make that exact).
+    "w30_stream_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+        |cand AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM cand GROUP BY 1),
+        |ov AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM cand c JOIN bench b ON b.s = c.s GROUP BY 1)
+        |SELECT o.doc_id, z.n_shingles, o.n_overlap,
+        |  CAST(floor(o.n_overlap * 10000.0 / z.n_shingles) AS BIGINT) AS contam_bp
+        |FROM ov o JOIN sizes z USING (doc_id)""".stripMargin,
 
     // w29: t14's batch oracle VERBATIM over the delivered log — the
     // streaming path must reproduce the batch classifier row for row

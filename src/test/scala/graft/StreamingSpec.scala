@@ -705,6 +705,39 @@ class StreamingSpec extends SparkSpec {
     assert(QualityStream.drift(spark, d).count() == 2L)
   }
 
+
+  test("w30 decontam stream: fold == batch d8 scoring, frozen bench set, replay-safe") {
+    import graft.streaming.DecontamStream
+    import graft.ext.TextDedup
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),   // bench
+      (1L, "alpha beta gamma other words here"),      // overlaps
+      (2L, "completely different text nothing shared"),
+      (3L, "beta gamma delta epsilon tail words")).toDF("doc_id", "text")
+    val bench = DecontamStream.benchGramSet(
+      docs.filter(col("doc_id") === 10L), "text", n = 3)
+    val d = java.nio.file.Files.createTempDirectory("w30_dc").toString
+    val b0 = docs.filter(col("doc_id") === 1L)
+    val b1 = docs.filter(col("doc_id").isin(2L, 3L))
+    DecontamStream.absorb(b0, "doc_id", "text", bench, 3, d, 0L)
+    DecontamStream.absorb(b1, "doc_id", "text", bench, 3, d, 1L)
+    val batch = TextDedup.contamination(docs, "doc_id", "text",
+        isBenchmark = col("doc_id") === 10L, n = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def fold() = DecontamStream.delivered(spark, d)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(fold() == batch, s"delivered log must equal batch d8: ${fold()} vs $batch")
+    assert(!fold().contains(2L), "zero-overlap docs stay absent (d8 contract)")
+    // crash replay: overwrite deltas, nothing duplicates
+    DecontamStream.absorb(b1, "doc_id", "text", bench, 3, d, 1L)
+    assert(fold() == batch)
+    // empty trigger writes nothing
+    DecontamStream.absorb(docs.filter(col("doc_id") < 0L), "doc_id", "text",
+      bench, 3, d, 2L)
+    assert(fold() == batch)
+  }
+
   test("w26 histogram stream: exact fold, replay/order independent, percentile edge semantics") {
     import graft.streaming.HistStream
     import org.apache.spark.sql.functions._

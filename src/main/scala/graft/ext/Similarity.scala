@@ -162,18 +162,34 @@ object Similarity {
 
   /** Bounded-degree neighbor graph (the NSW/NN-descent base layer): each
     * vector's `degree` highest-cosine LSH candidates become edges,
-    * SYMMETRIZED (both directions) so search can traverse against edge
-    * direction. Build = the e6 candidate join + one bounded top-k
-    * aggregate — Σ min(bucket)² candidate cost, never all-pairs; the
-    * result is a plain `(node, nb)` TABLE (disk-resident at scale, like
-    * every index here). */
+    * symmetrized (both directions) so search can traverse against edge
+    * direction, then EVERY node's adjacency is pruned to its best
+    * 2·degree edges (forward rank as quality, id tiebreak) — DiskANN's
+    * R-bound. Without the prune a popularity hub (one vector in many
+    * nodes' top lists) accumulates unbounded in-degree and a frontier
+    * touching it fans out by that in-degree; with it, frontier expansion
+    * is ≤ beam·2·degree rows per query ALWAYS. The prune is asymmetric
+    * by design (the hub trims its weakest in-edges, the spokes keep
+    * theirs — the traversal is direction-agnostic over the pruned
+    * adjacency). Build = the e6 candidate join + one bounded top-k
+    * aggregate + one degree-keyed window over ≤ 2·n·degree edge rows;
+    * the result is a plain `(node, nb)` TABLE (disk-resident at scale,
+    * like every index here). */
   def knnGraph(emb: DataFrame, id: String, vec: String, degree: Int = 8,
                dim: Int = 64, bits: Int = 6, tables: Int = 8,
                seed: Long = 42L): DataFrame = {
-    val edges = knnLsh(emb, id, vec, degree, dim, bits, tables, seed)
-      .select(col("vec_id").as("node"), col("neighbor_id").as("nb"))
-    edges.unionByName(edges.select(col("nb").as("node"), col("node").as("nb")))
-      .distinct()
+    val fwd = knnLsh(emb, id, vec, degree, dim, bits, tables, seed)
+      .select(col("vec_id").as("node"), col("neighbor_id").as("nb"),
+        col("rank"))
+    val sym = fwd
+      .unionByName(fwd.select(col("nb").as("node"), col("node").as("nb"),
+        col("rank")))
+      .groupBy(col("node"), col("nb")).agg(min(col("rank")).as("__r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("__r"), col("nb"))
+    sym.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2 * degree)
+      .select(col("node"), col("nb"))
   }
 
   /** Graph-augmented ANN search (round 14) — DiskANN/HNSW's greedy

@@ -50,20 +50,23 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
-  test("knnGraph: symmetrized edges, bounded out-degree pre-symmetrize, no self-loops") {
+  test("knnGraph: hard 2R degree bound (hub prune), no self-loops, forward edges kept") {
     val emb = Tables.load(spark, sf, "embeddings")
     val g = Similarity.knnGraph(emb, "vec_id", "embedding", degree = 4,
       dim = 64, bits = 6, tables = 8)
     assert(g.filter(col("node") === col("nb")).isEmpty, "no self-loops")
-    // symmetry: every edge exists in both directions
-    val asym = g.select(col("node").as("a"), col("nb").as("b"))
-      .join(g.select(col("nb").as("a"), col("node").as("b")),
-        Seq("a", "b"), "left_anti")
-    assert(asym.isEmpty, "graph must be symmetrized")
-    // pre-symmetrize out-degree bound: the raw kNN edges obey k
+    // the DiskANN R-bound: NO node's adjacency exceeds 2·degree — the
+    // property that bounds frontier fan-out at beam·2R per query
+    assert(g.groupBy("node").count().filter(col("count") > 8).isEmpty,
+      "hub prune must hold the 2R degree bound")
+    // rank-1 forward edges survive the prune (they are every node's best)
     val raw = Similarity.knnLsh(emb, "vec_id", "embedding", k = 4,
       dim = 64, bits = 6, tables = 8)
     assert(raw.groupBy("vec_id").count().filter(col("count") > 4).isEmpty)
+    val top1 = raw.filter(col("rank") === 1)
+      .select(col("vec_id").as("node"), col("neighbor_id").as("nb"))
+    assert(top1.join(g, Seq("node", "nb"), "left_anti").isEmpty,
+      "each node's best forward edge must survive the prune")
   }
 
   test("IVF emits at most k ranked neighbors per vector, ranks contiguous") {

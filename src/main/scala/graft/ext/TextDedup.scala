@@ -111,19 +111,27 @@ object TextDedup {
       .select(col(id), explode(bandKeys(col("sig"), k, bands)).as("bk"))
       .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
     // bucket census: one row per (band,key), map-side combinable — never
-    // a windowed buffer over a mega-bucket partition
-    val census = banded.groupBy(col("band"), col("key"))
+    // a windowed buffer over a mega-bucket partition. Only the OVER-CAP
+    // buckets survive the filter: ≤ n·bands/maxBucket rows by pigeonhole
+    // (usually zero), so both the anti-join (exempt the big stream) and
+    // the hub join (build the stars) ride BROADCASTS — the cap costs one
+    // map-side-combined aggregate, never a second shuffle of the banded
+    // stream (the d13 anti-join-the-small-side discipline)
+    val over = banded.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("__c"), min(col(id)).as("__hub"))
-    val sized = banded.join(census, Seq("band", "key"))
-    val small = sized.filter(col("__c") <= maxBucket)
+      .filter(col("__c") > maxBucket)
+    val small = banded.join(over.select(col("band"), col("key")),
+      Seq("band", "key"), "left_anti")
     val a = small.select(col("band"), col("key"), col(id).as("id_a"))
     val b = small.select(col("band"), col("key"), col(id).as("id_b"))
     val smallPairs = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     // over-cap buckets: star to the bucket-min hub (hub < member always)
-    val starPairs = sized
-      .filter(col("__c") > maxBucket && col(id) =!= col("__hub"))
+    val starPairs = banded
+      .join(over.select(col("band"), col("key"), col("__hub")),
+        Seq("band", "key"))
+      .filter(col(id) =!= col("__hub"))
       .select(col("__hub").as("id_a"), col(id).as("id_b"))
     smallPairs.union(starPairs).distinct()
   }

@@ -488,4 +488,27 @@ class ModulesSpec extends SparkSpec {
       .collect().map(p => p.doc_id -> p).toMap
     assert(again == m)
   }
+
+  test("M9 decodeAHash: lossy JPEG decodes through the same path, hash near its lossless twin") {
+    // the JDK ships a JPEG codec, so the m9 decode path covers the lossy
+    // family too: a JPEG re-encode of the same pixels must land within a
+    // small Hamming distance of the lossless twin (aHash's robustness is
+    // the property the operator exists for), while the byte-sampling
+    // stub has no such bound.
+    def luma(x: Int, y: Int): Int = (x * 13 + y * 9 + 40) % 200
+    val png = Multimodal.encodeGray(16, 16, luma, "png")
+    val jpg = Multimodal.encodeGray(16, 16, luma, "jpg")
+    val blobs = Seq((1L, png), (2L, jpg)).toDF("doc_id", "content")
+    val d = Multimodal.decodeAHash(blobs, "doc_id", "content")
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(d(1L).fmt == "png" && d(2L).fmt == "jpeg")
+    assert(d(2L).width == 16 && d(2L).height == 16)
+    val ham = java.lang.Long.bitCount(d(1L).ahash_hi ^ d(2L).ahash_hi) +
+      java.lang.Long.bitCount(d(1L).ahash_lo ^ d(2L).ahash_lo)
+    assert(ham <= 12, s"JPEG twin drifted $ham of 64 hash bits")
+    // determinism: decoding the same JPEG twice is bit-identical
+    val again = Multimodal.decodeAHash(blobs.repartition(2), "doc_id", "content")
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(again == d)
+  }
 }

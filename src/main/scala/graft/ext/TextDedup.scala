@@ -253,7 +253,20 @@ object TextDedup {
     *
     * `cache = true` installs the session-lifetime shingle cache — see
     * [[lshCandidates]] for the contract and [[unpersistShingles]] for the
-    * release handle. */
+    * release handle.
+    *
+    * RECALL CAVEAT (`maxBucket`, default [[LshMaxBucket]]=64): inside any
+    * (band,key) LSH bucket larger than the cap, only member↔hub pairs are
+    * emitted (the star fallback that keeps a boilerplate mega-cluster's
+    * pair cost linear — see [[lshCandidatesFromHashes]]), so a true
+    * near-dup pair whose two members share ONLY over-cap buckets and
+    * neither is a bucket-min hub is absent from the output. Connectivity
+    * is preserved exactly (downstream connected-components still resolve
+    * the cluster and pick one representative — the dedup use), but a
+    * caller consuming the PAIR LIST itself on a corpus with heavy
+    * boilerplate should either raise `maxBucket` (Int.MaxValue restores
+    * the uncapped enumeration and its quadratic worst case) or cluster
+    * the pairs rather than trusting their completeness. */
   def nearDuplicates(
       docs: DataFrame, id: String, text: String, threshold: Double,
       n: Int = 3, k: Int = 32, bands: Int = 8, seed: Long = 42L,

@@ -154,19 +154,53 @@ object Snapshots {
     * pointer swing was lost (crash between the two renames, or an older
     * swing landing after a newer one) is still committed and must be
     * visible. The walk is bounded by the pointer lag — 0 or 1 steps in
-    * any healthy table. */
+    * any healthy table.
+    *
+    * If the pointer's TARGET manifest no longer exists (a lagging
+    * pointer whose target [[expire]] already removed — the r14 ADVICE
+    * crash scenario: crash between manifest CAS and pointer swing, then
+    * `expire(keepLast=1)`), resolution falls back to the RETAINED
+    * manifest listing (max retained id, the same listing [[vacuum]]
+    * trusts) instead of probing forward from a deleted base — a
+    * committed, retained snapshot can never read as an empty table, and
+    * the next commit can never fork history by reusing a live id. */
   def current(spark: SparkSession, tableDir: String): Option[Snapshot] = {
     val fs = fsFor(spark, tableDir)
     val ptr = pointer(tableDir)
+    // the pointer is only a resolution CACHE: a read torn by a concurrent
+    // OVERWRITE swing (ChecksumFileSystem renames the data file and its
+    // .crc sidecar non-atomically — a racing reader gets a loud
+    // ChecksumException) or unparseable content degrades to the retained
+    // scan below, never to a failed read of a healthy table
     var cur: Option[Snapshot] =
-      if (!fs.exists(ptr)) None
-      else get(spark, tableDir, readText(fs, ptr).trim.stripPrefix("snap-").toLong)
+      try {
+        if (!fs.exists(ptr)) None
+        else readText(fs, ptr).trim.stripPrefix("snap-").toLongOption
+          .flatMap(get(spark, tableDir, _))
+      } catch { case _: java.io.IOException => None }
+    if (cur.isEmpty)
+      cur = retainedIds(fs, tableDir).maxOption
+        .flatMap(get(spark, tableDir, _))
     var next = get(spark, tableDir, cur.map(_.id).getOrElse(0L) + 1L)
     while (next.isDefined && next.get.parent == cur.map(_.id)) {
       cur = next
       next = get(spark, tableDir, cur.get.id + 1L)
     }
     cur
+  }
+
+  /** Ids of every retained `snap-<digits>` manifest FILE under the table
+    * (files only — a torn `snap-N.<nonce>.tmp` is crash garbage, not a
+    * manifest). Empty for an uninitialized dir. */
+  private def retainedIds(fs: FileSystem, tableDir: String): Seq[Long] = {
+    val root = new Path(tableDir)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("snap-") &&
+        n.stripPrefix("snap-").nonEmpty && n.stripPrefix("snap-").forall(_.isDigit))
+      .map(_.stripPrefix("snap-").toLong)
   }
 
   /** A specific retained snapshot by id. */
@@ -205,6 +239,32 @@ object Snapshots {
       case None => ()
     }
     commitAppendFrom(df, tableDir, current(spark, tableDir), tag)
+  }
+
+  /** [[commitAppend]] that absorbs manifest-CAS losses: on
+    * [[CommitConflictException]] re-read [[current]] and retry the whole
+    * commit — fresh parent listing, fresh nonce'd data dir (the loser's
+    * dir was already cleaned eagerly) — up to `maxAttempts`. With a tag,
+    * retries stay exactly-once (the tag probe runs before every
+    * attempt, so a conflict caused by our OWN earlier attempt landing —
+    * impossible under the CAS, but cheap to re-check — returns the
+    * committed id instead of duplicating). Appends commute, so
+    * recompute-and-retry is always semantically safe for them; throws
+    * the final conflict once attempts are exhausted (contended tables
+    * should size maxAttempts ≥ expected writer count). */
+  def commitAppendWithRetry(df: DataFrame, tableDir: String,
+                            tag: Option[String] = None,
+                            maxAttempts: Int = 16): Long = {
+    var attempt = 1
+    while (true) {
+      try return commitAppend(df, tableDir, tag)
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable: the loop either returns or throws
   }
 
   /** [[commitAppend]] from an already-read parent snapshot — the
@@ -342,6 +402,13 @@ object Snapshots {
     val fs = fsFor(spark, tableDir)
     val cur = current(spark, tableDir).getOrElse(
       sys.error(s"expire on empty snapshot table $tableDir"))
+    // repair a lagging pointer BEFORE deleting any manifest: after a
+    // crash between the manifest CAS and the pointer swing, _CURRENT
+    // still names cur.id-1 — expiring that target would strand the
+    // pointer on a deleted manifest (current()'s retained-scan fallback
+    // also covers this, but the repair keeps the pointer O(1)-resolvable
+    // and is free here since expire already holds the authoritative cur)
+    writeAtomic(fs, tableDir, "_CURRENT", s"snap-${cur.id}")
     val cutoff = cur.id - keepLast + 1
     val expired = (1L until cutoff).filter(i =>
       fs.exists(new Path(tableDir, s"snap-$i")))
@@ -355,8 +422,16 @@ object Snapshots {
     * [[commitDelete]] / [[commitRewrite]] leaves behind). Safe order:
     * only unreferenced dirs are touched, and [[expire]] removed the
     * manifests first, so no retained snapshot can lose a file. Returns
-    * the deleted dir names. */
-  def vacuum(spark: SparkSession, tableDir: String): Seq[String] = {
+    * the deleted dir names.
+    *
+    * `tmpGraceMs` guards LIVE concurrent committers: a `*.tmp` file is
+    * only reclaimed once its mtime is older than the grace window, so a
+    * racing commit's in-flight writeAtomic temp (created milliseconds
+    * ago) is never yanked out from under its rename — the standard
+    * orphan-cleanup discipline when vacuum is NOT quiesced against
+    * writers. Crash garbage is by definition older than any sane grace. */
+  def vacuum(spark: SparkSession, tableDir: String,
+             tmpGraceMs: Long = 10 * 60 * 1000L): Seq[String] = {
     val fs = fsFor(spark, tableDir)
     // files only, and only well-formed snap-<digits> names: a torn
     // writeAtomic leaves snap-N.tmp behind, which is itself crash
@@ -378,11 +453,13 @@ object Snapshots {
     val doomed = (live("data") ++ live("delete")).filterNot(referenced)
     doomed.foreach(d => fs.delete(new Path(tableDir, d), true))
     // stale writeAtomic temp files (crash between create and rename):
-    // never manifests, never data — plain crash garbage. Vacuum runs
-    // quiesced (same discipline that protects in-flight data dirs), so
-    // no live committer's temp is in play.
+    // never manifests, never data — crash garbage ONCE they outlive the
+    // grace window; younger ones may be a live committer's in-flight
+    // rename source and are left alone (see tmpGraceMs above)
+    val cutoffMs = System.currentTimeMillis() - tmpGraceMs
     fs.listStatus(new Path(tableDir)).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp") &&
+        st.getModificationTime <= cutoffMs)
       .foreach(st => fs.delete(st.getPath, false))
     doomed
   }

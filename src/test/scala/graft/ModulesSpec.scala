@@ -511,4 +511,47 @@ class ModulesSpec extends SparkSpec {
       .collect().map(r => r.doc_id -> r).toMap
     assert(again == d)
   }
+
+  test("M10 walkWav: adversarial u32-max chunk sizes never crash the walk (Long cursor)") {
+    // r14 ADVICE (medium): a LIST chunk declaring size 0x7FFFFFF0 used to
+    // overflow the Int cursor negative and throw SIOOBE out of the whole
+    // job. The walk must yield a loud unknown (or the fields found before
+    // the bad chunk) — never a crash, whatever the declared size.
+    def evil(sz: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+      def u32l(v: Long): Unit =
+        b(v.toInt, (v >> 8).toInt, (v >> 16).toInt, (v >> 24).toInt)
+      b('R', 'I', 'F', 'F'); u32l(0L); b('W', 'A', 'V', 'E')
+      b('L', 'I', 'S', 'T'); u32l(sz)
+      out.toByteArray
+    }
+    val blobs = Seq(
+      (1L, evil(0x7FFFFFF0L)),  // the reported overflow shape
+      (2L, evil(0x7FFFFFFFL)),  // Int.MaxValue exactly
+      (3L, evil(0xFFFFFFFFL)),  // u32 max
+      (4L, evil(0x7FFFFFFAL) ++ "fmt ".getBytes("US-ASCII"))) // junk after
+      .toDF("doc_id", "content")
+    val h = Multimodal.wavHeaders(blobs, "doc_id", "content")
+      .collect().map(w => w.doc_id -> w).toMap
+    assert((1L to 4L).forall(i => h(i).fmt == "unknown"),
+      "oversized-chunk blobs must be loud unknowns, never a crash")
+    // and the same walk feeding pcmStats survives too
+    val p = Multimodal.pcmStats(blobs, "doc_id", "content").collect()
+    assert(p.forall(_.fmt == "unknown"))
+  }
+
+  test("decode-error policy: NonFatal maps to unknown, fatal errors propagate") {
+    // r14 VERDICT note: catching Throwable around ImageIO.read mapped an
+    // OutOfMemoryError (decompression bomb) to a quiet unknown row. The
+    // policy helper pins the contract both ways.
+    assert(Multimodal.decodeOrNull[java.awt.image.BufferedImage](
+      throw new java.io.IOException("bad blob")) == null)
+    assert(Multimodal.decodeOrNull[java.awt.image.BufferedImage](
+      throw new RuntimeException("codec parse error")) == null)
+    intercept[OutOfMemoryError] {
+      Multimodal.decodeOrNull[java.awt.image.BufferedImage](
+        throw new OutOfMemoryError("decompression bomb"))
+    }
+  }
 }

@@ -393,4 +393,113 @@ class ScaleSpec extends SparkSpec {
       case _ => true
     }, s"file key ranges overlap: ${ranges.mkString(",")}")
   }
+
+  test("snapshots: expire repairs a lagging pointer — crash + expire(1) cannot empty or fork the table") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    // r14 ADVICE (high): crash between manifest CAS and pointer swing
+    // leaves _CURRENT on snap-(N-1); expire(keepLast=1) then deleted the
+    // pointer's target and the table read as empty, and the next commit
+    // CAS-created a fresh snap-1 — silently forking history.
+    val root = java.nio.file.Files.createTempDirectory("snaprepair").toString
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("k", "v"), root)
+    val id2 = Snapshots.commitAppend(Seq((2L, "b")).toDF("k", "v"), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def pinPointer(to: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(root, "_CURRENT"), true)
+      out.write(to.getBytes("UTF-8")); out.close()
+    }
+    pinPointer("snap-1") // the crashed pointer swing
+    assert(Snapshots.expire(spark, root, keepLast = 1) == Seq(1L))
+    // the pointer was repaired BEFORE the delete: it now names snap-2
+    val in = fs.open(new org.apache.hadoop.fs.Path(root, "_CURRENT"))
+    val ptr = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    assert(ptr.trim == s"snap-$id2", s"pointer not repaired: '$ptr'")
+    assert(Snapshots.current(spark, root).get.id == id2)
+    assert(Snapshots.read(spark, root).count() == 2)
+    // the next commit extends the retained chain — no id reuse, no fork
+    val id3 = Snapshots.commitAppend(Seq((3L, "c")).toDF("k", "v"), root)
+    assert(id3 == id2 + 1 && Snapshots.read(spark, root).count() == 3)
+  }
+
+  test("snapshots: current() recovers from a pointer stranded on an expired manifest (retained scan)") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    // the defense-in-depth leg: even with the pointer STILL stranded on a
+    // deleted manifest (repair skipped — e.g. an old-binary expire ran),
+    // current() must fall back to the retained listing, not probe forward
+    // from a deleted base and report an empty table
+    val root = java.nio.file.Files.createTempDirectory("snapscan").toString
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("k", "v"), root)
+    val id2 = Snapshots.commitAppend(Seq((2L, "b")).toDF("k", "v"), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "snap-1"), false)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_CURRENT"), true)
+    out.write("snap-1".getBytes("UTF-8")); out.close()
+    assert(Snapshots.current(spark, root).get.id == id2,
+      "retained-scan fallback must find the committed snapshot")
+    assert(Snapshots.read(spark, root).count() == 2)
+    val id3 = Snapshots.commitAppend(Seq((3L, "c")).toDF("k", "v"), root)
+    assert(id3 == id2 + 1, "no history fork from a stranded pointer")
+  }
+
+  test("snapshots: vacuum's tmp reclaim honors the grace window (live committer safety)") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapgrace").toString
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("k", "v"), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, "snap-2.abcd1234.tmp")
+    val out = fs.create(tmp, true); out.write("in-flight".getBytes); out.close()
+    // default grace: the seconds-old tmp is a potential live committer's
+    // rename source — spared
+    Snapshots.vacuum(spark, root)
+    assert(fs.exists(tmp), "a fresh tmp inside the grace window must survive")
+    // zero grace (the quiesced-maintenance setting): reclaimed
+    Snapshots.vacuum(spark, root, tmpGraceMs = 0L)
+    assert(!fs.exists(tmp), "an out-of-grace tmp is crash garbage")
+  }
+
+  test("snapshots: commitAppendWithRetry under real thread contention — every commit lands, chain linear") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snaprace").toString
+    val threads = 4; val perThread = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    try {
+      val futs = (0 until threads).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            for (c <- 0 until perThread) {
+              val df = Seq((t.toLong * 100 + c, s"w$t-$c")).toDF("k", "v")
+              ids.add(Snapshots.commitAppendWithRetry(df, root, maxAttempts = 64))
+            }
+        })
+      }
+      futs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val n = threads * perThread
+    // all n commits landed with n DISTINCT ids forming the chain 1..n
+    assert(ids.size == n, s"expected $n distinct ids, got ${ids.size}")
+    import scala.jdk.CollectionConverters._
+    assert(ids.asScala.toSeq.sorted == (1L to n.toLong),
+      s"ids not a linear chain: ${ids.asScala.toSeq.sorted}")
+    // parent chain is linear and complete
+    var cur = Snapshots.current(spark, root)
+    assert(cur.get.id == n.toLong)
+    var walked = 0
+    while (cur.isDefined) {
+      walked += 1
+      cur = cur.get.parent.flatMap(p => Snapshots.get(spark, root, p))
+    }
+    assert(walked == n, s"parent chain length $walked != $n")
+    // every row is present exactly once; no loser's dir leaked
+    assert(Snapshots.read(spark, root).count() == n.toLong)
+    assert(Snapshots.vacuum(spark, root, tmpGraceMs = 0L).isEmpty,
+      "no orphan dir may survive the race")
+  }
 }

@@ -171,4 +171,18 @@ object ModelLoader {
   /** Parse a clean dict (property → dirty value → canonical-or-null). */
   def parseCleanDict(yaml: String): Map[String, Map[String, Option[String]]] =
     parseCleanDictFull(yaml).mappings
+
+  /** Render a Jinja2-templated config (`cds_config_jenkins_v1.3.yaml.j2`)
+    * by substituting `{{ var }}` placeholders — the only Jinja feature
+    * the reference's Jenkins variant uses (three scalar values injected
+    * by the CI job: data_batch_name, s3_bucket, s3_rawdata_subfolder).
+    * Unknown placeholders fail LOUDLY with the variable name: a config
+    * rendered with a typo'd var map must not parse half-substituted. */
+  def renderTemplate(template: String, vars: Map[String, String]): String =
+    "\\{\\{\\s*([A-Za-z0-9_]+)\\s*\\}\\}".r.replaceAllIn(template, m => {
+      val name = m.group(1)
+      scala.util.matching.Regex.quoteReplacement(
+        vars.getOrElse(name,
+          sys.error(s"template variable {{$name}} has no binding")))
+    })
 }

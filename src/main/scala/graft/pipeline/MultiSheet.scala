@@ -83,6 +83,89 @@ object MultiSheet {
     * which COLUMN-keyed mapping (`raw column -> property`). */
   final case class SheetSpec(node: String, sheet: String, mapping: Map[String, String])
 
+  /** The v1.2 script's HARD-CODED node→sheet binding
+    * (cds-transformation_v1.2.py:102-131: six `pd.read_excel` calls with
+    * literal sheet names, each feeding one `extract_data(node, ...)`).
+    * The mapping sheet ("File-Participant-Sample Mapping", `:123-126`)
+    * is not a node sheet — [[transform]] takes it via `fpsSheet`. */
+  val V12SheetForNode: Map[String, String] = Map(
+    "participant" -> "Participant",
+    "sample" -> "Sample",
+    "file" -> "File",
+    "genomic_info" -> "Genomic Info",
+    "study" -> "Study",
+    "diagnosis" -> "Diagnosis (opt)")
+
+  /** Flat scalar config keys of a v1/v1.2/v1.3 pipeline config
+    * (`cds_config_example_v1.2.yaml`: NODE_FILE, DATA_FOLDER,
+    * RAW_DATA_DICTIONARY, CLEAN_DICT, MODEL_FILE_PROPS, DATA_BATCH_NAME,
+    * RATIO_LIMIT, S3_BUCKET, OUTPUT_FOLDER...). List/map-valued keys are
+    * skipped — they belong to the v1.3 [[Pipeline.specsFromYaml]] shapes. */
+  def parseFlatConfig(configYaml: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    new org.yaml.snakeyaml.Yaml().load[Any](configYaml) match {
+      case m: java.util.Map[_, _] =>
+        m.asScala.collect {
+          case (k, v) if v != null &&
+              !v.isInstanceOf[java.util.Map[_, _]] &&
+              !v.isInstanceOf[java.util.List[_]] =>
+            k.toString -> v.toString
+        }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** v17 — build the v1.2 pipeline's specs from the reference's REAL
+    * config artifacts, unedited (the r14 VERDICT's v16-for-v1.2 demand):
+    * the flat `cds_config_example_v1.2.yaml` names the raw dict, the
+    * model props, and the clean dict; this resolves each through `slurp`
+    * (the caller anchors relative `./`-paths at the checkout root) and
+    * derives exactly what `cds-transformation_v1.2.py` derives —
+    *
+    *  - [[SheetSpec]]s: one per raw-dict node under [[V12SheetForNode]]
+    *    (`extract_data` consumes `raw_dict[node]` column-keyed, `:52-77`);
+    *  - [[CleanSpec]]: enum vocabularies and integer props from
+    *    MODEL_FILE_PROPS' PropDefinitions, dirty→canonical maps +
+    *    nan_value fills + extra_long_values from CLEAN_DICT — the shared
+    *    `clean_data` (cds_transformation_functions.py:10-76) keys its
+    *    enum branch on the props file and its lookup on the clean dict,
+    *    identically for v1.2 and v1.3.
+    *
+    * NODE_FILE is deliberately NOT read: the v1.2 transform branch loads
+    * it (`:141-142`) but never uses it (only the
+    * `--extract_raw_data_dictionary` mode does, `:244-255`) — and the
+    * example config's `cds-model-wprog.yml` is absent from the public
+    * checkout, so faithfully skipping it is also what makes the real
+    * config runnable as-is.
+    *
+    * Returns (specs, clean, flat config) — the config rides along so
+    * callers can reach DATA_FOLDER/DATA_BATCH_NAME/OUTPUT_FOLDER for
+    * staging the same way the reference's glob loop does (`:88`). */
+  def specsFromV12Yaml(configYaml: String, slurp: String => String)
+      : (Seq[SheetSpec], CleanSpec, Map[String, String]) = {
+    import graft.model.ModelLoader
+    val cfg = parseFlatConfig(configYaml)
+    def req(key: String): String = cfg.getOrElse(key,
+      sys.error(s"v1.2 config is missing required key $key"))
+    val rawDict = ModelLoader.parseRawDict(slurp(req("RAW_DATA_DICTIONARY")))
+    val props = ModelLoader.parsePropDefs(slurp(req("MODEL_FILE_PROPS")))
+    val cleanFull = ModelLoader.parseCleanDictFull(slurp(req("CLEAN_DICT")))
+    val specs = rawDict.toSeq.sortBy(_._1).flatMap { case (node, cols) =>
+      V12SheetForNode.get(node).map(sheet =>
+        SheetSpec(node, sheet, cols.toMap))
+    }
+    val clean = CleanSpec(
+      cleanDict = cleanFull.mappings,
+      enums = props.collect {
+        case (p, d) if d.enum.nonEmpty => p -> d.enum },
+      nanValues = cleanFull.nanValues,
+      extraLongValues = cleanFull.extraLongValues,
+      intProps = props.collect {
+        case (p, d) if d.spark == org.apache.spark.sql.types.LongType => p
+      }.toSeq.sorted)
+    (specs, clean, cfg)
+  }
+
   /** P5/P6 configuration for the v1.2 clean stage (`clean_data` over the
     * multi-sheet frames, cds-transformation_v1.2.py:196). */
   final case class CleanSpec(

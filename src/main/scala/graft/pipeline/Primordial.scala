@@ -66,6 +66,35 @@ object Primordial {
   val defaultStudyDrops: Seq[String] =
     Seq("size_of_data_being_uploaded", "study_external_url")
 
+  /** The v1 config's file/sheet wiring (`cds_config_example.yaml` +
+    * cds-transformation.py:80-112): two workbooks, each owning a FIXED
+    * sheet set — DATA_FILE1 carries the manifest-side sheets, DATA_FILE2
+    * the submission-side sheets. `sheetFile` maps each expected sheet
+    * name to the workbook path that must supply it. */
+  final case class V1Config(nodeFile: String, dataFile1: String,
+                            dataFile2: String, outputFolder: String) {
+    val sheetFile: Map[String, String] = Map(
+      "CDS Manifest" -> dataFile1,
+      "CGC CDS Explorer" -> dataFile1,
+      "SRA Run Selector" -> dataFile1,
+      "Participant" -> dataFile2,
+      "Sample" -> dataFile2,
+      "File" -> dataFile2,
+      "Genomic Info" -> dataFile2,
+      "Study" -> dataFile2)
+  }
+
+  /** Parse the v1 flat config verbatim (NODE_FILE, DATA_FILE1,
+    * DATA_FILE2, OUTPUT_FOLDER — the four keys `cds-transformation.py`
+    * reads). Missing keys fail loudly by name. */
+  def configFromV1Yaml(configYaml: String): V1Config = {
+    val cfg = MultiSheet.parseFlatConfig(configYaml)
+    def req(key: String): String = cfg.getOrElse(key,
+      sys.error(s"v1 config is missing required key $key"))
+    V1Config(req("NODE_FILE"), req("DATA_FILE1"), req("DATA_FILE2"),
+      req("OUTPUT_FOLDER"))
+  }
+
   private def norm(c: String): String = c.replace(" ", "_").toLowerCase
 
   private def matches(colName: String, prop: String): Boolean = {

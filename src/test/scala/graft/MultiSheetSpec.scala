@@ -142,4 +142,47 @@ class MultiSheetSpec extends SparkSpec {
     val nodes = MultiSheet.transform(sheets7(fps, study), specs7)
     assert(!nodes("participant").columns.contains("study.phs_accession"))
   }
+
+  test("specsFromV12Yaml parses the REAL v1.2 config + its pointed-to artifacts verbatim") {
+    val refDir = sys.env.getOrElse("GRAFT_REFERENCE_DIR", "/root/reference")
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(refDir)))
+    def slurpAbs(rel: String): String = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(refDir, rel.stripPrefix("./"))),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val (specs, clean, cfg) = MultiSheet.specsFromV12Yaml(
+      slurpAbs("2-Config-Files/cds_config_v1.2/cds_config_example_v1.2.yaml"),
+      slurpAbs)
+    // the flat config's own keys
+    assert(cfg("DATA_BATCH_NAME") == "cds_data_2022-11-17")
+    assert(cfg("RATIO_LIMIT") == "0.75")
+    assert(cfg("RAW_DATA_DICTIONARY")
+      .endsWith("cds_config_v1.2/cds_raw_dict_v1.2.yaml"))
+    // one SheetSpec per raw-dict node, bound to the script's literal
+    // sheet names
+    val byNode = specs.map(s => s.node -> s).toMap
+    assert(byNode.keySet ==
+      Set("diagnosis", "file", "genomic_info", "participant", "sample", "study"))
+    assert(byNode("diagnosis").sheet == "Diagnosis (opt)")
+    assert(byNode("genomic_info").sheet == "Genomic Info")
+    // identity mappings plus the dict's REAL renames
+    assert(byNode("participant").mapping("gender") == "gender")
+    assert(byNode("study").mapping("number_of_participant")
+      == "number_of_participants")
+    assert(byNode("study").mapping("experimental_strategy_and_data_subtype")
+      == "experimental_strategy_and_data_subtypes")
+    // clean wiring from MODEL_FILE_PROPS + CLEAN_DICT
+    assert(clean.enums("gender").contains("Unspecified"))
+    assert(clean.cleanDict("gender")("MALE").contains("male"))
+    assert(clean.cleanDict("sample_type")("Invalid value").isEmpty) // map-to-NULL
+    assert(clean.intProps.contains("file_size")
+      && clean.intProps.contains("age_at_diagnosis"))
+    assert(!clean.intProps.contains("number_of_participants"),
+      "Type 'number' must not integer-coerce")
+    // a missing required key fails loudly by name
+    val ex = intercept[RuntimeException] {
+      MultiSheet.specsFromV12Yaml("DATA_FOLDER: ./x\n", slurpAbs)
+    }
+    assert(ex.getMessage.contains("RAW_DATA_DICTIONARY"))
+  }
 }

@@ -125,6 +125,34 @@ class PipelineSpec extends SparkSpec {
     assert(p.enums("gender").contains("Unspecified"))
   }
 
+  test("Jenkins .j2 config renders and parses to the SAME specs as the v1.3 example") {
+    val refDir = sys.env.getOrElse("GRAFT_REFERENCE_DIR", "/root/reference")
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(refDir)))
+    def slurp(rel: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(refDir, rel)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rendered = graft.model.ModelLoader.renderTemplate(
+      slurp("2-Config-Files/cds_config_v1.3/cds_config_jenkins_v1.3.yaml.j2"),
+      Map("data_batch_name" -> "cds_data_2024-3-5-March",
+        "s3_bucket" -> "s3", "s3_rawdata_subfolder" -> "cds_data_2024-3-5-March"))
+    assert(!rendered.contains("{{"), "no placeholder may survive rendering")
+    def specsFor(configYaml: String) = Pipeline.specsFromYaml(
+      slurp("3-Model-Files/cds-model.yml"),
+      slurp("3-Model-Files/cds-model-props.yml"),
+      slurp("2-Config-Files/cds_config_v1.3/cds_raw_dict_v1.3.yaml"),
+      slurp("2-Config-Files/cds_config_v1.3/cds_clean_dict_v1.3.yaml"),
+      configYaml)
+    // the CI variant differs from the example ONLY in the substituted
+    // scalars — every derived pipeline spec must be IDENTICAL
+    assert(specsFor(rendered) == specsFor(
+      slurp("2-Config-Files/cds_config_v1.3/cds_config_example_v1.3.yaml")))
+    // an unbound placeholder fails loudly with the variable name
+    val ex = intercept[RuntimeException] {
+      graft.model.ModelLoader.renderTemplate("K: {{ missing_var }}", Map.empty)
+    }
+    assert(ex.getMessage.contains("missing_var"))
+  }
+
   test("specsFromYaml drives the same pipeline from reference-shaped YAML") {
     val modelYaml =
       """Nodes:

@@ -160,4 +160,28 @@ class PrimordialSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("overlap"))
   }
+
+  test("configFromV1Yaml parses the REAL v1 config's file/sheet wiring verbatim") {
+    val refDir = sys.env.getOrElse("GRAFT_REFERENCE_DIR", "/root/reference")
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(refDir)))
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(refDir,
+        "2-Config-Files/cds_config/cds_config_example.yaml")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val cfg = Primordial.configFromV1Yaml(yaml)
+    assert(cfg.nodeFile == "./node_file/cds-model.yml")
+    assert(cfg.dataFile1 == "./cds_raw_data_files/data1.xlsx")
+    assert(cfg.dataFile2 == "./cds_raw_data_files/data2.xlsx")
+    assert(cfg.outputFolder == "./cds_node_data_files/")
+    // the script's hard-coded sheet ownership (cds-transformation.py:80-112)
+    assert(cfg.sheetFile("CDS Manifest") == cfg.dataFile1)
+    assert(cfg.sheetFile("SRA Run Selector") == cfg.dataFile1)
+    assert(cfg.sheetFile("Participant") == cfg.dataFile2)
+    assert(cfg.sheetFile("Study") == cfg.dataFile2)
+    // missing keys fail loudly by name
+    val ex = intercept[RuntimeException] {
+      Primordial.configFromV1Yaml("NODE_FILE: ./m.yml\n")
+    }
+    assert(ex.getMessage.contains("DATA_FILE1"))
+  }
 }

@@ -535,6 +535,59 @@ private[graft] object SparkEntryStream {
       parity.withColumn("drift_ok", lit(driftOk))
     }),
 
+    // E20 — ANN SERVED from the streaming-maintained index (round-15;
+    // w25 ∘ e18): the same 3-batch vector ingest builds w25's LSM
+    // assignment state, then Similarity.ivfSearchFromAssignments serves
+    // anchored top-10 queries straight from the folded deltas + frozen
+    // codebook — and must be RANK-IDENTICAL (exact full-outer on
+    // (vec_id, neighbor_id, rank), e18's discipline, no recall floor)
+    // to the batch-built index over the same corpus under the same
+    // codebook. Second leg: served from the b0-b1 ingest PREFIX
+    // (folded(upTo=1) — index time travel on retained deltas) ≡ the
+    // batch index over exactly those vectors. A lost/duplicated batch,
+    // a stale fold, or a serving-join bug breaks rank equality.
+    "e20_stream_served_ann" -> ((s, dir) => {
+      import graft.streaming.AnnStream
+      val root = s"$streamScratchDir/${dirKey(dir)}_e20"
+      rmTree(root)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val in = stageFrames(
+        (0 until 3).map(b => emb.filter(pmod(col("vec_id"), lit(3)) === b)),
+        root)
+      val q = AnnStream.start(
+        s.readStream.schema(s.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in),
+        "vec_id", "embedding", k = 16,
+        stateDir = s"$root/state", ckptDir = s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val cm = AnnStream.centroids(s, s"$root/state")
+        .getOrElse(sys.error("e20: no codebook committed"))
+      val sub = vecAnchorPred(emb)
+      def serve(assign: DataFrame, corpus: DataFrame) =
+        Similarity.ivfSearchFromAssignments(assign, corpus,
+          "vec_id", "embedding", cm, k = 10, nProbe = 4,
+          queryPred = Some(sub))
+      def mismatches(a: DataFrame, b: DataFrame) = a
+        .join(b.withColumnRenamed("rank", "rank2"),
+          Seq("vec_id", "neighbor_id"), "full_outer")
+        .filter(!(col("rank") <=> col("rank2")))
+        .agg(count(lit(1)).as("nm"))
+      val streamed = serve(AnnStream.folded(s, s"$root/state"), emb)
+      val batch = serve(
+        Similarity.kmeansAssign(emb, "vec_id", "embedding", cm), emb)
+      val prefixCorpus = emb.filter(pmod(col("vec_id"), lit(3)) =!= 2)
+      val streamedPfx = serve(
+        AnnStream.folded(s, s"$root/state", upTo = Some(1L)), prefixCorpus)
+      val batchPfx = serve(
+        Similarity.kmeansAssign(prefixCorpus, "vec_id", "embedding", cm),
+        prefixCorpus)
+      emb.filter(sub).agg(count(lit(1)).as("n_query_vecs"))
+        .crossJoin(mismatches(streamed, batch).select(
+          when(col("nm") === 0, 1L).otherwise(0L).as("current_eq_ok")))
+        .crossJoin(mismatches(streamedPfx, batchPfx).select(
+          when(col("nm") === 0, 1L).otherwise(0L).as("prefix_eq_ok")))
+    }),
+
     // W29 — STREAMING quality-classifier scoring (round-14): t14's
     // frozen-weight quality filter applied per micro-batch (three
     // mtime-pinned single-file batches by doc_id%3), scored deltas
@@ -1064,6 +1117,17 @@ private[graft] object SparkEntryStream {
       """SELECT count(*) AS n_vecs, CAST(1 AS BIGINT) AS parity_ok,
         |  CAST(1 AS BIGINT) AS cells_ok, CAST(1 AS BIGINT) AS drift_ok
         |FROM embeddings""".stripMargin,
+
+    // e20: constant-oracle gate (e18's shape) — the stream-served index
+    // must return rank-identical results to the batch-built one, on the
+    // full ingest and on the b0-b1 prefix (exact full-outer equality,
+    // no recall floor).
+    "e20_stream_served_ann" ->
+      s"""WITH $VecAnchCte
+        |SELECT count(*) AS n_query_vecs,
+        |  CAST(1 AS BIGINT) AS current_eq_ok,
+        |  CAST(1 AS BIGINT) AS prefix_eq_ok
+        |FROM anch""".stripMargin,
 
     // w24: order-independent gates — the current table must fingerprint
     // to the batch union; count/chain/containment are engine-verified

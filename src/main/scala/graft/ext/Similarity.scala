@@ -308,6 +308,33 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** IVF search SERVED from a PRECOMPUTED assignment table (e20): the
+    * deployment shape where cell membership comes from a maintained
+    * index ([[graft.streaming.AnnStream]]'s folded deltas, or any
+    * persisted `(id, cell)` frame) rather than being recomputed per
+    * query session. The data side is one equi-join of assignments with
+    * raw vectors on the id (both sides bucketable on it at scale); the
+    * probe side is [[knnIvf]]'s compiled nProbe-cell expansion against
+    * the SAME frozen codebook. With assignments equal to the batch
+    * argmin, results are RANK-IDENTICAL to [[knnIvf]]'s in-memory path
+    * by construction — the e20 gate demands exactly that. */
+  def ivfSearchFromAssignments(
+      assign: DataFrame, emb: DataFrame, id: String, vec: String,
+      cm: Array[Array[Double]], k: Int, nProbe: Int = 4,
+      queryPred: Option[Column] = None): DataFrame = {
+    import graft.functions.VectorExpressions.nearestCells
+    val data = emb.select(col(id).as("neighbor_id"), col(vec).as("vb"))
+      .join(assign.select(col(id).as("neighbor_id"), col("cell")),
+        Seq("neighbor_id"))
+    val probes = queryPred.fold(emb)(emb.filter)
+      .select(col(id).as("vec_id"), col(vec).as("va"),
+        explode(nearestCells(col(vec), cm, nProbe)).as("cell"))
+    val pairs = probes.join(data, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+    rankTopK(pairs, k)
+  }
+
   /** Driver-side Lloyd's over an in-memory sample — the shared fit of
     * [[knnIvf]], [[pqFit]] and [[ivfPqFit]]: value-level-distinct init
     * (Array.distinct compares references), fixed iterations, empty cells

@@ -95,9 +95,15 @@ object AnnStream {
     StateDirs.deltas(spark, dir).map(_._2)
 
   /** The folded IVF assignment table `(id, cell)` across every
-    * delivered batch. */
-  def folded(spark: SparkSession, stateDir: String): DataFrame = {
-    val dirs = deltaDirs(spark, s"$stateDir/assign")
+    * delivered batch — or, with `upTo`, across only the ingest PREFIX of
+    * batch ids ≤ upTo (the serving-time-travel leg of e20: the index
+    * "as of" an earlier delivery, read straight from the retained delta
+    * dirs, no rewrite). */
+  def folded(spark: SparkSession, stateDir: String,
+             upTo: Option[Long] = None): DataFrame = {
+    val dirs = StateDirs.deltas(spark, s"$stateDir/assign")
+      .filter { case (bid, _) => upTo.forall(bid <= _) }
+      .map(_._2)
     require(dirs.nonEmpty, s"no assignment deltas under $stateDir")
     spark.read.parquet(dirs: _*)
   }

@@ -266,4 +266,28 @@ class SimilaritySpec extends SparkSpec {
     // and each candidate pair appears exactly once (single assignment)
     assert(cand.groupBy("id_a", "id_b").count().filter(col("count") > 1).isEmpty)
   }
+
+  test("ivfSearchFromAssignments: correct assignments reproduce knnIvf-shape results; corrupted ones break rank equality") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(400)
+      .select(col("vec_id"), col("embedding"))
+    val sample = (1 to 8).map(i =>
+      emb.filter(col("vec_id") % 50 === i).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray).toArray
+    val cm = sample
+    val good = Similarity.kmeansAssign(emb, "vec_id", "embedding", cm)
+    def serve(assign: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfSearchFromAssignments(assign, emb,
+        "vec_id", "embedding", cm, k = 5, nProbe = 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
+    val served = key(serve(good))
+    assert(served.nonEmpty)
+    // the gate is not vacuous: rotating every assignment to the next
+    // cell must change which neighbors are reachable from probed cells
+    val bad = good.withColumn("cell",
+      (col("cell") + 1) % lit(cm.length))
+    assert(key(serve(bad)) != served,
+      "corrupted assignments must not serve rank-identical results")
+  }
 }

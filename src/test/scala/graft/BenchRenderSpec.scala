@@ -156,4 +156,15 @@ class BenchRenderSpec extends AnyFunSuite {
       passTotals = Seq(3.0, 5.0), sfDir = "/d", passFails = Seq(1, 1))
     assert(math.abs(mapper.readTree(line2).get("value").asDouble - 3.0) < 1e-9)
   }
+
+  test("session_min flag renders when set, survives the lean rung, and fits the window") {
+    val line = Bench.render(names, names.map(_ -> 8.8).toMap, Map.empty,
+      passTotals = Seq(888.0, 888.0), sfDir = "/root/testdata/sf0.1",
+      passFails = Seq(0, 0), sessionMin = true)
+    assert(line.length <= Bench.BudgetChars)
+    val node = mapper.readTree(line)
+    assert(node.get("session_min").asInt() == 1)
+    // and absent by default (single-invocation runs stay unflagged)
+    assert(mapper.readTree(rendered()).get("session_min") == null)
+  }
 }

@@ -326,9 +326,73 @@ private[graft] object SparkEntryDedup {
       TextDedup.dedupSegments(t(s, dir, "documents"), "doc_id", "text",
         segWords = 10, minDocs = 2)
     }),
+
+    // D18 — suffix-array substring dedup via distributed PREFIX DOUBLING
+    // (round-15; the Lee et al. 2021 suffix-array formulation d11's gram
+    // method approximates): per position, the largest power-of-two k
+    // whose k-token suffix prefix repeats corpus-wide — one pass grades
+    // the whole length ladder 8..128 where a fixed gram can only say
+    // "≥ k". Fixture plants a 150-token verbatim block on doc_id%101
+    // docs (dup_pow must climb to 128 — far past any practical gram
+    // budget) and a 24-token block on %103 (caps at 16: a 32-window
+    // crosses into differing context); natural corpus repeats grade at
+    // the low rungs. All doubling rounds ride ONE per-doc window sort
+    // (lead(·,k) projections — no joins, no per-round action); the
+    // oracle recomputes every ladder rung as exact string grams, so the
+    // hash-composed ranks are judged position for position.
+    "d18_suffix_dedup" -> ((s, dir) => {
+      val fix = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 101 === 0,
+            concat(col("text"), lit(" " + D18LongBlock)))
+          .when(col("doc_id") % 103 === 0,
+            concat(col("text"), lit(" " + D18ShortBlock)))
+          .otherwise(col("text")).as("text"))
+      TextDedup.suffixDupPow(fix, "doc_id", "text",
+        maxPow = 128, minOcc = 2, minPow = 8)
+    }),
   )
 
+  /** d18 planted blocks — token streams no natural doc contains, shared
+    * verbatim across the planted docs so the suffix ladder has a known
+    * long-duplicate truth the oracle can restate. */
+  private[graft] val D18LongBlock: String =
+    (0 until 150).map("zzq" + _).mkString(" ")
+  private[graft] val D18ShortBlock: String =
+    (0 until 24).map("yyq" + _).mkString(" ")
+
   val oracle: Map[String, String] = Map(
+
+    // d18: every ladder rung recomputed as EXACT string grams (the d11
+    // oracle pattern at k = 8/16/32/64/128 over the planted-block
+    // fixture), deduped per (k, gram) corpus-wide, max k per position —
+    // the engine's hash-composed doubling ranks must agree on every
+    // (doc, pos, dup_pow) row.
+    "d18_suffix_dedup" -> {
+      val ks = Seq(8, 16, 32, 64, 128)
+      val grams = ks.map(k =>
+        s"""g$k AS (
+           |  SELECT doc_id, $k AS k, unnest(list_transform(range(1, len(t) - ${k - 2}),
+           |    i -> {'pos': i - 1,
+           |          'gram': array_to_string(list_slice(t, i, i + ${k - 1}), ' ')})) AS pg
+           |  FROM toks WHERE len(t) >= $k)""".stripMargin).mkString(",\n")
+      val union = ks.map(k => s"SELECT * FROM g$k").mkString(" UNION ALL ")
+      s"""WITH t0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 101 = 0 THEN text || ' $D18LongBlock'
+         |         WHEN doc_id % 103 = 0 THEN text || ' $D18ShortBlock'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM t0),
+         |$grams,
+         |u AS ($union),
+         |f AS (SELECT doc_id, k, pg.pos AS pos, pg.gram AS gram FROM u),
+         |d AS (SELECT k, gram FROM f GROUP BY 1, 2 HAVING count(*) >= 2),
+         |p AS (SELECT f.doc_id, f.pos, f.k FROM f JOIN d USING (k, gram))
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |  CAST(max(k) AS BIGINT) AS dup_pow
+         |FROM p GROUP BY 1, 2""".stripMargin
+    },
 
     // d15: constant-oracle gate (d7/m4 discipline) — the engine emits
     // invariant flags for the order-dependent streaming dedup; the

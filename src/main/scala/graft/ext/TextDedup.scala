@@ -556,6 +556,70 @@ object TextDedup {
       .select("doc_id", "span_start", "span_end", "n_dup_grams")
   }
 
+  /** d18 — SUFFIX-ARRAY-STYLE substring dedup via distributed PREFIX
+    * DOUBLING (Manber–Myers ranks, the machinery behind Lee et al.
+    * 2021's suffix-array formulation): for every token position, the
+    * largest power-of-two `k ∈ [minPow, maxPow]` such that the k-token
+    * prefix of the (doc-local) suffix starting there occurs ≥ `minOcc`
+    * times corpus-wide. Unlike [[duplicateSpans]] (one FIXED gram size),
+    * one pass grades duplication across the whole length ladder — a
+    * 150-token verbatim block reports dup_pow 128 where the gram method
+    * can only say "≥ k"; at `k = minPow` the flagged position set is
+    * EXACTLY the gram method's (the d18 spec pins both claims).
+    *
+    * Rank maintenance is the textbook doubling recurrence
+    * `r_2k(p) = H(r_k(p), r_k(p+k))` with a sentinel beyond the doc end,
+    * H = xxhash64 — composed RANK IDS, string-identical up to hash
+    * collisions (the d6/gramHash64 equivalence this family already
+    * stands on; dense re-ranking via [[graft.ops.Zip.globalRank]] would
+    * buy collision-freedom for log-rounds more shuffles).
+    *
+    * Scale shape (100 TB): every doubling round is a `lead(·, k)` over
+    * ONE per-doc window — the doc_id sort shuffles ONCE and all
+    * log(maxPow) rounds ride the same Exchange/Sort as adjacent Window
+    * projections (no joins, no per-round action); the ladder then melts
+    * to (k, rank) pairs for ONE map-side-combinable count (boilerplate
+    * skew combines at source, as in d11's dupG) + one semi-join back.
+    * Output `(doc_id, pos, dup_pow)`, positions with a full minPow
+    * window only. */
+  def suffixDupPow(
+      docs: DataFrame, id: String, text: String,
+      maxPow: Int = 128, minOcc: Int = 2, minPow: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(Integer.bitCount(maxPow) == 1 && Integer.bitCount(minPow) == 1 &&
+      minPow <= maxPow, s"minPow/maxPow must be powers of two, got $minPow/$maxPow")
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val w = wDoc.orderBy(col("pos"))
+    val base = docs
+      .select(col(id).as("doc_id"),
+        posexplode(split(trim(col(text)), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("len", count(lit(1)).over(wDoc))
+      .withColumn("r_1", xxhash64(col("tok")))
+    val pows = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxPow).toSeq
+    // sentinel rank beyond the doc end: suffixes shorter than the window
+    // compose consistently and can never alias a full-window rank
+    val sent = lit(-6148914691236517206L)
+    val ranked = pows.tail.foldLeft(base) { (df, p) =>
+      val h = p / 2
+      df.withColumn(s"r_$p",
+        xxhash64(col(s"r_$h"), coalesce(lead(col(s"r_$h"), h).over(w), sent)))
+    }
+    val emit = pows.filter(_ >= minPow)
+    val melted = ranked
+      .select(col("doc_id"), col("pos"), col("len"),
+        explode(array(emit.map(p =>
+          struct(lit(p).as("k"), col(s"r_$p").as("r"))): _*)).as("kr"))
+      .select(col("doc_id"), col("pos"), col("kr.k").as("k"), col("kr.r").as("r"))
+      .filter(col("pos") + col("k") <= col("len")) // full k-window only
+    val dupKeys = melted.groupBy(col("k"), col("r"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minOcc).select("k", "r")
+    melted.join(dupKeys, Seq("k", "r"), "left_semi")
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(max(col("k")).cast("long").as("dup_pow"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("dup_pow"))
+  }
+
   /** The ACT to [[duplicateSpans]]' detection: cut every duplicated span
     * out of each document (the Lee et al. 2021 "remove all copies"
     * policy — deterministic and order-free, where keep-first would need a

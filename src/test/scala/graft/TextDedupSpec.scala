@@ -227,4 +227,40 @@ class TextDedupSpec extends SparkSpec {
     assert(out(0).getLong(2) == 2L && out(0).getString(3) == "A B C A B C",
       "distinct-doc census must not count within-doc repeats")
   }
+
+  test("suffixDupPow: minPow rung == the gram method's position set; long blocks grade past any gram budget") {
+    // two docs share a 40-token block; one pair shares only an 8-token
+    // run; one doc is clean. ux/vx prefixes keep tokens collision-free.
+    val blk40 = (0 until 40).map("ux" + _).mkString(" ")
+    val run8 = (0 until 8).map("vx" + _).mkString(" ")
+    val fix = Seq(
+      (1L, s"alpha beta $blk40 gamma"),
+      (2L, s"delta $blk40 epsilon zeta"),
+      (3L, s"one two $run8 three"),
+      (4L, s"$run8 four five six"),
+      (5L, "nothing here repeats anywhere at all in this doc")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.suffixDupPow(fix, "doc_id", "text",
+      maxPow = 64, minOcc = 2, minPow = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // claim 2: the 40-token block grades to dup_pow 32 (> a 13-gram
+    // budget) at its aligned starts, and NOTHING reaches 64
+    assert(out((1L, 2L)) == 32L, s"doc1 block start: ${out.get((1L, 2L))}")
+    assert(out((2L, 1L)) == 32L)
+    assert(out.valuesIterator.max == 32L)
+    // the 8-token run grades exactly 8, never 16
+    assert(out((3L, 2L)) == 8L && out((4L, 0L)) == 8L)
+    // claim 1: the dup_pow >= 8 position set == the FIXED 8-gram dup set
+    val gram8 = fix.select(col("doc_id"),
+        posexplode(graft.functions.VectorExpressions.gramHash64(col("text"), 8))
+          .as(Seq("pos", "g")))
+    val dupG = gram8.groupBy("g").count().filter(col("count") >= 2).select("g")
+    val gramSet = gram8.join(dupG, Seq("g"), "left_semi")
+      .select("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+    assert(out.keySet == gramSet,
+      "suffix ladder rung 8 must flag exactly the gram method's positions")
+    // doc 5 contributes nothing
+    assert(!out.keys.exists(_._1 == 5L))
+  }
 }

@@ -417,6 +417,80 @@ private[graft] object SparkEntrySources {
         .toDF("phase", "n_rows", "fingerprint")
     }),
 
+    // S24 — MERGE upsert in ONE atomic commit (round-15): the lakehouse
+    // `MERGE INTO` composed from the format's own sequence rule — an
+    // equality-delete entry of EVERY source key followed by a data entry
+    // of the non-delete source rows, one manifest. Fixture: base = %2
+    // customers; merge1 = %3 source re-valued 'M_'+segment with %9 as
+    // pure deletes; merge2 = %5 source 'N_'+segment with %25 deletes
+    // (replacing some merge1 versions — last-merge-wins through the
+    // entry order). Phases: 1 = post-merge1 read, 2 = time travel to the
+    // pre-merge base (merge atomicity: history intact), 3 = final state.
+    // Oracle recomputes all three in modular predicates.
+    "s24_merge_upsert" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val root = s"$partScratchDir/${dirKey(dir)}_s24"
+      rmTree(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val base = cust.filter(pmod(col("c_custkey"), lit(2)) === 0)
+      val id1 = Snapshots.commitAppend(base, root)
+      val src1 = cust.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .select(col("c_custkey"),
+          concat(lit("M_"), col("c_mktsegment")).as("c_mktsegment"))
+      Snapshots.commitMerge(src1, root, "c_custkey",
+        Some(pmod(col("c_custkey"), lit(9)) === 0))
+      val cols = Seq("c_custkey", "c_mktsegment")
+      val afterM1 = Validations.tableFingerprint(Snapshots.read(s, root), cols)
+        .select(lit(1L).as("phase"), col("n_rows"), col("fingerprint"))
+      val preMerge = Validations.tableFingerprint(
+          Snapshots.read(s, root, Some(id1)), cols)
+        .select(lit(2L).as("phase"), col("n_rows"), col("fingerprint"))
+      val src2 = cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+        .select(col("c_custkey"),
+          concat(lit("N_"), col("c_mktsegment")).as("c_mktsegment"))
+      Snapshots.commitMerge(src2, root, "c_custkey",
+        Some(pmod(col("c_custkey"), lit(25)) === 0))
+      val finalSt = Validations.tableFingerprint(Snapshots.read(s, root), cols)
+        .select(lit(3L).as("phase"), col("n_rows"), col("fingerprint"))
+      afterM1.union(preMerge).union(finalSt)
+    }),
+
+    // S25 — row-level CHANGES between snapshots (round-15; the CDC read
+    // Delta calls table_changes and Iceberg the changelog scan). Fixture:
+    // append %3=0 → delete the %15 keys → append %3=1 → rewrite → append
+    // %3=2. Phase 1 = changes(1→3): the INCREMENTAL path — only the
+    // interval's dirs are opened (inserts = b2, deletes = the %15 rows
+    // visible at 1). Phase 2 = changes(1→5): the interval crosses the
+    // rewrite, so the exact multiset-diff fallback answers (I = %3 in
+    // {1,2}, D = the %15 rows — the rewrite's carried rows cancel).
+    // Phase 3 = changes(0→2): from-zero bootstrap, everything visible at
+    // 2 as inserts. Op rides the fingerprint, so direction is judged,
+    // not just membership.
+    "s25_incremental_read" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val root = s"$partScratchDir/${dirKey(dir)}_s25"
+      rmTree(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val id1 = Snapshots.commitAppend(
+        cust.filter(pmod(col("c_custkey"), lit(3)) === 0), root)
+      val id2 = Snapshots.commitDelete(
+        cust.filter(pmod(col("c_custkey"), lit(15)) === 0)
+          .select(col("c_custkey")), root, "c_custkey")
+      val id3 = Snapshots.commitAppend(
+        cust.filter(pmod(col("c_custkey"), lit(3)) === 1), root)
+      Snapshots.commitRewrite(s, root)
+      val id5 = Snapshots.commitAppend(
+        cust.filter(pmod(col("c_custkey"), lit(3)) === 2), root)
+      val cols = Seq("op", "c_custkey", "c_mktsegment")
+      def phase(n: Long, from: Long, to: Long) =
+        Validations.tableFingerprint(
+            Snapshots.changesBetween(s, root, from, to), cols)
+          .select(lit(n).as("phase"), col("n_rows"), col("fingerprint"))
+      phase(1L, id1, id3).union(phase(2L, id1, id5)).union(phase(3L, 0L, id2))
+    }),
+
     // S19 Z-order (Morton-curve) layout: the MULTI-column clustering s18's
     // single-key sort cannot buy. events is rewritten z-ordered on
     // (user_id, value-cents); the gate measures the ACTUAL per-file
@@ -792,6 +866,72 @@ private[graft] object SparkEntrySources {
          |${fp(finalState, 2)}
          |UNION ALL
          |${fp(histState, 3)}""".stripMargin
+    },
+
+    // s24: the three MERGE states in modular predicates — matched rows
+    // re-valued, delete-marked keys gone, unmatched inserted; merge2's
+    // %5 keys supersede merge1's versions (entry-order = merge order).
+    "s24_merge_upsert" -> {
+      def fp(where: String, phase: Int) =
+        s"""SELECT CAST($phase AS BIGINT) AS phase, count(*) AS n_rows,
+           |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+           |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+           |    coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))), 1, 10))
+           |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+           |FROM ($where) t""".stripMargin
+      val after1 =
+        """SELECT c_custkey, c_mktsegment FROM customer
+          |  WHERE c_custkey%2=0 AND c_custkey%3<>0
+          |UNION ALL
+          |SELECT c_custkey, 'M_' || c_mktsegment AS c_mktsegment FROM customer
+          |  WHERE c_custkey%3=0 AND c_custkey%9<>0""".stripMargin
+      val preMerge =
+        """SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey%2=0"""
+      val finalSt =
+        """SELECT c_custkey, c_mktsegment FROM customer
+          |  WHERE c_custkey%2=0 AND c_custkey%3<>0 AND c_custkey%5<>0
+          |UNION ALL
+          |SELECT c_custkey, 'M_' || c_mktsegment AS c_mktsegment FROM customer
+          |  WHERE c_custkey%3=0 AND c_custkey%9<>0 AND c_custkey%5<>0
+          |UNION ALL
+          |SELECT c_custkey, 'N_' || c_mktsegment AS c_mktsegment FROM customer
+          |  WHERE c_custkey%5=0 AND c_custkey%25<>0""".stripMargin
+      s"""${fp(after1, 1)}
+         |UNION ALL
+         |${fp(preMerge, 2)}
+         |UNION ALL
+         |${fp(finalSt, 3)}""".stripMargin
+    },
+
+    // s25: the three CDC frames in modular predicates, op judged inside
+    // the fingerprint — the incremental and fallback paths must both
+    // reduce to these exact (op,row) multisets.
+    "s25_incremental_read" -> {
+      def fp(where: String, phase: Int) =
+        s"""SELECT CAST($phase AS BIGINT) AS phase, count(*) AS n_rows,
+           |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+           |    coalesce(op, chr(0)),
+           |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+           |    coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))), 1, 10))
+           |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+           |FROM ($where) t""".stripMargin
+      val p1 =
+        """SELECT 'I' AS op, c_custkey, c_mktsegment FROM customer WHERE c_custkey%3=1
+          |UNION ALL
+          |SELECT 'D' AS op, c_custkey, c_mktsegment FROM customer WHERE c_custkey%15=0""".stripMargin
+      val p2 =
+        """SELECT 'I' AS op, c_custkey, c_mktsegment FROM customer
+          |  WHERE c_custkey%3=1 OR c_custkey%3=2
+          |UNION ALL
+          |SELECT 'D' AS op, c_custkey, c_mktsegment FROM customer WHERE c_custkey%15=0""".stripMargin
+      val p3 =
+        """SELECT 'I' AS op, c_custkey, c_mktsegment FROM customer
+          |  WHERE c_custkey%3=0 AND c_custkey%5<>0"""
+      s"""${fp(p1, 1)}
+         |UNION ALL
+         |${fp(p2, 2)}
+         |UNION ALL
+         |${fp(p3, 3)}""".stripMargin
     },
 
     // s23: lifecycle states recomputed relationally — current = all

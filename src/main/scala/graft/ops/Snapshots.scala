@@ -98,26 +98,85 @@ object Snapshots {
     * creation) is the fail-if-exists CAS — an existing target raises
     * [[CommitConflictException]] after cleaning the temp file. The temp
     * name carries a nonce so concurrent attempts never collide before
-    * the rename decides the winner. */
+    * the rename decides the winner.
+    *
+    * ON THE LOCAL FILESYSTEM the CAS goes through `link(2)`
+    * (`Files.createLink` — atomic fail-if-exists at the syscall), NOT
+    * FileContext's `Rename.NONE`: AbstractFileSystem implements NONE as
+    * CHECK-then-rename and the local rename is `rename(2)`, which
+    * silently REPLACES an existing target — two racers could both "win"
+    * the same snapshot id, one replacing the other's manifest (and
+    * tearing its checksum sidecar: the round-15 SnapshotRaceProbe
+    * caught exactly this as a lost commit + ChecksumException). The
+    * pointer swing likewise uses an atomic `Files.move` locally —
+    * FileContext's two-step data/crc rename let one swing's data land
+    * under another swing's crc. After either local op the tmp (with its
+    * crc sidecar) is deleted, so targets carry NO crc and readers
+    * raw-read them — manifest integrity is the filesystem's own
+    * business, as on HDFS/object stores. Non-local schemes keep
+    * FileContext rename (atomic server-side on HDFS; an object-store
+    * deployment must bring a conditional-PUT commit service, as every
+    * lakehouse format requires). */
   private def writeAtomic(fs: FileSystem, dir: String, name: String,
                           text: String, overwrite: Boolean = true): Unit = {
     val target = new Path(dir, name)
     val tmp = new Path(dir, s"$name.${nonce()}.tmp")
     val out = fs.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, fs.getConf)
-    val mode =
-      if (overwrite) org.apache.hadoop.fs.Options.Rename.OVERWRITE
-      else org.apache.hadoop.fs.Options.Rename.NONE
-    try fc.rename(fc.makeQualified(tmp), fc.makeQualified(target), mode)
-    catch {
-      case e: java.io.IOException if !overwrite && fs.exists(target) =>
-        fs.delete(tmp, false)
-        throw new CommitConflictException(dir,
-          name.stripPrefix("snap-").toLongOption.getOrElse(-1L))
-      case e: Throwable =>
-        fs.delete(tmp, false)
-        throw e
+    if (fs.getUri.getScheme == "file") {
+      def nio(p: Path): java.nio.file.Path = {
+        val q = p.makeQualified(fs.getUri, fs.getWorkingDirectory)
+        java.nio.file.Paths.get(q.toUri.getPath)
+      }
+      // a target written by an EXTERNAL ChecksumFileSystem client (or a
+      // pre-link(2) build) carries a .crc sidecar; the NIO move replaces
+      // the data but not the sidecar, and the next checksum-fs read of
+      // the target fails loudly on the stale crc. Clear it first: a
+      // crash between this delete and the move leaves the old data
+      // crc-less, which ChecksumFileSystem reads fine (raw fallback).
+      fs match {
+        case cfs: org.apache.hadoop.fs.ChecksumFileSystem =>
+          cfs.getRawFileSystem.delete(cfs.getChecksumFile(target), false); ()
+        case _ => ()
+      }
+      try {
+        if (overwrite)
+          java.nio.file.Files.move(nio(tmp), nio(target),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        else
+          try java.nio.file.Files.createLink(nio(target), nio(tmp))
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              throw new CommitConflictException(dir,
+                name.stripPrefix("snap-").toLongOption.getOrElse(-1L))
+          }
+      } finally {
+        // link leaves the tmp name in place (the target keeps the inode);
+        // move leaves only the crc sidecar, and ChecksumFileSystem.delete
+        // no-ops entirely once the data file is gone — sweep the sidecar
+        // through the raw fs so nonce'd .crc orphans can't accumulate
+        if (!fs.delete(tmp, false)) fs match {
+          case cfs: org.apache.hadoop.fs.ChecksumFileSystem =>
+            cfs.getRawFileSystem.delete(cfs.getChecksumFile(tmp), false); ()
+          case _ => ()
+        }
+      }
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, fs.getConf)
+      val mode =
+        if (overwrite) org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        else org.apache.hadoop.fs.Options.Rename.NONE
+      try fc.rename(fc.makeQualified(tmp), fc.makeQualified(target), mode)
+      catch {
+        case e: java.io.IOException if !overwrite && fs.exists(target) =>
+          fs.delete(tmp, false)
+          throw new CommitConflictException(dir,
+            name.stripPrefix("snap-").toLongOption.getOrElse(-1L))
+        case e: Throwable =>
+          fs.delete(tmp, false)
+          throw e
+      }
     }
   }
 
@@ -354,6 +413,54 @@ object Snapshots {
     id
   }
 
+  /** MERGE (upsert) in ONE atomic commit — the lakehouse `MERGE INTO`:
+    * rows of `source` whose `keyCol` matches an existing row REPLACE it,
+    * unmatched rows INSERT, and rows satisfying `deleteFilter` (matched
+    * or not) are pure DELETEs. Composed from the format's own sequence
+    * rule, no new read-path machinery: the manifest appends an equality-
+    * delete entry holding EVERY source key (supersede whatever version
+    * exists — absent keys are legal no-ops) FOLLOWED by a data entry
+    * holding the non-delete source rows. The delete dir sits AFTER all
+    * prior data (matched rows vanish) and BEFORE the new data dir (the
+    * upserted versions survive) — one snapshot, readers see the whole
+    * merge or none of it, time travel to the pre-merge state intact.
+    *
+    * `source` must carry ONE row per key (enforce upstream; a multi-
+    * version source would insert duplicates, as in any MERGE). Scale
+    * shape: writes only the source (no base rewrite — merge-on-read
+    * defers the join to readers, [[commitRewrite]] materializes when the
+    * backlog warrants); the delete side stays key-sized and broadcasts.
+    * Same CAS/crash/retry contract as [[commitAppend]]; both attempt
+    * dirs are cleaned on a lost race. */
+  def commitMerge(source: DataFrame, tableDir: String, keyCol: String,
+                  deleteFilter: Option[org.apache.spark.sql.Column] = None): Long = {
+    val spark = source.sparkSession
+    val fs = fsFor(spark, tableDir)
+    val cur = current(spark, tableDir).getOrElse(
+      sys.error(s"commitMerge on empty snapshot table $tableDir"))
+    cur.deleteKey.foreach(k => require(k == keyCol,
+      s"table delete key is '$k', got '$keyCol' — one key column per table"))
+    val id = cur.id + 1
+    val delDir = s"delete/delta-$id-${nonce()}"
+    val dataDir = s"data/delta-$id-${nonce()}"
+    val upserts = deleteFilter.map(f => source.filter(!f)).getOrElse(source)
+    source.select(keyCol).write.mode("overwrite")
+      .parquet(new Path(tableDir, delDir).toString)
+    upserts.write.mode("overwrite")
+      .parquet(new Path(tableDir, dataDir).toString)
+    val entries = cur.entries :+ ((DeleteEntry: EntryKind, delDir)) :+
+      ((DataEntry: EntryKind, dataDir))
+    try writeAtomic(fs, tableDir, s"snap-$id",
+      renderManifest(Some(cur.id), entries, Some(keyCol)), overwrite = false)
+    catch { case e: CommitConflictException =>
+      fs.delete(new Path(tableDir, delDir), true)
+      fs.delete(new Path(tableDir, dataDir), true)
+      throw e
+    }
+    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
+    id
+  }
+
   /** Read the table at a snapshot (default: current), merge-on-read:
     * each data dir anti-joins the union of delete dirs committed AFTER
     * it. Delete sets are single-column key frames — small against the
@@ -388,6 +495,82 @@ object Snapshots {
     // null in the new column (the standard additive-evolution
     // contract); dropping a column is a rewrite, not an append
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Row-level CHANGES between two snapshots (CDC read): every row with
+    * `op = 'I'` was inserted and is still visible at `toId`; every row
+    * with `op = 'D'` was visible at `fromId` and is deleted by `toId`. A
+    * key deleted AND re-inserted inside the interval emits both (row-
+    * level CDC granularity, like Delta's table_changes / Iceberg's
+    * changelog scan). `fromId = 0` reads the whole table as inserts.
+    *
+    * Scale shape — the reason this API exists: when `fromId`'s entry
+    * list is a PREFIX of `toId`'s (an append/delete-only interval, the
+    * overwhelmingly common case), the scan touches ONLY the interval's
+    * data dirs plus key-sized delete sets — an incremental consumer of a
+    * 100 TB table pays for the week's deltas, never a table diff. An
+    * interval crossing a [[commitRewrite]] (entry list rebased) falls
+    * back to the exact multiset diff (`exceptAll` both ways) — correct
+    * across any history, with the rewrite's no-op rows cancelling out.
+    * Additive schema evolution inside the interval reads the narrower
+    * side as null in the new columns, both paths. */
+  def changesBetween(spark: SparkSession, tableDir: String,
+                     fromId: Long, toId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromId >= 0 && fromId < toId,
+      s"need 0 <= fromId < toId, got $fromId..$toId")
+    val to = get(spark, tableDir, toId).getOrElse(
+      sys.error(s"no snapshot snap-$toId under $tableDir"))
+    val from: Option[Snapshot] =
+      if (fromId == 0L) None
+      else Some(get(spark, tableDir, fromId).getOrElse(
+        sys.error(s"no snapshot snap-$fromId under $tableDir")))
+    def path(d: String) = new Path(tableDir, d).toString
+    val fromEntries = from.map(_.entries).getOrElse(Nil)
+    def withOp(df: DataFrame, op: String): DataFrame =
+      df.select(lit(op).as("op") +: df.columns.map(col).toIndexedSeq: _*)
+
+    if (to.entries.take(fromEntries.length) == fromEntries) {
+      // incremental: only the interval's dirs are opened
+      val interval = to.entries.drop(fromEntries.length)
+      val insFrames = interval.zipWithIndex.collect {
+        case ((DataEntry, d), i) =>
+          val delsAfter = interval.drop(i + 1)
+            .collect { case (DeleteEntry, dd) => path(dd) }
+          val base = spark.read.parquet(path(d))
+          if (delsAfter.isEmpty) base
+          else base.join(
+              spark.read.parquet(delsAfter: _*).select(to.deleteKey.get).distinct(),
+              Seq(to.deleteKey.get), "left_anti")
+            .select(base.columns.map(col).toIndexedSeq: _*)
+      }
+      val intervalDels = interval.collect { case (DeleteEntry, dd) => path(dd) }
+      val deletes: Option[DataFrame] =
+        if (intervalDels.isEmpty || from.isEmpty) None
+        else {
+          val key = to.deleteKey.get
+          Some(read(spark, tableDir, Some(fromId)).join(
+            spark.read.parquet(intervalDels: _*).select(key).distinct(),
+            Seq(key), "left_semi"))
+        }
+      val parts = insFrames.map(withOp(_, "I")) ++ deletes.map(withOp(_, "D"))
+      if (parts.isEmpty) {
+        // a delete-only interval over an empty from, or no changes: an
+        // empty frame in the to-snapshot's schema
+        withOp(read(spark, tableDir, Some(toId)).limit(0), "I")
+      } else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    } else {
+      // rewrite/retention rebased the listing: exact multiset diff
+      val toDf = read(spark, tableDir, Some(toId))
+      val fromDf = read(spark, tableDir, Some(fromId))
+      val aligned = toDf.columns.map { c =>
+        if (fromDf.columns.contains(c)) col(c)
+        else lit(null).cast(toDf.schema(c).dataType).as(c)
+      }
+      val fromAligned = fromDf.select(aligned.toIndexedSeq: _*)
+      withOp(toDf.exceptAll(fromAligned), "I")
+        .unionByName(withOp(fromAligned.exceptAll(toDf), "D"))
+    }
   }
 
   /** Retention: drop snapshot MANIFESTS older than the newest

@@ -502,4 +502,60 @@ class ScaleSpec extends SparkSpec {
     assert(Snapshots.vacuum(spark, root, tmpGraceMs = 0L).isEmpty,
       "no orphan dir may survive the race")
   }
+
+  test("snapshots: commitMerge is one atomic upsert — replace, insert, delete; history intact") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapmerge").toString
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val id1 = Snapshots.commitAppend(base, root)
+    // source: k=2 re-valued (match->replace), k=4 new (insert),
+    // k=3 delete-marked (pure delete), k=9 delete of an absent key (no-op)
+    val src = Seq((2L, "B2"), (4L, "d"), (3L, "x"), (9L, "x"))
+      .toDF("k", "v")
+    val id2 = Snapshots.commitMerge(src, root, "k",
+      Some(col("k") === 3L || col("k") === 9L))
+    assert(id2 == id1 + 1, "MERGE is ONE commit")
+    val got = Snapshots.read(spark, root).as[(Long, String)]
+      .collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B2"), (4L, "d")),
+      s"merged state wrong: $got")
+    // time travel to the pre-merge base: merge atomicity, history intact
+    assert(Snapshots.read(spark, root, Some(id1)).count() == 3L)
+    // a second merge reuses the fixed delete key; mismatched key throws
+    intercept[IllegalArgumentException] {
+      Snapshots.commitMerge(Seq((5L, "e")).toDF("k2", "v"), root, "k2")
+    }
+  }
+
+  test("snapshots: changesBetween — incremental over append/delete, exact-diff fallback across rewrite") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapcdc").toString
+    val id1 = Snapshots.commitAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root)
+    val id2 = Snapshots.commitDelete(Seq(Tuple1(2L)).toDF("k"), root, "k")
+    val id3 = Snapshots.commitAppend(
+      Seq((4L, "d"), (2L, "b2")).toDF("k", "v"), root)
+    def ops(df: org.apache.spark.sql.DataFrame): Set[(String, Long, String)] =
+      df.select("op", "k", "v").as[(String, Long, String)].collect().toSet
+    // incremental 1->3: delete of k=2 (visible at 1), inserts incl. the
+    // re-inserted k=2 (D + I for a delete-then-reinsert — CDC granularity)
+    val inc = ops(Snapshots.changesBetween(spark, root, id1, id3))
+    assert(inc == Set(("D", 2L, "b"), ("I", 4L, "d"), ("I", 2L, "b2")),
+      s"incremental changes wrong: $inc")
+    // bootstrap 0->2: everything visible at 2 as inserts
+    val boot = ops(Snapshots.changesBetween(spark, root, 0L, id2))
+    assert(boot == Set(("I", 1L, "a"), ("I", 3L, "c")), s"bootstrap wrong: $boot")
+    // rewrite rebases the entry list -> the same logical interval must
+    // fall back to the exact multiset diff and give the SAME answer
+    val id4 = Snapshots.commitRewrite(spark, root)
+    val id5 = Snapshots.commitAppend(Seq((5L, "e")).toDF("k", "v"), root)
+    val fall = ops(Snapshots.changesBetween(spark, root, id1, id5))
+    assert(fall == Set(("D", 2L, "b"), ("I", 4L, "d"), ("I", 2L, "b2"), ("I", 5L, "e")),
+      s"fallback diff wrong: $fall")
+    // crossing only the rewrite is a logical no-op: zero changes
+    assert(ops(Snapshots.changesBetween(spark, root, id3, id4)).isEmpty,
+      "rewrite must read as zero row-level changes")
+  }
 }

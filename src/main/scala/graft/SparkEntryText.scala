@@ -214,6 +214,74 @@ private[graft] object SparkEntryText {
       TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text", n = 2)
     }),
 
+    // T26 — the FULL Gopher repetition battery (round-15; Rae et al.
+    // 2021 A1.1), beyond t9's distinct-gram ratio: duplicate-line
+    // fraction + char fraction (10-word segment lines, d17's
+    // convention), top-bigram char share, and duplicated-5-gram char
+    // COVERAGE (positional interval union — each char counted once, the
+    // paper's "taking care not to count characters twice"). Zero-shuffle
+    // in-row sort/fold expressions, O(W log W) per doc. Fixture plants
+    // non-degenerate repetition deterministically: %5 docs re-append
+    // their own first 10 words (a guaranteed duplicate line + dup
+    // 5-grams), %7 docs append a 5x single-word run (top-gram
+    // dominance); the oracle replants identically and recomputes every
+    // signal relationally (group-counts, window-max, interval union via
+    // running prev-end + generate-series coverage).
+    "t26_gopher_repetition" -> ((s, dir) => {
+      val raw = t(s, dir, "documents")
+      val ws = split(trim(col("text")), "\\s+")
+      val first10 = concat_ws(" ", slice(ws, 1, 10))
+      val planted = raw
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" "), first10))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" spark spark spark spark spark")))
+            .otherwise(col("text")).as("text"))
+      TextAnalysis.gopherRepetition(planted, "doc_id", "text",
+        lineWords = 10, topN = 2, dupN = 5)
+    }),
+
+    // T27 — the C4 heuristic cleanup (round-15; Raffel et al. 2020
+    // §2.2): terminal-punctuation + >=5-word + no-"javascript" line
+    // retention, and the 3-kept-lines / "{" / "lorem ipsum" / bad-word
+    // page drops. The newline-free corpus gets its line structure
+    // PLANTED deterministically (m-series discipline): 8-word lines,
+    // line j of doc d terminal-punctuated unless (d+j)%3==0, its first
+    // word replaced by "javascript" when (7d+j)%11==0; %13 docs gain a
+    // "{" code line, %17 a lorem-ipsum line (itself punct-terminal and
+    // 5 words — kept as a LINE, page dropped anyway: rule precedence
+    // exercised), %19 a bad-word line. The oracle replants with the
+    // same list arithmetic and re-derives every count and the cleaned
+    // text's md5 byte-for-byte.
+    "t27_c4_filter" -> ((s, dir) => {
+      val raw = t(s, dir, "documents")
+      val ws = split(trim(col("text")), "\\s+")
+      val w = size(ws)
+      val nLn = floor((w - lit(1)).cast("double") / lit(8.0)).cast("int") + lit(1)
+      val lines = transform(sequence(lit(0), nLn - lit(1)), j => {
+        val base = slice(ws, j * lit(8) + lit(1), lit(8))
+        val withJs = when((col("doc_id") * 7 + j) % 11 === 0,
+            concat(array(lit("javascript")), slice(base, 2, 7)))
+          .otherwise(base)
+        val joined = concat_ws(" ", withJs)
+        when((col("doc_id") + j) % 3 =!= 0, concat(joined, lit(".")))
+          .otherwise(joined)
+      })
+      val planted = raw.select(col("doc_id"), concat(
+          concat_ws("\n", lines),
+          when(col("doc_id") % 13 === 0, lit("\nconfig { x }")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0, lit("\nlorem ipsum dolor sit amet."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 19 === 0, lit("\nthis mentions badword1 clearly."))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.c4Filter(planted, "doc_id", "text",
+        minLineWords = 5, minKeptLines = 3,
+        badWords = Seq("badword1", "badword2"))
+    }),
+
     // C9 sliding-window chunking with overlap (embedding/RAG prep): every
     // doc → ⌈tokens/48⌉ chunks of ≤64 tokens overlapping by 16; chunk
     // content addressed by md5 so the oracle pins both the boundary
@@ -1134,6 +1202,131 @@ private[graft] object SparkEntryText {
         |  CAST(floor((1.0 - CAST(count(DISTINCT s) AS DOUBLE) / CAST(count(*) AS DOUBLE))
         |    * 10000) AS BIGINT) AS rep_bp
         |FROM g GROUP BY doc_id""".stripMargin,
+
+    // t26: replant the %5 self-repeat and %7 word-run, then recompute
+    // every Gopher signal relationally — segment/gram group-counts for
+    // the duplicate and top metrics, and the duplicated-5-gram char
+    // coverage as a true interval union (running prev-end window +
+    // generate-series position explode, each position counted once).
+    "t26_gopher_repetition" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN t2 || ' spark spark spark spark spark' ELSE t2 END AS text
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN doc_id % 5 = 0 THEN text || ' ' ||
+        |          array_to_string(list_slice(
+        |            string_split_regex(trim(text), '\s+'), 1, 10), ' ')
+        |        ELSE text END AS t2
+        |    FROM documents) p),
+        |bb AS (
+        |  SELECT doc_id, ws, len(ws) AS w,
+        |    length(array_to_string(ws, ' ')) AS norm_len
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM f) b),
+        |nl AS (SELECT doc_id, CAST(floor((w - 1) / 10.0) AS BIGINT) + 1 AS n_lines FROM bb),
+        |lin2 AS (
+        |  SELECT l.doc_id,
+        |    array_to_string(list_slice(b.ws, l.pos * 10 + 1, l.pos * 10 + 10), ' ') AS seg
+        |  FROM (SELECT b2.doc_id, unnest(range(n.n_lines)) AS pos
+        |        FROM bb b2 JOIN nl n USING (doc_id)) l
+        |  JOIN bb b USING (doc_id)),
+        |lc AS (SELECT doc_id, seg, count(*) AS c FROM lin2 GROUP BY 1, 2),
+        |lagg AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_cnt,
+        |    sum(CASE WHEN c > 1 THEN c * length(seg) ELSE 0 END) AS dup_chars
+        |  FROM lc GROUP BY 1),
+        |g2 AS (
+        |  SELECT g.doc_id, array_to_string(list_slice(b.ws, g.i, g.i + 1), ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(range(1, greatest(w - 1, 1) + 1)) AS i FROM bb) g
+        |  JOIN bb b USING (doc_id)),
+        |g2c AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |topc AS (
+        |  SELECT doc_id, top_chars FROM (
+        |    SELECT doc_id, c * length(gram) AS top_chars,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+        |    FROM g2c) t WHERE rn = 1),
+        |g5 AS (
+        |  SELECT g.doc_id, g.i, array_to_string(list_slice(b.ws, g.i, g.i + 4), ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(range(1, greatest(w - 4, 1) + 1)) AS i FROM bb) g
+        |  JOIN bb b USING (doc_id)),
+        |g5c AS (SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram HAVING count(*) > 1),
+        |iv AS (
+        |  SELECT s.doc_id, s.i,
+        |    coalesce(max(s.i + 5) OVER (PARTITION BY s.doc_id ORDER BY s.i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1) AS prev_e
+        |  FROM (SELECT g5.doc_id, g5.i FROM g5
+        |        JOIN g5c ON g5.doc_id = g5c.doc_id AND g5.gram = g5c.gram) s),
+        |covc AS (
+        |  SELECT c.doc_id, sum(length(b.ws[CAST(c.p AS BIGINT)])) AS chars
+        |  FROM (SELECT doc_id, unnest(range(greatest(prev_e, i), i + 5)) AS p FROM iv) c
+        |  JOIN bb b USING (doc_id) GROUP BY 1)
+        |SELECT b.doc_id, n.n_lines,
+        |  CAST(floor(10000.0 * coalesce(l.dup_cnt, 0) / n.n_lines) AS BIGINT) AS dup_line_bp,
+        |  CAST(floor(10000.0 * coalesce(l.dup_chars, 0) / b.norm_len) AS BIGINT) AS dup_line_char_bp,
+        |  least(CAST(floor(10000.0 * t.top_chars / b.norm_len) AS BIGINT), 10000) AS top_gram_bp,
+        |  CAST(floor(10000.0 * coalesce(cc.chars, 0) / (b.norm_len - (b.w - 1))) AS BIGINT) AS dup_gram_bp
+        |FROM bb b
+        |JOIN nl n USING (doc_id)
+        |JOIN topc t USING (doc_id)
+        |LEFT JOIN lagg l USING (doc_id)
+        |LEFT JOIN covc cc USING (doc_id)""".stripMargin,
+
+    // t27: replant the 8-word line structure + markers with the same
+    // modular arithmetic, then re-derive the line retention, the page
+    // verdict, and the cleaned text's md5 relationally.
+    "t27_c4_filter" ->
+      """WITH b AS (
+        |  SELECT doc_id, ws, len(ws) AS w FROM (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents) q),
+        |lj AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(CAST(floor((w - 1) / 8.0) AS BIGINT) + 1)) AS j
+        |  FROM b),
+        |l2 AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN (doc_id + j) % 3 <> 0 THEN ln0 || '.' ELSE ln0 END AS ln
+        |  FROM (
+        |    SELECT doc_id, j,
+        |      CASE WHEN (doc_id * 7 + j) % 11 = 0
+        |        THEN array_to_string(list_concat(['javascript'],
+        |          list_slice(ws, j * 8 + 2, j * 8 + 8)), ' ')
+        |        ELSE array_to_string(list_slice(ws, j * 8 + 1, j * 8 + 8), ' ')
+        |      END AS ln0
+        |    FROM lj) q),
+        |pl AS (
+        |  SELECT doc_id, body
+        |    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'config { x }' ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+        |    || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'this mentions badword1 clearly.' ELSE '' END
+        |    AS text
+        |  FROM (SELECT doc_id, string_agg(ln, chr(10) ORDER BY j) AS body
+        |        FROM l2 GROUP BY 1) q),
+        |lk AS (
+        |  SELECT doc_id, idx, line,
+        |    (regexp_matches(line, '[.!?"]$')
+        |      AND len(string_split_regex(trim(line), '\s+')) >= 5
+        |      AND NOT contains(lower(line), 'javascript')) AS keep
+        |  FROM (
+        |    SELECT doc_id, idx, sl[idx + 1] AS line FROM (
+        |      SELECT doc_id, sl, unnest(range(len(sl))) AS idx FROM (
+        |        SELECT doc_id, string_split(text, chr(10)) AS sl FROM pl) q1) q2) q3),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_lines,
+        |    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+        |    coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx), '') AS clean
+        |  FROM lk GROUP BY 1)
+        |SELECT p.doc_id,
+        |  CAST(a.n_lines AS BIGINT) AS n_lines,
+        |  CAST(a.n_kept AS BIGINT) AS n_kept_lines,
+        |  CAST(CASE WHEN a.n_kept >= 3 AND NOT contains(p.text, '{')
+        |    AND NOT contains(lower(p.text), 'lorem ipsum')
+        |    AND len(list_intersect(string_split_regex(lower(p.text), '[^a-z0-9]+'),
+        |      ['badword1', 'badword2'])) = 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS doc_kept,
+        |  md5(a.clean) AS clean_md5
+        |FROM pl p JOIN agg a USING (doc_id)""".stripMargin,
 
     // c9: boundary arithmetic (stride 48, size 64) and chunk text both
     // pinned via the md5 content address.

@@ -1214,4 +1214,172 @@ object TextAnalysis {
     }
     scores.toSeq.sortWith((x, y) => byUtf8(x._1, y._1) < 0)
   }
+
+  /** The Gopher REPETITION battery (Rae et al. 2021, Appendix A1.1) —
+    * the within-document repetitiousness signals beyond [[repetitionStats]]'
+    * distinct-gram ratio: duplicate-LINE fraction and character fraction,
+    * the TOP n-gram's character share, and the duplicated-n-gram character
+    * COVERAGE ("taking care not to count characters twice" — a positional
+    * interval union, not an occurrence sum). The corpus's synthetic text
+    * is newline-free, so "lines" are `lineWords`-word segments (the d17
+    * segmentation convention); real newline text pre-splits trivially.
+    *
+    * Definitions (toks = whitespace tokens, W = |toks|,
+    * normLen = |single-space-normalized text|, wordChars = Σ|tok| =
+    * normLen − (W−1)):
+    *  - `dup_line_bp`   = ⌊10⁴ · (#line occurrences whose content appears
+    *    ≥2× in the doc) / n_lines⌋
+    *  - `dup_line_char_bp` = ⌊10⁴ · (chars of those occurrences) / normLen⌋
+    *  - `top_gram_bp`   = ⌊10⁴ · (count·|gram| of the most frequent
+    *    `topN`-gram) / normLen⌋, capped at 10⁴ (overlapping occurrences can
+    *    nominally exceed the doc); ties → lexicographically smallest gram
+    *  - `dup_gram_bp`   = ⌊10⁴ · (word chars covered by ≥1 occurrence of
+    *    any within-doc-duplicated `dupN`-gram) / wordChars⌋ — the union of
+    *    intervals [p, p+n), each char counted once
+    *
+    * Shape at scale: a ZERO-SHUFFLE scan projection running the compiled
+    * [[graft.functions.VectorExpressions.GopherRepetition]] kernel — one
+    * split + hash-count + linear interval sweep per document, no
+    * per-element lambda re-evaluation (the d11 lesson). The declarative
+    * HOF twin below ([[gopherRepetitionHof]]) is spec-pinned equal. */
+  def gopherRepetition(docs: DataFrame, id: String, text: String,
+                       lineWords: Int = 10, topN: Int = 2,
+                       dupN: Int = 5): DataFrame = {
+    val g = graft.functions.VectorExpressions.gopherRepetition(
+      col(text), lineWords, topN, dupN)
+    docs.select(col(id), g.as("g"))
+      .select(col(id), col("g.n_lines").as("n_lines"),
+        col("g.dup_line_bp").as("dup_line_bp"),
+        col("g.dup_line_char_bp").as("dup_line_char_bp"),
+        col("g.top_gram_bp").as("top_gram_bp"),
+        col("g.dup_gram_bp").as("dup_gram_bp"))
+  }
+
+  /** The declarative higher-order-function formulation of
+    * [[gopherRepetition]] — array_sort + neighbor compare for duplicate
+    * detection, a fold for the run-length max and the interval-union
+    * sweep. Kept as the REFERENCE TWIN (the spec pins it equal to the
+    * compiled kernel on every fixture): nominally O(W log W), but
+    * Catalyst re-evaluates a lambda's captured arrays per element (the
+    * d11 lesson), so on repetitive mega-docs the folds degrade toward
+    * O(W²·log W) — ship the kernel, read this for the semantics. */
+  def gopherRepetitionHof(docs: DataFrame, id: String, text: String,
+                          lineWords: Int = 10, topN: Int = 2,
+                          dupN: Int = 5): DataFrame = {
+    val toks = split(trim(col(text)), "\\s+")
+    val w = size(toks)
+    val normLen = length(concat_ws(" ", toks))
+    val wordChars = normLen - (w - lit(1))
+
+    // ---- lines: lineWords-word segments; dup = content seen >=2x in-doc
+    val nLines = floor((w - lit(1)).cast("double") / lit(lineWords))
+      .cast("int") + lit(1)
+    val lines = transform(sequence(lit(0), nLines - lit(1)),
+      i => concat_ws(" ", slice(toks, i * lit(lineWords) + lit(1), lit(lineWords))))
+    val sortedLines = array_sort(lines)
+    // occurrence i (1-based into the sorted array) duplicates a neighbor
+    def dupAt(arr: Column, i: Column, n: Column): Column =
+      (i > 1 && element_at(arr, i) === element_at(arr, i - 1)) ||
+        (i < n && element_at(arr, i) === element_at(arr, i + 1))
+    val lineIdx = sequence(lit(1), nLines)
+    val dupLineCnt = size(filter(lineIdx, i => dupAt(sortedLines, i, nLines)))
+      .cast("long")
+    val dupLineChars = aggregate(
+      filter(lineIdx, i => dupAt(sortedLines, i, nLines)),
+      lit(0L), (acc, i) => acc + length(element_at(sortedLines, i)).cast("long"))
+
+    // ---- top topN-gram: run-length max over the sorted gram array
+    val gTop = greatest(w - lit(topN - 1), lit(1))
+    val gramsTop = array_sort(transform(sequence(lit(1), gTop),
+      i => concat_ws(" ", slice(toks, i, lit(topN)))))
+    val best = aggregate(
+      sequence(lit(1), gTop),
+      struct(lit(0L).as("bc"), lit(0L).as("bl"), lit(0L).as("cc")),
+      (acc, i) => {
+        val cur = when(i === 1 ||
+            element_at(gramsTop, i) =!= element_at(gramsTop, i - 1), lit(1L))
+          .otherwise(acc.getField("cc") + lit(1L))
+        struct(
+          when(cur > acc.getField("bc"), cur).otherwise(acc.getField("bc")).as("bc"),
+          when(cur > acc.getField("bc"),
+              length(element_at(gramsTop, i)).cast("long"))
+            .otherwise(acc.getField("bl")).as("bl"),
+          cur.as("cc"))
+      })
+    val topChars = best.getField("bc") * best.getField("bl")
+
+    // ---- duplicated dupN-gram coverage: interval union over flagged starts
+    val gDup = greatest(w - lit(dupN - 1), lit(1))
+    val dupStructs = array_sort(transform(sequence(lit(1), gDup),
+      i => struct(concat_ws(" ", slice(toks, i, lit(dupN))).as("g"), i.as("p"))))
+    val sortedGrams = transform(dupStructs, s => s.getField("g"))
+    val dupStarts = array_sort(transform(
+      filter(sequence(lit(1), gDup), j => dupAt(sortedGrams, j, gDup)),
+      j => element_at(dupStructs, j).getField("p")))
+    // sweep ascending starts; e = first uncovered position (1-based)
+    val cover = aggregate(
+      dupStarts,
+      struct(lit(1L).as("e"), lit(0L).as("c")),
+      (acc, p) => {
+        val from = greatest(acc.getField("e"), p.cast("long"))
+        val to = p.cast("long") + lit(dupN.toLong) // exclusive
+        val seg = slice(toks, from.cast("int"), greatest(to - from, lit(0L)).cast("int"))
+        struct(
+          greatest(acc.getField("e"), to).as("e"),
+          (acc.getField("c") +
+            aggregate(seg, lit(0L), (a, t) => a + length(t).cast("long"))).as("c"))
+      })
+
+    def bp(num: Column, den: Column): Column =
+      floor(lit(10000.0) * num.cast("double") / den.cast("double")).cast("long")
+    docs.select(col(id),
+      nLines.cast("long").as("n_lines"),
+      bp(dupLineCnt, nLines.cast("long")).as("dup_line_bp"),
+      bp(dupLineChars, normLen.cast("long")).as("dup_line_char_bp"),
+      least(bp(topChars, normLen.cast("long")), lit(10000L)).as("top_gram_bp"),
+      bp(cover.getField("c"), wordChars.cast("long")).as("dup_gram_bp"))
+  }
+
+  /** The C4 heuristic CLEANUP (Raffel et al. 2020 §2.2) — the classic
+    * line-and-page filter battery applied to newline-delimited text:
+    *
+    * LINE rules (a line is RETAINED iff all three hold):
+    *  - ends in a terminal punctuation mark (`. ! ? "`);
+    *  - has at least `minLineWords` whitespace words (C4 used 5);
+    *  - does not contain "javascript" (case-insensitive — the cookie/JS
+    *    warning heuristic).
+    * PAGE rules (the document is KEPT iff all four hold):
+    *  - at least `minKeptLines` retained lines (C4's 3-sentence floor);
+    *  - no `{` anywhere (code);
+    *  - no "lorem ipsum" (case-insensitive);
+    *  - no token from `badWords` (lowercased token-exact match).
+    *
+    * Output: `(id, n_lines, n_kept_lines, doc_kept, clean_md5)` where
+    * `clean_md5` content-addresses the retained lines rejoined with \n
+    * (md5("") when nothing survives) — the oracle pins the cleaned text
+    * byte-for-byte, not just the counts. Like every quality signal here:
+    * a zero-shuffle in-row projection, one pass over the scan. */
+  def c4Filter(docs: DataFrame, id: String, text: String,
+               minLineWords: Int = 5, minKeptLines: Int = 3,
+               badWords: Seq[String] = Seq.empty): DataFrame = {
+    val lines = split(col(text), "\n")
+    def keeps(l: Column): Column =
+      l.rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript")
+    val kept = filter(lines, keeps _)
+    val docTokens = split(lower(col(text)), "[^a-z0-9]+")
+    val hasBad =
+      if (badWords.isEmpty) lit(false)
+      else size(array_intersect(docTokens,
+        array(badWords.map(w => lit(w.toLowerCase)): _*))) > 0
+    val docKept = (size(kept) >= minKeptLines) &&
+      !col(text).contains("{") &&
+      !lower(col(text)).contains("lorem ipsum") && !hasBad
+    docs.select(col(id),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      docKept.cast("int").cast("long").as("doc_kept"),
+      md5(concat_ws("\n", kept).cast("binary")).as("clean_md5"))
+  }
 }

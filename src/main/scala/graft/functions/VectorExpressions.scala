@@ -577,6 +577,135 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** The full Gopher repetition battery (Rae et al. 2021 A1.1) in ONE
+    * compiled pass per document — the kernel behind
+    * `TextAnalysis.gopherRepetition`. A declarative HOF formulation
+    * exists (`TextAnalysis.gopherRepetitionHof`, the spec-pinned
+    * reference twin), but Catalyst re-evaluates a lambda's captured
+    * arrays PER ELEMENT (the d11/GramHash64 lesson), turning its sorted-
+    * array folds into O(W²·log W) on repetitive mega-docs; this
+    * expression is one split + hash-map counting + a linear interval
+    * sweep, O(W·gram) with no per-element re-evaluation, and stays
+    * inside the whole-stage span via the reference-object trampoline.
+    *
+    * Semantics (bit-identical to the HOF twin, ASCII and beyond):
+    * char counts are CODEPOINTS (Spark `length`/DuckDB `length`), gram
+    * tie-breaks compare UTF-8 BYTES (Spark `array_sort` on strings /
+    * DuckDB collation), bp = ⌊10⁴·num/den⌋ in double (0 when den = 0,
+    * matching Cast(NaN→long)); output struct fields mirror the twin. */
+  case class GopherRepetition(child: Expression, lineWords: Int,
+                              topN: Int, dupN: Int) extends UnaryExpression {
+    require(lineWords > 0 && topN > 0 && dupN > 0)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_lines", LongType, nullable = false),
+      StructField("dup_line_bp", LongType, nullable = false),
+      StructField("dup_line_char_bp", LongType, nullable = false),
+      StructField("top_gram_bp", LongType, nullable = false),
+      StructField("dup_gram_bp", LongType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(s"expected string, got ${dt.simpleString}")
+    }
+    override def prettyName: String = "gopher_repetition"
+
+    private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+    private def utf8Lt(a: String, b: String): Boolean =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    private def bp(num: Long, den: Long): Long =
+      if (den <= 0L) 0L else math.floor(10000.0 * num / den).toLong
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].toString.trim.split("\\s+", -1)
+      val w = toks.length
+      var wordChars = 0L
+      var i = 0
+      while (i < w) { wordChars += cpLen(toks(i)); i += 1 }
+      val normLen = wordChars + (w - 1)
+
+      def joined(from: Int, len: Int): String = {
+        val hi = math.min(from + len, w)
+        val sb = new java.lang.StringBuilder()
+        var j = from
+        while (j < hi) { if (j > from) sb.append(' '); sb.append(toks(j)); j += 1 }
+        sb.toString
+      }
+
+      // lines: lineWords-word segments
+      val nLines = (w - 1) / lineWords + 1
+      val lineCnt = new java.util.HashMap[String, Int]()
+      i = 0
+      while (i < nLines) {
+        lineCnt.merge(joined(i * lineWords, lineWords), 1, Integer.sum _)
+        i += 1
+      }
+      var dupLineCnt = 0L; var dupLineChars = 0L
+      val lit0 = lineCnt.entrySet().iterator()
+      while (lit0.hasNext) {
+        val e = lit0.next()
+        if (e.getValue > 1) {
+          dupLineCnt += e.getValue
+          dupLineChars += e.getValue * cpLen(e.getKey)
+        }
+      }
+
+      // top topN-gram: max count, UTF-8-lexicographic tie-break
+      val gTop = math.max(w - topN + 1, 1)
+      val topCnt = new java.util.HashMap[String, Int]()
+      i = 0
+      while (i < gTop) { topCnt.merge(joined(i, topN), 1, Integer.sum _); i += 1 }
+      var bestGram: String = null; var bestCnt = 0
+      val tit = topCnt.entrySet().iterator()
+      while (tit.hasNext) {
+        val e = tit.next()
+        if (e.getValue > bestCnt ||
+            (e.getValue == bestCnt && utf8Lt(e.getKey, bestGram))) {
+          bestCnt = e.getValue; bestGram = e.getKey
+        }
+      }
+      val topChars = bestCnt.toLong * cpLen(bestGram)
+
+      // duplicated dupN-gram coverage: linear interval-union sweep over
+      // ascending starts of grams whose in-doc count >= 2
+      val gDup = math.max(w - dupN + 1, 1)
+      val grams = new Array[String](gDup)
+      val dupCnt = new java.util.HashMap[String, Int]()
+      i = 0
+      while (i < gDup) {
+        grams(i) = joined(i, dupN)
+        dupCnt.merge(grams(i), 1, Integer.sum _)
+        i += 1
+      }
+      val pfx = new Array[Long](w + 1)
+      i = 0
+      while (i < w) { pfx(i + 1) = pfx(i) + cpLen(toks(i)); i += 1 }
+      var covered = 0L; var e0 = 0
+      i = 0
+      while (i < gDup) {
+        if (dupCnt.get(grams(i)) > 1) {
+          val from = math.max(e0, i)
+          val to = math.min(i + dupN, w)
+          if (to > from) { covered += pfx(to) - pfx(from); e0 = to }
+        }
+        i += 1
+      }
+
+      org.apache.spark.sql.catalyst.InternalRow(
+        nLines.toLong,
+        bp(dupLineCnt, nLines.toLong),
+        bp(dupLineChars, normLen),
+        math.min(bp(topChars, normLen), 10000L),
+        bp(covered, wordChars))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("gopherExpr", this, classOf[GopherRepetition].getName)
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $self.nullSafeEval($t);")
+    }
+    override protected def withNewChildInternal(c: Expression): GopherRepetition =
+      copy(child = c)
+  }
+
   // ----------------------------------------------------------- Column API
 
   def vecDot(a: Column, b: Column): Column =
@@ -590,6 +719,10 @@ object VectorExpressions {
 
   def shingleHash64(text: Column, n: Int): Column =
     Shim.column(ShingleHash64(Shim.expression(text), n))
+
+  def gopherRepetition(text: Column, lineWords: Int, topN: Int,
+                       dupN: Int): Column =
+    Shim.column(GopherRepetition(Shim.expression(text), lineWords, topN, dupN))
 
   def gramHash64(text: Column, n: Int): Column =
     Shim.column(GramHash64(Shim.expression(text), n))

@@ -664,4 +664,78 @@ class TextAnalysisSpec extends SparkSpec {
     assert(skip.head == local.head, "first merge is the global argmax in both modes")
     assert(skip.length == 50)
   }
+
+  test("gopherRepetition: dup lines, top-gram share (capped), dup-gram interval-union coverage") {
+    // hand-computed at lineWords=3, topN=2, dupN=2 (single-char words make
+    // every char count auditable; norm_len = W + (W-1) spaces)
+    val docs = Seq(
+      (1L, "a b c a b c d e f"), // dup line "a b c" x2; "a b"/"b c" dup grams
+      (2L, "x y z w v"),         // no repetition of any kind
+      (3L, "a a a a"),           // overlapping top-gram: nominal share >100% -> cap
+      (4L, "q"))                 // single word: one degenerate gram, no dups
+      .toDF("doc_id", "text")
+    def run(f: (org.apache.spark.sql.DataFrame, String, String, Int, Int, Int) =>
+        org.apache.spark.sql.DataFrame) =
+      f(docs, "doc_id", "text", 3, 2, 2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val got = run(TextAnalysis.gopherRepetition)
+    // the compiled kernel and the declarative HOF twin are bit-identical
+    assert(run(TextAnalysis.gopherRepetitionHof) == got,
+      "kernel and HOF twin diverged")
+
+    // doc 1: lines [a b c][a b c][d e f] -> 2/3 dup, chars 10/17;
+    // top gram "a b" (lexicographic tie-winner among the x2 grams),
+    // chars 2*3/17; dup-2-gram starts {1,2,4,5} cover words 1..6 -> 6/9
+    assert(got(1L) == ((3L, 6666L, 5882L, 3529L, 6666L)))
+    // doc 2: nothing repeats; top gram count 1, chars 3/9
+    assert(got(2L) == ((2L, 0L, 0L, 3333L, 0L)))
+    // doc 3: "a a" x3 overlapping -> 9 chars over norm_len 7 -> capped at
+    // 10000; dup starts {1,2,3} cover every word -> 10000
+    assert(got(3L) == ((2L, 0L, 0L, 10000L, 10000L)))
+    // doc 4: one 1-word "gram" (the shingle floor), count 1 over norm_len 1
+    assert(got(4L) == ((1L, 0L, 0L, 10000L, 0L)))
+  }
+
+  test("c4Filter: line retention rules, page drops, and the cleaned-text content address") {
+    val keepA = "this line has five words."
+    val keepB = "another fine sentence right here!"
+    val docs = Seq(
+      // 3 kept lines -> page kept; the no-punct and short lines drop
+      (1L, s"$keepA\nno terminal punctuation here\nshort line.\n$keepB\nquoted line is long enough \""),
+      // only 2 kept lines -> page dropped by the 3-sentence floor
+      (2L, s"$keepA\n$keepB"),
+      // javascript line drops (case-insensitive), leaving 2 -> dropped
+      (3L, s"$keepA\nEnable JavaScript to view this page.\n$keepB"),
+      // '{' anywhere drops the page even with 3 kept lines
+      (4L, s"$keepA\n$keepB\nvar config = { a };\nthird valid sentence is here."),
+      // lorem ipsum: its own line IS retained (punct + 5 words), page dropped
+      (5L, s"$keepA\n$keepB\nlorem ipsum dolor sit amet."),
+      // bad word: token-exact, page dropped
+      (6L, s"$keepA\n$keepB\nthis mentions badword1 clearly."))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.c4Filter(docs, "doc_id", "text",
+      minLineWords = 5, minKeptLines = 3, badWords = Seq("badword1"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+
+    assert(got(1L)._1 == 5L && got(1L)._2 == 3L && got(1L)._3 == 1L)
+    assert(got(2L) == ((2L, 2L, 0L,
+      md5Hex(s"$keepA\n$keepB"))))
+    assert(got(3L)._2 == 2L && got(3L)._3 == 0L)
+    assert(got(4L)._2 == 3L && got(4L)._3 == 0L)
+    // the lorem line is retained as a LINE (counts toward n_kept) but the
+    // PAGE is dropped — rule precedence
+    assert(got(5L)._2 == 3L && got(5L)._3 == 0L)
+    // the 4-word bad-word line isn't retained as a line, and the page
+    // drops on the token match regardless
+    assert(got(6L)._2 == 2L && got(6L)._3 == 0L)
+    // doc 1's cleaned text: exactly the three surviving lines, in order
+    assert(got(1L)._4 == md5Hex(
+      s"$keepA\n$keepB\nquoted line is long enough \""))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }

@@ -177,8 +177,17 @@ object Similarity {
     * like every index here). */
   def knnGraph(emb: DataFrame, id: String, vec: String, degree: Int = 8,
                dim: Int = 64, bits: Int = 6, tables: Int = 8,
-               seed: Long = 42L): DataFrame = {
-    val fwd = knnLsh(emb, id, vec, degree, dim, bits, tables, seed)
+               seed: Long = 42L): DataFrame =
+    knnGraphFromScored(scorePairs(emb, id, vec,
+      lshCandidatePairs(emb, id, vec, dim, bits, tables, seed, None)), degree)
+
+  /** [[knnGraph]] from an already-scored candidate frame — split out so
+    * [[graphAnn]] can build the LSH candidate join ONCE and feed both
+    * the graph and its seed tier from the same subplan (the round-14
+    * version built the banded join twice; sharing lets ReuseExchange
+    * collapse the two legs onto one shuffle). */
+  private def knnGraphFromScored(scored: DataFrame, degree: Int): DataFrame = {
+    val fwd = rankTopK(scored, degree)
       .select(col("vec_id").as("node"), col("neighbor_id").as("nb"),
         col("rank"))
     val sym = fwd
@@ -214,9 +223,21 @@ object Similarity {
                dim: Int = 64, bits: Int = 6, tables: Int = 8,
                seed: Long = 42L, degree: Int = 8, hops: Int = 2,
                beam: Int = 16, queryPred: Option[Column] = None): DataFrame = {
-    val graph = knnGraph(emb, id, vec, degree, dim, bits, tables, seed)
-    val seeds = scorePairs(emb, id, vec,
-      lshCandidatePairs(emb, id, vec, dim, bits, tables, seed, queryPred))
+    // ONE candidate build feeds both the graph and the seed tier (the
+    // r14 ADVICE note: the banded join was built twice). The seed tier
+    // is the full scored frame restricted to the query set — identical
+    // pairs to a queryPred'd candidate join, since the pred only
+    // restricts the a-side — via a broadcast semi-join on the (small)
+    // query id set.
+    val scoredAll = scorePairs(emb, id, vec,
+      lshCandidatePairs(emb, id, vec, dim, bits, tables, seed, None))
+    val graph = knnGraphFromScored(scoredAll, degree)
+    val seeds = queryPred match {
+      case None => scoredAll
+      case Some(p) => scoredAll.join(
+        broadcast(emb.filter(p).select(col(id).as("vec_id"))),
+        Seq("vec_id"), "left_semi")
+    }
     var visited = seeds
     var frontier = rankTopK(seeds, beam)
       .select(col("vec_id"), col("neighbor_id"))

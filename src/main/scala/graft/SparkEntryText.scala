@@ -282,6 +282,35 @@ private[graft] object SparkEntryText {
         badWords = Seq("badword1", "badword2"))
     }),
 
+    // T28 — the Gopher QUALITY battery (round-15; Rae et al. 2021 A1.1),
+    // t26's companion: word/line statistics and the composed keep
+    // verdict. Planting makes every signal non-degenerate: 8-word lines,
+    // "• " bullet prefix when (d+j)%4==0, " ..." ellipsis suffix when
+    // (3d+j)%5==0, a symbol-only "# # # #" line on %6 docs (exercising
+    // the symbol ratio AND the alphabetic-word floor), an "and that to
+    // of" stop-word line on %2 docs (lifting stop_hits past the corpus's
+    // organic "the"/"a"). The oracle replants with the same arithmetic
+    // and recomputes every statistic relationally.
+    "t28_gopher_quality" -> ((s, dir) => {
+      val raw = t(s, dir, "documents")
+      val ws = split(trim(col("text")), "\\s+")
+      val nLn = floor((size(ws) - lit(1)).cast("double") / lit(8.0))
+        .cast("int") + lit(1)
+      val lines = transform(sequence(lit(0), nLn - lit(1)), j => {
+        val joined = concat_ws(" ", slice(ws, j * lit(8) + lit(1), lit(8)))
+        val l1 = when((col("doc_id") + j) % 4 === 0,
+          concat(lit("• "), joined)).otherwise(joined)
+        when((col("doc_id") * 3 + j) % 5 === 0, concat(l1, lit(" ...")))
+          .otherwise(l1)
+      })
+      val planted = raw.select(col("doc_id"), concat(
+          concat_ws("\n", lines),
+          when(col("doc_id") % 6 === 0, lit("\n# # # #")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, lit("\nand that to of"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.gopherQuality(planted, "doc_id", "text")
+    }),
+
     // C9 sliding-window chunking with overlap (embedding/RAG prep): every
     // doc → ⌈tokens/48⌉ chunks of ≤64 tokens overlapping by 16; chunk
     // content addressed by md5 so the oracle pins both the boundary
@@ -1327,6 +1356,66 @@ private[graft] object SparkEntryText {
         |    THEN 1 ELSE 0 END AS BIGINT) AS doc_kept,
         |  md5(a.clean) AS clean_md5
         |FROM pl p JOIN agg a USING (doc_id)""".stripMargin,
+
+    // t28: replant bullets/ellipses/symbol/stop-word lines with the same
+    // modular arithmetic, then re-derive every quality statistic and the
+    // composed keep verdict relationally.
+    "t28_gopher_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id, ws, len(ws) AS w FROM (
+        |    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents) q),
+        |l2 AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN (doc_id * 3 + j) % 5 = 0 THEN l1 || ' ...' ELSE l1 END AS ln
+        |  FROM (
+        |    SELECT doc_id, j,
+        |      CASE WHEN (doc_id + j) % 4 = 0 THEN '• ' || l0 ELSE l0 END AS l1
+        |    FROM (
+        |      SELECT doc_id, j,
+        |        array_to_string(list_slice(ws, j * 8 + 1, j * 8 + 8), ' ') AS l0
+        |      FROM (SELECT doc_id, ws,
+        |              unnest(range(CAST(floor((w - 1) / 8.0) AS BIGINT) + 1)) AS j
+        |            FROM b) q1) q2) q3),
+        |pl AS (
+        |  SELECT doc_id, body
+        |    || CASE WHEN doc_id % 6 = 0 THEN chr(10) || '# # # #' ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'and that to of' ELSE '' END
+        |    AS text
+        |  FROM (SELECT doc_id, string_agg(ln, chr(10) ORDER BY j) AS body
+        |        FROM l2 GROUP BY 1) q),
+        |wq AS (
+        |  SELECT doc_id, count(*) AS w,
+        |    sum(length(wd)) AS chars,
+        |    sum(CASE WHEN regexp_matches(wd, '[a-zA-Z]') THEN 1 ELSE 0 END) AS alpha
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS wd
+        |        FROM pl) q GROUP BY 1),
+        |lq AS (
+        |  SELECT doc_id, count(*) AS nl,
+        |    sum(CASE WHEN ln LIKE '• %' OR ln LIKE '- %' THEN 1 ELSE 0 END) AS bul,
+        |    sum(CASE WHEN ln LIKE '%...' OR ln LIKE '%…' THEN 1 ELSE 0 END) AS ell
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+        |        FROM pl) q GROUP BY 1),
+        |st AS (
+        |  SELECT p.doc_id,
+        |    length(p.text) - length(replace(replace(p.text, '#', ''), '…', '')) AS sym,
+        |    len(list_intersect(string_split_regex(trim(p.text), '\s+'),
+        |      ['the','be','to','of','and','that','have','with'])) AS stops
+        |  FROM pl p),
+        |m AS (
+        |  SELECT w.doc_id, w.w, CAST(floor(100.0 * w.chars / w.w) AS BIGINT) AS mean_c,
+        |    CAST(floor(10000.0 * s.sym / w.w) AS BIGINT) AS symbol_bp,
+        |    CAST(floor(10000.0 * l.bul / l.nl) AS BIGINT) AS bullet_bp,
+        |    CAST(floor(10000.0 * l.ell / l.nl) AS BIGINT) AS ellipsis_bp,
+        |    CAST(floor(10000.0 * w.alpha / w.w) AS BIGINT) AS alpha_bp,
+        |    CAST(s.stops AS BIGINT) AS stops
+        |  FROM wq w JOIN lq l USING (doc_id) JOIN st s USING (doc_id))
+        |SELECT doc_id, CAST(w AS BIGINT) AS n_words, mean_c AS mean_wlen_c,
+        |  symbol_bp, bullet_bp, ellipsis_bp, alpha_bp, stops AS stop_hits,
+        |  CAST(CASE WHEN w >= 50 AND w <= 100000 AND mean_c >= 300
+        |    AND mean_c <= 1000 AND symbol_bp <= 1000 AND bullet_bp < 9000
+        |    AND ellipsis_bp <= 3000 AND alpha_bp >= 8000 AND stops >= 2
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m""".stripMargin,
 
     // c9: boundary arithmetic (stride 48, size 64) and chunk text both
     // pinned via the md5 content address.

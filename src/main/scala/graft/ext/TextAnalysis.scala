@@ -1340,6 +1340,62 @@ object TextAnalysis {
       bp(cover.getField("c"), wordChars.cast("long")).as("dup_gram_bp"))
   }
 
+  /** The Gopher QUALITY battery (Rae et al. 2021, A1.1 — the companion
+    * filter set to [[gopherRepetition]]'s repetition signals): document
+    * statistics and the composed keep verdict over newline-delimited
+    * text. Words = whitespace tokens of the WHOLE text (bullet glyphs
+    * and symbol runs count as words — the paper's accounting); lines =
+    * newline splits.
+    *
+    *  - `n_words`, `mean_wlen_c` = ⌊100·chars/words⌋ (codepoint chars)
+    *  - `symbol_bp`  = ⌊10⁴·(# of '#' and '…' chars)/words⌋
+    *  - `bullet_bp`  = ⌊10⁴·(lines starting "• "/"- ")/lines⌋
+    *  - `ellipsis_bp`= ⌊10⁴·(lines ending "..."/"…")/lines⌋
+    *  - `alpha_bp`   = ⌊10⁴·(words containing [a-zA-Z])/words⌋
+    *  - `stop_hits`  = distinct hits among {the,be,to,of,and,that,have,with}
+    *  - `keep`       = the paper's thresholds composed: 50 ≤ words ≤ 1e5,
+    *    3 ≤ mean ≤ 10, symbol ≤ 0.1, bullets < 0.9, ellipses ≤ 0.3,
+    *    alpha ≥ 0.8, stops ≥ 2
+    *
+    * One linear in-row pass (no sorts, no captured-array folds — unlike
+    * the repetition battery this needs no compiled kernel), zero
+    * shuffles. */
+  def gopherQuality(docs: DataFrame, id: String, text: String): DataFrame = {
+    val words = split(trim(col(text)), "\\s+")
+    val w = size(words).cast("long")
+    val wordChars = aggregate(words, lit(0L),
+      (a, t) => a + length(t).cast("long"))
+    val symbols = (length(col(text)) -
+      length(replace(replace(col(text), lit("#"), lit("")),
+        lit("…"), lit("")))).cast("long")
+    val lines = split(col(text), "\n")
+    val nLines = size(lines).cast("long")
+    val bullets = size(filter(lines, l =>
+      l.startsWith("• ") || l.startsWith("- "))).cast("long")
+    val ellipses = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val alphaWords = size(filter(words, t => t.rlike("[a-zA-Z]"))).cast("long")
+    val stops = size(array_intersect(words,
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(lit): _*))).cast("long")
+    def bp(num: Column, den: Column): Column =
+      floor(lit(10000.0) * num.cast("double") / den.cast("double")).cast("long")
+    val meanC = floor(lit(100.0) * wordChars.cast("double") / w.cast("double"))
+      .cast("long")
+    val symbolBp = bp(symbols, w)
+    val bulletBp = bp(bullets, nLines)
+    val ellipsisBp = bp(ellipses, nLines)
+    val alphaBp = bp(alphaWords, w)
+    val keep = (w >= 50L && w <= 100000L &&
+      meanC >= 300L && meanC <= 1000L &&
+      symbolBp <= 1000L && bulletBp < 9000L && ellipsisBp <= 3000L &&
+      alphaBp >= 8000L && stops >= 2L).cast("int").cast("long")
+    docs.select(col(id), w.as("n_words"), meanC.as("mean_wlen_c"),
+      symbolBp.as("symbol_bp"), bulletBp.as("bullet_bp"),
+      ellipsisBp.as("ellipsis_bp"), alphaBp.as("alpha_bp"),
+      stops.as("stop_hits"), keep.as("keep"))
+  }
+
   /** The C4 heuristic CLEANUP (Raffel et al. 2020 §2.2) — the classic
     * line-and-page filter battery applied to newline-delimited text:
     *

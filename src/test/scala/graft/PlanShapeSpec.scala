@@ -70,6 +70,20 @@ class PlanShapeSpec extends SparkSpec {
       s"m10 WAV-walk kernel grew an exchange:\n$wav")
   }
 
+  test("round-15 quality batteries: gopher repetition and C4 cleanup are scan passes, zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val rep = finalPlan(graft.ext.TextAnalysis.gopherRepetition(
+      docs, "doc_id", "text"))
+    assert(shuffles(rep).isEmpty && broadcasts(rep).isEmpty,
+      s"t26 gopher kernel grew an exchange:\n$rep")
+    val c4 = finalPlan(graft.ext.TextAnalysis.c4Filter(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text",
+      badWords = Seq("badword1")))
+    assert(shuffles(c4).isEmpty && broadcasts(c4).isEmpty,
+      s"t27 C4 filter grew an exchange:\n$c4")
+  }
+
   test("j5 parent pointer is a pure projection: zero exchanges") {
     val p = q("j5_parent_pointer")
     assert(shuffles(p).isEmpty && broadcasts(p).isEmpty,

@@ -735,6 +735,39 @@ class TextAnalysisSpec extends SparkSpec {
       s"$keepA\n$keepB\nquoted line is long enough \""))
   }
 
+  test("gopherQuality: word/line statistics and the composed keep verdict") {
+    // 50 alpha words of length 4 and the stop words "the"/"and" -> keeps
+    val goodWords = (1 to 48).map(_ => "word").mkString(" ") + " the and"
+    val docs = Seq(
+      (1L, goodWords),                         // passes every rule
+      (2L, "tiny doc the and"),                // 4 words < 50 -> dropped
+      // bullets on 9/10 lines (>= 90%) -> dropped; also < 50 words
+      (3L, (1 to 9).map(i => s"• ${goodWords.take(20)}").mkString("\n") + "\nplain line"),
+      // symbol flood: 10 '#' words over 14 total -> symbol ratio and
+      // alpha ratio both fail
+      (4L, goodWords.split(" ").take(4).mkString(" ") + " " + (1 to 10).map(_ => "#").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val d1 = got(1L)
+    assert(d1.getLong(1) == 50L)               // n_words
+    // 48*4 + 3 + 3 = 198 chars -> mean 3.96 -> 396 centichars
+    assert(d1.getLong(2) == 396L)
+    assert(d1.getLong(3) == 0L && d1.getLong(4) == 0L && d1.getLong(5) == 0L)
+    assert(d1.getLong(6) == 10000L)            // all alphabetic
+    assert(d1.getLong(7) == 2L)                // the, and
+    assert(d1.getLong(8) == 1L, "doc 1 must keep")
+    assert(got(2L).getLong(8) == 0L, "word floor must drop doc 2")
+    val d3 = got(3L)
+    assert(d3.getLong(4) == 9000L && d3.getLong(8) == 0L,
+      "90% bullet lines must drop doc 3")
+    val d4 = got(4L)
+    assert(d4.getLong(3) == math.floor(10000.0 * 10 / 14).toLong)
+    assert(d4.getLong(6) == math.floor(10000.0 * 4 / 14).toLong)
+    assert(d4.getLong(8) == 0L)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

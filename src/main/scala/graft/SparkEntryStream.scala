@@ -480,6 +480,59 @@ private[graft] object SparkEntryStream {
         graft.ops.Snapshots.read(s, table), Seq("k", "seg"))
     }),
 
+    // W31 — ATOMIC streaming CDC (round-15): w27's feed through
+    // CdcStream.startAtomic — each micro-batch is ONE commitMergeKeyed
+    // manifest (supersede + upsert land together; no half-applied
+    // window) tagged by batch id. The upgrade makes two things judgeable
+    // that w27 must disclaim: the snapshot CHAIN is deterministic (one
+    // commit per batch — chain_len pinned to the batch count), and a
+    // foreachBatch REPLAY is exactly-once (re-absorbing the last batch
+    // under its tag returns the committed id, chain unchanged —
+    // replay_ok). Content gate = w27's relational last-op-wins oracle.
+    "w31_stream_merge" -> ((s, dir) => {
+      import graft.streaming.CdcStream
+      val root = s"$streamScratchDir/${dirKey(dir)}_w31"
+      rmTree(root)
+      val in = s"$root/in"
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      val m = (n: Int, r: Int) => pmod(col("k"), lit(n)) === r
+      val nm = (n: Int, r: Int) => pmod(col("k"), lit(n)) =!= r
+      val batches = Seq(
+        cust.filter(m(3, 0)).select(lit("upsert").as("op"), col("k"), col("seg")),
+        cust.filter(m(3, 1)).select(lit("upsert").as("op"), col("k"), col("seg"))
+          .unionByName(cust.filter(m(3, 0) && m(5, 0))
+            .select(lit("upsert").as("op"), col("k"),
+              concat(col("seg"), lit("*")).as("seg")))
+          .unionByName(cust.filter(m(3, 0) && m(7, 0) && nm(5, 0))
+            .select(lit("delete").as("op"), col("k"), lit(null).cast("string").as("seg"))),
+        cust.filter(m(3, 2)).select(lit("upsert").as("op"), col("k"), col("seg"))
+          .unionByName(cust.filter(m(3, 1) && m(6, 0))
+            .select(lit("upsert").as("op"), col("k"),
+              concat(col("seg"), lit("**")).as("seg")))
+          .unionByName(cust.filter(m(3, 1) && m(4, 0) && nm(6, 0))
+            .select(lit("delete").as("op"), col("k"), lit(null).cast("string").as("seg")))
+          .unionByName(cust.filter(m(3, 0) && m(11, 0))
+            .select(lit("delete").as("op"), col("k"), lit(null).cast("string").as("seg"))))
+      stageFrames(batches, root)
+      val table = s"$root/table"
+      val q = CdcStream.startAtomic(
+        s.readStream.schema(s.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in),
+        table, keyCol = "k", opCol = "op", ckptDir = s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      import graft.ops.Snapshots
+      val before = Snapshots.current(s, table).get.id
+      // replay the LAST batch under its tag: exactly-once, chain frozen
+      CdcStream.absorbAtomic(batches(2), table, "k", "op", Some("cdc-2"))
+      val after = Snapshots.current(s, table).get.id
+      Validations.tableFingerprint(Snapshots.read(s, table), Seq("k", "seg"))
+        .select(col("n_rows"), col("fingerprint"),
+          lit(before).as("chain_len"),
+          (lit(before) === lit(after) && lit(before) === lit(3L))
+            .cast("int").cast("long").as("replay_ok"))
+    }),
+
     // W25 — STREAMING ANN index maintenance (e7's IVF tier fed by a
     // vector stream): the codebook is fit ONCE on the bootstrap batch
     // (content-addressed k-means init — replay-identical), every later
@@ -1108,6 +1161,42 @@ private[graft] object SparkEntryStream {
         |    coalesce(CAST(k AS VARCHAR), chr(0)),
         |    coalesce(CAST(seg AS VARCHAR), chr(0)))), 1, 10)) AS BIGINT))
         |    AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+        |FROM fin""".stripMargin,
+
+    // w31: w27's last-op-wins content oracle + the two gates the atomic
+    // form makes judgeable — a deterministic one-commit-per-batch chain
+    // (3) and tag-exact replay (1).
+    "w31_stream_merge" ->
+      """WITH ops AS (
+        |  SELECT 0 AS b, 'upsert' AS op, c_custkey AS k, c_mktsegment AS seg
+        |    FROM customer WHERE c_custkey%3=0
+        |  UNION ALL SELECT 1, 'upsert', c_custkey, c_mktsegment
+        |    FROM customer WHERE c_custkey%3=1
+        |  UNION ALL SELECT 1, 'upsert', c_custkey, c_mktsegment || '*'
+        |    FROM customer WHERE c_custkey%3=0 AND c_custkey%5=0
+        |  UNION ALL SELECT 1, 'delete', c_custkey, NULL
+        |    FROM customer WHERE c_custkey%3=0 AND c_custkey%7=0 AND c_custkey%5<>0
+        |  UNION ALL SELECT 2, 'upsert', c_custkey, c_mktsegment
+        |    FROM customer WHERE c_custkey%3=2
+        |  UNION ALL SELECT 2, 'upsert', c_custkey, c_mktsegment || '**'
+        |    FROM customer WHERE c_custkey%3=1 AND c_custkey%6=0
+        |  UNION ALL SELECT 2, 'delete', c_custkey, NULL
+        |    FROM customer WHERE c_custkey%3=1 AND c_custkey%4=0 AND c_custkey%6<>0
+        |  UNION ALL SELECT 2, 'delete', c_custkey, NULL
+        |    FROM customer WHERE c_custkey%3=0 AND c_custkey%11=0),
+        |fin AS (
+        |  SELECT k, seg FROM (
+        |    SELECT k, seg, op,
+        |      row_number() OVER (PARTITION BY k ORDER BY b DESC) AS rn
+        |    FROM ops)
+        |  WHERE rn = 1 AND op = 'upsert')
+        |SELECT count(*) AS n_rows,
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    coalesce(CAST(k AS VARCHAR), chr(0)),
+        |    coalesce(CAST(seg AS VARCHAR), chr(0)))), 1, 10)) AS BIGINT))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint,
+        |  CAST(3 AS BIGINT) AS chain_len,
+        |  CAST(1 AS BIGINT) AS replay_ok
         |FROM fin""".stripMargin,
 
     // w25: constant-oracle gate (d7/e6 shape) — DuckDB pins the corpus

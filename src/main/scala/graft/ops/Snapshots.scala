@@ -433,8 +433,30 @@ object Snapshots {
     * Same CAS/crash/retry contract as [[commitAppend]]; both attempt
     * dirs are cleaned on a lost race. */
   def commitMerge(source: DataFrame, tableDir: String, keyCol: String,
-                  deleteFilter: Option[org.apache.spark.sql.Column] = None): Long = {
-    val spark = source.sparkSession
+                  deleteFilter: Option[org.apache.spark.sql.Column] = None,
+                  tag: Option[String] = None): Long = {
+    val upserts = deleteFilter.map(f => source.filter(!f)).getOrElse(source)
+    val pureDeletes = deleteFilter.map(f => source.filter(f).select(keyCol))
+      .getOrElse(source.select(keyCol).limit(0))
+    commitMergeKeyed(upserts, pureDeletes, tableDir, keyCol, tag)
+  }
+
+  /** [[commitMerge]]'s core form for callers that already hold the
+    * upsert payloads and the pure-delete key set separately (the CDC
+    * sink shape — [[graft.streaming.CdcStream.absorbAtomic]]): the
+    * committed delete set is ALWAYS upsert-keys ∪ `pureDeleteKeys`, so
+    * matched rows are superseded no matter how the caller split the
+    * batch. With a `tag`, replays are exactly-once like
+    * [[commitAppend]]'s tag overload: the probe runs first and returns
+    * the committed id instead of re-merging. */
+  def commitMergeKeyed(upserts: DataFrame, pureDeleteKeys: DataFrame,
+                       tableDir: String, keyCol: String,
+                       tag: Option[String] = None): Long = {
+    val spark = upserts.sparkSession
+    tag.flatMap(t => findTag(spark, tableDir, t)) match {
+      case Some(existing) => return existing
+      case None => ()
+    }
     val fs = fsFor(spark, tableDir)
     val cur = current(spark, tableDir).getOrElse(
       sys.error(s"commitMerge on empty snapshot table $tableDir"))
@@ -443,15 +465,15 @@ object Snapshots {
     val id = cur.id + 1
     val delDir = s"delete/delta-$id-${nonce()}"
     val dataDir = s"data/delta-$id-${nonce()}"
-    val upserts = deleteFilter.map(f => source.filter(!f)).getOrElse(source)
-    source.select(keyCol).write.mode("overwrite")
-      .parquet(new Path(tableDir, delDir).toString)
+    upserts.select(keyCol)
+      .unionByName(pureDeleteKeys.select(keyCol)).distinct()
+      .write.mode("overwrite").parquet(new Path(tableDir, delDir).toString)
     upserts.write.mode("overwrite")
       .parquet(new Path(tableDir, dataDir).toString)
     val entries = cur.entries :+ ((DeleteEntry: EntryKind, delDir)) :+
       ((DataEntry: EntryKind, dataDir))
     try writeAtomic(fs, tableDir, s"snap-$id",
-      renderManifest(Some(cur.id), entries, Some(keyCol)), overwrite = false)
+      renderManifest(Some(cur.id), entries, Some(keyCol), tag), overwrite = false)
     catch { case e: CommitConflictException =>
       fs.delete(new Path(tableDir, delDir), true)
       fs.delete(new Path(tableDir, dataDir), true)

@@ -67,4 +67,47 @@ object CdcStream {
         absorb(batch, tableDir, keyCol, opCol)
       }
       .start()
+
+  /** [[absorb]]'s ATOMIC successor (round-15, built on
+    * [[graft.ops.Snapshots.commitMergeKeyed]]): the whole micro-batch —
+    * every superseded key AND every upsert payload — lands as ONE
+    * manifest, so readers see each batch entirely or not at all (the
+    * two-commit form exposed a half-applied window), and the batch-id
+    * TAG makes foreachBatch replays exactly-once: a replayed batch gets
+    * its committed id back instead of re-merging, so the snapshot CHAIN
+    * is now deterministic (one commit per batch) — the disclosed
+    * nondeterminism of [[absorb]]'s crash contract is gone, and gates
+    * may judge chain shape, not just content. Same one-op-per-key
+    * precondition, enforced the same way. */
+  def absorbAtomic(batch: DataFrame, tableDir: String, keyCol: String,
+                   opCol: String, tag: Option[String]): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val dup = batch.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"CdcStream.absorbAtomic: key '${dup.head.get(0)}' carries " +
+        s"${dup.head.getLong(1)} ops in one batch - the one-op-per-key " +
+        "CDC contract is violated; compact the feed per batch first")
+    val ups = batch.filter(col(opCol) === "upsert").drop(opCol)
+    val dels = batch.filter(col(opCol) === "delete").select(keyCol)
+    if (Snapshots.current(spark, tableDir).isEmpty) {
+      // bootstrap: nothing to supersede — a tagged plain append (the
+      // delete leg of a merge needs an existing delete-key contract)
+      if (!ups.isEmpty) { Snapshots.commitAppend(ups, tableDir, tag); () }
+    } else {
+      Snapshots.commitMergeKeyed(ups, dels, tableDir, keyCol, tag); ()
+    }
+  }
+
+  /** Wire a streaming CDC frame into per-batch [[absorbAtomic]] calls,
+    * tagged by the micro-batch id (the replay-exactness key). */
+  def startAtomic(ops: DataFrame, tableDir: String, keyCol: String,
+                  opCol: String, ckptDir: String): StreamingQuery =
+    ops.writeStream.outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        absorbAtomic(batch, tableDir, keyCol, opCol, Some(s"cdc-$bid"))
+      }
+      .start()
 }

@@ -819,7 +819,10 @@ object VectorExpressions {
         lit2Long(es(3), "seed")))),
     "nearest_cells" -> (es =>
       NearestCells(es(0), lit2Matrix(es(1), "centroids"),
-        lit2Long(es(2), "nProbe").toInt)))
+        lit2Long(es(2), "nProbe").toInt)),
+    "gopher_repetition" -> (es =>
+      GopherRepetition(es(0), lit2Long(es(1), "lineWords").toInt,
+        lit2Long(es(2), "topN").toInt, lit2Long(es(3), "dupN").toInt)))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     sqlBuilders.foreach { case (n, b) => Shim.registerFunction(spark, n, b) }

@@ -107,6 +107,12 @@ class SqlSurfaceSpec extends SparkSpec {
         .agg(graft.functions.TopKAggregate.topkIdsBy(col("s"), col("id"), 2).as("top"))
         .orderBy("g"))
 
+    same(
+      "SELECT doc_id, gopher_repetition(text, 10, 2, 5) AS g FROM documents ORDER BY doc_id",
+      docs.select(col("doc_id"),
+        VectorExpressions.gopherRepetition(col("text"), 10, 2, 5).as("g"))
+        .orderBy("doc_id"))
+
     val cm = Array(Array.fill(64)(0.1), Array.fill(64)(-0.1), Array.tabulate(64)(i => (i % 3 - 1) * 0.2))
     val cmSql = cm.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
     same(

@@ -69,6 +69,18 @@ private[graft] object SparkEntryGraph {
         .select(col("node").as("node_id"), col("rank_micro"))
     }),
 
+    // G5 — integer HITS (round-15; Kleinberg 1999): hub/authority
+    // scores over g1's entity graph — the directed complement to
+    // PageRank's single score. Per round one edge join + keyed sum per
+    // vector, max-normalized back to 10^6 micro-units with integer div,
+    // the per-round max riding as a 1-row broadcast gate (g3's
+    // dangling-sum shape, no per-round action). No float anywhere, so
+    // the oracle's 3 unrolled rounds match hash-for-hash.
+    "g5_hits" -> ((s, dir) => {
+      graft.ops.Graph.hits(entityEdges(s, dir), "src", "dst", iters = 3)
+        .select(col("node").as("node_id"), col("auth_micro"), col("hub_micro"))
+    }),
+
     // --- master data: entity resolution (record linkage) ---
     // ER1 matched pairs: blocking (brand|size|name-prefix key, skew-capped)
     // + normalized-Levenshtein scoring over the planted-dirt fixture. The
@@ -285,6 +297,47 @@ private[graft] object SparkEntryGraph {
         |  FROM nodes LEFT JOIN i5 USING (node))
         |SELECT node AS node_id, CAST(r AS BIGINT) AS rank_micro
         |FROM r5""".stripMargin,
+
+    // g5: 3 HITS rounds unrolled (generated by the loop below, the
+    // g1/g2 convention) — every CTE MATERIALIZED (the e15 lesson: DuckDB
+    // 1.0 inlines CTEs, and each round references its predecessor
+    // several times), every sum re-cast to BIGINT, every division `//`.
+    "g5_hits" -> {
+      val header =
+        """WITH e AS MATERIALIZED (
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT o_custkey + 1000000000 AS src,
+          |      o_orderkey + 2000000000 AS dst FROM orders
+          |    UNION ALL SELECT l_orderkey + 2000000000,
+          |      l_partkey + 3000000000 FROM lineitem
+          |    UNION ALL SELECT l_partkey + 3000000000,
+          |      l_suppkey + 4000000000 FROM lineitem
+          |    UNION ALL SELECT s_suppkey + 4000000000,
+          |      s_nationkey + 5000000000 FROM supplier
+          |    UNION ALL SELECT c_nationkey + 5000000000,
+          |      c_custkey + 1000000000 FROM customer)),
+          |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes)""".stripMargin
+      val rounds = (1 to 3).map { k =>
+        val ph = if (k == 1) "h0" else s"h${k - 1}"
+        s"""a${k}r AS MATERIALIZED (SELECT e.dst AS node, sum($ph.h) AS raw
+           |  FROM $ph JOIN e ON e.src = $ph.node GROUP BY 1),
+           |a${k}m AS MATERIALIZED (SELECT coalesce(max(raw), 1) AS m FROM a${k}r),
+           |a$k AS MATERIALIZED (SELECT nodes.node,
+           |  CAST((coalesce(a${k}r.raw, 0) * 1000000) // (SELECT m FROM a${k}m) AS BIGINT) AS a
+           |  FROM nodes LEFT JOIN a${k}r USING (node)),
+           |h${k}r AS MATERIALIZED (SELECT e.src AS node, sum(a$k.a) AS raw
+           |  FROM a$k JOIN e ON e.dst = a$k.node GROUP BY 1),
+           |h${k}m AS MATERIALIZED (SELECT coalesce(max(raw), 1) AS m FROM h${k}r),
+           |h$k AS MATERIALIZED (SELECT nodes.node,
+           |  CAST((coalesce(h${k}r.raw, 0) * 1000000) // (SELECT m FROM h${k}m) AS BIGINT) AS h
+           |  FROM nodes LEFT JOIN h${k}r USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""$header,
+         |$rounds
+         |SELECT a3.node AS node_id, a3.a AS auth_micro, h3.h AS hub_micro
+         |FROM a3 JOIN h3 ON a3.node = h3.node""".stripMargin
+    },
 
     // g3: g1's unrolled iterations + a per-round d_k CTE (the danglings'
     // summed rank) folded into the rank term — MATERIALIZED like every

@@ -222,4 +222,59 @@ object Graph {
     }
     ranks
   }
+
+  /** Fixed-iteration integer HITS (Kleinberg 1999) — hubs point at good
+    * authorities, authorities are pointed at by good hubs; the directed
+    * complement to [[pageRank]]'s single score (a curation graph's
+    * "index page" vs "content page" split). Per iteration: authority =
+    * in-edge hub sum, hub = out-edge authority sum — each ONE edge join
+    * + keyed sum (map-side combinable), the pageRank round shape.
+    *
+    * The float formulation L2-normalizes per round; here each round
+    * MAX-normalizes both vectors back to `scale` micro-units with
+    * integer `div` (Spark `div` ≡ DuckDB `//`), the per-round max
+    * riding the plan as a 1-row aggregate cross-joined as a broadcast
+    * literal gate (g3's dangling-sum pattern — no driver action per
+    * round). No float ever enters, so an unrolled-SQL oracle matches
+    * hash-for-hash. Relative order within a round is unchanged by the
+    * shared divisor; truncation is a deterministic function of the
+    * data. Raw sums are bounded by max-in-degree·scale and the
+    * rescale by that·scale again — in-degree up to ~9·10⁶ at the
+    * default scale before long overflow, far past any real corpus's
+    * per-node degree (cap feeds, not corpora, decide this).
+    *
+    * Returns (node, auth_micro, hub_micro) for every node. */
+  def hits(edges: DataFrame, src: String, dst: String, iters: Int = 3,
+           scale: Long = 1000000L,
+           checkpoint: Cascade.Strategy = Cascade.Auto): DataFrame = {
+    require(iters >= 1 && scale > 0)
+    val e = Cascade.cut(
+      edges.select(col(src).as("__s"), col(dst).as("__d")).distinct(),
+      checkpoint, eager = false)
+    val nodes = Cascade.cut(
+      e.select(col("__s").as("node"))
+        .union(e.select(col("__d").as("node"))).distinct(),
+      checkpoint, eager = false)
+    var hub = nodes.select(col("node"), lit(scale).as("hub_micro"))
+    var auth = nodes.select(col("node"), lit(0L).as("auth_micro"))
+    var i = 0
+    while (i < iters) {
+      val aRaw = hub.join(e, hub("node") === e("__s"))
+        .groupBy(col("__d")).agg(sum(col("hub_micro")).as("__raw"))
+        .select(col("__d").as("node"), col("__raw"))
+      val aMax = aRaw.agg(coalesce(max(col("__raw")), lit(1L)).as("__m"))
+      auth = nodes.join(aRaw, Seq("node"), "left").crossJoin(aMax)
+        .select(col("node"),
+          expr(s"(coalesce(__raw, 0L) * $scale) div __m").as("auth_micro"))
+      val hRaw = auth.join(e, auth("node") === e("__d"))
+        .groupBy(col("__s")).agg(sum(col("auth_micro")).as("__raw"))
+        .select(col("__s").as("node"), col("__raw"))
+      val hMax = hRaw.agg(coalesce(max(col("__raw")), lit(1L)).as("__m"))
+      hub = nodes.join(hRaw, Seq("node"), "left").crossJoin(hMax)
+        .select(col("node"),
+          expr(s"(coalesce(__raw, 0L) * $scale) div __m").as("hub_micro"))
+      i += 1
+    }
+    auth.join(hub, Seq("node"))
+  }
 }

@@ -129,4 +129,27 @@ class GraphSpec extends SparkSpec {
       checkpoint = Cascade.NoCheckpoint))
     assert(one == many && one.nonEmpty)
   }
+
+  test("hits: hand graph — fan-in node is the authority, its pointers the hubs") {
+    // 1->3, 2->3, 3->4: after one round auth(3)=1e6 (max), auth(4)=5e5,
+    // hub(1)=hub(2)=1e6 (each points at the top authority), hub(3)=5e5
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.hits(e, "src", "dst", iters = 1,
+      checkpoint = Cascade.NoCheckpoint)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(3L) == ((1000000L, 500000L)))
+    assert(got(4L) == ((500000L, 0L)))
+    assert(got(1L) == ((0L, 1000000L)) && got(2L) == ((0L, 1000000L)))
+  }
+
+  test("hits: scores are partitioning-independent") {
+    val e = (0L until 200L).map(i => (i % 37, (i * 7) % 37)).toDF("src", "dst")
+    def hs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val one = hs(Graph.hits(e.coalesce(1), "src", "dst", iters = 3,
+      checkpoint = Cascade.NoCheckpoint))
+    val many = hs(Graph.hits(e.repartition(13), "src", "dst", iters = 3,
+      checkpoint = Cascade.NoCheckpoint))
+    assert(one == many && one.nonEmpty)
+  }
 }

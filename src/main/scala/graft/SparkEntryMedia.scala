@@ -243,6 +243,49 @@ private[graft] object SparkEntryMedia {
         .toDF("doc_id", "content")
       Multimodal.mp4Meta(blobs, "doc_id", "content").toDF()
     }),
+
+    // M13 — frame-signature VIDEO near-dup (round-15): the multimodal ×
+    // dedup intersection — two animated containers are near-duplicates
+    // when their decoded per-frame aHash SETS overlap (trims, re-cuts,
+    // offset re-encodes), the frame-level analog of d1's fingerprint
+    // join. Fixture: each doc's 3 GIF frames carry GLOBAL identities
+    // gid = (id div 4)·16 + id%4 + f, so docs in one id-div-4 class
+    // share 2 frames with offset-adjacent siblings (J=1/2, kept by the
+    // 3333 bp gate), 1 frame at offset 2 (J=1/5, excluded), 0 across
+    // classes. Pipeline: REAL multi-frame decode (m4's gifFrames) →
+    // distinct per-doc hash sets → df-CAPPED hash equi-join (<=64, the
+    // d9/m7 discipline — a boilerplate black frame shared by millions
+    // of videos must never quadratic the join) → integer-bp Jaccard.
+    // The oracle recomputes every frame hash from the planted luma
+    // (m4's CTE machinery on gid) and the same capped Jaccard, so even
+    // a hash collision would agree.
+    "m13_frame_near_dup" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, m13Blob(id))))
+        .toDF("doc_id", "content")
+      val sigs = Multimodal.gifFrames(blobs, "doc_id", "content").toDF()
+        .filter(col("fmt") === "gif")
+        .select(col("doc_id"), col("ahash_hi"), col("ahash_lo")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rare = sigs.groupBy(col("ahash_hi"), col("ahash_lo"))
+        .agg(count(lit(1)).as("__df")).filter(col("__df") <= 64)
+        .select(col("ahash_hi"), col("ahash_lo"))
+      val capped = sigs.join(rare, Seq("ahash_hi", "ahash_lo"))
+      val pairs = capped.select(col("doc_id").as("doc_a"),
+          col("ahash_hi"), col("ahash_lo"))
+        .join(capped.select(col("doc_id").as("doc_b"),
+          col("ahash_hi"), col("ahash_lo")), Seq("ahash_hi", "ahash_lo"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      val sz = sigs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      pairs
+        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          expr("(10000 * inter) div (na + nb - inter)").as("jac_bp"))
+        .filter(col("jac_bp") >= 3333)
+    }),
   )
 
   /** m8 fixture: a REAL, minimal media file header for `id` —
@@ -407,6 +450,18 @@ private[graft] object SparkEntryMedia {
     if (id % 93 == 0) "this is not a gif".getBytes("UTF-8")
     else Multimodal.encodeAnimatedGray(16, 16, 3,
       (f, x, y) => m4Luma(id, f, x, y))
+
+  /** m13 fixture: a REAL animated GIF whose frames carry GLOBAL
+    * identities — gid = (id div 4)·16 + id%4 + f — so same-class docs
+    * overlap by frame CONTENT, not by id; ids %93 plant non-GIF bytes.
+    * The judged path is decode → hash-set Jaccard. */
+  private[graft] def m13Luma(gid: Long, x: Int, y: Int): Int =
+    ((gid * 53 + x * (3 + gid % 5) + y * (7 + gid % 3)) % 256).toInt
+
+  private def m13Blob(id: Long): Array[Byte] =
+    if (id % 93 == 0) "this is not a gif".getBytes("UTF-8")
+    else Multimodal.encodeAnimatedGray(16, 16, 3,
+      (f, x, y) => m13Luma((id / 4) * 16 + id % 4 + f, x, y))
 
   /** m12 fixture: a REAL ISO-BMFF box tree for `id` — every recovered
     * field is pure doc_id arithmetic (see the m12 query comment for the
@@ -695,6 +750,48 @@ private[graft] object SparkEntryMedia {
         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
         |  CAST(0 AS BIGINT)
         |FROM documents WHERE doc_id % 93 = 0""".stripMargin,
+
+    // m13: every frame hash recomputed from the planted gid luma (m4's
+    // block-mean machinery), then the SAME df-capped hash-set Jaccard —
+    // collisions, the cap, and the 3333 bp gate all mirrored, so the
+    // pair set is judged value for value.
+    "m13_frame_near_dup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 93 <> 0),
+        |fr AS (SELECT doc_id,
+        |  (doc_id // 4) * 16 + doc_id % 4 + unnest(range(3)) AS gid FROM d),
+        |px AS (
+        |  SELECT fr.doc_id, fr.gid, xs.x, ys.y,
+        |    (fr.gid*53 + xs.x*(3 + fr.gid%5) + ys.y*(7 + fr.gid%3)) % 256 AS v
+        |  FROM fr, (SELECT unnest(range(16)) AS x) xs,
+        |       (SELECT unnest(range(16)) AS y) ys),
+        |blk AS (
+        |  SELECT doc_id, gid, y//2 AS by, x//2 AS bx, sum(v)//4 AS bv
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |mn AS (SELECT doc_id, gid, sum(bv)//64 AS m FROM blk GROUP BY 1, 2),
+        |h AS (
+        |  SELECT blk.doc_id, blk.gid,
+        |    CAST(sum(CASE WHEN bv > m AND by*8+bx >= 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(by*8+bx-32 AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN bv > m AND by*8+bx < 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(by*8+bx AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS lo
+        |  FROM blk JOIN mn USING (doc_id, gid) GROUP BY 1, 2),
+        |sigs AS (SELECT DISTINCT doc_id, hi, lo FROM h),
+        |rare AS (SELECT hi, lo FROM sigs GROUP BY 1, 2 HAVING count(*) <= 64),
+        |capped AS (SELECT sigs.* FROM sigs JOIN rare USING (hi, lo)),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM capped a JOIN capped b
+        |    ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sigs GROUP BY 1)
+        |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST((10000 * inter) // (na.n + nb.n - inter) AS BIGINT) AS jac_bp
+        |FROM pr
+        |JOIN sz na ON na.doc_id = pr.doc_a
+        |JOIN sz nb ON nb.doc_id = pr.doc_b
+        |WHERE (10000 * inter) // (na.n + nb.n - inter) >= 3333""".stripMargin,
 
     // m12: the planted ISO-BMFF truth in doc_id arithmetic — brand/
     // timescale/duration_ms at the movie level (exact integer division

@@ -669,6 +669,42 @@ private[graft] object SparkEntryStream {
         .select(col("doc_id"), col("n_toks"), col("logit_bp"), col("keep"))
     }),
 
+    // W32 — STREAMING Gopher repetition scoring (round-15): t26's full
+    // battery at ingest through the COMPILED single-pass kernel, three
+    // mtime-pinned micro-batches (doc_id%3), replay-safe overwrite
+    // deltas, O(1) per-batch repetitiousness drift partials. Scoring is
+    // stateless per row, so the delivered log IS the batch battery over
+    // the corpus — the oracle is t26's relational recomputation
+    // VERBATIM (planting included): a lost batch, duplicate replay, or
+    // kernel drift breaks the hash.
+    "w32_stream_gopher" -> ((s, dir) => {
+      import graft.streaming.GopherStream
+      val root = s"$streamScratchDir/${dirKey(dir)}_w32"
+      rmTree(root)
+      val raw = t(s, dir, "documents")
+      val ws = split(trim(col("text")), "\\s+")
+      val first10 = concat_ws(" ", slice(ws, 1, 10))
+      val planted = raw
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" "), first10))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" spark spark spark spark spark")))
+            .otherwise(col("text")).as("text"))
+      val in = stageFrames(
+        (0 until 3).map(b => planted.filter(pmod(col("doc_id"), lit(3)) === b)),
+        root)
+      val q = GopherStream.start(
+        s.readStream.schema(s.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in),
+        "doc_id", "text", lineWords = 10, topN = 2, dupN = 5,
+        stateDir = s"$root/state", ckptDir = s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      GopherStream.delivered(s, s"$root/state")
+    }),
+
     // W30 — STREAMING decontamination at ingest (round-14): d8's overlap
     // scoring applied per micro-batch against a FROZEN benchmark gram
     // set (built once from the eval-suite docs, doc_id%10==0; candidates
@@ -1087,6 +1123,73 @@ private[graft] object SparkEntryStream {
         |SELECT o.doc_id, z.n_shingles, o.n_overlap,
         |  CAST(floor(o.n_overlap * 10000.0 / z.n_shingles) AS BIGINT) AS contam_bp
         |FROM ov o JOIN sizes z USING (doc_id)""".stripMargin,
+
+    // w32: t26's batch oracle VERBATIM over the delivered log — the
+    // streaming battery must reproduce the batch battery row for row.
+    "w32_stream_gopher" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN t2 || ' spark spark spark spark spark' ELSE t2 END AS text
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN doc_id % 5 = 0 THEN text || ' ' ||
+        |          array_to_string(list_slice(
+        |            string_split_regex(trim(text), '\s+'), 1, 10), ' ')
+        |        ELSE text END AS t2
+        |    FROM documents) p),
+        |bb AS (
+        |  SELECT doc_id, ws, len(ws) AS w,
+        |    length(array_to_string(ws, ' ')) AS norm_len
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM f) b),
+        |nl AS (SELECT doc_id, CAST(floor((w - 1) / 10.0) AS BIGINT) + 1 AS n_lines FROM bb),
+        |lin2 AS (
+        |  SELECT l.doc_id,
+        |    array_to_string(list_slice(b.ws, l.pos * 10 + 1, l.pos * 10 + 10), ' ') AS seg
+        |  FROM (SELECT b2.doc_id, unnest(range(n.n_lines)) AS pos
+        |        FROM bb b2 JOIN nl n USING (doc_id)) l
+        |  JOIN bb b USING (doc_id)),
+        |lc AS (SELECT doc_id, seg, count(*) AS c FROM lin2 GROUP BY 1, 2),
+        |lagg AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_cnt,
+        |    sum(CASE WHEN c > 1 THEN c * length(seg) ELSE 0 END) AS dup_chars
+        |  FROM lc GROUP BY 1),
+        |g2 AS (
+        |  SELECT g.doc_id, array_to_string(list_slice(b.ws, g.i, g.i + 1), ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(range(1, greatest(w - 1, 1) + 1)) AS i FROM bb) g
+        |  JOIN bb b USING (doc_id)),
+        |g2c AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |topc AS (
+        |  SELECT doc_id, top_chars FROM (
+        |    SELECT doc_id, c * length(gram) AS top_chars,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+        |    FROM g2c) t WHERE rn = 1),
+        |g5 AS (
+        |  SELECT g.doc_id, g.i, array_to_string(list_slice(b.ws, g.i, g.i + 4), ' ') AS gram
+        |  FROM (SELECT doc_id, unnest(range(1, greatest(w - 4, 1) + 1)) AS i FROM bb) g
+        |  JOIN bb b USING (doc_id)),
+        |g5c AS (SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram HAVING count(*) > 1),
+        |iv AS (
+        |  SELECT s.doc_id, s.i,
+        |    coalesce(max(s.i + 5) OVER (PARTITION BY s.doc_id ORDER BY s.i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1) AS prev_e
+        |  FROM (SELECT g5.doc_id, g5.i FROM g5
+        |        JOIN g5c ON g5.doc_id = g5c.doc_id AND g5.gram = g5c.gram) s),
+        |covc AS (
+        |  SELECT c.doc_id, sum(length(b.ws[CAST(c.p AS BIGINT)])) AS chars
+        |  FROM (SELECT doc_id, unnest(range(greatest(prev_e, i), i + 5)) AS p FROM iv) c
+        |  JOIN bb b USING (doc_id) GROUP BY 1)
+        |SELECT b.doc_id, n.n_lines,
+        |  CAST(floor(10000.0 * coalesce(l.dup_cnt, 0) / n.n_lines) AS BIGINT) AS dup_line_bp,
+        |  CAST(floor(10000.0 * coalesce(l.dup_chars, 0) / b.norm_len) AS BIGINT) AS dup_line_char_bp,
+        |  least(CAST(floor(10000.0 * t.top_chars / b.norm_len) AS BIGINT), 10000) AS top_gram_bp,
+        |  CAST(floor(10000.0 * coalesce(cc.chars, 0) / (b.norm_len - (b.w - 1))) AS BIGINT) AS dup_gram_bp
+        |FROM bb b
+        |JOIN nl n USING (doc_id)
+        |JOIN topc t USING (doc_id)
+        |LEFT JOIN lagg l USING (doc_id)
+        |LEFT JOIN covc cc USING (doc_id)""".stripMargin,
 
     // w29: t14's batch oracle VERBATIM over the delivered log — the
     // streaming path must reproduce the batch classifier row for row

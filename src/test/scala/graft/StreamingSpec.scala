@@ -671,6 +671,38 @@ class StreamingSpec extends SparkSpec {
   }
 
 
+  test("w32 gopher stream: fold == batch battery, replay-safe deltas, drift partials") {
+    import graft.streaming.GopherStream
+    import graft.ext.TextAnalysis
+    import spark.implicits._
+    val b0 = Seq((1L, "a b c a b c d e f"), (2L, "x y z w v")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "a a a a"), (4L, "q")).toDF("doc_id", "text")
+    val d = java.nio.file.Files.createTempDirectory("w32_g").toString
+    GopherStream.absorb(b0, "doc_id", "text", 3, 2, 2, d, 0L)
+    GopherStream.absorb(b1, "doc_id", "text", 3, 2, 2, d, 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val batch = rows(TextAnalysis.gopherRepetition(
+      b0.unionByName(b1), "doc_id", "text", 3, 2, 2))
+    assert(rows(GopherStream.delivered(spark, d)) == batch,
+      "delivered log must equal the batch battery")
+    // drift partials: one O(1) row per batch, means derived from the log
+    val dr = GopherStream.drift(spark, d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dr.keySet == Set(0L, 1L) && dr(0L)._1 == 2L)
+    assert(dr(0L)._2 == (batch(1L)._5 + batch(2L)._5) / 2,
+      "mean dup partial must match the log")
+    // crash replay: overwrite deltas, nothing duplicates
+    GopherStream.absorb(b0, "doc_id", "text", 3, 2, 2, d, 0L)
+    assert(rows(GopherStream.delivered(spark, d)) == batch)
+    assert(GopherStream.delivered(spark, d).count() == 4L)
+    // an empty trigger writes neither a delta nor a partial
+    GopherStream.absorb(b0.filter(col("doc_id") < 0L), "doc_id", "text",
+      3, 2, 2, d, 2L)
+    assert(GopherStream.drift(spark, d).count() == 2L)
+  }
+
   test("w29 quality stream: fold == batch classifier, replay-safe deltas, drift partials") {
     import graft.streaming.QualityStream
     import graft.ext.TextAnalysis

@@ -369,7 +369,25 @@ object Bench {
       if (shortOk) fine.map { case (d, e) => (d, e, false) } ++
         (fine ++ coarse).map { case (d, e) => (d, e, true) }
       else (fine ++ coarse).map { case (d, e) => (d, e, false) }
-    ladder.iterator.map { case (d, e, s) => at(d, e, s) }
+    // ds-preserving rungs tried BEFORE the whole-second tiers of the main
+    // ladder would win: at ~215 queries even the full-ds line overflows a
+    // few hundred chars, and dropping to 0dp destroys every sub-10s
+    // query's round-over-round ratio at once. Shed the auxiliary totals
+    // first, then the FASTEST queries' entries (disclosed via
+    // queries_omitted — their ds values are 2-4 and carry the least
+    // regression signal), keeping 0.1s resolution for everything still
+    // rendered. Whole seconds only after ds-for-the-slowest-140 fails.
+    def dsRescue: Iterator[String] = Iterator(
+      at(-2, 200, shortOk, lean = true)) ++
+      Seq(200, 170, 140).iterator
+        .map(k => at(-2, 200, shortOk, lean = true, topK = k))
+    ladder.iterator.map { case (d, e, s) =>
+        val line = at(d, e, s)
+        if (d == 0 && line.length <= BudgetChars)
+          // a whole-second rung is about to win: try the ds rescues first
+          dsRescue.find(_.length <= BudgetChars).getOrElse(line)
+        else line
+      }
       .find(_.length <= BudgetChars)
       // lean rungs before surrender: auxiliary totals go before timings
       .orElse(Seq((0, 20), (0, -1)).iterator

@@ -41,12 +41,28 @@ class BenchRenderSpec extends AnyFunSuite {
     val node = mapper.readTree(line)
     assert(node.get("metric").asText == "total")
     assert(node.get("unit").asText == "sec")
-    assert(node.get("queries").size() == names.size)
     assert(node.get("value").asDouble > 0.0)
     assert(node.get("pass_totals").size() == 2)
     assert(node.get("sf").asText.endsWith("sf0.1"))
-    // the official-vs-local-session pair is machine-readable (r12 #9)
-    assert(node.get("sweep01").asDouble == Bench.LocalSweepSf01Sec)
+    // every query is accounted for: rendered, or disclosed as omitted
+    val omitted =
+      if (node.has("queries_omitted")) node.get("queries_omitted").asInt else 0
+    assert(node.get("queries").size() + omitted == names.size)
+    if (node.has("sweep01"))
+      // the official-vs-local-session pair is machine-readable (r12 #9)
+      assert(node.get("sweep01").asDouble == Bench.LocalSweepSf01Sec)
+    else {
+      // past ~210 queries the 1990-char window physically cannot hold
+      // every entry at 0.1s resolution AND the auxiliary totals; the
+      // ladder sheds aux (BASELINE.md carries sweep01 prose) and then
+      // the FASTEST entries — but ONLY in exchange for deciseconds
+      // resolution on everything still rendered (r13 ADVICE / r14
+      // verdict item 5: per-query ratios are the regression signal)
+      assert(node.has("qunit") && node.get("qunit").asText == "ds",
+        "aux totals may only be shed for a ds-resolution render")
+      assert(node.get("queries").size() >= 190,
+        s"ds rescue kept only ${node.get("queries").size()} entries")
+    }
   }
 
   test("abbrev tier: overflowing name lists collapse to unique id prefixes; ambiguous ones never do") {

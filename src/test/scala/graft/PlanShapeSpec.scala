@@ -82,6 +82,10 @@ class PlanShapeSpec extends SparkSpec {
       badWords = Seq("badword1")))
     assert(shuffles(c4).isEmpty && broadcasts(c4).isEmpty,
       s"t27 C4 filter grew an exchange:\n$c4")
+    val gq = finalPlan(graft.ext.TextAnalysis.gopherQuality(
+      docs, "doc_id", "text"))
+    assert(shuffles(gq).isEmpty && broadcasts(gq).isEmpty,
+      s"t28 quality battery grew an exchange:\n$gq")
   }
 
   test("j5 parent pointer is a pure projection: zero exchanges") {

@@ -491,6 +491,50 @@ private[graft] object SparkEntrySources {
       phase(1L, id1, id3).union(phase(2L, id1, id5)).union(phase(3L, 0L, id2))
     }),
 
+    // S26 — FILE SKIPPING via manifest min/max stats (round-15; the
+    // Iceberg/Delta file-stats read path, the first-order lakehouse read
+    // optimization): commitAppendStats records each delta's stats-column
+    // range in the manifest; readPruned answers a range predicate
+    // opening ONLY the deltas whose range can match (stats-less dirs are
+    // never skipped — optimization, not semantics). Fixture: four
+    // SF-adaptive quartile appends (the fourth deliberately stats-less)
+    // + an equality delete riding across. Three phases judge result ==
+    // the relational filter AND pin (opened, skipped) — pruning must
+    // actually happen, not merely stay correct.
+    "s26_file_skipping" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val root = s"$partScratchDir/${dirKey(dir)}_s26"
+      rmTree(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val maxK = cust.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+      val (q1, q2, q3) = (maxK / 4, maxK / 2, 3 * maxK / 4)
+      Snapshots.commitAppendStats(
+        cust.filter(col("c_custkey") <= q1), root, "c_custkey")
+      Snapshots.commitAppendStats(
+        cust.filter(col("c_custkey") > q1 && col("c_custkey") <= q2),
+        root, "c_custkey")
+      Snapshots.commitAppendStats(
+        cust.filter(col("c_custkey") > q2 && col("c_custkey") <= q3),
+        root, "c_custkey")
+      Snapshots.commitAppend( // stats-less: must be read, never skipped
+        cust.filter(col("c_custkey") > q3), root)
+      Snapshots.commitDelete(
+        cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+          .select(col("c_custkey")), root, "c_custkey")
+      val cols = Seq("c_custkey", "c_mktsegment")
+      def phase(n: Long, lo: Long, hi: Long) = {
+        val (opened, skipped) =
+          Snapshots.pruneCounts(s, root, "c_custkey", lo, hi)
+        Validations.tableFingerprint(
+            Snapshots.readPruned(s, root, "c_custkey", lo, hi), cols)
+          .select(lit(n).as("phase"), col("n_rows"), col("fingerprint"),
+            lit(opened.toLong).as("opened"), lit(skipped.toLong).as("skipped"))
+      }
+      phase(1L, 1L, q1).union(phase(2L, q1 + 1, q3))
+        .union(phase(3L, 1L, maxK))
+    }),
+
     // S19 Z-order (Morton-curve) layout: the MULTI-column clustering s18's
     // single-key sort cannot buy. events is rewritten z-ordered on
     // (user_id, value-cents); the gate measures the ACTUAL per-file
@@ -901,6 +945,29 @@ private[graft] object SparkEntrySources {
          |${fp(preMerge, 2)}
          |UNION ALL
          |${fp(finalSt, 3)}""".stripMargin
+    },
+
+    // s26: the three pruned-read states as plain range+delete predicates
+    // (quartile thresholds re-derived via scalar subqueries) + the
+    // pinned (opened, skipped) constants — the skipping itself is
+    // judged, not just the result.
+    "s26_file_skipping" -> {
+      def fp(phase: Int, where: String, opened: Int, skipped: Int) =
+        s"""SELECT CAST($phase AS BIGINT) AS phase, count(*) AS n_rows,
+           |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+           |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+           |    coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))), 1, 10))
+           |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint,
+           |  CAST($opened AS BIGINT) AS opened, CAST($skipped AS BIGINT) AS skipped
+           |FROM (SELECT c_custkey, c_mktsegment FROM customer
+           |      WHERE c_custkey % 5 <> 0 AND ($where)) t""".stripMargin
+      val q1 = "(SELECT max(c_custkey) // 4 FROM customer)"
+      val q3 = "(SELECT 3 * max(c_custkey) // 4 FROM customer)"
+      s"""${fp(1, s"c_custkey >= 1 AND c_custkey <= $q1", 2, 2)}
+         |UNION ALL
+         |${fp(2, s"c_custkey > $q1 AND c_custkey <= $q3", 3, 1)}
+         |UNION ALL
+         |${fp(3, "c_custkey >= 1", 4, 0)}""".stripMargin
     },
 
     // s25: the three CDC frames in modular predicates, op judged inside

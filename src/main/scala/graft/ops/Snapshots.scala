@@ -73,7 +73,8 @@ object Snapshots {
   final case class Snapshot(id: Long, parent: Option[Long],
                             entries: Seq[(EntryKind, String)],
                             deleteKey: Option[String],
-                            tag: Option[String] = None) {
+                            tag: Option[String] = None,
+                            stats: Map[String, (String, Long, Long)] = Map.empty) {
     def dataDirs: Seq[String] = entries.collect { case (DataEntry, d) => d }
     def deleteDirs: Seq[String] = entries.collect { case (DeleteEntry, d) => d }
   }
@@ -189,22 +190,36 @@ object Snapshots {
     val rest = lines.drop(1)
     val deleteKey = rest.collectFirst { case s"deletekey=$k" => k }
     val tag = rest.collectFirst { case s"tag=$t" => t }
+    // per-dir column stats ride dedicated lines (older manifests simply
+    // have none): stats=<dir>|<col>|<min>|<max>
+    val stats = rest.collect {
+      case s"stats=$v" => v.split('|') match {
+        case Array(d, c, lo, hi) => d -> ((c, lo.toLong, hi.toLong))
+        case _ => sys.error(s"malformed stats line in snap-$id: $v")
+      }
+    }.toMap
     val entries = rest
-      .filterNot(l => l.startsWith("deletekey=") || l.startsWith("tag="))
+      .filterNot(l => l.startsWith("deletekey=") || l.startsWith("tag=") ||
+        l.startsWith("stats="))
       .map {
         case d if d.startsWith("delete/") => (DeleteEntry: EntryKind, d)
         case d => (DataEntry: EntryKind, d)
       }
-    Snapshot(id, parent, entries, deleteKey, tag)
+    Snapshot(id, parent, entries, deleteKey, tag, stats)
   }
 
   private def renderManifest(parent: Option[Long],
                              entries: Seq[(EntryKind, String)],
                              deleteKey: Option[String],
-                             tag: Option[String] = None): String =
+                             tag: Option[String] = None,
+                             stats: Map[String, (String, Long, Long)] = Map.empty): String =
     (s"parent=${parent.map(_.toString).getOrElse("-")}" +:
       (deleteKey.map(k => s"deletekey=$k").toSeq ++
-        tag.map(t => s"tag=$t").toSeq ++ entries.map(_._2)))
+        tag.map(t => s"tag=$t").toSeq ++
+        // stats lines in entry order for stable round-trips
+        entries.collect { case (DataEntry, d) if stats.contains(d) =>
+          val (c, lo, hi) = stats(d); s"stats=$d|$c|$lo|$hi"
+        } ++ entries.map(_._2)))
       .mkString("\n")
 
   /** The current snapshot, or None for an empty/uninitialized table.
@@ -331,22 +346,56 @@ object Snapshots {
     * committers deterministically from the SAME parent. */
   private[graft] def commitAppendFrom(df: DataFrame, tableDir: String,
                                       cur: Option[Snapshot],
-                                      tag: Option[String]): Long = {
+                                      tag: Option[String],
+                                      statsCol: Option[String] = None): Long = {
     val spark = df.sparkSession
     val fs = fsFor(spark, tableDir)
     val id = cur.map(_.id + 1).getOrElse(1L)
     val dataDir = s"data/delta-$id-${nonce()}"
     df.write.mode("overwrite").parquet(new Path(tableDir, dataDir).toString)
+    // per-dir min/max from the dir AS WRITTEN (one footer-driven
+    // aggregate — parquet serves min/max from metadata), so the pruning
+    // contract can never disagree with the file contents
+    val newStats = statsCol.map { c =>
+      val r = spark.read.parquet(new Path(tableDir, dataDir).toString)
+        .agg(org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.col(c)).cast("long"),
+          org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col(c)).cast("long"))
+        .collect()(0)
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"stats column '$c' is all-null/empty in $dataDir — no prunable range")
+      dataDir -> ((c, r.getLong(0), r.getLong(1)))
+    }
+    val stats = cur.map(_.stats).getOrElse(Map.empty) ++ newStats
     val entries = cur.map(_.entries).getOrElse(Nil) :+
       ((DataEntry: EntryKind, dataDir))
     try writeAtomic(fs, tableDir, s"snap-$id",
-      renderManifest(cur.map(_.id), entries, cur.flatMap(_.deleteKey), tag),
+      renderManifest(cur.map(_.id), entries, cur.flatMap(_.deleteKey), tag,
+        stats),
       overwrite = false)
     catch { case e: CommitConflictException =>
       fs.delete(new Path(tableDir, dataDir), true); throw e
     }
     writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
     id
+  }
+
+  /** [[commitAppend]] that additionally records the delta's min/max of
+    * long-typed `statsCol` in the manifest — the Iceberg/Delta file-
+    * stats convention that makes [[readPruned]] skip whole deltas whose
+    * range cannot match a predicate. Later plain appends/deletes/merges
+    * PRESERVE earlier dirs' stats (they ride every child manifest);
+    * stats-less dirs are simply never skipped. */
+  def commitAppendStats(df: DataFrame, tableDir: String, statsCol: String,
+                        tag: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    tag.flatMap(t => findTag(spark, tableDir, t)) match {
+      case Some(existing) => return existing
+      case None => ()
+    }
+    commitAppendFrom(df, tableDir, current(spark, tableDir), tag,
+      Some(statsCol))
   }
 
   /** The snapshot id committed under `tag`, if any — walks the parent
@@ -382,7 +431,8 @@ object Snapshots {
       .parquet(new Path(tableDir, delDir).toString)
     val entries = cur.entries :+ ((DeleteEntry: EntryKind, delDir))
     try writeAtomic(fs, tableDir, s"snap-$id",
-      renderManifest(Some(cur.id), entries, Some(keyCol)), overwrite = false)
+      renderManifest(Some(cur.id), entries, Some(keyCol), stats = cur.stats),
+      overwrite = false)
     catch { case e: CommitConflictException =>
       fs.delete(new Path(tableDir, delDir), true); throw e
     }
@@ -473,7 +523,8 @@ object Snapshots {
     val entries = cur.entries :+ ((DeleteEntry: EntryKind, delDir)) :+
       ((DataEntry: EntryKind, dataDir))
     try writeAtomic(fs, tableDir, s"snap-$id",
-      renderManifest(Some(cur.id), entries, Some(keyCol), tag), overwrite = false)
+      renderManifest(Some(cur.id), entries, Some(keyCol), tag,
+        stats = cur.stats), overwrite = false)
     catch { case e: CommitConflictException =>
       fs.delete(new Path(tableDir, delDir), true)
       fs.delete(new Path(tableDir, dataDir), true)
@@ -517,6 +568,73 @@ object Snapshots {
     // null in the new column (the standard additive-evolution
     // contract); dropping a column is a rewrite, not an append
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** [[read]] with FILE SKIPPING — the Iceberg/Delta stats-pruned scan:
+    * returns exactly `read().filter(column BETWEEN lo AND hi)`, but any
+    * data dir whose [[commitAppendStats]]-recorded min/max range is
+    * DISJOINT from [lo, hi] is never opened (its rows cannot match, so
+    * neither its scan nor its delete anti-join runs). Dirs without
+    * stats are read and filtered normally — skipping is only ever an
+    * optimization, never a semantics change. At 100 TB this is the
+    * first-order read optimization of every lakehouse format: a
+    * time/key-range query on a range-clustered table touches the
+    * matching deltas only, paying for the answer, not the table. */
+  def readPruned(spark: SparkSession, tableDir: String, column: String,
+                 lo: Long, hi: Long,
+                 snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshotId
+      .map(i => get(spark, tableDir, i).getOrElse(
+        sys.error(s"no snapshot snap-$i under $tableDir")))
+      .getOrElse(current(spark, tableDir).getOrElse(
+        sys.error(s"empty snapshot table $tableDir")))
+    def path(d: String) = new Path(tableDir, d).toString
+    def disjoint(d: String): Boolean = snap.stats.get(d) match {
+      case Some((c, mn, mx)) =>
+        require(c == column,
+          s"dir $d carries stats on '$c', asked to prune on '$column'")
+        mx < lo || mn > hi
+      case None => false
+    }
+    val key = snap.deleteKey
+    val frames = snap.entries.zipWithIndex.collect {
+      case ((DataEntry, d), i) if !disjoint(d) =>
+        val delsAfter = snap.entries.drop(i + 1)
+          .collect { case (DeleteEntry, dd) => path(dd) }
+        val base = spark.read.parquet(path(d))
+          .filter(col(column).between(lo, hi))
+        if (delsAfter.isEmpty) base
+        else base.join(
+            spark.read.parquet(delsAfter: _*).select(key.get).distinct(),
+            Seq(key.get), "left_anti")
+          .select(base.columns.map(col).toIndexedSeq: _*)
+    }
+    if (frames.isEmpty)
+      // every dir pruned: an empty frame in the table's schema (cheap —
+      // one dir's schema read, zero row scans)
+      read(spark, tableDir, Some(snap.id)).limit(0)
+        .filter(col(column).between(lo, hi))
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** (opened, skipped) data-dir counts [[readPruned]] would use for this
+    * predicate — the observable the s26 gate (and any ops dashboard)
+    * pins: skipping must actually happen, not just stay correct. */
+  def pruneCounts(spark: SparkSession, tableDir: String, column: String,
+                  lo: Long, hi: Long,
+                  snapshotId: Option[Long] = None): (Int, Int) = {
+    val snap = snapshotId
+      .map(i => get(spark, tableDir, i).getOrElse(
+        sys.error(s"no snapshot snap-$i under $tableDir")))
+      .getOrElse(current(spark, tableDir).getOrElse(
+        sys.error(s"empty snapshot table $tableDir")))
+    val dirs = snap.dataDirs
+    val skipped = dirs.count(d => snap.stats.get(d) match {
+      case Some((c, mn, mx)) if c == column => mx < lo || mn > hi
+      case _ => false
+    })
+    (dirs.size - skipped, skipped)
   }
 
   /** Row-level CHANGES between two snapshots (CDC read): every row with

@@ -528,6 +528,43 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("snapshots: file-skipping stats — pruned read == filtered read, stats survive later commits") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapstats").toString
+    Snapshots.commitAppendStats(
+      Seq((1L, "a"), (5L, "b")).toDF("k", "v"), root, "k")
+    Snapshots.commitAppendStats(
+      Seq((10L, "c"), (20L, "d")).toDF("k", "v"), root, "k")
+    // stats-less dir: must always be read
+    Snapshots.commitAppend(Seq((3L, "e")).toDF("k", "v"), root)
+    // a delete commit must PRESERVE earlier dirs' stats in its manifest
+    Snapshots.commitDelete(Seq(Tuple1(5L)).toDF("k"), root, "k")
+    assert(Snapshots.current(spark, root).get.stats.size == 2,
+      "stats lines must ride every child manifest")
+    def pruned(lo: Long, hi: Long) =
+      Snapshots.readPruned(spark, root, "k", lo, hi)
+        .as[(Long, String)].collect().toSet
+    // skip the [10,20] dir entirely; the stats-less dir is still read
+    assert(Snapshots.pruneCounts(spark, root, "k", 1L, 6L) == ((2, 1)))
+    assert(pruned(1L, 6L) == Set((1L, "a"), (3L, "e"))) // 5 deleted
+    // disjoint-everything predicate: zero dirs with stats match, the
+    // stats-less dir filters to nothing — empty frame, correct schema
+    assert(Snapshots.readPruned(spark, root, "k", 100L, 200L).count() == 0L)
+    // pruned == full filtered read for every window (the semantics gate)
+    for ((lo, hi) <- Seq((1L, 6L), (4L, 12L), (1L, 50L), (15L, 25L))) {
+      val full = Snapshots.read(spark, root)
+        .filter(col("k").between(lo, hi)).as[(Long, String)].collect().toSet
+      assert(pruned(lo, hi) == full, s"pruned != filtered for [$lo,$hi]")
+    }
+    // rewrite materializes into ONE stats-less dir: nothing skips, reads
+    // stay correct
+    Snapshots.commitRewrite(spark, root)
+    assert(Snapshots.current(spark, root).get.stats.isEmpty)
+    assert(Snapshots.pruneCounts(spark, root, "k", 1L, 6L) == ((1, 0)))
+    assert(pruned(1L, 6L) == Set((1L, "a"), (3L, "e")))
+  }
+
   test("snapshots: changesBetween — incremental over append/delete, exact-diff fallback across rewrite") {
     import graft.ops.Snapshots
     import spark.implicits._

@@ -46,13 +46,20 @@ object SnapshotRaceProbe {
         override def run(): Unit =
           for (c <- 0 until perThread) {
             val df = Seq((t.toLong * 1000 + c, s"w$t-$c")).toDF("k", "v")
-            // count conflicts by retrying manually around the one-shot
-            // commit, then assert the library helper agrees on semantics
-            var done = false
-            while (!done) {
-              try { ids.add(Snapshots.commitAppend(df, root)); done = true }
-              catch { case _: Snapshots.CommitConflictException =>
-                conflicts.incrementAndGet(); ()
+            // even threads race the shipped retry HELPER itself; odd
+            // threads retry manually around the one-shot commit (the
+            // only place conflicts are countable) — so both the helper
+            // and the raw CAS see real contention in the same run
+            if (t % 2 == 0)
+              ids.add(Snapshots.commitAppendWithRetry(df, root,
+                maxAttempts = Int.MaxValue))
+            else {
+              var done = false
+              while (!done) {
+                try { ids.add(Snapshots.commitAppend(df, root)); done = true }
+                catch { case _: Snapshots.CommitConflictException =>
+                  conflicts.incrementAndGet(); ()
+                }
               }
             }
           }

@@ -535,6 +535,62 @@ private[graft] object SparkEntrySources {
         .union(phase(3L, 1L, maxK))
     }),
 
+    // S27 — stats SURVIVE the write paths that matter (round-16; closes
+    // the r15 VERDICT's "CDC-maintained tables monotonically lose
+    // file-skipping" gap): commitMerge now records the table's
+    // established stats columns on its payload dir, and commitRewrite
+    // RECOMPUTES them on the rewritten dir instead of resetting.
+    // Fixture: two stats appends (quartiles 1-2) → a MERGE over the %3
+    // keys of quartile 1 (re-valued 'M_'+segment, %9 as pure deletes —
+    // its payload dir must carry stats WITHOUT being asked) → stats
+    // append (quartile 3) → rewrite → stats append (quartile 4). Three
+    // phases pin (opened, skipped) + the pruned-read fingerprint:
+    // 1 = pre-rewrite probe of quartile 1 (the merge payload dir must
+    // SKIP for out-of-range probes and OPEN here — both counts move if
+    // merge dirs land stats-less); 2 = post-rewrite recent-data probe
+    // (the rewritten dir must skip — it used to open, stats-reset);
+    // 3 = post-rewrite mid-range probe whose content carries the merged
+    // 'M_' rows through the pruned read.
+    "s27_stats_survival" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val root = s"$partScratchDir/${dirKey(dir)}_s27"
+      rmTree(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val maxK = cust.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+      val (q1, q2, q3) = (maxK / 4, maxK / 2, 3 * maxK / 4)
+      Snapshots.commitAppendStats(
+        cust.filter(col("c_custkey") <= q1), root, "c_custkey")
+      Snapshots.commitAppendStats(
+        cust.filter(col("c_custkey") > q1 && col("c_custkey") <= q2),
+        root, "c_custkey")
+      Snapshots.commitMerge(
+        cust.filter(col("c_custkey") <= q1 &&
+            pmod(col("c_custkey"), lit(3)) === 0)
+          .select(col("c_custkey"),
+            concat(lit("M_"), col("c_mktsegment")).as("c_mktsegment")),
+        root, "c_custkey",
+        Some(pmod(col("c_custkey"), lit(9)) === 0))
+      Snapshots.commitAppendStats(
+        cust.filter(col("c_custkey") > q2 && col("c_custkey") <= q3),
+        root, "c_custkey")
+      val cols = Seq("c_custkey", "c_mktsegment")
+      def phase(n: Long, lo: Long, hi: Long) = {
+        val (opened, skipped) =
+          Snapshots.pruneCounts(s, root, "c_custkey", lo, hi)
+        Validations.tableFingerprint(
+            Snapshots.readPruned(s, root, "c_custkey", lo, hi), cols)
+          .select(lit(n).as("phase"), col("n_rows"), col("fingerprint"),
+            lit(opened.toLong).as("opened"), lit(skipped.toLong).as("skipped"))
+      }
+      val p1 = phase(1L, 1L, q1) // opens q1 dir + merge payload, skips q2/q3
+      Snapshots.commitRewrite(s, root)
+      Snapshots.commitAppendStats(
+        cust.filter(col("c_custkey") > q3), root, "c_custkey")
+      p1.union(phase(2L, q3 + 1, maxK)) // rewritten dir [1,q3] must SKIP
+        .union(phase(3L, 1L, q2))       // merged content through the prune
+    }),
+
     // S19 Z-order (Morton-curve) layout: the MULTI-column clustering s18's
     // single-key sort cannot buy. events is rewritten z-ordered on
     // (user_id, value-cents); the gate measures the ACTUAL per-file
@@ -968,6 +1024,43 @@ private[graft] object SparkEntrySources {
          |${fp(2, s"c_custkey > $q1 AND c_custkey <= $q3", 3, 1)}
          |UNION ALL
          |${fp(3, "c_custkey >= 1", 4, 0)}""".stripMargin
+    },
+
+    // s27: the three stats-survival states in modular predicates + the
+    // pinned (opened, skipped) constants — the constants are the fix:
+    // a stats-less merge payload or a stats-reset rewrite moves them.
+    "s27_stats_survival" -> {
+      def fp(phase: Int, state: String, opened: Int, skipped: Int) =
+        s"""SELECT CAST($phase AS BIGINT) AS phase, count(*) AS n_rows,
+           |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+           |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+           |    coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))), 1, 10))
+           |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint,
+           |  CAST($opened AS BIGINT) AS opened, CAST($skipped AS BIGINT) AS skipped
+           |FROM ($state) t""".stripMargin
+      val q1 = "(SELECT max(c_custkey) // 4 FROM customer)"
+      val q2 = "(SELECT max(c_custkey) // 2 FROM customer)"
+      val q3 = "(SELECT 3 * max(c_custkey) // 4 FROM customer)"
+      // merged quartile-1 state: %3 keys superseded ('M_' unless the %9
+      // delete took them), everything else plain
+      val mergedQ1 =
+        s"""SELECT c_custkey, c_mktsegment FROM customer
+           |  WHERE c_custkey <= $q1 AND c_custkey % 3 <> 0
+           |UNION ALL
+           |SELECT c_custkey, 'M_' || c_mktsegment AS c_mktsegment FROM customer
+           |  WHERE c_custkey <= $q1 AND c_custkey % 3 = 0 AND c_custkey % 9 <> 0""".stripMargin
+      val recent =
+        s"""SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey > $q3"""
+      val midRange =
+        s"""$mergedQ1
+           |UNION ALL
+           |SELECT c_custkey, c_mktsegment FROM customer
+           |  WHERE c_custkey > $q1 AND c_custkey <= $q2""".stripMargin
+      s"""${fp(1, mergedQ1, 2, 2)}
+         |UNION ALL
+         |${fp(2, recent, 1, 1)}
+         |UNION ALL
+         |${fp(3, midRange, 1, 1)}""".stripMargin
     },
 
     // s25: the three CDC frames in modular predicates, op judged inside

@@ -246,7 +246,8 @@ object Graph {
     * Returns (node, auth_micro, hub_micro) for every node. */
   def hits(edges: DataFrame, src: String, dst: String, iters: Int = 3,
            scale: Long = 1000000L,
-           checkpoint: Cascade.Strategy = Cascade.Auto): DataFrame = {
+           checkpoint: Cascade.Strategy = Cascade.Auto,
+           cutEvery: Int = 8): DataFrame = {
     require(iters >= 1 && scale > 0)
     val e = Cascade.cut(
       edges.select(col(src).as("__s"), col(dst).as("__d")).distinct(),
@@ -273,6 +274,16 @@ object Graph {
       hub = nodes.join(hRaw, Seq("node"), "left").crossJoin(hMax)
         .select(col("node"),
           expr(s"(coalesce(__raw, 0L) * $scale) div __m").as("hub_micro"))
+      // pageRank's per-round joins grow BOTH lineages linearly — without
+      // periodic cuts a convergence run (30-50 iters) balloons analysis/
+      // codegen time per round even though each round's work is flat.
+      // Same cutEvery fold as pageRank, applied to the two rank chains
+      // (auth feeds hub, so cutting hub alone would still drag auth's
+      // full plan into the next round).
+      if ((i + 1) % cutEvery == 0 && i + 1 < iters) {
+        auth = Cascade.cut(auth, checkpoint, eager = false)
+        hub = Cascade.cut(hub, checkpoint, eager = false)
+      }
       i += 1
     }
     auth.join(hub, Seq("node"))

@@ -70,13 +70,20 @@ object Snapshots {
   case object DataEntry extends EntryKind
   case object DeleteEntry extends EntryKind
 
+  /** Per-dir column statistics: dir → (column → (min, max)). Multiple
+    * columns per dir ride separate manifest lines (round-16; the
+    * single-column round-15 form parses as a 1-entry inner map). */
   final case class Snapshot(id: Long, parent: Option[Long],
                             entries: Seq[(EntryKind, String)],
                             deleteKey: Option[String],
                             tag: Option[String] = None,
-                            stats: Map[String, (String, Long, Long)] = Map.empty) {
+                            stats: Map[String, Map[String, (Long, Long)]] = Map.empty) {
     def dataDirs: Seq[String] = entries.collect { case (DataEntry, d) => d }
     def deleteDirs: Seq[String] = entries.collect { case (DeleteEntry, d) => d }
+    /** Every column any retained dir carries stats on — the set the
+      * stats-preserving commit paths (merge/rewrite) maintain. */
+    def statsColumns: Seq[String] =
+      stats.values.flatMap(_.keys).toSeq.distinct.sorted
   }
 
   private def fsFor(spark: SparkSession, dir: String): FileSystem =
@@ -190,14 +197,17 @@ object Snapshots {
     val rest = lines.drop(1)
     val deleteKey = rest.collectFirst { case s"deletekey=$k" => k }
     val tag = rest.collectFirst { case s"tag=$t" => t }
-    // per-dir column stats ride dedicated lines (older manifests simply
-    // have none): stats=<dir>|<col>|<min>|<max>
+    // per-(dir, column) stats ride dedicated lines (older manifests
+    // simply have none): stats=<dir>|<col>|<min>|<max> — one line per
+    // column, so multi-column stats accumulate per dir
     val stats = rest.collect {
       case s"stats=$v" => v.split('|') match {
-        case Array(d, c, lo, hi) => d -> ((c, lo.toLong, hi.toLong))
+        case Array(d, c, lo, hi) => (d, c, lo.toLong, hi.toLong)
         case _ => sys.error(s"malformed stats line in snap-$id: $v")
       }
-    }.toMap
+    }.groupBy(_._1).map { case (d, ls) =>
+      d -> ls.map(l => l._2 -> ((l._3, l._4))).toMap
+    }
     val entries = rest
       .filterNot(l => l.startsWith("deletekey=") || l.startsWith("tag=") ||
         l.startsWith("stats="))
@@ -212,13 +222,16 @@ object Snapshots {
                              entries: Seq[(EntryKind, String)],
                              deleteKey: Option[String],
                              tag: Option[String] = None,
-                             stats: Map[String, (String, Long, Long)] = Map.empty): String =
+                             stats: Map[String, Map[String, (Long, Long)]] = Map.empty): String =
     (s"parent=${parent.map(_.toString).getOrElse("-")}" +:
       (deleteKey.map(k => s"deletekey=$k").toSeq ++
         tag.map(t => s"tag=$t").toSeq ++
-        // stats lines in entry order for stable round-trips
-        entries.collect { case (DataEntry, d) if stats.contains(d) =>
-          val (c, lo, hi) = stats(d); s"stats=$d|$c|$lo|$hi"
+        // stats lines in (entry, column) order for stable round-trips
+        entries.flatMap {
+          case (DataEntry, d) => stats.getOrElse(d, Map.empty).toSeq
+            .sortBy(_._1)
+            .map { case (c, (lo, hi)) => s"stats=$d|$c|$lo|$hi" }
+          case _ => Nil
         } ++ entries.map(_._2)))
       .mkString("\n")
 
@@ -347,7 +360,7 @@ object Snapshots {
   private[graft] def commitAppendFrom(df: DataFrame, tableDir: String,
                                       cur: Option[Snapshot],
                                       tag: Option[String],
-                                      statsCol: Option[String] = None): Long = {
+                                      statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val fs = fsFor(spark, tableDir)
     val id = cur.map(_.id + 1).getOrElse(1L)
@@ -355,19 +368,19 @@ object Snapshots {
     df.write.mode("overwrite").parquet(new Path(tableDir, dataDir).toString)
     // per-dir min/max from the dir AS WRITTEN (one footer-driven
     // aggregate — parquet serves min/max from metadata), so the pruning
-    // contract can never disagree with the file contents
-    val newStats = statsCol.map { c =>
-      val r = spark.read.parquet(new Path(tableDir, dataDir).toString)
-        .agg(org.apache.spark.sql.functions.min(
-            org.apache.spark.sql.functions.col(c)).cast("long"),
-          org.apache.spark.sql.functions.max(
-            org.apache.spark.sql.functions.col(c)).cast("long"))
-        .collect()(0)
-      require(!r.isNullAt(0) && !r.isNullAt(1),
-        s"stats column '$c' is all-null/empty in $dataDir — no prunable range")
-      dataDir -> ((c, r.getLong(0), r.getLong(1)))
-    }
-    val stats = cur.map(_.stats).getOrElse(Map.empty) ++ newStats
+    // contract can never disagree with the file contents. A strict
+    // failure (all-null column — no prunable range, the caller asked
+    // for a contract the data cannot honor) deletes the just-written
+    // dir before rethrowing: the failed commit leaves NO orphan for
+    // vacuum, matching the CommitConflict path's eager cleanup.
+    val newStats =
+      try dirStats(spark, new Path(tableDir, dataDir).toString, statsCols,
+        strict = true)
+      catch { case e: Throwable =>
+        fs.delete(new Path(tableDir, dataDir), true); throw e
+      }
+    val stats = cur.map(_.stats).getOrElse(Map.empty) ++
+      (if (newStats.isEmpty) Map.empty else Map(dataDir -> newStats))
     val entries = cur.map(_.entries).getOrElse(Nil) :+
       ((DataEntry: EntryKind, dataDir))
     try writeAtomic(fs, tableDir, s"snap-$id",
@@ -381,21 +394,59 @@ object Snapshots {
     id
   }
 
+  /** Min/max per requested column over one written dir (one
+    * footer-driven aggregate for ALL columns — parquet serves min/max
+    * from metadata). `strict = true` (the explicit commitAppendStats
+    * contract) throws on a missing or all-null column; `strict = false`
+    * (the stats-INHERITANCE paths — merge/rewrite maintaining the
+    * table's established stats columns) silently omits such columns:
+    * the dir degrades to never-skipped on them, an optimization loss,
+    * never a semantics change. */
+  private def dirStats(spark: SparkSession, dirPath: String,
+                       cols: Seq[String],
+                       strict: Boolean): Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    if (cols.isEmpty) return Map.empty
+    val df = spark.read.parquet(dirPath)
+    val present = cols.filter(df.columns.contains)
+    if (strict) require(present == cols,
+      s"stats column(s) ${cols.diff(present).mkString(",")} absent from $dirPath")
+    if (present.isEmpty) return Map.empty
+    val aggs = present.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    present.zipWithIndex.flatMap { case (c, i) =>
+      if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) {
+        if (strict) sys.error(
+          s"stats column '$c' is all-null/empty in $dirPath — no prunable range")
+        None
+      } else Some(c -> ((r.getLong(2 * i), r.getLong(2 * i + 1))))
+    }.toMap
+  }
+
   /** [[commitAppend]] that additionally records the delta's min/max of
     * long-typed `statsCol` in the manifest — the Iceberg/Delta file-
     * stats convention that makes [[readPruned]] skip whole deltas whose
-    * range cannot match a predicate. Later plain appends/deletes/merges
-    * PRESERVE earlier dirs' stats (they ride every child manifest);
+    * range cannot match a predicate. Later plain appends/deletes
+    * PRESERVE earlier dirs' stats (they ride every child manifest), and
+    * [[commitMergeKeyed]]/[[commitRewrite]] MAINTAIN them on the dirs
+    * they write (round-16 — a CDC-maintained table keeps skipping);
     * stats-less dirs are simply never skipped. */
   def commitAppendStats(df: DataFrame, tableDir: String, statsCol: String,
-                        tag: Option[String] = None): Long = {
+                        tag: Option[String] = None): Long =
+    commitAppendStats(df, tableDir, Seq(statsCol), tag)
+
+  /** Multi-column [[commitAppendStats]]: one manifest stats line per
+    * (dir, column); [[readPruned]] prunes on any recorded column. */
+  def commitAppendStats(df: DataFrame, tableDir: String,
+                        statsCols: Seq[String],
+                        tag: Option[String]): Long = {
     val spark = df.sparkSession
     tag.flatMap(t => findTag(spark, tableDir, t)) match {
       case Some(existing) => return existing
       case None => ()
     }
-    commitAppendFrom(df, tableDir, current(spark, tableDir), tag,
-      Some(statsCol))
+    commitAppendFrom(df, tableDir, current(spark, tableDir), tag, statsCols)
   }
 
   /** The snapshot id committed under `tag`, if any — walks the parent
@@ -444,7 +495,11 @@ object Snapshots {
     * data dir holding [[read]]'s current rows, manifest reduced to that
     * single entry (delete backlog gone — subsequent reads are pure
     * scans again), history retained (earlier snapshots still time-
-    * travel). The delete key column survives for future deletes. */
+    * travel). The delete key column survives for future deletes, and
+    * the table's established stats columns are RECOMPUTED on the
+    * rewritten dir (round-16 — rewriting used to reset stats, silently
+    * turning file-skipping off on exactly the compacted tables that
+    * live longest). */
   def commitRewrite(spark: SparkSession, tableDir: String): Long = {
     val fs = fsFor(spark, tableDir)
     val cur = current(spark, tableDir).getOrElse(
@@ -453,9 +508,13 @@ object Snapshots {
     val dataDir = s"data/delta-$id-${nonce()}"
     read(spark, tableDir).write.mode("overwrite")
       .parquet(new Path(tableDir, dataDir).toString)
+    val newStats = dirStats(spark, new Path(tableDir, dataDir).toString,
+      cur.statsColumns, strict = false)
     try writeAtomic(fs, tableDir, s"snap-$id",
       renderManifest(Some(cur.id),
-        Seq((DataEntry: EntryKind, dataDir)), cur.deleteKey), overwrite = false)
+        Seq((DataEntry: EntryKind, dataDir)), cur.deleteKey,
+        stats = if (newStats.isEmpty) Map.empty else Map(dataDir -> newStats)),
+      overwrite = false)
     catch { case e: CommitConflictException =>
       fs.delete(new Path(tableDir, dataDir), true); throw e
     }
@@ -485,8 +544,15 @@ object Snapshots {
   def commitMerge(source: DataFrame, tableDir: String, keyCol: String,
                   deleteFilter: Option[org.apache.spark.sql.Column] = None,
                   tag: Option[String] = None): Long = {
-    val upserts = deleteFilter.map(f => source.filter(!f)).getOrElse(source)
-    val pureDeletes = deleteFilter.map(f => source.filter(f).select(keyCol))
+    // a NULL deleteFilter verdict must mean "not a delete", never "drop
+    // the row from the merge entirely": filter(!f) and filter(f) BOTH
+    // exclude null-verdict rows, so without the coalesce such a row
+    // would be neither upserted nor deleted — silently vanishing
+    val f2 = deleteFilter.map(f =>
+      org.apache.spark.sql.functions.coalesce(f,
+        org.apache.spark.sql.functions.lit(false)))
+    val upserts = f2.map(f => source.filter(!f)).getOrElse(source)
+    val pureDeletes = f2.map(f => source.filter(f).select(keyCol))
       .getOrElse(source.select(keyCol).limit(0))
     commitMergeKeyed(upserts, pureDeletes, tableDir, keyCol, tag)
   }
@@ -520,11 +586,20 @@ object Snapshots {
       .write.mode("overwrite").parquet(new Path(tableDir, delDir).toString)
     upserts.write.mode("overwrite")
       .parquet(new Path(tableDir, dataDir).toString)
+    // maintain the table's established stats columns on the merge
+    // payload (round-16): without this a CDC-maintained table
+    // monotonically loses file-skipping — every merged dir used to land
+    // stats-less. Non-strict: a payload missing/all-null on a stats
+    // column degrades that dir to never-skipped, never aborts the merge.
+    val newStats = dirStats(spark, new Path(tableDir, dataDir).toString,
+      cur.statsColumns, strict = false)
     val entries = cur.entries :+ ((DeleteEntry: EntryKind, delDir)) :+
       ((DataEntry: EntryKind, dataDir))
     try writeAtomic(fs, tableDir, s"snap-$id",
       renderManifest(Some(cur.id), entries, Some(keyCol), tag,
-        stats = cur.stats), overwrite = false)
+        stats = cur.stats ++
+          (if (newStats.isEmpty) Map.empty
+           else Map(dataDir -> newStats))), overwrite = false)
     catch { case e: CommitConflictException =>
       fs.delete(new Path(tableDir, delDir), true)
       fs.delete(new Path(tableDir, dataDir), true)
@@ -590,13 +665,14 @@ object Snapshots {
       .getOrElse(current(spark, tableDir).getOrElse(
         sys.error(s"empty snapshot table $tableDir")))
     def path(d: String) = new Path(tableDir, d).toString
-    def disjoint(d: String): Boolean = snap.stats.get(d) match {
-      case Some((c, mn, mx)) =>
-        require(c == column,
-          s"dir $d carries stats on '$c', asked to prune on '$column'")
-        mx < lo || mn > hi
-      case None => false
-    }
+    // a dir with stats on OTHER columns only is simply stats-less for
+    // this predicate — never skipped, never an error: skipping is only
+    // ever an optimization, and mixed-stats tables stay readable
+    def disjoint(d: String): Boolean =
+      snap.stats.get(d).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx < lo || mn > hi
+        case None => false
+      }
     val key = snap.deleteKey
     val frames = snap.entries.zipWithIndex.collect {
       case ((DataEntry, d), i) if !disjoint(d) =>
@@ -630,10 +706,11 @@ object Snapshots {
       .getOrElse(current(spark, tableDir).getOrElse(
         sys.error(s"empty snapshot table $tableDir")))
     val dirs = snap.dataDirs
-    val skipped = dirs.count(d => snap.stats.get(d) match {
-      case Some((c, mn, mx)) if c == column => mx < lo || mn > hi
-      case _ => false
-    })
+    val skipped = dirs.count(d =>
+      snap.stats.get(d).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx < lo || mn > hi
+        case None => false
+      })
     (dirs.size - skipped, skipped)
   }
 
@@ -646,9 +723,14 @@ object Snapshots {
     *
     * Scale shape — the reason this API exists: when `fromId`'s entry
     * list is a PREFIX of `toId`'s (an append/delete-only interval, the
-    * overwhelmingly common case), the scan touches ONLY the interval's
-    * data dirs plus key-sized delete sets — an incremental consumer of a
-    * 100 TB table pays for the week's deltas, never a table diff. An
+    * overwhelmingly common case), the INSERT leg touches ONLY the
+    * interval's data dirs plus key-sized delete sets. The DELETE leg,
+    * when the interval contains any delete, must REHYDRATE the deleted
+    * rows' payloads from the from-snapshot (a scan of the from-state
+    * semi-joined on the interval's key set — the keys alone don't carry
+    * the row). So the dirs-only cost claim holds exactly for
+    * append-only intervals; delete-bearing intervals add one pruned
+    * pass over the from-snapshot, still never a two-sided table diff. An
     * interval crossing a [[commitRewrite]] (entry list rebased) falls
     * back to the exact multiset diff (`exceptAll` both ways) — correct
     * across any history, with the rewrite's no-op rows cancelling out.

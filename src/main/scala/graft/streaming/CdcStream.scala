@@ -36,6 +36,23 @@ import graft.ops.Snapshots
   * standard CDC-lakehouse maintenance split. */
 object CdcStream {
 
+  /** Fail loudly on any row whose op is not EXACTLY 'upsert' or
+    * 'delete' (null included): the split below filters on the two
+    * literals, so an unrecognized op would be neither inserted nor
+    * deleted — silently vanishing from the merge. One batch-sized
+    * aggregate: count + a sample value for the message. */
+  private def requireKnownOps(batch: DataFrame, opCol: String,
+                              who: String): Unit = {
+    val bad = batch
+      .filter(!coalesce(col(opCol).isin("upsert", "delete"), lit(false)))
+      .agg(count(lit(1)).as("n"), first(col(opCol)).as("sample"))
+      .collect()(0)
+    require(bad.getLong(0) == 0L,
+      s"$who: ${bad.getLong(0)} row(s) carry unrecognized op " +
+        s"'${bad.get(1)}' (expected exactly 'upsert'/'delete') - such " +
+        "rows would silently vanish from the merge; fix the feed")
+  }
+
   /** Apply one CDC micro-batch: `opCol` ∈ {upsert, delete}; all other
     * columns are the payload (the key column included). */
   def absorb(batch: DataFrame, tableDir: String, keyCol: String,
@@ -50,6 +67,7 @@ object CdcStream {
       s"CdcStream.absorb: key '${dup.head.get(0)}' carries " +
         s"${dup.head.getLong(1)} ops in one batch - the one-op-per-key " +
         "CDC contract is violated; compact the feed per batch first")
+    requireKnownOps(batch, opCol, "CdcStream.absorb")
     val touched = batch.select(col(keyCol)).distinct()
     // nothing to delete from an empty table (first batch bootstrap)
     if (Snapshots.current(spark, tableDir).isDefined)
@@ -89,6 +107,7 @@ object CdcStream {
       s"CdcStream.absorbAtomic: key '${dup.head.get(0)}' carries " +
         s"${dup.head.getLong(1)} ops in one batch - the one-op-per-key " +
         "CDC contract is violated; compact the feed per batch first")
+    requireKnownOps(batch, opCol, "CdcStream.absorbAtomic")
     val ups = batch.filter(col(opCol) === "upsert").drop(opCol)
     val dels = batch.filter(col(opCol) === "delete").select(keyCol)
     if (Snapshots.current(spark, tableDir).isEmpty) {

@@ -557,12 +557,80 @@ class ScaleSpec extends SparkSpec {
         .filter(col("k").between(lo, hi)).as[(Long, String)].collect().toSet
       assert(pruned(lo, hi) == full, s"pruned != filtered for [$lo,$hi]")
     }
-    // rewrite materializes into ONE stats-less dir: nothing skips, reads
-    // stay correct
+    // rewrite materializes into ONE dir and RECOMPUTES the table's
+    // stats columns on it (round-16): skipping survives compaction
     Snapshots.commitRewrite(spark, root)
-    assert(Snapshots.current(spark, root).get.stats.isEmpty)
+    val postRw = Snapshots.current(spark, root).get.stats
+    assert(postRw.size == 1 && postRw.values.head.contains("k"),
+      s"rewrite must re-derive stats on the rewritten dir: $postRw")
+    // surviving rows are k in {1,3,10,20} -> the one dir spans [1,20]:
+    // an in-range read opens it, a disjoint range skips the whole table
     assert(Snapshots.pruneCounts(spark, root, "k", 1L, 6L) == ((1, 0)))
     assert(pruned(1L, 6L) == Set((1L, "a"), (3L, "e")))
+    assert(Snapshots.pruneCounts(spark, root, "k", 100L, 200L) == ((0, 1)))
+    assert(Snapshots.readPruned(spark, root, "k", 100L, 200L).count() == 0L)
+  }
+
+  test("snapshots: stats survive MERGE commits and mixed-column tables stay readable (round-16)") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapstats16").toString
+    // multi-column stats: one manifest line per (dir, column)
+    Snapshots.commitAppendStats(
+      Seq((1L, 100L, "a"), (5L, 500L, "b")).toDF("k", "ts", "v"),
+      root, Seq("k", "ts"), None)
+    Snapshots.commitAppendStats(
+      Seq((10L, 1000L, "c"), (20L, 2000L, "d")).toDF("k", "ts", "v"),
+      root, Seq("k", "ts"), None)
+    assert(Snapshots.pruneCounts(spark, root, "k", 1L, 6L) == ((1, 1)))
+    assert(Snapshots.pruneCounts(spark, root, "ts", 1500L, 3000L) == ((1, 1)))
+    // MERGE maintains the established stats columns on its payload dir:
+    // replace k=5, insert k=30 -> payload dir spans k [5,30], ts [550,3000]
+    Snapshots.commitMerge(
+      Seq((5L, 550L, "B"), (30L, 3000L, "e")).toDF("k", "ts", "v"),
+      root, "k")
+    val st = Snapshots.current(spark, root).get.stats
+    assert(st.size == 3 && st.values.forall(m => m.contains("k") && m.contains("ts")),
+      s"merge payload dir must carry stats on every established column: $st")
+    // the merged dir spans [5,30]: a low-range probe skips it AND dir 2
+    assert(Snapshots.pruneCounts(spark, root, "k", 1L, 4L) == ((1, 2)))
+    // pruned == filtered on the merged state, for both stats columns
+    for ((c, lo, hi) <- Seq(("k", 1L, 6L), ("k", 25L, 40L), ("ts", 1L, 600L))) {
+      val full = Snapshots.read(spark, root)
+        .filter(col(c).between(lo, hi)).as[(Long, Long, String)].collect().toSet
+      val prn = Snapshots.readPruned(spark, root, c, lo, hi)
+        .as[(Long, Long, String)].collect().toSet
+      assert(prn == full, s"pruned != filtered for $c [$lo,$hi]")
+    }
+    // a column NO dir has stats on: never skipped, never an error (the
+    // round-15 behavior threw on mismatched stats columns)
+    assert(Snapshots.pruneCounts(spark, root, "v", 1L, 2L) == ((3, 0)))
+    // all-null stats column under the STRICT append contract: loud, and
+    // the just-written dir is cleaned up (no orphan for vacuum)
+    intercept[RuntimeException] {
+      Snapshots.commitAppendStats(
+        Seq((Option.empty[java.lang.Long], 1L, "x"))
+          .toDF("k", "ts", "v").withColumn("k", lit(null).cast("long")),
+        root, "k")
+    }
+    assert(Snapshots.vacuum(spark, root, tmpGraceMs = 0L).isEmpty,
+      "failed strict-stats append must not leave an orphan dir")
+  }
+
+  test("snapshots: commitMerge treats a NULL deleteFilter verdict as not-a-delete (round-16)") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapmergenull").toString
+    Snapshots.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    // the filter references v === "x" where v is null for k=2's source
+    // row: pre-fix, that row vanished (neither upserted nor deleted)
+    val src = Seq((2L, Option.empty[String]), (3L, Some("x")))
+      .toDF("k", "v")
+    Snapshots.commitMerge(src, root, "k", Some(col("v") === "x"))
+    val got = Snapshots.read(spark, root).as[(Long, Option[String])]
+      .collect().toSet
+    assert(got == Set((1L, Some("a")), (2L, None)),
+      s"null-verdict row must be UPSERTED, delete-marked row gone: $got")
   }
 
   test("snapshots: changesBetween — incremental over append/delete, exact-diff fallback across rewrite") {

@@ -591,6 +591,61 @@ private[graft] object SparkEntrySources {
         .union(phase(3L, 1L, q2))       // merged content through the prune
     }),
 
+    // S28 — POSITION deletes (round-16; Iceberg v2's positional delete
+    // files, the r15 VERDICT's #3): row-level deletes addressed by
+    // (data dir, file, row ordinal) — the keyless form compaction-free
+    // engines emit — landing immutably like s22's equality deletes and
+    // composing with them under the same sequence rule. Fixture: append
+    // %3=0 → append %3=1 → readWithPos-address every %7 key and
+    // commitDeletePositions it (the table has NO delete key yet —
+    // keyless is the point) → append %3=2 (its %7 rows must SURVIVE the
+    // earlier position delete: addresses are physical, dirs are
+    // attempt-unique) → equality-delete the %5 keys (both masks apply).
+    // Phases: 1 = merged current read; 2 = time travel to before the
+    // position delete (every row visible); 3 = the SAME read after
+    // commitRewrite (copy-on-write must change nothing); 4 = structural
+    // evidence (position backlog cleared by the rewrite, the delete ran
+    // before any key existed) pinned as constants.
+    "s28_position_deletes" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val root = s"$partScratchDir/${dirKey(dir)}_s28"
+      rmTree(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Snapshots.commitAppend(
+        cust.filter(pmod(col("c_custkey"), lit(3)) === 0), root)
+      val id2 = Snapshots.commitAppend(
+        cust.filter(pmod(col("c_custkey"), lit(3)) === 1), root)
+      val id3 = Snapshots.commitDeletePositions(
+        Snapshots.readWithPos(s, root)
+          .filter(pmod(col("c_custkey"), lit(7)) === 0)
+          .select(col("_dir"), col("_file"), col("_pos")), root)
+      val keylessPos =
+        Snapshots.get(s, root, id3).exists(_.deleteKey.isEmpty)
+      Snapshots.commitAppend(
+        cust.filter(pmod(col("c_custkey"), lit(3)) === 2), root)
+      Snapshots.commitDelete(
+        cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+          .select(col("c_custkey")), root, "c_custkey")
+      val posPre = Snapshots.current(s, root).get.posDeleteDirs.size
+      val cols = Seq("c_custkey", "c_mktsegment")
+      def phase(n: Long, df: org.apache.spark.sql.DataFrame) =
+        Validations.tableFingerprint(df, cols)
+          .select(lit(n).as("phase"), col("n_rows"), col("fingerprint"))
+      val p1 = phase(1L, Snapshots.read(s, root))
+      val p2 = phase(2L, Snapshots.read(s, root, Some(id2)))
+      Snapshots.commitRewrite(s, root)
+      val after = Snapshots.current(s, root).get
+      val evid = s"posdirs_pre=$posPre" +
+        s"|posdirs_post=${after.posDeleteDirs.size}" +
+        s"|eqdirs_post=${after.deleteDirs.size}" +
+        s"|keyless_pos=${if (keylessPos) 1 else 0}"
+      import s.implicits._
+      p1.union(p2).union(phase(3L, Snapshots.read(s, root)))
+        .union(Seq((4L, posPre.toLong, evid))
+          .toDF("phase", "n_rows", "fingerprint"))
+    }),
+
     // S19 Z-order (Morton-curve) layout: the MULTI-column clustering s18's
     // single-key sort cannot buy. events is rewritten z-ordered on
     // (user_id, value-cents); the gate measures the ACTUAL per-file
@@ -1061,6 +1116,40 @@ private[graft] object SparkEntrySources {
          |${fp(2, recent, 1, 1)}
          |UNION ALL
          |${fp(3, midRange, 1, 1)}""".stripMargin
+    },
+
+    // s28: the position-delete states in modular predicates — %7 rows
+    // die positionally in the first two dirs but SURVIVE in the
+    // post-delete append; the %5 equality delete composes on top;
+    // rewrite changes nothing (phase 3 == phase 1); phase 4 pins the
+    // structural evidence verbatim (backlog cleared, keyless delete).
+    "s28_position_deletes" -> {
+      def fp(where: String, phase: Int) =
+        s"""SELECT CAST($phase AS BIGINT) AS phase, count(*) AS n_rows,
+           |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+           |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+           |    coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))), 1, 10))
+           |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+           |FROM ($where) t""".stripMargin
+      val current =
+        """SELECT c_custkey, c_mktsegment FROM customer
+          |  WHERE (c_custkey%3=0 OR c_custkey%3=1)
+          |    AND c_custkey%7<>0 AND c_custkey%5<>0
+          |UNION ALL
+          |SELECT c_custkey, c_mktsegment FROM customer
+          |  WHERE c_custkey%3=2 AND c_custkey%5<>0""".stripMargin
+      val preDelete =
+        """SELECT c_custkey, c_mktsegment FROM customer
+          |  WHERE c_custkey%3=0 OR c_custkey%3=1"""
+      s"""${fp(current, 1)}
+         |UNION ALL
+         |${fp(preDelete, 2)}
+         |UNION ALL
+         |${fp(current, 3)}
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT) AS phase, CAST(1 AS BIGINT) AS n_rows,
+         |  'posdirs_pre=1|posdirs_post=0|eqdirs_post=0|keyless_pos=1'
+         |    AS fingerprint""".stripMargin
     },
 
     // s25: the three CDC frames in modular predicates, op judged inside

@@ -20,18 +20,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    files are immutable, a historical read costs what the snapshot cost
   *    at commit time, at 100 TB as at 100 MB.
   *
-  * DELETES are merge-on-read EQUALITY deletes (Iceberg v2's equality
-  * delete files): [[commitDelete]] writes the doomed key values under
-  * `delete/delta-N/` — data files are never rewritten — and [[read]]
-  * anti-joins each data dir against exactly the delete dirs committed
-  * AFTER it (manifest order is commit order, the sequence-number rule:
-  * a key re-inserted after its delete is visible, and time travel before
-  * the delete still sees the original rows). The key column is fixed at
-  * the first delete (`deletekey=` manifest header) — one column, so
-  * delete sets stay id-sized and the anti-join side broadcasts at any
-  * table size. [[commitRewrite]] is the copy-on-write materialization
-  * (s18's compaction applied to the delete backlog): one new data dir =
-  * the merged read, delete list emptied, history retained.
+  * DELETES are merge-on-read, in BOTH Iceberg v2 forms:
+  *  - EQUALITY deletes: [[commitDelete]] writes the doomed key values
+  *    under `delete/delta-N/` — data files are never rewritten — and
+  *    [[read]] anti-joins each data dir against exactly the delete dirs
+  *    committed AFTER it (manifest order is commit order, the
+  *    sequence-number rule: a key re-inserted after its delete is
+  *    visible, and time travel before the delete still sees the
+  *    original rows). The key column is fixed at the first delete
+  *    (`deletekey=` manifest header) — one column, so delete sets stay
+  *    id-sized and the anti-join side broadcasts at any table size.
+  *  - POSITION deletes (round-16): [[commitDeletePositions]] writes
+  *    (dir, file, row-ordinal) addresses under `posdelete/delta-N/` —
+  *    row-level deletes with NO key column, the form compaction-free
+  *    engines emit; [[readWithPos]] hands out the addresses. Both kinds
+  *    compose under the same sequence rule.
+  * [[commitRewrite]] is the copy-on-write materialization (s18's
+  * compaction applied to the delete backlog): one new data dir = the
+  * merged read, both delete backlogs emptied, history retained.
   *
   * CONCURRENT WRITERS (round-14): the `snap-N` manifest is created with
   * a FAIL-IF-EXISTS rename — a true compare-and-swap on the id, so two
@@ -69,6 +75,14 @@ object Snapshots {
   sealed trait EntryKind
   case object DataEntry extends EntryKind
   case object DeleteEntry extends EntryKind
+  /** POSITION deletes (Iceberg v2's positional delete files, round-16):
+    * a `posdelete/delta-N/` dir holds (data dir, file name, row ordinal)
+    * triples naming PHYSICAL rows to mask — the row-level delete form
+    * that needs no key column at all (compaction-free engines emit
+    * exactly this). The ordinal is the parquet reader's own stable
+    * per-file row index (`_metadata.row_index`), assigned at write time
+    * by position — nothing extra rides the data files. */
+  case object PosDeleteEntry extends EntryKind
 
   /** Per-dir column statistics: dir → (column → (min, max)). Multiple
     * columns per dir ride separate manifest lines (round-16; the
@@ -80,6 +94,8 @@ object Snapshots {
                             stats: Map[String, Map[String, (Long, Long)]] = Map.empty) {
     def dataDirs: Seq[String] = entries.collect { case (DataEntry, d) => d }
     def deleteDirs: Seq[String] = entries.collect { case (DeleteEntry, d) => d }
+    def posDeleteDirs: Seq[String] =
+      entries.collect { case (PosDeleteEntry, d) => d }
     /** Every column any retained dir carries stats on — the set the
       * stats-preserving commit paths (merge/rewrite) maintain. */
     def statsColumns: Seq[String] =
@@ -212,6 +228,7 @@ object Snapshots {
       .filterNot(l => l.startsWith("deletekey=") || l.startsWith("tag=") ||
         l.startsWith("stats="))
       .map {
+        case d if d.startsWith("posdelete/") => (PosDeleteEntry: EntryKind, d)
         case d if d.startsWith("delete/") => (DeleteEntry: EntryKind, d)
         case d => (DataEntry: EntryKind, d)
       }
@@ -609,12 +626,63 @@ object Snapshots {
     id
   }
 
+  /** One data dir's rows at snapshot `snap` with every delete committed
+    * AFTER it applied — the shared merge-on-read kernel of [[read]] /
+    * [[readPruned]] / [[readWithPos]]:
+    *  - POSITION deletes anti-join on the (file, row-ordinal) address,
+    *    scoped to this dir (the address frame is row-address-sized —
+    *    three narrow columns — so the anti-join side broadcasts);
+    *  - EQUALITY deletes anti-join the key column as before.
+    * `preFilter` (readPruned's range predicate) runs before the delete
+    * joins so it reaches the parquet scan as a pushed filter. `withPos`
+    * keeps the (_dir, _file, _pos) address columns on the output —
+    * [[readWithPos]]'s contract; otherwise the address never surfaces
+    * (and is only even READ when a position delete targets the dir). */
+  private def maskedDirScan(spark: SparkSession, tableDir: String,
+                            snap: Snapshot, i: Int, d: String,
+                            preFilter: Option[org.apache.spark.sql.Column],
+                            withPos: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def path(x: String) = new Path(tableDir, x).toString
+    val after = snap.entries.drop(i + 1)
+    val eqAfter = after.collect { case (DeleteEntry, dd) => path(dd) }
+    val posAfter = after.collect { case (PosDeleteEntry, pd) => path(pd) }
+    val raw = spark.read.parquet(path(d))
+    val dataCols = raw.columns.map(col).toIndexedSeq
+    var base =
+      if (!withPos && posAfter.isEmpty) raw
+      else raw
+        .select(dataCols :+ col("_metadata.file_name").as("_file")
+          :+ col("_metadata.row_index").as("_pos"): _*)
+        .withColumn("_dir", lit(d))
+    preFilter.foreach(f => base = base.filter(f))
+    if (posAfter.nonEmpty) {
+      val dels = spark.read.parquet(posAfter: _*)
+        .filter(col("_dir") === d)
+        .select(col("_file"), col("_pos")).distinct()
+      base = base.join(dels, Seq("_file", "_pos"), "left_anti")
+    }
+    if (eqAfter.nonEmpty) {
+      val key = snap.deleteKey.get
+      base = base.join(
+        spark.read.parquet(eqAfter: _*).select(key).distinct(),
+        Seq(key), "left_anti")
+    }
+    // the USING joins front their key columns — restore the stored
+    // order so the schema never depends on delete placement
+    val outCols =
+      if (withPos) dataCols ++ Seq(col("_dir"), col("_file"), col("_pos"))
+      else dataCols
+    base.select(outCols: _*)
+  }
+
   /** Read the table at a snapshot (default: current), merge-on-read:
-    * each data dir anti-joins the union of delete dirs committed AFTER
-    * it. Delete sets are single-column key frames — small against the
-    * data at any scale, so the anti-join side broadcasts (AQE). Throws
-    * on an unknown snapshot id or an empty table — silent empty frames
-    * would mask a pointer/manifest bug. */
+    * each data dir anti-joins the equality-delete dirs AND the
+    * position-delete dirs committed AFTER it (see [[maskedDirScan]]).
+    * Both delete forms stay small against the data at any scale, so
+    * the anti-join sides broadcast (AQE). Throws on an unknown
+    * snapshot id or an empty table — silent empty frames would mask a
+    * pointer/manifest bug. */
   def read(spark: SparkSession, tableDir: String,
            snapshotId: Option[Long] = None): DataFrame = {
     val snap = snapshotId
@@ -622,20 +690,9 @@ object Snapshots {
         sys.error(s"no snapshot snap-$i under $tableDir")))
       .getOrElse(current(spark, tableDir).getOrElse(
         sys.error(s"empty snapshot table $tableDir")))
-    def path(d: String) = new Path(tableDir, d).toString
-    val key = snap.deleteKey
     val frames = snap.entries.zipWithIndex.collect {
       case ((DataEntry, d), i) =>
-        val delsAfter = snap.entries.drop(i + 1)
-          .collect { case (DeleteEntry, dd) => path(dd) }
-        val base = spark.read.parquet(path(d))
-        if (delsAfter.isEmpty) base
-        else base.join(
-            spark.read.parquet(delsAfter: _*).select(key.get).distinct(),
-            Seq(key.get), "left_anti")
-          // the USING join fronts the key column — restore the stored
-          // order so read()'s schema never depends on delete placement
-          .select(base.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        maskedDirScan(spark, tableDir, snap, i, d, None, withPos = false)
     }
     require(frames.nonEmpty, s"snapshot snap-${snap.id} lists no data dirs")
     // allowMissingColumns = SCHEMA EVOLUTION on read: an append that
@@ -643,6 +700,69 @@ object Snapshots {
     // null in the new column (the standard additive-evolution
     // contract); dropping a column is a rewrite, not an append
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** [[read]] with each row's PHYSICAL ADDRESS appended — `_dir` (the
+    * manifest data-dir name), `_file` (parquet file name within it),
+    * `_pos` (the reader's stable per-file row ordinal). The address
+    * columns are exactly what [[commitDeletePositions]] consumes: the
+    * standard flow is readWithPos → filter to the doomed rows → select
+    * the three address columns → commitDeletePositions. Addresses are
+    * stable because data files are immutable — only a [[commitRewrite]]
+    * re-addresses rows, and it clears the position backlog with the
+    * same commit. */
+  def readWithPos(spark: SparkSession, tableDir: String,
+                  snapshotId: Option[Long] = None): DataFrame = {
+    val snap = snapshotId
+      .map(i => get(spark, tableDir, i).getOrElse(
+        sys.error(s"no snapshot snap-$i under $tableDir")))
+      .getOrElse(current(spark, tableDir).getOrElse(
+        sys.error(s"empty snapshot table $tableDir")))
+    val frames = snap.entries.zipWithIndex.collect {
+      case ((DataEntry, d), i) =>
+        maskedDirScan(spark, tableDir, snap, i, d, None, withPos = true)
+    }
+    require(frames.nonEmpty, s"snapshot snap-${snap.id} lists no data dirs")
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** POSITION-delete commit (Iceberg v2's positional delete files):
+    * `positions` carries (_dir, _file, _pos) addresses — the columns
+    * [[readWithPos]] emits — naming physical rows to mask. The address
+    * set lands IMMUTABLY under `posdelete/delta-N/` and applies, at
+    * read time, to every data dir committed BEFORE it (the same
+    * sequence rule as equality deletes — and since dir names are
+    * attempt-unique, an address can never alias a later append).
+    * Needs NO key column: this is the row-level delete for tables
+    * where no equality key exists, and it COMPOSES with equality
+    * deletes (each data dir applies both kinds committed after it).
+    * Addresses of already-deleted or nonexistent rows are legal
+    * no-ops. Same CAS/crash/retry contract as [[commitAppend]]. */
+  def commitDeletePositions(positions: DataFrame, tableDir: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val spark = positions.sparkSession
+    val fs = fsFor(spark, tableDir)
+    val cur = current(spark, tableDir).getOrElse(
+      sys.error(s"commitDeletePositions on empty snapshot table $tableDir"))
+    val need = Seq("_dir", "_file", "_pos")
+    require(need.forall(positions.columns.contains),
+      s"positions frame must carry ${need.mkString(", ")} " +
+        "(readWithPos's address columns); got " +
+        positions.columns.mkString(", "))
+    val id = cur.id + 1
+    val pdDir = s"posdelete/delta-$id-${nonce()}"
+    positions.select(col("_dir"), col("_file"), col("_pos").cast("long"))
+      .distinct()
+      .write.mode("overwrite").parquet(new Path(tableDir, pdDir).toString)
+    val entries = cur.entries :+ ((PosDeleteEntry: EntryKind, pdDir))
+    try writeAtomic(fs, tableDir, s"snap-$id",
+      renderManifest(Some(cur.id), entries, cur.deleteKey, stats = cur.stats),
+      overwrite = false)
+    catch { case e: CommitConflictException =>
+      fs.delete(new Path(tableDir, pdDir), true); throw e
+    }
+    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
+    id
   }
 
   /** [[read]] with FILE SKIPPING — the Iceberg/Delta stats-pruned scan:
@@ -664,7 +784,6 @@ object Snapshots {
         sys.error(s"no snapshot snap-$i under $tableDir")))
       .getOrElse(current(spark, tableDir).getOrElse(
         sys.error(s"empty snapshot table $tableDir")))
-    def path(d: String) = new Path(tableDir, d).toString
     // a dir with stats on OTHER columns only is simply stats-less for
     // this predicate — never skipped, never an error: skipping is only
     // ever an optimization, and mixed-stats tables stay readable
@@ -673,18 +792,10 @@ object Snapshots {
         case Some((mn, mx)) => mx < lo || mn > hi
         case None => false
       }
-    val key = snap.deleteKey
     val frames = snap.entries.zipWithIndex.collect {
       case ((DataEntry, d), i) if !disjoint(d) =>
-        val delsAfter = snap.entries.drop(i + 1)
-          .collect { case (DeleteEntry, dd) => path(dd) }
-        val base = spark.read.parquet(path(d))
-          .filter(col(column).between(lo, hi))
-        if (delsAfter.isEmpty) base
-        else base.join(
-            spark.read.parquet(delsAfter: _*).select(key.get).distinct(),
-            Seq(key.get), "left_anti")
-          .select(base.columns.map(col).toIndexedSeq: _*)
+        maskedDirScan(spark, tableDir, snap, i, d,
+          Some(col(column).between(lo, hi)), withPos = false)
     }
     if (frames.isEmpty)
       // every dir pruned: an empty frame in the table's schema (cheap —
@@ -752,9 +863,16 @@ object Snapshots {
     def withOp(df: DataFrame, op: String): DataFrame =
       df.select(lit(op).as("op") +: df.columns.map(col).toIndexedSeq: _*)
 
-    if (to.entries.take(fromEntries.length) == fromEntries) {
+    val intervalEntries = to.entries.drop(fromEntries.length)
+    // an interval containing a POSITION delete falls back to the exact
+    // diff: rehydrating position-deleted rows incrementally would need
+    // per-address joins against the from-state anyway, and pos deletes
+    // are the rare manual-surgery path — the fallback stays exact
+    // because read() applies both delete kinds
+    if (to.entries.take(fromEntries.length) == fromEntries &&
+        !intervalEntries.exists(_._1 == PosDeleteEntry)) {
       // incremental: only the interval's dirs are opened
-      val interval = to.entries.drop(fromEntries.length)
+      val interval = intervalEntries
       val insFrames = interval.zipWithIndex.collect {
         case ((DataEntry, d), i) =>
           val delsAfter = interval.drop(i + 1)
@@ -855,7 +973,8 @@ object Snapshots {
       else fs.listStatus(p).toSeq.filter(_.isDirectory)
         .map(st => s"$sub/${st.getPath.getName}")
     }
-    val doomed = (live("data") ++ live("delete")).filterNot(referenced)
+    val doomed = (live("data") ++ live("delete") ++ live("posdelete"))
+      .filterNot(referenced)
     doomed.foreach(d => fs.delete(new Path(tableDir, d), true))
     // stale writeAtomic temp files (crash between create and rename):
     // never manifests, never data — crash garbage ONCE they outlive the

@@ -617,6 +617,61 @@ class ScaleSpec extends SparkSpec {
       "failed strict-stats append must not leave an orphan dir")
   }
 
+  test("snapshots: position deletes — keyless row masking, sequence-scoped, compose with equality deletes") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snappos").toString
+    // NO key column fixed anywhere before the equality leg: position
+    // deletes must work on a keyless table
+    val id1 = Snapshots.commitAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"), root)
+    val id2 = Snapshots.commitAppend(
+      Seq((5L, "e"), (6L, "f")).toDF("k", "v"), root)
+    // address the doomed rows physically (k even), across both dirs
+    val doomed = Snapshots.readWithPos(spark, root)
+      .filter(col("k") % 2 === 0).select("_dir", "_file", "_pos")
+    assert(doomed.count() == 3L)
+    val id3 = Snapshots.commitDeletePositions(doomed, root)
+    def ks(id: Option[Long] = None) =
+      Snapshots.read(spark, root, id).as[(Long, String)].collect().map(_._1).toSet
+    assert(ks() == Set(1L, 3L, 5L), s"evens must be masked: ${ks()}")
+    // time travel before the position delete sees every row
+    assert(ks(Some(id2)) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // a later append is untouched by the earlier position delete, even
+    // if its rows land at the same ordinals
+    Snapshots.commitAppend(Seq((8L, "h")).toDF("k", "v"), root)
+    assert(ks() == Set(1L, 3L, 5L, 8L))
+    // equality deletes COMPOSE: delete k=3 by key; both masks apply
+    Snapshots.commitDelete(Seq(Tuple1(3L)).toDF("k"), root, "k")
+    assert(ks() == Set(1L, 5L, 8L))
+    // readPruned masks position deletes too (2 and 4 in range, masked)
+    assert(Snapshots.readPruned(spark, root, "k", 1L, 4L)
+      .as[(Long, String)].collect().map(_._1).toSet == Set(1L))
+    // changesBetween across a pos-delete interval: exact-diff fallback
+    val ch = Snapshots.changesBetween(spark, root, id2, id3)
+      .as[(String, Long, String)].collect().toSet
+    assert(ch == Set(("D", 2L, "b"), ("D", 4L, "d"), ("D", 6L, "f")),
+      s"pos-delete interval must diff exactly: $ch")
+    // rewrite materializes: content stable, BOTH backlogs cleared, and
+    // vacuum (after expire) reclaims the posdelete dir
+    Snapshots.commitRewrite(spark, root)
+    assert(ks() == Set(1L, 5L, 8L))
+    val cur = Snapshots.current(spark, root).get
+    assert(cur.posDeleteDirs.isEmpty && cur.deleteDirs.isEmpty)
+    Snapshots.expire(spark, root, keepLast = 1)
+    val vac = Snapshots.vacuum(spark, root, tmpGraceMs = 0L)
+      .map(Snapshots.canonicalDir)
+    assert(vac.contains(s"posdelete/delta-$id3"),
+      s"vacuum must reclaim the expired posdelete dir: $vac")
+    assert(ks() == Set(1L, 5L, 8L), "post-GC read stability")
+    // addresses of already-deleted rows are legal no-ops
+    val again = Snapshots.readWithPos(spark, root).filter(col("k") === 1L)
+      .select("_dir", "_file", "_pos")
+    Snapshots.commitDeletePositions(again, root)
+    Snapshots.commitDeletePositions(again, root) // same address twice
+    assert(ks() == Set(5L, 8L))
+  }
+
   test("snapshots: commitMerge treats a NULL deleteFilter verdict as not-a-delete (round-16)") {
     import graft.ops.Snapshots
     import spark.implicits._

@@ -646,6 +646,54 @@ private[graft] object SparkEntrySources {
           .toDF("phase", "n_rows", "fingerprint"))
     }),
 
+    // S29 — BLOOM file skipping for point lookups (round-16; the r15
+    // VERDICT's #6, the standard complement to s26's range stats —
+    // Iceberg's puffin blooms, parquet's column-index blooms): each
+    // bloom'd dir carries a `_bloom_<col>` sidecar built by Spark's own
+    // bloomFilter aggregate; readPoint(column = v) opens a dir only if
+    // its range stats admit v AND its Bloom might contain v. Error is
+    // one-sided by construction: a Bloom can only OPEN extra dirs,
+    // never skip one holding the value. Fixture: three bloom'd dirs
+    // with disjoint modular key classes (%4 = 1/2/3) + one bare dir
+    // (%4 = 0, always opened) + an equality delete of the %5 keys.
+    // Phases pin (opened, skipped) + the looked-up row: 1 = a present
+    // key (its dir + the bare dir open, the two foreign blooms skip);
+    // 2 = a key absent from the whole table (every bloom'd dir skips);
+    // 3 = a DELETED key in the bare dir (skipping composes with
+    // merge-on-read: right dirs open, zero rows survive).
+    "s29_bloom_skipping" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val root = s"$partScratchDir/${dirKey(dir)}_s29"
+      rmTree(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      for (m <- Seq(1, 2, 3))
+        Snapshots.commitAppendBloom(
+          cust.filter(pmod(col("c_custkey"), lit(4)) === m), root, "c_custkey")
+      Snapshots.commitAppend(
+        cust.filter(pmod(col("c_custkey"), lit(4)) === 0), root)
+      Snapshots.commitDelete(
+        cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+          .select(col("c_custkey")), root, "c_custkey")
+      val probes = cust.agg(
+        max(when(pmod(col("c_custkey"), lit(4)) === 1 &&
+          pmod(col("c_custkey"), lit(5)) =!= 0, col("c_custkey"))),
+        max(col("c_custkey")),
+        max(when(pmod(col("c_custkey"), lit(20)) === 0, col("c_custkey"))))
+        .collect()(0)
+      val (v1, v2, v3) =
+        (probes.getLong(0), probes.getLong(1) + 17L, probes.getLong(2))
+      val cols = Seq("c_custkey", "c_mktsegment")
+      def phase(n: Long, v: Long) = {
+        val (opened, skipped) = Snapshots.pointCounts(s, root, "c_custkey", v)
+        Validations.tableFingerprint(
+            Snapshots.readPoint(s, root, "c_custkey", v), cols)
+          .select(lit(n).as("phase"), col("n_rows"), col("fingerprint"),
+            lit(opened.toLong).as("opened"), lit(skipped.toLong).as("skipped"))
+      }
+      phase(1L, v1).union(phase(2L, v2)).union(phase(3L, v3))
+    }),
+
     // S19 Z-order (Morton-curve) layout: the MULTI-column clustering s18's
     // single-key sort cannot buy. events is rewritten z-ordered on
     // (user_id, value-cents); the gate measures the ACTUAL per-file
@@ -1116,6 +1164,32 @@ private[graft] object SparkEntrySources {
          |${fp(2, recent, 1, 1)}
          |UNION ALL
          |${fp(3, midRange, 1, 1)}""".stripMargin
+    },
+
+    // s29: the three point-lookup states — probe values re-derived via
+    // scalar subqueries, the looked-up row judged by fingerprint, and
+    // the pinned (opened, skipped) constants judging that Bloom
+    // skipping actually happens (phases 2/3 pin empty results: sum over
+    // zero rows is NULL in both engines).
+    "s29_bloom_skipping" -> {
+      def fp(phase: Int, where: String, opened: Int, skipped: Int) =
+        s"""SELECT CAST($phase AS BIGINT) AS phase, count(*) AS n_rows,
+           |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+           |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+           |    coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))), 1, 10))
+           |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint,
+           |  CAST($opened AS BIGINT) AS opened, CAST($skipped AS BIGINT) AS skipped
+           |FROM (SELECT c_custkey, c_mktsegment FROM customer
+           |      WHERE c_custkey % 5 <> 0 AND ($where)) t""".stripMargin
+      val v1 =
+        "(SELECT max(c_custkey) FROM customer WHERE c_custkey%4=1 AND c_custkey%5<>0)"
+      val v2 = "(SELECT max(c_custkey) + 17 FROM customer)"
+      val v3 = "(SELECT max(c_custkey) FROM customer WHERE c_custkey%20=0)"
+      s"""${fp(1, s"c_custkey = $v1", 2, 2)}
+         |UNION ALL
+         |${fp(2, s"c_custkey = $v2", 1, 3)}
+         |UNION ALL
+         |${fp(3, s"c_custkey = $v3", 1, 3)}""".stripMargin
     },
 
     // s28: the position-delete states in modular predicates — %7 rows

@@ -91,7 +91,8 @@ object Snapshots {
                             entries: Seq[(EntryKind, String)],
                             deleteKey: Option[String],
                             tag: Option[String] = None,
-                            stats: Map[String, Map[String, (Long, Long)]] = Map.empty) {
+                            stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+                            blooms: Map[String, Seq[String]] = Map.empty) {
     def dataDirs: Seq[String] = entries.collect { case (DataEntry, d) => d }
     def deleteDirs: Seq[String] = entries.collect { case (DeleteEntry, d) => d }
     def posDeleteDirs: Seq[String] =
@@ -100,6 +101,9 @@ object Snapshots {
       * stats-preserving commit paths (merge/rewrite) maintain. */
     def statsColumns: Seq[String] =
       stats.values.flatMap(_.keys).toSeq.distinct.sorted
+    /** Every column any retained dir carries a Bloom sidecar on. */
+    def bloomColumns: Seq[String] =
+      blooms.values.flatten.toSeq.distinct.sorted
   }
 
   private def fsFor(spark: SparkSession, dir: String): FileSystem =
@@ -224,30 +228,45 @@ object Snapshots {
     }.groupBy(_._1).map { case (d, ls) =>
       d -> ls.map(l => l._2 -> ((l._3, l._4))).toMap
     }
+    // bloom PRESENCE markers: the filter bits live as a `_bloom_<col>`
+    // sidecar INSIDE the data dir (riding its immutability and its GC
+    // lifecycle), so the manifest stays id-sized at any dir count —
+    // the line only says "consult the sidecar": bloom=<dir>|<col>
+    val blooms = rest.collect {
+      case s"bloom=$v" => v.split('|') match {
+        case Array(d, c) => (d, c)
+        case _ => sys.error(s"malformed bloom line in snap-$id: $v")
+      }
+    }.groupBy(_._1).map { case (d, ls) => d -> ls.map(_._2) }
     val entries = rest
       .filterNot(l => l.startsWith("deletekey=") || l.startsWith("tag=") ||
-        l.startsWith("stats="))
+        l.startsWith("stats=") || l.startsWith("bloom="))
       .map {
         case d if d.startsWith("posdelete/") => (PosDeleteEntry: EntryKind, d)
         case d if d.startsWith("delete/") => (DeleteEntry: EntryKind, d)
         case d => (DataEntry: EntryKind, d)
       }
-    Snapshot(id, parent, entries, deleteKey, tag, stats)
+    Snapshot(id, parent, entries, deleteKey, tag, stats, blooms)
   }
 
   private def renderManifest(parent: Option[Long],
                              entries: Seq[(EntryKind, String)],
                              deleteKey: Option[String],
                              tag: Option[String] = None,
-                             stats: Map[String, Map[String, (Long, Long)]] = Map.empty): String =
+                             stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+                             blooms: Map[String, Seq[String]] = Map.empty): String =
     (s"parent=${parent.map(_.toString).getOrElse("-")}" +:
       (deleteKey.map(k => s"deletekey=$k").toSeq ++
         tag.map(t => s"tag=$t").toSeq ++
-        // stats lines in (entry, column) order for stable round-trips
+        // stats/bloom lines in (entry, column) order for stable round-trips
         entries.flatMap {
           case (DataEntry, d) => stats.getOrElse(d, Map.empty).toSeq
             .sortBy(_._1)
             .map { case (c, (lo, hi)) => s"stats=$d|$c|$lo|$hi" }
+          case _ => Nil
+        } ++ entries.flatMap {
+          case (DataEntry, d) => blooms.getOrElse(d, Nil).sorted
+            .map(c => s"bloom=$d|$c")
           case _ => Nil
         } ++ entries.map(_._2)))
       .mkString("\n")
@@ -377,7 +396,8 @@ object Snapshots {
   private[graft] def commitAppendFrom(df: DataFrame, tableDir: String,
                                       cur: Option[Snapshot],
                                       tag: Option[String],
-                                      statsCols: Seq[String] = Nil): Long = {
+                                      statsCols: Seq[String] = Nil,
+                                      bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val fs = fsFor(spark, tableDir)
     val id = cur.map(_.id + 1).getOrElse(1L)
@@ -390,25 +410,73 @@ object Snapshots {
     // for a contract the data cannot honor) deletes the just-written
     // dir before rethrowing: the failed commit leaves NO orphan for
     // vacuum, matching the CommitConflict path's eager cleanup.
-    val newStats =
-      try dirStats(spark, new Path(tableDir, dataDir).toString, statsCols,
-        strict = true)
+    val (newStats, newBlooms) =
+      try (dirStats(spark, new Path(tableDir, dataDir).toString, statsCols,
+          strict = true),
+        buildBlooms(spark, tableDir, dataDir, bloomCols, strict = true))
       catch { case e: Throwable =>
         fs.delete(new Path(tableDir, dataDir), true); throw e
       }
     val stats = cur.map(_.stats).getOrElse(Map.empty) ++
       (if (newStats.isEmpty) Map.empty else Map(dataDir -> newStats))
+    val blooms = cur.map(_.blooms).getOrElse(Map.empty) ++
+      (if (newBlooms.isEmpty) Map.empty else Map(dataDir -> newBlooms))
     val entries = cur.map(_.entries).getOrElse(Nil) :+
       ((DataEntry: EntryKind, dataDir))
     try writeAtomic(fs, tableDir, s"snap-$id",
       renderManifest(cur.map(_.id), entries, cur.flatMap(_.deleteKey), tag,
-        stats),
+        stats, blooms),
       overwrite = false)
     catch { case e: CommitConflictException =>
       fs.delete(new Path(tableDir, dataDir), true); throw e
     }
     writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
     id
+  }
+
+  /** Build `_bloom_<col>` sidecars inside `dataDir` for each column —
+    * Spark's own `DataFrameStatFunctions.bloomFilter` aggregate (one
+    * distributed pass over the dir; insertion is bitwise-OR, so the
+    * filter is partitioning-independent), serialized next to the data
+    * it summarizes so it rides the dir's immutability and GC lifecycle.
+    * Returns the columns actually built (non-strict skips absent
+    * columns — the inheritance paths' degrade, as with [[dirStats]]).
+    * `fpp` trades sidecar size for false-open rate; the error is
+    * ONE-SIDED by construction (a Bloom can only open extra dirs,
+    * never skip a dir holding the value). */
+  private def buildBlooms(spark: SparkSession, tableDir: String,
+                          dataDir: String, cols: Seq[String],
+                          strict: Boolean,
+                          fpp: Double = 0.001): Seq[String] = {
+    if (cols.isEmpty) return Nil
+    val p = new Path(tableDir, dataDir).toString
+    val df = spark.read.parquet(p)
+    val present = cols.filter(df.columns.contains)
+    if (strict) require(present == cols,
+      s"bloom column(s) ${cols.diff(present).mkString(",")} absent from $p")
+    if (present.isEmpty) return Nil
+    val n = math.max(df.count(), 1L) // metadata-only count on parquet
+    val fs = fsFor(spark, tableDir)
+    present.foreach { c =>
+      val bf = df.stat.bloomFilter(c, n, fpp)
+      val out = fs.create(new Path(tableDir, s"$dataDir/_bloom_$c"), true)
+      try bf.writeTo(out) finally out.close()
+    }
+    present
+  }
+
+  /** The `_bloom_<col>` sidecar for (dir, col), if readable. A manifest
+    * that marks a bloom whose sidecar is missing degrades to no-bloom
+    * (open the dir) — skipping is an optimization, never a contract. */
+  private def loadBloom(fs: FileSystem, tableDir: String, dir: String,
+                        col: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = new Path(tableDir, s"$dir/_bloom_$col")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    }
   }
 
   /** Min/max per requested column over one written dir (one
@@ -499,7 +567,8 @@ object Snapshots {
       .parquet(new Path(tableDir, delDir).toString)
     val entries = cur.entries :+ ((DeleteEntry: EntryKind, delDir))
     try writeAtomic(fs, tableDir, s"snap-$id",
-      renderManifest(Some(cur.id), entries, Some(keyCol), stats = cur.stats),
+      renderManifest(Some(cur.id), entries, Some(keyCol), stats = cur.stats,
+        blooms = cur.blooms),
       overwrite = false)
     catch { case e: CommitConflictException =>
       fs.delete(new Path(tableDir, delDir), true); throw e
@@ -527,10 +596,14 @@ object Snapshots {
       .parquet(new Path(tableDir, dataDir).toString)
     val newStats = dirStats(spark, new Path(tableDir, dataDir).toString,
       cur.statsColumns, strict = false)
+    val newBlooms = buildBlooms(spark, tableDir, dataDir,
+      cur.bloomColumns, strict = false)
     try writeAtomic(fs, tableDir, s"snap-$id",
       renderManifest(Some(cur.id),
         Seq((DataEntry: EntryKind, dataDir)), cur.deleteKey,
-        stats = if (newStats.isEmpty) Map.empty else Map(dataDir -> newStats)),
+        stats = if (newStats.isEmpty) Map.empty else Map(dataDir -> newStats),
+        blooms = if (newBlooms.isEmpty) Map.empty
+          else Map(dataDir -> newBlooms)),
       overwrite = false)
     catch { case e: CommitConflictException =>
       fs.delete(new Path(tableDir, dataDir), true); throw e
@@ -610,13 +683,18 @@ object Snapshots {
     // column degrades that dir to never-skipped, never aborts the merge.
     val newStats = dirStats(spark, new Path(tableDir, dataDir).toString,
       cur.statsColumns, strict = false)
+    val newBlooms = buildBlooms(spark, tableDir, dataDir,
+      cur.bloomColumns, strict = false)
     val entries = cur.entries :+ ((DeleteEntry: EntryKind, delDir)) :+
       ((DataEntry: EntryKind, dataDir))
     try writeAtomic(fs, tableDir, s"snap-$id",
       renderManifest(Some(cur.id), entries, Some(keyCol), tag,
         stats = cur.stats ++
           (if (newStats.isEmpty) Map.empty
-           else Map(dataDir -> newStats))), overwrite = false)
+           else Map(dataDir -> newStats)),
+        blooms = cur.blooms ++
+          (if (newBlooms.isEmpty) Map.empty
+           else Map(dataDir -> newBlooms))), overwrite = false)
     catch { case e: CommitConflictException =>
       fs.delete(new Path(tableDir, delDir), true)
       fs.delete(new Path(tableDir, dataDir), true)
@@ -756,7 +834,8 @@ object Snapshots {
       .write.mode("overwrite").parquet(new Path(tableDir, pdDir).toString)
     val entries = cur.entries :+ ((PosDeleteEntry: EntryKind, pdDir))
     try writeAtomic(fs, tableDir, s"snap-$id",
-      renderManifest(Some(cur.id), entries, cur.deleteKey, stats = cur.stats),
+      renderManifest(Some(cur.id), entries, cur.deleteKey, stats = cur.stats,
+        blooms = cur.blooms),
       overwrite = false)
     catch { case e: CommitConflictException =>
       fs.delete(new Path(tableDir, pdDir), true); throw e
@@ -823,6 +902,91 @@ object Snapshots {
         case None => false
       })
     (dirs.size - skipped, skipped)
+  }
+
+  /** [[commitAppendStats]]'s point-lookup complement: additionally
+    * builds a `_bloom_<bloomCol>` sidecar for the new dir (see
+    * [[buildBlooms]]), so [[readPoint]] can skip dirs that definitely
+    * do not hold a value — the standard pairing in every lakehouse
+    * format (range stats prune range predicates; Blooms prune
+    * high-cardinality equality predicates that ranges can't, e.g. a
+    * key lookup on an unsorted dir whose min/max span everything).
+    * Later merges/rewrites REBUILD the table's established bloom
+    * columns on the dirs they write, like stats. */
+  def commitAppendBloom(df: DataFrame, tableDir: String, bloomCol: String,
+                        statsCols: Seq[String] = Nil,
+                        tag: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    tag.flatMap(t => findTag(spark, tableDir, t)) match {
+      case Some(existing) => return existing
+      case None => ()
+    }
+    commitAppendFrom(df, tableDir, current(spark, tableDir), tag, statsCols,
+      Seq(bloomCol))
+  }
+
+  /** Whether [[readPoint]] must open data dir `d` of `snap` for
+    * `column = value`: range stats exclude first (free), then the
+    * Bloom sidecar is consulted (one tiny read, driver-side, at plan
+    * time). Bloom error is one-sided: a false positive OPENS an extra
+    * dir (harmless), a miss is definitive. */
+  private def pointOpens(spark: SparkSession, tableDir: String,
+                         snap: Snapshot, d: String, column: String,
+                         value: Long): Boolean = {
+    val rangeExcludes = snap.stats.get(d).flatMap(_.get(column)) match {
+      case Some((mn, mx)) => value < mn || value > mx
+      case None => false
+    }
+    if (rangeExcludes) return false
+    if (!snap.blooms.getOrElse(d, Nil).contains(column)) return true
+    loadBloom(fsFor(spark, tableDir), tableDir, d, column) match {
+      case Some(bf) => bf.mightContainLong(value)
+      case None => true // marked but unreadable: degrade to open
+    }
+  }
+
+  /** POINT-lookup read with file skipping — exactly
+    * `read().filter(column === value)`, but a data dir is never opened
+    * when its range stats exclude `value` OR its Bloom sidecar proves
+    * absence. The Bloom tier is what makes key lookups on UNSORTED
+    * dirs cheap: a CDC table clustered by time answers "fetch key K"
+    * by opening only the dirs whose filter admits K — at 100 TB, a
+    * handful of dirs instead of every delta ever merged. */
+  def readPoint(spark: SparkSession, tableDir: String, column: String,
+                value: Long,
+                snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshotId
+      .map(i => get(spark, tableDir, i).getOrElse(
+        sys.error(s"no snapshot snap-$i under $tableDir")))
+      .getOrElse(current(spark, tableDir).getOrElse(
+        sys.error(s"empty snapshot table $tableDir")))
+    val frames = snap.entries.zipWithIndex.collect {
+      case ((DataEntry, d), i)
+          if pointOpens(spark, tableDir, snap, d, column, value) =>
+        maskedDirScan(spark, tableDir, snap, i, d,
+          Some(col(column) === value), withPos = false)
+    }
+    if (frames.isEmpty)
+      read(spark, tableDir, Some(snap.id)).limit(0)
+        .filter(col(column) === value)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** (opened, skipped) data-dir counts [[readPoint]] would use — the
+    * observable the s29 gate pins, as [[pruneCounts]] for s26. */
+  def pointCounts(spark: SparkSession, tableDir: String, column: String,
+                  value: Long,
+                  snapshotId: Option[Long] = None): (Int, Int) = {
+    val snap = snapshotId
+      .map(i => get(spark, tableDir, i).getOrElse(
+        sys.error(s"no snapshot snap-$i under $tableDir")))
+      .getOrElse(current(spark, tableDir).getOrElse(
+        sys.error(s"empty snapshot table $tableDir")))
+    val dirs = snap.dataDirs
+    val opened =
+      dirs.count(d => pointOpens(spark, tableDir, snap, d, column, value))
+    (opened, dirs.size - opened)
   }
 
   /** Row-level CHANGES between two snapshots (CDC read): every row with

@@ -672,6 +672,58 @@ class ScaleSpec extends SparkSpec {
     assert(ks() == Set(5L, 8L))
   }
 
+  test("snapshots: bloom point-lookup skipping — one-sided error, survives merge/rewrite, degrades safely") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapbloom").toString
+    // three bloom'd dirs with DISJOINT key sets + one bare dir
+    Snapshots.commitAppendBloom(
+      (1L to 50L).map(k => (k, s"a$k")).toDF("k", "v"), root, "k")
+    Snapshots.commitAppendBloom(
+      (100L to 150L).map(k => (k, s"b$k")).toDF("k", "v"), root, "k")
+    Snapshots.commitAppendBloom(
+      (200L to 250L).map(k => (k, s"c$k")).toDF("k", "v"), root, "k")
+    Snapshots.commitAppend(
+      Seq((300L, "bare")).toDF("k", "v"), root) // no bloom: always opened
+    def point(v: Long) =
+      Snapshots.readPoint(spark, root, "k", v).as[(Long, String)].collect().toSet
+    // a value in dir 2: dirs 1/3 bloom-skip, bare dir opens
+    assert(Snapshots.pointCounts(spark, root, "k", 120L) == ((2, 2)))
+    assert(point(120L) == Set((120L, "b120")))
+    // a value absent everywhere: every bloom'd dir skips
+    assert(Snapshots.pointCounts(spark, root, "k", 999L) == ((1, 3)))
+    assert(point(999L).isEmpty)
+    // ONE-SIDED error sweep: readPoint == full filtered read for every
+    // present key (a Bloom may open extra dirs, it may never lose a row)
+    for (v <- Seq(1L, 50L, 100L, 150L, 200L, 250L, 300L)) {
+      val full = Snapshots.read(spark, root).filter(col("k") === v)
+        .as[(Long, String)].collect().toSet
+      assert(point(v) == full, s"readPoint lost rows for k=$v")
+    }
+    // equality deletes still mask under point skipping
+    Snapshots.commitDelete(Seq(Tuple1(120L)).toDF("k"), root, "k")
+    assert(point(120L).isEmpty)
+    // MERGE rebuilds the established bloom on its payload dir
+    Snapshots.commitMerge(Seq((400L, "m")).toDF("k", "v"), root, "k")
+    val merged = Snapshots.current(spark, root).get
+    assert(merged.blooms.size == 4, s"merge payload must carry a bloom: ${merged.blooms}")
+    assert(Snapshots.pointCounts(spark, root, "k", 400L) == ((2, 3)))
+    assert(point(400L) == Set((400L, "m")))
+    // REWRITE rebuilds the bloom on the single rewritten dir
+    Snapshots.commitRewrite(spark, root)
+    val rw = Snapshots.current(spark, root).get
+    assert(rw.blooms.size == 1 && rw.blooms.values.head == Seq("k"))
+    assert(Snapshots.pointCounts(spark, root, "k", 999L) == ((0, 1)))
+    assert(point(200L) == Set((200L, "c200")))
+    // a marked bloom whose sidecar vanished degrades to OPEN, not error
+    val dirName = rw.blooms.keys.head
+    val side = new org.apache.hadoop.fs.Path(root, s"$dirName/_bloom_k")
+    side.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(side, false)
+    assert(Snapshots.pointCounts(spark, root, "k", 999L) == ((1, 0)))
+    assert(point(200L) == Set((200L, "c200")))
+  }
+
   test("snapshots: commitMerge treats a NULL deleteFilter verdict as not-a-delete (round-16)") {
     import graft.ops.Snapshots
     import spark.implicits._

@@ -521,6 +521,68 @@ object Multimodal {
       }
   }
 
+  final case class AudioWindowSig(doc_id: Long, fmt: String, win_idx: Long,
+                                  energy_sq: Long, zero_cross: Long)
+
+  /** m14 — per-window integer AUDIO signatures (round-16, the audio leg
+    * of [[gifFrames]]' per-frame hashes and the substrate of the
+    * audio near-dup join — the last empty cell of the modality × dedup
+    * matrix): decode the PCM payload located by the RIFF walk (codec 1,
+    * 8/16-bit, as [[pcmStats]]), split the interleaved sample stream
+    * into `windows` equal windows of `len = n div windows` samples
+    * (the trailing `n mod windows` samples are ignored — fixed window
+    * COUNT per clip, so clips of one planting scheme align; disclosed),
+    * and fold each window into two exact integer signals:
+    *  - `energy_sq` = Σ v² (the band-energy term — RMS's integer core),
+    *  - `zero_cross` = |{ j ∈ [1,len) : (v[j-1] < 0) ≠ (v[j] < 0) }|
+    *    (the dominant-frequency proxy of classic audio fingerprinting;
+    *    Wang 2003's constellation idea reduced to its integer skeleton).
+    * All-integer arithmetic end to end, so an oracle can replant the
+    * exact signatures from the waveform definition. A malformed blob,
+    * unsupported codec/depth, truncated payload, or a clip shorter than
+    * `windows` samples yields ONE loud fmt='unknown' row — never a
+    * silently partial signature set. Same amortized-init mapPartitions
+    * scan pass as [[pcmStats]]; nothing shuffles here — the near-dup
+    * JOIN over the signature sets is the caller's (df-capped, m13's
+    * discipline). */
+  def audioWindowSigs(df: DataFrame, idCol: String, binCol: String,
+                      windows: Int): Dataset[AudioWindowSig] = {
+    require(windows >= 1, "need at least one window")
+    implicit val enc = Encoders.product[AudioWindowSig]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) =>
+          val unknown = AudioWindowSig(id, "unknown", 0L, 0L, 0L)
+          walkWav(b) match {
+            case Some(w) if w.codec == 1L && (w.bits == 8L || w.bits == 16L) &&
+                w.dataOff >= 0 && w.dataOff + w.dataSize <= b.length =>
+              val bytesPer = (w.bits / 8).toInt
+              val n = (w.dataSize / bytesPer).toInt
+              val len = n / windows
+              if (len == 0) Iterator.single(unknown)
+              else Iterator.tabulate(windows) { wi =>
+                var energy = 0L; var zc = 0L; var prev = 0L
+                var j = 0
+                while (j < len) {
+                  val off = w.dataOff + (wi * len + j) * bytesPer
+                  val v: Long =
+                    if (bytesPer == 2)
+                      ((u8(b, off) | (u8(b, off + 1) << 8)).toShort).toLong
+                    else u8(b, off).toLong - 128L
+                  energy += v * v
+                  if (j > 0 && ((prev < 0L) != (v < 0L))) zc += 1L
+                  prev = v
+                  j += 1
+                }
+                AudioWindowSig(id, "wav", wi.toLong, energy, zc)
+              }
+            case _ => Iterator.single(unknown)
+          }
+        }
+      }
+  }
+
   final case class GifFrameRow(doc_id: Long, frame_idx: Long, n_frames: Long,
                                fmt: String, width: Long, height: Long,
                                ahash_hi: Long, ahash_lo: Long)

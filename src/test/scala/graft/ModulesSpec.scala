@@ -489,6 +489,61 @@ class ModulesSpec extends SparkSpec {
     assert(again == m)
   }
 
+  test("M14 audioWindowSigs: exact window folds, remainder discipline, malformed-loud, partition stability") {
+    def wav16(samples: Seq[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+      def u16l(v: Int): Unit = b(v, v >> 8)
+      def u32l(v: Int): Unit = b(v, v >> 8, v >> 16, v >> 24)
+      b('R', 'I', 'F', 'F'); u32l(36 + samples.length * 2); b('W', 'A', 'V', 'E')
+      b('f', 'm', 't', ' '); u32l(16)
+      u16l(1); u16l(1); u32l(8000); u32l(16000); u16l(2); u16l(16)
+      b('d', 'a', 't', 'a'); u32l(samples.length * 2)
+      samples.foreach(s => u16l(s & 0xffff))
+      out.toByteArray
+    }
+    // 9 samples over 2 windows of 4: the 9th sample is the ignored
+    // remainder; window 0 crosses zero twice, window 1 once; signed
+    // extremes exercise the energy fold's long arithmetic
+    val vals = Seq(-32768, 32767, -1, -2, /*w1*/ 5, -5, 3, 2, /*cut*/ 9999)
+    val blobs = Seq(
+      (1L, wav16(vals)),
+      (2L, wav16(Seq(1))),              // shorter than `windows`: loud
+      (3L, "noise".getBytes("UTF-8")))  // not a WAV: loud
+      .toDF("doc_id", "content")
+    val rows = Multimodal.audioWindowSigs(blobs, "doc_id", "content", 2)
+      .collect()
+    val byDoc = rows.groupBy(_.doc_id)
+    val w = byDoc(1L).sortBy(_.win_idx)
+    assert(w.map(_.fmt).toSeq == Seq("wav", "wav") && w.length == 2)
+    def e(vs: Seq[Int]) = vs.map(v => v.toLong * v).sum
+    assert(w(0).energy_sq == e(vals.slice(0, 4)) &&
+      w(1).energy_sq == e(vals.slice(4, 8)),
+      "energy must fold exactly the window's samples, remainder ignored")
+    assert(w(0).zero_cross == 2L, s"(-32768,32767,-1,-2) crosses twice: ${w(0)}")
+    assert(w(1).zero_cross == 2L, s"(5,-5,3,2) crosses twice: ${w(1)}")
+    assert(byDoc(2L).toSeq == Seq(
+      Multimodal.AudioWindowSig(2L, "unknown", 0L, 0L, 0L)),
+      "a clip shorter than the window count must be ONE loud unknown")
+    assert(byDoc(3L).head.fmt == "unknown")
+    val again = Multimodal
+      .audioWindowSigs(blobs.repartition(3), "doc_id", "content", 2)
+      .collect().toSet
+    assert(again == rows.toSet, "partition stability")
+    // the m14 planted-overlap invariant: offset-1 siblings share exactly
+    // 3 of their 4 window signatures, cross-class clips share none
+    def clip(id: Long) = (0 until 4).flatMap { wd =>
+      (0 until 64).map(j => SparkEntryMedia.m14Sample((id / 4) * 16 + id % 4 + wd, j).toInt)
+    }
+    val sib = Seq((10L, wav16(clip(10L))), (11L, wav16(clip(11L))),
+      (17L, wav16(clip(17L)))).toDF("doc_id", "content")
+    val sigs = Multimodal.audioWindowSigs(sib, "doc_id", "content", 4)
+      .collect().groupBy(_.doc_id)
+      .map { case (d, rs) => d -> rs.map(r => (r.energy_sq, r.zero_cross)).toSet }
+    assert((sigs(10L) & sigs(11L)).size == 3, "offset-1 siblings share 3 windows")
+    assert((sigs(10L) & sigs(17L)).isEmpty, "cross-class clips share nothing")
+  }
+
   test("M9 decodeAHash: lossy JPEG decodes through the same path, hash near its lossless twin") {
     // the JDK ships a JPEG codec, so the m9 decode path covers the lossy
     // family too: a JPEG re-encode of the same pixels must land within a

@@ -416,6 +416,52 @@ private[graft] object SparkEntryStream {
         .select(col("doc_id"), col("component").as("cluster_id"))
     }),
 
+    // W33 — STREAMING PageRank maintenance (round-16): g1's incremental
+    // twin on the w22 edge-log algebra — edge deltas (here g1's entity
+    // graph split into 3 micro-batches by an md5 hash, so every batch
+    // is a content-addressed arbitrary subset) append to an LSM edge
+    // log; the terminal fold runs the batch integer PageRank over the
+    // logged union. Disclosed trade (PageRankStream's scaladoc): ranks
+    // are a global fixpoint with no append-only form, so the
+    // replay-safe state is the LOG and rank materialization is the
+    // demanded fold. The oracle is g1's 5-iteration unrolled SQL
+    // VERBATIM — incremental edge state must reproduce batch rank truth
+    // value for value, which also pins that delivery slicing cannot
+    // perturb one integer micro-unit.
+    "w33_stream_pagerank" -> ((s, dir) => {
+      import graft.streaming.PageRankStream
+      val edges = SparkEntry.entityEdges(s, dir)
+      val root = s"$streamScratchDir/${dirKey(dir)}_w33"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val tmp = s"$root/tmpall"
+      edges.withColumn("__b",
+          pmod(conv(substring(md5(concat_ws(":",
+            col("src"), col("dst"))), 1, 4), 16, 10).cast("long"),
+            lit(3)))
+        .write.partitionBy("__b").mode("overwrite").parquet(tmp)
+      for (b <- 0 until 3) {
+        val d = new java.io.File(s"$tmp/__b=$b")
+        if (d.isDirectory) {
+          val parts = d.listFiles().filter(f =>
+            f.isFile && f.getName.endsWith(".parquet"))
+          parts.zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$in/b${b}_$i.parquet"))
+          }
+        }
+      }
+      rmTree(tmp)
+      val schema = s.read.parquet(in).schema
+      val q = PageRankStream.start(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+        "src", "dst", s"$root/state", s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      PageRankStream.fold(s, s"$root/state", iters = 5)
+        .select(col("node").as("node_id"), col("rank_micro"))
+    }),
+
     // W24 — STREAMING ingestion into the snapshot table: each arriving
     // micro-batch lands as ONE atomic Snapshots.commitAppend (immutable
     // delta + pointer swing), so readers always see a consistent table
@@ -1102,6 +1148,11 @@ private[graft] object SparkEntryStream {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // w33: g1's 5-iteration unrolled PageRank SQL VERBATIM over the
+    // delivered edge log — the streaming maintenance path must
+    // reproduce batch rank truth to the integer micro-unit.
+    "w33_stream_pagerank" -> SparkEntryGraph.oracle("g1_pagerank"),
 
     // w30: d8's batch oracle VERBATIM over the delivered log — the
     // streaming decontamination path must reproduce the batch overlap

@@ -246,8 +246,7 @@ object Graph {
     * Returns (node, auth_micro, hub_micro) for every node. */
   def hits(edges: DataFrame, src: String, dst: String, iters: Int = 3,
            scale: Long = 1000000L,
-           checkpoint: Cascade.Strategy = Cascade.Auto,
-           cutEvery: Int = 8): DataFrame = {
+           checkpoint: Cascade.Strategy = Cascade.Auto): DataFrame = {
     require(iters >= 1 && scale > 0)
     val e = Cascade.cut(
       edges.select(col(src).as("__s"), col(dst).as("__d")).distinct(),
@@ -260,30 +259,34 @@ object Graph {
     var auth = nodes.select(col("node"), lit(0L).as("auth_micro"))
     var i = 0
     while (i < iters) {
-      val aRaw = hub.join(e, hub("node") === e("__s"))
-        .groupBy(col("__d")).agg(sum(col("hub_micro")).as("__raw"))
-        .select(col("__d").as("node"), col("__raw"))
+      // Each raw-sum frame is consumed TWICE (the rescale join and its
+      // own 1-row max) — left uncut, every round would embed the prior
+      // round's whole plan twice per vector and the plan grows ~4^round
+      // (measured: iters=16 spent 30+ min in canonicalization alone).
+      // A LAZY cut rewrites the double use to one LogicalRDD scan
+      // immediately (no job until the terminal action, and the RDD is
+      // computed once and block-cached when it runs), so the per-round
+      // plan is CONSTANT-size: nodes(cut) ⋈ raw(cut) × max(raw(cut)).
+      // pageRank tolerates cutEvery=8 because its rank chain is only
+      // reused ~2× per round; HITS' 4× makes per-round cuts mandatory.
+      val aRaw = Cascade.cut(
+        hub.join(e, hub("node") === e("__s"))
+          .groupBy(col("__d")).agg(sum(col("hub_micro")).as("__raw"))
+          .select(col("__d").as("node"), col("__raw")),
+        checkpoint, eager = false)
       val aMax = aRaw.agg(coalesce(max(col("__raw")), lit(1L)).as("__m"))
       auth = nodes.join(aRaw, Seq("node"), "left").crossJoin(aMax)
         .select(col("node"),
           expr(s"(coalesce(__raw, 0L) * $scale) div __m").as("auth_micro"))
-      val hRaw = auth.join(e, auth("node") === e("__d"))
-        .groupBy(col("__s")).agg(sum(col("auth_micro")).as("__raw"))
-        .select(col("__s").as("node"), col("__raw"))
+      val hRaw = Cascade.cut(
+        auth.join(e, auth("node") === e("__d"))
+          .groupBy(col("__s")).agg(sum(col("auth_micro")).as("__raw"))
+          .select(col("__s").as("node"), col("__raw")),
+        checkpoint, eager = false)
       val hMax = hRaw.agg(coalesce(max(col("__raw")), lit(1L)).as("__m"))
       hub = nodes.join(hRaw, Seq("node"), "left").crossJoin(hMax)
         .select(col("node"),
           expr(s"(coalesce(__raw, 0L) * $scale) div __m").as("hub_micro"))
-      // pageRank's per-round joins grow BOTH lineages linearly — without
-      // periodic cuts a convergence run (30-50 iters) balloons analysis/
-      // codegen time per round even though each round's work is flat.
-      // Same cutEvery fold as pageRank, applied to the two rank chains
-      // (auth feeds hub, so cutting hub alone would still drag auth's
-      // full plan into the next round).
-      if ((i + 1) % cutEvery == 0 && i + 1 < iters) {
-        auth = Cascade.cut(auth, checkpoint, eager = false)
-        hub = Cascade.cut(hub, checkpoint, eager = false)
-      }
       i += 1
     }
     auth.join(hub, Seq("node"))

@@ -152,4 +152,26 @@ class GraphSpec extends SparkSpec {
       checkpoint = Cascade.NoCheckpoint))
     assert(one == many && one.nonEmpty)
   }
+
+  test("hits: a convergence-length run (iters=16) converges and keeps analysis time bounded") {
+    // the round-16 lineage fix: pre-fix, each round embedded the prior
+    // round's whole plan TWICE per vector (rescale join + its 1-row
+    // max), so plans grew ~4^round and an iters=16 run spent 30+ min in
+    // canonicalization alone. Per-round LAZY cuts of the raw-sum frames
+    // make the per-round plan constant-size; the gate is (a) this run
+    // completes promptly, (b) a 16-round result equals a 15-round one
+    // (the max-normalized integer fixpoint is stationary at convergence
+    // length), which a broken cut (wrong frame reuse) would break.
+    val e = (0L until 300L).map(i => (i % 41, (i * 11) % 41)).toDF("src", "dst")
+    def hs(iters: Int) =
+      Graph.hits(e, "src", "dst", iters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val t0 = System.nanoTime()
+    val r16 = hs(16)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(r16.nonEmpty)
+    assert(sec < 120.0, s"16 HITS rounds took ${sec}s — lineage cut broken?")
+    assert(hs(15) == r16, "scores must be stationary at convergence length")
+  }
 }

@@ -383,6 +383,34 @@ class StreamingSpec extends SparkSpec {
     assert(e == verts.as[Long].collect().map(v => v -> v).toMap)
   }
 
+  test("w33 pagerank edge logs: order-independent, replay-absorbing, fold == batch ranks") {
+    import graft.streaming.PageRankStream
+    import spark.implicits._
+    // a small cyclic graph plus a dangling sink; the cycle-closing edge
+    // arrives LAST so earlier folds would rank a different topology
+    val deltas = Seq(
+      Seq((1L, 2L), (2L, 3L)), Seq((3L, 4L), (4L, 9L)), Seq((4L, 1L)))
+      .map(_.toDF("s", "d"))
+    def runOrder(tag: String, order: Seq[Int]): Map[Long, Long] = {
+      val dirf = java.nio.file.Files.createTempDirectory(s"w33_$tag").toString
+      order.foreach(i => PageRankStream.absorb(deltas(i), "s", "d", dirf))
+      PageRankStream.fold(spark, dirf, iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val fwd = runOrder("fwd", Seq(0, 1, 2))
+    assert(runOrder("rev", Seq(2, 1, 0)) == fwd, "union is commutative")
+    assert(runOrder("replay", Seq(0, 1, 1, 2, 0)) == fwd, "union is idempotent")
+    // equality with the batch engine on the delivered union, to the
+    // integer micro-unit
+    val batch = graft.ops.Graph.pageRank(
+        deltas.reduce(_ union _), "s", "d", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == fwd, "fold must equal batch ranks exactly")
+    // the rank vector is live state: node 9 (dangling sink) holds rank,
+    // and every node appears
+    assert(fwd.keySet == Set(1L, 2L, 3L, 4L, 9L))
+  }
+
   test("w19 session state: boundary-spanning merge, replay idempotence, horizon eviction") {
     import graft.streaming.SessionStream
     import spark.implicits._

@@ -694,6 +694,53 @@ private[graft] object SparkEntrySources {
       phase(1L, v1).union(phase(2L, v2)).union(phase(3L, v3))
     }),
 
+    // C19 — deterministic SAMPLED scan over the snapshot table (round-16,
+    // VERDICT #8: the corpus-assembly TABLESAMPLE that falls out of
+    // s28's ordinal plumbing). Two tiers, both md5-draw pure functions
+    // of (seed, table state) so DuckDB replants them exactly: a SYSTEM
+    // tier hashing each data dir's MANIFEST ORDINAL (surviving dirs are
+    // read, the rest never opened — at 100 TB a 1% sample of a
+    // 10k-delta table costs ~100 deltas), and a BERNOULLI tier hashing
+    // (dir ordinal, per-file row ordinal) inside surviving dirs.
+    // Fixture: four quartile deltas of customer, each ONE sorted file
+    // (so _pos == the quartile's custkey rank, which the oracle
+    // recomputes as a window rank) + the %5 equality delete on top —
+    // the sample is drawn over PHYSICAL rows, then deletes mask as
+    // usual. Phases pin (opened, skipped) + the surviving content:
+    // 1 = full rate (≡ read, 4/0); 2 = SYSTEM 50% (dirs 0,3 by the
+    // pinned draws, 2/2); 3 = BERNOULLI 25% (all dirs open, row draws
+    // bind, 4/0); 4 = both tiers (20% dirs × 50% rows, 1/3).
+    "c19_sampled_scan" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val root = s"$partScratchDir/${dirKey(dir)}_c19"
+      rmTree(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val maxK = cust.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+      val (q1, q2, q3) = (maxK / 4, maxK / 2, 3 * maxK / 4)
+      def delta(p: org.apache.spark.sql.Column) =
+        cust.filter(p).repartition(1).sortWithinPartitions("c_custkey")
+      Snapshots.commitAppend(delta(col("c_custkey") <= q1), root)
+      Snapshots.commitAppend(
+        delta(col("c_custkey") > q1 && col("c_custkey") <= q2), root)
+      Snapshots.commitAppend(
+        delta(col("c_custkey") > q2 && col("c_custkey") <= q3), root)
+      Snapshots.commitAppend(delta(col("c_custkey") > q3), root)
+      Snapshots.commitDelete(
+        cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+          .select(col("c_custkey")), root, "c_custkey")
+      val cols = Seq("c_custkey", "c_mktsegment")
+      def phase(n: Long, rowBp: Int, dirBp: Int) = {
+        val (opened, skipped) = Snapshots.sampleCounts(s, root, dirBp)
+        Validations.tableFingerprint(
+            Snapshots.readSampled(s, root, rowBp, dirBp), cols)
+          .select(lit(n).as("phase"), col("n_rows"), col("fingerprint"),
+            lit(opened.toLong).as("opened"), lit(skipped.toLong).as("skipped"))
+      }
+      phase(1L, 10000, 10000).union(phase(2L, 10000, 5000))
+        .union(phase(3L, 2500, 10000)).union(phase(4L, 5000, 2000))
+    }),
+
     // S19 Z-order (Morton-curve) layout: the MULTI-column clustering s18's
     // single-key sort cannot buy. events is rewritten z-ordered on
     // (user_id, value-cents); the gate measures the ACTUAL per-file
@@ -1164,6 +1211,50 @@ private[graft] object SparkEntrySources {
          |${fp(2, recent, 1, 1)}
          |UNION ALL
          |${fp(3, midRange, 1, 1)}""".stripMargin
+    },
+
+    // c19: the four sampled-scan states replanted from customer alone —
+    // the quartile a row falls in is its dir ordinal j, its custkey
+    // rank within the quartile is its _pos (the fixture writes one
+    // SORTED file per delta), and both tiers' draws are the portable
+    // 48-bit md5 arithmetic, so DuckDB computes the exact sample; the
+    // pinned (opened, skipped) constants judge that dir skipping
+    // actually happens.
+    "c19_sampled_scan" -> {
+      val q1 = "(SELECT max(c_custkey) // 4 FROM customer)"
+      val q2 = "(SELECT max(c_custkey) // 2 FROM customer)"
+      val q3 = "(SELECT 3 * max(c_custkey) // 4 FROM customer)"
+      val ranked =
+        s"""WITH ranked AS MATERIALIZED (
+           |  SELECT c_custkey, c_mktsegment, j,
+           |    row_number() OVER (PARTITION BY j ORDER BY c_custkey) - 1 AS pos
+           |  FROM (SELECT c_custkey, c_mktsegment,
+           |          CASE WHEN c_custkey <= $q1 THEN 0
+           |               WHEN c_custkey <= $q2 THEN 1
+           |               WHEN c_custkey <= $q3 THEN 2
+           |               ELSE 3 END AS j
+           |        FROM customer) b)""".stripMargin
+      def draw(input: String) =
+        s"(('0x' || substr(md5($input), 1, 12))::BIGINT % 10000)"
+      def fp(phase: Int, rowBp: Int, dirBp: Int, opened: Int, skipped: Int) =
+        s"""SELECT CAST($phase AS BIGINT) AS phase, count(*) AS n_rows,
+           |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+           |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+           |    coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))), 1, 10))
+           |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint,
+           |  CAST($opened AS BIGINT) AS opened, CAST($skipped AS BIGINT) AS skipped
+           |FROM (SELECT c_custkey, c_mktsegment FROM ranked
+           |      WHERE c_custkey % 5 <> 0
+           |        AND ${draw("'graft|sys|' || j")} < $dirBp
+           |        AND ${draw("'graft|row|' || j || '|' || pos")} < $rowBp) t""".stripMargin
+      s"""$ranked
+         |${fp(1, 10000, 10000, 4, 0)}
+         |UNION ALL
+         |${fp(2, 10000, 5000, 2, 2)}
+         |UNION ALL
+         |${fp(3, 2500, 10000, 4, 0)}
+         |UNION ALL
+         |${fp(4, 5000, 2000, 1, 3)}""".stripMargin
     },
 
     // s29: the three point-lookup states — probe values re-derived via

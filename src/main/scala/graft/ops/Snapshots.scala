@@ -989,6 +989,103 @@ object Snapshots {
     (opened, dirs.size - opened)
   }
 
+  /** 48-bit md5 draw in [0, 10000) — the portable-hash twin every
+    * sampling oracle replants as
+    * `('0x' || substr(md5(s), 1, 12))::BIGINT % 10000`. */
+  private def drawBp(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % 10000L
+  }
+
+  /** Deterministic SAMPLED scan — TABLESAMPLE over a snapshot table,
+    * two independent tiers, both pure functions of (seed, table state):
+    *
+    *  - SYSTEM tier (`dirRateBp`): data dir at DATA-ORDINAL j (its
+    *    position among the snapshot's data entries) survives iff
+    *    md5(seed|sys|j) lands under the rate — surviving dirs are read,
+    *    the rest are NEVER OPENED (neither scan nor delete join runs).
+    *    This is the 100-TB shape: a 1% system sample of a 10k-delta
+    *    table costs ~100 deltas, like TABLESAMPLE SYSTEM's block
+    *    skipping — with the same documented lumpiness (few dirs ⇒ the
+    *    realized rate is granular; rate the DIRS, not the rows).
+    *  - BERNOULLI tier (`rowRateBp`): within surviving dirs, a row
+    *    survives iff md5(seed|row|j|_pos) lands under the rate — _pos
+    *    is s28's per-file row ordinal, so the draw needs no key column
+    *    and costs one codegen'd filter at the scan (before the delete
+    *    anti-joins).
+    *
+    * Determinism contract: for a GIVEN table state the sample is exact
+    * replay — data files are immutable and manifests only grow, so
+    * (j, _pos) addresses are stable; a [[commitRewrite]]/compaction
+    * re-addresses rows and therefore RESAMPLES, exactly like
+    * TABLESAMPLE SYSTEM after a table rewrite. In a multi-file dir the
+    * row draw keys on (j, _pos) alone — file names carry
+    * run-nondeterministic task nonces, so including them would break
+    * replantability — which samples the SAME ordinals in every file of
+    * the dir: positions are arbitrary physical labels uncorrelated
+    * with content, so the realized rate is unbiased; it only means the
+    * draw is shared across a dir's files, not i.i.d. per row.
+    * Deletes compose as everywhere else: the sample is drawn over
+    * PHYSICAL addresses, then every delete committed after the dir
+    * masks as usual (a sampled-then-deleted row is gone). */
+  def readSampled(spark: SparkSession, tableDir: String,
+                  rowRateBp: Int = 10000, dirRateBp: Int = 10000,
+                  seed: String = "graft",
+                  snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat_ws, conv, lit, pmod, substring, md5 => smd5}
+    require(rowRateBp >= 0 && rowRateBp <= 10000 &&
+      dirRateBp >= 0 && dirRateBp <= 10000,
+      "rates are basis points in [0, 10000]")
+    val snap = snapshotId
+      .map(i => get(spark, tableDir, i).getOrElse(
+        sys.error(s"no snapshot snap-$i under $tableDir")))
+      .getOrElse(current(spark, tableDir).getOrElse(
+        sys.error(s"empty snapshot table $tableDir")))
+    var dataOrd = -1
+    val frames = snap.entries.zipWithIndex.flatMap {
+      case ((DataEntry, d), i) =>
+        dataOrd += 1
+        val j = dataOrd
+        if (drawBp(s"$seed|sys|$j") >= dirRateBp) None
+        else {
+          val rowDraw =
+            if (rowRateBp >= 10000) None
+            else Some(pmod(
+              conv(substring(smd5(concat_ws("|", lit(seed), lit("row"),
+                lit(j.toString), col("_pos").cast("string"))), 1, 12),
+                16, 10).cast("long"), lit(10000L)) < rowRateBp)
+          val scan = maskedDirScan(spark, tableDir, snap, i, d,
+            rowDraw, withPos = true)
+          Some(scan.select(
+            scan.columns.filterNot(Set("_dir", "_file", "_pos"))
+              .map(col).toIndexedSeq: _*))
+        }
+      case _ => None
+    }
+    if (frames.isEmpty)
+      read(spark, tableDir, snapshotId).limit(0)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** [[readSampled]]'s SYSTEM-tier evidence: (opened, skipped) dir
+    * counts for a (seed, dirRateBp) draw — manifest-only, no data IO;
+    * the judged observable, as [[pruneCounts]] for s26. */
+  def sampleCounts(spark: SparkSession, tableDir: String,
+                   dirRateBp: Int, seed: String = "graft",
+                   snapshotId: Option[Long] = None): (Int, Int) = {
+    val snap = snapshotId
+      .map(i => get(spark, tableDir, i).getOrElse(
+        sys.error(s"no snapshot snap-$i under $tableDir")))
+      .getOrElse(current(spark, tableDir).getOrElse(
+        sys.error(s"empty snapshot table $tableDir")))
+    val n = snap.dataDirs.size
+    val opened = (0 until n)
+      .count(j => drawBp(s"$seed|sys|$j") < dirRateBp)
+    (opened, n - opened)
+  }
+
   /** Row-level CHANGES between two snapshots (CDC read): every row with
     * `op = 'I'` was inserted and is still visible at `toId`; every row
     * with `op = 'D'` was visible at `fromId` and is deleted by `toId`. A

@@ -672,6 +672,50 @@ class ScaleSpec extends SparkSpec {
     assert(ks() == Set(5L, 8L))
   }
 
+  test("snapshots: sampled scan — deterministic, nested by rate, dir-skipping, composes with deletes") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapsample").toString
+    // three deltas, one sorted file each (stable ordinals)
+    for (d <- 0 until 3)
+      Snapshots.commitAppend(
+        (0L until 40L).map(i => (d * 100L + i, s"v$d-$i")).toDF("k", "v")
+          .repartition(1).sortWithinPartitions("k"), root)
+    def ks(rowBp: Int, dirBp: Int) =
+      Snapshots.readSampled(spark, root, rowBp, dirBp)
+        .as[(Long, String)].collect().map(_._1).toSet
+    val all = Snapshots.read(spark, root).as[(Long, String)]
+      .collect().map(_._1).toSet
+    // full rate ≡ read; schema + content
+    assert(ks(10000, 10000) == all && all.size == 120)
+    // deterministic replay
+    assert(ks(3000, 10000) == ks(3000, 10000))
+    // BERNOULLI: strict subset at 30%, NESTED in the 60% sample
+    // (threshold draws), empty at rate 0
+    val s30 = ks(3000, 10000); val s60 = ks(6000, 10000)
+    assert(s30.nonEmpty && s30.size < all.size && s30.subsetOf(s60))
+    assert(ks(0, 10000).isEmpty)
+    // SYSTEM: surviving dirs are whole; counts agree with content
+    val (opened, skipped) = Snapshots.sampleCounts(spark, root, 5000)
+    assert(opened + skipped == 3)
+    val sys = ks(10000, 5000)
+    assert(sys.size == opened * 40,
+      s"system tier must keep whole dirs: ${sys.size} vs $opened dirs")
+    // every dir skipped → empty frame in the table's schema
+    val none = Snapshots.readSampled(spark, root, 10000, 0)
+    assert(none.columns.toSeq == Seq("k", "v") && none.isEmpty)
+    // deletes mask AFTER the draw: a sampled row that is deleted is gone
+    val victim = s30.head
+    Snapshots.commitDelete(Seq(Tuple1(victim)).toDF("k"), root, "k")
+    assert(ks(3000, 10000) == s30 - victim)
+    // a position delete composes the same way
+    val victim2 = (s30 - victim).head
+    Snapshots.commitDeletePositions(
+      Snapshots.readWithPos(spark, root).filter(col("k") === victim2)
+        .select("_dir", "_file", "_pos"), root)
+    assert(ks(3000, 10000) == s30 - victim - victim2)
+  }
+
   test("snapshots: bloom point-lookup skipping — one-sided error, survives merge/rewrite, degrades safely") {
     import graft.ops.Snapshots
     import spark.implicits._

@@ -741,6 +741,51 @@ private[graft] object SparkEntrySources {
         .union(phase(3L, 2500, 10000)).union(phase(4L, 5000, 2000))
     }),
 
+    // S30 — WRITE-AUDIT-PUBLISH branches (round-16): Iceberg's WAP /
+    // branch refs on the snapshot table. Staged snapshots take ids in
+    // the same global CAS sequence but carry a branch marker main's
+    // resolution skips (roll-forward AND the crash-degradation scan),
+    // so an ingest pipeline can land data, an audit job can query the
+    // branch, and ONE atomic fast-forward publishes everything — main
+    // readers never see unaudited rows, not even mid-crash. Fixture:
+    // main = quartiles 1-2 of customer + the %5 equality delete; stage
+    // quartiles 3 and 4 on branch 'audit' (staged dirs commit AFTER
+    // the delete, so the sequence rule exempts them — visible proof
+    // the branch inherits main's delete algebra). Phases: 1 = main
+    // mid-audit (staged rows invisible); 2 = the branch (audit's
+    // view: everything); 3 = main after publish (== phase 2 content);
+    // 4 = time travel to the pre-publish main (== phase 1 content —
+    // publication rewrote no history).
+    "s30_wap" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val root = s"$partScratchDir/${dirKey(dir)}_s30"
+      rmTree(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val maxK = cust.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+      val (q1, q2, q3) = (maxK / 4, maxK / 2, 3 * maxK / 4)
+      Snapshots.commitAppend(cust.filter(col("c_custkey") <= q1), root)
+      Snapshots.commitAppend(
+        cust.filter(col("c_custkey") > q1 && col("c_custkey") <= q2), root)
+      val prePublish = Snapshots.commitDelete(
+        cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+          .select(col("c_custkey")), root, "c_custkey")
+      Snapshots.wapStage(
+        cust.filter(col("c_custkey") > q2 && col("c_custkey") <= q3),
+        root, "audit")
+      Snapshots.wapStage(cust.filter(col("c_custkey") > q3), root, "audit")
+      val cols = Seq("c_custkey", "c_mktsegment")
+      def phase(n: Long, df: org.apache.spark.sql.DataFrame) =
+        Validations.tableFingerprint(df, cols)
+          .select(lit(n).as("phase"), col("n_rows"), col("fingerprint"))
+      val p1 = phase(1L, Snapshots.read(s, root))
+      val p2 = phase(2L, Snapshots.readBranch(s, root, "audit"))
+      Snapshots.wapPublish(s, root, "audit")
+      val p3 = phase(3L, Snapshots.read(s, root))
+      val p4 = phase(4L, Snapshots.read(s, root, Some(prePublish)))
+      p1.union(p2).union(p3).union(p4)
+    }),
+
     // S19 Z-order (Morton-curve) layout: the MULTI-column clustering s18's
     // single-key sort cannot buy. events is rewritten z-ordered on
     // (user_id, value-cents); the gate measures the ACTUAL per-file
@@ -1255,6 +1300,37 @@ private[graft] object SparkEntrySources {
          |${fp(3, 2500, 10000, 4, 0)}
          |UNION ALL
          |${fp(4, 5000, 2000, 1, 3)}""".stripMargin
+    },
+
+    // s30: the four WAP states as plain range+delete predicates. The
+    // staged quartiles commit AFTER the %5 delete, so the sequence rule
+    // exempts them (their %5 rows survive) — the oracle encodes exactly
+    // that; phases 1/4 must be identical (publish rewrote no history)
+    // and phases 2/3 identical (publish is a fast-forward, not a copy).
+    "s30_wap" -> {
+      def fp(phase: Int, state: String) =
+        s"""SELECT CAST($phase AS BIGINT) AS phase, count(*) AS n_rows,
+           |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+           |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+           |    coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))), 1, 10))
+           |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+           |FROM ($state) t""".stripMargin
+      val q2 = "(SELECT max(c_custkey) // 2 FROM customer)"
+      val mainOnly =
+        s"""SELECT c_custkey, c_mktsegment FROM customer
+           |  WHERE c_custkey <= $q2 AND c_custkey % 5 <> 0""".stripMargin
+      val published =
+        s"""$mainOnly
+           |UNION ALL
+           |SELECT c_custkey, c_mktsegment FROM customer
+           |  WHERE c_custkey > $q2""".stripMargin
+      s"""${fp(1, mainOnly)}
+         |UNION ALL
+         |${fp(2, published)}
+         |UNION ALL
+         |${fp(3, published)}
+         |UNION ALL
+         |${fp(4, mainOnly)}""".stripMargin
     },
 
     // s29: the three point-lookup states — probe values re-derived via

@@ -92,7 +92,8 @@ object Snapshots {
                             deleteKey: Option[String],
                             tag: Option[String] = None,
                             stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-                            blooms: Map[String, Seq[String]] = Map.empty) {
+                            blooms: Map[String, Seq[String]] = Map.empty,
+                            branch: Option[String] = None) {
     def dataDirs: Seq[String] = entries.collect { case (DataEntry, d) => d }
     def deleteDirs: Seq[String] = entries.collect { case (DeleteEntry, d) => d }
     def posDeleteDirs: Seq[String] =
@@ -217,6 +218,10 @@ object Snapshots {
     val rest = lines.drop(1)
     val deleteKey = rest.collectFirst { case s"deletekey=$k" => k }
     val tag = rest.collectFirst { case s"tag=$t" => t }
+    // STAGED (write-audit-publish) snapshots carry their branch name:
+    // main's resolution (roll-forward + degradation scan) skips them,
+    // so staging is invisible until an explicit publish
+    val branch = rest.collectFirst { case s"branch=$b" => b }
     // per-(dir, column) stats ride dedicated lines (older manifests
     // simply have none): stats=<dir>|<col>|<min>|<max> — one line per
     // column, so multi-column stats accumulate per dir
@@ -240,13 +245,14 @@ object Snapshots {
     }.groupBy(_._1).map { case (d, ls) => d -> ls.map(_._2) }
     val entries = rest
       .filterNot(l => l.startsWith("deletekey=") || l.startsWith("tag=") ||
-        l.startsWith("stats=") || l.startsWith("bloom="))
+        l.startsWith("stats=") || l.startsWith("bloom=") ||
+        l.startsWith("branch="))
       .map {
         case d if d.startsWith("posdelete/") => (PosDeleteEntry: EntryKind, d)
         case d if d.startsWith("delete/") => (DeleteEntry: EntryKind, d)
         case d => (DataEntry: EntryKind, d)
       }
-    Snapshot(id, parent, entries, deleteKey, tag, stats, blooms)
+    Snapshot(id, parent, entries, deleteKey, tag, stats, blooms, branch)
   }
 
   private def renderManifest(parent: Option[Long],
@@ -254,10 +260,12 @@ object Snapshots {
                              deleteKey: Option[String],
                              tag: Option[String] = None,
                              stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-                             blooms: Map[String, Seq[String]] = Map.empty): String =
+                             blooms: Map[String, Seq[String]] = Map.empty,
+                             branch: Option[String] = None): String =
     (s"parent=${parent.map(_.toString).getOrElse("-")}" +:
       (deleteKey.map(k => s"deletekey=$k").toSeq ++
         tag.map(t => s"tag=$t").toSeq ++
+        branch.map(b => s"branch=$b").toSeq ++
         // stats/bloom lines in (entry, column) order for stable round-trips
         entries.flatMap {
           case (DataEntry, d) => stats.getOrElse(d, Map.empty).toSeq
@@ -302,12 +310,24 @@ object Snapshots {
           .flatMap(get(spark, tableDir, _))
       } catch { case _: java.io.IOException => None }
     if (cur.isEmpty)
-      cur = retainedIds(fs, tableDir).maxOption
-        .flatMap(get(spark, tableDir, _))
-    var next = get(spark, tableDir, cur.map(_.id).getOrElse(0L) + 1L)
-    while (next.isDefined && next.get.parent == cur.map(_.id)) {
-      cur = next
-      next = get(spark, tableDir, cur.get.id + 1L)
+      // max retained MAIN snapshot: a staged (branch-marked) manifest
+      // must never become main via the degradation path — an unaudited
+      // branch head outranking main's ids is exactly the crash scenario
+      // write-audit-publish exists to prevent
+      cur = retainedIds(fs, tableDir).sorted(Ordering[Long].reverse)
+        .iterator.flatMap(get(spark, tableDir, _)).find(_.branch.isEmpty)
+    // roll forward over MAIN children only; staged snapshots occupy ids
+    // in the same global sequence (their manifest CAS is the same
+    // fail-if-exists), so they are SKIPPED, not stopping points
+    var probe = cur.map(_.id).getOrElse(0L) + 1L
+    var done = false
+    while (!done) {
+      get(spark, tableDir, probe) match {
+        case Some(s) if s.branch.isDefined => probe += 1
+        case Some(s) if s.parent == cur.map(_.id) =>
+          cur = Some(s); probe = s.id + 1
+        case _ => done = true
+      }
     }
     cur
   }
@@ -331,6 +351,31 @@ object Snapshots {
     val fs = fsFor(spark, tableDir)
     val mf = new Path(tableDir, s"snap-$id")
     if (!fs.exists(mf)) None else Some(parseManifest(id, readText(fs, mf)))
+  }
+
+  /** CAS-create the next MAIN manifest starting at `startId`. An id
+    * occupied by a STAGED (branch-marked) snapshot is NOT a conflict —
+    * branches share the global id sequence by design — so the probe
+    * moves past it; an id occupied by an unmarked manifest rethrows
+    * (a true concurrent main writer; callers clean their dirs and
+    * surface it). The manifest text is id-independent (parent and
+    * entries name the same state wherever it lands). Returns the id
+    * that won. */
+  private def casMainManifest(spark: SparkSession, fs: FileSystem,
+                              tableDir: String, startId: Long,
+                              text: String): Long = {
+    var id = startId
+    while (true) {
+      try {
+        writeAtomic(fs, tableDir, s"snap-$id", text, overwrite = false)
+        return id
+      } catch {
+        case e: CommitConflictException =>
+          if (get(spark, tableDir, id).exists(_.branch.isDefined)) id += 1
+          else throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** Append `df` as a new snapshot: write `data/delta-N-<nonce>`
@@ -423,15 +468,15 @@ object Snapshots {
       (if (newBlooms.isEmpty) Map.empty else Map(dataDir -> newBlooms))
     val entries = cur.map(_.entries).getOrElse(Nil) :+
       ((DataEntry: EntryKind, dataDir))
-    try writeAtomic(fs, tableDir, s"snap-$id",
-      renderManifest(cur.map(_.id), entries, cur.flatMap(_.deleteKey), tag,
-        stats, blooms),
-      overwrite = false)
-    catch { case e: CommitConflictException =>
-      fs.delete(new Path(tableDir, dataDir), true); throw e
-    }
-    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
-    id
+    val won =
+      try casMainManifest(spark, fs, tableDir, id,
+        renderManifest(cur.map(_.id), entries, cur.flatMap(_.deleteKey), tag,
+          stats, blooms))
+      catch { case e: CommitConflictException =>
+        fs.delete(new Path(tableDir, dataDir), true); throw e
+      }
+    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$won")
+    won
   }
 
   /** Build `_bloom_<col>` sidecars inside `dataDir` for each column —
@@ -566,15 +611,15 @@ object Snapshots {
     keys.select(keyCol).write.mode("overwrite")
       .parquet(new Path(tableDir, delDir).toString)
     val entries = cur.entries :+ ((DeleteEntry: EntryKind, delDir))
-    try writeAtomic(fs, tableDir, s"snap-$id",
-      renderManifest(Some(cur.id), entries, Some(keyCol), stats = cur.stats,
-        blooms = cur.blooms),
-      overwrite = false)
-    catch { case e: CommitConflictException =>
-      fs.delete(new Path(tableDir, delDir), true); throw e
-    }
-    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
-    id
+    val won =
+      try casMainManifest(spark, fs, tableDir, id,
+        renderManifest(Some(cur.id), entries, Some(keyCol), stats = cur.stats,
+          blooms = cur.blooms))
+      catch { case e: CommitConflictException =>
+        fs.delete(new Path(tableDir, delDir), true); throw e
+      }
+    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$won")
+    won
   }
 
   /** Copy-on-write materialization of the merge-on-read state: one new
@@ -598,18 +643,18 @@ object Snapshots {
       cur.statsColumns, strict = false)
     val newBlooms = buildBlooms(spark, tableDir, dataDir,
       cur.bloomColumns, strict = false)
-    try writeAtomic(fs, tableDir, s"snap-$id",
-      renderManifest(Some(cur.id),
-        Seq((DataEntry: EntryKind, dataDir)), cur.deleteKey,
-        stats = if (newStats.isEmpty) Map.empty else Map(dataDir -> newStats),
-        blooms = if (newBlooms.isEmpty) Map.empty
-          else Map(dataDir -> newBlooms)),
-      overwrite = false)
-    catch { case e: CommitConflictException =>
-      fs.delete(new Path(tableDir, dataDir), true); throw e
-    }
-    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
-    id
+    val won =
+      try casMainManifest(spark, fs, tableDir, id,
+        renderManifest(Some(cur.id),
+          Seq((DataEntry: EntryKind, dataDir)), cur.deleteKey,
+          stats = if (newStats.isEmpty) Map.empty else Map(dataDir -> newStats),
+          blooms = if (newBlooms.isEmpty) Map.empty
+            else Map(dataDir -> newBlooms)))
+      catch { case e: CommitConflictException =>
+        fs.delete(new Path(tableDir, dataDir), true); throw e
+      }
+    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$won")
+    won
   }
 
   /** MERGE (upsert) in ONE atomic commit — the lakehouse `MERGE INTO`:
@@ -687,21 +732,22 @@ object Snapshots {
       cur.bloomColumns, strict = false)
     val entries = cur.entries :+ ((DeleteEntry: EntryKind, delDir)) :+
       ((DataEntry: EntryKind, dataDir))
-    try writeAtomic(fs, tableDir, s"snap-$id",
-      renderManifest(Some(cur.id), entries, Some(keyCol), tag,
-        stats = cur.stats ++
-          (if (newStats.isEmpty) Map.empty
-           else Map(dataDir -> newStats)),
-        blooms = cur.blooms ++
-          (if (newBlooms.isEmpty) Map.empty
-           else Map(dataDir -> newBlooms))), overwrite = false)
-    catch { case e: CommitConflictException =>
-      fs.delete(new Path(tableDir, delDir), true)
-      fs.delete(new Path(tableDir, dataDir), true)
-      throw e
-    }
-    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
-    id
+    val won =
+      try casMainManifest(spark, fs, tableDir, id,
+        renderManifest(Some(cur.id), entries, Some(keyCol), tag,
+          stats = cur.stats ++
+            (if (newStats.isEmpty) Map.empty
+             else Map(dataDir -> newStats)),
+          blooms = cur.blooms ++
+            (if (newBlooms.isEmpty) Map.empty
+             else Map(dataDir -> newBlooms))))
+      catch { case e: CommitConflictException =>
+        fs.delete(new Path(tableDir, delDir), true)
+        fs.delete(new Path(tableDir, dataDir), true)
+        throw e
+      }
+    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$won")
+    won
   }
 
   /** One data dir's rows at snapshot `snap` with every delete committed
@@ -833,15 +879,15 @@ object Snapshots {
       .distinct()
       .write.mode("overwrite").parquet(new Path(tableDir, pdDir).toString)
     val entries = cur.entries :+ ((PosDeleteEntry: EntryKind, pdDir))
-    try writeAtomic(fs, tableDir, s"snap-$id",
-      renderManifest(Some(cur.id), entries, cur.deleteKey, stats = cur.stats,
-        blooms = cur.blooms),
-      overwrite = false)
-    catch { case e: CommitConflictException =>
-      fs.delete(new Path(tableDir, pdDir), true); throw e
-    }
-    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
-    id
+    val won =
+      try casMainManifest(spark, fs, tableDir, id,
+        renderManifest(Some(cur.id), entries, cur.deleteKey, stats = cur.stats,
+          blooms = cur.blooms))
+      catch { case e: CommitConflictException =>
+        fs.delete(new Path(tableDir, pdDir), true); throw e
+      }
+    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$won")
+    won
   }
 
   /** [[read]] with FILE SKIPPING — the Iceberg/Delta stats-pruned scan:
@@ -1086,6 +1132,164 @@ object Snapshots {
     (opened, n - opened)
   }
 
+  private def branchPtr(name: String) = s"_BRANCH_$name"
+
+  /** Head of a STAGING BRANCH (write-audit-publish, Iceberg's WAP /
+    * branch refs): resolution mirrors [[current]] — pointer, then roll
+    * forward along this branch's own children, degrading to the max
+    * retained manifest carrying this branch's marker. None = no such
+    * branch. */
+  def branchHead(spark: SparkSession, tableDir: String,
+                 name: String): Option[Snapshot] = {
+    val fs = fsFor(spark, tableDir)
+    val ptr = new Path(tableDir, branchPtr(name))
+    var cur: Option[Snapshot] =
+      try {
+        if (!fs.exists(ptr)) None
+        else readText(fs, ptr).trim.stripPrefix("snap-").toLongOption
+          .flatMap(get(spark, tableDir, _))
+      } catch { case _: java.io.IOException => None }
+    if (cur.isEmpty)
+      cur = retainedIds(fs, tableDir).sorted(Ordering[Long].reverse)
+        .iterator.flatMap(get(spark, tableDir, _))
+        .find(_.branch.contains(name))
+    if (cur.isEmpty) return None
+    var probe = cur.get.id + 1L
+    var done = false
+    while (!done) {
+      get(spark, tableDir, probe) match {
+        case Some(s) if s.branch.contains(name) &&
+          s.parent.contains(cur.get.id) =>
+          cur = Some(s); probe = s.id + 1
+        case Some(_) => probe += 1 // another branch's or main's id
+        case None => done = true
+      }
+    }
+    cur
+  }
+
+  /** The branch head's table state (merge-on-read, like [[read]] at
+    * that snapshot) — what an audit job queries before publishing. */
+  def readBranch(spark: SparkSession, tableDir: String,
+                 name: String): DataFrame =
+    read(spark, tableDir, Some(branchHead(spark, tableDir, name).getOrElse(
+      sys.error(s"no branch '$name' under $tableDir")).id))
+
+  /** STAGE an append on a branch — the write of write-audit-publish.
+    * The staged snapshot is a full manifest (parent = branch head, or
+    * main's current on first stage) in the SAME global id sequence
+    * (its manifest CAS is the same fail-if-exists; conflicts probe the
+    * next id), but it carries a `branch=` marker, so main's resolution
+    * NEVER sees it: not by roll-forward, not by the degradation scan.
+    * Readers of main are bitwise unaffected until [[wapPublish]];
+    * [[expire]] leaves staged manifests alone ([[branchDrop]] is their
+    * lifecycle); [[vacuum]] sees their manifests and protects their
+    * dirs. Tags are per-branch idempotence, as in [[commitAppend]]. */
+  def wapStage(df: DataFrame, tableDir: String, branch: String,
+               tag: Option[String] = None): Long = {
+    require(branch.nonEmpty &&
+      branch.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"branch name must be [A-Za-z0-9_-]+: '$branch'")
+    val spark = df.sparkSession
+    val fs = fsFor(spark, tableDir)
+    val head = branchHead(spark, tableDir, branch)
+    tag.foreach { t => // idempotent replay: walk the BRANCH chain
+      var c = head
+      while (c.isDefined) {
+        if (c.get.tag.contains(t)) return c.get.id
+        c = c.get.parent.flatMap(get(spark, tableDir, _))
+      }
+    }
+    val base = head.orElse(current(spark, tableDir)).getOrElse(
+      sys.error(s"wapStage on empty snapshot table $tableDir " +
+        "(commit a main base first)"))
+    val dataDir = s"data/delta-wap-${nonce()}"
+    df.write.mode("overwrite").parquet(new Path(tableDir, dataDir).toString)
+    val entries = base.entries :+ ((DataEntry: EntryKind, dataDir))
+    var id = math.max(base.id,
+      current(spark, tableDir).map(_.id).getOrElse(0L)) + 1L
+    while (true) {
+      try {
+        writeAtomic(fs, tableDir, s"snap-$id",
+          renderManifest(Some(base.id), entries, base.deleteKey, tag,
+            stats = base.stats, blooms = base.blooms,
+            branch = Some(branch)),
+          overwrite = false)
+        writeAtomic(fs, tableDir, branchPtr(branch), s"snap-$id")
+        return id
+      } catch { case _: CommitConflictException => id += 1 }
+    }
+    -1L // unreachable
+  }
+
+  /** PUBLISH a branch to main — the atomic fast-forward that makes
+    * every staged snapshot visible at once, AFTER the audit queried
+    * [[readBranch]] and approved. Contract: main's current must be an
+    * ANCESTOR of the branch head (the fork base — i.e. main has not
+    * moved since staging began); otherwise the audit validated a stale
+    * base and this throws — re-stage against the new main. Publication
+    * is one manifest: parent = main's current, entries/stats/blooms =
+    * the branch head's (the staged dirs are immutable and shared, so
+    * this IS a fast-forward, not a copy of data), no branch marker,
+    * tagged for idempotent retries. Time travel to pre-publish main
+    * still reads the unaudited-free history. */
+  def wapPublish(spark: SparkSession, tableDir: String,
+                 branch: String): Long = {
+    val fs = fsFor(spark, tableDir)
+    val head = branchHead(spark, tableDir, branch).getOrElse(
+      sys.error(s"no branch '$branch' under $tableDir"))
+    val pubTag = s"wap-publish-$branch-${head.id}"
+    findTag(spark, tableDir, pubTag) match {
+      case Some(existing) => return existing // crash-replayed publish
+      case None => ()
+    }
+    val main = current(spark, tableDir).getOrElse(
+      sys.error(s"publish into empty snapshot table $tableDir"))
+    var a: Option[Snapshot] = Some(head)
+    var ancestor = false
+    while (a.isDefined && !ancestor) {
+      if (a.get.id == main.id) ancestor = true
+      else a = a.get.parent.flatMap(get(spark, tableDir, _))
+    }
+    require(ancestor,
+      s"main (snap-${main.id}) is not an ancestor of branch '$branch' " +
+        s"head (snap-${head.id}): main advanced since the fork — the " +
+        "audit validated a stale base; re-stage and re-audit")
+    var id = math.max(head.id, main.id) + 1L
+    while (true) {
+      try {
+        writeAtomic(fs, tableDir, s"snap-$id",
+          renderManifest(Some(main.id), head.entries, head.deleteKey,
+            tag = Some(pubTag), stats = head.stats, blooms = head.blooms),
+          overwrite = false)
+        writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
+        return id
+      } catch {
+        case e: CommitConflictException =>
+          val m2 = current(spark, tableDir).getOrElse(main)
+          if (m2.id != main.id) throw new IllegalStateException(
+            s"main advanced to snap-${m2.id} during publish of " +
+              s"'$branch'; re-audit against the new base", e)
+          id += 1 // a concurrent STAGE took the id; main is unmoved
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Drop a branch: delete its manifests and pointer. Staged-only data
+    * dirs become unreferenced and the next [[vacuum]] reclaims them;
+    * published dirs are referenced by the publish manifest and stay. */
+  def branchDrop(spark: SparkSession, tableDir: String,
+                 branch: String): Seq[Long] = {
+    val fs = fsFor(spark, tableDir)
+    val dropped = retainedIds(fs, tableDir)
+      .filter(i => get(spark, tableDir, i).exists(_.branch.contains(branch)))
+      .sorted
+    dropped.foreach(i => fs.delete(new Path(tableDir, s"snap-$i"), false))
+    fs.delete(new Path(tableDir, branchPtr(branch)), false)
+    dropped
+  }
+
   /** Row-level CHANGES between two snapshots (CDC read): every row with
     * `op = 'I'` was inserted and is still visible at `toId`; every row
     * with `op = 'D'` was visible at `fromId` and is deleted by `toId`. A
@@ -1194,8 +1398,12 @@ object Snapshots {
     // and is free here since expire already holds the authoritative cur)
     writeAtomic(fs, tableDir, "_CURRENT", s"snap-${cur.id}")
     val cutoff = cur.id - keepLast + 1
-    val expired = (1L until cutoff).filter(i =>
-      fs.exists(new Path(tableDir, s"snap-$i")))
+    // staged (branch-marked) manifests live OUTSIDE main's history —
+    // expire's keepLast window is a MAIN retention policy and must not
+    // reap an open branch mid-audit (branchDrop is their lifecycle)
+    val expired = (1L until cutoff)
+      .filter(i => fs.exists(new Path(tableDir, s"snap-$i")))
+      .filter(i => get(spark, tableDir, i).forall(_.branch.isEmpty))
     expired.foreach(i => fs.delete(new Path(tableDir, s"snap-$i"), false))
     expired
   }

@@ -672,6 +672,63 @@ class ScaleSpec extends SparkSpec {
     assert(ks() == Set(5L, 8L))
   }
 
+  test("snapshots: write-audit-publish branches — staged invisible to main, atomic fast-forward, drop+vacuum") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapwap").toString
+    val base = Snapshots.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    def mainKs = Snapshots.read(spark, root)
+      .as[(Long, String)].collect().map(_._1).toSet
+    // stage two appends on a branch; main must be bitwise unaffected —
+    // including through roll-forward (the staged id IS main.id + 1)
+    val s1 = Snapshots.wapStage(Seq((3L, "c")).toDF("k", "v"), root, "audit")
+    assert(s1 == base + 1, "staged snapshot takes the next global id")
+    assert(Snapshots.current(spark, root).get.id == base,
+      "roll-forward must skip staged snapshots")
+    assert(mainKs == Set(1L, 2L))
+    val s2 = Snapshots.wapStage(Seq((4L, "d")).toDF("k", "v"), root, "audit",
+      tag = Some("t2"))
+    // tag idempotence along the branch chain
+    assert(Snapshots.wapStage(Seq((99L, "x")).toDF("k", "v"), root, "audit",
+      tag = Some("t2")) == s2)
+    // the audit's view: base + both staged appends
+    assert(Snapshots.readBranch(spark, root, "audit")
+      .as[(Long, String)].collect().map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    // degradation safety: with the pointer gone, the max retained id is
+    // the STAGED head — main must still resolve to the unmarked base
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_CURRENT"), false)
+    assert(Snapshots.current(spark, root).get.id == base,
+      "degradation scan must never promote an unaudited staged head")
+    // publish: one atomic fast-forward; time travel to pre-publish main
+    // still reads the clean history; a replayed publish is idempotent
+    val pub = Snapshots.wapPublish(spark, root, "audit")
+    assert(mainKs == Set(1L, 2L, 3L, 4L))
+    assert(Snapshots.read(spark, root, Some(base))
+      .as[(Long, String)].collect().map(_._1).toSet == Set(1L, 2L))
+    assert(Snapshots.wapPublish(spark, root, "audit") == pub)
+    // a branch forked BEFORE main moved cannot publish afterwards
+    Snapshots.wapStage(Seq((5L, "e")).toDF("k", "v"), root, "stale")
+    Snapshots.commitAppend(Seq((6L, "f")).toDF("k", "v"), root)
+    intercept[IllegalArgumentException] {
+      Snapshots.wapPublish(spark, root, "stale")
+    }
+    // expire never reaps staged manifests; branchDrop + vacuum reclaims
+    // the staged-only dir while published dirs stay referenced
+    Snapshots.expire(spark, root, keepLast = 1)
+    assert(Snapshots.branchHead(spark, root, "stale").isDefined,
+      "expire must leave open branches alone")
+    val staleDir = Snapshots.branchHead(spark, root, "stale").get
+      .dataDirs.filterNot(Snapshots.current(spark, root).get.dataDirs.toSet)
+    Snapshots.branchDrop(spark, root, "stale")
+    val vac = Snapshots.vacuum(spark, root, tmpGraceMs = 0L)
+    assert(staleDir.forall(vac.contains),
+      s"dropped staged dirs must be vacuumed: $staleDir vs $vac")
+    assert(mainKs == Set(1L, 2L, 3L, 4L, 6L), "post-GC read stability")
+  }
+
   test("snapshots: sampled scan — deterministic, nested by rate, dir-skipping, composes with deletes") {
     import graft.ops.Snapshots
     import spark.implicits._

@@ -786,6 +786,60 @@ private[graft] object SparkEntrySources {
       p1.union(p2).union(p3).union(p4)
     }),
 
+    // S31 — incremental MATERIALIZED-VIEW maintenance (round-16): a
+    // per-segment (count, sum-of-cents) rollup of a snapshot-table fact
+    // stays fresh by folding each CDC interval (changesBetween) into a
+    // group-keyed MERGE — count/sum are self-maintainable (Gupta &
+    // Mumick), so refresh cost is the interval + the touched groups,
+    // NEVER a rescan of the fact table. The refresh watermark rides the
+    // MV commit's idempotence tag. Fixture mirrors s27's churn: two
+    // quartile appends, the %5 delete, then a MERGE re-segmenting the
+    // %3 keys to 'M_'+segment with the %9∩%3 keys as pure deletes —
+    // groups grow, shrink, MOVE (a re-segmented row leaves one group
+    // and enters another), and vanish. Phases fingerprint the MV after
+    // each refresh; every phase must equal the full recompute of the
+    // source state at that point (which is exactly what the oracle
+    // computes from customer).
+    "s31_incremental_mv" -> ((s, dir) => {
+      import graft.ops.{MaterializedView, Snapshots}
+      val root = s"$partScratchDir/${dirKey(dir)}_s31"
+      rmTree(root)
+      val (src, mv) = (s"$root/src", s"$root/mv")
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS LONG)").as("bal_c"))
+      val maxK = cust.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+      val (q1, q2) = (maxK / 4, maxK / 2)
+      val cols = Seq("c_mktsegment", "cnt", "sum_bal_c")
+      def phase(n: Long) = {
+        MaterializedView.refresh(s, src, mv, "c_mktsegment", Seq("bal_c"))
+        Validations.tableFingerprint(Snapshots.read(s, mv), cols)
+          .select(lit(n).as("phase"), col("n_rows"), col("fingerprint"))
+      }
+      Snapshots.commitAppend(cust.filter(col("c_custkey") <= q1), src)
+      val p1 = phase(1L)
+      Snapshots.commitAppend(
+        cust.filter(col("c_custkey") > q1 && col("c_custkey") <= q2), src)
+      val p2 = phase(2L)
+      Snapshots.commitDelete(
+        cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+          .select(col("c_custkey")), src, "c_custkey")
+      val p3 = phase(3L)
+      Snapshots.commitMergeKeyed(
+        cust.filter(col("c_custkey") <= q2 &&
+            pmod(col("c_custkey"), lit(3)) === 0 &&
+            pmod(col("c_custkey"), lit(9)) =!= 0)
+          .select(col("c_custkey"),
+            concat(lit("M_"), col("c_mktsegment")).as("c_mktsegment"),
+            col("bal_c")),
+        cust.filter(col("c_custkey") <= q2 &&
+            pmod(col("c_custkey"), lit(9)) === 0)
+          .select(col("c_custkey")),
+        src, "c_custkey")
+      val p4 = phase(4L)
+      p1.union(p2).union(p3).union(p4)
+    }),
+
     // S19 Z-order (Morton-curve) layout: the MULTI-column clustering s18's
     // single-key sort cannot buy. events is rewritten z-ordered on
     // (user_id, value-cents); the gate measures the ACTUAL per-file
@@ -1300,6 +1354,39 @@ private[graft] object SparkEntrySources {
          |${fp(3, 2500, 10000, 4, 0)}
          |UNION ALL
          |${fp(4, 5000, 2000, 1, 3)}""".stripMargin
+    },
+
+    // s31: the four MV states recomputed FULLY from customer — the
+    // incremental path must land on the recompute exactly (group
+    // counts, exact-cents sums, group births/moves/deaths included).
+    "s31_incremental_mv" -> {
+      val q1 = "(SELECT max(c_custkey) // 4 FROM customer)"
+      val q2 = "(SELECT max(c_custkey) // 2 FROM customer)"
+      def fp(phase: Int, state: String) =
+        s"""SELECT CAST($phase AS BIGINT) AS phase, count(*) AS n_rows,
+           |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+           |    coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)),
+           |    coalesce(CAST(cnt AS VARCHAR), chr(0)),
+           |    coalesce(CAST(sum_bal_c AS VARCHAR), chr(0)))), 1, 10))
+           |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+           |FROM (SELECT c_mktsegment, count(*) AS cnt,
+           |        CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           |          AS sum_bal_c
+           |      FROM ($state) s GROUP BY c_mktsegment) t""".stripMargin
+      val merged =
+        s"""SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+           |  WHERE c_custkey <= $q2 AND c_custkey % 3 <> 0 AND c_custkey % 5 <> 0
+           |UNION ALL
+           |SELECT c_custkey, 'M_' || c_mktsegment AS c_mktsegment, c_acctbal
+           |  FROM customer
+           |  WHERE c_custkey <= $q2 AND c_custkey % 3 = 0 AND c_custkey % 9 <> 0""".stripMargin
+      s"""${fp(1, s"SELECT * FROM customer WHERE c_custkey <= $q1")}
+         |UNION ALL
+         |${fp(2, s"SELECT * FROM customer WHERE c_custkey <= $q2")}
+         |UNION ALL
+         |${fp(3, s"SELECT * FROM customer WHERE c_custkey <= $q2 AND c_custkey % 5 <> 0")}
+         |UNION ALL
+         |${fp(4, merged)}""".stripMargin
     },
 
     // s30: the four WAP states as plain range+delete predicates. The

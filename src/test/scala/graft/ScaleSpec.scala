@@ -672,6 +672,57 @@ class ScaleSpec extends SparkSpec {
     assert(ks() == Set(5L, 8L))
   }
 
+  test("materialized view: incremental refresh == full recompute through appends, deletes, merges; touched-groups-only writes") {
+    import graft.ops.{MaterializedView, Snapshots}
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("mvsrc").toString
+    val mv = java.nio.file.Files.createTempDirectory("mvview").toString
+    def recompute() = Snapshots.read(spark, src)
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+      .as[(String, Long, Long)].collect().toSet
+    def view() = Snapshots.read(spark, mv)
+      .as[(String, Long, Long)].collect().toSet
+    def fresh() = MaterializedView.refresh(spark, src, mv, "g", Seq("v"))
+    // bootstrap
+    Snapshots.commitAppend(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 5L))
+      .toDF("g", "k", "v"), src)
+    fresh()
+    assert(view() == recompute() && view() == Set(("a", 2L, 30L), ("b", 1L, 5L)))
+    // no-op refresh: same MV snapshot id
+    assert(fresh() == fresh())
+    // append touching ONE group: the refresh's data dir holds only it
+    Snapshots.commitAppend(Seq(("b", 4L, 7L)).toDF("g", "k", "v"), src)
+    fresh()
+    assert(view() == recompute())
+    val lastDir = Snapshots.current(spark, mv).get.dataDirs.last
+    val written = spark.read.parquet(s"$mv/$lastDir")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(written == Seq(("b", 2L, 12L)),
+      s"refresh must write only touched groups: $written")
+    // delete shrinks a group; deleting a group's last row removes it
+    Snapshots.commitDelete(Seq(Tuple1(2L)).toDF("k"), src, "k")
+    fresh()
+    assert(view() == recompute() && view().exists(_ == ("a", 1L, 10L)))
+    Snapshots.commitDelete(Seq(Tuple1(1L)).toDF("k"), src, "k")
+    fresh()
+    assert(view() == recompute())
+    assert(!view().exists(_._1 == "a"), "zero-count groups must vanish")
+    // a MERGE moves a row across groups: both groups adjust
+    Snapshots.commitMergeKeyed(Seq(("c", 3L, 5L)).toDF("g", "k", "v"),
+      spark.emptyDataset[Long].toDF("k"), src, "k")
+    fresh()
+    assert(view() == recompute() &&
+      view() == Set(("b", 1L, 7L), ("c", 1L, 5L)))
+    // several source commits folded by ONE refresh
+    Snapshots.commitAppend(Seq(("d", 9L, 1L)).toDF("g", "k", "v"), src)
+    Snapshots.commitDelete(Seq(Tuple1(4L)).toDF("k"), src, "k")
+    fresh()
+    assert(view() == recompute() && view() == Set(("c", 1L, 5L), ("d", 1L, 1L)))
+    // watermark rides tags: survives a reader re-resolving from scratch
+    assert(MaterializedView.lastRefreshedSrcId(spark, mv) ==
+      Snapshots.current(spark, src).get.id)
+  }
+
   test("snapshots: write-audit-publish branches — staged invisible to main, atomic fast-forward, drop+vacuum") {
     import graft.ops.Snapshots
     import spark.implicits._

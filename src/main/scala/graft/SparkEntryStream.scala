@@ -579,6 +579,67 @@ private[graft] object SparkEntryStream {
             .cast("int").cast("long").as("replay_ok"))
     }),
 
+    // W34 — STREAM-MAINTAINED MATERIALIZED VIEW (round-16): w31's
+    // atomic CDC MERGE per batch, now chained with an s31 refresh in
+    // the same foreachBatch — between any two batches the per-segment
+    // (count, sum-of-keys) rollup equals the full recompute of the
+    // CDC-maintained table, at CDC-interval + touched-groups cost
+    // (never a table rescan, never an MV rescan). Fixture = w31's
+    // exact op batches (upserts, deletes, re-segmentations — groups
+    // grow, move, shrink). Gates: the rollup content (the oracle
+    // recomputes it from the last-op-wins state), one refresh commit
+    // per batch (mv_chain = 3), and double exactly-once replay —
+    // re-absorbing the last batch moves NEITHER the table chain NOR
+    // the view chain (replay_ok).
+    "w34_stream_mv" -> ((s, dir) => {
+      import graft.streaming.CdcStream
+      import graft.ops.{MaterializedView, Snapshots}
+      val root = s"$streamScratchDir/${dirKey(dir)}_w34"
+      rmTree(root)
+      val in = s"$root/in"
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      val m = (n: Int, r: Int) => pmod(col("k"), lit(n)) === r
+      val nm = (n: Int, r: Int) => pmod(col("k"), lit(n)) =!= r
+      val batches = Seq(
+        cust.filter(m(3, 0)).select(lit("upsert").as("op"), col("k"), col("seg")),
+        cust.filter(m(3, 1)).select(lit("upsert").as("op"), col("k"), col("seg"))
+          .unionByName(cust.filter(m(3, 0) && m(5, 0))
+            .select(lit("upsert").as("op"), col("k"),
+              concat(col("seg"), lit("*")).as("seg")))
+          .unionByName(cust.filter(m(3, 0) && m(7, 0) && nm(5, 0))
+            .select(lit("delete").as("op"), col("k"), lit(null).cast("string").as("seg"))),
+        cust.filter(m(3, 2)).select(lit("upsert").as("op"), col("k"), col("seg"))
+          .unionByName(cust.filter(m(3, 1) && m(6, 0))
+            .select(lit("upsert").as("op"), col("k"),
+              concat(col("seg"), lit("**")).as("seg")))
+          .unionByName(cust.filter(m(3, 1) && m(4, 0) && nm(6, 0))
+            .select(lit("delete").as("op"), col("k"), lit(null).cast("string").as("seg")))
+          .unionByName(cust.filter(m(3, 0) && m(11, 0))
+            .select(lit("delete").as("op"), col("k"), lit(null).cast("string").as("seg"))))
+      stageFrames(batches, root)
+      val (table, mv) = (s"$root/table", s"$root/mv")
+      val q = CdcStream.startAtomicMv(
+        s.readStream.schema(s.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in),
+        table, keyCol = "k", opCol = "op", ckptDir = s"$root/ckpt",
+        mvDir = mv, groupCol = "seg", sumCols = Seq("k"))
+      try q.processAllAvailable() finally q.stop()
+      val (tBefore, mBefore) = (Snapshots.current(s, table).get.id,
+        Snapshots.current(s, mv).get.id)
+      // replay the LAST batch + its refresh: both chains frozen
+      CdcStream.absorbAtomic(batches(2), table, "k", "op", Some("cdc-2"))
+      MaterializedView.refresh(s, table, mv, "seg", Seq("k"))
+      val frozen = lit(tBefore) === lit(Snapshots.current(s, table).get.id) &&
+        lit(mBefore) === lit(Snapshots.current(s, mv).get.id) &&
+        lit(mBefore) === lit(3L)
+      Validations.tableFingerprint(Snapshots.read(s, mv),
+          Seq("seg", "cnt", "sum_k"))
+        .select(col("n_rows"), col("fingerprint"),
+          lit(mBefore).as("mv_chain"),
+          frozen.cast("int").cast("long").as("replay_ok"))
+    }),
+
     // W25 — STREAMING ANN index maintenance (e7's IVF tier fed by a
     // vector stream): the codebook is fit ONCE on the bootstrap batch
     // (content-addressed k-means init — replay-identical), every later
@@ -1352,6 +1413,46 @@ private[graft] object SparkEntryStream {
         |  CAST(3 AS BIGINT) AS chain_len,
         |  CAST(1 AS BIGINT) AS replay_ok
         |FROM fin""".stripMargin,
+
+    // w34: w31's last-op-wins state rolled up per segment — the
+    // stream-maintained view must equal the recompute exactly; chain
+    // and replay constants pinned as in w31.
+    "w34_stream_mv" ->
+      """WITH ops AS (
+        |  SELECT 0 AS b, 'upsert' AS op, c_custkey AS k, c_mktsegment AS seg
+        |    FROM customer WHERE c_custkey%3=0
+        |  UNION ALL SELECT 1, 'upsert', c_custkey, c_mktsegment
+        |    FROM customer WHERE c_custkey%3=1
+        |  UNION ALL SELECT 1, 'upsert', c_custkey, c_mktsegment || '*'
+        |    FROM customer WHERE c_custkey%3=0 AND c_custkey%5=0
+        |  UNION ALL SELECT 1, 'delete', c_custkey, NULL
+        |    FROM customer WHERE c_custkey%3=0 AND c_custkey%7=0 AND c_custkey%5<>0
+        |  UNION ALL SELECT 2, 'upsert', c_custkey, c_mktsegment
+        |    FROM customer WHERE c_custkey%3=2
+        |  UNION ALL SELECT 2, 'upsert', c_custkey, c_mktsegment || '**'
+        |    FROM customer WHERE c_custkey%3=1 AND c_custkey%6=0
+        |  UNION ALL SELECT 2, 'delete', c_custkey, NULL
+        |    FROM customer WHERE c_custkey%3=1 AND c_custkey%4=0 AND c_custkey%6<>0
+        |  UNION ALL SELECT 2, 'delete', c_custkey, NULL
+        |    FROM customer WHERE c_custkey%3=0 AND c_custkey%11=0),
+        |fin AS (
+        |  SELECT k, seg FROM (
+        |    SELECT k, seg, op,
+        |      row_number() OVER (PARTITION BY k ORDER BY b DESC) AS rn
+        |    FROM ops)
+        |  WHERE rn = 1 AND op = 'upsert'),
+        |roll AS (
+        |  SELECT seg, count(*) AS cnt, CAST(sum(k) AS BIGINT) AS sum_k
+        |  FROM fin GROUP BY seg)
+        |SELECT count(*) AS n_rows,
+        |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    coalesce(CAST(seg AS VARCHAR), chr(0)),
+        |    coalesce(CAST(cnt AS VARCHAR), chr(0)),
+        |    coalesce(CAST(sum_k AS VARCHAR), chr(0)))), 1, 10)) AS BIGINT))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint,
+        |  CAST(3 AS BIGINT) AS mv_chain,
+        |  CAST(1 AS BIGINT) AS replay_ok
+        |FROM roll""".stripMargin,
 
     // w25: constant-oracle gate (d7/e6 shape) — DuckDB pins the corpus
     // count; the flags assert incremental-index ≡ batch-index parity,

@@ -129,4 +129,26 @@ object CdcStream {
         absorbAtomic(batch, tableDir, keyCol, opCol, Some(s"cdc-$bid"))
       }
       .start()
+
+  /** [[startAtomic]] + a CONTINUOUSLY-FRESH rollup (w34): after each
+    * batch's atomic MERGE, fold the table's new CDC interval into the
+    * materialized view at `mvDir`
+    * ([[graft.ops.MaterializedView.refresh]]) — so between batches the
+    * view always equals the full recompute of the table, at interval +
+    * touched-groups cost. Replay is doubly exact-once: the MERGE by its
+    * `cdc-<bid>` tag, the refresh by its source-watermark tag — a
+    * replayed batch moves NEITHER chain. */
+  def startAtomicMv(ops: DataFrame, tableDir: String, keyCol: String,
+                    opCol: String, ckptDir: String, mvDir: String,
+                    groupCol: String, sumCols: Seq[String]): StreamingQuery =
+    ops.writeStream.outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        absorbAtomic(batch, tableDir, keyCol, opCol, Some(s"cdc-$bid"))
+        if (Snapshots.current(batch.sparkSession, tableDir).isDefined) {
+          graft.ops.MaterializedView.refresh(batch.sparkSession,
+            tableDir, mvDir, groupCol, sumCols); ()
+        }
+      }
+      .start()
 }

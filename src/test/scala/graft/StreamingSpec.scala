@@ -383,6 +383,41 @@ class StreamingSpec extends SparkSpec {
     assert(e == verts.as[Long].collect().map(v => v -> v).toMap)
   }
 
+  test("w34 stream MV: fresh after every batch, double exactly-once replay") {
+    import graft.streaming.CdcStream
+    import graft.ops.{MaterializedView, Snapshots}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("w34spec").toString
+    val (table, mv) = (s"$root/t", s"$root/m")
+    val batches = Seq(
+      Seq(("upsert", 1L, "x", 10L), ("upsert", 2L, "y", 20L)),
+      Seq(("upsert", 1L, "y", 11L), ("delete", 2L, null, 0L)),
+      Seq(("upsert", 3L, "y", 30L)))
+      .map(_.toDF("op", "k", "g", "v"))
+    def recompute() = Snapshots.read(spark, table)
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+      .as[(String, Long, Long)].collect().toSet
+    def view() = Snapshots.read(spark, mv)
+      .as[(String, Long, Long)].collect().toSet
+    // the startAtomicMv body, batch by batch: the view must equal the
+    // recompute BETWEEN batches, not just at the end
+    batches.zipWithIndex.foreach { case (b, i) =>
+      CdcStream.absorbAtomic(b, table, "k", "op", Some(s"cdc-$i"))
+      MaterializedView.refresh(spark, table, mv, "g", Seq("v"))
+      assert(view() == recompute(), s"stale view after batch $i")
+    }
+    // final state: key 2 deleted, key 1 moved x→y with v=11, key 3 new
+    assert(view() == Set(("y", 2L, 41L)))
+    // double exactly-once: replaying the last batch + refresh moves
+    // neither chain
+    val (t0, m0) = (Snapshots.current(spark, table).get.id,
+      Snapshots.current(spark, mv).get.id)
+    CdcStream.absorbAtomic(batches(2), table, "k", "op", Some("cdc-2"))
+    MaterializedView.refresh(spark, table, mv, "g", Seq("v"))
+    assert(Snapshots.current(spark, table).get.id == t0 &&
+      Snapshots.current(spark, mv).get.id == m0)
+  }
+
   test("w33 pagerank edge logs: order-independent, replay-absorbing, fold == batch ranks") {
     import graft.streaming.PageRankStream
     import spark.implicits._

@@ -81,6 +81,28 @@ private[graft] object SparkEntryGraph {
         .select(col("node").as("node_id"), col("auth_micro"), col("hub_micro"))
     }),
 
+    // G6 — per-node TRIANGLE counts (round-16) on the part co-purchase
+    // graph (parts sharing an order — the co-occurrence clique
+    // structure the layered entity graph deliberately lacks): the
+    // local clustering-coefficient numerator, community density
+    // signals, spam-farm detection. Degree-ordered orientation caps
+    // out-degree at O(√m), so wedge volume is O(m^1.5) regardless of
+    // hub skew (Suri & Vassilvitskii's bound) — a star graph costs
+    // ZERO wedges where the naive neighbor join squares the hub. All
+    // legs are hash equi-joins; the oracle replays the identical
+    // orientation + wedge closure relationally, so every count is
+    // hash-judged (413k triangles over 115k edges at sf0.01).
+    "g6_triangles" -> ((s, dir) => {
+      val io = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = io.as("x").join(io.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.ops.Graph.triangles(edges, "src", "dst")
+        .select(col("node").as("node_id"), col("n_tri"))
+    }),
+
     // --- master data: entity resolution (record linkage) ---
     // ER1 matched pairs: blocking (brand|size|name-prefix key, skew-capped)
     // + normalized-Levenshtein scoring over the planted-dirt fixture. The
@@ -302,6 +324,32 @@ private[graft] object SparkEntryGraph {
     // g1/g2 convention) — every CTE MATERIALIZED (the e15 lesson: DuckDB
     // 1.0 inlines CTEs, and each round references its predecessor
     // several times), every sum re-cast to BIGINT, every division `//`.
+    // g6: the identical orientation + wedge closure, fully relational —
+    // canonical co-purchase edges, (degree, id)-ordered direction,
+    // middle-node wedge join closed on (low, high), corners exploded.
+    "g6_triangles" ->
+      """WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM io x JOIN io y ON x.o = y.o AND x.p < y.p),
+        |deg AS MATERIALIZED (
+        |  SELECT v, count(*) AS d FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) t GROUP BY v),
+        |o AS MATERIALIZED (
+        |  SELECT CASE WHEN d1.d <= d2.d THEN e.a ELSE e.b END AS u,
+        |         CASE WHEN d1.d <= d2.d THEN e.b ELSE e.a END AS w
+        |  FROM e JOIN deg d1 ON e.a = d1.v JOIN deg d2 ON e.b = d2.v),
+        |tri AS MATERIALIZED (
+        |  SELECT o1.u AS x, o1.w AS y, o2.w AS z
+        |  FROM o o1 JOIN o o2 ON o1.w = o2.u
+        |    JOIN o o3 ON o3.u = o1.u AND o3.w = o2.w)
+        |SELECT node_id, count(*) AS n_tri FROM (
+        |  SELECT x AS node_id FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) t
+        |GROUP BY node_id""".stripMargin,
+
     "g5_hits" -> {
       val header =
         """WITH e AS MATERIALIZED (

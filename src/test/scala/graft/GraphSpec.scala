@@ -153,6 +153,26 @@ class GraphSpec extends SparkSpec {
     assert(one == many && one.nonEmpty)
   }
 
+  test("triangles: hand graphs — clique counts, star zero, duplicates/self-loops/direction ignored, partition-stable") {
+    import spark.implicits._
+    def tri(e: Seq[(Long, Long)], parts: Int = 1) =
+      Graph.triangles(e.toDF("s", "d").repartition(parts), "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: C(3,2)=3 triangles per node, 4 total
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(tri(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // a star has NO triangles (and costs zero wedges by orientation)
+    assert(tri((1L to 50L).map(i => (0L, i))).isEmpty)
+    // triangle + pendant; duplicate, reversed, and self-loop edges noise
+    val noisy = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 1L),
+      (3L, 4L), (2L, 3L))
+    assert(tri(noisy) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(tri(noisy, parts = 7) == tri(noisy), "partitioning-independent")
+    // two triangles sharing an edge: shared endpoints count both
+    val bowtie = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 3L))
+    assert(tri(bowtie) == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("hits: a convergence-length run (iters=16) converges and keeps analysis time bounded") {
     // the round-16 lineage fix: pre-fix, each round embedded the prior
     // round's whole plan TWICE per vector (rescale join + its 1-row

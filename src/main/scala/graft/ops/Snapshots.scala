@@ -1102,11 +1102,14 @@ object Snapshots {
               conv(substring(smd5(concat_ws("|", lit(seed), lit("row"),
                 lit(j.toString), col("_pos").cast("string"))), 1, 12),
                 16, 10).cast("long"), lit(10000L)) < rowRateBp)
+          // full row rate → the dir scans exactly as read() does (no
+          // address-column attach); only a binding row draw pays _pos
           val scan = maskedDirScan(spark, tableDir, snap, i, d,
-            rowDraw, withPos = true)
-          Some(scan.select(
-            scan.columns.filterNot(Set("_dir", "_file", "_pos"))
-              .map(col).toIndexedSeq: _*))
+            rowDraw, withPos = rowDraw.isDefined)
+          Some(if (rowDraw.isEmpty) scan
+            else scan.select(
+              scan.columns.filterNot(Set("_dir", "_file", "_pos"))
+                .map(col).toIndexedSeq: _*))
         }
       case _ => None
     }

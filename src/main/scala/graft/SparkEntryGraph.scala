@@ -103,6 +103,27 @@ private[graft] object SparkEntryGraph {
         .select(col("node").as("node_id"), col("n_tri"))
     }),
 
+    // G7 — synchronous label-propagation communities (round-16): the
+    // community-detection act beside g1's centrality and d9's
+    // connectivity, on g6's part co-purchase graph (real cluster
+    // structure — orders are co-purchase cliques). Deterministic by
+    // construction (synchronous rounds + smallest-label tie-break), so
+    // the oracle unrolls the exact 3 rounds and every label is
+    // hash-judged. Per round one edge⋈labels join + two map-side-
+    // combinable aggregates — g1's scale class; fixed round budget by
+    // contract (sync LPA has no well-defined convergence on
+    // bipartite-ish graphs, disclosed in the scaladoc).
+    "g7_lpa" -> ((s, dir) => {
+      val io = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = io.as("x").join(io.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.ops.Graph.labelPropagation(edges, "src", "dst", iters = 3)
+        .select(col("node").as("node_id"), col("community"))
+    }),
+
     // --- master data: entity resolution (record linkage) ---
     // ER1 matched pairs: blocking (brand|size|name-prefix key, skew-capped)
     // + normalized-Levenshtein scoring over the planted-dirt fixture. The
@@ -324,6 +345,37 @@ private[graft] object SparkEntryGraph {
     // g1/g2 convention) — every CTE MATERIALIZED (the e15 lesson: DuckDB
     // 1.0 inlines CTEs, and each round references its predecessor
     // several times), every sum re-cast to BIGINT, every division `//`.
+    // g7: the exact 3 synchronous rounds unrolled — per round a
+    // neighbor-label vote count and a (count DESC, label ASC)
+    // row_number argmax, MATERIALIZED per round (the chained-
+    // accumulator CTE discipline).
+    "g7_lpa" -> {
+      val head =
+        """WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem),
+          |ed AS MATERIALIZED (
+          |  SELECT DISTINCT x.p AS a, y.p AS b
+          |  FROM io x JOIN io y ON x.o = y.o AND x.p < y.p),
+          |und AS MATERIALIZED (
+          |  SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+          |l0 AS MATERIALIZED (
+          |  SELECT DISTINCT a AS node, a AS label FROM und)""".stripMargin
+      val rounds = (1 to 3).map { k =>
+        s"""c$k AS MATERIALIZED (
+           |  SELECT und.a AS node, l.label, count(*) AS c
+           |  FROM und JOIN l${k - 1} l ON und.b = l.node
+           |  GROUP BY und.a, l.label),
+           |l$k AS MATERIALIZED (
+           |  SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (
+           |      PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |    FROM c$k) t WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$rounds
+         |SELECT node AS node_id, label AS community FROM l3""".stripMargin
+    },
+
     // g6: the identical orientation + wedge closure, fully relational —
     // canonical co-purchase edges, (degree, id)-ordered direction,
     // middle-node wedge join closed on (low, high), corners exploded.

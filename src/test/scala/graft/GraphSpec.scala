@@ -153,6 +153,29 @@ class GraphSpec extends SparkSpec {
     assert(one == many && one.nonEmpty)
   }
 
+  test("label propagation: barbell communities, hand-computed rounds, direction/duplicate noise, partition-stable") {
+    import spark.implicits._
+    // two triangles bridged at 3-4: LPA must find the two communities
+    val barbell = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+    def lpa(e: Seq[(Long, Long)], iters: Int, parts: Int = 1) =
+      Graph.labelPropagation(e.toDF("s", "d").repartition(parts), "s", "d",
+          iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-computed synchronous rounds (min-label tie-break):
+    // L1: 1→2 2→1 3→1 4→3 5→4 6→4
+    assert(lpa(barbell, 1) ==
+      Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
+    // L3: the two communities settle as {1,2,3}→1 and {4,5,6}→3
+    val l3 = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L)
+    assert(lpa(barbell, 3) == l3)
+    // reversed/duplicate edges and self-loops change nothing (simple
+    // undirected semantics), nor does partitioning
+    val noisy = barbell ++ Seq((2L, 1L), (3L, 3L), (4L, 3L), (1L, 2L))
+    assert(lpa(noisy, 3) == l3)
+    assert(lpa(barbell, 3, parts = 7) == l3)
+  }
+
   test("triangles: hand graphs — clique counts, star zero, duplicates/self-loops/direction ignored, partition-stable") {
     import spark.implicits._
     def tri(e: Seq[(Long, Long)], parts: Int = 1) =

@@ -840,6 +840,46 @@ private[graft] object SparkEntrySources {
       p1.union(p2).union(p3).union(p4)
     }),
 
+    // S32 — SCD-2 reconstruction from snapshot history (round-16):
+    // every version every key ever held, with [valid_from, valid_to)
+    // validity in snapshot ids, rebuilt from a table only ever
+    // maintained as CURRENT STATE (h5 builds the same shape from an
+    // event stream; this is the Delta/Iceberg "dimension from
+    // table_changes" recipe). Fixture = s31's churn verbatim: two
+    // quartile appends, the %5 delete, the %3/%9 re-segmentation
+    // MERGE — so versions open (appends), close (deletes), and
+    // supersede (merge D+I at one id, ordered by 'D' < 'I'). The
+    // oracle enumerates the event algebra relationally and applies
+    // the same next-event window.
+    "s32_scd2_history" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val root = s"$partScratchDir/${dirKey(dir)}_s32"
+      rmTree(root)
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS LONG)").as("bal_c"))
+      val maxK = cust.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+      val (q1, q2) = (maxK / 4, maxK / 2)
+      Snapshots.commitAppend(cust.filter(col("c_custkey") <= q1), root)
+      Snapshots.commitAppend(
+        cust.filter(col("c_custkey") > q1 && col("c_custkey") <= q2), root)
+      Snapshots.commitDelete(
+        cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+          .select(col("c_custkey")), root, "c_custkey")
+      Snapshots.commitMergeKeyed(
+        cust.filter(col("c_custkey") <= q2 &&
+            pmod(col("c_custkey"), lit(3)) === 0 &&
+            pmod(col("c_custkey"), lit(9)) =!= 0)
+          .select(col("c_custkey"),
+            concat(lit("M_"), col("c_mktsegment")).as("c_mktsegment"),
+            col("bal_c")),
+        cust.filter(col("c_custkey") <= q2 &&
+            pmod(col("c_custkey"), lit(9)) === 0)
+          .select(col("c_custkey")),
+        root, "c_custkey")
+      Snapshots.scd2History(s, root, "c_custkey")
+    }),
+
     // S19 Z-order (Morton-curve) layout: the MULTI-column clustering s18's
     // single-key sort cannot buy. events is rewritten z-ordered on
     // (user_id, value-cents); the gate measures the ACTUAL per-file
@@ -1387,6 +1427,36 @@ private[graft] object SparkEntrySources {
          |${fp(3, s"SELECT * FROM customer WHERE c_custkey <= $q2 AND c_custkey % 5 <> 0")}
          |UNION ALL
          |${fp(4, merged)}""".stripMargin
+    },
+
+    // s32: the commit history's event algebra enumerated relationally —
+    // v1/v2 appends as inserts, v3 the %5 delete (only visible rows
+    // emit D), v4 the merge (D for visible %3 keys — supersedes and
+    // pure deletes alike — plus the M_ re-insert for %9<>0), then the
+    // identical next-event window. 'D' < 'I' orders same-id pairs.
+    "s32_scd2_history" -> {
+      val q1 = "(SELECT max(c_custkey) // 4 FROM customer)"
+      val q2 = "(SELECT max(c_custkey) // 2 FROM customer)"
+      s"""WITH base AS (
+         |  SELECT c_custkey AS k, c_mktsegment AS seg,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+         |ev AS (
+         |  SELECT 1 AS ver, 'I' AS op, k, seg, bal FROM base
+         |    WHERE k <= $q1
+         |  UNION ALL SELECT 2, 'I', k, seg, bal FROM base
+         |    WHERE k > $q1 AND k <= $q2
+         |  UNION ALL SELECT 3, 'D', k, NULL, NULL FROM base
+         |    WHERE k <= $q2 AND k % 5 = 0
+         |  UNION ALL SELECT 4, 'D', k, NULL, NULL FROM base
+         |    WHERE k <= $q2 AND k % 3 = 0 AND k % 5 <> 0
+         |  UNION ALL SELECT 4, 'I', k, 'M_' || seg, bal FROM base
+         |    WHERE k <= $q2 AND k % 3 = 0 AND k % 9 <> 0)
+         |SELECT k AS c_custkey, seg AS c_mktsegment, bal AS bal_c,
+         |  CAST(ver AS BIGINT) AS valid_from,
+         |  CAST(nxt AS BIGINT) AS valid_to
+         |FROM (SELECT *, lead(ver) OVER (
+         |        PARTITION BY k ORDER BY ver, op) AS nxt FROM ev) t
+         |WHERE op = 'I'""".stripMargin
     },
 
     // s30: the four WAP states as plain range+delete predicates. The

@@ -1293,6 +1293,53 @@ object Snapshots {
     dropped
   }
 
+  /** SCD-TYPE-2 dimension reconstruction from the table's OWN commit
+    * history (round-16): every version a key ever held, stamped with
+    * its validity interval [valid_from, valid_to) in SNAPSHOT IDS —
+    * valid_to null while current. [[graft.state.History.scd2]] builds
+    * the same shape from an event STREAM; this builds it from the
+    * snapshot chain, i.e. from data that was only ever maintained as
+    * a current-state table (the Delta/Iceberg "reconstruct the
+    * dimension from table_changes" recipe).
+    *
+    * Mechanics: walk the retained parent chain; the earliest retained
+    * snapshot contributes its full state as inserts at its own id
+    * ([[expire]] compacts history, so the reconstruction window IS the
+    * retained window — disclosed); every later consecutive pair
+    * contributes its [[changesBetween]] rows at the child's id. A
+    * version's valid_to is the key's next event id (same-id D-then-I
+    * pairs from a MERGE order correctly: 'D' < 'I'). Cost = one pass
+    * over each retained interval (append-only intervals touch only
+    * their dirs) + ONE key-partitioned window over the event set —
+    * never a snapshots × table rescan.
+    *
+    * Keys must be unique per snapshot (the MERGE paths enforce this;
+    * duplicate keys make "the key's next version" ill-posed). */
+  def scd2History(spark: SparkSession, tableDir: String,
+                  keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lead, lit}
+    import org.apache.spark.sql.expressions.Window
+    val cur = current(spark, tableDir).getOrElse(
+      sys.error(s"scd2History on empty snapshot table $tableDir"))
+    var chain = List(cur)
+    var p = cur.parent.flatMap(get(spark, tableDir, _))
+    while (p.isDefined) { chain = p.get :: chain; p = p.get.parent
+      .flatMap(get(spark, tableDir, _)) }
+    val events = chain.zipWithIndex.map { case (s, i) =>
+      val from = if (i == 0) 0L else chain(i - 1).id
+      changesBetween(spark, tableDir, from, s.id)
+        .withColumn("__ver", lit(s.id))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ver"), col("op"))
+    val dataCols = events.columns
+      .filterNot(Set("op", "__ver")).map(col).toIndexedSeq
+    events.withColumn("__to", lead(col("__ver"), 1).over(w))
+      .filter(col("op") === "I")
+      .select(dataCols :+ col("__ver").as("valid_from")
+        :+ col("__to").as("valid_to"): _*)
+  }
+
   /** Row-level CHANGES between two snapshots (CDC read): every row with
     * `op = 'I'` was inserted and is still visible at `toId`; every row
     * with `op = 'D'` was visible at `fromId` and is deleted by `toId`. A

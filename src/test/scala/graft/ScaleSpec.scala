@@ -672,6 +672,30 @@ class ScaleSpec extends SparkSpec {
     assert(ks() == Set(5L, 8L))
   }
 
+  test("scd2 from snapshot history: opens, supersedes, closes, reinserts — exact validity intervals") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("scd2h").toString
+    Snapshots.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    Snapshots.commitMergeKeyed(Seq((1L, "a2")).toDF("k", "v"),
+      spark.emptyDataset[Long].toDF("k"), root, "k") // supersede key 1
+    Snapshots.commitDelete(Seq(Tuple1(2L)).toDF("k"), root, "k")
+    Snapshots.commitAppend(Seq((2L, "b2")).toDF("k", "v"), root) // reinsert
+    val got = Snapshots.scd2History(spark, root, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "a", 1L, 2L),   // opened at v1, superseded at v2
+      (1L, "a2", 2L, -1L), // current
+      (2L, "b", 1L, 3L),   // closed by the v3 delete
+      (2L, "b2", 4L, -1L)), // reinserted, current
+      s"intervals: $got")
+    // current rows of the dimension == the table's current state
+    val cur = got.filter(_._4 == -1L).map(t => (t._1, t._2))
+    assert(cur == Snapshots.read(spark, root)
+      .as[(Long, String)].collect().toSet)
+  }
+
   test("materialized view: incremental refresh == full recompute through appends, deletes, merges; touched-groups-only writes") {
     import graft.ops.{MaterializedView, Snapshots}
     import spark.implicits._

@@ -124,6 +124,44 @@ private[graft] object SparkEntryGraph {
         .select(col("node").as("node_id"), col("community"))
     }),
 
+    // G8 — K-CORE decomposition (round-16; Matula & Beck 1983): the
+    // density-tier act beside g6's triangles — "which parts sit in a
+    // subgraph where everyone has ≥ k co-purchase partners" (community
+    // cores, spam-clique extraction, curation density filters). Judged
+    // in the bounded-round synchronous form (3 peels, k=8) so the
+    // oracle unrolls the exact rounds: round i keeps nodes whose
+    // degree within round-(i−1) survivors is ≥ k, and the output
+    // carries that residual degree. The fixpoint form (rounds=None) is
+    // the library API, spec-pinned; per round two membership semi-joins
+    // + one count aggregate over a live set that only shrinks.
+    "g8_kcore" -> ((s, dir) => {
+      val io = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = io.as("x").join(io.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      graft.ops.Graph.kcore(edges, "src", "dst", k = 8, rounds = Some(3))
+        .select(col("node").as("node_id"), col("core_deg"))
+    }),
+
+    // G9 — single-source BFS shortest paths (round-16): hop distance
+    // from one customer over the directed 5-layer entity cycle
+    // (customer→order→part→supplier→nation→customer) — lineage radius,
+    // blast-radius analysis, "how close is this record to a trusted
+    // seed" in curation graphs. Frontier-only relaxation (each edge
+    // expands at most once across the run) + per-round min-fold;
+    // maxDepth=6 is the judged unroll budget and the oracle replays
+    // the identical 6 rounds with integer distances — hash-judged
+    // node for node.
+    "g9_bfs" -> ((s, dir) => {
+      val srcId = 1000000000L + t(s, dir, "orders")
+        .agg(min(col("o_custkey"))).collect()(0).getLong(0)
+      graft.ops.Graph.shortestPaths(entityEdges(s, dir), "src", "dst",
+          srcId, maxDepth = 6)
+        .select(col("node").as("node_id"), col("dist"))
+    }),
+
     // --- master data: entity resolution (record linkage) ---
     // ER1 matched pairs: blocking (brand|size|name-prefix key, skew-capped)
     // + normalized-Levenshtein scoring over the planted-dirt fixture. The
@@ -401,6 +439,70 @@ private[graft] object SparkEntryGraph {
         |  UNION ALL SELECT y FROM tri
         |  UNION ALL SELECT z FROM tri) t
         |GROUP BY node_id""".stripMargin,
+
+    // g8: the exact 3 synchronous peel rounds — round i keeps nodes
+    // whose degree within round-(i−1) survivors is >= 8, carrying that
+    // residual degree out of the last round.
+    "g8_kcore" -> {
+      val head =
+        """WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem),
+          |e AS MATERIALIZED (
+          |  SELECT DISTINCT x.p AS a, y.p AS b
+          |  FROM io x JOIN io y ON x.o = y.o AND x.p < y.p),
+          |d1 AS MATERIALIZED (
+          |  SELECT v AS node, count(*) AS core_deg FROM (
+          |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) t
+          |  GROUP BY v HAVING count(*) >= 8)""".stripMargin
+      val rounds = (2 to 3).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT v AS node, count(*) AS core_deg FROM (
+           |    SELECT e.a AS v FROM e
+           |      JOIN d${i - 1} sa ON e.a = sa.node
+           |      JOIN d${i - 1} sb ON e.b = sb.node
+           |    UNION ALL
+           |    SELECT e.b FROM e
+           |      JOIN d${i - 1} sa ON e.a = sa.node
+           |      JOIN d${i - 1} sb ON e.b = sb.node) t
+           |  GROUP BY v HAVING count(*) >= 8)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$rounds
+         |SELECT node AS node_id, core_deg FROM d3""".stripMargin
+    },
+
+    // g9: 6 unrolled frontier rounds over g5's entity-edge union —
+    // round i relaxes only nodes at dist i−1, min-folded; integer
+    // distances, hash-judged.
+    "g9_bfs" -> {
+      val header =
+        """WITH e AS MATERIALIZED (
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT o_custkey + 1000000000 AS src,
+          |      o_orderkey + 2000000000 AS dst FROM orders
+          |    UNION ALL SELECT l_orderkey + 2000000000,
+          |      l_partkey + 3000000000 FROM lineitem
+          |    UNION ALL SELECT l_partkey + 3000000000,
+          |      l_suppkey + 4000000000 FROM lineitem
+          |    UNION ALL SELECT s_suppkey + 4000000000,
+          |      s_nationkey + 5000000000 FROM supplier
+          |    UNION ALL SELECT c_nationkey + 5000000000,
+          |      c_custkey + 1000000000 FROM customer)),
+          |d0 AS MATERIALIZED (
+          |  SELECT CAST(1000000000 + (SELECT min(o_custkey) FROM orders)
+          |    AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)""".stripMargin
+      val rounds = (1 to 6).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           |  SELECT node, dist FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT e.dst, f.dist + 1 FROM d${i - 1} f
+           |    JOIN e ON e.src = f.node WHERE f.dist = ${i - 1}) t
+           |GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""$header,
+         |$rounds
+         |SELECT node AS node_id, dist FROM d6""".stripMargin
+    },
 
     "g5_hits" -> {
       val header =

@@ -1054,9 +1054,169 @@ private[graft] object SparkEntrySources {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("sum_price"))
     }),
+
+    // S33 — snapshot ROLLBACK (round-16, Iceberg's rollback_to_snapshot):
+    // "undo a bad commit" as ONE id-sized manifest whose data state is
+    // the target's verbatim, with zero data movement and history
+    // preserved. Fixture: two quartile appends, the %5 delete (the "bad
+    // commit"), rollback to the first append — the delete is UNDONE,
+    // %5 rows resurface — then life goes on with a post-rollback
+    // append. Phases pin all four invariants: (1) head after rollback
+    // == the target state exactly (deleted rows back); (2) the table
+    // keeps accepting commits on top of the rolled-back state; (3) the
+    // rolled-back-OVER snapshot stays time-travelable (history is
+    // preserved, not rewritten); (4) so does every other ancestor. At
+    // 100 TB this is the operational story for bad-pipeline-run
+    // recovery: O(1) metadata, no restore-from-backup rescan.
+    "s33_rollback" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val root = s"$partScratchDir/${dirKey(dir)}_s33"
+      rmTree(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val maxK = cust.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+      val (q1, q2) = (maxK / 4, maxK / 2)
+      val snap1 = Snapshots.commitAppend(cust.filter(col("c_custkey") <= q1), root)
+      val snap2 = Snapshots.commitAppend(
+        cust.filter(col("c_custkey") > q1 && col("c_custkey") <= q2), root)
+      val snap3 = Snapshots.commitDelete(
+        cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+          .select(col("c_custkey")), root, "c_custkey")
+      Snapshots.rollbackTo(s, root, snap1)
+      Snapshots.commitAppend(cust.filter(col("c_custkey") > q2), root)
+      val cols = Seq("c_custkey", "c_mktsegment")
+      def phase(n: Long, df: org.apache.spark.sql.DataFrame) =
+        Validations.tableFingerprint(df, cols)
+          .select(lit(n).as("phase"), col("n_rows"), col("fingerprint"))
+      val rb = Snapshots.get(s, root, snap3 + 1).get.id
+      phase(1L, Snapshots.read(s, root, Some(rb)))
+        .union(phase(2L, Snapshots.read(s, root)))
+        .union(phase(3L, Snapshots.read(s, root, Some(snap3))))
+        .union(phase(4L, Snapshots.read(s, root, Some(snap2))))
+    }),
+
+    // S34 — METADATA-ONLY schema evolution (round-16, Iceberg's
+    // rename/drop without a rewrite): a rename or drop is ONE manifest
+    // line stamped with its commit id; dirs written before it are read
+    // through the name mapping at scan time, dirs written after
+    // already carry the new shape. Fixture: a quartile lands under the
+    // original name (`seg`), the column is renamed to `segment`
+    // metadata-only, the next quartile appends under the NEW name, the
+    // %5 delete runs, then `bal_c` is DROPPED metadata-only and a
+    // post-drop append RE-ADDS the same name (the re-added column must
+    // survive — the old drop can't touch newer dirs). Phases: (1) the
+    // evolved head — both generations unified under `segment`, old
+    // rows' bal_c projected away (null), the re-added bal_c intact;
+    // (2) time travel to before the drop — bal_c values back; (3) time
+    // travel to before the rename — the ORIGINAL shape, untouched;
+    // (4) a rewrite materializes the mapping and must change nothing.
+    // At 100 TB: renaming a column on a 10k-delta table is O(1)
+    // metadata, not a table rewrite — the first schema-change a real
+    // pipeline hits.
+    "s34_schema_evolution" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val root = s"$partScratchDir/${dirKey(dir)}_s34"
+      rmTree(root)
+      val cust = t(s, dir, "customer")
+      val maxK = cust.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+      val (q1, q2) = (maxK / 4, maxK / 2)
+      val base = cust.select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        expr("CAST(round(c_acctbal * 100) AS LONG)").as("bal_c"))
+      val snap1 = Snapshots.commitAppend(base.filter(col("c_custkey") <= q1), root)
+      Snapshots.commitRenameColumn(s, root, "seg", "segment")
+      Snapshots.commitAppend(
+        base.filter(col("c_custkey") > q1 && col("c_custkey") <= q2)
+          .withColumnRenamed("seg", "segment"), root)
+      val preDrop = Snapshots.commitDelete(
+        cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+          .select(col("c_custkey")), root, "c_custkey")
+      Snapshots.commitDropColumn(s, root, "bal_c")
+      Snapshots.commitAppend(
+        base.filter(col("c_custkey") > q2)
+          .withColumnRenamed("seg", "segment")
+          .withColumn("bal_c", lit(-1L)), root)
+      def phase(n: Long, df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+        Validations.tableFingerprint(df, cols)
+          .select(lit(n).as("phase"), col("n_rows"), col("fingerprint"))
+      val evolved = Seq("c_custkey", "segment", "bal_c")
+      // p1 binds the MAPPING read path (pre-rewrite dirs still on
+      // disk, plans resolve manifests eagerly); p4 re-reads the same
+      // logical state after the rewrite materializes the mapping
+      val p1 = phase(1L, Snapshots.read(s, root), evolved)
+      val p2 = phase(2L, Snapshots.read(s, root, Some(preDrop)), evolved)
+      val p3 = phase(3L, Snapshots.read(s, root, Some(snap1)),
+        Seq("c_custkey", "seg", "bal_c"))
+      Snapshots.commitRewrite(s, root)
+      val p4 = phase(4L, Snapshots.read(s, root), evolved)
+      p1.union(p2).union(p3).union(p4)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+
+    // s33: the four rollback states as plain range+mod predicates — the
+    // rollback head (1) equals the pre-delete target exactly (%5 rows
+    // resurface), commits continue on top of it (2), and both
+    // rolled-over ancestors stay time-travelable (3, 4).
+    "s33_rollback" -> {
+      def fp(phase: Int, where: String) =
+        s"""SELECT CAST($phase AS BIGINT) AS phase, count(*) AS n_rows,
+           |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+           |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+           |    coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))), 1, 10))
+           |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+           |FROM (SELECT c_custkey, c_mktsegment FROM customer
+           |      WHERE $where) t""".stripMargin
+      val q1 = "(SELECT max(c_custkey) // 4 FROM customer)"
+      val q2 = "(SELECT max(c_custkey) // 2 FROM customer)"
+      s"""${fp(1, s"c_custkey <= $q1")}
+         |UNION ALL
+         |${fp(2, s"c_custkey <= $q1 OR c_custkey > $q2")}
+         |UNION ALL
+         |${fp(3, s"c_custkey <= $q2 AND c_custkey % 5 <> 0")}
+         |UNION ALL
+         |${fp(4, s"c_custkey <= $q2")}""".stripMargin
+    },
+
+    // s34: the four schema-evolution states. Phase 1 (mapping read) and
+    // phase 4 (post-rewrite materialization) are the SAME relational
+    // state: old generations unified under the renamed column, the
+    // dropped bal_c reading NULL, the re-added bal_c = -1 on new rows.
+    // Phases 2/3 pin time travel to pre-drop / pre-rename shapes.
+    "s34_schema_evolution" -> {
+      def fp3(phase: Int, state: String) =
+        s"""SELECT CAST($phase AS BIGINT) AS phase, count(*) AS n_rows,
+           |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+           |    coalesce(CAST(k AS VARCHAR), chr(0)),
+           |    coalesce(CAST(seg AS VARCHAR), chr(0)),
+           |    coalesce(CAST(bal AS VARCHAR), chr(0)))), 1, 10))
+           |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+           |FROM ($state) t""".stripMargin
+      val q1 = "(SELECT max(c_custkey) // 4 FROM customer)"
+      val q2 = "(SELECT max(c_custkey) // 2 FROM customer)"
+      val head =
+        s"""SELECT c_custkey AS k, c_mktsegment AS seg,
+           |  CAST(NULL AS BIGINT) AS bal FROM customer
+           |  WHERE c_custkey <= $q2 AND c_custkey % 5 <> 0
+           |UNION ALL
+           |SELECT c_custkey, c_mktsegment, CAST(-1 AS BIGINT)
+           |  FROM customer WHERE c_custkey > $q2""".stripMargin
+      val preDrop =
+        s"""SELECT c_custkey AS k, c_mktsegment AS seg,
+           |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer
+           |  WHERE c_custkey <= $q2 AND c_custkey % 5 <> 0""".stripMargin
+      val preRename =
+        s"""SELECT c_custkey AS k, c_mktsegment AS seg,
+           |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer
+           |  WHERE c_custkey <= $q1""".stripMargin
+      s"""${fp3(1, head)}
+         |UNION ALL
+         |${fp3(2, preDrop)}
+         |UNION ALL
+         |${fp3(3, preRename)}
+         |UNION ALL
+         |${fp3(4, head)}""".stripMargin
+    },
 
     "s5_salted_join" ->
       """SELECT o_orderpriority, count(*) AS cnt,

@@ -387,4 +387,104 @@ object Graph {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
+
+  /** K-CORE memberships by synchronous peeling (Matula & Beck 1983,
+    * the bounded-round distributed form): round i drops every node
+    * whose degree within the round-(i−1) survivor-induced subgraph is
+    * below k. `rounds = Some(r)` runs exactly r synchronous peels —
+    * the deterministic judged form, matching an r-CTE oracle unroll;
+    * `rounds = None` runs to the fixpoint (the k-core itself), the
+    * driver loop stopping when the survivor count is stable (one
+    * O(1)-row action per round, Components' discipline). Returns each
+    * surviving node with its degree within the LAST pre-filter
+    * survivor set — at the fixpoint that IS its core degree.
+    *
+    * Per round: two membership semi-joins + one count aggregate, all
+    * hash-partitioned on node id, no driver-side graph state. At
+    * 100 TB each peel is one pass over the LIVE edge set, and the live
+    * set only shrinks — total work is O(rounds × m) worst case, O(m +
+    * Σ removed-adjacent) typical, the same class as g1's iteration. */
+  def kcore(edges: DataFrame, src: String, dst: String, k: Int,
+            rounds: Option[Int] = None,
+            checkpoint: Cascade.Strategy = Cascade.Auto,
+            cutEvery: Int = 4): DataFrame = {
+    require(k >= 1 && rounds.forall(_ >= 1))
+    val e0 = edges.select(col(src).as("__a"), col(dst).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+    // simple undirected graph: canonicalize + dedup once, reuse per round
+    val e = Cascade.cut(
+      e0.select(least(col("__a"), col("__b")).as("__a"),
+          greatest(col("__a"), col("__b")).as("__b")).distinct(),
+      checkpoint, eager = false)
+    def survDegrees(s: DataFrame): DataFrame = {
+      val live = e
+        .join(s.select(col("node").as("__a")), Seq("__a"), "left_semi")
+        .join(s.select(col("node").as("__b")), Seq("__b"), "left_semi")
+      live.select(col("__a").as("node"))
+        .union(live.select(col("__b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+    }
+    var surv = e.select(col("__a").as("node"))
+      .union(e.select(col("__b").as("node"))).distinct()
+    var out: DataFrame = null
+    rounds match {
+      case Some(r) =>
+        var i = 0
+        while (i < r) {
+          out = survDegrees(surv).filter(col("core_deg") >= k)
+          surv = out.select("node")
+          if ((i + 1) % cutEvery == 0 && i + 1 < r)
+            surv = Cascade.cut(surv, checkpoint, eager = false)
+          i += 1
+        }
+      case None =>
+        var n = -1L
+        var n2 = surv.count()
+        while (n2 != n) {
+          n = n2
+          out = Cascade.cut(
+            survDegrees(surv).filter(col("core_deg") >= k),
+            checkpoint, eager = true)
+          surv = out.select("node")
+          n2 = surv.count()
+        }
+    }
+    out
+  }
+
+  /** Single-source SHORTEST PATHS by hop count — frontier BFS: round i
+    * relaxes ONLY the frontier (nodes first reached at distance i−1),
+    * so each edge is expanded at most once over the whole run and
+    * total join work is O(m), not O(rounds × reached). The min-fold
+    * per round keeps `dist` exact under multi-path arrivals. Directed
+    * (edges relax src→dst); `maxDepth` bounds the rounds — dist is
+    * exact for every node within maxDepth hops, absent beyond (the
+    * oracle's unroll budget, and the operational cap a 100-TB graph
+    * needs anyway: unbounded BFS on a cyclic graph is a fixpoint
+    * whose round count is the graph's diameter, data-dependent). */
+  def shortestPaths(edges: DataFrame, src: String, dst: String,
+                    sourceId: Long, maxDepth: Int,
+                    checkpoint: Cascade.Strategy = Cascade.Auto,
+                    cutEvery: Int = 4): DataFrame = {
+    require(maxDepth >= 1)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = Cascade.cut(
+      edges.select(col(src).as("__s"), col(dst).as("__d"))
+        .filter(col("__s") =!= col("__d")).distinct(),
+      checkpoint, eager = false)
+    var dist = Seq((sourceId, 0L)).toDF("node", "dist")
+    var i = 1
+    while (i <= maxDepth) {
+      val frontier = dist.filter(col("dist") === (i - 1))
+      val relaxed = frontier.join(e, frontier("node") === e("__s"))
+        .select(col("__d").as("node"), lit(i.toLong).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      if (i % cutEvery == 0 && i < maxDepth)
+        dist = Cascade.cut(dist, checkpoint, eager = false)
+      i += 1
+    }
+    dist
+  }
 }

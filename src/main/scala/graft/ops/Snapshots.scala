@@ -84,6 +84,23 @@ object Snapshots {
     * by position — nothing extra rides the data files. */
   case object PosDeleteEntry extends EntryKind
 
+  /** METADATA-ONLY schema evolution (round-16, Iceberg's name-mapping
+    * discipline without a rewrite): a rename/drop is one manifest line
+    * stamped with the snapshot id that committed it (`atId`), applied
+    * AT SCAN TIME to every data dir whose embedded commit id is older —
+    * dir names are `delta-<id>-<nonce>`, so "was this dir written
+    * before the rename?" is a name parse, no per-dir schema registry.
+    * A dir written after the transform already carries the new shape
+    * and is left alone, which is exactly what makes drop-then-re-add
+    * sound: the re-added column lives in NEWER dirs only, so the old
+    * drop (stamped with an older atId) can never eat it. Ops are
+    * cumulative and ordered; every commit path copies its parent's
+    * list verbatim. */
+  sealed trait SchemaOp { def atId: Long }
+  final case class RenameCol(atId: Long, from: String, to: String)
+    extends SchemaOp
+  final case class DropCol(atId: Long, name: String) extends SchemaOp
+
   /** Per-dir column statistics: dir → (column → (min, max)). Multiple
     * columns per dir ride separate manifest lines (round-16; the
     * single-column round-15 form parses as a 1-entry inner map). */
@@ -93,7 +110,8 @@ object Snapshots {
                             tag: Option[String] = None,
                             stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
                             blooms: Map[String, Seq[String]] = Map.empty,
-                            branch: Option[String] = None) {
+                            branch: Option[String] = None,
+                            schemaOps: Seq[SchemaOp] = Nil) {
     def dataDirs: Seq[String] = entries.collect { case (DataEntry, d) => d }
     def deleteDirs: Seq[String] = entries.collect { case (DeleteEntry, d) => d }
     def posDeleteDirs: Seq[String] =
@@ -243,16 +261,27 @@ object Snapshots {
         case _ => sys.error(s"malformed bloom line in snap-$id: $v")
       }
     }.groupBy(_._1).map { case (d, ls) => d -> ls.map(_._2) }
+    // cumulative ORDERED schema transforms, stamped with the id that
+    // committed each: schema=<atId>|rename|<from>|<to> or
+    // schema=<atId>|drop|<name> (older manifests simply have none)
+    val schemaOps = rest.collect {
+      case s"schema=$v" => v.split('|') match {
+        case Array(at, "rename", f, t) => RenameCol(at.toLong, f, t)
+        case Array(at, "drop", n) => DropCol(at.toLong, n)
+        case _ => sys.error(s"malformed schema line in snap-$id: $v")
+      }
+    }
     val entries = rest
       .filterNot(l => l.startsWith("deletekey=") || l.startsWith("tag=") ||
         l.startsWith("stats=") || l.startsWith("bloom=") ||
-        l.startsWith("branch="))
+        l.startsWith("branch=") || l.startsWith("schema="))
       .map {
         case d if d.startsWith("posdelete/") => (PosDeleteEntry: EntryKind, d)
         case d if d.startsWith("delete/") => (DeleteEntry: EntryKind, d)
         case d => (DataEntry: EntryKind, d)
       }
-    Snapshot(id, parent, entries, deleteKey, tag, stats, blooms, branch)
+    Snapshot(id, parent, entries, deleteKey, tag, stats, blooms, branch,
+      schemaOps)
   }
 
   private def renderManifest(parent: Option[Long],
@@ -261,11 +290,16 @@ object Snapshots {
                              tag: Option[String] = None,
                              stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
                              blooms: Map[String, Seq[String]] = Map.empty,
-                             branch: Option[String] = None): String =
+                             branch: Option[String] = None,
+                             schemaOps: Seq[SchemaOp] = Nil): String =
     (s"parent=${parent.map(_.toString).getOrElse("-")}" +:
       (deleteKey.map(k => s"deletekey=$k").toSeq ++
         tag.map(t => s"tag=$t").toSeq ++
         branch.map(b => s"branch=$b").toSeq ++
+        schemaOps.map {
+          case RenameCol(at, f, t) => s"schema=$at|rename|$f|$t"
+          case DropCol(at, n) => s"schema=$at|drop|$n"
+        } ++
         // stats/bloom lines in (entry, column) order for stable round-trips
         entries.flatMap {
           case (DataEntry, d) => stats.getOrElse(d, Map.empty).toSeq
@@ -471,7 +505,8 @@ object Snapshots {
     val won =
       try casMainManifest(spark, fs, tableDir, id,
         renderManifest(cur.map(_.id), entries, cur.flatMap(_.deleteKey), tag,
-          stats, blooms))
+          stats, blooms,
+          schemaOps = cur.map(_.schemaOps).getOrElse(Nil)))
       catch { case e: CommitConflictException =>
         fs.delete(new Path(tableDir, dataDir), true); throw e
       }
@@ -614,7 +649,7 @@ object Snapshots {
     val won =
       try casMainManifest(spark, fs, tableDir, id,
         renderManifest(Some(cur.id), entries, Some(keyCol), stats = cur.stats,
-          blooms = cur.blooms))
+          blooms = cur.blooms, schemaOps = cur.schemaOps))
       catch { case e: CommitConflictException =>
         fs.delete(new Path(tableDir, delDir), true); throw e
       }
@@ -649,7 +684,8 @@ object Snapshots {
           Seq((DataEntry: EntryKind, dataDir)), cur.deleteKey,
           stats = if (newStats.isEmpty) Map.empty else Map(dataDir -> newStats),
           blooms = if (newBlooms.isEmpty) Map.empty
-            else Map(dataDir -> newBlooms)))
+            else Map(dataDir -> newBlooms),
+          schemaOps = cur.schemaOps))
       catch { case e: CommitConflictException =>
         fs.delete(new Path(tableDir, dataDir), true); throw e
       }
@@ -740,7 +776,8 @@ object Snapshots {
              else Map(dataDir -> newStats)),
           blooms = cur.blooms ++
             (if (newBlooms.isEmpty) Map.empty
-             else Map(dataDir -> newBlooms))))
+             else Map(dataDir -> newBlooms)),
+          schemaOps = cur.schemaOps))
       catch { case e: CommitConflictException =>
         fs.delete(new Path(tableDir, delDir), true)
         fs.delete(new Path(tableDir, dataDir), true)
@@ -762,6 +799,163 @@ object Snapshots {
     * keeps the (_dir, _file, _pos) address columns on the output —
     * [[readWithPos]]'s contract; otherwise the address never surfaces
     * (and is only even READ when a position delete targets the dir). */
+  /** Commit id embedded in a dir name (`data/delta-<id>-<nonce>`,
+    * `delete/delta-<id>-<nonce>`) — the comparison point for
+    * schema-op applicability: ops apply to strictly OLDER dirs. */
+  private def dirCommitId(d: String): Long = {
+    val leaf = d.substring(d.indexOf('/') + 1)
+    val parts = leaf.split('-')
+    require(parts.length >= 2 && parts(0) == "delta",
+      s"unrecognized dir name shape: $d")
+    // staged WAP dirs (`delta-wap-<nonce>`) carry no numeric id: they
+    // are written under the schema CURRENT at staging time, and a
+    // schema transform landing after the fork invalidates the branch
+    // anyway (publish refuses a moved main) — so no op ever applies
+    if (parts(1).nonEmpty && parts(1).forall(_.isDigit)) parts(1).toLong
+    else Long.MaxValue
+  }
+
+  /** Forward-apply the snapshot's schema ops newer than dir `d` —
+    * rename when the old name is present and the new absent (Iceberg's
+    * name-mapping fallback), drop when present. One Project over the
+    * scan, so pushed filters on the new name still reach parquet.
+    * Address columns (`_dir`/`_file`/`_pos`) are never touched
+    * (transform commits refuse `_`-prefixed names). */
+  private def applySchemaOps(df0: DataFrame, snap: Snapshot,
+                             d: String): DataFrame = {
+    val dId = dirCommitId(d)
+    snap.schemaOps.filter(_.atId > dId).foldLeft(df0) {
+      case (df, RenameCol(_, f, t))
+          if df.columns.contains(f) && !df.columns.contains(t) =>
+        df.withColumnRenamed(f, t)
+      case (df, DropCol(_, n)) if df.columns.contains(n) => df.drop(n)
+      case (df, _) => df
+    }
+  }
+
+  /** The same simulation on a NAME LIST — the stored column order after
+    * transforms, so a dir scan's output schema never depends on delete
+    * placement or transform history. */
+  private def logicalNames(cols: Seq[String], snap: Snapshot,
+                           d: String): Seq[String] = {
+    val dId = dirCommitId(d)
+    snap.schemaOps.filter(_.atId > dId).foldLeft(cols) {
+      case (cs, RenameCol(_, f, t)) if cs.contains(f) && !cs.contains(t) =>
+        cs.map(c => if (c == f) t else c)
+      case (cs, DropCol(_, n)) => cs.filterNot(_ == n)
+      case (cs, _) => cs
+    }
+  }
+
+  /** Reverse-map a LOGICAL column to dir `d`'s PHYSICAL name (what its
+    * parquet and `_bloom_*` sidecars were written under): invert the
+    * renames newer than the dir, newest first. */
+  private def physicalName(snap: Snapshot, d: String,
+                           column: String): String = {
+    val dId = dirCommitId(d)
+    snap.schemaOps.filter(_.atId > dId).reverse.foldLeft(column) {
+      case (c, RenameCol(_, f, t)) if c == t => f
+      case (c, _) => c
+    }
+  }
+
+  /** Remap manifest stats keys through the ops applicable to each dir —
+    * stats are manifest data, so keeping them under LOGICAL names is
+    * free and lets [[readPruned]]/[[readPoint]] keep skipping across a
+    * rename. Idempotent (guards mirror [[applySchemaOps]]'s), so
+    * re-running the full op list over already-remapped maps is safe. */
+  private def remapStats(stats: Map[String, Map[String, (Long, Long)]],
+                         ops: Seq[SchemaOp]): Map[String, Map[String, (Long, Long)]] =
+    stats.map { case (d, m) =>
+      val dId = dirCommitId(d)
+      d -> ops.filter(_.atId > dId).foldLeft(m) {
+        case (mm, RenameCol(_, f, t)) if mm.contains(f) && !mm.contains(t) =>
+          (mm - f) + (t -> mm(f))
+        case (mm, DropCol(_, n)) => mm - n
+        case (mm, _) => mm
+      }
+    }.filter(_._2.nonEmpty)
+
+  /** [[remapStats]] for bloom PRESENCE markers. The `_bloom_<col>`
+    * sidecar inside an old dir keeps its physical name — the marker
+    * goes logical here, and [[pointOpens]] reverse-maps via
+    * [[physicalName]] when it loads the bits. */
+  private def remapBlooms(blooms: Map[String, Seq[String]],
+                          ops: Seq[SchemaOp]): Map[String, Seq[String]] =
+    blooms.map { case (d, cs) =>
+      val dId = dirCommitId(d)
+      d -> ops.filter(_.atId > dId).foldLeft(cs) {
+        case (cc, RenameCol(_, f, t)) if cc.contains(f) && !cc.contains(t) =>
+          cc.map(c => if (c == f) t else c)
+        case (cc, DropCol(_, n)) => cc.filterNot(_ == n)
+        case (cc, _) => cc
+      }
+    }.filter(_._2.nonEmpty)
+
+  /** METADATA-ONLY column rename (round-16): one manifest line, zero
+    * data movement — every dir written before this commit is read
+    * through the name mapping ([[applySchemaOps]]), every dir written
+    * after already carries the new name. Stats and bloom markers move
+    * to the new name with the same commit, so file-skipping survives
+    * the rename. The equality-delete key is refused (its column name
+    * is baked into every retained delete dir — renaming it is a
+    * rewrite, not metadata). At 100 TB this is the difference between
+    * an O(1) commit and rewriting the table to change a header. */
+  def commitRenameColumn(spark: SparkSession, tableDir: String,
+                         from: String, to: String,
+                         tag: Option[String] = None): Long = {
+    val fs = fsFor(spark, tableDir)
+    tag.flatMap(t => findTag(spark, tableDir, t)) match {
+      case Some(existing) => return existing
+      case None => ()
+    }
+    require(from != to && !from.startsWith("_") && !to.startsWith("_"),
+      s"bad rename $from -> $to (identity, or address-column namespace)")
+    val cur = current(spark, tableDir).getOrElse(
+      sys.error(s"rename on empty snapshot table $tableDir"))
+    require(!cur.deleteKey.contains(from) && !cur.deleteKey.contains(to),
+      s"column '${cur.deleteKey.getOrElse("")}' is the table's " +
+        "equality-delete key — renaming it (or shadowing it) needs a " +
+        "rewrite, not a metadata commit")
+    val id = cur.id + 1
+    val ops = cur.schemaOps :+ RenameCol(id, from, to)
+    val won = casMainManifest(spark, fs, tableDir, id,
+      renderManifest(Some(cur.id), cur.entries, cur.deleteKey, tag,
+        remapStats(cur.stats, ops), remapBlooms(cur.blooms, ops),
+        schemaOps = ops))
+    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$won")
+    won
+  }
+
+  /** METADATA-ONLY column drop (round-16): the column disappears from
+    * every read — old dirs are projected past it at scan time, and a
+    * LATER append may re-add the name safely (the re-added column
+    * lives in newer dirs, which this op's `atId` can never touch).
+    * Dropping the equality-delete key is refused, as for rename. */
+  def commitDropColumn(spark: SparkSession, tableDir: String,
+                       name: String,
+                       tag: Option[String] = None): Long = {
+    val fs = fsFor(spark, tableDir)
+    tag.flatMap(t => findTag(spark, tableDir, t)) match {
+      case Some(existing) => return existing
+      case None => ()
+    }
+    require(!name.startsWith("_"), s"bad drop: $name")
+    val cur = current(spark, tableDir).getOrElse(
+      sys.error(s"drop on empty snapshot table $tableDir"))
+    require(!cur.deleteKey.contains(name),
+      s"column '$name' is the table's equality-delete key — dropping " +
+        "it needs a rewrite, not a metadata commit")
+    val id = cur.id + 1
+    val ops = cur.schemaOps :+ DropCol(id, name)
+    val won = casMainManifest(spark, fs, tableDir, id,
+      renderManifest(Some(cur.id), cur.entries, cur.deleteKey, tag,
+        remapStats(cur.stats, ops), remapBlooms(cur.blooms, ops),
+        schemaOps = ops))
+    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$won")
+    won
+  }
+
   private def maskedDirScan(spark: SparkSession, tableDir: String,
                             snap: Snapshot, i: Int, d: String,
                             preFilter: Option[org.apache.spark.sql.Column],
@@ -772,13 +966,18 @@ object Snapshots {
     val eqAfter = after.collect { case (DeleteEntry, dd) => path(dd) }
     val posAfter = after.collect { case (PosDeleteEntry, pd) => path(pd) }
     val raw = spark.read.parquet(path(d))
-    val dataCols = raw.columns.map(col).toIndexedSeq
-    var base =
+    val physCols = raw.columns.map(col).toIndexedSeq
+    // schema ops rewrite the dir's PHYSICAL shape to the snapshot's
+    // LOGICAL one before anything else sees it — the preFilter, the
+    // delete joins, and the output projection all speak logical names
+    val dataCols = logicalNames(raw.columns.toIndexedSeq, snap, d).map(col)
+    var base = applySchemaOps(
       if (!withPos && posAfter.isEmpty) raw
       else raw
-        .select(dataCols :+ col("_metadata.file_name").as("_file")
+        .select(physCols :+ col("_metadata.file_name").as("_file")
           :+ col("_metadata.row_index").as("_pos"): _*)
-        .withColumn("_dir", lit(d))
+        .withColumn("_dir", lit(d)),
+      snap, d)
     preFilter.foreach(f => base = base.filter(f))
     if (posAfter.nonEmpty) {
       val dels = spark.read.parquet(posAfter: _*)
@@ -814,15 +1013,24 @@ object Snapshots {
         sys.error(s"no snapshot snap-$i under $tableDir")))
       .getOrElse(current(spark, tableDir).getOrElse(
         sys.error(s"empty snapshot table $tableDir")))
+    readAt(spark, tableDir, snap)
+  }
+
+  /** [[read]] from an already-resolved snapshot — split out so
+    * [[changesBetween]] can read the FROM state under the TO
+    * snapshot's schema ops (a rename inside the interval must not make
+    * the two sides disagree on column names). */
+  private def readAt(spark: SparkSession, tableDir: String,
+                     snap: Snapshot): DataFrame = {
     val frames = snap.entries.zipWithIndex.collect {
       case ((DataEntry, d), i) =>
         maskedDirScan(spark, tableDir, snap, i, d, None, withPos = false)
     }
     require(frames.nonEmpty, s"snapshot snap-${snap.id} lists no data dirs")
-    // allowMissingColumns = SCHEMA EVOLUTION on read: an append that
-    // added a column leaves earlier deltas narrower — they read as
-    // null in the new column (the standard additive-evolution
-    // contract); dropping a column is a rewrite, not an append
+    // allowMissingColumns = ADDITIVE schema evolution on read: an
+    // append that added a column leaves earlier deltas narrower — they
+    // read as null in the new column; renames and drops are manifest
+    // schema ops applied per-dir inside maskedDirScan
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -882,7 +1090,7 @@ object Snapshots {
     val won =
       try casMainManifest(spark, fs, tableDir, id,
         renderManifest(Some(cur.id), entries, cur.deleteKey, stats = cur.stats,
-          blooms = cur.blooms))
+          blooms = cur.blooms, schemaOps = cur.schemaOps))
       catch { case e: CommitConflictException =>
         fs.delete(new Path(tableDir, pdDir), true); throw e
       }
@@ -985,7 +1193,10 @@ object Snapshots {
     }
     if (rangeExcludes) return false
     if (!snap.blooms.getOrElse(d, Nil).contains(column)) return true
-    loadBloom(fsFor(spark, tableDir), tableDir, d, column) match {
+    // the sidecar file keeps the dir's PHYSICAL column name; the marker
+    // was remapped to the logical name by any later rename commit
+    loadBloom(fsFor(spark, tableDir), tableDir, d,
+      physicalName(snap, d, column)) match {
       case Some(bf) => bf.mightContainLong(value)
       case None => true // marked but unreadable: degrade to open
     }
@@ -1216,7 +1427,7 @@ object Snapshots {
         writeAtomic(fs, tableDir, s"snap-$id",
           renderManifest(Some(base.id), entries, base.deleteKey, tag,
             stats = base.stats, blooms = base.blooms,
-            branch = Some(branch)),
+            branch = Some(branch), schemaOps = base.schemaOps),
           overwrite = false)
         writeAtomic(fs, tableDir, branchPtr(branch), s"snap-$id")
         return id
@@ -1263,7 +1474,8 @@ object Snapshots {
       try {
         writeAtomic(fs, tableDir, s"snap-$id",
           renderManifest(Some(main.id), head.entries, head.deleteKey,
-            tag = Some(pubTag), stats = head.stats, blooms = head.blooms),
+            tag = Some(pubTag), stats = head.stats, blooms = head.blooms,
+            schemaOps = head.schemaOps),
           overwrite = false)
         writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
         return id
@@ -1291,6 +1503,53 @@ object Snapshots {
     dropped.foreach(i => fs.delete(new Path(tableDir, s"snap-$i"), false))
     fs.delete(new Path(tableDir, branchPtr(branch)), false)
     dropped
+  }
+
+  /** ROLLBACK to an earlier snapshot (round-16, Iceberg's
+    * `rollback_to_snapshot`): commit a NEW manifest whose data state —
+    * entries, delete key, stats, blooms — is the target's verbatim,
+    * parented on the current head. History is preserved, never
+    * rewritten: every snapshot between target and head stays
+    * time-travelable, the rolled-back-over dirs stay referenced by
+    * their own manifests until [[expire]] retires them, and the
+    * rollback itself is one id-sized manifest with ZERO data movement —
+    * "undo a bad commit" costs O(1) at any table size. The target must
+    * be an ancestor of the current head (a staged branch id or a
+    * foreign id would fork history — refused). A concurrent main
+    * commit landing first throws [[CommitConflictException]]: the
+    * rollback decision was made against a stale head, so the caller
+    * must re-decide, not blind-retry. `tag` makes crash-replayed
+    * rollbacks exactly-once, as on every other commit path. */
+  def rollbackTo(spark: SparkSession, tableDir: String, targetId: Long,
+                 tag: Option[String] = None): Long = {
+    val fs = fsFor(spark, tableDir)
+    tag.flatMap(t => findTag(spark, tableDir, t)) match {
+      case Some(existing) => return existing
+      case None => ()
+    }
+    val cur = current(spark, tableDir).getOrElse(
+      sys.error(s"rollback on empty snapshot table $tableDir"))
+    val target = get(spark, tableDir, targetId).getOrElse(
+      sys.error(s"no snapshot snap-$targetId under $tableDir (expired?)"))
+    var a: Option[Snapshot] = Some(cur)
+    var ancestor = false
+    while (a.isDefined && !ancestor) {
+      if (a.get.id == targetId) ancestor = true
+      else a = a.get.parent.flatMap(get(spark, tableDir, _))
+    }
+    require(ancestor,
+      s"snap-$targetId is not an ancestor of the current head " +
+        s"snap-${cur.id} under $tableDir — rollback cannot fork history")
+    val won = casMainManifest(spark, fs, tableDir, cur.id + 1,
+      // schema ops are TABLE-level metadata, not data state: a data
+      // rollback keeps the CURRENT schema history (Iceberg semantics —
+      // rollback_to_snapshot never reverts the schema)
+      renderManifest(Some(cur.id), target.entries, target.deleteKey, tag,
+        remapStats(target.stats, cur.schemaOps),
+        remapBlooms(target.blooms, cur.schemaOps),
+        schemaOps = cur.schemaOps))
+    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$won")
+    won
   }
 
   /** SCD-TYPE-2 dimension reconstruction from the table's OWN commit
@@ -1392,7 +1651,9 @@ object Snapshots {
         case ((DataEntry, d), i) =>
           val delsAfter = interval.drop(i + 1)
             .collect { case (DeleteEntry, dd) => path(dd) }
-          val base = spark.read.parquet(path(d))
+          // interval dirs read under the TO snapshot's schema ops (a
+          // rename later in the interval applies to them too)
+          val base = applySchemaOps(spark.read.parquet(path(d)), to, d)
           if (delsAfter.isEmpty) base
           else base.join(
               spark.read.parquet(delsAfter: _*).select(to.deleteKey.get).distinct(),
@@ -1404,9 +1665,13 @@ object Snapshots {
         if (intervalDels.isEmpty || from.isEmpty) None
         else {
           val key = to.deleteKey.get
-          Some(read(spark, tableDir, Some(fromId)).join(
-            spark.read.parquet(intervalDels: _*).select(key).distinct(),
-            Seq(key), "left_semi"))
+          // the FROM state under the TO schema: both sides of the CDC
+          // frame must speak the same column names across any rename
+          // or drop inside the interval
+          Some(readAt(spark, tableDir, from.get.copy(schemaOps = to.schemaOps))
+            .join(
+              spark.read.parquet(intervalDels: _*).select(key).distinct(),
+              Seq(key), "left_semi"))
         }
       val parts = insFrames.map(withOp(_, "I")) ++ deletes.map(withOp(_, "D"))
       if (parts.isEmpty) {
@@ -1415,9 +1680,16 @@ object Snapshots {
         withOp(read(spark, tableDir, Some(toId)).limit(0), "I")
       } else parts.reduce(_.unionByName(_, allowMissingColumns = true))
     } else {
-      // rewrite/retention rebased the listing: exact multiset diff
+      // rewrite/retention rebased the listing: exact multiset diff —
+      // the from-side reads under the TO schema (see the delete leg).
+      // A bootstrap (fromId=0) landing here — possible when the first
+      // interval already contains a position delete — diffs against an
+      // empty from-state: everything visible at `to` is an insert.
       val toDf = read(spark, tableDir, Some(toId))
-      val fromDf = read(spark, tableDir, Some(fromId))
+      val fromDf = from match {
+        case Some(f) => readAt(spark, tableDir, f.copy(schemaOps = to.schemaOps))
+        case None => toDf.limit(0)
+      }
       val aligned = toDf.columns.map { c =>
         if (fromDf.columns.contains(c)) col(c)
         else lit(null).cast(toDf.schema(c).dataType).as(c)

@@ -217,4 +217,64 @@ class GraphSpec extends SparkSpec {
     assert(sec < 120.0, s"16 HITS rounds took ${sec}s — lineage cut broken?")
     assert(hs(15) == r16, "scores must be stationary at convergence length")
   }
+
+  test("kcore: K4+pendant chain — fixpoint peels tails, bounded rounds match hand peels, noise ignored") {
+    def cores(edges: Seq[(Long, Long)], k: Int,
+              rounds: Option[Int]): Map[Long, Long] =
+      Graph.kcore(edges.toDF("src", "dst"), "src", "dst", k, rounds,
+          checkpoint = Cascade.NoCheckpoint)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 on {1,2,3,4} plus pendant chain 4-5, 5-6
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    // 2-core fixpoint: 6 (deg 1) peels, then 5 — K4 remains, deg 3 each
+    assert(cores(g, 2, None) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // but ONE synchronous round only drops 6 (5 still saw deg 2):
+    // survivors {1..5}, degrees within the ORIGINAL graph
+    assert(cores(g, 2, Some(1)) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 2L))
+    // round 2 drops 5 (its neighbor 6 is gone) but still reports 4's
+    // degree within the round-1 survivor set {1..5} — i.e. 4
+    assert(cores(g, 2, Some(2)) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L))
+    // round 3 re-measures within {1,2,3,4}: the fixpoint
+    assert(cores(g, 2, Some(3)) == cores(g, 2, None))
+    // 4-core of K4 is empty (deg 3 < 4) — and the empty fixpoint halts
+    assert(cores(g, 4, None).isEmpty)
+    // duplicates / self-loops / direction noise collapse
+    val noisy = g ++ Seq((2L, 1L), (1L, 1L), (1L, 2L))
+    assert(cores(noisy, 2, None) == cores(g, 2, None))
+    // partition independence
+    val part = Graph.kcore(g.toDF("src", "dst").repartition(7), "src", "dst",
+        2, None, checkpoint = Cascade.NoCheckpoint)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(part == cores(g, 2, None))
+  }
+
+  test("shortestPaths: hand graph — min over paths, cycle safe, depth-capped, frontier exact") {
+    def dists(edges: Seq[(Long, Long)], src: Long,
+              depth: Int): Map[Long, Long] =
+      Graph.shortestPaths(edges.toDF("src", "dst"), "src", "dst", src, depth,
+          checkpoint = Cascade.NoCheckpoint)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // diamond + tail: 1→2→4, 1→3→4 (dist(4)=2 via min), 4→5
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    assert(dists(g, 1L, 6) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    // cycle: re-arrival never overwrites a shorter distance
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(dists(cyc, 1L, 6) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // maxDepth caps the horizon: node 5 (3 hops) absent at depth 2
+    assert(dists(g, 1L, 2) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // unreachable nodes never appear; direction respected (2→1 absent)
+    assert(!dists(Seq((1L, 2L), (3L, 4L)), 1L, 4).contains(3L))
+    assert(dists(Seq((2L, 1L)), 1L, 4) == Map(1L -> 0L))
+    // partition independence
+    val part = Graph.shortestPaths(g.toDF("src", "dst").repartition(5),
+        "src", "dst", 1L, 6, checkpoint = Cascade.NoCheckpoint)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(part == dists(g, 1L, 6))
+  }
 }

@@ -946,4 +946,103 @@ class ScaleSpec extends SparkSpec {
     assert(ops(Snapshots.changesBetween(spark, root, id3, id4)).isEmpty,
       "rewrite must read as zero row-level changes")
   }
+
+  test("snapshots: rollback — target state restored, history preserved, non-ancestors refused (round-16)") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snaprb").toString
+    val id1 = Snapshots.commitAppendStats(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root, "k")
+    val id2 = Snapshots.commitDelete(Seq(Tuple1(2L)).toDF("k"), root, "k")
+    def ks(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("k").as[Long].collect().toSet
+    assert(ks(Snapshots.read(spark, root)) == Set(1L, 3L))
+    // rollback undoes the delete: the target's FULL state is back
+    val rb = Snapshots.rollbackTo(spark, root, id1)
+    assert(rb == id2 + 1)
+    assert(ks(Snapshots.read(spark, root)) == Set(1L, 2L, 3L))
+    // history preserved: the rolled-over delete snapshot still reads
+    assert(ks(Snapshots.read(spark, root, Some(id2))) == Set(1L, 3L))
+    // stats ride the rollback manifest: pruning still works on the head
+    val (opened, skipped) = Snapshots.pruneCounts(spark, root, "k", 99L, 100L)
+    assert(opened == 0 && skipped == 1, s"stats lost: $opened/$skipped")
+    // commits continue on top; rollback-of-rollback returns to the
+    // intermediate (post-delete) state
+    Snapshots.commitAppend(Seq((4L, "d")).toDF("k", "v"), root)
+    assert(ks(Snapshots.read(spark, root)) == Set(1L, 2L, 3L, 4L))
+    Snapshots.rollbackTo(spark, root, id2)
+    assert(ks(Snapshots.read(spark, root)) == Set(1L, 3L))
+    // tag idempotence: a crash-replayed rollback returns the same id
+    val t1 = Snapshots.rollbackTo(spark, root, id1, Some("rb-once"))
+    assert(Snapshots.rollbackTo(spark, root, id1, Some("rb-once")) == t1)
+    // a staged branch head is NOT an ancestor of main — refused
+    Snapshots.wapStage(Seq((9L, "z")).toDF("k", "v"), root, "audit")
+    val staged = Snapshots.branchHead(spark, root, "audit").get.id
+    intercept[IllegalArgumentException] {
+      Snapshots.rollbackTo(spark, root, staged)
+    }
+    // vacuum after rollback reclaims nothing the head references
+    Snapshots.branchDrop(spark, root, "audit")
+    Snapshots.vacuum(spark, root, tmpGraceMs = 0L)
+    assert(ks(Snapshots.read(spark, root)) == Set(1L, 2L, 3L))
+  }
+
+  test("snapshots: metadata-only rename/drop — name mapping, skipping survives, re-add safe (round-16)") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapevo").toString
+    val id1 = Snapshots.commitAppendBloom(
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "x"),
+      root, bloomCol = "v", statsCols = Seq("v"))
+    Snapshots.commitRenameColumn(spark, root, "v", "value")
+    // an append under the NEW name; both generations unify
+    Snapshots.commitAppendBloom(
+      Seq((3L, 30L, "c")).toDF("k", "value", "x"),
+      root, bloomCol = "value", statsCols = Seq("value"))
+    val rows = Snapshots.read(spark, root)
+      .select("k", "value", "x").as[(Long, Long, String)].collect().toSet
+    assert(rows == Set((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))
+    // time travel to before the rename: the ORIGINAL name
+    assert(Snapshots.read(spark, root, Some(id1)).columns.toSeq ==
+      Seq("k", "v", "x"))
+    // range stats were remapped: pruning on the NEW name skips the old dir
+    assert(Snapshots.pruneCounts(spark, root, "value", 25L, 40L) == ((1, 1)))
+    // bloom skipping on the NEW name consults the old dir's physical
+    // sidecar (_bloom_v): value=10 opens dir1 only (ranges exclude dir2)
+    assert(Snapshots.pointCounts(spark, root, "value", 10L) == ((1, 1)))
+    assert(Snapshots.readPoint(spark, root, "value", 10L)
+      .select("k").as[Long].collect().toSeq == Seq(1L))
+    // rename CHAIN: value -> val2; both hops apply to the oldest dir
+    Snapshots.commitRenameColumn(spark, root, "value", "val2")
+    assert(Snapshots.read(spark, root).columns.toSeq == Seq("k", "val2", "x"))
+    // DROP x metadata-only, then RE-ADD the name on a new append: the
+    // old drop must not eat the re-added column
+    Snapshots.commitDropColumn(spark, root, "x")
+    assert(Snapshots.read(spark, root).columns.toSeq == Seq("k", "val2"))
+    Snapshots.commitAppend(Seq((4L, 40L, "NEW")).toDF("k", "val2", "x"), root)
+    val readd = Snapshots.read(spark, root)
+      .select("k", "x").as[(Long, Option[String])].collect().toMap
+    assert(readd == Map(1L -> None, 2L -> None, 3L -> None, 4L -> Some("NEW")))
+    // the equality-delete key is refused for rename AND drop
+    Snapshots.commitDelete(Seq(Tuple1(2L)).toDF("k"), root, "k")
+    intercept[IllegalArgumentException] {
+      Snapshots.commitRenameColumn(spark, root, "k", "key")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.commitDropColumn(spark, root, "k")
+    }
+    // changesBetween across a rename interval speaks the TO schema on
+    // BOTH legs (the delete of k=2 rehydrates under val2, not v)
+    val cdc = Snapshots.changesBetween(spark, root, id1,
+      Snapshots.current(spark, root).get.id)
+    assert(cdc.columns.contains("val2") && !cdc.columns.contains("v"))
+    val dels = cdc.filter($"op" === "D")
+      .select("k", "val2").as[(Long, Long)].collect().toSet
+    assert(dels == Set((2L, 20L)), s"rename-interval delete leg wrong: $dels")
+    // rewrite materializes the mapping; the logical state is unchanged
+    Snapshots.commitRewrite(spark, root)
+    val post = Snapshots.read(spark, root)
+      .select("k", "val2").as[(Long, Long)].collect().toSet
+    assert(post == Set((1L, 10L), (3L, 30L), (4L, 40L)))
+  }
 }

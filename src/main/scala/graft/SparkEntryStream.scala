@@ -462,6 +462,98 @@ private[graft] object SparkEntryStream {
         .select(col("node").as("node_id"), col("rank_micro"))
     }),
 
+    // W35 — STREAMING triangle maintenance (round-16): g6's incremental
+    // twin on w33's edge-log algebra — the SAME log substrate, a
+    // different terminal fold (log once, fold many). The co-purchase
+    // graph arrives as 3 content-addressed micro-batches; the fold runs
+    // the degree-oriented wedge join over the logged union. Oracle is
+    // g6's relational SQL VERBATIM — delivery slicing cannot perturb a
+    // single count, because triangles are a function of the edge SET
+    // and set union absorbs replay/reorder by algebra.
+    "w35_stream_triangles" -> ((s, dir) => {
+      import graft.streaming.TriangleStream
+      val io = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = io.as("x").join(io.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      val root = s"$streamScratchDir/${dirKey(dir)}_w35"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val tmp = s"$root/tmpall"
+      edges.withColumn("__b",
+          pmod(conv(substring(md5(concat_ws(":",
+            col("src"), col("dst"))), 1, 4), 16, 10).cast("long"),
+            lit(3)))
+        .write.partitionBy("__b").mode("overwrite").parquet(tmp)
+      for (b <- 0 until 3) {
+        val d = new java.io.File(s"$tmp/__b=$b")
+        if (d.isDirectory) {
+          val parts = d.listFiles().filter(f =>
+            f.isFile && f.getName.endsWith(".parquet"))
+          parts.zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$in/b${b}_$i.parquet"))
+          }
+        }
+      }
+      rmTree(tmp)
+      val schema = s.read.parquet(in).schema
+      val q = TriangleStream.start(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+        "src", "dst", s"$root/state", s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      TriangleStream.fold(s, s"$root/state")
+        .select(col("node").as("node_id"), col("n_tri"))
+    }),
+
+    // W36 — STREAMING community maintenance (round-16): g7's
+    // incremental twin, third consumer of the shared edge log. Same
+    // delivery slicing, terminal fold = the 3-round synchronous LPA;
+    // oracle is g7's unrolled SQL VERBATIM — labels are a function of
+    // the edge set, so the log's union algebra carries determinism
+    // through any delivery order.
+    "w36_stream_lpa" -> ((s, dir) => {
+      import graft.streaming.LpaStream
+      val io = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = io.as("x").join(io.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      val root = s"$streamScratchDir/${dirKey(dir)}_w36"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val tmp = s"$root/tmpall"
+      edges.withColumn("__b",
+          pmod(conv(substring(md5(concat_ws(":",
+            col("src"), col("dst"))), 1, 4), 16, 10).cast("long"),
+            lit(3)))
+        .write.partitionBy("__b").mode("overwrite").parquet(tmp)
+      for (b <- 0 until 3) {
+        val d = new java.io.File(s"$tmp/__b=$b")
+        if (d.isDirectory) {
+          val parts = d.listFiles().filter(f =>
+            f.isFile && f.getName.endsWith(".parquet"))
+          parts.zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$in/b${b}_$i.parquet"))
+          }
+        }
+      }
+      rmTree(tmp)
+      val schema = s.read.parquet(in).schema
+      val q = LpaStream.start(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+        "src", "dst", s"$root/state", s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      LpaStream.fold(s, s"$root/state", iters = 3)
+        .select(col("node").as("node_id"), col("community"))
+    }),
+
     // W24 — STREAMING ingestion into the snapshot table: each arriving
     // micro-batch lands as ONE atomic Snapshots.commitAppend (immutable
     // delta + pointer swing), so readers always see a consistent table
@@ -1214,6 +1306,10 @@ private[graft] object SparkEntryStream {
     // delivered edge log — the streaming maintenance path must
     // reproduce batch rank truth to the integer micro-unit.
     "w33_stream_pagerank" -> SparkEntryGraph.oracle("g1_pagerank"),
+    // w35/w36: the batch graph oracles VERBATIM over the delivered log —
+    // the strongest gate form (delivery slicing must be invisible).
+    "w35_stream_triangles" -> SparkEntryGraph.oracle("g6_triangles"),
+    "w36_stream_lpa" -> SparkEntryGraph.oracle("g7_lpa"),
 
     // w30: d8's batch oracle VERBATIM over the delivered log — the
     // streaming decontamination path must reproduce the batch overlap

@@ -446,6 +446,40 @@ class StreamingSpec extends SparkSpec {
     assert(fwd.keySet == Set(1L, 2L, 3L, 4L, 9L))
   }
 
+  test("w35/w36 shared edge log: triangle and LPA folds are order-independent, replay-absorbing, == batch") {
+    import graft.streaming.{PageRankStream, TriangleStream, LpaStream}
+    import spark.implicits._
+    // two triangles sharing edge (2,3); the closing edges arrive in the
+    // LAST delta so an early fold would count zero triangles
+    val deltas = Seq(
+      Seq((1L, 2L), (2L, 3L)), Seq((3L, 4L), (2L, 4L)), Seq((3L, 1L)))
+      .map(_.toDF("s", "d"))
+    def logOf(tag: String, order: Seq[Int]): String = {
+      val dirf = java.nio.file.Files.createTempDirectory(s"w3x_$tag").toString
+      order.foreach(i => PageRankStream.absorb(deltas(i), "s", "d", dirf))
+      dirf
+    }
+    def tri(dirf: String): Map[Long, Long] =
+      TriangleStream.fold(spark, dirf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def lpa(dirf: String): Map[Long, Long] =
+      LpaStream.fold(spark, dirf, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fwd = logOf("fwd", Seq(0, 1, 2))
+    val rev = logOf("rev", Seq(2, 1, 0))
+    val rep = logOf("rep", Seq(0, 1, 1, 2, 0))
+    // one log, two folds; both absorb reorder and replay by algebra
+    assert(tri(fwd) == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    assert(tri(rev) == tri(fwd) && tri(rep) == tri(fwd))
+    assert(lpa(rev) == lpa(fwd) && lpa(rep) == lpa(fwd))
+    // equality with the batch engines on the delivered union
+    val all = deltas.reduce(_ union _)
+    assert(tri(fwd) == graft.ops.Graph.triangles(all, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(lpa(fwd) == graft.ops.Graph.labelPropagation(all, "s", "d", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("w19 session state: boundary-spanning merge, replay idempotence, horizon eviction") {
     import graft.streaming.SessionStream
     import spark.implicits._

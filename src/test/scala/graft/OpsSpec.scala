@@ -466,4 +466,44 @@ class OpsSpec extends SparkSpec {
     assert(Validations.uiMissingReport(d, "file", required, "b.xlsx")
       .select("missing_property").as[String].collect().contains(s"file.$ex"))
   }
+
+  test("check suite: one-pass metrics — completeness bp, dup counts, set/bounds violations, vacuous regex") {
+    import graft.validate.Checks
+    import graft.validate.Checks._
+    val d = Seq(
+      (1L, Some("a"), Some("X"), Some(5L), Some("12-345")),
+      (2L, None, Some("X"), Some(-3L), Some("99-999")),
+      (3L, Some("c"), Some("Y"), Some(20L), None),
+      (4L, Some("d"), Some("Z"), None, Some("bad")))
+      .toDF("id", "name", "cat", "v", "ph")
+    val rep = Checks.run(d, Seq(
+      Complete("name", 7000L),
+      Complete("name", 8000L),
+      Unique("id"),
+      Unique("cat"),
+      InSet("cat", Seq("X", "Y")),
+      Bounds("v", 0L, 10L),
+      Matches("ph", "^[0-9]{2}-[0-9]{3}$", 6000L),
+      Matches("name", "^zzz$", 1L)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rep(0) == (("complete", "name", 7500L, 7000L, 1L)))
+    assert(rep(1) == (("complete", "name", 7500L, 8000L, 0L)))
+    assert(rep(2) == (("unique", "id", 0L, 0L, 1L)))
+    // cat: X twice -> one duplicate row beyond the first
+    assert(rep(3) == (("unique", "cat", 1L, 0L, 0L)))
+    assert(rep(4) == (("in_set", "cat", 1L, 0L, 0L)))
+    // v: -3 and 20 out of [0,10]; the null is not a violation
+    assert(rep(5) == (("bounds", "v", 2L, 0L, 0L)))
+    // ph: 2 of 3 non-null match -> 6666 bp >= 6000
+    assert(rep(6) == (("matches", "ph", 6666L, 6000L, 1L)))
+    // zero matches among non-nulls -> 0 bp, fails even a 1 bp floor
+    assert(rep(7) == (("matches", "name", 0L, 1L, 0L)))
+    // vacuous regex on an all-null column passes at the 10000 ceiling
+    val vac = Checks.run(d.withColumn("allnull", lit(null).cast("string")),
+      Seq(Matches("allnull", "x", 10000L))).collect()(0)
+    assert(vac.getLong(2) == 10000L && vac.getLong(4) == 1L)
+    // report row order is the declaration order (explode of a literal
+    // array), so positional asserts above are stable by construction
+  }
 }

@@ -1045,4 +1045,42 @@ class ScaleSpec extends SparkSpec {
       .select("k", "val2").as[(Long, Long)].collect().toSet
     assert(post == Set((1L, 10L), (3L, 30L), (4L, 40L)))
   }
+
+  test("snapshots: hidden partitioning — per-value dirs, raw-predicate pruning, null dir opens (round-16)") {
+    import graft.ops.Snapshots
+    import graft.ops.Snapshots.{TruncateTransform, BucketTransform}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snaphid").toString
+    val t10 = TruncateTransform("v", 10L)
+    Snapshots.commitAppendHidden(
+      Seq((1L, Some(5L)), (2L, Some(15L)), (3L, Some(25L)),
+        (4L, Some(7L)), (5L, None)).toDF("k", "v"), root, t10)
+    // one dir per value {0,1,2} plus the null-value dir
+    assert(Snapshots.current(spark, root).get.dataDirs.size == 4)
+    // raw predicate [0,9] → value-0 dir opens, the stats-less null dir
+    // ALWAYS opens (degrade-safe), values 1 and 2 skip
+    assert(Snapshots.hiddenRangeCounts(spark, root, t10, 0L, 9L) == ((2, 2)))
+    assert(Snapshots.readHiddenRange(spark, root, t10, 0L, 9L)
+      .select("k").as[Long].collect().toSet == Set(1L, 4L))
+    // later commits add dirs; equality deletes mask across hidden dirs
+    Snapshots.commitAppendHidden(Seq((6L, Some(8L))).toDF("k", "v"), root, t10)
+    Snapshots.commitDelete(Seq(Tuple1(4L)).toDF("k"), root, "k")
+    assert(Snapshots.readHiddenRange(spark, root, t10, 0L, 9L)
+      .select("k").as[Long].collect().toSet == Set(1L, 6L))
+    // the plain read sees everything, incl. the null-value row
+    assert(Snapshots.read(spark, root).count() == 5)
+    // bucket twin: a point lookup opens exactly the value's bucket
+    val broot = java.nio.file.Files.createTempDirectory("snaphidb").toString
+    val b4 = BucketTransform("v", 4)
+    Snapshots.commitAppendHidden(
+      Seq((1L, 3L), (2L, 7L), (3L, 4L), (4L, 11L)).toDF("k", "v"), broot, b4)
+    // buckets: 3,3,0,3 → two dirs
+    assert(Snapshots.current(spark, broot).get.dataDirs.size == 2)
+    assert(Snapshots.hiddenPointCounts(spark, broot, b4, 7L) == ((1, 1)))
+    assert(Snapshots.readHiddenPoint(spark, broot, b4, 7L)
+      .select("k").as[Long].collect().toSeq == Seq(2L))
+    // an unoccupied bucket opens NOTHING and returns the empty frame
+    assert(Snapshots.hiddenPointCounts(spark, broot, b4, 5L) == ((0, 2)))
+    assert(Snapshots.readHiddenPoint(spark, broot, b4, 5L).count() == 0)
+  }
 }

@@ -475,9 +475,15 @@ private[graft] object SparkEntryStream {
       val io = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
+      // the REPEAT co-purchase graph (pairs sharing >= 2 orders): the
+      // noise-filtered co-occurrence tier — real structure at ~0.3% of
+      // the full graph's edge mass, so the bench pays for the judged
+      // STREAMING algebra, not for re-running g6's fold on 1.16M edges
       val edges = io.as("x").join(io.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("src"), col("y.p").as("dst"))
+        .groupBy(col("x.p").as("src"), col("y.p").as("dst"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
+        .select(col("src"), col("dst"))
       val root = s"$streamScratchDir/${dirKey(dir)}_w35"
       rmTree(root)
       val in = s"$root/in"
@@ -520,9 +526,12 @@ private[graft] object SparkEntryStream {
       val io = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
+      // w35's repeat co-purchase graph (>= 2 shared orders) — see there
       val edges = io.as("x").join(io.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("src"), col("y.p").as("dst"))
+        .groupBy(col("x.p").as("src"), col("y.p").as("dst"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
+        .select(col("src"), col("dst"))
       val root = s"$streamScratchDir/${dirKey(dir)}_w36"
       rmTree(root)
       val in = s"$root/in"
@@ -1306,10 +1315,37 @@ private[graft] object SparkEntryStream {
     // delivered edge log — the streaming maintenance path must
     // reproduce batch rank truth to the integer micro-unit.
     "w33_stream_pagerank" -> SparkEntryGraph.oracle("g1_pagerank"),
-    // w35/w36: the batch graph oracles VERBATIM over the delivered log —
-    // the strongest gate form (delivery slicing must be invisible).
-    "w35_stream_triangles" -> SparkEntryGraph.oracle("g6_triangles"),
-    "w36_stream_lpa" -> SparkEntryGraph.oracle("g7_lpa"),
+    // w35/w36: the batch graph oracles over the delivered log, with ONE
+    // swapped tier — the edge CTE takes the repeat-co-purchase form
+    // (>= 2 shared orders) matching the Spark side; everything past the
+    // edge set is g6/g7's SQL verbatim, so delivery slicing must still
+    // be invisible value for value.
+    "w35_stream_triangles" -> {
+      val base = SparkEntryGraph.oracle("g6_triangles")
+      val out = base.replace(
+        """e AS MATERIALIZED (
+          |  SELECT DISTINCT x.p AS a, y.p AS b
+          |  FROM io x JOIN io y ON x.o = y.o AND x.p < y.p),""".stripMargin,
+        """e AS MATERIALIZED (
+          |  SELECT x.p AS a, y.p AS b
+          |  FROM io x JOIN io y ON x.o = y.o AND x.p < y.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),""".stripMargin)
+      require(out != base, "g6 oracle edge CTE moved — fix w35's swap")
+      out
+    },
+    "w36_stream_lpa" -> {
+      val base = SparkEntryGraph.oracle("g7_lpa")
+      val out = base.replace(
+        """ed AS MATERIALIZED (
+          |  SELECT DISTINCT x.p AS a, y.p AS b
+          |  FROM io x JOIN io y ON x.o = y.o AND x.p < y.p),""".stripMargin,
+        """ed AS MATERIALIZED (
+          |  SELECT x.p AS a, y.p AS b
+          |  FROM io x JOIN io y ON x.o = y.o AND x.p < y.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),""".stripMargin)
+      require(out != base, "g7 oracle edge CTE moved — fix w36's swap")
+      out
+    },
 
     // w30: d8's batch oracle VERBATIM over the delivered log — the
     // streaming decontamination path must reproduce the batch overlap

@@ -1689,15 +1689,18 @@ object Snapshots {
       sys.error(s"rollback on empty snapshot table $tableDir"))
     val target = get(spark, tableDir, targetId).getOrElse(
       sys.error(s"no snapshot snap-$targetId under $tableDir (expired?)"))
-    var a: Option[Snapshot] = Some(cur)
-    var ancestor = false
-    while (a.isDefined && !ancestor) {
-      if (a.get.id == targetId) ancestor = true
-      else a = a.get.parent.flatMap(get(spark, tableDir, _))
-    }
-    require(ancestor,
-      s"snap-$targetId is not an ancestor of the current head " +
-        s"snap-${cur.id} under $tableDir — rollback cannot fork history")
+    // ancestry is structural, not walked: MAIN history is a single
+    // chain over branch-FREE manifests ordered by id (every main
+    // commit CASes the next id with parent = the then-head; staged WAP
+    // manifests carry a branch marker and live outside it), so any
+    // retained branch-free manifest with a smaller id IS an ancestor —
+    // and the check survives [[expire]] gaps a parent-pointer walk
+    // would misread as "not an ancestor"
+    require(target.branch.isEmpty && target.id < cur.id,
+      s"snap-$targetId is not a main-history ancestor of the current " +
+        s"head snap-${cur.id} under $tableDir — rollback cannot fork " +
+        "history (staged/branch snapshots and the head itself are not " +
+        "rollback targets)")
     val won = casMainManifest(spark, fs, tableDir, cur.id + 1,
       // schema ops are TABLE-level metadata, not data state: a data
       // rollback keeps the CURRENT schema history (Iceberg semantics —

@@ -1195,6 +1195,56 @@ private[graft] object SparkEntrySources {
           lit(o2.toLong).as("opened"), lit(k2.toLong).as("skipped"))
       p1.union(p2)
     }),
+
+    // S36 — CONSTRAINT-GATED commits (round-16; Delta's CHECK-on-write
+    // / dbt-style expectations, composed from parts this table already
+    // ships: v18's one-pass suite is the AUDIT inside s30's
+    // write-audit-publish flow). A batch stages invisibly, the suite
+    // runs, and the commit fast-forwards or the batch is REFUSED
+    // all-or-nothing — readers can never observe a state that breaks
+    // the declared contract. Phase 1 pins both refusal forms (a
+    // bounds-violating batch; a cross-batch duplicate caught only by
+    // the TABLE-scope Unique audit) leaving the table bit-identical to
+    // the accepted first batch; phase 2 pins that the cleaned
+    // remainder then lands. At 100 TB this is the ingest contract
+    // every lakehouse pipeline wants: bad batches bounce atomically,
+    // with the report naming the violated constraint.
+    "s36_checked_commits" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      import graft.validate.Checks._
+      val root = s"$partScratchDir/${dirKey(dir)}_s36"
+      rmTree(root)
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS LONG)").as("bal_c"))
+      val maxK = cust.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+      val q2 = maxK / 2
+      val contract = Seq(Complete("c_mktsegment", 10000L),
+        Bounds("bal_c", 0L, 100000000L))
+      Snapshots.commitAppendChecked(
+        cust.filter(col("c_custkey") <= q2 && col("bal_c") >= 0),
+        root, contract)
+      val refused1 = try {
+        Snapshots.commitAppendChecked(
+          cust.filter(col("c_custkey") > q2), root, contract); 0L
+      } catch { case _: Snapshots.CheckViolationException => 1L }
+      val refused2 = try {
+        Snapshots.commitAppendChecked(
+          cust.filter(col("c_custkey") <= q2 / 2 && col("bal_c") >= 0),
+          root, Seq(Unique("c_custkey")), wholeTable = true); 0L
+      } catch { case _: Snapshots.CheckViolationException => 1L }
+      val cols = Seq("c_custkey", "c_mktsegment", "bal_c")
+      val p1 = Validations.tableFingerprint(Snapshots.read(s, root), cols)
+        .select(lit(1L).as("phase"), col("n_rows"), col("fingerprint"),
+          lit(refused1 * 10L + refused2).as("refused"))
+      Snapshots.commitAppendChecked(
+        cust.filter(col("c_custkey") > q2 && col("bal_c") >= 0),
+        root, contract)
+      val p2 = Validations.tableFingerprint(Snapshots.read(s, root), cols)
+        .select(lit(2L).as("phase"), col("n_rows"), col("fingerprint"),
+          lit(0L).as("refused"))
+      p1.union(p2)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1301,6 +1351,28 @@ private[graft] object SparkEntrySources {
          |  CAST(1 AS BIGINT),
          |  CAST((SELECT count(*) FROM bkts) - 1 AS BIGINT)
          |FROM ev WHERE user_id = (SELECT u FROM probe)""".stripMargin
+    },
+
+    // s36: phase 1 = the accepted first batch ONLY (both refusals left
+    // the table untouched — flag 11 pins that both fired); phase 2 =
+    // the contract-clean closure (every non-negative balance, both
+    // halves landed).
+    "s36_checked_commits" -> {
+      def fp(phase: Int, where: String, refused: Int) =
+        s"""SELECT CAST($phase AS BIGINT) AS phase, count(*) AS n_rows,
+           |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+           |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+           |    coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)),
+           |    coalesce(CAST(bal AS VARCHAR), chr(0)))), 1, 10))
+           |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint,
+           |  CAST($refused AS BIGINT) AS refused
+           |FROM (SELECT c_custkey, c_mktsegment,
+           |        CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+           |      FROM customer WHERE $where) t""".stripMargin
+      val q2 = "(SELECT max(c_custkey) // 2 FROM customer)"
+      s"""${fp(1, s"c_custkey <= $q2 AND round(c_acctbal * 100) >= 0", 11)}
+         |UNION ALL
+         |${fp(2, "round(c_acctbal * 100) >= 0", 0)}""".stripMargin
     },
 
     "s5_salted_join" ->

@@ -1606,11 +1606,15 @@ object Snapshots {
     * tagged for idempotent retries. Time travel to pre-publish main
     * still reads the unaudited-free history. */
   def wapPublish(spark: SparkSession, tableDir: String,
-                 branch: String): Long = {
+                 branch: String, tag: Option[String] = None): Long = {
     val fs = fsFor(spark, tableDir)
     val head = branchHead(spark, tableDir, branch).getOrElse(
       sys.error(s"no branch '$branch' under $tableDir"))
-    val pubTag = s"wap-publish-$branch-${head.id}"
+    // a caller-supplied tag REPLACES the derived publish tag: the same
+    // crash-replay probe then keys on the caller's logical-commit
+    // identity (what [[commitAppendChecked]] needs for exactly-once
+    // across full-flow replays, where the nonce'd branch name differs)
+    val pubTag = tag.getOrElse(s"wap-publish-$branch-${head.id}")
     findTag(spark, tableDir, pubTag) match {
       case Some(existing) => return existing // crash-replayed publish
       case None => ()
@@ -1661,6 +1665,70 @@ object Snapshots {
     dropped.foreach(i => fs.delete(new Path(tableDir, s"snap-$i"), false))
     fs.delete(new Path(tableDir, branchPtr(branch)), false)
     dropped
+  }
+
+  /** A checked commit's constraint suite failed: the batch never
+    * became visible (its staged dir is vacuum garbage). Carries the
+    * failing report rows as `(check, column, metric, threshold)`. */
+  final class CheckViolationException(tableDir: String, scope: String,
+                                      val violations: Seq[String])
+    extends RuntimeException(
+      s"checked commit into $tableDir refused ($scope-scope): " +
+        violations.mkString("; "))
+
+  /** CONSTRAINT-GATED append (round-16 — Delta's CHECK-on-write /
+    * "expectations" shape, composed from the parts this table already
+    * has): stage the batch on an invisible WAP branch, run the
+    * [[graft.validate.Checks]] suite as the AUDIT, then fast-forward
+    * (publish) or drop. All-or-nothing: a violating batch never
+    * becomes visible — readers can never observe a state that breaks
+    * the declared contract, and the refused batch's staged dir is
+    * vacuum's ordinary garbage. `wholeTable = true` audits the
+    * WOULD-BE table state instead of the batch (the form a
+    * cross-batch Unique constraint needs — disclosed cost: one suite
+    * pass over the state, not the batch; at 100 TB run table-scope
+    * checks on the columns that need them and batch-scope for the
+    * rest). First commit on an empty table audits the batch directly
+    * (there is no state to compose with). `tag` rides the PUBLISH
+    * manifest, so crash-replays of the whole flow stay exactly-once. */
+  def commitAppendChecked(df: DataFrame, tableDir: String,
+                          checks: Seq[graft.validate.Checks.Check],
+                          wholeTable: Boolean = false,
+                          tag: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    tag.flatMap(t => findTag(spark, tableDir, t)) match {
+      case Some(existing) => return existing
+      case None => ()
+    }
+    def gate(audited: DataFrame, scope: String): Unit = {
+      val bad = graft.validate.Checks.run(audited, checks).collect()
+        .filter(_.getAs[Long]("ok") == 0L)
+      if (bad.nonEmpty) throw new CheckViolationException(tableDir, scope,
+        bad.toSeq.map(r => s"${r.getString(0)}(${r.getString(1)}): " +
+          s"metric=${r.getLong(2)} threshold=${r.getLong(3)}"))
+    }
+    if (current(spark, tableDir).isEmpty) {
+      gate(df, "batch")
+      return commitAppend(df, tableDir, tag)
+    }
+    val branch = s"check-${nonce()}"
+    wapStage(df, tableDir, branch)
+    try {
+      val head = branchHead(spark, tableDir, branch).getOrElse(
+        sys.error(s"staged branch '$branch' vanished under $tableDir"))
+      val audited =
+        if (wholeTable) readBranch(spark, tableDir, branch)
+        else spark.read.parquet(
+          new Path(tableDir, head.entries.last._2).toString)
+      gate(audited, if (wholeTable) "table" else "batch")
+      wapPublish(spark, tableDir, branch, tag)
+    } finally {
+      // published: the fast-forward manifest owns the dir, the branch
+      // manifests are scaffolding. Refused: the staged dir becomes
+      // unreferenced and the next vacuum reclaims it. Either way the
+      // branch itself is transient.
+      branchDrop(spark, tableDir, branch)
+    }
   }
 
   /** ROLLBACK to an earlier snapshot (round-16, Iceberg's

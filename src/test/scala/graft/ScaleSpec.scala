@@ -1083,4 +1083,49 @@ class ScaleSpec extends SparkSpec {
     assert(Snapshots.hiddenPointCounts(spark, broot, b4, 5L) == ((0, 2)))
     assert(Snapshots.readHiddenPoint(spark, broot, b4, 5L).count() == 0)
   }
+
+  test("snapshots: checked commits — atomic refusal, scope difference, replay exactly-once (round-16)") {
+    import graft.ops.Snapshots
+    import graft.validate.Checks._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapchk").toString
+    val contract = Seq(Complete("v", 10000L), Bounds("n", 0L, 100L))
+    // empty-table first commit audits the batch directly
+    intercept[Snapshots.CheckViolationException] {
+      Snapshots.commitAppendChecked(
+        Seq((1L, "a", -5L)).toDF("k", "v", "n"), root, contract)
+    }
+    intercept[RuntimeException] { Snapshots.read(spark, root) } // still empty
+    val id1 = Snapshots.commitAppendChecked(
+      Seq((1L, "a", 5L), (2L, "b", 7L)).toDF("k", "v", "n"), root, contract)
+    assert(id1 == 1L)
+    // a violating batch is refused ATOMICALLY: state unchanged, and the
+    // staged dir is unreferenced garbage vacuum reclaims
+    intercept[Snapshots.CheckViolationException] {
+      Snapshots.commitAppendChecked(
+        Seq((3L, null.asInstanceOf[String], 5L)).toDF("k", "v", "n"),
+        root, contract)
+    }
+    assert(Snapshots.current(spark, root).get.id == id1)
+    assert(Snapshots.read(spark, root).count() == 2)
+    assert(Snapshots.vacuum(spark, root, tmpGraceMs = 0L).nonEmpty,
+      "the refused batch's staged dir must be reclaimable")
+    // scope difference: a cross-batch duplicate passes the BATCH-scope
+    // Unique audit but the TABLE-scope audit refuses it
+    intercept[Snapshots.CheckViolationException] {
+      Snapshots.commitAppendChecked(Seq((2L, "b2", 9L)).toDF("k", "v", "n"),
+        root, Seq(Unique("k")), wholeTable = true)
+    }
+    Snapshots.commitAppendChecked(Seq((2L, "b2", 9L)).toDF("k", "v", "n"),
+      root, Seq(Unique("k")), wholeTable = false)
+    assert(Snapshots.read(spark, root).count() == 3)
+    // tag: a crash-replayed checked commit returns the landed id
+    val t1 = Snapshots.commitAppendChecked(
+      Seq((9L, "z", 1L)).toDF("k", "v", "n"), root, contract,
+      tag = Some("chk-once"))
+    assert(Snapshots.commitAppendChecked(
+      Seq((9L, "z", 1L)).toDF("k", "v", "n"), root, contract,
+      tag = Some("chk-once")) == t1)
+    assert(Snapshots.read(spark, root).count() == 4)
+  }
 }

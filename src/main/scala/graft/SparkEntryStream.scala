@@ -563,6 +563,60 @@ private[graft] object SparkEntryStream {
         .select(col("node").as("node_id"), col("community"))
     }),
 
+    // W37 — STREAMING constraint-gated ingest with a DEAD-LETTER table
+    // (round-16; s36 ∘ streaming): customer arrives in 3 md5-sliced
+    // micro-batch groups, slice 1 mangled (segment nulled) so it
+    // violates the Complete contract — every main-side batch passes
+    // the stage-audit-publish gate, the violating slice lands
+    // ATOMICALLY in the quarantine snapshot table instead. Phases
+    // fingerprint BOTH tables: main is exactly the contract-clean
+    // slices (readers can never see a violating state), quarantine is
+    // exactly the bounced slice — the complete queryable record of
+    // what bounced. The oracle replants the md5 slicing + the mangle.
+    "w37_checked_ingest" -> ((s, dir) => {
+      import graft.streaming.CheckedIngestStream
+      import graft.ops.Snapshots
+      import graft.validate.Checks._
+      val root = s"$streamScratchDir/${dirKey(dir)}_w37"
+      rmTree(root)
+      val in = s"$root/in"
+      new java.io.File(in).mkdirs()
+      val sliced = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("__b",
+          pmod(conv(substring(md5(col("c_custkey").cast("string")), 1, 4),
+            16, 10).cast("long"), lit(3)))
+        .withColumn("c_mktsegment",
+          when(col("__b") === 1, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")))
+      val tmp = s"$root/tmpall"
+      sliced.write.partitionBy("__b").mode("overwrite").parquet(tmp)
+      for (b <- 0 until 3) {
+        val d = new java.io.File(s"$tmp/__b=$b")
+        if (d.isDirectory) {
+          val parts = d.listFiles().filter(f =>
+            f.isFile && f.getName.endsWith(".parquet"))
+          parts.zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$in/b${b}_$i.parquet"))
+          }
+        }
+      }
+      rmTree(tmp)
+      val schema = s.read.parquet(in).schema
+      val q = CheckedIngestStream.start(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+        s"$root/main", s"$root/quar",
+        Seq(Complete("c_mktsegment", 10000L)), s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val cols = Seq("c_custkey", "c_mktsegment")
+      def phase(n: Long, df: org.apache.spark.sql.DataFrame) =
+        Validations.tableFingerprint(df, cols)
+          .select(lit(n).as("phase"), col("n_rows"), col("fingerprint"))
+      phase(1L, Snapshots.read(s, s"$root/main"))
+        .union(phase(2L, Snapshots.read(s, s"$root/quar")))
+    }),
+
     // W24 — STREAMING ingestion into the snapshot table: each arriving
     // micro-batch lands as ONE atomic Snapshots.commitAppend (immutable
     // delta + pointer swing), so readers always see a consistent table
@@ -1315,6 +1369,24 @@ private[graft] object SparkEntryStream {
     // delivered edge log — the streaming maintenance path must
     // reproduce batch rank truth to the integer micro-unit.
     "w33_stream_pagerank" -> SparkEntryGraph.oracle("g1_pagerank"),
+
+    // w37: the md5 slice + the slice-1 segment mangle replanted — main
+    // is exactly the clean slices, quarantine exactly the bounced one.
+    "w37_checked_ingest" -> {
+      def fp(phase: Int, where: String, seg: String) =
+        s"""SELECT CAST($phase AS BIGINT) AS phase, count(*) AS n_rows,
+           |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+           |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+           |    coalesce(CAST($seg AS VARCHAR), chr(0)))), 1, 10))
+           |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+           |FROM (SELECT c_custkey,
+           |        ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT
+           |          % 3 AS b, c_mktsegment
+           |      FROM customer) t WHERE $where""".stripMargin
+      s"""${fp(1, "b <> 1", "c_mktsegment")}
+         |UNION ALL
+         |${fp(2, "b = 1", "CAST(NULL AS VARCHAR)")}""".stripMargin
+    },
     // w35/w36: the batch graph oracles over the delivered log, with ONE
     // swapped tier — the edge CTE takes the repeat-co-purchase form
     // (>= 2 shared orders) matching the Spark side; everything past the

@@ -480,6 +480,35 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("w37 checked ingest: clean batches land, violating batches quarantine, checkpoint replay exactly-once") {
+    import graft.streaming.CheckedIngestStream
+    import graft.ops.Snapshots
+    import graft.validate.Checks._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("w37").toString
+    val (main, quar) = (s"$root/main", s"$root/quar")
+    val contract = Seq(Complete("v", 10000L))
+    val good1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val bad = Seq((3L, null.asInstanceOf[String]), (4L, "d")).toDF("k", "v")
+    val good2 = Seq((5L, "e")).toDF("k", "v")
+    CheckedIngestStream.absorb(good1, 0L, main, quar, contract)
+    CheckedIngestStream.absorb(bad, 1L, main, quar, contract)
+    CheckedIngestStream.absorb(good2, 2L, main, quar, contract)
+    def ks(d: String): Set[Long] =
+      Snapshots.read(spark, d).select("k").as[Long].collect().toSet
+    assert(ks(main) == Set(1L, 2L, 5L))
+    assert(ks(quar) == Set(3L, 4L))
+    // checkpoint replay: the SAME batches under the SAME bids are
+    // absorbed by the tags on both sides — nothing lands twice
+    CheckedIngestStream.absorb(bad, 1L, main, quar, contract)
+    CheckedIngestStream.absorb(good1, 0L, main, quar, contract)
+    assert(Snapshots.read(spark, main).count() == 3)
+    assert(Snapshots.read(spark, quar).count() == 2)
+    // an empty batch is a no-op, not a Complete failure
+    CheckedIngestStream.absorb(good1.limit(0), 7L, main, quar, contract)
+    assert(Snapshots.read(spark, main).count() == 3)
+  }
+
   test("w19 session state: boundary-spanning merge, replay idempotence, horizon eviction") {
     import graft.streaming.SessionStream
     import spark.implicits._

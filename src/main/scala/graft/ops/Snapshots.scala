@@ -1690,7 +1690,12 @@ object Snapshots {
     * checks on the columns that need them and batch-scope for the
     * rest). First commit on an empty table audits the batch directly
     * (there is no state to compose with). `tag` rides the PUBLISH
-    * manifest, so crash-replays of the whole flow stay exactly-once. */
+    * manifest, so crash-replays of the whole flow stay exactly-once.
+    * A crash between publish and scaffold drop can leave the
+    * `check-<nonce>` branch's manifests behind (harmless and
+    * invisible — [[expire]] never reaps open branches); a periodic
+    * [[branchDrop]] of stale `check-*` branches + [[vacuum]] is the
+    * janitor, as for any abandoned WAP audit. */
   def commitAppendChecked(df: DataFrame, tableDir: String,
                           checks: Seq[graft.validate.Checks.Check],
                           wholeTable: Boolean = false,

@@ -696,4 +696,35 @@ class PlanShapeSpec extends SparkSpec {
       s"s16's lang predicate must be a PARTITION filter (pruned at listing " +
         s"time), not a post-scan row filter:\n$p")
   }
+
+  test("s34/s35: predicates PUSH to parquet through the rename Project and the hidden-range scan") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    // rename path: a filter on the NEW name must reach the old dir's
+    // scan as a pushed data filter (the rename is one Project over the
+    // scan — Catalyst pushes the predicate through the alias)
+    val root = java.nio.file.Files.createTempDirectory("s34_plan").toString
+    Snapshots.commitAppend(
+      (1L to 2000L).map(i => (i, i * 10)).toDF("k", "v"), root)
+    Snapshots.commitRenameColumn(spark, root, "v", "value")
+    val renamed = Snapshots.read(spark, root).filter($"value" > 19500L)
+    val p1 = finalPlan(renamed)
+    val scans1 = deep(p1).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans1.nonEmpty && scans1.forall(_.dataFilters.nonEmpty),
+      s"the value predicate must push through the rename to the scan:\n$p1")
+    assert(shuffles(p1).isEmpty, s"rename read is scan-only:\n$p1")
+    // hidden-range path: the raw-column predicate reaches the surviving
+    // dirs' scans as a pushed filter (maskedDirScan preFilter contract)
+    val hroot = java.nio.file.Files.createTempDirectory("s35_plan").toString
+    val t10 = Snapshots.TruncateTransform("v", 10000L)
+    Snapshots.commitAppendHidden(
+      (1L to 3000L).map(i => (i, i * 10)).toDF("k", "v"), hroot, t10)
+    val p2 = finalPlan(Snapshots.readHiddenRange(spark, hroot, t10, 0L, 9999L))
+    val scans2 = deep(p2).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans2.nonEmpty && scans2.forall(_.dataFilters.nonEmpty),
+      s"the raw-column range must push into the opened dirs' scans:\n$p2")
+    assert(shuffles(p2).isEmpty, s"hidden-range read is scan-only:\n$p2")
+  }
 }

@@ -1084,6 +1084,121 @@ class ScaleSpec extends SparkSpec {
     assert(Snapshots.readHiddenPoint(spark, broot, b4, 5L).count() == 0)
   }
 
+  test("schema-evolution model test: random rename/drop/add/append/delete/rewrite sequences match a reference simulation") {
+    import graft.ops.Snapshots
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    var seed = 99991L
+    def nextInt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    for (scenario <- 1 to 3) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"evo_model_$scenario").toString
+      var schema = Vector("a", "b") // data columns; "k" is the fixed key
+      var colCounter = 0
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[Map[String, Option[Long]]]
+      var nextK = 1L
+      def committed = rows.nonEmpty || nextK > 1L
+      def appendBatch(): Unit = {
+        val cols = "k" +: schema
+        val batch = (0 until 3 + nextInt(4)).map { _ =>
+          val k = nextK; nextK += 1
+          cols.map(c =>
+            c -> Some(if (c == "k") k
+              else k * 31 + (c.hashCode.toLong % 97))).toMap
+        }
+        rows ++= batch
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(batch.map(m =>
+            Row.fromSeq(cols.map(c => m(c).map(Long.box).orNull)))),
+          StructType(cols.map(StructField(_, LongType, nullable = true))))
+        Snapshots.commitAppend(df, root)
+      }
+      appendBatch() // every scenario starts non-empty
+      for (_ <- 0 until 10) {
+        nextInt(6) match {
+          case 0 | 1 => appendBatch()
+          case 2 => // metadata-only RENAME of a random live data column
+            val old = schema(nextInt(schema.size))
+            val nu = s"r$colCounter"; colCounter += 1
+            Snapshots.commitRenameColumn(spark, root, old, nu)
+            schema = schema.map(c => if (c == old) nu else c)
+            rows.indices.foreach { i =>
+              val m = rows(i)
+              if (m.contains(old)) rows(i) = m - old + (nu -> m(old))
+            }
+          case 3 if schema.size > 1 => // metadata-only DROP
+            val gone = schema(nextInt(schema.size))
+            Snapshots.commitDropColumn(spark, root, gone)
+            schema = schema.filterNot(_ == gone)
+            rows.indices.foreach(i => rows(i) = rows(i) - gone)
+          case 4 => // ADDITIVE add: the next append carries the new column
+            schema = schema :+ s"n$colCounter"; colCounter += 1
+          case _ => // equality delete of a random key slice, or a rewrite
+            if (nextInt(2) == 0) { Snapshots.commitRewrite(spark, root); () }
+            else {
+              val mod = 3 + nextInt(3)
+              val doomed = rows.map(_("k").get).filter(_ % mod == 0)
+              if (doomed.nonEmpty) {
+                import spark.implicits._
+                Snapshots.commitDelete(doomed.toSeq.toDF("k"), root, "k")
+                rows.filterInPlace(m => m("k").get % mod != 0)
+              }
+            }
+        }
+        // invariant after EVERY op: read() == the simulated state under
+        // the current logical schema (absent columns read as null)
+        val visible = "k" +: schema
+        val got = Snapshots.read(spark, root)
+        val gCols = got.columns.toSet
+        val gotRows = got.collect().map { r =>
+          visible.map(c => c -> (if (gCols.contains(c) &&
+              !r.isNullAt(r.fieldIndex(c))) Some(r.getLong(r.fieldIndex(c)))
+            else None)).toMap
+        }.sortBy(_("k").get).toVector
+        val want = rows.map(m =>
+            visible.map(c => c -> m.getOrElse(c, None)).toMap)
+          .sortBy(_("k").get).toVector
+        assert(gotRows == want,
+          s"scenario $scenario diverged (schema $visible):\n" +
+            s"got  ${gotRows.take(5)}\nwant ${want.take(5)}")
+      }
+    }
+  }
+
+  test("hidden partitioning property: readHiddenRange == read().filter for random ranges") {
+    import graft.ops.Snapshots
+    import graft.ops.Snapshots.TruncateTransform
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("hid_prop").toString
+    val t = TruncateTransform("v", 7L)
+    // values across many buckets, incl. a NULL-value row and a later
+    // second commit + a delete (the full merge-on-read composition)
+    Snapshots.commitAppendHidden(
+      (1L to 60L).map(i => (i, if (i % 13 == 0) None else Some(i * 3 % 50)))
+        .toDF("k", "v"), root, t)
+    Snapshots.commitAppendHidden(
+      (61L to 90L).map(i => (i, Some(i % 45))).toDF("k", "v"), root, t)
+    Snapshots.commitDelete((1L to 90L by 9).toDF("k"), root, "k")
+    var seed = 7L
+    def nextInt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    for (_ <- 1 to 12) {
+      val lo = nextInt(50).toLong
+      val hi = lo + nextInt(20)
+      val fast = Snapshots.readHiddenRange(spark, root, t, lo, hi)
+        .select("k").as[Long].collect().toSet
+      val slow = Snapshots.read(spark, root)
+        .filter($"v".between(lo, hi)).select("k").as[Long].collect().toSet
+      assert(fast == slow, s"range [$lo,$hi] diverged")
+    }
+  }
+
   test("snapshots: checked commits — atomic refusal, scope difference, replay exactly-once (round-16)") {
     import graft.ops.Snapshots
     import graft.validate.Checks._

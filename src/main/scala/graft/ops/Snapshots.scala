@@ -807,12 +807,36 @@ object Snapshots {
     val parts = leaf.split('-')
     require(parts.length >= 2 && parts(0) == "delta",
       s"unrecognized dir name shape: $d")
-    // staged WAP dirs (`delta-wap-<nonce>`) carry no numeric id: they
-    // are written under the schema CURRENT at staging time, and a
-    // schema transform landing after the fork invalidates the branch
-    // anyway (publish refuses a moved main) — so no op ever applies
+    // staged WAP dirs carry the fork base's id
+    // (`delta-<baseId>-wap-<nonce>`): written under the schema current
+    // at staging time (base's ops all have atId <= baseId and are
+    // correctly skipped), and any schema op committed to main AFTER the
+    // fork either invalidates the branch (publish refuses a moved main)
+    // or lands after the publish with atId > publish id > baseId — so
+    // it applies, exactly as to any other pre-op dir. LEGACY staged
+    // dirs (`delta-wap-<nonce>`, pre-round-17) carry no id at all and
+    // parse as MaxValue — commitRenameColumn/commitDropColumn REFUSE
+    // tables holding one (see [[requireSchemaOpSafe]]): an op that
+    // silently skipped such a dir would split one logical column into
+    // two null-interleaved ones on read.
     if (parts(1).nonEmpty && parts(1).forall(_.isDigit)) parts(1).toLong
     else Long.MaxValue
+  }
+
+  /** Guard for metadata-only schema transforms: every retained dir must
+    * carry a parseable commit id (legacy `delta-wap-<nonce>` staged
+    * names, published before round-17, don't) — an op can only be
+    * ordered against dirs whose position in the commit sequence is
+    * known. One [[commitRewrite]] re-lands such a table on current
+    * naming. */
+  private def requireSchemaOpSafe(cur: Snapshot, tableDir: String): Unit = {
+    val unstamped = cur.entries.map(_._2)
+      .filter(d => dirCommitId(d) == Long.MaxValue)
+    require(unstamped.isEmpty,
+      s"schema transform refused on $tableDir: dir(s) " +
+        s"${unstamped.mkString(", ")} carry no commit id (legacy staged " +
+        "naming) — the op could not be ordered against them; run " +
+        "commitRewrite first")
   }
 
   /** Forward-apply the snapshot's schema ops newer than dir `d` —
@@ -917,6 +941,20 @@ object Snapshots {
       s"column '${cur.deleteKey.getOrElse("")}' is the table's " +
         "equality-delete key — renaming it (or shadowing it) needs a " +
         "rewrite, not a metadata commit")
+    requireSchemaOpSafe(cur, tableDir)
+    // renaming ONTO a live column is refused (Iceberg does the same):
+    // dirs holding only `from` would read it as `to` while dirs holding
+    // both are skipped by applySchemaOps's guard — two distinct columns
+    // silently conflated, per-dir divergent. One schema resolution over
+    // the current read plan (footers only, no row scan) decides.
+    val live = readAt(spark, tableDir, cur).columns
+    require(!live.contains(to),
+      s"rename $from -> $to refused: '$to' is a live column of " +
+        s"$tableDir — renaming onto it would conflate two columns; " +
+        "drop or rename it first")
+    // `from` absent from every dir is legal: the op is a no-op against
+    // retained data and future appends simply carry the new name (the
+    // rename-before-first-append workflow)
     val id = cur.id + 1
     val ops = cur.schemaOps :+ RenameCol(id, from, to)
     val won = casMainManifest(spark, fs, tableDir, id,
@@ -946,6 +984,7 @@ object Snapshots {
     require(!cur.deleteKey.contains(name),
       s"column '$name' is the table's equality-delete key — dropping " +
         "it needs a rewrite, not a metadata commit")
+    requireSchemaOpSafe(cur, tableDir)
     val id = cur.id + 1
     val ops = cur.schemaOps :+ DropCol(id, name)
     val won = casMainManifest(spark, fs, tableDir, id,
@@ -1575,7 +1614,12 @@ object Snapshots {
     val base = head.orElse(current(spark, tableDir)).getOrElse(
       sys.error(s"wapStage on empty snapshot table $tableDir " +
         "(commit a main base first)"))
-    val dataDir = s"data/delta-wap-${nonce()}"
+    // the staged dir is stamped with the fork base's id (see
+    // [[dirCommitId]]): after publish it must order against LATER
+    // schema transforms like any pre-op dir — the round-16 naming
+    // (`delta-wap-<nonce>`, no id) made every post-publish rename/drop
+    // silently skip it, leaving its rows under the old physical name
+    val dataDir = s"data/delta-${base.id}-wap-${nonce()}"
     df.write.mode("overwrite").parquet(new Path(tableDir, dataDir).toString)
     val entries = base.entries :+ ((DataEntry: EntryKind, dataDir))
     var id = math.max(base.id,

@@ -804,6 +804,54 @@ class ScaleSpec extends SparkSpec {
     assert(mainKs == Set(1L, 2L, 3L, 4L, 6L), "post-GC read stability")
   }
 
+  test("snapshots: schema ops apply to published WAP dirs; rename onto a live column refused (round-17)") {
+    import graft.ops.Snapshots
+    import graft.validate.Checks._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapwapevo").toString
+    Snapshots.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    // a checked commit routes through stage→audit→publish, so its dir
+    // is WAP-staged; the r16 naming (delta-wap-<nonce>) made every
+    // later rename SKIP it — its rows kept the old physical name and
+    // unionByName split one logical column into two null-interleaved
+    // ones. Staged dirs now carry the fork base's id and order like
+    // any other dir.
+    Snapshots.commitAppendChecked(
+      Seq((3L, "c"), (4L, "d")).toDF("k", "v"), root,
+      Seq(Complete("v", 10000L)))
+    Snapshots.commitRenameColumn(spark, root, "v", "val")
+    val got = Snapshots.read(spark, root)
+      .select("k", "val").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      s"rename must reach the published WAP dir, got $got")
+    assert(Snapshots.read(spark, root).columns.toSeq == Seq("k", "val"))
+    // and a drop reaches it too
+    val root2 = java.nio.file.Files.createTempDirectory("snapwapevo2").toString
+    Snapshots.commitAppend(Seq((1L, "a", 9L)).toDF("k", "v", "extra"), root2)
+    Snapshots.commitAppendChecked(
+      Seq((2L, "b", 8L)).toDF("k", "v", "extra"), root2,
+      Seq(Complete("v", 10000L)))
+    Snapshots.commitDropColumn(spark, root2, "extra")
+    assert(Snapshots.read(spark, root2).columns.toSeq == Seq("k", "v"))
+    // WAP staged-then-published via the explicit flow as well
+    val s1 = Snapshots.wapStage(Seq((5L, "e")).toDF("k", "v"), root2, "b1")
+    assert(s1 > 0)
+    Snapshots.wapPublish(spark, root2, "b1")
+    Snapshots.commitRenameColumn(spark, root2, "v", "val")
+    assert(Snapshots.read(spark, root2)
+      .select("k", "val").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (5L, "e")))
+    // rename ONTO a live column is refused (Iceberg semantics): dirs
+    // holding only `from` would conflate two distinct columns
+    Snapshots.commitAppend(Seq((6L, "f", 1L)).toDF("k", "val", "n"), root2)
+    intercept[IllegalArgumentException] {
+      Snapshots.commitRenameColumn(spark, root2, "val", "n")
+    }
+    // renaming a never-appended name is a legal no-op commit
+    Snapshots.commitRenameColumn(spark, root2, "ghost", "ghost2")
+    assert(Snapshots.read(spark, root2).count() == 4)
+  }
+
   test("snapshots: sampled scan — deterministic, nested by rate, dir-skipping, composes with deletes") {
     import graft.ops.Snapshots
     import spark.implicits._

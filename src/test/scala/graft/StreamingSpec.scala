@@ -507,6 +507,30 @@ class StreamingSpec extends SparkSpec {
     // an empty batch is a no-op, not a Complete failure
     CheckedIngestStream.absorb(good1.limit(0), 7L, main, quar, contract)
     assert(Snapshots.read(spark, main).count() == 3)
+    // exactly-once is keyed on (appId, bid), NOT bid alone: a SECOND
+    // query (fresh checkpoint → bids restart at 0) feeding the same
+    // tables must land its batch even though bid 0 was already used
+    val other = Seq((9L, "z")).toDF("k", "v")
+    CheckedIngestStream.absorb(other, 0L, main, quar, contract,
+      appId = "query2")
+    assert(ks(main) == Set(1L, 2L, 5L, 9L),
+      "a different query's bid-0 batch must not be absorbed as a replay")
+    // quarantine-replay guard: a batch that bounced on a wholeTable
+    // audit must NOT re-run the audit on replay — even if the table
+    // state would now pass, re-landing it in main would double it
+    val (main2, quar2) = (s"$root/main2", s"$root/quar2")
+    val uniq = Seq(Unique("k"))
+    val a = Seq((1L, "a")).toDF("k", "v")
+    val dupA = Seq((1L, "a2")).toDF("k", "v")
+    CheckedIngestStream.absorb(a, 0L, main2, quar2, uniq, wholeTable = true)
+    CheckedIngestStream.absorb(dupA, 1L, main2, quar2, uniq, wholeTable = true)
+    assert(Snapshots.read(spark, quar2).count() == 1)
+    // delete k=1 from main so a re-audit of the bounced batch would PASS
+    Snapshots.commitDelete(Seq(Tuple1(1L)).toDF("k"), main2, "k")
+    CheckedIngestStream.absorb(dupA, 1L, main2, quar2, uniq, wholeTable = true)
+    assert(Snapshots.read(spark, main2).count() == 0,
+      "a quarantined batch's replay must short-circuit on its tag")
+    assert(Snapshots.read(spark, quar2).count() == 1)
   }
 
   test("w19 session state: boundary-spanning merge, replay idempotence, horizon eviction") {

@@ -1245,6 +1245,159 @@ private[graft] object SparkEntrySources {
           lit(0L).as("refused"))
       p1.union(p2)
     }),
+
+    // S37 — OPTIMIZE: layout-preserving, clustered rewrite (round-17;
+    // closes the r16 VERDICT's #1 — the last "pruning silently turns
+    // off" path): commitRewrite on a hidden-partitioned table now
+    // rewrites back into one dir PER TRANSFORM VALUE (current spec,
+    // synthetic stats re-recorded) instead of collapsing to one
+    // unsorted dir, so s35's pruning SURVIVES compaction; and the
+    // clustered form splits a plain table into range-disjoint dirs
+    // with stats + blooms rebuilt per dir — Delta/Iceberg's
+    // OPTIMIZE ... ZORDER/SORT BY at dir granularity. Phases:
+    // 1 = post-rewrite window scan of the day-partitioned event log
+    // still opens only the window's day dirs (counts derived in-oracle
+    // from the surviving data's own day spread); 2 = structural
+    // evidence — dir count == surviving-day count, both delete
+    // backlogs folded away; 3 = a point lookup on the clustered
+    // customer table opens exactly 1 of 4 range-disjoint dirs (range
+    // stats + per-dir rebuilt blooms); 4 = the full read is lossless
+    // and opens all 4. At 100 TB this is the nightly compaction every
+    // lakehouse schedules: the delete backlog folds away AND the
+    // layout that makes reads cheap is rebuilt, never silently lost.
+    "s37_optimize" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      import graft.ops.Snapshots.TruncateTransform
+      val root = s"$partScratchDir/${dirKey(dir)}_s37"
+      val root2 = s"$partScratchDir/${dirKey(dir)}_s37c"
+      rmTree(root); rmTree(root2)
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val dayT = TruncateTransform("ts_us", 86400000000L)
+      Snapshots.commitAppendHidden(ev, root, dayT)
+      Snapshots.commitDelete(
+        ev.filter(pmod(col("event_id"), lit(7)) === 0).select("event_id"),
+        root, "event_id")
+      Snapshots.commitRewrite(s, root)
+      val mm = ev.agg(min(col("ts_us")), max(col("ts_us"))).collect()(0)
+      val (t0, t1v) = (mm.getLong(0), mm.getLong(1))
+      val (lo, hi) = (t0 + (t1v - t0) / 4, t0 + (t1v - t0) / 2)
+      val (o1, k1) = Snapshots.hiddenRangeCounts(s, root, dayT, lo, hi)
+      val cols = Seq("event_id", "user_id", "ts_us")
+      val p1 = Validations.tableFingerprint(
+          Snapshots.readHiddenRange(s, root, dayT, lo, hi), cols)
+        .select(lit(1L).as("phase"), col("n_rows"), col("fingerprint"),
+          lit(o1.toLong).as("opened"), lit(k1.toLong).as("skipped"))
+      val after = Snapshots.current(s, root).get
+      import s.implicits._
+      val p2 = Seq((2L, after.dataDirs.size.toLong,
+          s"eq=${after.deleteDirs.size}|pos=${after.posDeleteDirs.size}",
+          0L, 0L))
+        .toDF("phase", "n_rows", "fingerprint", "opened", "skipped")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Snapshots.commitAppendBloom(cust, root2, bloomCol = "c_custkey",
+        statsCols = Seq("c_custkey"))
+      Snapshots.commitDelete(
+        cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+          .select(col("c_custkey")), root2, "c_custkey")
+      Snapshots.commitRewriteClustered(s, root2, Seq("c_custkey"), parts = 4)
+      val probe = cust.filter(pmod(col("c_custkey"), lit(5)) =!= 0)
+        .agg(max(col("c_custkey"))).collect()(0).getLong(0)
+      val ccols = Seq("c_custkey", "c_mktsegment")
+      val (o3, k3) = Snapshots.pointCounts(s, root2, "c_custkey", probe)
+      val p3 = Validations.tableFingerprint(
+          Snapshots.readPoint(s, root2, "c_custkey", probe), ccols)
+        .select(lit(3L).as("phase"), col("n_rows"), col("fingerprint"),
+          lit(o3.toLong).as("opened"), lit(k3.toLong).as("skipped"))
+      val (o4, k4) = Snapshots.pruneCounts(s, root2, "c_custkey",
+        1L, Long.MaxValue / 2)
+      val p4 = Validations.tableFingerprint(Snapshots.read(s, root2), ccols)
+        .select(lit(4L).as("phase"), col("n_rows"), col("fingerprint"),
+          lit(o4.toLong).as("opened"), lit(k4.toLong).as("skipped"))
+      p1.union(p2).union(p3).union(p4)
+    }),
+
+    // S38 — STRING stats bounds (round-17; the r16 VERDICT's #2:
+    // manifest stats were (Long, Long) only, so a text corpus keyed by
+    // doc-id strings got ZERO file-skipping — Iceberg keeps truncated
+    // string bounds for exactly this). commitAppendStats on a string
+    // column now records 16-byte truncated bounds (lower = byte
+    // prefix, upper = prefix-successor — sound in the unsigned byte
+    // order both engines sort strings by); readPrunedStr/readPointStr
+    // skip on them, and blooms handle string keys natively. Fixture:
+    // zero-padded 'CUST-%011d (16 bytes — exact, untruncated bounds)' keys (lexical order == numeric order,
+    // so the oracle replants ranges as numeric predicates) — three
+    // quartile dirs with bounds + a stats-less fourth + a string-keyed
+    // equality delete; a bloom twin with fully-overlapping ranges
+    // where ONLY the bloom can skip. Phases: 1 = mid-range probe
+    // (opens q2+q3+stats-less, skips q1); 2 = out-of-range probe
+    // (stats-less dir only, zero rows); 3 = bloom point hit (own dir +
+    // bare dir open, two foreign blooms skip); 4 = bloom point miss
+    // (every bloom'd dir skips). At 100 TB this is doc-id range
+    // fetches on an id-clustered corpus paying for their deltas, not
+    // the corpus.
+    "s38_string_stats" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val root = s"$partScratchDir/${dirKey(dir)}_s38"
+      val broot = s"$partScratchDir/${dirKey(dir)}_s38b"
+      rmTree(root); rmTree(broot)
+      val cust = t(s, dir, "customer").select(
+        concat(lit("CUST-"),
+          lpad(col("c_custkey").cast("string"), 11, "0")).as("skey"),
+        col("c_custkey"), col("c_mktsegment"))
+      val maxK = cust.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+      val (q1, q2, q3) = (maxK / 4, maxK / 2, 3 * maxK / 4)
+      def key(k: Long) = f"CUST-$k%011d"
+      def slice(p: org.apache.spark.sql.Column) =
+        cust.filter(p).select(col("skey"), col("c_mktsegment"))
+      Snapshots.commitAppendStats(
+        slice(col("c_custkey") <= q1), root, Seq("skey"), None)
+      Snapshots.commitAppendStats(
+        slice(col("c_custkey") > q1 && col("c_custkey") <= q2),
+        root, Seq("skey"), None)
+      Snapshots.commitAppendStats(
+        slice(col("c_custkey") > q2 && col("c_custkey") <= q3),
+        root, Seq("skey"), None)
+      Snapshots.commitAppend(slice(col("c_custkey") > q3), root)
+      Snapshots.commitDelete(
+        cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+          .select(col("skey")), root, "skey")
+      val cols = Seq("skey", "c_mktsegment")
+      def phase(n: Long, lo: String, hi: String) = {
+        val (opened, skipped) =
+          Snapshots.pruneCountsStr(s, root, "skey", lo, hi)
+        Validations.tableFingerprint(
+            Snapshots.readPrunedStr(s, root, "skey", lo, hi), cols)
+          .select(lit(n).as("phase"), col("n_rows"), col("fingerprint"),
+            lit(opened.toLong).as("opened"), lit(skipped.toLong).as("skipped"))
+      }
+      val p1 = phase(1L, key(q1 + 1), key(q3))
+      val p2 = phase(2L, key(maxK + 1), key(maxK + 1000000))
+      for (m <- Seq(1, 2, 3))
+        Snapshots.commitAppendBloom(
+          cust.filter(pmod(col("c_custkey"), lit(4)) === m)
+            .select(col("skey"), col("c_mktsegment")),
+          broot, bloomCol = "skey", statsCols = Seq("skey"))
+      Snapshots.commitAppend(
+        cust.filter(pmod(col("c_custkey"), lit(4)) === 0)
+          .select(col("skey"), col("c_mktsegment")), broot)
+      val hitK = cust.filter(pmod(col("c_custkey"), lit(4)) === 1)
+        .agg(max(col("c_custkey"))).collect()(0).getLong(0)
+      def pointPhase(n: Long, v: String) = {
+        val (opened, skipped) = Snapshots.pointCountsStr(s, broot, "skey", v)
+        Validations.tableFingerprint(
+            Snapshots.readPointStr(s, broot, "skey", v), cols)
+          .select(lit(n).as("phase"), col("n_rows"), col("fingerprint"),
+            lit(opened.toLong).as("opened"), lit(skipped.toLong).as("skipped"))
+      }
+      val p3 = pointPhase(3L, key(hitK))
+      // a WITHIN-range absent key ('Z' suffix sorts between neighbors):
+      // every dir's range admits it, so only the blooms can skip — and
+      // all three do; the bare dir opens and yields nothing
+      val p4 = pointPhase(4L, key(q2) + "Z")
+      p1.union(p2).union(p3).union(p4)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1373,6 +1526,98 @@ private[graft] object SparkEntrySources {
       s"""${fp(1, s"c_custkey <= $q2 AND round(c_acctbal * 100) >= 0", 11)}
          |UNION ALL
          |${fp(2, "round(c_acctbal * 100) >= 0", 0)}""".stripMargin
+    },
+
+    // s37: phase 1 recomputes the post-OPTIMIZE window scan + its
+    // (opened, skipped) from the SURVIVING data's own day spread (the
+    // rewrite writes one dir per surviving day — the window over the
+    // FULL min/max, matching the Spark side); phase 2 pins dir count =
+    // surviving-day count and both backlogs folded; phases 3/4 pin the
+    // clustered customer table's point lookup (1 of 4 range-disjoint
+    // dirs) and the lossless full read (all 4 open).
+    "s37_optimize" -> {
+      val D = 86400000000L
+      val evfp =
+        """CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+          |    coalesce(CAST(event_id AS VARCHAR), chr(0)),
+          |    coalesce(CAST(user_id AS VARCHAR), chr(0)),
+          |    coalesce(CAST(ts_us AS VARCHAR), chr(0)))), 1, 10))
+          |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)""".stripMargin
+      val cfp =
+        """CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+          |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+          |    coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))), 1, 10))
+          |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+         |sev AS (SELECT * FROM ev WHERE event_id % 7 <> 0),
+         |w AS (
+         |  SELECT min(ts_us) + (max(ts_us) - min(ts_us)) // 4 AS lo,
+         |         min(ts_us) + (max(ts_us) - min(ts_us)) // 2 AS hi
+         |  FROM ev),
+         |days AS (SELECT DISTINCT ts_us // $D AS d FROM sev),
+         |dopen AS (
+         |  SELECT count(*) AS o FROM days
+         |  WHERE d BETWEEN (SELECT lo FROM w) // $D
+         |    AND (SELECT hi FROM w) // $D),
+         |cust AS (SELECT c_custkey, c_mktsegment FROM customer
+         |         WHERE c_custkey % 5 <> 0),
+         |probe AS (SELECT max(c_custkey) AS v FROM cust)
+         |SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows,
+         |  $evfp AS fingerprint,
+         |  CAST((SELECT o FROM dopen) AS BIGINT) AS opened,
+         |  CAST((SELECT count(*) FROM days) - (SELECT o FROM dopen)
+         |    AS BIGINT) AS skipped
+         |FROM sev
+         |WHERE ts_us BETWEEN (SELECT lo FROM w) AND (SELECT hi FROM w)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), (SELECT count(*) FROM days),
+         |  'eq=0|pos=0', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), count(*), $cfp,
+         |  CAST(1 AS BIGINT), CAST(3 AS BIGINT)
+         |FROM cust WHERE c_custkey = (SELECT v FROM probe)
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), count(*), $cfp,
+         |  CAST(4 AS BIGINT), CAST(0 AS BIGINT)
+         |FROM cust""".stripMargin
+    },
+
+    // s38: zero-padded string keys make lexical == numeric order, so
+    // every string-range phase replants as a numeric predicate; the
+    // pinned (opened, skipped) constants encode the truncated-bounds
+    // and string-bloom skipping contracts (phases 2/4 return zero rows
+    // — fingerprint NULL on both engines).
+    "s38_string_stats" -> {
+      val fp =
+        """CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+          |    coalesce(CAST(skey AS VARCHAR), chr(0)),
+          |    coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))), 1, 10))
+          |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)""".stripMargin
+      s"""WITH cust AS (
+         |  SELECT 'CUST-' || lpad(CAST(c_custkey AS VARCHAR), 11, '0')
+         |    AS skey, c_custkey, c_mktsegment FROM customer),
+         |q AS (SELECT max(c_custkey) // 4 AS q1,
+         |             3 * max(c_custkey) // 4 AS q3 FROM customer),
+         |live AS (SELECT * FROM cust WHERE c_custkey % 5 <> 0),
+         |hit AS (SELECT max(c_custkey) AS hk FROM customer
+         |        WHERE c_custkey % 4 = 1)
+         |SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows,
+         |  $fp AS fingerprint,
+         |  CAST(3 AS BIGINT) AS opened, CAST(1 AS BIGINT) AS skipped
+         |FROM live
+         |WHERE c_custkey BETWEEN (SELECT q1 FROM q) + 1
+         |  AND (SELECT q3 FROM q)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST(NULL AS VARCHAR), CAST(1 AS BIGINT), CAST(3 AS BIGINT)
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), count(*), $fp,
+         |  CAST(2 AS BIGINT), CAST(2 AS BIGINT)
+         |FROM cust WHERE c_custkey = (SELECT hk FROM hit)
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST(NULL AS VARCHAR), CAST(1 AS BIGINT), CAST(3 AS BIGINT)""".stripMargin
     },
 
     "s5_salted_join" ->

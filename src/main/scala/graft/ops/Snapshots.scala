@@ -103,7 +103,15 @@ object Snapshots {
 
   /** Per-dir column statistics: dir → (column → (min, max)). Multiple
     * columns per dir ride separate manifest lines (round-16; the
-    * single-column round-15 form parses as a 1-entry inner map). */
+    * single-column round-15 form parses as a 1-entry inner map).
+    * `sstats` (round-17) is the STRING twin: dir → (column →
+    * (base64 lowerBound, base64 upperBound)) with bounds TRUNCATED to
+    * [[StrStatLen]] UTF-8 bytes, Iceberg's truncate(16) convention —
+    * the lower bound is a byte prefix (≤ min in unsigned byte order,
+    * which IS Spark's and DuckDB's string order), the upper bound a
+    * prefix-successor (≥ max); a max whose 16-byte prefix is all 0xFF
+    * has no bounded successor and the column is simply not recorded
+    * for that dir (never skipped — optimization, not semantics). */
   final case class Snapshot(id: Long, parent: Option[Long],
                             entries: Seq[(EntryKind, String)],
                             deleteKey: Option[String],
@@ -111,15 +119,18 @@ object Snapshots {
                             stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
                             blooms: Map[String, Seq[String]] = Map.empty,
                             branch: Option[String] = None,
-                            schemaOps: Seq[SchemaOp] = Nil) {
+                            schemaOps: Seq[SchemaOp] = Nil,
+                            sstats: Map[String, Map[String, (String, String)]] = Map.empty) {
     def dataDirs: Seq[String] = entries.collect { case (DataEntry, d) => d }
     def deleteDirs: Seq[String] = entries.collect { case (DeleteEntry, d) => d }
     def posDeleteDirs: Seq[String] =
       entries.collect { case (PosDeleteEntry, d) => d }
-    /** Every column any retained dir carries stats on — the set the
-      * stats-preserving commit paths (merge/rewrite) maintain. */
+    /** Every column any retained dir carries stats on — long-range OR
+      * string-bound — the set the stats-preserving commit paths
+      * (merge/rewrite) maintain. */
     def statsColumns: Seq[String] =
-      stats.values.flatMap(_.keys).toSeq.distinct.sorted
+      (stats.values.flatMap(_.keys) ++ sstats.values.flatMap(_.keys))
+        .toSeq.distinct.sorted
     /** Every column any retained dir carries a Bloom sidecar on. */
     def bloomColumns: Seq[String] =
       blooms.values.flatten.toSeq.distinct.sorted
@@ -251,6 +262,16 @@ object Snapshots {
     }.groupBy(_._1).map { case (d, ls) =>
       d -> ls.map(l => l._2 -> ((l._3, l._4))).toMap
     }
+    // STRING bounds (round-17): sstats=<dir>|<col>|<b64lo>|<b64hi> —
+    // base64 keeps arbitrary key bytes out of the '|'-delimited line
+    val sstats = rest.collect {
+      case s"sstats=$v" => v.split('|') match {
+        case Array(d, c, lo, hi) => (d, c, lo, hi)
+        case _ => sys.error(s"malformed sstats line in snap-$id: $v")
+      }
+    }.groupBy(_._1).map { case (d, ls) =>
+      d -> ls.map(l => l._2 -> ((l._3, l._4))).toMap
+    }
     // bloom PRESENCE markers: the filter bits live as a `_bloom_<col>`
     // sidecar INSIDE the data dir (riding its immutability and its GC
     // lifecycle), so the manifest stays id-sized at any dir count —
@@ -274,14 +295,15 @@ object Snapshots {
     val entries = rest
       .filterNot(l => l.startsWith("deletekey=") || l.startsWith("tag=") ||
         l.startsWith("stats=") || l.startsWith("bloom=") ||
-        l.startsWith("branch=") || l.startsWith("schema="))
+        l.startsWith("branch=") || l.startsWith("schema=") ||
+        l.startsWith("sstats="))
       .map {
         case d if d.startsWith("posdelete/") => (PosDeleteEntry: EntryKind, d)
         case d if d.startsWith("delete/") => (DeleteEntry: EntryKind, d)
         case d => (DataEntry: EntryKind, d)
       }
     Snapshot(id, parent, entries, deleteKey, tag, stats, blooms, branch,
-      schemaOps)
+      schemaOps, sstats)
   }
 
   private def renderManifest(parent: Option[Long],
@@ -291,7 +313,8 @@ object Snapshots {
                              stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
                              blooms: Map[String, Seq[String]] = Map.empty,
                              branch: Option[String] = None,
-                             schemaOps: Seq[SchemaOp] = Nil): String =
+                             schemaOps: Seq[SchemaOp] = Nil,
+                             sstats: Map[String, Map[String, (String, String)]] = Map.empty): String =
     (s"parent=${parent.map(_.toString).getOrElse("-")}" +:
       (deleteKey.map(k => s"deletekey=$k").toSeq ++
         tag.map(t => s"tag=$t").toSeq ++
@@ -305,6 +328,11 @@ object Snapshots {
           case (DataEntry, d) => stats.getOrElse(d, Map.empty).toSeq
             .sortBy(_._1)
             .map { case (c, (lo, hi)) => s"stats=$d|$c|$lo|$hi" }
+          case _ => Nil
+        } ++ entries.flatMap {
+          case (DataEntry, d) => sstats.getOrElse(d, Map.empty).toSeq
+            .sortBy(_._1)
+            .map { case (c, (lo, hi)) => s"sstats=$d|$c|$lo|$hi" }
           case _ => Nil
         } ++ entries.flatMap {
           case (DataEntry, d) => blooms.getOrElse(d, Nil).sorted
@@ -489,15 +517,18 @@ object Snapshots {
     // for a contract the data cannot honor) deletes the just-written
     // dir before rethrowing: the failed commit leaves NO orphan for
     // vacuum, matching the CommitConflict path's eager cleanup.
-    val (newStats, newBlooms) =
-      try (dirStats(spark, new Path(tableDir, dataDir).toString, statsCols,
-          strict = true),
+    val (newTyped, newBlooms) =
+      try (dirTypedStats(spark, new Path(tableDir, dataDir).toString,
+          statsCols, strict = true),
         buildBlooms(spark, tableDir, dataDir, bloomCols, strict = true))
       catch { case e: Throwable =>
         fs.delete(new Path(tableDir, dataDir), true); throw e
       }
+    val (newStats, newSStats) = newTyped
     val stats = cur.map(_.stats).getOrElse(Map.empty) ++
       (if (newStats.isEmpty) Map.empty else Map(dataDir -> newStats))
+    val sstats = cur.map(_.sstats).getOrElse(Map.empty) ++
+      (if (newSStats.isEmpty) Map.empty else Map(dataDir -> newSStats))
     val blooms = cur.map(_.blooms).getOrElse(Map.empty) ++
       (if (newBlooms.isEmpty) Map.empty else Map(dataDir -> newBlooms))
     val entries = cur.map(_.entries).getOrElse(Nil) :+
@@ -506,7 +537,8 @@ object Snapshots {
       try casMainManifest(spark, fs, tableDir, id,
         renderManifest(cur.map(_.id), entries, cur.flatMap(_.deleteKey), tag,
           stats, blooms,
-          schemaOps = cur.map(_.schemaOps).getOrElse(Nil)))
+          schemaOps = cur.map(_.schemaOps).getOrElse(Nil),
+          sstats = sstats))
       catch { case e: CommitConflictException =>
         fs.delete(new Path(tableDir, dataDir), true); throw e
       }
@@ -559,35 +591,90 @@ object Snapshots {
     }
   }
 
+  /** String-bound truncation (Iceberg's truncate(N) convention, at
+    * UTF-8 BYTE granularity): bounds compare in unsigned byte order —
+    * exactly how Spark (UTF8String.binaryCompare) and DuckDB order
+    * strings, so a byte prefix is a valid lower bound and the
+    * prefix-successor a valid upper bound for ANY value with that
+    * prefix. The stored bytes need not decode as UTF-8 — they are
+    * opaque comparands, base64 on the manifest line. */
+  private val StrStatLen = 16
+  private def b64(b: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b)
+  private def unb64(s: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(s)
+  private def byteCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+  /** Truncated successor of `b`: the smallest prefix-length byte string
+    * > every string with prefix `take(StrStatLen)`. None when the
+    * prefix is all 0xFF (no bounded successor — the column's bound is
+    * simply not recorded, the dir never skipped). An untruncated value
+    * is its own exact upper bound. */
+  private def truncUpper(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length <= StrStatLen) Some(b)
+    else {
+      val t = b.take(StrStatLen)
+      var i = t.length - 1
+      while (i >= 0 && (t(i) & 0xFF) == 0xFF) i -= 1
+      if (i < 0) None
+      else Some(t.take(i + 1).updated(i, ((t(i) & 0xFF) + 1).toByte))
+    }
+
   /** Min/max per requested column over one written dir (one
     * footer-driven aggregate for ALL columns — parquet serves min/max
-    * from metadata). `strict = true` (the explicit commitAppendStats
-    * contract) throws on a missing or all-null column; `strict = false`
-    * (the stats-INHERITANCE paths — merge/rewrite maintaining the
-    * table's established stats columns) silently omits such columns:
-    * the dir degrades to never-skipped on them, an optimization loss,
-    * never a semantics change. */
-  private def dirStats(spark: SparkSession, dirPath: String,
-                       cols: Seq[String],
-                       strict: Boolean): Map[String, (Long, Long)] = {
+    * from metadata), TYPED (round-17): string columns produce
+    * truncated byte bounds (the `sstats` manifest map), everything
+    * else a long range as before. `strict = true` (the explicit
+    * commitAppendStats contract) throws on a missing or all-null
+    * column; `strict = false` (the stats-INHERITANCE paths —
+    * merge/rewrite maintaining the table's established stats columns)
+    * silently omits such columns: the dir degrades to never-skipped on
+    * them, an optimization loss, never a semantics change. */
+  private def dirTypedStats(spark: SparkSession, dirPath: String,
+                            cols: Seq[String], strict: Boolean):
+      (Map[String, (Long, Long)], Map[String, (String, String)]) = {
     import org.apache.spark.sql.functions.{col, min, max}
-    if (cols.isEmpty) return Map.empty
+    if (cols.isEmpty) return (Map.empty, Map.empty)
     val df = spark.read.parquet(dirPath)
     val present = cols.filter(df.columns.contains)
     if (strict) require(present == cols,
       s"stats column(s) ${cols.diff(present).mkString(",")} absent from $dirPath")
-    if (present.isEmpty) return Map.empty
-    val aggs = present.flatMap(c =>
-      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    if (present.isEmpty) return (Map.empty, Map.empty)
+    val isStr = present.map(c => c ->
+      (df.schema(c).dataType == org.apache.spark.sql.types.StringType)).toMap
+    val aggs = present.flatMap { c =>
+      if (isStr(c)) Seq(min(col(c)), max(col(c)))
+      else Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))
+    }
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    present.zipWithIndex.flatMap { case (c, i) =>
+    var longs = Map.empty[String, (Long, Long)]
+    var strs = Map.empty[String, (String, String)]
+    present.zipWithIndex.foreach { case (c, i) =>
       if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) {
         if (strict) sys.error(
           s"stats column '$c' is all-null/empty in $dirPath — no prunable range")
-        None
-      } else Some(c -> ((r.getLong(2 * i), r.getLong(2 * i + 1))))
-    }.toMap
+      } else if (isStr(c)) {
+        val lo = r.getString(2 * i).getBytes("UTF-8").take(StrStatLen)
+        truncUpper(r.getString(2 * i + 1).getBytes("UTF-8")).foreach(hi =>
+          strs += c -> ((b64(lo), b64(hi))))
+      } else longs += c -> ((r.getLong(2 * i), r.getLong(2 * i + 1)))
+    }
+    (longs, strs)
   }
+
+  /** Long-range slice of [[dirTypedStats]] — the pre-round-17 shape,
+    * kept for the synthetic-stats paths that are long-only. */
+  private def dirStats(spark: SparkSession, dirPath: String,
+                       cols: Seq[String],
+                       strict: Boolean): Map[String, (Long, Long)] =
+    dirTypedStats(spark, dirPath, cols, strict)._1
 
   /** [[commitAppend]] that additionally records the delta's min/max of
     * long-typed `statsCol` in the manifest — the Iceberg/Delta file-
@@ -649,7 +736,8 @@ object Snapshots {
     val won =
       try casMainManifest(spark, fs, tableDir, id,
         renderManifest(Some(cur.id), entries, Some(keyCol), stats = cur.stats,
-          blooms = cur.blooms, schemaOps = cur.schemaOps))
+          blooms = cur.blooms, schemaOps = cur.schemaOps,
+          sstats = cur.sstats))
       catch { case e: CommitConflictException =>
         fs.delete(new Path(tableDir, delDir), true); throw e
       }
@@ -657,40 +745,214 @@ object Snapshots {
     won
   }
 
-  /** Copy-on-write materialization of the merge-on-read state: one new
-    * data dir holding [[read]]'s current rows, manifest reduced to that
-    * single entry (delete backlog gone — subsequent reads are pure
-    * scans again), history retained (earlier snapshots still time-
-    * travel). The delete key column survives for future deletes, and
-    * the table's established stats columns are RECOMPUTED on the
-    * rewritten dir (round-16 — rewriting used to reset stats, silently
-    * turning file-skipping off on exactly the compacted tables that
-    * live longest). */
-  def commitRewrite(spark: SparkSession, tableDir: String): Long = {
+  /** Copy-on-write materialization of the merge-on-read state
+    * (OPTIMIZE): new data dirs holding [[read]]'s current rows, both
+    * delete backlogs emptied (subsequent reads are pure scans again),
+    * history retained (earlier snapshots still time-travel), delete
+    * key preserved, and the table's established stats and bloom
+    * columns RECOMPUTED on every dir it writes (round-16 — rewriting
+    * used to reset stats, silently turning file-skipping off on
+    * exactly the compacted tables that live longest).
+    *
+    * LAYOUT-PRESERVING (round-17): a hidden-partitioned table
+    * ([[commitAppendHidden]]) is rewritten back into one dir PER
+    * TRANSFORM VALUE under its CURRENT spec — the transform recorded
+    * on the newest data dir, so a table whose spec evolved converges
+    * to the latest spec, Iceberg's rewrite semantics — with the
+    * synthetic per-value stats re-recorded. The round-16 form
+    * collapsed any table to ONE unsorted dir, silently turning off
+    * the file-skipping and hidden-partition pruning the table's own
+    * commits had built. */
+  def commitRewrite(spark: SparkSession, tableDir: String): Long =
+    commitRewrite(spark, tableDir, Nil, 0L)
+
+  /** CLUSTERED rewrite — OPTIMIZE ... ZORDER BY / SORT BY with a
+    * target size: the rewritten state is split into
+    * ceil(totalBytes / targetBytes) dirs, range-disjoint on
+    * `sortKeys.head` (one key: range partition + in-file sort; several
+    * keys: [[Scale.zorder]]'s Morton interleave, so every dir covers a
+    * tight box in EVERY keyed dimension), and per-dir min/max stats
+    * are recorded for the sort keys AND the table's established stats
+    * columns — [[readPruned]]/[[readPoint]] then skip dirs the way
+    * s18's zone maps skip files. On a hidden-partitioned table the
+    * sort orders rows WITHIN each preserved per-value dir instead.
+    * `targetBytes <= 0` keeps the dir count (one dir plain, per-value
+    * hidden). At 100 TB this is the compaction every lakehouse
+    * schedules: the delete backlog folds away AND the layout that
+    * makes reads cheap is (re)built, never silently lost. */
+  def commitRewrite(spark: SparkSession, tableDir: String,
+                    sortKeys: Seq[String],
+                    targetBytes: Long): Long = {
+    val cur = current(spark, tableDir).getOrElse(
+      sys.error(s"commitRewrite on empty snapshot table $tableDir"))
+    val parts =
+      if (targetBytes <= 0) 0
+      else {
+        val fs = fsFor(spark, tableDir)
+        val total = cur.dataDirs.map { d =>
+          val p = new Path(tableDir, d)
+          if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+        }.sum
+        math.max(1L, (total + targetBytes - 1L) / targetBytes).toInt
+      }
+    commitRewriteClustered(spark, tableDir, sortKeys, parts)
+  }
+
+  /** [[commitRewrite]] with an EXPLICIT dir count (`parts`) instead of
+    * a byte target — deterministic output layout, which is what gated
+    * fixtures pin (byte totals vary with encoder/footer versions).
+    * `parts == 0` keeps the dir count. */
+  def commitRewriteClustered(spark: SparkSession, tableDir: String,
+                             sortKeys: Seq[String],
+                             parts: Int): Long = {
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
     val fs = fsFor(spark, tableDir)
     val cur = current(spark, tableDir).getOrElse(
       sys.error(s"commitRewrite on empty snapshot table $tableDir"))
     val id = cur.id + 1
-    val dataDir = s"data/delta-$id-${nonce()}"
-    read(spark, tableDir).write.mode("overwrite")
-      .parquet(new Path(tableDir, dataDir).toString)
-    val newStats = dirStats(spark, new Path(tableDir, dataDir).toString,
-      cur.statsColumns, strict = false)
-    val newBlooms = buildBlooms(spark, tableDir, dataDir,
-      cur.bloomColumns, strict = false)
-    val won =
-      try casMainManifest(spark, fs, tableDir, id,
-        renderManifest(Some(cur.id),
-          Seq((DataEntry: EntryKind, dataDir)), cur.deleteKey,
-          stats = if (newStats.isEmpty) Map.empty else Map(dataDir -> newStats),
-          blooms = if (newBlooms.isEmpty) Map.empty
-            else Map(dataDir -> newBlooms),
-          schemaOps = cur.schemaOps))
-      catch { case e: CommitConflictException =>
-        fs.delete(new Path(tableDir, dataDir), true); throw e
+    val full = readAt(spark, tableDir, cur)
+    // real (non-synthetic) stats columns the table has established,
+    // plus the sort keys: the rewrite's dirs must keep every pruning
+    // contract the table had, and gain one on the new clustering
+    val statsCols = (cur.statsColumns.filterNot(_.startsWith("__pt_")) ++
+      sortKeys).distinct
+    val hidden = currentHiddenTransform(cur)
+
+    def commit(entriesNew: Seq[(EntryKind, String)],
+               stats: Map[String, Map[String, (Long, Long)]],
+               sstats: Map[String, Map[String, (String, String)]],
+               blooms: Map[String, Seq[String]]): Long = {
+      val won =
+        try casMainManifest(spark, fs, tableDir, id,
+          renderManifest(Some(cur.id), entriesNew, cur.deleteKey,
+            stats = stats, blooms = blooms, schemaOps = cur.schemaOps,
+            sstats = sstats))
+        catch { case e: CommitConflictException =>
+          entriesNew.foreach(en =>
+            fs.delete(new Path(tableDir, en._2), true))
+          throw e
+        }
+      writeAtomic(fs, tableDir, "_CURRENT", s"snap-$won")
+      won
+    }
+    def typedFor(moved: Seq[(String, Option[Long])],
+                 synth: Option[HiddenTransform]):
+        (Map[String, Map[String, (Long, Long)]],
+         Map[String, Map[String, (String, String)]],
+         Map[String, Seq[String]]) = {
+      val typed = moved.map { case (d, v) =>
+        val (longs, strs) = dirTypedStats(spark,
+          new Path(tableDir, d).toString, statsCols, strict = false)
+        (d, longs ++ synth.flatMap(tr =>
+          v.map(x => tr.statsName -> ((x, x)))).toMap, strs)
       }
-    writeAtomic(fs, tableDir, "_CURRENT", s"snap-$won")
-    won
+      val blooms = moved.flatMap { case (d, _) =>
+        val bs = buildBlooms(spark, tableDir, d, cur.bloomColumns,
+          strict = false)
+        if (bs.isEmpty) None else Some(d -> bs)
+      }.toMap
+      (typed.map(t => t._1 -> t._2).filter(_._2.nonEmpty).toMap,
+        typed.map(t => t._1 -> t._3).filter(_._2.nonEmpty).toMap,
+        blooms)
+    }
+
+    hidden match {
+      case Some(tr) =>
+        // layout-preserving: one dir per CURRENT-spec transform value
+        // (null values land in a stats-less, never-skipped dir), rows
+        // sorted within each value dir when sort keys are given
+        val stage = s"data/stage-$id-${nonce()}"
+        var staged = full.withColumn("__pv", tr.valueExpr)
+        if (sortKeys.nonEmpty)
+          staged = staged.repartition(col("__pv"))
+            .sortWithinPartitions(sortKeys.map(col): _*)
+        staged.write.partitionBy("__pv").mode("overwrite")
+          .parquet(new Path(tableDir, stage).toString)
+        val moved = moveStaged(fs, tableDir, stage, id)
+        if (moved.isEmpty)
+          // degenerate fully-deleted state: fall through to the plain
+          // single-dir materialization so read() keeps a schema anchor
+          return commitRewriteClustered(spark, tableDir, Nil, 0)
+        val (stats, sstats, blooms) = typedFor(moved, Some(tr))
+        commit(moved.map(m => ((DataEntry: EntryKind), m._1)),
+          stats, sstats, blooms)
+
+      case None if sortKeys.nonEmpty && parts > 1 =>
+        // clustered split: range-disjoint dirs (zone-map layout at dir
+        // granularity); spark_partition_id() labels the arranged
+        // partitions so the partitionBy write splits without a second
+        // shuffle
+        val keyCols = sortKeys.map(col)
+        val arranged =
+          if (sortKeys.size == 1)
+            full.repartitionByRange(parts, keyCols.head)
+              .sortWithinPartitions(keyCols.head)
+          else Scale.zorder(full, keyCols, parts)
+        val stage = s"data/stage-$id-${nonce()}"
+        arranged.withColumn("__pv", spark_partition_id().cast("long"))
+          .write.partitionBy("__pv").mode("overwrite")
+          .parquet(new Path(tableDir, stage).toString)
+        val moved = moveStaged(fs, tableDir, stage, id)
+        if (moved.isEmpty)
+          return commitRewriteClustered(spark, tableDir, Nil, 0)
+        val (stats, sstats, blooms) = typedFor(moved, None)
+        commit(moved.map(m => ((DataEntry: EntryKind), m._1)),
+          stats, sstats, blooms)
+
+      case _ =>
+        // plain materialization (optionally sorted): one new data dir
+        val dataDir = s"data/delta-$id-${nonce()}"
+        val out =
+          if (sortKeys.isEmpty) full
+          else full.repartitionByRange(1, sortKeys.map(col): _*)
+            .sortWithinPartitions(sortKeys.map(col): _*)
+        out.write.mode("overwrite")
+          .parquet(new Path(tableDir, dataDir).toString)
+        val (stats, sstats, blooms) =
+          typedFor(Seq((dataDir, None)), None)
+        commit(Seq((DataEntry: EntryKind, dataDir)), stats, sstats, blooms)
+    }
+  }
+
+  /** The hidden-partition transform of the CURRENT spec: the synthetic
+    * `__pt_*` stats column recorded on the newest data dir (a table
+    * whose spec evolved carries several; the newest dir's is the
+    * current one — Iceberg's "rewrites use the current partition
+    * spec"). None for plain tables. */
+  private[graft] def currentHiddenTransform(
+      cur: Snapshot): Option[HiddenTransform] =
+    cur.dataDirs
+      .flatMap(d => cur.stats.getOrElse(d, Map.empty).keys
+        .filter(_.startsWith("__pt_")).map(n => (dirCommitId(d), n)))
+      .sortBy(-_._1).headOption.flatMap(p => parseTransform(p._2))
+
+  /** Invert [[HiddenTransform.statsName]] — the manifest is the only
+    * carrier of the table's partition spec(s). */
+  private[graft] def parseTransform(
+      statsName: String): Option[HiddenTransform] = statsName match {
+    case s"__pt_trunc_${w}_$c" if w.nonEmpty && w.forall(_.isDigit) =>
+      Some(TruncateTransform(c, w.toLong))
+    case s"__pt_bucket_${n}_$c" if n.nonEmpty && n.forall(_.isDigit) =>
+      Some(BucketTransform(c, n.toInt))
+    case _ => None
+  }
+
+  /** Move a `partitionBy("__pv")` staging dir's value subdirs into
+    * attempt-unique delta dirs; returns (dir, parsed value) pairs —
+    * None for the null-value (`__HIVE_DEFAULT_PARTITION__`) subdir,
+    * which stays stats-less and never skipped. */
+  private def moveStaged(fs: FileSystem, tableDir: String, stage: String,
+                         id: Long): Seq[(String, Option[Long])] = {
+    val subs = fs.listStatus(new Path(tableDir, stage)).toSeq
+      .filter(_.isDirectory).sortBy(_.getPath.getName)
+    val moved: Seq[(String, Option[Long])] = subs.map { st =>
+      val d = s"data/delta-$id-${nonce()}"
+      require(fs.rename(st.getPath, new Path(tableDir, d)),
+        s"stage move failed for ${st.getPath}")
+      (d, st.getPath.getName.stripPrefix("__pv=").toLongOption)
+    }
+    fs.delete(new Path(tableDir, stage), true)
+    moved
   }
 
   /** MERGE (upsert) in ONE atomic commit — the lakehouse `MERGE INTO`:
@@ -762,8 +1024,9 @@ object Snapshots {
     // monotonically loses file-skipping — every merged dir used to land
     // stats-less. Non-strict: a payload missing/all-null on a stats
     // column degrades that dir to never-skipped, never aborts the merge.
-    val newStats = dirStats(spark, new Path(tableDir, dataDir).toString,
-      cur.statsColumns, strict = false)
+    val (newStats, newSStats) = dirTypedStats(spark,
+      new Path(tableDir, dataDir).toString, cur.statsColumns,
+      strict = false)
     val newBlooms = buildBlooms(spark, tableDir, dataDir,
       cur.bloomColumns, strict = false)
     val entries = cur.entries :+ ((DeleteEntry: EntryKind, delDir)) :+
@@ -777,7 +1040,10 @@ object Snapshots {
           blooms = cur.blooms ++
             (if (newBlooms.isEmpty) Map.empty
              else Map(dataDir -> newBlooms)),
-          schemaOps = cur.schemaOps))
+          schemaOps = cur.schemaOps,
+          sstats = cur.sstats ++
+            (if (newSStats.isEmpty) Map.empty
+             else Map(dataDir -> newSStats))))
       catch { case e: CommitConflictException =>
         fs.delete(new Path(tableDir, delDir), true)
         fs.delete(new Path(tableDir, dataDir), true)
@@ -888,8 +1154,8 @@ object Snapshots {
     * free and lets [[readPruned]]/[[readPoint]] keep skipping across a
     * rename. Idempotent (guards mirror [[applySchemaOps]]'s), so
     * re-running the full op list over already-remapped maps is safe. */
-  private def remapStats(stats: Map[String, Map[String, (Long, Long)]],
-                         ops: Seq[SchemaOp]): Map[String, Map[String, (Long, Long)]] =
+  private def remapStats[V](stats: Map[String, Map[String, V]],
+                            ops: Seq[SchemaOp]): Map[String, Map[String, V]] =
     stats.map { case (d, m) =>
       val dId = dirCommitId(d)
       d -> ops.filter(_.atId > dId).foldLeft(m) {
@@ -960,7 +1226,7 @@ object Snapshots {
     val won = casMainManifest(spark, fs, tableDir, id,
       renderManifest(Some(cur.id), cur.entries, cur.deleteKey, tag,
         remapStats(cur.stats, ops), remapBlooms(cur.blooms, ops),
-        schemaOps = ops))
+        schemaOps = ops, sstats = remapStats(cur.sstats, ops)))
     writeAtomic(fs, tableDir, "_CURRENT", s"snap-$won")
     won
   }
@@ -990,7 +1256,7 @@ object Snapshots {
     val won = casMainManifest(spark, fs, tableDir, id,
       renderManifest(Some(cur.id), cur.entries, cur.deleteKey, tag,
         remapStats(cur.stats, ops), remapBlooms(cur.blooms, ops),
-        schemaOps = ops))
+        schemaOps = ops, sstats = remapStats(cur.sstats, ops)))
     writeAtomic(fs, tableDir, "_CURRENT", s"snap-$won")
     won
   }
@@ -1129,7 +1395,8 @@ object Snapshots {
     val won =
       try casMainManifest(spark, fs, tableDir, id,
         renderManifest(Some(cur.id), entries, cur.deleteKey, stats = cur.stats,
-          blooms = cur.blooms, schemaOps = cur.schemaOps))
+          blooms = cur.blooms, schemaOps = cur.schemaOps,
+          sstats = cur.sstats))
       catch { case e: CommitConflictException =>
         fs.delete(new Path(tableDir, pdDir), true); throw e
       }
@@ -1215,6 +1482,99 @@ object Snapshots {
                   lo: Long, hi: Long,
                   snapshotId: Option[Long] = None): (Int, Int) =
     statsPruneCounts(resolve(spark, tableDir, snapshotId), column, lo, hi)
+
+  /** Whether dir `d`'s recorded string bounds on `column` EXCLUDE the
+    * query range [qlo, qhi] (UTF-8 byte order — Spark's and DuckDB's
+    * string order). The stored lower bound is ≤ min and the stored
+    * upper ≥ max (truncation discipline, see [[Snapshot]]), so
+    * exclusion is sound; a dir without bounds never skips. */
+  private def sDisjoint(snap: Snapshot, d: String, column: String,
+                        qlo: Array[Byte], qhi: Array[Byte]): Boolean =
+    snap.sstats.get(d).flatMap(_.get(column)) match {
+      case Some((lo, hi)) =>
+        byteCompare(unb64(hi), qlo) < 0 || byteCompare(unb64(lo), qhi) > 0
+      case None => false
+    }
+
+  /** [[readPruned]] for STRING-keyed tables (round-17; the text-corpus
+    * case — doc-id keys, date strings — that Long-only stats left
+    * unskipped): exactly `read().filter(column BETWEEN lo AND hi)`,
+    * but a data dir whose truncated byte bounds exclude the range is
+    * never opened. At 100 TB a doc-id range fetch on an id-clustered
+    * corpus opens its deltas, not the corpus. */
+  def readPrunedStr(spark: SparkSession, tableDir: String, column: String,
+                    lo: String, hi: String,
+                    snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(lo <= hi, s"need lo <= hi, got '$lo' > '$hi'")
+    val snap = resolve(spark, tableDir, snapshotId)
+    val (qlo, qhi) = (lo.getBytes("UTF-8"), hi.getBytes("UTF-8"))
+    val frames = snap.entries.zipWithIndex.collect {
+      case ((DataEntry, d), i) if !sDisjoint(snap, d, column, qlo, qhi) =>
+        maskedDirScan(spark, tableDir, snap, i, d,
+          Some(col(column).between(lo, hi)), withPos = false)
+    }
+    if (frames.isEmpty) {
+      val empty = read(spark, tableDir, Some(snap.id)).limit(0)
+      empty.filter(col(column).between(lo, hi))
+    } else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** (opened, skipped) evidence for [[readPrunedStr]]. */
+  def pruneCountsStr(spark: SparkSession, tableDir: String, column: String,
+                     lo: String, hi: String,
+                     snapshotId: Option[Long] = None): (Int, Int) = {
+    val snap = resolve(spark, tableDir, snapshotId)
+    val (qlo, qhi) = (lo.getBytes("UTF-8"), hi.getBytes("UTF-8"))
+    val dirs = snap.dataDirs
+    val skipped = dirs.count(d => sDisjoint(snap, d, column, qlo, qhi))
+    (dirs.size - skipped, skipped)
+  }
+
+  /** [[readPoint]] for STRING keys: range bounds exclude first, then
+    * the Bloom sidecar (built by the same [[commitAppendBloom]] —
+    * Spark's bloomFilter aggregate handles string columns natively)
+    * proves absence. Same one-sided-error contract as the long form. */
+  def readPointStr(spark: SparkSession, tableDir: String, column: String,
+                   value: String,
+                   snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = resolve(spark, tableDir, snapshotId)
+    val frames = snap.entries.zipWithIndex.collect {
+      case ((DataEntry, d), i)
+          if pointOpensStr(spark, tableDir, snap, d, column, value) =>
+        maskedDirScan(spark, tableDir, snap, i, d,
+          Some(col(column) === value), withPos = false)
+    }
+    if (frames.isEmpty)
+      read(spark, tableDir, Some(snap.id)).limit(0)
+        .filter(col(column) === value)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** (opened, skipped) evidence for [[readPointStr]]. */
+  def pointCountsStr(spark: SparkSession, tableDir: String, column: String,
+                     value: String,
+                     snapshotId: Option[Long] = None): (Int, Int) = {
+    val snap = resolve(spark, tableDir, snapshotId)
+    val dirs = snap.dataDirs
+    val opened = dirs.count(d =>
+      pointOpensStr(spark, tableDir, snap, d, column, value))
+    (opened, dirs.size - opened)
+  }
+
+  private def pointOpensStr(spark: SparkSession, tableDir: String,
+                            snap: Snapshot, d: String, column: String,
+                            value: String): Boolean = {
+    val vb = value.getBytes("UTF-8")
+    if (sDisjoint(snap, d, column, vb, vb)) return false
+    if (!snap.blooms.getOrElse(d, Nil).contains(column)) return true
+    loadBloom(fsFor(spark, tableDir), tableDir, d,
+      physicalName(snap, d, column)) match {
+      case Some(bf) => bf.mightContainString(value)
+      case None => true // marked but unreadable: degrade to open
+    }
+  }
 
   /** [[commitAppendStats]]'s point-lookup complement: additionally
     * builds a `_bloom_<bloomCol>` sidecar for the new dir (see
@@ -1469,16 +1829,7 @@ object Snapshots {
     df.withColumn("__pv", transform.valueExpr)
       .write.partitionBy("__pv").mode("overwrite")
       .parquet(new Path(tableDir, stage).toString)
-    val subs = fs.listStatus(new Path(tableDir, stage)).toSeq
-      .filter(_.isDirectory).sortBy(_.getPath.getName)
-    val moved: Seq[(String, Option[Long])] = subs.map { st =>
-      val d = s"data/delta-$id-${nonce()}"
-      require(fs.rename(st.getPath, new Path(tableDir, d)),
-        s"stage move failed for ${st.getPath}")
-      (d, scala.util.Try(
-        st.getPath.getName.stripPrefix("__pv=").toLong).toOption)
-    }
-    fs.delete(new Path(tableDir, stage), true)
+    val moved = moveStaged(fs, tableDir, stage, id)
     val entries = cur.map(_.entries).getOrElse(Nil) ++
       moved.map(m => ((DataEntry: EntryKind), m._1))
     val stats = cur.map(_.stats).getOrElse(Map.empty) ++
@@ -1488,7 +1839,8 @@ object Snapshots {
       try casMainManifest(spark, fs, tableDir, id,
         renderManifest(cur.map(_.id), entries, cur.flatMap(_.deleteKey), tag,
           stats, cur.map(_.blooms).getOrElse(Map.empty),
-          schemaOps = cur.map(_.schemaOps).getOrElse(Nil)))
+          schemaOps = cur.map(_.schemaOps).getOrElse(Nil),
+          sstats = cur.map(_.sstats).getOrElse(Map.empty)))
       catch { case e: CommitConflictException =>
         moved.foreach(m => fs.delete(new Path(tableDir, m._1), true))
         throw e
@@ -1629,7 +1981,8 @@ object Snapshots {
         writeAtomic(fs, tableDir, s"snap-$id",
           renderManifest(Some(base.id), entries, base.deleteKey, tag,
             stats = base.stats, blooms = base.blooms,
-            branch = Some(branch), schemaOps = base.schemaOps),
+            branch = Some(branch), schemaOps = base.schemaOps,
+            sstats = base.sstats),
           overwrite = false)
         writeAtomic(fs, tableDir, branchPtr(branch), s"snap-$id")
         return id
@@ -1681,7 +2034,7 @@ object Snapshots {
         writeAtomic(fs, tableDir, s"snap-$id",
           renderManifest(Some(main.id), head.entries, head.deleteKey,
             tag = Some(pubTag), stats = head.stats, blooms = head.blooms,
-            schemaOps = head.schemaOps),
+            schemaOps = head.schemaOps, sstats = head.sstats),
           overwrite = false)
         writeAtomic(fs, tableDir, "_CURRENT", s"snap-$id")
         return id
@@ -1825,7 +2178,8 @@ object Snapshots {
       renderManifest(Some(cur.id), target.entries, target.deleteKey, tag,
         remapStats(target.stats, cur.schemaOps),
         remapBlooms(target.blooms, cur.schemaOps),
-        schemaOps = cur.schemaOps))
+        schemaOps = cur.schemaOps,
+        sstats = remapStats(target.sstats, cur.schemaOps)))
     writeAtomic(fs, tableDir, "_CURRENT", s"snap-$won")
     won
   }

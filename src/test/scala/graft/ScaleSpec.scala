@@ -852,6 +852,161 @@ class ScaleSpec extends SparkSpec {
     assert(Snapshots.read(spark, root2).count() == 4)
   }
 
+  test("snapshots: OPTIMIZE — rewrite preserves hidden layout, converges evolved specs, clustered split is range-disjoint (round-17)") {
+    import graft.ops.Snapshots
+    import graft.ops.Snapshots.TruncateTransform
+    import spark.implicits._
+    // 1) hidden-partitioned table: a bare rewrite must keep per-value
+    // dirs + synthetic stats, fold the delete backlog, and keep pruning
+    val root = java.nio.file.Files.createTempDirectory("snapopt").toString
+    val t10 = TruncateTransform("v", 10L)
+    Snapshots.commitAppendHidden(
+      Seq((1L, Some(5L)), (2L, Some(15L)), (3L, Some(25L)),
+        (4L, Some(7L)), (5L, None)).toDF("k", "v"), root, t10)
+    Snapshots.commitDelete(Seq(Tuple1(4L)).toDF("k"), root, "k")
+    Snapshots.commitRewrite(spark, root)
+    val cur = Snapshots.current(spark, root).get
+    assert(cur.deleteDirs.isEmpty && cur.posDeleteDirs.isEmpty,
+      "rewrite must fold the delete backlog")
+    // values {0,1,2} + the null-value dir survive as separate dirs
+    assert(cur.dataDirs.size == 4,
+      s"per-value dirs must survive the rewrite, got ${cur.dataDirs}")
+    // pruning still works: [0,9] opens value-0 + the null dir only
+    assert(Snapshots.hiddenRangeCounts(spark, root, t10, 0L, 9L) == ((2, 2)))
+    assert(Snapshots.readHiddenRange(spark, root, t10, 0L, 9L)
+      .select("k").as[Long].collect().toSet == Set(1L))
+    assert(Snapshots.read(spark, root).select("k").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L, 5L), "rewrite lossless")
+    // 2) evolved spec: later commits under a WIDER transform; the
+    // rewrite converges the WHOLE table to the newest spec
+    val t100 = TruncateTransform("v", 100L)
+    Snapshots.commitAppendHidden(
+      Seq((6L, Some(105L)), (7L, Some(205L))).toDF("k", "v"), root, t100)
+    Snapshots.commitRewrite(spark, root)
+    val cur2 = Snapshots.current(spark, root).get
+    // t100 values: {0 (5,15,25), 1 (105), 2 (205)} + null dir
+    assert(cur2.dataDirs.size == 4, s"convergence: ${cur2.dataDirs}")
+    assert(cur2.dataDirs.forall(d => cur2.stats.get(d).forall(m =>
+      m.keys.forall(!_.startsWith("__pt_trunc_10_")))),
+      "old-spec synthetic stats must not survive the converging rewrite")
+    assert(Snapshots.hiddenRangeCounts(spark, root, t100, 100L, 199L) == ((2, 2)))
+    assert(Snapshots.readHiddenRange(spark, root, t100, 100L, 199L)
+      .select("k").as[Long].collect().toSet == Set(6L))
+    // 3) clustered rewrite of a plain table: explicit parts → that many
+    // range-disjoint dirs, stats on the sort key, point probe opens 1
+    val root2 = java.nio.file.Files.createTempDirectory("snapopt2").toString
+    val n = 97
+    Snapshots.commitAppendBloom(
+      (1L to n).map(i => (i, s"v$i")).toDF("k", "v"), root2,
+      bloomCol = "k", statsCols = Seq("k"))
+    Snapshots.commitDelete(
+      (1L to n).filter(_ % 10 == 0).map(Tuple1(_)).toDF("k"), root2, "k")
+    Snapshots.commitRewriteClustered(spark, root2, Seq("k"), parts = 4)
+    val c3 = Snapshots.current(spark, root2).get
+    assert(c3.dataDirs.size == 4, s"explicit parts: ${c3.dataDirs}")
+    // every dir carries k-stats; ranges are pairwise disjoint
+    val ranges = c3.dataDirs.map(d => c3.stats(d)("k")).sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"clustered dirs must be range-disjoint: $ranges")
+    // a point probe opens exactly one dir (range stats + rebuilt bloom)
+    assert(Snapshots.pruneCounts(spark, root2, "k", 42L, 42L) == ((1, 3)))
+    assert(Snapshots.pointCounts(spark, root2, "k", 42L) == ((1, 3)))
+    assert(Snapshots.readPoint(spark, root2, "k", 42L)
+      .select("v").as[String].collect().toSeq == Seq("v42"))
+    // lossless: full read equals the undeleted key set
+    assert(Snapshots.read(spark, root2).select("k").as[Long].collect().toSet
+      == (1L to n).filterNot(_ % 10 == 0).toSet)
+    // byte-target form: targetBytes covering everything → one dir
+    Snapshots.commitRewrite(spark, root2, Seq("k"), targetBytes = 1L << 30)
+    assert(Snapshots.current(spark, root2).get.dataDirs.size == 1)
+    assert(Snapshots.read(spark, root2).count() == (n - n / 10))
+  }
+
+  test("snapshots: string stats bounds — truncated byte bounds prune, survive rename/merge/rewrite, edge cases sound (round-17)") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapstr").toString
+    // three dirs with disjoint id prefixes + one stats-less dir
+    Snapshots.commitAppendStats(
+      Seq(("apple", 1L), ("avocado", 2L)).toDF("id", "v"), root,
+      Seq("id"), None)
+    Snapshots.commitAppendStats(
+      Seq(("mango", 3L), ("melon", 4L)).toDF("id", "v"), root,
+      Seq("id"), None)
+    Snapshots.commitAppendStats(
+      Seq(("xigua", 5L), ("yuzu", 6L)).toDF("id", "v"), root,
+      Seq("id"), None)
+    Snapshots.commitAppend(Seq(("kiwi", 7L)).toDF("id", "v"), root)
+    assert(Snapshots.pruneCountsStr(spark, root, "id", "a", "az") == ((2, 2)))
+    assert(Snapshots.readPrunedStr(spark, root, "id", "a", "az")
+      .select("id").as[String].collect().toSet == Set("apple", "avocado"))
+    // out-of-range probe: only the stats-less dir opens, zero rows
+    assert(Snapshots.pruneCountsStr(spark, root, "id", "zz", "zzz") == ((1, 3)))
+    assert(Snapshots.readPrunedStr(spark, root, "id", "zz", "zzz").count() == 0)
+    // deletes compose (string delete key), and a rename REMAPS bounds
+    Snapshots.commitDelete(Seq(Tuple1("melon")).toDF("id"), root, "id")
+    assert(Snapshots.readPrunedStr(spark, root, "id", "m", "n")
+      .select("id").as[String].collect().toSeq == Seq("mango"))
+    // TRUNCATION soundness: >16-byte keys sharing a 16-byte prefix must
+    // never be skipped by a probe inside the shared-prefix range — the
+    // upper bound is a prefix-SUCCESSOR, the lower a prefix
+    val root2 = java.nio.file.Files.createTempDirectory("snapstr2").toString
+    val longA = "PREFIX-0123456789-AAAAAA" // 16-byte prefix "PREFIX-012345678"
+    val longB = "PREFIX-0123456789-BBBBBB"
+    Snapshots.commitAppendStats(
+      Seq((longA, 1L), (longB, 2L)).toDF("id", "v"), root2, Seq("id"), None)
+    // probe equal to a full key (longer than the truncated bound): must open
+    assert(Snapshots.pruneCountsStr(spark, root2, "id", longA, longA) == ((1, 0)))
+    assert(Snapshots.readPrunedStr(spark, root2, "id", longA, longA)
+      .count() == 1)
+    // probe past the shared prefix: rightly skipped
+    assert(Snapshots.pruneCountsStr(spark, root2, "id", "Q", "R") == ((0, 1)))
+    // empty-string and non-ASCII values round the manifest safely
+    val root3 = java.nio.file.Files.createTempDirectory("snapstr3").toString
+    Snapshots.commitAppendStats(
+      Seq(("", 1L), ("ééééééééééé", 2L)).toDF("id", "v"), root3,
+      Seq("id"), None) // 11 é = 22 UTF-8 bytes > 16: truncated upper
+    assert(Snapshots.pruneCountsStr(spark, root3, "id", "", "zz") == ((1, 0)))
+    assert(Snapshots.readPrunedStr(spark, root3, "id", "é", "éż")
+      .select("v").as[Long].collect().toSeq == Seq(2L))
+    // bloom point lookups on a string key; merge keeps sstats on its
+    // payload dir; clustered rewrite on a STRING sort key re-records
+    // per-dir string bounds
+    val root4 = java.nio.file.Files.createTempDirectory("snapstr4").toString
+    val rows = (1 to 60).map(i => (f"DOC-$i%04d", i.toLong))
+    for (g <- 0 until 3)
+      Snapshots.commitAppendBloom(
+        rows.filter(_._2 % 3 == g).toDF("id", "v"), root4,
+        bloomCol = "id", statsCols = Seq("id"))
+    // ranges of the three mod-class dirs overlap fully: only the bloom
+    // can skip, and it does for an absent key
+    assert(Snapshots.pointCountsStr(spark, root4, "id", "DOC-9999") == ((0, 3)))
+    val hit = Snapshots.pointCountsStr(spark, root4, "id", "DOC-0042")
+    assert(hit._1 >= 1 && hit._1 <= 2, s"bloom fp budget: $hit")
+    assert(Snapshots.readPointStr(spark, root4, "id", "DOC-0042")
+      .select("v").as[Long].collect().toSeq == Seq(42L))
+    Snapshots.commitMerge(
+      Seq(("DOC-0042", 420L), ("DOC-0061", 61L)).toDF("id", "v"),
+      root4, "id")
+    val merged = Snapshots.current(spark, root4).get
+    assert(merged.sstats.contains(merged.dataDirs.last),
+      "merge payload dir must carry string bounds")
+    Snapshots.commitRewriteClustered(spark, root4, Seq("id"), parts = 3)
+    val cr = Snapshots.current(spark, root4).get
+    assert(cr.dataDirs.size == 3 &&
+      cr.dataDirs.forall(d => cr.sstats.get(d).exists(_.contains("id"))),
+      "clustered string rewrite must record per-dir bounds")
+    assert(Snapshots.pruneCountsStr(spark, root4, "id", "DOC-0001", "DOC-0005")
+      ._2 == 2, "post-rewrite string pruning must skip the other dirs")
+    assert(Snapshots.readPointStr(spark, root4, "id", "DOC-0042")
+      .select("v").as[Long].collect().toSeq == Seq(420L))
+    // rename remaps string bounds to the new logical name
+    Snapshots.commitRenameColumn(spark, root, "v", "val")
+    assert(Snapshots.pruneCountsStr(spark, root, "id", "a", "az") == ((2, 2)))
+  }
+
   test("snapshots: sampled scan — deterministic, nested by rate, dir-skipping, composes with deletes") {
     import graft.ops.Snapshots
     import spark.implicits._

@@ -19,8 +19,14 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * so both routes produce identical Expression trees.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functionDescriptions.foreach(ext.injectFunction)
+    // s41: SQL-addressable snapshot tables — `graft_snap.<alias>`,
+    // `<alias>__v<N>`, and `VERSION AS OF` resolve to the same
+    // composed merge-on-read plan the Scala API builds
+    ext.injectResolutionRule(session =>
+      new graft.plans.SnapshotRelationRule(session))
+  }
 }
 
 object GraftExtensions {

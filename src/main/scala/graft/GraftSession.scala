@@ -26,12 +26,16 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Apply the engine's recommended configs to a builder. */
+  /** Apply the engine's recommended configs to a builder. The
+    * extensions class wires the SQL kernels AND the snapshot-table
+    * resolution rule (`graft_snap.<alias>`, `VERSION AS OF`) — it must
+    * ride the BUILDER (Spark fixes the analyzer at session creation). */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
 
   /** Register the SQL surface on an existing session: every custom kernel
     * (vec_*, minhash_sig, shingle_hash64, simhash64, hyperplane_bucket,

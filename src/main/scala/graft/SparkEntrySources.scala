@@ -1398,6 +1398,158 @@ private[graft] object SparkEntrySources {
       val p4 = pointPhase(4L, key(q2) + "Z")
       p1.union(p2).union(p3).union(p4)
     }),
+
+    // S39 — PARTITION-SPEC EVOLUTION (round-17; the r16 VERDICT's #4,
+    // Iceberg's per-spec pruning): a table whose hidden-partition
+    // layout CHANGED over its life — here bucket(8) then bucket(16) on
+    // user_id — holds dirs of both generations, and readHiddenAuto
+    // prunes EACH dir under its own spec, parsed back from the
+    // synthetic stats name (the manifest is the spec registry). An
+    // equality delete rides across both generations. Phases pin
+    // (opened, skipped) derived in-oracle from the data's own residue
+    // occupancy: 1 = point lookup opens ONE residue dir per
+    // generation; 2 = a 2-value range opens two per generation;
+    // 3 = a full-range read admits every bucket (and is the whole
+    // live table). At 100 TB this is what lets an event table re-
+    // bucket for growth without rewriting history — old dirs keep
+    // pruning under the old spec, new under the new.
+    "s39_spec_evolution" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      import graft.ops.Snapshots.BucketTransform
+      val root = s"$partScratchDir/${dirKey(dir)}_s39"
+      rmTree(root)
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"))
+      Snapshots.commitAppendHidden(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0), root,
+        BucketTransform("user_id", 8))
+      Snapshots.commitAppendHidden(
+        ev.filter(pmod(col("event_id"), lit(2)) === 1), root,
+        BucketTransform("user_id", 16))
+      Snapshots.commitDelete(
+        ev.filter(pmod(col("event_id"), lit(7)) === 0).select("event_id"),
+        root, "event_id")
+      val agg = ev.agg(max(col("user_id")), min(col("user_id"))).collect()(0)
+      val (probe, umin) = (agg.getLong(0), agg.getLong(1))
+      val cols = Seq("event_id", "user_id")
+      def phase(n: Long, lo: Long, hi: Long) = {
+        val (o, k) = Snapshots.hiddenAutoCounts(s, root, "user_id", lo, hi)
+        Validations.tableFingerprint(
+            Snapshots.readHiddenAuto(s, root, "user_id", lo, hi), cols)
+          .select(lit(n).as("phase"), col("n_rows"), col("fingerprint"),
+            lit(o.toLong).as("opened"), lit(k.toLong).as("skipped"))
+      }
+      phase(1L, probe, probe).union(phase(2L, umin, umin + 1))
+        .union(phase(3L, umin, probe))
+    }),
+
+    // S40 — COMPOUND equality-delete keys (round-17; the r16 VERDICT's
+    // #6): deletes and merges key on a COLUMN SET — here lineitem's
+    // natural (l_orderkey, l_linenumber) pair, the same shape as the
+    // reference's two-part study_participant_id — with no caller-side
+    // pre-concat. History: two parity appends → composite delete of
+    // the %3 orders' lines → re-insert of the %6 subset at qty = -1
+    // (sequence rule: visible) → one atomic compound MERGE (replace
+    // %7 pairs at qty+1000, pure-delete the %11\\%7 pairs). Phases:
+    // 1 = final state (the oracle's last-op-wins CASE reduction);
+    // 2 = time travel to pre-delete (every original row); 3 =
+    // structural evidence — the manifest's key-set header plus both
+    // guard refusals (wrong key set, renaming a key member) pinned as
+    // flags. At 100 TB compound keys are what let CDC feeds with
+    // natural multi-part keys run merge-on-read without a synthetic
+    // concat column (which would break pushdown and stats on the
+    // parts).
+    "s40_compound_keys" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val root = s"$partScratchDir/${dirKey(dir)}_s40"
+      rmTree(root)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"),
+        expr("CAST(round(l_quantity) AS LONG)").as("qty"))
+      Snapshots.commitAppend(li.filter(pmod(col("ok"), lit(2)) === 0), root)
+      Snapshots.commitAppend(li.filter(pmod(col("ok"), lit(2)) === 1), root)
+      val preId = Snapshots.current(s, root).get.id
+      Snapshots.commitDelete(
+        li.filter(pmod(col("ok"), lit(3)) === 0).select(col("ok"), col("ln")),
+        root, Seq("ok", "ln"))
+      Snapshots.commitAppend(
+        li.filter(pmod(col("ok"), lit(6)) === 0)
+          .select(col("ok"), col("ln"), lit(-1L).as("qty")), root)
+      Snapshots.commitMergeKeyed(
+        li.filter(pmod(col("ok"), lit(7)) === 0)
+          .select(col("ok"), col("ln"), (col("qty") + 1000L).as("qty")),
+        li.filter(pmod(col("ok"), lit(11)) === 0 &&
+            pmod(col("ok"), lit(7)) =!= 0).select(col("ok"), col("ln")),
+        root, Seq("ok", "ln"))
+      val cols = Seq("ok", "ln", "qty")
+      def phase(n: Long, d: org.apache.spark.sql.DataFrame) =
+        Validations.tableFingerprint(d, cols)
+          .select(lit(n).as("phase"), col("n_rows"), col("fingerprint"))
+      val p1 = phase(1L, Snapshots.read(s, root))
+      val p2 = phase(2L, Snapshots.read(s, root, Some(preId)))
+      val cur = Snapshots.current(s, root).get
+      val wrongSet = try {
+        Snapshots.commitDelete(
+          li.limit(1).select(col("ok")), root, Seq("ok")); 0L
+      } catch { case _: IllegalArgumentException => 1L }
+      val renameKey = try {
+        Snapshots.commitRenameColumn(s, root, "ln", "line"); 0L
+      } catch { case _: IllegalArgumentException => 1L }
+      import s.implicits._
+      val p3 = Seq((3L, cur.deleteDirs.size.toLong,
+        s"key=${cur.deleteKey.getOrElse("")}|wrongset=$wrongSet" +
+          s"|renamekey=$renameKey"))
+        .toDF("phase", "n_rows", "fingerprint")
+      p1.union(p2).union(p3)
+    }),
+
+    // S41 — SQL-ADDRESSABLE snapshot tables (round-17; the r16
+    // VERDICT's #5): a Catalyst RESOLUTION RULE (GraftExtensions →
+    // SnapshotRelationRule, Spark's own spark.sql.extensions route)
+    // resolves `graft_snap.<alias>` — plus BOTH time-travel spellings,
+    // Spark's parsed `VERSION AS OF` and the `__v<N>` suffix — to the
+    // same composed merge-on-read plan Snapshots.read builds, so SQL
+    // text and the Scala API produce one plan shape with pushdown
+    // intact; no parquet reader re-implemented, no data copied.
+    // Fixture: two parity appends + a %5 delete, registered as an
+    // alias. Phases: 1 = a filtered SQL SELECT over the current state;
+    // 2 = `VERSION AS OF <first append>`; 3 = the `__v` suffix form of
+    // the same travel (fingerprint-identical to 2); 4 = a GROUP BY
+    // through the rule (the relation composes with ordinary SQL). At
+    // 100 TB this is what lets JDBC/notebook consumers query the
+    // lakehouse tables without linking the Scala API.
+    "s41_sql_snapshot" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      import graft.plans.SnapshotSql
+      val root = s"$partScratchDir/${dirKey(dir)}_s41"
+      rmTree(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val id1 = Snapshots.commitAppend(
+        cust.filter(pmod(col("c_custkey"), lit(2)) === 0), root)
+      Snapshots.commitAppend(
+        cust.filter(pmod(col("c_custkey"), lit(2)) === 1), root)
+      Snapshots.commitDelete(
+        cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+          .select(col("c_custkey")), root, "c_custkey")
+      SnapshotSql.register("s41cust", root)
+      val cols = Seq("c_custkey", "c_mktsegment")
+      def phase(n: Long, d: org.apache.spark.sql.DataFrame,
+                cs: Seq[String] = cols) =
+        Validations.tableFingerprint(d, cs)
+          .select(lit(n).as("phase"), col("n_rows"), col("fingerprint"))
+      val p1 = phase(1L, s.sql(
+        "SELECT c_custkey, c_mktsegment FROM graft_snap.s41cust " +
+          "WHERE c_custkey % 3 = 0"))
+      val p2 = phase(2L, s.sql(
+        "SELECT c_custkey, c_mktsegment FROM graft_snap.s41cust " +
+          s"VERSION AS OF $id1"))
+      val p3 = phase(3L, s.sql(
+        s"SELECT c_custkey, c_mktsegment FROM graft_snap.s41cust__v$id1"))
+      val p4 = phase(4L, s.sql(
+        "SELECT c_mktsegment AS seg, count(*) AS n " +
+          "FROM graft_snap.s41cust GROUP BY 1"), Seq("seg", "n"))
+      p1.union(p2).union(p3).union(p4)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1618,6 +1770,122 @@ private[graft] object SparkEntrySources {
          |UNION ALL
          |SELECT CAST(4 AS BIGINT), CAST(0 AS BIGINT),
          |  CAST(NULL AS VARCHAR), CAST(1 AS BIGINT), CAST(3 AS BIGINT)""".stripMargin
+    },
+
+    // s39: both generations' (opened, skipped) derived from the data's
+    // own residue occupancy — one dir per occupied bucket per
+    // generation, a dir opens iff its recorded residue is admissible
+    // for the probe range under ITS generation's modulus. Occupied
+    // residues always come from users inside the probed range when the
+    // range is the full span, so phase 3 is exact at every sf.
+    "s39_spec_evolution" -> {
+      val fp =
+        """CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+          |    coalesce(CAST(event_id AS VARCHAR), chr(0)),
+          |    coalesce(CAST(user_id AS VARCHAR), chr(0)))), 1, 10))
+          |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)""".stripMargin
+      s"""WITH ev AS (SELECT event_id, user_id FROM events),
+         |live AS (SELECT * FROM ev WHERE event_id % 7 <> 0),
+         |e8 AS (SELECT DISTINCT user_id % 8 AS b FROM ev
+         |       WHERE event_id % 2 = 0),
+         |e16 AS (SELECT DISTINCT user_id % 16 AS b FROM ev
+         |        WHERE event_id % 2 = 1),
+         |p AS (SELECT max(user_id) AS hi, min(user_id) AS lo FROM ev),
+         |tot AS (SELECT (SELECT count(*) FROM e8)
+         |             + (SELECT count(*) FROM e16) AS n)
+         |SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows,
+         |  $fp AS fingerprint,
+         |  CAST((SELECT count(*) FROM e8
+         |        WHERE b = (SELECT hi FROM p) % 8)
+         |     + (SELECT count(*) FROM e16
+         |        WHERE b = (SELECT hi FROM p) % 16) AS BIGINT) AS opened,
+         |  CAST((SELECT n FROM tot)
+         |     - (SELECT count(*) FROM e8
+         |        WHERE b = (SELECT hi FROM p) % 8)
+         |     - (SELECT count(*) FROM e16
+         |        WHERE b = (SELECT hi FROM p) % 16) AS BIGINT) AS skipped
+         |FROM live WHERE user_id = (SELECT hi FROM p)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), count(*), $fp,
+         |  CAST((SELECT count(*) FROM e8 WHERE b IN
+         |          ((SELECT lo FROM p) % 8, ((SELECT lo FROM p) + 1) % 8))
+         |     + (SELECT count(*) FROM e16 WHERE b IN
+         |          ((SELECT lo FROM p) % 16, ((SELECT lo FROM p) + 1) % 16))
+         |    AS BIGINT),
+         |  CAST((SELECT n FROM tot)
+         |     - (SELECT count(*) FROM e8 WHERE b IN
+         |          ((SELECT lo FROM p) % 8, ((SELECT lo FROM p) + 1) % 8))
+         |     - (SELECT count(*) FROM e16 WHERE b IN
+         |          ((SELECT lo FROM p) % 16, ((SELECT lo FROM p) + 1) % 16))
+         |    AS BIGINT)
+         |FROM live WHERE user_id BETWEEN (SELECT lo FROM p)
+         |  AND (SELECT lo FROM p) + 1
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), count(*), $fp,
+         |  CAST((SELECT n FROM tot) AS BIGINT), CAST(0 AS BIGINT)
+         |FROM live""".stripMargin
+    },
+
+    // s40: the final state is a last-op-wins CASE reduction over the
+    // pair history (merge upsert > pure delete > re-insert > delete);
+    // phase 2 is the untouched pre-delete table; phase 3 pins the
+    // key-set header and both guard refusals.
+    "s40_compound_keys" -> {
+      val fp =
+        """CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+          |    coalesce(CAST(ok AS VARCHAR), chr(0)),
+          |    coalesce(CAST(ln AS VARCHAR), chr(0)),
+          |    coalesce(CAST(qty AS VARCHAR), chr(0)))), 1, 10))
+          |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)""".stripMargin
+      s"""WITH li AS (
+         |  SELECT l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln,
+         |         CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem),
+         |fin AS (
+         |  SELECT ok, ln,
+         |    CASE WHEN ok % 7 = 0 THEN qty + 1000
+         |         WHEN ok % 6 = 0 THEN CAST(-1 AS BIGINT)
+         |         ELSE qty END AS qty
+         |  FROM li
+         |  WHERE ok % 7 = 0
+         |     OR (ok % 11 <> 0 AND (ok % 3 <> 0 OR ok % 6 = 0)))
+         |SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows,
+         |  $fp AS fingerprint
+         |FROM fin
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), count(*), $fp FROM li
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT),
+         |  'key=ok,ln|wrongset=1|renamekey=1'""".stripMargin
+    },
+
+    // s41: live state = all customers minus the %5 delete; the two
+    // time-travel spellings both read the even-parity first append
+    // (identical fingerprints by construction); the GROUP BY phase
+    // fingerprints per-segment counts of the live state.
+    "s41_sql_snapshot" -> {
+      val fp2 =
+        """CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+          |    coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+          |    coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)))), 1, 10))
+          |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)""".stripMargin
+      s"""SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows,
+         |  $fp2 AS fingerprint
+         |FROM customer WHERE c_custkey % 5 <> 0 AND c_custkey % 3 = 0
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), count(*), $fp2
+         |FROM customer WHERE c_custkey % 2 = 0
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), count(*), $fp2
+         |FROM customer WHERE c_custkey % 2 = 0
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), count(*),
+         |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+         |    coalesce(CAST(seg AS VARCHAR), chr(0)),
+         |    coalesce(CAST(n AS VARCHAR), chr(0)))), 1, 10))
+         |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+         |FROM (SELECT c_mktsegment AS seg, count(*) AS n
+         |      FROM customer WHERE c_custkey % 5 <> 0
+         |      GROUP BY 1) t""".stripMargin
     },
 
     "s5_salted_join" ->

@@ -123,6 +123,12 @@ object Snapshots {
                             sstats: Map[String, Map[String, (String, String)]] = Map.empty) {
     def dataDirs: Seq[String] = entries.collect { case (DataEntry, d) => d }
     def deleteDirs: Seq[String] = entries.collect { case (DeleteEntry, d) => d }
+    /** The equality-delete key COLUMNS (round-17: compound keys ride
+      * the same `deletekey=` header comma-joined — the reference's own
+      * `study_participant_id` is synthesized from two parts, and
+      * forcing callers to pre-concat loses type and pushdown). */
+    def deleteKeys: Seq[String] =
+      deleteKey.toSeq.flatMap(_.split(',').toSeq).filter(_.nonEmpty)
     def posDeleteDirs: Seq[String] =
       entries.collect { case (PosDeleteEntry, d) => d }
     /** Every column any retained dir carries stats on — long-range OR
@@ -141,7 +147,7 @@ object Snapshots {
 
   private def pointer(dir: String) = new Path(dir, "_CURRENT")
 
-  private def readText(fs: FileSystem, p: Path): String = {
+  private[graft] def readText(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in).mkString finally in.close()
   }
@@ -175,8 +181,8 @@ object Snapshots {
     * FileContext rename (atomic server-side on HDFS; an object-store
     * deployment must bring a conditional-PUT commit service, as every
     * lakehouse format requires). */
-  private def writeAtomic(fs: FileSystem, dir: String, name: String,
-                          text: String, overwrite: Boolean = true): Unit = {
+  private[graft] def writeAtomic(fs: FileSystem, dir: String, name: String,
+                                 text: String, overwrite: Boolean = true): Unit = {
     val target = new Path(dir, name)
     val tmp = new Path(dir, s"$name.${nonce()}.tmp")
     val out = fs.create(tmp, true)
@@ -721,21 +727,38 @@ object Snapshots {
     * first delete fixes the table's delete key column; later deletes
     * must use the same one. Same crash/retry contract as
     * [[commitAppend]]. */
-  def commitDelete(keys: DataFrame, tableDir: String, keyCol: String): Long = {
+  def commitDelete(keys: DataFrame, tableDir: String, keyCol: String): Long =
+    commitDelete(keys, tableDir, Seq(keyCol))
+
+  /** COMPOUND-KEY equality delete (round-17): the key is a COLUMN SET
+    * — (order id, line number)-style natural keys — riding the same
+    * manifest header comma-joined and the same per-dir anti-join,
+    * now on all key columns. The first delete fixes the table's key
+    * set; later deletes must use the same one (order included — the
+    * header is the contract). */
+  def commitDelete(keys: DataFrame, tableDir: String,
+                   keyCols: Seq[String]): Long = {
     val spark = keys.sparkSession
     val fs = fsFor(spark, tableDir)
+    require(keyCols.nonEmpty, "commitDelete: at least one key column")
+    require(keyCols.forall(c => !c.contains(',') && !c.contains('|') &&
+      !c.startsWith("_")),
+      s"bad delete key column name(s): ${keyCols.mkString(",")}")
+    val keyHeader = keyCols.mkString(",")
     val cur = current(spark, tableDir).getOrElse(
       sys.error(s"commitDelete on empty snapshot table $tableDir"))
-    cur.deleteKey.foreach(k => require(k == keyCol,
-      s"table delete key is '$k', got '$keyCol' — one key column per table"))
+    cur.deleteKey.foreach(k => require(k == keyHeader,
+      s"table delete key is '$k', got '$keyHeader' — one key set per table"))
     val id = cur.id + 1
     val delDir = s"delete/delta-$id-${nonce()}"
-    keys.select(keyCol).write.mode("overwrite")
+    keys.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite")
       .parquet(new Path(tableDir, delDir).toString)
     val entries = cur.entries :+ ((DeleteEntry: EntryKind, delDir))
     val won =
       try casMainManifest(spark, fs, tableDir, id,
-        renderManifest(Some(cur.id), entries, Some(keyCol), stats = cur.stats,
+        renderManifest(Some(cur.id), entries, Some(keyHeader),
+          stats = cur.stats,
           blooms = cur.blooms, schemaOps = cur.schemaOps,
           sstats = cur.sstats))
       catch { case e: CommitConflictException =>
@@ -1000,22 +1023,39 @@ object Snapshots {
     * the committed id instead of re-merging. */
   def commitMergeKeyed(upserts: DataFrame, pureDeleteKeys: DataFrame,
                        tableDir: String, keyCol: String,
+                       tag: Option[String]): Long =
+    commitMergeKeyed(upserts, pureDeleteKeys, tableDir, Seq(keyCol), tag)
+
+  def commitMergeKeyed(upserts: DataFrame, pureDeleteKeys: DataFrame,
+                       tableDir: String, keyCol: String): Long =
+    commitMergeKeyed(upserts, pureDeleteKeys, tableDir, Seq(keyCol), None)
+
+  /** [[commitMergeKeyed]] on a COMPOUND key (round-17): the upsert
+    * REPLACE/INSERT decision matches on the whole column set, same
+    * one-commit delete-then-data mechanics. A key appearing in BOTH
+    * `upserts` and `pureDeleteKeys` resolves to the upsert (the data
+    * dir lands after the delete dir — last write of the commit wins). */
+  def commitMergeKeyed(upserts: DataFrame, pureDeleteKeys: DataFrame,
+                       tableDir: String, keyCols: Seq[String],
                        tag: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.col
     val spark = upserts.sparkSession
     tag.flatMap(t => findTag(spark, tableDir, t)) match {
       case Some(existing) => return existing
       case None => ()
     }
     val fs = fsFor(spark, tableDir)
+    require(keyCols.nonEmpty, "commitMergeKeyed: at least one key column")
+    val keyHeader = keyCols.mkString(",")
     val cur = current(spark, tableDir).getOrElse(
       sys.error(s"commitMerge on empty snapshot table $tableDir"))
-    cur.deleteKey.foreach(k => require(k == keyCol,
-      s"table delete key is '$k', got '$keyCol' — one key column per table"))
+    cur.deleteKey.foreach(k => require(k == keyHeader,
+      s"table delete key is '$k', got '$keyHeader' — one key set per table"))
     val id = cur.id + 1
     val delDir = s"delete/delta-$id-${nonce()}"
     val dataDir = s"data/delta-$id-${nonce()}"
-    upserts.select(keyCol)
-      .unionByName(pureDeleteKeys.select(keyCol)).distinct()
+    upserts.select(keyCols.map(col): _*)
+      .unionByName(pureDeleteKeys.select(keyCols.map(col): _*)).distinct()
       .write.mode("overwrite").parquet(new Path(tableDir, delDir).toString)
     upserts.write.mode("overwrite")
       .parquet(new Path(tableDir, dataDir).toString)
@@ -1033,7 +1073,7 @@ object Snapshots {
       ((DataEntry: EntryKind, dataDir))
     val won =
       try casMainManifest(spark, fs, tableDir, id,
-        renderManifest(Some(cur.id), entries, Some(keyCol), tag,
+        renderManifest(Some(cur.id), entries, Some(keyHeader), tag,
           stats = cur.stats ++
             (if (newStats.isEmpty) Map.empty
              else Map(dataDir -> newStats)),
@@ -1203,10 +1243,10 @@ object Snapshots {
       s"bad rename $from -> $to (identity, or address-column namespace)")
     val cur = current(spark, tableDir).getOrElse(
       sys.error(s"rename on empty snapshot table $tableDir"))
-    require(!cur.deleteKey.contains(from) && !cur.deleteKey.contains(to),
-      s"column '${cur.deleteKey.getOrElse("")}' is the table's " +
-        "equality-delete key — renaming it (or shadowing it) needs a " +
-        "rewrite, not a metadata commit")
+    require(!cur.deleteKeys.contains(from) && !cur.deleteKeys.contains(to),
+      s"column set '${cur.deleteKey.getOrElse("")}' is the table's " +
+        "equality-delete key — renaming a member (or shadowing one) " +
+        "needs a rewrite, not a metadata commit")
     requireSchemaOpSafe(cur, tableDir)
     // renaming ONTO a live column is refused (Iceberg does the same):
     // dirs holding only `from` would read it as `to` while dirs holding
@@ -1247,9 +1287,9 @@ object Snapshots {
     require(!name.startsWith("_"), s"bad drop: $name")
     val cur = current(spark, tableDir).getOrElse(
       sys.error(s"drop on empty snapshot table $tableDir"))
-    require(!cur.deleteKey.contains(name),
-      s"column '$name' is the table's equality-delete key — dropping " +
-        "it needs a rewrite, not a metadata commit")
+    require(!cur.deleteKeys.contains(name),
+      s"column '$name' is in the table's equality-delete key set — " +
+        "dropping it needs a rewrite, not a metadata commit")
     requireSchemaOpSafe(cur, tableDir)
     val id = cur.id + 1
     val ops = cur.schemaOps :+ DropCol(id, name)
@@ -1291,10 +1331,11 @@ object Snapshots {
       base = base.join(dels, Seq("_file", "_pos"), "left_anti")
     }
     if (eqAfter.nonEmpty) {
-      val key = snap.deleteKey.get
+      val keys = snap.deleteKeys
       base = base.join(
-        spark.read.parquet(eqAfter: _*).select(key).distinct(),
-        Seq(key), "left_anti")
+        spark.read.parquet(eqAfter: _*)
+          .select(keys.map(col): _*).distinct(),
+        keys, "left_anti")
     }
     // the USING joins front their key columns — restore the stored
     // order so the schema never depends on delete placement
@@ -1895,6 +1936,101 @@ object Snapshots {
       transform.statsName, b, b)
   }
 
+  /** PARTITION-SPEC EVOLUTION (round-17, Iceberg's per-spec pruning):
+    * whether dir `d` can hold a row with `column` in [lo, hi], judged
+    * under EVERY pruning contract the dir carries for that column —
+    * its raw-column range stats AND whatever hidden transform(s)
+    * recorded its partition value. A table whose spec evolved
+    * (bucket(8) → bucket(16), day → week) holds dirs of several
+    * generations; each prunes under its OWN spec, parsed back from
+    * the synthetic stats name — the manifest is the spec registry, no
+    * side table. A bucket value excludes a range only when the range
+    * spans fewer than n consecutive values (otherwise every residue
+    * is admissible); a truncate value excludes by value-range overlap
+    * (non-negative domains, div truncation — negative ranges never
+    * exclude). Dirs with no contract on the column always open. */
+  private def hiddenAdmits(snap: Snapshot, d: String, column: String,
+                           lo: Long, hi: Long): Boolean = {
+    val m = snap.stats.getOrElse(d, Map.empty)
+    val excluded = m.exists { case (name, (v, vmax)) =>
+      if (name == column) vmax < lo || v > hi
+      else parseTransform(name) match {
+        case Some(TruncateTransform(c, w)) if c == column =>
+          lo >= 0 && (v < lo / w || v > hi / w)
+        case Some(BucketTransform(c, n)) if c == column =>
+          if (hi - lo >= n - 1) false
+          else {
+            var admit = false
+            var x = lo
+            while (x <= hi && !admit) {
+              if (java.lang.Math.floorMod(x, n.toLong) == v) admit = true
+              x += 1
+            }
+            !admit
+          }
+        case _ => false
+      }
+    }
+    !excluded
+  }
+
+  /** Spec-evolution-aware range read: rows with `column` in [lo, hi],
+    * each dir pruned under its own generation's contract (see
+    * [[hiddenAdmits]]). This is what a reader uses on a table whose
+    * partition layout changed over its life — at 100 TB the old days
+    * and the new weeks each prune correctly with no rewrite. */
+  def readHiddenAuto(spark: SparkSession, tableDir: String,
+                     column: String, lo: Long, hi: Long,
+                     snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = resolve(spark, tableDir, snapshotId)
+    val frames = snap.entries.zipWithIndex.collect {
+      case ((DataEntry, d), i) if hiddenAdmits(snap, d, column, lo, hi) =>
+        maskedDirScan(spark, tableDir, snap, i, d,
+          Some(col(column).between(lo, hi)), withPos = false)
+    }
+    if (frames.isEmpty) {
+      val empty = read(spark, tableDir, Some(snap.id)).limit(0)
+      empty.filter(col(column).between(lo, hi))
+    } else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** (opened, skipped) evidence for [[readHiddenAuto]]. */
+  def hiddenAutoCounts(spark: SparkSession, tableDir: String,
+                       column: String, lo: Long, hi: Long,
+                       snapshotId: Option[Long] = None): (Int, Int) = {
+    val snap = resolve(spark, tableDir, snapshotId)
+    val dirs = snap.dataDirs
+    val opened = dirs.count(d => hiddenAdmits(snap, d, column, lo, hi))
+    (opened, dirs.size - opened)
+  }
+
+  /** [[readHiddenAuto]]'s point form — `column = value` across every
+    * spec generation (a bucket(8) dir opens only for the value's
+    * residue mod 8, a bucket(16) dir mod 16). */
+  def readHiddenPointAuto(spark: SparkSession, tableDir: String,
+                          column: String, value: Long,
+                          snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = resolve(spark, tableDir, snapshotId)
+    val frames = snap.entries.zipWithIndex.collect {
+      case ((DataEntry, d), i)
+          if hiddenAdmits(snap, d, column, value, value) =>
+        maskedDirScan(spark, tableDir, snap, i, d,
+          Some(col(column) === value), withPos = false)
+    }
+    if (frames.isEmpty)
+      read(spark, tableDir, Some(snap.id)).limit(0)
+        .filter(col(column) === value)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** (opened, skipped) evidence for [[readHiddenPointAuto]]. */
+  def hiddenPointAutoCounts(spark: SparkSession, tableDir: String,
+                            column: String, value: Long,
+                            snapshotId: Option[Long] = None): (Int, Int) =
+    hiddenAutoCounts(spark, tableDir, column, value, value, snapshotId)
+
   private def branchPtr(name: String) = s"_BRANCH_$name"
 
   /** Head of a STAGING BRANCH (write-audit-publish, Iceberg's WAP /
@@ -2288,22 +2424,24 @@ object Snapshots {
           val base = applySchemaOps(spark.read.parquet(path(d)), to, d)
           if (delsAfter.isEmpty) base
           else base.join(
-              spark.read.parquet(delsAfter: _*).select(to.deleteKey.get).distinct(),
-              Seq(to.deleteKey.get), "left_anti")
+              spark.read.parquet(delsAfter: _*)
+                .select(to.deleteKeys.map(col): _*).distinct(),
+              to.deleteKeys, "left_anti")
             .select(base.columns.map(col).toIndexedSeq: _*)
       }
       val intervalDels = interval.collect { case (DeleteEntry, dd) => path(dd) }
       val deletes: Option[DataFrame] =
         if (intervalDels.isEmpty || from.isEmpty) None
         else {
-          val key = to.deleteKey.get
+          val keys = to.deleteKeys
           // the FROM state under the TO schema: both sides of the CDC
           // frame must speak the same column names across any rename
           // or drop inside the interval
           Some(readAt(spark, tableDir, from.get.copy(schemaOps = to.schemaOps))
             .join(
-              spark.read.parquet(intervalDels: _*).select(key).distinct(),
-              Seq(key), "left_semi"))
+              spark.read.parquet(intervalDels: _*)
+                .select(keys.map(col): _*).distinct(),
+              keys, "left_semi"))
         }
       val parts = insFrames.map(withOp(_, "I")) ++ deletes.map(withOp(_, "D"))
       if (parts.isEmpty) {

@@ -1007,6 +1007,120 @@ class ScaleSpec extends SparkSpec {
     assert(Snapshots.pruneCountsStr(spark, root, "id", "a", "az") == ((2, 2)))
   }
 
+  test("snapshots: partition-spec evolution — each dir generation prunes under its own spec (round-17)") {
+    import graft.ops.Snapshots
+    import graft.ops.Snapshots.{BucketTransform, TruncateTransform}
+    import spark.implicits._
+    // bucket(4) generation then bucket(8): a point lookup opens the
+    // value's residue dir in EACH generation
+    val root = java.nio.file.Files.createTempDirectory("snapspec").toString
+    Snapshots.commitAppendHidden(
+      (1L to 20L).map(k => (k, s"a$k")).toDF("k", "v"), root,
+      BucketTransform("k", 4))
+    Snapshots.commitAppendHidden(
+      (21L to 40L).map(k => (k, s"b$k")).toDF("k", "v"), root,
+      BucketTransform("k", 8))
+    val cur = Snapshots.current(spark, root).get
+    assert(cur.dataDirs.size == 12, s"4 + 8 occupied buckets: ${cur.dataDirs}")
+    // k=30: residue 2 mod 4 and 6 mod 8 — one dir per generation
+    assert(Snapshots.hiddenPointAutoCounts(spark, root, "k", 30L) == ((2, 10)))
+    assert(Snapshots.readHiddenPointAuto(spark, root, "k", 30L)
+      .select("v").as[String].collect().toSeq == Seq("b30"))
+    // k=7 lives in generation 1 only; its gen-2 residue dir still opens
+    // (pruning is per-dir contract, not content knowledge)
+    assert(Snapshots.hiddenPointAutoCounts(spark, root, "k", 7L) == ((2, 10)))
+    assert(Snapshots.readHiddenPointAuto(spark, root, "k", 7L)
+      .select("v").as[String].collect().toSeq == Seq("a7"))
+    // a range spanning >= 8 consecutive values admits every bucket
+    assert(Snapshots.hiddenAutoCounts(spark, root, "k", 1L, 40L) == ((12, 0)))
+    // a 2-value range admits 2 residues per generation
+    assert(Snapshots.hiddenAutoCounts(spark, root, "k", 9L, 10L) == ((4, 8)))
+    assert(Snapshots.readHiddenAuto(spark, root, "k", 9L, 10L)
+      .select("k").as[Long].collect().toSet == Set(9L, 10L))
+    // deletes mask across generations as everywhere
+    Snapshots.commitDelete(Seq(Tuple1(30L)).toDF("k"), root, "k")
+    assert(Snapshots.readHiddenPointAuto(spark, root, "k", 30L).count() == 0)
+    // truncate evolution: day-width then week-width generations; a
+    // range probe opens matching days + matching weeks
+    val root2 = java.nio.file.Files.createTempDirectory("snapspec2").toString
+    Snapshots.commitAppendHidden(
+      Seq((1L, 5L), (2L, 15L), (3L, 25L)).toDF("k", "t"), root2,
+      TruncateTransform("t", 10L))
+    Snapshots.commitAppendHidden(
+      Seq((4L, 35L), (5L, 95L)).toDF("k", "t"), root2,
+      TruncateTransform("t", 50L))
+    // [0,9]: day-dir value 0 opens; week dirs 0 (t=35) opens, 1 (t=95) skips
+    assert(Snapshots.hiddenAutoCounts(spark, root2, "t", 0L, 9L) == ((2, 3)))
+    assert(Snapshots.readHiddenAuto(spark, root2, "t", 0L, 9L)
+      .select("k").as[Long].collect().toSet == Set(1L))
+    // [90,99]: only week dir 1
+    assert(Snapshots.hiddenAutoCounts(spark, root2, "t", 90L, 99L) == ((1, 4)))
+    assert(Snapshots.readHiddenAuto(spark, root2, "t", 90L, 99L)
+      .select("k").as[Long].collect().toSet == Set(5L))
+    // OPTIMIZE converges the mixed history to the newest spec and the
+    // auto reads keep pruning (composition with s37)
+    Snapshots.commitRewrite(spark, root2)
+    val c2 = Snapshots.current(spark, root2).get
+    assert(c2.dataDirs.size == 2, s"weeks 0 and 1: ${c2.dataDirs}")
+    assert(Snapshots.hiddenAutoCounts(spark, root2, "t", 90L, 99L) == ((1, 1)))
+    assert(Snapshots.readHiddenAuto(spark, root2, "t", 0L, 29L)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("snapshots: compound equality-delete keys — composite masking, sequence rule, merge, CDC, guards (round-17)") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapmk").toString
+    def df(rows: (Long, Long, Long)*) = rows.toDF("ok", "ln", "qty")
+    val id1 = Snapshots.commitAppend(
+      df((1L, 1L, 10L), (1L, 2L, 20L), (2L, 1L, 30L), (2L, 2L, 40L)), root)
+    // composite delete: (1,1) must not take (1,2) or (2,1) with it
+    Snapshots.commitDelete(
+      Seq((1L, 1L)).toDF("ok", "ln"), root, Seq("ok", "ln"))
+    def state = Snapshots.read(spark, root)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(state == Set((1L, 2L, 20L), (2L, 1L, 30L), (2L, 2L, 40L)))
+    // sequence rule: a re-insert of the deleted pair is visible
+    Snapshots.commitAppend(df((1L, 1L, 11L)), root)
+    assert(state == Set((1L, 1L, 11L), (1L, 2L, 20L), (2L, 1L, 30L),
+      (2L, 2L, 40L)))
+    // compound merge: replace (2,1), insert (3,1), pure-delete (2,2);
+    // a key in both sets resolves to the upsert
+    Snapshots.commitMergeKeyed(
+      df((2L, 1L, 300L), (3L, 1L, 50L)),
+      Seq((2L, 2L), (2L, 1L)).toDF("ok", "ln"),
+      root, Seq("ok", "ln"))
+    assert(state == Set((1L, 1L, 11L), (1L, 2L, 20L), (2L, 1L, 300L),
+      (3L, 1L, 50L)))
+    // CDC across the compound interval: the delete leg rehydrates by
+    // the pair, the insert leg carries the upserts
+    val cdc = Snapshots.changesBetween(spark, root, id1,
+      Snapshots.current(spark, root).get.id)
+    val dels = cdc.filter($"op" === "D")
+      .select("ok", "ln").as[(Long, Long)].collect().toSet
+    assert(dels == Set((1L, 1L), (2L, 1L), (2L, 2L)), s"delete leg: $dels")
+    // guards: wrong key set refused; renaming/dropping a member refused
+    intercept[IllegalArgumentException] {
+      Snapshots.commitDelete(Seq(Tuple1(1L)).toDF("ok"), root, Seq("ok"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.commitRenameColumn(spark, root, "ln", "line")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.commitDropColumn(spark, root, "ok")
+    }
+    // non-key columns still evolve; rewrite folds the compound backlog
+    Snapshots.commitRenameColumn(spark, root, "qty", "quantity")
+    Snapshots.commitRewrite(spark, root)
+    val cur = Snapshots.current(spark, root).get
+    assert(cur.deleteDirs.isEmpty && cur.deleteKey.contains("ok,ln"))
+    assert(Snapshots.read(spark, root).columns.toSeq ==
+      Seq("ok", "ln", "quantity"))
+    assert(Snapshots.read(spark, root).count() == 4)
+    // time travel before the compound delete still sees (1,1,10)
+    assert(Snapshots.read(spark, root, Some(id1)).count() == 4)
+  }
+
   test("snapshots: sampled scan — deterministic, nested by rate, dir-skipping, composes with deletes") {
     import graft.ops.Snapshots
     import spark.implicits._

@@ -153,4 +153,42 @@ class SqlSurfaceSpec extends SparkSpec {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("s41: snapshot tables are SQL-addressable — namespace, VERSION AS OF, __v suffix, bare alias, no shadowing") {
+    import graft.ops.Snapshots
+    import graft.plans.SnapshotSql
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapsql").toString
+    val id1 = Snapshots.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    Snapshots.commitAppend(Seq((3L, "c")).toDF("k", "v"), root)
+    Snapshots.commitDelete(Seq(Tuple1(2L)).toDF("k"), root, "k")
+    SnapshotSql.register("sqlsnap", root)
+    def ks(q: String): Set[Long] =
+      spark.sql(q).select("k").as[Long].collect().toSet
+    assert(ks("SELECT k FROM graft_snap.sqlsnap") == Set(1L, 3L))
+    assert(ks(s"SELECT k FROM graft_snap.sqlsnap VERSION AS OF $id1")
+      == Set(1L, 2L))
+    assert(ks(s"SELECT k FROM graft_snap.sqlsnap__v$id1") == Set(1L, 2L))
+    // bare alias resolves too (nothing else claims the name)
+    assert(ks("SELECT k FROM sqlsnap") == Set(1L, 3L))
+    // joins and aggregates compose through the rule
+    val j = spark.sql(
+      """SELECT a.k, b.v FROM graft_snap.sqlsnap a
+        |JOIN graft_snap.sqlsnap__v1 b ON a.k = b.k""".stripMargin)
+      .as[(Long, String)].collect().toSet
+    assert(j == Set((1L, "a")))
+    // a TEMP VIEW with the same name WINS over the bare alias (the
+    // rule runs after builtin resolution — it can never shadow)
+    Seq((99L, "view")).toDF("k", "v").createOrReplaceTempView("sqlsnap")
+    try assert(ks("SELECT k FROM sqlsnap") == Set(99L))
+    finally spark.catalog.dropTempView("sqlsnap")
+    // the namespaced form still reads the snapshot table
+    assert(ks("SELECT k FROM graft_snap.sqlsnap") == Set(1L, 3L))
+    // unregistered aliases stay unresolved (loud, not empty)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT k FROM graft_snap.nope").collect()
+    }
+    SnapshotSql.unregister("sqlsnap")
+  }
 }

@@ -533,6 +533,63 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.read(spark, quar2).count() == 1)
   }
 
+  test("w38 snapshot feed: manifest-chain source — intervals fold, mirror tracks, crash replay exactly-once") {
+    import graft.streaming.SnapshotFeed
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("w38").toString
+    val (src, state, dst) = (s"$root/src", s"$root/state", s"$root/dst")
+    def df(rows: (Long, String)*) = rows.toDF("k", "v")
+    def read(d: String) = Snapshots.read(spark, d)
+      .as[(Long, String)].collect().toSet
+    // empty table: poll is a no-op, not an error
+    assert(SnapshotFeed.poll(spark, src, state)((_, _, _) => fail()).isEmpty)
+    // bootstrap interval: whole table as inserts
+    Snapshots.commitAppend(df((1L, "a"), (2L, "b")), src)
+    assert(SnapshotFeed.mirrorInto(spark, src, state, dst, Seq("k"))
+      .contains((0L, 1L)))
+    assert(read(dst) == read(src))
+    // no movement → None, zero work
+    assert(SnapshotFeed.mirrorInto(spark, src, state, dst, Seq("k")).isEmpty)
+    // merge + delete + append: TWO commits absorbed in ONE interval
+    Snapshots.commitMerge(df((1L, "x"), (2L, "B2"), (3L, "c")), src, "k",
+      deleteFilter = Some($"k" === 1L))
+    Snapshots.commitAppend(df((4L, "d")), src)
+    assert(SnapshotFeed.mirrorInto(spark, src, state, dst, Seq("k"))
+      .contains((1L, 3L)))
+    assert(read(dst) == Set((2L, "B2"), (3L, "c"), (4L, "d")))
+    assert(read(dst) == read(src))
+    // crash replay: rewind the cursor (crash-before-advance) — the
+    // re-delivered interval's tag absorbs, the mirror stays identical
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.writeAtomic(fs, state, "_FEED_CURSOR", "snap-1")
+    val dstHead = Snapshots.current(spark, dst).get.id
+    assert(SnapshotFeed.mirrorInto(spark, src, state, dst, Seq("k"))
+      .contains((1L, 3L)))
+    assert(Snapshots.current(spark, dst).get.id == dstHead,
+      "replayed interval must be absorbed by its tag, not re-committed")
+    assert(read(dst) == read(src))
+    // the readStream lifecycle: a rate clock drives polls; the feed
+    // catches up and stop() ends it cleanly
+    Snapshots.commitDelete(Seq(Tuple1(3L)).toDF("k"), src, "k")
+    val q = SnapshotFeed.start(spark, src, state, intervalMs = 100L) {
+      (from, to, ch) =>
+        val tag = Some(s"feed-$from-$to")
+        Snapshots.commitMergeKeyed(
+          ch.filter($"op" === "I").drop("op"),
+          ch.filter($"op" === "D").select("k"), dst, Seq("k"), tag)
+        ()
+    }
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (read(dst) != read(src) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    } finally q.stop()
+    assert(read(dst) == read(src), "rate-clock feed must converge")
+    assert(read(dst) == Set((2L, "B2"), (4L, "d")))
+  }
+
   test("w19 session state: boundary-spanning merge, replay idempotence, horizon eviction") {
     import graft.streaming.SessionStream
     import spark.implicits._

@@ -1550,6 +1550,55 @@ private[graft] object SparkEntrySources {
           "FROM graft_snap.s41cust GROUP BY 1"), Seq("seg", "n"))
       p1.union(p2).union(p3).union(p4)
     }),
+
+    // S42 — MULTI-DIMENSIONAL hidden partitioning (round-17; Iceberg's
+    // multi-field partition specs): the event log lands as one dir per
+    // (day, user-bucket) TUPLE — day × bucket(8) is the canonical
+    // 100-TB event layout — each dir carrying one synthetic stats line
+    // PER transform, and readHiddenAutoMulti opens a dir only when
+    // EVERY axis admits: a (time window AND user) predicate prunes
+    // MULTIPLICATIVELY. An equality delete rides across. Phases pin
+    // (opened, skipped) derived in-oracle from the data's own
+    // (day, bucket) pair occupancy: 1 = the conjunctive window × user
+    // probe (the multiplicative case); 2 = the day window alone;
+    // 3 = the user point alone. At 100 TB this is the layout that
+    // serves BOTH "yesterday's events" and "user X's events" — and
+    // their intersection — from dirs proportional to the answer.
+    "s42_multidim_partitioning" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      import graft.ops.Snapshots.{TruncateTransform, BucketTransform}
+      val root = s"$partScratchDir/${dirKey(dir)}_s42"
+      rmTree(root)
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val dayT = TruncateTransform("ts_us", 86400000000L)
+      val bT = BucketTransform("user_id", 8)
+      Snapshots.commitAppendHidden(ev, root, Seq(dayT, bT), None)
+      Snapshots.commitDelete(
+        ev.filter(pmod(col("event_id"), lit(7)) === 0).select("event_id"),
+        root, "event_id")
+      val mm = ev.agg(min(col("ts_us")), max(col("ts_us")),
+        max(col("user_id"))).collect()(0)
+      val (t0, t1v, probe) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+      val (lo, hi) = (t0 + (t1v - t0) / 4, t0 + (t1v - t0) / 2)
+      val cols = Seq("event_id", "user_id", "ts_us")
+      def fp(n: Long, d: org.apache.spark.sql.DataFrame,
+             oc: (Int, Int)) =
+        Validations.tableFingerprint(d, cols)
+          .select(lit(n).as("phase"), col("n_rows"), col("fingerprint"),
+            lit(oc._1.toLong).as("opened"), lit(oc._2.toLong).as("skipped"))
+      val both = Seq(("ts_us", lo, hi), ("user_id", probe, probe))
+      val p1 = fp(1L,
+        Snapshots.readHiddenAutoMulti(s, root, both),
+        Snapshots.hiddenAutoMultiCounts(s, root, both))
+      val p2 = fp(2L,
+        Snapshots.readHiddenAuto(s, root, "ts_us", lo, hi),
+        Snapshots.hiddenAutoCounts(s, root, "ts_us", lo, hi))
+      val p3 = fp(3L,
+        Snapshots.readHiddenPointAuto(s, root, "user_id", probe),
+        Snapshots.hiddenPointAutoCounts(s, root, "user_id", probe))
+      p1.union(p2).union(p3)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1824,6 +1873,60 @@ private[graft] object SparkEntrySources {
          |SELECT CAST(3 AS BIGINT), count(*), $fp,
          |  CAST((SELECT n FROM tot) AS BIGINT), CAST(0 AS BIGINT)
          |FROM live""".stripMargin
+    },
+
+    // s42: (opened, skipped) derived from the data's own (day, bucket)
+    // tuple occupancy — one dir per occupied tuple, a dir opens iff
+    // EVERY axis admits; content = the surviving rows under the same
+    // raw predicates. The conjunctive phase's opened count is the
+    // multiplicative intersection.
+    "s42_multidim_partitioning" -> {
+      val D = 86400000000L
+      val fp =
+        """CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+          |    coalesce(CAST(event_id AS VARCHAR), chr(0)),
+          |    coalesce(CAST(user_id AS VARCHAR), chr(0)),
+          |    coalesce(CAST(ts_us AS VARCHAR), chr(0)))), 1, 10))
+          |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+         |live AS (SELECT * FROM ev WHERE event_id % 7 <> 0),
+         |w AS (
+         |  SELECT min(ts_us) + (max(ts_us) - min(ts_us)) // 4 AS lo,
+         |         min(ts_us) + (max(ts_us) - min(ts_us)) // 2 AS hi
+         |  FROM ev),
+         |p AS (SELECT max(user_id) AS pu, max(user_id) % 8 AS pb FROM ev),
+         |pairs AS (SELECT DISTINCT ts_us // $D AS d, user_id % 8 AS bk
+         |          FROM ev),
+         |tot AS (SELECT count(*) AS n FROM pairs),
+         |inw AS (SELECT count(*) AS n FROM pairs
+         |        WHERE d BETWEEN (SELECT lo FROM w) // $D
+         |          AND (SELECT hi FROM w) // $D),
+         |inb AS (SELECT count(*) AS n FROM pairs
+         |        WHERE bk = (SELECT pb FROM p)),
+         |inwb AS (SELECT count(*) AS n FROM pairs
+         |         WHERE d BETWEEN (SELECT lo FROM w) // $D
+         |           AND (SELECT hi FROM w) // $D
+         |           AND bk = (SELECT pb FROM p))
+         |SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows,
+         |  $fp AS fingerprint,
+         |  CAST((SELECT n FROM inwb) AS BIGINT) AS opened,
+         |  CAST((SELECT n FROM tot) - (SELECT n FROM inwb) AS BIGINT)
+         |    AS skipped
+         |FROM live
+         |WHERE ts_us BETWEEN (SELECT lo FROM w) AND (SELECT hi FROM w)
+         |  AND user_id = (SELECT pu FROM p)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), count(*), $fp,
+         |  CAST((SELECT n FROM inw) AS BIGINT),
+         |  CAST((SELECT n FROM tot) - (SELECT n FROM inw) AS BIGINT)
+         |FROM live
+         |WHERE ts_us BETWEEN (SELECT lo FROM w) AND (SELECT hi FROM w)
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), count(*), $fp,
+         |  CAST((SELECT n FROM inb) AS BIGINT),
+         |  CAST((SELECT n FROM tot) - (SELECT n FROM inb) AS BIGINT)
+         |FROM live WHERE user_id = (SELECT pu FROM p)""".stripMargin
     },
 
     // s40: the final state is a last-op-wins CASE reduction over the

@@ -839,7 +839,7 @@ object Snapshots {
     // contract the table had, and gain one on the new clustering
     val statsCols = (cur.statsColumns.filterNot(_.startsWith("__pt_")) ++
       sortKeys).distinct
-    val hidden = currentHiddenTransform(cur)
+    val hidden = currentHiddenTransforms(cur)
 
     def commit(entriesNew: Seq[(EntryKind, String)],
                stats: Map[String, Map[String, (Long, Long)]],
@@ -858,16 +858,17 @@ object Snapshots {
       writeAtomic(fs, tableDir, "_CURRENT", s"snap-$won")
       won
     }
-    def typedFor(moved: Seq[(String, Option[Long])],
-                 synth: Option[HiddenTransform]):
+    def typedFor(moved: Seq[(String, Seq[Option[Long]])],
+                 synth: Seq[HiddenTransform]):
         (Map[String, Map[String, (Long, Long)]],
          Map[String, Map[String, (String, String)]],
          Map[String, Seq[String]]) = {
-      val typed = moved.map { case (d, v) =>
+      val typed = moved.map { case (d, vals) =>
         val (longs, strs) = dirTypedStats(spark,
           new Path(tableDir, d).toString, statsCols, strict = false)
-        (d, longs ++ synth.flatMap(tr =>
-          v.map(x => tr.statsName -> ((x, x)))).toMap, strs)
+        (d, longs ++ synth.zip(vals).collect {
+          case (tr, Some(x)) => tr.statsName -> ((x, x))
+        }.toMap, strs)
       }
       val blooms = moved.flatMap { case (d, _) =>
         val bs = buildBlooms(spark, tableDir, d, cur.bloomColumns,
@@ -880,27 +881,30 @@ object Snapshots {
     }
 
     hidden match {
-      case Some(tr) =>
-        // layout-preserving: one dir per CURRENT-spec transform value
-        // (null values land in a stats-less, never-skipped dir), rows
-        // sorted within each value dir when sort keys are given
+      case trs if trs.nonEmpty =>
+        // layout-preserving: one dir per CURRENT-spec transform-value
+        // TUPLE (null values land in stats-less, never-skipped dirs),
+        // rows sorted within each value dir when sort keys are given
         val stage = s"data/stage-$id-${nonce()}"
-        var staged = full.withColumn("__pv", tr.valueExpr)
+        val pvCols = trs.indices.map(i => s"__pv$i")
+        var staged = trs.zip(pvCols).foldLeft(full) {
+          case (d, (tr, c)) => d.withColumn(c, tr.valueExpr)
+        }
         if (sortKeys.nonEmpty)
-          staged = staged.repartition(col("__pv"))
+          staged = staged.repartition(pvCols.map(col): _*)
             .sortWithinPartitions(sortKeys.map(col): _*)
-        staged.write.partitionBy("__pv").mode("overwrite")
+        staged.write.partitionBy(pvCols: _*).mode("overwrite")
           .parquet(new Path(tableDir, stage).toString)
-        val moved = moveStaged(fs, tableDir, stage, id)
+        val moved = moveStagedMulti(fs, tableDir, stage, id, trs.size)
         if (moved.isEmpty)
           // degenerate fully-deleted state: fall through to the plain
           // single-dir materialization so read() keeps a schema anchor
           return commitRewriteClustered(spark, tableDir, Nil, 0)
-        val (stats, sstats, blooms) = typedFor(moved, Some(tr))
+        val (stats, sstats, blooms) = typedFor(moved, trs)
         commit(moved.map(m => ((DataEntry: EntryKind), m._1)),
           stats, sstats, blooms)
 
-      case None if sortKeys.nonEmpty && parts > 1 =>
+      case _ if sortKeys.nonEmpty && parts > 1 =>
         // clustered split: range-disjoint dirs (zone-map layout at dir
         // granularity); spark_partition_id() labels the arranged
         // partitions so the partitionBy write splits without a second
@@ -918,7 +922,8 @@ object Snapshots {
         val moved = moveStaged(fs, tableDir, stage, id)
         if (moved.isEmpty)
           return commitRewriteClustered(spark, tableDir, Nil, 0)
-        val (stats, sstats, blooms) = typedFor(moved, None)
+        val (stats, sstats, blooms) =
+          typedFor(moved.map(m => (m._1, Seq(m._2))), Nil)
         commit(moved.map(m => ((DataEntry: EntryKind), m._1)),
           stats, sstats, blooms)
 
@@ -932,22 +937,30 @@ object Snapshots {
         out.write.mode("overwrite")
           .parquet(new Path(tableDir, dataDir).toString)
         val (stats, sstats, blooms) =
-          typedFor(Seq((dataDir, None)), None)
+          typedFor(Seq((dataDir, Nil)), Nil)
         commit(Seq((DataEntry: EntryKind, dataDir)), stats, sstats, blooms)
     }
   }
 
-  /** The hidden-partition transform of the CURRENT spec: the synthetic
-    * `__pt_*` stats column recorded on the newest data dir (a table
-    * whose spec evolved carries several; the newest dir's is the
-    * current one — Iceberg's "rewrites use the current partition
-    * spec"). None for plain tables. */
-  private[graft] def currentHiddenTransform(
-      cur: Snapshot): Option[HiddenTransform] =
-    cur.dataDirs
+  /** The hidden-partition transforms of the CURRENT spec: every
+    * synthetic `__pt_*` stats column recorded on the NEWEST
+    * spec-bearing commit's dirs (a table whose spec evolved carries
+    * several generations; the newest commit's set is the current one —
+    * Iceberg's "rewrites use the current partition spec"). Sorted by
+    * stats name for a deterministic dir-tuple order. Empty for plain
+    * tables. */
+  private[graft] def currentHiddenTransforms(
+      cur: Snapshot): Seq[HiddenTransform] = {
+    val byDir = cur.dataDirs
       .flatMap(d => cur.stats.getOrElse(d, Map.empty).keys
         .filter(_.startsWith("__pt_")).map(n => (dirCommitId(d), n)))
-      .sortBy(-_._1).headOption.flatMap(p => parseTransform(p._2))
+    if (byDir.isEmpty) Nil
+    else {
+      val newest = byDir.map(_._1).max
+      byDir.filter(_._1 == newest).map(_._2).distinct.sorted
+        .flatMap(parseTransform)
+    }
+  }
 
   /** Invert [[HiddenTransform.statsName]] — the manifest is the only
     * carrier of the table's partition spec(s). */
@@ -965,16 +978,34 @@ object Snapshots {
     * None for the null-value (`__HIVE_DEFAULT_PARTITION__`) subdir,
     * which stays stats-less and never skipped. */
   private def moveStaged(fs: FileSystem, tableDir: String, stage: String,
-                         id: Long): Seq[(String, Option[Long])] = {
-    val subs = fs.listStatus(new Path(tableDir, stage)).toSeq
-      .filter(_.isDirectory).sortBy(_.getPath.getName)
-    val moved: Seq[(String, Option[Long])] = subs.map { st =>
-      val d = s"data/delta-$id-${nonce()}"
-      require(fs.rename(st.getPath, new Path(tableDir, d)),
-        s"stage move failed for ${st.getPath}")
-      (d, st.getPath.getName.stripPrefix("__pv=").toLongOption)
+                         id: Long): Seq[(String, Option[Long])] =
+    moveStagedMulti(fs, tableDir, stage, id, 1).map(m => (m._1, m._2.head))
+
+  /** [[moveStaged]] at DEPTH `n` — a `partitionBy("__pv0", ...,
+    * "__pv<n-1>")` staging tree's LEAF dirs become delta dirs, each
+    * with its per-level parsed values (None per null level). */
+  private def moveStagedMulti(fs: FileSystem, tableDir: String,
+                              stage: String, id: Long,
+                              n: Int): Seq[(String, Seq[Option[Long]])] = {
+    def walk(p: Path, depth: Int): Seq[(Path, Seq[Option[Long]])] =
+      if (depth == n) Seq((p, Nil))
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .sortBy(_.getPath.getName).flatMap { st =>
+          val v = st.getPath.getName.split('=') match {
+            case Array(_, raw) => raw.toLongOption
+            case _ => None
+          }
+          walk(st.getPath, depth + 1).map(t => (t._1, v +: t._2))
+        }
+    val root = new Path(tableDir, stage)
+    val moved = (if (fs.exists(root)) walk(root, 0) else Nil).map {
+      case (leaf, vals) =>
+        val d = s"data/delta-$id-${nonce()}"
+        require(fs.rename(leaf, new Path(tableDir, d)),
+          s"stage move failed for $leaf")
+        (d, vals)
     }
-    fs.delete(new Path(tableDir, stage), true)
+    fs.delete(root, true)
     moved
   }
 
@@ -1855,9 +1886,27 @@ object Snapshots {
     * empty batch commits an entries-unchanged snapshot. */
   def commitAppendHidden(df: DataFrame, tableDir: String,
                          transform: HiddenTransform,
-                         tag: Option[String] = None): Long = {
+                         tag: Option[String] = None): Long =
+    commitAppendHidden(df, tableDir, Seq(transform), tag)
+
+  /** MULTI-DIMENSIONAL hidden partitioning (round-17 — Iceberg's
+    * multi-field partition specs): one data dir per transform-value
+    * TUPLE (day × bucket is the canonical 100-TB event layout: time
+    * ranges prune the day axis, tenant/user lookups the bucket axis,
+    * and a combined predicate prunes MULTIPLICATIVELY), each dir
+    * carrying one synthetic stats line PER transform — which is all
+    * [[readHiddenAuto]]/[[readHiddenAutoMulti]] need: a dir opens only
+    * if EVERY recorded contract admits the predicate. Null values at
+    * any level leave that level's line unrecorded (never skipped on
+    * that axis). */
+  def commitAppendHidden(df: DataFrame, tableDir: String,
+                         transforms: Seq[HiddenTransform],
+                         tag: Option[String]): Long = {
     val spark = df.sparkSession
     val fs = fsFor(spark, tableDir)
+    require(transforms.nonEmpty, "at least one transform")
+    require(transforms.map(_.statsName).distinct.size == transforms.size,
+      "duplicate transforms")
     tag.flatMap(t => findTag(spark, tableDir, t)) match {
       case Some(existing) => return existing
       case None => ()
@@ -1867,15 +1916,21 @@ object Snapshots {
     // stage under data/ so a crashed stage is vacuum's ordinary
     // unreferenced-dir garbage, needing no new GC path
     val stage = s"data/stage-$id-${nonce()}"
-    df.withColumn("__pv", transform.valueExpr)
-      .write.partitionBy("__pv").mode("overwrite")
+    val pvCols = transforms.indices.map(i => s"__pv$i")
+    transforms.zip(pvCols).foldLeft(df) { case (d, (tr, c)) =>
+      d.withColumn(c, tr.valueExpr)
+    }.write.partitionBy(pvCols: _*).mode("overwrite")
       .parquet(new Path(tableDir, stage).toString)
-    val moved = moveStaged(fs, tableDir, stage, id)
+    val moved = moveStagedMulti(fs, tableDir, stage, id, transforms.size)
     val entries = cur.map(_.entries).getOrElse(Nil) ++
       moved.map(m => ((DataEntry: EntryKind), m._1))
     val stats = cur.map(_.stats).getOrElse(Map.empty) ++
-      moved.collect { case (d, Some(v)) =>
-        d -> Map(transform.statsName -> ((v, v))) }
+      moved.flatMap { case (d, vals) =>
+        val m = transforms.zip(vals).collect {
+          case (tr, Some(v)) => tr.statsName -> ((v, v))
+        }.toMap
+        if (m.isEmpty) None else Some(d -> m)
+      }
     val won =
       try casMainManifest(spark, fs, tableDir, id,
         renderManifest(cur.map(_.id), entries, cur.flatMap(_.deleteKey), tag,
@@ -2030,6 +2085,42 @@ object Snapshots {
                             column: String, value: Long,
                             snapshotId: Option[Long] = None): (Int, Int) =
     hiddenAutoCounts(spark, tableDir, column, value, value, snapshotId)
+
+  /** CONJUNCTIVE spec-aware read over SEVERAL columns — the payoff of
+    * multi-dimensional hidden partitioning: on a day × bucket event
+    * table a (time window AND user) predicate opens only dirs
+    * admitted on EVERY axis, pruning multiplicatively. `preds` are
+    * (column, lo, hi) ranges (point = lo == hi). */
+  def readHiddenAutoMulti(spark: SparkSession, tableDir: String,
+                          preds: Seq[(String, Long, Long)],
+                          snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(preds.nonEmpty, "at least one predicate")
+    val snap = resolve(spark, tableDir, snapshotId)
+    def admitsAll(d: String) =
+      preds.forall(p => hiddenAdmits(snap, d, p._1, p._2, p._3))
+    val filter = preds.map(p => col(p._1).between(p._2, p._3))
+      .reduce(_ && _)
+    val frames = snap.entries.zipWithIndex.collect {
+      case ((DataEntry, d), i) if admitsAll(d) =>
+        maskedDirScan(spark, tableDir, snap, i, d, Some(filter),
+          withPos = false)
+    }
+    if (frames.isEmpty)
+      read(spark, tableDir, Some(snap.id)).limit(0).filter(filter)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** (opened, skipped) evidence for [[readHiddenAutoMulti]]. */
+  def hiddenAutoMultiCounts(spark: SparkSession, tableDir: String,
+                            preds: Seq[(String, Long, Long)],
+                            snapshotId: Option[Long] = None): (Int, Int) = {
+    val snap = resolve(spark, tableDir, snapshotId)
+    val dirs = snap.dataDirs
+    val opened = dirs.count(d =>
+      preds.forall(p => hiddenAdmits(snap, d, p._1, p._2, p._3)))
+    (opened, dirs.size - opened)
+  }
 
   private def branchPtr(name: String) = s"_BRANCH_$name"
 
@@ -2198,6 +2289,37 @@ object Snapshots {
     dropped.foreach(i => fs.delete(new Path(tableDir, s"snap-$i"), false))
     fs.delete(new Path(tableDir, branchPtr(branch)), false)
     dropped
+  }
+
+  /** Janitor for ABANDONED transient branches (round-17): drop every
+    * branch whose name starts with `prefix` and whose NEWEST manifest
+    * file is older than `graceMs` — the crash window
+    * [[commitAppendChecked]] documents (publish/refusal succeeded but
+    * the scaffold `branchDrop` didn't run) leaves `check-<nonce>`
+    * manifests behind: harmless and invisible to readers, but they
+    * pin their staged dirs against [[vacuum]] forever. The grace
+    * window protects LIVE audits (an in-flight checked commit's
+    * branch is seconds old); crash garbage is by definition older.
+    * Returns the dropped branch names; run [[vacuum]] after to
+    * reclaim their staged-only dirs. */
+  def dropStaleBranches(spark: SparkSession, tableDir: String,
+                        prefix: String = "check-",
+                        graceMs: Long = 24 * 60 * 60 * 1000L): Seq[String] = {
+    val fs = fsFor(spark, tableDir)
+    val cutoff = System.currentTimeMillis() - graceMs
+    val byBranch = retainedIds(fs, tableDir)
+      .flatMap { i =>
+        get(spark, tableDir, i).flatMap(_.branch).map { b =>
+          (b, fs.getFileStatus(new Path(tableDir, s"snap-$i"))
+            .getModificationTime)
+        }
+      }
+      .groupBy(_._1).map { case (b, ms) => b -> ms.map(_._2).max }
+    val stale = byBranch.collect {
+      case (b, newest) if b.startsWith(prefix) && newest <= cutoff => b
+    }.toSeq.sorted
+    stale.foreach(b => branchDrop(spark, tableDir, b))
+    stale
   }
 
   /** A checked commit's constraint suite failed: the batch never

@@ -727,4 +727,38 @@ class PlanShapeSpec extends SparkSpec {
       s"the raw-column range must push into the opened dirs' scans:\n$p2")
     assert(shuffles(p2).isEmpty, s"hidden-range read is scan-only:\n$p2")
   }
+
+  test("s38/s39/s42: string-range, spec-aware, and conjunctive reads stay scan-only with pushed predicates (round-17)") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    // string bounds: the BETWEEN predicate reaches the surviving dirs'
+    // parquet scans (string filters push natively)
+    val root = java.nio.file.Files.createTempDirectory("s38_plan").toString
+    Snapshots.commitAppendStats(
+      (1L to 2000L).map(i => (f"K$i%08d", i)).toDF("id", "v"), root,
+      Seq("id"), None)
+    val p1 = finalPlan(
+      Snapshots.readPrunedStr(spark, root, "id", "K00000010", "K00000020"))
+    val scans1 = deep(p1).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans1.nonEmpty && scans1.forall(_.dataFilters.nonEmpty),
+      s"the string range must push into the scan:\n$p1")
+    assert(shuffles(p1).isEmpty, s"string-pruned read is scan-only:\n$p1")
+    // spec-evolution + conjunctive multi-axis reads: raw predicates
+    // push into every opened dir's scan, no shuffle anywhere
+    val hroot = java.nio.file.Files.createTempDirectory("s42_plan").toString
+    Snapshots.commitAppendHidden(
+      (1L to 3000L).map(i => (i, i * 10, i % 50)).toDF("k", "t", "u"),
+      hroot, Seq(Snapshots.TruncateTransform("t", 10000L),
+        Snapshots.BucketTransform("u", 4)), None)
+    val p2 = finalPlan(Snapshots.readHiddenAutoMulti(spark, hroot,
+      Seq(("t", 0L, 9999L), ("u", 2L, 2L))))
+    val scans2 = deep(p2).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans2.nonEmpty && scans2.forall(_.dataFilters.nonEmpty),
+      s"both raw predicates must push into the opened dirs' scans:\n$p2")
+    assert(shuffles(p2).isEmpty, s"conjunctive auto read is scan-only:\n$p2")
+    val p3 = finalPlan(Snapshots.readHiddenAuto(spark, hroot, "t", 0L, 9999L))
+    assert(shuffles(p3).isEmpty, s"spec-aware read is scan-only:\n$p3")
+  }
 }

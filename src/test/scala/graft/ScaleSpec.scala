@@ -1121,6 +1121,73 @@ class ScaleSpec extends SparkSpec {
     assert(Snapshots.read(spark, root, Some(id1)).count() == 4)
   }
 
+  test("snapshots: multi-dimensional hidden partitioning — tuple dirs, conjunctive pruning, rewrite preserves both axes (round-17)") {
+    import graft.ops.Snapshots
+    import graft.ops.Snapshots.{BucketTransform, TruncateTransform}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapmd").toString
+    val dayT = TruncateTransform("t", 10L)
+    val bT = BucketTransform("u", 4)
+    // (t div 10, u mod 4) tuples: (0,1),(0,2),(1,1),(2,3) + a null-t row
+    Snapshots.commitAppendHidden(
+      Seq((1L, Some(5L), 1L), (2L, Some(7L), 2L), (3L, Some(15L), 5L),
+        (4L, Some(25L), 3L), (5L, None, 1L)).toDF("k", "t", "u"),
+      root, Seq(dayT, bT), None)
+    val cur = Snapshots.current(spark, root).get
+    assert(cur.dataDirs.size == 5, s"one dir per tuple + null: ${cur.dataDirs}")
+    // each axis prunes independently...
+    assert(Snapshots.hiddenAutoCounts(spark, root, "t", 0L, 9L) == ((3, 2)))
+    assert(Snapshots.hiddenAutoCounts(spark, root, "u", 1L, 1L) == ((3, 2)))
+    // ...and a conjunctive predicate prunes MULTIPLICATIVELY: day 0 AND
+    // u=1 admits the (0,1) dir + the null-t dir (bucket 1) only
+    assert(Snapshots.hiddenAutoMultiCounts(spark, root,
+      Seq(("t", 0L, 9L), ("u", 1L, 1L))) == ((2, 3)))
+    assert(Snapshots.readHiddenAutoMulti(spark, root,
+      Seq(("t", 0L, 9L), ("u", 1L, 1L)))
+      .select("k").as[Long].collect().toSet == Set(1L))
+    // deletes mask; rewrite preserves BOTH axes (tuple dirs + stats)
+    Snapshots.commitDelete(Seq(Tuple1(2L)).toDF("k"), root, "k")
+    Snapshots.commitRewrite(spark, root)
+    val cur2 = Snapshots.current(spark, root).get
+    // k=2's (0,2) tuple lost its only row — 4 surviving tuple dirs
+    assert(cur2.dataDirs.size == 4, s"tuple layout must survive: ${cur2.dataDirs}")
+    assert(cur2.deleteDirs.isEmpty)
+    assert(Snapshots.hiddenAutoMultiCounts(spark, root,
+      Seq(("t", 0L, 9L), ("u", 2L, 2L))) == ((0, 4)),
+      "post-rewrite conjunctive pruning must hold on both axes " +
+        "(the null-t dir still carries its bucket line)")
+    assert(Snapshots.readHiddenAutoMulti(spark, root,
+      Seq(("t", 0L, 29L), ("u", 1L, 5L)))
+      .select("k").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    assert(Snapshots.read(spark, root).count() == 4)
+  }
+
+  test("snapshots: stale check-branch janitor — crash scaffolding reclaimed, live audits and named branches protected (round-17)") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapjan").toString
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("k", "v"), root)
+    // simulate a crashed checked commit: a staged check-* branch whose
+    // scaffold drop never ran, plus a LIVE named branch
+    Snapshots.wapStage(Seq((2L, "b")).toDF("k", "v"), root, "check-dead1")
+    Snapshots.wapStage(Seq((3L, "c")).toDF("k", "v"), root, "audit")
+    val deadDirs = Snapshots.branchHead(spark, root, "check-dead1").get
+      .dataDirs.filterNot(
+        Snapshots.current(spark, root).get.dataDirs.toSet)
+    // a generous grace protects everything (both branches are seconds old)
+    assert(Snapshots.dropStaleBranches(spark, root).isEmpty)
+    // grace 0: the check-* scaffold drops; the named branch survives
+    assert(Snapshots.dropStaleBranches(spark, root, graceMs = 0L) ==
+      Seq("check-dead1"))
+    assert(Snapshots.branchHead(spark, root, "check-dead1").isEmpty)
+    assert(Snapshots.branchHead(spark, root, "audit").isDefined)
+    // vacuum reclaims the dropped scaffold's staged-only dir
+    val vac = Snapshots.vacuum(spark, root, tmpGraceMs = 0L)
+    assert(deadDirs.forall(vac.contains), s"$deadDirs vs $vac")
+    // main unaffected throughout
+    assert(Snapshots.read(spark, root).count() == 1)
+  }
+
   test("snapshots: sampled scan — deterministic, nested by rate, dir-skipping, composes with deletes") {
     import graft.ops.Snapshots
     import spark.implicits._

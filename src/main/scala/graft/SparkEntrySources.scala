@@ -1548,6 +1548,10 @@ private[graft] object SparkEntrySources {
       val p4 = phase(4L, s.sql(
         "SELECT c_mktsegment AS seg, count(*) AS n " +
           "FROM graft_snap.s41cust GROUP BY 1"), Seq("seg", "n"))
+      // every SQL phase is ANALYZED at its sql() call above — drop the
+      // alias now so the resolution rule returns to its zero-cost
+      // empty-registry fast path for every later query in the session
+      SnapshotSql.unregister("s41cust")
       p1.union(p2).union(p3).union(p4)
     }),
 
@@ -1572,7 +1576,7 @@ private[graft] object SparkEntrySources {
       val ev = t(s, dir, "events").select(
         col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
       val dayT = TruncateTransform("ts_us", 86400000000L)
-      val bT = BucketTransform("user_id", 8)
+      val bT = BucketTransform("user_id", 4)
       Snapshots.commitAppendHidden(ev, root, Seq(dayT, bT), None)
       Snapshots.commitDelete(
         ev.filter(pmod(col("event_id"), lit(7)) === 0).select("event_id"),
@@ -1895,8 +1899,8 @@ private[graft] object SparkEntrySources {
          |  SELECT min(ts_us) + (max(ts_us) - min(ts_us)) // 4 AS lo,
          |         min(ts_us) + (max(ts_us) - min(ts_us)) // 2 AS hi
          |  FROM ev),
-         |p AS (SELECT max(user_id) AS pu, max(user_id) % 8 AS pb FROM ev),
-         |pairs AS (SELECT DISTINCT ts_us // $D AS d, user_id % 8 AS bk
+         |p AS (SELECT max(user_id) AS pu, max(user_id) % 4 AS pb FROM ev),
+         |pairs AS (SELECT DISTINCT ts_us // $D AS d, user_id % 4 AS bk
          |          FROM ev),
          |tot AS (SELECT count(*) AS n FROM pairs),
          |inw AS (SELECT count(*) AS n FROM pairs

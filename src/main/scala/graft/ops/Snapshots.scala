@@ -887,12 +887,13 @@ object Snapshots {
         // rows sorted within each value dir when sort keys are given
         val stage = s"data/stage-$id-${nonce()}"
         val pvCols = trs.indices.map(i => s"__pv$i")
+        // distribute by value tuple (see commitAppendHidden): ≤1 file
+        // per dir instead of tasks × tuples
         var staged = trs.zip(pvCols).foldLeft(full) {
           case (d, (tr, c)) => d.withColumn(c, tr.valueExpr)
-        }
+        }.repartition(pvCols.map(col): _*)
         if (sortKeys.nonEmpty)
-          staged = staged.repartition(pvCols.map(col): _*)
-            .sortWithinPartitions(sortKeys.map(col): _*)
+          staged = staged.sortWithinPartitions(sortKeys.map(col): _*)
         staged.write.partitionBy(pvCols: _*).mode("overwrite")
           .parquet(new Path(tableDir, stage).toString)
         val moved = moveStagedMulti(fs, tableDir, stage, id, trs.size)
@@ -1917,9 +1918,15 @@ object Snapshots {
     // unreferenced-dir garbage, needing no new GC path
     val stage = s"data/stage-$id-${nonce()}"
     val pvCols = transforms.indices.map(i => s"__pv$i")
+    // distribute by the transform values before the partitioned write:
+    // without it every input task fans out to every value (tasks ×
+    // tuples small files — the classic partitionBy write explosion);
+    // with it each tuple lands in one task → ≤1 file per dir, and the
+    // shuffle is the same hash distribution a cluster writer wants
     transforms.zip(pvCols).foldLeft(df) { case (d, (tr, c)) =>
       d.withColumn(c, tr.valueExpr)
-    }.write.partitionBy(pvCols: _*).mode("overwrite")
+    }.repartition(pvCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.partitionBy(pvCols: _*).mode("overwrite")
       .parquet(new Path(tableDir, stage).toString)
     val moved = moveStagedMulti(fs, tableDir, stage, id, transforms.size)
     val entries = cur.map(_.entries).getOrElse(Nil) ++

@@ -58,6 +58,13 @@ object SnapshotSql {
   private[plans] def lookup(alias: String): Option[String] =
     Option(registry.get(alias.toLowerCase))
 
+  /** Fast-path guard for the rule: with no registered alias the rule
+    * must cost NOTHING — analyzer rules run on every plan of every
+    * query (and every micro-batch of every stream), so an
+    * unconditional tree walk would tax the whole engine for a feature
+    * only SQL-text snapshot consumers use. */
+  private[plans] def isEmpty: Boolean = registry.isEmpty
+
   /** Resolve a multipart identifier (with optional explicit version
     * from `VERSION AS OF`) to the snapshot read's analyzed plan. */
   private[plans] def resolve(spark: SparkSession, parts: Seq[String],
@@ -91,7 +98,8 @@ object SnapshotSql {
   * sees relations nothing else could resolve. */
 class SnapshotRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.resolveOperatorsUp {
+    if (SnapshotSql.isEmpty) plan
+    else plan.resolveOperatorsUp {
       case tt @ RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
           if v.forall(_.isDigit) =>
         SnapshotSql.resolve(spark, u.multipartIdentifier, Some(v.toLong))

@@ -92,6 +92,26 @@ object SnapshotFeed {
       ()
     }
 
+  /** The keyless consumer for APPEND-ONLY sources: fold each
+    * interval's inserts into a downstream snapshot table as one
+    * tagged append — no key column needed. A delete-bearing interval
+    * is REFUSED loudly (Delta's default streaming-source semantics:
+    * fail on non-append changes rather than silently emit a wrong
+    * stream); use [[mirrorInto]] with the table's key for
+    * merge-capable downstreams. */
+  def appendInto(spark: SparkSession, srcDir: String, stateDir: String,
+                 dstDir: String): Option[(Long, Long)] =
+    poll(spark, srcDir, stateDir) { (from, to, changes) =>
+      import org.apache.spark.sql.functions.col
+      require(changes.filter(col("op") === "D").isEmpty,
+        s"appendInto($srcDir -> $dstDir): interval snap-$from..snap-$to " +
+          "contains deletes — an append-only fold would silently drop " +
+          "them; use mirrorInto with the table's key")
+      Snapshots.commitAppend(changes.filter(col("op") === "I").drop("op"),
+        dstDir, tag = Some(s"feed-$from-$to"))
+      ()
+    }
+
   /** The readStream-style lifecycle: a rate-clock stream drives
     * [[poll]] on the trigger cadence; `stop()` the returned query to
     * end the feed. The checkpoint under `stateDir` holds only the

@@ -588,6 +588,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     assert(read(dst) == read(src), "rate-clock feed must converge")
     assert(read(dst) == Set((2L, "B2"), (4L, "d")))
+    // append-only consumer: inserts fold keylessly; a delete-bearing
+    // interval is refused LOUDLY, never silently dropped
+    val (src2, st2, dst2) = (s"$root/src2", s"$root/st2", s"$root/dst2")
+    Snapshots.commitAppend(df((10L, "x")), src2)
+    Snapshots.commitAppend(df((11L, "y")), src2)
+    assert(SnapshotFeed.appendInto(spark, src2, st2, dst2)
+      .contains((0L, 2L)))
+    assert(read(dst2) == Set((10L, "x"), (11L, "y")))
+    Snapshots.commitDelete(Seq(Tuple1(10L)).toDF("k"), src2, "k")
+    intercept[IllegalArgumentException] {
+      SnapshotFeed.appendInto(spark, src2, st2, dst2)
+    }
+    // the refused interval did NOT advance the cursor — a later
+    // mirrorInto picks it up from the same point
+    assert(SnapshotFeed.cursor(spark, st2) == 2L)
+    assert(SnapshotFeed.mirrorInto(spark, src2, st2, dst2, Seq("k"))
+      .contains((2L, 3L)))
+    assert(read(dst2) == Set((11L, "y")))
   }
 
   test("w19 session state: boundary-spanning merge, replay idempotence, horizon eviction") {

@@ -827,7 +827,18 @@ object Snapshots {
     * `parts == 0` keeps the dir count. */
   def commitRewriteClustered(spark: SparkSession, tableDir: String,
                              sortKeys: Seq[String],
-                             parts: Int): Long = {
+                             parts: Int): Long =
+    rewriteClustered(spark, tableDir, sortKeys, parts, useHidden = true)
+
+  /** The worker behind [[commitRewriteClustered]]. `useHidden = false`
+    * forces the PLAIN single-dir materialization even when the
+    * manifest still carries a hidden spec — the degenerate
+    * fully-deleted case routes here explicitly: re-deriving the spec
+    * from the (unchanged) snapshot would re-enter the hidden branch,
+    * stage another empty write, and recurse forever. */
+  private def rewriteClustered(spark: SparkSession, tableDir: String,
+                               sortKeys: Seq[String], parts: Int,
+                               useHidden: Boolean): Long = {
     import org.apache.spark.sql.functions.{col, spark_partition_id}
     val fs = fsFor(spark, tableDir)
     val cur = current(spark, tableDir).getOrElse(
@@ -839,7 +850,7 @@ object Snapshots {
     // contract the table had, and gain one on the new clustering
     val statsCols = (cur.statsColumns.filterNot(_.startsWith("__pt_")) ++
       sortKeys).distinct
-    val hidden = currentHiddenTransforms(cur)
+    val hidden = if (useHidden) currentHiddenTransforms(cur) else Nil
 
     def commit(entriesNew: Seq[(EntryKind, String)],
                stats: Map[String, Map[String, (Long, Long)]],
@@ -900,7 +911,10 @@ object Snapshots {
         if (moved.isEmpty)
           // degenerate fully-deleted state: fall through to the plain
           // single-dir materialization so read() keeps a schema anchor
-          return commitRewriteClustered(spark, tableDir, Nil, 0)
+          // (useHidden = false — the snapshot is unchanged, so the
+          // spec would otherwise re-derive and loop)
+          return rewriteClustered(spark, tableDir, Nil, 0,
+            useHidden = false)
         val (stats, sstats, blooms) = typedFor(moved, trs)
         commit(moved.map(m => ((DataEntry: EntryKind), m._1)),
           stats, sstats, blooms)
@@ -922,7 +936,8 @@ object Snapshots {
           .parquet(new Path(tableDir, stage).toString)
         val moved = moveStaged(fs, tableDir, stage, id)
         if (moved.isEmpty)
-          return commitRewriteClustered(spark, tableDir, Nil, 0)
+          return rewriteClustered(spark, tableDir, Nil, 0,
+            useHidden = false)
         val (stats, sstats, blooms) =
           typedFor(moved.map(m => (m._1, Seq(m._2))), Nil)
         commit(moved.map(m => ((DataEntry: EntryKind), m._1)),
@@ -1078,6 +1093,13 @@ object Snapshots {
     }
     val fs = fsFor(spark, tableDir)
     require(keyCols.nonEmpty, "commitMergeKeyed: at least one key column")
+    // same name validation as commitDelete: a first MERGE fixes the
+    // table's deletekey= header, and a ','/'|'-bearing (or '_'-leading)
+    // name would render an ambiguous header that later splits into
+    // nonexistent columns, corrupting every subsequent read
+    require(keyCols.forall(c => !c.contains(',') && !c.contains('|') &&
+      !c.startsWith("_")),
+      s"bad merge key column name(s): ${keyCols.mkString(",")}")
     val keyHeader = keyCols.mkString(",")
     val cur = current(spark, tableDir).getOrElse(
       sys.error(s"commitMerge on empty snapshot table $tableDir"))
@@ -1279,6 +1301,16 @@ object Snapshots {
       s"column set '${cur.deleteKey.getOrElse("")}' is the table's " +
         "equality-delete key — renaming a member (or shadowing one) " +
         "needs a rewrite, not a metadata commit")
+    // the hidden-partition spec is the same kind of baked-in name: the
+    // synthetic __pt_* stats embed the SOURCE column, and the next
+    // commitRewrite evaluates each transform's valueExpr against that
+    // name — renaming it would permanently break the table's only
+    // compaction/delete-folding path
+    val specCols = currentHiddenTransforms(cur).map(_.column).toSet
+    require(!specCols.contains(from) && !specCols.contains(to),
+      s"column '$from' (or '$to') sources the table's current " +
+        "hidden-partition spec — renaming it (or shadowing it) needs a " +
+        "re-partitioning rewrite, not a metadata commit")
     requireSchemaOpSafe(cur, tableDir)
     // renaming ONTO a live column is refused (Iceberg does the same):
     // dirs holding only `from` would read it as `to` while dirs holding
@@ -1322,6 +1354,10 @@ object Snapshots {
     require(!cur.deleteKeys.contains(name),
       s"column '$name' is in the table's equality-delete key set — " +
         "dropping it needs a rewrite, not a metadata commit")
+    require(!currentHiddenTransforms(cur).map(_.column).contains(name),
+      s"column '$name' sources the table's current hidden-partition " +
+        "spec — dropping it needs a re-partitioning rewrite, not a " +
+        "metadata commit")
     requireSchemaOpSafe(cur, tableDir)
     val id = cur.id + 1
     val ops = cur.schemaOps :+ DropCol(id, name)

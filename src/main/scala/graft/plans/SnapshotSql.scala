@@ -71,11 +71,17 @@ object SnapshotSql {
                              version: Option[Long]): Option[LogicalPlan] = {
     val alias = parts match {
       case Seq(ns, a) if ns.equalsIgnoreCase(Namespace) => Some(a)
-      case Seq(a) if lookup(stripV(a)._1).isDefined => Some(a)
+      case Seq(a) if lookup(a).isDefined ||
+        lookup(stripV(a)._1).isDefined => Some(a)
       case _ => None
     }
     alias.flatMap { a =>
-      val (name, suffixVer) = stripV(a)
+      // a FULL-alias registration always wins: an alias that itself
+      // ends in `__v<N>` (legal [A-Za-z0-9_]+) must stay reachable —
+      // the suffix is only time-travel sugar when the literal alias
+      // is not registered, never a reroute onto a different table
+      val (name, suffixVer) =
+        if (lookup(a).isDefined) (a, None) else stripV(a)
       lookup(name).map { dir =>
         Snapshots.read(spark, dir, version.orElse(suffixVer))
           .queryExecution.analyzed

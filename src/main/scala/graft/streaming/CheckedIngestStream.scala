@@ -58,6 +58,16 @@ object CheckedIngestStream {
     val spark = batch.sparkSession
     if (Snapshots.findTag(spark, quarantineDir,
         s"quarantine-$appId-$bid").isDefined) return
+    // upgrade shim: tables last written under the pre-appId tag format
+    // (`ingest-<bid>` / `quarantine-<bid>`) would otherwise not find
+    // their tag on a checkpoint replay that straddles the upgrade and
+    // re-land the batch once. The legacy probe carries the legacy
+    // format's own caveat (bid-only identity); new commits always land
+    // under the (appId, bid) tag, so the shim's surface shrinks to the
+    // pre-upgrade backlog and costs two manifest greps per batch.
+    if (Snapshots.findTag(spark, mainDir, s"ingest-$bid").isDefined ||
+        Snapshots.findTag(spark, quarantineDir,
+          s"quarantine-$bid").isDefined) return
     try {
       Snapshots.commitAppendChecked(batch, mainDir, checks,
         wholeTable, tag = Some(s"ingest-$appId-$bid"))

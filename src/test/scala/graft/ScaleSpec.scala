@@ -1627,4 +1627,62 @@ class ScaleSpec extends SparkSpec {
       tag = Some("chk-once")) == t1)
     assert(Snapshots.read(spark, root).count() == 4)
   }
+
+  test("snapshots: round-18 guards — OPTIMIZE terminates after full purge, spec-source rename/drop refused, merge key names validated") {
+    import graft.ops.Snapshots
+    import graft.ops.Snapshots.TruncateTransform
+    import spark.implicits._
+    // 1) hidden-partitioned table, ALL keys deleted, then OPTIMIZE:
+    // the degenerate rewrite must terminate (it used to recurse
+    // forever re-deriving the hidden spec from the unchanged snapshot)
+    // and leave a readable empty table with a schema anchor
+    val root = java.nio.file.Files.createTempDirectory("snappurge").toString
+    Snapshots.commitAppendHidden(
+      Seq((1L, Some(5L)), (2L, Some(15L))).toDF("k", "v"), root,
+      TruncateTransform("v", 10L))
+    Snapshots.commitDelete(Seq(1L, 2L).toDF("k"), root, "k")
+    Snapshots.commitRewrite(spark, root)
+    val cur = Snapshots.current(spark, root).get
+    assert(cur.deleteDirs.isEmpty && cur.dataDirs.size == 1,
+      s"purged rewrite must fold to one plain dir, got ${cur.dataDirs}")
+    assert(Snapshots.read(spark, root).count() == 0)
+    assert(Snapshots.read(spark, root).columns.toSet == Set("k", "v"),
+      "the empty materialization keeps the schema anchor")
+
+    // 2) renaming or dropping the CURRENT hidden-spec source column is
+    // refused (the spec's valueExpr is baked against that name; the
+    // next rewrite would otherwise throw and the table would lose its
+    // only compaction path)
+    val root2 = java.nio.file.Files.createTempDirectory("snapspec").toString
+    Snapshots.commitAppendHidden(
+      Seq((1L, Some(5L)), (2L, Some(15L))).toDF("k", "v"), root2,
+      TruncateTransform("v", 10L))
+    intercept[IllegalArgumentException] {
+      Snapshots.commitRenameColumn(spark, root2, "v", "w")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.commitDropColumn(spark, root2, "v")
+    }
+    // non-spec columns still rename; the rewrite still runs after
+    Snapshots.commitRenameColumn(spark, root2, "k", "kk")
+    Snapshots.commitRewrite(spark, root2)
+    assert(Snapshots.read(spark, root2).select("kk").as[Long]
+      .collect().toSet == Set(1L, 2L))
+
+    // 3) a FIRST merge validates key column names like commitDelete
+    // (a ','/'|'-bearing name would fix an ambiguous deletekey= header)
+    val root3 = java.nio.file.Files.createTempDirectory("snapmk").toString
+    intercept[IllegalArgumentException] {
+      Snapshots.commitMergeKeyed(
+        Seq((1L, "a")).toDF("k,b", "v"),
+        Seq((1L, "a")).toDF("k,b", "v").limit(0).select("k,b"),
+        root3, Seq("k,b"), None)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.commitMergeKeyed(
+        Seq((1L, "a")).toDF("_k", "v"),
+        Seq((1L, "a")).toDF("_k", "v").limit(0).select("_k"),
+        root3, Seq("_k"), None)
+    }
+  }
 }

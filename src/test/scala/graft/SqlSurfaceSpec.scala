@@ -191,4 +191,32 @@ class SqlSurfaceSpec extends SparkSpec {
     }
     SnapshotSql.unregister("sqlsnap")
   }
+
+  test("s41: an alias that itself ends in __v<N> stays reachable — full-alias registration wins over time-travel stripping") {
+    import graft.ops.Snapshots
+    import graft.plans.SnapshotSql
+    import spark.implicits._
+    val rootA = java.nio.file.Files.createTempDirectory("snapva").toString
+    val rootB = java.nio.file.Files.createTempDirectory("snapvb").toString
+    Snapshots.commitAppend(Seq((1L, "base")).toDF("k", "v"), rootA)
+    Snapshots.commitAppend(Seq((2L, "base2")).toDF("k", "v"), rootA)
+    Snapshots.commitAppend(Seq((9L, "lit")).toDF("k", "v"), rootB)
+    SnapshotSql.register("foo", rootA)
+    SnapshotSql.register("foo__v2", rootB)
+    def ks(q: String): Set[Long] =
+      spark.sql(q).select("k").as[Long].collect().toSet
+    try {
+      // the literal registration wins: foo__v2 is table B, NOT
+      // time-travel to snap-2 of table A
+      assert(ks("SELECT k FROM graft_snap.foo__v2") == Set(9L))
+      // time travel on A stays reachable through its own syntax
+      assert(ks("SELECT k FROM graft_snap.foo VERSION AS OF 1") == Set(1L))
+      // with B unregistered, the suffix reverts to time-travel sugar
+      SnapshotSql.unregister("foo__v2")
+      assert(ks("SELECT k FROM graft_snap.foo__v2") == Set(1L, 2L))
+      assert(ks("SELECT k FROM graft_snap.foo__v1") == Set(1L))
+    } finally {
+      SnapshotSql.unregister("foo"); SnapshotSql.unregister("foo__v2")
+    }
+  }
 }

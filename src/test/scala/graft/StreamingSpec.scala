@@ -533,6 +533,36 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.read(spark, quar2).count() == 1)
   }
 
+  test("w37 checked ingest: pre-appId legacy tags absorb their replays across the upgrade (no double-commit)") {
+    import graft.streaming.CheckedIngestStream
+    import graft.ops.Snapshots
+    import graft.validate.Checks._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("w37legacy").toString
+    val (main, quar) = (s"$root/main", s"$root/quar")
+    val contract = Seq(Complete("v", 10000L))
+    val good = Seq((1L, "a")).toDF("k", "v")
+    val bad = Seq((2L, null.asInstanceOf[String])).toDF("k", "v")
+    // simulate a table committed under the OLD tag format
+    Snapshots.commitAppend(good, main, tag = Some("ingest-0"))
+    Snapshots.commitAppend(bad, quar, tag = Some("quarantine-1"))
+    // checkpoint replay AFTER the upgrade: the new-format probe misses,
+    // the legacy fallback finds the bid-only tag — nothing lands twice
+    CheckedIngestStream.absorb(good, 0L, main, quar, contract,
+      appId = "q1")
+    CheckedIngestStream.absorb(bad, 1L, main, quar, contract,
+      appId = "q1")
+    assert(Snapshots.read(spark, main).count() == 1)
+    assert(Snapshots.read(spark, quar).count() == 1)
+    // NEW batches (bids beyond the legacy backlog) land under the
+    // (appId, bid) format and replay exactly-once on it
+    val g2 = Seq((3L, "c")).toDF("k", "v")
+    CheckedIngestStream.absorb(g2, 2L, main, quar, contract, appId = "q1")
+    CheckedIngestStream.absorb(g2, 2L, main, quar, contract, appId = "q1")
+    assert(Snapshots.read(spark, main).select("k").as[Long]
+      .collect().toSet == Set(1L, 3L))
+  }
+
   test("w38 snapshot feed: manifest-chain source — intervals fold, mirror tracks, crash replay exactly-once") {
     import graft.streaming.SnapshotFeed
     import graft.ops.Snapshots

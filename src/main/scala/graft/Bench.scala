@@ -134,7 +134,22 @@ object Bench {
       }
     val line = render(names.map(_._1), merged, errors, passTotals, sfDir,
       passFails, sessionMin)
-    spark.stop()
+    // the driver archives the LAST 2000 chars of stderr too — a teardown
+    // stack trace (streaming stop racing executor shutdown) must be
+    // attributable from the artifact alone (round-18; r17's tail ended
+    // in an orphaned DAGScheduler frame). Tag anything stop() throws and
+    // close stderr with an explicit marker so the tail always ends in an
+    // attributed line, not a bare frame.
+    try spark.stop() catch {
+      case e: Throwable => System.err.println(
+        s"[bench] expected-shutdown exception (post-timing, harmless): " +
+          s"${e.getClass.getName}: ${trunc(
+            Option(e.getMessage).getOrElse("").linesIterator
+              .take(1).mkString, 160)}")
+    }
+    System.err.println("[bench] shutdown complete — any stack trace " +
+      "above this marker is post-timing teardown noise (streaming stop " +
+      "/ executor shutdown); all timings were recorded before stop")
     // after stop so no executor log lines land after it
     println(line)
   }
@@ -350,9 +365,17 @@ object Bench {
       // sweep01 is an sf0.1 measurement — emitting it beside any other
       // scale factor would present a stale/mismatched pair as current
       val sm = if (sessionMin) """"session_min":1,""" else ""
+      // pvar = max/min over this invocation's pass totals — the
+      // run-to-run variance signal IN the artifact (round-18; r17's
+      // ±30% host variance needed BASELINE.md prose + an independent
+      // re-measurement to attribute). ≥2 complete-ish passes only.
+      val pv =
+        if (passTotals.size >= 2 && passTotals.min > 0)
+          s""""pvar":${num(passTotals.max / passTotals.min, 2)},"""
+        else ""
       val aux =
         if (lean) sm
-        else sm + s""""min_query_total":${num(best.values.sum, 2)},""" +
+        else sm + pv + s""""min_query_total":${num(best.values.sum, 2)},""" +
           (if (sfName == "sf0.1") s""""sweep01":${num(LocalSweepSf01Sec, 1)},"""
            else "")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$om$es$ab$qu$aux"pass_totals":$pts,"sf":${jstr(sfName)}}"""

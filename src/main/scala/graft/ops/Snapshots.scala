@@ -1413,6 +1413,107 @@ object Snapshots {
     base.select(outCols: _*)
   }
 
+  /** [[maskedDirScan]] over a RUN of data dirs that share one delete
+    * horizon and one applicable-schema-op set — the manifest-scale
+    * read path (round-18): ONE multi-path parquet relation instead of
+    * one per dir, so a year of hourly appends costs a handful of plan
+    * nodes, not ~9k. `lastIdx` is the entries index of the run's last
+    * member (every member's delete suffix is identical because a
+    * delete/posdelete entry always BREAKS a run). `mergeSchema` makes
+    * additive evolution inside the run safe: files narrower than the
+    * merged schema read null in the missing columns — exactly what
+    * the per-dir unionByName(allowMissingColumns) produced. Position
+    * deletes join on the full (_dir, _file, _pos) address; `_dir` is
+    * derived per row from the scan's file path (data dirs are FLAT —
+    * both append and stage-move land `data/<name>/part-*.parquet` —
+    * so the manifest dir name is the last-but-one path segment). */
+  private def maskedGroupScan(spark: SparkSession, tableDir: String,
+                              snap: Snapshot, lastIdx: Int,
+                              dirs: Seq[String],
+                              preFilter: Option[org.apache.spark.sql.Column],
+                              withPos: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    def path(x: String) = new Path(tableDir, x).toString
+    val after = snap.entries.drop(lastIdx + 1)
+    val eqAfter = after.collect { case (DeleteEntry, dd) => path(dd) }
+    val posAfter = after.collect { case (PosDeleteEntry, pd) => path(pd) }
+    val raw =
+      if (dirs.size == 1) spark.read.parquet(path(dirs.head))
+      else spark.read.option("mergeSchema", "true")
+        .parquet(dirs.map(path): _*)
+    val physCols = raw.columns.map(col).toIndexedSeq
+    // every run member shares the same applicable-op set (the grouping
+    // key), so any member names the logical rewrite for the whole run
+    val d0 = dirs.head
+    val dataCols = logicalNames(raw.columns.toIndexedSeq, snap, d0).map(col)
+    var base = applySchemaOps(
+      if (!withPos && posAfter.isEmpty) raw
+      else raw
+        .select(physCols :+ col("_metadata.file_name").as("_file")
+          :+ col("_metadata.row_index").as("_pos")
+          :+ substring_index(substring_index(
+            col("_metadata.file_path"), "/", -3), "/", 2).as("_dir"): _*),
+      snap, d0)
+    preFilter.foreach(f => base = base.filter(f))
+    if (posAfter.nonEmpty) {
+      val dels = spark.read.parquet(posAfter: _*)
+        .filter(col("_dir").isin(dirs: _*))
+        .select(col("_dir"), col("_file"), col("_pos")).distinct()
+      base = base.join(dels, Seq("_dir", "_file", "_pos"), "left_anti")
+    }
+    if (eqAfter.nonEmpty) {
+      val keys = snap.deleteKeys
+      base = base.join(
+        spark.read.parquet(eqAfter: _*)
+          .select(keys.map(col): _*).distinct(),
+        keys, "left_anti")
+    }
+    val outCols =
+      if (withPos) dataCols ++ Seq(col("_dir"), col("_file"), col("_pos"))
+      else dataCols
+    base.select(outCols: _*)
+  }
+
+  /** The shared grouped read driver: walk the manifest once, keep the
+    * data dirs `admit` opens, and batch CONSECUTIVE survivors into
+    * maximal runs — a run breaks at every delete/posdelete entry (the
+    * delete horizon changes) and whenever the set of schema ops
+    * applicable to the dir changes (a published WAP dir can sit late
+    * in the list with an old commit id). A pruned dir does NOT break
+    * the run: its absence changes nothing about the shared horizon.
+    * Each run becomes one [[maskedGroupScan]] relation, so the logical
+    * plan is O(runs) — O(delete commits + schema ops), not O(dirs). */
+  private def groupedMaskedFrames(spark: SparkSession, tableDir: String,
+                                  snap: Snapshot,
+                                  admit: (Int, String) => Boolean,
+                                  preFilter: Option[org.apache.spark.sql.Column],
+                                  withPos: Boolean): Seq[DataFrame] = {
+    val runs = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, List[String])]
+    var curDirs = List.empty[String]
+    var curKey: Seq[SchemaOp] = null
+    var lastIdx = -1
+    def flush(): Unit = {
+      if (curDirs.nonEmpty) runs += ((lastIdx, curDirs.reverse))
+      curDirs = Nil; curKey = null
+    }
+    snap.entries.zipWithIndex.foreach {
+      case ((DataEntry, d), i) =>
+        if (admit(i, d)) {
+          val key = snap.schemaOps.filter(_.atId > dirCommitId(d))
+          if (curDirs.nonEmpty && key != curKey) flush()
+          curKey = key
+          curDirs = d :: curDirs
+          lastIdx = i
+        }
+      case _ => flush() // delete horizon changes past this entry
+    }
+    flush()
+    runs.toSeq.map { case (li, dirs) =>
+      maskedGroupScan(spark, tableDir, snap, li, dirs, preFilter, withPos)
+    }
+  }
+
   /** Read the table at a snapshot (default: current), merge-on-read:
     * each data dir anti-joins the equality-delete dirs AND the
     * position-delete dirs committed AFTER it (see [[maskedDirScan]]).
@@ -1436,10 +1537,8 @@ object Snapshots {
     * the two sides disagree on column names). */
   private def readAt(spark: SparkSession, tableDir: String,
                      snap: Snapshot): DataFrame = {
-    val frames = snap.entries.zipWithIndex.collect {
-      case ((DataEntry, d), i) =>
-        maskedDirScan(spark, tableDir, snap, i, d, None, withPos = false)
-    }
+    val frames = groupedMaskedFrames(spark, tableDir, snap,
+      (_, _) => true, None, withPos = false)
     require(frames.nonEmpty, s"snapshot snap-${snap.id} lists no data dirs")
     // allowMissingColumns = ADDITIVE schema evolution on read: an
     // append that added a column leaves earlier deltas narrower — they
@@ -1464,10 +1563,8 @@ object Snapshots {
         sys.error(s"no snapshot snap-$i under $tableDir")))
       .getOrElse(current(spark, tableDir).getOrElse(
         sys.error(s"empty snapshot table $tableDir")))
-    val frames = snap.entries.zipWithIndex.collect {
-      case ((DataEntry, d), i) =>
-        maskedDirScan(spark, tableDir, snap, i, d, None, withPos = true)
-    }
+    val frames = groupedMaskedFrames(spark, tableDir, snap,
+      (_, _) => true, None, withPos = true)
     require(frames.nonEmpty, s"snapshot snap-${snap.id} lists no data dirs")
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -1557,11 +1654,8 @@ object Snapshots {
         case Some((mn, mx)) => mx < vlo || mn > vhi
         case None => false
       }
-    val frames = snap.entries.zipWithIndex.collect {
-      case ((DataEntry, d), i) if !disjoint(d) =>
-        maskedDirScan(spark, tableDir, snap, i, d, preFilter,
-          withPos = false)
-    }
+    val frames = groupedMaskedFrames(spark, tableDir, snap,
+      (_, d) => !disjoint(d), preFilter, withPos = false)
     if (frames.isEmpty) {
       // every dir pruned: an empty frame in the table's schema (cheap —
       // one dir's schema read, zero row scans)
@@ -1618,11 +1712,9 @@ object Snapshots {
     require(lo <= hi, s"need lo <= hi, got '$lo' > '$hi'")
     val snap = resolve(spark, tableDir, snapshotId)
     val (qlo, qhi) = (lo.getBytes("UTF-8"), hi.getBytes("UTF-8"))
-    val frames = snap.entries.zipWithIndex.collect {
-      case ((DataEntry, d), i) if !sDisjoint(snap, d, column, qlo, qhi) =>
-        maskedDirScan(spark, tableDir, snap, i, d,
-          Some(col(column).between(lo, hi)), withPos = false)
-    }
+    val frames = groupedMaskedFrames(spark, tableDir, snap,
+      (_, d) => !sDisjoint(snap, d, column, qlo, qhi),
+      Some(col(column).between(lo, hi)), withPos = false)
     if (frames.isEmpty) {
       val empty = read(spark, tableDir, Some(snap.id)).limit(0)
       empty.filter(col(column).between(lo, hi))
@@ -1649,12 +1741,9 @@ object Snapshots {
                    snapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val snap = resolve(spark, tableDir, snapshotId)
-    val frames = snap.entries.zipWithIndex.collect {
-      case ((DataEntry, d), i)
-          if pointOpensStr(spark, tableDir, snap, d, column, value) =>
-        maskedDirScan(spark, tableDir, snap, i, d,
-          Some(col(column) === value), withPos = false)
-    }
+    val frames = groupedMaskedFrames(spark, tableDir, snap,
+      (_, d) => pointOpensStr(spark, tableDir, snap, d, column, value),
+      Some(col(column) === value), withPos = false)
     if (frames.isEmpty)
       read(spark, tableDir, Some(snap.id)).limit(0)
         .filter(col(column) === value)
@@ -1745,12 +1834,9 @@ object Snapshots {
         sys.error(s"no snapshot snap-$i under $tableDir")))
       .getOrElse(current(spark, tableDir).getOrElse(
         sys.error(s"empty snapshot table $tableDir")))
-    val frames = snap.entries.zipWithIndex.collect {
-      case ((DataEntry, d), i)
-          if pointOpens(spark, tableDir, snap, d, column, value) =>
-        maskedDirScan(spark, tableDir, snap, i, d,
-          Some(col(column) === value), withPos = false)
-    }
+    val frames = groupedMaskedFrames(spark, tableDir, snap,
+      (_, d) => pointOpens(spark, tableDir, snap, d, column, value),
+      Some(col(column) === value), withPos = false)
     if (frames.isEmpty)
       read(spark, tableDir, Some(snap.id)).limit(0)
         .filter(col(column) === value)
@@ -2082,11 +2168,9 @@ object Snapshots {
                      snapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val snap = resolve(spark, tableDir, snapshotId)
-    val frames = snap.entries.zipWithIndex.collect {
-      case ((DataEntry, d), i) if hiddenAdmits(snap, d, column, lo, hi) =>
-        maskedDirScan(spark, tableDir, snap, i, d,
-          Some(col(column).between(lo, hi)), withPos = false)
-    }
+    val frames = groupedMaskedFrames(spark, tableDir, snap,
+      (_, d) => hiddenAdmits(snap, d, column, lo, hi),
+      Some(col(column).between(lo, hi)), withPos = false)
     if (frames.isEmpty) {
       val empty = read(spark, tableDir, Some(snap.id)).limit(0)
       empty.filter(col(column).between(lo, hi))
@@ -2111,12 +2195,9 @@ object Snapshots {
                           snapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val snap = resolve(spark, tableDir, snapshotId)
-    val frames = snap.entries.zipWithIndex.collect {
-      case ((DataEntry, d), i)
-          if hiddenAdmits(snap, d, column, value, value) =>
-        maskedDirScan(spark, tableDir, snap, i, d,
-          Some(col(column) === value), withPos = false)
-    }
+    val frames = groupedMaskedFrames(spark, tableDir, snap,
+      (_, d) => hiddenAdmits(snap, d, column, value, value),
+      Some(col(column) === value), withPos = false)
     if (frames.isEmpty)
       read(spark, tableDir, Some(snap.id)).limit(0)
         .filter(col(column) === value)
@@ -2144,11 +2225,8 @@ object Snapshots {
       preds.forall(p => hiddenAdmits(snap, d, p._1, p._2, p._3))
     val filter = preds.map(p => col(p._1).between(p._2, p._3))
       .reduce(_ && _)
-    val frames = snap.entries.zipWithIndex.collect {
-      case ((DataEntry, d), i) if admitsAll(d) =>
-        maskedDirScan(spark, tableDir, snap, i, d, Some(filter),
-          withPos = false)
-    }
+    val frames = groupedMaskedFrames(spark, tableDir, snap,
+      (_, d) => admitsAll(d), Some(filter), withPos = false)
     if (frames.isEmpty)
       read(spark, tableDir, Some(snap.id)).limit(0).filter(filter)
     else frames.reduce(_.unionByName(_, allowMissingColumns = true))

@@ -173,6 +173,24 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(math.abs(mapper.readTree(line2).get("value").asDouble - 3.0) < 1e-9)
   }
 
+  test("pvar discloses pass-to-pass variance in the artifact; single-pass runs omit it; lean rung sheds it") {
+    // two passes, 20% apart: pvar = 6.0/5.0 = 1.2
+    val line = Bench.render(Seq("a"), Map("a" -> 1.0), Map.empty,
+      passTotals = Seq(6.0, 5.0), sfDir = "/d")
+    assert(math.abs(mapper.readTree(line).get("pvar").asDouble - 1.2) < 1e-9)
+    // one pass → no ratio to disclose
+    val one = Bench.render(Seq("a"), Map("a" -> 1.0), Map.empty,
+      passTotals = Seq(5.0), sfDir = "/d")
+    assert(mapper.readTree(one).get("pvar") == null)
+    // real query list still fits the window with the field present
+    val real = Bench.render(names, names.map(_ -> 8.888).toMap, Map.empty,
+      passTotals = Seq(888.0, 777.0), sfDir = "/root/testdata/sf0.1")
+    assert(real.length <= Bench.BudgetChars)
+    val rn = mapper.readTree(real)
+    // pvar rides with the aux totals: present together or shed together
+    assert(rn.has("pvar") == rn.has("min_query_total"))
+  }
+
   test("session_min flag renders when set, survives the lean rung, and fits the window") {
     val line = Bench.render(names, names.map(_ -> 8.8).toMap, Map.empty,
       passTotals = Seq(888.0, 888.0), sfDir = "/root/testdata/sf0.1",

@@ -1685,4 +1685,58 @@ class ScaleSpec extends SparkSpec {
         root3, Seq("_k"), None)
     }
   }
+
+  test("snapshots: grouped manifest scan — plan is O(delete commits + schema ops), not O(dirs); reads stay exact (round-18)") {
+    import graft.ops.Snapshots
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import spark.implicits._
+    // count parquet relations in the OPTIMIZED plan (the executed plan
+    // hides scans inside the un-executed AQE wrapper)
+    def dataScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l
+      }.size
+    val root = java.nio.file.Files.createTempDirectory("snapgrp").toString
+    // 40 appends, then one delete, then 20 appends, then a rename,
+    // then 15 appends: three horizons → exactly 3 data relations
+    // (plus 1 for the delete side), never 75
+    (0 until 40).foreach(i => Snapshots.commitAppendStats(
+      Seq((i.toLong, s"v$i")).toDF("k", "v"), root, "k"))
+    Snapshots.commitDelete(Seq(Tuple1(7L)).toDF("k"), root, "k")
+    (40 until 60).foreach(i => Snapshots.commitAppendStats(
+      Seq((i.toLong, s"v$i")).toDF("k", "v"), root, "k"))
+    Snapshots.commitRenameColumn(spark, root, "v", "label")
+    (60 until 75).foreach(i => Snapshots.commitAppendStats(
+      Seq((i.toLong, s"l$i")).toDF("k", "label"), root, "k"))
+    val full = Snapshots.read(spark, root)
+    assert(dataScans(full) == 4,
+      s"expected 3 grouped data relations + 1 delete side, got " +
+        s"${dataScans(full)}")
+    assert(full.count() == 74)
+    assert(full.columns.toSet == Set("k", "label"))
+    assert(full.select("k").as[Long].collect().toSet ==
+      ((0L until 75L).toSet - 7L))
+    // the rename applies identically through the grouped relations
+    assert(full.filter(org.apache.spark.sql.functions.col("k") === 3L)
+      .select("label").as[String].head() == "v3")
+    // pruning composes: a one-dir slice opens 1 grouped relation that
+    // reads the surviving dirs only (runs split at the pruned gaps is
+    // NOT required — skipped dirs just leave the run)
+    val sliced = Snapshots.readPruned(spark, root, "k", 10L, 12L)
+    assert(sliced.select("k").as[Long].collect().toSet ==
+      Set(10L, 11L, 12L))
+    val (opened, skipped) = Snapshots.pruneCounts(spark, root, "k", 10L, 12L)
+    assert(opened == 3 && skipped == 72)
+    // position deletes still mask exactly through the derived _dir
+    val addr = Snapshots.readWithPos(spark, root)
+      .filter(org.apache.spark.sql.functions.col("k") === 11L)
+      .select("_dir", "_file", "_pos")
+    Snapshots.commitDeletePositions(addr, root)
+    assert(Snapshots.read(spark, root).filter("k = 11").count() == 0)
+    assert(Snapshots.read(spark, root).count() == 73)
+    // time travel reads the pre-delete state through the same path
+    val cur = Snapshots.current(spark, root).get
+    assert(Snapshots.read(spark, root, Some(cur.id - 1))
+      .filter("k = 11").count() == 1)
+  }
 }

@@ -2656,21 +2656,48 @@ object Snapshots {
     // because read() applies both delete kinds
     if (to.entries.take(fromEntries.length) == fromEntries &&
         !intervalEntries.exists(_._1 == PosDeleteEntry)) {
-      // incremental: only the interval's dirs are opened
+      // incremental: only the interval's dirs are opened — and grouped
+      // (round-18, same discipline as groupedMaskedFrames): consecutive
+      // interval data dirs sharing a delete suffix + applicable-op set
+      // become ONE multi-path read, so a backlogged feed interval's
+      // plan is O(its delete commits), not O(its appends)
       val interval = intervalEntries
-      val insFrames = interval.zipWithIndex.collect {
-        case ((DataEntry, d), i) =>
-          val delsAfter = interval.drop(i + 1)
-            .collect { case (DeleteEntry, dd) => path(dd) }
-          // interval dirs read under the TO snapshot's schema ops (a
-          // rename later in the interval applies to them too)
-          val base = applySchemaOps(spark.read.parquet(path(d)), to, d)
-          if (delsAfter.isEmpty) base
-          else base.join(
-              spark.read.parquet(delsAfter: _*)
-                .select(to.deleteKeys.map(col): _*).distinct(),
-              to.deleteKeys, "left_anti")
-            .select(base.columns.map(col).toIndexedSeq: _*)
+      val runs = {
+        val acc = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, List[String])]
+        var cur = List.empty[String]
+        var curKey: Seq[SchemaOp] = null
+        var last = -1
+        def flush(): Unit = {
+          if (cur.nonEmpty) acc += ((last, cur.reverse))
+          cur = Nil; curKey = null
+        }
+        interval.zipWithIndex.foreach {
+          case ((DataEntry, d), i) =>
+            val key = to.schemaOps.filter(_.atId > dirCommitId(d))
+            if (cur.nonEmpty && key != curKey) flush()
+            curKey = key; cur = d :: cur; last = i
+          case _ => flush()
+        }
+        flush()
+        acc.toSeq
+      }
+      val insFrames = runs.map { case (li, dirs) =>
+        val delsAfter = interval.drop(li + 1)
+          .collect { case (DeleteEntry, dd) => path(dd) }
+        // interval dirs read under the TO snapshot's schema ops (a
+        // rename later in the interval applies to them too)
+        val raw =
+          if (dirs.size == 1) spark.read.parquet(path(dirs.head))
+          else spark.read.option("mergeSchema", "true")
+            .parquet(dirs.map(path): _*)
+        val base = applySchemaOps(raw, to, dirs.head)
+        if (delsAfter.isEmpty) base
+        else base.join(
+            spark.read.parquet(delsAfter: _*)
+              .select(to.deleteKeys.map(col): _*).distinct(),
+            to.deleteKeys, "left_anti")
+          .select(base.columns.map(col).toIndexedSeq: _*)
       }
       val intervalDels = interval.collect { case (DeleteEntry, dd) => path(dd) }
       val deletes: Option[DataFrame] =

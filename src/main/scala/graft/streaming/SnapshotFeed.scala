@@ -53,21 +53,52 @@ object SnapshotFeed {
     } catch { case _: java.io.IOException => 0L }
   }
 
-  /** One trigger's worth of work: fold the (cursor, head] interval
-    * through `f(fromId, toId, changes)` and advance the cursor.
-    * Returns the folded interval, or None when the head hasn't moved
-    * (or the table is still empty) — a no-op poll costs one manifest
-    * resolution, no data IO. */
-  def poll(spark: SparkSession, tableDir: String, stateDir: String)
+  /** One trigger's worth of work: fold the (cursor, min(head, cursor +
+    * maxCommitsPerPoll)] interval through `f(fromId, toId, changes)`
+    * and advance the cursor. Returns the folded interval, or None when
+    * the head hasn't moved (or the table is still empty) — a no-op
+    * poll costs one manifest resolution, no data IO.
+    *
+    * PACING (round-18; Delta's maxFilesPerTrigger analog): a consumer
+    * resuming after a long outage used to replay its whole backlog as
+    * ONE giant fold; `maxCommitsPerPoll` bounds each interval so the
+    * backlog drains across polls, each with its own interval tag —
+    * exactly-once is preserved because sub-intervals partition the
+    * commit chain. When retention expired the desired intermediate
+    * manifest, the interval grows forward to the nearest retained one
+    * (never silently skips commits — changesBetween folds everything
+    * in (from, to]).
+    *
+    * RETENTION INTERPLAY: a cursor that predates the expire horizon
+    * fails LOUDLY with re-bootstrap guidance — the interval's changes
+    * are no longer reconstructible, and a silent re-bootstrap would
+    * double-deliver everything the consumer already folded. Size
+    * `expire(keepLast)` to at least the feed's worst-case lag. */
+  def poll(spark: SparkSession, tableDir: String, stateDir: String,
+           maxCommitsPerPoll: Long = Long.MaxValue)
           (f: (Long, Long, DataFrame) => Unit): Option[(Long, Long)] = {
+    require(maxCommitsPerPoll >= 1, "maxCommitsPerPoll >= 1")
     val head = Snapshots.current(spark, tableDir).map(_.id).getOrElse(0L)
     val from = cursor(spark, stateDir)
     if (head <= from) return None
-    f(from, head, Snapshots.changesBetween(spark, tableDir, from, head))
+    if (from > 0 && Snapshots.get(spark, tableDir, from).isEmpty)
+      sys.error(s"feed cursor snap-$from of $tableDir predates the " +
+        "retention horizon (expire removed its manifest): the interval's " +
+        "changes are no longer reconstructible. Re-bootstrap the " +
+        "consumer (remove _FEED_CURSOR and re-fold from 0 into a fresh " +
+        "downstream) or widen expire(keepLast) to cover the feed's lag.")
+    val to =
+      if (head - from <= maxCommitsPerPoll) head
+      else {
+        val desired = from + maxCommitsPerPoll
+        (desired to head).find(i =>
+          Snapshots.get(spark, tableDir, i).isDefined).getOrElse(head)
+      }
+    f(from, to, Snapshots.changesBetween(spark, tableDir, from, to))
     val fs = fsFor(spark, stateDir)
     fs.mkdirs(new Path(stateDir))
-    Snapshots.writeAtomic(fs, stateDir, "_FEED_CURSOR", s"snap-$head")
-    Some((from, head))
+    Snapshots.writeAtomic(fs, stateDir, "_FEED_CURSOR", s"snap-$to")
+    Some((from, to))
   }
 
   /** The standard consumer: maintain a MIRROR snapshot table (same
@@ -77,8 +108,9 @@ object SnapshotFeed {
     * equals the source read verbatim after every fold (the w38 judged
     * gate). */
   def mirrorInto(spark: SparkSession, srcDir: String, stateDir: String,
-                 dstDir: String, keyCols: Seq[String]): Option[(Long, Long)] =
-    poll(spark, srcDir, stateDir) { (from, to, changes) =>
+                 dstDir: String, keyCols: Seq[String],
+                 maxCommitsPerPoll: Long = Long.MaxValue): Option[(Long, Long)] =
+    poll(spark, srcDir, stateDir, maxCommitsPerPoll) { (from, to, changes) =>
       import org.apache.spark.sql.functions.col
       val tag = Some(s"feed-$from-$to")
       val ups = changes.filter(col("op") === "I").drop("op")
@@ -100,16 +132,24 @@ object SnapshotFeed {
     * stream); use [[mirrorInto]] with the table's key for
     * merge-capable downstreams. */
   def appendInto(spark: SparkSession, srcDir: String, stateDir: String,
-                 dstDir: String): Option[(Long, Long)] =
-    poll(spark, srcDir, stateDir) { (from, to, changes) =>
+                 dstDir: String,
+                 maxCommitsPerPoll: Long = Long.MaxValue): Option[(Long, Long)] =
+    poll(spark, srcDir, stateDir, maxCommitsPerPoll) { (from, to, changes0) =>
       import org.apache.spark.sql.functions.col
-      require(changes.filter(col("op") === "D").isEmpty,
-        s"appendInto($srcDir -> $dstDir): interval snap-$from..snap-$to " +
-          "contains deletes — an append-only fold would silently drop " +
-          "them; use mirrorInto with the table's key")
-      Snapshots.commitAppend(changes.filter(col("op") === "I").drop("op"),
-        dstDir, tag = Some(s"feed-$from-$to"))
-      ()
+      // persist: the delete guard and the append would otherwise EACH
+      // evaluate the changesBetween lineage — two passes over the
+      // interval's dirs per poll for the engine's own recommended
+      // append-only consumer (round-18; r17 "What's wrong" #1)
+      val changes = changes0.persist()
+      try {
+        require(changes.filter(col("op") === "D").isEmpty,
+          s"appendInto($srcDir -> $dstDir): interval snap-$from..snap-$to " +
+            "contains deletes — an append-only fold would silently drop " +
+            "them; use mirrorInto with the table's key")
+        Snapshots.commitAppend(changes.filter(col("op") === "I").drop("op"),
+          dstDir, tag = Some(s"feed-$from-$to"))
+        ()
+      } finally { changes.unpersist(); () }
     }
 
   /** The readStream-style lifecycle: a rate-clock stream drives
@@ -118,7 +158,8 @@ object SnapshotFeed {
     * clock — feed progress lives in the atomic cursor, so deleting
     * the checkpoint never double-delivers. */
   def start(spark: SparkSession, tableDir: String, stateDir: String,
-            intervalMs: Long)
+            intervalMs: Long,
+            maxCommitsPerPoll: Long = Long.MaxValue)
            (f: (Long, Long, DataFrame) => Unit): StreamingQuery =
     spark.readStream.format("rate")
       .option("rowsPerSecond", 1).load()
@@ -126,7 +167,7 @@ object SnapshotFeed {
       .option("checkpointLocation", s"$stateDir/clock-ckpt")
       .trigger(Trigger.ProcessingTime(intervalMs))
       .foreachBatch { (_: DataFrame, _: Long) =>
-        poll(spark, tableDir, stateDir)(f); ()
+        poll(spark, tableDir, stateDir, maxCommitsPerPoll)(f); ()
       }
       .start()
 }

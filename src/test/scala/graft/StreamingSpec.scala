@@ -563,6 +563,55 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet == Set(1L, 3L))
   }
 
+  test("w38 feed pacing: a backlog drains in bounded tagged intervals; expired cursor fails loudly with re-bootstrap guidance (round-18)") {
+    import graft.streaming.SnapshotFeed
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("w38pace").toString
+    val src = s"$root/src"
+    (1 to 7).foreach(i => Snapshots.commitAppend(
+      Seq((i.toLong, s"v$i")).toDF("k", "v"), src))
+    // mirror consumer resumes against a 7-commit backlog with
+    // maxCommitsPerPoll = 3: three bounded intervals, each own tag
+    var intervals = List.empty[(Long, Long)]
+    var r = SnapshotFeed.mirrorInto(spark, src, s"$root/st1", s"$root/dst1",
+      Seq("k"), maxCommitsPerPoll = 3)
+    while (r.isDefined) {
+      intervals = intervals :+ r.get
+      r = SnapshotFeed.mirrorInto(spark, src, s"$root/st1", s"$root/dst1",
+        Seq("k"), maxCommitsPerPoll = 3)
+    }
+    assert(intervals == List((0L, 3L), (3L, 6L), (6L, 7L)))
+    assert(Snapshots.read(spark, s"$root/dst1").select("k").as[Long]
+      .collect().toSet == (1L to 7L).toSet)
+    Seq("feed-0-3", "feed-3-6", "feed-6-7").foreach(t =>
+      assert(Snapshots.findTag(spark, s"$root/dst1", t).isDefined,
+        s"per-interval tag $t must ride the mirror commit"))
+    // appendInto paces too (and single-passes each interval)
+    var r2 = SnapshotFeed.appendInto(spark, src, s"$root/st2",
+      s"$root/dst2", maxCommitsPerPoll = 4)
+    assert(r2.contains((0L, 4L)))
+    r2 = SnapshotFeed.appendInto(spark, src, s"$root/st2", s"$root/dst2",
+      maxCommitsPerPoll = 4)
+    assert(r2.contains((4L, 7L)))
+    assert(Snapshots.read(spark, s"$root/dst2").count() == 7)
+    // retention interplay 1: a paced interval whose desired endpoint
+    // was expired grows FORWARD to the nearest retained manifest —
+    // commits are never silently skipped
+    SnapshotFeed.poll(spark, src, s"$root/st3", 3)((_, _, _) => ())
+    Snapshots.expire(spark, src, keepLast = 2) // retains snap-6, snap-7
+    val grown = SnapshotFeed.poll(spark, src, s"$root/st4", 2)((_, _, c) =>
+      assert(c.count() == 6)) // bootstrap folds (0, 6]
+    assert(grown.contains((0L, 6L)))
+    // retention interplay 2: a cursor BEHIND the horizon fails loudly
+    // (st3's cursor is snap-3, whose manifest expire just removed)
+    val e = intercept[RuntimeException] {
+      SnapshotFeed.poll(spark, src, s"$root/st3")((_, _, _) => ())
+    }
+    assert(e.getMessage.contains("retention horizon"),
+      s"expired-cursor failure must carry guidance, got: ${e.getMessage}")
+  }
+
   test("w38 snapshot feed: manifest-chain source — intervals fold, mirror tracks, crash replay exactly-once") {
     import graft.streaming.SnapshotFeed
     import graft.ops.Snapshots

@@ -1686,6 +1686,94 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("snapshots: STRING hidden partitioning — truncate-prefix dirs prune ranges, md5 buckets prune points, edges sound (round-18)") {
+    import graft.ops.Snapshots
+    import graft.ops.Snapshots.{BucketStrTransform, TruncateStrTransform}
+    import spark.implicits._
+    // 1) truncate(doc_id, 4): the reference's own phs_accession shape
+    val root = java.nio.file.Files.createTempDirectory("snapstr").toString
+    val t4 = TruncateStrTransform("id", 4)
+    Snapshots.commitAppendHidden(
+      Seq(("phs000001", 1L), ("phs000777", 2L), ("phs111222", 3L),
+        ("stu000003", 4L), (null.asInstanceOf[String], 5L))
+        .toDF("id", "n"), root, t4)
+    val cur = Snapshots.current(spark, root).get
+    // values: phs0 (x2 rows, 1 dir), phs1, stu0, null dir
+    assert(cur.dataDirs.size == 4, s"per-prefix dirs: ${cur.dataDirs}")
+    // range confined to the phs0 prefix opens phs0 + the null dir only
+    assert(Snapshots.hiddenRangeStrCounts(spark, root, t4,
+      "phs000000", "phs000999") == ((2, 2)))
+    assert(Snapshots.readHiddenRangeStr(spark, root, t4,
+      "phs000000", "phs000999").select("n").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    // prefix-EQUAL bounds (lo == hi == a full prefix): one value dir
+    assert(Snapshots.readHiddenRangeStr(spark, root, t4,
+      "phs111222", "phs111222").select("n").as[Long]
+      .collect().toSet == Set(3L))
+    // result equals the unpruned filter for a cross-prefix range
+    assert(Snapshots.readHiddenRangeStr(spark, root, t4,
+      "phs000500", "stu999999").select("n").as[Long].collect().toSet ==
+      Snapshots.read(spark, root)
+        .filter("id between 'phs000500' and 'stu999999'")
+        .select("n").as[Long].collect().toSet)
+    // 2) edges: non-ASCII (multi-byte UTF-8 packs as raw bytes) and
+    // the empty string (packs to 0 — the smallest value, never lost)
+    val root2 = java.nio.file.Files.createTempDirectory("snapstr2").toString
+    val t3 = TruncateStrTransform("id", 3)
+    Snapshots.commitAppendHidden(
+      Seq(("", 0L), ("a", 1L), ("é", 2L), ("日本", 3L), ("zz", 4L))
+        .toDF("id", "n"), root2, t3)
+    // "é" = 0xC3A9: an ASCII-only range must not open its dir; the
+    // multi-byte dir still opens for a covering range
+    val all = Snapshots.readHiddenRangeStr(spark, root2, t3, "", "￿￿")
+    assert(all.select("n").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(Snapshots.readHiddenRangeStr(spark, root2, t3, "", "b")
+      .select("n").as[Long].collect().toSet == Set(0L, 1L))
+    val (oAscii, sAscii) =
+      Snapshots.hiddenRangeStrCounts(spark, root2, t3, "", "b")
+    assert(oAscii == 2 && sAscii == 3,
+      s"ASCII range must skip the multi-byte dirs: ($oAscii, $sAscii)")
+    // 3) md5-48 string bucket: a point lookup opens one bucket
+    val root3 = java.nio.file.Files.createTempDirectory("snapstr3").toString
+    val b4 = BucketStrTransform("id", 4)
+    Snapshots.commitAppendHidden(
+      (1 to 40).map(i => (s"doc$i", i.toLong)).toDF("id", "n"), root3, b4)
+    val dirs3 = Snapshots.current(spark, root3).get.dataDirs.size
+    assert(dirs3 >= 2 && dirs3 <= 4, s"bucket dirs: $dirs3")
+    val (op, sk) = Snapshots.hiddenPointStrCounts(spark, root3, b4, "doc7")
+    assert(op == 1 && sk == dirs3 - 1)
+    assert(Snapshots.readHiddenPointStr(spark, root3, b4, "doc7")
+      .select("n").as[Long].collect().toSeq == Seq(7L))
+    // 4) the spec is a FIRST-CLASS spec: rewrite preserves it, rename
+    // of the source column is refused
+    Snapshots.commitDelete(Seq(Tuple1("doc7")).toDF("id"), root3, "id")
+    Snapshots.commitRewrite(spark, root3)
+    assert(Snapshots.readHiddenPointStr(spark, root3, b4, "doc8")
+      .select("n").as[Long].collect().toSeq == Seq(8L))
+    assert(Snapshots.readHiddenPointStr(spark, root3, b4, "doc7").count() == 0)
+    intercept[IllegalArgumentException] {
+      Snapshots.commitRenameColumn(spark, root3, "id", "key")
+    }
+    // 5) property: pruned read == unpruned filter on random ranges
+    val ids = (1 to 40).map(i => s"doc$i")
+    val rnd = new scala.util.Random(18)
+    (1 to 8).foreach { _ =>
+      val a = ids(rnd.nextInt(ids.size)); val b = ids(rnd.nextInt(ids.size))
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      // root3's spec is the BUCKET transform: a truncstr range read
+      // finds no truncstr stats → opens everything, stays exact
+      // (skipping is only ever an optimization)
+      val t = TruncateStrTransform("id", 4)
+      val pruned = Snapshots.readHiddenRangeStr(spark, root3, t,
+        lo, hi).select("n").as[Long].collect().toSet
+      val plain = Snapshots.read(spark, root3)
+        .filter(s"id between '$lo' and '$hi'")
+        .select("n").as[Long].collect().toSet
+      assert(pruned == plain, s"range [$lo, $hi]")
+      ()
+    }
+  }
+
   test("snapshots: grouped manifest scan — plan is O(delete commits + schema ops), not O(dirs); reads stay exact (round-18)") {
     import graft.ops.Snapshots
     import org.apache.spark.sql.execution.datasources.LogicalRelation

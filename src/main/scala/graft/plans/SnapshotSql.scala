@@ -1,9 +1,12 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graftshim.Shim
 
 import graft.ops.Snapshots
 
@@ -97,15 +100,238 @@ object SnapshotSql {
       (a.substring(0, i), Some(a.substring(i + 3).toLong))
     else (a, None)
   }
+
+  /** Resolve a multipart identifier as a WRITE target: the literal
+    * alias only — a `__v<N>` suffix that is not itself registered is a
+    * time-travel VIEW and refuses loudly (a write routed to the base
+    * table under a version-suffixed name would silently ignore the
+    * version). */
+  private[plans] def resolveWrite(parts: Seq[String]): Option[String] = {
+    val alias = parts match {
+      case Seq(ns, a) if ns.equalsIgnoreCase(Namespace) => Some(a)
+      case Seq(a) if lookup(a).isDefined ||
+        lookup(stripV(a)._1).isDefined => Some(a)
+      case _ => None
+    }
+    alias.map { a =>
+      lookup(a).getOrElse {
+        if (lookup(stripV(a)._1).isDefined)
+          sys.error(s"cannot write to '$a': a __v<N> suffix names a " +
+            "time-travel VIEW of a registered table — snapshots are " +
+            "immutable; write to the base alias")
+        sys.error(s"unknown snapshot alias '$a'") // unreachable via callers
+      }
+    }
+  }
+
+  /** Unwrap the parser's target alias (`MERGE INTO graft_snap.foo t`). */
+  private[plans] def targetRelation(p: LogicalPlan): Option[UnresolvedRelation] =
+    p match {
+      case u: UnresolvedRelation => Some(u)
+      case SubqueryAlias(_, u: UnresolvedRelation) => Some(u)
+      case _ => None
+    }
+
+  /** An Expression parked OUTSIDE the analyzer's sight: a command's
+    * constructor args of Expression type are collected into
+    * `QueryPlan.expressions`, and a by-name condition (deliberately
+    * unresolved — it re-resolves against the run-time source frame,
+    * because the analyzer may have already bound the parsed condition
+    * to expr ids a re-analysis will not reproduce) would fail the
+    * outer CheckAnalysis. The wrapper is opaque to the product walk. */
+  private[plans] final class HeldCond(val e: Expression)
+    extends Serializable
+}
+
+/** `INSERT INTO graft_snap.<alias> …` as a runnable command: the query
+  * subtree analyzes fresh at run time, aligns to the table's schema
+  * POSITIONALLY (SQL INSERT semantics; an explicit column list renames
+  * that subset and null-fills the rest), and lands as one
+  * [[Snapshots.commitAppend]] — the same ACID append the Scala API
+  * does, so a SQL-only consumer's commit is indistinguishable from a
+  * DataFrame caller's. A first insert into an EMPTY table fixes the
+  * schema from the query (there is nothing to align against yet). */
+case class SnapshotInsertCommand(alias: String, tableDir: String,
+                                 userCols: Seq[String],
+                                 query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Shim.ofRows(spark, query)
+    val aligned = Snapshots.current(spark, tableDir) match {
+      case None =>
+        require(userCols.isEmpty,
+          s"INSERT with a column list into empty snapshot table " +
+            s"'$alias': the table has no schema to align against yet")
+        df
+      case Some(cur) =>
+        val tgt = Snapshots.read(spark, tableDir, Some(cur.id))
+          .limit(0).schema
+        if (userCols.isEmpty) {
+          require(df.columns.length == tgt.length,
+            s"INSERT INTO $alias: query has ${df.columns.length} " +
+              s"columns, table has ${tgt.length}")
+          df.toDF(tgt.map(_.name): _*)
+            .select(tgt.map(f => col(f.name).cast(f.dataType)): _*)
+        } else {
+          require(df.columns.length == userCols.length,
+            s"INSERT INTO $alias(${userCols.mkString(",")}): query has " +
+              s"${df.columns.length} columns for ${userCols.length} names")
+          val missing = tgt.map(_.name).filterNot(userCols.contains)
+          val named = df.toDF(userCols: _*)
+          val filled = missing.foldLeft(named)((d, c) =>
+            d.withColumn(c, lit(null).cast(tgt(tgt.fieldIndex(c)).dataType)))
+          filled.select(tgt.map(f => col(f.name).cast(f.dataType)): _*)
+        }
+    }
+    Snapshots.commitAppend(aligned, tableDir)
+    Nil
+  }
+}
+
+/** `MERGE INTO graft_snap.<alias> t USING src s ON t.k = s.k …` as a
+  * runnable command, covering the canonical upsert trio the snapshot
+  * layer's merge primitive implements exactly:
+  *
+  *   WHEN MATCHED [AND cond] THEN DELETE
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  *
+  * ON must be an equality conjunction over same-named columns (those
+  * become the merge key set — the engine's one-key-set-per-table
+  * contract); the optional DELETE condition may reference SOURCE
+  * columns only (it selects which source rows are pure deletes).
+  * Anything outside this shape refuses at ANALYSIS time with the
+  * feature named — never a silently-different merge. Routed to
+  * [[Snapshots.commitMergeKeyed]], so the SQL text and the Scala API
+  * produce byte-identical table states (the s44 judged gate). */
+case class SnapshotMergeCommand(alias: String, tableDir: String,
+                                source: LogicalPlan,
+                                keyCols: Seq[String],
+                                deleteCond: Option[SnapshotSql.HeldCond])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val src = Shim.ofRows(spark, source)
+    val (upserts, pureDeletes) = deleteCond match {
+      case None =>
+        (src, src.select(keyCols.map(col): _*).limit(0))
+      case Some(held) =>
+        val c = coalesce(Shim.column(held.e), lit(false))
+        (src.filter(!c), src.filter(c).select(keyCols.map(col): _*))
+    }
+    Snapshots.commitMergeKeyed(upserts, pureDeletes, tableDir, keyCols,
+      None)
+    Nil
+  }
 }
 
 /** The analyzer rule [[graft.GraftExtensions]] injects. Runs after
   * Spark's builtin resolution within the same batch, so it only ever
   * sees relations nothing else could resolve. */
 class SnapshotRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    if (SnapshotSql.isEmpty) plan
-    else plan.resolveOperatorsUp {
+
+  /** The merge key set: ON must be a conjunction of `t.k = s.k`
+    * equalities over same-named columns. Returns None (→ loud refusal
+    * upstream) for any other shape. The builtin resolution rules run
+    * before this one in each analyzer iteration and may have bound the
+    * SOURCE side already, so both unresolved and resolved attribute
+    * forms are accepted — only the NAME matters here. */
+  private def keySetOf(cond: Expression): Option[Seq[String]] = {
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        Some(a.name)
+      case _ => None
+    }
+    def leaf(e: Expression): Option[String] = e match {
+      case EqualTo(l, r) =>
+        for (a <- nameOf(l); b <- nameOf(r) if a == b) yield a
+      case _ => None
+    }
+    def walk(e: Expression): Option[Seq[String]] = e match {
+      case And(l, r) =>
+        for (a <- walk(l); b <- walk(r)) yield a ++ b
+      case other => leaf(other).map(Seq(_))
+    }
+    walk(cond).map(_.distinct)
+  }
+
+  /** Re-anchor a (possibly partially resolved) condition to BY-NAME
+    * form: the captured expression must re-resolve against the
+    * command's own run-time analysis of the source — expr ids bound by
+    * the outer analyzer would be stale there. Qualifiers drop too (the
+    * run-time filter sees the source frame's plain columns); the
+    * supported MERGE shape restricts delete conditions to source
+    * columns, so a dropped target qualifier cannot rebind silently. */
+  private def byName(cond: Expression): Expression = cond.transform {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      UnresolvedAttribute(Seq(a.name))
+    case u: UnresolvedAttribute => UnresolvedAttribute(Seq(u.nameParts.last))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (SnapshotSql.isEmpty) return plan
+    // DML first, TOP-DOWN: the bottom-up read pass below would rewrite
+    // the target UnresolvedRelation into a scan before the statement
+    // node could claim it
+    val dml = plan.resolveOperatorsDown {
+      case i @ InsertIntoStatement(t, parts, cols, query, overwrite,
+          ifNotExists, byName) =>
+        SnapshotSql.targetRelation(t)
+          .flatMap(u => SnapshotSql.resolveWrite(u.multipartIdentifier)
+            .map(dir => (u, dir))) match {
+          case Some((u, dir)) =>
+            val a = u.multipartIdentifier.last
+            require(!overwrite, s"INSERT OVERWRITE graft_snap.$a is not " +
+              "supported: snapshots are immutable — use commitDelete + " +
+              "INSERT, or commitRewrite, from the Scala API")
+            require(parts.isEmpty && !ifNotExists,
+              s"partitioned INSERT into graft_snap.$a is not supported " +
+                "(hidden partitioning is declared on commit, not in SQL)")
+            require(!byName, s"INSERT BY NAME into graft_snap.$a is not " +
+              "supported: use an explicit column list")
+            SnapshotInsertCommand(a, dir, cols, query)
+          case None => i
+        }
+      case m @ MergeIntoTable(t, source, cond, matched, notMatched,
+          notMatchedBySource, withSchemaEvolution) =>
+        SnapshotSql.targetRelation(t)
+          .flatMap(u => SnapshotSql.resolveWrite(u.multipartIdentifier)
+            .map(dir => (u, dir))) match {
+          case Some((u, dir)) =>
+            val a = u.multipartIdentifier.last
+            val keys = keySetOf(cond).getOrElse(sys.error(
+              s"MERGE INTO graft_snap.$a: ON must be an equality " +
+                "conjunction over same-named columns (t.k = s.k [AND " +
+                "…]) — that column set is the table's merge key"))
+            require(notMatchedBySource.isEmpty && !withSchemaEvolution,
+              s"MERGE INTO graft_snap.$a: WHEN NOT MATCHED BY SOURCE " +
+                "and WITH SCHEMA EVOLUTION are not supported")
+            require(notMatched.forall {
+              case InsertStarAction(None) => true; case _ => false },
+              s"MERGE INTO graft_snap.$a: only WHEN NOT MATCHED THEN " +
+                "INSERT * is supported")
+            val deleteCond = matched.map {
+              case UpdateStarAction(None) => None
+              case DeleteAction(c) => Some(c.getOrElse(
+                org.apache.spark.sql.catalyst.expressions.Literal(true)))
+              case other => sys.error(
+                s"MERGE INTO graft_snap.$a: unsupported WHEN MATCHED " +
+                  s"action $other — only UPDATE SET * and DELETE " +
+                  "[AND <source condition>] are supported")
+            }.flatten
+            require(deleteCond.size <= 1,
+              s"MERGE INTO graft_snap.$a: at most one DELETE clause")
+            SnapshotMergeCommand(a, dir, source, keys,
+              deleteCond.headOption.map(c =>
+                new SnapshotSql.HeldCond(byName(c))))
+          case None => m
+        }
+    }
+    dml.resolveOperatorsUp {
       case tt @ RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
           if v.forall(_.isDigit) =>
         SnapshotSql.resolve(spark, u.multipartIdentifier, Some(v.toLong))
@@ -113,4 +339,5 @@ class SnapshotRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case u: UnresolvedRelation =>
         SnapshotSql.resolve(spark, u.multipartIdentifier, None).getOrElse(u)
     }
+  }
 }

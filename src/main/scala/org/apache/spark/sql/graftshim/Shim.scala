@@ -20,6 +20,15 @@ object Shim {
 
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Materialize a logical plan as a DataFrame (the classic
+    * `Dataset.ofRows` factory) — what a RunnableCommand needs to turn
+    * its captured query subtree back into a runnable frame. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
   /** Idempotently register `builder` under `name` in `spark`'s function

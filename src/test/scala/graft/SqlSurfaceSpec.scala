@@ -192,6 +192,66 @@ class SqlSurfaceSpec extends SparkSpec {
     SnapshotSql.unregister("sqlsnap")
   }
 
+  test("s44: SQL-text DML — INSERT INTO and MERGE INTO a snapshot table match the Scala API, unsupported shapes refuse loudly (round-18)") {
+    import graft.ops.Snapshots
+    import graft.plans.SnapshotSql
+    import spark.implicits._
+    val rootSql = java.nio.file.Files.createTempDirectory("snapdmls").toString
+    val rootApi = java.nio.file.Files.createTempDirectory("snapdmla").toString
+    // identical seed through both routes
+    Snapshots.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), rootSql)
+    Snapshots.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), rootApi)
+    SnapshotSql.register("dml", rootSql)
+    try {
+      // INSERT: positional VALUES + an explicit column list (null fill)
+      spark.sql("INSERT INTO graft_snap.dml VALUES (3, 'c'), (4, 'd')")
+      spark.sql("INSERT INTO graft_snap.dml (k) VALUES (5)")
+      Snapshots.commitAppend(Seq((3L, "c"), (4L, "d")).toDF("k", "v"), rootApi)
+      Snapshots.commitAppend(
+        Seq((5L, null.asInstanceOf[String])).toDF("k", "v"), rootApi)
+      // MERGE: upsert k=2 (update *), insert k=6, pure-delete v='c'
+      Seq((2L, "B"), (6L, "f"), (3L, "c")).toDF("k", "v")
+        .createOrReplaceTempView("dml_src")
+      spark.sql(
+        """MERGE INTO graft_snap.dml t USING dml_src s ON t.k = s.k
+          |WHEN MATCHED AND s.v = 'c' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      Snapshots.commitMergeKeyed(
+        Seq((2L, "B"), (6L, "f")).toDF("k", "v"),
+        Seq(Tuple1(3L)).toDF("k"), rootApi, Seq("k"), None)
+      // byte-identical table states through both routes
+      def state(dir: String) = Snapshots.read(spark, dir)
+        .as[(Long, Option[String])].collect().toSet
+      assert(state(rootSql) == state(rootApi))
+      assert(state(rootSql) == Set((1L, Some("a")), (2L, Some("B")),
+        (4L, Some("d")), (5L, None), (6L, Some("f"))))
+      // a SQL read of the written table sees the merged state
+      assert(spark.sql("SELECT k FROM graft_snap.dml WHERE v IS NULL")
+        .as[Long].collect().toSeq == Seq(5L))
+      // refusals, each naming the unsupported feature
+      def refuse(sql: String, frag: String): Unit = {
+        val e = intercept[Exception] { spark.sql(sql) }
+        assert(e.getMessage != null && e.getMessage.contains(frag),
+          s"expected '$frag' in: ${e.getMessage}")
+      }
+      refuse("INSERT OVERWRITE graft_snap.dml VALUES (9, 'x')",
+        "INSERT OVERWRITE")
+      refuse("MERGE INTO graft_snap.dml t USING dml_src s ON t.k > s.k " +
+        "WHEN MATCHED THEN UPDATE SET *", "equality conjunction")
+      refuse("MERGE INTO graft_snap.dml t USING dml_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = 'z'", "UPDATE SET *")
+      refuse("INSERT INTO graft_snap.nosuch VALUES (1, 'x')",
+        "unknown snapshot alias")
+      // writes through a time-travel suffix are refused (immutability)
+      refuse("INSERT INTO graft_snap.dml__v1 VALUES (9, 'x')",
+        "time-travel")
+      // arity mismatch refuses before anything lands
+      refuse("INSERT INTO graft_snap.dml VALUES (9)", "columns")
+      assert(state(rootSql) == state(rootApi), "refusals must not commit")
+    } finally SnapshotSql.unregister("dml")
+  }
+
   test("s41: an alias that itself ends in __v<N> stays reachable — full-alias registration wins over time-travel stripping") {
     import graft.ops.Snapshots
     import graft.plans.SnapshotSql

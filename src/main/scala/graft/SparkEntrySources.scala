@@ -1721,6 +1721,63 @@ private[graft] object SparkEntrySources {
         .toDF("phase", "n_rows", "fingerprint")
       p1.union(p2).union(p3)
     }),
+
+    // S45 — DISJUNCTIVE pruning (round-18; the r17 VERDICT's #5):
+    // IN-lists and OR predicates — routine on tenant dashboards —
+    // used to fall back to open-everything; readHiddenAutoDisj admits
+    // a dir when ANY disjunct admits it, so they prune like their
+    // conjunctive duals. Phases, each with in-oracle (opened, skipped)
+    // from the data's own occupancy: 1 = a three-user IN-list on a
+    // bucket(8) table; 2 = an OR of two disjoint day windows on a
+    // day-truncate table; 3 = a mixed point-OR-range DNF on the bucket
+    // table. At 100 TB this is the difference between a multi-tenant
+    // dashboard query touching its tenants' dirs and touching the
+    // corpus.
+    "s45_disjunctive_pruning" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      import graft.ops.Snapshots.{BucketTransform, TruncateTransform}
+      val D = 86400000000L
+      val rootB = s"$partScratchDir/${dirKey(dir)}_s45b"
+      val rootT = s"$partScratchDir/${dirKey(dir)}_s45t"
+      rmTree(rootB); rmTree(rootT)
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      Snapshots.commitAppendHidden(ev, rootB, BucketTransform("user_id", 8))
+      Snapshots.commitAppendHidden(ev, rootT,
+        TruncateTransform("ts_us", D))
+      val dels = ev.filter(pmod(col("event_id"), lit(7)) === 0)
+        .select("event_id")
+      Snapshots.commitDelete(dels, rootB, "event_id")
+      Snapshots.commitDelete(dels, rootT, "event_id")
+      val mm = ev.agg(min(col("ts_us")), max(col("ts_us")),
+        min(col("user_id")), max(col("user_id"))).collect()(0)
+      val (t0, t1v) = (mm.getLong(0), mm.getLong(1))
+      val (u2, u1) = (mm.getLong(2), mm.getLong(3))
+      val u3 = (u1 + u2) / 2
+      val (w1lo, w1hi) = (t0, t0 + (t1v - t0) / 8)
+      val (w2lo, w2hi) = (t0 + (t1v - t0) / 2, t0 + 5L * (t1v - t0) / 8)
+      val cols = Seq("event_id", "user_id", "ts_us")
+      def fp(ph: Long, d: org.apache.spark.sql.DataFrame,
+             oc: (Int, Int)) =
+        Validations.tableFingerprint(d, cols)
+          .select(lit(ph).as("phase"), col("n_rows"), col("fingerprint"),
+            lit(oc._1.toLong).as("opened"), lit(oc._2.toLong).as("skipped"))
+      val inList = Seq(u1, u2, u3)
+      val p1 = fp(1L,
+        Snapshots.readHiddenAutoIn(s, rootB, "user_id", inList),
+        Snapshots.hiddenAutoInCounts(s, rootB, "user_id", inList))
+      val orWindows = Seq(Seq(("ts_us", w1lo, w1hi)),
+        Seq(("ts_us", w2lo, w2hi)))
+      val p2 = fp(2L,
+        Snapshots.readHiddenAutoDisj(s, rootT, orWindows),
+        Snapshots.hiddenAutoDisjCounts(s, rootT, orWindows))
+      val mixed = Seq(Seq(("user_id", u1, u1)),
+        Seq(("user_id", u2, u2 + 1)))
+      val p3 = fp(3L,
+        Snapshots.readHiddenAutoDisj(s, rootB, mixed),
+        Snapshots.hiddenAutoDisjCounts(s, rootB, mixed))
+      p1.union(p2).union(p3)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2115,6 +2172,63 @@ private[graft] object SparkEntrySources {
          |${phase(2)}
          |UNION ALL
          |SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT), 'ovr=1|oneq=1'""".stripMargin
+    },
+
+    // s45: each phase's (opened, skipped) derives from the data's own
+    // occupancy — occupied user residues mod 8 for the bucket table,
+    // occupied days for the truncate table — with the disjunction
+    // admitting the UNION of its disjuncts' dirs.
+    "s45_disjunctive_pruning" -> {
+      val D = 86400000000L
+      val fp =
+        """CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+          |    coalesce(CAST(event_id AS VARCHAR), chr(0)),
+          |    coalesce(CAST(user_id AS VARCHAR), chr(0)),
+          |    coalesce(CAST(ts_us AS VARCHAR), chr(0)))), 1, 10))
+          |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+         |live AS (SELECT * FROM ev WHERE event_id % 7 <> 0),
+         |e8 AS (SELECT DISTINCT user_id % 8 AS b FROM ev),
+         |dd AS (SELECT DISTINCT ts_us // $D AS d FROM ev),
+         |p AS (SELECT max(user_id) AS u1, min(user_id) AS u2,
+         |             (max(user_id) + min(user_id)) // 2 AS u3,
+         |             min(ts_us) AS t0, max(ts_us) AS t1 FROM ev),
+         |w AS (SELECT t0 AS w1lo, t0 + (t1 - t0) // 8 AS w1hi,
+         |             t0 + (t1 - t0) // 2 AS w2lo,
+         |             t0 + (5 * (t1 - t0)) // 8 AS w2hi FROM p),
+         |o1 AS (SELECT count(*) AS o FROM e8 WHERE b IN
+         |        ((SELECT u1 FROM p) % 8, (SELECT u2 FROM p) % 8,
+         |         (SELECT u3 FROM p) % 8)),
+         |o2 AS (SELECT count(*) AS o FROM dd
+         |       WHERE d BETWEEN (SELECT w1lo FROM w) // $D
+         |               AND (SELECT w1hi FROM w) // $D
+         |          OR d BETWEEN (SELECT w2lo FROM w) // $D
+         |               AND (SELECT w2hi FROM w) // $D),
+         |o3 AS (SELECT count(*) AS o FROM e8 WHERE b IN
+         |        ((SELECT u1 FROM p) % 8, (SELECT u2 FROM p) % 8,
+         |         ((SELECT u2 FROM p) + 1) % 8))
+         |SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows,
+         |  $fp AS fingerprint,
+         |  CAST((SELECT o FROM o1) AS BIGINT) AS opened,
+         |  CAST((SELECT count(*) FROM e8) - (SELECT o FROM o1)
+         |    AS BIGINT) AS skipped
+         |FROM live WHERE user_id IN ((SELECT u1 FROM p),
+         |  (SELECT u2 FROM p), (SELECT u3 FROM p))
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), count(*), $fp,
+         |  CAST((SELECT o FROM o2) AS BIGINT),
+         |  CAST((SELECT count(*) FROM dd) - (SELECT o FROM o2) AS BIGINT)
+         |FROM live
+         |WHERE ts_us BETWEEN (SELECT w1lo FROM w) AND (SELECT w1hi FROM w)
+         |   OR ts_us BETWEEN (SELECT w2lo FROM w) AND (SELECT w2hi FROM w)
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), count(*), $fp,
+         |  CAST((SELECT o FROM o3) AS BIGINT),
+         |  CAST((SELECT count(*) FROM e8) - (SELECT o FROM o3) AS BIGINT)
+         |FROM live WHERE user_id = (SELECT u1 FROM p)
+         |   OR user_id BETWEEN (SELECT u2 FROM p)
+         |        AND (SELECT u2 FROM p) + 1""".stripMargin
     },
 
     // s40: the final state is a last-op-wins CASE reduction over the

@@ -2353,6 +2353,63 @@ object Snapshots {
     (opened, dirs.size - opened)
   }
 
+  /** DISJUNCTIVE spec-aware read (round-18; the r17 VERDICT's #5):
+    * `disjuncts` is a predicate in disjunctive normal form — an OR
+    * over conjunctions of (column, lo, hi) ranges (point = lo == hi).
+    * A dir opens when ANY disjunct admits it (each conjunct judged
+    * under every spec generation, as [[hiddenAdmits]]); the residual
+    * filter is the OR of the conjunctions, so the result is exactly
+    * `read().filter(<DNF>)`. IN-lists and OR predicates are routine on
+    * tenant dashboards — without this they fell back to
+    * open-everything. */
+  def readHiddenAutoDisj(spark: SparkSession, tableDir: String,
+                         disjuncts: Seq[Seq[(String, Long, Long)]],
+                         snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(disjuncts.nonEmpty && disjuncts.forall(_.nonEmpty),
+      "at least one disjunct, each with at least one range")
+    val snap = resolve(spark, tableDir, snapshotId)
+    def admits(d: String) = disjuncts.exists(conj =>
+      conj.forall(p => hiddenAdmits(snap, d, p._1, p._2, p._3)))
+    val filter = disjuncts.map(conj =>
+      conj.map(p => col(p._1).between(p._2, p._3)).reduce(_ && _))
+      .reduce(_ || _)
+    val frames = groupedMaskedFrames(spark, tableDir, snap,
+      (_, d) => admits(d), Some(filter), withPos = false)
+    if (frames.isEmpty)
+      read(spark, tableDir, Some(snap.id)).limit(0).filter(filter)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** (opened, skipped) evidence for [[readHiddenAutoDisj]]. */
+  def hiddenAutoDisjCounts(spark: SparkSession, tableDir: String,
+                           disjuncts: Seq[Seq[(String, Long, Long)]],
+                           snapshotId: Option[Long] = None): (Int, Int) = {
+    require(disjuncts.nonEmpty && disjuncts.forall(_.nonEmpty),
+      "at least one disjunct, each with at least one range")
+    val snap = resolve(spark, tableDir, snapshotId)
+    val dirs = snap.dataDirs
+    val opened = dirs.count(d => disjuncts.exists(conj =>
+      conj.forall(p => hiddenAdmits(snap, d, p._1, p._2, p._3))))
+    (opened, dirs.size - opened)
+  }
+
+  /** IN-list read: `column IN (values)` as the point-disjunct special
+    * case of [[readHiddenAutoDisj]] — on a bucketed table each value
+    * opens its one residue dir per spec generation. */
+  def readHiddenAutoIn(spark: SparkSession, tableDir: String,
+                       column: String, values: Seq[Long],
+                       snapshotId: Option[Long] = None): DataFrame =
+    readHiddenAutoDisj(spark, tableDir,
+      values.distinct.map(v => Seq((column, v, v))), snapshotId)
+
+  /** (opened, skipped) evidence for [[readHiddenAutoIn]]. */
+  def hiddenAutoInCounts(spark: SparkSession, tableDir: String,
+                         column: String, values: Seq[Long],
+                         snapshotId: Option[Long] = None): (Int, Int) =
+    hiddenAutoDisjCounts(spark, tableDir,
+      values.distinct.map(v => Seq((column, v, v))), snapshotId)
+
   private def branchPtr(name: String) = s"_BRANCH_$name"
 
   /** Head of a STAGING BRANCH (write-audit-publish, Iceberg's WAP /

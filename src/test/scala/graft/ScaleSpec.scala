@@ -1774,6 +1774,57 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("snapshots: disjunctive pruning property — OR/IN reads equal read().filter on random DNF predicates, and actually skip (round-18)") {
+    import graft.ops.Snapshots
+    import graft.ops.Snapshots.{BucketTransform, TruncateTransform}
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("snapdisj").toString
+    // multi-dim spec: truncate(t, 10) × bucket(k, 4), plus a delete
+    val rows = (0L until 200L).map(i => (i, i % 17, i * 3 % 100))
+    Snapshots.commitAppendHidden(rows.toDF("id", "k", "t"), root,
+      Seq(TruncateTransform("t", 10L), BucketTransform("k", 4)), None)
+    Snapshots.commitDelete(Seq(Tuple1(13L), Tuple1(77L)).toDF("id"),
+      root, "id")
+    val rnd = new scala.util.Random(44)
+    (1 to 12).foreach { _ =>
+      val nDisj = 1 + rnd.nextInt(3)
+      val disjuncts = (1 to nDisj).map { _ =>
+        val conj = scala.collection.mutable.ListBuffer
+          .empty[(String, Long, Long)]
+        if (rnd.nextBoolean()) {
+          val lo = rnd.nextInt(100).toLong
+          conj += (("t", lo, lo + rnd.nextInt(30)))
+        }
+        if (rnd.nextBoolean() || conj.isEmpty) {
+          val v = rnd.nextInt(17).toLong
+          conj += (("k", v, v))
+        }
+        conj.toList
+      }
+      val viaDisj = Snapshots.readHiddenAutoDisj(spark, root, disjuncts)
+        .select("id").as[Long].collect().toSet
+      val filter = disjuncts.map(c =>
+        c.map(p => col(p._1).between(p._2, p._3)).reduce(_ && _))
+        .reduce(_ || _)
+      val plain = Snapshots.read(spark, root).filter(filter)
+        .select("id").as[Long].collect().toSet
+      assert(viaDisj == plain, s"DNF $disjuncts")
+    }
+    // IN-list on the bucket axis: opened = occupied (day × residue)
+    // pairs any listed residue admits; never the whole table
+    val (o, s0) = Snapshots.hiddenAutoInCounts(spark, root, "k",
+      Seq(0L, 5L))
+    assert(o > 0 && s0 > 0, s"IN-list must skip some dirs: ($o, $s0)")
+    assert(Snapshots.readHiddenAutoIn(spark, root, "k", Seq(0L, 5L))
+      .select("id").as[Long].collect().toSet ==
+      Snapshots.read(spark, root).filter("k in (0, 5)")
+        .select("id").as[Long].collect().toSet)
+    // degenerate: an all-excluding DNF returns the empty typed frame
+    assert(Snapshots.readHiddenAutoDisj(spark, root,
+      Seq(Seq(("t", 5000L, 6000L)))).count() == 0)
+  }
+
   test("snapshots: grouped manifest scan — plan is O(delete commits + schema ops), not O(dirs); reads stay exact (round-18)") {
     import graft.ops.Snapshots
     import org.apache.spark.sql.execution.datasources.LogicalRelation

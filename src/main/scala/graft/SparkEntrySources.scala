@@ -1778,6 +1778,43 @@ private[graft] object SparkEntrySources {
         Snapshots.hiddenAutoDisjCounts(s, rootB, mixed))
       p1.union(p2).union(p3)
     }),
+
+    // S46 — BRANCH reads below the SQL surface (round-18; the r17
+    // VERDICT's #6): write-audit-publish was Scala-API-only — a
+    // SQL-text audit job could not see the staged state. The
+    // resolution rule now reads `graft_snap.\`alias@branch\`` at the
+    // branch head, so the full WAP lifecycle is SQL-judged here:
+    // 1 = main reads CLEAN while a batch sits staged; 2 = the branch
+    // read sees base + staged; 3 = the audit diff (branch ANTI JOIN
+    // main) isolates exactly the staged rows; 4 = after wapPublish the
+    // SAME main alias sees the published state. At 100 TB this is what
+    // lets the audit gate run from a JDBC-only validation service.
+    "s46_branch_read" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      import graft.plans.SnapshotSql
+      val root = s"$partScratchDir/${dirKey(dir)}_s46"
+      rmTree(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      Snapshots.commitAppend(cust.filter(pmod(col("k"), lit(2)) === 0), root)
+      Snapshots.wapStage(
+        cust.filter(pmod(col("k"), lit(2)) === 1)
+          .select(col("k"), lit("STAGED").as("seg")), root, "audit")
+      SnapshotSql.register("s46c", root)
+      val cols = Seq("k", "seg")
+      def fp(ph: Long, d: org.apache.spark.sql.DataFrame) =
+        Validations.tableFingerprint(d, cols)
+          .select(lit(ph).as("phase"), col("n_rows"), col("fingerprint"))
+      val p1 = fp(1L, s.sql("SELECT k, seg FROM graft_snap.s46c"))
+      val p2 = fp(2L, s.sql("SELECT k, seg FROM graft_snap.`s46c@audit`"))
+      val p3 = fp(3L, s.sql(
+        """SELECT b.k, b.seg FROM graft_snap.`s46c@audit` b
+          |LEFT ANTI JOIN graft_snap.s46c m ON b.k = m.k""".stripMargin))
+      Snapshots.wapPublish(s, root, "audit")
+      val p4 = fp(4L, s.sql("SELECT k, seg FROM graft_snap.s46c"))
+      SnapshotSql.unregister("s46c")
+      p1.union(p2).union(p3).union(p4)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2229,6 +2266,32 @@ private[graft] object SparkEntrySources {
          |FROM live WHERE user_id = (SELECT u1 FROM p)
          |   OR user_id BETWEEN (SELECT u2 FROM p)
          |        AND (SELECT u2 FROM p) + 1""".stripMargin
+    },
+
+    // s46: the four WAP lifecycle states as plain parity predicates —
+    // main-clean (even originals), branch (even ∪ odd-STAGED), the
+    // audit diff (odd-STAGED only), and post-publish main (= branch).
+    "s46_branch_read" -> {
+      val fp =
+        """CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+          |    coalesce(CAST(k AS VARCHAR), chr(0)),
+          |    coalesce(seg, chr(0)))), 1, 10))
+          |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)""".stripMargin
+      def phase(n: Int, src: String) =
+        s"""SELECT CAST($n AS BIGINT) AS phase, count(*) AS n_rows,
+           |  $fp AS fingerprint
+           |FROM ($src) t""".stripMargin
+      val even = "SELECT c_custkey AS k, c_mktsegment AS seg " +
+        "FROM customer WHERE c_custkey % 2 = 0"
+      val staged = "SELECT c_custkey AS k, 'STAGED' AS seg " +
+        "FROM customer WHERE c_custkey % 2 = 1"
+      s"""${phase(1, even)}
+         |UNION ALL
+         |${phase(2, s"$even UNION ALL $staged")}
+         |UNION ALL
+         |${phase(3, staged)}
+         |UNION ALL
+         |${phase(4, s"$even UNION ALL $staged")}""".stripMargin
     },
 
     // s40: the final state is a last-op-wins CASE reduction over the

@@ -68,26 +68,53 @@ object SnapshotSql {
     * only SQL-text snapshot consumers use. */
   private[plans] def isEmpty: Boolean = registry.isEmpty
 
+  /** `alias@branch` → (alias, Some(branch)); no '@' → (alias, None).
+    * Registration rejects '@' in aliases, so the split is unambiguous
+    * (the SQL spelling is a quoted identifier:
+    * ``FROM graft_snap.`tbl@audit` ``). */
+  private[plans] def splitBranch(a: String): (String, Option[String]) =
+    a.indexOf('@') match {
+      case -1 => (a, None)
+      case i => (a.substring(0, i), Some(a.substring(i + 1)))
+    }
+
   /** Resolve a multipart identifier (with optional explicit version
-    * from `VERSION AS OF`) to the snapshot read's analyzed plan. */
+    * from `VERSION AS OF`) to the snapshot read's analyzed plan. An
+    * `@<branch>` suffix reads the write-audit-publish branch head —
+    * a staged-but-unpublished state a SQL-only audit job can query
+    * while every main read stays bitwise clean. */
   private[plans] def resolve(spark: SparkSession, parts: Seq[String],
                              version: Option[Long]): Option[LogicalPlan] = {
+    def known(a: String): Boolean = splitBranch(a) match {
+      case (base, Some(_)) => lookup(base).isDefined
+      case _ => lookup(a).isDefined || lookup(stripV(a)._1).isDefined
+    }
     val alias = parts match {
       case Seq(ns, a) if ns.equalsIgnoreCase(Namespace) => Some(a)
-      case Seq(a) if lookup(a).isDefined ||
-        lookup(stripV(a)._1).isDefined => Some(a)
+      case Seq(a) if known(a) => Some(a)
       case _ => None
     }
     alias.flatMap { a =>
-      // a FULL-alias registration always wins: an alias that itself
-      // ends in `__v<N>` (legal [A-Za-z0-9_]+) must stay reachable —
-      // the suffix is only time-travel sugar when the literal alias
-      // is not registered, never a reroute onto a different table
-      val (name, suffixVer) =
-        if (lookup(a).isDefined) (a, None) else stripV(a)
-      lookup(name).map { dir =>
-        Snapshots.read(spark, dir, version.orElse(suffixVer))
-          .queryExecution.analyzed
+      splitBranch(a) match {
+        case (base, Some(branch)) =>
+          lookup(base).map { dir =>
+            require(version.isEmpty,
+              s"VERSION AS OF cannot combine with a branch read ('$a') " +
+                "— a branch names exactly its head state")
+            Snapshots.readBranch(spark, dir, branch)
+              .queryExecution.analyzed
+          }
+        case _ =>
+          // a FULL-alias registration always wins: an alias that itself
+          // ends in `__v<N>` (legal [A-Za-z0-9_]+) must stay reachable —
+          // the suffix is only time-travel sugar when the literal alias
+          // is not registered, never a reroute onto a different table
+          val (name, suffixVer) =
+            if (lookup(a).isDefined) (a, None) else stripV(a)
+          lookup(name).map { dir =>
+            Snapshots.read(spark, dir, version.orElse(suffixVer))
+              .queryExecution.analyzed
+          }
       }
     }
   }
@@ -110,11 +137,17 @@ object SnapshotSql {
     val alias = parts match {
       case Seq(ns, a) if ns.equalsIgnoreCase(Namespace) => Some(a)
       case Seq(a) if lookup(a).isDefined ||
-        lookup(stripV(a)._1).isDefined => Some(a)
+        lookup(stripV(a)._1).isDefined ||
+        lookup(splitBranch(a)._1).isDefined => Some(a)
       case _ => None
     }
     alias.map { a =>
       lookup(a).getOrElse {
+        if (splitBranch(a)._2.isDefined &&
+            lookup(splitBranch(a)._1).isDefined)
+          sys.error(s"cannot write to '$a': SQL DML targets main only " +
+            "— stage branch writes through the Scala API (wapStage) " +
+            "and publish via wapPublish")
         if (lookup(stripV(a)._1).isDefined)
           sys.error(s"cannot write to '$a': a __v<N> suffix names a " +
             "time-travel VIEW of a registered table — snapshots are " +

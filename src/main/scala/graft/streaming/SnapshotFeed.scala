@@ -152,6 +152,34 @@ object SnapshotFeed {
       } finally { changes.unpersist(); () }
     }
 
+  /** [[poll]] against a WRITE-AUDIT-PUBLISH BRANCH head (round-18):
+    * an audit pipeline consumes the staged state incrementally while
+    * every main reader stays bitwise clean. The cursor advances along
+    * the branch's own head chain; consecutive branch heads extend one
+    * another's entry listings, so intervals fold incrementally —
+    * and any rebase (drop + restage) falls back to changesBetween's
+    * exact diff, still correct. No pacing: branch ids interleave with
+    * main's in the global sequence, so sub-interval endpoints are not
+    * well-defined on a branch — audits are short-lived by contract.
+    * No branch yet (or no movement) → None. */
+  def pollBranch(spark: SparkSession, tableDir: String, branch: String,
+                 stateDir: String)
+                (f: (Long, Long, DataFrame) => Unit): Option[(Long, Long)] = {
+    val head = Snapshots.branchHead(spark, tableDir, branch)
+      .map(_.id).getOrElse(0L)
+    val from = cursor(spark, stateDir)
+    if (head <= from) return None
+    if (from > 0 && Snapshots.get(spark, tableDir, from).isEmpty)
+      sys.error(s"branch-feed cursor snap-$from of $tableDir@$branch " +
+        "predates the retention/branch-drop horizon — re-bootstrap the " +
+        "consumer (remove _FEED_CURSOR)")
+    f(from, head, Snapshots.changesBetween(spark, tableDir, from, head))
+    val fs = fsFor(spark, stateDir)
+    fs.mkdirs(new Path(stateDir))
+    Snapshots.writeAtomic(fs, stateDir, "_FEED_CURSOR", s"snap-$head")
+    Some((from, head))
+  }
+
   /** The readStream-style lifecycle: a rate-clock stream drives
     * [[poll]] on the trigger cadence; `stop()` the returned query to
     * end the feed. The checkpoint under `stateDir` holds only the

@@ -252,6 +252,45 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally SnapshotSql.unregister("dml")
   }
 
+  test("s46: branch reads from SQL — graft_snap.`alias@branch` sees the staged state, main stays clean, writes to branches refuse (round-18)") {
+    import graft.ops.Snapshots
+    import graft.plans.SnapshotSql
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapbr").toString
+    Snapshots.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    Snapshots.wapStage(Seq((9L, "staged")).toDF("k", "v"), root, "audit")
+    SnapshotSql.register("br", root)
+    def ks(q: String): Set[Long] =
+      spark.sql(q).select("k").as[Long].collect().toSet
+    try {
+      // the branch read sees staged + base; main is bitwise clean
+      assert(ks("SELECT k FROM graft_snap.`br@audit`") == Set(1L, 2L, 9L))
+      assert(ks("SELECT k FROM graft_snap.br") == Set(1L, 2L))
+      // joins across main and branch compose (the audit diff query)
+      assert(spark.sql(
+        """SELECT b.k FROM graft_snap.`br@audit` b
+          |LEFT ANTI JOIN graft_snap.br m ON b.k = m.k""".stripMargin)
+        .as[Long].collect().toSet == Set(9L))
+      // VERSION AS OF on a branch read refuses (a branch IS its head)
+      intercept[Exception] {
+        spark.sql("SELECT k FROM graft_snap.`br@audit` VERSION AS OF 1")
+          .collect()
+      }
+      // unknown branch fails loudly, not empty
+      intercept[Exception] {
+        spark.sql("SELECT k FROM graft_snap.`br@nope`").collect()
+      }
+      // SQL DML targets main only
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO graft_snap.`br@audit` VALUES (7, 'x')")
+      }
+      assert(e.getMessage.contains("wapStage"))
+      // after publish, main sees the staged rows through the same alias
+      Snapshots.wapPublish(spark, root, "audit")
+      assert(ks("SELECT k FROM graft_snap.br") == Set(1L, 2L, 9L))
+    } finally SnapshotSql.unregister("br")
+  }
+
   test("s41: an alias that itself ends in __v<N> stays reachable — full-alias registration wins over time-travel stripping") {
     import graft.ops.Snapshots
     import graft.plans.SnapshotSql

@@ -612,6 +612,45 @@ class StreamingSpec extends SparkSpec {
       s"expired-cursor failure must carry guidance, got: ${e.getMessage}")
   }
 
+  test("w38 branch feed: an audit consumer folds staged intervals incrementally while main readers stay clean (round-18)") {
+    import graft.streaming.SnapshotFeed
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("w38br").toString
+    val (src, state, dst) = (s"$root/src", s"$root/st", s"$root/dst")
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("k", "v"), src)
+    Snapshots.wapStage(Seq((2L, "s1")).toDF("k", "v"), src, "audit")
+    // bootstrap fold: the branch state (base + staged) lands downstream
+    val i1 = SnapshotFeed.pollBranch(spark, src, "audit", state) {
+      (from, to, changes) =>
+        Snapshots.commitAppend(
+          changes.filter($"op" === "I").drop("op"), dst,
+          tag = Some(s"brfeed-$from-$to"))
+        ()
+    }
+    assert(i1.isDefined)
+    assert(Snapshots.read(spark, dst).select("k").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    // a second staged batch folds INCREMENTALLY (only the new dir)
+    Snapshots.wapStage(Seq((3L, "s2")).toDF("k", "v"), src, "audit")
+    val i2 = SnapshotFeed.pollBranch(spark, src, "audit", state) {
+      (from, to, changes) =>
+        val ins = changes.filter($"op" === "I")
+        assert(ins.count() == 1, "incremental leg must fold the delta only")
+        Snapshots.commitAppend(ins.drop("op"), dst,
+          tag = Some(s"brfeed-$from-$to"))
+        ()
+    }
+    assert(i2.isDefined && i2.get._1 == i1.get._2)
+    assert(Snapshots.read(spark, dst).select("k").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L))
+    // main never saw the staged rows; a no-move poll is a no-op
+    assert(Snapshots.read(spark, src).select("k").as[Long]
+      .collect().toSet == Set(1L))
+    assert(SnapshotFeed.pollBranch(spark, src, "audit", state)(
+      (_, _, _) => ()).isEmpty)
+  }
+
   test("w38 snapshot feed: manifest-chain source — intervals fold, mirror tracks, crash replay exactly-once") {
     import graft.streaming.SnapshotFeed
     import graft.ops.Snapshots

@@ -1237,6 +1237,139 @@ private[graft] object SparkEntryStream {
         .agg(count(lit(1)).as("n_rows"), sum(col("__c")).as("cents"))
     }),
 
+    // W39 — the stream-stream join's eviction contract under
+    // ADVERSARIAL delivery (round-18; the r17 VERDICT's #8): w23's
+    // judged row runs event-time-ORDERED delivery, where the bounded
+    // 30-day watermark is lossless by construction. Here the SAME join
+    // configuration receives the NEWEST time-quartile FIRST on both
+    // sides, so the watermark jumps past the remaining three quartiles
+    // and the late batches are genuinely dropped — the case an
+    // unbounded production stream actually faces. The gate is
+    // late-drop ACCOUNTING, judged as constants: the streamed result
+    // is a SUBSET of the batch join (no phantom rows — parity_ok),
+    // drops were actually exercised (drops_observed), and EVERY
+    // dropped pair is attributable to lateness — at least one side
+    // sits outside the first-delivered quartile (drops_all_late; a
+    // pair both of whose sides arrived in the fresh quartile can
+    // never legally drop). n_batch/cents_batch pin the batch truth
+    // the accounting reconciles against. Delivery is deterministic
+    // (pinned mtimes, maxFilesPerTrigger=1), so the run replays
+    // identically; the quartile width (~600 days) dwarfs the 30-day
+    // delay at every sf, which is what makes the drop set stable.
+    "w39_stream_join_unordered" -> ((s, dir) => {
+      val root = s"$streamScratchDir/${dirKey(dir)}_w39"
+      rmTree(root)
+      val splits = 4
+      // deliver order: newest quartile FIRST, then the old ones —
+      // perm(split) = its delivery rank
+      val perm = Map(3 -> 0, 0 -> 1, 1 -> 2, 2 -> 3)
+      def stage(dfRaw: DataFrame, tsCol: String,
+                sub: String): (String, Long, Long) = {
+        val df = dfRaw.withColumn(tsCol, col(tsCol).cast("timestamp"))
+        val in = s"$root/$sub"
+        new java.io.File(in).mkdirs()
+        val mm = df.agg(min(unix_micros(col(tsCol))),
+          max(unix_micros(col(tsCol)))).collect()(0)
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val w = (hi - lo) / splits + 1
+        val tmp = s"$root/tmp_$sub"
+        df.withColumn("__b",
+            least(((unix_micros(col(tsCol)) - lo) / w).cast("int"),
+              lit(splits - 1)))
+          .coalesce(1)
+          .write.partitionBy("__b").mode("overwrite").parquet(tmp)
+        for (b <- 0 until splits) {
+          val d = new java.io.File(s"$tmp/__b=$b")
+          if (d.isDirectory)
+            d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+              .zipWithIndex.foreach { case (f, i) =>
+                java.nio.file.Files.move(f.toPath,
+                  java.nio.file.Paths.get(f"$in/b$b%02d_$i.parquet"))
+              }
+        }
+        new java.io.File(in).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .foreach(f => f.setLastModified(
+            60000L * (perm(f.getName.take(3).drop(1).toInt) + 1)))
+        rmTree(tmp)
+        (in, lo, w)
+      }
+      val (inO, oLo, oW) = stage(t(s, dir, "orders")
+        .filter(col("o_orderkey") % 16 === 0)
+        .select(col("o_orderkey"), col("o_orderdate")), "o_orderdate", "ord")
+      val (inL, lLo, lW) = stage(t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 16 === 0)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_shipdate")), "l_shipdate", "li")
+      val oS = s.readStream.schema(s.read.parquet(inO).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inO)
+        .withWatermark("o_orderdate", "30 days")
+      val lS = s.readStream.schema(s.read.parquet(inL).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inL)
+        .withWatermark("l_shipdate", "30 days")
+      val joined = lS.join(oS, expr(
+        "l_orderkey = o_orderkey AND l_shipdate >= o_orderdate " +
+          "AND l_shipdate <= o_orderdate + interval 90 days"))
+      val outDir = s"$root/out"
+      val conf = s.conf
+      val oldParts = conf.get("spark.sql.shuffle.partitions")
+      val oldProvider =
+        conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      conf.set("spark.sql.shuffle.partitions", "8")
+      conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val pairCols = Seq(col("l_orderkey"), unix_micros(col("l_shipdate"))
+        .as("l_us"), unix_micros(col("o_orderdate")).as("o_us"),
+        round(col("l_extendedprice") * 100).cast("long").as("__c"))
+      val q =
+        try joined.select(pairCols: _*)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (b: DataFrame, bid: Long) =>
+            b.write.mode("overwrite").parquet(s"$outDir/b$bid"); ()
+          }
+          .start()
+        finally {
+          conf.set("spark.sql.shuffle.partitions", oldParts)
+          oldProvider match {
+            case Some(p) =>
+              conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None =>
+              conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      try q.processAllAvailable() finally q.stop()
+      val streamed = s.read.parquet(s"$outDir/b*")
+      // batch truth over the same keyed sample — what the accounting
+      // must reconcile against
+      val batch = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 16 === 0)
+        .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+        .join(t(s, dir, "orders").filter(col("o_orderkey") % 16 === 0)
+            .withColumn("o_orderdate", col("o_orderdate").cast("timestamp")),
+          expr("l_orderkey = o_orderkey AND l_shipdate >= o_orderdate " +
+            "AND l_shipdate <= o_orderdate + interval 90 days"))
+        .select(pairCols: _*)
+      val phantom = streamed.exceptAll(batch).count()
+      val dropped = batch.exceptAll(streamed)
+      val nDropped = dropped.count()
+      // a dropped pair is legal only when at least one side is OUTSIDE
+      // the first-delivered (newest) quartile
+      val freshDropped = dropped.filter(
+        least((col("o_us") - oLo) / oW, lit(splits - 1L))
+          .cast("int") === (splits - 1) &&
+        least((col("l_us") - lLo) / lW, lit(splits - 1L))
+          .cast("int") === (splits - 1)).count()
+      val agg = batch.agg(count(lit(1)), sum(col("__c"))).collect()(0)
+      import s.implicits._
+      Seq((agg.getLong(0), agg.get(1).asInstanceOf[Long],
+        if (phantom == 0L) 1L else 0L,
+        if (nDropped > 0L) 1L else 0L,
+        if (freshDropped == 0L) 1L else 0L))
+        .toDF("n_batch", "cents_batch", "parity_ok", "drops_observed",
+          "drops_all_late")
+    }),
+
     // W28 — STREAMING token-budget mixture (c14's streaming twin,
     // round 13): documents arrive as 3 doc_id%3 micro-batches; each
     // batch lands a category token PARTIAL (the live mixture state —
@@ -1786,6 +1919,23 @@ private[graft] object SparkEntryStream {
         |    coalesce(c_name, chr(0)))), 1, 10)) AS BIGINT))
         |    AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
         |FROM customer""".stripMargin,
+
+    // w39: constant-gate — the oracle recomputes the batch truth
+    // (n_batch, cents_batch) and pins the three accounting flags at 1:
+    // no phantom rows, drops actually exercised, every drop
+    // late-attributable. The quartile span (~600 days) vs the 30-day
+    // delay makes all three invariant across sf.
+    "w39_stream_join_unordered" ->
+      """SELECT count(*) AS n_batch,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents_batch,
+        |  CAST(1 AS BIGINT) AS parity_ok,
+        |  CAST(1 AS BIGINT) AS drops_observed,
+        |  CAST(1 AS BIGINT) AS drops_all_late
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |WHERE l_orderkey % 16 = 0""".stripMargin,
 
     // w23: the batch join IS the truth the streaming state must equal —
     // same key + event-time band, exact cents.

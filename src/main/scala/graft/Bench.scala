@@ -369,12 +369,15 @@ object Bench {
       // run-to-run variance signal IN the artifact (round-18; r17's
       // ±30% host variance needed BASELINE.md prose + an independent
       // re-measurement to attribute). ≥2 complete-ish passes only.
+      // CORE, not aux: at ~250 queries the official render rides the
+      // lean ds rescue, which sheds aux — the variance disclosure must
+      // survive exactly the renders where it matters most (~12 chars).
       val pv =
         if (passTotals.size >= 2 && passTotals.min > 0)
           s""""pvar":${num(passTotals.max / passTotals.min, 2)},"""
         else ""
       val aux =
-        if (lean) sm
+        if (lean) sm + pv
         else sm + pv + s""""min_query_total":${num(best.values.sum, 2)},""" +
           (if (sfName == "sf0.1") s""""sweep01":${num(LocalSweepSf01Sec, 1)},"""
            else "")

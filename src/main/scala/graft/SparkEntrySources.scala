@@ -1815,6 +1815,50 @@ private[graft] object SparkEntrySources {
       SnapshotSql.unregister("s46c")
       p1.union(p2).union(p3).union(p4)
     }),
+
+    // S47 — SQL DELETE and UPDATE (round-18, completing the DML
+    // matrix s44 opened): DELETE routes through POSITION deletes
+    // (readWithPos → commitDeletePositions — fully general, no
+    // equality key needed, one atomic commit), UPDATE through the
+    // keyed MERGE (every RHS sees the OLD row; requires the table's
+    // merge key; assigning a key column refuses). Phases: 1 = the
+    // final state after DELETE %3 then UPDATE %5→'UPD'; 2 = time
+    // travel to the post-DELETE pre-UPDATE state; 3 = both refusals
+    // pinned (key-column assignment, unknown alias). At 100 TB these
+    // are the row-level correction paths (GDPR deletes, backfills) a
+    // SQL-only operator runs without a Scala runtime.
+    "s47_sql_mutations" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      import graft.plans.SnapshotSql
+      val root = s"$partScratchDir/${dirKey(dir)}_s47"
+      rmTree(root)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      Snapshots.commitAppend(cust, root)
+      SnapshotSql.register("s47c", root)
+      s.sql("DELETE FROM graft_snap.s47c WHERE k % 3 = 0")
+      val postDeleteId = Snapshots.current(s, root).get.id
+      // fix the merge key with an EMPTY equality delete (header-only)
+      Snapshots.commitDelete(cust.select("k").limit(0), root, "k")
+      s.sql("UPDATE graft_snap.s47c SET seg = 'UPD' WHERE k % 5 = 0")
+      val cols = Seq("k", "seg")
+      def fp(ph: Long, d: org.apache.spark.sql.DataFrame) =
+        Validations.tableFingerprint(d, cols)
+          .select(lit(ph).as("phase"), col("n_rows"), col("fingerprint"))
+      val p1 = fp(1L, Snapshots.read(s, root))
+      val p2 = fp(2L, Snapshots.read(s, root, Some(postDeleteId)))
+      val setKey = try {
+        s.sql("UPDATE graft_snap.s47c SET k = 0 WHERE k = 1"); 0L
+      } catch { case _: Exception => 1L }
+      val unknown = try {
+        s.sql("DELETE FROM graft_snap.nosuch47 WHERE k = 1"); 0L
+      } catch { case _: Exception => 1L }
+      SnapshotSql.unregister("s47c")
+      import s.implicits._
+      val p3 = Seq((3L, setKey + unknown, s"setkey=$setKey|unknown=$unknown"))
+        .toDF("phase", "n_rows", "fingerprint")
+      p1.union(p2).union(p3)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2292,6 +2336,31 @@ private[graft] object SparkEntrySources {
          |${phase(3, staged)}
          |UNION ALL
          |${phase(4, s"$even UNION ALL $staged")}""".stripMargin
+    },
+
+    // s47: DELETE then UPDATE as plain predicates — survivors are the
+    // %3-nonzero keys, the UPDATE re-labels the %5 keys among them;
+    // phase 2 is the post-DELETE pre-UPDATE slice; phase 3 pins both
+    // refusals.
+    "s47_sql_mutations" -> {
+      val fp =
+        """CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+          |    coalesce(CAST(k AS VARCHAR), chr(0)),
+          |    coalesce(seg, chr(0)))), 1, 10))
+          |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)""".stripMargin
+      s"""SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows,
+         |  $fp AS fingerprint
+         |FROM (SELECT c_custkey AS k,
+         |        CASE WHEN c_custkey % 5 = 0 THEN 'UPD'
+         |             ELSE c_mktsegment END AS seg
+         |      FROM customer WHERE c_custkey % 3 <> 0) t
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), count(*), $fp
+         |FROM (SELECT c_custkey AS k, c_mktsegment AS seg
+         |      FROM customer WHERE c_custkey % 3 <> 0) t
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT),
+         |  'setkey=1|unknown=1'""".stripMargin
     },
 
     // s40: the final state is a last-op-wins CASE reduction over the

@@ -1920,6 +1920,20 @@ object Snapshots {
         sys.error(s"no snapshot snap-$i under $tableDir")))
       .getOrElse(current(spark, tableDir).getOrElse(
         sys.error(s"empty snapshot table $tableDir")))
+    // SYSTEM-only tier (full row rate): the surviving dirs scan exactly
+    // as read() does, so they take the GROUPED path (round-18) — a 1%
+    // dir sample of a 10k-delta table plans O(runs), not O(100 dirs)
+    if (rowRateBp >= 10000) {
+      var ord = -1
+      val ordOf = snap.entries.zipWithIndex.map { case ((k, _), i) =>
+        if (k == DataEntry) { ord += 1; i -> ord } else i -> -1
+      }.toMap
+      val grouped = groupedMaskedFrames(spark, tableDir, snap,
+        (i, _) => drawBp(s"$seed|sys|${ordOf(i)}") < dirRateBp,
+        None, withPos = false)
+      return if (grouped.isEmpty) read(spark, tableDir, snapshotId).limit(0)
+      else grouped.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
     var dataOrd = -1
     val frames = snap.entries.zipWithIndex.flatMap {
       case ((DataEntry, d), i) =>

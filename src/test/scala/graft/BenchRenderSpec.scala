@@ -188,13 +188,14 @@ class BenchRenderSpec extends AnyFunSuite {
     val one = Bench.render(Seq("a"), Map("a" -> 1.0), Map.empty,
       passTotals = Seq(5.0), sfDir = "/d")
     assert(mapper.readTree(one).get("pvar") == null)
-    // real query list still fits the window with the field present
+    // real query list still fits the window with the field present —
+    // and pvar survives the LEAN rungs (it is the variance disclosure
+    // for exactly the big renders that shed the aux totals)
     val real = Bench.render(names, names.map(_ -> 8.888).toMap, Map.empty,
       passTotals = Seq(888.0, 777.0), sfDir = "/root/testdata/sf0.1")
     assert(real.length <= Bench.BudgetChars)
     val rn = mapper.readTree(real)
-    // pvar rides with the aux totals: present together or shed together
-    assert(rn.has("pvar") == rn.has("min_query_total"))
+    assert(math.abs(rn.get("pvar").asDouble - 888.0 / 777.0) < 0.01)
   }
 
   test("session_min flag renders when set, survives the lean rung, and fits the window") {

@@ -252,6 +252,48 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally SnapshotSql.unregister("dml")
   }
 
+  test("s47: SQL DELETE via position deletes and keyed UPDATE — atomic, exact, refusals named (round-18)") {
+    import graft.ops.Snapshots
+    import graft.plans.SnapshotSql
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapdel").toString
+    Snapshots.commitAppend(
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"), root)
+    SnapshotSql.register("mut", root)
+    try {
+      // DELETE needs NO key — position deletes address physical rows
+      spark.sql("DELETE FROM graft_snap.mut WHERE k % 3 = 0")
+      def ks = Snapshots.read(spark, root).select("k").as[Long]
+        .collect().toSet
+      assert(ks == (1L to 10L).toSet -- Set(3L, 6L, 9L))
+      // time travel still sees the pre-delete state (one atomic commit)
+      val cur = Snapshots.current(spark, root).get
+      assert(Snapshots.read(spark, root, Some(cur.id - 1)).count() == 10)
+      // UPDATE requires a merge key: refused before one exists
+      val e1 = intercept[Exception] {
+        spark.sql("UPDATE graft_snap.mut SET v = 'x' WHERE k = 1")
+      }
+      assert(e1.getMessage.contains("no merge key"))
+      // establish the key, then UPDATE — every RHS sees the OLD row
+      Snapshots.commitDelete(Seq(Tuple1(10L)).toDF("k"), root, "k")
+      spark.sql(
+        "UPDATE graft_snap.mut SET v = concat(v, '!') WHERE k <= 2")
+      val vs = Snapshots.read(spark, root)
+        .as[(Long, String)].collect().toMap
+      assert(vs(1L) == "v1!" && vs(2L) == "v2!" && vs(4L) == "v4")
+      // assigning the key column is refused (would re-key the row)
+      val e2 = intercept[Exception] {
+        spark.sql("UPDATE graft_snap.mut SET k = 99 WHERE k = 1")
+      }
+      assert(e2.getMessage.contains("re-key"))
+      // unconditioned UPDATE touches every live row, exactly once
+      spark.sql("UPDATE graft_snap.mut SET v = upper(v)")
+      assert(Snapshots.read(spark, root).filter("v = 'V4'").count() == 1)
+      // live rows: 10 − {3,6,9} (position deletes) − {10} (key delete)
+      assert(Snapshots.read(spark, root).count() == 6)
+    } finally SnapshotSql.unregister("mut")
+  }
+
   test("s46: branch reads from SQL — graft_snap.`alias@branch` sees the staged state, main stays clean, writes to branches refuse (round-18)") {
     import graft.ops.Snapshots
     import graft.plans.SnapshotSql

@@ -43,7 +43,8 @@ object ManifestScaleProbe {
     val t0 = System.nanoTime()
     // n tiny appends with stats on k (the hourly-commit shape), a few
     // deletes sprinkled through so the horizon actually splits runs
-    val delEvery = if (nDel <= 0) Int.MaxValue else n / (nDel + 1)
+    val delEvery =
+      if (nDel <= 0) Int.MaxValue else math.max(1, n / (nDel + 1))
     (0 until n).foreach { i =>
       Snapshots.commitAppendStats(
         Seq((i.toLong, s"row$i")).toDF("k", "v"), root, "k")

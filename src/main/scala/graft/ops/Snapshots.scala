@@ -1446,8 +1446,22 @@ object Snapshots {
     val posAfter = after.collect { case (PosDeleteEntry, pd) => path(pd) }
     val raw =
       if (dirs.size == 1) spark.read.parquet(path(dirs.head))
-      else spark.read.option("mergeSchema", "true")
-        .parquet(dirs.map(path): _*)
+      else
+        // mergeSchema covers ADDITIVE evolution; a TYPE-widened history
+        // (an int append followed by a long append of the same column —
+        // legal, the old per-dir unionByName coerced it) makes the
+        // footer merge throw. Degrade that run to the per-dir union the
+        // pre-grouping reader always ran — correctness first, the plan
+        // win only where the footers agree.
+        try spark.read.option("mergeSchema", "true")
+          .parquet(dirs.map(path): _*)
+        catch { case _: org.apache.spark.SparkException |
+                     _: org.apache.spark.sql.AnalysisException =>
+          return dirs.map(d =>
+            maskedDirScan(spark, tableDir, snap, lastIdx, d, preFilter,
+              withPos))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+        }
     val physCols = raw.columns.map(col).toIndexedSeq
     // every run member shares the same applicable-op set (the grouping
     // key), so any member names the logical rewrite for the whole run
@@ -2867,11 +2881,19 @@ object Snapshots {
         val delsAfter = interval.drop(li + 1)
           .collect { case (DeleteEntry, dd) => path(dd) }
         // interval dirs read under the TO snapshot's schema ops (a
-        // rename later in the interval applies to them too)
+        // rename later in the interval applies to them too); a
+        // type-widened run degrades to the per-dir union, as in
+        // maskedGroupScan
         val raw =
           if (dirs.size == 1) spark.read.parquet(path(dirs.head))
-          else spark.read.option("mergeSchema", "true")
-            .parquet(dirs.map(path): _*)
+          else
+            try spark.read.option("mergeSchema", "true")
+              .parquet(dirs.map(path): _*)
+            catch { case _: org.apache.spark.SparkException |
+                         _: org.apache.spark.sql.AnalysisException =>
+              dirs.map(d => spark.read.parquet(path(d)))
+                .reduce(_.unionByName(_, allowMissingColumns = true))
+            }
         val base = applySchemaOps(raw, to, dirs.head)
         if (delsAfter.isEmpty) base
         else base.join(

@@ -211,6 +211,16 @@ case class SnapshotInsertCommand(alias: String, tableDir: String,
           require(df.columns.length == userCols.length,
             s"INSERT INTO $alias(${userCols.mkString(",")}): query has " +
               s"${df.columns.length} columns for ${userCols.length} names")
+          // a named column the table does not have is an error, never
+          // a silent drop (the value would vanish into an all-NULL row)
+          val unknown = userCols.filterNot(tgt.map(_.name).contains)
+          require(unknown.isEmpty,
+            s"INSERT INTO $alias: unknown column(s) " +
+              s"${unknown.mkString(",")} — table has " +
+              tgt.map(_.name).mkString(","))
+          require(userCols.distinct.size == userCols.size,
+            s"INSERT INTO $alias: duplicate column in list " +
+              userCols.mkString(","))
           val missing = tgt.map(_.name).filterNot(userCols.contains)
           val named = df.toDF(userCols: _*)
           val filled = missing.foldLeft(named)((d, c) =>
@@ -223,22 +233,6 @@ case class SnapshotInsertCommand(alias: String, tableDir: String,
   }
 }
 
-/** `MERGE INTO graft_snap.<alias> t USING src s ON t.k = s.k …` as a
-  * runnable command, covering the canonical upsert trio the snapshot
-  * layer's merge primitive implements exactly:
-  *
-  *   WHEN MATCHED [AND cond] THEN DELETE
-  *   WHEN MATCHED THEN UPDATE SET *
-  *   WHEN NOT MATCHED THEN INSERT *
-  *
-  * ON must be an equality conjunction over same-named columns (those
-  * become the merge key set — the engine's one-key-set-per-table
-  * contract); the optional DELETE condition may reference SOURCE
-  * columns only (it selects which source rows are pure deletes).
-  * Anything outside this shape refuses at ANALYSIS time with the
-  * feature named — never a silently-different merge. Routed to
-  * [[Snapshots.commitMergeKeyed]], so the SQL text and the Scala API
-  * produce byte-identical table states (the s44 judged gate). */
 /** `DELETE FROM graft_snap.<alias> WHERE …` as a runnable command —
   * fully general via POSITION deletes: the matched rows' physical
   * addresses ([[Snapshots.readWithPos]]) land as one atomic
@@ -291,6 +285,22 @@ case class SnapshotUpdateCommand(alias: String, tableDir: String,
       case Some(h) => base.filter(coalesce(Shim.column(h.e), lit(false)))
       case None => base
     }
+    // keyed replace masks EVERY old row of a matched key — if an
+    // UNMATCHED sibling shares a key with a matched row, it would be
+    // silently deleted (SQL UPDATE touches matched rows only). Refuse
+    // loudly; rows where every same-key sibling matched replace
+    // soundly (all of them are in `updated`).
+    val perKeyAll = base.groupBy(keys.map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__all"))
+    val perKeyMatched = matched.groupBy(keys.map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__m"))
+    val strays = perKeyMatched.join(perKeyAll, keys)
+      .filter(col("__all") =!= col("__m")).count()
+    require(strays == 0L,
+      s"UPDATE graft_snap.$alias: $strays key(s) are shared between " +
+        "matched and unmatched rows (non-unique merge key) — a keyed " +
+        "replace would delete the unmatched siblings; deduplicate the " +
+        "key or use the Scala API")
     val updated = matched.select(matched.columns.map { cn =>
       sets.find(_._1 == cn)
         .map(s => Shim.column(s._2.e).cast(base.schema(cn).dataType).as(cn))
@@ -302,24 +312,51 @@ case class SnapshotUpdateCommand(alias: String, tableDir: String,
   }
 }
 
+/** `MERGE INTO graft_snap.<alias> t USING src s ON t.k = s.k …` as a
+  * runnable command, covering any SUBSET of the star-action trio with
+  * EXACT SQL semantics:
+  *
+  *   WHEN MATCHED [AND cond] THEN DELETE
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  *
+  * ON must be an equality conjunction over same-named columns (those
+  * become the merge key set — the engine's one-key-set-per-table
+  * contract); the optional DELETE condition may reference SOURCE
+  * columns only. The command splits the source against the target's
+  * LIVE KEY SET, because every clause is scoped by matched-ness in
+  * SQL: a delete-condition row that is NOT matched still INSERTs (the
+  * DELETE clause never saw it); without an UPDATE clause, matched
+  * rows stay untouched rather than silently replaced; without an
+  * INSERT clause, unmatched source rows are ignored, not inserted.
+  * Anything outside the star-action set refuses at ANALYSIS time with
+  * the feature named — never a silently-different merge. Routed to
+  * [[Snapshots.commitMergeKeyed]] (one atomic commit), so the SQL
+  * text and the Scala API produce byte-identical table states (the
+  * s44 judged gate). */
 case class SnapshotMergeCommand(alias: String, tableDir: String,
                                 source: LogicalPlan,
                                 keyCols: Seq[String],
+                                hasUpdate: Boolean, hasInsert: Boolean,
                                 deleteCond: Option[SnapshotSql.HeldCond])
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val src = Shim.ofRows(spark, source)
-    val (upserts, pureDeletes) = deleteCond match {
-      case None =>
-        (src, src.select(keyCols.map(col): _*).limit(0))
-      case Some(held) =>
-        val c = coalesce(Shim.column(held.e), lit(false))
-        (src.filter(!c), src.filter(c).select(keyCols.map(col): _*))
-    }
-    Snapshots.commitMergeKeyed(upserts, pureDeletes, tableDir, keyCols,
-      None)
+    val tgtKeys = Snapshots.read(spark, tableDir)
+      .select(keyCols.map(col): _*).distinct()
+    val matched = src.join(tgtKeys, keyCols, "left_semi")
+    val unmatched = src.join(tgtKeys, keyCols, "left_anti")
+    val c = deleteCond.map(h =>
+      coalesce(Shim.column(h.e), lit(false))).getOrElse(lit(false))
+    val pureDeletes =
+      if (deleteCond.isEmpty) src.select(keyCols.map(col): _*).limit(0)
+      else matched.filter(c).select(keyCols.map(col): _*)
+    val updates = if (hasUpdate) matched.filter(!c) else src.limit(0)
+    val inserts = if (hasInsert) unmatched else src.limit(0)
+    Snapshots.commitMergeKeyed(updates.unionByName(inserts), pureDeletes,
+      tableDir, keyCols, None)
     Nil
   }
 }
@@ -406,12 +443,14 @@ class SnapshotRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
             require(notMatchedBySource.isEmpty && !withSchemaEvolution,
               s"MERGE INTO graft_snap.$a: WHEN NOT MATCHED BY SOURCE " +
                 "and WITH SCHEMA EVOLUTION are not supported")
-            require(notMatched.forall {
+            require(notMatched.size <= 1 && notMatched.forall {
               case InsertStarAction(None) => true; case _ => false },
               s"MERGE INTO graft_snap.$a: only WHEN NOT MATCHED THEN " +
                 "INSERT * is supported")
+            val hasInsert = notMatched.nonEmpty
+            var hasUpdate = false
             val deleteCond = matched.map {
-              case UpdateStarAction(None) => None
+              case UpdateStarAction(None) => hasUpdate = true; None
               case DeleteAction(c) => Some(c.getOrElse(
                 org.apache.spark.sql.catalyst.expressions.Literal(true)))
               case other => sys.error(
@@ -421,7 +460,10 @@ class SnapshotRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }.flatten
             require(deleteCond.size <= 1,
               s"MERGE INTO graft_snap.$a: at most one DELETE clause")
-            SnapshotMergeCommand(a, dir, source, keys,
+            require(hasUpdate || hasInsert || deleteCond.nonEmpty,
+              s"MERGE INTO graft_snap.$a: no supported action clause")
+            SnapshotMergeCommand(a, dir, source, keys, hasUpdate,
+              hasInsert,
               deleteCond.headOption.map(c =>
                 new SnapshotSql.HeldCond(byName(c))))
           case None => m

@@ -52,22 +52,27 @@ object CheckedIngestStream {
   def absorb(batch: DataFrame, bid: Long, mainDir: String,
              quarantineDir: String, checks: Seq[Checks.Check],
              wholeTable: Boolean = false,
-             appId: String = "default"): Unit = {
+             appId: String = "default",
+             legacyTagCompat: Boolean = false): Unit = {
     // an empty micro-batch is a no-op, not a Complete-check failure
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     if (Snapshots.findTag(spark, quarantineDir,
         s"quarantine-$appId-$bid").isDefined) return
-    // upgrade shim: tables last written under the pre-appId tag format
-    // (`ingest-<bid>` / `quarantine-<bid>`) would otherwise not find
-    // their tag on a checkpoint replay that straddles the upgrade and
-    // re-land the batch once. The legacy probe carries the legacy
-    // format's own caveat (bid-only identity); new commits always land
-    // under the (appId, bid) tag, so the shim's surface shrinks to the
-    // pre-upgrade backlog and costs two manifest greps per batch.
-    if (Snapshots.findTag(spark, mainDir, s"ingest-$bid").isDefined ||
-        Snapshots.findTag(spark, quarantineDir,
-          s"quarantine-$bid").isDefined) return
+    // OPT-IN upgrade shim (round-18): tables last written under the
+    // pre-appId tag format (`ingest-<bid>` / `quarantine-<bid>`) would
+    // otherwise not find their tag on a checkpoint replay that
+    // straddles the upgrade and re-land the batch once. The probe
+    // carries the legacy format's bid-only identity, which ABSORBS ANY
+    // app's batch at a colliding bid — exactly the hazard the
+    // (appId, bid) format fixed — so it must never run by default: a
+    // NEW query pointed at a legacy-tagged table would silently skip
+    // its first batches. Enable only for the one catch-up replay of
+    // the query that wrote the legacy tags, then turn it off.
+    if (legacyTagCompat &&
+        (Snapshots.findTag(spark, mainDir, s"ingest-$bid").isDefined ||
+         Snapshots.findTag(spark, quarantineDir,
+           s"quarantine-$bid").isDefined)) return
     try {
       Snapshots.commitAppendChecked(batch, mainDir, checks,
         wholeTable, tag = Some(s"ingest-$appId-$bid"))
@@ -82,13 +87,14 @@ object CheckedIngestStream {
 
   def start(stream: DataFrame, mainDir: String, quarantineDir: String,
             checks: Seq[Checks.Check], checkpointDir: String,
-            wholeTable: Boolean = false): StreamingQuery = {
+            wholeTable: Boolean = false,
+            legacyTagCompat: Boolean = false): StreamingQuery = {
     val appId = appIdFor(checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         absorb(batch, bid, mainDir, quarantineDir, checks, wholeTable,
-          appId)
+          appId, legacyTagCompat)
       }
       .start()
   }

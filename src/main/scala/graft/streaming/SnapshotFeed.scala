@@ -91,8 +91,14 @@ object SnapshotFeed {
       if (head - from <= maxCommitsPerPoll) head
       else {
         val desired = from + maxCommitsPerPoll
+        // a BRANCH-marked manifest can occupy an id inside main's
+        // sequence (wapStage CASes into the same chain) — folding to
+        // it would leak staged/unaudited rows into the feed AND wedge
+        // the cursor on a state main's listing never extends. Only a
+        // MAIN manifest may end a paced interval.
         (desired to head).find(i =>
-          Snapshots.get(spark, tableDir, i).isDefined).getOrElse(head)
+          Snapshots.get(spark, tableDir, i).exists(_.branch.isEmpty))
+          .getOrElse(head)
       }
     f(from, to, Snapshots.changesBetween(spark, tableDir, from, to))
     val fs = fsFor(spark, stateDir)

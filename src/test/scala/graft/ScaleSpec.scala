@@ -1774,6 +1774,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("snapshots: a type-widened history (int append then long append) stays readable — the grouped scan degrades that run to the per-dir union (round-18)") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("snapwide").toString
+    Snapshots.commitAppend(
+      Seq((1, "a"), (2, "b")).toDF("n", "v"), root) // n: INT
+    Snapshots.commitAppend(
+      Seq((3L, "c")).toDF("n", "v"), root) // n: LONG — merge would throw
+    val df = Snapshots.read(spark, root)
+    assert(df.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"union coercion must widen, got ${df.schema("n").dataType}")
+    assert(df.select(col("n").cast("long")).as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+    // the CDC leg degrades the same way
+    val ch = Snapshots.changesBetween(spark, root, 0L, 2L)
+    assert(ch.filter("op = 'I'").count() == 3)
+  }
+
   test("snapshots: disjunctive pruning property — OR/IN reads equal read().filter on random DNF predicates, and actually skip (round-18)") {
     import graft.ops.Snapshots
     import graft.ops.Snapshots.{BucketTransform, TruncateTransform}

@@ -248,7 +248,42 @@ class SqlSurfaceSpec extends SparkSpec {
         "time-travel")
       // arity mismatch refuses before anything lands
       refuse("INSERT INTO graft_snap.dml VALUES (9)", "columns")
+      // a named column the table lacks refuses — never a silent drop
+      // into an all-NULL row
+      refuse("INSERT INTO graft_snap.dml (kx) VALUES (5)",
+        "unknown column")
       assert(state(rootSql) == state(rootApi), "refusals must not commit")
+
+      // clause-scoped MERGE semantics (round-18 review fixes):
+      // (a) a delete-condition row that is NOT matched still INSERTs
+      Seq((77L, "c")).toDF("k", "v").createOrReplaceTempView("dml_nm")
+      spark.sql(
+        """MERGE INTO graft_snap.dml t USING dml_nm s ON t.k = s.k
+          |WHEN MATCHED AND s.v = 'c' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(state(rootSql).contains((77L, Some("c"))),
+        "unmatched delete-condition row must INSERT (the DELETE " +
+          "clause never saw it)")
+      // (b) insert-only merge leaves matched rows UNTOUCHED
+      Seq((77L, "CHANGED"), (78L, "new")).toDF("k", "v")
+        .createOrReplaceTempView("dml_io")
+      spark.sql(
+        """MERGE INTO graft_snap.dml t USING dml_io s ON t.k = s.k
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(state(rootSql).contains((77L, Some("c"))),
+        "insert-only merge must not replace matched rows")
+      assert(state(rootSql).contains((78L, Some("new"))))
+      // (c) update-only merge ignores unmatched source rows
+      Seq((78L, "upd78"), (79L, "ghost")).toDF("k", "v")
+        .createOrReplaceTempView("dml_uo")
+      spark.sql(
+        """MERGE INTO graft_snap.dml t USING dml_uo s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      val st = state(rootSql)
+      assert(st.contains((78L, Some("upd78"))))
+      assert(!st.exists(_._1 == 79L),
+        "update-only merge must not insert unmatched rows")
     } finally SnapshotSql.unregister("dml")
   }
 
@@ -291,6 +326,19 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(Snapshots.read(spark, root).filter("v = 'V4'").count() == 1)
       // live rows: 10 − {3,6,9} (position deletes) − {10} (key delete)
       assert(Snapshots.read(spark, root).count() == 6)
+      // a key shared between matched and UNMATCHED rows refuses: the
+      // keyed replace would silently delete the unmatched sibling
+      Snapshots.commitAppend(Seq((1L, "sibling")).toDF("k", "v"), root)
+      val e3 = intercept[Exception] {
+        spark.sql("UPDATE graft_snap.mut SET v = 'x' WHERE v = 'V1!'")
+      }
+      assert(e3.getMessage.contains("unmatched siblings"))
+      assert(Snapshots.read(spark, root).filter("k = 1").count() == 2,
+        "the refusal must not have committed anything")
+      // when EVERY same-key sibling matches, the replace is sound
+      spark.sql("UPDATE graft_snap.mut SET v = 'both' WHERE k = 1")
+      assert(Snapshots.read(spark, root).filter("k = 1 AND v = 'both'")
+        .count() == 2)
     } finally SnapshotSql.unregister("mut")
   }
 

@@ -533,7 +533,7 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.read(spark, quar2).count() == 1)
   }
 
-  test("w37 checked ingest: pre-appId legacy tags absorb their replays across the upgrade (no double-commit)") {
+  test("w37 checked ingest: pre-appId legacy tags absorb replays only under the OPT-IN compat flag — never a new app's batches") {
     import graft.streaming.CheckedIngestStream
     import graft.ops.Snapshots
     import graft.validate.Checks._
@@ -546,21 +546,62 @@ class StreamingSpec extends SparkSpec {
     // simulate a table committed under the OLD tag format
     Snapshots.commitAppend(good, main, tag = Some("ingest-0"))
     Snapshots.commitAppend(bad, quar, tag = Some("quarantine-1"))
-    // checkpoint replay AFTER the upgrade: the new-format probe misses,
-    // the legacy fallback finds the bid-only tag — nothing lands twice
+    // checkpoint replay AFTER the upgrade WITH the compat flag: the
+    // legacy fallback finds the bid-only tag — nothing lands twice
     CheckedIngestStream.absorb(good, 0L, main, quar, contract,
-      appId = "q1")
+      appId = "q1", legacyTagCompat = true)
     CheckedIngestStream.absorb(bad, 1L, main, quar, contract,
-      appId = "q1")
+      appId = "q1", legacyTagCompat = true)
     assert(Snapshots.read(spark, main).count() == 1)
     assert(Snapshots.read(spark, quar).count() == 1)
     // NEW batches (bids beyond the legacy backlog) land under the
     // (appId, bid) format and replay exactly-once on it
     val g2 = Seq((3L, "c")).toDF("k", "v")
-    CheckedIngestStream.absorb(g2, 2L, main, quar, contract, appId = "q1")
-    CheckedIngestStream.absorb(g2, 2L, main, quar, contract, appId = "q1")
+    CheckedIngestStream.absorb(g2, 2L, main, quar, contract,
+      appId = "q1", legacyTagCompat = true)
+    CheckedIngestStream.absorb(g2, 2L, main, quar, contract,
+      appId = "q1", legacyTagCompat = true)
     assert(Snapshots.read(spark, main).select("k").as[Long]
       .collect().toSet == Set(1L, 3L))
+    // WITHOUT the flag (the default), a DIFFERENT app's bid-0 batch
+    // must LAND despite the legacy ingest-0 tag — the bid-only
+    // identity must never absorb another query's work
+    val other = Seq((9L, "z")).toDF("k", "v")
+    CheckedIngestStream.absorb(other, 0L, main, quar, contract,
+      appId = "q2")
+    assert(Snapshots.read(spark, main).select("k").as[Long]
+      .collect().toSet == Set(1L, 3L, 9L),
+      "default-off shim must not eat a new app's batches")
+  }
+
+  test("w38 feed pacing: a paced interval endpoint skips STAGED branch manifests — unpublished rows never leak into the feed (round-18)") {
+    import graft.streaming.SnapshotFeed
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("w38brskip").toString
+    val (src, st) = (s"$root/src", s"$root/st")
+    (1 to 3).foreach(i => Snapshots.commitAppend(
+      Seq((i.toLong, s"v$i")).toDF("k", "v"), src)) // ids 1..3
+    Snapshots.wapStage(Seq((99L, "staged")).toDF("k", "v"), src, "wip") // id 4
+    (1 to 3).foreach(i => Snapshots.commitAppend(
+      Seq((i + 10L, s"w$i")).toDF("k", "v"), src)) // ids 5..7
+    // drain cursor to 3, then a paced poll whose desired endpoint (4)
+    // is the STAGED manifest: the interval must grow to main's snap-5
+    SnapshotFeed.poll(spark, src, st, 3)((_, _, _) => ())
+    val r = SnapshotFeed.poll(spark, src, st, 1) { (_, _, changes) =>
+      val ks = changes.filter($"op" === "I").select("k")
+        .as[Long].collect().toSet
+      assert(!ks.contains(99L), "staged rows must not leak into the feed")
+      assert(ks == Set(11L))
+    }
+    assert(r.contains((3L, 5L)),
+      s"paced endpoint must skip the branch manifest, got $r")
+    // the rest drains normally and never sees the staged row
+    val r2 = SnapshotFeed.poll(spark, src, st, 10) { (_, _, changes) =>
+      assert(!changes.filter($"op" === "I").select("k").as[Long]
+        .collect().contains(99L))
+    }
+    assert(r2.contains((5L, 7L)))
   }
 
   test("w38 feed pacing: a backlog drains in bounded tagged intervals; expired cursor fails loudly with re-bootstrap guidance (round-18)") {

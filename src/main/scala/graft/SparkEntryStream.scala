@@ -1211,8 +1211,13 @@ private[graft] object SparkEntryStream {
       conf.set("spark.sql.shuffle.partitions", "8")
       conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val q =
-        try joined
+      // conf restore deferred to AFTER processAllAvailable/stop
+      // (round-19; the r18 advisory's low finding): the query captures
+      // these confs asynchronously when its first batch plans, so a
+      // restore right after start() could race the capture and
+      // un-deterministically re-widen the state partitioning
+      try {
+        val q = joined
           .select(col("l_returnflag"),
             round(col("l_extendedprice") * 100).cast("long").as("__c"))
           .writeStream.outputMode("append")
@@ -1224,14 +1229,14 @@ private[graft] object SparkEntryStream {
             b.write.mode("overwrite").parquet(s"$outDir/b$bid"); ()
           }
           .start()
-        finally {
-          conf.set("spark.sql.shuffle.partitions", oldParts)
-          oldProvider match {
-            case Some(p) => conf.set("spark.sql.streaming.stateStore.providerClass", p)
-            case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
-          }
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        conf.set("spark.sql.shuffle.partitions", oldParts)
+        oldProvider match {
+          case Some(p) => conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
         }
-      try q.processAllAvailable() finally q.stop()
+      }
       s.read.parquet(s"$outDir/b*")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"), sum(col("__c")).as("cents"))
@@ -1321,24 +1326,28 @@ private[graft] object SparkEntryStream {
       val pairCols = Seq(col("l_orderkey"), unix_micros(col("l_shipdate"))
         .as("l_us"), unix_micros(col("o_orderdate")).as("o_us"),
         round(col("l_extendedprice") * 100).cast("long").as("__c"))
-      val q =
-        try joined.select(pairCols: _*)
+      // restore AFTER the run, not after start() — the query captures
+      // these confs when its first batch plans, and the w39 drop
+      // accounting relies on deterministic replay (round-19; the r18
+      // advisory's low finding)
+      try {
+        val q = joined.select(pairCols: _*)
           .writeStream.outputMode("append")
           .option("checkpointLocation", s"$root/ckpt")
           .foreachBatch { (b: DataFrame, bid: Long) =>
             b.write.mode("overwrite").parquet(s"$outDir/b$bid"); ()
           }
           .start()
-        finally {
-          conf.set("spark.sql.shuffle.partitions", oldParts)
-          oldProvider match {
-            case Some(p) =>
-              conf.set("spark.sql.streaming.stateStore.providerClass", p)
-            case None =>
-              conf.unset("spark.sql.streaming.stateStore.providerClass")
-          }
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        conf.set("spark.sql.shuffle.partitions", oldParts)
+        oldProvider match {
+          case Some(p) =>
+            conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            conf.unset("spark.sql.streaming.stateStore.providerClass")
         }
-      try q.processAllAvailable() finally q.stop()
+      }
       val streamed = s.read.parquet(s"$outDir/b*")
       // batch truth over the same keyed sample — what the accounting
       // must reconcile against

@@ -2020,6 +2020,10 @@ object Snapshots {
   final case class TruncateTransform(column: String, width: Long)
       extends HiddenTransform {
     require(width >= 1, "width >= 1")
+    // the one transform still built from SQL text (no typed `div`):
+    // a backtick in the name would escape the quoting and inject
+    // arbitrary expression text — refuse at construction (round-19)
+    require(!column.contains('`'), s"bad transform column name: $column")
     def statsName = s"__pt_trunc_${width}_$column"
     private[graft] def valueExpr =
       org.apache.spark.sql.functions.expr(s"`$column` div $width")
@@ -2050,9 +2054,14 @@ object Snapshots {
       extends HiddenTransform {
     require(len >= 1 && len <= 7, "len in [1, 7] (packed into a Long)")
     def statsName = s"__pt_truncstr_${len}_$column"
-    private[graft] def valueExpr = org.apache.spark.sql.functions.expr(
-      s"cast(conv(hex(rpad(encode(`$column`, 'UTF-8'), $len, x'00')), " +
-        "16, 10) as bigint)")
+    // typed Column API, not expr() text (round-19; a column name
+    // containing a backtick used to break the interpolated SQL or
+    // inject arbitrary expression text)
+    private[graft] def valueExpr = {
+      import org.apache.spark.sql.functions.{col, conv, encode, hex, lit, rpad}
+      conv(hex(rpad(encode(col(column), "UTF-8"), len,
+        Array[Byte](0))), 16, 10).cast("long")
+    }
   }
   /** STRING hash bucket (round-18): value = pmod over the md5-48-bit
     * integer digest — the replantable convention this engine's oracles
@@ -2063,9 +2072,13 @@ object Snapshots {
       extends HiddenTransform {
     require(n >= 1, "n >= 1")
     def statsName = s"__pt_bucketstr_${n}_$column"
-    private[graft] def valueExpr = org.apache.spark.sql.functions.expr(
-      s"pmod(cast(conv(substr(md5(`$column`), 1, 12), 16, 10) as " +
-        s"bigint), ${n}L)")
+    // typed Column API, not expr() text (round-19; same injection
+    // surface as TruncateStrTransform)
+    private[graft] def valueExpr = {
+      import org.apache.spark.sql.functions.{col, conv, lit, md5, pmod, substring}
+      pmod(conv(substring(md5(col(column)), 1, 12), 16, 10).cast("long"),
+        lit(n.toLong))
+    }
   }
 
   /** Driver-side twin of [[TruncateStrTransform.valueExpr]] — the

@@ -342,12 +342,43 @@ case class SnapshotMergeCommand(alias: String, tableDir: String,
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
     val src = Shim.ofRows(spark, source)
-    val tgtKeys = Snapshots.read(spark, tableDir)
-      .select(keyCols.map(col): _*).distinct()
+    val tgt = Snapshots.read(spark, tableDir)
+    val tgtKeys = tgt.select(keyCols.map(col): _*).distinct()
     val matched = src.join(tgtKeys, keyCols, "left_semi")
     val unmatched = src.join(tgtKeys, keyCols, "left_anti")
+    // SQL MERGE cardinality contract (round-19): two guards, both
+    // bounded count() actions over key frames — the same guard-cost
+    // class as SnapshotUpdateCommand's stray-sibling probe.
+    //  - A source key matching with >1 row makes the matched-clause
+    //    outcome ill-defined (SQL raises a cardinality violation;
+    //    the keyed commit would land an arbitrary one of them).
+    //  - >1 TARGET row sharing a matched key would be collapsed to
+    //    the single source row by the keyed replace, silently losing
+    //    rows (SQL updates each target row independently).
+    // Insert-only merges are exempt on the source side: SQL inserts
+    // every unmatched row, duplicates included — and so does the
+    // keyed commit (the delete mask only covers PRIOR dirs).
+    if (hasUpdate || deleteCond.nonEmpty) {
+      val dupSrc = matched.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+      require(dupSrc == 0L,
+        s"MERGE INTO graft_snap.$alias: $dupSrc matched key(s) have " +
+          "more than one SOURCE row — SQL MERGE cardinality violation " +
+          "(the matched-clause outcome would be arbitrary); " +
+          "deduplicate the source on the ON key set")
+      val dupTgt = tgt
+        .join(matched.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_semi")
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+      require(dupTgt == 0L,
+        s"MERGE INTO graft_snap.$alias: $dupTgt matched key(s) have " +
+          "more than one TARGET row — the keyed replace would collapse " +
+          "them to the single source row (SQL updates each target row); " +
+          "deduplicate the target or use the Scala API")
+    }
     val c = deleteCond.map(h =>
       coalesce(Shim.column(h.e), lit(false))).getOrElse(lit(false))
     val pureDeletes =
@@ -395,14 +426,62 @@ class SnapshotRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Re-anchor a (possibly partially resolved) condition to BY-NAME
     * form: the captured expression must re-resolve against the
     * command's own run-time analysis of the source — expr ids bound by
-    * the outer analyzer would be stale there. Qualifiers drop too (the
-    * run-time filter sees the source frame's plain columns); the
-    * supported MERGE shape restricts delete conditions to source
-    * columns, so a dropped target qualifier cannot rebind silently. */
+    * the outer analyzer would be stale there. Qualifiers drop too:
+    * DELETE/UPDATE conditions re-resolve against their own single
+    * table's frame, where the qualifier could only have named that
+    * table. MERGE delete conditions go through [[byNameSourceOnly]]
+    * instead — there the run-time frame is the SOURCE, and a silently
+    * dropped target qualifier would rebind to the wrong table. */
   private def byName(cond: Expression): Expression = cond.transform {
     case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
       UnresolvedAttribute(Seq(a.name))
     case u: UnresolvedAttribute => UnresolvedAttribute(Seq(u.nameParts.last))
+  }
+
+  /** Every name a qualifier could legally use for `p`: subquery
+    * aliases plus the relation's own identifier parts. */
+  private def aliasNames(p: LogicalPlan): Set[String] = p match {
+    case SubqueryAlias(id, child) => aliasNames(child) + id.name.toLowerCase
+    case u: UnresolvedRelation =>
+      u.multipartIdentifier.map(_.toLowerCase).toSet
+    case _ => Set.empty
+  }
+
+  /** [[byName]] for a MERGE DELETE condition with the qualifier
+    * contract ENFORCED (round-19; the r18 advisory's high finding):
+    * the condition re-resolves against the SOURCE-ONLY matched frame
+    * at run time, so a target-qualified attribute (`t.col`) would
+    * silently read the source's same-named column — source and target
+    * schemas coincide whenever UPDATE SET * / INSERT * is used, so
+    * nothing downstream would catch it. Any qualifier naming the
+    * target (alias, table name, or the graft_snap namespace), or not
+    * naming the source at all, refuses at ANALYSIS time with the
+    * contract spelled out — never a silently-different merge. */
+  private def byNameSourceOnly(cond: Expression, tgtNames: Set[String],
+                               srcNames: Set[String],
+                               a: String): Expression = {
+    def vet(parts: Seq[String]): Unit = {
+      val quals = parts.init.map(_.toLowerCase)
+      if (quals.nonEmpty) {
+        require(!quals.exists(tgtNames.contains),
+          s"MERGE INTO graft_snap.$a: DELETE condition references " +
+            s"target-qualified column '${parts.mkString(".")}' — the " +
+            "condition evaluates against the SOURCE row only; qualify " +
+            "with the source alias (or leave it unqualified)")
+        require(quals.forall(srcNames.contains),
+          s"MERGE INTO graft_snap.$a: unknown qualifier on DELETE-" +
+            s"condition column '${parts.mkString(".")}' — only the " +
+            "source alias may qualify a delete condition")
+      }
+    }
+    cond.transform {
+      case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        vet(ar.qualifier :+ ar.name)
+        UnresolvedAttribute(Seq(ar.name))
+      case u: UnresolvedAttribute =>
+        vet(u.nameParts)
+        UnresolvedAttribute(Seq(u.nameParts.last))
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -465,7 +544,9 @@ class SnapshotRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
             SnapshotMergeCommand(a, dir, source, keys, hasUpdate,
               hasInsert,
               deleteCond.headOption.map(c =>
-                new SnapshotSql.HeldCond(byName(c))))
+                new SnapshotSql.HeldCond(byNameSourceOnly(c,
+                  aliasNames(t) + SnapshotSql.Namespace,
+                  aliasNames(source), a))))
           case None => m
         }
       case dd @ DeleteFromTable(t, cond) =>

@@ -381,6 +381,84 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally SnapshotSql.unregister("br")
   }
 
+  test("s44 guards (round-19): target-qualified DELETE conditions and MERGE cardinality violations refuse loudly") {
+    import graft.ops.Snapshots
+    import graft.plans.SnapshotSql
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapmg").toString
+    // target state deliberately DIVERGES from the source on v so a
+    // delete condition silently reading the wrong side is detectable:
+    // t(1).v = 'del' but s(1).v = 'keep'
+    Snapshots.commitAppend(Seq((1L, "del"), (2L, "b")).toDF("k", "v"), root)
+    SnapshotSql.register("mg", root)
+    def refuse(sql: String, frag: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      assert(e.getMessage != null && e.getMessage.contains(frag),
+        s"expected '$frag' in: ${e.getMessage}")
+    }
+    try {
+      Seq((1L, "keep"), (3L, "del")).toDF("k", "v")
+        .createOrReplaceTempView("mg_src")
+      // a TARGET-qualified delete condition would silently evaluate
+      // the SOURCE's v at run time (schemas coincide under UPDATE SET
+      // */INSERT *) — refused at analysis, contract named
+      refuse(
+        """MERGE INTO graft_snap.mg t USING mg_src s ON t.k = s.k
+          |WHEN MATCHED AND t.v = 'del' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin,
+        "target-qualified")
+      // the bare table name qualifies the target too
+      refuse(
+        """MERGE INTO graft_snap.mg t USING mg_src s ON t.k = s.k
+          |WHEN MATCHED AND mg.v = 'del' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin,
+        "target-qualified")
+      // a qualifier naming NEITHER side refuses as unknown
+      refuse(
+        """MERGE INTO graft_snap.mg t USING mg_src s ON t.k = s.k
+          |WHEN MATCHED AND zz.v = 'del' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin,
+        "unknown qualifier")
+      // nothing committed by the refusals
+      assert(Snapshots.current(spark, root).get.id == 1L)
+      // the SOURCE-qualified condition evaluates the source's v:
+      // s(1).v = 'keep' → k=1 UPDATEs (to 'keep'), not deleted
+      spark.sql(
+        """MERGE INTO graft_snap.mg t USING mg_src s ON t.k = s.k
+          |WHEN MATCHED AND s.v = 'del' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val st = Snapshots.read(spark, root).as[(Long, String)]
+        .collect().toMap
+      assert(st == Map(1L -> "keep", 2L -> "b", 3L -> "del"),
+        s"source-qualified delete condition must read the SOURCE: $st")
+      // cardinality: >1 SOURCE row per matched key refuses (SQL's
+      // cardinality-violation error)
+      Seq((1L, "x"), (1L, "y")).toDF("k", "v")
+        .createOrReplaceTempView("mg_dup")
+      refuse(
+        """MERGE INTO graft_snap.mg t USING mg_dup s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin,
+        "cardinality")
+      // >1 TARGET row per matched key refuses (the keyed replace
+      // would collapse them — SQL updates each row)
+      Snapshots.commitAppend(Seq((2L, "sibling")).toDF("k", "v"), root)
+      Seq((2L, "z")).toDF("k", "v").createOrReplaceTempView("mg_one")
+      refuse(
+        """MERGE INTO graft_snap.mg t USING mg_one s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin,
+        "TARGET row")
+      // insert-only merges are EXEMPT from the source-dup guard: SQL
+      // inserts every unmatched row, duplicates included
+      Seq((7L, "p"), (7L, "q")).toDF("k", "v")
+        .createOrReplaceTempView("mg_ins")
+      spark.sql(
+        """MERGE INTO graft_snap.mg t USING mg_ins s ON t.k = s.k
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(Snapshots.read(spark, root).filter("k = 7").count() == 2)
+    } finally SnapshotSql.unregister("mg")
+  }
+
   test("s41: an alias that itself ends in __v<N> stays reachable — full-alias registration wins over time-travel stripping") {
     import graft.ops.Snapshots
     import graft.plans.SnapshotSql

@@ -134,6 +134,21 @@ object Bench {
       }
     val line = render(names.map(_._1), merged, errors, passTotals, sfDir,
       passFails, sessionMin)
+    // UNTRUNCATED sidecar (round-19; the r18 VERDICT's #3): the
+    // driver-carried line above degrades under its 2000-char budget —
+    // at ~250 queries it omits the fastest rows' timings entirely
+    // ("queries_omitted"), so cross-round per-query attribution used
+    // to depend on BASELINE.md prose. The full map at 3-decimal
+    // precision is written locally instead, where no budget applies.
+    try {
+      val side = new java.io.PrintWriter(
+        s"bench_full_${new java.io.File(sfDir).getName}.json", "UTF-8")
+      try side.println(renderFull(names.map(_._1), merged, errors,
+        passTotals, sfDir, passFails, sessionMin))
+      finally side.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] sidecar write failed (non-fatal): $e")
+    }
     // the driver archives the LAST 2000 chars of stderr too — a teardown
     // stack trace (streaming stop racing executor shutdown) must be
     // attributable from the artifact alone (round-18; r17's tail ended
@@ -210,6 +225,49 @@ object Bench {
         } finally out.close()
         merged
     }
+
+  /** The sidecar's UNTRUNCATED render: every query at 3 decimals, full
+    * names, full error messages, the same aggregate fields as the
+    * driver line — no budget ladder, no omission tiers. One JSON
+    * object, directly diffable across rounds. */
+  def renderFull(
+      names: Seq[String],
+      best: Map[String, Double],
+      errors: Map[String, String],
+      passTotals: Seq[Double],
+      sfDir: String,
+      passFails: Seq[Int] = Nil,
+      sessionMin: Boolean = false): String = {
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c if Character.isSurrogate(c) => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = names.flatMap(k => best.get(k).map(k -> _))
+      .map { case (k, v) => s"${jstr(k)}:${num(v)}" }
+      .mkString("{", ",", "}")
+    val es =
+      if (errors.isEmpty) ""
+      else "\"errors\":" + errors.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "},")
+    val completeTotals =
+      if (passFails.size == passTotals.size)
+        passTotals.zip(passFails).collect { case (t, 0) => t }
+      else passTotals
+    val valuePool = if (completeTotals.nonEmpty) completeTotals else passTotals
+    val total =
+      if (valuePool.nonEmpty) num(valuePool.min) else num(best.values.sum)
+    val pts = passTotals.map(num).mkString("[", ",", "]")
+    val sm = if (sessionMin) """"session_min":1,""" else ""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$es$sm""" +
+      s""""min_query_total":${num(best.values.sum)},"pass_totals":$pts,""" +
+      s""""sf":${jstr(new java.io.File(sfDir).getName)}}"""
+  }
 
   /** Max rendered line length. The round driver keeps only the LAST 2000
     * chars of the sbt run's stdout (measured from BENCH_r04's recorded

@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // composed merge-on-read plan the Scala API builds
     ext.injectResolutionRule(session =>
       new graft.plans.SnapshotRelationRule(session))
+    // s48: maintenance verbs Spark's grammar lacks (OPTIMIZE/VACUUM/
+    // EXPIRE SNAPSHOTS/ROLLBACK over graft_snap tables) — everything
+    // else delegates to Spark's own parser untouched
+    ext.injectParser((_, parser) =>
+      new graft.plans.GraftSqlParser(parser))
   }
 }
 

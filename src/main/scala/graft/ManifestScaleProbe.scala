@@ -74,6 +74,41 @@ object ManifestScaleProbe {
     probe("read(2nd)")(Snapshots.read(spark, root))
     probe("readPruned")(
       Snapshots.readPruned(spark, root, "k", n / 2L, n / 2L + 99L))
+
+    // MANIFEST-SIZE telemetry (round-19; the r18 VERDICT's #7): each
+    // manifest lists every live dir + its stats lines, so the TEXT
+    // REWRITTEN PER COMMIT is O(live dirs) — growth that nothing
+    // measured before. Report: head manifest bytes, total manifest
+    // bytes across retained history (the O(n²) accumulation), the
+    // per-commit write at the end of the run, and the same after ONE
+    // OPTIMIZE + EXPIRE round (the maintenance that bounds it). The
+    // numbers go to BASELINE.md; two-level manifest-list indirection
+    // only becomes worth its complexity if the bounded (maintained)
+    // numbers here say so.
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifestBytes(): (Long, Long, Int) = {
+      val snaps = fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("snap-"))
+      val head = Snapshots.current(spark, root).get.id
+      val headBytes = snaps.find(_.getPath.getName == s"snap-$head")
+        .map(_.getLen).getOrElse(0L)
+      (headBytes, snaps.map(_.getLen).sum, snaps.size)
+    }
+    val (headB, totB, nMan) = manifestBytes()
+    println(f"manifests: head=$headB%d B, total=$totB%d B over " +
+      f"$nMan%d retained (avg ${totB / math.max(nMan, 1)}%d B/commit)")
+    val o0 = System.nanoTime()
+    Snapshots.commitRewrite(spark, root)
+    Snapshots.expire(spark, root, keepLast = 2)
+    Snapshots.vacuum(spark, root)
+    val maintSec = (System.nanoTime() - o0) / 1e9
+    val (headB2, totB2, nMan2) = manifestBytes()
+    println(f"after OPTIMIZE+EXPIRE(2)+VACUUM ($maintSec%.1fs): " +
+      f"head=$headB2%d B, total=$totB2%d B over $nMan2%d retained")
+    // the maintained head must be commit-count-independent: a handful
+    // of dirs' worth of text, not O(n)
+    probe("read(maint)")(Snapshots.read(spark, root))
     spark.stop()
   }
 }

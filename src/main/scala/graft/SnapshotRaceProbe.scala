@@ -87,11 +87,81 @@ object SnapshotRaceProbe {
     val orphans = Snapshots.vacuum(spark, root, tmpGraceMs = 0L)
     assert(orphans.isEmpty, s"orphan dirs leaked: $orphans")
 
+    // ---- phase 2 (round-19, VERDICT #4): RACING KEYED MERGES --------
+    // (a) DISJOINT key sets: every writer must auto-retry through lost
+    //     CASes and land — the fast path a partitioned 1000-executor
+    //     writer fleet depends on; (b) OVERLAPPING key sets with
+    //     validation ON: each attempt either wins the serialization or
+    //     refuses with MergeConflictException — NEVER a silent lost
+    //     update. The final contested rows must be byte-exact the
+    //     LAST WINNER's payload (no torn mixes).
+    val mroot = java.nio.file.Files.createTempDirectory("snapmerge").toString
+    Snapshots.commitAppend(
+      (1L to 100L).map(k => (k, "seed")).toDF("k", "v"), mroot)
+    val mpool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    // (a) disjoint: thread t merges its own key block, perThread times
+    val mt0 = System.nanoTime()
+    val mfuts = (0 until threads).map { t =>
+      mpool.submit(new Runnable {
+        override def run(): Unit =
+          for (c <- 0 until perThread) {
+            val df = Seq((1000L + t * 100 + c, s"m$t-$c")).toDF("k", "v")
+            Snapshots.commitMergeKeyedWithRetry(df, df.select("k").limit(0),
+              mroot, Seq("k"), maxAttempts = Int.MaxValue)
+          }
+      })
+    }
+    mfuts.foreach(_.get(30, java.util.concurrent.TimeUnit.MINUTES))
+    val mergeWall = (System.nanoTime() - mt0) / 1e9
+    val disjointRows = Snapshots.read(spark, mroot)
+      .filter("k >= 1000").count()
+    assert(disjointRows == threads.toLong * perThread,
+      s"disjoint merge race lost commits: $disjointRows of ${threads * perThread}")
+    // (b) overlapping: every thread hammers the SAME key set 1..10
+    val wins = new java.util.concurrent.atomic.AtomicLong(0)
+    val refusals = new java.util.concurrent.atomic.AtomicLong(0)
+    val winLog = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val ofuts = (0 until threads).map { t =>
+      mpool.submit(new Runnable {
+        override def run(): Unit =
+          for (c <- 0 until perThread) {
+            val payload = s"o$t-$c"
+            val df = (1L to 10L).map(k => (k, payload)).toDF("k", "v")
+            try {
+              val id = Snapshots.commitMergeKeyedWithRetry(df,
+                df.select("k").limit(0), mroot, Seq("k"))
+              wins.incrementAndGet(); winLog.put(id, payload); ()
+            } catch {
+              case _: Snapshots.MergeConflictException =>
+                refusals.incrementAndGet(); ()
+            }
+          }
+      })
+    }
+    ofuts.foreach(_.get(30, java.util.concurrent.TimeUnit.MINUTES))
+    mpool.shutdown()
+    assert(wins.get + refusals.get == threads.toLong * perThread,
+      s"overlap attempts unaccounted: ${wins.get}+${refusals.get}")
+    assert(wins.get >= 1, "at least one overlapping merge must win")
+    // every contested row must carry the LAST winner's exact payload
+    val lastWinner = winLog.get(winLog.keySet().asScala.max)
+    val contested = Snapshots.read(spark, mroot)
+      .filter("k <= 10").as[(Long, String)].collect()
+    assert(contested.length == 10 &&
+      contested.forall(_._2 == lastWinner),
+      s"lost/torn update: expected all 10 rows = '$lastWinner', got " +
+        contested.toSeq.sortBy(_._1).mkString(","))
+
     spark.stop()
     println(s"""{"probe":"snapshot_race","threads":$threads,""" +
       s""""per_thread":$perThread,"commits":$n,""" +
       s""""conflicts_retried":${conflicts.get},""" +
       s""""wall_sec":${math.round(wallSec * 10) / 10.0},""" +
-      s""""chain_linear":true,"rows_exact":true,"orphans":0}""")
+      s""""chain_linear":true,"rows_exact":true,"orphans":0,""" +
+      s""""merge_disjoint_commits":$disjointRows,""" +
+      s""""merge_wall_sec":${math.round(mergeWall * 10) / 10.0},""" +
+      s""""merge_overlap_wins":${wins.get},""" +
+      s""""merge_overlap_refusals":${refusals.get},""" +
+      s""""merge_lost_updates":0}""")
   }
 }

@@ -1859,6 +1859,129 @@ private[graft] object SparkEntrySources {
         .toDF("phase", "n_rows", "fingerprint")
       p1.union(p2).union(p3)
     }),
+
+    // S48 — SQL DDL + MAINTENANCE (round-19; the r18 VERDICT's #1,
+    // completing the SQL-only consumer story): a table CREATED,
+    // evolved, optimized, mutated, rolled back, and garbage-collected
+    // purely from SQL TEXT — CTAS, ALTER RENAME/DROP COLUMN, OPTIMIZE,
+    // DELETE, ROLLBACK, EXPIRE, VACUUM — must fingerprint-equal its
+    // Scala-API twin at every state. DDL statements are claimed at
+    // PARSE time (GraftSqlParser; the analyzer's session-catalog rules
+    // would reject the graft_snap namespace before a resolution rule
+    // could claim DDL nodes) and route to the SAME commit primitives,
+    // so commit ids line up 1:1 across routes. Phases: 1 = final SQL
+    // state (= rollback target: the optimized, renamed, nat-dropped
+    // full table); 2 = the API twin's final state (same expected
+    // fingerprint); 3 = time travel to the post-DELETE state, still
+    // readable after EXPIRE KEEP LAST 2; 4 = maintenance returns and
+    // refusals as constants (expired manifests, vacuumed dirs,
+    // duplicate-CREATE / REPLACE / PARTITIONED BY each refusing). At
+    // 100 TB this is what lets a dbt-style SQL-only pipeline own the
+    // whole table lifecycle without a Scala runtime.
+    "s48_sql_ddl" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      import graft.plans.SnapshotSql
+      val rootS = s"$partScratchDir/${dirKey(dir)}_s48s"
+      val rootA = s"$partScratchDir/${dirKey(dir)}_s48a"
+      rmTree(rootS); rmTree(rootA)
+      SnapshotSql.unregister("s48c")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("long").as("nat"))
+      cust.filter(pmod(col("k"), lit(2)) === 0)
+        .createOrReplaceTempView("s48_even")
+      cust.filter(pmod(col("k"), lit(2)) === 1)
+        .createOrReplaceTempView("s48_odd")
+      // SQL route: the full lifecycle from text only
+      s.sql(s"CREATE TABLE graft_snap.s48c OPTIONS (path '$rootS') " +
+        "AS SELECT k, seg, nat FROM s48_even")                    // 1
+      s.sql("INSERT INTO graft_snap.s48c SELECT k, seg, nat FROM s48_odd") // 2
+      s.sql("ALTER TABLE graft_snap.s48c RENAME COLUMN seg TO segment") // 3
+      s.sql("ALTER TABLE graft_snap.s48c DROP COLUMN nat")        // 4
+      val optId = s.sql("OPTIMIZE graft_snap.s48c").collect()(0).getLong(0) // 5
+      s.sql("DELETE FROM graft_snap.s48c WHERE k % 3 = 0")        // 6
+      val postDel = Snapshots.current(s, rootS).get.id
+      s.sql(s"ROLLBACK graft_snap.s48c TO SNAPSHOT $optId")       // 7
+      val exp = s.sql("EXPIRE SNAPSHOTS graft_snap.s48c KEEP LAST 2")
+        .collect()(0).getLong(0)
+      val vac = s.sql("VACUUM graft_snap.s48c").collect()(0).getLong(0)
+      // Scala-API twin of the identical history
+      val evens = cust.filter(pmod(col("k"), lit(2)) === 0)
+      val odds = cust.filter(pmod(col("k"), lit(2)) === 1)
+      Snapshots.commitAppend(evens, rootA)
+      Snapshots.commitAppend(odds, rootA)
+      Snapshots.commitRenameColumn(s, rootA, "seg", "segment")
+      Snapshots.commitDropColumn(s, rootA, "nat")
+      val optIdA = Snapshots.commitRewrite(s, rootA)
+      val doomed = Snapshots.readWithPos(s, rootA)
+        .filter(pmod(col("k"), lit(3)) === 0)
+        .select(col("_dir"), col("_file"), col("_pos"))
+      Snapshots.commitDeletePositions(doomed, rootA)
+      Snapshots.rollbackTo(s, rootA, optIdA)
+      Snapshots.expire(s, rootA, keepLast = 2)
+      Snapshots.vacuum(s, rootA)
+      // refusals, each BEFORE anything lands (fingerprints prove it)
+      def refused(sql: String): Long =
+        try { s.sql(sql); 0L } catch { case _: Exception => 1L }
+      val dup = refused(s"CREATE TABLE graft_snap.s48c OPTIONS " +
+        s"(path '$rootS') AS SELECT k FROM s48_even")
+      val rep = refused("REPLACE TABLE graft_snap.s48c AS SELECT 1 AS k")
+      val part = refused(s"CREATE TABLE graft_snap.s48p OPTIONS " +
+        s"(path '${rootS}_p') PARTITIONED BY (k) " +
+        "AS SELECT k, seg, nat FROM s48_even")
+      val cols = Seq("k", "segment")
+      def fp(ph: Long, d: org.apache.spark.sql.DataFrame) =
+        Validations.tableFingerprint(d, cols)
+          .select(lit(ph).as("phase"), col("n_rows"), col("fingerprint"))
+      val p1 = fp(1L, s.sql("SELECT k, segment FROM graft_snap.s48c"))
+      val p2 = fp(2L, Snapshots.read(s, rootA))
+      val p3 = fp(3L, Snapshots.read(s, rootS, Some(postDel)))
+      SnapshotSql.unregister("s48c")
+      import s.implicits._
+      val p4 = Seq((4L, dup + rep + part,
+        s"expired=$exp|vac=$vac|dup=$dup|rep=$rep|part=$part"))
+        .toDF("phase", "n_rows", "fingerprint")
+      p1.union(p2).union(p3).union(p4)
+    }),
+
+    // S49 — WARC roundtrip (round-19; the r18 VERDICT's #6): the
+    // documents corpus written as `.warc.gz` crawl shards — one gzip
+    // MEMBER PER RECORD, one shard per PARTITION, each written by its
+    // executor (nothing funnels through the driver) — then read back
+    // through the DSv2 `warc` source (one input partition per shard,
+    // the Common Crawl consumption shape) and hash-compared against
+    // the original table (the s1 xlsx playbook). Phases: 1 = decoded
+    // (doc_id, text) fingerprint ≡ the documents table; 2 = header
+    // integrity as derivable constants (total payload octets = the
+    // corpus's octet length, every record a response, ids distinct).
+    // At 100 TB this is the ingestion front door: a crawl lands as
+    // thousands of member-seekable shards and every text/dedup/
+    // quality operator downstream consumes the payload column.
+    "s49_warc_roundtrip" -> ((s, dir) => {
+      import graft.io.Warc
+      val root = s"$partScratchDir/${dirKey(dir)}_s49"
+      rmTree(root)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Warc.writeShards(docs.repartition(4), "doc_id", "text", root)
+      val decoded = s.read.format("warc").load(root).select(
+        substring(col("target_uri"), 9, 1 << 20).cast("long").as("doc_id"),
+        decode(col("payload"), "UTF-8").as("text"),
+        col("content_length"), col("warc_type"), col("record_id"))
+      val cols = Seq("doc_id", "text")
+      val p1 = Validations.tableFingerprint(
+        decoded.select(col("doc_id"), col("text")), cols)
+        .select(lit(1L).as("phase"), col("n_rows"), col("fingerprint"))
+      val a = decoded.agg(count(lit(1)).cast("long"),
+        sum(col("content_length")).cast("long"),
+        sum(when(col("warc_type") === "response", 1L).otherwise(0L))
+          .cast("long"),
+        countDistinct(col("record_id")).cast("long")).collect()(0)
+      import s.implicits._
+      val p2 = Seq((2L, a.getLong(0),
+        s"bytes=${a.getLong(1)}|resp=${a.getLong(2)}|ids=${a.getLong(3)}"))
+        .toDF("phase", "n_rows", "fingerprint")
+      p1.union(p2)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2361,6 +2484,57 @@ private[graft] object SparkEntrySources {
          |UNION ALL
          |SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT),
          |  'setkey=1|unknown=1'""".stripMargin
+    },
+
+    // s48: phases 1 (SQL lifecycle) and 2 (Scala-API twin) both land
+    // on the rollback target — the optimized, renamed, nat-dropped
+    // FULL table — so one expected state covers both routes; phase 3
+    // is the post-DELETE slice (still time-travelable after EXPIRE
+    // KEEP LAST 2 retained it); phase 4 pins the maintenance returns
+    // (5 expired manifests = ids 1-5; 2 vacuumed dirs = the two
+    // pre-optimize appends) and the three DDL refusals.
+    "s48_sql_ddl" -> {
+      val fp =
+        """CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+          |    coalesce(CAST(k AS VARCHAR), chr(0)),
+          |    coalesce(segment, chr(0)))), 1, 10))
+          |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)""".stripMargin
+      def phase(n: Int, where: String) =
+        s"""SELECT CAST($n AS BIGINT) AS phase, count(*) AS n_rows,
+           |  $fp AS fingerprint
+           |FROM (SELECT c_custkey AS k, c_mktsegment AS segment
+           |      FROM customer WHERE $where) t""".stripMargin
+      s"""${phase(1, "1 = 1")}
+         |UNION ALL
+         |${phase(2, "1 = 1")}
+         |UNION ALL
+         |${phase(3, "c_custkey % 3 <> 0")}
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), CAST(3 AS BIGINT),
+         |  'expired=5|vac=2|dup=1|rep=1|part=1'""".stripMargin
+    },
+
+    // s49: phase 1 = the documents table verbatim (the WARC roundtrip
+    // must be content-lossless); phase 2's constants derive from the
+    // corpus itself — payload octets = utf-8 octet length of the text,
+    // one response record per doc, ids distinct by construction.
+    "s49_warc_roundtrip" -> {
+      val fp =
+        """CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+          |    coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+          |    coalesce(text, chr(0)))), 1, 10))
+          |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)""".stripMargin
+      s"""SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows,
+         |  $fp AS fingerprint
+         |FROM (SELECT doc_id, coalesce(text, '') AS text
+         |      FROM documents) t
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), count(*),
+         |  'bytes=' || CAST(CAST(sum(octet_length(encode(coalesce(text, ''))))
+         |    AS BIGINT) AS VARCHAR) ||
+         |  '|resp=' || CAST(count(*) AS VARCHAR) ||
+         |  '|ids=' || CAST(count(*) AS VARCHAR)
+         |FROM documents""".stripMargin
     },
 
     // s40: the final state is a last-op-wins CASE reduction over the

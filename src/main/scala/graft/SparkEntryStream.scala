@@ -1379,6 +1379,92 @@ private[graft] object SparkEntryStream {
           "drops_all_late")
     }),
 
+    // W40 — the snapshot table consumed through a GENUINE Structured
+    // Streaming source (round-19; the r18 VERDICT's #2): w38's mirror
+    // rebuilt via `spark.readStream.format("graft_feed")` +
+    // foreachBatch, with MANIFEST-ID OFFSETS IN THE CHECKPOINT — the
+    // engine's own offset log, not the feed's `_FEED_CURSOR` — so
+    // exactly-once is native. The run is THREE incarnations over one
+    // checkpoint: (1) a paced drain of a 4-commit history at
+    // maxCommitsPerPoll=2 → exactly 2 micro-batches, mirror folds
+    // interval-tagged; the query then STOPS (the mid-stream kill);
+    // (2) two more commits land while the stream is down → restart
+    // delivers exactly ONE new batch, no re-delivery of committed
+    // intervals; (3) a third restart with nothing new delivers ZERO
+    // batches. Phases: 1 = mirror ≡ the oracle's relational final
+    // state; 2 = the source read (same fingerprint — the stream IS
+    // the table); 3 = the batch ledger (b1=2|b2=1|b3=0) as constants.
+    // At 100 TB this is Kafka-grade consumption of the lakehouse
+    // layer: any sink, checkpoint recovery, paced backlog drains.
+    "w40_stream_source" -> ((s, dir) => {
+      import graft.ops.Snapshots
+      val root = s"$streamScratchDir/${dirKey(dir)}_w40"
+      rmTree(root)
+      val (src, ckpt, dst) = (s"$root/src", s"$root/ckpt", s"$root/dst")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      // 4-commit history: append evens → merge (%3 upserts to 'M',
+      // %10 pure-deletes) → append the remaining odds → delete %7
+      Snapshots.commitAppend(cust.filter(pmod(col("k"), lit(2)) === 0), src)
+      Snapshots.commitMergeKeyed(
+        cust.filter(pmod(col("k"), lit(3)) === 0)
+          .select(col("k"), lit("M").as("seg")),
+        cust.filter(pmod(col("k"), lit(10)) === 0).select("k"),
+        src, Seq("k"), None)
+      Snapshots.commitAppend(
+        cust.filter(pmod(col("k"), lit(2)) === 1 &&
+          pmod(col("k"), lit(3)) =!= 0), src)
+      Snapshots.commitDelete(
+        cust.filter(pmod(col("k"), lit(7)) === 0).select("k"),
+        src, "k")
+      val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      def runStream(): Long = {
+        batches.set(0L)
+        val q = s.readStream.format("graft_feed")
+          .option("table", src).option("maxCommitsPerPoll", 2)
+          .load()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, bid: Long) =>
+            batches.incrementAndGet()
+            val ups = b.filter(col("op") === "I").drop("op")
+            val dels = b.filter(col("op") === "D").select("k")
+            // batchId-keyed tag: a recovery replay of the same batch
+            // absorbs instead of double-applying (exactly-once)
+            if (Snapshots.current(s, dst).isEmpty)
+              Snapshots.commitAppend(ups, dst, Some(s"w40-$bid"))
+            else
+              Snapshots.commitMergeKeyed(ups, dels, dst, Seq("k"),
+                Some(s"w40-$bid"))
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        batches.get()
+      }
+      val b1 = runStream() // paced drain: 4 commits / 2 per poll = 2
+      // the stream is DOWN; two more commits arrive
+      Snapshots.commitMergeKeyed(
+        cust.filter(pmod(col("k"), lit(5)) === 0)
+          .select(col("k"), lit("L").as("seg")),
+        cust.select("k").limit(0), src, Seq("k"), None)
+      Snapshots.commitDelete(
+        cust.filter(pmod(col("k"), lit(11)) === 0).select("k"),
+        src, "k")
+      val b2 = runStream() // recovery: exactly the new interval
+      val b3 = runStream() // nothing new: zero batches, no re-delivery
+      val cols = Seq("k", "seg")
+      def fp(ph: Long, d: DataFrame) =
+        Validations.tableFingerprint(d, cols)
+          .select(lit(ph).as("phase"), col("n_rows"), col("fingerprint"))
+      val p1 = fp(1L, Snapshots.read(s, dst))
+      val p2 = fp(2L, Snapshots.read(s, src))
+      import s.implicits._
+      val p3 = Seq((3L, b1 + b2 + b3, s"b1=$b1|b2=$b2|b3=$b3"))
+        .toDF("phase", "n_rows", "fingerprint")
+      p1.union(p2).union(p3)
+    }),
+
     // W28 — STREAMING token-budget mixture (c14's streaming twin,
     // round 13): documents arrive as 3 doc_id%3 micro-batches; each
     // batch lands a category token PARTIAL (the live mixture state —
@@ -1623,6 +1709,37 @@ private[graft] object SparkEntryStream {
          |SELECT CAST(3 AS BIGINT), CAST(4 AS BIGINT),
          |  'i1=0-1|i2=1-2|i3=2-4|noop=1|replay=1'""".stripMargin
     },
+    // w40: mirror and source reduce to one relational final state —
+    // last-op-wins over the 6-commit history ('L' for %5 upserts,
+    // 'M' for %3 merges, membership = survived %10/%7/%11 deletes
+    // with %5 re-inserts and the merge-wins-over-delete %30 rule);
+    // phase 3 pins the three incarnations' batch counts: a paced
+    // 2-batch drain, a 1-batch checkpoint recovery, a 0-batch replay.
+    "w40_stream_source" -> {
+      def fp(phase: Int) =
+        s"""SELECT CAST($phase AS BIGINT) AS phase, count(*) AS n_rows,
+           |  CAST(CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+           |    coalesce(CAST(k AS VARCHAR), chr(0)),
+           |    coalesce(CAST(seg AS VARCHAR), chr(0)))), 1, 10))
+           |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+           |FROM (
+           |  SELECT c_custkey AS k,
+           |    CASE WHEN c_custkey % 5 = 0 THEN 'L'
+           |         WHEN c_custkey % 3 = 0 THEN 'M'
+           |         ELSE c_mktsegment END AS seg
+           |  FROM customer
+           |  WHERE c_custkey % 11 <> 0
+           |    AND (c_custkey % 5 = 0
+           |         OR (c_custkey % 7 <> 0
+           |             AND (c_custkey % 3 = 0 OR c_custkey % 10 <> 0)))
+           |) t""".stripMargin
+      s"""${fp(1)}
+         |UNION ALL
+         |${fp(2)}
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), CAST(3 AS BIGINT), 'b1=2|b2=1|b3=0'""".stripMargin
+    },
+
     // w35/w36: the batch graph oracles over the delivered log, with ONE
     // swapped tier — the edge CTE takes the repeat-co-purchase form
     // (>= 2 shared orders) matching the Spark side; everything past the

@@ -112,8 +112,24 @@ object SnapshotSql {
           val (name, suffixVer) =
             if (lookup(a).isDefined) (a, None) else stripV(a)
           lookup(name).map { dir =>
-            Snapshots.read(spark, dir, version.orElse(suffixVer))
+            val ver = version.orElse(suffixVer)
+            val plan = Snapshots.read(spark, dir, ver)
               .queryExecution.analyzed
+            // CBO (round-19): a CURRENT read whose CONFIRMED live size
+            // clears autoBroadcastJoinThreshold carries Spark's own
+            // BROADCAST hint, so joins against a small snapshot table
+            // plan BroadcastHashJoin at any file-size skew (delete
+            // masking is invisible to the file-size heuristic). Sizing
+            // + the confirm count live in Snapshots.broadcastableBytes
+            // (footer metadata, memoized per snapshot id).
+            if (ver.isEmpty &&
+                Snapshots.broadcastableBytes(spark, dir).isDefined)
+              org.apache.spark.sql.catalyst.plans.logical.ResolvedHint(
+                plan,
+                org.apache.spark.sql.catalyst.plans.logical.HintInfo(
+                  strategy = Some(
+                    org.apache.spark.sql.catalyst.plans.logical.BROADCAST)))
+            else plan
           }
       }
     }
@@ -488,7 +504,11 @@ class SnapshotRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (SnapshotSql.isEmpty) return plan
     // DML first, TOP-DOWN: the bottom-up read pass below would rewrite
     // the target UnresolvedRelation into a scan before the statement
-    // node could claim it
+    // node could claim it. (DDL — CTAS/ALTER/maintenance — is claimed
+    // at PARSE time by GraftSqlParser instead: the builtin
+    // ResolveSessionCatalog is PREPENDED to this rule's batch and
+    // throws SCHEMA_NOT_FOUND for the graft_snap namespace before an
+    // injected rule could ever claim those statements.)
     val dml = plan.resolveOperatorsDown {
       case i @ InsertIntoStatement(t, parts, cols, query, overwrite,
           ifNotExists, byName) =>

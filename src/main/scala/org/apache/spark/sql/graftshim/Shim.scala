@@ -31,6 +31,18 @@ object Shim {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A streaming-tagged DataFrame over an already-planned batch
+    * computation — what a V1 streaming `Source.getBatch` must return
+    * (MicroBatchExecution asserts `isStreaming`; the builtin V1
+    * sources use exactly this factory). */
+  def streamingFrame(spark: SparkSession,
+                     rdd: org.apache.spark.rdd.RDD[
+                       org.apache.spark.sql.catalyst.InternalRow],
+                     schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
   /** Idempotently register `builder` under `name` in `spark`'s function
     * registry (session-local, no extension-loading required). */
   def registerFunction(

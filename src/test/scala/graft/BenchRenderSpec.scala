@@ -208,4 +208,27 @@ class BenchRenderSpec extends AnyFunSuite {
     // and absent by default (single-invocation runs stay unflagged)
     assert(mapper.readTree(rendered()).get("session_min") == null)
   }
+
+  test("sidecar renderFull: every query at 3dp, full names, no omission tier, parseable (round-19)") {
+    val best = names.map(_ -> 8.888).toMap
+    val full = Bench.renderFull(names, best,
+      Map("q1_pricing_summary" -> "boom " * 100),
+      passTotals = Seq(888.0, 900.0), sfDir = "/root/testdata/sf0.1",
+      passFails = Seq(0, 1))
+    val node = mapper.readTree(full)
+    val qs = node.get("queries")
+    // EVERY query present under its FULL name at 3-decimal precision
+    names.foreach { n =>
+      assert(qs.get(n) != null, s"sidecar must carry '$n'")
+      assert(math.abs(qs.get(n).asDouble() - 8.888) < 1e-9)
+    }
+    assert(node.get("queries_omitted") == null,
+      "the sidecar never omits queries")
+    // headline = min COMPLETE pass (pass 2 had a failure)
+    assert(node.get("value").asDouble() == 888.0)
+    // errors carried untruncated
+    assert(node.get("errors").get("q1_pricing_summary")
+      .asText().length > 400)
+    assert(node.get("sf").asText() == "sf0.1")
+  }
 }

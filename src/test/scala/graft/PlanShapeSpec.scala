@@ -761,4 +761,61 @@ class PlanShapeSpec extends SparkSpec {
     val p3 = finalPlan(Snapshots.readHiddenAuto(spark, hroot, "t", 0L, 9999L))
     assert(shuffles(p3).isEmpty, s"spec-aware read is scan-only:\n$p3")
   }
+
+  test("s48 CBO: a join against a tiny-LIVE snapshot table plans BroadcastHashJoin where the file-size heuristic alone would SMJ (round-19)") {
+    import graft.ops.Snapshots
+    import graft.plans.SnapshotSql
+    import org.apache.spark.sql.functions.{col, concat, lit, md5}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cbo_t").toString
+    // 4k rows x 1 KB of INCOMPRESSIBLE payload (md5 chains — a
+    // constant pad would collapse under parquet compression and the
+    // file-size heuristic would broadcast on its own); ~97% of rows
+    // then masked by a delete, so live size sits far under the 256 KB
+    // test threshold while raw file bytes sit far above it
+    val padTerms = (0 until 32).map(j =>
+      md5(concat(col("id").cast("string"), lit(s"_$j"))))
+    val wide = spark.range(1, 4001)
+      .select(col("id").as("k"), concat(padTerms: _*).as("pad"))
+    Snapshots.commitAppend(wide, root)
+    Snapshots.commitDelete(
+      spark.range(1, 4001).filter("id % 32 != 0").select(col("id").as("k")),
+      root, "k")
+    SnapshotSql.register("cbo", root)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "262144")
+      // static planning isolates the STATS effect: with AQE on, the
+      // runtime could still rescue the join into BHJ — but only after
+      // paying the big side's full shuffle, which is exactly the cost
+      // the up-front CBO hint avoids
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // sanity: the estimator confirms the live size and clears the bar
+      val est = Snapshots.broadcastableBytes(spark, root)
+      assert(est.isDefined && est.get <= 262144L, s"estimate: $est")
+      spark.range(1, 200000).select(col("id").as("k"),
+        (col("id") % 7).as("w")).createOrReplaceTempView("cbo_big")
+      val joined = spark.sql(
+        """SELECT b.k, b.w FROM cbo_big b
+          |JOIN graft_snap.cbo s ON b.k = s.k""".stripMargin)
+      val p = finalPlan(joined)
+      val bhj = deep(p).filter(_.getClass.getSimpleName
+        .contains("BroadcastHashJoin"))
+      assert(bhj.nonEmpty,
+        s"tiny-live snapshot side must broadcast under CBO stats:\n$p")
+      // control: the same join through the UNHINTED Scala read plans
+      // SMJ — proving the file-size heuristic alone would not broadcast
+      val control = finalPlan(spark.table("cbo_big")
+        .join(Snapshots.read(spark, root), Seq("k")))
+      val smj = deep(control).filter(_.getClass.getSimpleName
+        .contains("SortMergeJoin"))
+      assert(smj.nonEmpty,
+        s"control: file-size heuristic should have planned SMJ:\n$control")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      SnapshotSql.unregister("cbo")
+    }
+  }
 }

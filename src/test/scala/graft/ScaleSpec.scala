@@ -1898,4 +1898,39 @@ class ScaleSpec extends SparkSpec {
     assert(Snapshots.read(spark, root, Some(cur.id - 1))
       .filter("k = 11").count() == 1)
   }
+
+  test("snapshots: merge conflict validation — overlapping keys refuse, disjoint keys auto-rebase, last-writer-wins opt-out (round-19)") {
+    import graft.ops.Snapshots
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapconf").toString
+    Snapshots.commitAppend(
+      (1L to 20L).map(k => (k, "seed")).toDF("k", "v"), root) // snap-1
+    // an interleaved merge lands at snap-2, touching keys 5..8
+    Snapshots.commitMergeKeyed(
+      (5L to 8L).map(k => (k, "thief")).toDF("k", "v"),
+      spark.emptyDataset[Long].toDF("k"), root, Seq("k"), None)
+    // the conflict probe: overlap counted exactly, disjoint = 0
+    val mineOverlap = (7L to 12L).map(k => (k, "x")).toDF("k", "v")
+    assert(Snapshots.conflictingMergeKeys(spark, root, 1L, 2L,
+      mineOverlap, Seq("k")) == 2L) // keys 7, 8
+    val mineDisjoint = (30L to 40L).map(k => (k, "y")).toDF("k", "v")
+    assert(Snapshots.conflictingMergeKeys(spark, root, 1L, 2L,
+      mineDisjoint, Seq("k")) == 0L)
+    // delete keys conflict too (a concurrent DELETE of my upsert key)
+    Snapshots.commitMergeKeyed(
+      spark.emptyDataset[(Long, String)].toDF("k", "v"),
+      Seq(Tuple1(15L)).toDF("k"), root, Seq("k"), None) // snap-3: D 15
+    assert(Snapshots.conflictingMergeKeys(spark, root, 2L, 3L,
+      Seq((15L, "z")).toDF("k", "v"), Seq("k")) == 1L)
+    // uncontended retry path: plain success, one commit
+    val id = Snapshots.commitMergeKeyedWithRetry(
+      Seq((50L, "n")).toDF("k", "v"),
+      spark.emptyDataset[Long].toDF("k"), root, Seq("k"))
+    assert(id == 4L)
+    assert(Snapshots.read(spark, root).filter("k = 50").count() == 1)
+    // the exception names the overlap loudly
+    val e = new Snapshots.MergeConflictException(root, 1L, 2L, 2L)
+    assert(e.getMessage.contains("touched 2") &&
+      e.getMessage.contains("Re-derive"))
+  }
 }

@@ -459,6 +459,102 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally SnapshotSql.unregister("mg")
   }
 
+  test("s48: SQL DDL + maintenance — CTAS, ALTER RENAME/DROP, OPTIMIZE/VACUUM/EXPIRE/ROLLBACK, refusals intact (round-19)") {
+    import graft.ops.Snapshots
+    import graft.plans.SnapshotSql
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapddl").toString + "/t"
+    val wh = java.nio.file.Files.createTempDirectory("snapwh").toString
+    SnapshotSql.unregister("ddl"); SnapshotSql.unregister("ddlwh")
+    def refuse(sql: String, frag: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      assert(e.getMessage != null && e.getMessage.contains(frag),
+        s"expected '$frag' in: ${e.getMessage}")
+    }
+    try {
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("k", "v", "x").createOrReplaceTempView("ddl_src")
+      // CTAS with an explicit location
+      spark.sql(s"CREATE TABLE graft_snap.ddl OPTIONS (path '$root') " +
+        "AS SELECT k, v, x FROM ddl_src")
+      assert(Snapshots.read(spark, root).count() == 3)
+      assert(spark.sql("SELECT k FROM graft_snap.ddl").as[Long]
+        .collect().toSet == Set(1L, 2L, 3L))
+      // CTAS again: duplicate alias refuses; IF NOT EXISTS no-ops
+      refuse(s"CREATE TABLE graft_snap.ddl OPTIONS (path '$root') " +
+        "AS SELECT k, v, x FROM ddl_src", "already registered")
+      spark.sql(s"CREATE TABLE IF NOT EXISTS graft_snap.ddl OPTIONS " +
+        s"(path '$root') AS SELECT k, v, x FROM ddl_src")
+      assert(Snapshots.current(spark, root).get.id == 1L,
+        "IF NOT EXISTS must not commit")
+      // REPLACE refuses (snapshots are immutable)
+      refuse(s"REPLACE TABLE graft_snap.ddl AS SELECT 1 AS k", "immutable")
+      // PARTITIONED BY refuses (hidden partitioning is commit-declared)
+      refuse(s"CREATE TABLE graft_snap.ddlp OPTIONS (path '$root-p') " +
+        "PARTITIONED BY (k) AS SELECT k, v, x FROM ddl_src",
+        "PARTITIONED BY")
+      // CTAS into the warehouse conf when no location is given
+      spark.conf.set(graft.plans.SnapshotDdl.WarehouseConf, wh)
+      spark.sql("CREATE TABLE graft_snap.ddlwh AS SELECT k FROM ddl_src")
+      assert(Snapshots.read(spark, s"$wh/ddlwh").count() == 3)
+      // ALTER RENAME/DROP route to the metadata-only ops
+      spark.sql("ALTER TABLE graft_snap.ddl RENAME COLUMN v TO val")
+      assert(spark.sql("SELECT val FROM graft_snap.ddl").count() == 3)
+      spark.sql("ALTER TABLE graft_snap.ddl DROP COLUMN x")
+      assert(!spark.sql("SELECT * FROM graft_snap.ddl").columns.contains("x"))
+      // dropping a missing column refuses; IF EXISTS no-ops
+      refuse("ALTER TABLE graft_snap.ddl DROP COLUMN nope",
+        "no such live column")
+      spark.sql("ALTER TABLE graft_snap.ddl DROP COLUMN IF EXISTS nope")
+      // maintenance: OPTIMIZE returns the new snapshot id
+      spark.sql("INSERT INTO graft_snap.ddl VALUES (4, 'd')")
+      val optId = spark.sql("OPTIMIZE graft_snap.ddl")
+        .as[Long].collect()(0)
+      assert(optId == Snapshots.current(spark, root).get.id)
+      // DELETE then ROLLBACK undoes it
+      spark.sql("DELETE FROM graft_snap.ddl WHERE k = 1")
+      assert(spark.sql("SELECT count(*) FROM graft_snap.ddl")
+        .as[Long].collect()(0) == 3L)
+      spark.sql(s"ROLLBACK graft_snap.ddl TO SNAPSHOT $optId")
+      assert(spark.sql("SELECT count(*) FROM graft_snap.ddl")
+        .as[Long].collect()(0) == 4L)
+      // EXPIRE then VACUUM reclaim history
+      val expired = spark.sql(
+        "EXPIRE SNAPSHOTS graft_snap.ddl KEEP LAST 2").as[Long].collect()(0)
+      assert(expired > 0L)
+      val vac = spark.sql("VACUUM graft_snap.ddl").as[Long].collect()(0)
+      assert(vac > 0L)
+      // the table still reads whole after maintenance
+      assert(spark.sql("SELECT count(*) FROM graft_snap.ddl")
+        .as[Long].collect()(0) == 4L)
+      // rollback to an expired snapshot refuses loudly
+      refuse("ROLLBACK graft_snap.ddl TO SNAPSHOT 1", "expired")
+      // maintenance on an unknown alias refuses
+      refuse("OPTIMIZE graft_snap.nosuchddl", "unknown snapshot alias")
+      // malformed maintenance text fails in the DELEGATE parser, never
+      // silently runs something else
+      intercept[Exception] {
+        spark.sql("EXPIRE SNAPSHOTS graft_snap.ddl KEEP LAST")
+      }
+      // DESCRIBE HISTORY: the retained chain, newest first, no data IO
+      val hist = spark.sql("DESCRIBE HISTORY graft_snap.ddl").collect()
+      assert(hist.length == 2, // EXPIRE KEEP LAST 2 retained exactly 2
+        s"expected 2 retained snapshots, got ${hist.length}")
+      assert(hist.head.getLong(0) > hist.last.getLong(0),
+        "history must list newest first")
+      // DROP TABLE unregisters WITHOUT touching data
+      spark.sql("DROP TABLE graft_snap.ddlwh")
+      refuse("SELECT * FROM graft_snap.ddlwh", "TABLE_OR_VIEW_NOT_FOUND")
+      assert(Snapshots.read(spark, s"$wh/ddlwh").count() == 3,
+        "DROP TABLE must never delete data")
+      refuse("DROP TABLE graft_snap.ddlwh", "unknown snapshot alias")
+      spark.sql("DROP TABLE IF EXISTS graft_snap.ddlwh") // no-op, no error
+    } finally {
+      SnapshotSql.unregister("ddl"); SnapshotSql.unregister("ddlwh")
+      spark.conf.unset(graft.plans.SnapshotDdl.WarehouseConf)
+    }
+  }
+
   test("s41: an alias that itself ends in __v<N> stays reachable — full-alias registration wins over time-travel stripping") {
     import graft.ops.Snapshots
     import graft.plans.SnapshotSql

@@ -1352,4 +1352,99 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.toSeq == Seq(("x", 0L, 0L, 0L)))
   }
+
+  test("w40 graft_feed source: manifest-id offsets in the CHECKPOINT, paced batches, kill mid-stream recovers without re-delivery") {
+    import graft.ops.Snapshots
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("w40src").toString
+    val (src, ckpt, out) = (s"$root/src", s"$root/ckpt", s"$root/out")
+    // four commits: append, merge (update+delete), append, delete
+    Snapshots.commitAppend(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"), src)
+    Snapshots.commitMergeKeyed(
+      Seq((2L, "UPD")).toDF("k", "v"), Seq(Tuple1(5L)).toDF("k"),
+      src, Seq("k"), None)
+    Snapshots.commitAppend(
+      (21L to 25L).map(i => (i, s"v$i")).toDF("k", "v"), src)
+    Snapshots.commitDelete(Seq(Tuple1(10L)).toDF("k"), src, "k")
+    // phase 1: paced drain — maxCommitsPerPoll=1 → one commit per batch
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def startQ() = spark.readStream.format("graft_feed")
+      .option("table", src).option("maxCommitsPerPoll", 1)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+        seen.add((bid, b.count()))
+        b.write.mode("overwrite").parquet(s"$out/b$bid"); ()
+      }
+      .start()
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    val batches1 = seen.size()
+    assert(batches1 == 4,
+      s"pacing: 4 commits at maxCommitsPerPoll=1 must be 4 batches, got $batches1")
+    // the folded change stream reconstructs the table exactly
+    // replay the per-batch change log in batch order, last op per key
+    // wins (bounded fixture — driver fold is the test's own oracle)
+    def foldOut(): Map[Long, String] = {
+      val m = scala.collection.mutable.Map.empty[Long, String]
+      val dirs = Option(new java.io.File(out).listFiles()).getOrElse(Array())
+        .filter(d => d.isDirectory && d.getName.startsWith("b"))
+        .sortBy(_.getName.drop(1).toInt)
+      dirs.foreach { d =>
+        spark.read.parquet(d.toString).collect().foreach { r =>
+          val op = r.getAs[String]("op")
+          val k = r.getAs[Long]("k")
+          if (op == "I") m(k) = r.getAs[String]("v") else m.remove(k)
+        }
+      }
+      m.toMap
+    }
+    val mirrored = foldOut()
+    val truth = Snapshots.read(spark, src).as[(Long, String)]
+      .collect().toMap
+    assert(mirrored == truth, "folded change stream must equal the table")
+    // phase 2: new commits while the stream is DOWN, then a recovery —
+    // the checkpointed offset must resume exactly after snap-4
+    seen.clear()
+    Snapshots.commitAppend(Seq((30L, "late")).toDF("k", "v"), src)
+    Snapshots.commitDelete(Seq(Tuple1(1L)).toDF("k"), src, "k")
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    val recovered = seen.asScala.toSeq.sortBy(_._1)
+    assert(recovered.map(_._1).forall(_ >= 4),
+      s"recovery must not replay committed batches: $recovered")
+    assert(recovered.size == 2, s"two new commits → two batches: $recovered")
+    assert(foldOut() == Snapshots.read(spark, src).as[(Long, String)]
+      .collect().toMap, "post-recovery fold must equal the table")
+    // phase 3: an offset expired past retention refuses LOUDLY on the
+    // next incremental read (fresh table, fresh checkpoint, then expire
+    // beyond the checkpointed offset)
+    val src2 = s"$root/src2"
+    val ckpt2 = s"$root/ckpt2"
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("k", "v"), src2)
+    val q3 = spark.readStream.format("graft_feed")
+      .option("table", src2).load()
+      .writeStream.option("checkpointLocation", ckpt2)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    try q3.processAllAvailable() finally q3.stop()
+    Snapshots.commitAppend(Seq((2L, "b")).toDF("k", "v"), src2)
+    Snapshots.commitAppend(Seq((3L, "c")).toDF("k", "v"), src2)
+    Snapshots.expire(spark, src2, keepLast = 1)
+    val q4 = spark.readStream.format("graft_feed")
+      .option("table", src2).load()
+      .writeStream.option("checkpointLocation", ckpt2)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val e = intercept[Exception] {
+      try q4.processAllAvailable() finally q4.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("retention horizon")),
+      s"expired offset must refuse loudly, got: ${chain(e).mkString(" | ")}")
+  }
 }

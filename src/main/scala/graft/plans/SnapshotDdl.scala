@@ -211,6 +211,18 @@ case class SnapshotDescribeHistoryCommand(alias: String)
   }
 }
 
+/** `SHOW TABLES IN graft_snap` — the registered aliases and their
+  * locations (what a BI tool's catalog browser lists). */
+case class SnapshotShowTablesCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("alias",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("location",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    SnapshotSql.registered.map { case (a, d) => Row(a, d) }
+}
+
 /** The injected parser (`SparkSessionExtensions.injectParser`): the
   * `graft_snap` DDL + maintenance statements, matched on the
   * namespace only; EVERYTHING else — including malformed graft_snap
@@ -243,6 +255,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       SnapshotAlterDropCommand(a.toLowerCase,
         cols.split(',').map(_.trim).toSeq.filter(_.nonEmpty),
         ifExists != null)
+    case ShowTablesRe() => SnapshotShowTablesCommand()
     case DropTableRe(ifExists, a) =>
       SnapshotDropTableCommand(a.toLowerCase, ifExists != null)
     case DescHistRe(a) =>
@@ -328,6 +341,8 @@ object GraftSqlParser {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ns\\.$Id\\s+RENAME\\s+COLUMN\\s+$Id\\s+TO\\s+$Id\\s*;?\\s*""".r
   private val DropColRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ns\\.$Id\\s+DROP\\s+COLUMNS?\\s+(?:(IF\\s+EXISTS)\\s+)?([A-Za-z0-9_]+(?:\\s*,\\s*[A-Za-z0-9_]+)*)\\s*;?\\s*""".r
+  private val ShowTablesRe =
+    s"""(?is)\\s*SHOW\\s+TABLES\\s+IN\\s+$Ns\\s*;?\\s*""".r
   private val DropTableRe =
     s"""(?is)\\s*DROP\\s+TABLE\\s+(?:(IF\\s+EXISTS)\\s+)?$Ns\\.$Id\\s*;?\\s*""".r
   private val DescHistRe =

@@ -61,6 +61,13 @@ object SnapshotSql {
   private[plans] def lookup(alias: String): Option[String] =
     Option(registry.get(alias.toLowerCase))
 
+  /** Every registered (alias, tableDir), alias-sorted — the
+    * `SHOW TABLES IN graft_snap` listing. */
+  private[plans] def registered: Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    registry.asScala.toSeq.sortBy(_._1)
+  }
+
   /** Fast-path guard for the rule: with no registered alias the rule
     * must cost NOTHING — analyzer rules run on every plan of every
     * query (and every micro-batch of every stream), so an

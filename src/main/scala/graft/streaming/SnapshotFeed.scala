@@ -204,4 +204,48 @@ object SnapshotFeed {
         poll(spark, tableDir, stateDir, maxCommitsPerPoll)(f); ()
       }
       .start()
+
+  /** [[mirrorInto]] rebuilt on the CHECKPOINT-NATIVE source (round-19
+    * — the production one-call shape over w40's mechanics): offsets
+    * are manifest ids in the Structured Streaming checkpoint, each
+    * micro-batch is one changes interval folded into `dstDir` as ONE
+    * atomic batchId-tagged commit, so exactly-once holds across
+    * kill/restart with no side cursor at all. `stop()` the returned
+    * query to pause; restarting with the same checkpoint resumes
+    * exactly after the last committed interval. */
+  def mirrorStream(spark: SparkSession, srcDir: String, dstDir: String,
+                   keyCols: Seq[String], ckptDir: String,
+                   maxCommitsPerPoll: Long = Long.MaxValue,
+                   intervalMs: Long = 1000L): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    spark.readStream.format("graft_feed")
+      .option("table", srcDir)
+      .option("maxCommitsPerPoll", maxCommitsPerPoll.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        val ups = b.filter(col("op") === "I").drop("op")
+        val dels = b.filter(col("op") === "D")
+          .select(keyCols.map(col): _*)
+        if (Snapshots.current(spark, dstDir).isEmpty) {
+          // a bootstrap interval (from snap-0) is inserts-only by
+          // changesBetween's contract; an EMPTY dst on a later
+          // interval means the mirror was wiped out from under a
+          // live checkpoint — refuse rather than silently drop
+          // that interval's deletes
+          require(dels.isEmpty,
+            s"mirrorStream($srcDir -> $dstDir): destination is empty " +
+              "but the interval carries deletes — the mirror was " +
+              "removed under a live checkpoint; re-bootstrap with a " +
+              "fresh checkpoint")
+          Snapshots.commitAppend(ups, dstDir, Some(s"feedq-$bid"))
+        } else
+          Snapshots.commitMergeKeyed(ups, dels, dstDir, keyCols,
+            Some(s"feedq-$bid"))
+        ()
+      }
+      .start()
+  }
 }

@@ -536,6 +536,11 @@ class SqlSurfaceSpec extends SparkSpec {
       intercept[Exception] {
         spark.sql("EXPIRE SNAPSHOTS graft_snap.ddl KEEP LAST")
       }
+      // SHOW TABLES lists the registered aliases with locations
+      val shown = spark.sql("SHOW TABLES IN graft_snap").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(shown.contains("ddl") && shown("ddl") == root)
+      assert(shown.contains("ddlwh"))
       // DESCRIBE HISTORY: the retained chain, newest first, no data IO
       val hist = spark.sql("DESCRIBE HISTORY graft_snap.ddl").collect()
       assert(hist.length == 2, // EXPIRE KEEP LAST 2 retained exactly 2

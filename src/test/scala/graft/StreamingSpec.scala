@@ -1447,4 +1447,31 @@ class StreamingSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("retention horizon")),
       s"expired offset must refuse loudly, got: ${chain(e).mkString(" | ")}")
   }
+
+  test("w40 mirrorStream: one-call checkpoint-native mirror — folds exactly, resumes after stop without re-delivery") {
+    import graft.ops.Snapshots
+    import graft.streaming.SnapshotFeed
+    val root = java.nio.file.Files.createTempDirectory("w40ms").toString
+    val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")
+    Snapshots.commitAppend(
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v"), src)
+    Snapshots.commitMergeKeyed(
+      Seq((2L, "UPD")).toDF("k", "v"), Seq(Tuple1(9L)).toDF("k"),
+      src, Seq("k"), None)
+    val q1 = SnapshotFeed.mirrorStream(spark, src, dst, Seq("k"), ckpt,
+      intervalMs = 50L)
+    try q1.processAllAvailable() finally q1.stop()
+    def state(d: String) = Snapshots.read(spark, d)
+      .as[(Long, String)].collect().toMap
+    assert(state(dst) == state(src), "mirror must equal source")
+    // commits while the mirror is down; restart resumes exactly
+    Snapshots.commitDelete(Seq(Tuple1(1L)).toDF("k"), src, "k")
+    val dstHead = Snapshots.current(spark, dst).get.id
+    val q2 = SnapshotFeed.mirrorStream(spark, src, dst, Seq("k"), ckpt,
+      intervalMs = 50L)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state(dst) == state(src))
+    assert(Snapshots.current(spark, dst).get.id == dstHead + 1,
+      "exactly one new fold commit — no re-delivery of mirrored intervals")
+  }
 }

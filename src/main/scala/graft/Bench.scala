@@ -284,13 +284,13 @@ object Bench {
 
   /** The round's own LOCAL full-sweep total at sf0.1 (best complete
     * pass over the same query list, measured when the protocol rows
-    * were taken — BASELINE.md round-18 checkpoint; emitted only on the
+    * were taken — BASELINE.md round-19 checkpoint; emitted only on the
     * sf0.1 render since it IS an sf0.1 measurement). Beside the
     * official `"value"` the official-vs-local-session pair is
     * MACHINE-READABLE and the session-noise attribution (uniform drift
     * vs per-plan regression) no longer lives only in prose. Update per
     * round alongside the BASELINE checkpoint. */
-  val LocalSweepSf01Sec = 357.9
+  val LocalSweepSf01Sec = 412.9
 
   /** Truncate on a code-point boundary: a high surrogate left at the cut
     * is dropped rather than orphaned (render additionally \u-escapes any

@@ -121,7 +121,8 @@ object Snapshots {
                             blooms: Map[String, Seq[String]] = Map.empty,
                             branch: Option[String] = None,
                             schemaOps: Seq[SchemaOp] = Nil,
-                            sstats: Map[String, Map[String, (String, String)]] = Map.empty) {
+                            sstats: Map[String, Map[String, (String, String)]] = Map.empty,
+                            tsMs: Option[Long] = None) {
     def dataDirs: Seq[String] = entries.collect { case (DataEntry, d) => d }
     def deleteDirs: Seq[String] = entries.collect { case (DeleteEntry, d) => d }
     /** The equality-delete key COLUMNS (round-17: compound keys ride
@@ -299,18 +300,22 @@ object Snapshots {
         case _ => sys.error(s"malformed schema line in snap-$id: $v")
       }
     }
+    // commit wall-clock (round-19, for TIMESTAMP AS OF): stamped by
+    // casMainManifest at commit time; manifests from older rounds
+    // simply have none and are not timestamp-addressable (disclosed)
+    val tsMs = rest.collectFirst { case s"ts=$t" => t.toLong }
     val entries = rest
       .filterNot(l => l.startsWith("deletekey=") || l.startsWith("tag=") ||
         l.startsWith("stats=") || l.startsWith("bloom=") ||
         l.startsWith("branch=") || l.startsWith("schema=") ||
-        l.startsWith("sstats="))
+        l.startsWith("sstats=") || l.startsWith("ts="))
       .map {
         case d if d.startsWith("posdelete/") => (PosDeleteEntry: EntryKind, d)
         case d if d.startsWith("delete/") => (DeleteEntry: EntryKind, d)
         case d => (DataEntry: EntryKind, d)
       }
     Snapshot(id, parent, entries, deleteKey, tag, stats, blooms, branch,
-      schemaOps, sstats)
+      schemaOps, sstats, tsMs)
   }
 
   private def renderManifest(parent: Option[Long],
@@ -422,6 +427,30 @@ object Snapshots {
     if (!fs.exists(mf)) None else Some(parseManifest(id, readText(fs, mf)))
   }
 
+  /** The newest retained MAIN snapshot committed AT OR BEFORE
+    * `tsMillis` (round-19 — Iceberg/Delta's TIMESTAMP AS OF
+    * addressing). Commit stamps ride every main manifest since this
+    * round ([[casMainManifest]]); older manifests carry none and are
+    * version-addressable only. Main commit order is id order, so the
+    * descending walk stops at the first qualifying manifest. */
+  def snapshotAsOf(spark: SparkSession, tableDir: String,
+                   tsMillis: Long): Option[Snapshot] = {
+    val fs = fsFor(spark, tableDir)
+    retainedIds(fs, tableDir).sorted(Ordering[Long].reverse).iterator
+      .flatMap(get(spark, tableDir, _))
+      .find(s => s.branch.isEmpty && s.tsMs.exists(_ <= tsMillis))
+  }
+
+  /** [[read]] at the [[snapshotAsOf]] state; loud when no stamped
+    * snapshot exists at or before the bound. */
+  def readAsOf(spark: SparkSession, tableDir: String,
+               tsMillis: Long): DataFrame =
+    read(spark, tableDir, Some(snapshotAsOf(spark, tableDir, tsMillis)
+      .getOrElse(sys.error(
+        s"no snapshot of $tableDir committed at or before epoch-ms " +
+          s"$tsMillis — earlier commits either do not exist or predate " +
+          "commit timestamps (use VERSION AS OF for those)")).id))
+
   /** CAS-create the next MAIN manifest starting at `startId`. An id
     * occupied by a STAGED (branch-marked) snapshot is NOT a conflict —
     * branches share the global id sequence by design — so the probe
@@ -433,10 +462,16 @@ object Snapshots {
   private def casMainManifest(spark: SparkSession, fs: FileSystem,
                               tableDir: String, startId: Long,
                               text: String): Long = {
+    // commit wall-clock stamp (round-19): appended HERE — the one
+    // funnel every main commit passes through — so TIMESTAMP AS OF
+    // addresses every post-round-19 snapshot with zero call-site
+    // changes. parseManifest reads it back as Snapshot.tsMs; older
+    // manifests have no line and stay version-addressable only.
+    val stamped = s"$text\nts=${System.currentTimeMillis()}"
     var id = startId
     while (true) {
       try {
-        writeAtomic(fs, tableDir, s"snap-$id", text, overwrite = false)
+        writeAtomic(fs, tableDir, s"snap-$id", stamped, overwrite = false)
         return id
       } catch {
         case e: CommitConflictException =>

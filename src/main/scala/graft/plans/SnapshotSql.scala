@@ -142,6 +142,57 @@ object SnapshotSql {
     }
   }
 
+  /** `TIMESTAMP AS OF <bound>` resolution (round-19): the newest
+    * stamped main snapshot at or before the bound. The bound is a
+    * string literal — `'yyyy-MM-dd[ HH:mm:ss[.SSS]]'` read as UTC
+    * (this engine pins the session timezone to UTC throughout) or
+    * pure digits as epoch millis — or a timestamp literal. */
+  private[plans] def resolveAsOf(spark: SparkSession, parts: Seq[String],
+                                 ts: Expression): Option[LogicalPlan] = {
+    val alias = parts match {
+      case Seq(ns, a) if ns.equalsIgnoreCase(Namespace) => Some(a)
+      case Seq(a) if lookup(splitBranch(a)._1).isDefined ||
+        lookup(a).isDefined => Some(a)
+      case _ => None
+    }
+    alias.flatMap { a =>
+      require(splitBranch(a)._2.isEmpty,
+        s"TIMESTAMP AS OF cannot combine with a branch read ('$a') — " +
+          "a branch names exactly its head state")
+      lookup(a).map { dir =>
+        val snap = Snapshots.snapshotAsOf(spark, dir, tsBoundMillis(ts, a))
+          .getOrElse(sys.error(
+            s"no snapshot of graft_snap.$a committed at or before the " +
+              "given timestamp — earlier commits either do not exist or " +
+              "predate commit timestamps (use VERSION AS OF for those)"))
+        Snapshots.read(spark, dir, Some(snap.id)).queryExecution.analyzed
+      }
+    }
+  }
+
+  private def tsBoundMillis(e: Expression, a: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, t)
+        if t == org.apache.spark.sql.types.StringType && v != null =>
+      val s = v.toString.trim
+      if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+      else try {
+        val dt =
+          if (s.length == 10) java.time.LocalDate.parse(s).atStartOfDay()
+          else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        dt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      } catch { case _: java.time.format.DateTimeParseException =>
+        sys.error(s"TIMESTAMP AS OF on graft_snap.$a: cannot parse " +
+          s"'$s' — use 'yyyy-MM-dd[ HH:mm:ss[.SSS]]' (UTC) or epoch " +
+          "milliseconds")
+      }
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, t)
+        if t.isInstanceOf[org.apache.spark.sql.types.TimestampType] =>
+      v / 1000L // micros → millis
+    case other => sys.error(
+      s"TIMESTAMP AS OF on graft_snap.$a: only literal bounds are " +
+        s"supported, got $other")
+  }
+
   /** `alias__v<N>` → (alias, Some(N)); anything else → (alias, None). */
   private def stripV(a: String): (String, Option[Long]) = {
     val i = a.lastIndexOf("__v")
@@ -610,6 +661,9 @@ class SnapshotRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case tt @ RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
           if v.forall(_.isDigit) =>
         SnapshotSql.resolve(spark, u.multipartIdentifier, Some(v.toLong))
+          .getOrElse(tt)
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, Some(ts), None) =>
+        SnapshotSql.resolveAsOf(spark, u.multipartIdentifier, ts)
           .getOrElse(tt)
       case u: UnresolvedRelation =>
         SnapshotSql.resolve(spark, u.multipartIdentifier, None).getOrElse(u)

@@ -1,9 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.ops.Snapshots
@@ -57,9 +58,37 @@ import graft.ops.Snapshots
   * hold at least one commit when the stream starts — there is no
   * schema to infer from an unborn table. */
 class SnapshotStreamProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft_feed"
+
+  /** The WRITE side (round-19): `df.writeStream.format("graft_feed")
+    * .option("table", dir)[.option("keyCols", "a,b")]` — every
+    * micro-batch lands as ONE batchId-tagged atomic commit (append, or
+    * keyed upsert with `keyCols`), so a checkpoint-recovery replay of
+    * a committed batch is absorbed by its tag: exactly-once streaming
+    * ingestion into the ACID table with no foreachBatch boilerplate
+    * (w24's mechanics as an engine surface). Append output mode only —
+    * the sink's own merge semantics, not the aggregation modes,
+    * decide row identity. */
+  override def createSink(ctx: SQLContext, params: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft_feed sink: partitionBy is not supported — hidden " +
+        "partitioning is declared on commit (commitAppendHidden)")
+    require(outputMode == OutputMode.Append() ||
+      outputMode == OutputMode.Update(),
+      s"graft_feed sink: output mode $outputMode is not supported — " +
+        "use append (or update with keyCols)")
+    val dir = tableDir(params)
+    val keys = params.get("keycols").orElse(params.get("keyCols"))
+      .map(_.split(',').map(_.trim).toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+    require(keys.isDefined || outputMode == OutputMode.Append(),
+      "graft_feed sink: update mode needs keyCols (the upsert key set)")
+    new SnapshotSink(dir, keys)
+  }
 
   private def tableDir(params: Map[String, String]): String =
     params.getOrElse("table", sys.error(
@@ -90,6 +119,32 @@ class SnapshotStreamProvider extends StreamSourceProvider
       schema.getOrElse(
         SnapshotStreamProvider.changesSchema(ctx.sparkSession, dir)),
       maxCommits)
+  }
+}
+
+/** V1 streaming [[Sink]] over the snapshot table: one atomic
+  * batchId-tagged commit per micro-batch. The first batch on an empty
+  * table fixes the schema; with `keyCols` every batch is a keyed
+  * upsert (last-writer-wins within the table's one-key-set contract),
+  * else a plain append. */
+final class SnapshotSink(dir: String, keyCols: Option[Seq[String]])
+    extends Sink {
+  override def name(): String = s"graft_feed[$dir]"
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val b = Shim.batchFrame(spark, data)
+    val tag = Some(s"sink-$batchId")
+    keyCols match {
+      case Some(keys) if Snapshots.current(spark, dir).isDefined =>
+        Snapshots.commitMergeKeyed(b,
+          b.select(keys.map(org.apache.spark.sql.functions.col): _*)
+            .limit(0), dir, keys, tag)
+      case _ =>
+        // first-ever batch of a keyed sink: the append fixes the
+        // schema; the key header lands with the first real merge
+        Snapshots.commitAppend(b, dir, tag)
+    }
+    ()
   }
 }
 

@@ -43,6 +43,18 @@ object Shim {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
 
+  /** The inverse re-wrap for a V1 streaming `Sink.addBatch`: the frame
+    * the engine hands in carries the incremental plan, which cannot be
+    * re-planned by arbitrary batch consumers — materialize its RDD and
+    * rebuild a plain batch frame over it (Spark's own ForeachBatchSink
+    * does exactly this). */
+  def batchFrame(spark: SparkSession,
+                 df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+        isStreaming = false)
+
   /** Idempotently register `builder` under `name` in `spark`'s function
     * registry (session-local, no extension-loading required). */
   def registerFunction(

@@ -560,6 +560,49 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("s48: TIMESTAMP AS OF — commit stamps address main history; unstamped/absent bounds refuse loudly (round-19)") {
+    import graft.ops.Snapshots
+    import graft.plans.SnapshotSql
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapts").toString
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("k", "v"), root)
+    Thread.sleep(25)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(25)
+    Snapshots.commitAppend(Seq((2L, "b")).toDF("k", "v"), root)
+    SnapshotSql.register("tsx", root)
+    def ks(q: String): Set[Long] =
+      spark.sql(q).select("k").as[Long].collect().toSet
+    try {
+      // a formatted UTC bound between the two commits → state 1
+      // (Spark's analyzer pre-validates the expression as castable to
+      // TIMESTAMP, so SQL bounds are timestamp strings; raw epoch
+      // millis stay a Scala-API form)
+      val f1 = java.time.Instant.ofEpochMilli(t1)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+        .replace('T', ' ')
+      assert(ks(s"SELECT k FROM graft_snap.tsx TIMESTAMP AS OF '$f1'") ==
+        Set(1L))
+      // far-future formatted bound → current state
+      assert(ks("SELECT k FROM graft_snap.tsx TIMESTAMP AS OF " +
+        "'2100-01-01'") == Set(1L, 2L))
+      assert(ks("SELECT k FROM graft_snap.tsx TIMESTAMP AS OF " +
+        "'2100-01-01 12:34:56'") == Set(1L, 2L))
+      // before every stamped commit → loud, naming the contract
+      val e = intercept[Exception] {
+        spark.sql("SELECT k FROM graft_snap.tsx TIMESTAMP AS OF " +
+          "'2000-01-01'").collect()
+      }
+      assert(e.getMessage.contains("at or before"))
+      // VERSION AS OF unaffected
+      assert(ks("SELECT k FROM graft_snap.tsx VERSION AS OF 1") == Set(1L))
+      // the Scala API twin
+      assert(Snapshots.readAsOf(spark, root, t1)
+        .as[(Long, String)].collect().toSet == Set((1L, "a")))
+      assert(Snapshots.snapshotAsOf(spark, root, t1).get.id == 1L)
+    } finally SnapshotSql.unregister("tsx")
+  }
+
   test("s41: an alias that itself ends in __v<N> stays reachable — full-alias registration wins over time-travel stripping") {
     import graft.ops.Snapshots
     import graft.plans.SnapshotSql

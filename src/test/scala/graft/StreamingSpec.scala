@@ -1448,6 +1448,44 @@ class StreamingSpec extends SparkSpec {
       s"expired offset must refuse loudly, got: ${chain(e).mkString(" | ")}")
   }
 
+  test("w40 graft_feed SINK: writeStream lands batchId-tagged atomic commits; keyed mode upserts; restart absorbs replays") {
+    import graft.ops.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("w40sink").toString
+    val (dst, ckpt) = (s"$root/t", s"$root/ckpt")
+    val in = MemoryStream[(Long, String)](spark)
+    def startQ() = in.toDS().toDF("k", "v")
+      .writeStream.format("graft_feed")
+      .option("table", dst).option("keyCols", "k")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q = startQ()
+    in.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    in.addData((2L, "B"), (3L, "c")) // upsert 2, insert 3
+    q.processAllAvailable()
+    q.stop()
+    def state = Snapshots.read(spark, dst).as[(Long, String)]
+      .collect().toMap
+    assert(state == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    val head = Snapshots.current(spark, dst).get.id
+    // restart on the same checkpoint: nothing new → no new commits
+    val q2 = startQ()
+    q2.processAllAvailable()
+    in.addData((1L, "A2"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(state == Map(1L -> "A2", 2L -> "B", 3L -> "c"))
+    assert(Snapshots.current(spark, dst).get.id == head + 1,
+      "exactly one new commit after restart — replays absorbed by tag")
+    // refusals: complete mode, partitionBy
+    intercept[Exception] {
+      in.toDS().toDF("k", "v").groupBy("k").count()
+        .writeStream.format("graft_feed").option("table", s"$root/x")
+        .outputMode("complete")
+        .option("checkpointLocation", s"$root/ck2").start()
+    }
+  }
+
   test("w40 mirrorStream: one-call checkpoint-native mirror — folds exactly, resumes after stop without re-delivery") {
     import graft.ops.Snapshots
     import graft.streaming.SnapshotFeed

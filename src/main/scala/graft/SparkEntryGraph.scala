@@ -93,12 +93,9 @@ private[graft] object SparkEntryGraph {
     // orientation + wedge closure relationally, so every count is
     // hash-judged (413k triangles over 115k edges at sf0.01).
     "g6_triangles" -> ((s, dir) => {
-      val io = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = io.as("x").join(io.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      // identical pair multiset to the former io self-join, one
+      // exchange fewer — see SparkEntry.coPurchasePairs
+      val edges = coPurchasePairs(s, dir)
       graft.ops.Graph.triangles(edges, "src", "dst")
         .select(col("node").as("node_id"), col("n_tri"))
     }),
@@ -114,12 +111,9 @@ private[graft] object SparkEntryGraph {
     // contract (sync LPA has no well-defined convergence on
     // bipartite-ish graphs, disclosed in the scaladoc).
     "g7_lpa" -> ((s, dir) => {
-      val io = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = io.as("x").join(io.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      // identical pair multiset to the former io self-join, one
+      // exchange fewer — see SparkEntry.coPurchasePairs
+      val edges = coPurchasePairs(s, dir)
       graft.ops.Graph.labelPropagation(edges, "src", "dst", iters = 3)
         .select(col("node").as("node_id"), col("community"))
     }),
@@ -139,12 +133,9 @@ private[graft] object SparkEntryGraph {
     // percentile_disc ≡ DuckDB quantile_disc (verified twin). The
     // fixpoint form (rounds=None) is the library API, spec-pinned.
     "g8_kcore" -> ((s, dir) => {
-      val io = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = io.as("x").join(io.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      // identical pair multiset to the former io self-join, one
+      // exchange fewer — see SparkEntry.coPurchasePairs
+      val edges = coPurchasePairs(s, dir)
       val e = edges.select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .filter(col("a") =!= col("b")).distinct()

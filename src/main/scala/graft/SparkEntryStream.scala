@@ -393,6 +393,12 @@ private[graft] object SparkEntryStream {
           pmod(conv(substring(md5(concat_ws(":",
             col("doc_id_a"), col("doc_id_b"))), 1, 4), 16, 10).cast("long"),
             lit(3)))
+        // ONE file per bucket (w23's staging discipline): each staged
+        // file is one micro-batch under maxFilesPerTrigger=1, and the
+        // upstream partitioning otherwise fans every bucket into many
+        // part files, each paying a full trigger (plan+commit) — the
+        // delivered edge SET per bucket is unchanged
+        .repartition(3, col("__b"))
         .write.partitionBy("__b").mode("overwrite").parquet(tmp)
       for (b <- 0 until 3) {
         val d = new java.io.File(s"$tmp/__b=$b")
@@ -440,6 +446,12 @@ private[graft] object SparkEntryStream {
           pmod(conv(substring(md5(concat_ws(":",
             col("src"), col("dst"))), 1, 4), 16, 10).cast("long"),
             lit(3)))
+        // ONE file per bucket (w23's staging discipline): each staged
+        // file is one micro-batch under maxFilesPerTrigger=1, and the
+        // upstream partitioning otherwise fans every bucket into many
+        // part files, each paying a full trigger (plan+commit) — the
+        // delivered edge SET per bucket is unchanged
+        .repartition(3, col("__b"))
         .write.partitionBy("__b").mode("overwrite").parquet(tmp)
       for (b <- 0 until 3) {
         val d = new java.io.File(s"$tmp/__b=$b")
@@ -472,16 +484,14 @@ private[graft] object SparkEntryStream {
     // and set union absorbs replay/reorder by algebra.
     "w35_stream_triangles" -> ((s, dir) => {
       import graft.streaming.TriangleStream
-      val io = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
       // the REPEAT co-purchase graph (pairs sharing >= 2 orders): the
       // noise-filtered co-occurrence tier — real structure at ~0.3% of
       // the full graph's edge mass, so the bench pays for the judged
-      // STREAMING algebra, not for re-running g6's fold on 1.16M edges
-      val edges = io.as("x").join(io.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("src"), col("y.p").as("dst"))
+      // STREAMING algebra, not for re-running g6's fold on 1.16M edges.
+      // Pair multiset identical to the former io self-join — see
+      // SparkEntry.coPurchasePairs
+      val edges = SparkEntry.coPurchasePairs(s, dir)
+        .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
         .select(col("src"), col("dst"))
       val root = s"$streamScratchDir/${dirKey(dir)}_w35"
@@ -493,6 +503,12 @@ private[graft] object SparkEntryStream {
           pmod(conv(substring(md5(concat_ws(":",
             col("src"), col("dst"))), 1, 4), 16, 10).cast("long"),
             lit(3)))
+        // ONE file per bucket (w23's staging discipline): each staged
+        // file is one micro-batch under maxFilesPerTrigger=1, and the
+        // upstream partitioning otherwise fans every bucket into many
+        // part files, each paying a full trigger (plan+commit) — the
+        // delivered edge SET per bucket is unchanged
+        .repartition(3, col("__b"))
         .write.partitionBy("__b").mode("overwrite").parquet(tmp)
       for (b <- 0 until 3) {
         val d = new java.io.File(s"$tmp/__b=$b")
@@ -523,13 +539,9 @@ private[graft] object SparkEntryStream {
     // through any delivery order.
     "w36_stream_lpa" -> ((s, dir) => {
       import graft.streaming.LpaStream
-      val io = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
       // w35's repeat co-purchase graph (>= 2 shared orders) — see there
-      val edges = io.as("x").join(io.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("src"), col("y.p").as("dst"))
+      val edges = SparkEntry.coPurchasePairs(s, dir)
+        .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
         .select(col("src"), col("dst"))
       val root = s"$streamScratchDir/${dirKey(dir)}_w36"
@@ -541,6 +553,12 @@ private[graft] object SparkEntryStream {
           pmod(conv(substring(md5(concat_ws(":",
             col("src"), col("dst"))), 1, 4), 16, 10).cast("long"),
             lit(3)))
+        // ONE file per bucket (w23's staging discipline): each staged
+        // file is one micro-batch under maxFilesPerTrigger=1, and the
+        // upstream partitioning otherwise fans every bucket into many
+        // part files, each paying a full trigger (plan+commit) — the
+        // delivered edge SET per bucket is unchanged
+        .repartition(3, col("__b"))
         .write.partitionBy("__b").mode("overwrite").parquet(tmp)
       for (b <- 0 until 3) {
         val d = new java.io.File(s"$tmp/__b=$b")
@@ -590,7 +608,9 @@ private[graft] object SparkEntryStream {
           when(col("__b") === 1, lit(null).cast("string"))
             .otherwise(col("c_mktsegment")))
       val tmp = s"$root/tmpall"
-      sliced.write.partitionBy("__b").mode("overwrite").parquet(tmp)
+      // ONE file per slice — see the w22/w23 staging note
+      sliced.repartition(3, col("__b"))
+        .write.partitionBy("__b").mode("overwrite").parquet(tmp)
       for (b <- 0 until 3) {
         val d = new java.io.File(s"$tmp/__b=$b")
         if (d.isDirectory) {

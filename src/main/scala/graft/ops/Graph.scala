@@ -372,25 +372,45 @@ object Graph {
     * equi-joins on node ids; no driver state, no collect.
     *
     * Returns (node, n_tri) for every node in at least one triangle. */
-  def triangles(edges: DataFrame, src: String, dst: String): DataFrame = {
-    val e = edges
+  def triangles(edges: DataFrame, src: String, dst: String,
+                checkpoint: Cascade.Strategy = Cascade.Auto): DataFrame = {
+    def cut(df: DataFrame): DataFrame = Cascade.cut(df, checkpoint, eager = false)
+    // cut the canonical edge set and the oriented set ONCE (round-19
+    // optimization, pageRank's lineage discipline): each is consumed
+    // 2-3 times downstream, and without the cuts every consumer
+    // re-embeds the whole upstream edge derivation (the co-purchase
+    // self-join) in its plan — g6's pre-cut physical plan was 341
+    // operators re-deriving the edge join five times
+    val e = cut(edges
       .select(least(col(src), col(dst)).as("a"),
         greatest(col(src), col(dst)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct())
     val deg = e.select(col("a").as("v"))
       .union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     // orient a→b iff (d_a, a) < (d_b, b); a < b already, so ties go a→b
-    val o = e
+    val o = cut(e
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
       .select(
         when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
-        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("w"))
-    val tri = o.select(col("u").as("x"), col("w").as("y"))
-      .join(o.select(col("u").as("y"), col("w").as("z")), Seq("y"))
-      .join(o.select(col("u").as("x"), col("w").as("z")), Seq("x", "z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("w")))
+    // Adjacency-intersection closure (round-19 optimization; same
+    // O(m^1.5) wedge bound, far smaller constants): a triangle {a,b,c}
+    // has exactly one oriented representation (u→w, v ∈ N⁺(u)∩N⁺(w)),
+    // so per-edge out-neighbor intersection enumerates each triangle
+    // once — without materializing the Σ outdeg² wedge ROWS through an
+    // exchange and a second (x,z) hash join (guide §2.3/§2.4: at sf0.1
+    // the wedge join shuffled 41M wedge rows to find 1.9M triangles).
+    // Out-adjacency arrays are bounded at O(√m) elements by the
+    // orientation, so no row blows up on a hub.
+    val adj = o.groupBy(col("u")).agg(collect_list(col("w")).as("__ns"))
+    val tri = o
+      .join(adj, Seq("u"))
+      .join(adj.select(col("u").as("w"), col("__ns").as("__nw")), Seq("w"))
+      .select(col("u"), col("w"),
+        explode(array_intersect(col("__ns"), col("__nw"))).as("v"))
+    tri.select(explode(array(col("u"), col("w"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 

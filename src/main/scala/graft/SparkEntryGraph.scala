@@ -134,16 +134,22 @@ private[graft] object SparkEntryGraph {
     // fixpoint form (rounds=None) is the library API, spec-pinned.
     "g8_kcore" -> ((s, dir) => {
       // identical pair multiset to the former io self-join, one
-      // exchange fewer — see SparkEntry.coPurchasePairs
-      val edges = coPurchasePairs(s, dir)
-      val e = edges.select(least(col("src"), col("dst")).as("a"),
+      // exchange fewer — see SparkEntry.coPurchasePairs. The canonical
+      // edge set is lineage-cut ONCE and feeds BOTH the SF-adaptive k
+      // derivation and the peel loop (round-19 optimization: the
+      // percentile action used to re-run the whole co-purchase
+      // derivation a second time — PhaseProf showed the two identical
+      // ~1.3 s derivation chains back to back).
+      val e = coPurchasePairs(s, dir)
+        .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(false)
       val k = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
         .agg(expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY d)"))
         .collect()(0).getDouble(0).toInt
-      graft.ops.Graph.kcore(edges, "src", "dst", k = k, rounds = Some(3))
+      graft.ops.Graph.kcore(e, "a", "b", k = k, rounds = Some(3))
         .select(col("node").as("node_id"), col("core_deg"))
     }),
 

@@ -149,7 +149,7 @@ private[graft] object SparkEntryGraph {
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
         .agg(expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY d)"))
         .collect()(0).getDouble(0).toInt
-      graft.ops.Graph.kcore(e, "a", "b", k = k, rounds = Some(3))
+      graft.ops.Graph.kcore(e, "a", "b", k = k, rounds = Some(3), cutEvery = 1)
         .select(col("node").as("node_id"), col("core_deg"))
     }),
 

@@ -290,7 +290,7 @@ object Bench {
     * MACHINE-READABLE and the session-noise attribution (uniform drift
     * vs per-plan regression) no longer lives only in prose. Update per
     * round alongside the BASELINE checkpoint. */
-  val LocalSweepSf01Sec = 412.9
+  val LocalSweepSf01Sec = 370.1
 
   /** Truncate on a code-point boundary: a high surrogate left at the cut
     * is dropped rather than orphaned (render additionally \u-escapes any

@@ -292,6 +292,40 @@ object Bench {
     * round alongside the BASELINE checkpoint. */
   val LocalSweepSf01Sec = 370.1
 
+  /** DETERMINISTIC omission set (round-20; the r19 VERDICT's #1 "phantom
+    * drops"): at ~255 queries the 1990-char window cannot hold every
+    * entry at ANY precision (measured: all-255 whole-second ≈ 2055
+    * chars), so some timings must be omitted — but the old slowest-K
+    * tier picked the omitted SET from this run's timings, so boundary
+    * queries (0.1–0.3 s rows rounding 1↔2 ds) flickered in and out of
+    * the line run-to-run and the driver's round-over-round comparator
+    * flagged them as dropped_from_bench when they ran green (r19:
+    * a11/c8/h4/s1/v13). This list pins the omission BY NAME — exactly
+    * the 55 fastest rows the round-19 driver line already omitted, all
+    * sub-0.5 s micro-queries — so the rendered key set is a pure
+    * function of the declared query list, identical across runs and
+    * rounds. Names not in the current list are skipped; queries added
+    * later are never omitted (they default to rendered). The omitted
+    * rows' timings stay fully available in the untruncated local
+    * sidecar (bench_full_<sf>.json). */
+  val FixedOmitNames: Set[String] = Set(
+    "a11_reconcile", "a7_distinct_ids", "a8_list_serialize",
+    "a9_fingerprint", "c11_corpus_shuffle", "c13_leakage_split",
+    "c3_stratified_sample", "c8_weighted_sample", "e2_embedding_stats",
+    "h4_upsert_latest", "h5_scd2", "j5_parent_pointer", "j6_secondary_id",
+    "m12_mp4_meta", "m1_binary_meta", "m5_media_dedup", "m6_media_sniff",
+    "m8_media_headers", "p10_synthetic_id", "p11_units_to_bytes",
+    "p13_unpivot", "p16_date_parse", "p3_p4_normalize", "p5_enum_clean",
+    "p6_int_coerce", "p7_drop_allnull", "s11_dict_bootstrap",
+    "s15_dict_drift", "s17_date_render", "s1_xlsx_scan",
+    "s3_transposed_kv", "s9_yaml_scan", "t13_entropy", "t14_classifier",
+    "t19_html_strip", "t1_langid", "t26_gopher_repetition",
+    "t27_c4_filter", "t28_gopher_quality", "t2_quality", "t3_tokens",
+    "t4_fingerprint", "t7_redact_pii", "t8_nfc_normalize",
+    "t9_repetition", "v10_profile", "v13_property_report", "v3_ui_fill",
+    "v4_ssn_scan", "v5_enum_violations", "v6_pattern_violations",
+    "w13_rolling", "w4_asof_join", "w5_range_join", "w9_approx_distinct")
+
   /** Truncate on a code-point boundary: a high surrogate left at the cut
     * is dropped rather than orphaned (render additionally \u-escapes any
     * surrogate, so even an interior lone surrogate stays parseable). */
@@ -378,19 +412,28 @@ object Bench {
     // contract fields always fit the window — at ~195 queries the
     // fully-degraded line otherwise overflows by a few chars
     def at(dec: Int, errMax: Int, short: Boolean, lean: Boolean = false,
-           topK: Int = Int.MaxValue): String = {
+           topK: Int = Int.MaxValue, omitFixed: Boolean = false): String = {
       def nm(k: String) = if (short) shortOf(k) else k
+      val present = names.flatMap(k => best.get(k).map(k -> _))
+      // DETERMINISTIC rung (round-20): omission by NAME, never by this
+      // run's timings — the rendered key set is a pure function of the
+      // declared list, so the driver's round-over-round comparator can
+      // never see a phantom drop from omission-set drift
+      val kept0 =
+        if (omitFixed) present.filterNot(p => FixedOmitNames.contains(p._1))
+        else present
       // pathological terminal tier: keep the SLOWEST topK timings (the
       // ones regression analysis needs) and disclose the omission count
       // — never a silent truncation
-      val present = names.flatMap(k => best.get(k).map(k -> _))
       val kept =
-        if (present.size <= topK) present
-        else present.sortBy { case (k, v) => (-v, k) }.take(topK)
+        if (kept0.size <= topK) kept0
+        else kept0.sortBy { case (k, v) => (-v, k) }.take(topK)
       val keptSet = kept.map(_._1).toSet
       val om =
         if (present.size > kept.size)
-          s""""queries_omitted":${present.size - kept.size},"""
+          s""""queries_omitted":${present.size - kept.size},""" +
+            (if (omitFixed && kept0.size == kept.size)
+              """"omit_fixed":1,""" else "")
         else ""
       val qs = names.flatMap(k =>
         if (keptSet.contains(k)) Some(s"${jstr(nm(k))}:${qnum(best(k), dec)}")
@@ -462,8 +505,17 @@ object Bench {
     // queries_omitted — their ds values are 2-4 and carry the least
     // regression signal), keeping 0.1s resolution for everything still
     // rendered. Whole seconds only after ds-for-the-slowest-140 fails.
+    // deterministic rungs FIRST (round-20): the fixed-by-name omission
+    // set keeps the rendered keys identical run-to-run (the r19 driver's
+    // dropped_from_bench flags on green queries were omission-set drift);
+    // the ds-lean rung is the expected winner at ~255 queries (measured
+    // 1899 chars on the r19 timings), the whole-second non-lean rung the
+    // same-key-set fallback (1728) if timings grow a digit. The old
+    // slowest-K tiers remain only as pathological terminals.
     def dsRescue: Iterator[String] = Iterator(
-      at(-2, 200, shortOk, lean = true)) ++
+      at(-2, 200, shortOk, lean = true),
+      at(-2, 200, shortOk, lean = true, omitFixed = true),
+      at(0, 200, shortOk, omitFixed = true)) ++
       Seq(200, 170, 140).iterator
         .map(k => at(-2, 200, shortOk, lean = true, topK = k))
     ladder.iterator.map { case (d, e, s) =>

@@ -62,16 +62,27 @@ private[graft] object SparkEntryDedup {
         rmTree(tmp)
       }
       val schema = s.read.parquet(in).schema
-      def runOnce(tag: String): DataFrame = {
+      def startRun(tag: String) =
         NearDupStream.start(
           s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
             .parquet(in),
           s"$root/out$tag", s"$root/ckpt$tag", s"$root/state$tag")
-          .awaitTermination()
-        s.read.parquet(s"$root/out$tag")
-      }
-      val a = runOnce("A")
-      val b = runOnce("B")
+      // the determinism gate's two clean runs are INDEPENDENT (separate
+      // checkpoint/state/output dirs, both from empty state), so they
+      // run CONCURRENTLY (guide §2.6 overlapping jobs, round-20): each
+      // stream's per-trigger driver gaps are back-filled by the other
+      // stream's micro-batch work. Results are per-run deterministic
+      // functions of (input order, empty state) — identical to the
+      // sequential schedule the gate previously used.
+      val qA = startRun("A")
+      val qB = startRun("B")
+      qA.awaitTermination()
+      qB.awaitTermination()
+      // `a` feeds FOUR gate actions (count, rerun diff, bucket-key
+      // re-derivation, subset check) — cache it for the gate section
+      // (bench drain unpersists after)
+      val a = s.read.parquet(s"$root/outA").persist()
+      val b = s.read.parquet(s"$root/outB")
       val nDocs = docs.count()
       val nA = a.count()
       val rerunMiss = a.select(col("doc_id")).withColumn("x", lit(1))
@@ -87,6 +98,7 @@ private[graft] object SparkEntryDedup {
         .filter(col("x").isNull || col("y").isNull).count()
       val subsetViol = a.select(col("doc_id"))
         .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
+      a.unpersist() // the returned frame is a literal; nothing stays pinned
       import s.implicits._
       Seq((nDocs,
         if (nA >= 1 && nA <= nDocs) 1 else 0,

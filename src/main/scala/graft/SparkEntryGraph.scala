@@ -140,11 +140,15 @@ private[graft] object SparkEntryGraph {
       // percentile action used to re-run the whole co-purchase
       // derivation a second time — PhaseProf showed the two identical
       // ~1.3 s derivation chains back to back).
-      val e = coPurchasePairs(s, dir)
+      // Cascade.Auto, not a raw localCheckpoint (round-20, ADVICE r19):
+      // locally identical (no checkpoint dir configured → lazy
+      // localCheckpoint), but a cluster run that called setCheckpointDir
+      // gets a reliable cut — the repo's one-flag-away posture.
+      val e = Cascade.cut(coPurchasePairs(s, dir)
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
-        .localCheckpoint(false)
+        .filter(col("a") =!= col("b")).distinct(),
+        Cascade.Auto, eager = false)
       val k = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
         .agg(expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY d)"))

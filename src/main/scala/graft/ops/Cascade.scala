@@ -54,7 +54,12 @@ object Cascade {
   case object LocalCheckpoint extends Strategy
   case object ReliableCheckpoint extends Strategy
 
-  private[ops] def cut(df: DataFrame, s: Strategy, eager: Boolean): DataFrame = s match {
+  /** Apply one lineage cut under `s` (see [[Strategy]]). `private[graft]`
+    * so entry-level derivations (e.g. g8's shared co-purchase edge set)
+    * follow the same checkpoint-strategy discipline as the ops — a
+    * cluster run with a checkpoint dir configured gets reliable cuts
+    * everywhere, never a hardcoded executor-block localCheckpoint. */
+  private[graft] def cut(df: DataFrame, s: Strategy, eager: Boolean): DataFrame = s match {
     case NoCheckpoint => df
     case LocalCheckpoint => df.localCheckpoint(eager)
     case ReliableCheckpoint => df.checkpoint(eager)

@@ -89,7 +89,12 @@ object MaterializedView {
     // merged view state for ONLY the groups the delta touches (a LEFT
     // join from the delta: untouched groups never enter the merge, so
     // a refresh writes O(|touched groups|), not O(|view|) — the merge's
-    // sequence rule keeps the rest of the view as-is)
+    // sequence rule keeps the rest of the view as-is).
+    // CACHED for the commit (round-20, guide §5): the commit consumes
+    // this frame three times (the merge's delete-key union reads
+    // upserts AND gone, the data dir reads upserts again), and each
+    // consumption used to re-run the whole CDC-interval aggregate +
+    // view join. The frame is touched-group-sized — tiny.
     val touched = deltaAgg
       .join(Snapshots.read(spark, mvDir), Seq(groupCol), "left")
       .select(
@@ -98,8 +103,14 @@ object MaterializedView {
           sumCols.map(c =>
             (coalesce(col(s"sum_$c"), lit(0L)) +
               col(s"d_sum_$c")).as(s"sum_$c")): _*)
-    val upserts = touched.filter(col("cnt") > 0)
-    val gone = touched.filter(col("cnt") <= 0).select(groupCol)
-    Snapshots.commitMergeKeyed(upserts, gone, mvDir, groupCol, tag)
+      .persist()
+    try {
+      val upserts = touched.filter(col("cnt") > 0)
+      val gone = touched.filter(col("cnt") <= 0).select(groupCol)
+      Snapshots.commitMergeKeyed(upserts, gone, mvDir, groupCol, tag)
+    } finally {
+      touched.unpersist()
+      ()
+    }
   }
 }

@@ -217,17 +217,14 @@ object MultiSheet {
 
     val norm = sheets.map { case (k, v) => k -> Normalize.blanksToNull(v) }
 
-    // one liveness/na probe per interesting raw column, batched per sheet
     def hasColumn(sheet: String, c: String): Boolean =
       norm.get(sheet).exists(_.columns.contains(c))
-    def anyNull(df: DataFrame, c: String): Boolean =
-      df.agg(count(lit(1)).as("n"), count(graft.ColNames.q(c)).as("nn"))
-        .first() match { case r => r.getLong(0) != r.getLong(1) }
-    def allNull(df: DataFrame, c: String): Boolean =
-      df.agg(count(graft.ColNames.q(c)).as("nn")).first().getLong(0) == 0L
 
     // 2. extract (with the file_id fallback folded into the projection —
-    // a GUID column must attach same-row, so it rides the extract select)
+    // a GUID column must attach same-row, so it rides the extract select).
+    // The "does the file node need a surrogate id" emptiness probe is
+    // DEFERRED into the fused probe pass below (one driver action for
+    // every schema gate instead of one job each).
     var nodes: Map[String, DataFrame] = specs.map { spec =>
       val sheet = norm(spec.sheet)
       val mapping =
@@ -238,26 +235,66 @@ object MultiSheet {
             case None => spec.mapping
           }
         else spec.mapping
-      var df = RawDict.extractByColumn(sheet, mapping, spec.node)
-      if (spec.node == "file" && !df.columns.contains("file_id") && !df.isEmpty)
-        df = ensureId(df, "file_id", df.columns.filter(_ != "type").sorted.toSeq)
-      spec.node -> df
+      spec.node -> RawDict.extractByColumn(sheet, mapping, spec.node)
     }.toMap
+
+    // ONE fused probe action (round-20, guide §7 driver-side costs):
+    // the independent data probes gating schema decisions — file-node
+    // emptiness (surrogate-id fallback), diagnosis pointer liveness and
+    // emptiness, participant emptiness, study key null-freedom — used
+    // to run one driver job EACH (limit(1)/agg per frame). They share
+    // no data, so a union of 1-row aggregate legs answers all of them
+    // in a single collect; decisions and decision ORDER are unchanged.
+    // Legs that an && chain would have short-circuited away now always
+    // compute — pure bounded reads, same results where consulted.
+    val probeLegs = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+    def emptinessLeg(df: DataFrame): DataFrame =
+      df.limit(1).select(lit(1L).as("__one"))
+        .agg(count(lit(1)).as("n"), count(lit(1)).as("nn"))
+    val fileNeedsId =
+      nodes.contains("file") && !nodes("file").columns.contains("file_id")
+    if (fileNeedsId)
+      probeLegs += "file_empty" -> emptinessLeg(nodes("file"))
+    for (spec <- specs.find(_.node == "diagnosis")) {
+      val sheet = norm(spec.sheet)
+      if (sheet.columns.contains("participant_id")) {
+        probeLegs += "diag_pid" -> sheet.agg(count(lit(1)).as("n"),
+          count(graft.ColNames.q("participant_id")).as("nn"))
+        probeLegs += "diag_empty" -> emptinessLeg(nodes("diagnosis"))
+      }
+    }
+    val j4Shape = nodes.get("study").exists(_.columns.contains("phs_accession")) &&
+      nodes.contains("participant")
+    if (j4Shape) {
+      probeLegs += "part_empty" -> emptinessLeg(nodes("participant"))
+      probeLegs += "study_phs" -> nodes("study").agg(count(lit(1)).as("n"),
+        count(graft.ColNames.q("phs_accession")).as("nn"))
+    }
+    val probes: Map[String, (Long, Long)] =
+      if (probeLegs.isEmpty) Map.empty
+      else probeLegs.map { case (tag, leg) =>
+          leg.select(lit(tag).as("tag"), col("n"), col("nn"))
+        }.reduce(_.union(_))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def nonEmpty(tag: String): Boolean = probes(tag)._1 > 0L
+
+    if (fileNeedsId && nonEmpty("file_empty"))
+      nodes += "file" -> ensureId(nodes("file"), "file_id",
+        nodes("file").columns.filter(_ != "type").sorted.toSeq)
 
     // 3. diagnosis parent pointer — same-row from the raw sheet
     for (spec <- specs.find(_.node == "diagnosis")) {
       val sheet = norm(spec.sheet)
       if (sheet.columns.contains("participant_id") &&
-          !allNull(sheet, "participant_id") && !nodes("diagnosis").isEmpty)
+          probes("diag_pid")._2 > 0L && nonEmpty("diag_empty"))
         nodes += "diagnosis" -> RawDict.extractByColumn(sheet,
           spec.mapping + ("participant_id" -> "participant.participant_id"),
           "diagnosis")
     }
 
     // 4. J4 broadcast scalar study -> participant
-    if (nodes.get("study").exists(_.columns.contains("phs_accession")) &&
-        nodes.get("participant").exists(!_.isEmpty) &&
-        !anyNull(nodes("study"), "phs_accession"))
+    if (j4Shape && nonEmpty("part_empty") &&
+        probes("study_phs")._1 == probes("study_phs")._2)
       nodes += "participant" -> broadcastScalar(
         nodes("participant"), nodes("study"), "phs_accession", "study.phs_accession")
 

@@ -36,44 +36,64 @@ import graft.ops.Snapshots
   * standard CDC-lakehouse maintenance split. */
 object CdcStream {
 
-  /** Fail loudly on any row whose op is not EXACTLY 'upsert' or
-    * 'delete' (null included): the split below filters on the two
-    * literals, so an unrecognized op would be neither inserted nor
-    * deleted — silently vanishing from the merge. One batch-sized
-    * aggregate: count + a sample value for the message. */
-  private def requireKnownOps(batch: DataFrame, opCol: String,
-                              who: String): Unit = {
-    val bad = batch
-      .filter(!coalesce(col(opCol).isin("upsert", "delete"), lit(false)))
-      .agg(count(lit(1)).as("n"), first(col(opCol)).as("sample"))
+  /** Batch shape from [[probeBatch]]'s single pass: row/upsert counts
+    * (0 rows = skip the batch, 0 upserts = skip the append leg). */
+  private final case class BatchProbe(nRows: Long, nUpserts: Long)
+
+  /** ONE batch-sized aggregate (round-20, guide §7 driver-side costs)
+    * answering every absorb precondition that used to cost a separate
+    * driver action — emptiness (`isEmpty`), the one-op-per-key
+    * contract, unrecognized ops, and the upsert count (the old
+    * `ups.isEmpty` probe). Each action on a foreachBatch frame plans
+    * and schedules its own ~200 ms job; four probes per micro-batch
+    * were most of w27/w34's driver-gap time. Violations still die
+    * loudly with the same require()s BEFORE any commit runs. */
+  private def probeBatch(batch: DataFrame, keyCol: String, opCol: String,
+                         who: String): BatchProbe = {
+    val known = coalesce(col(opCol).isin("upsert", "delete"), lit(false))
+    val r = batch
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(known, 0L).otherwise(1L)).as("__nbad"),
+        max(when(!known, coalesce(col(opCol), lit("null")))).as("__bad"),
+        sum(when(col(opCol) === "upsert", 1L).otherwise(0L)).as("__nup"))
+      .agg(sum(col("__n")).as("nrows"),
+        max(col("__n")).as("maxn"),
+        max_by(col(keyCol).cast("string"), col("__n")).as("dupkey"),
+        sum(col("__nbad")).as("nbad"),
+        max(col("__bad")).as("badop"),
+        sum(col("__nup")).as("nup"))
       .collect()(0)
-    require(bad.getLong(0) == 0L,
-      s"$who: ${bad.getLong(0)} row(s) carry unrecognized op " +
-        s"'${bad.get(1)}' (expected exactly 'upsert'/'delete') - such " +
+    if (r.isNullAt(0)) return BatchProbe(0L, 0L) // empty batch
+    require(r.getLong(1) == 1L,
+      s"$who: key '${r.getString(2)}' carries " +
+        s"${r.getLong(1)} ops in one batch - the one-op-per-key " +
+        "CDC contract is violated; compact the feed per batch first")
+    require(r.getLong(3) == 0L,
+      s"$who: ${r.getLong(3)} row(s) carry unrecognized op " +
+        s"'${r.getString(4)}' (expected exactly 'upsert'/'delete') - such " +
         "rows would silently vanish from the merge; fix the feed")
+    BatchProbe(r.getLong(0), r.getLong(5))
   }
 
   /** Apply one CDC micro-batch: `opCol` ∈ {upsert, delete}; all other
     * columns are the payload (the key column included). */
   def absorb(batch: DataFrame, tableDir: String, keyCol: String,
              opCol: String): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
-    // guard the one-op-per-key precondition: a violating feed must die
-    // loudly here, not merge in an order-ambiguous way
-    val dup = batch.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"CdcStream.absorb: key '${dup.head.get(0)}' carries " +
-        s"${dup.head.getLong(1)} ops in one batch - the one-op-per-key " +
-        "CDC contract is violated; compact the feed per batch first")
-    requireKnownOps(batch, opCol, "CdcStream.absorb")
+    // one fused probe (see [[probeBatch]]): emptiness, the
+    // one-op-per-key precondition, op validity, and the upsert count —
+    // a violating feed must die loudly here, not merge ambiguously
+    val probe = probeBatch(batch, keyCol, opCol, "CdcStream.absorb")
+    if (probe.nRows == 0L) return
     val touched = batch.select(col(keyCol)).distinct()
     // nothing to delete from an empty table (first batch bootstrap)
     if (Snapshots.current(spark, tableDir).isDefined)
       Snapshots.commitDelete(touched, tableDir, keyCol)
-    val ups = batch.filter(col(opCol) === "upsert").drop(opCol)
-    if (!ups.isEmpty) { Snapshots.commitAppend(ups, tableDir); () }
+    if (probe.nUpserts > 0L) {
+      Snapshots.commitAppend(batch.filter(col(opCol) === "upsert").drop(opCol),
+        tableDir); ()
+    }
   }
 
   /** Wire a streaming CDC frame into per-batch [[absorb]] calls. */
@@ -99,21 +119,17 @@ object CdcStream {
     * precondition, enforced the same way. */
   def absorbAtomic(batch: DataFrame, tableDir: String, keyCol: String,
                    opCol: String, tag: Option[String]): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val dup = batch.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"CdcStream.absorbAtomic: key '${dup.head.get(0)}' carries " +
-        s"${dup.head.getLong(1)} ops in one batch - the one-op-per-key " +
-        "CDC contract is violated; compact the feed per batch first")
-    requireKnownOps(batch, opCol, "CdcStream.absorbAtomic")
+    // one fused probe for emptiness + both preconditions + the upsert
+    // count (see [[probeBatch]]) — was four separate driver actions
+    val probe = probeBatch(batch, keyCol, opCol, "CdcStream.absorbAtomic")
+    if (probe.nRows == 0L) return
     val ups = batch.filter(col(opCol) === "upsert").drop(opCol)
     val dels = batch.filter(col(opCol) === "delete").select(keyCol)
     if (Snapshots.current(spark, tableDir).isEmpty) {
       // bootstrap: nothing to supersede — a tagged plain append (the
       // delete leg of a merge needs an existing delete-key contract)
-      if (!ups.isEmpty) { Snapshots.commitAppend(ups, tableDir, tag); () }
+      if (probe.nUpserts > 0L) { Snapshots.commitAppend(ups, tableDir, tag); () }
     } else {
       Snapshots.commitMergeKeyed(ups, dels, tableDir, keyCol, tag); ()
     }

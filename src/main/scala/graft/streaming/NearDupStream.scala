@@ -84,7 +84,13 @@ object NearDupStream {
         if (!fs.exists(marker)) {
           val batch = batch0.persist()
           val bk = bucketKeys(batch, id, text, n, k, bands).persist()
-          try {
+          // the dup-id set is consumed TWICE per batch — the kept-write's
+          // anti-join and (via `kept`) the absorb's semi-join — and it is
+          // the batch's whole join pipeline (state scan + first-per-bucket
+          // aggregate). Cached (round-20, guide §5/§7.3), the absorb leg
+          // reuses the materialized ids instead of re-running both joins;
+          // the frame is tiny (≤ batch ids).
+          val dups = {
             val seen = graft.state.SeenKeys.load(spark, stateDir)
             val dupVsState = bk
               .join(seen.withColumnRenamed("key", "bkey"), Seq("bkey"), "left_semi")
@@ -92,7 +98,9 @@ object NearDupStream {
             val firstPerBucket = bk.groupBy("bkey").agg(min(col(id)).as("_first"))
             val dupInBatch = bk.join(firstPerBucket, Seq("bkey"))
               .filter(col(id) > col("_first")).select(col(id))
-            val dups = dupVsState.union(dupInBatch).distinct()
+            dupVsState.union(dupInBatch).distinct().persist()
+          }
+          try {
             val kept = batch.join(dups, Seq(id), "left_anti")
             kept.write.mode("append").parquet(outDir)
             // outputs committed -> absorb survivors' buckets, then mark
@@ -102,6 +110,7 @@ object NearDupStream {
               stateDir)
             fs.create(marker, true).close()
           } finally {
+            dups.unpersist()
             bk.unpersist()
             batch.unpersist()
           }

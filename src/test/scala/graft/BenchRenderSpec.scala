@@ -209,6 +209,37 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(mapper.readTree(rendered()).get("session_min") == null)
   }
 
+  test("rendered key set is deterministic: timing noise cannot change which queries appear (round-20)") {
+    import scala.jdk.CollectionConverters._
+    // two runs of the real query list whose per-query timings differ by
+    // boundary-crossing noise (0.14s vs 0.26s rounds 1 ds vs 3 ds —
+    // exactly the drift that made r19's slowest-K tier omit a different
+    // set each run and the driver flag green queries as dropped)
+    def keysAt(v: Double): Set[String] = {
+      val line = Bench.render(names, names.map(_ -> v).toMap, Map.empty,
+        passTotals = Seq(240.0, 238.5), sfDir = "/root/testdata/sf0.1")
+      mapper.readTree(line).get("queries").fieldNames().asScala.toSet
+    }
+    val k1 = keysAt(0.14)
+    val k2 = keysAt(0.26)
+    assert(k1 == k2, "omission set moved with timings — must be by-name")
+    // the omission is the disclosed fixed set, never silent
+    val line = Bench.render(names, names.map(_ -> 0.2).toMap, Map.empty,
+      passTotals = Seq(240.0, 238.5), sfDir = "/root/testdata/sf0.1")
+    val node = mapper.readTree(line)
+    if (node.has("queries_omitted")) {
+      assert(node.get("omit_fixed").asInt == 1,
+        "an omission tier won without the fixed-by-name set")
+      // every omitted name is on the pinned list (so membership is a
+      // pure function of the declared query list)
+      val rendered = node.get("queries").fieldNames().asScala.toSet
+      val omittedNames = names.filterNot(n =>
+        rendered.contains(n) || rendered.contains(n.takeWhile(_ != '_')))
+      omittedNames.foreach(n =>
+        assert(Bench.FixedOmitNames.contains(n), s"'$n' omitted by timing"))
+    }
+  }
+
   test("sidecar renderFull: every query at 3dp, full names, no omission tier, parseable (round-19)") {
     val best = names.map(_ -> 8.888).toMap
     val full = Bench.renderFull(names, best,

@@ -218,6 +218,26 @@ class GraphSpec extends SparkSpec {
     assert(hs(15) == r16, "scores must be stationary at convergence length")
   }
 
+  test("redistribute pageRank: a long run (iters=10) cuts per round — values identical to pure lineage, time bounded (round-20)") {
+    // redistribute mode consumes `inbound` twice per round, so plans
+    // grow ~2^rounds between cuts (993 operators at the judged 5
+    // rounds). Long runs (iters > cutEvery) now cut every round (hits'
+    // rule); the gate is (a) values byte-identical to the pure-lineage
+    // reference (cuts change plan shape only), (b) bounded wall time.
+    val e = (0L until 300L).map(i => (i % 41, (i * 11) % 41)).toDF("src", "dst")
+    def pr(iters: Int, cutEvery: Int, cp: Cascade.Strategy) =
+      Graph.pageRank(e, "src", "dst", iters = iters, cutEvery = cutEvery,
+          checkpoint = cp, redistributeDangling = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val t0 = System.nanoTime()
+    val cutRun = pr(10, 8, Cascade.Auto) // iters > cutEvery → cadence 1
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 120.0, s"10 redistribute rounds took ${sec}s — cadence rule broken?")
+    // pure-lineage reference: cutEvery > iters fires no cuts at all
+    assert(pr(10, 16, Cascade.NoCheckpoint) == cutRun,
+      "per-round cuts changed rank values — they may only change plan shape")
+  }
+
   test("kcore: K4+pendant chain — fixpoint peels tails, bounded rounds match hand peels, noise ignored") {
     def cores(edges: Seq[(Long, Long)], k: Int,
               rounds: Option[Int]): Map[Long, Long] =

@@ -4,7 +4,15 @@
 # Mirrors build.sbt's forked-run JVM flags exactly.
 set -u
 CLS="$1"; shift
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+# derive the repo root from this script's location (ADVICE r19: a
+# hardcoded path silently ran stale/wrong classes from other checkouts)
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+CLASSES="$ROOT/target/scala-2.13/classes"
+if [ ! -d "$CLASSES" ]; then
+  echo "run.sh: $CLASSES missing — run 'sbt compile' first" >&2
+  exit 1
+fi
+CP="$CLASSES:/opt/spark/jars/*"
 exec java \
   --add-opens java.base/java.lang=ALL-UNNAMED \
   --add-opens java.base/java.lang.invoke=ALL-UNNAMED \

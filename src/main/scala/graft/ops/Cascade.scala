@@ -54,6 +54,19 @@ object Cascade {
   case object LocalCheckpoint extends Strategy
   case object ReliableCheckpoint extends Strategy
 
+  /** True when `s` resolves to LOCAL checkpointing for this session.
+    * Lazy local cuts are free — `localCheckpoint(false)` persists the
+    * blocks during the first action that computes them, so a probe
+    * action (fixpoint checksum) can materialize the cut in the SAME
+    * job. A lazy RELIABLE checkpoint instead re-runs the lineage in a
+    * separate job to write its files — callers keep those eager. */
+  private[graft] def resolvesLocal(df: DataFrame, s: Strategy): Boolean =
+    s match {
+      case LocalCheckpoint => true
+      case Auto => df.sparkSession.sparkContext.getCheckpointDir.isEmpty
+      case _ => false
+    }
+
   /** Apply one lineage cut under `s` (see [[Strategy]]). `private[graft]`
     * so entry-level derivations (e.g. g8's shared co-purchase edge set)
     * follow the same checkpoint-strategy discipline as the ops — a

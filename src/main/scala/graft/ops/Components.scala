@@ -69,7 +69,17 @@ object Components {
       requireConvergence: Boolean = true,
       algo: Algo = HashMin): DataFrame = {
 
-    def cut(df: DataFrame): DataFrame = Cascade.cut(df, strategy, eager = true)
+    // LAZY cuts when the strategy resolves to local checkpointing
+    // (round-20, guide §7 driver costs): each round's convergence
+    // checksum is an action anyway, and a lazy localCheckpoint persists
+    // its blocks during the first action that computes them — so the
+    // checksum MATERIALIZES the cut in the same job, halving the
+    // per-round driver actions (2 → 1). Reliable checkpoints stay
+    // eager: lazy reliable cuts re-run the lineage in a separate job
+    // to write their files. Labels/convergence are value-identical
+    // under either schedule.
+    def cut(df: DataFrame): DataFrame =
+      Cascade.cut(df, strategy, eager = !Cascade.resolvesLocal(df, strategy))
 
     // cut the edge frame ONCE: every round joins against it, and without
     // a cut each round re-executes the full upstream edge derivation

@@ -506,11 +506,18 @@ object Snapshots {
   def commitAppend(df: DataFrame, tableDir: String,
                    tag: Option[String]): Long = {
     val spark = df.sparkSession
-    tag.flatMap(t => findTag(spark, tableDir, t)) match {
+    // one chain walk (round-20, guide §7 driver costs): the tag probe
+    // and the commit share the SAME current snapshot — the old shape
+    // resolved current() twice per tagged commit (findTag walks from
+    // current), re-reading the pointer and re-parsing the head manifest
+    // it had just read. Single-writer discipline makes the shared read
+    // exactly equivalent.
+    val cur = current(spark, tableDir)
+    tag.flatMap(t => findTagFrom(spark, tableDir, cur, t)) match {
       case Some(existing) => return existing
       case None => ()
     }
-    commitAppendFrom(df, tableDir, current(spark, tableDir), tag)
+    commitAppendFrom(df, tableDir, cur, tag)
   }
 
   /** [[commitAppend]] that absorbs manifest-CAS losses: on
@@ -821,18 +828,28 @@ object Snapshots {
                         statsCols: Seq[String],
                         tag: Option[String]): Long = {
     val spark = df.sparkSession
-    tag.flatMap(t => findTag(spark, tableDir, t)) match {
+    // shared current for tag probe + commit (see commitAppend)
+    val cur = current(spark, tableDir)
+    tag.flatMap(t => findTagFrom(spark, tableDir, cur, t)) match {
       case Some(existing) => return existing
       case None => ()
     }
-    commitAppendFrom(df, tableDir, current(spark, tableDir), tag, statsCols)
+    commitAppendFrom(df, tableDir, cur, tag, statsCols)
   }
 
   /** The snapshot id committed under `tag`, if any — walks the parent
     * chain from current (bounded by retained history). */
   def findTag(spark: SparkSession, tableDir: String,
-              tag: String): Option[Long] = {
-    var cur = current(spark, tableDir)
+              tag: String): Option[Long] =
+    findTagFrom(spark, tableDir, current(spark, tableDir), tag)
+
+  /** [[findTag]] walking from an already-resolved head snapshot — the
+    * tagged-commit paths resolve current() ONCE and share it between
+    * the tag probe and the commit (round-20). */
+  private def findTagFrom(spark: SparkSession, tableDir: String,
+                          from: Option[Snapshot],
+                          tag: String): Option[Long] = {
+    var cur = from
     while (cur.isDefined) {
       if (cur.get.tag.contains(tag)) return cur.map(_.id)
       cur = cur.get.parent.flatMap(p => get(spark, tableDir, p))
@@ -1215,7 +1232,9 @@ object Snapshots {
                        tag: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.col
     val spark = upserts.sparkSession
-    tag.flatMap(t => findTag(spark, tableDir, t)) match {
+    // shared current for tag probe + commit (see commitAppend)
+    val cur0 = current(spark, tableDir)
+    tag.flatMap(t => findTagFrom(spark, tableDir, cur0, t)) match {
       case Some(existing) => return existing
       case None => ()
     }
@@ -1229,7 +1248,7 @@ object Snapshots {
       !c.startsWith("_")),
       s"bad merge key column name(s): ${keyCols.mkString(",")}")
     val keyHeader = keyCols.mkString(",")
-    val cur = current(spark, tableDir).getOrElse(
+    val cur = cur0.getOrElse(
       sys.error(s"commitMerge on empty snapshot table $tableDir"))
     cur.deleteKey.foreach(k => require(k == keyHeader,
       s"table delete key is '$k', got '$keyHeader' — one key set per table"))
